@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.sql.{Column, GraftColumnBridge, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.expressions.{CosineSimilarity, DotProduct, L2Norm, L2Normalize}
+
+/** Column-level function surface of the engine.
+  *
+  * Everything here is either a Spark built-in composition (codegen'd for
+  * free) or a native Catalyst Expression with `doGenCode` — no Scala
+  * UDFs on any hot path.
+  */
+object GraftFunctions {
+
+  // ---- vector math (reference: lshrs/utils/{norm,similarity}.py) ----
+  def cosine_sim(a: Column, b: Column): Column =
+    GraftColumnBridge.column(CosineSimilarity(GraftColumnBridge.expression(a), GraftColumnBridge.expression(b)))
+
+  def dot_product(a: Column, b: Column): Column =
+    GraftColumnBridge.column(DotProduct(GraftColumnBridge.expression(a), GraftColumnBridge.expression(b)))
+
+  def l2_norm(a: Column): Column =
+    GraftColumnBridge.column(L2Norm(GraftColumnBridge.expression(a)))
+
+  def l2_normalize(a: Column): Column =
+    GraftColumnBridge.column(L2Normalize(GraftColumnBridge.expression(a)))
+
+  // ---- portable 64-bit hashing ----
+  /** Deterministic 60-bit positive hash of a string, identically
+    * computable in any engine with `md5` (the DuckDB oracle uses
+    * `('0x' || substr(md5(s),1,15))::BIGINT`). Built from codegen'd
+    * Spark built-ins; used by minhash / simhash / fingerprints so that
+    * dedup results are integer-exact across engines.
+    */
+  def hex64(s: Column): Column = conv(substring(md5(s), 1, 15), 16, 10).cast("bigint")
+
+  /** hex64 with a salt — the family of hash functions h_i(x). */
+  def hex64(seed: Int, s: Column): Column = hex64(concat(lit(s"$seed|"), s))
+
+  /** Word tokens: lowercase, split on any non-alphanumeric run.
+    * DuckDB equivalent:
+    * `list_filter(string_split_regex(lower(s),'[^a-z0-9]+'), x -> x <> '')`.
+    */
+  def tokens(s: Column): Column =
+    filter(split(lower(s), "[^a-z0-9]+"), t => t =!= "")
+
+  /** w-shingles (word n-grams) joined with a single space. */
+  def shingles(s: Column, w: Int): Column = {
+    val toks = tokens(s)
+    array_distinct(
+      filter(
+        transform(toks, (_, i) => array_join(slice(toks, i + 1, lit(w)), " ")),
+        (_, i) => i <= size(toks) - w))
+  }
+
+  /** Register SQL names for the native expressions on a session
+    * (idempotent; safe to call per query on driver-provided sessions).
+    */
+  def register(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction("cosine_sim", es => CosineSimilarity(es.head, es(1)), "scala_udf")
+    reg.createOrReplaceTempFunction("dot_product", es => DotProduct(es.head, es(1)), "scala_udf")
+    reg.createOrReplaceTempFunction("l2_norm", es => L2Norm(es.head), "scala_udf")
+    reg.createOrReplaceTempFunction("l2_normalize", es => L2Normalize(es.head), "scala_udf")
+  }
+}

@@ -1,0 +1,66 @@
+package graft.events
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.ops.Relational.dec
+
+/** Event-stream analytics (batch form; streaming twins live in
+  * graft.streaming). All time arithmetic is on int64 epoch
+  * microseconds — engine- and timezone-independent.
+  */
+object EventOps {
+
+  /** Epoch-microseconds column for the `ts` field. The events table
+    * carries nanosecond parquet timestamps, which Spark surfaces as
+    * int64 nanos under `spark.sql.legacy.parquet.nanosAsLong`; integer
+    * `div` keeps the full 64-bit precision (a double division would
+    * lose sub-µs bits above 2^53).
+    */
+  private def microsOfTs(df: DataFrame): DataFrame = {
+    val us = df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => expr("ts div 1000")
+      case _ => unix_micros(col("ts").cast("timestamp"))
+    }
+    df.withColumn("us", us)
+  }
+
+  /** Gap-based sessionization: a new session starts when a user's gap
+    * from the previous event exceeds `gapMinutes`. Two windows over the
+    * same `(user_id, ts)` partitioning → a single shuffle on user_id.
+    * At scale user_id partitioning is the natural key distribution;
+    * skewed power-users are handled by AQE.
+    */
+  def sessionize(events: DataFrame, gapMinutes: Int = 30): DataFrame = {
+    val gapUs = gapMinutes.toLong * 60L * 1000000L
+    val w = Window.partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))
+    microsOfTs(events)
+      .select(col("user_id"), col("event_id"), col("us"))
+      .withColumn("is_new",
+        when(col("us") - lag(col("us"), 1).over(w) > gapUs || lag(col("us"), 1).over(w).isNull, 1)
+          .otherwise(0))
+      .withColumn("session_seq",
+        sum(col("is_new")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("session_seq"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        min(col("us")).as("start_us"),
+        max(col("us")).as("end_us"))
+      .orderBy(col("user_id"), col("session_seq"))
+  }
+
+  /** Tumbling time-window aggregation (hourly): exact decimal value
+    * sums per (hour, event_type). One shuffle, map-side partials. */
+  def hourlyRollup(events: DataFrame): DataFrame =
+    microsOfTs(events)
+      .select(
+        col("event_type"),
+        expr("us div 3600000000").as("hour_bucket"),
+        col("value"))
+      .groupBy(col("hour_bucket"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(dec(col("value"))).cast("double").as("sum_value"))
+      .orderBy(col("hour_bucket"), col("event_type"))
+}

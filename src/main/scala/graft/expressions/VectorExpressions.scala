@@ -1,0 +1,198 @@
+package graft.expressions
+
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+
+/** Element access helpers shared by the vector expressions. Vectors are
+  * `array<float>` or `array<double>` columns; all math is done in
+  * double, accumulated in index order (deterministic across partitions
+  * and engines).
+  */
+private[graft] object VecUtil {
+  def elementType(dt: DataType): DataType = dt match {
+    case ArrayType(et, _) => et
+    case other => throw new IllegalArgumentException(s"expected array type, got $other")
+  }
+
+  /** Java source for `(double) arr.get<T>(i)`. */
+  def getterSrc(et: DataType, arr: String, i: String): String = et match {
+    case FloatType   => s"(double) $arr.getFloat($i)"
+    case DoubleType  => s"$arr.getDouble($i)"
+    case IntegerType => s"(double) $arr.getInt($i)"
+    case LongType    => s"(double) $arr.getLong($i)"
+    case other => throw new IllegalArgumentException(s"unsupported vector element type $other")
+  }
+
+  def get(et: DataType, arr: ArrayData, i: Int): Double = et match {
+    case FloatType   => arr.getFloat(i).toDouble
+    case DoubleType  => arr.getDouble(i)
+    case IntegerType => arr.getInt(i).toDouble
+    case LongType    => arr.getLong(i).toDouble
+    case other => throw new IllegalArgumentException(s"unsupported vector element type $other")
+  }
+}
+
+/** Exact cosine similarity between two vectors, the rerank primitive of
+  * the reference engine (reference: lshrs/utils/similarity.py:26
+  * cosine_similarity — dot product of L2-normalized vectors). NULL when
+  * either vector has zero norm (the reference raises ValueError;
+  * SQL-land surfaces that as NULL).
+  *
+  * Single-pass, codegen'd, no allocation — stays inside
+  * WholeStageCodegen so a 100 TB rerank never leaves generated code.
+  */
+case class CosineSimilarity(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def prettyName: String = "cosine_sim"
+
+  private lazy val lt = VecUtil.elementType(left.dataType)
+  private lazy val rt = VecUtil.elementType(right.dataType)
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]
+    val b = r.asInstanceOf[ArrayData]
+    val n = math.min(a.numElements(), b.numElements())
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val x = VecUtil.get(lt, a, i); val y = VecUtil.get(rt, b, i)
+      dot += x * y; na += x * x; nb += y * y
+      i += 1
+    }
+    if (na == 0.0 || nb == 0.0) null
+    else java.lang.Double.valueOf(dot / (math.sqrt(na) * math.sqrt(nb)))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val dot = ctx.freshName("dot")
+      val na = ctx.freshName("na")
+      val nb = ctx.freshName("nb")
+      val x = ctx.freshName("x")
+      val y = ctx.freshName("y")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $dot = 0.0, $na = 0.0, $nb = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $x = ${VecUtil.getterSrc(lt, a, i)};
+         |  double $y = ${VecUtil.getterSrc(rt, b, i)};
+         |  $dot += $x * $y; $na += $x * $x; $nb += $y * $y;
+         |}
+         |if ($na == 0.0 || $nb == 0.0) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  ${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+/** Dot product of two vectors (double accumulation, index order). */
+case class DotProduct(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "dot_product"
+
+  private lazy val lt = VecUtil.elementType(left.dataType)
+  private lazy val rt = VecUtil.elementType(right.dataType)
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]
+    val b = r.asInstanceOf[ArrayData]
+    val n = math.min(a.numElements(), b.numElements())
+    var dot = 0.0
+    var i = 0
+    while (i < n) { dot += VecUtil.get(lt, a, i) * VecUtil.get(rt, b, i); i += 1 }
+    dot
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val dot = ctx.freshName("dot")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $dot = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $dot += (${VecUtil.getterSrc(lt, a, i)}) * (${VecUtil.getterSrc(rt, b, i)});
+         |}
+         |${ev.value} = $dot;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+/** L2 (Euclidean) norm of a vector (reference: lshrs/utils/norm.py:4). */
+case class L2Norm(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "l2_norm"
+
+  private lazy val et = VecUtil.elementType(child.dataType)
+
+  override def nullSafeEval(v: Any): Any = {
+    val a = v.asInstanceOf[ArrayData]
+    var s = 0.0
+    var i = 0
+    while (i < a.numElements()) { val x = VecUtil.get(et, a, i); s += x * x; i += 1 }
+    math.sqrt(s)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val i = ctx.freshName("i")
+      val s = ctx.freshName("s")
+      val x = ctx.freshName("x")
+      s"""
+         |double $s = 0.0;
+         |for (int $i = 0; $i < $a.numElements(); $i++) {
+         |  double $x = ${VecUtil.getterSrc(et, a, i)};
+         |  $s += $x * $x;
+         |}
+         |${ev.value} = java.lang.Math.sqrt($s);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** L2-normalize a vector to unit length → `array<double>`; NULL for the
+  * zero vector (reference raises "Cannot normalize zero vector",
+  * lshrs/utils/norm.py:56). Interpreted eval only — normalization is
+  * not on the 100 TB hot path (cosine_sim normalizes inline).
+  */
+case class L2Normalize(child: Expression) extends UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "l2_normalize"
+
+  private lazy val et = VecUtil.elementType(child.dataType)
+
+  override def nullSafeEval(v: Any): Any = {
+    val a = v.asInstanceOf[ArrayData]
+    val n = a.numElements()
+    var s = 0.0
+    var i = 0
+    while (i < n) { val x = VecUtil.get(et, a, i); s += x * x; i += 1 }
+    if (s == 0.0) null
+    else {
+      val norm = math.sqrt(s)
+      val out = new Array[Any](n)
+      i = 0
+      while (i < n) { out(i) = VecUtil.get(et, a, i) / norm; i += 1 }
+      new GenericArrayData(out)
+    }
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}

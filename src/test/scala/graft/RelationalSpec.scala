@@ -1,0 +1,71 @@
+package graft
+
+import graft.events.EventOps
+import graft.ops.Relational
+
+class RelationalSpec extends SparkSpec {
+
+  lazy val lineitem = Tables.load(spark, sfDir, "lineitem")
+  lazy val orders = Tables.load(spark, sfDir, "orders")
+  lazy val customer = Tables.load(spark, sfDir, "customer")
+  lazy val events = Tables.load(spark, sfDir, "events")
+
+  test("pricingSummary: one row per (returnflag, linestatus), totals add up") {
+    val rows = Relational.pricingSummary(lineitem).collect()
+    assert(rows.nonEmpty && rows.length <= 6)
+    val nTotal = rows.map(_.getAs[Long]("n_rows")).sum
+    val expected = lineitem
+      .filter("l_shipdate <= timestamp'1998-09-02 00:00:00'").count()
+    assert(nTotal === expected)
+    assert(rows.forall(r => r.getAs[Double]("sum_disc_price") <= r.getAs[Double]("sum_base_price")))
+  }
+
+  test("segmentRevenue covers exactly BUILDING orders with lineitems") {
+    val rows = Relational.segmentRevenue(customer, orders, lineitem).collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getAs[Double]("revenue") > 0))
+    // distinct order keys only
+    assert(rows.map(_.getAs[Long]("o_orderkey")).distinct.length === rows.length)
+  }
+
+  test("topNPerGroup: ≤3 per priority, descending within group") {
+    val rows = Relational.topNPerGroup(orders).collect()
+    val byGroup = rows.groupBy(_.getAs[String]("o_orderpriority"))
+    assert(byGroup.forall(_._2.length <= 3))
+    byGroup.values.foreach { g =>
+      val prices = g.sortBy(_.getAs[Int]("rn")).map(_.getAs[Double]("o_totalprice"))
+      assert(prices.sameElements(prices.sortBy(-(_: Double))))
+    }
+  }
+
+  test("runningCustomerSpend is nondecreasing per customer") {
+    val rows = Relational.runningCustomerSpend(orders).collect()
+    rows.groupBy(_.getAs[Long]("o_custkey")).values.foreach { g =>
+      val seq = g.sortBy(_.getAs[Int]("order_seq")).map(_.getAs[Double]("running_spend"))
+      assert(seq.zip(seq.tail).forall { case (a, b) => b >= a - 1e-9 })
+    }
+  }
+
+  test("sessionize: gap property holds and events are partitioned into sessions") {
+    val sessions = EventOps.sessionize(events, gapMinutes = 30).collect()
+    assert(sessions.map(_.getAs[Long]("n_events")).sum === events.count())
+    assert(sessions.forall(r => r.getAs[Long]("start_us") <= r.getAs[Long]("end_us")))
+    // consecutive sessions of the same user are separated by > 30 min
+    sessions.groupBy(_.getAs[Long]("user_id")).values.foreach { g =>
+      val ordered = g.sortBy(_.getAs[Long]("session_seq"))
+      ordered.zip(ordered.tail).foreach { case (a, b) =>
+        assert(b.getAs[Long]("start_us") - a.getAs[Long]("end_us") > 30L * 60 * 1000000)
+      }
+    }
+  }
+
+  test("hourlyRollup counts cover all events") {
+    val rows = EventOps.hourlyRollup(events).collect()
+    assert(rows.map(_.getAs[Long]("n_events")).sum === events.count())
+  }
+
+  test("pricingSummary plan: filter and pruned columns reach the parquet scan") {
+    val plan = Relational.pricingSummary(lineitem).queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"), plan)
+  }
+}

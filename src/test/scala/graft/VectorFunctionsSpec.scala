@@ -1,0 +1,75 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+class VectorFunctionsSpec extends SparkSpec {
+  import GraftFunctions._
+  import spark.implicits._
+
+  private def one(df: org.apache.spark.sql.DataFrame): Any = df.collect().head.get(0)
+
+  test("cosine_sim basic geometry") {
+    val df = Seq(
+      (Array(1f, 0f, 0f), Array(1f, 0f, 0f)),   // identical → 1
+      (Array(1f, 0f, 0f), Array(0f, 1f, 0f)),   // orthogonal → 0
+      (Array(1f, 0f, 0f), Array(-1f, 0f, 0f)),  // opposite → -1
+      (Array(1f, 1f, 0f), Array(1f, 0f, 0f))    // 45° → √2/2
+    ).toDF("a", "b").select(cosine_sim($"a", $"b").as("c"))
+    val got = df.collect().map(_.getDouble(0))
+    assert(math.abs(got(0) - 1.0) < 1e-12)
+    assert(math.abs(got(1)) < 1e-12)
+    assert(math.abs(got(2) + 1.0) < 1e-12)
+    assert(math.abs(got(3) - math.sqrt(2) / 2) < 1e-12)
+  }
+
+  test("cosine_sim zero vector is NULL (reference raises ValueError)") {
+    val df = Seq((Array(0f, 0f), Array(1f, 2f))).toDF("a", "b")
+      .select(cosine_sim($"a", $"b").as("c"))
+    assert(df.collect().head.isNullAt(0))
+  }
+
+  test("cosine_sim interpreted eval matches codegen") {
+    // force interpreted path via filter on the expression in a situation
+    // Catalyst may constant-fold; compare against a manual computation
+    val a = Array.tabulate(64)(i => (i % 7 - 3).toFloat)
+    val b = Array.tabulate(64)(i => (i % 5 - 2).toFloat)
+    val got = one(Seq((a, b)).toDF("a", "b").select(cosine_sim($"a", $"b"))).asInstanceOf[Double]
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    for (i <- 0 until 64) { dot += a(i).toDouble * b(i); na += a(i).toDouble * a(i); nb += b(i).toDouble * b(i) }
+    assert(got === dot / (math.sqrt(na) * math.sqrt(nb)))
+  }
+
+  test("dot_product and l2_norm") {
+    val got = Seq((Array(3f, 4f), Array(1f, 2f))).toDF("a", "b")
+      .select(dot_product($"a", $"b"), l2_norm($"a"), l2_normalize($"a"))
+      .collect().head
+    assert(got.getDouble(0) === 11.0)
+    assert(got.getDouble(1) === 5.0)
+    assert(got.getSeq[Double](2) == Seq(0.6, 0.8))
+  }
+
+  test("hex64 matches md5-prefix reference computation") {
+    val got = Seq("abc").toDF("s").select(hex64($"s")).collect().head.getLong(0)
+    val md = java.security.MessageDigest.getInstance("MD5")
+      .digest("abc".getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(got === java.lang.Long.parseLong(md.take(15), 16))
+  }
+
+  test("SQL registration: cosine_sim usable from spark.sql") {
+    val emb = Tables.load(spark, sfDir, "embeddings")
+    emb.createOrReplaceTempView("emb_v")
+    val n = spark.sql(
+      "SELECT cosine_sim(embedding, embedding) AS c FROM emb_v LIMIT 5")
+      .collect().map(_.getDouble(0))
+    assert(n.forall(c => math.abs(c - 1.0) < 1e-9))
+  }
+
+  test("cosine_sim over embeddings stays in whole-stage codegen") {
+    val emb = Tables.load(spark, sfDir, "embeddings")
+    val plan = emb.select(cosine_sim($"embedding", $"embedding").as("c"))
+      .queryExecution.executedPlan
+    val hasCodegen = plan.exists(
+      _.isInstanceOf[org.apache.spark.sql.execution.WholeStageCodegenExec])
+    assert(hasCodegen, s"plan lacks codegen span:\n$plan")
+  }
+}
