@@ -1,0 +1,195 @@
+package graft
+
+import graft.dedup.Dedup
+import graft.text.TextAnalysis
+
+/** DuckDB oracle SQL for the text/dedup/knn blocks. Fragments are
+  * generated from the same constants the Spark operators use
+  * (hash-function count, band layout, marker lists) so the two sides
+  * cannot drift.
+  */
+object OracleSql {
+
+  /** Tokenization (mirror of GraftFunctions.tokens). */
+  val Toks = "list_filter(string_split_regex(lower(text),'[^a-z0-9]+'), x -> x <> '')"
+
+  /** Portable 60-bit hash (mirror of GraftFunctions.hex64). */
+  def hex64(e: String): String = s"('0x'||substr(md5($e),1,15))::BIGINT"
+
+  /** w=3 word shingles over `toks` (mirror of GraftFunctions.shingles). */
+  val Shingles = "list_distinct([array_to_string(toks[i:i+2],' ') for i in range(1, len(toks)-1)])"
+
+  private def list(words: Seq[String]): String = words.map(w => s"'$w'").mkString("[", ",", "]")
+
+  private def hits(words: Seq[String]): String =
+    s"len(list_filter(toks, x -> list_contains(${list(words)}, x)))::BIGINT"
+
+  val textTokens: String =
+    s"""WITH t AS (SELECT doc_id, $Toks AS toks FROM documents)
+       |SELECT doc_id, len(toks)::BIGINT AS n_tokens,
+       |  len(list_distinct(toks))::BIGINT AS n_unique
+       |FROM t ORDER BY doc_id""".stripMargin
+
+  val textQuality: String =
+    s"""WITH t AS (SELECT doc_id, lower(text) AS txt, $Toks AS toks FROM documents),
+       |m AS (SELECT doc_id, length(txt)::BIGINT AS n_chars, len(toks)::BIGINT AS n_tokens,
+       |  list_aggregate(list_transform(toks, x -> length(x)), 'sum') AS sum_len,
+       |  length(regexp_replace(txt, '[a-z0-9 ]', '', 'g'))::BIGINT AS n_punct,
+       |  ${hits(TextAnalysis.stopwords)} AS n_stop
+       |FROM t)
+       |SELECT doc_id, n_chars, n_tokens,
+       |  CASE WHEN n_tokens > 0 THEN sum_len / n_tokens END AS avg_token_len,
+       |  CASE WHEN n_chars > 0 THEN n_punct / n_chars END AS punct_ratio,
+       |  CASE WHEN n_tokens > 0 THEN n_stop / n_tokens END AS stop_ratio,
+       |  CASE WHEN n_tokens > 0 THEN (least(n_tokens, 100) / 100.0) *
+       |    (1.0 - CASE WHEN n_chars > 0 THEN n_punct / n_chars ELSE 0.0 END)
+       |  ELSE 0.0 END AS quality_score
+       |FROM m ORDER BY doc_id""".stripMargin
+
+  val textLangid: String = {
+    val scoreCols = TextAnalysis.langMarkers
+      .map { case (l, ws) => s"  ${hits(ws)} AS s_$l" }.mkString(",\n")
+    val names = TextAnalysis.langMarkers.map(_._1)
+    val caseChain = names.init.zipWithIndex.map { case (l, i) =>
+      val rest = names.drop(i + 1).map(l2 => s"s_$l >= s_$l2").mkString(" AND ")
+      s"WHEN $rest THEN '$l'"
+    }.mkString(" ")
+    s"""WITH t AS (SELECT doc_id, $Toks AS toks FROM documents),
+       |s AS (SELECT doc_id,
+       |$scoreCols
+       |FROM t)
+       |SELECT doc_id, ${names.map(l => s"s_$l").mkString(", ")},
+       |  CASE WHEN ${names.map(l => s"s_$l").mkString(" + ")} = 0 THEN 'und'
+       |  $caseChain ELSE '${names.last}' END AS pred_lang
+       |FROM s ORDER BY doc_id""".stripMargin
+  }
+
+  val textFingerprint: String =
+    s"""WITH t AS (SELECT doc_id, $Toks AS toks FROM documents)
+       |SELECT doc_id, ${hex64("array_to_string(toks,' ')")} AS fingerprint,
+       |  (len(toks) // 10)::BIGINT AS len_band
+       |FROM t ORDER BY doc_id""".stripMargin
+
+  val dedupExact: String =
+    s"""WITH t AS (SELECT doc_id,
+       |  ${hex64("array_to_string(" + Toks + ",' ')")} AS fingerprint FROM documents)
+       |SELECT doc_id, fingerprint,
+       |  count(*) OVER (PARTITION BY fingerprint) AS group_size,
+       |  doc_id = min(doc_id) OVER (PARTITION BY fingerprint) AS keep
+       |FROM t ORDER BY doc_id""".stripMargin
+
+  /** Shared CTE prefix: tokenized docs + distinct shingle set. */
+  private val ShCte =
+    s"""WITH t AS (SELECT doc_id, $Toks AS toks FROM documents),
+       |sh AS (SELECT DISTINCT doc_id, unnest($Shingles) AS s FROM t)""".stripMargin
+
+  private val minhashCols: String = (0 until Dedup.MinhashK)
+    .map(i => s"  min(${hex64(s"'$i|'||s")}) AS mh_${"%02d".format(i)}").mkString(",\n")
+
+  val dedupMinhash: String =
+    s"""$ShCte
+       |SELECT doc_id,
+       |$minhashCols
+       |FROM sh GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  private val bandSelects: String = (0 until Dedup.Bands).map { j =>
+    val cols = (0 until Dedup.RowsPerBand)
+      .map(i => s"mh_${"%02d".format(j * Dedup.RowsPerBand + i)}").mkString("||','||")
+    s"  SELECT doc_id, $j AS band, ${hex64(cols)} AS bh FROM mh"
+  }.mkString("\n  UNION ALL\n")
+
+  private def jaccardTail(candCte: String): String =
+    s"""$candCte,
+       |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+       |inter AS (SELECT c.a, c.b, count(*) AS n_int FROM cand c
+       |  JOIN sh sa ON sa.doc_id = c.a
+       |  JOIN sh sb ON sb.doc_id = c.b AND sb.s = sa.s
+       |  GROUP BY c.a, c.b)
+       |SELECT i.a, i.b, i.n_int, za.n AS n_a, zb.n AS n_b,
+       |  i.n_int / (za.n + zb.n - i.n_int) AS jaccard
+       |FROM inter i
+       |JOIN sizes za ON za.doc_id = i.a
+       |JOIN sizes zb ON zb.doc_id = i.b""".stripMargin
+
+  val dedupMinhashLsh: String =
+    s"""$ShCte,
+       |mh AS (SELECT doc_id,
+       |$minhashCols
+       |FROM sh GROUP BY doc_id),
+       |bands AS (
+       |$bandSelects),
+       |${jaccardTail(
+        """cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+          |  FROM bands x JOIN bands y
+          |  ON x.band = y.band AND x.bh = y.bh AND x.doc_id < y.doc_id)""".stripMargin)}
+       |ORDER BY a, b""".stripMargin
+
+  val dedupNgramJaccard: String =
+    s"""$ShCte,
+       |${jaccardTail(
+        """cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+          |  FROM sh x JOIN sh y ON x.s = y.s AND x.doc_id < y.doc_id)""".stripMargin)}
+       |WHERE i.n_int / (za.n + zb.n - i.n_int) >= 0.5
+       |ORDER BY a, b""".stripMargin
+
+  private val simhashBitSums: String = (0 until Dedup.SimhashBits)
+    .map(b => s"  sum(CASE WHEN ((h >> $b) & 1) = 1 THEN 1 ELSE -1 END) AS s$b").mkString(",\n")
+
+  private val simhashCombine: String = (0 until Dedup.SimhashBits)
+    .map(b => s"CASE WHEN s$b > 0 THEN (1::BIGINT << $b) ELSE 0 END")
+    .mkString(" + ")
+
+  private val SimhashCte =
+    s"""WITH t AS (SELECT doc_id, $Toks AS toks FROM documents),
+       |tok AS (SELECT doc_id, unnest(toks) AS tk FROM t),
+       |h AS (SELECT doc_id, ${hex64("'t|'||tk")} AS h FROM tok),
+       |bits AS (SELECT doc_id,
+       |$simhashBitSums
+       |FROM h GROUP BY doc_id),
+       |sim AS (SELECT doc_id, ($simhashCombine)::BIGINT AS simhash FROM bits)""".stripMargin
+
+  val dedupSimhash: String =
+    s"""$SimhashCte
+       |SELECT doc_id, simhash FROM sim ORDER BY doc_id""".stripMargin
+
+  val dedupSimhashPairs: String = {
+    val bandSel = (0 until 4)
+      .map(j => s"  SELECT doc_id, simhash, $j AS band, (simhash >> ${8 * j}) & 255 AS bv FROM sim")
+      .mkString("\n  UNION ALL\n")
+    s"""$SimhashCte,
+       |bands AS (
+       |$bandSel)
+       |SELECT DISTINCT x.doc_id AS a, y.doc_id AS b,
+       |  bit_count(xor(x.simhash, y.simhash))::BIGINT AS hamming
+       |FROM bands x JOIN bands y
+       |ON x.band = y.band AND x.bv = y.bv AND x.doc_id < y.doc_id
+       |WHERE bit_count(xor(x.simhash, y.simhash)) <= 6
+       |ORDER BY a, b""".stripMargin
+  }
+
+  /** Exact cosine top-k CTE; queryFilter narrows the query side. */
+  private def knnSql(queryFilter: String, k: Int): String =
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |q AS (SELECT vec_id, v FROM e $queryFilter),
+       |s AS (SELECT q.vec_id AS q_id, c.vec_id AS cand_id,
+       |  list_cosine_similarity(q.v, c.v) AS sim
+       |  FROM q JOIN e c ON c.vec_id <> q.vec_id),
+       |r AS (SELECT q_id, cand_id, sim,
+       |  CAST(row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, cand_id) AS BIGINT) AS rn
+       |  FROM s)""".stripMargin + "\n" +
+      s"SELECT q_id, rn, cand_id, sim FROM r WHERE rn <= $k ORDER BY q_id, rn"
+
+  val cosineTopkExact: String = knnSql("WHERE vec_id < 10", 5)
+  val knnBrute: String = knnSql("", 3)
+
+  val dedupEmbedding: String =
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |s AS (SELECT a.vec_id AS q_id, b.vec_id AS cand_id,
+       |  list_cosine_similarity(a.v, b.v) AS sim
+       |  FROM e a JOIN e b ON b.vec_id <> a.vec_id),
+       |r AS (SELECT q_id, cand_id, sim,
+       |  row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, cand_id) AS rn
+       |  FROM s)
+       |SELECT q_id AS vec_id, cand_id AS nn_id, sim, sim >= 0.95 AS is_dup
+       |FROM r WHERE rn = 1 ORDER BY vec_id""".stripMargin
+}

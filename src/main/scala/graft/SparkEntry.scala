@@ -1,9 +1,13 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
 
+import graft.ann.Knn
+import graft.dedup.Dedup
 import graft.events.EventOps
 import graft.ops.Relational
+import graft.text.TextAnalysis
 
 /** Driver contract — see /root/repo/SURVEY.md §2 (one queries entry per
   * inventory row) and §4 (oracle determinism rules).
@@ -29,6 +33,28 @@ object SparkEntry {
     "q_window_running" -> ((s, dir) => Relational.runningCustomerSpend(t(s, dir, "orders"))),
     "events_sessionize" -> ((s, dir) => EventOps.sessionize(t(s, dir, "events"))),
     "events_windowed" -> ((s, dir) => EventOps.hourlyRollup(t(s, dir, "events"))),
+    // --- D. text analysis ---
+    "text_tokens" -> ((s, dir) => TextAnalysis.tokenStats(t(s, dir, "documents"))),
+    "text_quality" -> ((s, dir) => TextAnalysis.quality(t(s, dir, "documents"))),
+    "text_langid" -> ((s, dir) => TextAnalysis.langId(t(s, dir, "documents"))),
+    "text_fingerprint" -> ((s, dir) => TextAnalysis.fingerprint(t(s, dir, "documents"))),
+    // --- B. dedup suite ---
+    "dedup_exact" -> ((s, dir) => Dedup.exact(t(s, dir, "documents"))),
+    "dedup_minhash" -> ((s, dir) => Dedup.minhash(t(s, dir, "documents"))),
+    "dedup_minhash_lsh" -> ((s, dir) => Dedup.minhashLshPairs(t(s, dir, "documents"))),
+    "dedup_ngram_jaccard" -> ((s, dir) => Dedup.ngramJaccardPairs(t(s, dir, "documents"))),
+    "dedup_simhash" -> ((s, dir) => Dedup.simhash(t(s, dir, "documents"))),
+    "dedup_simhash_pairs" -> ((s, dir) => Dedup.simhashPairs(t(s, dir, "documents"))),
+    "dedup_embedding" -> ((s, dir) => Knn.nearestNeighborDedup(t(s, dir, "embeddings"))),
+    // --- A/C. exact similarity search ---
+    "cosine_topk_exact" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      Knn.cosineTopK(e, e.filter(col("vec_id") < 10), 5)
+    }),
+    "knn_brute" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      Knn.cosineTopK(e, e, 3)
+    }),
   )
 
   /** DuckDB-equivalent ANSI SQL per query (driver correctness gate). */
@@ -92,5 +118,18 @@ object SparkEntry {
         |FROM events
         |GROUP BY 1, 2
         |ORDER BY hour_bucket, event_type""".stripMargin,
+    "text_tokens" -> OracleSql.textTokens,
+    "text_quality" -> OracleSql.textQuality,
+    "text_langid" -> OracleSql.textLangid,
+    "text_fingerprint" -> OracleSql.textFingerprint,
+    "dedup_exact" -> OracleSql.dedupExact,
+    "dedup_minhash" -> OracleSql.dedupMinhash,
+    "dedup_minhash_lsh" -> OracleSql.dedupMinhashLsh,
+    "dedup_ngram_jaccard" -> OracleSql.dedupNgramJaccard,
+    "dedup_simhash" -> OracleSql.dedupSimhash,
+    "dedup_simhash_pairs" -> OracleSql.dedupSimhashPairs,
+    "dedup_embedding" -> OracleSql.dedupEmbedding,
+    "cosine_topk_exact" -> OracleSql.cosineTopkExact,
+    "knn_brute" -> OracleSql.knnBrute,
   )
 }

@@ -1,0 +1,165 @@
+package graft.dedup
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.GraftFunctions
+import graft.GraftFunctions.{hex64, shingles, tokens}
+
+/** Deduplication suite for training-data pipelines.
+  *
+  * All fingerprints derive from the portable md5-prefix hash
+  * ([[GraftFunctions.hex64]]) so results are integer-exact across
+  * engines; the MinHash scheme mirrors the reference's banding design
+  * (b bands of r rows, collision when a full band matches — reference:
+  * lshrs/hash/lsh.py banding, lshrs/utils/br.py S-curve) but over
+  * shingle sets with Jaccard similarity, the standard text-dedup
+  * instantiation.
+  *
+  * Scale notes (100 TB):
+  *  - minhash signatures are computed with map-side partial aggregation
+  *    — the shuffle carries k longs per doc, never the shingles;
+  *  - candidate generation joins on (band, band_hash): hash-partition
+  *    co-location, hot buckets handled by AQE skew join;
+  *  - exact-Jaccard verification only touches candidate pairs (like the
+  *    reference's cosine rerank of bucket candidates);
+  *  - the raw shingle-join variant (ngramJaccardPairs) is the exact
+  *    baseline; at scale prefer minhashLshPairs which bounds join
+  *    fan-out by band width.
+  */
+object Dedup {
+
+  val MinhashK = 16      // hash functions (num_perm)
+  val Bands = 4          // b
+  val RowsPerBand = 4    // r: threshold ≈ (1/b)^(1/r) = 0.707
+  val ShingleWidth = 3
+
+  private def withToks(docs: DataFrame): DataFrame =
+    docs.withColumn("toks", tokens(col("text")))
+
+  /** Distinct (doc_id, shingle) pairs. */
+  def shingleSet(docs: DataFrame): DataFrame =
+    withToks(docs)
+      .select(col("doc_id"), explode(shingles(col("text"), ShingleWidth)).as("s"))
+      .distinct()
+
+  /** Exact dedup on the normalized token stream: fingerprint, group
+    * size, and a keep flag on the minimum doc_id of each group.
+    */
+  def exact(docs: DataFrame): DataFrame = {
+    val t = withToks(docs)
+      .withColumn("fingerprint", hex64(array_join(col("toks"), " ")))
+    val w = Window.partitionBy(col("fingerprint"))
+    t.select(
+      col("doc_id"), col("fingerprint"),
+      count(lit(1)).over(w).as("group_size"),
+      (col("doc_id") === min(col("doc_id")).over(w)).as("keep"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** MinHash signature per document: k independent md5-derived hash
+    * functions, min over the shingle set. One explode + one grouped
+    * aggregation (partial aggregation map-side).
+    */
+  def minhash(docs: DataFrame): DataFrame = {
+    val sh = shingleSet(docs)
+    val aggs = (0 until MinhashK).map(i => min(hex64(i, col("s"))).as(f"mh_$i%02d"))
+    sh.groupBy(col("doc_id"))
+      .agg(aggs.head, aggs.tail: _*)
+      .orderBy(col("doc_id"))
+  }
+
+  /** (doc_id, band, band_hash) — one row per band; band hash combines
+    * the band's r minhash values.
+    */
+  def minhashBands(mh: DataFrame): DataFrame = {
+    val bandCols = (0 until Bands).map { j =>
+      hex64(concat_ws(",", (0 until RowsPerBand).map(i => col(f"mh_${j * RowsPerBand + i}%02d")): _*))
+    }
+    mh.select(col("doc_id"), posexplode(array(bandCols: _*)).as(Seq("band", "band_hash")))
+  }
+
+  /** MinHash-LSH near-duplicate pairs: candidates share ≥1 full band;
+    * each candidate is verified with exact shingle-set Jaccard (the
+    * analogue of the reference's cosine rerank of bucket candidates).
+    * Returns (a, b, n_int, n_a, n_b, jaccard) for candidates with ≥1
+    * shared shingle.
+    */
+  def minhashLshPairs(docs: DataFrame): DataFrame = {
+    val bands = minhashBands(minhash(docs))
+    val cand = bands.as("x").join(bands.as("y"),
+        col("x.band") === col("y.band") && col("x.band_hash") === col("y.band_hash") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+      .distinct()
+    jaccardOf(cand, shingleSet(docs))
+  }
+
+  /** Exact n-gram Jaccard pairs: every pair sharing ≥1 shingle, kept
+    * when jaccard ≥ minJaccard. The exact baseline for the LSH variant.
+    */
+  def ngramJaccardPairs(docs: DataFrame, minJaccard: Double = 0.5): DataFrame = {
+    val sh = shingleSet(docs)
+    val cand = sh.as("x").join(sh.as("y"),
+        col("x.s") === col("y.s") && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+      .distinct()
+    jaccardOf(cand, sh).filter(col("jaccard") >= minJaccard)
+  }
+
+  /** Exact Jaccard for given candidate pairs over a shingle set. */
+  private def jaccardOf(cand: DataFrame, sh: DataFrame): DataFrame = {
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val inter = cand
+      .join(sh.as("sa"), col("a") === col("sa.doc_id"))
+      .join(sh.as("sb"), col("b") === col("sb.doc_id") && col("sa.s") === col("sb.s"))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("n_int"))
+    inter
+      .join(sizes.as("za"), col("a") === col("za.doc_id"))
+      .join(sizes.as("zb"), col("b") === col("zb.doc_id"))
+      .select(
+        col("a"), col("b"), col("n_int"),
+        col("za.n").as("n_a"), col("zb.n").as("n_b"),
+        (col("n_int") / (col("za.n") + col("zb.n") - col("n_int"))).as("jaccard"))
+      .orderBy(col("a"), col("b"))
+  }
+
+  val SimhashBits = 32
+
+  /** 32-bit SimHash fingerprint: per token (with multiplicity) each
+    * hash bit votes ±1; fingerprint bit = sign of the vote sum.
+    */
+  def simhash(docs: DataFrame): DataFrame = {
+    val tok = withToks(docs).select(col("doc_id"), explode(col("toks")).as("t"))
+    val h = tok.withColumn("h", hex64(concat(lit("t|"), col("t"))))
+    val sums = (0 until SimhashBits).map { b =>
+      sum(when(shiftright(col("h"), b).bitwiseAND(lit(1L)) === 1L, 1).otherwise(-1)).as(s"s$b")
+    }
+    val bits = h.groupBy(col("doc_id")).agg(sums.head, sums.tail: _*)
+    val fp = (0 until SimhashBits)
+      .map(b => when(col(s"s$b") > 0, lit(1L << b)).otherwise(lit(0L)))
+      .reduce(_ + _)
+    bits.select(col("doc_id"), fp.as("simhash")).orderBy(col("doc_id"))
+  }
+
+  /** SimHash near-dup pairs with Hamming distance ≤ maxHamming,
+    * blocked on 4 byte-bands (a pair within Hamming ≤ 3 of a 32-bit
+    * fingerprint must agree on ≥1 byte; wider distances may be missed
+    * — that is the LSH trade-off, tunable via band count).
+    */
+  def simhashPairs(docs: DataFrame, maxHamming: Int = 6): DataFrame = {
+    val sims = simhash(docs)
+    val bandCols = (0 until 4).map(j => shiftright(col("simhash"), 8 * j).bitwiseAND(lit(255L)))
+    val bands = sims.select(col("doc_id"), col("simhash"),
+      posexplode(array(bandCols: _*)).as(Seq("band", "bv")))
+    bands.as("x").join(bands.as("y"),
+        col("x.band") === col("y.band") && col("x.bv") === col("y.bv") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"),
+        bit_count(col("x.simhash").bitwiseXOR(col("y.simhash"))).cast("long").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+      .orderBy(col("a"), col("b"))
+  }
+}

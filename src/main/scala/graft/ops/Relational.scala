@@ -61,7 +61,7 @@ object Relational {
       .orderBy(col("o_totalprice").desc, col("o_orderkey"))
     orders
       .select(col("o_orderpriority"), col("o_orderkey"), col("o_totalprice"))
-      .withColumn("rn", row_number().over(w))
+      .withColumn("rn", row_number().over(w).cast("long"))
       .filter(col("rn") <= n)
       .orderBy(col("o_orderpriority"), col("rn"))
   }
@@ -76,7 +76,7 @@ object Relational {
         sum(dec(col("o_totalprice")))
           .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
           .cast("double").as("running_spend"),
-        row_number().over(w).as("order_seq"))
+        row_number().over(w).cast("long").as("order_seq"))
       .orderBy(col("o_custkey"), col("o_orderkey"))
   }
 }

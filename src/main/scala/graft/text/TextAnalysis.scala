@@ -1,0 +1,99 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.GraftFunctions
+
+/** Text analysis for large-scale training-data pipelines: token
+  * statistics, quality scoring, language-ID heuristic, content
+  * fingerprints. Everything is built from codegen'd built-ins over a
+  * single tokenization, and every ratio uses exact integer counts with
+  * one final IEEE double division — deterministic across engines and
+  * partitionings.
+  */
+object TextAnalysis {
+
+  val stopwords: Seq[String] = Seq("the", "a", "of", "and", "to", "in", "is")
+
+  /** Marker stopword lists per language; order is the deterministic
+    * tie-break priority of the classifier.
+    */
+  val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "von", "mit"),
+    "es" -> Seq("el", "la", "los", "de", "y", "es", "que"),
+    "fr" -> Seq("le", "les", "des", "et", "est", "dans", "une"))
+
+  private def withToks(docs: DataFrame): DataFrame =
+    docs.withColumn("toks", GraftFunctions.tokens(col("text")))
+
+  private def hits(toksCol: Column, words: Seq[String]): Column =
+    size(filter(toksCol, t => t.isin(words.map(lit(_)): _*))).cast("long")
+
+  /** Token & unique-token counts per document. */
+  def tokenStats(docs: DataFrame): DataFrame =
+    withToks(docs)
+      .select(
+        col("doc_id"),
+        size(col("toks")).cast("long").as("n_tokens"),
+        size(array_distinct(col("toks"))).cast("long").as("n_unique"))
+      .orderBy(col("doc_id"))
+
+  /** Quality metrics: char/token counts, mean token length, punctuation
+    * ratio, stopword ratio, and a composite score in [0,1].
+    */
+  def quality(docs: DataFrame): DataFrame = {
+    val base = withToks(docs)
+      .withColumn("n_chars", length(lower(col("text"))).cast("long"))
+      .withColumn("n_tokens", size(col("toks")).cast("long"))
+      .withColumn("sum_len", aggregate(col("toks"), lit(0), (acc, t) => acc + length(t)))
+      .withColumn("n_punct", length(regexp_replace(lower(col("text")), "[a-z0-9 ]", "")))
+      .withColumn("n_stop", hits(col("toks"), stopwords))
+    base.select(
+      col("doc_id"), col("n_chars"), col("n_tokens"),
+      when(col("n_tokens") > 0, col("sum_len") / col("n_tokens")).as("avg_token_len"),
+      when(col("n_chars") > 0, col("n_punct") / col("n_chars")).as("punct_ratio"),
+      when(col("n_tokens") > 0, col("n_stop") / col("n_tokens")).as("stop_ratio"),
+      when(col("n_tokens") > 0,
+        (least(col("n_tokens"), lit(100)) / lit(100.0)) *
+          (lit(1.0) - when(col("n_chars") > 0, col("n_punct") / col("n_chars")).otherwise(lit(0.0))))
+        .otherwise(lit(0.0)).as("quality_score"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Stopword-profile language ID: count marker hits per language,
+    * argmax with fixed priority tie-break, 'und' when no marker hits.
+    */
+  def langId(docs: DataFrame): DataFrame = {
+    val t = langMarkers.foldLeft(withToks(docs)) { case (df, (lang, words)) =>
+      df.withColumn(s"s_$lang", hits(col("toks"), words))
+    }
+    val scores = langMarkers.map { case (l, _) => col(s"s_$l") }
+    val anyHit = scores.reduce(_ + _) > 0
+    // CASE chain in priority order: first language whose score is >= all later ones
+    val pred = langMarkers.indices.init.foldRight(lit(langMarkers.last._1)) { (i, els) =>
+      val (lang, _) = langMarkers(i)
+      val geRest = langMarkers.drop(i + 1)
+        .map { case (l2, _) => col(s"s_$lang") >= col(s"s_$l2") }
+        .reduce(_ && _)
+      when(geRest, lit(lang)).otherwise(els)
+    }
+    t.select(
+      (col("doc_id") +: langMarkers.map { case (l, _) => col(s"s_$l") }) :+
+        when(anyHit, pred).otherwise(lit("und")).as("pred_lang"): _*)
+      .orderBy(col("doc_id"))
+  }
+
+  /** Content fingerprint: 60-bit portable hash of the normalized token
+    * stream, plus a coarse length band (blocking key for dedup).
+    */
+  def fingerprint(docs: DataFrame): DataFrame =
+    withToks(docs)
+      .select(
+        col("doc_id"),
+        GraftFunctions.hex64(array_join(col("toks"), " ")).as("fingerprint"),
+        (size(col("toks")) / lit(10)).cast("long").as("len_band"))
+      .orderBy(col("doc_id"))
+}

@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.dedup.Dedup
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  lazy val docs = Tables.load(spark, sfDir, "documents")
+
+  /** docs plus exact copies of the first 3 texts under new ids. */
+  lazy val withCopies = {
+    val copies = docs.orderBy("doc_id").limit(3)
+      .withColumn("doc_id", col("doc_id") + lit(1000000L))
+    docs.unionByName(copies)
+  }
+
+  test("exact dedup finds planted exact copies, keeps min doc_id") {
+    val res = Dedup.exact(withCopies).collect()
+    val dups = res.filter(_.getAs[Long]("group_size") > 1)
+    assert(dups.length === 6) // 3 pairs → 6 members
+    val keeps = dups.filter(_.getAs[Boolean]("keep"))
+    assert(keeps.length === 3)
+    assert(keeps.forall(_.getAs[Long]("doc_id") < 1000000L))
+  }
+
+  test("identical texts share complete minhash signatures") {
+    val mh = Dedup.minhash(withCopies).collect()
+      .map(r => r.getAs[Long]("doc_id") -> (0 until Dedup.MinhashK).map(i => r.getLong(1 + i)))
+      .toMap
+    (0 until 3).foreach { i =>
+      assert(mh(i.toLong) === mh(i.toLong + 1000000L))
+    }
+  }
+
+  test("minhash-LSH pairs report exact jaccard; exact copies score 1.0") {
+    val pairs = Dedup.minhashLshPairs(withCopies).collect()
+    assert(pairs.forall { r =>
+      val j = r.getAs[Double]("jaccard"); j >= 0.0 && j <= 1.0
+    })
+    val planted = pairs.filter(r => r.getAs[Long]("b") - r.getAs[Long]("a") === 1000000L)
+    assert(planted.length === 3)
+    assert(planted.forall(_.getAs[Double]("jaccard") === 1.0))
+  }
+
+  test("LSH candidates achieve full recall on high-jaccard pairs (vs exact baseline)") {
+    val exactPairs = Dedup.ngramJaccardPairs(docs, minJaccard = 0.9).collect()
+      .map(r => (r.getAs[Long]("a"), r.getAs[Long]("b"))).toSet
+    val lshPairs = Dedup.minhashLshPairs(docs).collect()
+      .map(r => (r.getAs[Long]("a"), r.getAs[Long]("b"))).toSet
+    // threshold ≈ (1/4)^(1/4) = 0.707 → jaccard ≥ 0.9 pairs should all surface
+    assert(exactPairs.nonEmpty || lshPairs.nonEmpty) // corpus has planted near-dups
+    assert(exactPairs.subsetOf(lshPairs),
+      s"missed: ${exactPairs.diff(lshPairs)}")
+  }
+
+  test("simhash: identical docs identical fingerprints; near-dups close in hamming") {
+    val sh = Dedup.simhash(withCopies).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("simhash")).toMap
+    (0 until 3).foreach(i => assert(sh(i.toLong) === sh(i.toLong + 1000000L)))
+    val pairs = Dedup.simhashPairs(withCopies).collect()
+    val planted = pairs.filter(r => r.getAs[Long]("b") - r.getAs[Long]("a") === 1000000L)
+    assert(planted.length === 3)
+    assert(planted.forall(_.getAs[Long]("hamming") === 0L))
+  }
+}

@@ -33,7 +33,7 @@ class RelationalSpec extends SparkSpec {
     val byGroup = rows.groupBy(_.getAs[String]("o_orderpriority"))
     assert(byGroup.forall(_._2.length <= 3))
     byGroup.values.foreach { g =>
-      val prices = g.sortBy(_.getAs[Int]("rn")).map(_.getAs[Double]("o_totalprice"))
+      val prices = g.sortBy(_.getAs[Long]("rn")).map(_.getAs[Double]("o_totalprice"))
       assert(prices.sameElements(prices.sortBy(-(_: Double))))
     }
   }
@@ -41,7 +41,7 @@ class RelationalSpec extends SparkSpec {
   test("runningCustomerSpend is nondecreasing per customer") {
     val rows = Relational.runningCustomerSpend(orders).collect()
     rows.groupBy(_.getAs[Long]("o_custkey")).values.foreach { g =>
-      val seq = g.sortBy(_.getAs[Int]("order_seq")).map(_.getAs[Double]("running_spend"))
+      val seq = g.sortBy(_.getAs[Long]("order_seq")).map(_.getAs[Double]("running_spend"))
       assert(seq.zip(seq.tail).forall { case (a, b) => b >= a - 1e-9 })
     }
   }

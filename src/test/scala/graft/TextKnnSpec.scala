@@ -1,0 +1,84 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ann.Knn
+import graft.text.TextAnalysis
+
+class TextKnnSpec extends SparkSpec {
+  import spark.implicits._
+
+  lazy val docs = Tables.load(spark, sfDir, "documents")
+  lazy val emb = Tables.load(spark, sfDir, "embeddings")
+
+  test("tokenStats matches a manual count") {
+    val row = docs.orderBy("doc_id").limit(1).collect().head
+    val text = row.getAs[String]("text")
+    val manual = text.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty)
+    val got = TextAnalysis.tokenStats(docs)
+      .filter(col("doc_id") === row.getAs[Long]("doc_id")).collect().head
+    assert(got.getAs[Long]("n_tokens") === manual.length)
+    assert(got.getAs[Long]("n_unique") === manual.distinct.length)
+  }
+
+  test("quality metrics are in range and consistent") {
+    val rows = TextAnalysis.quality(docs).collect()
+    assert(rows.length === docs.count())
+    rows.foreach { r =>
+      val q = r.getAs[Double]("quality_score")
+      assert(q >= 0.0 && q <= 1.0)
+      assert(r.getAs[Double]("punct_ratio") >= 0.0)
+      assert(r.getAs[Double]("stop_ratio") <= 1.0)
+    }
+  }
+
+  test("langid: predictions are deterministic members of the label set") {
+    val langs = TextAnalysis.langId(docs).select("pred_lang").distinct()
+      .collect().map(_.getString(0)).toSet
+    assert(langs.subsetOf(Set("en", "de", "es", "fr", "und")))
+  }
+
+  test("fingerprint is stable and collision-free on distinct texts") {
+    val fp = TextAnalysis.fingerprint(docs).collect()
+    assert(fp.map(_.getAs[Long]("fingerprint")).distinct.length === fp.length)
+    val again = TextAnalysis.fingerprint(docs).collect()
+    assert(fp.map(_.getAs[Long]("fingerprint")).sameElements(again.map(_.getAs[Long]("fingerprint"))))
+  }
+
+  test("cosineTopK: ordered, self-excluded, exact per manual computation") {
+    val res = Knn.cosineTopK(emb, emb.filter(col("vec_id") < 5), 5).collect()
+    val byQ = res.groupBy(_.getAs[Long]("q_id"))
+    assert(byQ.size === 5)
+    byQ.foreach { case (q, rows) =>
+      assert(rows.length === 5)
+      assert(!rows.exists(_.getAs[Long]("cand_id") === q))
+      val sims = rows.sortBy(_.getAs[Long]("rn")).map(_.getAs[Double]("sim"))
+      assert(sims.zip(sims.tail).forall { case (a, b) => a >= b })
+    }
+    // manual exact check for q=0's top-1
+    val vecs = emb.filter(col("vec_id") < 200).collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getSeq[Float](r.fieldIndex("embedding")).toArray).toMap
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      for (i <- a.indices) { d += a(i).toDouble * b(i); na += a(i).toDouble * a(i); nb += b(i).toDouble * b(i) }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val all = emb.collect().map(r => r.getAs[Long]("vec_id") -> r.getSeq[Float](r.fieldIndex("embedding")).toArray)
+    val q0 = all.find(_._1 == 0L).get._2
+    val best = all.filter(_._1 != 0L).map { case (id, v) => (id, cos(q0, v)) }
+      .maxBy { case (id, s) => (s, -id.toDouble) }
+    val got = res.filter(r => r.getAs[Long]("q_id") == 0L && r.getAs[Long]("rn") == 1L).head
+    assert(got.getAs[Long]("cand_id") === best._1)
+    assert(got.getAs[Double]("sim") === best._2)
+  }
+
+  test("nearestNeighborDedup flags exact-copy vectors") {
+    val copies = emb.filter(col("vec_id") < 3)
+      .withColumn("vec_id", col("vec_id") + lit(1000000L))
+    val res = Knn.nearestNeighborDedup(emb.unionByName(copies)).collect()
+    val planted = res.filter(_.getAs[Long]("vec_id") >= 1000000L)
+    assert(planted.length === 3)
+    assert(planted.forall(_.getAs[Boolean]("is_dup")))
+    assert(planted.forall(r => r.getAs[Long]("nn_id") === r.getAs[Long]("vec_id") - 1000000L))
+  }
+}
