@@ -3,9 +3,11 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions.col
 
-import graft.ann.Knn
+import graft.ann.{Ivf, Knn}
+import graft.config.LshConfig
 import graft.dedup.Dedup
 import graft.events.EventOps
+import graft.lsh.{LshIndex, LshParams}
 import graft.ops.Relational
 import graft.text.TextAnalysis
 
@@ -55,7 +57,51 @@ object SparkEntry {
       val e = t(s, dir, "embeddings")
       Knn.cosineTopK(e, e, 3)
     }),
+    "ann_ivf" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      Ivf.probeTopK(e, e.filter(col("vec_id") < 10), e.filter(col("vec_id") < 8), 2, 5)
+    }),
+    // --- A. LSH core (deterministic seeded projections; rows-only oracle,
+    //        semantics verified against brute force in LshSpec) ---
+    "lsh_signatures" -> ((s, dir) =>
+      LshIndex.build(t(s, dir, "embeddings"), lshP).orderBy(col("vec_id"), col("band"))),
+    "lsh_bucket_stats" -> ((s, dir) =>
+      LshIndex.bucketStats(LshIndex.build(t(s, dir, "embeddings"), lshP))),
+    "lsh_candidate_pairs" -> ((s, dir) =>
+      LshIndex.candidatePairs(LshIndex.build(t(s, dir, "embeddings"), lshP))),
+    "lsh_topk" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      LshIndex.topK(e, e.filter(col("vec_id") < 10), lshP, 10)
+    }),
+    "lsh_topp_rerank" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      LshIndex.topPRerank(e, e.filter(col("vec_id") < 10), lshP, topP = 0.2, topK = 50)
+    }),
+    "ann_lsh" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      LshIndex.topPRerank(e, e.filter(col("vec_id") < 10), lshRecallP, topP = 1.0, topK = 5)
+    }),
+    "lsh_config" -> ((s, dir) => {
+      import s.implicits._
+      val grid = for {
+        np <- Seq(128, 256, 512, 4096, 16384)
+        tgt <- Seq(0.5, 0.8, 0.9)
+      } yield {
+        val (b, r) = LshConfig.optimalConfig(np, tgt)
+        (np, tgt, b, r, LshConfig.threshold(b, r))
+      }
+      grid.toDF("num_perm", "target_threshold", "b", "r", "actual_threshold")
+        .orderBy(col("num_perm"), col("target_threshold"))
+    }),
   )
+
+  /** Default LSH layout for the test corpus (dim=64): 8 bands × 4 rows,
+    * threshold ≈ 0.59.
+    */
+  private val lshP = LshParams(dim = 64, numPerm = 32, numBands = Some(8), rowsPerBand = Some(4))
+
+  /** Recall-oriented layout for ANN serving: more bands, same rows. */
+  private val lshRecallP = LshParams(dim = 64, numPerm = 64, numBands = Some(16), rowsPerBand = Some(4))
 
   /** DuckDB-equivalent ANSI SQL per query (driver correctness gate). */
   def oracleSql: Map[String, String] = Map(
@@ -131,5 +177,6 @@ object SparkEntry {
     "dedup_embedding" -> OracleSql.dedupEmbedding,
     "cosine_topk_exact" -> OracleSql.cosineTopkExact,
     "knn_brute" -> OracleSql.knnBrute,
+    "ann_ivf" -> OracleSql.annIvf,
   )
 }

@@ -1,0 +1,185 @@
+package graft.lsh
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.{Column, DataFrame, GraftColumnBridge, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.GraftFunctions.cosine_sim
+import graft.config.LshConfig
+import graft.expressions.LshBandSignatures
+
+/** LSH parameters (reference: lshrs/core/main.py:154 LSHRS.__init__ —
+  * bands/rows auto-configured from numPerm + target threshold when not
+  * pinned; bands × rows must equal numPerm).
+  */
+case class LshParams(
+    dim: Int,
+    numPerm: Int = 128,
+    numBands: Option[Int] = None,
+    rowsPerBand: Option[Int] = None,
+    similarityThreshold: Double = 0.5,
+    seed: Long = 42L) {
+  val (b, r): (Int, Int) = (numBands, rowsPerBand) match {
+    case (Some(bb), Some(rr)) =>
+      require(bb * rr == numPerm, s"numBands*rowsPerBand must equal numPerm ($bb*$rr != $numPerm)")
+      (bb, rr)
+    case _ => LshConfig.optimalConfig(numPerm, similarityThreshold)
+  }
+  require(r <= 64, s"rowsPerBand=$r exceeds the 64-bit band signature")
+}
+
+/** Spark-native re-expression of the reference's LSH engine
+  * (lshrs/core/main.py LSHRS + lshrs/storage/redis.py RedisStorage).
+  *
+  * The Redis bucket store becomes an inverted-index DataFrame
+  * `(band, sig, vec_id)`. Online single-vector ops become set-oriented
+  * batch ops:
+  *  - ingest/index → [[build]] (one explode, no shuffle until joined)
+  *  - bucket lookup + collision counting → hash join on (band, sig) +
+  *    groupBy count ([[topK]])
+  *  - cosine rerank of candidates → [[topPRerank]] (exact cosine via
+  *    the codegen expression, reference's utils/similarity.py rerank)
+  *  - delete/clear → anti-join rebuild ([[delete]]); persistence →
+  *    parquet + JSON params sidecar ([[save]]/[[load]]).
+  *
+  * Scale: the index is hash-partitioned by (band, sig) when persisted;
+  * query batches are broadcast against it (typical serving case) while
+  * corpus-×-corpus candidate generation shuffles both sides on
+  * (band, sig) with AQE skew handling. Hot buckets (the reference's
+  * "monitor bucket sizes" guidance, README §Performance) can be capped
+  * via `maxBucketSize` in [[candidatePairs]].
+  */
+object LshIndex {
+
+  def signatureCol(emb: Column, p: LshParams): Column =
+    GraftColumnBridge.column(
+      LshBandSignatures(GraftColumnBridge.expression(emb), p.b, p.r, p.dim, p.seed))
+
+  /** (vec_id, sigs: array<long>) — one signature per band. */
+  def signatures(emb: DataFrame, p: LshParams): DataFrame =
+    emb.select(col("vec_id"), signatureCol(col("embedding"), p).as("sigs"))
+
+  /** Inverted index: (vec_id, band, sig). */
+  def build(emb: DataFrame, p: LshParams): DataFrame =
+    signatures(emb, p)
+      .select(col("vec_id"), posexplode(col("sigs")).as(Seq("band", "sig")))
+
+  /** Bucket-size histogram: (bucket_size, n_buckets) — the operational
+    * monitoring surface (oversized buckets = low selectivity).
+    */
+  def bucketStats(index: DataFrame): DataFrame =
+    index.groupBy(col("band"), col("sig")).agg(count(lit(1)).as("bucket_size"))
+      .groupBy(col("bucket_size")).agg(count(lit(1)).as("n_buckets"))
+      .orderBy(col("bucket_size"))
+
+  /** Candidate pairs sharing ≥1 bucket, with collision count.
+    * Buckets larger than maxBucketSize are dropped (skew guard — at
+    * 100 TB a degenerate bucket would otherwise produce a quadratic
+    * join blow-up; the reference warns the same way about bucket
+    * monitoring).
+    */
+  def candidatePairs(index: DataFrame, maxBucketSize: Int = 10000): DataFrame = {
+    val sized = index
+      .withColumn("bucket_n", count(lit(1)).over(Window.partitionBy(col("band"), col("sig"))))
+      .filter(col("bucket_n") <= maxBucketSize)
+      .select(col("vec_id"), col("band"), col("sig"))
+    sized.as("x").join(sized.as("y"),
+        col("x.band") === col("y.band") && col("x.sig") === col("y.sig") &&
+          col("x.vec_id") < col("y.vec_id"))
+      .groupBy(col("x.vec_id").as("a"), col("y.vec_id").as("b"))
+      .agg(count(lit(1)).as("n_shared_bands"))
+      .orderBy(col("a"), col("b"))
+  }
+
+  /** Top-k by band-collision count per query (reference:
+    * core/main.py:524 query(top_p=None) — sort by (-collisions, id)).
+    * Queries: (vec_id, embedding); self-matches excluded.
+    */
+  def topK(corpus: DataFrame, queries: DataFrame, p: LshParams, k: Int): DataFrame = {
+    val index = build(corpus, p)
+    val qIndex = build(queries, p)
+      .select(col("vec_id").as("q_id"), col("band"), col("sig"))
+    val collisions = index.join(broadcast(qIndex), Seq("band", "sig"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .groupBy(col("q_id"), col("vec_id"))
+      .agg(count(lit(1)).as("n_collisions"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("n_collisions").desc, col("vec_id"))
+    collisions
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= k)
+      .select(col("q_id"), col("rn"), col("vec_id").as("cand_id"), col("n_collisions"))
+      .orderBy(col("q_id"), col("rn"))
+  }
+
+  /** Candidates reranked by exact cosine; per query returns the first
+    * ceil(n_candidates · topP) (≥1), capped at topK (reference:
+    * core/main.py:524 query(top_p=·) → :650 limit computation).
+    */
+  def topPRerank(corpus: DataFrame, queries: DataFrame, p: LshParams,
+      topP: Double, topK: Int = Int.MaxValue): DataFrame = {
+    require(topP > 0 && topP <= 1, "top_p must be within (0, 1]")
+    val index = build(corpus, p)
+    val qIndex = build(queries, p)
+      .select(col("vec_id").as("q_id"), col("band"), col("sig"))
+    val cand = index.join(broadcast(qIndex), Seq("band", "sig"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id").as("cand_id"))
+      .distinct()
+    val q = queries.select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val c = corpus.select(col("vec_id").as("cand_id"), col("embedding").as("cand_emb"))
+    val scored = cand
+      .join(broadcast(q), Seq("q_id"))
+      .join(c, Seq("cand_id"))
+      .select(col("q_id"), col("cand_id"), cosine_sim(col("q_emb"), col("cand_emb")).as("sim"))
+    val w = Window.partitionBy(col("q_id"))
+    val wOrd = w.orderBy(col("sim").desc, col("cand_id"))
+    scored
+      .withColumn("n_cand", count(lit(1)).over(w))
+      .withColumn("rn", row_number().over(wOrd).cast("long"))
+      .filter(col("rn") <= least(greatest(ceil(col("n_cand") * topP), lit(1L)), lit(topK.toLong)))
+      .select(col("q_id"), col("rn"), col("cand_id"), col("sim"))
+      .orderBy(col("q_id"), col("rn"))
+  }
+
+  /** Remove vectors from an index (reference: core/main.py:744 delete /
+    * storage/redis.py:419 remove_indices). Immutable-DF semantics: the
+    * result is the surviving index.
+    */
+  def delete(index: DataFrame, ids: DataFrame): DataFrame =
+    index.join(ids.select(col("vec_id")), Seq("vec_id"), "left_anti")
+
+  /** Persist index + params (reference: core/main.py:846 save_to_disk —
+    * stores config + projections; planes being seed-derived, the params
+    * JSON is the whole hashing state). Partitioned by band and bucketed
+    * in spirit: repartition on (band, sig) so bucket lookups co-locate.
+    */
+  def save(index: DataFrame, p: LshParams, path: String): Unit = {
+    index.repartition(col("band"), col("sig"))
+      .write.mode("overwrite").parquet(s"$path/index")
+    val json =
+      s"""{"dim":${p.dim},"num_perm":${p.numPerm},"num_bands":${p.b},
+         |"rows_per_band":${p.r},"similarity_threshold":${p.similarityThreshold},
+         |"seed":${p.seed}}""".stripMargin.replace("\n", "")
+    Files.write(Paths.get(path, "params.json"), json.getBytes(StandardCharsets.UTF_8))
+  }
+
+  /** Restore (index, params) (reference: core/main.py:898 load_from_disk). */
+  def load(spark: SparkSession, path: String): (DataFrame, LshParams) = {
+    val json = new String(Files.readAllBytes(Paths.get(path, "params.json")), StandardCharsets.UTF_8)
+    def field(name: String): String =
+      s""""$name":([-0-9.eE]+)""".r.findFirstMatchIn(json)
+        .getOrElse(sys.error(s"missing $name in params.json")).group(1)
+    val p = LshParams(
+      dim = field("dim").toInt,
+      numPerm = field("num_perm").toInt,
+      numBands = Some(field("num_bands").toInt),
+      rowsPerBand = Some(field("rows_per_band").toInt),
+      similarityThreshold = field("similarity_threshold").toDouble,
+      seed = field("seed").toLong)
+    (spark.read.parquet(s"$path/index"), p)
+  }
+}

@@ -1,0 +1,118 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ann.Knn
+import graft.config.LshConfig
+import graft.lsh.{LshIndex, LshParams, RandomProjection}
+
+class LshSpec extends SparkSpec {
+  import spark.implicits._
+
+  lazy val emb = Tables.load(spark, sfDir, "embeddings")
+  val p = LshParams(dim = 64, numPerm = 32, numBands = Some(8), rowsPerBand = Some(4))
+
+  test("signatures are deterministic and partition-independent") {
+    val a = LshIndex.signatures(emb, p).orderBy("vec_id").collect()
+    val b = LshIndex.signatures(emb.repartition(7), p).orderBy("vec_id").collect()
+    assert(a.map(_.getSeq[Long](1)).toSeq === b.map(_.getSeq[Long](1)).toSeq)
+  }
+
+  test("identical vectors collide in every band; band sigs fit rowsPerBand bits") {
+    val sigs = LshIndex.signatures(emb, p).collect()
+    sigs.foreach { r =>
+      val s = r.getSeq[Long](1)
+      assert(s.length === p.b)
+      assert(s.forall(v => v >= 0 && v < (1L << p.r)))
+    }
+    val dup = emb.limit(1).withColumn("vec_id", lit(999999L))
+    val both = LshIndex.signatures(emb.limit(1).unionByName(dup), p).collect()
+    assert(both(0).getSeq[Long](1) === both(1).getSeq[Long](1))
+  }
+
+  test("empirical collision rate follows the S-curve P(s)=1-(1-s^r)^b") {
+    // planted pairs at controlled similarity: v and a noisy copy
+    val rng = new scala.util.Random(7)
+    def unit(v: Array[Double]): Array[Double] = {
+      val n = math.sqrt(v.map(x => x * x).sum); v.map(_ / n)
+    }
+    def pairAt(target: Double): (Array[Float], Array[Float]) = {
+      val a = unit(Array.fill(64)(rng.nextGaussian()))
+      val noise = unit(Array.fill(64)(rng.nextGaussian()))
+      // b = target*a + sqrt(1-target^2)*orthogonalized noise
+      val dot = a.zip(noise).map { case (x, y) => x * y }.sum
+      val orth = unit(noise.zip(a).map { case (y, x) => y - dot * x })
+      val bv = a.zip(orth).map { case (x, o) => target * x + math.sqrt(1 - target * target) * o }
+      (a.map(_.toFloat), bv.map(_.toFloat))
+    }
+    Seq(0.3, 0.6, 0.9).foreach { s =>
+      val n = 300
+      val pairs = (0 until n).map(_ => pairAt(s))
+      val df = pairs.zipWithIndex.flatMap { case ((a, b), i) =>
+        Seq((i.toLong * 2, a), (i.toLong * 2 + 1, b))
+      }.toDF("vec_id", "embedding")
+      val idx = LshIndex.build(df, p)
+      val collided = idx.as("x").join(idx.as("y"),
+          col("x.band") === col("y.band") && col("x.sig") === col("y.sig") &&
+            col("x.vec_id") + 1 === col("y.vec_id") && col("x.vec_id") % 2 === 0)
+        .select(col("x.vec_id")).distinct().count()
+      // cosine-LSH row-match prob: (1 - acos(s)/pi)^r per band
+      val pRow = 1.0 - math.acos(s) / math.Pi
+      val expected = 1.0 - math.pow(1.0 - math.pow(pRow, p.r), p.b)
+      val got = collided.toDouble / n
+      assert(math.abs(got - expected) < 0.12,
+        s"s=$s: empirical $got vs theoretical $expected")
+    }
+  }
+
+  test("lsh topPRerank achieves high recall vs brute force at matched k") {
+    val recallP = LshParams(dim = 64, numPerm = 64, numBands = Some(16), rowsPerBand = Some(4))
+    val queries = emb.filter(col("vec_id") < 20)
+    val brute = Knn.cosineTopK(emb, queries, 3).collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("cand_id"))).toSet
+    val lsh = LshIndex.topPRerank(emb, queries, recallP, topP = 1.0, topK = 3).collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("cand_id"))).toSet
+    val recall = brute.intersect(lsh).size.toDouble / brute.size
+    assert(recall >= 0.5, s"recall $recall too low (16x4 bands on random corpus)")
+  }
+
+  test("topK orders by collision count desc then id (reference tie-break)") {
+    val res = LshIndex.topK(emb, emb.filter(col("vec_id") < 5), p, 10).collect()
+    res.groupBy(_.getAs[Long]("q_id")).values.foreach { g =>
+      val ordered = g.sortBy(_.getAs[Long]("rn"))
+      val keys = ordered.map(r => (-r.getAs[Long]("n_collisions"), r.getAs[Long]("cand_id")))
+      assert(keys.sameElements(keys.sorted))
+    }
+  }
+
+  test("save/load round-trip preserves index and params") {
+    val dir = java.nio.file.Files.createTempDirectory("lshidx").toString
+    val idx = LshIndex.build(emb, p)
+    LshIndex.save(idx, p, dir)
+    val (loaded, lp) = LshIndex.load(spark, dir)
+    assert(lp === p.copy(numBands = Some(p.b), rowsPerBand = Some(p.r)))
+    assert(loaded.count() === idx.count())
+    // same signatures derivable from loaded params
+    val again = LshIndex.build(emb, lp)
+    assert(again.orderBy("vec_id", "band").collect().map(_.toSeq).toSeq ===
+      idx.orderBy("vec_id", "band").collect().map(_.toSeq).toSeq)
+  }
+
+  test("delete removes all bands of the given ids") {
+    val idx = LshIndex.build(emb, p)
+    val ids = Seq(1L, 2L, 3L).toDF("vec_id")
+    val after = LshIndex.delete(idx, ids)
+    assert(after.filter(col("vec_id").isin(1L, 2L, 3L)).count() === 0)
+    assert(after.count() === idx.count() - 3 * p.b)
+  }
+
+  test("RandomProjection gaussians: deterministic, ~N(0,1)") {
+    val xs = (0 until 20000).map(i => RandomProjection.gaussian(42L, i % 8, (i / 8) % 4, i / 32))
+    val mean = xs.sum / xs.size
+    val varr = xs.map(x => (x - mean) * (x - mean)).sum / xs.size
+    assert(math.abs(mean) < 0.03, s"mean $mean")
+    assert(math.abs(varr - 1.0) < 0.05, s"var $varr")
+    assert(RandomProjection.gaussian(42L, 3, 2, 1) === RandomProjection.gaussian(42L, 3, 2, 1))
+    assert(RandomProjection.gaussian(42L, 3, 2, 1) !== RandomProjection.gaussian(43L, 3, 2, 1))
+  }
+}
