@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{Column, GraftColumnBridge, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.expressions.{CosineSimilarity, DotProduct, L2Norm, L2Normalize}
+import graft.expressions.{CosineSimilarity, DotProduct, L2Norm, L2Normalize, TopKByScore}
 
 /** Column-level function surface of the engine.
   *
@@ -26,6 +26,14 @@ object GraftFunctions {
   def l2_normalize(a: Column): Column =
     GraftColumnBridge.column(L2Normalize(GraftColumnBridge.expression(a)))
 
+  /** Map-side bounded top-k aggregate over (score, id); see
+    * [[graft.expressions.TopKByScore]].
+    */
+  def top_k_by_score(score: Column, id: Column, k: Int): Column =
+    GraftColumnBridge.column(
+      TopKByScore(GraftColumnBridge.expression(score), GraftColumnBridge.expression(id), k)
+        .toAggregateExpression())
+
   // ---- portable 64-bit hashing ----
   /** Deterministic 60-bit positive hash of a string, identically
     * computable in any engine with `md5` (the DuckDB oracle uses
@@ -45,14 +53,12 @@ object GraftFunctions {
   def tokens(s: Column): Column =
     filter(split(lower(s), "[^a-z0-9]+"), t => t =!= "")
 
-  /** w-shingles (word n-grams) joined with a single space. */
-  def shingles(s: Column, w: Int): Column = {
-    val toks = tokens(s)
-    array_distinct(
-      filter(
-        transform(toks, (_, i) => array_join(slice(toks, i + 1, lit(w)), " ")),
-        (_, i) => i <= size(toks) - w))
-  }
+  /** Distinct w-shingles (word n-grams joined with a single space);
+    * native single-pass expression ([[graft.expressions.WordShingles]]).
+    */
+  def shingles(s: Column, w: Int): Column =
+    GraftColumnBridge.column(
+      graft.expressions.WordShingles(GraftColumnBridge.expression(tokens(s)), w))
 
   /** Register SQL names for the native expressions on a session
     * (idempotent; safe to call per query on driver-provided sessions).

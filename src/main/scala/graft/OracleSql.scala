@@ -83,14 +83,25 @@ object OracleSql {
     s"""WITH t AS (SELECT doc_id, $Toks AS toks FROM documents),
        |sh AS (SELECT DISTINCT doc_id, unnest($Shingles) AS s FROM t)""".stripMargin
 
-  private val minhashCols: String = (0 until Dedup.MinhashK)
-    .map(i => s"  min(${hex64(s"'$i|'||s")}) AS mh_${"%02d".format(i)}").mkString(",\n")
+  private val minhashCols: String = {
+    val cs = graft.dedup.MinhashFamily.coefs(Dedup.MinhashK)
+    (0 until Dedup.MinhashK).map { i =>
+      val c = cs(i)
+      s"  min(((h >> 30) * ${c.a} + (h & ${graft.dedup.MinhashFamily.LoMask}) * ${c.b} + ${c.c}) " +
+        s"% ${graft.dedup.MinhashFamily.Prime}) AS mh_${"%02d".format(i)}"
+    }.mkString(",\n")
+  }
+
+  /** sh rows extended with the one-md5-per-shingle base hash. */
+  private val ShHashCte =
+    s"""$ShCte,
+       |shh AS (SELECT doc_id, s, ${hex64("'mh|'||s")} AS h FROM sh)""".stripMargin
 
   val dedupMinhash: String =
-    s"""$ShCte
+    s"""$ShHashCte
        |SELECT doc_id,
        |$minhashCols
-       |FROM sh GROUP BY doc_id ORDER BY doc_id""".stripMargin
+       |FROM shh GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
   private val bandSelects: String = (0 until Dedup.Bands).map { j =>
     val cols = (0 until Dedup.RowsPerBand)
@@ -112,10 +123,10 @@ object OracleSql {
        |JOIN sizes zb ON zb.doc_id = i.b""".stripMargin
 
   val dedupMinhashLsh: String =
-    s"""$ShCte,
+    s"""$ShHashCte,
        |mh AS (SELECT doc_id,
        |$minhashCols
-       |FROM sh GROUP BY doc_id),
+       |FROM shh GROUP BY doc_id),
        |bands AS (
        |$bandSelects),
        |${jaccardTail(
@@ -126,9 +137,15 @@ object OracleSql {
 
   val dedupNgramJaccard: String =
     s"""$ShCte,
-       |${jaccardTail(
-        """cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
-          |  FROM sh x JOIN sh y ON x.s = y.s AND x.doc_id < y.doc_id)""".stripMargin)}
+       |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+       |inter AS (SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS n_int
+       |  FROM sh x JOIN sh y ON x.s = y.s AND x.doc_id < y.doc_id
+       |  GROUP BY x.doc_id, y.doc_id)
+       |SELECT i.a, i.b, i.n_int, za.n AS n_a, zb.n AS n_b,
+       |  i.n_int / (za.n + zb.n - i.n_int) AS jaccard
+       |FROM inter i
+       |JOIN sizes za ON za.doc_id = i.a
+       |JOIN sizes zb ON zb.doc_id = i.b
        |WHERE i.n_int / (za.n + zb.n - i.n_int) >= 0.5
        |ORDER BY a, b""".stripMargin
 

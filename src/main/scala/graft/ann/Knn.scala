@@ -20,6 +20,10 @@ object Knn {
 
   /** Top-k cosine neighbors per query vector (excluding self-matches
     * by id). Output: (q_id, rn, cand_id, sim).
+    *
+    * Uses the bounded [[graft.GraftFunctions.top_k_by_score]] aggregate
+    * instead of a rank window: map-side partials cut the top-k shuffle
+    * from (corpus × queries) rows to k rows per query per partition.
     */
   def cosineTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
     val q = queries.select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
@@ -27,11 +31,12 @@ object Knn {
     val scored = c.crossJoin(broadcast(q))
       .filter(col("q_id") =!= col("cand_id"))
       .select(col("q_id"), col("cand_id"), cosine_sim(col("q_emb"), col("cand_emb")).as("sim"))
-    val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("cand_id"))
     scored
-      .withColumn("rn", row_number().over(w).cast("long"))
-      .filter(col("rn") <= k)
-      .select(col("q_id"), col("rn"), col("cand_id"), col("sim"))
+      .groupBy(col("q_id"))
+      .agg(graft.GraftFunctions.top_k_by_score(col("sim"), col("cand_id"), k).as("top"))
+      .select(col("q_id"), posexplode(col("top")).as(Seq("pos", "t")))
+      .select(col("q_id"), (col("pos") + 1).cast("long").as("rn"),
+        col("t.id").as("cand_id"), col("t.score").as("sim"))
       .orderBy(col("q_id"), col("rn"))
   }
 

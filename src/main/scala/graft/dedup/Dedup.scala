@@ -38,11 +38,13 @@ object Dedup {
   private def withToks(docs: DataFrame): DataFrame =
     docs.withColumn("toks", tokens(col("text")))
 
-  /** Distinct (doc_id, shingle) pairs. */
+  /** Distinct (doc_id, shingle) pairs. `shingles()` already dedupes
+    * within each document (array_distinct), so no extra shuffle is
+    * needed to get set semantics.
+    */
   def shingleSet(docs: DataFrame): DataFrame =
     withToks(docs)
       .select(col("doc_id"), explode(shingles(col("text"), ShingleWidth)).as("s"))
-      .distinct()
 
   /** Exact dedup on the normalized token stream: fingerprint, group
     * size, and a keep flag on the minimum doc_id of each group.
@@ -58,13 +60,22 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
-  /** MinHash signature per document: k independent md5-derived hash
-    * functions, min over the shingle set. One explode + one grouped
-    * aggregation (partial aggregation map-side).
+  /** MinHash signature per document: ONE md5 per shingle feeds a
+    * k-wise Carter-Wegman family ([[MinhashFamily]]); min over the
+    * shingle set per function. One explode + one grouped aggregation
+    * with map-side partials — the shuffle carries k longs per doc.
     */
   def minhash(docs: DataFrame): DataFrame = {
     val sh = shingleSet(docs)
-    val aggs = (0 until MinhashK).map(i => min(hex64(i, col("s"))).as(f"mh_$i%02d"))
+      .withColumn("h", hex64(concat(lit("mh|"), col("s"))))
+      .withColumn("hi", shiftright(col("h"), 30))
+      .withColumn("lo", col("h").bitwiseAND(lit(MinhashFamily.LoMask)))
+    val cs = MinhashFamily.coefs(MinhashK)
+    val aggs = (0 until MinhashK).map { i =>
+      val c = cs(i)
+      min((col("hi") * c.a + col("lo") * c.b + lit(c.c)) % MinhashFamily.Prime)
+        .as(f"mh_$i%02d")
+    }
     sh.groupBy(col("doc_id"))
       .agg(aggs.head, aggs.tail: _*)
       .orderBy(col("doc_id"))
@@ -87,33 +98,72 @@ object Dedup {
     * shared shingle.
     */
   def minhashLshPairs(docs: DataFrame): DataFrame = {
-    val bands = minhashBands(minhash(docs))
+    // the shingle set feeds both the signature branch and the exact
+    // verification branch — cache it instead of recomputing the
+    // tokenize/shingle pipeline twice
+    val sh = shingleSet(docs).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val mh = {
+      val base = sh
+        .withColumn("h", hex64(concat(lit("mh|"), col("s"))))
+        .withColumn("hi", shiftright(col("h"), 30))
+        .withColumn("lo", col("h").bitwiseAND(lit(MinhashFamily.LoMask)))
+      val cs = MinhashFamily.coefs(MinhashK)
+      val aggs = (0 until MinhashK).map { i =>
+        val c = cs(i)
+        min((col("hi") * c.a + col("lo") * c.b + lit(c.c)) % MinhashFamily.Prime)
+          .as(f"mh_$i%02d")
+      }
+      base.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
+    }
+    val bands = minhashBands(mh)
+    // cand is tiny but referenced three times downstream (both sides of
+    // the doc filter + the intersection join) — cache it so the
+    // signature/band subtree runs once
     val cand = bands.as("x").join(bands.as("y"),
         col("x.band") === col("y.band") && col("x.band_hash") === col("y.band_hash") &&
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
       .distinct()
-    jaccardOf(cand, shingleSet(docs))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    jaccardOf(cand, sh)
   }
 
   /** Exact n-gram Jaccard pairs: every pair sharing ≥1 shingle, kept
     * when jaccard ≥ minJaccard. The exact baseline for the LSH variant.
+    * Intersection counts come straight off the shingle self-join (one
+    * shuffle), no separate candidate materialization.
     */
   def ngramJaccardPairs(docs: DataFrame, minJaccard: Double = 0.5): DataFrame = {
     val sh = shingleSet(docs)
-    val cand = sh.as("x").join(sh.as("y"),
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val inter = sh.as("x").join(sh.as("y"),
         col("x.s") === col("y.s") && col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
-      .distinct()
-    jaccardOf(cand, sh).filter(col("jaccard") >= minJaccard)
+      .groupBy(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+      .agg(count(lit(1)).as("n_int"))
+    inter
+      .join(sizes.as("za"), col("a") === col("za.doc_id"))
+      .join(sizes.as("zb"), col("b") === col("zb.doc_id"))
+      .select(
+        col("a"), col("b"), col("n_int"),
+        col("za.n").as("n_a"), col("zb.n").as("n_b"),
+        (col("n_int") / (col("za.n") + col("zb.n") - col("n_int"))).as("jaccard"))
+      .filter(col("jaccard") >= minJaccard)
+      .orderBy(col("a"), col("b"))
   }
 
-  /** Exact Jaccard for given candidate pairs over a shingle set. */
+  /** Exact Jaccard for given candidate pairs over a shingle set. The
+    * shingle set is first narrowed to candidate docs with a broadcast
+    * semi-join — at scale the candidate set is a vanishing fraction of
+    * the corpus, so verification never re-shuffles the full data.
+    */
   private def jaccardOf(cand: DataFrame, sh: DataFrame): DataFrame = {
-    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val candDocs = cand
+      .select(explode(array(col("a"), col("b"))).as("doc_id")).distinct()
+    val shc = sh.join(broadcast(candDocs), Seq("doc_id"), "left_semi")
+    val sizes = shc.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val inter = cand
-      .join(sh.as("sa"), col("a") === col("sa.doc_id"))
-      .join(sh.as("sb"), col("b") === col("sb.doc_id") && col("sa.s") === col("sb.s"))
+      .join(shc.as("sa"), col("a") === col("sa.doc_id"))
+      .join(shc.as("sb"), col("b") === col("sb.doc_id") && col("sa.s") === col("sb.s"))
       .groupBy(col("a"), col("b")).agg(count(lit(1)).as("n_int"))
     inter
       .join(sizes.as("za"), col("a") === col("za.doc_id"))

@@ -1,0 +1,110 @@
+package graft.expressions
+
+import java.nio.ByteBuffer
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.trees.BinaryLike
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.types._
+
+/** Bounded top-k accumulator ordered by (score desc, id asc). */
+final class TopKState(val k: Int) {
+  var n: Int = 0
+  val scores: Array[Double] = new Array[Double](k)
+  val ids: Array[Long] = new Array[Long](k)
+
+  /** True if (s, id) orders before (scores(i), ids(i)). */
+  @inline private def before(s: Double, id: Long, i: Int): Boolean =
+    s > scores(i) || (s == scores(i) && id < ids(i))
+
+  /** Insert keeping arrays sorted (score desc, id asc); O(k) shift. */
+  def insert(s: Double, id: Long): Unit = {
+    if (n == k && !before(s, id, n - 1)) return
+    var pos = if (n < k) n else n - 1
+    // find insertion point from the tail
+    while (pos > 0 && before(s, id, pos - 1)) pos -= 1
+    val last = if (n < k) n else k - 1
+    var i = last
+    while (i > pos) { scores(i) = scores(i - 1); ids(i) = ids(i - 1); i -= 1 }
+    scores(pos) = s; ids(pos) = id
+    if (n < k) n += 1
+  }
+
+  def merge(o: TopKState): Unit = {
+    var i = 0
+    while (i < o.n) { insert(o.scores(i), o.ids(i)); i += 1 }
+  }
+}
+
+/** Map-side top-k aggregate: per group keeps the k (score, id) pairs
+  * with highest score (ties → smaller id). Unlike a rank-window top-k
+  * — which shuffles every scored row — partial aggregation bounds the
+  * shuffle at k rows per group per map partition; for a brute-force
+  * kNN over n candidates × q queries that is k·q instead of n·q rows.
+  * Output: array<struct<score double, id long>> sorted (score desc,
+  * id asc).
+  */
+case class TopKByScore(
+    left: Expression,   // score: double
+    right: Expression,  // id: long
+    k: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[TopKState] with BinaryLike[Expression] {
+
+  require(k > 0, "k must be positive")
+
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(StructField("score", DoubleType), StructField("id", LongType))),
+    containsNull = false)
+  override def nullable: Boolean = false
+  override def prettyName: String = "top_k_by_score"
+
+  override def createAggregationBuffer(): TopKState = new TopKState(k)
+
+  override def update(buf: TopKState, input: InternalRow): TopKState = {
+    val s = left.eval(input)
+    val id = right.eval(input)
+    if (s != null && id != null) {
+      buf.insert(s.asInstanceOf[Double], id.asInstanceOf[Long])
+    }
+    buf
+  }
+
+  override def merge(buf: TopKState, other: TopKState): TopKState = { buf.merge(other); buf }
+
+  override def eval(buf: TopKState): Any = {
+    val out = new Array[Any](buf.n)
+    var i = 0
+    while (i < buf.n) {
+      out(i) = new GenericInternalRow(Array[Any](buf.scores(i), buf.ids(i)))
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override def serialize(buf: TopKState): Array[Byte] = {
+    val bb = ByteBuffer.allocate(4 + buf.n * 16)
+    bb.putInt(buf.n)
+    var i = 0
+    while (i < buf.n) { bb.putDouble(buf.scores(i)); bb.putLong(buf.ids(i)); i += 1 }
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): TopKState = {
+    val bb = ByteBuffer.wrap(bytes)
+    val n = bb.getInt
+    val st = new TopKState(k)
+    var i = 0
+    while (i < n) { st.insert(bb.getDouble, bb.getLong); i += 1 }
+    st
+  }
+
+  override def withNewMutableAggBufferOffset(o: Int): TopKByScore = copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): TopKByScore = copy(inputAggBufferOffset = o)
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): TopKByScore =
+    copy(left = l, right = r)
+}
