@@ -225,6 +225,37 @@ object OracleSql {
        |  FROM s)
        |SELECT q_id, rn, cand_id, sim FROM r WHERE rn <= 5 ORDER BY q_id, rn""".stripMargin
 
+  val vecNorm: String =
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |n AS (SELECT vec_id, v,
+       |  sqrt(list_aggregate(list_transform(v, x -> x * x), 'sum')) AS norm FROM e)
+       |SELECT vec_id, norm,
+       |  CASE WHEN norm > 0 THEN v[1] / norm END AS e0_unit
+       |FROM n ORDER BY vec_id""".stripMargin
+
+  /** Tumbling 1h windows are epoch-aligned in both engines. */
+  val streamWindowedAgg: String =
+    s"""SELECT (epoch_us(ts) // 3600000000) * 3600000000 AS start_us, event_type,
+       |  count(*) AS n_events,
+       |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+       |FROM events GROUP BY 1, 2
+       |ORDER BY start_us, event_type""".stripMargin
+
+  /** Which doc survives streaming dropDuplicates is arrival-order
+    * dependent; the distinct fingerprint set is the deterministic
+    * output compared here.
+    */
+  val streamDedup: String =
+    s"""WITH t AS (SELECT doc_id, $Toks AS toks FROM documents)
+       |SELECT DISTINCT ${hex64("array_to_string(toks,' ')")} AS fingerprint
+       |FROM t ORDER BY fingerprint""".stripMargin
+
+  val mmBinaryMeta: String =
+    s"""SELECT doc_id, 'text/plain' AS media_type,
+       |  octet_length(text::BLOB)::BIGINT AS n_bytes,
+       |  ${hex64("text")} AS content_hash
+       |FROM documents ORDER BY doc_id""".stripMargin
+
   val dedupEmbedding: String =
     s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
        |s AS (SELECT a.vec_id AS q_id, b.vec_id AS cand_id,

@@ -1,7 +1,8 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
 
 import graft.ann.{Ivf, Knn}
 import graft.config.LshConfig
@@ -19,6 +20,16 @@ object SparkEntry {
   private def t(s: SparkSession, dir: String, name: String): DataFrame = {
     GraftFunctions.register(s)
     Tables.load(s, dir, name)
+  }
+
+  /** The streaming file source requires a directory; stage the single
+    * parquet file into a temp dir via symlink.
+    */
+  private def streamDir(dir: String, name: String): String = {
+    val tmp = java.nio.file.Files.createTempDirectory(s"stream_$name")
+    java.nio.file.Files.createSymbolicLink(
+      tmp.resolve(s"$name.parquet"), java.nio.file.Paths.get(s"$dir/$name.parquet"))
+    tmp.toString
   }
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
@@ -80,6 +91,66 @@ object SparkEntry {
     "ann_lsh" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
       LshIndex.topPRerank(e, e.filter(col("vec_id") < 10), lshRecallP, topP = 1.0, topK = 5)
+    }),
+    "vec_norm" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      e.select(col("vec_id"),
+        GraftFunctions.l2_norm(col("embedding")).as("norm"),
+        element_at(GraftFunctions.l2_normalize(col("embedding")), 1).as("e0_unit"))
+        .orderBy(col("vec_id"))
+    }),
+    "lsh_save_load" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val tmp = java.nio.file.Files.createTempDirectory("lsh_save_load").toString
+      LshIndex.save(LshIndex.build(e, lshP), lshP, tmp)
+      val (loaded, _) = LshIndex.load(s, tmp)
+      LshIndex.bucketStats(loaded)
+    }),
+    "lsh_delete_clear" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val idx = LshIndex.build(e, lshP)
+      LshIndex.delete(idx, e.filter(col("vec_id") < 10).select(col("vec_id")))
+        .groupBy(col("band")).agg(count(lit(1)).as("n_entries"))
+        .orderBy(col("band"))
+    }),
+    // --- F. streaming (driven to completion over the bounded source) ---
+    "stream_windowed_agg" -> ((s, dir) => {
+      val schema = t(s, dir, "events").schema
+      val stream = s.readStream.schema(schema).parquet(streamDir(dir, "events"))
+      val ev = stream.select(
+        timestamp_micros(expr("ts div 1000")).as("ts"), col("event_type"), col("value"))
+      graft.streaming.Streams.runOnce(s,
+          graft.streaming.Streams.windowedAgg(ev),
+          s"swa_${System.nanoTime()}", OutputMode.Complete())
+        .select(unix_micros(col("window_start")).as("start_us"), col("event_type"),
+          col("n_events"), col("sum_value"))
+        .orderBy(col("start_us"), col("event_type"))
+    }),
+    "stream_dedup" -> ((s, dir) => {
+      val schema = t(s, dir, "documents").schema
+      val stream = s.readStream.schema(schema).parquet(streamDir(dir, "documents"))
+      // synthetic event time; offset keeps every row above the initial
+      // watermark (a ts at exactly epoch 0 is dropped as late data)
+      val docs = stream.withColumn("ts",
+        timestamp_micros(col("doc_id") + lit(86400000000L)))
+      // survivors are first-arrival (race-dependent across partitions);
+      // the deterministic surface is the distinct fingerprint set
+      graft.streaming.Streams.runOnce(s,
+          graft.streaming.Streams.dedupStream(docs),
+          s"sdd_${System.nanoTime()}", OutputMode.Append())
+        .select(col("fingerprint"))
+        .orderBy(col("fingerprint"))
+    }),
+    // --- F. multimodal binary columns ---
+    "mm_binary_meta" -> ((s, dir) =>
+      graft.multimodal.Binary.metadataStats(t(s, dir, "documents"))),
+    "mm_feature_stub" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      graft.multimodal.Binary.extractFeatures(
+          graft.multimodal.Binary.asMediaTable(t(s, dir, "documents")))
+        .toDF()
+        .select(col("doc_id"), col("n_bytes"), element_at(col("features"), 1).as("f0"))
+        .orderBy(col("doc_id"))
     }),
     "lsh_config" -> ((s, dir) => {
       import s.implicits._
@@ -178,5 +249,9 @@ object SparkEntry {
     "cosine_topk_exact" -> OracleSql.cosineTopkExact,
     "knn_brute" -> OracleSql.knnBrute,
     "ann_ivf" -> OracleSql.annIvf,
+    "vec_norm" -> OracleSql.vecNorm,
+    "stream_windowed_agg" -> OracleSql.streamWindowedAgg,
+    "stream_dedup" -> OracleSql.streamDedup,
+    "mm_binary_meta" -> OracleSql.mmBinaryMeta,
   )
 }

@@ -1,0 +1,102 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+import graft.GraftFunctions
+
+/** Structured Streaming twins of the batch operators. Each builder
+  * takes a streaming DataFrame (readStream source) and returns the
+  * transformed streaming frame; `runOnce` drives any of them over a
+  * bounded source synchronously (memory sink) — which is also how the
+  * batch Verify harness exercises them.
+  *
+  * Scale: these are the standard always-on ingest shapes — watermarked
+  * windowed aggregation (state bounded by watermark), fingerprint
+  * dedup within the watermark horizon, and mapGroupsWithState
+  * sessionization with explicit timeout-driven session flush.
+  */
+object Streams {
+
+  /** Tumbling-window counts/sums per event_type with a watermark.
+    * Input schema: (ts timestamp, event_type string, value double).
+    */
+  def windowedAgg(events: DataFrame, window: String = "1 hour",
+      watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(org.apache.spark.sql.functions.window(col("ts"), window), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n_events"), col("sum_value"))
+
+  /** Streaming exact dedup on a content fingerprint within the
+    * watermark horizon (the streaming face of Dedup.exact).
+    * Input schema: (ts timestamp, doc_id long, text string).
+    */
+  def dedupStream(docs: DataFrame, watermark: String = "1 hour"): DataFrame =
+    docs
+      .withColumn("fingerprint",
+        GraftFunctions.hex64(array_join(GraftFunctions.tokens(col("text")), " ")))
+      .withWatermark("ts", watermark)
+      .dropDuplicates("fingerprint")
+
+  case class SessionEvent(user_id: Long, event_id: Long, us: Long)
+  case class SessionState(start_us: Long, var end_us: Long, var n: Long)
+  case class SessionOut(user_id: Long, start_us: Long, end_us: Long, n_events: Long)
+
+  /** Stateful gap sessionization with flatMapGroupsWithState: sessions
+    * flush when the processing-time timeout fires after inactivity
+    * (streaming twin of EventOps.sessionize).
+    */
+  def sessionize(events: DataFrame, gapMinutes: Int = 30)(implicit spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    val gapUs = gapMinutes.toLong * 60L * 1000000L
+    events.as[SessionEvent]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[List[SessionState], SessionOut](
+        OutputMode.Append(), GroupStateTimeout.ProcessingTimeTimeout()) {
+        (userId: Long, rows: Iterator[SessionEvent], state: GroupState[List[SessionState]]) =>
+          if (state.hasTimedOut) {
+            val out = state.getOption.getOrElse(Nil)
+              .map(s => SessionOut(userId, s.start_us, s.end_us, s.n))
+            state.remove()
+            out.iterator
+          } else {
+            val sorted = rows.toSeq.sortBy(e => (e.us, e.event_id))
+            var open = state.getOption.getOrElse(Nil)
+            var closed = List.empty[SessionOut]
+            sorted.foreach { e =>
+              open.headOption match {
+                case Some(s) if e.us - s.end_us <= gapUs =>
+                  s.end_us = e.us; s.n += 1
+                case other =>
+                  other.foreach(s => closed ::= SessionOut(userId, s.start_us, s.end_us, s.n))
+                  open = List(SessionState(e.us, e.us, 1))
+              }
+            }
+            state.update(open)
+            state.setTimeoutDuration(s"$gapMinutes minutes")
+            closed.reverseIterator
+          }
+      }.toDF()
+  }
+
+  /** Drive a streaming frame over a bounded source to completion and
+    * return the materialized result (memory sink, Complete/Append per
+    * the query shape).
+    */
+  def runOnce(spark: SparkSession, streaming: DataFrame, name: String,
+      mode: OutputMode): DataFrame = {
+    val q = streaming.writeStream
+      .outputMode(mode)
+      .format("memory")
+      .queryName(name)
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+    spark.table(name)
+  }
+}

@@ -1,0 +1,89 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+
+import graft.multimodal.Binary
+import graft.streaming.Streams
+
+class StreamingMultimodalSpec extends SparkSpec {
+  import spark.implicits._
+  implicit lazy val s: SparkSession = spark
+
+  test("windowedAgg over a bounded stream equals the batch rollup") {
+    val schema = Tables.load(spark, sfDir, "events").schema
+    val tmp = java.nio.file.Files.createTempDirectory("ev")
+    java.nio.file.Files.createSymbolicLink(
+      tmp.resolve("events.parquet"), java.nio.file.Paths.get(s"$sfDir/events.parquet"))
+    val stream = spark.readStream.schema(schema).parquet(tmp.toString)
+      .select(timestamp_micros(expr("ts div 1000")).as("ts"), col("event_type"), col("value"))
+    val got = Streams.runOnce(spark, Streams.windowedAgg(stream), "wa_spec", OutputMode.Complete())
+      .select(unix_micros(col("window_start")).as("start_us"), col("event_type"),
+        col("n_events"), col("sum_value"))
+      .orderBy("start_us", "event_type").collect()
+    val batch = graft.events.EventOps.hourlyRollup(Tables.load(spark, sfDir, "events"))
+      .collect()
+    assert(got.length === batch.length)
+    got.zip(batch).foreach { case (g, b) =>
+      assert(g.getAs[Long]("start_us") === b.getAs[Long]("hour_bucket") * 3600000000L)
+      assert(g.getAs[Long]("n_events") === b.getAs[Long]("n_events"))
+      assert(g.getAs[Double]("sum_value") === b.getAs[Double]("sum_value"))
+    }
+  }
+
+  test("stateful sessionize emits closed sessions with correct bounds") {
+    val input = MemoryStream[Streams.SessionEvent](spark, 1)
+    val hour = 3600L * 1000000L
+    // user 1: two events 5 min apart, then a 2h gap, then one more →
+    // first session (2 events) closes when the third event arrives
+    input.addData(
+      Streams.SessionEvent(1L, 1L, hour),
+      Streams.SessionEvent(1L, 2L, hour + 300L * 1000000L),
+      Streams.SessionEvent(1L, 3L, hour * 4))
+    val q = Streams.sessionize(input.toDF())
+      .writeStream.outputMode("append").format("memory").queryName("sess_spec").start()
+    // processAllAvailable never settles while processing-time timeout
+    // timers are pending — poll the sink for the closed session instead
+    val deadline = System.currentTimeMillis() + 60000
+    try {
+      while (spark.table("sess_spec").isEmpty && System.currentTimeMillis() < deadline)
+        Thread.sleep(250)
+    } finally q.stop()
+    val out = spark.table("sess_spec").collect()
+    assert(out.length === 1)
+    val r = out.head
+    assert(r.getAs[Long]("user_id") === 1L)
+    assert(r.getAs[Long]("start_us") === hour)
+    assert(r.getAs[Long]("end_us") === hour + 300L * 1000000L)
+    assert(r.getAs[Long]("n_events") === 2L)
+  }
+
+  test("media pipeline: schema, determinism, and feature shape") {
+    val docs = Tables.load(spark, sfDir, "documents")
+    val media = Binary.asMediaTable(docs)
+    assert(media.schema("payload").dataType.typeName === "binary")
+    val feats = Binary.extractFeatures(media).collect()
+    assert(feats.length === docs.count())
+    feats.foreach { f =>
+      assert(f.features.length === Binary.FakeCodec.FeatureDim)
+      assert(math.abs(f.features.sum - 1.0f) < 1e-3) // normalized histogram
+    }
+    val again = Binary.extractFeatures(media).collect()
+      .map(f => f.doc_id -> f.features.toSeq).toMap
+    feats.foreach(f => assert(again(f.doc_id) === f.features.toSeq))
+  }
+
+  test("metadataStats hash equals md5 of the text") {
+    val docs = Tables.load(spark, sfDir, "documents").limit(5)
+    val got = Binary.metadataStats(docs).collect()
+    val texts = docs.collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text")).toMap
+    got.foreach { r =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(texts(r.getAs[Long]("doc_id")).getBytes("UTF-8")).map("%02x".format(_)).mkString
+      assert(r.getAs[Long]("content_hash") === java.lang.Long.parseLong(md.take(15), 16))
+      assert(r.getAs[Long]("n_bytes") === texts(r.getAs[Long]("doc_id")).getBytes("UTF-8").length)
+    }
+  }
+}
