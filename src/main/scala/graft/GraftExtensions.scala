@@ -1,0 +1,31 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+
+import graft.expressions.{CosineSimilarity, DotProduct, L2Norm, L2Normalize}
+
+/** Session-extension entry point: enables
+  * `--conf spark.sql.extensions=graft.GraftExtensions` so every
+  * session (including SQL-only clients) gets the engine's functions
+  * without touching application code.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    import org.apache.spark.sql.catalyst.FunctionIdentifier
+    import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+    def info(name: String, usage: String) =
+      new ExpressionInfo("graft", null, name, usage, "", "", "", "", "", "", "built-in")
+    ext.injectFunction((FunctionIdentifier("cosine_sim"),
+      info("cosine_sim", "cosine_sim(a, b) - exact cosine similarity of two vectors"),
+      (es: Seq[Expression]) => CosineSimilarity(es.head, es(1))))
+    ext.injectFunction((FunctionIdentifier("dot_product"),
+      info("dot_product", "dot_product(a, b) - dot product of two vectors"),
+      (es: Seq[Expression]) => DotProduct(es.head, es(1))))
+    ext.injectFunction((FunctionIdentifier("l2_norm"),
+      info("l2_norm", "l2_norm(v) - Euclidean norm"),
+      (es: Seq[Expression]) => L2Norm(es.head)))
+    ext.injectFunction((FunctionIdentifier("l2_normalize"),
+      info("l2_normalize", "l2_normalize(v) - unit-length vector, NULL for zero vector"),
+      (es: Seq[Expression]) => L2Normalize(es.head)))
+  }
+}

@@ -145,6 +145,33 @@ object LshIndex {
       .orderBy(col("q_id"), col("rn"))
   }
 
+  /** Incrementally index new vectors into an existing index
+    * (reference: core/main.py:340 ingest / :399 index — buffered
+    * single/batch adds; set-oriented here: one union of the new
+    * vectors' exploded signatures).
+    */
+  def add(index: DataFrame, newVectors: DataFrame, p: LshParams): DataFrame =
+    index.unionByName(build(newVectors, p))
+
+  /** Configuration + occupancy snapshot (reference: core/main.py:798
+    * stats()). Returns a single-row DataFrame.
+    */
+  def stats(index: DataFrame, p: LshParams): DataFrame = {
+    val spark = index.sparkSession
+    import spark.implicits._
+    val occ = index.groupBy(col("band"), col("sig")).agg(count(lit(1)).as("n"))
+      .agg(count(lit(1)).as("n_buckets"), max(col("n")).as("max_bucket"),
+        sum(col("n")).as("n_entries"))
+      .collect().headOption
+    val (nBuckets, maxBucket, nEntries) = occ
+      .map(r => (r.getLong(0), Option(r.get(1)).map(_.toString.toLong).getOrElse(0L),
+        Option(r.get(2)).map(_.toString.toLong).getOrElse(0L)))
+      .getOrElse((0L, 0L, 0L))
+    Seq((p.dim, p.numPerm, p.b, p.r, p.similarityThreshold, p.seed, nBuckets, maxBucket, nEntries))
+      .toDF("dim", "num_perm", "num_bands", "rows_per_band",
+        "similarity_threshold", "seed", "n_buckets", "max_bucket", "n_entries")
+  }
+
   /** Remove vectors from an index (reference: core/main.py:744 delete /
     * storage/redis.py:419 remove_indices). Immutable-DF semantics: the
     * result is the surviving index.

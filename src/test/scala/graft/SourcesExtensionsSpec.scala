@@ -1,0 +1,66 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.lsh.{LshIndex, LshParams}
+import graft.sources.Sources
+
+class SourcesExtensionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("parquetVectors normalizes (index, vector) columns") {
+    val df = Sources.parquetVectors(spark, s"$sfDir/embeddings.parquet")
+    assert(df.columns.toSeq === Seq("vec_id", "embedding"))
+    assert(df.count() === 500)
+  }
+
+  test("csvVectors parses delimited vectors") {
+    val tmp = java.nio.file.Files.createTempDirectory("csvv")
+    val f = tmp.resolve("v.csv")
+    java.nio.file.Files.writeString(f, "id,vec\n1,0.5|1.5\n2,2.0|3.0\n")
+    val df = Sources.csvVectors(spark, f.toString, "id", "vec")
+    val rows = df.orderBy("vec_id").collect()
+    assert(rows.length === 2)
+    assert(rows(0).getSeq[Float](1) === Seq(0.5f, 1.5f))
+  }
+
+  test("GraftExtensions injects the engine functions into a registry") {
+    import org.apache.spark.sql.catalyst.FunctionIdentifier
+    import org.apache.spark.sql.catalyst.analysis.SimpleFunctionRegistry
+    val ext = new org.apache.spark.sql.SparkSessionExtensions
+    new GraftExtensions().apply(ext)
+    val reg = new SimpleFunctionRegistry
+    org.apache.spark.sql.GraftColumnBridge.registerExtensions(ext, reg)
+    Seq("cosine_sim", "dot_product", "l2_norm", "l2_normalize").foreach { f =>
+      assert(reg.functionExists(FunctionIdentifier(f)), s"$f not injected")
+    }
+    // builder produces a working expression
+    val e = reg.lookupFunction(FunctionIdentifier("l2_norm"),
+      Seq(org.apache.spark.sql.catalyst.expressions.Literal.create(
+        Array(3.0f, 4.0f), org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.FloatType, containsNull = false))))
+    assert(e.eval(null) === 5.0)
+  }
+
+  test("LshIndex.add: incremental ingest equals rebuilding from the union") {
+    val emb = Tables.load(spark, sfDir, "embeddings")
+    val p = LshParams(dim = 64, numPerm = 32, numBands = Some(8), rowsPerBand = Some(4))
+    val base = emb.filter(col("vec_id") < 400)
+    val more = emb.filter(col("vec_id") >= 400)
+    val incremental = LshIndex.add(LshIndex.build(base, p), more, p)
+    val full = LshIndex.build(emb, p)
+    assert(incremental.orderBy("vec_id", "band").collect().map(_.toSeq).toSeq ===
+      full.orderBy("vec_id", "band").collect().map(_.toSeq).toSeq)
+  }
+
+  test("LshIndex.stats snapshots config and occupancy") {
+    val emb = Tables.load(spark, sfDir, "embeddings")
+    val p = LshParams(dim = 64, numPerm = 32, numBands = Some(8), rowsPerBand = Some(4))
+    val st = LshIndex.stats(LshIndex.build(emb, p), p).collect().head
+    assert(st.getAs[Int]("dim") === 64)
+    assert(st.getAs[Int]("num_bands") === 8)
+    assert(st.getAs[Long]("n_entries") === 500L * 8)
+    assert(st.getAs[Long]("max_bucket") >= 1L)
+  }
+}
