@@ -199,6 +199,102 @@ object OracleSql {
   val cosineTopkExact: String = knnSql("WHERE vec_id < 10", 5)
   val knnBrute: String = knnSql("", 3)
 
+  // ---- LSH oracles: the seeded Gaussian planes are embedded as SQL
+  // literals; each plane dot product is written as an explicit
+  // left-associative sum so accumulation order (and therefore every
+  // sign bit) matches the Spark expression exactly. list_dot_product
+  // is NOT used — it accumulates in a different order (ulp drift). ----
+
+  private def dotSql(plane: Array[Double], dim: Int, off: Int): String =
+    (0 until dim).map(j => s"v[${j + 1}] * ${plane(off + j)}").mkString(" + ")
+
+  private def bandSigSql(seed: Long, band: Int, r: Int, dim: Int): String = {
+    val plane = graft.lsh.RandomProjection.bandPlanes(seed, band, r, dim)
+    (0 until r).map { rr =>
+      s"(CASE WHEN ${dotSql(plane, dim, rr * dim)} > 0 THEN ${1L << rr} ELSE 0 END)"
+    }.mkString(" + ")
+  }
+
+  /** CTE computing (vec_id, band, sig) exactly as LshIndex.build. */
+  private def sigCte(p: graft.lsh.LshParams): String = {
+    val b = p.b
+    val sigCols = (0 until b)
+      .map(i => s"  (${bandSigSql(p.seed, i, p.r, p.dim)})::BIGINT AS sig$i")
+      .mkString(",\n")
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |sigs AS (SELECT vec_id,
+       |$sigCols
+       |FROM e),
+       |idx AS (SELECT vec_id,
+       |  unnest([${(0 until b).mkString(",")}]) AS band,
+       |  unnest([${(0 until b).map(i => s"sig$i").mkString(",")}]) AS sig FROM sigs)""".stripMargin
+  }
+
+  private lazy val SigCteDefault: String = sigCte(SparkEntry.lshP)
+
+  val lshSignatures: String =
+    s"""$SigCteDefault
+       |SELECT vec_id, band, sig FROM idx ORDER BY vec_id, band""".stripMargin
+
+  val lshBucketStats: String =
+    s"""$SigCteDefault,
+       |buckets AS (SELECT band, sig, count(*) AS bucket_size FROM idx GROUP BY 1, 2)
+       |SELECT bucket_size, count(*) AS n_buckets FROM buckets
+       |GROUP BY bucket_size ORDER BY bucket_size""".stripMargin
+
+  val lshCandidatePairs: String =
+    s"""$SigCteDefault,
+       |sized AS (SELECT vec_id, band, sig,
+       |  count(*) OVER (PARTITION BY band, sig) AS bn FROM idx),
+       |f AS (SELECT vec_id, band, sig FROM sized WHERE bn <= 10000)
+       |SELECT x.vec_id AS a, y.vec_id AS b, count(*) AS n_shared_bands
+       |FROM f x JOIN f y ON x.band = y.band AND x.sig = y.sig AND x.vec_id < y.vec_id
+       |GROUP BY 1, 2 ORDER BY a, b""".stripMargin
+
+  private def lshCollisionCte(p: graft.lsh.LshParams, queryFilter: String): String =
+    s"""${sigCte(p)},
+       |q AS (SELECT vec_id AS q_id, band, sig FROM idx $queryFilter),
+       |coll AS (SELECT q.q_id, i.vec_id, count(*) AS n_collisions
+       |  FROM idx i JOIN q ON i.band = q.band AND i.sig = q.sig
+       |  WHERE i.vec_id <> q.q_id GROUP BY 1, 2)""".stripMargin
+
+  val lshTopk: String =
+    s"""${lshCollisionCte(SparkEntry.lshP, "WHERE vec_id < 10")},
+       |r AS (SELECT q_id, vec_id, n_collisions,
+       |  CAST(row_number() OVER (PARTITION BY q_id
+       |    ORDER BY n_collisions DESC, vec_id) AS BIGINT) AS rn FROM coll)
+       |SELECT q_id, rn, vec_id AS cand_id, n_collisions FROM r
+       |WHERE rn <= 10 ORDER BY q_id, rn""".stripMargin
+
+  private def lshRerankSql(p: graft.lsh.LshParams, topP: Double, topK: Int): String =
+    s"""${lshCollisionCte(p, "WHERE vec_id < 10")},
+       |s AS (SELECT c.q_id, c.vec_id AS cand_id,
+       |  list_cosine_similarity(qe.v, ce.v) AS sim
+       |  FROM coll c JOIN e qe ON qe.vec_id = c.q_id JOIN e ce ON ce.vec_id = c.vec_id),
+       |w AS (SELECT q_id, cand_id, sim,
+       |  count(*) OVER (PARTITION BY q_id) AS n_cand,
+       |  CAST(row_number() OVER (PARTITION BY q_id
+       |    ORDER BY sim DESC, cand_id) AS BIGINT) AS rn FROM s)
+       |SELECT q_id, rn, cand_id, sim FROM w
+       |WHERE rn <= least(greatest(CAST(ceil(n_cand * $topP) AS BIGINT), 1), $topK)
+       |ORDER BY q_id, rn""".stripMargin
+
+  val lshToppRerank: String = lshRerankSql(SparkEntry.lshP, 0.2, 50)
+  val annLsh: String = lshRerankSql(SparkEntry.lshRecallP, 1.0, 5)
+
+  /** save→load round-trips the index, so its bucket stats equal the
+    * freshly-built index's stats.
+    */
+  val lshSaveLoad: String = lshBucketStats
+
+  /** After deleting vec_id < 10, each band holds one entry per
+    * surviving vector.
+    */
+  val lshDeleteClear: String =
+    s"""$SigCteDefault
+       |SELECT band, count(*) AS n_entries FROM idx
+       |WHERE vec_id >= 10 GROUP BY band ORDER BY band""".stripMargin
+
   /** IVF probe-and-rerank: centroids = vec_id<8, queries = vec_id<10,
     * nProbe=2, k=5 (mirror of Ivf.probeTopK wiring in SparkEntry).
     */

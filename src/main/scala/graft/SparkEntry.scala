@@ -167,12 +167,13 @@ object SparkEntry {
   )
 
   /** Default LSH layout for the test corpus (dim=64): 8 bands × 4 rows,
-    * threshold ≈ 0.59.
+    * threshold ≈ 0.59. Shared with OracleSql so the DuckDB plane
+    * literals mirror exactly.
     */
-  private val lshP = LshParams(dim = 64, numPerm = 32, numBands = Some(8), rowsPerBand = Some(4))
+  val lshP = LshParams(dim = 64, numPerm = 32, numBands = Some(8), rowsPerBand = Some(4))
 
   /** Recall-oriented layout for ANN serving: more bands, same rows. */
-  private val lshRecallP = LshParams(dim = 64, numPerm = 64, numBands = Some(16), rowsPerBand = Some(4))
+  val lshRecallP = LshParams(dim = 64, numPerm = 64, numBands = Some(16), rowsPerBand = Some(4))
 
   /** DuckDB-equivalent ANSI SQL per query (driver correctness gate). */
   def oracleSql: Map[String, String] = Map(
@@ -250,6 +251,14 @@ object SparkEntry {
     "knn_brute" -> OracleSql.knnBrute,
     "ann_ivf" -> OracleSql.annIvf,
     "vec_norm" -> OracleSql.vecNorm,
+    "lsh_signatures" -> OracleSql.lshSignatures,
+    "lsh_bucket_stats" -> OracleSql.lshBucketStats,
+    "lsh_candidate_pairs" -> OracleSql.lshCandidatePairs,
+    "lsh_topk" -> OracleSql.lshTopk,
+    "lsh_topp_rerank" -> OracleSql.lshToppRerank,
+    "ann_lsh" -> OracleSql.annLsh,
+    "lsh_save_load" -> OracleSql.lshSaveLoad,
+    "lsh_delete_clear" -> OracleSql.lshDeleteClear,
     "stream_windowed_agg" -> OracleSql.streamWindowedAgg,
     "stream_dedup" -> OracleSql.streamDedup,
     "mm_binary_meta" -> OracleSql.mmBinaryMeta,
