@@ -53,12 +53,13 @@ object GraftFunctions {
   def tokens(s: Column): Column =
     filter(split(lower(s), "[^a-z0-9]+"), t => t =!= "")
 
-  /** Distinct w-shingles (word n-grams joined with a single space);
-    * native single-pass expression ([[graft.expressions.WordShingles]]).
+  /** w-shingles (word n-grams joined with a single space); native
+    * single-pass expression ([[graft.expressions.WordShingles]]).
+    * distinct=false keeps the full positional sequence (winnowing).
     */
-  def shingles(s: Column, w: Int): Column =
+  def shingles(s: Column, w: Int, distinct: Boolean = true): Column =
     GraftColumnBridge.column(
-      graft.expressions.WordShingles(GraftColumnBridge.expression(tokens(s)), w))
+      graft.expressions.WordShingles(GraftColumnBridge.expression(tokens(s)), w, distinct))
 
   /** Register SQL names for the native expressions on a session
     * (idempotent; safe to call per query on driver-provided sessions).

@@ -25,10 +25,29 @@ object OracleSql {
     s"len(list_filter(toks, x -> list_contains(${list(words)}, x)))::BIGINT"
 
   val textTokens: String =
-    s"""WITH t AS (SELECT doc_id, $Toks AS toks FROM documents)
+    s"""WITH t AS (SELECT doc_id, text, $Toks AS toks FROM documents)
        |SELECT doc_id, len(toks)::BIGINT AS n_tokens,
-       |  len(list_distinct(toks))::BIGINT AS n_unique
+       |  len(list_distinct(toks))::BIGINT AS n_unique,
+       |  len(regexp_extract_all(lower(text),
+       |    '${graft.text.TextAnalysis.SubwordPattern}'))::BIGINT AS n_subword
        |FROM t ORDER BY doc_id""".stripMargin
+
+  /** Winnowing (shingle w=3, window=4) — positional shingles via a
+    * struct comprehension, window-min fingerprints over full windows.
+    */
+  val textWinnow: String =
+    s"""WITH t AS (SELECT doc_id, $Toks AS toks FROM documents),
+       |ps AS (SELECT doc_id,
+       |  unnest([{'p': i, 's': array_to_string(toks[i:i+2],' ')}
+       |    for i in range(1, len(toks)-1)]) AS u FROM t),
+       |h AS (SELECT doc_id, u.p AS pos, ${hex64("'wn|'||u.s")} AS h FROM ps),
+       |w AS (SELECT doc_id, pos,
+       |  min(h) OVER (PARTITION BY doc_id ORDER BY pos
+       |    ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wmin,
+       |  count(*) OVER (PARTITION BY doc_id) AS n_sh FROM h)
+       |SELECT DISTINCT doc_id, wmin AS fingerprint FROM w
+       |WHERE pos <= n_sh - 3
+       |ORDER BY doc_id, fingerprint""".stripMargin
 
   val textQuality: String =
     s"""WITH t AS (SELECT doc_id, lower(text) AS txt, $Toks AS toks FROM documents),

@@ -51,6 +51,7 @@ object SparkEntry {
     "text_quality" -> ((s, dir) => TextAnalysis.quality(t(s, dir, "documents"))),
     "text_langid" -> ((s, dir) => TextAnalysis.langId(t(s, dir, "documents"))),
     "text_fingerprint" -> ((s, dir) => TextAnalysis.fingerprint(t(s, dir, "documents"))),
+    "text_winnow" -> ((s, dir) => TextAnalysis.winnow(t(s, dir, "documents"))),
     // --- B. dedup suite ---
     "dedup_exact" -> ((s, dir) => Dedup.exact(t(s, dir, "documents"))),
     "dedup_minhash" -> ((s, dir) => Dedup.minhash(t(s, dir, "documents"))),
@@ -240,6 +241,7 @@ object SparkEntry {
     "text_quality" -> OracleSql.textQuality,
     "text_langid" -> OracleSql.textLangid,
     "text_fingerprint" -> OracleSql.textFingerprint,
+    "text_winnow" -> OracleSql.textWinnow,
     "dedup_exact" -> OracleSql.dedupExact,
     "dedup_minhash" -> OracleSql.dedupMinhash,
     "dedup_minhash_lsh" -> OracleSql.dedupMinhashLsh,

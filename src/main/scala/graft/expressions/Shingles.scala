@@ -11,7 +11,8 @@ import org.apache.spark.unsafe.types.UTF8String
   * slice + array_join))` but one native pass per row instead of four
   * interpreted per-element lambda trees (measured ~50µs/shingle → ~1µs).
   */
-case class WordShingles(child: Expression, width: Int) extends UnaryExpression {
+case class WordShingles(child: Expression, width: Int, distinct: Boolean = true)
+    extends UnaryExpression {
   require(width > 0, "shingle width must be positive")
 
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
@@ -23,7 +24,11 @@ case class WordShingles(child: Expression, width: Int) extends UnaryExpression {
     val toks = v.asInstanceOf[ArrayData]
     val n = toks.numElements()
     if (n < width) return new GenericArrayData(Array.empty[Any])
-    val seen = new java.util.LinkedHashSet[UTF8String](math.max(16, n))
+    // LinkedHashSet for set semantics; plain list keeps the positional
+    // sequence (winnowing needs every occurrence in order)
+    val seen: java.util.Collection[UTF8String] =
+      if (distinct) new java.util.LinkedHashSet[UTF8String](math.max(16, n))
+      else new java.util.ArrayList[UTF8String](n)
     var i = 0
     while (i <= n - width) {
       val parts = new Array[UTF8String](2 * width - 1)

@@ -98,11 +98,14 @@ object LshIndex {
     * core/main.py:524 query(top_p=None) — sort by (-collisions, id)).
     * Queries: (vec_id, embedding); self-matches excluded.
     */
-  def topK(corpus: DataFrame, queries: DataFrame, p: LshParams, k: Int): DataFrame = {
+  def topK(corpus: DataFrame, queries: DataFrame, p: LshParams, k: Int,
+      broadcastQueries: Boolean = true): DataFrame = {
     val index = build(corpus, p)
-    val qIndex = build(queries, p)
+    val qIndex0 = build(queries, p)
       .select(col("vec_id").as("q_id"), col("band"), col("sig"))
-    val collisions = index.join(broadcast(qIndex), Seq("band", "sig"))
+    // serving batches broadcast; corpus-scale query tables shuffle-join
+    val qIndex = if (broadcastQueries) broadcast(qIndex0) else qIndex0
+    val collisions = index.join(qIndex, Seq("band", "sig"))
       .filter(col("vec_id") =!= col("q_id"))
       .groupBy(col("q_id"), col("vec_id"))
       .agg(count(lit(1)).as("n_collisions"))
@@ -120,12 +123,14 @@ object LshIndex {
     * core/main.py:524 query(top_p=·) → :650 limit computation).
     */
   def topPRerank(corpus: DataFrame, queries: DataFrame, p: LshParams,
-      topP: Double, topK: Int = Int.MaxValue): DataFrame = {
+      topP: Double, topK: Int = Int.MaxValue,
+      broadcastQueries: Boolean = true): DataFrame = {
     require(topP > 0 && topP <= 1, "top_p must be within (0, 1]")
     val index = build(corpus, p)
-    val qIndex = build(queries, p)
+    val qIndex0 = build(queries, p)
       .select(col("vec_id").as("q_id"), col("band"), col("sig"))
-    val cand = index.join(broadcast(qIndex), Seq("band", "sig"))
+    val qIndex = if (broadcastQueries) broadcast(qIndex0) else qIndex0
+    val cand = index.join(qIndex, Seq("band", "sig"))
       .filter(col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id").as("cand_id"))
       .distinct()

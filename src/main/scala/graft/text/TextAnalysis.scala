@@ -32,13 +32,20 @@ object TextAnalysis {
   private def hits(toksCol: Column, words: Seq[String]): Column =
     size(filter(toksCol, t => t.isin(words.map(lit(_)): _*))).cast("long")
 
-  /** Token & unique-token counts per document. */
+  /** BPE-flavored subword pre-tokenization pattern: letter runs, digit
+    * runs, individual punctuation marks (portable across RE2/Java).
+    */
+  val SubwordPattern = "[a-z]+|[0-9]+|[^a-z0-9 ]"
+
+  /** Token, unique-token, and BPE-ish subword counts per document. */
   def tokenStats(docs: DataFrame): DataFrame =
     withToks(docs)
       .select(
         col("doc_id"),
         size(col("toks")).cast("long").as("n_tokens"),
-        size(array_distinct(col("toks"))).cast("long").as("n_unique"))
+        size(array_distinct(col("toks"))).cast("long").as("n_unique"),
+        size(regexp_extract_all(lower(col("text")), lit(SubwordPattern), lit(0)))
+          .cast("long").as("n_subword"))
       .orderBy(col("doc_id"))
 
   /** Quality metrics: char/token counts, mean token length, punctuation
@@ -84,6 +91,31 @@ object TextAnalysis {
       (col("doc_id") +: langMarkers.map { case (l, _) => col(s"s_$l") }) :+
         when(anyHit, pred).otherwise(lit("und")).as("pred_lang"): _*)
       .orderBy(col("doc_id"))
+  }
+
+  /** Winnowing fingerprints (Schleimer, Wilkerson & Aiken,
+    * "Winnowing: Local Algorithms for Document Fingerprinting",
+    * SIGMOD 2003): hash every positional w-token shingle, slide a
+    * window of `window` consecutive hashes, keep each window's minimum;
+    * the distinct minima are the document's fingerprints. Guarantees a
+    * shared fingerprint for any sufficiently long shared substring —
+    * the standard rolling-hash dedup/plagiarism primitive.
+    */
+  def winnow(docs: DataFrame, shingleW: Int = 3, window: Int = 4): DataFrame = {
+    val ps = docs
+      .select(col("doc_id"),
+        posexplode(GraftFunctions.shingles(col("text"), shingleW, distinct = false))
+          .as(Seq("pos0", "s")))
+      .select(col("doc_id"), (col("pos0") + 1).as("pos"),
+        GraftFunctions.hex64(concat(lit("wn|"), col("s"))).as("h"))
+    val wSpec = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    ps
+      .withColumn("wmin", min(col("h")).over(wSpec.rowsBetween(0, window - 1)))
+      .withColumn("n_sh", count(lit(1)).over(Window.partitionBy(col("doc_id"))))
+      .filter(col("pos") <= col("n_sh") - (window - 1))
+      .select(col("doc_id"), col("wmin").as("fingerprint"))
+      .distinct()
+      .orderBy(col("doc_id"), col("fingerprint"))
   }
 
   /** Content fingerprint: 60-bit portable hash of the normalized token
