@@ -301,6 +301,23 @@ object OracleSql {
   val lshToppRerank: String = lshRerankSql(SparkEntry.lshP, 0.2, 50)
   val annLsh: String = lshRerankSql(SparkEntry.lshRecallP, 1.0, 5)
 
+  /** LSH-blocked embedding near-dup: candidate pairs (bucket-capped)
+    * verified by exact cosine ≥ 0.3 (this corpus tops out near 0.4).
+    */
+  val dedupEmbeddingLsh: String =
+    s"""$SigCteDefault,
+       |sized AS (SELECT vec_id, band, sig,
+       |  count(*) OVER (PARTITION BY band, sig) AS bn FROM idx),
+       |f AS (SELECT vec_id, band, sig FROM sized WHERE bn <= 10000),
+       |cand AS (SELECT x.vec_id AS a, y.vec_id AS b, count(*) AS n_shared_bands
+       |  FROM f x JOIN f y ON x.band = y.band AND x.sig = y.sig AND x.vec_id < y.vec_id
+       |  GROUP BY 1, 2)
+       |SELECT c.a, c.b, c.n_shared_bands,
+       |  list_cosine_similarity(ea.v, eb.v) AS sim
+       |FROM cand c JOIN e ea ON ea.vec_id = c.a JOIN e eb ON eb.vec_id = c.b
+       |WHERE list_cosine_similarity(ea.v, eb.v) >= 0.3
+       |ORDER BY a, b""".stripMargin
+
   /** save→load round-trips the index, so its bucket stats equal the
     * freshly-built index's stats.
     */

@@ -60,6 +60,8 @@ object SparkEntry {
     "dedup_simhash" -> ((s, dir) => Dedup.simhash(t(s, dir, "documents"))),
     "dedup_simhash_pairs" -> ((s, dir) => Dedup.simhashPairs(t(s, dir, "documents"))),
     "dedup_embedding" -> ((s, dir) => Knn.nearestNeighborDedup(t(s, dir, "embeddings"))),
+    "dedup_embedding_lsh" -> ((s, dir) =>
+      Knn.lshNearDupPairs(t(s, dir, "embeddings"), lshP, threshold = 0.3)),
     // --- A/C. exact similarity search ---
     "cosine_topk_exact" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
@@ -249,6 +251,7 @@ object SparkEntry {
     "dedup_simhash" -> OracleSql.dedupSimhash,
     "dedup_simhash_pairs" -> OracleSql.dedupSimhashPairs,
     "dedup_embedding" -> OracleSql.dedupEmbedding,
+    "dedup_embedding_lsh" -> OracleSql.dedupEmbeddingLsh,
     "cosine_topk_exact" -> OracleSql.cosineTopkExact,
     "knn_brute" -> OracleSql.knnBrute,
     "ann_ivf" -> OracleSql.annIvf,

@@ -49,4 +49,22 @@ object Knn {
         col("q_id").as("vec_id"), col("cand_id").as("nn_id"), col("sim"),
         (col("sim") >= threshold).as("is_dup"))
       .orderBy(col("vec_id"))
+
+  /** Scale path for embedding near-dup: LSH candidate pairs (corpus
+    * never self-cross-joins) verified by exact cosine ≥ threshold.
+    * The brute-force variant is O(n²) in comparisons; this is bounded
+    * by bucket co-occurrence.
+    */
+  def lshNearDupPairs(corpus: DataFrame, p: graft.lsh.LshParams,
+      threshold: Double = 0.6): DataFrame = {
+    val cand = graft.lsh.LshIndex.candidatePairs(graft.lsh.LshIndex.build(corpus, p))
+    val vecs = corpus.select(col("vec_id"), col("embedding"))
+    cand
+      .join(vecs.as("va"), col("a") === col("va.vec_id"))
+      .join(vecs.as("vb"), col("b") === col("vb.vec_id"))
+      .select(col("a"), col("b"), col("n_shared_bands"),
+        cosine_sim(col("va.embedding"), col("vb.embedding")).as("sim"))
+      .filter(col("sim") >= threshold)
+      .orderBy(col("a"), col("b"))
+  }
 }
