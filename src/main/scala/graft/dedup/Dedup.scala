@@ -208,8 +208,8 @@ object Dedup {
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"),
         bit_count(col("x.simhash").bitwiseXOR(col("y.simhash"))).cast("long").as("hamming"))
+      .filter(col("hamming") <= maxHamming) // filter before the distinct shuffle
       .distinct()
-      .filter(col("hamming") <= maxHamming)
       .orderBy(col("a"), col("b"))
   }
 }
