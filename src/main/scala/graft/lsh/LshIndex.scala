@@ -22,6 +22,8 @@ case class LshParams(
     rowsPerBand: Option[Int] = None,
     similarityThreshold: Double = 0.5,
     seed: Long = 42L) {
+  require(dim > 0, "Vector dimensionality must be greater than zero")
+  require(numPerm > 0, "num_perm must be greater than zero")
   val (b, r): (Int, Int) = (numBands, rowsPerBand) match {
     case (Some(bb), Some(rr)) =>
       require(bb * rr == numPerm, s"numBands*rowsPerBand must equal numPerm ($bb*$rr != $numPerm)")
