@@ -62,6 +62,16 @@ object SparkEntry {
     "dedup_embedding" -> ((s, dir) => Knn.nearestNeighborDedup(t(s, dir, "embeddings"))),
     "dedup_embedding_lsh" -> ((s, dir) =>
       Knn.lshNearDupPairs(t(s, dir, "embeddings"), lshP, threshold = 0.3)),
+    "dedup_mllib_minhash" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      graft.ann.MlLsh.minhashNearDupPairs(t(s, dir, "documents"), maxJaccardDistance = 0.5)
+        .withColumn("jaccard_dist", round(col("jaccard_dist"), 6))
+    }),
+    "ann_mllib_brp" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      graft.ann.MlLsh.brpNearNeighborPairs(t(s, dir, "embeddings"), maxL2Distance = 1.15)
+        .withColumn("l2_dist", round(col("l2_dist"), 6))
+    }),
     // --- A/C. exact similarity search ---
     "cosine_topk_exact" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")

@@ -1,0 +1,108 @@
+package graft.ann
+
+import org.apache.spark.ml.clustering.KMeans
+import org.apache.spark.ml.feature.{BucketedRandomProjectionLSH, MinHashLSH}
+import org.apache.spark.ml.linalg.{Vector, Vectors}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.GraftFunctions
+import graft.dedup.Dedup
+
+/** MLlib-composed variants of the LSH operators — the "compose
+  * existing ops" tier of the build preference order, sitting alongside
+  * the custom-expression engine in graft.lsh:
+  *
+  *  - [[minhashNearDupPairs]]: `o.a.s.ml.feature.MinHashLSH` over
+  *    hashed-shingle sparse vectors + `approxSimilarityJoin` (Jaccard
+  *    distance), the library twin of Dedup.minhashLshPairs;
+  *  - [[brpNearNeighborPairs]]: `BucketedRandomProjectionLSH`
+  *    (Euclidean) similarity join over embeddings — note the reference
+  *    engine's family is sign-random-projection/cosine, which MLlib
+  *    does not ship; graft.lsh.LshIndex carries that exact semantics
+  *    and MLlib provides the distance-based alternative;
+  *  - [[kmeansCentroids]]: MLlib KMeans centroid table for Ivf (the
+  *    production centroid source; the oracle-checked query keeps
+  *    deterministic fixed centroids).
+  *
+  * All estimators are seeded → deterministic models; outputs are
+  * rows-only for the oracle gate (MLlib's internal hash coefficients
+  * are not reproducible in SQL) with recall specs vs the exact
+  * baselines.
+  */
+object MlLsh {
+
+  val ShingleSpace = 1 << 18
+
+  /** Sparse binary shingle vectors: (doc_id, features). */
+  def shingleVectors(docs: DataFrame)(implicit spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    Dedup.shingleSet(docs)
+      .withColumn("slot", pmod(GraftFunctions.hex64(col("s")), lit(ShingleSpace.toLong)).cast("int"))
+      .groupBy(col("doc_id"))
+      .agg(collect_set(col("slot")).as("slots"))
+      .as[(Long, Seq[Int])]
+      .map { case (id, slots) =>
+        (id, Vectors.sparse(ShingleSpace, slots.sorted.toArray, Array.fill(slots.size)(1.0)))
+      }
+      .toDF("doc_id", "features")
+  }
+
+  /** Near-dup pairs via MLlib MinHashLSH approxSimilarityJoin,
+    * thresholded on Jaccard distance.
+    */
+  def minhashNearDupPairs(docs: DataFrame, maxJaccardDistance: Double = 0.5,
+      numHashTables: Int = 8, seed: Long = 42L)(implicit spark: SparkSession): DataFrame = {
+    val vecs = shingleVectors(docs)
+    val model = new MinHashLSH()
+      .setInputCol("features").setOutputCol("hashes")
+      .setNumHashTables(numHashTables).setSeed(seed)
+      .fit(vecs)
+    model.approxSimilarityJoin(vecs, vecs, maxJaccardDistance, "jaccard_dist")
+      .select(
+        col("datasetA.doc_id").as("a"),
+        col("datasetB.doc_id").as("b"),
+        col("jaccard_dist"))
+      .filter(col("a") < col("b"))
+      .orderBy(col("a"), col("b"))
+  }
+
+  private def toDense(emb: DataFrame)(implicit spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    emb.select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+      .as[(Long, Seq[Double])]
+      .map { case (id, e) => (id, Vectors.dense(e.toArray)) }
+      .toDF("vec_id", "features")
+  }
+
+  /** Euclidean near-neighbor pairs via BucketedRandomProjectionLSH. */
+  def brpNearNeighborPairs(emb: DataFrame, maxL2Distance: Double,
+      bucketLength: Double = 0.5, numHashTables: Int = 4, seed: Long = 42L)
+      (implicit spark: SparkSession): DataFrame = {
+    val vecs = toDense(emb)
+    val model = new BucketedRandomProjectionLSH()
+      .setInputCol("features").setOutputCol("hashes")
+      .setBucketLength(bucketLength).setNumHashTables(numHashTables).setSeed(seed)
+      .fit(vecs)
+    model.approxSimilarityJoin(vecs, vecs, maxL2Distance, "l2_dist")
+      .select(
+        col("datasetA.vec_id").as("a"),
+        col("datasetB.vec_id").as("b"),
+        col("l2_dist"))
+      .filter(col("a") < col("b"))
+      .orderBy(col("a"), col("b"))
+  }
+
+  /** KMeans centroid table shaped for [[Ivf]]: (vec_id, embedding)
+    * with centroid ids 0..k-1.
+    */
+  def kmeansCentroids(emb: DataFrame, k: Int, seed: Long = 42L)
+      (implicit spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    val vecs = toDense(emb)
+    val model = new KMeans().setK(k).setSeed(seed).setFeaturesCol("features").fit(vecs)
+    model.clusterCenters.zipWithIndex
+      .map { case (c: Vector, i: Int) => (i.toLong, c.toArray.map(_.toFloat)) }
+      .toSeq.toDF("vec_id", "embedding")
+  }
+}
