@@ -17,8 +17,19 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // JIT/codegen warmup so the first timed query doesn't absorb the
-    // whole-stage-codegen compiler's cold start
-    try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
+    // whole-stage-codegen compiler's cold start: touch the scan/agg,
+    // window, and join pipelines once on tiny data
+    try {
+      SparkEntry.entry(spark).count()
+      import org.apache.spark.sql.expressions.Window
+      val tiny = spark.range(1000).toDF("id")
+        .withColumn("k", col("id") % 7)
+        .withColumn("v", col("id").cast("double"))
+      val w = Window.partitionBy(col("k")).orderBy(col("id"))
+      tiny.withColumn("rn", org.apache.spark.sql.functions.row_number().over(w))
+        .join(org.apache.spark.sql.functions.broadcast(tiny.select(col("k")).distinct()), "k")
+        .groupBy("k").agg(sum(col("v"))).count()
+    } catch { case _: Throwable => () }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try {

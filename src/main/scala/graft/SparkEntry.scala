@@ -46,6 +46,7 @@ object SparkEntry {
     "q_window_running" -> ((s, dir) => Relational.runningCustomerSpend(t(s, dir, "orders"))),
     "events_sessionize" -> ((s, dir) => EventOps.sessionize(t(s, dir, "events"))),
     "events_windowed" -> ((s, dir) => EventOps.hourlyRollup(t(s, dir, "events"))),
+    "events_percentiles" -> ((s, dir) => EventOps.valuePercentiles(t(s, dir, "events"))),
     // --- D. text analysis ---
     "text_tokens" -> ((s, dir) => TextAnalysis.tokenStats(t(s, dir, "documents"))),
     "text_quality" -> ((s, dir) => TextAnalysis.quality(t(s, dir, "documents"))),
@@ -249,6 +250,14 @@ object SparkEntry {
         |FROM events
         |GROUP BY 1, 2
         |ORDER BY hour_bucket, event_type""".stripMargin,
+    "events_percentiles" ->
+      """SELECT event_type,
+        |  quantile_cont(value, 0.5) AS p50,
+        |  quantile_cont(value, 0.9) AS p90,
+        |  quantile_cont(value, 0.99) AS p99,
+        |  count(*) AS n_events
+        |FROM events GROUP BY event_type
+        |ORDER BY event_type""".stripMargin,
     "text_tokens" -> OracleSql.textTokens,
     "text_quality" -> OracleSql.textQuality,
     "text_langid" -> OracleSql.textLangid,

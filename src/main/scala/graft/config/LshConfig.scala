@@ -72,6 +72,25 @@ object LshConfig {
     best
   }
 
+  /** Human-readable configuration analysis (reference: br.py:398
+    * print_config_analysis) — optimal layout, threshold, error rates,
+    * and the detection-probability curve at key similarities.
+    */
+  def analysisReport(numPerm: Int, targetThreshold: Double = 0.5): String = {
+    val (b, r) = optimalConfig(numPerm, targetThreshold)
+    val (fp, fn) = falseRates(b, r, targetThreshold)
+    val curve = Seq(0.3, 0.5, 0.7, 0.9)
+      .map(s => f"  similarity $s%.1f: ${collisionProbability(s, b, r) * 100}%.2f%% detection")
+      .mkString("\n")
+    f"""LSH configuration analysis
+       |num_perm=$numPerm target_threshold=$targetThreshold%.2f
+       |bands=$b rows_per_band=$r
+       |actual_threshold=${threshold(b, r)}%.4f
+       |false_positive_rate=${fp * 100}%.2f%% false_negative_rate=${fn * 100}%.2f%%
+       |s_curve_steepness=${b * r}
+       |$curve""".stripMargin
+  }
+
   /** Three-tier config selection (br.py:325 get_optimal_config):
     * precomputed table → optimal search → square-root heuristic.
     */

@@ -50,6 +50,22 @@ object EventOps {
       .orderBy(col("user_id"), col("session_seq"))
   }
 
+  /** Exact interpolated percentiles of `value` per event type
+    * (p50/p90/p99). `percentile` is Spark's exact implementation —
+    * identical linear-interpolation semantics to DuckDB quantile_cont;
+    * for approximate percentiles at extreme scale swap in
+    * `approx_percentile` (t-digest, not oracle-comparable).
+    */
+  def valuePercentiles(events: DataFrame): DataFrame =
+    events
+      .groupBy(col("event_type"))
+      .agg(
+        percentile(col("value"), lit(0.5)).as("p50"),
+        percentile(col("value"), lit(0.9)).as("p90"),
+        percentile(col("value"), lit(0.99)).as("p99"),
+        count(lit(1)).as("n_events"))
+      .orderBy(col("event_type"))
+
   /** Tumbling time-window aggregation (hourly): exact decimal value
     * sums per (hour, event_type). One shuffle, map-side partials. */
   def hourlyRollup(events: DataFrame): DataFrame =

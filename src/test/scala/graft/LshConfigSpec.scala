@@ -46,6 +46,13 @@ class LshConfigSpec extends AnyFunSuite {
     assert(fp2 + fn2 < fp1 + fn1)
   }
 
+  test("analysisReport contains layout, threshold, and curve (br.py print_config_analysis)") {
+    val rep = LshConfig.analysisReport(128, 0.5)
+    assert(rep.contains("bands=") && rep.contains("rows_per_band="))
+    assert(rep.contains("actual_threshold="))
+    assert(rep.contains("similarity 0.9"))
+  }
+
   test("S-curve is monotone in similarity") {
     val ps = (0 to 20).map(i => LshConfig.collisionProbability(i / 20.0, 32, 8))
     assert(ps.zip(ps.tail).forall { case (a, b) => b >= a })
