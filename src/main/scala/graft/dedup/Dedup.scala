@@ -199,7 +199,9 @@ object Dedup {
     * — that is the LSH trade-off, tunable via band count).
     */
   def simhashPairs(docs: DataFrame, maxHamming: Int = 6): DataFrame = {
-    val sims = simhash(docs)
+    // one row per doc; cached so the band self-join doesn't recompute
+    // the 32-aggregate fingerprint pipeline for each side
+    val sims = simhash(docs).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val bandCols = (0 until 4).map(j => shiftright(col("simhash"), 8 * j).bitwiseAND(lit(255L)))
     val bands = sims.select(col("doc_id"), col("simhash"),
       posexplode(array(bandCols: _*)).as(Seq("band", "bv")))
