@@ -60,13 +60,9 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
-  /** MinHash signature per document: ONE md5 per shingle feeds a
-    * k-wise Carter-Wegman family ([[MinhashFamily]]); min over the
-    * shingle set per function. One explode + one grouped aggregation
-    * with map-side partials — the shuffle carries k longs per doc.
-    */
-  def minhash(docs: DataFrame): DataFrame = {
-    val sh = shingleSet(docs)
+  /** MinHash aggregation over a (doc_id, s) shingle table. */
+  private def minhashOf(sh: DataFrame): DataFrame = {
+    val hashed = sh
       .withColumn("h", hex64(concat(lit("mh|"), col("s"))))
       .withColumn("hi", shiftright(col("h"), 30))
       .withColumn("lo", col("h").bitwiseAND(lit(MinhashFamily.LoMask)))
@@ -76,10 +72,16 @@ object Dedup {
       min((col("hi") * c.a + col("lo") * c.b + lit(c.c)) % MinhashFamily.Prime)
         .as(f"mh_$i%02d")
     }
-    sh.groupBy(col("doc_id"))
-      .agg(aggs.head, aggs.tail: _*)
-      .orderBy(col("doc_id"))
+    hashed.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
   }
+
+  /** MinHash signature per document: ONE md5 per shingle feeds a
+    * k-wise Carter-Wegman family ([[MinhashFamily]]); min over the
+    * shingle set per function. One explode + one grouped aggregation
+    * with map-side partials — the shuffle carries k longs per doc.
+    */
+  def minhash(docs: DataFrame): DataFrame =
+    minhashOf(shingleSet(docs)).orderBy(col("doc_id"))
 
   /** (doc_id, band, band_hash) — one row per band; band hash combines
     * the band's r minhash values.
@@ -102,20 +104,7 @@ object Dedup {
     // verification branch — cache it instead of recomputing the
     // tokenize/shingle pipeline twice
     val sh = shingleSet(docs).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val mh = {
-      val base = sh
-        .withColumn("h", hex64(concat(lit("mh|"), col("s"))))
-        .withColumn("hi", shiftright(col("h"), 30))
-        .withColumn("lo", col("h").bitwiseAND(lit(MinhashFamily.LoMask)))
-      val cs = MinhashFamily.coefs(MinhashK)
-      val aggs = (0 until MinhashK).map { i =>
-        val c = cs(i)
-        min((col("hi") * c.a + col("lo") * c.b + lit(c.c)) % MinhashFamily.Prime)
-          .as(f"mh_$i%02d")
-      }
-      base.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
-    }
-    val bands = minhashBands(mh)
+    val bands = minhashBands(minhashOf(sh))
     // cand is tiny but referenced three times downstream (both sides of
     // the doc filter + the intersection join) — cache it so the
     // signature/band subtree runs once
