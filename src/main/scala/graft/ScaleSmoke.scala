@@ -1,0 +1,86 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ann.Knn
+import graft.lsh.{LshIndex, LshParams}
+
+/** Scale evidence for the serving path at 100× the bench SF.
+  *
+  * Synthesizes 500k × 64-dim deterministic vectors with 100 planted
+  * near-duplicates (cosine ≈ 0.9) of the 100 query vectors — the
+  * reference engine's actual workload (near-dup retrieval above the
+  * family threshold; LSH cannot and should not find the "top-k" of
+  * uniformly random data, where neighbors are barely closer than
+  * chance — with loose params the candidate set degenerates toward
+  * the whole corpus and brute force wins, measured here before the
+  * band layout below was chosen).
+  *
+  * Reports the one-time index/signature cost separately from per-batch
+  * serving (the reference amortizes create_signatures the same way),
+  * plus planted-pair recall for both paths.
+  *
+  * Run: `sbt "runMain graft.ScaleSmoke [nVectors]"`.
+  */
+object ScaleSmoke {
+  def main(args: Array[String]): Unit = {
+    val n = args.headOption.map(_.toInt).getOrElse(500000)
+    val nQ = args.drop(1).headOption.map(_.toInt).getOrElse(1000)
+    val spark = GraftSession.builder("local[32]", 64).getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    // deterministic pseudo-random coordinates from xxhash64 — exactly
+    // reproducible regardless of partitioning
+    def coords(id: org.apache.spark.sql.Column) =
+      transform(sequence(lit(0), lit(63)),
+        j => (pmod(xxhash64(id * 64 + j), lit(1000003L)) / 1000003.0 - 0.5).cast("float"))
+
+    val base = spark.range(n).toDF("vec_id")
+      .select(col("vec_id"), coords(col("vec_id")).as("embedding"))
+    // planted near-dups of queries 0..99: 0.9*q + noise scaled for cosine≈0.9
+    val planted = spark.range(nQ).toDF("qid")
+      .select((col("qid") + n).as("vec_id"),
+        zip_with(coords(col("qid")), coords(col("qid") + 7919 * n.toLong),
+          (q, z) => (q * 2.0 + z).cast("float")).as("embedding"))
+    val corpus = base.unionByName(planted).repartition(64).cache()
+    corpus.count() // materialize data generation outside all timings
+
+    val queries = corpus.filter(col("vec_id") < nQ).cache()
+    queries.count()
+
+    def time[T](f: => T): (T, Double) = {
+      val t0 = System.nanoTime(); val r = f; (r, (System.nanoTime() - t0) / 1e9)
+    }
+
+    // exact serving: scan all n vectors per query batch
+    val (bruteRows, tBrute) = time(Knn.cosineTopK(corpus, queries, 10).collect())
+
+    // LSH serving: 16 bands × 12 rows — random collision ≈ 2^-12/band,
+    // planted-pair detection ≈ 1-(1-p^12)^16 ≈ 0.93 at cosine 0.9
+    val p = LshParams(dim = 64, numPerm = 192, numBands = Some(16), rowsPerBand = Some(12))
+    val (_, tBuild) = time {
+      val idx = LshIndex.build(corpus, p).cache()
+      idx.count()
+      idx
+    }
+    val (lshRows, tServe) = time {
+      LshIndex.topPRerank(corpus, queries, p, topP = 1.0, topK = 10).collect()
+    }
+
+    def plantedRecall(rows: Array[org.apache.spark.sql.Row]): Double = {
+      val hits = rows.count { r =>
+        r.getAs[Long]("cand_id") == r.getAs[Long]("q_id") + n
+      }
+      hits.toDouble / nQ
+    }
+    // brute serving is O(corpus × queries); LSH serving touches only
+    // ~0.5% of the corpus per query — the gap widens with batch size
+    println(f"""{"corpus":$n,"queries":$nQ,"k":10,""" +
+      f""""brute_serve_sec":$tBrute%.2f,""" +
+      f""""lsh_build_sec":$tBuild%.2f,"lsh_serve_sec":$tServe%.2f,""" +
+      f""""serve_speedup":${tBrute / tServe}%.2f,""" +
+      f""""planted_recall_brute":${plantedRecall(bruteRows)}%.2f,""" +
+      f""""planted_recall_lsh":${plantedRecall(lshRows)}%.2f}""")
+    spark.stop()
+  }
+}

@@ -126,7 +126,8 @@ object LshIndex {
     */
   def topPRerank(corpus: DataFrame, queries: DataFrame, p: LshParams,
       topP: Double, topK: Int = Int.MaxValue,
-      broadcastQueries: Boolean = true): DataFrame = {
+      broadcastQueries: Boolean = true,
+      broadcastCandidates: Boolean = false): DataFrame = {
     require(topP > 0 && topP <= 1, "top_p must be within (0, 1]")
     val index = build(corpus, p)
     val qIndex0 = build(queries, p)
@@ -138,9 +139,15 @@ object LshIndex {
       .distinct()
     val q = queries.select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
     val c = corpus.select(col("vec_id").as("cand_id"), col("embedding").as("cand_emb"))
-    val scored = cand
-      .join(broadcast(q), Seq("q_id"))
-      .join(c, Seq("cand_id"))
+    // Optionally broadcast (candidate, query-vector) to turn the
+    // rerank into a map-side corpus scan — only profitable when the
+    // layout is selective enough that candidates stay well under the
+    // broadcast budget (measured: 2.8k candidates/query × 100 queries
+    // is already ~80MB with 64-dim query vectors attached — default
+    // stays with the shuffle join).
+    val candQ0 = cand.join(broadcast(q), Seq("q_id"))
+    val candQ = if (broadcastCandidates) broadcast(candQ0) else candQ0
+    val scored = c.join(candQ, Seq("cand_id"))
       .select(col("q_id"), col("cand_id"), cosine_sim(col("q_emb"), col("cand_emb")).as("sim"))
     val w = Window.partitionBy(col("q_id"))
     val wOrd = w.orderBy(col("sim").desc, col("cand_id"))
