@@ -168,6 +168,28 @@ object OracleSql {
        |WHERE i.n_int / (za.n + zb.n - i.n_int) >= 0.5
        |ORDER BY a, b""".stripMargin
 
+  /** Connected components over the LSH pair graph at jaccard ≥ 0.7 —
+    * recursive reachability, min label per component (mirror of
+    * Dedup.nearDupClusters' min-propagation fixpoint).
+    */
+  val dedupClusters: String = {
+    val body = dedupMinhashLsh.stripPrefix("WITH ")
+      .replaceAll("(?s)\\nSELECT i\\.a.*$", "") // drop the final SELECT, keep CTEs
+    s"""WITH RECURSIVE $body,
+       |pairs AS (SELECT i.a, i.b FROM inter i
+       |  JOIN sizes za ON za.doc_id = i.a
+       |  JOIN sizes zb ON zb.doc_id = i.b
+       |  WHERE i.n_int / (za.n + zb.n - i.n_int) >= 0.7),
+       |sym AS (SELECT a, b FROM pairs UNION ALL SELECT b AS a, a AS b FROM pairs),
+       |reach(doc_id, label) AS (
+       |  SELECT doc_id, doc_id FROM documents
+       |  UNION
+       |  SELECT s.a, r.label FROM sym s JOIN reach r ON r.doc_id = s.b)
+       |SELECT doc_id, min(label) AS cluster_id,
+       |  doc_id = min(label) AS keep
+       |FROM reach GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  }
+
   private val simhashBitSums: String = (0 until Dedup.SimhashBits)
     .map(b => s"  sum(CASE WHEN ((h >> $b) & 1) = 1 THEN 1 ELSE -1 END) AS s$b").mkString(",\n")
 

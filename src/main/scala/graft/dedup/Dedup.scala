@@ -164,6 +164,49 @@ object Dedup {
       .orderBy(col("a"), col("b"))
   }
 
+  /** Near-duplicate clusters: connected components over the MinHash-LSH
+    * pair graph at `minJaccard`, labeled by the minimum doc_id of each
+    * component — the canonical "keep one per cluster" dedup output.
+    *
+    * Iterative min-label propagation to the fixpoint (label of every
+    * doc = min reachable doc_id); deterministic regardless of
+    * iteration order. Iterations are bounded by component diameter —
+    * near-dup components are shallow; a 100 TB run would swap in
+    * large-star/small-star contraction with the same fixpoint.
+    * Output: (doc_id, cluster_id, keep).
+    */
+  def nearDupClusters(docs: DataFrame, minJaccard: Double = 0.7, maxIters: Int = 20): DataFrame = {
+    val pairs = minhashLshPairs(docs)
+      .filter(col("jaccard") >= minJaccard)
+      .select(col("a"), col("b"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val edges = pairs.unionByName(pairs.select(col("b").as("a"), col("a").as("b")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var labels = docs.select(col("doc_id"), col("doc_id").as("cluster_id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIters) {
+      val neighborMin = edges
+        .join(labels.withColumnRenamed("doc_id", "b"), Seq("b"))
+        .groupBy(col("a").as("doc_id"))
+        .agg(min(col("cluster_id")).as("n_min"))
+      val next = labels.join(neighborMin, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          least(col("cluster_id"), coalesce(col("n_min"), col("cluster_id"))).as("cluster_id"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val changed = next.join(labels.withColumnRenamed("cluster_id", "old"), Seq("doc_id"))
+        .filter(col("cluster_id") =!= col("old")).count()
+      labels = next
+      converged = changed == 0
+      i += 1
+    }
+    labels
+      .select(col("doc_id"), col("cluster_id"),
+        (col("doc_id") === col("cluster_id")).as("keep"))
+      .orderBy(col("doc_id"))
+  }
+
   val SimhashBits = 32
 
   /** 32-bit SimHash fingerprint: per token (with multiplicity) each

@@ -58,6 +58,28 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("nearDupClusters: copies join their source's cluster; chains collapse transitively") {
+    val res = Dedup.nearDupClusters(withCopies).collect()
+    assert(res.length === withCopies.count())
+    val byId = res.map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("cluster_id")).toMap
+    (0 until 3).foreach { i =>
+      assert(byId(i.toLong + 1000000L) === byId(i.toLong))
+      assert(byId(i.toLong) <= i.toLong)
+    }
+    // keep = exactly one representative (the min id) per cluster
+    val keeps = res.filter(_.getAs[Boolean]("keep")).map(_.getAs[Long]("doc_id")).toSet
+    assert(keeps === res.map(_.getAs[Long]("cluster_id")).toSet)
+    // transitive chain: A~B, B~C but A,C share a cluster via B
+    import spark.implicits._
+    val base = (1 to 30).map(i => s"tok$i").mkString(" ")
+    val b = (1 to 33).map(i => s"tok$i").mkString(" ")   // ~ A (j≈0.9)
+    val c = (4 to 33).map(i => s"tok$i").mkString(" ")   // ~ B, farther from A
+    val chain = Seq((1L, base), (2L, b), (3L, c)).toDF("doc_id", "text")
+    val cl = Dedup.nearDupClusters(chain, minJaccard = 0.6).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("cluster_id")).toMap
+    assert(cl(2L) === cl(1L) && cl(3L) === cl(1L))
+  }
+
   test("simhash: identical docs identical fingerprints; near-dups close in hamming") {
     val sh = Dedup.simhash(withCopies).collect()
       .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("simhash")).toMap
