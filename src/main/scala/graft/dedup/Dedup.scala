@@ -3,6 +3,7 @@ package graft.dedup
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 
 import graft.GraftFunctions
 import graft.GraftFunctions.{hex64, shingles, tokens}
@@ -37,6 +38,21 @@ object Dedup {
 
   private def withToks(docs: DataFrame): DataFrame =
     docs.withColumn("toks", tokens(col("text")))
+
+  /** Cache-lifecycle helper: force `df`'s blocks (so upstream caches are
+    * no longer needed for recomputation), then run `release` to unpersist
+    * the intermediates, and hand the still-cached result to the caller.
+    * The returned DataFrame is the cache scope — `result.unpersist()`
+    * when done leaves zero persistent RDDs behind (asserted by
+    * CacheLifecycleSpec). If the result's blocks are later evicted the
+    * plan recomputes from source (slower, still correct).
+    */
+  private def materialized(df: DataFrame)(release: => Unit): DataFrame = {
+    val out = df.persist(StorageLevel.MEMORY_AND_DISK)
+    out.count()
+    release
+    out
+  }
 
   /** Distinct (doc_id, shingle) pairs. `shingles()` already dedupes
     * within each document (array_distinct), so no extra shuffle is
@@ -103,7 +119,7 @@ object Dedup {
     // the shingle set feeds both the signature branch and the exact
     // verification branch — cache it instead of recomputing the
     // tokenize/shingle pipeline twice
-    val sh = shingleSet(docs).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sh = shingleSet(docs).persist(StorageLevel.MEMORY_AND_DISK)
     val bands = minhashBands(minhashOf(sh))
     // cand is tiny but referenced three times downstream (both sides of
     // the doc filter + the intersection join) — cache it so the
@@ -113,8 +129,10 @@ object Dedup {
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
       .distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    jaccardOf(cand, sh)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    materialized(jaccardOf(cand, sh)) {
+      cand.unpersist(false); sh.unpersist(false)
+    }
   }
 
   /** Exact n-gram Jaccard pairs: every pair sharing ≥1 shingle, kept
@@ -164,47 +182,120 @@ object Dedup {
       .orderBy(col("a"), col("b"))
   }
 
-  /** Near-duplicate clusters: connected components over the MinHash-LSH
-    * pair graph at `minJaccard`, labeled by the minimum doc_id of each
-    * component — the canonical "keep one per cluster" dedup output.
-    *
-    * Iterative min-label propagation to the fixpoint (label of every
-    * doc = min reachable doc_id); deterministic regardless of
-    * iteration order. Iterations are bounded by component diameter —
-    * near-dup components are shallow; a 100 TB run would swap in
-    * large-star/small-star contraction with the same fixpoint.
-    * Output: (doc_id, cluster_id, keep).
+  /** Release the materialized blocks behind a `localCheckpoint`ed
+    * DataFrame. After this the DataFrame is NOT recomputable (the
+    * checkpoint truncated its lineage) — only call once nothing will
+    * read it again.
     */
-  def nearDupClusters(docs: DataFrame, minJaccard: Double = 0.7, maxIters: Int = 20): DataFrame = {
-    val pairs = minhashLshPairs(docs)
-      .filter(col("jaccard") >= minJaccard)
-      .select(col("a"), col("b"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val edges = pairs.unionByName(pairs.select(col("b").as("a"), col("a").as("b")))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    var labels = docs.select(col("doc_id"), col("doc_id").as("cluster_id"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+  private def releaseCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.analyzed.collectLeaves().foreach {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        lr.rdd.unpersist(blocking = false)
+      case _ => ()
+    }
+
+  /** (count, xor-of-row-hashes) signature of an edge set — an O(1)-state
+    * full pass used as the contraction convergence test. `bit_xor` over
+    * `xxhash64` cannot overflow and is order-independent.
+    */
+  private def edgeSig(edges: DataFrame): (Long, Long) = {
+    val r = edges.agg(count(lit(1)), expr("bit_xor(xxhash64(u, v))")).head()
+    (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+  }
+
+  /** Connected components over an undirected pair graph `(a, b)` by
+    * alternating large-star/small-star contraction (Kiveris et al.,
+    * "Connected Components in MapReduce and Beyond", SoCC'14):
+    *
+    *  - large-star: every node links its strictly-larger neighbors to
+    *    the minimum of its neighborhood (incl. itself);
+    *  - small-star: with edges oriented larger→smaller, every node
+    *    re-links itself and its neighbors to the neighborhood minimum.
+    *
+    * Both steps preserve connectivity; the fixpoint is a star per
+    * component centered on the component minimum, reached in
+    * O(log²) rounds — independent of component diameter, unlike plain
+    * min-label propagation. Each round is materialized with an eager
+    * `localCheckpoint` (constant-depth lineage, no per-round plan
+    * growth) and the previous round's blocks are released immediately.
+    * At 100 TB swap `localCheckpoint` for reliable checkpointing to the
+    * cluster FS — local checkpoint blocks don't survive executor loss.
+    *
+    * Returns the star edges `(u, v)` = (member, component-min), one row
+    * per non-minimum member; singletons are absent.
+    */
+  def connectedComponents(pairs: DataFrame, maxIters: Int = 30): DataFrame = {
+    def canon(df: DataFrame): DataFrame = df
+      .select(greatest(col("u"), col("v")).as("u"), least(col("u"), col("v")).as("v"))
+      .filter(col("u") =!= col("v")).distinct()
+    def starMin(nbrs: DataFrame): DataFrame =
+      nbrs.withColumn("m", least(col("u"), min(col("v")).over(Window.partitionBy(col("u")))))
+
+    var edges = canon(pairs.select(col("a").as("u"), col("b").as("v")))
+      .localCheckpoint(true)
+    var sig = edgeSig(edges)
+    var prev = edges
     var converged = false
     var i = 0
     while (!converged && i < maxIters) {
-      val neighborMin = edges
-        .join(labels.withColumnRenamed("doc_id", "b"), Seq("b"))
-        .groupBy(col("a").as("doc_id"))
-        .agg(min(col("cluster_id")).as("n_min"))
-      val next = labels.join(neighborMin, Seq("doc_id"), "left")
-        .select(col("doc_id"),
-          least(col("cluster_id"), coalesce(col("n_min"), col("cluster_id"))).as("cluster_id"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val changed = next.join(labels.withColumnRenamed("cluster_id", "old"), Seq("doc_id"))
-        .filter(col("cluster_id") =!= col("old")).count()
-      labels = next
-      converged = changed == 0
+      // large-star over both orientations: emit (v, m) for v > u
+      val nbrs = edges.unionByName(edges.select(col("v").as("u"), col("u").as("v")))
+      val ls = canon(starMin(nbrs).filter(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v")))
+      // small-star over larger→smaller edges: emit (v, m) ∪ {(u, m)}
+      val ss = starMin(ls)
+      val next = canon(
+        ss.select(col("v").as("u"), col("m").as("v"))
+          .unionByName(ss.select(col("u"), col("m").as("v")).distinct()))
+        .localCheckpoint(true)
+      val nextSig = edgeSig(next)
+      releaseCheckpoint(prev)
+      prev = next
+      edges = next
+      converged = nextSig == sig
+      sig = nextSig
       i += 1
     }
-    labels
-      .select(col("doc_id"), col("cluster_id"),
+    if (!converged)
+      // surfacing this matters: an unconverged edge set silently splits
+      // components (round-1 advice item) — callers get correct-but-warned
+      // output instead of a mystery
+      System.err.println(
+        s"[graft] connectedComponents did not converge in $maxIters rounds; " +
+          "labels may split large components — raise maxIters")
+    edges
+  }
+
+  /** Near-duplicate clusters from a precomputed pair graph `(a, b)`:
+    * connected components labeled by the minimum doc_id of each
+    * component. Accepting the pair graph lets callers reuse the output
+    * of [[minhashLshPairs]] (or [[simhashPairs]], or any edge source)
+    * instead of recomputing it. Output: (doc_id, cluster_id, keep).
+    */
+  def clustersFromPairs(docs: DataFrame, pairs: DataFrame, maxIters: Int = 30): DataFrame = {
+    val stars = connectedComponents(pairs, maxIters)
+    val labels = docs.select(col("doc_id"))
+      .join(stars.withColumnRenamed("u", "doc_id"), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("v"), col("doc_id")).as("cluster_id"))
+    materialized(
+      labels.select(col("doc_id"), col("cluster_id"),
         (col("doc_id") === col("cluster_id")).as("keep"))
-      .orderBy(col("doc_id"))
+        .orderBy(col("doc_id"))) {
+      releaseCheckpoint(stars)
+    }
+  }
+
+  /** Near-duplicate clusters over the MinHash-LSH pair graph at
+    * `minJaccard` — the canonical "keep one per cluster" dedup output.
+    * Composition of [[minhashLshPairs]] and [[clustersFromPairs]].
+    */
+  def nearDupClusters(docs: DataFrame, minJaccard: Double = 0.7, maxIters: Int = 30): DataFrame = {
+    val pairs = minhashLshPairs(docs)
+    val out = clustersFromPairs(docs,
+      pairs.filter(col("jaccard") >= minJaccard).select(col("a"), col("b")), maxIters)
+    pairs.unpersist(false)
+    out
   }
 
   val SimhashBits = 32
@@ -233,11 +324,11 @@ object Dedup {
   def simhashPairs(docs: DataFrame, maxHamming: Int = 6): DataFrame = {
     // one row per doc; cached so the band self-join doesn't recompute
     // the 32-aggregate fingerprint pipeline for each side
-    val sims = simhash(docs).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sims = simhash(docs).persist(StorageLevel.MEMORY_AND_DISK)
     val bandCols = (0 until 4).map(j => shiftright(col("simhash"), 8 * j).bitwiseAND(lit(255L)))
     val bands = sims.select(col("doc_id"), col("simhash"),
       posexplode(array(bandCols: _*)).as(Seq("band", "bv")))
-    bands.as("x").join(bands.as("y"),
+    val pairs = bands.as("x").join(bands.as("y"),
         col("x.band") === col("y.band") && col("x.bv") === col("y.bv") &&
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"),
@@ -245,5 +336,6 @@ object Dedup {
       .filter(col("hamming") <= maxHamming) // filter before the distinct shuffle
       .distinct()
       .orderBy(col("a"), col("b"))
+    materialized(pairs) { sims.unpersist(false) }
   }
 }

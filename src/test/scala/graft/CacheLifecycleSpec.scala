@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.dedup.Dedup
+
+/** Round-1 verdict item #6: operators must not leak persistent RDDs.
+  * Each heavy dedup operator materializes its (compact) result, releases
+  * its corpus-sized intermediates before returning, and the result itself
+  * is the one remaining cache scope — `unpersist()` leaves no new blocks
+  * behind. Assertions are deltas against the suite-shared context, since
+  * other suites own their own result scopes.
+  */
+class CacheLifecycleSpec extends SparkSpec {
+  import spark.implicits._
+
+  lazy val docs = Tables.load(spark, sfDir, "documents")
+
+  private def persisted: Set[Int] = spark.sparkContext.getPersistentRDDs.keySet.toSet
+
+  private def assertScoped(op: => org.apache.spark.sql.DataFrame): Unit = {
+    val before = persisted
+    val res = op
+    val added = persisted -- before
+    assert(added.size <= 1, s"operator leaked intermediates: $added")
+    res.unpersist(blocking = true)
+    assert((persisted -- before).isEmpty,
+      s"result scope not released: ${persisted -- before}")
+  }
+
+  test("minhashLshPairs releases shingle/candidate caches; result is the scope") {
+    assertScoped(Dedup.minhashLshPairs(docs))
+  }
+
+  test("simhashPairs releases the fingerprint cache; result is the scope") {
+    assertScoped(Dedup.simhashPairs(docs))
+  }
+
+  test("nearDupClusters releases pair graph, checkpoints, and label caches") {
+    assertScoped(Dedup.nearDupClusters(docs))
+  }
+
+  test("star contraction converges within 30 rounds on a diameter-200 chain") {
+    // min-label propagation would need 200 rounds here; large-star/
+    // small-star must reach the fixpoint (all labels = 0) inside 30
+    val chain = (0L until 200L).map(i => (i, i + 1)).toDF("a", "b")
+    val res = Dedup.clustersFromPairs((0L to 200L).toDF("doc_id"), chain, maxIters = 30)
+    val labels = res.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert((0L to 200L).forall(labels(_) === 0L), "all chain members label to min=0")
+    val keeps = res.collect().filter(_.getAs[Boolean]("keep")).map(_.getLong(0)).toSeq
+    assert(keeps === Seq(0L))
+    res.unpersist(blocking = true)
+  }
+
+  test("clustersFromPairs reusing minhashLshPairs' graph matches nearDupClusters") {
+    val before = persisted
+    val pairs = Dedup.minhashLshPairs(docs) // the raw result owns the cache scope
+    val viaShared = Dedup.clustersFromPairs(docs,
+      pairs.filter(col("jaccard") >= 0.7).select(col("a"), col("b")))
+    val direct = Dedup.nearDupClusters(docs)
+    assert(viaShared.collect().toSeq === direct.collect().toSeq)
+    pairs.unpersist(blocking = true)
+    viaShared.unpersist(blocking = true)
+    direct.unpersist(blocking = true)
+    assert((persisted -- before).isEmpty)
+  }
+}
