@@ -19,12 +19,16 @@ import graft.GraftFunctions.cosine_sim
   */
 object Ivf {
 
-  /** Assign each vector to its nearest centroid: (vec_id, cell). */
-  def assign(corpus: DataFrame, centroids: DataFrame): DataFrame = {
+  /** Assign each vector to its nearest centroid: (vec_id, cell).
+    * The centroid side is O(nCells) by construction, but the guard
+    * protects against a corpus-sized table passed as centroids.
+    */
+  def assign(corpus: DataFrame, centroids: DataFrame,
+      broadcastCentroids: Option[Boolean] = None): DataFrame = {
     val c = centroids.select(col("vec_id").as("c_id"), col("embedding").as("c_emb"))
     val w = Window.partitionBy(col("vec_id"))
       .orderBy(col("c_sim").desc, col("c_id"))
-    corpus.crossJoin(broadcast(c))
+    corpus.crossJoin(graft.ops.Broadcasting.maybeBroadcast(c, broadcastCentroids))
       .select(col("vec_id"), col("c_id"),
         cosine_sim(col("embedding"), col("c_emb")).as("c_sim"))
       .withColumn("rn", row_number().over(w))
@@ -32,14 +36,18 @@ object Ivf {
       .select(col("vec_id"), col("c_id").as("cell"))
   }
 
-  /** Probe-and-rerank top-k: (q_id, rn, cand_id, sim). */
+  /** Probe-and-rerank top-k: (q_id, rn, cand_id, sim).
+    * `broadcastQueries` guards the rerank's query-vector join the same
+    * way as [[graft.ann.Knn.cosineTopK]] — corpus-as-queries falls back
+    * to a shuffle join.
+    */
   def probeTopK(corpus: DataFrame, queries: DataFrame, centroids: DataFrame,
-      nProbe: Int, k: Int): DataFrame = {
+      nProbe: Int, k: Int, broadcastQueries: Option[Boolean] = None): DataFrame = {
     val cells = assign(corpus, centroids)
     val c = centroids.select(col("vec_id").as("c_id"), col("embedding").as("c_emb"))
     val wq = Window.partitionBy(col("q_id")).orderBy(col("c_sim").desc, col("c_id"))
     val probes = queries.select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
-      .crossJoin(broadcast(c))
+      .crossJoin(graft.ops.Broadcasting.maybeBroadcast(c))
       .select(col("q_id"), col("c_id"),
         cosine_sim(col("q_emb"), col("c_emb")).as("c_sim"))
       .withColumn("rn", row_number().over(wq))
@@ -53,7 +61,7 @@ object Ivf {
     val corp = corpus.select(col("vec_id").as("cand_id"), col("embedding").as("cand_emb"))
     val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("cand_id"))
     cand
-      .join(broadcast(q), Seq("q_id"))
+      .join(graft.ops.Broadcasting.maybeBroadcast(q, broadcastQueries), Seq("q_id"))
       .join(corp, Seq("cand_id"))
       .select(col("q_id"), col("cand_id"), cosine_sim(col("q_emb"), col("cand_emb")).as("sim"))
       .withColumn("rn", row_number().over(w).cast("long"))

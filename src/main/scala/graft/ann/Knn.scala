@@ -24,11 +24,18 @@ object Knn {
     * Uses the bounded [[graft.GraftFunctions.top_k_by_score]] aggregate
     * instead of a rank window: map-side partials cut the top-k shuffle
     * from (corpus × queries) rows to k rows per query per partition.
+    *
+    * `broadcastQueries`: None (default) broadcasts only when the query
+    * side's size estimate fits the session broadcast threshold — a
+    * corpus-sized query table (as in [[nearestNeighborDedup]]) falls
+    * back to a non-broadcast cartesian plan instead of OOMing the
+    * executors on the broadcast build.
     */
-  def cosineTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+  def cosineTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      broadcastQueries: Option[Boolean] = None): DataFrame = {
     val q = queries.select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
     val c = corpus.select(col("vec_id").as("cand_id"), col("embedding").as("cand_emb"))
-    val scored = c.crossJoin(broadcast(q))
+    val scored = c.crossJoin(graft.ops.Broadcasting.maybeBroadcast(q, broadcastQueries))
       .filter(col("q_id") =!= col("cand_id"))
       .select(col("q_id"), col("cand_id"), cosine_sim(col("q_emb"), col("cand_emb")).as("sim"))
     scored

@@ -166,7 +166,8 @@ object Dedup {
   private def jaccardOf(cand: DataFrame, sh: DataFrame): DataFrame = {
     val candDocs = cand
       .select(explode(array(col("a"), col("b"))).as("doc_id")).distinct()
-    val shc = sh.join(broadcast(candDocs), Seq("doc_id"), "left_semi")
+    val shc = sh.join(graft.ops.Broadcasting.maybeBroadcast(candDocs),
+      Seq("doc_id"), "left_semi")
     val sizes = shc.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val inter = cand
       .join(shc.as("sa"), col("a") === col("sa.doc_id"))
