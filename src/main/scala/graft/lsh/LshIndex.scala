@@ -1,7 +1,6 @@
 package graft.lsh
 
 import java.nio.charset.StandardCharsets
-import java.nio.file.{Files, Paths}
 
 import org.apache.spark.sql.{Column, DataFrame, GraftColumnBridge, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -77,6 +76,15 @@ object LshIndex {
       .groupBy(col("bucket_size")).agg(count(lit(1)).as("n_buckets"))
       .orderBy(col("bucket_size"))
 
+  /** Members of one bucket (reference: storage/redis.py:187 bucket_key /
+    * :282 get_bucket — the single-bucket inspection surface). A filter
+    * on the inverted index; on a [[saveBucketed]] table this prunes to
+    * one file bucket.
+    */
+  def getBucket(index: DataFrame, band: Int, sig: Long): DataFrame =
+    index.filter(col("band") === band && col("sig") === sig)
+      .select(col("vec_id")).orderBy(col("vec_id"))
+
   /** Candidate pairs sharing ≥1 bucket, with collision count.
     * Buckets larger than maxBucketSize are dropped (skew guard — at
     * 100 TB a degenerate bucket would otherwise produce a quadratic
@@ -101,8 +109,15 @@ object LshIndex {
     * Queries: (vec_id, embedding); self-matches excluded.
     */
   def topK(corpus: DataFrame, queries: DataFrame, p: LshParams, k: Int,
+      broadcastQueries: Boolean = true): DataFrame =
+    topKOnIndex(build(corpus, p), queries, p, k, broadcastQueries)
+
+  /** [[topK]] against a prebuilt (e.g. loaded) index — the serving path
+    * for a persisted index: a [[loadBucketed]] table joins bucket-local
+    * here, with no exchange on the index side.
+    */
+  def topKOnIndex(index: DataFrame, queries: DataFrame, p: LshParams, k: Int,
       broadcastQueries: Boolean = true): DataFrame = {
-    val index = build(corpus, p)
     val qIndex0 = build(queries, p)
       .select(col("vec_id").as("q_id"), col("band"), col("sig"))
     // serving batches broadcast; corpus-scale query tables shuffle-join
@@ -193,34 +208,88 @@ object LshIndex {
   def delete(index: DataFrame, ids: DataFrame): DataFrame =
     index.join(ids.select(col("vec_id")), Seq("vec_id"), "left_anti")
 
-  /** Persist index + params (reference: core/main.py:846 save_to_disk —
-    * stores config + projections; planes being seed-derived, the params
-    * JSON is the whole hashing state). Partitioned by band and bucketed
-    * in spirit: repartition on (band, sig) so bucket lookups co-locate.
-    */
-  def save(index: DataFrame, p: LshParams, path: String): Unit = {
-    index.repartition(col("band"), col("sig"))
-      .write.mode("overwrite").parquet(s"$path/index")
-    val json =
-      s"""{"dim":${p.dim},"num_perm":${p.numPerm},"num_bands":${p.b},
-         |"rows_per_band":${p.r},"similarity_threshold":${p.similarityThreshold},
-         |"seed":${p.seed}}""".stripMargin.replace("\n", "")
-    Files.write(Paths.get(path, "params.json"), json.getBytes(StandardCharsets.UTF_8))
-  }
+  private def paramsJson(p: LshParams): String =
+    s"""{"dim":${p.dim},"num_perm":${p.numPerm},"num_bands":${p.b},
+       |"rows_per_band":${p.r},"similarity_threshold":${p.similarityThreshold},
+       |"seed":${p.seed}}""".stripMargin.replace("\n", "")
 
-  /** Restore (index, params) (reference: core/main.py:898 load_from_disk). */
-  def load(spark: SparkSession, path: String): (DataFrame, LshParams) = {
-    val json = new String(Files.readAllBytes(Paths.get(path, "params.json")), StandardCharsets.UTF_8)
+  private def parseParams(json: String): LshParams = {
     def field(name: String): String =
       s""""$name":([-0-9.eE]+)""".r.findFirstMatchIn(json)
         .getOrElse(sys.error(s"missing $name in params.json")).group(1)
-    val p = LshParams(
+    LshParams(
       dim = field("dim").toInt,
       numPerm = field("num_perm").toInt,
       numBands = Some(field("num_bands").toInt),
       rowsPerBand = Some(field("rows_per_band").toInt),
       similarityThreshold = field("similarity_threshold").toDouble,
       seed = field("seed").toLong)
+  }
+
+  // The params sidecar goes through the Hadoop FileSystem API so index
+  // and params always share a filesystem — java.nio on the driver would
+  // silently split them on hdfs:// or s3a:// deployments.
+  private def writeSidecar(spark: SparkSession, pathStr: String, content: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(pathStr)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    try out.write(content.getBytes(StandardCharsets.UTF_8)) finally out.close()
+  }
+
+  private def readSidecar(spark: SparkSession, pathStr: String): String = {
+    val p = new org.apache.hadoop.fs.Path(pathStr)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val len = fs.getFileStatus(p).getLen.toInt
+    val buf = new Array[Byte](len)
+    val in = fs.open(p)
+    try in.readFully(0L, buf) finally in.close()
+    new String(buf, StandardCharsets.UTF_8)
+  }
+
+  /** Persist index + params (reference: core/main.py:846 save_to_disk —
+    * stores config + projections; planes being seed-derived, the params
+    * JSON is the whole hashing state). Partitioned by band and bucketed
+    * in spirit: repartition on (band, sig) so bucket lookups co-locate.
+    * For exchange-free reload joins prefer [[saveBucketed]].
+    */
+  def save(index: DataFrame, p: LshParams, path: String): Unit = {
+    index.repartition(col("band"), col("sig"))
+      .write.mode("overwrite").parquet(s"$path/index")
+    writeSidecar(index.sparkSession, s"$path/params.json", paramsJson(p))
+  }
+
+  /** Restore (index, params) (reference: core/main.py:898 load_from_disk). */
+  def load(spark: SparkSession, path: String): (DataFrame, LshParams) = {
+    val p = parseParams(readSidecar(spark, s"$path/params.json"))
     (spark.read.parquet(s"$path/index"), p)
+  }
+
+  /** Persist the index as a catalog table bucketed + sorted on
+    * (band, sig) — the at-rest analogue of the reference's Redis bucket
+    * store (storage/redis.py:40): a reloaded index's collision join
+    * reads bucket-local with NO exchange and no sort on the index side.
+    * Params ride along as a table property, so the catalog entry is
+    * self-contained. `nBuckets` should be sized so one bucket's rows fit
+    * an executor core's working memory at the target scale.
+    */
+  def saveBucketed(index: DataFrame, p: LshParams, table: String,
+      nBuckets: Int = 32, path: Option[String] = None): Unit = {
+    val spark = index.sparkSession
+    val w = index.write.mode("overwrite")
+      .bucketBy(nBuckets, "band", "sig").sortBy("band", "sig")
+      .format("parquet")
+    path.foreach(loc => w.option("path", loc))
+    w.saveAsTable(table)
+    spark.sql(
+      s"ALTER TABLE $table SET TBLPROPERTIES ('graft.lsh.params' = '${paramsJson(p)}')")
+  }
+
+  /** Restore (index, params) from a [[saveBucketed]] table. */
+  def loadBucketed(spark: SparkSession, table: String): (DataFrame, LshParams) = {
+    val props = spark.sql(s"SHOW TBLPROPERTIES $table").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    val json = props.getOrElse("graft.lsh.params",
+      sys.error(s"table $table has no graft.lsh.params property"))
+    (spark.table(table), parseParams(json))
   }
 }

@@ -98,6 +98,36 @@ class LshSpec extends SparkSpec {
       idx.orderBy("vec_id", "band").collect().map(_.toSeq).toSeq)
   }
 
+  test("bucketed save/load: params round-trip; collision join has no index-side exchange") {
+    val idx = LshIndex.build(emb, p)
+    val dir = java.nio.file.Files.createTempDirectory("lshtbl").toString
+    LshIndex.saveBucketed(idx, p, "lsh_idx_spec", nBuckets = 4, path = Some(dir))
+    val (loaded, lp) = LshIndex.loadBucketed(spark, "lsh_idx_spec")
+    assert(lp === p.copy(numBands = Some(p.b), rowsPerBand = Some(p.r)))
+    assert(loaded.count() === idx.count())
+    // results identical to serving from a freshly built index
+    val queries = emb.filter(col("vec_id") < 5)
+    assert(LshIndex.topKOnIndex(loaded, queries, lp, 10).collect().toSeq ===
+      LshIndex.topK(emb, queries, p, 10).collect().toSeq)
+    // scale contract: with a non-broadcast query side, only the QUERY
+    // side shuffles — the bucketed index's layout already satisfies the
+    // (band, sig) distribution (the Redis-bucket analogue at rest)
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val old = spark.conf.get(key)
+    spark.conf.set(key, "-1")
+    try {
+      val plan = LshIndex.topKOnIndex(loaded, queries, lp, 10, broadcastQueries = false)
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("Exchange"), "query side should shuffle")
+      val freshPlan = LshIndex.topK(emb, queries, p, 10, broadcastQueries = false)
+        .queryExecution.executedPlan.toString
+      def exchanges(s: String) = "Exchange".r.findAllIn(s).size
+      assert(exchanges(plan) < exchanges(freshPlan),
+        s"bucketed index still exchanges:\n$plan")
+    } finally spark.conf.set(key, old)
+    spark.sql("DROP TABLE IF EXISTS lsh_idx_spec")
+  }
+
   test("delete removes all bands of the given ids") {
     val idx = LshIndex.build(emb, p)
     val ids = Seq(1L, 2L, 3L).toDF("vec_id")
