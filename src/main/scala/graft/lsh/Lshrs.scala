@@ -73,6 +73,12 @@ class Lshrs private (val params: LshParams, val corpus: DataFrame, val indexDf: 
 
   def stats(): DataFrame = LshIndex.stats(indexDf, params)
 
+  /** Inspect one bucket's members (reference storage/redis.py:187
+    * bucket_key / :282 get_bucket).
+    */
+  def getBucket(band: Int, sig: Long): DataFrame =
+    LshIndex.getBucket(indexDf, band, sig)
+
   def saveToDisk(path: String): Unit = LshIndex.save(indexDf, params, path)
 }
 

@@ -25,20 +25,58 @@ object Sources {
       indexColumn: String = "vec_id", vectorColumn: String = "embedding"): DataFrame =
     normalize(spark.read.parquet(path), indexColumn, vectorColumn)
 
+  private def quoteIdent(name: String): String =
+    "\"" + name.replace("\"", "\"\"") + "\""
+
+  /** The SELECT the JDBC scan wraps — mirrors the reference's
+    * io/postgres.py:147 _build_query option-for-option: an explicit
+    * `fetchQuery` wins outright; otherwise schema-qualified table,
+    * column projection, WHERE, ORDER BY, and LIMIT compose in the same
+    * order with identifiers double-quoted (the psycopg sql.Identifier
+    * analogue). WHERE/ORDER BY are raw SQL fragments, as in the
+    * reference.
+    */
+  def buildQuery(table: String, indexColumn: String, vectorColumn: String,
+      schema: Option[String] = None,
+      whereClause: Option[String] = None,
+      orderBy: Option[String] = None,
+      limit: Option[Long] = None,
+      fetchQuery: Option[String] = None): String =
+    fetchQuery.getOrElse {
+      val qualified = (schema.map(quoteIdent).toSeq :+ quoteIdent(table)).mkString(".")
+      val base =
+        s"SELECT ${quoteIdent(indexColumn)}, ${quoteIdent(vectorColumn)} FROM $qualified"
+      base +
+        whereClause.map(w => s" WHERE $w").getOrElse("") +
+        orderBy.map(o => s" ORDER BY $o").getOrElse("") +
+        limit.map(n => s" LIMIT $n").getOrElse("")
+    }
+
   /** JDBC vector table (reference: io/postgres.py:17 — server-side
     * cursor batching becomes JDBC partitioned reads; pass
     * partitionColumn bounds for parallel scans of large tables).
+    * Filtering/projection options mirror the reference loader via
+    * [[buildQuery]]; the query is pushed down to the database as a
+    * subquery scan, so a filtered ingest never ships dead rows.
     */
   def jdbcVectors(spark: SparkSession, url: String, table: String,
       indexColumn: String, vectorColumn: String,
       numPartitions: Int = 8,
       lowerBound: Option[Long] = None, upperBound: Option[Long] = None,
+      schema: Option[String] = None,
+      whereClause: Option[String] = None,
+      orderBy: Option[String] = None,
+      limit: Option[Long] = None,
+      fetchQuery: Option[String] = None,
       properties: java.util.Properties = new java.util.Properties()): DataFrame = {
+    val query = buildQuery(table, indexColumn, vectorColumn,
+      schema, whereClause, orderBy, limit, fetchQuery)
+    val dbtable = s"($query) graft_vectors"
     val reader = spark.read
     val df = (lowerBound, upperBound) match {
       case (Some(lo), Some(hi)) =>
-        reader.jdbc(url, table, indexColumn, lo, hi, numPartitions, properties)
-      case _ => reader.jdbc(url, table, properties)
+        reader.jdbc(url, dbtable, indexColumn, lo, hi, numPartitions, properties)
+      case _ => reader.jdbc(url, dbtable, properties)
     }
     normalize(df, indexColumn, vectorColumn)
   }

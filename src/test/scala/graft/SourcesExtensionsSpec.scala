@@ -25,6 +25,36 @@ class SourcesExtensionsSpec extends SparkSpec {
     assert(rows(0).getSeq[Float](1) === Seq(0.5f, 1.5f))
   }
 
+  test("jdbc buildQuery mirrors the reference loader's SELECT shapes") {
+    // plain: SELECT "idx", "vec" FROM "vectors"
+    assert(Sources.buildQuery("vectors", "idx", "vec") ===
+      """SELECT "idx", "vec" FROM "vectors"""")
+    // schema-qualified + WHERE + ORDER BY + LIMIT compose in reference order
+    assert(Sources.buildQuery("vectors", "idx", "vec",
+      schema = Some("ml"), whereClause = Some("split = 'train'"),
+      orderBy = Some("idx"), limit = Some(1000L)) ===
+      """SELECT "idx", "vec" FROM "ml"."vectors" WHERE split = 'train' ORDER BY idx LIMIT 1000""")
+    // explicit fetch_query wins outright
+    assert(Sources.buildQuery("ignored", "i", "v",
+      whereClause = Some("ignored"), fetchQuery = Some("SELECT a, b FROM t")) ===
+      "SELECT a, b FROM t")
+    // embedded quotes escape by doubling (psycopg sql.Identifier semantics)
+    assert(Sources.buildQuery("""we"ird""", "idx", "vec") ===
+      """SELECT "idx", "vec" FROM "we""ird"""")
+  }
+
+  test("LshIndex.getBucket returns one bucket's members") {
+    val emb = Tables.load(spark, sfDir, "embeddings")
+    val p = LshParams(dim = 64, numPerm = 32, numBands = Some(8), rowsPerBand = Some(4))
+    val idx = LshIndex.build(emb, p)
+    val some = idx.groupBy(col("band"), col("sig")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc).limit(1).collect().head
+    val members = LshIndex.getBucket(idx, some.getAs[Int]("band"), some.getAs[Long]("sig"))
+      .collect().map(_.getLong(0))
+    assert(members.length === some.getAs[Long]("n"))
+    assert(members.toSeq === members.sorted.toSeq)
+  }
+
   test("GraftExtensions injects the engine functions into a registry") {
     import org.apache.spark.sql.catalyst.FunctionIdentifier
     import org.apache.spark.sql.catalyst.analysis.SimpleFunctionRegistry
