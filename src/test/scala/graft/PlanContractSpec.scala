@@ -1,0 +1,92 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.{ExplainMode, FormattedMode}
+
+/** SURVEY §5's scale contract, asserted on real plans (round-1 verdict
+  * item #7) so a future refactor can't silently regress pushdown,
+  * broadcast choices, or shuffle counts.
+  *
+  * Queries are built at sf0.001 through the same `SparkEntry.queries`
+  * entries the driver runs.
+  */
+class PlanContractSpec extends SparkSpec {
+
+  private def q(name: String): DataFrame =
+    SparkEntry.queries(name)(spark, sfDir)
+
+  private def formatted(df: DataFrame): String =
+    df.queryExecution.explainString(FormattedMode)
+
+  private def physical(df: DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("q1_agg: filter and column pruning reach the parquet scan; single agg shuffle") {
+    val plan = formatted(q("q1_agg"))
+    assert(plan.contains("PushedFilters:") && plan.contains("l_shipdate"),
+      s"shipdate filter not pushed:\n$plan")
+    // projection pruning: a 16-column lineitem scan for a 6-column query is wrong
+    val readSchema = plan.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!readSchema.contains("l_comment") && !readSchema.contains("l_partkey"),
+      s"scan reads unused columns: $readSchema")
+    // one hash exchange for the aggregation; the only other is the
+    // deterministic output sort
+    val df = q("q1_agg")
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(physical(df)).size
+    assert(hashEx === 1, s"expected exactly 1 agg shuffle, got $hashEx")
+    // codegen stages materialize in the AQE final plan as "*(n)" markers
+    df.collect()
+    assert(physical(df).contains("*(1)"), s"scan+agg not codegen'd:\n${physical(df)}")
+  }
+
+  test("q3_join: dimension filter pushed down, dims broadcast, no cartesian") {
+    val plan = formatted(q("q3_join"))
+    assert(plan.contains("c_mktsegment"), s"segment filter not pushed:\n$plan")
+    val phys = physical(q("q3_join"))
+    assert(phys.contains("BroadcastHashJoin"), s"dims not broadcast:\n$phys")
+    assert(!phys.contains("CartesianProduct"))
+  }
+
+  test("no CartesianProduct outside the declared exact baselines") {
+    // knn_brute / dedup_embedding / cosine_topk_exact are declared
+    // all-pairs baselines; ann_ivf's centroid argmax is a guarded
+    // broadcast nested loop. Everything else must stay cartesian-free.
+    val sweep = Seq(
+      "q_topn_group", "q_window_running", "events_sessionize",
+      "events_windowed", "events_percentiles",
+      "text_tokens", "text_quality", "text_langid", "text_fingerprint",
+      "text_winnow", "dedup_exact", "dedup_minhash", "dedup_ngram_jaccard",
+      "dedup_simhash", "dedup_embedding_lsh",
+      "lsh_signatures", "lsh_bucket_stats", "lsh_candidate_pairs",
+      "lsh_topk", "lsh_topp_rerank", "ann_lsh", "vec_norm",
+      "lsh_delete_clear", "mm_binary_meta")
+    sweep.foreach { name =>
+      val phys = physical(q(name))
+      assert(!phys.contains("CartesianProduct"),
+        s"$name plans a cartesian product:\n$phys")
+    }
+  }
+
+  test("lsh serving joins collide on (band, sig); index build shuffles nothing") {
+    // index build: signature expression + explode only — no Exchange
+    val build = physical(q("lsh_signatures"))
+    // (the oracle orderBy adds one range exchange; nothing else may shuffle)
+    val ex = "Exchange".r.findAllIn(build).size
+    val rangeEx = "Exchange rangepartitioning".r.findAllIn(build).size
+    assert(ex === rangeEx, s"index build shuffles beyond the output sort:\n$build")
+    // serving: the collision join is a broadcast join at serving batch
+    // sizes — corpus never reshuffles for a batch lookup
+    val serve = physical(q("lsh_topk"))
+    assert(serve.contains("BroadcastHashJoin"), s"collision join not broadcast:\n$serve")
+  }
+
+  test("dedup_minhash: the shuffle carries k longs per doc, never shingles") {
+    val phys = physical(q("dedup_minhash"))
+    // partial aggregation before the exchange = map-side min-combine
+    val firstAgg = phys.indexOf("HashAggregate")
+    val firstEx = phys.indexOf("Exchange")
+    assert(firstAgg >= 0 && firstEx >= 0)
+    assert(phys.contains("partial_min") || phys.contains("min("),
+      s"no map-side partial min:\n$phys")
+  }
+}
