@@ -34,19 +34,23 @@ object MlLsh {
 
   val ShingleSpace = 1 << 18
 
+  /** Sparse-vector constructor as a single-column UDF: unlike a typed
+    * `.as[...].map`, this converts only the slots column (no
+    * whole-row DeserializeToObject/SerializeFromObject pass) and the
+    * rest of the projection stays in codegen. A UDF is unavoidable at
+    * the MLlib boundary — `array_to_vector` itself is one, and it has
+    * no sparse counterpart.
+    */
+  private val sparseBinaryVec = udf((slots: Seq[Int]) =>
+    Vectors.sparse(ShingleSpace, slots.sorted.toArray, Array.fill(slots.size)(1.0)))
+
   /** Sparse binary shingle vectors: (doc_id, features). */
-  def shingleVectors(docs: DataFrame)(implicit spark: SparkSession): DataFrame = {
-    import spark.implicits._
+  def shingleVectors(docs: DataFrame)(implicit spark: SparkSession): DataFrame =
     Dedup.shingleSet(docs)
       .withColumn("slot", pmod(GraftFunctions.hex64(col("s")), lit(ShingleSpace.toLong)).cast("int"))
       .groupBy(col("doc_id"))
       .agg(collect_set(col("slot")).as("slots"))
-      .as[(Long, Seq[Int])]
-      .map { case (id, slots) =>
-        (id, Vectors.sparse(ShingleSpace, slots.sorted.toArray, Array.fill(slots.size)(1.0)))
-      }
-      .toDF("doc_id", "features")
-  }
+      .select(col("doc_id"), sparseBinaryVec(col("slots")).as("features"))
 
   /** Near-dup pairs via MLlib MinHashLSH approxSimilarityJoin,
     * thresholded on Jaccard distance.
@@ -67,13 +71,9 @@ object MlLsh {
       .orderBy(col("a"), col("b"))
   }
 
-  private def toDense(emb: DataFrame)(implicit spark: SparkSession): DataFrame = {
-    import spark.implicits._
-    emb.select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
-      .as[(Long, Seq[Double])]
-      .map { case (id, e) => (id, Vectors.dense(e.toArray)) }
-      .toDF("vec_id", "features")
-  }
+  private def toDense(emb: DataFrame)(implicit spark: SparkSession): DataFrame =
+    emb.select(col("vec_id"),
+      org.apache.spark.ml.functions.array_to_vector(col("embedding")).as("features"))
 
   /** Euclidean near-neighbor pairs via BucketedRandomProjectionLSH. */
   def brpNearNeighborPairs(emb: DataFrame, maxL2Distance: Double,

@@ -49,6 +49,19 @@ class MlLshSpec extends SparkSpec {
     }
   }
 
+  test("MLlib adapters stay columnar: no typed object ser/deser hop") {
+    // round-1 verdict #8: the vector adapters must not plan a whole-row
+    // DeserializeToObject/SerializeFromObject pass
+    val brpPlan = MlLsh.brpNearNeighborPairs(emb, maxL2Distance = 1.15)
+      .queryExecution.executedPlan.toString
+    val mhPlan = MlLsh.shingleVectors(docs)
+      .queryExecution.executedPlan.toString
+    Seq(brpPlan, mhPlan).foreach { p =>
+      assert(!p.contains("DeserializeToObject") && !p.contains("SerializeFromObject"),
+        s"typed hop present:\n$p")
+    }
+  }
+
   test("KMeans centroids drive Ivf with better-than-random recall") {
     val centroids = MlLsh.kmeansCentroids(emb, k = 8)
     assert(centroids.count() === 8)
