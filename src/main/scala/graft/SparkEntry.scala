@@ -22,11 +22,29 @@ object SparkEntry {
     Tables.load(s, dir, name)
   }
 
+  /** One session temp root, removed on JVM exit — per-query scratch
+    * dirs live under it so repeated invocations don't accumulate
+    * stray /tmp entries (round-1 verdict nit #10).
+    */
+  private lazy val tempRoot: java.nio.file.Path = {
+    val p = java.nio.file.Files.createTempDirectory("graft_entry")
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      try {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+          .foreach(f => java.nio.file.Files.deleteIfExists(f))
+      } catch { case _: Throwable => () }))
+    p
+  }
+
+  private def tempDir(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(tempRoot, prefix).toString
+
   /** The streaming file source requires a directory; stage the single
     * parquet file into a temp dir via symlink.
     */
   private def streamDir(dir: String, name: String): String = {
-    val tmp = java.nio.file.Files.createTempDirectory(s"stream_$name")
+    val tmp = java.nio.file.Paths.get(tempDir(s"stream_$name"))
     java.nio.file.Files.createSymbolicLink(
       tmp.resolve(s"$name.parquet"), java.nio.file.Paths.get(s"$dir/$name.parquet"))
     tmp.toString
@@ -116,7 +134,7 @@ object SparkEntry {
     }),
     "lsh_save_load" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
-      val tmp = java.nio.file.Files.createTempDirectory("lsh_save_load").toString
+      val tmp = tempDir("lsh_save_load")
       LshIndex.save(LshIndex.build(e, lshP), lshP, tmp)
       val (loaded, _) = LshIndex.load(s, tmp)
       LshIndex.bucketStats(loaded)
@@ -132,8 +150,12 @@ object SparkEntry {
     "stream_windowed_agg" -> ((s, dir) => {
       val schema = t(s, dir, "events").schema
       val stream = s.readStream.schema(schema).parquet(streamDir(dir, "events"))
+      // schema-branched µs conversion (shared with EventOps) — works
+      // whether ts surfaced as int64 nanos (nanosAsLong sessions) or as
+      // a timestamp type (plain driver sessions)
       val ev = stream.select(
-        timestamp_micros(expr("ts div 1000")).as("ts"), col("event_type"), col("value"))
+        timestamp_micros(EventOps.microsOfTsCol(stream)).as("ts"),
+        col("event_type"), col("value"))
       graft.streaming.Streams.runOnce(s,
           graft.streaming.Streams.windowedAgg(ev),
           s"swa_${System.nanoTime()}", OutputMode.Complete())

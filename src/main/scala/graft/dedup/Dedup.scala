@@ -139,9 +139,25 @@ object Dedup {
     * when jaccard ≥ minJaccard. The exact baseline for the LSH variant.
     * Intersection counts come straight off the shingle self-join (one
     * shuffle), no separate candidate materialization.
+    *
+    * `maxShingleDf`: the self-join is quadratic in a shingle's document
+    * frequency — one stop-phrase shared by 10⁶ docs yields 10¹² join
+    * rows. Setting a cap drops shingles with df above it from candidate
+    * generation (the standard CCP/"common shingle" pruning; near-dup
+    * pairs still share plenty of rare shingles, but reported n_int/
+    * jaccard then count capped shingles only). None = exact baseline;
+    * at scale prefer a cap or [[minhashLshPairs]].
     */
-  def ngramJaccardPairs(docs: DataFrame, minJaccard: Double = 0.5): DataFrame = {
-    val sh = shingleSet(docs)
+  def ngramJaccardPairs(docs: DataFrame, minJaccard: Double = 0.5,
+      maxShingleDf: Option[Long] = None): DataFrame = {
+    val shAll = shingleSet(docs)
+    val sh = maxShingleDf match {
+      case None => shAll
+      case Some(cap) =>
+        val wdf = Window.partitionBy(col("s"))
+        shAll.withColumn("df", count(lit(1)).over(wdf))
+          .filter(col("df") <= cap).drop("df")
+    }
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val inter = sh.as("x").join(sh.as("y"),
         col("x.s") === col("y.s") && col("x.doc_id") < col("y.doc_id"))

@@ -18,13 +18,18 @@ object EventOps {
     * `div` keeps the full 64-bit precision (a double division would
     * lose sub-µs bits above 2^53).
     */
-  private def microsOfTs(df: DataFrame): DataFrame = {
-    val us = df.schema("ts").dataType match {
+  private def microsOfTs(df: DataFrame): DataFrame =
+    df.withColumn("us", microsOfTsCol(df))
+
+  /** The schema-branched µs expression, shared with the streaming
+    * entry (SparkEntry stream_windowed_agg) so both paths tolerate
+    * either int64-nanos (nanosAsLong) or timestamp-typed `ts`.
+    */
+  def microsOfTsCol(df: DataFrame): org.apache.spark.sql.Column =
+    df.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType => expr("ts div 1000")
       case _ => unix_micros(col("ts").cast("timestamp"))
     }
-    df.withColumn("us", us)
-  }
 
   /** Gap-based sessionization: a new session starts when a user's gap
     * from the previous event exceeds `gapMinutes`. Two windows over the

@@ -43,7 +43,10 @@ case class LshBandSignatures(
   /** Tight loop shared by interpreted eval and generated code. */
   def computeSignature(v: Any): ArrayData = {
     val a = v.asInstanceOf[ArrayData]
-    val n = math.min(dim, a.numElements())
+    // a vector that disagrees with the configured dim is a data error —
+    // the reference raises on dim mismatch rather than hash garbage
+    VecUtil.requireSameDim(prettyName, a.numElements(), dim)
+    val n = dim
     // materialize the vector once (ArrayData getters are megamorphic)
     val x = new Array[Double](n)
     var j = 0

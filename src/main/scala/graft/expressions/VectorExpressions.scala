@@ -16,6 +16,20 @@ private[graft] object VecUtil {
     case other => throw new IllegalArgumentException(s"expected array type, got $other")
   }
 
+  /** Mismatched dimensionality is a data error, not a math input: the
+    * reference raises ValueError (utils/similarity.py validation) and
+    * silently truncating to min(length) would return plausible-but-wrong
+    * similarities for malformed rows.
+    */
+  def requireSameDim(op: String, n: Int, m: Int): Unit =
+    if (n != m) throw new IllegalArgumentException(
+      s"$op: vector dimensions differ: $n vs $m")
+
+  /** Java source for the same check inside generated code. */
+  def dimCheckSrc(op: String, n: String, m: String): String =
+    s"""if ($n != $m) throw new IllegalArgumentException(
+       |  "$op: vector dimensions differ: " + $n + " vs " + $m);""".stripMargin
+
   /** Java source for `(double) arr.get<T>(i)`. */
   def getterSrc(et: DataType, arr: String, i: String): String = et match {
     case FloatType   => s"(double) $arr.getFloat($i)"
@@ -54,7 +68,8 @@ case class CosineSimilarity(left: Expression, right: Expression) extends BinaryE
   override def nullSafeEval(l: Any, r: Any): Any = {
     val a = l.asInstanceOf[ArrayData]
     val b = r.asInstanceOf[ArrayData]
-    val n = math.min(a.numElements(), b.numElements())
+    VecUtil.requireSameDim(prettyName, a.numElements(), b.numElements())
+    val n = a.numElements()
     var dot = 0.0; var na = 0.0; var nb = 0.0
     var i = 0
     while (i < n) {
@@ -76,7 +91,8 @@ case class CosineSimilarity(left: Expression, right: Expression) extends BinaryE
       val x = ctx.freshName("x")
       val y = ctx.freshName("y")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |${VecUtil.dimCheckSrc(prettyName, s"$a.numElements()", s"$b.numElements()")}
+         |int $n = $a.numElements();
          |double $dot = 0.0, $na = 0.0, $nb = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
          |  double $x = ${VecUtil.getterSrc(lt, a, i)};
@@ -106,7 +122,8 @@ case class DotProduct(left: Expression, right: Expression) extends BinaryExpress
   override def nullSafeEval(l: Any, r: Any): Any = {
     val a = l.asInstanceOf[ArrayData]
     val b = r.asInstanceOf[ArrayData]
-    val n = math.min(a.numElements(), b.numElements())
+    VecUtil.requireSameDim(prettyName, a.numElements(), b.numElements())
+    val n = a.numElements()
     var dot = 0.0
     var i = 0
     while (i < n) { dot += VecUtil.get(lt, a, i) * VecUtil.get(rt, b, i); i += 1 }
@@ -119,7 +136,8 @@ case class DotProduct(left: Expression, right: Expression) extends BinaryExpress
       val n = ctx.freshName("n")
       val dot = ctx.freshName("dot")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |${VecUtil.dimCheckSrc(prettyName, s"$a.numElements()", s"$b.numElements()")}
+         |int $n = $a.numElements();
          |double $dot = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
          |  $dot += (${VecUtil.getterSrc(lt, a, i)}) * (${VecUtil.getterSrc(rt, b, i)});

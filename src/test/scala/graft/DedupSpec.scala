@@ -58,6 +58,21 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("ngramJaccardPairs: hot-shingle cap prunes candidates but keeps rare-shingle dups") {
+    // a generous cap (above any real df in the corpus) changes nothing
+    val uncapped = Dedup.ngramJaccardPairs(withCopies).collect().map(_.toSeq).toSeq
+    val capped = Dedup.ngramJaccardPairs(withCopies, maxShingleDf = Some(1000000L))
+      .collect().map(_.toSeq).toSeq
+    assert(capped === uncapped)
+    // a tight cap still finds the planted exact copies — their shingles
+    // are rare (df ≤ copies + a few organic near-dups), and dropped
+    // shingles vanish from both sides so copies keep jaccard 1.0
+    val tight = Dedup.ngramJaccardPairs(withCopies, maxShingleDf = Some(10L)).collect()
+    val planted = tight.filter(r => r.getAs[Long]("b") - r.getAs[Long]("a") === 1000000L)
+    assert(planted.length === 3)
+    assert(planted.forall(_.getAs[Double]("jaccard") === 1.0))
+  }
+
   test("nearDupClusters: copies join their source's cluster; chains collapse transitively") {
     val res = Dedup.nearDupClusters(withCopies).collect()
     assert(res.length === withCopies.count())

@@ -28,6 +28,26 @@ class VectorFunctionsSpec extends SparkSpec {
     assert(df.collect().head.isNullAt(0))
   }
 
+  test("dimension mismatch raises instead of truncating (reference ValueError)") {
+    val mismatched = Seq((Array(1f, 2f, 3f), Array(1f, 2f))).toDF("a", "b")
+    Seq(cosine_sim($"a", $"b"), dot_product($"a", $"b")).foreach { c =>
+      val e = intercept[Exception] { mismatched.select(c).collect() }
+      def causes(t: Throwable): Seq[Throwable] =
+        if (t == null) Nil else t +: causes(t.getCause)
+      assert(causes(e).exists(_.getMessage != null) &&
+        causes(e).exists(c => Option(c.getMessage).exists(_.contains("dimensions differ"))),
+        s"unexpected error: $e")
+    }
+    // LSH signatures likewise refuse a vector that disagrees with dim
+    val p = graft.lsh.LshParams(dim = 64, numPerm = 32,
+      numBands = Some(8), rowsPerBand = Some(4))
+    val bad = Seq((1L, Array.fill(63)(1f))).toDF("vec_id", "embedding")
+    val e = intercept[Exception] { graft.lsh.LshIndex.build(bad, p).collect() }
+    def causes(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: causes(t.getCause)
+    assert(causes(e).exists(c => Option(c.getMessage).exists(_.contains("dimensions differ"))))
+  }
+
   test("cosine_sim interpreted eval matches codegen") {
     // force interpreted path via filter on the expression in a situation
     // Catalyst may constant-fold; compare against a manual computation
