@@ -51,7 +51,7 @@ object Bench {
     def runOnce(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
         : (Double, Option[String]) = {
       val t0 = System.nanoTime()
-      try {
+      val out = try {
         val df = fn(spark, sfDir)
         df.select(xxhash64(df.columns.map(col): _*).as("h"))
           .agg(expr("bit_xor(h)")).collect()
@@ -62,6 +62,12 @@ object Bench {
             .replaceAll("[\"\\\\\n\r\t]", " ").take(200)
           ((System.nanoTime() - t0) / 1e9, Some(msg))
       }
+      // drop every cached plan/block between runs: operators that
+      // materialize internally would otherwise serve runs 2..N from run
+      // 1's cache and the per-query min would measure cached reads
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+      out
     }
 
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
