@@ -258,10 +258,28 @@ object LshIndex {
     writeSidecar(index.sparkSession, s"$path/params.json", paramsJson(p))
   }
 
-  /** Restore (index, params) (reference: core/main.py:898 load_from_disk). */
-  def load(spark: SparkSession, path: String): (DataFrame, LshParams) = {
+  /** Restore (index, params) (reference: core/main.py:898 load_from_disk;
+    * tests/test_persistence_security.py — missing dir/files raise, and
+    * `validate` additionally cross-checks the stored rows against the
+    * params so a tampered or mispaired sidecar fails fast instead of
+    * silently serving from the wrong layout: schema must be the
+    * inverted-index shape and every band id must fall inside
+    * [0, num_bands)).
+    */
+  def load(spark: SparkSession, path: String,
+      validate: Boolean = true): (DataFrame, LshParams) = {
     val p = parseParams(readSidecar(spark, s"$path/params.json"))
-    (spark.read.parquet(s"$path/index"), p)
+    val idx = spark.read.parquet(s"$path/index")
+    if (validate) {
+      val missing = Set("vec_id", "band", "sig") -- idx.columns.toSet
+      require(missing.isEmpty, s"stored index lacks columns $missing")
+      val r = idx.agg(max(col("band"))).head()
+      if (!r.isNullAt(0))
+        require(r.getInt(0) < p.b,
+          s"stored index has band ${r.getInt(0)} but params declare only ${p.b} bands " +
+            "— params.json does not match this index")
+    }
+    (idx, p)
   }
 
   /** Persist the index as a catalog table bucketed + sorted on

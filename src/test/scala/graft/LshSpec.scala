@@ -98,6 +98,28 @@ class LshSpec extends SparkSpec {
       idx.orderBy("vec_id", "band").collect().map(_.toSeq).toSeq)
   }
 
+  test("load rejects hostile/mispaired persisted state (reference persistence tests)") {
+    // missing directory raises (test_load_missing_directory_raises)
+    intercept[Exception] { LshIndex.load(spark, "/tmp/graft_no_such_dir_xyz") }
+    // params without index raises (test_load_missing_files_raises)
+    val dir = java.nio.file.Files.createTempDirectory("lshbad").toString
+    val idx = LshIndex.build(emb, p)
+    LshIndex.save(idx, p, dir)
+    val dir2 = java.nio.file.Files.createTempDirectory("lshbad2").toString
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(dir, "params.json"),
+      java.nio.file.Paths.get(dir2, "params.json"))
+    intercept[Exception] { LshIndex.load(spark, dir2) }
+    // params that disagree with the stored band layout fail fast
+    val wrong = p.copy(numPerm = 16, numBands = Some(4), rowsPerBand = Some(4))
+    val dir3 = java.nio.file.Files.createTempDirectory("lshbad3").toString
+    LshIndex.save(idx, wrong, dir3) // 8-band index, 4-band params
+    val e = intercept[IllegalArgumentException] { LshIndex.load(spark, dir3) }
+    assert(e.getMessage.contains("does not match"))
+    // validate=false restores the permissive behavior
+    LshIndex.load(spark, dir3, validate = false)
+  }
+
   test("bucketed save/load: params round-trip; collision join has no index-side exchange") {
     val idx = LshIndex.build(emb, p)
     val dir = java.nio.file.Files.createTempDirectory("lshtbl").toString
