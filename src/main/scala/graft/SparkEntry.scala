@@ -65,6 +65,11 @@ object SparkEntry {
     "events_sessionize" -> ((s, dir) => EventOps.sessionize(t(s, dir, "events"))),
     "events_windowed" -> ((s, dir) => EventOps.hourlyRollup(t(s, dir, "events"))),
     "events_percentiles" -> ((s, dir) => EventOps.valuePercentiles(t(s, dir, "events"))),
+    "events_asof" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      EventOps.asofJoin(ev, ev.filter(col("event_type") === "purchase"))
+        .orderBy(col("event_id"))
+    }),
     // --- D. text analysis ---
     "text_tokens" -> ((s, dir) => TextAnalysis.tokenStats(t(s, dir, "documents"))),
     "text_quality" -> ((s, dir) => TextAnalysis.quality(t(s, dir, "documents"))),
@@ -273,6 +278,25 @@ object SparkEntry {
         |FROM events
         |GROUP BY 1, 2
         |ORDER BY hour_bucket, event_type""".stripMargin,
+    "events_asof" ->
+      """WITH u AS (
+        |  SELECT user_id, epoch_us(ts) AS us, event_id AS ord_v, 1 AS side,
+        |         CAST(NULL AS STRUCT(event_id BIGINT, "value" DOUBLE)) AS payload
+        |  FROM events
+        |  UNION ALL
+        |  SELECT user_id, epoch_us(ts), event_id, 0,
+        |         {'event_id': event_id, 'value': "value"}
+        |  FROM events WHERE event_type = 'purchase'),
+        |m AS (
+        |  SELECT user_id, us, ord_v, side,
+        |    last_value(payload IGNORE NULLS) OVER (
+        |      PARTITION BY user_id ORDER BY us, side, ord_v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS m
+        |  FROM u)
+        |SELECT user_id, ord_v AS event_id, us,
+        |  m.event_id AS asof_event_id, m."value" AS asof_value
+        |FROM m WHERE side = 1
+        |ORDER BY event_id""".stripMargin,
     "events_percentiles" ->
       """SELECT event_type,
         |  quantile_cont(value, 0.5) AS p50,

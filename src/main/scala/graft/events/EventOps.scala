@@ -71,6 +71,43 @@ object EventOps {
         count(lit(1)).as("n_events"))
       .orderBy(col("event_type"))
 
+  /** As-of join — the time-series/feature-attribution operator: attach
+    * to every left event the LATEST right event with `right.us ≤
+    * left.us` in the same key group (ties at equal time resolved toward
+    * the largest right `ord` value; no prior right event → nulls).
+    *
+    * Implemented as a tagged union + one running-window pass: right
+    * rows sort before left rows at the same key/time, each left row
+    * picks `last(payload ignoreNulls)` over the preceding rows. ONE
+    * shuffle on the key columns and an O(n log n) per-key sort —
+    * instead of the naive range join whose fan-out is O(left × right)
+    * per key. The attached columns ride in a single struct so id/value
+    * always come from the same matched row even when some values are
+    * NULL.
+    */
+  def asofJoin(left: DataFrame, right: DataFrame,
+      keys: Seq[String] = Seq("user_id"),
+      ord: String = "event_id",
+      attach: Seq[String] = Seq("event_id", "value"),
+      prefix: String = "asof_"): DataFrame = {
+    val l = microsOfTs(left)
+    val r = microsOfTs(right)
+    val keyCols = keys.map(col)
+    val payloadT = r.select(attach.map(col): _*).schema
+    val lu = l.select(keyCols ++ Seq(col("us"), col(ord).as("ord_v"),
+      lit(1).as("side"), lit(null).cast(payloadT).as("payload")): _*)
+    val ru = r.select(keyCols ++ Seq(col("us"), col(ord).as("ord_v"),
+      lit(0).as("side"), struct(attach.map(col): _*).as("payload")): _*)
+    val w = Window.partitionBy(keyCols: _*)
+      .orderBy(col("us"), col("side"), col("ord_v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    lu.unionByName(ru)
+      .withColumn("m", last(col("payload"), ignoreNulls = true).over(w))
+      .filter(col("side") === 1)
+      .select(keyCols ++ Seq(col("ord_v").as(ord), col("us")) ++
+        attach.map(a => col(s"m.$a").as(s"$prefix$a")): _*)
+  }
+
   /** Tumbling time-window aggregation (hourly): exact decimal value
     * sums per (hour, event_type). One shuffle, map-side partials. */
   def hourlyRollup(events: DataFrame): DataFrame =

@@ -59,6 +59,29 @@ class RelationalSpec extends SparkSpec {
     }
   }
 
+  test("asofJoin attaches the latest right event at-or-before each left event") {
+    import org.apache.spark.sql.functions._
+    val res = EventOps.asofJoin(events,
+      events.filter(col("event_type") === "purchase")).collect()
+    assert(res.length === events.count())
+    // brute-force oracle on the collected rows
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id"), expr("ts div 1000").as("us"), col("value"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.get(3)))
+    res.foreach { r =>
+      val (uid, us) = (r.getAs[Long]("user_id"), r.getAs[Long]("us"))
+      val eligible = purchases.filter(p => p._1 == uid && p._3 <= us)
+      if (eligible.isEmpty) assert(r.isNullAt(r.fieldIndex("asof_event_id")))
+      else {
+        val best = eligible.maxBy(p => (p._3, p._2))
+        assert(r.getAs[Long]("asof_event_id") === best._2,
+          s"user $uid at $us expected ${best._2}")
+        assert(r.get(r.fieldIndex("asof_value")) === best._4)
+      }
+    }
+  }
+
   test("hourlyRollup counts cover all events") {
     val rows = EventOps.hourlyRollup(events).collect()
     assert(rows.map(_.getAs[Long]("n_events")).sum === events.count())
