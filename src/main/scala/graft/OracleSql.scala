@@ -32,10 +32,12 @@ object OracleSql {
        |    '${graft.text.TextAnalysis.SubwordPattern}'))::BIGINT AS n_subword
        |FROM t ORDER BY doc_id""".stripMargin
 
-  /** Winnowing (shingle w=3, window=4) — positional shingles via a
-    * struct comprehension, window-min fingerprints over full windows.
+  /** Winnowing CTE chain (shingle w=3, window=4) ending in `fp` =
+    * (doc_id, fingerprint) distinct — shared by the winnow dump and the
+    * containment pair query so the fingerprint definitions cannot
+    * drift.
     */
-  val textWinnow: String =
+  private val winnowFpCte: String =
     s"""WITH t AS (SELECT doc_id, $Toks AS toks FROM documents),
        |ps AS (SELECT doc_id,
        |  unnest([{'p': i, 's': array_to_string(toks[i:i+2],' ')}
@@ -44,10 +46,51 @@ object OracleSql {
        |w AS (SELECT doc_id, pos,
        |  min(h) OVER (PARTITION BY doc_id ORDER BY pos
        |    ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wmin,
-       |  count(*) OVER (PARTITION BY doc_id) AS n_sh FROM h)
-       |SELECT DISTINCT doc_id, wmin AS fingerprint FROM w
-       |WHERE pos <= n_sh - 3
+       |  count(*) OVER (PARTITION BY doc_id) AS n_sh FROM h),
+       |fp AS (SELECT DISTINCT doc_id, wmin AS fingerprint FROM w
+       |  WHERE pos <= n_sh - 3)""".stripMargin
+
+  /** Winnowing (shingle w=3, window=4) — positional shingles via a
+    * struct comprehension, window-min fingerprints over full windows.
+    */
+  val textWinnow: String =
+    s"""$winnowFpCte
+       |SELECT doc_id, fingerprint FROM fp
        |ORDER BY doc_id, fingerprint""".stripMargin
+
+  /** Containment pairs over shared winnow fingerprints (mirror of
+    * TextAnalysis.containment, minContainment = 0.5).
+    */
+  val textContainment: String =
+    s"""$winnowFpCte,
+       |sz AS (SELECT doc_id, count(*) AS n FROM fp GROUP BY doc_id),
+       |sh AS (SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS n_shared
+       |  FROM fp x JOIN fp y
+       |    ON x.fingerprint = y.fingerprint AND x.doc_id < y.doc_id
+       |  GROUP BY 1, 2)
+       |SELECT a, b, n_shared, za.n AS n_a, zb.n AS n_b,
+       |  n_shared / least(za.n, zb.n) AS containment
+       |FROM sh
+       |JOIN sz za ON a = za.doc_id
+       |JOIN sz zb ON b = zb.doc_id
+       |WHERE n_shared / least(za.n, zb.n) >= 0.5
+       |ORDER BY a, b""".stripMargin
+
+  /** Per-vector symmetric int8 quantization (mirror of Quantize.int8):
+    * scale = 127/max|x| (0 for the zero vector), q = floor(x·scale+0.5).
+    */
+  val vecQuantize: String =
+    s"""WITH s AS (SELECT vec_id, embedding,
+       |  CASE WHEN list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) = 0
+       |       THEN 0.0
+       |       ELSE 127.0 / list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE))))
+       |  END AS scale
+       |  FROM embeddings),
+       |e AS (SELECT vec_id, scale,
+       |  unnest(generate_series(1, len(embedding))) - 1 AS i,
+       |  CAST(unnest(embedding) AS DOUBLE) AS x FROM s)
+       |SELECT vec_id, i, CAST(floor(x * scale + 0.5) AS BIGINT) AS q, scale
+       |FROM e ORDER BY vec_id, i""".stripMargin
 
   val textQuality: String =
     s"""WITH t AS (SELECT doc_id, lower(text) AS txt, $Toks AS toks FROM documents),

@@ -76,6 +76,7 @@ object SparkEntry {
     "text_langid" -> ((s, dir) => TextAnalysis.langId(t(s, dir, "documents"))),
     "text_fingerprint" -> ((s, dir) => TextAnalysis.fingerprint(t(s, dir, "documents"))),
     "text_winnow" -> ((s, dir) => TextAnalysis.winnow(t(s, dir, "documents"))),
+    "text_containment" -> ((s, dir) => TextAnalysis.containment(t(s, dir, "documents"))),
     // --- B. dedup suite ---
     "dedup_exact" -> ((s, dir) => Dedup.exact(t(s, dir, "documents"))),
     "dedup_minhash" -> ((s, dir) => Dedup.minhash(t(s, dir, "documents"))),
@@ -130,6 +131,7 @@ object SparkEntry {
       val e = t(s, dir, "embeddings")
       LshIndex.topPRerank(e, e.filter(col("vec_id") < 10), lshRecallP, topP = 1.0, topK = 5)
     }),
+    "vec_quantize" -> ((s, dir) => graft.ann.Quantize.int8(t(s, dir, "embeddings"))),
     "vec_norm" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
       e.select(col("vec_id"),
@@ -310,6 +312,8 @@ object SparkEntry {
     "text_langid" -> OracleSql.textLangid,
     "text_fingerprint" -> OracleSql.textFingerprint,
     "text_winnow" -> OracleSql.textWinnow,
+    "text_containment" -> OracleSql.textContainment,
+    "vec_quantize" -> OracleSql.vecQuantize,
     "dedup_exact" -> OracleSql.dedupExact,
     "dedup_minhash" -> OracleSql.dedupMinhash,
     "dedup_minhash_lsh" -> OracleSql.dedupMinhashLsh,

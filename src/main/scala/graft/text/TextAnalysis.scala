@@ -118,6 +118,44 @@ object TextAnalysis {
       .orderBy(col("doc_id"), col("fingerprint"))
   }
 
+  /** Partial-duplication (containment) detection over winnowing
+    * fingerprints: pairs of documents sharing fingerprints, scored by
+    * `n_shared / min(n_a, n_b)` — near 1.0 when one document contains
+    * (most of) the other, even when their overall Jaccard is low; the
+    * winnowing guarantee makes any sufficiently long shared substring
+    * contribute at least one shared fingerprint.
+    *
+    * Scale shape matches [[graft.dedup.Dedup.ngramJaccardPairs]]'s
+    * self-join but over the winnowed ~2/(window+1) density instead of
+    * every shingle; `maxFingerprintDf` caps pathological fingerprints
+    * the same way maxShingleDf does.
+    */
+  def containment(docs: DataFrame, minContainment: Double = 0.5,
+      shingleW: Int = 3, window: Int = 4,
+      maxFingerprintDf: Option[Long] = None): DataFrame = {
+    val fpAll = winnow(docs, shingleW, window)
+    val fp = maxFingerprintDf match {
+      case None => fpAll
+      case Some(cap) =>
+        fpAll.withColumn("df",
+            count(lit(1)).over(Window.partitionBy(col("fingerprint"))))
+          .filter(col("df") <= cap).drop("df")
+    }
+    val sizes = fp.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val shared = fp.as("x").join(fp.as("y"),
+        col("x.fingerprint") === col("y.fingerprint") && col("x.doc_id") < col("y.doc_id"))
+      .groupBy(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+      .agg(count(lit(1)).as("n_shared"))
+    shared
+      .join(sizes.as("za"), col("a") === col("za.doc_id"))
+      .join(sizes.as("zb"), col("b") === col("zb.doc_id"))
+      .select(col("a"), col("b"), col("n_shared"),
+        col("za.n").as("n_a"), col("zb.n").as("n_b"),
+        (col("n_shared") / least(col("za.n"), col("zb.n"))).as("containment"))
+      .filter(col("containment") >= minContainment)
+      .orderBy(col("a"), col("b"))
+  }
+
   /** Content fingerprint: 60-bit portable hash of the normalized token
     * stream, plus a coarse length band (blocking key for dedup).
     */

@@ -45,6 +45,34 @@ class TextKnnSpec extends SparkSpec {
     assert(fp.map(_.getAs[Long]("fingerprint")).sameElements(again.map(_.getAs[Long]("fingerprint"))))
   }
 
+  test("containment: a document embedded in a larger one scores ~1.0") {
+    val body = (1 to 60).map(i => s"alpha$i").mkString(" ")
+    val host = s"intro text here $body trailing content words end"
+    val corpus = Seq((1L, body), (2L, host), (3L, (1 to 60).map(i => s"beta$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val res = TextAnalysis.containment(corpus, minContainment = 0.5).collect()
+    val pair = res.find(r => r.getAs[Long]("a") === 1L && r.getAs[Long]("b") === 2L)
+    assert(pair.isDefined, s"embedded doc not detected: ${res.toSeq}")
+    assert(pair.get.getAs[Double]("containment") >= 0.9)
+    // unrelated doc 3 pairs with nobody
+    assert(!res.exists(r => r.getAs[Long]("a") === 3L || r.getAs[Long]("b") === 3L))
+  }
+
+  test("int8 quantization round-trips within quantization error") {
+    import graft.ann.Quantize
+    val q = Quantize.int8(emb)
+    val codes = q.agg(min(col("q")), max(col("q"))).head()
+    assert(codes.getLong(0) >= -127L && codes.getLong(1) <= 127L)
+    // dequantized vectors stay within the scalar-quantization error
+    // bound: cosine vs the original ≥ 0.99 on unit-norm-ish data
+    val deq = Quantize.dequantize(q)
+    val sims = emb.select(col("vec_id"), col("embedding").as("orig"))
+      .join(deq.withColumnRenamed("embedding", "rec"), Seq("vec_id"))
+      .select(GraftFunctions.cosine_sim(col("orig"), col("rec")).as("c"))
+      .collect().map(_.getDouble(0))
+    assert(sims.nonEmpty && sims.forall(_ >= 0.99), s"worst ${sims.min}")
+  }
+
   test("cosineTopK: ordered, self-excluded, exact per manual computation") {
     val res = Knn.cosineTopK(emb, emb.filter(col("vec_id") < 5), 5).collect()
     val byQ = res.groupBy(_.getAs[Long]("q_id"))
