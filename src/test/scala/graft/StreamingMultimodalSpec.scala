@@ -33,6 +33,26 @@ class StreamingMultimodalSpec extends SparkSpec {
     }
   }
 
+  test("RocksDB state store runs the windowed agg with identical results") {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val default = spark.conf.get(key)
+    val schema = Tables.load(spark, sfDir, "events").schema
+    def run(tag: String): Array[org.apache.spark.sql.Row] = {
+      val tmp = java.nio.file.Files.createTempDirectory(s"evr_$tag")
+      java.nio.file.Files.createSymbolicLink(
+        tmp.resolve("events.parquet"), java.nio.file.Paths.get(s"$sfDir/events.parquet"))
+      val stream = spark.readStream.schema(schema).parquet(tmp.toString)
+        .select(timestamp_micros(expr("ts div 1000")).as("ts"), col("event_type"), col("value"))
+      Streams.runOnce(spark, Streams.windowedAgg(stream), s"wa_$tag", OutputMode.Complete())
+        .select(unix_micros(col("window_start")).as("start_us"), col("event_type"),
+          col("n_events"), col("sum_value"))
+        .orderBy("start_us", "event_type").collect()
+    }
+    spark.conf.set(key, GraftSession.RocksDbProvider)
+    val rocks = try run("rocks") finally spark.conf.set(key, default)
+    assert(rocks.toSeq === run("hdfs").toSeq)
+  }
+
   test("stateful sessionize emits closed sessions with correct bounds") {
     val input = MemoryStream[Streams.SessionEvent](spark, 1)
     val hour = 3600L * 1000000L
