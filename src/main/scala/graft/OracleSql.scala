@@ -233,6 +233,20 @@ object OracleSql {
        |FROM reach GROUP BY doc_id ORDER BY doc_id""".stripMargin
   }
 
+  /** Composite cleaning pipeline (mirror of Pipeline.cleanCorpus,
+    * minQuality = 0.3): the three already-oracle-exact stage queries
+    * joined as subqueries — the composition cannot drift from the
+    * stages.
+    */
+  val pipelineClean: String =
+    s"""SELECT q.doc_id, q.quality_score, e.keep AS exact_keep,
+       |  c.cluster_id, c.keep AS cluster_keep,
+       |  (q.quality_score >= 0.3 AND e.keep AND c.keep) AS keep
+       |FROM ($textQuality) q
+       |JOIN ($dedupExact) e ON q.doc_id = e.doc_id
+       |JOIN ($dedupClusters) c ON q.doc_id = c.doc_id
+       |ORDER BY q.doc_id""".stripMargin
+
   private val simhashBitSums: String = (0 until Dedup.SimhashBits)
     .map(b => s"  sum(CASE WHEN ((h >> $b) & 1) = 1 THEN 1 ELSE -1 END) AS s$b").mkString(",\n")
 

@@ -88,6 +88,7 @@ object SparkEntry {
     "dedup_embedding_lsh" -> ((s, dir) =>
       Knn.lshNearDupPairs(t(s, dir, "embeddings"), lshP, threshold = 0.3)),
     "dedup_clusters" -> ((s, dir) => Dedup.nearDupClusters(t(s, dir, "documents"))),
+    "pipeline_clean" -> ((s, dir) => graft.ops.Pipeline.cleanCorpus(t(s, dir, "documents"))),
     "dedup_mllib_minhash" -> ((s, dir) => {
       implicit val sp: SparkSession = s
       graft.ann.MlLsh.minhashNearDupPairs(t(s, dir, "documents"), maxJaccardDistance = 0.5)
@@ -322,6 +323,7 @@ object SparkEntry {
     "dedup_simhash_pairs" -> OracleSql.dedupSimhashPairs,
     "dedup_embedding" -> OracleSql.dedupEmbedding,
     "dedup_clusters" -> OracleSql.dedupClusters,
+    "pipeline_clean" -> OracleSql.pipelineClean,
     "dedup_embedding_lsh" -> OracleSql.dedupEmbeddingLsh,
     "cosine_topk_exact" -> OracleSql.cosineTopkExact,
     "knn_brute" -> OracleSql.knnBrute,

@@ -95,6 +95,25 @@ class DedupSpec extends SparkSpec {
     assert(cl(2L) === cl(1L) && cl(3L) === cl(1L))
   }
 
+  test("cleanCorpus: exact copies keep one representative; flags compose into keep") {
+    val res = graft.ops.Pipeline.cleanCorpus(withCopies).collect()
+    assert(res.length === withCopies.count())
+    val byId = res.map(r => r.getAs[Long]("doc_id") -> r).toMap
+    (0 until 3).foreach { i =>
+      // the planted copy loses on both the exact and cluster stage;
+      // its source (min doc_id) survives those stages
+      assert(!byId(i.toLong + 1000000L).getAs[Boolean]("exact_keep"))
+      assert(!byId(i.toLong + 1000000L).getAs[Boolean]("cluster_keep"))
+      assert(!byId(i.toLong + 1000000L).getAs[Boolean]("keep"))
+      assert(byId(i.toLong).getAs[Boolean]("exact_keep"))
+    }
+    res.foreach { r =>
+      val expected = r.getAs[Double]("quality_score") >= 0.3 &&
+        r.getAs[Boolean]("exact_keep") && r.getAs[Boolean]("cluster_keep")
+      assert(r.getAs[Boolean]("keep") === expected)
+    }
+  }
+
   test("simhash: identical docs identical fingerprints; near-dups close in hamming") {
     val sh = Dedup.simhash(withCopies).collect()
       .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("simhash")).toMap

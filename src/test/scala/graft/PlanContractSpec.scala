@@ -59,7 +59,8 @@ class PlanContractSpec extends SparkSpec {
       "dedup_simhash", "dedup_embedding_lsh",
       "lsh_signatures", "lsh_bucket_stats", "lsh_candidate_pairs",
       "lsh_topk", "lsh_topp_rerank", "ann_lsh", "vec_norm",
-      "lsh_delete_clear", "mm_binary_meta")
+      "lsh_delete_clear", "mm_binary_meta",
+      "events_asof", "text_containment", "vec_quantize")
     sweep.foreach { name =>
       val phys = physical(q(name))
       assert(!phys.contains("CartesianProduct"),
