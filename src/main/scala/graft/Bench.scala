@@ -53,7 +53,7 @@ object Bench {
       val t0 = System.nanoTime()
       val out = try {
         val df = fn(spark, sfDir)
-        df.select(xxhash64(df.columns.map(col): _*).as("h"))
+        df.select(xxhash64(df.columns.toIndexedSeq.map(col): _*).as("h"))
           .agg(expr("bit_xor(h)")).collect()
         ((System.nanoTime() - t0) / 1e9, None)
       } catch {

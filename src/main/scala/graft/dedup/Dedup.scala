@@ -1,11 +1,10 @@
 package graft.dedup
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
 
-import graft.GraftFunctions
 import graft.GraftFunctions.{hex64, shingles, tokens}
 
 /** Deduplication suite for training-data pipelines.

@@ -20,7 +20,7 @@ object Skew {
   def saltedJoin(left: DataFrame, right: DataFrame, key: String, salts: Int = 16): DataFrame = {
     require(salts > 0, "salts must be positive")
     val saltedLeft = left.withColumn("__salt",
-      pmod(xxhash64(left.columns.map(col): _*), lit(salts.toLong)))
+      pmod(xxhash64(left.columns.toIndexedSeq.map(col): _*), lit(salts.toLong)))
     val saltedRight = right.withColumn("__salt",
       explode(array((0 until salts).map(i => lit(i.toLong)): _*)))
     saltedLeft.join(saltedRight, Seq(key, "__salt")).drop("__salt")
