@@ -108,6 +108,45 @@ object OracleSql {
        |  ELSE 0.0 END AS quality_score
        |FROM m ORDER BY doc_id""".stripMargin
 
+  /** Gopher-rules quality battery (mirror of TextAnalysis.gopherQuality). */
+  val textGopher: String = {
+    val meanLen = "CASE WHEN n_words > 0 THEN sum_len / n_words END"
+    val symbolRatio = "CASE WHEN n_words > 0 THEN (n_hash + n_ellipsis) / n_words END"
+    val alphaRatio = "CASE WHEN n_words > 0 THEN n_alpha_words / n_words END"
+    val bulletRatio = "CASE WHEN n_lines > 0 THEN n_bullet_lines / n_lines END"
+    val ellipsisRatio = "CASE WHEN n_lines > 0 THEN n_ellipsis_lines / n_lines END"
+    s"""WITH t AS (SELECT doc_id, text, $Toks AS toks FROM documents),
+       |m AS (SELECT doc_id,
+       |  len(toks)::BIGINT AS n_words,
+       |  list_aggregate(list_transform(toks, x -> length(x)), 'sum') AS sum_len,
+       |  (length(text) - length(replace(text, '#', '')))::BIGINT AS n_hash,
+       |  ((length(text) - length(replace(text, '...', ''))) // 3
+       |    + (length(text) - length(replace(text, '…', ''))))::BIGINT AS n_ellipsis,
+       |  len(list_filter(toks, x -> regexp_matches(x, '[a-z]')))::BIGINT AS n_alpha_words,
+       |  ${hits(TextAnalysis.stopwords)} AS n_stop,
+       |  string_split(text, chr(10)) AS lines
+       |  FROM t),
+       |m2 AS (SELECT *, len(lines)::BIGINT AS n_lines,
+       |  len(list_filter(lines, l -> substr(ltrim(l),1,1) IN ('-','*','•')))::BIGINT AS n_bullet_lines,
+       |  len(list_filter(lines, l -> ends_with(rtrim(l),'...') OR ends_with(rtrim(l),'…')))::BIGINT AS n_ellipsis_lines
+       |  FROM m)
+       |SELECT doc_id, n_words,
+       |  $meanLen AS mean_word_len,
+       |  $symbolRatio AS symbol_ratio,
+       |  $bulletRatio AS bullet_line_ratio,
+       |  $ellipsisRatio AS ellipsis_line_ratio,
+       |  $alphaRatio AS alpha_word_ratio,
+       |  n_stop,
+       |  (n_words >= 50 AND n_words <= 100000
+       |   AND ($meanLen) >= 3.0 AND ($meanLen) <= 10.0
+       |   AND ($symbolRatio) <= 0.1
+       |   AND coalesce($bulletRatio, 0.0) <= 0.9
+       |   AND coalesce($ellipsisRatio, 0.0) <= 0.3
+       |   AND ($alphaRatio) >= 0.8
+       |   AND n_stop >= 2) AS gopher_pass
+       |FROM m2 ORDER BY doc_id""".stripMargin
+  }
+
   val textLangid: String = {
     val scoreCols = TextAnalysis.langMarkers
       .map { case (l, ws) => s"  ${hits(ws)} AS s_$l" }.mkString(",\n")

@@ -77,6 +77,7 @@ object SparkEntry {
     "text_fingerprint" -> ((s, dir) => TextAnalysis.fingerprint(t(s, dir, "documents"))),
     "text_winnow" -> ((s, dir) => TextAnalysis.winnow(t(s, dir, "documents"))),
     "text_containment" -> ((s, dir) => TextAnalysis.containment(t(s, dir, "documents"))),
+    "text_gopher" -> ((s, dir) => TextAnalysis.gopherQuality(t(s, dir, "documents"))),
     // --- B. dedup suite ---
     "dedup_exact" -> ((s, dir) => Dedup.exact(t(s, dir, "documents"))),
     "dedup_minhash" -> ((s, dir) => Dedup.minhash(t(s, dir, "documents"))),
@@ -314,6 +315,7 @@ object SparkEntry {
     "text_fingerprint" -> OracleSql.textFingerprint,
     "text_winnow" -> OracleSql.textWinnow,
     "text_containment" -> OracleSql.textContainment,
+    "text_gopher" -> OracleSql.textGopher,
     "vec_quantize" -> OracleSql.vecQuantize,
     "dedup_exact" -> OracleSql.dedupExact,
     "dedup_minhash" -> OracleSql.dedupMinhash,

@@ -70,6 +70,63 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** Gopher-style document-quality rules (Rae et al. 2021, "Scaling
+    * Language Models: ... Gopher", §A1.1 — the standard heuristic
+    * filter battery for web-scale training corpora):
+    *
+    *  - 50 ≤ word count ≤ 100 000
+    *  - 3 ≤ mean word length ≤ 10
+    *  - symbol-to-word ratio ('#', '…', '...') ≤ 0.1
+    *  - ≤ 90% of lines start with a bullet; ≤ 30% end with an ellipsis
+    *  - ≥ 80% of words contain an alphabetic character
+    *  - ≥ 2 stopwords present
+    *
+    * Emits every signal plus the conjunctive `gopher_pass` so the
+    * decision is auditable per document. Pure built-in expressions over
+    * one tokenization — integer counts with one final double division
+    * per ratio (cross-engine exact).
+    */
+  def gopherQuality(docs: DataFrame): DataFrame = {
+    val base = withToks(docs)
+      .withColumn("n_words", size(col("toks")).cast("long"))
+      .withColumn("sum_len", aggregate(col("toks"), lit(0), (acc, t) => acc + length(t)))
+      .withColumn("n_hash",
+        (length(col("text")) - length(regexp_replace(col("text"), "#", ""))).cast("long"))
+      .withColumn("n_ellipsis",
+        ((length(col("text")) - length(regexp_replace(col("text"), "\\.\\.\\.", ""))) / 3
+          + (length(col("text")) - length(regexp_replace(col("text"), "…", "")))).cast("long"))
+      .withColumn("n_alpha_words",
+        size(filter(col("toks"), t => t.rlike("[a-z]"))).cast("long"))
+      .withColumn("n_stop", hits(col("toks"), stopwords))
+      .withColumn("lines", split(col("text"), "\n"))
+      .withColumn("n_lines", size(col("lines")).cast("long"))
+      .withColumn("n_bullet_lines",
+        size(filter(col("lines"), l => substring(ltrim(l), 1, 1).isin("-", "*", "•")))
+          .cast("long"))
+      .withColumn("n_ellipsis_lines",
+        size(filter(col("lines"), l => rtrim(l).endsWith("...") || rtrim(l).endsWith("…")))
+          .cast("long"))
+    val nW = col("n_words")
+    val meanLen = when(nW > 0, col("sum_len") / nW)
+    val symbolRatio = when(nW > 0, (col("n_hash") + col("n_ellipsis")) / nW)
+    val alphaRatio = when(nW > 0, col("n_alpha_words") / nW)
+    val bulletRatio = when(col("n_lines") > 0, col("n_bullet_lines") / col("n_lines"))
+    val ellipsisRatio = when(col("n_lines") > 0, col("n_ellipsis_lines") / col("n_lines"))
+    base.select(
+      col("doc_id"), nW, meanLen.as("mean_word_len"),
+      symbolRatio.as("symbol_ratio"), bulletRatio.as("bullet_line_ratio"),
+      ellipsisRatio.as("ellipsis_line_ratio"), alphaRatio.as("alpha_word_ratio"),
+      col("n_stop"),
+      (nW >= 50 && nW <= 100000 &&
+        meanLen >= 3.0 && meanLen <= 10.0 &&
+        symbolRatio <= 0.1 &&
+        coalesce(bulletRatio, lit(0.0)) <= 0.9 &&
+        coalesce(ellipsisRatio, lit(0.0)) <= 0.3 &&
+        alphaRatio >= 0.8 &&
+        col("n_stop") >= 2).as("gopher_pass"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Stopword-profile language ID: count marker hits per language,
     * argmax with fixed priority tie-break, 'und' when no marker hits.
     */

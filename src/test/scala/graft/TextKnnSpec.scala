@@ -45,6 +45,23 @@ class TextKnnSpec extends SparkSpec {
     assert(fp.map(_.getAs[Long]("fingerprint")).sameElements(again.map(_.getAs[Long]("fingerprint"))))
   }
 
+  test("gopher rules: synthetic violations trip exactly the intended signal") {
+    val good = (1 to 60).map(i => s"the word number$i is of and to in").mkString(" ")
+    val tooShort = "the a of and short text"
+    val bullets = (1 to 60).map(i => s"- the bullet item $i of and").mkString("\n")
+    val noStop = (1 to 60).map(i => s"zzz$i qqq$i").mkString(" ")
+    val df = Seq((1L, good), (2L, tooShort), (3L, bullets), (4L, noStop))
+      .toDF("doc_id", "text")
+    val res = TextAnalysis.gopherQuality(df).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(res(1L).getAs[Boolean]("gopher_pass"))
+    assert(!res(2L).getAs[Boolean]("gopher_pass")) // word count < 50
+    assert(res(3L).getAs[Double]("bullet_line_ratio") === 1.0)
+    assert(!res(3L).getAs[Boolean]("gopher_pass"))
+    assert(res(4L).getAs[Long]("n_stop") === 0L)
+    assert(!res(4L).getAs[Boolean]("gopher_pass"))
+  }
+
   test("containment: a document embedded in a larger one scores ~1.0") {
     val body = (1 to 60).map(i => s"alpha$i").mkString(" ")
     val host = s"intro text here $body trailing content words end"
