@@ -108,6 +108,45 @@ object OracleSql {
        |  ELSE 0.0 END AS quality_score
        |FROM m ORDER BY doc_id""".stripMargin
 
+  /** BM25 against the shared fixed term set (mirror of
+    * TextAnalysis.bm25; k1 = 1.2, b = 0.75). Every subexpression is
+    * written in the same association order as the Spark side and
+    * `ln` agrees bitwise with JVM `Math.log` on this platform.
+    */
+  val textBm25: String = {
+    val terms = TextAnalysis.Bm25Terms
+    val dfAggs = terms.zipWithIndex.map { case (term, i) =>
+      s"  sum(CASE WHEN list_contains(toks, '$term') THEN 1 ELSE 0 END)::BIGINT AS df_$i"
+    }.mkString(",\n")
+    val tfCols = terms.zipWithIndex.map { case (term, i) =>
+      s"  len(list_filter(toks, x -> x = '$term'))::BIGINT AS tf_$i"
+    }.mkString(",\n")
+    // Constants are forced to DOUBLE: DuckDB otherwise keeps
+    // int×decimal-literal EXACT (3 × 2.2 = decimal 6.6) where Spark does
+    // IEEE double math (6.6000000000000005) — a 1-ulp mismatch factory.
+    // k1+1 is computed in Scala and injected as its shortest-roundtrip
+    // decimal so both engines hold the bit-identical double (the literal
+    // 2.2 need not equal the sum 1.2 + 1.0).
+    val k1p1 = (1.2 + 1.0).toString
+    val score = terms.indices.map { i =>
+      s"ln(1.0::DOUBLE + (n_docs - df_$i + 0.5::DOUBLE) / (df_$i + 0.5::DOUBLE)) " +
+        s"* (tf_$i * $k1p1::DOUBLE) " +
+        s"/ (tf_$i + 1.2::DOUBLE * (1.0::DOUBLE - 0.75::DOUBLE + 0.75::DOUBLE * (dl / (sum_dl / n_docs))))"
+    }.mkString("\n    + ")
+    s"""WITH t AS (SELECT doc_id, $Toks AS toks FROM documents),
+       |d AS (SELECT doc_id, toks, len(toks)::BIGINT AS dl FROM t),
+       |s AS (SELECT count(*)::BIGINT AS n_docs, sum(dl)::BIGINT AS sum_dl,
+       |$dfAggs
+       |  FROM d),
+       |f AS (SELECT doc_id, dl,
+       |$tfCols
+       |  FROM d)
+       |SELECT doc_id, dl,
+       |    $score AS bm25
+       |FROM f CROSS JOIN s
+       |ORDER BY doc_id""".stripMargin
+  }
+
   /** Gopher-rules quality battery (mirror of TextAnalysis.gopherQuality). */
   val textGopher: String = {
     val meanLen = "CASE WHEN n_words > 0 THEN sum_len / n_words END"

@@ -78,6 +78,7 @@ object SparkEntry {
     "text_winnow" -> ((s, dir) => TextAnalysis.winnow(t(s, dir, "documents"))),
     "text_containment" -> ((s, dir) => TextAnalysis.containment(t(s, dir, "documents"))),
     "text_gopher" -> ((s, dir) => TextAnalysis.gopherQuality(t(s, dir, "documents"))),
+    "text_bm25" -> ((s, dir) => TextAnalysis.bm25(t(s, dir, "documents"))),
     // --- B. dedup suite ---
     "dedup_exact" -> ((s, dir) => Dedup.exact(t(s, dir, "documents"))),
     "dedup_minhash" -> ((s, dir) => Dedup.minhash(t(s, dir, "documents"))),
@@ -316,6 +317,7 @@ object SparkEntry {
     "text_winnow" -> OracleSql.textWinnow,
     "text_containment" -> OracleSql.textContainment,
     "text_gopher" -> OracleSql.textGopher,
+    "text_bm25" -> OracleSql.textBm25,
     "vec_quantize" -> OracleSql.vecQuantize,
     "dedup_exact" -> OracleSql.dedupExact,
     "dedup_minhash" -> OracleSql.dedupMinhash,

@@ -175,6 +175,50 @@ object TextAnalysis {
       .orderBy(col("doc_id"), col("fingerprint"))
   }
 
+  /** Fixed query-term set shared with the oracle generator so both
+    * sides of the `text_bm25` check score the identical query.
+    */
+  val Bm25Terms: Seq[String] = Seq("the", "of", "data")
+
+  /** BM25 relevance score of every document against a fixed term set —
+    * the standard retrieval/quality-weighting primitive (Robertson &
+    * Zaragoza 2009; k1 = 1.2, b = 0.75):
+    *
+    *   score = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl))
+    *   idf(t) = ln(1 + (N − df + 0.5)/(df + 0.5))
+    *
+    * Two passes over the corpus: one broadcastable aggregate row for
+    * (N, Σdl, df per term), then a map-side scoring projection — no
+    * per-term shuffle. Arithmetic is written in a fixed association
+    * order and the log goes through [[graft.expressions.IeeeLn]]
+    * (`Math.log` ≡ DuckDB `ln` bitwise; Spark's built-in `log` is
+    * `StrictMath` and drifts 1 ulp), so the oracle is hash-exact.
+    */
+  def bm25(docs: DataFrame, terms: Seq[String] = Bm25Terms,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val t = withToks(docs).withColumn("dl", size(col("toks")).cast("long"))
+    val statAggs = Seq(
+      count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl")) ++
+      terms.zipWithIndex.map { case (term, i) =>
+        sum(when(array_contains(col("toks"), term), 1L).otherwise(0L)).as(s"df_$i")
+      }
+    val stats = t.agg(statAggs.head, statAggs.tail: _*)
+    val scored = t.crossJoin(broadcast(stats))
+    val termScores = terms.zipWithIndex.map { case (term, i) =>
+      val tf = size(filter(col("toks"), x => x === term)).cast("long")
+      val idf = org.apache.spark.sql.GraftColumnBridge.column(
+        graft.expressions.IeeeLn(org.apache.spark.sql.GraftColumnBridge.expression(
+          lit(1.0) +
+            (col("n_docs") - col(s"df_$i") + lit(0.5)) / (col(s"df_$i") + lit(0.5)))))
+      // association order mirrors the oracle SQL exactly
+      idf * (tf * lit(k1 + 1.0)) /
+        (tf + lit(k1) * (lit(1.0) - lit(b) + lit(b) * (col("dl") / (col("sum_dl") / col("n_docs")))))
+    }
+    scored
+      .select(col("doc_id"), col("dl"), termScores.reduce(_ + _).as("bm25"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Partial-duplication (containment) detection over winnowing
     * fingerprints: pairs of documents sharing fingerprints, scored by
     * `n_shared / min(n_a, n_b)` — near 1.0 when one document contains

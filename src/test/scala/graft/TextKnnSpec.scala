@@ -45,6 +45,23 @@ class TextKnnSpec extends SparkSpec {
     assert(fp.map(_.getAs[Long]("fingerprint")).sameElements(again.map(_.getAs[Long]("fingerprint"))))
   }
 
+  test("bm25: rare matched terms outscore common ones; non-matching docs score 0") {
+    val corpus = Seq(
+      (1L, "the apple tree and the fruit of autumn"),   // common 'the'/'of'
+      (2L, "rareword apple tree fruit autumn harvest"), // rare term only
+      (3L, "zzz qqq yyy www")                           // matches nothing
+    ).toDF("doc_id", "text")
+    val res = TextAnalysis.bm25(corpus, terms = Seq("the", "rareword")).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("bm25")).toMap
+    assert(res(3L) === 0.0)
+    // 'rareword' (df=1) carries more idf weight than 'the' (df=1 here too,
+    // but doc 1 has tf=2 for 'the'); both docs must score positive
+    assert(res(1L) > 0.0 && res(2L) > 0.0)
+    // idf of a df=1 term in a 3-doc corpus: ln(1 + 2.5/1.5) > 0
+    val idf = math.log(1.0 + (3 - 1 + 0.5) / (1 + 0.5))
+    assert(res(2L) <= idf * 2.2 + 1e-9) // single-term score bounded by idf·(k1+1)
+  }
+
   test("gopher rules: synthetic violations trip exactly the intended signal") {
     val good = (1 to 60).map(i => s"the word number$i is of and to in").mkString(" ")
     val tooShort = "the a of and short text"
