@@ -19,6 +19,13 @@ object OracleSql {
   /** w=3 word shingles over `toks` (mirror of GraftFunctions.shingles). */
   val Shingles = "list_distinct([array_to_string(toks[i:i+2],' ') for i in range(1, len(toks)-1)])"
 
+  /** Shared CTE prefix: tokenized docs + distinct shingle set.
+    * (Declared up top — object vals initialize in order.)
+    */
+  private val ShCte =
+    s"""WITH t AS (SELECT doc_id, $Toks AS toks FROM documents),
+       |sh AS (SELECT DISTINCT doc_id, unnest($Shingles) AS s FROM t)""".stripMargin
+
   private def list(words: Seq[String]): String = words.map(w => s"'$w'").mkString("[", ",", "]")
 
   private def hits(words: Seq[String]): String =
@@ -107,6 +114,29 @@ object OracleSql {
        |    (1.0 - CASE WHEN n_chars > 0 THEN n_punct / n_chars ELSE 0.0 END)
        |  ELSE 0.0 END AS quality_score
        |FROM m ORDER BY doc_id""".stripMargin
+
+  /** Corpus composition per (source, lang) (mirror of
+    * TextAnalysis.corpusStats).
+    */
+  val corpusStats: String =
+    s"""WITH t AS (SELECT source, lang, len($Toks)::BIGINT AS n_tokens, n_chars
+       |  FROM documents)
+       |SELECT source, lang, count(*) AS n_docs,
+       |  sum(n_tokens)::BIGINT AS total_tokens,
+       |  sum(n_chars)::BIGINT AS total_chars,
+       |  sum(n_tokens)::BIGINT / count(*) AS avg_tokens
+       |FROM t GROUP BY source, lang
+       |ORDER BY source, lang""".stripMargin
+
+  /** Top-100 n-grams by document frequency (mirror of
+    * TextAnalysis.topNgrams).
+    */
+  val textTopNgrams: String =
+    s"""$ShCte,
+       |g AS (SELECT s, count(*) AS df FROM sh GROUP BY s),
+       |r AS (SELECT s, df, row_number() OVER (ORDER BY df DESC, s) AS rank FROM g)
+       |SELECT s, df, rank FROM r WHERE rank <= 100
+       |ORDER BY rank""".stripMargin
 
   /** BM25 against the shared fixed term set (mirror of
     * TextAnalysis.bm25; k1 = 1.2, b = 0.75). Every subexpression is
@@ -217,11 +247,6 @@ object OracleSql {
        |  count(*) OVER (PARTITION BY fingerprint) AS group_size,
        |  doc_id = min(doc_id) OVER (PARTITION BY fingerprint) AS keep
        |FROM t ORDER BY doc_id""".stripMargin
-
-  /** Shared CTE prefix: tokenized docs + distinct shingle set. */
-  private val ShCte =
-    s"""WITH t AS (SELECT doc_id, $Toks AS toks FROM documents),
-       |sh AS (SELECT DISTINCT doc_id, unnest($Shingles) AS s FROM t)""".stripMargin
 
   private val minhashCols: String = {
     val cs = graft.dedup.MinhashFamily.coefs(Dedup.MinhashK)

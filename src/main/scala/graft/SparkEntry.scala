@@ -79,6 +79,8 @@ object SparkEntry {
     "text_containment" -> ((s, dir) => TextAnalysis.containment(t(s, dir, "documents"))),
     "text_gopher" -> ((s, dir) => TextAnalysis.gopherQuality(t(s, dir, "documents"))),
     "text_bm25" -> ((s, dir) => TextAnalysis.bm25(t(s, dir, "documents"))),
+    "corpus_stats" -> ((s, dir) => TextAnalysis.corpusStats(t(s, dir, "documents"))),
+    "text_top_ngrams" -> ((s, dir) => TextAnalysis.topNgrams(t(s, dir, "documents"))),
     // --- B. dedup suite ---
     "dedup_exact" -> ((s, dir) => Dedup.exact(t(s, dir, "documents"))),
     "dedup_minhash" -> ((s, dir) => Dedup.minhash(t(s, dir, "documents"))),
@@ -318,6 +320,8 @@ object SparkEntry {
     "text_containment" -> OracleSql.textContainment,
     "text_gopher" -> OracleSql.textGopher,
     "text_bm25" -> OracleSql.textBm25,
+    "corpus_stats" -> OracleSql.corpusStats,
+    "text_top_ngrams" -> OracleSql.textTopNgrams,
     "vec_quantize" -> OracleSql.vecQuantize,
     "dedup_exact" -> OracleSql.dedupExact,
     "dedup_minhash" -> OracleSql.dedupMinhash,

@@ -257,6 +257,38 @@ object TextAnalysis {
       .orderBy(col("a"), col("b"))
   }
 
+  /** Corpus composition report per (source, lang) — the first table a
+    * corpus curator looks at: document counts, token/char volume, and
+    * mean document length. One grouped aggregation with map-side
+    * partials.
+    */
+  def corpusStats(docs: DataFrame): DataFrame =
+    withToks(docs)
+      .select(col("source"), col("lang"),
+        size(col("toks")).cast("long").as("n_tokens"), col("n_chars"))
+      .groupBy(col("source"), col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("total_tokens"),
+        sum(col("n_chars")).as("total_chars"),
+        (sum(col("n_tokens")) / count(lit(1))).as("avg_tokens"))
+      .orderBy(col("source"), col("lang"))
+
+  /** Most-frequent n-grams by document frequency (ties broken
+    * lexicographically) — the boilerplate/vocabulary probe that feeds
+    * stop-phrase lists and the `maxShingleDf` caps. Global top-k is a
+    * distributed TakeOrdered over the grouped counts (never a
+    * single-partition window over the full vocabulary); the rank
+    * window touches only the k survivors.
+    */
+  def topNgrams(docs: DataFrame, k: Int = 100): DataFrame = {
+    val grouped = graft.dedup.Dedup.shingleSet(docs)
+      .groupBy(col("s")).agg(count(lit(1)).as("df"))
+    grouped.orderBy(col("df").desc, col("s")).limit(k)
+      .withColumn("rank",
+        row_number().over(Window.orderBy(col("df").desc, col("s"))).cast("long"))
+      .orderBy(col("rank"))
+  }
+
   /** Content fingerprint: 60-bit portable hash of the normalized token
     * stream, plus a coarse length band (blocking key for dedup).
     */

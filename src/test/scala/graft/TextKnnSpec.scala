@@ -45,6 +45,24 @@ class TextKnnSpec extends SparkSpec {
     assert(fp.map(_.getAs[Long]("fingerprint")).sameElements(again.map(_.getAs[Long]("fingerprint"))))
   }
 
+  test("corpusStats totals reconcile with the corpus; topNgrams plans a distributed top-k") {
+    val stats = TextAnalysis.corpusStats(docs).collect()
+    assert(stats.map(_.getAs[Long]("n_docs")).sum === docs.count())
+    stats.foreach { r =>
+      assert(r.getAs[Double]("avg_tokens") ===
+        r.getAs[Long]("total_tokens").toDouble / r.getAs[Long]("n_docs"))
+    }
+    val top = TextAnalysis.topNgrams(docs, k = 20)
+    val phys = top.queryExecution.executedPlan.toString
+    assert(phys.contains("TakeOrderedAndProject"),
+      s"global top-k must not sort the full vocabulary:\n$phys")
+    val rows = top.collect()
+    assert(rows.length <= 20)
+    val dfs = rows.map(_.getAs[Long]("df"))
+    assert(dfs.sameElements(dfs.sortBy(-_)), "descending df order")
+    assert(rows.map(_.getAs[Long]("rank")).toSeq === (1L to rows.length))
+  }
+
   test("bm25: rare matched terms outscore common ones; non-matching docs score 0") {
     val corpus = Seq(
       (1L, "the apple tree and the fruit of autumn"),   // common 'the'/'of'
