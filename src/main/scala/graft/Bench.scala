@@ -77,7 +77,10 @@ object Bench {
         errors(name) = err
         System.err.println(s"[bench] FAILED $name: $err")
       }
-      name -> attempts.map(_._1).min
+      // min over SUCCESSFUL attempts only — a fast failure must not
+      // masquerade as a fast query
+      val okTimes = attempts.collect { case (t, None) => t }
+      name -> (if (okTimes.nonEmpty) okTimes.min else attempts.map(_._1).min)
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -293,12 +293,15 @@ object SparkEntry {
         |  UNION ALL
         |  SELECT user_id, epoch_us(ts), event_id, 0,
         |         {'event_id': event_id, 'value': "value"}
-        |  FROM events WHERE event_type = 'purchase'),
+        |  FROM events
+        |  WHERE event_type = 'purchase' AND epoch_us(ts) IS NOT NULL),
         |m AS (
         |  SELECT user_id, us, ord_v, side,
-        |    last_value(payload IGNORE NULLS) OVER (
-        |      PARTITION BY user_id ORDER BY us, side, ord_v
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS m
+        |    CASE WHEN us IS NOT NULL THEN
+        |      last_value(payload IGNORE NULLS) OVER (
+        |        PARTITION BY user_id ORDER BY us, side, ord_v
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |    END AS m
         |  FROM u)
         |SELECT user_id, ord_v AS event_id, us,
         |  m.event_id AS asof_event_id, m."value" AS asof_value

@@ -38,20 +38,8 @@ object Dedup {
   private def withToks(docs: DataFrame): DataFrame =
     docs.withColumn("toks", tokens(col("text")))
 
-  /** Cache-lifecycle helper: force `df`'s blocks (so upstream caches are
-    * no longer needed for recomputation), then run `release` to unpersist
-    * the intermediates, and hand the still-cached result to the caller.
-    * The returned DataFrame is the cache scope — `result.unpersist()`
-    * when done leaves zero persistent RDDs behind (asserted by
-    * CacheLifecycleSpec). If the result's blocks are later evicted the
-    * plan recomputes from source (slower, still correct).
-    */
-  private def materialized(df: DataFrame)(release: => Unit): DataFrame = {
-    val out = df.persist(StorageLevel.MEMORY_AND_DISK)
-    out.count()
-    release
-    out
-  }
+  private def materialized(df: DataFrame)(release: => Unit): DataFrame =
+    graft.ops.Caching.materialized(df)(release)
 
   /** Distinct (doc_id, shingle) pairs. `shingles()` already dedupes
     * within each document (array_distinct), so no extra shuffle is
@@ -150,13 +138,8 @@ object Dedup {
   def ngramJaccardPairs(docs: DataFrame, minJaccard: Double = 0.5,
       maxShingleDf: Option[Long] = None): DataFrame = {
     val shAll = shingleSet(docs)
-    val sh = maxShingleDf match {
-      case None => shAll
-      case Some(cap) =>
-        val wdf = Window.partitionBy(col("s"))
-        shAll.withColumn("df", count(lit(1)).over(wdf))
-          .filter(col("df") <= cap).drop("df")
-    }
+    val sh = maxShingleDf.fold(shAll)(cap =>
+      graft.ops.Caching.capByFrequency(shAll, col("s"), cap))
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val inter = sh.as("x").join(sh.as("y"),
         col("x.s") === col("y.s") && col("x.doc_id") < col("y.doc_id"))
@@ -272,13 +255,16 @@ object Dedup {
       sig = nextSig
       i += 1
     }
-    if (!converged)
+    if (!converged) {
       // surfacing this matters: an unconverged edge set silently splits
-      // components (round-1 advice item) — callers get correct-but-warned
-      // output instead of a mystery
+      // components (round-1 advice item). Collapse to one star edge per
+      // node so downstream joins keep their one-row-per-doc contract —
+      // labels may still split large components, hence the warning.
       System.err.println(
         s"[graft] connectedComponents did not converge in $maxIters rounds; " +
           "labels may split large components — raise maxIters")
+      edges = edges.groupBy(col("u")).agg(min(col("v")).as("v"))
+    }
     edges
   }
 
@@ -287,6 +273,13 @@ object Dedup {
     * component. Accepting the pair graph lets callers reuse the output
     * of [[minhashLshPairs]] (or [[simhashPairs]], or any edge source)
     * instead of recomputing it. Output: (doc_id, cluster_id, keep).
+    *
+    * Note: the returned (cached) result's lineage passes through the
+    * contraction's localCheckpoint, whose blocks are released before
+    * returning — unlike the other materialized operators it cannot be
+    * recomputed if its own blocks are lost (executor failure). On a
+    * fault-prone cluster, write the result out or use reliable
+    * checkpointing instead of localCheckpoint.
     */
   def clustersFromPairs(docs: DataFrame, pairs: DataFrame, maxIters: Int = 30): DataFrame = {
     val stars = connectedComponents(pairs, maxIters)

@@ -91,7 +91,11 @@ object EventOps {
       attach: Seq[String] = Seq("event_id", "value"),
       prefix: String = "asof_"): DataFrame = {
     val l = microsOfTs(left)
-    val r = microsOfTs(right)
+    // a right event without a timestamp can never be "most recent" —
+    // and engines disagree on where NULLs sort (Spark ASC = NULLS
+    // FIRST, DuckDB = NULLS LAST), so keeping them would make the
+    // match order-dependent
+    val r = microsOfTs(right).filter(col("us").isNotNull)
     val keyCols = keys.map(col)
     val payloadT = r.select(attach.map(col): _*).schema
     val lu = l.select(keyCols ++ Seq(col("us"), col(ord).as("ord_v"),
@@ -102,7 +106,10 @@ object EventOps {
       .orderBy(col("us"), col("side"), col("ord_v"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     lu.unionByName(ru)
-      .withColumn("m", last(col("payload"), ignoreNulls = true).over(w))
+      // a left event without a timestamp has no "as of" point: null
+      // match, regardless of where the engine sorts its null us
+      .withColumn("m",
+        when(col("us").isNotNull, last(col("payload"), ignoreNulls = true).over(w)))
       .filter(col("side") === 1)
       .select(keyCols ++ Seq(col("ord_v").as(ord), col("us")) ++
         attach.map(a => col(s"m.$a").as(s"$prefix$a")): _*)

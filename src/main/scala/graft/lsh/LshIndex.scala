@@ -258,27 +258,33 @@ object LshIndex {
     writeSidecar(index.sparkSession, s"$path/params.json", paramsJson(p))
   }
 
+  /** Cross-check stored index rows against params so a tampered or
+    * mispaired sidecar fails fast instead of silently serving from the
+    * wrong layout: inverted-index schema, and every band id inside
+    * [0, num_bands). The band check is a column-pruned full scan of the
+    * single `band` column — cheap relative to serving, but a real Spark
+    * job; pass validate=false on a latency-critical reload of an index
+    * you trust.
+    */
+  private def validateIndex(idx: DataFrame, p: LshParams, what: String): Unit = {
+    val missing = Set("vec_id", "band", "sig") -- idx.columns.toSet
+    require(missing.isEmpty, s"stored index lacks columns $missing")
+    val r = idx.agg(max(col("band"))).head()
+    if (!r.isNullAt(0))
+      require(r.getInt(0) < p.b,
+        s"stored index has band ${r.getInt(0)} but params declare only ${p.b} bands " +
+          s"— $what does not match this index")
+  }
+
   /** Restore (index, params) (reference: core/main.py:898 load_from_disk;
     * tests/test_persistence_security.py — missing dir/files raise, and
-    * `validate` additionally cross-checks the stored rows against the
-    * params so a tampered or mispaired sidecar fails fast instead of
-    * silently serving from the wrong layout: schema must be the
-    * inverted-index shape and every band id must fall inside
-    * [0, num_bands)).
+    * `validate` cross-checks rows vs params via [[validateIndex]]).
     */
   def load(spark: SparkSession, path: String,
       validate: Boolean = true): (DataFrame, LshParams) = {
     val p = parseParams(readSidecar(spark, s"$path/params.json"))
     val idx = spark.read.parquet(s"$path/index")
-    if (validate) {
-      val missing = Set("vec_id", "band", "sig") -- idx.columns.toSet
-      require(missing.isEmpty, s"stored index lacks columns $missing")
-      val r = idx.agg(max(col("band"))).head()
-      if (!r.isNullAt(0))
-        require(r.getInt(0) < p.b,
-          s"stored index has band ${r.getInt(0)} but params declare only ${p.b} bands " +
-            "— params.json does not match this index")
-    }
+    if (validate) validateIndex(idx, p, "params.json")
     (idx, p)
   }
 
@@ -302,12 +308,18 @@ object LshIndex {
       s"ALTER TABLE $table SET TBLPROPERTIES ('graft.lsh.params' = '${paramsJson(p)}')")
   }
 
-  /** Restore (index, params) from a [[saveBucketed]] table. */
-  def loadBucketed(spark: SparkSession, table: String): (DataFrame, LshParams) = {
+  /** Restore (index, params) from a [[saveBucketed]] table; `validate`
+    * applies the same stored-state cross-check as [[load]].
+    */
+  def loadBucketed(spark: SparkSession, table: String,
+      validate: Boolean = true): (DataFrame, LshParams) = {
     val props = spark.sql(s"SHOW TBLPROPERTIES $table").collect()
       .map(r => r.getString(0) -> r.getString(1)).toMap
     val json = props.getOrElse("graft.lsh.params",
       sys.error(s"table $table has no graft.lsh.params property"))
-    (spark.table(table), parseParams(json))
+    val idx = spark.table(table)
+    val p = parseParams(json)
+    if (validate) validateIndex(idx, p, "the graft.lsh.params table property")
+    (idx, p)
   }
 }

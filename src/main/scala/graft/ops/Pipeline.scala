@@ -2,7 +2,6 @@ package graft.ops
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
-import org.apache.spark.storage.StorageLevel
 
 import graft.dedup.Dedup
 import graft.text.TextAnalysis
@@ -33,15 +32,14 @@ object Pipeline {
     val clRaw = Dedup.nearDupClusters(docs, minJaccard) // owns its cache scope
     val cl = clRaw
       .select(col("doc_id"), col("cluster_id"), col("keep").as("cluster_keep"))
-    val out = q.join(ex, Seq("doc_id")).join(cl, Seq("doc_id"))
-      .select(col("doc_id"), col("quality_score"), col("exact_keep"),
-        col("cluster_id"), col("cluster_keep"),
-        (col("quality_score") >= minQuality && col("exact_keep") && col("cluster_keep"))
-          .as("keep"))
-      .orderBy(col("doc_id"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    out.count() // force so the clustering scope below can be released
-    clRaw.unpersist(false)
-    out
+    Caching.materialized(
+      q.join(ex, Seq("doc_id")).join(cl, Seq("doc_id"))
+        .select(col("doc_id"), col("quality_score"), col("exact_keep"),
+          col("cluster_id"), col("cluster_keep"),
+          (col("quality_score") >= minQuality && col("exact_keep") && col("cluster_keep"))
+            .as("keep"))
+        .orderBy(col("doc_id"))) {
+      clRaw.unpersist(false)
+    }
   }
 }

@@ -69,6 +69,13 @@ object Sources {
       limit: Option[Long] = None,
       fetchQuery: Option[String] = None,
       properties: java.util.Properties = new java.util.Properties()): DataFrame = {
+    // each JDBC partition re-executes the subquery with its own bound
+    // predicate; an un-ordered LIMIT would sample a DIFFERENT arbitrary
+    // row set per partition and silently drop/duplicate rows
+    require(limit.isEmpty || orderBy.nonEmpty ||
+        (lowerBound.isEmpty && upperBound.isEmpty),
+      "limit with partitioned bounds requires orderBy: each partition " +
+        "re-executes the LIMIT subquery and an unordered subset is not stable")
     val query = buildQuery(table, indexColumn, vectorColumn,
       schema, whereClause, orderBy, limit, fetchQuery)
     val dbtable = s"($query) graft_vectors"

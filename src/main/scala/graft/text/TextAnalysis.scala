@@ -235,13 +235,8 @@ object TextAnalysis {
       shingleW: Int = 3, window: Int = 4,
       maxFingerprintDf: Option[Long] = None): DataFrame = {
     val fpAll = winnow(docs, shingleW, window)
-    val fp = maxFingerprintDf match {
-      case None => fpAll
-      case Some(cap) =>
-        fpAll.withColumn("df",
-            count(lit(1)).over(Window.partitionBy(col("fingerprint"))))
-          .filter(col("df") <= cap).drop("df")
-    }
+    val fp = maxFingerprintDf.fold(fpAll)(cap =>
+      graft.ops.Caching.capByFrequency(fpAll, col("fingerprint"), cap))
     val sizes = fp.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val shared = fp.as("x").join(fp.as("y"),
         col("x.fingerprint") === col("y.fingerprint") && col("x.doc_id") < col("y.doc_id"))

@@ -52,6 +52,16 @@ class CacheLifecycleSpec extends SparkSpec {
     res.unpersist(blocking = true)
   }
 
+  test("unconverged contraction still yields one row per document") {
+    // maxIters=1 cannot finish a diameter-50 chain; labels may split,
+    // but the one-row-per-doc_id contract must hold for downstream joins
+    val chain = (0L until 50L).map(i => (i, i + 1)).toDF("a", "b")
+    val res = Dedup.clustersFromPairs((0L to 50L).toDF("doc_id"), chain, maxIters = 1)
+    val ids = res.collect().map(_.getLong(0))
+    assert(ids.length === 51 && ids.distinct.length === 51)
+    res.unpersist(blocking = true)
+  }
+
   test("clustersFromPairs reusing minhashLshPairs' graph matches nearDupClusters") {
     val before = persisted
     val pairs = Dedup.minhashLshPairs(docs) // the raw result owns the cache scope
