@@ -115,6 +115,63 @@ object OracleSql {
        |  ELSE 0.0 END AS quality_score
        |FROM m ORDER BY doc_id""".stripMargin
 
+  /** Deterministic-ln scaffolding: wraps `base` (a full SELECT whose
+    * output includes the double column `argCol`) in projection stages
+    * that add `outCol` = [[graft.expressions.DetLn.ln]](argCol),
+    * generated from the SAME constants as the Spark expression —
+    * exponent CASE over exact power-of-two literals, atanh-series
+    * Horner with the shared coefficient array, identical association
+    * order. No libm call on either side, so the comparison is
+    * bit-exact on any IEEE engine (JVM Math/StrictMath.log and
+    * glibc/DuckDB ln all disagree with each other on some args).
+    * `passCols` is the final projected column list.
+    */
+  def detLn(base: String, passCols: String, argCol: String,
+      outCol: String, tag: String): String = {
+    import graft.expressions.DetLn
+    def p2(j: Int): String = java.lang.Math.scalb(1.0, j).toString
+    val js = DetLn.MaxK to -DetLn.MaxK by -1
+    val kCase = js.map(j => s"WHEN $argCol >= ${p2(j)} THEN $j")
+      .mkString("CASE ", " ", s" ELSE ${-DetLn.MaxK} END")
+    val pCase = js.map(j => s"WHEN $argCol >= ${p2(j)} THEN ${p2(j)}")
+      .mkString("CASE ", " ", s" ELSE ${p2(-DetLn.MaxK)} END")
+    val horner = DetLn.Coefs.init.foldRight(DetLn.Coefs.last.toString) {
+      (c, acc) => s"$c + __u_$tag * ($acc)"
+    }
+    s"""SELECT $passCols,
+       |  __k_$tag * ${DetLn.LN2} + 2.0 * __t_$tag * __s_$tag AS $outCol
+       |FROM (SELECT *, ($horner) AS __s_$tag
+       |  FROM (SELECT *, __t_$tag * __t_$tag AS __u_$tag
+       |    FROM (SELECT *, ($argCol / __p_$tag - 1.0) / ($argCol / __p_$tag + 1.0) AS __t_$tag
+       |      FROM (SELECT *, $kCase AS __k_$tag, $pCase AS __p_$tag
+       |        FROM ($base) __ln0_$tag) __ln1_$tag) __ln2_$tag) __ln3_$tag) __ln4_$tag""".stripMargin
+  }
+
+  /** PMI collocations over the top-200 vocabulary (mirror of
+    * TextAnalysis.tokenPmi, minCoDf = 5). Products in double with the
+    * same association order; the log goes through [[detLn]].
+    */
+  val textPmi: String = {
+    val base =
+      s"""WITH t AS (SELECT doc_id, $Toks AS toks FROM documents),
+         |dt AS (SELECT DISTINCT doc_id, unnest(toks) AS t FROM t),
+         |dfs AS (SELECT t, count(*) AS df FROM dt GROUP BY t),
+         |vocab AS (SELECT t, df FROM dfs ORDER BY df DESC, t LIMIT 200),
+         |vt AS (SELECT dt.doc_id, dt.t FROM dt JOIN vocab ON dt.t = vocab.t),
+         |co AS (SELECT x.t AS a, y.t AS b, count(*) AS co_df
+         |  FROM vt x JOIN vt y ON x.doc_id = y.doc_id AND x.t < y.t
+         |  GROUP BY 1, 2 HAVING count(*) >= 5),
+         |n AS (SELECT count(*) AS n_docs FROM documents)
+         |SELECT a, b, co_df, va.df AS df_a, vb.df AS df_b,
+         |  (co_df::DOUBLE * n_docs) / (va.df::DOUBLE * vb.df) AS lift
+         |FROM co
+         |JOIN vocab va ON co.a = va.t
+         |JOIN vocab vb ON co.b = vb.t
+         |CROSS JOIN n""".stripMargin
+    detLn(base, "a, b, co_df, df_a, df_b", "lift", "pmi", "pmi") +
+      "\nORDER BY a, b"
+  }
+
   /** Corpus composition per (source, lang) (mirror of
     * TextAnalysis.corpusStats).
     */
@@ -140,8 +197,15 @@ object OracleSql {
 
   /** BM25 against the shared fixed term set (mirror of
     * TextAnalysis.bm25; k1 = 1.2, b = 0.75). Every subexpression is
-    * written in the same association order as the Spark side and
-    * `ln` agrees bitwise with JVM `Math.log` on this platform.
+    * written in the same association order as the Spark side; each
+    * term's idf log goes through [[detLn]].
+    *
+    * Constants are forced to DOUBLE: DuckDB otherwise keeps
+    * int×decimal-literal EXACT (3 × 2.2 = decimal 6.6) where Spark does
+    * IEEE double math (6.6000000000000005) — a 1-ulp mismatch factory.
+    * k1+1 is computed in Scala and injected as its shortest-roundtrip
+    * decimal so both engines hold the bit-identical double (the literal
+    * 2.2 need not equal the sum 1.2 + 1.0).
     */
   val textBm25: String = {
     val terms = TextAnalysis.Bm25Terms
@@ -151,29 +215,38 @@ object OracleSql {
     val tfCols = terms.zipWithIndex.map { case (term, i) =>
       s"  len(list_filter(toks, x -> x = '$term'))::BIGINT AS tf_$i"
     }.mkString(",\n")
-    // Constants are forced to DOUBLE: DuckDB otherwise keeps
-    // int×decimal-literal EXACT (3 × 2.2 = decimal 6.6) where Spark does
-    // IEEE double math (6.6000000000000005) — a 1-ulp mismatch factory.
-    // k1+1 is computed in Scala and injected as its shortest-roundtrip
-    // decimal so both engines hold the bit-identical double (the literal
-    // 2.2 need not equal the sum 1.2 + 1.0).
+    val idfArgs = terms.indices.map { i =>
+      s"  1.0::DOUBLE + (n_docs - df_$i + 0.5::DOUBLE) / (df_$i + 0.5::DOUBLE) AS idfarg_$i"
+    }.mkString(",\n")
+    val base0 =
+      s"""WITH t AS (SELECT doc_id, $Toks AS toks FROM documents),
+         |d AS (SELECT doc_id, toks, len(toks)::BIGINT AS dl FROM t),
+         |s AS (SELECT count(*)::BIGINT AS n_docs, sum(dl)::BIGINT AS sum_dl,
+         |$dfAggs
+         |  FROM d),
+         |f AS (SELECT doc_id, dl,
+         |$tfCols
+         |  FROM d)
+         |SELECT doc_id, dl, n_docs, sum_dl,
+         |${terms.indices.map(i => s"  tf_$i, df_$i,").mkString("\n")}
+         |$idfArgs
+         |FROM f CROSS JOIN s""".stripMargin
+    // one detLn wrap per term, threading the growing column list
+    val carry = Seq("doc_id", "dl", "n_docs", "sum_dl") ++
+      terms.indices.flatMap(i => Seq(s"tf_$i", s"df_$i")) ++
+      terms.indices.map(i => s"idfarg_$i")
+    val wrapped = terms.indices.foldLeft((base0, carry)) { case ((q, cols), i) =>
+      (detLn(q, cols.mkString(", "), s"idfarg_$i", s"idf_$i", s"bm$i"),
+        cols :+ s"idf_$i")
+    }._1
     val k1p1 = (1.2 + 1.0).toString
     val score = terms.indices.map { i =>
-      s"ln(1.0::DOUBLE + (n_docs - df_$i + 0.5::DOUBLE) / (df_$i + 0.5::DOUBLE)) " +
-        s"* (tf_$i * $k1p1::DOUBLE) " +
+      s"idf_$i * (tf_$i * $k1p1::DOUBLE) " +
         s"/ (tf_$i + 1.2::DOUBLE * (1.0::DOUBLE - 0.75::DOUBLE + 0.75::DOUBLE * (dl / (sum_dl / n_docs))))"
     }.mkString("\n    + ")
-    s"""WITH t AS (SELECT doc_id, $Toks AS toks FROM documents),
-       |d AS (SELECT doc_id, toks, len(toks)::BIGINT AS dl FROM t),
-       |s AS (SELECT count(*)::BIGINT AS n_docs, sum(dl)::BIGINT AS sum_dl,
-       |$dfAggs
-       |  FROM d),
-       |f AS (SELECT doc_id, dl,
-       |$tfCols
-       |  FROM d)
-       |SELECT doc_id, dl,
+    s"""SELECT doc_id, dl,
        |    $score AS bm25
-       |FROM f CROSS JOIN s
+       |FROM ($wrapped) __bm
        |ORDER BY doc_id""".stripMargin
   }
 

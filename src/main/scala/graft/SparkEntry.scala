@@ -81,6 +81,7 @@ object SparkEntry {
     "text_bm25" -> ((s, dir) => TextAnalysis.bm25(t(s, dir, "documents"))),
     "corpus_stats" -> ((s, dir) => TextAnalysis.corpusStats(t(s, dir, "documents"))),
     "text_top_ngrams" -> ((s, dir) => TextAnalysis.topNgrams(t(s, dir, "documents"))),
+    "text_pmi" -> ((s, dir) => TextAnalysis.tokenPmi(t(s, dir, "documents"))),
     // --- B. dedup suite ---
     "dedup_exact" -> ((s, dir) => Dedup.exact(t(s, dir, "documents"))),
     "dedup_minhash" -> ((s, dir) => Dedup.minhash(t(s, dir, "documents"))),
@@ -325,6 +326,7 @@ object SparkEntry {
     "text_bm25" -> OracleSql.textBm25,
     "corpus_stats" -> OracleSql.corpusStats,
     "text_top_ngrams" -> OracleSql.textTopNgrams,
+    "text_pmi" -> OracleSql.textPmi,
     "vec_quantize" -> OracleSql.vecQuantize,
     "dedup_exact" -> OracleSql.dedupExact,
     "dedup_minhash" -> OracleSql.dedupMinhash,

@@ -190,9 +190,11 @@ object TextAnalysis {
     * Two passes over the corpus: one broadcastable aggregate row for
     * (N, Σdl, df per term), then a map-side scoring projection — no
     * per-term shuffle. Arithmetic is written in a fixed association
-    * order and the log goes through [[graft.expressions.IeeeLn]]
-    * (`Math.log` ≡ DuckDB `ln` bitwise; Spark's built-in `log` is
-    * `StrictMath` and drifts 1 ulp), so the oracle is hash-exact.
+    * order and the log goes through [[graft.expressions.DetLn]] — a
+    * DEFINED series-based ln using only IEEE basic ops, because every
+    * native log (JVM Math, JVM StrictMath, glibc/DuckDB) disagrees
+    * with the others by 1 ulp on some arguments — so the oracle is
+    * hash-exact by construction.
     */
   def bm25(docs: DataFrame, terms: Seq[String] = Bm25Terms,
       k1: Double = 1.2, b: Double = 0.75): DataFrame = {
@@ -207,7 +209,7 @@ object TextAnalysis {
     val termScores = terms.zipWithIndex.map { case (term, i) =>
       val tf = size(filter(col("toks"), x => x === term)).cast("long")
       val idf = org.apache.spark.sql.GraftColumnBridge.column(
-        graft.expressions.IeeeLn(org.apache.spark.sql.GraftColumnBridge.expression(
+        graft.expressions.DetLnExpr(org.apache.spark.sql.GraftColumnBridge.expression(
           lit(1.0) +
             (col("n_docs") - col(s"df_$i") + lit(0.5)) / (col(s"df_$i") + lit(0.5)))))
       // association order mirrors the oracle SQL exactly
@@ -249,6 +251,45 @@ object TextAnalysis {
         col("za.n").as("n_a"), col("zb.n").as("n_b"),
         (col("n_shared") / least(col("za.n"), col("zb.n"))).as("containment"))
       .filter(col("containment") >= minContainment)
+      .orderBy(col("a"), col("b"))
+  }
+
+  /** Pointwise mutual information over within-document co-occurrence —
+    * the standard collocation/phrase-affinity signal (Church & Hanks
+    * 1990): `pmi(a,b) = ln(co_df·N / (df_a·df_b))` at document
+    * granularity.
+    *
+    * The quadratic pair space is bounded by restricting to the
+    * `vocabSize` most-frequent tokens (distributed TakeOrdered, then a
+    * broadcast semi-join) — per-document fan-out is ≤ vocabSize², not
+    * corpus-wide, which is what keeps this runnable at 100 TB. Counts
+    * are exact integers; the log goes through the series-defined
+    * [[graft.expressions.DetLn]] and the products are taken in double
+    * with fixed association order (overflow-free and bit-identical to
+    * the oracle on any IEEE engine).
+    */
+  def tokenPmi(docs: DataFrame, vocabSize: Int = 200, minCoDf: Long = 5): DataFrame = {
+    val docTokens = withToks(docs)
+      .select(col("doc_id"), explode(array_distinct(col("toks"))).as("t"))
+    val dfs = docTokens.groupBy(col("t")).agg(count(lit(1)).as("df"))
+    val vocab = dfs.orderBy(col("df").desc, col("t")).limit(vocabSize)
+    val vt = docTokens.join(broadcast(vocab.select(col("t"))), Seq("t"))
+    val co = vt.as("x").join(vt.as("y"),
+        col("x.doc_id") === col("y.doc_id") && col("x.t") < col("y.t"))
+      .groupBy(col("x.t").as("a"), col("y.t").as("b"))
+      .agg(count(lit(1)).as("co_df"))
+      .filter(col("co_df") >= minCoDf)
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    val ln = (c: org.apache.spark.sql.Column) =>
+      org.apache.spark.sql.GraftColumnBridge.column(graft.expressions.DetLnExpr(
+        org.apache.spark.sql.GraftColumnBridge.expression(c)))
+    co
+      .join(broadcast(vocab.select(col("t").as("a"), col("df").as("df_a"))), Seq("a"))
+      .join(broadcast(vocab.select(col("t").as("b"), col("df").as("df_b"))), Seq("b"))
+      .crossJoin(broadcast(n))
+      .select(col("a"), col("b"), col("co_df"), col("df_a"), col("df_b"),
+        ln((col("co_df").cast("double") * col("n_docs")) /
+          (col("df_a").cast("double") * col("df_b"))).as("pmi"))
       .orderBy(col("a"), col("b"))
   }
 

@@ -28,6 +28,29 @@ class VectorFunctionsSpec extends SparkSpec {
     assert(df.collect().head.isNullAt(0))
   }
 
+  test("DetLn.ln: accurate to ~ulp against math.log over the supported range") {
+    val rnd = new scala.util.Random(42)
+    val samples = Seq.tabulate(20000) { _ =>
+      math.pow(2.0, rnd.nextDouble() * 128 - 64) * (0.5 + rnd.nextDouble())
+    } ++ (-64 to 64).map(j => math.pow(2.0, j)) ++
+      Seq(1.0, 1.0000000001, 0.9999999999, math.E)
+    samples.filter(x => x >= math.pow(2.0, -64) && x <= math.pow(2.0, 64)).foreach { x =>
+      val got = graft.expressions.DetLn.ln(x)
+      val want = math.log(x)
+      // near x=1 the k=±1 paths cancel k·LN2 against ln m, leaving an
+      // absolute error of ~ulp(LN2) regardless of the tiny result
+      val tol = math.max(math.ulp(want) * 8, 8e-16)
+      assert(math.abs(got - want) <= tol, s"ln($x): $got vs $want")
+    }
+    // codegen and interpreted agree (same static call)
+    val df = Seq(0.5, 1.0, 123.456).toDF("x")
+      .select(org.apache.spark.sql.GraftColumnBridge.column(
+        graft.expressions.DetLnExpr(org.apache.spark.sql.GraftColumnBridge.expression(
+          org.apache.spark.sql.functions.col("x")))).as("l"))
+    assert(df.collect().map(_.getDouble(0)).toSeq ===
+      Seq(0.5, 1.0, 123.456).map(graft.expressions.DetLn.ln))
+  }
+
   test("dimension mismatch raises instead of truncating (reference ValueError)") {
     val mismatched = Seq((Array(1f, 2f, 3f), Array(1f, 2f))).toDF("a", "b")
     Seq(cosine_sim($"a", $"b"), dot_product($"a", $"b")).foreach { c =>
