@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{Column, GraftColumnBridge, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.expressions.{CosineSimilarity, DotProduct, L2Norm, L2Normalize, TopKByScore}
+import graft.expressions.{CosineSimilarity, DetLnExpr, DotProduct, L2Norm, L2Normalize, TopKByScore}
 
 /** Column-level function surface of the engine.
   *
@@ -25,6 +25,13 @@ object GraftFunctions {
 
   def l2_normalize(a: Column): Column =
     GraftColumnBridge.column(L2Normalize(GraftColumnBridge.expression(a)))
+
+  /** Deterministic series-defined natural log (NULL for x ≤ 0); see
+    * [[graft.expressions.DetLn]] — the ln to use wherever a DuckDB
+    * oracle must hash-match (no native libm log is cross-engine safe).
+    */
+  def det_ln(x: Column): Column =
+    GraftColumnBridge.column(DetLnExpr(GraftColumnBridge.expression(x)))
 
   /** Map-side bounded top-k aggregate over (score, id); see
     * [[graft.expressions.TopKByScore]].

@@ -126,23 +126,38 @@ object OracleSql {
     * glibc/DuckDB ln all disagree with each other on some args).
     * `passCols` is the final projected column list.
     */
+  /** A double literal DuckDB is guaranteed to hold bit-exactly: bare
+    * decimals are typed DECIMAL and the DECIMAL→DOUBLE conversion can
+    * land 1 ulp off for >15-digit constants (e.g. 1/11 — and even
+    * `::DOUBLE` casts AFTER the decimal parse, so it does not help);
+    * E-notation literals parse directly as DOUBLE via strtod
+    * (shortest-roundtrip exact).
+    */
+  private def dlit(x: Double): String = {
+    val s = x.toString
+    if (s.contains('E') || s.contains('e')) s else s + "e0"
+  }
+
   def detLn(base: String, passCols: String, argCol: String,
       outCol: String, tag: String): String = {
     import graft.expressions.DetLn
-    def p2(j: Int): String = java.lang.Math.scalb(1.0, j).toString
+    def p2(j: Int): String = dlit(java.lang.Math.scalb(1.0, j))
     val js = DetLn.MaxK to -DetLn.MaxK by -1
     val kCase = js.map(j => s"WHEN $argCol >= ${p2(j)} THEN $j")
       .mkString("CASE ", " ", s" ELSE ${-DetLn.MaxK} END")
     val pCase = js.map(j => s"WHEN $argCol >= ${p2(j)} THEN ${p2(j)}")
       .mkString("CASE ", " ", s" ELSE ${p2(-DetLn.MaxK)} END")
-    val horner = DetLn.Coefs.init.foldRight(DetLn.Coefs.last.toString) {
-      (c, acc) => s"$c + __u_$tag * ($acc)"
+    val horner = DetLn.Coefs.init.foldRight(dlit(DetLn.Coefs.last)) {
+      (c, acc) => s"${dlit(c)} + __u_$tag * ($acc)"
     }
+    // x ≤ 0 (or NULL) yields NULL on both sides — mirrors DetLnExpr
     s"""SELECT $passCols,
-       |  __k_$tag * ${DetLn.LN2} + 2.0 * __t_$tag * __s_$tag AS $outCol
+       |  CASE WHEN $argCol > 0 AND NOT isnan($argCol) THEN
+       |    __k_$tag * ${dlit(DetLn.LN2)} + 2.0e0 * __t_$tag * __s_$tag
+       |  END AS $outCol
        |FROM (SELECT *, ($horner) AS __s_$tag
        |  FROM (SELECT *, __t_$tag * __t_$tag AS __u_$tag
-       |    FROM (SELECT *, ($argCol / __p_$tag - 1.0) / ($argCol / __p_$tag + 1.0) AS __t_$tag
+       |    FROM (SELECT *, ($argCol / __p_$tag - 1.0e0) / ($argCol / __p_$tag + 1.0e0) AS __t_$tag
        |      FROM (SELECT *, $kCase AS __k_$tag, $pCase AS __p_$tag
        |        FROM ($base) __ln0_$tag) __ln1_$tag) __ln2_$tag) __ln3_$tag) __ln4_$tag""".stripMargin
   }

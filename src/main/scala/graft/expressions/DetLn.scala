@@ -22,9 +22,10 @@ import org.apache.spark.sql.types.{DataType, DoubleType}
   * total error vs true ln ≤ a few ulp — a deterministic score, not a
   * correctly-rounded libm replacement.
   *
-  * Arguments must lie in [2⁻⁶⁴, 2⁶⁴] (count ratios always do);
-  * outside that the clamp makes the result a consistent-but-meaningless
-  * extrapolation on both sides.
+  * Positive arguments must lie in [2⁻⁶⁴, 2⁶⁴] (count ratios always
+  * do); outside that the clamp makes the result a consistent
+  * extrapolation on both sides. Non-positive arguments yield NULL in
+  * [[DetLnExpr]] and in the generated SQL alike.
   */
 object DetLn {
   val MaxK = 64
@@ -46,12 +47,32 @@ object DetLn {
 
 case class DetLnExpr(child: Expression) extends UnaryExpression {
   override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
   override def prettyName: String = "det_ln"
 
-  override def nullSafeEval(v: Any): Any = DetLn.ln(v.asInstanceOf[Double])
+  // analysis-time type contract: a non-double child would otherwise
+  // ClassCastException in interpreted eval but silently widen in codegen
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == DoubleType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"det_ln requires DOUBLE input, got ${child.dataType}")
+
+  override def nullSafeEval(v: Any): Any = {
+    val x = v.asInstanceOf[Double]
+    if (x > 0) java.lang.Double.valueOf(DetLn.ln(x)) else null
+  }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = graft.expressions.DetLn.ln($c);")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"""
+         |if ($c > 0) {
+         |  ${ev.value} = graft.expressions.DetLn.ln($c);
+         |} else {
+         |  ${ev.isNull} = true;
+         |}
+       """.stripMargin)
 
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }

@@ -208,10 +208,8 @@ object TextAnalysis {
     val scored = t.crossJoin(broadcast(stats))
     val termScores = terms.zipWithIndex.map { case (term, i) =>
       val tf = size(filter(col("toks"), x => x === term)).cast("long")
-      val idf = org.apache.spark.sql.GraftColumnBridge.column(
-        graft.expressions.DetLnExpr(org.apache.spark.sql.GraftColumnBridge.expression(
-          lit(1.0) +
-            (col("n_docs") - col(s"df_$i") + lit(0.5)) / (col(s"df_$i") + lit(0.5)))))
+      val idf = GraftFunctions.det_ln(lit(1.0) +
+        (col("n_docs") - col(s"df_$i") + lit(0.5)) / (col(s"df_$i") + lit(0.5)))
       // association order mirrors the oracle SQL exactly
       idf * (tf * lit(k1 + 1.0)) /
         (tf + lit(k1) * (lit(1.0) - lit(b) + lit(b) * (col("dl") / (col("sum_dl") / col("n_docs")))))
@@ -269,10 +267,17 @@ object TextAnalysis {
     * the oracle on any IEEE engine).
     */
   def tokenPmi(docs: DataFrame, vocabSize: Int = 200, minCoDf: Long = 5): DataFrame = {
+    // the exploded token table feeds the df aggregation AND both sides
+    // of the self-join; the tiny vocab feeds three broadcasts — cache
+    // both so the corpus is tokenized once and the corpus-wide df
+    // aggregation runs once (released before returning; the returned
+    // result is the cache scope, as with the dedup operators)
     val docTokens = withToks(docs)
       .select(col("doc_id"), explode(array_distinct(col("toks"))).as("t"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val dfs = docTokens.groupBy(col("t")).agg(count(lit(1)).as("df"))
     val vocab = dfs.orderBy(col("df").desc, col("t")).limit(vocabSize)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val vt = docTokens.join(broadcast(vocab.select(col("t"))), Seq("t"))
     val co = vt.as("x").join(vt.as("y"),
         col("x.doc_id") === col("y.doc_id") && col("x.t") < col("y.t"))
@@ -280,17 +285,17 @@ object TextAnalysis {
       .agg(count(lit(1)).as("co_df"))
       .filter(col("co_df") >= minCoDf)
     val n = docs.agg(count(lit(1)).as("n_docs"))
-    val ln = (c: org.apache.spark.sql.Column) =>
-      org.apache.spark.sql.GraftColumnBridge.column(graft.expressions.DetLnExpr(
-        org.apache.spark.sql.GraftColumnBridge.expression(c)))
-    co
+    val out = co
       .join(broadcast(vocab.select(col("t").as("a"), col("df").as("df_a"))), Seq("a"))
       .join(broadcast(vocab.select(col("t").as("b"), col("df").as("df_b"))), Seq("b"))
       .crossJoin(broadcast(n))
       .select(col("a"), col("b"), col("co_df"), col("df_a"), col("df_b"),
-        ln((col("co_df").cast("double") * col("n_docs")) /
+        GraftFunctions.det_ln((col("co_df").cast("double") * col("n_docs")) /
           (col("df_a").cast("double") * col("df_b"))).as("pmi"))
       .orderBy(col("a"), col("b"))
+    graft.ops.Caching.materialized(out) {
+      vocab.unpersist(false); docTokens.unpersist(false)
+    }
   }
 
   /** Corpus composition report per (source, lang) — the first table a
