@@ -254,9 +254,9 @@ object OracleSql {
       (detLn(q, cols.mkString(", "), s"idfarg_$i", s"idf_$i", s"bm$i"),
         cols :+ s"idf_$i")
     }._1
-    val k1p1 = (1.2 + 1.0).toString
+    val k1p1 = dlit(1.2 + 1.0)
     val score = terms.indices.map { i =>
-      s"idf_$i * (tf_$i * $k1p1::DOUBLE) " +
+      s"idf_$i * (tf_$i * $k1p1) " +
         s"/ (tf_$i + 1.2::DOUBLE * (1.0::DOUBLE - 0.75::DOUBLE + 0.75::DOUBLE * (dl / (sum_dl / n_docs))))"
     }.mkString("\n    + ")
     s"""SELECT doc_id, dl,
@@ -495,7 +495,7 @@ object OracleSql {
   // is NOT used — it accumulates in a different order (ulp drift). ----
 
   private def dotSql(plane: Array[Double], dim: Int, off: Int): String =
-    (0 until dim).map(j => s"v[${j + 1}] * ${plane(off + j)}").mkString(" + ")
+    (0 until dim).map(j => s"v[${j + 1}] * ${dlit(plane(off + j))}").mkString(" + ")
 
   private def bandSigSql(seed: Long, band: Int, r: Int, dim: Int): String = {
     val plane = graft.lsh.RandomProjection.bandPlanes(seed, band, r, dim)
