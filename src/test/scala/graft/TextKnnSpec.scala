@@ -45,6 +45,28 @@ class TextKnnSpec extends SparkSpec {
     assert(fp.map(_.getAs[Long]("fingerprint")).sameElements(again.map(_.getAs[Long]("fingerprint"))))
   }
 
+  test("tokenPmi: planted collocation scores ln(4); ubiquitous pair scores 0") {
+    // 40 docs. 'rare1 rare2' appear together in exactly docs 0-9
+    // (df=10 each, co_df=10): pmi = ln(10·40/100) = ln 4 > 0.
+    // 'alpha beta' appear in every doc: pmi = ln(40·40/1600) = 0.
+    val corpus = (0 until 40).map { i =>
+      val rare = if (i < 10) " rare1 rare2" else ""
+      (i.toLong, s"alpha beta$rare the a of pad$i")
+    }.toDF("doc_id", "text")
+    val rows = TextAnalysis.tokenPmi(corpus, vocabSize = 50, minCoDf = 5).collect()
+    val res = rows
+      .map(r => (r.getAs[String]("a"), r.getAs[String]("b")) -> r.getAs[Double]("pmi")).toMap
+    assert(math.abs(res(("rare1", "rare2")) - math.log(4.0)) < 1e-12)
+    assert(math.abs(res(("alpha", "beta"))) < 1e-12)
+    // every reported pmi equals the definition, recomputed via DetLn
+    rows.foreach { r =>
+      val expect = graft.expressions.DetLn.ln(
+        (r.getAs[Long]("co_df").toDouble * 40) /
+          (r.getAs[Long]("df_a").toDouble * r.getAs[Long]("df_b")))
+      assert(r.getAs[Double]("pmi") === expect)
+    }
+  }
+
   test("corpusStats totals reconcile with the corpus; topNgrams plans a distributed top-k") {
     val stats = TextAnalysis.corpusStats(docs).collect()
     assert(stats.map(_.getAs[Long]("n_docs")).sum === docs.count())
