@@ -65,6 +65,8 @@ object SparkEntry {
     "events_sessionize" -> ((s, dir) => EventOps.sessionize(t(s, dir, "events"))),
     "events_windowed" -> ((s, dir) => EventOps.hourlyRollup(t(s, dir, "events"))),
     "events_percentiles" -> ((s, dir) => EventOps.valuePercentiles(t(s, dir, "events"))),
+    "events_range_join" -> ((s, dir) =>
+      EventOps.withinRangePairs(t(s, dir, "events"))),
     "events_asof" -> ((s, dir) => {
       val ev = t(s, dir, "events")
       EventOps.asofJoin(ev, ev.filter(col("event_type") === "purchase"))
@@ -286,6 +288,15 @@ object SparkEntry {
         |FROM events
         |GROUP BY 1, 2
         |ORDER BY hour_bucket, event_type""".stripMargin,
+    "events_range_join" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us
+        |  FROM events WHERE epoch_us(ts) IS NOT NULL)
+        |SELECT x.user_id, x.event_id AS e1, y.event_id AS e2,
+        |  abs(x.us - y.us) AS gap_us
+        |FROM e x JOIN e y
+        |  ON x.user_id = y.user_id AND x.event_id < y.event_id
+        |  AND abs(x.us - y.us) <= 300000000
+        |ORDER BY e1, e2""".stripMargin,
     "events_asof" ->
       """WITH u AS (
         |  SELECT user_id, epoch_us(ts) AS us, event_id AS ord_v, 1 AS side,

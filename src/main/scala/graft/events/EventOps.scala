@@ -115,6 +115,36 @@ object EventOps {
         attach.map(a => col(s"m.$a").as(s"$prefix$a")): _*)
   }
 
+  /** Range (interval) join: all pairs of events of the same user
+    * within `maxGapUs` of each other — the proximity-pair primitive
+    * behind burst detection and session stitching.
+    *
+    * A naive inequality join is a per-user cartesian; instead events
+    * are hashed into `maxGapUs`-wide time buckets and each left event
+    * probes its own and both adjacent buckets (a pair within the gap
+    * can span at most adjacent buckets, and exactly one probe bucket
+    * equals the right event's bucket — so each unordered pair is
+    * produced exactly once, no distinct needed). One equi-join shuffle
+    * on (user_id, bucket) with 3× probe fan-out, exact |Δt| filter
+    * after the join.
+    */
+  def withinRangePairs(events: DataFrame, maxGapUs: Long = 300000000L): DataFrame = {
+    val e = microsOfTs(events)
+      .select(col("user_id"), col("event_id"), col("us"))
+      .filter(col("us").isNotNull)
+    val b = e.withColumn("bucket", expr(s"us div $maxGapUs"))
+    val probes = b.select(col("user_id"), col("event_id"), col("us"),
+      explode(array(col("bucket") - 1, col("bucket"), col("bucket") + 1)).as("jb"))
+    probes.as("x").join(b.as("y"),
+        col("x.user_id") === col("y.user_id") && col("x.jb") === col("y.bucket") &&
+          col("x.event_id") < col("y.event_id") &&
+          abs(col("x.us") - col("y.us")) <= maxGapUs)
+      .select(col("x.user_id").as("user_id"),
+        col("x.event_id").as("e1"), col("y.event_id").as("e2"),
+        abs(col("x.us") - col("y.us")).as("gap_us"))
+      .orderBy(col("e1"), col("e2"))
+  }
+
   /** Tumbling time-window aggregation (hourly): exact decimal value
     * sums per (hour, event_type). One shuffle, map-side partials. */
   def hourlyRollup(events: DataFrame): DataFrame =

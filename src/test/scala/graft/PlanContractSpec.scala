@@ -60,7 +60,8 @@ class PlanContractSpec extends SparkSpec {
       "lsh_signatures", "lsh_bucket_stats", "lsh_candidate_pairs",
       "lsh_topk", "lsh_topp_rerank", "ann_lsh", "vec_norm",
       "lsh_delete_clear", "mm_binary_meta",
-      "events_asof", "text_containment", "vec_quantize")
+      "events_asof", "text_containment", "vec_quantize",
+      "events_range_join", "text_gopher", "corpus_stats", "text_top_ngrams")
     sweep.foreach { name =>
       val phys = physical(q(name))
       assert(!phys.contains("CartesianProduct"),

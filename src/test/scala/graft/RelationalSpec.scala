@@ -82,6 +82,25 @@ class RelationalSpec extends SparkSpec {
     }
   }
 
+  test("withinRangePairs: bucketed interval join equals brute force, no cartesian") {
+    import org.apache.spark.sql.functions._
+    val gap = 300000000L
+    val got = EventOps.withinRangePairs(events, gap).collect()
+      .map(r => (r.getAs[Long]("e1"), r.getAs[Long]("e2"), r.getAs[Long]("gap_us"))).toSet
+    // brute force over collected rows
+    val ev = events.select(col("user_id"), col("event_id"), expr("ts div 1000").as("us"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val brute = (for {
+      x <- ev; y <- ev
+      if x._1 == y._1 && x._2 < y._2 && math.abs(x._3 - y._3) <= gap
+    } yield (x._2, y._2, math.abs(x._3 - y._3))).toSet
+    assert(got === brute)
+    val phys = EventOps.withinRangePairs(events, gap)
+      .queryExecution.executedPlan.toString
+    assert(!phys.contains("CartesianProduct") && !phys.contains("BroadcastNestedLoop"),
+      s"interval join fell back to a product plan:\n$phys")
+  }
+
   test("hourlyRollup counts cover all events") {
     val rows = EventOps.hourlyRollup(events).collect()
     assert(rows.map(_.getAs[Long]("n_events")).sum === events.count())
