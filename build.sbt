@@ -11,6 +11,13 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Pass the forked JVM's stdout straight through instead of routing it
+// via sbt's logger, which prefixes every line with "[info] " — the
+// bench driver parses the bare final stdout line as JSON.
+run / outputStrategy := Some(StdoutOutput)
+// ...and drop the trailing "[success] Total time" banner so the JSON
+// really is the last stdout line.
+ThisBuild / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -82,6 +82,17 @@ class PlanContractSpec extends SparkSpec {
     assert(serve.contains("BroadcastHashJoin"), s"collision join not broadcast:\n$serve")
   }
 
+  test("ann_ivf: cell argmax and rerank are partial aggregates, no window over scored rows") {
+    // the corpus × nCells scored rows must be reduced map-side (one row
+    // per vector per partition) — a rank window here would shuffle the
+    // full amplified row set to sort-and-discard it (round-2 verdict #1)
+    val phys = physical(q("ann_ivf"))
+    assert(!phys.contains("Window"),
+      s"ann_ivf routes scored rows through a window exchange:\n$phys")
+    assert(phys.contains("partial_max") || phys.contains("partial_top_k_by_score"),
+      s"no map-side partial aggregation in ann_ivf:\n$phys")
+  }
+
   test("dedup_minhash: the shuffle carries k longs per doc, never shingles") {
     val phys = physical(q("dedup_minhash"))
     // partial aggregation before the exchange = map-side min-combine
