@@ -66,13 +66,18 @@ object OracleSql {
        |ORDER BY doc_id, fingerprint""".stripMargin
 
   /** Containment pairs over shared winnow fingerprints (mirror of
-    * TextAnalysis.containment, minContainment = 0.5).
+    * TextAnalysis.containment, minContainment = 0.5, DEFAULT df cap at
+    * TextAnalysis.DefaultMaxFingerprintDf applied on both sides).
     */
   val textContainment: String =
     s"""$winnowFpCte,
-       |sz AS (SELECT doc_id, count(*) AS n FROM fp GROUP BY doc_id),
+       |fpc AS (SELECT doc_id, fingerprint FROM (
+       |  SELECT doc_id, fingerprint,
+       |    count(*) OVER (PARTITION BY fingerprint) AS df FROM fp)
+       |  WHERE df <= ${TextAnalysis.DefaultMaxFingerprintDf}),
+       |sz AS (SELECT doc_id, count(*) AS n FROM fpc GROUP BY doc_id),
        |sh AS (SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS n_shared
-       |  FROM fp x JOIN fp y
+       |  FROM fpc x JOIN fpc y
        |    ON x.fingerprint = y.fingerprint AND x.doc_id < y.doc_id
        |  GROUP BY 1, 2)
        |SELECT a, b, n_shared, za.n AS n_a, zb.n AS n_b,
@@ -388,11 +393,18 @@ object OracleSql {
           |  ON x.band = y.band AND x.bh = y.bh AND x.doc_id < y.doc_id)""".stripMargin)}
        |ORDER BY a, b""".stripMargin
 
+  /** Mirrors the DEFAULT capped path (Caching.capByFrequency at
+    * Dedup.DefaultMaxShingleDf): shingles above the df cap are dropped
+    * before sizes/intersections on BOTH sides.
+    */
   val dedupNgramJaccard: String =
     s"""$ShCte,
-       |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+       |shc AS (SELECT doc_id, s FROM (
+       |  SELECT doc_id, s, count(*) OVER (PARTITION BY s) AS df FROM sh)
+       |  WHERE df <= ${Dedup.DefaultMaxShingleDf}),
+       |sizes AS (SELECT doc_id, count(*) AS n FROM shc GROUP BY doc_id),
        |inter AS (SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS n_int
-       |  FROM sh x JOIN sh y ON x.s = y.s AND x.doc_id < y.doc_id
+       |  FROM shc x JOIN shc y ON x.s = y.s AND x.doc_id < y.doc_id
        |  GROUP BY x.doc_id, y.doc_id)
        |SELECT i.a, i.b, i.n_int, za.n AS n_a, zb.n AS n_b,
        |  i.n_int / (za.n + zb.n - i.n_int) AS jaccard

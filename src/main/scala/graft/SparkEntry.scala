@@ -78,7 +78,8 @@ object SparkEntry {
     "text_langid" -> ((s, dir) => TextAnalysis.langId(t(s, dir, "documents"))),
     "text_fingerprint" -> ((s, dir) => TextAnalysis.fingerprint(t(s, dir, "documents"))),
     "text_winnow" -> ((s, dir) => TextAnalysis.winnow(t(s, dir, "documents"))),
-    "text_containment" -> ((s, dir) => TextAnalysis.containment(t(s, dir, "documents"))),
+    "text_containment" -> ((s, dir) => TextAnalysis.containment(t(s, dir, "documents"),
+      maxFingerprintDf = Some(TextAnalysis.DefaultMaxFingerprintDf))),
     "text_gopher" -> ((s, dir) => TextAnalysis.gopherQuality(t(s, dir, "documents"))),
     "text_bm25" -> ((s, dir) => TextAnalysis.bm25(t(s, dir, "documents"))),
     "corpus_stats" -> ((s, dir) => TextAnalysis.corpusStats(t(s, dir, "documents"))),
@@ -88,7 +89,8 @@ object SparkEntry {
     "dedup_exact" -> ((s, dir) => Dedup.exact(t(s, dir, "documents"))),
     "dedup_minhash" -> ((s, dir) => Dedup.minhash(t(s, dir, "documents"))),
     "dedup_minhash_lsh" -> ((s, dir) => Dedup.minhashLshPairs(t(s, dir, "documents"))),
-    "dedup_ngram_jaccard" -> ((s, dir) => Dedup.ngramJaccardPairs(t(s, dir, "documents"))),
+    "dedup_ngram_jaccard" -> ((s, dir) => Dedup.ngramJaccardPairs(t(s, dir, "documents"),
+      maxShingleDf = Some(Dedup.DefaultMaxShingleDf))),
     "dedup_simhash" -> ((s, dir) => Dedup.simhash(t(s, dir, "documents"))),
     "dedup_simhash_pairs" -> ((s, dir) => Dedup.simhashPairs(t(s, dir, "documents"))),
     "dedup_embedding" -> ((s, dir) => Knn.nearestNeighborDedup(t(s, dir, "embeddings"))),

@@ -30,6 +30,16 @@ import graft.GraftFunctions.{hex64, shingles, tokens}
   */
 object Dedup {
 
+  /** Default document-frequency cap for the exact-Jaccard shingle
+    * self-join: a shingle shared by df docs contributes df² join rows,
+    * so an uncapped run degenerates quadratically on one hot
+    * boilerplate phrase. 1000 keeps every genuinely distinctive
+    * shingle (near-dup pairs share many low-df shingles) while
+    * bounding any single shingle's contribution at 10⁶ pairs.
+    * Mirrored verbatim into the DuckDB oracle.
+    */
+  val DefaultMaxShingleDf = 1000L
+
   val MinhashK = 16      // hash functions (num_perm)
   val Bands = 4          // b
   val RowsPerBand = 4    // r: threshold ≈ (1/b)^(1/r) = 0.707
@@ -129,14 +139,15 @@ object Dedup {
     *
     * `maxShingleDf`: the self-join is quadratic in a shingle's document
     * frequency — one stop-phrase shared by 10⁶ docs yields 10¹² join
-    * rows. Setting a cap drops shingles with df above it from candidate
+    * rows. The cap drops shingles with df above it from candidate
     * generation (the standard CCP/"common shingle" pruning; near-dup
     * pairs still share plenty of rare shingles, but reported n_int/
-    * jaccard then count capped shingles only). None = exact baseline;
-    * at scale prefer a cap or [[minhashLshPairs]].
+    * jaccard then count capped shingles only). Capped BY DEFAULT
+    * ([[DefaultMaxShingleDf]]) so the path a 100 TB corpus hits first
+    * is the bounded one; pass None for the exact uncapped baseline.
     */
   def ngramJaccardPairs(docs: DataFrame, minJaccard: Double = 0.5,
-      maxShingleDf: Option[Long] = None): DataFrame = {
+      maxShingleDf: Option[Long] = Some(Dedup.DefaultMaxShingleDf)): DataFrame = {
     val shAll = shingleSet(docs)
     val sh = maxShingleDf.fold(shAll)(cap =>
       graft.ops.Caching.capByFrequency(shAll, col("s"), cap))

@@ -17,6 +17,13 @@ object TextAnalysis {
 
   val stopwords: Seq[String] = Seq("the", "a", "of", "and", "to", "in", "is")
 
+  /** Default document-frequency cap for the containment fingerprint
+    * self-join (same quadratic-blow-up guard as
+    * [[graft.dedup.Dedup.DefaultMaxShingleDf]], over the winnowed
+    * fingerprint space). Mirrored verbatim into the DuckDB oracle.
+    */
+  val DefaultMaxFingerprintDf = 1000L
+
   /** Marker stopword lists per language; order is the deterministic
     * tie-break priority of the classifier.
     */
@@ -229,11 +236,13 @@ object TextAnalysis {
     * Scale shape matches [[graft.dedup.Dedup.ngramJaccardPairs]]'s
     * self-join but over the winnowed ~2/(window+1) density instead of
     * every shingle; `maxFingerprintDf` caps pathological fingerprints
-    * the same way maxShingleDf does.
+    * (one boilerplate block shared by df docs ⇒ df² join rows) the
+    * same way maxShingleDf does — capped BY DEFAULT
+    * ([[DefaultMaxFingerprintDf]]); pass None for the exact baseline.
     */
   def containment(docs: DataFrame, minContainment: Double = 0.5,
       shingleW: Int = 3, window: Int = 4,
-      maxFingerprintDf: Option[Long] = None): DataFrame = {
+      maxFingerprintDf: Option[Long] = Some(TextAnalysis.DefaultMaxFingerprintDf)): DataFrame = {
     val fpAll = winnow(docs, shingleW, window)
     val fp = maxFingerprintDf.fold(fpAll)(cap =>
       graft.ops.Caching.capByFrequency(fpAll, col("fingerprint"), cap))

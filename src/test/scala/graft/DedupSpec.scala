@@ -60,7 +60,8 @@ class DedupSpec extends SparkSpec {
 
   test("ngramJaccardPairs: hot-shingle cap prunes candidates but keeps rare-shingle dups") {
     // a generous cap (above any real df in the corpus) changes nothing
-    val uncapped = Dedup.ngramJaccardPairs(withCopies).collect().map(_.toSeq).toSeq
+    val uncapped = Dedup.ngramJaccardPairs(withCopies, maxShingleDf = None)
+      .collect().map(_.toSeq).toSeq
     val capped = Dedup.ngramJaccardPairs(withCopies, maxShingleDf = Some(1000000L))
       .collect().map(_.toSeq).toSeq
     assert(capped === uncapped)
