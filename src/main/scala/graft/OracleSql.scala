@@ -639,6 +639,42 @@ object OracleSql {
        |  FROM s)
        |SELECT q_id, rn, cand_id, sim FROM r WHERE rn <= 5 ORDER BY q_id, rn""".stripMargin
 
+  /** Quantized-prefilter ANN (mirror of Quantize.quantizedTopK wiring
+    * in SparkEntry: queries = vec_id<10, prefilterK=20, k=5).
+    * Quantization of the unit vector, integer dot product (exact),
+    * scale correction = one multiply + one divide (bit-identical IEEE
+    * ops both engines), exact-cosine rerank of the 20 survivors.
+    */
+  val annQuantized: String =
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |n AS (SELECT vec_id, v,
+       |  sqrt(list_aggregate(list_transform(v, x -> x * x), 'sum')) AS nrm FROM e),
+       |u AS (SELECT vec_id, v, list_transform(v, x -> x / nrm) AS nv
+       |  FROM n WHERE nrm > 0),
+       |z AS (SELECT vec_id, v, scale,
+       |  list_transform(nv, x -> CAST(floor(x * scale + 0.5) AS BIGINT)) AS qv
+       |  FROM (SELECT vec_id, v, nv,
+       |    CASE WHEN list_max(list_transform(nv, x -> abs(x))) = 0 THEN 0.0
+       |         ELSE 127.0 / list_max(list_transform(nv, x -> abs(x))) END AS scale
+       |    FROM u)),
+       |q AS (SELECT vec_id AS q_id, v AS qv_full, scale AS q_scale, qv AS q_qv
+       |  FROM z WHERE vec_id < 10),
+       |pre AS (SELECT q_id, cand_id FROM (
+       |  SELECT q.q_id, c.vec_id AS cand_id,
+       |    row_number() OVER (PARTITION BY q.q_id ORDER BY
+       |      (CASE WHEN q.q_scale * c.scale = 0 THEN 0.0
+       |            ELSE CAST(list_aggregate(
+       |                   [q.q_qv[i] * c.qv[i] for i in range(1, len(c.qv) + 1)],
+       |                   'sum') AS DOUBLE) / (q.q_scale * c.scale) END) DESC,
+       |      c.vec_id) AS rn
+       |  FROM q, z c WHERE c.vec_id <> q.q_id) WHERE rn <= 20),
+       |r AS (SELECT p.q_id, p.cand_id, list_cosine_similarity(q.qv_full, e.v) AS sim
+       |  FROM pre p JOIN q ON q.q_id = p.q_id JOIN e ON e.vec_id = p.cand_id),
+       |t AS (SELECT q_id, cand_id, sim,
+       |  CAST(row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, cand_id) AS BIGINT) AS rn
+       |  FROM r)
+       |SELECT q_id, rn, cand_id, sim FROM t WHERE rn <= 5 ORDER BY q_id, rn""".stripMargin
+
   val vecNorm: String =
     s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
        |n AS (SELECT vec_id, v,

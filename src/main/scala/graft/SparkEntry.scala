@@ -142,6 +142,10 @@ object SparkEntry {
       LshIndex.topPRerank(e, e.filter(col("vec_id") < 10), lshRecallP, topP = 1.0, topK = 5)
     }),
     "vec_quantize" -> ((s, dir) => graft.ann.Quantize.int8(t(s, dir, "embeddings"))),
+    "ann_quantized" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      graft.ann.Quantize.quantizedTopK(e, e.filter(col("vec_id") < 10), k = 5, prefilterK = 20)
+    }),
     "vec_norm" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
       e.select(col("vec_id"),
@@ -341,6 +345,7 @@ object SparkEntry {
     "text_top_ngrams" -> OracleSql.textTopNgrams,
     "text_pmi" -> OracleSql.textPmi,
     "vec_quantize" -> OracleSql.vecQuantize,
+    "ann_quantized" -> OracleSql.annQuantized,
     "dedup_exact" -> OracleSql.dedupExact,
     "dedup_minhash" -> OracleSql.dedupMinhash,
     "dedup_minhash_lsh" -> OracleSql.dedupMinhashLsh,

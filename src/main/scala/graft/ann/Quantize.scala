@@ -1,7 +1,9 @@
 package graft.ann
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+
+import graft.GraftFunctions.{cosine_sim, l2_normalize, top_k_by_score}
 
 /** Embedding compression for 100 TB-scale vector stores: per-vector
   * symmetric int8 scalar quantization — the standard 4× shrink
@@ -33,6 +35,74 @@ object Quantize {
         floor(col("e").cast("double") * col("scale") + lit(0.5)).cast("long").as("q"),
         col("scale"))
       .orderBy(col("vec_id"), col("i"))
+  }
+
+  /** Array-form quantization of the L2-NORMALIZED vector:
+    * (vec_id, qv array<long>, scale) — the serving shape for
+    * [[quantizedTopK]]. Normalizing first makes the integer dot product
+    * a cosine approximation (scale-corrected), not a raw-dot one.
+    */
+  def int8Unit(emb: DataFrame): DataFrame = {
+    val unit = l2_normalize(col("embedding"))
+    val maxAbs = array_max(transform(unit, e => abs(e)))
+    emb
+      .select(col("vec_id"), unit.as("nv"),
+        when(maxAbs === 0.0, lit(0.0)).otherwise(lit(127.0) / maxAbs).as("scale"))
+      .select(col("vec_id"), col("scale"),
+        transform(col("nv"), e => floor(e * col("scale") + lit(0.5)).cast("long")).as("qv"))
+  }
+
+  /** Exact integer dot product of two long arrays — associative integer
+    * adds, bit-identical on any engine and any evaluation order.
+    */
+  private def dotInt(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, x) => acc + x)
+
+  /** Quantized-prefilter ANN serving: rank candidates by the int8
+    * integer dot product of unit vectors (divided by the two scales →
+    * a cosine approximation), keep the top `prefilterK` per query
+    * map-side, then rerank ONLY the survivors with exact float cosine.
+    * Output: (q_id, rn, cand_id, sim) — same shape as
+    * [[Knn.cosineTopK]].
+    *
+    * The 100 TB win: the scan feeding the O(corpus × queries) scoring
+    * pass reads 1 byte per component instead of 4 (plus one double
+    * scale per vector), and the arithmetic is integer multiply-adds;
+    * the full-precision embeddings are only fetched for the
+    * prefilterK × queries survivors (reference rerank semantics:
+    * lshrs/utils/similarity.py:93 rerank of bucket candidates).
+    * Determinism: integer dot is exact; the scale correction is two
+    * IEEE ops (one multiply, one divide) on oracle-exact scales; ties
+    * break on candidate id — so the DuckDB oracle hash-matches.
+    */
+  def quantizedTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      prefilterK: Int, broadcastQueries: Option[Boolean] = None): DataFrame = {
+    val qc = int8Unit(queries)
+      .select(col("vec_id").as("q_id"), col("qv").as("q_qv"), col("scale").as("q_scale"))
+    val cc = int8Unit(corpus)
+      .select(col("vec_id").as("cand_id"), col("qv").as("c_qv"), col("scale").as("c_scale"))
+    val ascore = when(col("q_scale") * col("c_scale") === 0.0, lit(0.0))
+      .otherwise(dotInt(col("q_qv"), col("c_qv")).cast("double") /
+        (col("q_scale") * col("c_scale")))
+    val survivors = cc
+      .crossJoin(graft.ops.Broadcasting.maybeBroadcast(qc, broadcastQueries))
+      .filter(col("q_id") =!= col("cand_id"))
+      .select(col("q_id"), col("cand_id"), ascore.as("ascore"))
+      .groupBy(col("q_id"))
+      .agg(top_k_by_score(col("ascore"), col("cand_id"), prefilterK).as("pre"))
+      .select(col("q_id"), explode(col("pre.id")).as("cand_id"))
+    val q = queries.select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val c = corpus.select(col("vec_id").as("cand_id"), col("embedding").as("cand_emb"))
+    survivors
+      .join(graft.ops.Broadcasting.maybeBroadcast(q, broadcastQueries), Seq("q_id"))
+      .join(c, Seq("cand_id"))
+      .select(col("q_id"), col("cand_id"), cosine_sim(col("q_emb"), col("cand_emb")).as("sim"))
+      .groupBy(col("q_id"))
+      .agg(top_k_by_score(col("sim"), col("cand_id"), k).as("top"))
+      .select(col("q_id"), posexplode(col("top")).as(Seq("pos", "t")))
+      .select(col("q_id"), (col("pos") + 1).cast("long").as("rn"),
+        col("t.id").as("cand_id"), col("t.score").as("sim"))
+      .orderBy(col("q_id"), col("rn"))
   }
 
   /** Reconstruct float vectors from [[int8]] output (q / scale), for

@@ -147,6 +147,32 @@ class TextKnnSpec extends SparkSpec {
     assert(sims.nonEmpty && sims.forall(_ >= 0.99), s"worst ${sims.min}")
   }
 
+  test("quantizedTopK: int8-prefiltered serving recalls the exact brute-force top-k") {
+    import graft.ann.Quantize
+    val queries = emb.filter(col("vec_id") < 20)
+    val k = 5
+    val exact = Knn.cosineTopK(emb, queries, k).collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("cand_id"))).toSet
+    val quant = Quantize.quantizedTopK(emb, queries, k, prefilterK = 4 * k).collect()
+    // same output contract as cosineTopK
+    assert(quant.groupBy(_.getAs[Long]("q_id")).forall(_._2.length == k))
+    assert(!quant.exists(r => r.getAs[Long]("q_id") == r.getAs[Long]("cand_id")))
+    // int8 on unit vectors distorts cosine by <1% (round-trip spec
+    // above); with a 4x rerank margin the exact top-k should survive
+    // the prefilter nearly always
+    val hits = quant.map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("cand_id")))
+      .count(exact.contains)
+    val recall = hits.toDouble / exact.size
+    assert(recall >= 0.9, s"quantized recall $recall")
+    // reranked sims are the EXACT cosine (not the approximation)
+    val oneExact = Knn.cosineTopK(emb, queries, k).collect()
+      .map(r => ((r.getAs[Long]("q_id"), r.getAs[Long]("cand_id")), r.getAs[Double]("sim"))).toMap
+    quant.foreach { r =>
+      val key = (r.getAs[Long]("q_id"), r.getAs[Long]("cand_id"))
+      oneExact.get(key).foreach(s => assert(s === r.getAs[Double]("sim")))
+    }
+  }
+
   test("cosineTopK: ordered, self-excluded, exact per manual computation") {
     val res = Knn.cosineTopK(emb, emb.filter(col("vec_id") < 5), 5).collect()
     val byQ = res.groupBy(_.getAs[Long]("q_id"))
