@@ -83,6 +83,10 @@ object SparkEntry {
     "text_gopher" -> ((s, dir) => TextAnalysis.gopherQuality(t(s, dir, "documents"))),
     "text_bm25" -> ((s, dir) => TextAnalysis.bm25(t(s, dir, "documents"))),
     "corpus_stats" -> ((s, dir) => TextAnalysis.corpusStats(t(s, dir, "documents"))),
+    // rows-only: HLL sketches have no cross-engine oracle (declared);
+    // accuracy property-spec'd vs exact in TextKnnSpec
+    "corpus_approx_distinct" -> ((s, dir) =>
+      TextAnalysis.corpusApproxDistinct(t(s, dir, "documents"))),
     "text_top_ngrams" -> ((s, dir) => TextAnalysis.topNgrams(t(s, dir, "documents"))),
     "text_pmi" -> ((s, dir) => TextAnalysis.tokenPmi(t(s, dir, "documents"))),
     // --- B. dedup suite ---

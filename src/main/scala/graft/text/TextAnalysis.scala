@@ -323,6 +323,35 @@ object TextAnalysis {
         (sum(col("n_tokens")) / count(lit(1))).as("avg_tokens"))
       .orderBy(col("source"), col("lang"))
 
+  /** Approximate-distinct corpus analytics per (source, lang):
+    * HyperLogLog++ sketches of the distinct token vocabulary and the
+    * distinct content fingerprints — the curator's "how much unique
+    * material is in each slice" question. At 100 TB an EXACT distinct
+    * of tokens is a full token-grain shuffle of the corpus; the HLL
+    * sketch is a constant-size (≈ 1.04/rsd² registers), mergeable
+    * map-side aggregate, so the shuffle carries one sketch per
+    * (source, lang) per partition and the answer is within `rsd`
+    * relative standard deviation (spec-asserted vs exact at test SF).
+    * Spark's approx_count_distinct is deterministic for fixed input,
+    * so the driver's rows-only re-run check is stable; no DuckDB
+    * oracle because HLL implementations differ across engines
+    * (declared, like the MLlib twins).
+    *
+    * Zero-token documents have no token rows and are absent from the
+    * token stream — their (empty) fingerprint intentionally doesn't
+    * count toward distinct content.
+    */
+  def corpusApproxDistinct(docs: DataFrame, rsd: Double = 0.05): DataFrame =
+    withToks(docs)
+      .select(col("source"), col("lang"),
+        GraftFunctions.hex64(array_join(col("toks"), " ")).as("fingerprint"),
+        explode(col("toks")).as("tok"))
+      .groupBy(col("source"), col("lang"))
+      .agg(
+        approx_count_distinct(col("tok"), rsd).as("approx_distinct_tokens"),
+        approx_count_distinct(col("fingerprint"), rsd).as("approx_distinct_fingerprints"))
+      .orderBy(col("source"), col("lang"))
+
   /** Most-frequent n-grams by document frequency (ties broken
     * lexicographically) — the boilerplate/vocabulary probe that feeds
     * stop-phrase lists and the `maxShingleDf` caps. Global top-k is a

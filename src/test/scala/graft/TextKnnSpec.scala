@@ -85,6 +85,34 @@ class TextKnnSpec extends SparkSpec {
     assert(rows.map(_.getAs[Long]("rank")).toSeq === (1L to rows.length))
   }
 
+  test("corpusApproxDistinct: HLL estimates land within the rsd error bound of exact") {
+    val rsd = 0.05
+    val approx = TextAnalysis.corpusApproxDistinct(docs, rsd).collect()
+      .map(r => ((r.getAs[String]("source"), r.getAs[String]("lang")),
+        (r.getAs[Long]("approx_distinct_tokens"), r.getAs[Long]("approx_distinct_fingerprints"))))
+      .toMap
+    val exact = docs.withColumn("toks", GraftFunctions.tokens(col("text")))
+      .select(col("source"), col("lang"),
+        GraftFunctions.hex64(array_join(col("toks"), " ")).as("fp"),
+        explode(col("toks")).as("tok"))
+      .groupBy(col("source"), col("lang"))
+      .agg(countDistinct(col("tok")).as("t"), countDistinct(col("fp")).as("f"))
+      .collect()
+      .map(r => ((r.getAs[String]("source"), r.getAs[String]("lang")),
+        (r.getAs[Long]("t"), r.getAs[Long]("f")))).toMap
+    assert(approx.keySet === exact.keySet)
+    // HLL++ rsd is a standard deviation — allow 4 sigma, with an
+    // absolute floor of 2 for tiny groups where relative error is
+    // meaningless (a 4-distinct group estimated as 3 is fine)
+    exact.foreach { case (k, (t, f)) =>
+      val (at, af) = approx(k)
+      assert(math.abs(at - t).toDouble <= math.max(2.0, 4 * rsd * t),
+        s"$k tokens: $at vs exact $t")
+      assert(math.abs(af - f).toDouble <= math.max(2.0, 4 * rsd * f),
+        s"$k fps: $af vs exact $f")
+    }
+  }
+
   test("bm25: rare matched terms outscore common ones; non-matching docs score 0") {
     val corpus = Seq(
       (1L, "the apple tree and the fruit of autumn"),   // common 'the'/'of'
