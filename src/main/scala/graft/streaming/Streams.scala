@@ -84,6 +84,80 @@ object Streams {
       }.toDF()
   }
 
+  case class TsEvent(user_id: Long, event_id: Long, ts: java.sql.Timestamp)
+  case class EtSessionEvent(user_id: Long, event_id: Long, us: Long, ts: java.sql.Timestamp)
+
+  /** EVENT-TIME sessionization: sessions flush when the WATERMARK
+    * passes session end + gap (EventTimeTimeout), not when a wall
+    * clock does — so a replay/backfill of the same events produces the
+    * identical session set, which the processing-time variant cannot
+    * guarantee (its flushes depend on batch arrival pacing). The
+    * watermark delay bounds how out-of-order events may arrive;
+    * later-than-watermark events are dropped, exactly as in
+    * [[windowedAgg]]. Input schema: (ts timestamp, user_id long,
+    * event_id long).
+    */
+  def sessionizeEventTime(events: DataFrame, gapMinutes: Int = 30,
+      watermarkDelay: String = "10 minutes")(implicit spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    val gapUs = gapMinutes.toLong * 60L * 1000000L
+    val gapMs = gapMinutes.toLong * 60000L
+    events
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"), col("ts"))
+      .withWatermark("ts", watermarkDelay)
+      .as[EtSessionEvent]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[List[SessionState], SessionOut](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (userId: Long, rows: Iterator[EtSessionEvent], state: GroupState[List[SessionState]]) =>
+          if (state.hasTimedOut) {
+            val out = state.getOption.getOrElse(Nil)
+              .map(s => SessionOut(userId, s.start_us, s.end_us, s.n))
+            state.remove()
+            out.iterator
+          } else {
+            val sorted = rows.toSeq.sortBy(e => (e.us, e.event_id))
+            var open = state.getOption.getOrElse(Nil)
+            var closed = List.empty[SessionOut]
+            sorted.foreach { e =>
+              open.headOption match {
+                case Some(s) if e.us - s.end_us <= gapUs =>
+                  s.end_us = e.us; s.n += 1
+                case other =>
+                  other.foreach(s => closed ::= SessionOut(userId, s.start_us, s.end_us, s.n))
+                  open = List(SessionState(e.us, e.us, 1))
+              }
+            }
+            state.update(open)
+            // flush when the watermark passes end + gap; the timestamp
+            // must lie beyond the current watermark (late replayed
+            // batches would otherwise throw)
+            open.headOption.foreach { s =>
+              state.setTimeoutTimestamp(
+                math.max(s.end_us / 1000L + gapMs, state.getCurrentWatermarkMs() + 1L))
+            }
+            closed.reverseIterator
+          }
+      }.toDF()
+  }
+
+  /** The fully-declarative twin of [[sessionizeEventTime]]: Spark's
+    * built-in `session_window` gap windows under a watermark. Same
+    * event-time flush semantics with zero custom state code — the
+    * first thing to reach for when per-session custom logic isn't
+    * needed. Input schema: (ts timestamp, user_id long).
+    */
+  def sessionWindows(events: DataFrame, gapMinutes: Int = 30,
+      watermarkDelay: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupBy(col("user_id"), session_window(col("ts"), s"$gapMinutes minutes"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"),
+        unix_micros(col("session_window.start")).as("start_us"),
+        unix_micros(col("session_window.end")).as("end_us"),
+        col("n_events"))
+
   /** Drive a streaming frame over a bounded source to completion and
     * return the materialized result (memory sink, Complete/Append per
     * the query shape).

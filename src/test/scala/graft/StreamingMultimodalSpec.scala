@@ -80,6 +80,79 @@ class StreamingMultimodalSpec extends SparkSpec {
     assert(r.getAs[Long]("n_events") === 2L)
   }
 
+  test("event-time sessionize: different replay batch splits yield identical sessions") {
+    val hour = 3600L * 1000000L
+    def ev(u: Long, id: Long, us: Long) =
+      Streams.TsEvent(u, id, new java.sql.Timestamp(us / 1000L))
+    // user 1: two events 5 min apart (one session), then one at a 2.5h
+    // gap (second session); user 2: a singleton session
+    val all = Seq(
+      ev(1L, 1L, hour), ev(1L, 2L, hour + 300L * 1000000L),
+      ev(2L, 4L, 2L * hour),
+      ev(1L, 3L, 4L * hour))
+    // sentinel user pushes the watermark far past every end+gap so the
+    // event-time timers flush the open sessions; two batches so the
+    // final flush happens inside a DATA batch (no reliance on the
+    // trailing no-data batch racing processAllAvailable)
+    val closers = Seq(ev(999L, 100L, 100L * hour), ev(999L, 101L, 101L * hour))
+    def run(name: String, batches: Seq[Seq[Streams.TsEvent]]): Set[(Long, Long, Long, Long)] = {
+      val input = MemoryStream[Streams.TsEvent](spark, 1)
+      val q = Streams.sessionizeEventTime(input.toDF())
+        .writeStream.outputMode("append").format("memory").queryName(name).start()
+      try {
+        (batches ++ closers.map(Seq(_))).foreach { b =>
+          input.addData(b: _*); q.processAllAvailable()
+        }
+        val deadline = System.currentTimeMillis() + 30000
+        while (spark.table(name).filter(col("user_id") < 900).count() < 3 &&
+            System.currentTimeMillis() < deadline) {
+          Thread.sleep(200); q.processAllAvailable()
+        }
+      } finally q.stop()
+      spark.table(name).filter(col("user_id") < 900).collect()
+        .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("start_us"),
+          r.getAs[Long]("end_us"), r.getAs[Long]("n_events"))).toSet
+    }
+    val expected = Set(
+      (1L, hour, hour + 300L * 1000000L, 2L),
+      (1L, 4L * hour, 4L * hour, 1L),
+      (2L, 2L * hour, 2L * hour, 1L))
+    // one big batch vs one-event-per-batch replay: identical sessions —
+    // the determinism the processing-time variant can't give
+    assert(run("ets_one", Seq(all)) === expected)
+    assert(run("ets_split", all.map(Seq(_))) === expected)
+  }
+
+  test("sessionWindows (built-in session_window) merges the same gap structure") {
+    val hour = 3600L * 1000000L
+    def ev(u: Long, id: Long, us: Long) =
+      Streams.TsEvent(u, id, new java.sql.Timestamp(us / 1000L))
+    val input = MemoryStream[Streams.TsEvent](spark, 1)
+    val q = Streams.sessionWindows(input.toDF().select(col("ts"), col("user_id")))
+      .writeStream.outputMode("append").format("memory").queryName("sw_spec").start()
+    try {
+      input.addData(ev(1L, 1L, hour), ev(1L, 2L, hour + 300L * 1000000L),
+        ev(2L, 4L, 2L * hour), ev(1L, 3L, 4L * hour))
+      q.processAllAvailable()
+      input.addData(ev(999L, 100L, 100L * hour)); q.processAllAvailable()
+      input.addData(ev(999L, 101L, 101L * hour)); q.processAllAvailable()
+      val deadline = System.currentTimeMillis() + 30000
+      while (spark.table("sw_spec").filter(col("user_id") < 900).count() < 3 &&
+          System.currentTimeMillis() < deadline) {
+        Thread.sleep(200); q.processAllAvailable()
+      }
+    } finally q.stop()
+    val gapUs = 30L * 60L * 1000000L
+    val got = spark.table("sw_spec").filter(col("user_id") < 900).collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("start_us"),
+        r.getAs[Long]("end_us"), r.getAs[Long]("n_events"))).toSet
+    // session_window's end = last event + gap
+    assert(got === Set(
+      (1L, hour, hour + 300L * 1000000L + gapUs, 2L),
+      (1L, 4L * hour, 4L * hour + gapUs, 1L),
+      (2L, 2L * hour, 2L * hour + gapUs, 1L)))
+  }
+
   test("media pipeline: schema, determinism, and feature shape") {
     val docs = Tables.load(spark, sfDir, "documents")
     val media = Binary.asMediaTable(docs)
