@@ -164,6 +164,17 @@ object SparkEntry {
       val (loaded, _) = LshIndex.load(s, tmp)
       LshIndex.bucketStats(loaded)
     }),
+    // the bucketed-at-rest round trip (Redis-bucket-store analogue):
+    // same oracle as lsh_save_load, but the reload serves collision
+    // joins with no index-side exchange (spec-asserted in LshSpec)
+    "lsh_save_load_bucketed" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val tmp = tempDir("lsh_bucketed")
+      LshIndex.saveBucketed(LshIndex.build(e, lshP), lshP, "graft_lsh_idx_rt",
+        path = Some(s"$tmp/tbl"))
+      val (loaded, _) = LshIndex.loadBucketed(s, "graft_lsh_idx_rt")
+      LshIndex.bucketStats(loaded)
+    }),
     "lsh_delete_clear" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
       val idx = LshIndex.build(e, lshP)
@@ -371,6 +382,7 @@ object SparkEntry {
     "lsh_topp_rerank" -> OracleSql.lshToppRerank,
     "ann_lsh" -> OracleSql.annLsh,
     "lsh_save_load" -> OracleSql.lshSaveLoad,
+    "lsh_save_load_bucketed" -> OracleSql.lshSaveLoad,
     "lsh_delete_clear" -> OracleSql.lshDeleteClear,
     "stream_windowed_agg" -> OracleSql.streamWindowedAgg,
     "stream_dedup" -> OracleSql.streamDedup,
