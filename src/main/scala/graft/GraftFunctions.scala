@@ -68,6 +68,13 @@ object GraftFunctions {
     GraftColumnBridge.column(
       graft.expressions.WordShingles(GraftColumnBridge.expression(tokens(s)), w, distinct))
 
+  /** [[shingles]] over an already-tokenized array column — lets a
+    * cached tokenize pass feed the shingle pipeline too.
+    */
+  def shinglesOfTokens(toks: Column, w: Int, distinct: Boolean = true): Column =
+    GraftColumnBridge.column(
+      graft.expressions.WordShingles(GraftColumnBridge.expression(toks), w, distinct))
+
   /** Register SQL names for the native expressions on a session
     * (idempotent; safe to call per query on driver-provided sessions).
     */

@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
 
-import graft.GraftFunctions.{hex64, shingles, tokens}
+import graft.GraftFunctions.{hex64, tokens}
 
 /** Deduplication suite for training-data pipelines.
   *
@@ -45,19 +45,28 @@ object Dedup {
   val RowsPerBand = 4    // r: threshold ≈ (1/b)^(1/r) = 0.707
   val ShingleWidth = 3
 
+  /** Trusts a precomputed `toks` column (the shared-tokenization
+    * contract [[graft.ops.Pipeline.cleanCorpus]] relies on: one cached
+    * tokenize pass feeds every stage).
+    */
   private def withToks(docs: DataFrame): DataFrame =
-    docs.withColumn("toks", tokens(col("text")))
+    if (docs.columns.contains("toks")) docs
+    else docs.withColumn("toks", tokens(col("text")))
 
   private def materialized(df: DataFrame)(release: => Unit): DataFrame =
     graft.ops.Caching.materialized(df)(release)
 
-  /** Distinct (doc_id, shingle) pairs. `shingles()` already dedupes
-    * within each document (array_distinct), so no extra shuffle is
-    * needed to get set semantics.
+  /** Distinct (doc_id, shingle) pairs. The shingle expression already
+    * dedupes within each document (array_distinct), so no extra
+    * shuffle is needed to get set semantics; shingling runs over the
+    * (possibly precomputed+cached) `toks` column so one tokenize pass
+    * serves both the token and shingle pipelines.
     */
   def shingleSet(docs: DataFrame): DataFrame =
     withToks(docs)
-      .select(col("doc_id"), explode(shingles(col("text"), ShingleWidth)).as("s"))
+      .select(col("doc_id"),
+        explode(graft.GraftFunctions.shinglesOfTokens(col("toks"), ShingleWidth)).as("s"))
+      // (shinglesOfTokens(toks) ≡ shingles(text) — toks is tokens(text))
 
   /** Exact dedup on the normalized token stream: fingerprint, group
     * size, and a keep flag on the minimum doc_id of each group.

@@ -27,9 +27,15 @@ object Pipeline {
     */
   def cleanCorpus(docs: DataFrame, minQuality: Double = 0.3,
       minJaccard: Double = 0.7): DataFrame = {
-    val q = TextAnalysis.quality(docs).select(col("doc_id"), col("quality_score"))
-    val ex = Dedup.exact(docs).select(col("doc_id"), col("keep").as("exact_keep"))
-    val clRaw = Dedup.nearDupClusters(docs, minJaccard) // owns its cache scope
+    // ONE corpus scan + ONE tokenize pass, cached: every stage's
+    // withToks trusts the precomputed `toks` column instead of
+    // re-reading the source and re-running the tokenizer (the honest
+    // version of the "stages share one scan" claim above)
+    val toked = docs.withColumn("toks", graft.GraftFunctions.tokens(col("text")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val q = TextAnalysis.quality(toked).select(col("doc_id"), col("quality_score"))
+    val ex = Dedup.exact(toked).select(col("doc_id"), col("keep").as("exact_keep"))
+    val clRaw = Dedup.nearDupClusters(toked, minJaccard) // owns its cache scope
     val cl = clRaw
       .select(col("doc_id"), col("cluster_id"), col("keep").as("cluster_keep"))
     Caching.materialized(
@@ -39,7 +45,7 @@ object Pipeline {
           (col("quality_score") >= minQuality && col("exact_keep") && col("cluster_keep"))
             .as("keep"))
         .orderBy(col("doc_id"))) {
-      clRaw.unpersist(false)
+      clRaw.unpersist(false); toked.unpersist(false)
     }
   }
 }

@@ -33,8 +33,12 @@ object TextAnalysis {
     "es" -> Seq("el", "la", "los", "de", "y", "es", "que"),
     "fr" -> Seq("le", "les", "des", "et", "est", "dans", "une"))
 
+  /** Trusts a precomputed `toks` column (the shared-tokenization
+    * contract [[graft.ops.Pipeline.cleanCorpus]] relies on).
+    */
   private def withToks(docs: DataFrame): DataFrame =
-    docs.withColumn("toks", GraftFunctions.tokens(col("text")))
+    if (docs.columns.contains("toks")) docs
+    else docs.withColumn("toks", GraftFunctions.tokens(col("text")))
 
   private def hits(toksCol: Column, words: Seq[String]): Column =
     size(filter(toksCol, t => t.isin(words.map(lit(_)): _*))).cast("long")
