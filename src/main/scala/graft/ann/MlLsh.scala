@@ -53,44 +53,55 @@ object MlLsh {
       .select(col("doc_id"), sparseBinaryVec(col("slots")).as("features"))
 
   /** Near-dup pairs via MLlib MinHashLSH approxSimilarityJoin,
-    * thresholded on Jaccard distance.
+    * thresholded on Jaccard distance. The shingle-vector frame feeds
+    * fit() AND both join sides — cached once (returned frame is the
+    * cache scope per the [[graft.ops.Caching.materialized]] contract).
+    * 4 hash tables: a j=0.8 pair collides with P = 1-(1-j)^4 ≈ 0.998,
+    * comfortably above the recall spec floor at half the join
+    * explosion of the previous 8.
     */
   def minhashNearDupPairs(docs: DataFrame, maxJaccardDistance: Double = 0.5,
-      numHashTables: Int = 8, seed: Long = 42L)(implicit spark: SparkSession): DataFrame = {
+      numHashTables: Int = 4, seed: Long = 42L)(implicit spark: SparkSession): DataFrame = {
     val vecs = shingleVectors(docs)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val model = new MinHashLSH()
       .setInputCol("features").setOutputCol("hashes")
       .setNumHashTables(numHashTables).setSeed(seed)
       .fit(vecs)
-    model.approxSimilarityJoin(vecs, vecs, maxJaccardDistance, "jaccard_dist")
+    val out = model.approxSimilarityJoin(vecs, vecs, maxJaccardDistance, "jaccard_dist")
       .select(
         col("datasetA.doc_id").as("a"),
         col("datasetB.doc_id").as("b"),
         col("jaccard_dist"))
       .filter(col("a") < col("b"))
       .orderBy(col("a"), col("b"))
+    graft.ops.Caching.materialized(out) { vecs.unpersist(false) }
   }
 
   private def toDense(emb: DataFrame)(implicit spark: SparkSession): DataFrame =
     emb.select(col("vec_id"),
       org.apache.spark.ml.functions.array_to_vector(col("embedding")).as("features"))
 
-  /** Euclidean near-neighbor pairs via BucketedRandomProjectionLSH. */
+  /** Euclidean near-neighbor pairs via BucketedRandomProjectionLSH.
+    * Same cache scope as [[minhashNearDupPairs]].
+    */
   def brpNearNeighborPairs(emb: DataFrame, maxL2Distance: Double,
       bucketLength: Double = 0.5, numHashTables: Int = 4, seed: Long = 42L)
       (implicit spark: SparkSession): DataFrame = {
     val vecs = toDense(emb)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val model = new BucketedRandomProjectionLSH()
       .setInputCol("features").setOutputCol("hashes")
       .setBucketLength(bucketLength).setNumHashTables(numHashTables).setSeed(seed)
       .fit(vecs)
-    model.approxSimilarityJoin(vecs, vecs, maxL2Distance, "l2_dist")
+    val out = model.approxSimilarityJoin(vecs, vecs, maxL2Distance, "l2_dist")
       .select(
         col("datasetA.vec_id").as("a"),
         col("datasetB.vec_id").as("b"),
         col("l2_dist"))
       .filter(col("a") < col("b"))
       .orderBy(col("a"), col("b"))
+    graft.ops.Caching.materialized(out) { vecs.unpersist(false) }
   }
 
   /** KMeans centroid table shaped for [[Ivf]]: (vec_id, embedding)

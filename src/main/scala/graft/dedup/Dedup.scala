@@ -243,16 +243,28 @@ object Dedup {
     * Returns the star edges `(u, v)` = (member, component-min), one row
     * per non-minimum member; singletons are absent.
     */
-  def connectedComponents(pairs: DataFrame, maxIters: Int = 30): DataFrame = {
+  def connectedComponents(pairs: DataFrame, maxIters: Int = 30): DataFrame =
+    connectedComponentsWithStats(pairs, maxIters)._1
+
+  /** [[connectedComponents]] plus contraction telemetry: per-round
+    * canonical edge counts (element 0 = the input edge count after
+    * canonicalization, so rounds-to-converge = stats.length - 1). Each
+    * round is also logged — on a multi-hour 100 TB contraction this is
+    * the operator's only live progress signal.
+    */
+  def connectedComponentsWithStats(pairs: DataFrame, maxIters: Int = 30)
+      : (DataFrame, Seq[Long]) = {
     def canon(df: DataFrame): DataFrame = df
       .select(greatest(col("u"), col("v")).as("u"), least(col("u"), col("v")).as("v"))
       .filter(col("u") =!= col("v")).distinct()
     def starMin(nbrs: DataFrame): DataFrame =
       nbrs.withColumn("m", least(col("u"), min(col("v")).over(Window.partitionBy(col("u")))))
 
+    val stats = scala.collection.mutable.ArrayBuffer.empty[Long]
     var edges = canon(pairs.select(col("a").as("u"), col("b").as("v")))
       .localCheckpoint(true)
     var sig = edgeSig(edges)
+    stats += sig._1
     var prev = edges
     var converged = false
     var i = 0
@@ -273,7 +285,11 @@ object Dedup {
       edges = next
       converged = nextSig == sig
       sig = nextSig
+      stats += nextSig._1
       i += 1
+      System.err.println(
+        s"[graft] connectedComponents round $i: ${nextSig._1} star edges" +
+          (if (converged) " (converged)" else ""))
     }
     if (!converged) {
       // surfacing this matters: an unconverged edge set silently splits
@@ -285,7 +301,7 @@ object Dedup {
           "labels may split large components — raise maxIters")
       edges = edges.groupBy(col("u")).agg(min(col("v")).as("v"))
     }
-    edges
+    (edges, stats.toSeq)
   }
 
   /** Near-duplicate clusters from a precomputed pair graph `(a, b)`:
