@@ -675,6 +675,50 @@ object OracleSql {
        |  FROM r)
        |SELECT q_id, rn, cand_id, sim FROM t WHERE rn <= 5 ORDER BY q_id, rn""".stripMargin
 
+  /** Ordered funnel view→click→purchase (mirror of EventOps.funnel). */
+  val eventsFunnel: String =
+    s"""WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us
+       |  FROM events WHERE epoch_us(ts) IS NOT NULL),
+       |s1 AS (SELECT user_id, min(us) AS step1_us FROM e
+       |  WHERE event_type = 'view' GROUP BY user_id),
+       |s2 AS (SELECT e.user_id, min(us) AS step2_us FROM e
+       |  JOIN s1 ON e.user_id = s1.user_id
+       |  WHERE event_type = 'click' AND us >= step1_us GROUP BY e.user_id),
+       |s3 AS (SELECT e.user_id, min(us) AS step3_us FROM e
+       |  JOIN s2 ON e.user_id = s2.user_id
+       |  WHERE event_type = 'purchase' AND us >= step2_us GROUP BY e.user_id)
+       |SELECT s1.user_id, step1_us, step2_us, step3_us,
+       |  CAST(CASE WHEN step3_us IS NOT NULL THEN 3
+       |            WHEN step2_us IS NOT NULL THEN 2 ELSE 1 END AS BIGINT) AS stage
+       |FROM s1
+       |LEFT JOIN s2 ON s1.user_id = s2.user_id
+       |LEFT JOIN s3 ON s1.user_id = s3.user_id
+       |ORDER BY s1.user_id""".stripMargin
+
+  /** ROLLUP corpus stats (mirror of TextAnalysis.corpusRollup;
+    * DuckDB GROUPING ≡ Spark grouping_id bitmask).
+    */
+  val corpusRollup: String =
+    s"""WITH t AS (SELECT source, lang, len($Toks)::BIGINT AS n_tokens, n_chars
+       |  FROM documents)
+       |SELECT source, lang, GROUPING(source, lang)::BIGINT AS gid,
+       |  count(*) AS n_docs,
+       |  CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+       |  CAST(sum(n_chars) AS BIGINT) AS total_chars
+       |FROM t GROUP BY ROLLUP(source, lang)
+       |ORDER BY gid, source, lang""".stripMargin
+
+  /** Deterministic hash split (mirror of Sampling.assignSplits over
+    * doc_id, 90/5/5 at granularity 10000).
+    */
+  val sampleSplit: String =
+    s"""SELECT doc_id, source, lang,
+       |  ${hex64("'split|'||CAST(doc_id AS VARCHAR)")} % 10000 AS bucket,
+       |  CASE WHEN ${hex64("'split|'||CAST(doc_id AS VARCHAR)")} % 10000 < 9000 THEN 'train'
+       |       WHEN ${hex64("'split|'||CAST(doc_id AS VARCHAR)")} % 10000 < 9500 THEN 'val'
+       |       ELSE 'test' END AS split
+       |FROM documents ORDER BY doc_id""".stripMargin
+
   val vecNorm: String =
     s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
        |n AS (SELECT vec_id, v,

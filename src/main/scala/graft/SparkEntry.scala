@@ -67,6 +67,7 @@ object SparkEntry {
     "events_percentiles" -> ((s, dir) => EventOps.valuePercentiles(t(s, dir, "events"))),
     "events_range_join" -> ((s, dir) =>
       EventOps.withinRangePairs(t(s, dir, "events"))),
+    "events_funnel" -> ((s, dir) => EventOps.funnel(t(s, dir, "events"))),
     "events_asof" -> ((s, dir) => {
       val ev = t(s, dir, "events")
       EventOps.asofJoin(ev, ev.filter(col("event_type") === "purchase"))
@@ -83,10 +84,15 @@ object SparkEntry {
     "text_gopher" -> ((s, dir) => TextAnalysis.gopherQuality(t(s, dir, "documents"))),
     "text_bm25" -> ((s, dir) => TextAnalysis.bm25(t(s, dir, "documents"))),
     "corpus_stats" -> ((s, dir) => TextAnalysis.corpusStats(t(s, dir, "documents"))),
+    "corpus_rollup" -> ((s, dir) => TextAnalysis.corpusRollup(t(s, dir, "documents"))),
     // rows-only: HLL sketches have no cross-engine oracle (declared);
     // accuracy property-spec'd vs exact in TextKnnSpec
     "corpus_approx_distinct" -> ((s, dir) =>
       TextAnalysis.corpusApproxDistinct(t(s, dir, "documents"))),
+    "sample_split" -> ((s, dir) =>
+      graft.ops.Sampling.assignSplits(t(s, dir, "documents"), col("doc_id"))
+        .select(col("doc_id"), col("source"), col("lang"), col("bucket"), col("split"))
+        .orderBy(col("doc_id"))),
     "text_top_ngrams" -> ((s, dir) => TextAnalysis.topNgrams(t(s, dir, "documents"))),
     "text_pmi" -> ((s, dir) => TextAnalysis.tokenPmi(t(s, dir, "documents"))),
     // --- B. dedup suite ---
@@ -357,6 +363,9 @@ object SparkEntry {
     "text_gopher" -> OracleSql.textGopher,
     "text_bm25" -> OracleSql.textBm25,
     "corpus_stats" -> OracleSql.corpusStats,
+    "corpus_rollup" -> OracleSql.corpusRollup,
+    "events_funnel" -> OracleSql.eventsFunnel,
+    "sample_split" -> OracleSql.sampleSplit,
     "text_top_ngrams" -> OracleSql.textTopNgrams,
     "text_pmi" -> OracleSql.textPmi,
     "vec_quantize" -> OracleSql.vecQuantize,

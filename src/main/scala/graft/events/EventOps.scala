@@ -145,6 +145,44 @@ object EventOps {
       .orderBy(col("e1"), col("e2"))
   }
 
+  /** Ordered-funnel analysis — the conversion primitive: per user, the
+    * earliest time each funnel step was completed IN ORDER (step i
+    * counts only at/after the matched time of step i-1), plus the
+    * deepest stage reached. Users who never performed step 1 are not
+    * in the funnel and are absent.
+    *
+    * Shape: one conditional min-aggregate per step, every one grouped
+    * and joined on user_id — after the first shuffle all steps are
+    * co-partitioned, so the funnel depth adds joins but no new
+    * partitioning, and each aggregate is map-side partial. Time is
+    * exact int64 µs → cross-engine oracle-exact.
+    */
+  def funnel(events: DataFrame,
+      steps: Seq[String] = Seq("view", "click", "purchase")): DataFrame = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    val e = microsOfTs(events)
+      .select(col("user_id"), col("event_type"), col("us"))
+      .filter(col("us").isNotNull)
+    var acc = e.filter(col("event_type") === steps.head)
+      .groupBy(col("user_id")).agg(min(col("us")).as("step1_us"))
+    for (i <- 1 until steps.length) {
+      val next = e.filter(col("event_type") === steps(i))
+        .join(acc.select(col("user_id"), col(s"step${i}_us")), Seq("user_id"))
+        .filter(col("us") >= col(s"step${i}_us"))
+        .groupBy(col("user_id")).agg(min(col("us")).as(s"step${i + 1}_us"))
+      acc = acc.join(next, Seq("user_id"), "left")
+    }
+    val stage =
+      if (steps.length == 1) lit(1L)
+      else {
+        var c = when(col(s"step${steps.length}_us").isNotNull, lit(steps.length.toLong))
+        for (i <- steps.length - 1 to 2 by -1)
+          c = c.when(col(s"step${i}_us").isNotNull, lit(i.toLong))
+        c.otherwise(lit(1L)) // step1 is non-null for every funnel row
+      }
+    acc.withColumn("stage", stage).orderBy(col("user_id"))
+  }
+
   /** Tumbling time-window aggregation (hourly): exact decimal value
     * sums per (hour, event_type). One shuffle, map-side partials. */
   def hourlyRollup(events: DataFrame): DataFrame =

@@ -327,6 +327,25 @@ object TextAnalysis {
         (sum(col("n_tokens")) / count(lit(1))).as("avg_tokens"))
       .orderBy(col("source"), col("lang"))
 
+  /** [[corpusStats]] under ROLLUP: per (source, lang), per source, and
+    * the grand total in ONE aggregation pass — grouping-set execution
+    * re-aggregates map-side partials up the hierarchy instead of
+    * scanning the corpus once per granularity. `gid` is the standard
+    * grouping bitmask (0 = leaf, 1 = per-source subtotal, 3 = grand
+    * total), identical in Spark (`grouping_id()`) and the DuckDB
+    * oracle (`GROUPING(source, lang)`).
+    */
+  def corpusRollup(docs: DataFrame): DataFrame =
+    withToks(docs)
+      .select(col("source"), col("lang"),
+        size(col("toks")).cast("long").as("n_tokens"), col("n_chars"))
+      .rollup(col("source"), col("lang"))
+      .agg(grouping_id().cast("long").as("gid"),
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("total_tokens"),
+        sum(col("n_chars")).as("total_chars"))
+      .orderBy(col("gid"), col("source"), col("lang"))
+
   /** Approximate-distinct corpus analytics per (source, lang):
     * HyperLogLog++ sketches of the distinct token vocabulary and the
     * distinct content fingerprints — the curator's "how much unique

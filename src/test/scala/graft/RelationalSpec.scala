@@ -59,6 +59,49 @@ class RelationalSpec extends SparkSpec {
     }
   }
 
+  test("funnel: steps count only in order; stage reflects deepest ordered step") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // user 1 completes view→click→purchase in order; user 2 clicks
+    // BEFORE viewing (click must not count) then never clicks again;
+    // user 3 never views (absent from the funnel)
+    val evs = Seq(
+      (1L, 1L, 1000000L, "view"), (1L, 2L, 2000000L, "click"), (1L, 3L, 3000000L, "purchase"),
+      (2L, 4L, 1000000L, "click"), (2L, 5L, 2000000L, "view"), (2L, 6L, 3000000L, "purchase"),
+      (3L, 7L, 1000000L, "click"))
+      .toDF("user_id", "event_id", "us", "event_type")
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        timestamp_micros(col("us")).as("ts"))
+    val res = EventOps.funnel(evs).collect()
+      .map(r => r.getAs[Long]("user_id") ->
+        (r.getAs[Long]("stage"), Option(r.getAs[java.lang.Long]("step2_us")))).toMap
+    assert(res.keySet === Set(1L, 2L))
+    assert(res(1L)._1 === 3L)
+    // user 2's click precedes their first view → stage stalls at 1
+    assert(res(2L) === (1L, None))
+  }
+
+  test("hash sampling/splits: deterministic, disjoint, and proportional") {
+    import org.apache.spark.sql.functions._
+    val docs = Tables.load(spark, sfDir, "documents")
+    val a = graft.ops.Sampling.assignSplits(docs, col("doc_id"))
+      .select("doc_id", "split").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val b = graft.ops.Sampling.assignSplits(docs, col("doc_id"))
+      .select("doc_id", "split").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(a === b) // pure function of the key: stable across runs
+    val n = a.size.toDouble
+    val frac = a.values.groupBy(identity).view.mapValues(_.size / n).toMap
+    assert(math.abs(frac("train") - 0.9) < 0.05, s"train frac ${frac("train")}")
+    // sampleByHash at rate r keeps ~r of rows, and membership is a
+    // subset relation across rates (hash threshold is nested)
+    val s10 = graft.ops.Sampling.sampleByHash(docs, col("doc_id"), 0.1)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val s30 = graft.ops.Sampling.sampleByHash(docs, col("doc_id"), 0.3)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(s10.subsetOf(s30))
+    assert(math.abs(s10.size / n - 0.1) < 0.05, s"rate ${s10.size / n}")
+  }
+
   test("asofJoin attaches the latest right event at-or-before each left event") {
     import org.apache.spark.sql.functions._
     val res = EventOps.asofJoin(events,
