@@ -500,6 +500,43 @@ object OracleSql {
   val cosineTopkExact: String = knnSql("WHERE vec_id < 10", 5)
   val knnBrute: String = knnSql("", 3)
 
+  /** k-NN majority vote (mirror of Knn.knnClassify wiring: queries =
+    * vec_id<100, k=5; tie-break votes desc, best rank, label asc).
+    */
+  val knnClassify: String =
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |q AS (SELECT vec_id, v FROM e WHERE vec_id < 100),
+       |s AS (SELECT q.vec_id AS q_id, c.vec_id AS cand_id,
+       |  list_cosine_similarity(q.v, c.v) AS sim
+       |  FROM q JOIN e c ON c.vec_id <> q.vec_id),
+       |r AS (SELECT q_id, cand_id,
+       |  row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, cand_id) AS rn
+       |  FROM s),
+       |v AS (SELECT r.q_id, emb.label::BIGINT AS label,
+       |  count(*) AS votes, min(rn) AS best_rn
+       |  FROM r JOIN embeddings emb ON emb.vec_id = r.cand_id
+       |  WHERE rn <= 5 GROUP BY 1, 2),
+       |p AS (SELECT q_id, label, votes,
+       |  row_number() OVER (PARTITION BY q_id
+       |    ORDER BY votes DESC, best_rn, label) AS pr FROM v)
+       |SELECT q_id, label AS pred_label, votes FROM p WHERE pr = 1
+       |ORDER BY q_id""".stripMargin
+
+  /** Fixed-point per-label centroids (mirror of Centroids.labelCentroids:
+    * int64 sums of floor(x·10⁶) — order-independent, engine-exact).
+    */
+  val embLabelCentroids: String =
+    s"""WITH x AS (SELECT label::BIGINT AS label,
+       |  unnest(generate_series(1, len(embedding))) - 1 AS i,
+       |  CAST(unnest(embedding) AS DOUBLE) AS x FROM embeddings),
+       |g AS (SELECT label, CAST(i AS BIGINT) AS i,
+       |  CAST(sum(CAST(floor(x * 1000000) AS BIGINT)) AS BIGINT) AS sum_fx,
+       |  count(*) AS n
+       |  FROM x GROUP BY 1, 2)
+       |SELECT label, i, sum_fx, n,
+       |  CAST(sum_fx AS DOUBLE) / CAST(n * 1000000 AS DOUBLE) AS centroid
+       |FROM g ORDER BY label, i""".stripMargin
+
   // ---- LSH oracles: the seeded Gaussian planes are embedded as SQL
   // literals; each plane dot product is written as an explicit
   // left-associative sum so accumulation order (and therefore every

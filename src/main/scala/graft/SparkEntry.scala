@@ -127,6 +127,12 @@ object SparkEntry {
       val e = t(s, dir, "embeddings")
       Knn.cosineTopK(e, e, 3)
     }),
+    "knn_classify" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      Knn.knnClassify(e, e.filter(col("vec_id") < 100), 5)
+    }),
+    "emb_label_centroids" -> ((s, dir) =>
+      graft.ann.Centroids.labelCentroids(t(s, dir, "embeddings"))),
     "ann_ivf" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
       Ivf.probeTopK(e, e.filter(col("vec_id") < 10), e.filter(col("vec_id") < 8), 2, 5)
@@ -382,6 +388,8 @@ object SparkEntry {
     "dedup_embedding_lsh" -> OracleSql.dedupEmbeddingLsh,
     "cosine_topk_exact" -> OracleSql.cosineTopkExact,
     "knn_brute" -> OracleSql.knnBrute,
+    "knn_classify" -> OracleSql.knnClassify,
+    "emb_label_centroids" -> OracleSql.embLabelCentroids,
     "ann_ivf" -> OracleSql.annIvf,
     "vec_norm" -> OracleSql.vecNorm,
     "lsh_signatures" -> OracleSql.lshSignatures,

@@ -56,6 +56,28 @@ object Knn {
         (col("sim") >= threshold).as("is_dup"))
       .orderBy(col("vec_id"))
 
+  /** k-NN majority-vote classification over a labeled corpus: each
+    * query takes the label with the most votes among its k nearest
+    * neighbors (ties → the label with the nearer best-ranked neighbor,
+    * then the smaller label). Composes [[cosineTopK]] (bounded
+    * TopKByScore shuffle) with two small keyed aggregations — the
+    * vote argmax is a `max(struct)` partial aggregate, not a window.
+    * Output: (q_id, pred_label, votes).
+    */
+  def knnClassify(corpus: DataFrame, queries: DataFrame, k: Int,
+      broadcastQueries: Option[Boolean] = None): DataFrame = {
+    val nn = cosineTopK(corpus, queries, k, broadcastQueries)
+    val labels = corpus.select(col("vec_id").as("cand_id"), col("label").cast("long").as("label"))
+    nn.join(labels, Seq("cand_id"))
+      .groupBy(col("q_id"), col("label"))
+      .agg(count(lit(1)).as("votes"), min(col("rn")).as("best_rn"))
+      .groupBy(col("q_id"))
+      .agg(max(struct(col("votes"), (-col("best_rn")).as("neg_rn"),
+        (-col("label")).as("neg_label"), col("label"))).as("m"))
+      .select(col("q_id"), col("m.label").as("pred_label"), col("m.votes").as("votes"))
+      .orderBy(col("q_id"))
+  }
+
   /** Scale path for embedding near-dup: LSH candidate pairs (corpus
     * never self-cross-joins) verified by exact cosine ≥ threshold.
     * The brute-force variant is O(n²) in comparisons; this is bounded

@@ -228,6 +228,24 @@ class TextKnnSpec extends SparkSpec {
     assert(got.getAs[Double]("sim") === best._2)
   }
 
+  test("knnClassify equals a manual majority vote over cosineTopK neighbors") {
+    val queries = emb.filter(col("vec_id") < 30)
+    val labels = emb.collect().map(r => r.getAs[Long]("vec_id") -> r.getAs[Int]("label").toLong).toMap
+    val nn = Knn.cosineTopK(emb, queries, 5).collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("rn"), r.getAs[Long]("cand_id")))
+    val expected = nn.groupBy(_._1).map { case (q, rows) =>
+      val votes = rows.map(t => (labels(t._3), t._2)) // (label, rn)
+        .groupBy(_._1).map { case (l, v) => (l, v.size, v.map(_._2).min) }
+      // votes desc, best rank asc, label asc
+      val best = votes.toSeq.minBy { case (l, n, br) => (-n, br, l) }
+      q -> (best._1, best._2.toLong)
+    }
+    val got = Knn.knnClassify(emb, queries, 5).collect()
+      .map(r => r.getAs[Long]("q_id") ->
+        (r.getAs[Long]("pred_label"), r.getAs[Long]("votes"))).toMap
+    assert(got === expected)
+  }
+
   test("nearestNeighborDedup flags exact-copy vectors") {
     val copies = emb.filter(col("vec_id") < 3)
       .withColumn("vec_id", col("vec_id") + lit(1000000L))
