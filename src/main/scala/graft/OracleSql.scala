@@ -712,6 +712,28 @@ object OracleSql {
        |  FROM r)
        |SELECT q_id, rn, cand_id, sim FROM t WHERE rn <= 5 ORDER BY q_id, rn""".stripMargin
 
+  /** Cohort retention (mirror of EventOps.retention). */
+  val eventsRetention: String =
+    s"""WITH e AS (SELECT user_id, epoch_us(ts) // 86400000000 AS day
+       |  FROM events WHERE epoch_us(ts) IS NOT NULL),
+       |c AS (SELECT user_id, min(day) AS cohort_day FROM e GROUP BY user_id)
+       |SELECT cohort_day, day - cohort_day AS day_offset,
+       |  count(DISTINCT e.user_id) AS n_users
+       |FROM e JOIN c ON e.user_id = c.user_id
+       |WHERE day - cohort_day <= 30
+       |GROUP BY 1, 2
+       |ORDER BY cohort_day, day_offset""".stripMargin
+
+  /** JSON props extraction + aggregation (mirror of EventOps.propsAgg). */
+  val eventsPropsAgg: String =
+    s"""SELECT event_type,
+       |  json_extract_string(props, '$$.k')::BIGINT // 10 AS k_band,
+       |  count(*) AS n_events,
+       |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+       |FROM events
+       |GROUP BY 1, 2
+       |ORDER BY event_type, k_band""".stripMargin
+
   /** Ordered funnel view→click→purchase (mirror of EventOps.funnel). */
   val eventsFunnel: String =
     s"""WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us

@@ -68,6 +68,8 @@ object SparkEntry {
     "events_range_join" -> ((s, dir) =>
       EventOps.withinRangePairs(t(s, dir, "events"))),
     "events_funnel" -> ((s, dir) => EventOps.funnel(t(s, dir, "events"))),
+    "events_retention" -> ((s, dir) => EventOps.retention(t(s, dir, "events"))),
+    "events_props_agg" -> ((s, dir) => EventOps.propsAgg(t(s, dir, "events"))),
     "events_asof" -> ((s, dir) => {
       val ev = t(s, dir, "events")
       EventOps.asofJoin(ev, ev.filter(col("event_type") === "purchase"))
@@ -371,6 +373,8 @@ object SparkEntry {
     "corpus_stats" -> OracleSql.corpusStats,
     "corpus_rollup" -> OracleSql.corpusRollup,
     "events_funnel" -> OracleSql.eventsFunnel,
+    "events_retention" -> OracleSql.eventsRetention,
+    "events_props_agg" -> OracleSql.eventsPropsAgg,
     "sample_split" -> OracleSql.sampleSplit,
     "text_top_ngrams" -> OracleSql.textTopNgrams,
     "text_pmi" -> OracleSql.textPmi,

@@ -183,6 +183,46 @@ object EventOps {
     acc.withColumn("stage", stage).orderBy(col("user_id"))
   }
 
+  /** Cohort retention — the activation/engagement matrix: users are
+    * cohorted by their first-activity day; each (cohort_day,
+    * day_offset) cell counts the distinct users of that cohort active
+    * `offset` days later. Two shuffles (first-day per user; cell
+    * distinct-count), both keyed and map-side-partial. Day arithmetic
+    * is integer µs→day division — engine-exact. At extreme user
+    * cardinality swap the exact distinct for the HLL sketch tier
+    * ([[graft.text.TextAnalysis.corpusApproxDistinct]] pattern).
+    */
+  def retention(events: DataFrame, maxOffsetDays: Int = 30): DataFrame = {
+    val e = microsOfTs(events)
+      .select(col("user_id"), expr("us div 86400000000").as("day"))
+      .filter(col("day").isNotNull)
+    val cohorts = e.groupBy(col("user_id")).agg(min(col("day")).as("cohort_day"))
+    e.join(cohorts, Seq("user_id"))
+      .select(col("user_id"), col("cohort_day"), (col("day") - col("cohort_day")).as("day_offset"))
+      .filter(col("day_offset") <= maxOffsetDays)
+      .groupBy(col("cohort_day"), col("day_offset"))
+      .agg(countDistinct(col("user_id")).as("n_users"))
+      .orderBy(col("cohort_day"), col("day_offset"))
+  }
+
+  /** Semi-structured property extraction: pull typed fields out of the
+    * JSON `props` column and aggregate on them — the "late-binding
+    * schema" path every event pipeline needs. The JSON parse is a
+    * codegen'd projection (`get_json_object`); everything after is
+    * ordinary exact aggregation. At scale prefer parsing ONCE into a
+    * typed column and persisting — this operator is the probe shape.
+    */
+  def propsAgg(events: DataFrame): DataFrame =
+    microsOfTs(events)
+      .select(col("event_type"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"),
+        col("value"))
+      .withColumn("k_band", expr("k div 10"))
+      .groupBy(col("event_type"), col("k_band"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(dec(col("value"))).cast("double").as("sum_value"))
+      .orderBy(col("event_type"), col("k_band"))
+
   /** Tumbling time-window aggregation (hourly): exact decimal value
     * sums per (hour, event_type). One shuffle, map-side partials. */
   def hourlyRollup(events: DataFrame): DataFrame =
