@@ -712,6 +712,22 @@ object OracleSql {
        |  FROM r)
        |SELECT q_id, rn, cand_id, sim FROM t WHERE rn <= 5 ORDER BY q_id, rn""".stripMargin
 
+  /** Overlapping document chunks (mirror of TextAnalysis.chunks,
+    * size=200, stride=150; 1-based character offsets both engines).
+    */
+  val textChunks: String =
+    s"""WITH d AS (SELECT doc_id, text, length(text) AS len
+       |  FROM documents WHERE length(text) > 0),
+       |x AS (SELECT doc_id, text,
+       |  unnest(range(0, (len - 1) // 150 + 1)) AS chunk_idx FROM d),
+       |c AS (SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+       |  CAST(chunk_idx * 150 + 1 AS BIGINT) AS chunk_start,
+       |  substring(text, chunk_idx * 150 + 1, 200) AS chunk FROM x)
+       |SELECT doc_id, chunk_idx, chunk_start,
+       |  length(chunk)::BIGINT AS n_chunk_chars,
+       |  ${hex64("chunk")} AS chunk_hash
+       |FROM c ORDER BY doc_id, chunk_idx""".stripMargin
+
   /** Cohort retention (mirror of EventOps.retention). */
   val eventsRetention: String =
     s"""WITH e AS (SELECT user_id, epoch_us(ts) // 86400000000 AS day

@@ -391,6 +391,29 @@ object TextAnalysis {
       .orderBy(col("rank"))
   }
 
+  /** Overlapping fixed-width document chunking — the context-window
+    * shaping step of an LLM training/RAG pipeline: each document is
+    * split into `size`-char windows every `stride` chars (overlap =
+    * size − stride keeps boundary-spanning content intact in some
+    * chunk). Pure per-row explode+substring projection — no shuffle at
+    * all except the deterministic output sort; at 100 TB this is the
+    * ideal map-only shape. Each chunk carries its provenance
+    * (doc_id, index, start offset) and a portable content hash, so a
+    * downstream exact-dedup over chunks composes directly.
+    */
+  def chunks(docs: DataFrame, size: Int = 200, stride: Int = 150): DataFrame =
+    docs
+      .filter(length(col("text")) > 0)
+      .select(col("doc_id"), col("text"),
+        explode(sequence(lit(0L), expr(s"(length(text) - 1) div $stride"))).as("chunk_idx"))
+      .select(col("doc_id"), col("chunk_idx"),
+        (col("chunk_idx") * stride + 1).as("chunk_start"),
+        expr(s"substring(text, chunk_idx * $stride + 1, $size)").as("chunk"))
+      .select(col("doc_id"), col("chunk_idx"), col("chunk_start"),
+        length(col("chunk")).cast("long").as("n_chunk_chars"),
+        GraftFunctions.hex64(col("chunk")).as("chunk_hash"))
+      .orderBy(col("doc_id"), col("chunk_idx"))
+
   /** Content fingerprint: 60-bit portable hash of the normalized token
     * stream, plus a coarse length band (blocking key for dedup).
     */

@@ -61,7 +61,10 @@ class PlanContractSpec extends SparkSpec {
       "lsh_topk", "lsh_topp_rerank", "ann_lsh", "vec_norm",
       "lsh_delete_clear", "mm_binary_meta",
       "events_asof", "text_containment", "vec_quantize",
-      "events_range_join", "text_gopher", "corpus_stats", "text_top_ngrams")
+      "events_range_join", "text_gopher", "corpus_stats", "text_top_ngrams",
+      "events_funnel", "events_retention", "events_props_agg",
+      "corpus_rollup", "corpus_approx_distinct", "sample_split",
+      "text_chunks", "emb_label_centroids", "lsh_save_load_bucketed")
     sweep.foreach { name =>
       val phys = physical(q(name))
       assert(!phys.contains("CartesianProduct"),
@@ -91,6 +94,20 @@ class PlanContractSpec extends SparkSpec {
       s"ann_ivf routes scored rows through a window exchange:\n$phys")
     assert(phys.contains("partial_max") || phys.contains("partial_top_k_by_score"),
       s"no map-side partial aggregation in ann_ivf:\n$phys")
+  }
+
+  test("sample_split prunes to key+output columns; text_chunks plans no shuffle beyond the sort") {
+    // the split assignment must never drag the text payload through the
+    // scan — it's a projection of (doc_id, source, lang) only
+    val plan = formatted(q("sample_split"))
+    val readSchema = plan.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!readSchema.contains("text"), s"sample_split reads the text payload: $readSchema")
+    // chunking is map-only: the ONLY exchange allowed is the
+    // deterministic output sort
+    val chunks = physical(q("text_chunks"))
+    val ex = "Exchange".r.findAllIn(chunks).size
+    val rangeEx = "Exchange rangepartitioning".r.findAllIn(chunks).size
+    assert(ex === rangeEx, s"text_chunks shuffles beyond the output sort:\n$chunks")
   }
 
   test("dedup_minhash: the shuffle carries k longs per doc, never shingles") {
