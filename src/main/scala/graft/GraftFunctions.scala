@@ -33,6 +33,14 @@ object GraftFunctions {
   def det_ln(x: Column): Column =
     GraftColumnBridge.column(DetLnExpr(GraftColumnBridge.expression(x)))
 
+  /** Exact int64 dot product of two code vectors (codegen tight loop);
+    * see [[graft.expressions.IntDotProduct]].
+    */
+  def int_dot(a: Column, b: Column): Column =
+    GraftColumnBridge.column(
+      graft.expressions.IntDotProduct(
+        GraftColumnBridge.expression(a), GraftColumnBridge.expression(b)))
+
   /** Map-side bounded top-k aggregate over (score, id); see
     * [[graft.expressions.TopKByScore]].
     */

@@ -53,10 +53,12 @@ object Quantize {
   }
 
   /** Exact integer dot product of two long arrays — associative integer
-    * adds, bit-identical on any engine and any evaluation order.
+    * adds, bit-identical on any engine and any evaluation order. Native
+    * codegen expression: the `zip_with`+`aggregate` HOF form measured
+    * ~5× slower (per-element lambda evaluation).
     */
   private def dotInt(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, x) => acc + x)
+    graft.GraftFunctions.int_dot(a, b)
 
   /** Quantized-prefilter ANN serving: rank candidates by the int8
     * integer dot product of unit vectors (divided by the two scales →

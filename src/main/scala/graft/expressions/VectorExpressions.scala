@@ -150,6 +150,47 @@ case class DotProduct(left: Expression, right: Expression) extends BinaryExpress
     copy(left = l, right = r)
 }
 
+/** Exact integer dot product of two int64 code vectors — the quantized
+  * ANN prefilter primitive ([[graft.ann.Quantize.quantizedTopK]]).
+  * int8-scale codes can't overflow below ~2^46 dims. A tight codegen
+  * loop: the higher-order `zip_with`+`aggregate` form evaluates a
+  * lambda object per element and measured ~5× slower on the same scan.
+  */
+case class IntDotProduct(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "int_dot_product"
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]
+    val b = r.asInstanceOf[ArrayData]
+    VecUtil.requireSameDim(prettyName, a.numElements(), b.numElements())
+    val n = a.numElements()
+    var dot = 0L
+    var i = 0
+    while (i < n) { dot += a.getLong(i) * b.getLong(i); i += 1 }
+    dot
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val dot = ctx.freshName("dot")
+      s"""
+         |${VecUtil.dimCheckSrc(prettyName, s"$a.numElements()", s"$b.numElements()")}
+         |int $n = $a.numElements();
+         |long $dot = 0L;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $dot += $a.getLong($i) * $b.getLong($i);
+         |}
+         |${ev.value} = $dot;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
 /** L2 (Euclidean) norm of a vector (reference: lshrs/utils/norm.py:4). */
 case class L2Norm(child: Expression) extends UnaryExpression {
   override def dataType: DataType = DoubleType
