@@ -393,6 +393,50 @@ object OracleSql {
           |  ON x.band = y.band AND x.bh = y.bh AND x.doc_id < y.doc_id)""".stripMargin)}
        |ORDER BY a, b""".stripMargin
 
+  /** Incremental dedup (mirror of Dedup.incrementalDedup with corpus =
+    * even doc_ids, batch = odd, minJaccard = 0.7 — the SparkEntry
+    * wiring). Near-dup best match = highest jaccard, then smallest
+    * corpus doc_id.
+    */
+  val dedupIncremental: String =
+    s"""$ShHashCte,
+       |mh AS (SELECT doc_id,
+       |$minhashCols
+       |FROM shh GROUP BY doc_id),
+       |bands AS (
+       |$bandSelects),
+       |cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+       |  FROM bands x JOIN bands y ON x.band = y.band AND x.bh = y.bh
+       |  WHERE x.doc_id % 2 = 1 AND y.doc_id % 2 = 0),
+       |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+       |inter AS (SELECT c.a, c.b, count(*) AS n_int FROM cand c
+       |  JOIN sh sa ON sa.doc_id = c.a
+       |  JOIN sh sb ON sb.doc_id = c.b AND sb.s = sa.s
+       |  GROUP BY c.a, c.b),
+       |ver AS (SELECT i.a, i.b,
+       |  i.n_int / (za.n + zb.n - i.n_int) AS jaccard
+       |  FROM inter i
+       |  JOIN sizes za ON za.doc_id = i.a
+       |  JOIN sizes zb ON zb.doc_id = i.b
+       |  WHERE i.n_int / (za.n + zb.n - i.n_int) >= 0.7),
+       |near AS (SELECT a AS doc_id, b AS best_match, jaccard AS best_jaccard
+       |  FROM (SELECT a, b, jaccard,
+       |    row_number() OVER (PARTITION BY a ORDER BY jaccard DESC, b) AS rn FROM ver)
+       |  WHERE rn = 1),
+       |fp AS (SELECT doc_id, ${hex64("array_to_string(toks,' ')")} AS fingerprint FROM t),
+       |ex AS (SELECT DISTINCT bf.doc_id FROM fp bf
+       |  JOIN fp cf ON bf.fingerprint = cf.fingerprint
+       |  WHERE bf.doc_id % 2 = 1 AND cf.doc_id % 2 = 0)
+       |SELECT d.doc_id,
+       |  ex.doc_id IS NOT NULL AS exact_dup,
+       |  near.best_match IS NOT NULL AS near_dup,
+       |  near.best_match, near.best_jaccard,
+       |  NOT (ex.doc_id IS NOT NULL OR near.best_match IS NOT NULL) AS keep
+       |FROM (SELECT doc_id FROM documents WHERE doc_id % 2 = 1) d
+       |LEFT JOIN ex ON ex.doc_id = d.doc_id
+       |LEFT JOIN near ON near.doc_id = d.doc_id
+       |ORDER BY d.doc_id""".stripMargin
+
   /** Mirrors the DEFAULT capped path (Caching.capByFrequency at
     * Dedup.DefaultMaxShingleDf): shingles above the df cap are dropped
     * before sizes/intersections on BOTH sides.

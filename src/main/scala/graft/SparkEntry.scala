@@ -110,6 +110,11 @@ object SparkEntry {
     "dedup_embedding_lsh" -> ((s, dir) =>
       Knn.lshNearDupPairs(t(s, dir, "embeddings"), lshP, threshold = 0.3)),
     "dedup_clusters" -> ((s, dir) => Dedup.nearDupClusters(t(s, dir, "documents"))),
+    "dedup_incremental" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      Dedup.incrementalDedup(
+        d.filter(col("doc_id") % 2 === 0), d.filter(col("doc_id") % 2 === 1))
+    }),
     "pipeline_clean" -> ((s, dir) => graft.ops.Pipeline.cleanCorpus(t(s, dir, "documents"))),
     "dedup_mllib_minhash" -> ((s, dir) => {
       implicit val sp: SparkSession = s
@@ -390,6 +395,7 @@ object SparkEntry {
     "dedup_simhash_pairs" -> OracleSql.dedupSimhashPairs,
     "dedup_embedding" -> OracleSql.dedupEmbedding,
     "dedup_clusters" -> OracleSql.dedupClusters,
+    "dedup_incremental" -> OracleSql.dedupIncremental,
     "pipeline_clean" -> OracleSql.pipelineClean,
     "dedup_embedding_lsh" -> OracleSql.dedupEmbeddingLsh,
     "cosine_topk_exact" -> OracleSql.cosineTopkExact,

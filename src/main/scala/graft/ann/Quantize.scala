@@ -38,9 +38,13 @@ object Quantize {
   }
 
   /** Array-form quantization of the L2-NORMALIZED vector:
-    * (vec_id, qv array<long>, scale) — the serving shape for
+    * (vec_id, qv array<tinyint>, scale) — the serving shape for
     * [[quantizedTopK]]. Normalizing first makes the integer dot product
     * a cosine approximation (scale-corrected), not a raw-dot one.
+    * Codes are stored as tinyint so both the at-rest AND the in-memory
+    * scan really carry 1 byte per component (an array<long> encoding
+    * would silently spend 8 bytes/component in UnsafeArrayData — twice
+    * the float32 it replaces).
     */
   def int8Unit(emb: DataFrame): DataFrame = {
     val unit = l2_normalize(col("embedding"))
@@ -49,7 +53,7 @@ object Quantize {
       .select(col("vec_id"), unit.as("nv"),
         when(maxAbs === 0.0, lit(0.0)).otherwise(lit(127.0) / maxAbs).as("scale"))
       .select(col("vec_id"), col("scale"),
-        transform(col("nv"), e => floor(e * col("scale") + lit(0.5)).cast("long")).as("qv"))
+        transform(col("nv"), e => floor(e * col("scale") + lit(0.5)).cast("byte")).as("qv"))
   }
 
   /** Exact integer dot product of two long arrays — associative integer

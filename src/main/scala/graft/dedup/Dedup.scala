@@ -343,6 +343,83 @@ object Dedup {
     out
   }
 
+  /** Exact Jaccard for candidate pairs whose sides come from two
+    * DIFFERENT shingle sources (a-side docs in `shA`, b-side docs in
+    * `shB`) — the cross-table generalization of [[jaccardOf]].
+    */
+  private def jaccardAcross(cand: DataFrame, shA: DataFrame, shB: DataFrame): DataFrame = {
+    val aDocs = cand.select(col("a").as("doc_id")).distinct()
+    val bDocs = cand.select(col("b").as("doc_id")).distinct()
+    val sa = shA.join(graft.ops.Broadcasting.maybeBroadcast(aDocs), Seq("doc_id"), "left_semi")
+    val sb = shB.join(graft.ops.Broadcasting.maybeBroadcast(bDocs), Seq("doc_id"), "left_semi")
+    val sizesA = sa.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val sizesB = sb.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val inter = cand
+      .join(sa.as("sa"), col("a") === col("sa.doc_id"))
+      .join(sb.as("sb"), col("b") === col("sb.doc_id") && col("sa.s") === col("sb.s"))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("n_int"))
+    inter
+      .join(sizesA.as("za"), col("a") === col("za.doc_id"))
+      .join(sizesB.as("zb"), col("b") === col("zb.doc_id"))
+      .select(col("a"), col("b"), col("n_int"),
+        col("za.n").as("n_a"), col("zb.n").as("n_b"),
+        (col("n_int") / (col("za.n") + col("zb.n") - col("n_int"))).as("jaccard"))
+  }
+
+  /** Incremental dedup — the production ingest shape: flag each BATCH
+    * document that duplicates the EXISTING corpus, without re-deduping
+    * the corpus against itself (reference analogue: querying a
+    * persisted index with a new batch, core/main.py query-after-load).
+    *
+    * Exact: the batch fingerprint exists in the corpus (one semi-join
+    * shuffle on fingerprint). Near: the batch doc shares a minhash
+    * band bucket with ≥1 corpus doc (band equi-join — batch×corpus
+    * never cross-joins) and the best such candidate verifies at
+    * exact Jaccard ≥ `minJaccard` (tie-break: highest jaccard, then
+    * smallest corpus doc_id). Output one row per batch doc:
+    * (doc_id, exact_dup, near_dup, best_match, best_jaccard, keep).
+    *
+    * At 100 TB the corpus side's signatures/bands come from a
+    * persisted index (compute once, reuse per batch) — this method
+    * recomputes them for self-containedness; the band join and
+    * verification touch only batch-collided docs either way.
+    */
+  def incrementalDedup(corpus: DataFrame, batch: DataFrame,
+      minJaccard: Double = 0.7): DataFrame = {
+    def fpOf(d: DataFrame): DataFrame = withToks(d)
+      .select(col("doc_id"), hex64(array_join(col("toks"), " ")).as("fingerprint"))
+    val exact = fpOf(batch)
+      .join(fpOf(corpus).select(col("fingerprint")).distinct(), Seq("fingerprint"), "left_semi")
+      .select(col("doc_id"), lit(true).as("exact_dup"))
+    val shB = shingleSet(batch).persist(StorageLevel.MEMORY_AND_DISK)
+    val shC = shingleSet(corpus).persist(StorageLevel.MEMORY_AND_DISK)
+    val cand = minhashBands(minhashOf(shB)).as("x")
+      .join(minhashBands(minhashOf(shC)).as("y"),
+        col("x.band") === col("y.band") && col("x.band_hash") === col("y.band_hash"))
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val near = jaccardAcross(cand, shB, shC)
+      .filter(col("jaccard") >= minJaccard)
+      .groupBy(col("a"))
+      .agg(max(struct(col("jaccard"), (-col("b")).as("neg_b"), col("b"))).as("m"))
+      .select(col("a").as("doc_id"), lit(true).as("near_dup"),
+        col("m.b").as("best_match"), col("m.jaccard").as("best_jaccard"))
+    val out = batch.select(col("doc_id"))
+      .join(exact, Seq("doc_id"), "left")
+      .join(near, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("exact_dup"), lit(false)).as("exact_dup"),
+        coalesce(col("near_dup"), lit(false)).as("near_dup"),
+        col("best_match"), col("best_jaccard"),
+        (!(coalesce(col("exact_dup"), lit(false)) ||
+          coalesce(col("near_dup"), lit(false)))).as("keep"))
+      .orderBy(col("doc_id"))
+    materialized(out) {
+      cand.unpersist(false); shB.unpersist(false); shC.unpersist(false)
+    }
+  }
+
   val SimhashBits = 32
 
   /** 32-bit SimHash fingerprint: per token (with multiplicity) each

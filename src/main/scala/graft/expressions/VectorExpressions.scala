@@ -150,8 +150,11 @@ case class DotProduct(left: Expression, right: Expression) extends BinaryExpress
     copy(left = l, right = r)
 }
 
-/** Exact integer dot product of two int64 code vectors — the quantized
-  * ANN prefilter primitive ([[graft.ann.Quantize.quantizedTopK]]).
+/** Exact integer dot product of two integer code vectors (any of
+  * tinyint/smallint/int/bigint elements; accumulation in int64) — the
+  * quantized ANN prefilter primitive
+  * ([[graft.ann.Quantize.quantizedTopK]], which stores codes as
+  * `array<tinyint>` so the scan really is 1 byte per component).
   * int8-scale codes can't overflow below ~2^46 dims. A tight codegen
   * loop: the higher-order `zip_with`+`aggregate` form evaluates a
   * lambda object per element and measured ~5× slower on the same scan.
@@ -160,6 +163,25 @@ case class IntDotProduct(left: Expression, right: Expression) extends BinaryExpr
   override def dataType: DataType = LongType
   override def prettyName: String = "int_dot_product"
 
+  private lazy val lt = VecUtil.elementType(left.dataType)
+  private lazy val rt = VecUtil.elementType(right.dataType)
+
+  private def getLong(et: DataType, a: ArrayData, i: Int): Long = et match {
+    case ByteType    => a.getByte(i).toLong
+    case ShortType   => a.getShort(i).toLong
+    case IntegerType => a.getInt(i).toLong
+    case LongType    => a.getLong(i)
+    case other => throw new IllegalArgumentException(s"unsupported code element type $other")
+  }
+
+  private def longGetterSrc(et: DataType, arr: String, i: String): String = et match {
+    case ByteType    => s"(long) $arr.getByte($i)"
+    case ShortType   => s"(long) $arr.getShort($i)"
+    case IntegerType => s"(long) $arr.getInt($i)"
+    case LongType    => s"$arr.getLong($i)"
+    case other => throw new IllegalArgumentException(s"unsupported code element type $other")
+  }
+
   override def nullSafeEval(l: Any, r: Any): Any = {
     val a = l.asInstanceOf[ArrayData]
     val b = r.asInstanceOf[ArrayData]
@@ -167,7 +189,7 @@ case class IntDotProduct(left: Expression, right: Expression) extends BinaryExpr
     val n = a.numElements()
     var dot = 0L
     var i = 0
-    while (i < n) { dot += a.getLong(i) * b.getLong(i); i += 1 }
+    while (i < n) { dot += getLong(lt, a, i) * getLong(rt, b, i); i += 1 }
     dot
   }
 
@@ -181,7 +203,7 @@ case class IntDotProduct(left: Expression, right: Expression) extends BinaryExpr
          |int $n = $a.numElements();
          |long $dot = 0L;
          |for (int $i = 0; $i < $n; $i++) {
-         |  $dot += $a.getLong($i) * $b.getLong($i);
+         |  $dot += (${longGetterSrc(lt, a, i)}) * (${longGetterSrc(rt, b, i)});
          |}
          |${ev.value} = $dot;
        """.stripMargin

@@ -65,6 +65,9 @@ object Streams {
             state.remove()
             out.iterator
           } else {
+            // materializes ONE user's events of ONE microbatch — bounded
+            // by per-user batch arrival rate (not corpus size); a user
+            // hot enough to blow this out needs source-side throttling
             val sorted = rows.toSeq.sortBy(e => (e.us, e.event_id))
             var open = state.getOption.getOrElse(Nil)
             var closed = List.empty[SessionOut]

@@ -74,6 +74,30 @@ class DedupSpec extends SparkSpec {
     assert(planted.forall(_.getAs[Double]("jaccard") === 1.0))
   }
 
+  test("incrementalDedup flags exact and near batch duplicates of the corpus") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val corpus = docs.filter(col("doc_id") < 400)
+    // batch: one exact copy of corpus doc 0, one near-copy of doc 1
+    // (first 30 tokens dropped), one fresh doc
+    val d0 = docs.filter(col("doc_id") === 0L).head().getAs[String]("text")
+    val d1 = docs.filter(col("doc_id") === 1L).head().getAs[String]("text")
+    val nearText = d1.split(" ").drop(3).mkString(" ")
+    val batch = Seq(
+      (2000001L, d0), (2000002L, nearText),
+      (2000003L, (1 to 60).map(i => s"zz$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val res = Dedup.incrementalDedup(corpus, batch, minJaccard = 0.5).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Boolean]("exact_dup"), r.getAs[Boolean]("near_dup"),
+          r.getAs[Boolean]("keep"))).toMap
+    assert(res(2000001L)._1 === true)      // exact copy detected
+    assert(res(2000001L)._3 === false)
+    assert(res(2000002L)._2 === true, s"near copy missed: ${res(2000002L)}") // near dup detected
+    assert(res(2000003L) === ((false, false, true))) // fresh doc kept
+    res.foreach { case (_, (ex, near, keep)) => assert(keep === !(ex || near)) }
+  }
+
   test("nearDupClusters: copies join their source's cluster; chains collapse transitively") {
     val res = Dedup.nearDupClusters(withCopies).collect()
     assert(res.length === withCopies.count())
