@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.SparkSessionExtensions
 
-import graft.expressions.{CosineSimilarity, DotProduct, L2Norm, L2Normalize}
+import graft.expressions.{CosineSimilarity, DotProduct, IntDotProduct, L2Norm, L2Normalize}
 
 /** Session-extension entry point: enables
   * `--conf spark.sql.extensions=graft.GraftExtensions` so every
@@ -27,5 +27,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("l2_normalize"),
       info("l2_normalize", "l2_normalize(v) - unit-length vector, NULL for zero vector"),
       (es: Seq[Expression]) => L2Normalize(es.head)))
+    ext.injectFunction((FunctionIdentifier("int_dot_product"),
+      info("int_dot_product", "int_dot_product(a, b) - exact int64 dot product of integer code vectors"),
+      (es: Seq[Expression]) => IntDotProduct(es.head, es(1))))
   }
 }

@@ -92,5 +92,7 @@ object GraftFunctions {
     reg.createOrReplaceTempFunction("dot_product", es => DotProduct(es.head, es(1)), "scala_udf")
     reg.createOrReplaceTempFunction("l2_norm", es => L2Norm(es.head), "scala_udf")
     reg.createOrReplaceTempFunction("l2_normalize", es => L2Normalize(es.head), "scala_udf")
+    reg.createOrReplaceTempFunction("int_dot_product",
+      es => graft.expressions.IntDotProduct(es.head, es(1)), "scala_udf")
   }
 }
