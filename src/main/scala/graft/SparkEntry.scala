@@ -65,6 +65,10 @@ object SparkEntry {
     "events_sessionize" -> ((s, dir) => EventOps.sessionize(t(s, dir, "events"))),
     "events_windowed" -> ((s, dir) => EventOps.hourlyRollup(t(s, dir, "events"))),
     "events_percentiles" -> ((s, dir) => EventOps.valuePercentiles(t(s, dir, "events"))),
+    // rows-only: the GK sketch has no cross-engine oracle (declared);
+    // accuracy property-spec'd vs exact in RelationalSpec
+    "events_approx_percentiles" -> ((s, dir) =>
+      EventOps.approxValuePercentiles(t(s, dir, "events"))),
     "events_range_join" -> ((s, dir) =>
       EventOps.withinRangePairs(t(s, dir, "events"))),
     "events_funnel" -> ((s, dir) => EventOps.funnel(t(s, dir, "events"))),

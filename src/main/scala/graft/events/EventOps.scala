@@ -71,6 +71,29 @@ object EventOps {
         count(lit(1)).as("n_events"))
       .orderBy(col("event_type"))
 
+  /** Sketch-tier percentiles (the t-digest/GK analogue of the HLL
+    * distinct tier): `approx_percentile` keeps a bounded
+    * Greenwald-Khanna summary per group — rank error ≤ n/accuracy —
+    * where exact [[valuePercentiles]] buffers every value of a group.
+    * At 100 TB the exact form is a memory hazard on hot keys; the
+    * sketch is constant-memory and mergeable map-side. Rows-only
+    * oracle (sketch internals are engine-specific); accuracy
+    * spec-asserted against the exact percentiles at test SF.
+    */
+  def approxValuePercentiles(events: DataFrame, accuracy: Int = 10000): DataFrame =
+    events
+      .groupBy(col("event_type"))
+      .agg(
+        percentile_approx(col("value"),
+          array(lit(0.5), lit(0.9), lit(0.99)), lit(accuracy)).as("p"),
+        count(lit(1)).as("n_events"))
+      .select(col("event_type"),
+        element_at(col("p"), 1).as("p50_approx"),
+        element_at(col("p"), 2).as("p90_approx"),
+        element_at(col("p"), 3).as("p99_approx"),
+        col("n_events"))
+      .orderBy(col("event_type"))
+
   /** As-of join — the time-series/feature-attribution operator: attach
     * to every left event the LATEST right event with `right.us ≤
     * left.us` in the same key group (ties at equal time resolved toward

@@ -59,6 +59,28 @@ class RelationalSpec extends SparkSpec {
     }
   }
 
+  test("approx percentiles honor the GK rank guarantee against the exact sample") {
+    import org.apache.spark.sql.functions._
+    // the sketch guarantee is RANK error ≤ n/accuracy, not value
+    // proximity (a heavy tail puts adjacent ranks far apart in value
+    // space) — so assert the empirical rank of each approx value
+    val byType = events.select(col("event_type"), col("value")).collect()
+      .groupBy(_.getString(0)).map { case (t, rs) => t -> rs.map(_.getDouble(1)).sorted }
+    def rankOf(sorted: Array[Double], v: Double): Double = {
+      val below = sorted.count(_ <= v)
+      below.toDouble / sorted.length
+    }
+    EventOps.approxValuePercentiles(events).collect().foreach { r =>
+      val sorted = byType(r.getAs[String]("event_type"))
+      // accuracy 10⁴ on test-SF groups ⇒ near-exact; allow 2% rank slop
+      Seq(0.5 -> "p50_approx", 0.9 -> "p90_approx", 0.99 -> "p99_approx").foreach {
+        case (q, c) =>
+          val rank = rankOf(sorted, r.getAs[Double](c))
+          assert(math.abs(rank - q) <= 0.02, s"${r.getString(0)} $c rank $rank vs $q")
+      }
+    }
+  }
+
   test("funnel: steps count only in order; stage reflects deepest ordered step") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
