@@ -86,7 +86,7 @@ object MlLsh {
     * Same cache scope as [[minhashNearDupPairs]].
     */
   def brpNearNeighborPairs(emb: DataFrame, maxL2Distance: Double,
-      bucketLength: Double = 0.5, numHashTables: Int = 4, seed: Long = 42L)
+      bucketLength: Double = 0.5, numHashTables: Int = 2, seed: Long = 42L)
       (implicit spark: SparkSession): DataFrame = {
     val vecs = toDense(emb)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
