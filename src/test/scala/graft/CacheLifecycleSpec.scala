@@ -40,6 +40,22 @@ class CacheLifecycleSpec extends SparkSpec {
     assertScoped(Dedup.nearDupClusters(docs))
   }
 
+  test("incrementalDedup releases batch/corpus shingle + candidate caches") {
+    assertScoped(Dedup.incrementalDedup(
+      docs.filter(col("doc_id") % 2 === 0), docs.filter(col("doc_id") % 2 === 1)))
+  }
+
+  test("MLlib twins release their vector-frame caches; result is the scope") {
+    implicit val s: org.apache.spark.sql.SparkSession = spark
+    assertScoped(graft.ann.MlLsh.minhashNearDupPairs(docs, maxJaccardDistance = 0.5))
+    assertScoped(graft.ann.MlLsh.brpNearNeighborPairs(
+      Tables.load(spark, sfDir, "embeddings"), maxL2Distance = 1.15))
+  }
+
+  test("pipeline_clean releases the shared tokenize cache and cluster scope") {
+    assertScoped(graft.ops.Pipeline.cleanCorpus(docs))
+  }
+
   test("star contraction converges within 30 rounds on a diameter-200 chain") {
     // min-label propagation would need 200 rounds here; large-star/
     // small-star must reach the fixpoint (all labels = 0) inside 30
