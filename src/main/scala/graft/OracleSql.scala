@@ -756,21 +756,38 @@ object OracleSql {
        |  FROM r)
        |SELECT q_id, rn, cand_id, sim FROM t WHERE rn <= 5 ORDER BY q_id, rn""".stripMargin
 
-  /** Overlapping document chunks (mirror of TextAnalysis.chunks,
-    * size=200, stride=150; 1-based character offsets both engines).
+  /** Shared chunk CTE chain (mirror of TextAnalysis.chunks, size=200,
+    * stride=150; 1-based character offsets both engines) ending in
+    * `c` = (doc_id, chunk_idx, chunk_start, chunk).
     */
-  val textChunks: String =
+  private val chunkCte: String =
     s"""WITH d AS (SELECT doc_id, text, length(text) AS len
        |  FROM documents WHERE length(text) > 0),
        |x AS (SELECT doc_id, text,
        |  unnest(range(0, (len - 1) // 150 + 1)) AS chunk_idx FROM d),
        |c AS (SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
        |  CAST(chunk_idx * 150 + 1 AS BIGINT) AS chunk_start,
-       |  substring(text, chunk_idx * 150 + 1, 200) AS chunk FROM x)
+       |  substring(text, chunk_idx * 150 + 1, 200) AS chunk FROM x)""".stripMargin
+
+  val textChunks: String =
+    s"""$chunkCte
        |SELECT doc_id, chunk_idx, chunk_start,
        |  length(chunk)::BIGINT AS n_chunk_chars,
        |  ${hex64("chunk")} AS chunk_hash
        |FROM c ORDER BY doc_id, chunk_idx""".stripMargin
+
+  /** Duplicate-chunk fraction (mirror of TextAnalysis.dupChunkRatio). */
+  val textDupChunkRatio: String =
+    s"""$chunkCte,
+       |ch AS (SELECT doc_id, ${hex64("chunk")} AS chunk_hash FROM c),
+       |ph AS (SELECT chunk_hash, count(DISTINCT doc_id) AS n_docs_with
+       |  FROM ch GROUP BY chunk_hash)
+       |SELECT ch.doc_id, count(*) AS n_chunks,
+       |  CAST(sum(CASE WHEN ph.n_docs_with > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_chunks,
+       |  CAST(sum(CASE WHEN ph.n_docs_with > 1 THEN 1 ELSE 0 END) AS BIGINT) / count(*) AS dup_chunk_ratio
+       |FROM ch JOIN ph ON ph.chunk_hash = ch.chunk_hash
+       |GROUP BY ch.doc_id
+       |ORDER BY ch.doc_id""".stripMargin
 
   /** Cohort retention (mirror of EventOps.retention). */
   val eventsRetention: String =

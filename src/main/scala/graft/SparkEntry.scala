@@ -85,6 +85,7 @@ object SparkEntry {
     "text_langid" -> ((s, dir) => TextAnalysis.langId(t(s, dir, "documents"))),
     "text_fingerprint" -> ((s, dir) => TextAnalysis.fingerprint(t(s, dir, "documents"))),
     "text_chunks" -> ((s, dir) => TextAnalysis.chunks(t(s, dir, "documents"))),
+    "text_dup_chunk_ratio" -> ((s, dir) => TextAnalysis.dupChunkRatio(t(s, dir, "documents"))),
     "text_winnow" -> ((s, dir) => TextAnalysis.winnow(t(s, dir, "documents"))),
     "text_containment" -> ((s, dir) => TextAnalysis.containment(t(s, dir, "documents"),
       maxFingerprintDf = Some(TextAnalysis.DefaultMaxFingerprintDf))),
@@ -377,6 +378,7 @@ object SparkEntry {
     "text_langid" -> OracleSql.textLangid,
     "text_fingerprint" -> OracleSql.textFingerprint,
     "text_chunks" -> OracleSql.textChunks,
+    "text_dup_chunk_ratio" -> OracleSql.textDupChunkRatio,
     "text_winnow" -> OracleSql.textWinnow,
     "text_containment" -> OracleSql.textContainment,
     "text_gopher" -> OracleSql.textGopher,

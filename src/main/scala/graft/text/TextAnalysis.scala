@@ -414,6 +414,28 @@ object TextAnalysis {
         GraftFunctions.hex64(col("chunk")).as("chunk_hash"))
       .orderBy(col("doc_id"), col("chunk_idx"))
 
+  /** Duplicate-chunk fraction per document — the "duplicate text
+    * fraction" quality signal of web-corpus pipelines (Rae et al. 2021
+    * repetition filters; RefinedWeb dup-line fraction), at chunk
+    * granularity: the share of a document's [[chunks]] whose content
+    * hash also appears in ANOTHER document. High values mark mirrored
+    * boilerplate even when whole-doc fingerprints differ. Shape: the
+    * chunk projection + one groupBy(chunk_hash) distinct-count + one
+    * groupBy(doc_id) — both keyed, map-side-partial.
+    */
+  def dupChunkRatio(docs: DataFrame, size: Int = 200, stride: Int = 150): DataFrame = {
+    val ch = chunks(docs, size, stride).select(col("doc_id"), col("chunk_hash"))
+    val perHash = ch.groupBy(col("chunk_hash"))
+      .agg(countDistinct(col("doc_id")).as("n_docs_with"))
+    ch.join(perHash, Seq("chunk_hash"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when(col("n_docs_with") > 1, 1L).otherwise(0L)).as("n_dup_chunks"))
+      .select(col("doc_id"), col("n_chunks"), col("n_dup_chunks"),
+        (col("n_dup_chunks") / col("n_chunks")).as("dup_chunk_ratio"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Content fingerprint: 60-bit portable hash of the normalized token
     * stream, plus a coarse length band (blocking key for dedup).
     */
