@@ -776,6 +776,24 @@ object OracleSql {
        |  ${hex64("chunk")} AS chunk_hash
        |FROM c ORDER BY doc_id, chunk_idx""".stripMargin
 
+  /** Within-doc bigram repetition (mirror of TextAnalysis.repetition;
+    * positional 2-grams, exact integer counts).
+    */
+  val textRepetition: String =
+    s"""WITH t AS (SELECT doc_id, $Toks AS toks FROM documents),
+       |bi AS (SELECT doc_id,
+       |  unnest([array_to_string(toks[i:i+1],' ') for i in range(1, len(toks))]) AS s
+       |  FROM t),
+       |pg AS (SELECT doc_id, s, count(*) AS c FROM bi GROUP BY 1, 2)
+       |SELECT doc_id,
+       |  CAST(sum(c) AS BIGINT) AS n_bigrams,
+       |  count(*) AS n_distinct_bigrams,
+       |  CAST(max(c) AS BIGINT) AS top_bigram_count,
+       |  1.0 - count(*) / CAST(sum(c) AS BIGINT) AS dup_bigram_frac,
+       |  CAST(max(c) AS BIGINT) / CAST(sum(c) AS BIGINT) AS top_bigram_frac
+       |FROM pg GROUP BY doc_id
+       |ORDER BY doc_id""".stripMargin
+
   /** Duplicate-chunk fraction (mirror of TextAnalysis.dupChunkRatio). */
   val textDupChunkRatio: String =
     s"""$chunkCte,

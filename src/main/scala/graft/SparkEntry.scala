@@ -86,6 +86,7 @@ object SparkEntry {
     "text_fingerprint" -> ((s, dir) => TextAnalysis.fingerprint(t(s, dir, "documents"))),
     "text_chunks" -> ((s, dir) => TextAnalysis.chunks(t(s, dir, "documents"))),
     "text_dup_chunk_ratio" -> ((s, dir) => TextAnalysis.dupChunkRatio(t(s, dir, "documents"))),
+    "text_repetition" -> ((s, dir) => TextAnalysis.repetition(t(s, dir, "documents"))),
     "text_winnow" -> ((s, dir) => TextAnalysis.winnow(t(s, dir, "documents"))),
     "text_containment" -> ((s, dir) => TextAnalysis.containment(t(s, dir, "documents"),
       maxFingerprintDf = Some(TextAnalysis.DefaultMaxFingerprintDf))),
@@ -379,6 +380,7 @@ object SparkEntry {
     "text_fingerprint" -> OracleSql.textFingerprint,
     "text_chunks" -> OracleSql.textChunks,
     "text_dup_chunk_ratio" -> OracleSql.textDupChunkRatio,
+    "text_repetition" -> OracleSql.textRepetition,
     "text_winnow" -> OracleSql.textWinnow,
     "text_containment" -> OracleSql.textContainment,
     "text_gopher" -> OracleSql.textGopher,

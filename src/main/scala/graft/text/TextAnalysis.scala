@@ -414,6 +414,29 @@ object TextAnalysis {
         GraftFunctions.hex64(col("chunk")).as("chunk_hash"))
       .orderBy(col("doc_id"), col("chunk_idx"))
 
+  /** WITHIN-document repetition signals (Rae et al. 2021 §A1.2's
+    * repetition filters, token-2-gram form): the duplicate-bigram
+    * fraction and the share of the most frequent bigram. High values
+    * mark looping/template text that per-document quality ratios and
+    * CROSS-document dedup both miss. One bigram explode + two keyed
+    * aggregations; exact integer counts, one division per ratio.
+    * Documents with <2 tokens have no bigrams and are absent.
+    */
+  def repetition(docs: DataFrame): DataFrame = {
+    val bi = withToks(docs).select(col("doc_id"),
+      explode(GraftFunctions.shinglesOfTokens(col("toks"), 2, distinct = false)).as("s"))
+    bi.groupBy(col("doc_id"), col("s")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_bigrams"),
+        count(lit(1)).as("n_distinct_bigrams"),
+        max(col("c")).as("top_bigram_count"))
+      .select(col("doc_id"), col("n_bigrams"), col("n_distinct_bigrams"),
+        col("top_bigram_count"),
+        (lit(1.0) - col("n_distinct_bigrams") / col("n_bigrams")).as("dup_bigram_frac"),
+        (col("top_bigram_count") / col("n_bigrams")).as("top_bigram_frac"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Duplicate-chunk fraction per document — the "duplicate text
     * fraction" quality signal of web-corpus pipelines (Rae et al. 2021
     * repetition filters; RefinedWeb dup-line fraction), at chunk

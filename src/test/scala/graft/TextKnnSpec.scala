@@ -85,6 +85,20 @@ class TextKnnSpec extends SparkSpec {
     assert(rows.map(_.getAs[Long]("rank")).toSeq === (1L to rows.length))
   }
 
+  test("repetition: a looping document scores high; varied text scores low") {
+    import spark.implicits._
+    val planted = Seq(
+      (9000001L, Array.fill(50)("spam ham").mkString(" ")),     // "spam ham" x50
+      (9000002L, (1 to 100).map(i => s"tok$i").mkString(" ")))  // all-distinct bigrams
+      .toDF("doc_id", "text")
+    val r = TextAnalysis.repetition(planted).collect()
+      .map(x => x.getAs[Long]("doc_id") ->
+        (x.getAs[Double]("dup_bigram_frac"), x.getAs[Double]("top_bigram_frac"))).toMap
+    assert(r(9000001L)._1 > 0.9, s"loop not flagged: ${r(9000001L)}")
+    assert(r(9000001L)._2 > 0.4)
+    assert(r(9000002L)._1 === 0.0)
+  }
+
   test("corpusApproxDistinct: HLL estimates land within the rsd error bound of exact") {
     val rsd = 0.05
     val approx = TextAnalysis.corpusApproxDistinct(docs, rsd).collect()
