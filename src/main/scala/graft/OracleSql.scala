@@ -807,6 +807,24 @@ object OracleSql {
        |GROUP BY ch.doc_id
        |ORDER BY ch.doc_id""".stripMargin
 
+  /** Per-type z-score anomalies (mirror of EventOps.valueAnomalies:
+    * decimal moment sums, mirrored single-step double arithmetic).
+    */
+  val eventsAnomaly: String =
+    s"""WITH s AS (SELECT event_type, count(*) AS n,
+       |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_v,
+       |  CAST(sum(CAST(value AS DECIMAL(18,2)) * CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_sq
+       |  FROM events GROUP BY event_type),
+       |m1 AS (SELECT event_type, sum_v / n AS mean_v, sum_sq / n AS m2 FROM s),
+       |m AS (SELECT event_type, mean_v, sqrt(m2 - mean_v * mean_v) AS std_v FROM m1),
+       |z AS (SELECT e.event_type, e.event_id,
+       |  CAST(CAST(e.value AS DECIMAL(18,2)) AS DOUBLE) AS value_2dp,
+       |  (CAST(CAST(e.value AS DECIMAL(18,2)) AS DOUBLE) - mean_v) / std_v AS z
+       |  FROM events e JOIN m ON m.event_type = e.event_type)
+       |SELECT event_type, event_id, value_2dp, z FROM z
+       |WHERE abs(z) > 3.0
+       |ORDER BY event_id""".stripMargin
+
   /** Cohort retention (mirror of EventOps.retention). */
   val eventsRetention: String =
     s"""WITH e AS (SELECT user_id, epoch_us(ts) // 86400000000 AS day

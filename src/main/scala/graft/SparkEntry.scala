@@ -73,6 +73,7 @@ object SparkEntry {
       EventOps.withinRangePairs(t(s, dir, "events"))),
     "events_funnel" -> ((s, dir) => EventOps.funnel(t(s, dir, "events"))),
     "events_retention" -> ((s, dir) => EventOps.retention(t(s, dir, "events"))),
+    "events_anomaly" -> ((s, dir) => EventOps.valueAnomalies(t(s, dir, "events"))),
     "events_props_agg" -> ((s, dir) => EventOps.propsAgg(t(s, dir, "events"))),
     "events_asof" -> ((s, dir) => {
       val ev = t(s, dir, "events")
@@ -389,6 +390,7 @@ object SparkEntry {
     "corpus_rollup" -> OracleSql.corpusRollup,
     "events_funnel" -> OracleSql.eventsFunnel,
     "events_retention" -> OracleSql.eventsRetention,
+    "events_anomaly" -> OracleSql.eventsAnomaly,
     "events_props_agg" -> OracleSql.eventsPropsAgg,
     "sample_split" -> OracleSql.sampleSplit,
     "text_top_ngrams" -> OracleSql.textTopNgrams,

@@ -206,6 +206,35 @@ object EventOps {
     acc.withColumn("stage", stage).orderBy(col("user_id"))
   }
 
+  /** Per-type z-score anomaly flags — the monitoring primitive: events
+    * whose (2dp-quantized) value deviates more than `zThreshold`
+    * standard deviations from their type's mean. Moments come from
+    * EXACT decimal sums (order-independent), cast once to double;
+    * every double op after that is a single mirrored IEEE step, so the
+    * boundary decisions (|z| > t) are bit-identical cross-engine. The
+    * sum-of-squares decimal stays exact-in-double while Σv² < 2⁵³
+    * quanta — beyond that (extreme per-group scale), shard groups or
+    * drop to a sketch. One grouped agg + a broadcast of the tiny
+    * per-type stats row.
+    */
+  def valueAnomalies(events: DataFrame, zThreshold: Double = 3.0): DataFrame = {
+    val stats = events.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(dec(col("value"))).cast("double").as("sum_v"),
+        sum(dec(col("value")) * dec(col("value"))).cast("double").as("sum_sq"))
+      .withColumn("mean_v", col("sum_v") / col("n"))
+      .withColumn("m2", col("sum_sq") / col("n"))
+      .withColumn("std_v", sqrt(col("m2") - col("mean_v") * col("mean_v")))
+      .select(col("event_type"), col("mean_v"), col("std_v"))
+    events
+      .select(col("event_id"), col("event_type"), dec(col("value")).cast("double").as("value_2dp"))
+      .join(broadcast(stats), Seq("event_type"))
+      .withColumn("z", (col("value_2dp") - col("mean_v")) / col("std_v"))
+      .filter(abs(col("z")) > zThreshold)
+      .select(col("event_type"), col("event_id"), col("value_2dp"), col("z"))
+      .orderBy(col("event_id"))
+  }
+
   /** Cohort retention — the activation/engagement matrix: users are
     * cohorted by their first-activity day; each (cohort_day,
     * day_offset) cell counts the distinct users of that cohort active
