@@ -807,6 +807,112 @@ object OracleSql {
        |GROUP BY ch.doc_id
        |ORDER BY ch.doc_id""".stripMargin
 
+  /** Chunk-level dedup ledger (mirror of TextAnalysis.chunksDedup:
+    * keeper = min packed (doc_id, chunk_idx) per chunk_hash).
+    */
+  val chunksDedup: String = {
+    val pack = TextAnalysis.ChunkIdxPack
+    s"""$chunkCte,
+       |ch AS (SELECT doc_id, chunk_idx, length(chunk)::BIGINT AS n_chunk_chars,
+       |  ${hex64("chunk")} AS chunk_hash FROM c),
+       |k AS (SELECT chunk_hash,
+       |  min(doc_id * $pack + chunk_idx) AS keeper_key FROM ch GROUP BY chunk_hash)
+       |SELECT doc_id, count(*) AS n_chunks,
+       |  CAST(sum(CASE WHEN doc_id * $pack + chunk_idx = keeper_key
+       |    THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       |  CAST(sum(n_chunk_chars) AS BIGINT) AS chars_total,
+       |  CAST(sum(CASE WHEN doc_id * $pack + chunk_idx = keeper_key
+       |    THEN n_chunk_chars ELSE 0 END) AS BIGINT) AS chars_kept
+       |FROM ch JOIN k USING (chunk_hash)
+       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  }
+
+  /** w-gram comprehension over `toks` for arbitrary width (mirror of
+    * shinglesOfTokens without the distinct).
+    */
+  private def gramsList(n: Int): String =
+    s"[array_to_string(toks[i:i+${n - 1}],' ') for i in range(1, len(toks)-${n - 2})]"
+
+  /** Train-vs-eval n-gram contamination (mirror of Dedup.decontaminate
+    * over the sample_split train/test splits; n-grams joined as 60-bit
+    * hashes on both sides, per-doc-distinct strings hashed — never
+    * re-deduped after hashing — exactly as the Spark side does).
+    */
+  val textDecontaminate: String = {
+    val n = Dedup.DecontaminationN
+    s"""WITH sp AS (SELECT doc_id, text,
+       |  ${hex64("'split|'||CAST(doc_id AS VARCHAR)")} % 10000 AS bucket FROM documents),
+       |tr AS (SELECT doc_id, $Toks AS toks FROM sp WHERE bucket < 9000),
+       |ev AS (SELECT doc_id, $Toks AS toks FROM sp WHERE bucket >= 9500),
+       |trs AS (SELECT doc_id, ${hex64("'dc|'||g")} AS g FROM (
+       |  SELECT doc_id, unnest(list_distinct(${gramsList(n)})) AS g FROM tr)),
+       |evs AS (SELECT DISTINCT ${hex64("'dc|'||g")} AS g FROM (
+       |  SELECT unnest(${gramsList(n)}) AS g FROM ev)),
+       |hits AS (SELECT doc_id, count(*) AS n_contaminated
+       |  FROM trs JOIN evs USING (g) GROUP BY doc_id),
+       |pd AS (SELECT doc_id,
+       |  len(list_distinct(${gramsList(n)}))::BIGINT AS n_shingles FROM tr)
+       |SELECT pd.doc_id, n_shingles,
+       |  coalesce(n_contaminated, 0) AS n_contaminated,
+       |  coalesce(n_contaminated, 0) > 0 AS contaminated
+       |FROM pd LEFT JOIN hits ON pd.doc_id = hits.doc_id
+       |ORDER BY pd.doc_id""".stripMargin
+  }
+
+  /** Offset-based sequence packing (mirror of Packing.packSequences). */
+  val seqPack: String = {
+    val b = graft.ops.Packing.DefaultBudget
+    s"""WITH t AS (SELECT doc_id, source, len($Toks)::BIGINT AS n_tokens FROM documents),
+       |c AS (SELECT doc_id, source, n_tokens,
+       |  CAST(coalesce(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_before
+       |  FROM t)
+       |SELECT doc_id, source, n_tokens,
+       |  cum_before // $b AS bin_id,
+       |  cum_before % $b AS bin_offset
+       |FROM c ORDER BY source, doc_id""".stripMargin
+  }
+
+  /** Temperature source rebalancing (mirror of
+    * Sampling.temperatureSample, α = 0.5, targetFrac = 0.5: √ and the
+    * division chain are single IEEE ops in an identical order, Σ√n is
+    * the same in-order window sum).
+    */
+  val sampleTemperature: String =
+    s"""WITH c AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY source),
+       |r AS (SELECT source, n_docs, sqrt(n_docs) AS weight,
+       |  sum(sqrt(n_docs)) OVER (ORDER BY source
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS big_w,
+       |  CAST(sum(n_docs) OVER (ORDER BY source
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS BIGINT) AS big_n
+       |  FROM c),
+       |th AS (SELECT source, n_docs,
+       |  least(1.0, 0.5 * big_n * (weight / big_w) / n_docs) AS rate,
+       |  CAST(floor(least(1.0, 0.5 * big_n * (weight / big_w) / n_docs) * 10000) AS BIGINT) AS threshold
+       |  FROM r),
+       |k AS (SELECT d.source, count(*) AS n_kept
+       |  FROM documents d JOIN th ON d.source = th.source
+       |  WHERE ${hex64("'temp|'||CAST(doc_id AS VARCHAR)")} % 10000 < threshold
+       |  GROUP BY d.source)
+       |SELECT th.source, n_docs, rate, threshold, coalesce(n_kept, 0) AS n_kept
+       |FROM th LEFT JOIN k ON th.source = k.source
+       |ORDER BY th.source""".stripMargin
+
+  /** Top event-type paths (mirror of EventOps.topPaths, len=3, k=20). */
+  val eventsTopPaths: String =
+    s"""WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us, event_type
+       |  FROM events WHERE epoch_us(ts) IS NOT NULL),
+       |p AS (SELECT event_type AS s0,
+       |  lead(event_type, 1) OVER w AS s1,
+       |  lead(event_type, 2) OVER w AS s2
+       |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+       |g AS (SELECT s0 || '>' || s1 || '>' || s2 AS path, count(*) AS n_occurrences
+       |  FROM p WHERE s2 IS NOT NULL GROUP BY 1)
+       |SELECT path, n_occurrences, rank FROM (
+       |  SELECT path, n_occurrences,
+       |    row_number() OVER (ORDER BY n_occurrences DESC, path) AS rank FROM g)
+       |WHERE rank <= 20 ORDER BY rank""".stripMargin
+
   /** Per-type z-score anomalies (mirror of EventOps.valueAnomalies:
     * decimal moment sums, mirrored single-step double arithmetic).
     */

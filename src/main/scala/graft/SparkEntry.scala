@@ -75,6 +75,7 @@ object SparkEntry {
     "events_retention" -> ((s, dir) => EventOps.retention(t(s, dir, "events"))),
     "events_anomaly" -> ((s, dir) => EventOps.valueAnomalies(t(s, dir, "events"))),
     "events_props_agg" -> ((s, dir) => EventOps.propsAgg(t(s, dir, "events"))),
+    "events_top_paths" -> ((s, dir) => EventOps.topPaths(t(s, dir, "events"))),
     "events_asof" -> ((s, dir) => {
       val ev = t(s, dir, "events")
       EventOps.asofJoin(ev, ev.filter(col("event_type") === "purchase"))
@@ -87,6 +88,12 @@ object SparkEntry {
     "text_fingerprint" -> ((s, dir) => TextAnalysis.fingerprint(t(s, dir, "documents"))),
     "text_chunks" -> ((s, dir) => TextAnalysis.chunks(t(s, dir, "documents"))),
     "text_dup_chunk_ratio" -> ((s, dir) => TextAnalysis.dupChunkRatio(t(s, dir, "documents"))),
+    "chunks_dedup" -> ((s, dir) => TextAnalysis.chunksDedup(t(s, dir, "documents"))),
+    "text_decontaminate" -> ((s, dir) => {
+      val sp = graft.ops.Sampling.assignSplits(t(s, dir, "documents"), col("doc_id"))
+      Dedup.decontaminate(
+        sp.filter(col("split") === "train"), sp.filter(col("split") === "test"))
+    }),
     "text_repetition" -> ((s, dir) => TextAnalysis.repetition(t(s, dir, "documents"))),
     "text_winnow" -> ((s, dir) => TextAnalysis.winnow(t(s, dir, "documents"))),
     "text_containment" -> ((s, dir) => TextAnalysis.containment(t(s, dir, "documents"),
@@ -103,6 +110,9 @@ object SparkEntry {
       graft.ops.Sampling.assignSplits(t(s, dir, "documents"), col("doc_id"))
         .select(col("doc_id"), col("source"), col("lang"), col("bucket"), col("split"))
         .orderBy(col("doc_id"))),
+    "sample_temperature" -> ((s, dir) =>
+      graft.ops.Sampling.temperatureSample(t(s, dir, "documents"), col("doc_id"))),
+    "seq_pack" -> ((s, dir) => graft.ops.Packing.packSequences(t(s, dir, "documents"))),
     "text_top_ngrams" -> ((s, dir) => TextAnalysis.topNgrams(t(s, dir, "documents"))),
     "text_pmi" -> ((s, dir) => TextAnalysis.tokenPmi(t(s, dir, "documents"))),
     // --- B. dedup suite ---
@@ -393,6 +403,11 @@ object SparkEntry {
     "events_anomaly" -> OracleSql.eventsAnomaly,
     "events_props_agg" -> OracleSql.eventsPropsAgg,
     "sample_split" -> OracleSql.sampleSplit,
+    "sample_temperature" -> OracleSql.sampleTemperature,
+    "seq_pack" -> OracleSql.seqPack,
+    "chunks_dedup" -> OracleSql.chunksDedup,
+    "text_decontaminate" -> OracleSql.textDecontaminate,
+    "events_top_paths" -> OracleSql.eventsTopPaths,
     "text_top_ngrams" -> OracleSql.textTopNgrams,
     "text_pmi" -> OracleSql.textPmi,
     "vec_quantize" -> OracleSql.vecQuantize,

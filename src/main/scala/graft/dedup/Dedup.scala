@@ -460,4 +460,46 @@ object Dedup {
       .orderBy(col("a"), col("b"))
     materialized(pairs) { sims.unpersist(false) }
   }
+
+  /** Shingle width for [[decontaminate]] — real pipelines use 8-13
+    * word n-grams (GPT-3 appendix C uses 13); 5 keeps overlap
+    * non-vacuous on the short synthetic test documents. Mirrored in
+    * the DuckDB oracle.
+    */
+  val DecontaminationN = 5
+
+  /** Benchmark decontamination — flag TRAINING documents that share
+    * any word `n`-gram with the EVALUATION set (the GPT-3 appendix C /
+    * PaLM overlap rule that keeps test benchmarks out of the training
+    * corpus). One row per training doc: its distinct n-gram count, how
+    * many of those n-grams appear anywhere in the eval set, and the
+    * contamination flag.
+    *
+    * Scale shape: the eval side is benchmarks — thousands of docs, not
+    * terabytes — so its distinct hashed n-grams collapse to a small
+    * relation that AQE broadcast-joins against the training n-gram
+    * stream (a map-side probe of the 100 TB side; n-grams are joined
+    * as 60-bit hashes, never strings, so the probe table stays
+    * kilobytes per thousand eval docs). Training docs with fewer than
+    * `n` tokens have zero n-grams and report 0/clean.
+    */
+  def decontaminate(train: DataFrame, eval: DataFrame,
+      n: Int = DecontaminationN): DataFrame = {
+    def grams(docs: DataFrame): DataFrame =
+      withToks(docs).select(col("doc_id"),
+        explode(graft.GraftFunctions.shinglesOfTokens(col("toks"), n)).as("s"))
+    val h = hex64(concat(lit("dc|"), col("s")))
+    val trGrams = grams(train).select(col("doc_id"), h.as("g"))
+    val evGrams = grams(eval).select(h.as("g")).distinct()
+    val perDoc = withToks(train).select(col("doc_id"),
+      size(graft.GraftFunctions.shinglesOfTokens(col("toks"), n)).cast("long").as("n_shingles"))
+    // shinglesOfTokens is distinct per doc, so count(*) = distinct hits
+    val hits = trGrams.join(evGrams, Seq("g"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_contaminated"))
+    perDoc.join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_shingles"),
+        coalesce(col("n_contaminated"), lit(0L)).as("n_contaminated"),
+        (coalesce(col("n_contaminated"), lit(0L)) > 0).as("contaminated"))
+      .orderBy(col("doc_id"))
+  }
 }

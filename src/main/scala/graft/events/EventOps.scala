@@ -275,6 +275,36 @@ object EventOps {
         sum(dec(col("value"))).cast("double").as("sum_value"))
       .orderBy(col("event_type"), col("k_band"))
 
+  /** Top event-type paths — the product-analytics "what do users do
+    * next" probe: every run of `len` consecutive events per user
+    * (ordered by time, event_id tie-break) becomes a `a>b>c` path
+    * string; returns the `k` most frequent paths with a deterministic
+    * (count desc, path) tie-break.
+    *
+    * Shape: one shuffle for the per-user window (lead projections,
+    * linear in events), one keyed count, then a distributed
+    * TakeOrdered for the top-k — the path vocabulary is never sorted
+    * on a single partition (same plan contract as
+    * [[graft.text.TextAnalysis.topNgrams]]).
+    */
+  def topPaths(events: DataFrame, len: Int = 3, k: Int = 20): DataFrame = {
+    require(len >= 2, s"a path needs at least 2 steps, got $len")
+    val w = Window.partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))
+    val stepCols = col("event_type").as("s0") +:
+      (1 until len).map(i => lead(col("event_type"), i).over(w).as(s"s$i"))
+    val paths = microsOfTs(events)
+      .filter(col("us").isNotNull)
+      .select(col("user_id"), col("event_id"), col("us"), col("event_type"))
+      .select(stepCols: _*)
+      .filter(col(s"s${len - 1}").isNotNull) // only full-length runs
+      .select(concat_ws(">", (0 until len).map(i => col(s"s$i")): _*).as("path"))
+    paths.groupBy(col("path")).agg(count(lit(1)).as("n_occurrences"))
+      .orderBy(col("n_occurrences").desc, col("path")).limit(k)
+      .withColumn("rank",
+        row_number().over(Window.orderBy(col("n_occurrences").desc, col("path"))).cast("long"))
+      .orderBy(col("rank"))
+  }
+
   /** Tumbling time-window aggregation (hourly): exact decimal value
     * sums per (hour, event_type). One shuffle, map-side partials. */
   def hourlyRollup(events: DataFrame): DataFrame =

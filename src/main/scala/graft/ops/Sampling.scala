@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.GraftFunctions.hex64
@@ -49,5 +50,49 @@ object Sampling {
         when(col("bucket") < trainEdge, lit("train"))
           .when(col("bucket") < valEdge, lit("val"))
           .otherwise(lit("test")))
+  }
+
+  /** Temperature-based source rebalancing (the multilingual/multi-source
+    * mixing rule of mBERT/XLM-R, α = 0.5): sampling mass per source is
+    * proportional to √n_s instead of n_s, flattening the head so small
+    * sources aren't drowned — then each document keeps or drops by its
+    * own stable content hash against the source's rate. Returns the
+    * per-source plan + outcome: (source, n_docs, rate, threshold,
+    * n_kept).
+    *
+    * Rate: `min(1, targetFrac · N · (√n_s / Σ√n) / n_s)`, realized as
+    * the integer threshold `floor(rate · Granularity)` on
+    * [[hashBucket]] — so membership is deterministic per document and
+    * the realized count is reproducible anywhere. α is fixed at 0.5
+    * because √ is an IEEE-754 basic operation (correctly rounded in
+    * every engine) — an arbitrary `pow(x, α)` is not cross-engine
+    * bit-safe. Σ√n is an in-order window sum over sources (float sums
+    * are order-sensitive; an unordered aggregate would be
+    * partition-dependent).
+    *
+    * Shape: one count shuffle over the corpus, a #sources-row stats
+    * frame (the single-partition window is over sources, never rows),
+    * broadcast of the rates back onto the corpus for the keep filter.
+    */
+  def temperatureSample(df: DataFrame, key: Column, targetFrac: Double = 0.5,
+      salt: String = "temp"): DataFrame = {
+    val counts = df.groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+    val all = Window.orderBy(col("source"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val rates = counts
+      .withColumn("weight", sqrt(col("n_docs")))
+      .withColumn("big_w", sum(col("weight")).over(all))
+      .withColumn("big_n", sum(col("n_docs")).over(all))
+      .withColumn("rate",
+        least(lit(1.0),
+          lit(targetFrac) * col("big_n") * (col("weight") / col("big_w")) / col("n_docs")))
+      .withColumn("threshold", floor(col("rate") * lit(Granularity)).cast("long"))
+    val kept = df.join(rates.select(col("source"), col("threshold")), Seq("source"))
+      .filter(hashBucket(key, salt) < col("threshold"))
+      .groupBy(col("source")).agg(count(lit(1)).as("n_kept"))
+    rates.join(kept, Seq("source"), "left")
+      .select(col("source"), col("n_docs"), col("rate"), col("threshold"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"))
+      .orderBy(col("source"))
   }
 }

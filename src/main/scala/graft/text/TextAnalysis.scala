@@ -459,6 +459,49 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** Chunk-level exact deduplication — the storage-shaping step of a
+    * chunked training/RAG corpus: across ALL documents, each distinct
+    * chunk content survives exactly once, at its first occurrence
+    * (minimum (doc_id, chunk_idx)); every other copy is dropped.
+    * Returns the per-document savings ledger (chunks and characters
+    * kept vs total), the operational view a curator acts on.
+    *
+    * Shape: the map-only [[chunks]] projection, one
+    * groupBy(chunk_hash) min-aggregate for the keeper (the (doc_id,
+    * chunk_idx) pair is packed into one long so the min is a plain
+    * integer partial aggregate, map-side-combined), one join back on
+    * chunk_hash (hash-partitioned both sides, co-located), one
+    * groupBy(doc_id) ledger. No self-join anywhere — cost is linear in
+    * corpus size at any scale.
+    */
+  def chunksDedup(docs: DataFrame, size: Int = 200, stride: Int = 150): DataFrame = {
+    // chunk_idx < ChunkIdxPack for any document shorter than
+    // stride × ChunkIdxPack chars (150 MB at the defaults — far beyond
+    // any single document); the packed long orders identically to the
+    // (doc_id, chunk_idx) pair
+    val key = col("doc_id") * ChunkIdxPack + col("chunk_idx")
+    val ch = chunks(docs, size, stride)
+      .select(col("doc_id"), col("chunk_idx"), col("n_chunk_chars"), col("chunk_hash"))
+    val keeper = ch
+      .select(col("chunk_hash"), key.as("k"))
+      .groupBy(col("chunk_hash")).agg(min(col("k")).as("keeper_key"))
+    ch.join(keeper, Seq("chunk_hash"))
+      .withColumn("kept", key === col("keeper_key"))
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_chunks"),
+        sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
+        sum(col("n_chunk_chars")).as("chars_total"),
+        sum(when(col("kept"), col("n_chunk_chars")).otherwise(0L)).as("chars_kept"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Packing modulus for (doc_id, chunk_idx) → long in [[chunksDedup]];
+    * supports documents up to stride × 10⁶ chars. Mirrored in the
+    * DuckDB oracle.
+    */
+  val ChunkIdxPack = 1000000L
+
   /** Content fingerprint: 60-bit portable hash of the normalized token
     * stream, plus a coarse length band (blocking key for dedup).
     */

@@ -148,4 +148,23 @@ class DedupSpec extends SparkSpec {
     assert(planted.length === 3)
     assert(planted.forall(_.getAs[Long]("hamming") === 0L))
   }
+
+  test("decontaminate flags exactly the train docs sharing an eval n-gram") {
+    // doc 1's first 5-gram is verbatim in the eval set; doc 2 is clean;
+    // doc 3 is too short to have any 5-gram at all
+    val train = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "one two three four five six seven"),
+      (3L, "tiny doc"))
+      .toDF("doc_id", "text")
+    val eval = Seq((10L, "alpha beta gamma delta epsilon"))
+      .toDF("doc_id", "text")
+    val res = Dedup.decontaminate(train, eval).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_shingles"), r.getAs[Long]("n_contaminated"),
+          r.getAs[Boolean]("contaminated"))).toMap
+    assert(res(1L) === (2L, 1L, true))  // 6 tokens → 2 five-grams, 1 shared
+    assert(res(2L) === (3L, 0L, false))
+    assert(res(3L) === (0L, 0L, false))
+  }
 }

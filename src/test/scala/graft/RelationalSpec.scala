@@ -124,6 +124,69 @@ class RelationalSpec extends SparkSpec {
     assert(math.abs(s10.size / n - 0.1) < 0.05, s"rate ${s10.size / n}")
   }
 
+  test("topPaths counts full-length consecutive runs with a deterministic tie-break") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // user 1: v,c,p,v,c,p → trigrams v>c>p ×2, c>p>v, p>v>c
+    // user 2: v,v,v,v     → v>v>v ×2 (runs never cross users)
+    val evs = (Seq("view", "click", "purchase", "view", "click", "purchase")
+        .zipWithIndex.map { case (t, i) => (1L, i + 1L, (i + 1L) * 1000000L, t) } ++
+      (1 to 4).map(i => (2L, 10L + i, i * 1000000L, "view")))
+      .toDF("user_id", "event_id", "us", "event_type")
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        timestamp_micros(col("us")).as("ts"))
+    val res = EventOps.topPaths(evs).collect()
+      .map(r => (r.getAs[Long]("rank"), r.getAs[String]("path"), r.getAs[Long]("n_occurrences")))
+    // ties (both count 2) break on path asc; then the count-1 paths
+    assert(res.toSeq === Seq(
+      (1L, "view>click>purchase", 2L), (2L, "view>view>view", 2L),
+      (3L, "click>purchase>view", 1L), (4L, "purchase>view>click", 1L)))
+  }
+
+  test("packSequences: offset-based bins follow the per-source running total") {
+    import spark.implicits._
+    def words(n: Int) = (1 to n).map(i => s"w$i").mkString(" ")
+    // s1: 100 + 200 + 30 tokens at budget 256 → starts 0, 100, 300
+    val docs = Seq(
+      (1L, "s1", words(100)), (2L, "s1", words(200)), (3L, "s1", words(30)),
+      (4L, "s2", words(10)))
+      .toDF("doc_id", "source", "text")
+    val res = graft.ops.Packing.packSequences(docs, budget = 256L).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_tokens"), r.getAs[Long]("bin_id"), r.getAs[Long]("bin_offset"))).toMap
+    assert(res(1L) === (100L, 0L, 0L))
+    assert(res(2L) === (200L, 0L, 100L)) // straddles into bin 1; assigned by start
+    assert(res(3L) === (30L, 1L, 44L))   // (300 div 256, 300 mod 256)
+    assert(res(4L) === (10L, 0L, 0L))    // sources pack independently
+  }
+
+  test("temperatureSample flattens the source head and keeps by stable hash") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // skewed sources: 900 / 90 / 10 docs
+    val docs = ((1 to 900).map(i => (i.toLong, "big")) ++
+      (1001 to 1090).map(i => (i.toLong, "mid")) ++
+      (2001 to 2010).map(i => (i.toLong, "small")))
+      .toDF("doc_id", "source")
+    val res = graft.ops.Sampling.temperatureSample(docs, col("doc_id"), targetFrac = 0.5)
+      .collect().map(r => r.getAs[String]("source") ->
+        (r.getAs[Long]("n_docs"), r.getAs[Double]("rate"),
+          r.getAs[Long]("threshold"), r.getAs[Long]("n_kept"))).toMap
+    // √-flattening: the big source is downsampled hardest, small sources
+    // saturate at rate 1 (kept whole)
+    val (bigN, bigRate, bigTh, bigKept) = res("big")
+    assert(bigN === 900L && bigRate < 0.45, s"big rate $bigRate")
+    assert(res("mid")._2 === 1.0 && res("mid")._4 === 90L)
+    assert(res("small")._2 === 1.0 && res("small")._4 === 10L)
+    // realized count matches a manual recount of the hash rule
+    val manual = docs.filter(col("source") === "big")
+      .filter(graft.ops.Sampling.hashBucket(col("doc_id"), "temp") < lit(bigTh)).count()
+    assert(bigKept === manual)
+    // keep rate tracks the threshold (hash uniformity, generous slop)
+    assert(math.abs(bigKept.toDouble / bigN - bigRate) < 0.08,
+      s"kept ${bigKept.toDouble / bigN} vs rate $bigRate")
+  }
+
   test("asofJoin attaches the latest right event at-or-before each left event") {
     import org.apache.spark.sql.functions._
     val res = EventOps.asofJoin(events,

@@ -260,6 +260,27 @@ class TextKnnSpec extends SparkSpec {
     assert(got === expected)
   }
 
+  test("chunksDedup keeps each distinct chunk exactly once, at first occurrence") {
+    // doc 1 and 2 share identical 300-char text (2 chunks each at the
+    // defaults); doc 3 is unique
+    val long1 = ("abcdefghij" * 30)
+    val uniq = ("zyxwvutsrq" * 30)
+    val planted = Seq((1L, long1), (2L, long1), (3L, uniq)).toDF("doc_id", "text")
+    val res = TextAnalysis.chunksDedup(planted).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_chunks"), r.getAs[Long]("n_kept"),
+          r.getAs[Long]("chars_total"), r.getAs[Long]("chars_kept"))).toMap
+    assert(res(1L) === (2L, 2L, 350L, 350L)) // chunk 0: 200 chars, chunk 1: 150
+    assert(res(2L) === (2L, 0L, 350L, 0L))   // every chunk already seen in doc 1
+    assert(res(3L) === (2L, 2L, 350L, 350L))
+    // global invariant on the real corpus: survivors = distinct hashes
+    val ledger = TextAnalysis.chunksDedup(docs).collect()
+    val kept = ledger.map(_.getAs[Long]("n_kept")).sum
+    val distinctHashes = TextAnalysis.chunks(docs)
+      .select("chunk_hash").distinct().count()
+    assert(kept === distinctHashes)
+  }
+
   test("nearestNeighborDedup flags exact-copy vectors") {
     val copies = emb.filter(col("vec_id") < 3)
       .withColumn("vec_id", col("vec_id") + lit(1000000L))
