@@ -64,7 +64,9 @@ class PlanContractSpec extends SparkSpec {
       "events_range_join", "text_gopher", "corpus_stats", "text_top_ngrams",
       "events_funnel", "events_retention", "events_props_agg",
       "corpus_rollup", "corpus_approx_distinct", "sample_split",
-      "text_chunks", "emb_label_centroids", "lsh_save_load_bucketed")
+      "text_chunks", "emb_label_centroids", "lsh_save_load_bucketed",
+      "chunks_dedup", "text_decontaminate", "seq_pack",
+      "sample_temperature", "events_top_paths")
     sweep.foreach { name =>
       val phys = physical(q(name))
       assert(!phys.contains("CartesianProduct"),
@@ -108,6 +110,37 @@ class PlanContractSpec extends SparkSpec {
     val ex = "Exchange".r.findAllIn(chunks).size
     val rangeEx = "Exchange rangepartitioning".r.findAllIn(chunks).size
     assert(ex === rangeEx, s"text_chunks shuffles beyond the output sort:\n$chunks")
+  }
+
+  test("chunks_dedup: keeper selection is a map-side partial min aggregate") {
+    // the keeper per chunk_hash must partial-aggregate before its
+    // exchange — shipping every (hash, key) row unreduced would double
+    // the chunk-grain shuffle volume for no reason
+    val phys = physical(q("chunks_dedup"))
+    assert(phys.contains("partial_min") || phys.contains("min("),
+      s"no map-side partial min for the keeper:\n$phys")
+  }
+
+  test("events_top_paths: top-k is a distributed TakeOrdered, not a global sort") {
+    // the path vocabulary must never be sorted on one partition — the
+    // same contract text_top_ngrams pins (SURVEY §2 D)
+    val phys = physical(q("events_top_paths"))
+    assert(phys.contains("TakeOrderedAndProject"),
+      s"events_top_paths does not plan a distributed top-k:\n$phys")
+  }
+
+  test("seq_pack prunes to (doc_id, source, text); decontaminate broadcasts the eval grams") {
+    // packing needs no lang/n_chars — the scan must prune them
+    val plan = formatted(q("seq_pack"))
+    val readSchema = plan.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!readSchema.contains("lang") && !readSchema.contains("n_chars"),
+      s"seq_pack reads unused columns: $readSchema")
+    // the eval-side n-gram relation is small by construction (benchmarks,
+    // not corpora) — the contamination probe must broadcast it, keeping
+    // the 100 TB training side shuffle-free at the join
+    val phys = physical(q("text_decontaminate"))
+    assert(phys.contains("BroadcastHashJoin"),
+      s"decontamination probe does not broadcast the eval grams:\n$phys")
   }
 
   test("dedup_minhash: the shuffle carries k longs per doc, never shingles") {
