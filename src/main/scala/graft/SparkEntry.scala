@@ -158,6 +158,13 @@ object SparkEntry {
     }),
     "emb_label_centroids" -> ((s, dir) =>
       graft.ann.Centroids.labelCentroids(t(s, dir, "embeddings"))),
+    // threshold 0.4 sits in the test corpus's random-vector similarity
+    // range (max pair sim ≈ 0.5) so the dup flags are non-vacuous;
+    // production SemDeDup on real embeddings uses ≥0.95
+    "semantic_dedup" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      Knn.semanticDedup(e, e.filter(col("vec_id") < 8), threshold = 0.4)
+    }),
     "ann_ivf" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
       Ivf.probeTopK(e, e.filter(col("vec_id") < 10), e.filter(col("vec_id") < 8), 2, 5)
@@ -427,6 +434,7 @@ object SparkEntry {
     "knn_brute" -> OracleSql.knnBrute,
     "knn_classify" -> OracleSql.knnClassify,
     "emb_label_centroids" -> OracleSql.embLabelCentroids,
+    "semantic_dedup" -> OracleSql.semanticDedup,
     "ann_ivf" -> OracleSql.annIvf,
     "vec_norm" -> OracleSql.vecNorm,
     "lsh_signatures" -> OracleSql.lshSignatures,

@@ -95,4 +95,39 @@ object Knn {
       .filter(col("sim") >= threshold)
       .orderBy(col("a"), col("b"))
   }
+
+  /** Semantic deduplication (SemDeDup, Abbas et al. 2023): partition
+    * the embedding space into centroid cells, then drop every vector
+    * with a more-senior (smaller-id) in-cell neighbor above the cosine
+    * threshold. Near-identical documents land in the same cell with
+    * overwhelming probability, so the quadratic comparison is confined
+    * to each cell — n²/nCells at balanced cells instead of a corpus
+    * self-join, and the cells come free from [[graft.ann.Ivf.assign]]'s
+    * map-side argmax. Output one row per vector:
+    * (vec_id, cell, is_dup, keep).
+    *
+    * Semantics: greedy min-id survivorship (the dedup family's keep
+    * rule) — a vector is a duplicate iff some SMALLER vec_id in its
+    * cell has cosine ≥ threshold with it; survivors are vectors with no
+    * senior near-neighbor. Cross-cell near-dups are missed by design
+    * (the SemDeDup trade-off; raise nCells recall via multi-probe
+    * assignment if needed). At 100 TB a skewed cell re-balances by
+    * splitting on a secondary hash — the comparison stays in-cell
+    * either way.
+    */
+  def semanticDedup(corpus: DataFrame, centroids: DataFrame,
+      threshold: Double = 0.95): DataFrame = {
+    val cells = Ivf.assign(corpus, centroids)
+    val e = corpus.select(col("vec_id"), col("embedding")).join(cells, Seq("vec_id"))
+    val dups = e.as("x").join(e.as("y"),
+        col("x.cell") === col("y.cell") && col("x.vec_id") < col("y.vec_id"))
+      .filter(cosine_sim(col("x.embedding"), col("y.embedding")) >= threshold)
+      .select(col("y.vec_id").as("vec_id")).distinct()
+      .withColumn("is_dup", lit(true))
+    cells.join(dups, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cell"),
+        coalesce(col("is_dup"), lit(false)).as("is_dup"),
+        (!coalesce(col("is_dup"), lit(false))).as("keep"))
+      .orderBy(col("vec_id"))
+  }
 }

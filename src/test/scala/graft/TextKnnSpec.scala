@@ -281,6 +281,21 @@ class TextKnnSpec extends SparkSpec {
     assert(kept === distinctHashes)
   }
 
+  test("semanticDedup drops in-cell junior copies, keeps seniors and non-dups") {
+    val copies = emb.filter(col("vec_id") < 5)
+      .withColumn("vec_id", col("vec_id") + lit(1000000L))
+    val all = emb.unionByName(copies)
+    val res = graft.ann.Knn.semanticDedup(all, emb.filter(col("vec_id") < 8),
+      threshold = 0.95).collect()
+    // an exact copy shares its original's cell (identical argmax) and
+    // scores cosine 1.0 with it; nothing else in the random corpus
+    // comes near 0.95 — so the flagged set is exactly the 5 copies
+    val flagged = res.filter(_.getAs[Boolean]("is_dup")).map(_.getAs[Long]("vec_id")).toSet
+    assert(flagged === (0 until 5).map(_ + 1000000L).toSet)
+    assert(res.filter(_.getAs[Long]("vec_id") < 1000000L).forall(_.getAs[Boolean]("keep")))
+    assert(res.length === all.count())
+  }
+
   test("nearestNeighborDedup flags exact-copy vectors") {
     val copies = emb.filter(col("vec_id") < 3)
       .withColumn("vec_id", col("vec_id") + lit(1000000L))
