@@ -894,6 +894,16 @@ object OracleSql {
        |FROM c ORDER BY source, doc_id""".stripMargin
   }
 
+  /** Deterministic epoch shuffle (mirror of Sampling.shuffleShards,
+    * nShards=16, salt "epoch0").
+    */
+  val corpusShuffle: String =
+    s"""SELECT doc_id,
+       |  ${hex64("'epoch0|'||CAST(doc_id AS VARCHAR)")} AS shuffle_key,
+       |  ${hex64("'epoch0|'||CAST(doc_id AS VARCHAR)")} % 16 AS shard
+       |FROM documents
+       |ORDER BY shard, shuffle_key, doc_id""".stripMargin
+
   /** Temperature source rebalancing (mirror of
     * Sampling.temperatureSample, α = 0.5, targetFrac = 0.5: √ and the
     * division chain are single IEEE ops in an identical order, Σ√n is

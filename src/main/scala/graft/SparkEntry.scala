@@ -113,6 +113,9 @@ object SparkEntry {
     "sample_temperature" -> ((s, dir) =>
       graft.ops.Sampling.temperatureSample(t(s, dir, "documents"), col("doc_id"))),
     "seq_pack" -> ((s, dir) => graft.ops.Packing.packSequences(t(s, dir, "documents"))),
+    "corpus_shuffle" -> ((s, dir) =>
+      graft.ops.Sampling.shuffleShards(t(s, dir, "documents"), col("doc_id"))
+        .select(col("doc_id"), col("shuffle_key"), col("shard"))),
     "text_top_ngrams" -> ((s, dir) => TextAnalysis.topNgrams(t(s, dir, "documents"))),
     "text_pmi" -> ((s, dir) => TextAnalysis.tokenPmi(t(s, dir, "documents"))),
     // --- B. dedup suite ---
@@ -412,6 +415,7 @@ object SparkEntry {
     "sample_split" -> OracleSql.sampleSplit,
     "sample_temperature" -> OracleSql.sampleTemperature,
     "seq_pack" -> OracleSql.seqPack,
+    "corpus_shuffle" -> OracleSql.corpusShuffle,
     "chunks_dedup" -> OracleSql.chunksDedup,
     "text_decontaminate" -> OracleSql.textDecontaminate,
     "events_top_paths" -> OracleSql.eventsTopPaths,

@@ -52,6 +52,27 @@ object Sampling {
           .otherwise(lit("test")))
   }
 
+  /** Deterministic global shuffle into ordered shards — the
+    * training-order randomization step: every epoch pipeline needs the
+    * corpus in a pseudorandom order that is NOT correlated with crawl /
+    * source / time order, yet is exactly reproducible. Each row gets a
+    * stable 60-bit `shuffle_key` = hex64(salt|key) and a `shard` =
+    * key mod nShards; consumers read shards in number order, rows in
+    * (shuffle_key, key) order within a shard — a total order that is a
+    * pure function of (salt, key), independent of partitioning or
+    * engine. Changing the salt is a fresh epoch permutation.
+    *
+    * Shape: map-side projection; the only exchange is the range
+    * partition of the output sort — which at 100 TB IS the shuffle
+    * that physically randomizes the data, writing each shard as a
+    * sorted file.
+    */
+  def shuffleShards(df: DataFrame, key: Column, nShards: Int = 16,
+      salt: String = "epoch0"): DataFrame =
+    df.withColumn("shuffle_key", hex64(concat(lit(s"$salt|"), key.cast("string"))))
+      .withColumn("shard", pmod(col("shuffle_key"), lit(nShards.toLong)))
+      .orderBy(col("shard"), col("shuffle_key"), key)
+
   /** Temperature-based source rebalancing (the multilingual/multi-source
     * mixing rule of mBERT/XLM-R, α = 0.5): sampling mass per source is
     * proportional to √n_s instead of n_s, flattening the head so small

@@ -66,7 +66,8 @@ class PlanContractSpec extends SparkSpec {
       "corpus_rollup", "corpus_approx_distinct", "sample_split",
       "text_chunks", "emb_label_centroids", "lsh_save_load_bucketed",
       "chunks_dedup", "text_decontaminate", "seq_pack",
-      "sample_temperature", "events_top_paths")
+      "sample_temperature", "events_top_paths", "semantic_dedup",
+      "corpus_shuffle")
     sweep.foreach { name =>
       val phys = physical(q(name))
       assert(!phys.contains("CartesianProduct"),

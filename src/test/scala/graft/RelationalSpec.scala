@@ -160,6 +160,24 @@ class RelationalSpec extends SparkSpec {
     assert(res(4L) === (10L, 0L, 0L))    // sources pack independently
   }
 
+  test("shuffleShards: reproducible decorrelated order; new salt = new permutation") {
+    import org.apache.spark.sql.functions._
+    val docs = Tables.load(spark, sfDir, "documents")
+    def order(salt: String) = graft.ops.Sampling.shuffleShards(docs, col("doc_id"), salt = salt)
+      .select("doc_id").collect().map(_.getLong(0)).toSeq
+    val a = order("epoch0")
+    assert(a === order("epoch0")) // pure function of (salt, key)
+    val b = order("epoch1")
+    assert(a !== b)               // a different epoch permutes differently
+    assert(a.sorted === b.sorted) // …but both are permutations of the corpus
+    assert(a !== a.sorted)        // and neither is the ingest order
+    // shards are roughly balanced (hash uniformity)
+    val counts = graft.ops.Sampling.shuffleShards(docs, col("doc_id"))
+      .groupBy("shard").count().collect().map(_.getAs[Long]("count"))
+    assert(counts.length === 16)
+    assert(counts.max.toDouble / counts.min <= 2.5, s"shard skew: ${counts.mkString(",")}")
+  }
+
   test("temperatureSample flattens the source head and keeps by stable hash") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
