@@ -398,6 +398,25 @@ object OracleSql {
     * wiring). Near-dup best match = highest jaccard, then smallest
     * corpus doc_id.
     */
+  /** Bloom-gated incremental exact dedup (mirror of Dedup.bloomDedup's
+    * driver query). The bloom gate itself is not SQL-expressible, but
+    * it is a pure PREFILTER with no false negatives — the flagged set
+    * must equal the plain exact semi-join, which is what this oracle
+    * states. A bloom false negative would surface here as a hash
+    * mismatch.
+    */
+  val dedupBloom: String =
+    s"""WITH t AS (SELECT doc_id, $Toks AS toks FROM documents),
+       |fp AS (SELECT doc_id, ${hex64("array_to_string(toks,' ')")} AS fingerprint FROM t),
+       |ex AS (SELECT DISTINCT bf.doc_id FROM fp bf
+       |  JOIN fp cf ON bf.fingerprint = cf.fingerprint
+       |  WHERE bf.doc_id % 2 = 1 AND cf.doc_id % 2 = 0)
+       |SELECT f.doc_id,
+       |  ex.doc_id IS NOT NULL AS exact_dup,
+       |  ex.doc_id IS NULL AS keep
+       |FROM fp f LEFT JOIN ex ON ex.doc_id = f.doc_id
+       |WHERE f.doc_id % 2 = 1 ORDER BY f.doc_id""".stripMargin
+
   val dedupIncremental: String =
     s"""$ShHashCte,
        |mh AS (SELECT doc_id,
@@ -814,6 +833,38 @@ object OracleSql {
        |  CAST(max(c) AS BIGINT) / CAST(sum(c) AS BIGINT) AS top_bigram_frac
        |FROM pg GROUP BY doc_id
        |ORDER BY doc_id""".stripMargin
+
+  /** PII scrub (mirror of Pii.scrubQuery): planted PII on every 7th
+    * doc, then the same four count-then-redact stages in the same
+    * order — each stage's count runs on the previous stage's redacted
+    * text, so the classes are disjoint in both engines.
+    */
+  val textPii: String = {
+    val email = graft.text.Pii.EmailRe
+    val ipv4 = graft.text.Pii.Ipv4Re
+    val idRun = graft.text.Pii.IdRunRe
+    val phone = graft.text.Pii.PhoneRe
+    s"""WITH aug AS (SELECT doc_id,
+       |  CASE WHEN doc_id % 7 = 0 THEN text
+       |    || ' Contact user' || CAST(doc_id AS VARCHAR)
+       |    || '@example.com from 10.' || CAST(doc_id % 200 AS VARCHAR)
+       |    || '.0.' || CAST(doc_id % 250 AS VARCHAR)
+       |    || ' id ' || CAST(doc_id % 1000000000 + 9000000000 AS VARCHAR)
+       |    || ' call +1 555-867-53' || CAST(doc_id % 90 + 10 AS VARCHAR)
+       |  ELSE text END AS t0 FROM documents),
+       |s1 AS (SELECT doc_id, len(regexp_extract_all(t0, '$email')) AS n_email,
+       |  regexp_replace(t0, '$email', '<EMAIL>', 'g') AS t1 FROM aug),
+       |s2 AS (SELECT *, len(regexp_extract_all(t1, '$ipv4')) AS n_ipv4,
+       |  regexp_replace(t1, '$ipv4', '<IP>', 'g') AS t2 FROM s1),
+       |s3 AS (SELECT *, len(regexp_extract_all(t2, '$idRun')) AS n_id,
+       |  regexp_replace(t2, '$idRun', '<ID>', 'g') AS t3 FROM s2),
+       |s4 AS (SELECT *, len(regexp_extract_all(t3, '$phone')) AS n_phone,
+       |  regexp_replace(t3, '$phone', '<PHONE>', 'g') AS t4 FROM s3)
+       |SELECT doc_id, n_email, n_ipv4, n_id, n_phone,
+       |  n_email + n_ipv4 + n_id + n_phone AS n_pii,
+       |  md5(t4) AS redacted_md5
+       |FROM s4 ORDER BY doc_id""".stripMargin
+  }
 
   /** Duplicate-chunk fraction (mirror of TextAnalysis.dupChunkRatio). */
   val textDupChunkRatio: String =

@@ -95,6 +95,7 @@ object SparkEntry {
         sp.filter(col("split") === "train"), sp.filter(col("split") === "test"))
     }),
     "text_repetition" -> ((s, dir) => TextAnalysis.repetition(t(s, dir, "documents"))),
+    "text_pii" -> ((s, dir) => graft.text.Pii.scrubQuery(t(s, dir, "documents"))),
     "text_winnow" -> ((s, dir) => TextAnalysis.winnow(t(s, dir, "documents"))),
     "text_containment" -> ((s, dir) => TextAnalysis.containment(t(s, dir, "documents"),
       maxFingerprintDf = Some(TextAnalysis.DefaultMaxFingerprintDf))),
@@ -134,6 +135,12 @@ object SparkEntry {
       val d = t(s, dir, "documents")
       Dedup.incrementalDedup(
         d.filter(col("doc_id") % 2 === 0), d.filter(col("doc_id") % 2 === 1))
+    }),
+    "dedup_bloom" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      Dedup.bloomDedup(
+        d.filter(col("doc_id") % 2 === 0), d.filter(col("doc_id") % 2 === 1))
+        .select(col("doc_id"), col("exact_dup"), col("keep"))
     }),
     "pipeline_clean" -> ((s, dir) => graft.ops.Pipeline.cleanCorpus(t(s, dir, "documents"))),
     "dedup_mllib_minhash" -> ((s, dir) => {
@@ -402,6 +409,7 @@ object SparkEntry {
     "text_chunks" -> OracleSql.textChunks,
     "text_dup_chunk_ratio" -> OracleSql.textDupChunkRatio,
     "text_repetition" -> OracleSql.textRepetition,
+    "text_pii" -> OracleSql.textPii,
     "text_winnow" -> OracleSql.textWinnow,
     "text_containment" -> OracleSql.textContainment,
     "text_gopher" -> OracleSql.textGopher,
@@ -432,6 +440,7 @@ object SparkEntry {
     "dedup_embedding" -> OracleSql.dedupEmbedding,
     "dedup_clusters" -> OracleSql.dedupClusters,
     "dedup_incremental" -> OracleSql.dedupIncremental,
+    "dedup_bloom" -> OracleSql.dedupBloom,
     "pipeline_clean" -> OracleSql.pipelineClean,
     "dedup_embedding_lsh" -> OracleSql.dedupEmbeddingLsh,
     "cosine_topk_exact" -> OracleSql.cosineTopkExact,

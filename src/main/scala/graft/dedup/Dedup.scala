@@ -1,9 +1,13 @@
 package graft.dedup
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Observation}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
+
+import scala.concurrent.{Await, Future}
+import scala.concurrent.duration._
+import scala.concurrent.ExecutionContext.Implicits.global
 
 import graft.GraftFunctions.{hex64, tokens}
 
@@ -222,6 +226,30 @@ object Dedup {
     (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
   }
 
+  /** Eagerly localCheckpoint `edges` and return it with its
+    * (count, xor-of-row-hashes) convergence signature, collected via
+    * `Dataset.observe` DURING the checkpoint materialization — the
+    * signature costs no extra pass over the edge set (a separate
+    * `edgeSig` action would rescan every round; at 100 TB that is a
+    * full extra read of the contraction state per round). Falls back
+    * to the explicit scan if the observed metrics don't surface.
+    */
+  private def checkpointWithSig(edges: DataFrame): (DataFrame, (Long, Long)) = {
+    val obs = Observation()
+    val cp = edges
+      .observe(obs, count(lit(1)).as("n"), expr("bit_xor(xxhash64(u, v))").as("x"))
+      .localCheckpoint(true)
+    val m =
+      try Await.result(Future(obs.get), 60.seconds)
+      catch { case _: java.util.concurrent.TimeoutException => null }
+    if (m == null) (cp, edgeSig(cp))
+    else {
+      val n = m("n").asInstanceOf[Long]
+      val x = m("x") match { case l: java.lang.Long => l.longValue; case _ => 0L }
+      (cp, (n, x))
+    }
+  }
+
   /** Connected components over an undirected pair graph `(a, b)` by
     * alternating large-star/small-star contraction (Kiveris et al.,
     * "Connected Components in MapReduce and Beyond", SoCC'14):
@@ -234,9 +262,11 @@ object Dedup {
     * Both steps preserve connectivity; the fixpoint is a star per
     * component centered on the component minimum, reached in
     * O(log²) rounds — independent of component diameter, unlike plain
-    * min-label propagation. Each round is materialized with an eager
-    * `localCheckpoint` (constant-depth lineage, no per-round plan
-    * growth) and the previous round's blocks are released immediately.
+    * min-label propagation. Each round is ONE job: materialized with an
+    * eager `localCheckpoint` (constant-depth lineage, no per-round plan
+    * growth) whose action also collects the convergence signature via
+    * `Dataset.observe`, and the previous round's blocks are released
+    * immediately.
     * At 100 TB swap `localCheckpoint` for reliable checkpointing to the
     * cluster FS — local checkpoint blocks don't survive executor loss.
     *
@@ -261,9 +291,8 @@ object Dedup {
       nbrs.withColumn("m", least(col("u"), min(col("v")).over(Window.partitionBy(col("u")))))
 
     val stats = scala.collection.mutable.ArrayBuffer.empty[Long]
-    var edges = canon(pairs.select(col("a").as("u"), col("b").as("v")))
-      .localCheckpoint(true)
-    var sig = edgeSig(edges)
+    var (edges, sig) = checkpointWithSig(
+      canon(pairs.select(col("a").as("u"), col("b").as("v"))))
     stats += sig._1
     var prev = edges
     var converged = false
@@ -275,11 +304,9 @@ object Dedup {
         .select(col("v").as("u"), col("m").as("v")))
       // small-star over larger→smaller edges: emit (v, m) ∪ {(u, m)}
       val ss = starMin(ls)
-      val next = canon(
+      val (next, nextSig) = checkpointWithSig(canon(
         ss.select(col("v").as("u"), col("m").as("v"))
-          .unionByName(ss.select(col("u"), col("m").as("v")).distinct()))
-        .localCheckpoint(true)
-      val nextSig = edgeSig(next)
+          .unionByName(ss.select(col("u"), col("m").as("v")).distinct())))
       releaseCheckpoint(prev)
       prev = next
       edges = next
@@ -418,6 +445,54 @@ object Dedup {
     materialized(out) {
       cand.unpersist(false); shB.unpersist(false); shC.unpersist(false)
     }
+  }
+
+  /** Bloom-gated incremental exact dedup: flag new-batch docs whose
+    * normalized-text fingerprint already exists in the corpus, with a
+    * broadcast Bloom filter in front of the verify join.
+    *
+    * The 100 TB shape this exists for: the corpus fingerprint set is
+    * far too large to broadcast exactly, and a batch→corpus shuffle
+    * semi-join re-shuffles the ENTIRE corpus fingerprint column for
+    * every (possibly tiny) ingest batch. A Bloom filter is a
+    * fixed-size, mergeable summary of the corpus side (built with one
+    * `treeAggregate` pass — `df.stat.bloomFilter` — sized by
+    * expectedItems/fpp, e.g. ~1.2 GB for 10⁹ items at 1% fpp, tractable
+    * to broadcast where the raw 8 B×10⁹ fingerprint set plus hash-set
+    * overhead is not). Probing is map-side on the batch; only
+    * bloom-positive rows (true dups + ~fpp false positives) enter the
+    * exact semi-join, so the join's batch side shrinks from |batch| to
+    * ~|dups|. Bloom guarantees no false NEGATIVES: a `false` probe is
+    * definitively new, which is what makes the gate sound.
+    *
+    * The probe is a Scala UDF by necessity (`BloomFilter.mightContain`
+    * has no Catalyst expression surface in the public API) — one
+    * long→boolean call per row on an already-computed fingerprint,
+    * not a per-element hot loop.
+    *
+    * Output per batch doc: (doc_id, bloom_hit, exact_dup, keep);
+    * `bloom_hit && !exact_dup` rows are the measured false positives.
+    */
+  def bloomDedup(corpus: DataFrame, batch: DataFrame,
+      fpp: Double = 0.01): DataFrame = {
+    def fpOf(d: DataFrame): DataFrame = withToks(d)
+      .select(col("doc_id"), hex64(array_join(col("toks"), " ")).as("fingerprint"))
+    val corpusFp = fpOf(corpus)
+    val expected = math.max(corpusFp.count(), 64L)
+    val bloom = corpusFp.stat.bloomFilter("fingerprint", expected, fpp)
+    val bc = corpus.sparkSession.sparkContext.broadcast(bloom)
+    val probe = udf((fp: Long) => bc.value.mightContainLong(fp))
+    val batchFp = fpOf(batch).withColumn("bloom_hit", probe(col("fingerprint")))
+    val verified = batchFp.filter(col("bloom_hit"))
+      .join(corpusFp.select(col("fingerprint")).distinct(),
+        Seq("fingerprint"), "left_semi")
+      .select(col("doc_id"), lit(true).as("exact_dup"))
+    batchFp.select(col("doc_id"), col("bloom_hit"))
+      .join(verified, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("bloom_hit"),
+        coalesce(col("exact_dup"), lit(false)).as("exact_dup"))
+      .withColumn("keep", !col("exact_dup"))
+      .orderBy(col("doc_id"))
   }
 
   val SimhashBits = 32

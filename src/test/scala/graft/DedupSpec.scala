@@ -167,4 +167,33 @@ class DedupSpec extends SparkSpec {
     assert(res(2L) === (3L, 0L, false))
     assert(res(3L) === (0L, 0L, false))
   }
+
+  test("bloomDedup: gate ≡ ungated exact semi-join; fp rate bounded; planted dups flagged") {
+    val corpus = docs.filter(col("doc_id") % 2 === 0)
+    // batch = odd docs + exact copies of 3 corpus texts under new odd ids
+    val planted = corpus.orderBy("doc_id").limit(3)
+      .withColumn("doc_id", col("doc_id") * 2 + lit(1000001L))
+    val batch = docs.filter(col("doc_id") % 2 === 1).unionByName(planted)
+    val res = Dedup.bloomDedup(corpus, batch, fpp = 0.01).collect()
+    val byId = res.map(r => r.getAs[Long]("doc_id") -> r).toMap
+    // planted exact copies must be flagged (and bloom can't have missed them)
+    planted.collect().map(_.getAs[Long]("doc_id")).foreach { id =>
+      assert(byId(id).getAs[Boolean]("bloom_hit"), s"bloom missed planted dup $id")
+      assert(byId(id).getAs[Boolean]("exact_dup"), s"planted dup $id not flagged")
+      assert(!byId(id).getAs[Boolean]("keep"))
+    }
+    // gate soundness: flagged set ≡ the ungated exact semi-join
+    def fpOf(d: org.apache.spark.sql.DataFrame) =
+      d.select(col("doc_id"), graft.GraftFunctions.hex64(
+        array_join(graft.GraftFunctions.tokens(col("text")), " ")).as("fp"))
+    val direct = fpOf(batch)
+      .join(fpOf(corpus).select("fp").distinct(), Seq("fp"), "left_semi")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val gated = res.filter(_.getAs[Boolean]("exact_dup")).map(_.getAs[Long]("doc_id")).toSet
+    assert(gated === direct)
+    // bloom false positives stay near the configured fpp
+    val nonDup = res.filter(!_.getAs[Boolean]("exact_dup"))
+    val fpRate = nonDup.count(_.getAs[Boolean]("bloom_hit")).toDouble / nonDup.length
+    assert(fpRate <= 0.05, s"bloom fp rate $fpRate far above configured 0.01")
+  }
 }

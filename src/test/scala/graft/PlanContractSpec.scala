@@ -67,7 +67,7 @@ class PlanContractSpec extends SparkSpec {
       "text_chunks", "emb_label_centroids", "lsh_save_load_bucketed",
       "chunks_dedup", "text_decontaminate", "seq_pack",
       "sample_temperature", "events_top_paths", "semantic_dedup",
-      "corpus_shuffle")
+      "corpus_shuffle", "text_pii")
     sweep.foreach { name =>
       val phys = physical(q(name))
       assert(!phys.contains("CartesianProduct"),
@@ -111,6 +111,9 @@ class PlanContractSpec extends SparkSpec {
     val ex = "Exchange".r.findAllIn(chunks).size
     val rangeEx = "Exchange rangepartitioning".r.findAllIn(chunks).size
     assert(ex === rangeEx, s"text_chunks shuffles beyond the output sort:\n$chunks")
+    // PII scrubbing is a pure per-document projection — zero exchanges
+    val pii = physical(q("text_pii"))
+    assert(!pii.contains("Exchange"), s"text_pii is not map-only:\n$pii")
   }
 
   test("chunks_dedup: keeper selection is a map-side partial min aggregate") {

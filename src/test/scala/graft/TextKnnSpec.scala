@@ -305,4 +305,37 @@ class TextKnnSpec extends SparkSpec {
     assert(planted.forall(_.getAs[Boolean]("is_dup")))
     assert(planted.forall(r => r.getAs[Long]("nn_id") === r.getAs[Long]("vec_id") - 1000000L))
   }
+
+  test("pii scrub: planted classes counted once each, redaction complete, clean text untouched") {
+    import graft.text.Pii
+    val samples = Seq(
+      (1L, "mail a.b+c@x-y.co.uk and d@e.io today"),                 // 2 emails
+      (2L, "server 10.0.0.1 talked to 192.168.255.254"),             // 2 ips
+      (3L, "acct 123456789 and card 9876543210123456"),              // 2 id runs
+      (4L, "call +1 555-867-5309 or 555 123 4567 now"),              // 2 phones
+      (5L, "от me@ex.com via 8.8.8.8 id 900000001 tel +44 20 7946 0958"), // one of each
+      (6L, "no pii here: v1.2.3, room 101, est. 1999"))              // none
+      .toDF("doc_id", "text")
+    val res = Pii.scrub(samples).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    def counts(id: Long) = {
+      val r = res(id)
+      (r.getAs[Long]("n_email"), r.getAs[Long]("n_ipv4"),
+        r.getAs[Long]("n_id"), r.getAs[Long]("n_phone"))
+    }
+    assert(counts(1L) === ((2L, 0L, 0L, 0L)))
+    assert(counts(2L) === ((0L, 2L, 0L, 0L)))
+    assert(counts(3L) === ((0L, 0L, 2L, 0L)))
+    assert(counts(4L) === ((0L, 0L, 0L, 2L)))
+    assert(counts(5L) === ((1L, 1L, 1L, 1L)))
+    assert(counts(6L) === ((0L, 0L, 0L, 0L)))
+    assert(res(5L).getAs[String]("redacted") ===
+      "от <EMAIL> via <IP> id <ID> tel <PHONE>")
+    assert(res(6L).getAs[String]("redacted") === "no pii here: v1.2.3, room 101, est. 1999")
+    // no residual match of any class after redaction
+    val residual = Pii.scrub(
+      Pii.scrub(samples).select(col("doc_id"), col("redacted").as("text")))
+      .agg(sum(col("n_pii"))).head.getLong(0)
+    assert(residual === 0L)
+  }
 }
