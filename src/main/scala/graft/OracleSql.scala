@@ -270,6 +270,77 @@ object OracleSql {
        |ORDER BY doc_id""".stripMargin
   }
 
+  /** Inverted index (mirror of TextAnalysis.invertedIndex, default
+    * maxDf): per token df/cf + doc_id-sorted posting lists as two
+    * parallel arrays.
+    */
+  val textInvertedIndex: String =
+    s"""WITH t AS (SELECT doc_id, $Toks AS toks FROM documents),
+       |tok AS (SELECT doc_id, unnest(toks) AS token FROM t),
+       |dt AS (SELECT token, doc_id, count(*)::BIGINT AS tf FROM tok GROUP BY 1, 2),
+       |dfs AS (SELECT token, count(*)::BIGINT AS df, sum(tf)::BIGINT AS cf
+       |  FROM dt GROUP BY 1)
+       |SELECT d.token, d.df, d.cf,
+       |  list(dt.doc_id ORDER BY dt.doc_id) AS doc_ids,
+       |  list(dt.tf ORDER BY dt.doc_id) AS tfs
+       |FROM dfs d JOIN dt ON dt.token = d.token
+       |WHERE d.df <= ${graft.text.TextAnalysis.DefaultMaxTokenDf}
+       |GROUP BY d.token, d.df, d.cf
+       |ORDER BY d.token""".stripMargin
+
+  /** BM25 top-k search over the query terms (mirror of
+    * TextAnalysis.searchTopK): candidates = docs containing ≥1 kept
+    * (df ≤ maxDf) query term; scoring identical to [[textBm25]]
+    * (same constants, association order, detLn), then
+    * (score desc, doc_id) top-20.
+    */
+  val textSearchTopK: String = {
+    val terms = TextAnalysis.Bm25Terms
+    val maxDf = TextAnalysis.DefaultMaxTokenDf
+    val dfAggs = terms.zipWithIndex.map { case (term, i) =>
+      s"  sum(CASE WHEN list_contains(toks, '$term') THEN 1 ELSE 0 END)::BIGINT AS df_$i"
+    }.mkString(",\n")
+    val tfCols = terms.zipWithIndex.map { case (term, i) =>
+      s"  len(list_filter(toks, x -> x = '$term'))::BIGINT AS tf_$i"
+    }.mkString(",\n")
+    val idfArgs = terms.indices.map { i =>
+      s"  1.0::DOUBLE + (n_docs - df_$i + 0.5::DOUBLE) / (df_$i + 0.5::DOUBLE) AS idfarg_$i"
+    }.mkString(",\n")
+    val candWhere = terms.indices
+      .map(i => s"(tf_$i > 0 AND df_$i <= $maxDf)").mkString(" OR ")
+    val base0 =
+      s"""WITH t AS (SELECT doc_id, $Toks AS toks FROM documents),
+         |d AS (SELECT doc_id, toks, len(toks)::BIGINT AS dl FROM t),
+         |s AS (SELECT count(*)::BIGINT AS n_docs, sum(dl)::BIGINT AS sum_dl,
+         |$dfAggs
+         |  FROM d),
+         |f AS (SELECT doc_id, dl,
+         |$tfCols
+         |  FROM d)
+         |SELECT doc_id, dl, n_docs, sum_dl,
+         |${terms.indices.map(i => s"  tf_$i, df_$i,").mkString("\n")}
+         |$idfArgs
+         |FROM f CROSS JOIN s
+         |WHERE $candWhere""".stripMargin
+    val carry = Seq("doc_id", "dl", "n_docs", "sum_dl") ++
+      terms.indices.flatMap(i => Seq(s"tf_$i", s"df_$i")) ++
+      terms.indices.map(i => s"idfarg_$i")
+    val wrapped = terms.indices.foldLeft((base0, carry)) { case ((q, cols), i) =>
+      (detLn(q, cols.mkString(", "), s"idfarg_$i", s"idf_$i", s"sr$i"),
+        cols :+ s"idf_$i")
+    }._1
+    val k1p1 = dlit(1.2 + 1.0)
+    val score = terms.indices.map { i =>
+      s"CASE WHEN tf_$i > 0 AND df_$i <= $maxDf THEN idf_$i * (tf_$i * $k1p1) " +
+        s"/ (tf_$i + 1.2::DOUBLE * (1.0::DOUBLE - 0.75::DOUBLE + 0.75::DOUBLE * (dl / (sum_dl / n_docs)))) " +
+        "ELSE 0.0e0 END"
+    }.mkString("\n    + ")
+    s"""SELECT doc_id,
+       |    $score AS score
+       |FROM ($wrapped) __search
+       |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin
+  }
+
   /** Gopher-rules quality battery (mirror of TextAnalysis.gopherQuality). */
   val textGopher: String = {
     val meanLen = "CASE WHEN n_words > 0 THEN sum_len / n_words END"

@@ -118,6 +118,8 @@ object SparkEntry {
       graft.ops.Sampling.shuffleShards(t(s, dir, "documents"), col("doc_id"))
         .select(col("doc_id"), col("shuffle_key"), col("shard"))),
     "text_top_ngrams" -> ((s, dir) => TextAnalysis.topNgrams(t(s, dir, "documents"))),
+    "text_inverted_index" -> ((s, dir) => TextAnalysis.invertedIndex(t(s, dir, "documents"))),
+    "text_search_topk" -> ((s, dir) => TextAnalysis.searchTopK(t(s, dir, "documents"))),
     "text_pmi" -> ((s, dir) => TextAnalysis.tokenPmi(t(s, dir, "documents"))),
     // --- B. dedup suite ---
     "dedup_exact" -> ((s, dir) => Dedup.exact(t(s, dir, "documents"))),
@@ -410,6 +412,8 @@ object SparkEntry {
     "text_dup_chunk_ratio" -> OracleSql.textDupChunkRatio,
     "text_repetition" -> OracleSql.textRepetition,
     "text_pii" -> OracleSql.textPii,
+    "text_inverted_index" -> OracleSql.textInvertedIndex,
+    "text_search_topk" -> OracleSql.textSearchTopK,
     "text_winnow" -> OracleSql.textWinnow,
     "text_containment" -> OracleSql.textContainment,
     "text_gopher" -> OracleSql.textGopher,

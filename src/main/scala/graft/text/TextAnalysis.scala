@@ -391,6 +391,103 @@ object TextAnalysis {
       .orderBy(col("rank"))
   }
 
+  /** Document-frequency cap for [[invertedIndex]] postings: a token
+    * present in more documents than this carries no search selectivity
+    * (its posting list is ~the whole corpus) and is excluded from the
+    * index, the classic stopword cut. The cap also bounds the largest
+    * posting row materialized by the index build. Mirrored in the
+    * oracle SQL.
+    */
+  val DefaultMaxTokenDf: Long = 100000L
+
+  /** Inverted index over the corpus — the text-search twin of the LSH
+    * bucket index ([[graft.lsh.LshIndex]]): one row per token with its
+    * document frequency, corpus frequency, and the posting list
+    * (doc_ids sorted ascending, parallel per-doc term frequencies).
+    * Index once, serve many queries from postings
+    * ([[searchTopKOnIndex]]) — each query touches Σ df(term) posting
+    * entries instead of every document.
+    *
+    * Scale shape: (token, doc) term counts partial-aggregate map-side;
+    * hot tokens (df > maxDf) are identified from the SMALL df relation
+    * and removed by a broadcast anti-join BEFORE the posting-list
+    * shuffle — the corpus-sized stream never shuffles a hot token's
+    * rows, and no oversized `collect_list` row is ever built. The final
+    * df/postings join is token-co-partitioned (no extra exchange).
+    */
+  def invertedIndex(docs: DataFrame, maxDf: Long = DefaultMaxTokenDf): DataFrame = {
+    val docTf = withToks(docs)
+      .select(col("doc_id"), explode(col("toks")).as("token"))
+      .groupBy(col("token"), col("doc_id"))
+      .agg(count(lit(1)).as("tf"))
+    val dfs = docTf.groupBy(col("token"))
+      .agg(count(lit(1)).as("df"), sum(col("tf")).as("cf"))
+    val hot = dfs.filter(col("df") > maxDf).select(col("token"))
+    val postings = docTf
+      .join(broadcast(hot), Seq("token"), "left_anti")
+      .groupBy(col("token"))
+      .agg(sort_array(collect_list(struct(col("doc_id"), col("tf")))).as("p"))
+    postings.join(dfs, Seq("token"))
+      .select(col("token"), col("df"), col("cf"),
+        transform(col("p"), x => x.getField("doc_id")).as("doc_ids"),
+        transform(col("p"), x => x.getField("tf")).as("tfs"))
+  }
+
+  /** BM25 top-k search served FROM a prebuilt inverted index: postings
+    * of the query terms → per-candidate term frequencies → BM25 score
+    * (same constants, association order, and [[graft.expressions.DetLn]]
+    * log as [[bm25]], so the two independent plans agree bitwise) →
+    * distributed TakeOrdered top-k with (score desc, doc_id) tie-break.
+    * Only documents containing at least one query term are candidates.
+    *
+    * Scale shape: the candidate set (≤ Σ df(term) rows) pivots in one
+    * keyed shuffle, then fetches doc lengths by a guarded-broadcast
+    * join against the corpus — the corpus side stays map-only; the
+    * per-term df and corpus stats ride in as two 1-row broadcasts.
+    */
+  def searchTopKOnIndex(docs: DataFrame, index: DataFrame,
+      terms: Seq[String] = Bm25Terms, k: Int = 20,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val t = withToks(docs).withColumn("dl", size(col("toks")).cast("long"))
+    val stats = t.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+    val qIdx = index.filter(col("token").isin(terms: _*))
+    val dfAggs = terms.zipWithIndex.map { case (term, i) =>
+      max(when(col("token") === term, col("df"))).as(s"df_$i")
+    }
+    val dfr = qIdx.agg(dfAggs.head, dfAggs.tail: _*)
+    val posts = qIdx.select(col("token"),
+        explode(arrays_zip(col("doc_ids"), col("tfs"))).as("p"))
+      .select(col("token"), col("p.doc_ids").as("doc_id"), col("p.tfs").as("tf"))
+    val tfAggs = terms.zipWithIndex.map { case (term, i) =>
+      coalesce(max(when(col("token") === term, col("tf"))), lit(0L)).as(s"tf_$i")
+    }
+    val cand = posts.groupBy(col("doc_id")).agg(tfAggs.head, tfAggs.tail: _*)
+    val withDl = t.select(col("doc_id"), col("dl"))
+      .join(graft.ops.Broadcasting.maybeBroadcast(cand), Seq("doc_id"))
+      .crossJoin(broadcast(stats)).crossJoin(broadcast(dfr))
+    val termScores = terms.zipWithIndex.map { case (term, i) =>
+      val tf = col(s"tf_$i")
+      val idf = GraftFunctions.det_ln(lit(1.0) +
+        (col("n_docs") - col(s"df_$i") + lit(0.5)) / (col(s"df_$i") + lit(0.5)))
+      // association order mirrors bm25 and the oracle SQL exactly; a
+      // zero-tf term contributes an exact +0.0 either way — the CASE
+      // exists so a term missing from the index (null df) cannot
+      // null out the whole sum
+      when(tf > lit(0L),
+        idf * (tf * lit(k1 + 1.0)) /
+          (tf + lit(k1) * (lit(1.0) - lit(b) + lit(b) * (col("dl") / (col("sum_dl") / col("n_docs"))))))
+        .otherwise(lit(0.0))
+    }
+    withDl.select(col("doc_id"), termScores.reduce(_ + _).as("score"))
+      .orderBy(col("score").desc, col("doc_id")).limit(k)
+  }
+
+  /** [[searchTopKOnIndex]] over a freshly built [[invertedIndex]]. */
+  def searchTopK(docs: DataFrame, terms: Seq[String] = Bm25Terms,
+      k: Int = 20, k1: Double = 1.2, b: Double = 0.75,
+      maxDf: Long = DefaultMaxTokenDf): DataFrame =
+    searchTopKOnIndex(docs, invertedIndex(docs, maxDf), terms, k, k1, b)
+
   /** Overlapping fixed-width document chunking — the context-window
     * shaping step of an LLM training/RAG pipeline: each document is
     * split into `size`-char windows every `stride` chars (overlap =

@@ -67,7 +67,8 @@ class PlanContractSpec extends SparkSpec {
       "text_chunks", "emb_label_centroids", "lsh_save_load_bucketed",
       "chunks_dedup", "text_decontaminate", "seq_pack",
       "sample_temperature", "events_top_paths", "semantic_dedup",
-      "corpus_shuffle", "text_pii")
+      "corpus_shuffle", "text_pii", "dedup_bloom", "text_inverted_index",
+      "text_search_topk")
     sweep.foreach { name =>
       val phys = physical(q(name))
       assert(!phys.contains("CartesianProduct"),

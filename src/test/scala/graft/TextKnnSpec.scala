@@ -306,6 +306,46 @@ class TextKnnSpec extends SparkSpec {
     assert(planted.forall(r => r.getAs[Long]("nn_id") === r.getAs[Long]("vec_id") - 1000000L))
   }
 
+  test("invertedIndex: exact postings on planted docs; hot tokens cut by maxDf") {
+    val tiny = Seq(
+      (1L, "apple banana apple"),
+      (2L, "banana cherry"),
+      (3L, "apple cherry cherry common"),
+      (4L, "common"))
+      .toDF("doc_id", "text")
+    val idx = TextAnalysis.invertedIndex(tiny).collect()
+      .map(r => r.getAs[String]("token") -> r).toMap
+    def postings(tok: String) =
+      (idx(tok).getAs[Seq[Long]]("doc_ids"), idx(tok).getAs[Seq[Long]]("tfs"))
+    assert(postings("apple") === ((Seq(1L, 3L), Seq(2L, 1L))))
+    assert(postings("banana") === ((Seq(1L, 2L), Seq(1L, 1L))))
+    assert(postings("cherry") === ((Seq(2L, 3L), Seq(1L, 2L))))
+    assert(idx("apple").getAs[Long]("df") === 2L)
+    assert(idx("apple").getAs[Long]("cf") === 3L)
+    // a df cap of 1 drops every token appearing in 2+ docs
+    val capped = TextAnalysis.invertedIndex(tiny, maxDf = 1L)
+      .collect().map(_.getAs[String]("token")).toSet
+    assert(capped === Set.empty[String])
+  }
+
+  test("searchTopK: index-served scores bitwise-equal the full-scan bm25 plan") {
+    val terms = TextAnalysis.Bm25Terms
+    val served = TextAnalysis.searchTopK(docs, terms, k = 1000000)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("score")).toMap
+    val full = TextAnalysis.bm25(docs, terms).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("bm25")).toMap
+    // candidates = docs scoring via ≥1 term; every candidate must agree
+    // BITWISE with the independent full-scan plan
+    assert(served.nonEmpty)
+    served.foreach { case (id, s) =>
+      assert(java.lang.Double.doubleToLongBits(s) ===
+        java.lang.Double.doubleToLongBits(full(id)), s"score mismatch for doc $id")
+    }
+    // non-candidates are exactly the zero-scored docs of the full plan
+    val nonCand = full.keySet -- served.keySet
+    assert(nonCand.forall(id => full(id) === 0.0))
+  }
+
   test("pii scrub: planted classes counted once each, redaction complete, clean text untouched") {
     import graft.text.Pii
     val samples = Seq(
