@@ -120,6 +120,29 @@ object OracleSql {
        |  ELSE 0.0 END AS quality_score
        |FROM m ORDER BY doc_id""".stripMargin
 
+  /** Per-source quality-percentile cut (mirror of
+    * TextAnalysis.qualityFilter, keep top 3/10): the keep decision is
+    * the integer comparison `q_rank·10 ≤ n_source·3`.
+    */
+  val sampleQualityFilter: String =
+    s"""WITH t AS (SELECT doc_id, source, lower(text) AS txt, $Toks AS toks FROM documents),
+       |m AS (SELECT doc_id, source, length(txt)::BIGINT AS n_chars,
+       |  len(toks)::BIGINT AS n_tokens,
+       |  length(regexp_replace(txt, '[a-z0-9 ]', '', 'g'))::BIGINT AS n_punct
+       |FROM t),
+       |q AS (SELECT doc_id, source,
+       |  CASE WHEN n_tokens > 0 THEN (least(n_tokens, 100) / 100.0) *
+       |    (1.0 - CASE WHEN n_chars > 0 THEN n_punct / n_chars ELSE 0.0 END)
+       |  ELSE 0.0 END AS quality_score
+       |FROM m),
+       |r AS (SELECT doc_id, source, quality_score,
+       |  row_number() OVER (PARTITION BY source ORDER BY quality_score DESC, doc_id) AS q_rank,
+       |  count(*) OVER (PARTITION BY source) AS n_source
+       |FROM q)
+       |SELECT doc_id, source, quality_score, q_rank::BIGINT AS q_rank,
+       |  n_source::BIGINT AS n_source, q_rank * 10 <= n_source * 3 AS keep
+       |FROM r ORDER BY doc_id""".stripMargin
+
   /** Deterministic-ln scaffolding: wraps `base` (a full SELECT whose
     * output includes the double column `argCol`) in projection stages
     * that add `outCol` = [[graft.expressions.DetLn.ln]](argCol),
@@ -1095,6 +1118,18 @@ object OracleSql {
        |WHERE day - cohort_day <= 30
        |GROUP BY 1, 2
        |ORDER BY cohort_day, day_offset""".stripMargin
+
+  /** Consecutive-day streaks (mirror of EventOps.streaks). */
+  val eventsStreaks: String =
+    s"""WITH d AS (SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day
+       |  FROM events WHERE epoch_us(ts) IS NOT NULL),
+       |r AS (SELECT user_id, day,
+       |  row_number() OVER (PARTITION BY user_id ORDER BY day) AS rn FROM d),
+       |s AS (SELECT user_id, day - rn AS grp, count(*)::BIGINT AS len
+       |  FROM r GROUP BY 1, 2)
+       |SELECT user_id, sum(len)::BIGINT AS n_active_days,
+       |  count(*)::BIGINT AS n_streaks, max(len)::BIGINT AS longest_streak
+       |FROM s GROUP BY user_id ORDER BY user_id""".stripMargin
 
   /** JSON props extraction + aggregation (mirror of EventOps.propsAgg). */
   val eventsPropsAgg: String =

@@ -73,6 +73,7 @@ object SparkEntry {
       EventOps.withinRangePairs(t(s, dir, "events"))),
     "events_funnel" -> ((s, dir) => EventOps.funnel(t(s, dir, "events"))),
     "events_retention" -> ((s, dir) => EventOps.retention(t(s, dir, "events"))),
+    "events_streaks" -> ((s, dir) => EventOps.streaks(t(s, dir, "events"))),
     "events_anomaly" -> ((s, dir) => EventOps.valueAnomalies(t(s, dir, "events"))),
     "events_props_agg" -> ((s, dir) => EventOps.propsAgg(t(s, dir, "events"))),
     "events_top_paths" -> ((s, dir) => EventOps.topPaths(t(s, dir, "events"))),
@@ -96,6 +97,7 @@ object SparkEntry {
     }),
     "text_repetition" -> ((s, dir) => TextAnalysis.repetition(t(s, dir, "documents"))),
     "text_pii" -> ((s, dir) => graft.text.Pii.scrubQuery(t(s, dir, "documents"))),
+    "sample_quality_filter" -> ((s, dir) => TextAnalysis.qualityFilter(t(s, dir, "documents"))),
     "text_winnow" -> ((s, dir) => TextAnalysis.winnow(t(s, dir, "documents"))),
     "text_containment" -> ((s, dir) => TextAnalysis.containment(t(s, dir, "documents"),
       maxFingerprintDf = Some(TextAnalysis.DefaultMaxFingerprintDf))),
@@ -422,6 +424,8 @@ object SparkEntry {
     "corpus_rollup" -> OracleSql.corpusRollup,
     "events_funnel" -> OracleSql.eventsFunnel,
     "events_retention" -> OracleSql.eventsRetention,
+    "events_streaks" -> OracleSql.eventsStreaks,
+    "sample_quality_filter" -> OracleSql.sampleQualityFilter,
     "events_anomaly" -> OracleSql.eventsAnomaly,
     "events_props_agg" -> OracleSql.eventsPropsAgg,
     "sample_split" -> OracleSql.sampleSplit,

@@ -257,6 +257,35 @@ object EventOps {
       .orderBy(col("cohort_day"), col("day_offset"))
   }
 
+  /** Consecutive-day activity streaks per user (gaps-and-islands):
+    * distinct active days, number of maximal consecutive-day runs, and
+    * the longest run. Island key = `day − row_number` (constant within
+    * a consecutive run, strictly decreasing across gaps) — the
+    * classic O(n log n)-per-user rewrite of what a naive self-join
+    * does quadratically.
+    *
+    * Shape: one distinct + one user-keyed window shuffle; the two
+    * follow-up aggregations reuse the window's hash partitioning
+    * ((user, grp) and (user) are both clustered by user — no further
+    * exchange). Integer day arithmetic throughout.
+    */
+  def streaks(events: DataFrame): DataFrame = {
+    val days = microsOfTs(events)
+      .select(col("user_id"), expr("us div 86400000000").as("day"))
+      .filter(col("day").isNotNull)
+      .distinct()
+    val run = days.withColumn("rn",
+      row_number().over(Window.partitionBy(col("user_id")).orderBy(col("day"))))
+      .withColumn("grp", col("day") - col("rn"))
+    run.groupBy(col("user_id"), col("grp"))
+      .agg(count(lit(1)).as("len"))
+      .groupBy(col("user_id"))
+      .agg(sum(col("len")).as("n_active_days"),
+        count(lit(1)).as("n_streaks"),
+        max(col("len")).as("longest_streak"))
+      .orderBy(col("user_id"))
+  }
+
   /** Semi-structured property extraction: pull typed fields out of the
     * JSON `props` column and aggregate on them — the "late-binding
     * schema" path every event pipeline needs. The JSON parse is a

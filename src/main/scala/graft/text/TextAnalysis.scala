@@ -74,10 +74,47 @@ object TextAnalysis {
       when(col("n_tokens") > 0, col("sum_len") / col("n_tokens")).as("avg_token_len"),
       when(col("n_chars") > 0, col("n_punct") / col("n_chars")).as("punct_ratio"),
       when(col("n_tokens") > 0, col("n_stop") / col("n_tokens")).as("stop_ratio"),
-      when(col("n_tokens") > 0,
-        (least(col("n_tokens"), lit(100)) / lit(100.0)) *
-          (lit(1.0) - when(col("n_chars") > 0, col("n_punct") / col("n_chars")).otherwise(lit(0.0))))
-        .otherwise(lit(0.0)).as("quality_score"))
+      qualityScore.as("quality_score"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** The composite quality score over precomputed n_tokens/n_chars/
+    * n_punct columns — shared by [[quality]] and [[qualityFilter]] so
+    * the two operators (and their oracles) cannot drift.
+    */
+  private def qualityScore: Column =
+    when(col("n_tokens") > 0,
+      (least(col("n_tokens"), lit(100)) / lit(100.0)) *
+        (lit(1.0) - when(col("n_chars") > 0, col("n_punct") / col("n_chars")).otherwise(lit(0.0))))
+      .otherwise(lit(0.0))
+
+  /** Percentile-based quality pruning (the DCLM/FineWeb-style "keep the
+    * top fraction per source" cut): rank documents within each source
+    * by quality score (desc, doc_id tie-break) and keep the top
+    * keepNum/keepDen fraction. The keep decision is PURE INTEGER
+    * (`rank·keepDen ≤ n·keepNum`) — no float threshold can disagree
+    * across engines or partitionings.
+    *
+    * Scale note: the exact per-source rank is one window shuffle keyed
+    * by source — with few, huge sources those partitions are hot. At
+    * 100 TB swap the exact rank for a quantile threshold: one
+    * `approx_percentile(quality_score, 1 - keepFrac)` aggregate per
+    * source (map-side-partial GK sketch, see events_approx_percentiles)
+    * broadcast back as a map-side filter — same cut within sketch
+    * error, no per-source sort.
+    */
+  def qualityFilter(docs: DataFrame, keepNum: Int = 3, keepDen: Int = 10): DataFrame = {
+    val scored = withToks(docs)
+      .withColumn("n_chars", length(lower(col("text"))).cast("long"))
+      .withColumn("n_tokens", size(col("toks")).cast("long"))
+      .withColumn("n_punct", length(regexp_replace(lower(col("text")), "[a-z0-9 ]", "")))
+      .select(col("doc_id"), col("source"), qualityScore.as("quality_score"))
+    val part = Window.partitionBy(col("source"))
+    val ord = part.orderBy(col("quality_score").desc, col("doc_id"))
+    scored
+      .withColumn("q_rank", row_number().over(ord).cast("long"))
+      .withColumn("n_source", count(lit(1)).over(part).cast("long"))
+      .withColumn("keep", col("q_rank") * keepDen <= col("n_source") * keepNum)
       .orderBy(col("doc_id"))
   }
 

@@ -68,7 +68,7 @@ class PlanContractSpec extends SparkSpec {
       "chunks_dedup", "text_decontaminate", "seq_pack",
       "sample_temperature", "events_top_paths", "semantic_dedup",
       "corpus_shuffle", "text_pii", "dedup_bloom", "text_inverted_index",
-      "text_search_topk")
+      "text_search_topk", "events_streaks", "sample_quality_filter")
     sweep.foreach { name =>
       val phys = physical(q(name))
       assert(!phys.contains("CartesianProduct"),
@@ -115,6 +115,16 @@ class PlanContractSpec extends SparkSpec {
     // PII scrubbing is a pure per-document projection — zero exchanges
     val pii = physical(q("text_pii"))
     assert(!pii.contains("Exchange"), s"text_pii is not map-only:\n$pii")
+  }
+
+  test("events_streaks: post-window aggregations reuse the user partitioning") {
+    // distinct (user, day) = 1 exchange, window by user = 1 exchange,
+    // output sort = range; the two groupBys must NOT add exchanges —
+    // (user, grp) and (user) are both clustered by the window's user
+    // hash partitioning
+    val phys = physical(q("events_streaks"))
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(phys).size
+    assert(hashEx <= 2, s"streaks re-shuffles after the window:\n$phys")
   }
 
   test("chunks_dedup: keeper selection is a map-side partial min aggregate") {

@@ -160,6 +160,49 @@ class RelationalSpec extends SparkSpec {
     assert(res(4L) === (10L, 0L, 0L))    // sources pack independently
   }
 
+  test("streaks: gaps-and-islands on planted activity days") {
+    import spark.implicits._
+    // user 1: days 1-3, 7-8, 10 → 6 active, 3 streaks, longest 3
+    // user 2: one day → 1/1/1
+    val dayNs = 86400000000000L
+    val planted = Seq(
+      (1L, 1L), (1L, 2L), (1L, 3L), (1L, 7L), (1L, 8L), (1L, 10L),
+      (1L, 2L), // same-day second event must not double-count
+      (2L, 5L))
+      .zipWithIndex.map { case ((u, d), i) =>
+        (i.toLong, d * dayNs + 123456L, u, "view", 0.0, "{}")
+      }
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val res = graft.events.EventOps.streaks(planted).collect()
+      .map(r => r.getAs[Long]("user_id") ->
+        (r.getAs[Long]("n_active_days"), r.getAs[Long]("n_streaks"),
+          r.getAs[Long]("longest_streak"))).toMap
+    assert(res(1L) === ((6L, 3L, 3L)))
+    assert(res(2L) === ((1L, 1L, 1L)))
+  }
+
+  test("qualityFilter: integer rank cut keeps exactly floor(3n/10) top-quality docs per source") {
+    val docs = Tables.load(spark, sfDir, "documents")
+    val res = graft.text.TextAnalysis.qualityFilter(docs).collect()
+    val bySource = res.groupBy(_.getAs[String]("source"))
+    bySource.foreach { case (src, rows) =>
+      val n = rows.length
+      val kept = rows.filter(_.getAs[Boolean]("keep"))
+      assert(kept.length === n * 3 / 10, s"source $src keep count")
+      // every kept doc ranks above every dropped doc
+      val maxKeptRank = if (kept.isEmpty) 0L else kept.map(_.getAs[Long]("q_rank")).max
+      val minDropRank = rows.filter(!_.getAs[Boolean]("keep"))
+        .map(_.getAs[Long]("q_rank")).minOption.getOrElse(Long.MaxValue)
+      assert(maxKeptRank < minDropRank)
+    }
+    // scores agree with the standalone quality() operator
+    val q = graft.text.TextAnalysis.quality(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("quality_score")).toMap
+    res.foreach { r =>
+      assert(r.getAs[Double]("quality_score") === q(r.getAs[Long]("doc_id")))
+    }
+  }
+
   test("shuffleShards: reproducible decorrelated order; new salt = new permutation") {
     import org.apache.spark.sql.functions._
     val docs = Tables.load(spark, sfDir, "documents")
