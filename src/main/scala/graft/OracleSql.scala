@@ -293,6 +293,19 @@ object OracleSql {
        |ORDER BY doc_id""".stripMargin
   }
 
+  /** Exact heavy hitters (mirror of TextAnalysis.heavyHitters, 1/100
+    * support): the Spark side goes sketch-then-verify, but the result
+    * is defined purely as the integer comparison below.
+    */
+  val corpusHeavyHitters: String =
+    s"""WITH t AS (SELECT doc_id, $Toks AS toks FROM documents),
+       |tok AS (SELECT unnest(toks) AS token FROM t),
+       |tot AS (SELECT count(*)::BIGINT AS n_total FROM tok),
+       |c AS (SELECT token, count(*)::BIGINT AS cnt FROM tok GROUP BY 1)
+       |SELECT token, cnt, n_total FROM c CROSS JOIN tot
+       |WHERE cnt * 100 > n_total * 1
+       |ORDER BY cnt DESC, token""".stripMargin
+
   /** Inverted index (mirror of TextAnalysis.invertedIndex, default
     * maxDf): per token df/cf + doc_id-sorted posting lists as two
     * parallel arrays.

@@ -121,6 +121,7 @@ object SparkEntry {
         .select(col("doc_id"), col("shuffle_key"), col("shard"))),
     "text_top_ngrams" -> ((s, dir) => TextAnalysis.topNgrams(t(s, dir, "documents"))),
     "text_inverted_index" -> ((s, dir) => TextAnalysis.invertedIndex(t(s, dir, "documents"))),
+    "corpus_heavy_hitters" -> ((s, dir) => TextAnalysis.heavyHitters(t(s, dir, "documents"))),
     "text_search_topk" -> ((s, dir) => TextAnalysis.searchTopK(t(s, dir, "documents"))),
     "text_pmi" -> ((s, dir) => TextAnalysis.tokenPmi(t(s, dir, "documents"))),
     // --- B. dedup suite ---
@@ -415,6 +416,7 @@ object SparkEntry {
     "text_repetition" -> OracleSql.textRepetition,
     "text_pii" -> OracleSql.textPii,
     "text_inverted_index" -> OracleSql.textInvertedIndex,
+    "corpus_heavy_hitters" -> OracleSql.corpusHeavyHitters,
     "text_search_topk" -> OracleSql.textSearchTopK,
     "text_winnow" -> OracleSql.textWinnow,
     "text_containment" -> OracleSql.textContainment,

@@ -413,13 +413,19 @@ object Dedup {
     */
   def incrementalDedup(corpus: DataFrame, batch: DataFrame,
       minJaccard: Double = 0.7): DataFrame = {
-    def fpOf(d: DataFrame): DataFrame = withToks(d)
+    // ONE tokenization pass per side feeds both the exact-fingerprint
+    // and shingle stages (withToks trusts the precomputed toks column)
+    val tokB = withToks(batch).select(col("doc_id"), col("toks"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val tokC = withToks(corpus).select(col("doc_id"), col("toks"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    def fpOf(d: DataFrame): DataFrame = d
       .select(col("doc_id"), hex64(array_join(col("toks"), " ")).as("fingerprint"))
-    val exact = fpOf(batch)
-      .join(fpOf(corpus).select(col("fingerprint")).distinct(), Seq("fingerprint"), "left_semi")
+    val exact = fpOf(tokB)
+      .join(fpOf(tokC).select(col("fingerprint")).distinct(), Seq("fingerprint"), "left_semi")
       .select(col("doc_id"), lit(true).as("exact_dup"))
-    val shB = shingleSet(batch).persist(StorageLevel.MEMORY_AND_DISK)
-    val shC = shingleSet(corpus).persist(StorageLevel.MEMORY_AND_DISK)
+    val shB = shingleSet(tokB).persist(StorageLevel.MEMORY_AND_DISK)
+    val shC = shingleSet(tokC).persist(StorageLevel.MEMORY_AND_DISK)
     val cand = minhashBands(minhashOf(shB)).as("x")
       .join(minhashBands(minhashOf(shC)).as("y"),
         col("x.band") === col("y.band") && col("x.band_hash") === col("y.band_hash"))
@@ -444,6 +450,7 @@ object Dedup {
       .orderBy(col("doc_id"))
     materialized(out) {
       cand.unpersist(false); shB.unpersist(false); shC.unpersist(false)
+      tokB.unpersist(false); tokC.unpersist(false)
     }
   }
 

@@ -428,6 +428,33 @@ object TextAnalysis {
       .orderBy(col("rank"))
   }
 
+  /** Exact corpus heavy hitters (tokens with > num/den of all token
+    * occurrences), computed sketch-first: pass 1 is a Misra-Gries
+    * candidate sketch (`df.stat.freqItems` — fixed-size, mergeable,
+    * guaranteed NO false negatives above the support threshold), pass 2
+    * exactly counts ONLY the ≤ den/num + ε candidate tokens. Because
+    * the sketch cannot miss a true heavy hitter and the verify is
+    * exact, the output is deterministically "every token with
+    * cnt·den > total·num" — the sketch affects cost, never results —
+    * which is what makes this SQL-oracle-checkable. The decision is a
+    * pure integer comparison.
+    *
+    * 100 TB shape: pass 1 never shuffles token rows (constant-size
+    * per-partition summaries merge on the driver); pass 2's groupBy
+    * only sees rows matching the tiny broadcast candidate set.
+    */
+  def heavyHitters(docs: DataFrame, num: Int = 1, den: Int = 100): DataFrame = {
+    val tok = withToks(docs).select(explode(col("toks")).as("token"))
+    val cands = tok.stat.freqItems(Seq("token"), num.toDouble / den)
+      .head.getSeq[String](0)
+    val total = tok.agg(count(lit(1)).as("n_total"))
+    tok.filter(col("token").isin(cands: _*))
+      .groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+      .crossJoin(broadcast(total))
+      .filter(col("cnt") * den > col("n_total") * num)
+      .orderBy(col("cnt").desc, col("token"))
+  }
+
   /** Document-frequency cap for [[invertedIndex]] postings: a token
     * present in more documents than this carries no search selectivity
     * (its posting list is ~the whole corpus) and is excluded from the

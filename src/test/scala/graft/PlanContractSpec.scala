@@ -68,7 +68,8 @@ class PlanContractSpec extends SparkSpec {
       "chunks_dedup", "text_decontaminate", "seq_pack",
       "sample_temperature", "events_top_paths", "semantic_dedup",
       "corpus_shuffle", "text_pii", "dedup_bloom", "text_inverted_index",
-      "text_search_topk", "events_streaks", "sample_quality_filter")
+      "text_search_topk", "events_streaks", "sample_quality_filter",
+      "corpus_heavy_hitters")
     sweep.foreach { name =>
       val phys = physical(q(name))
       assert(!phys.contains("CartesianProduct"),

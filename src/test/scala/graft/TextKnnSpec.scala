@@ -306,6 +306,28 @@ class TextKnnSpec extends SparkSpec {
     assert(planted.forall(r => r.getAs[Long]("nn_id") === r.getAs[Long]("vec_id") - 1000000L))
   }
 
+  test("heavyHitters: sketch-then-verify equals the exact definition") {
+    // planted: "hot" is 6/15 of occurrences, "warm" 3/15, rest below 1/5
+    val tiny = Seq(
+      (1L, "hot hot hot warm a b"),
+      (2L, "hot hot hot warm warm c d e f"))
+      .toDF("doc_id", "text")
+    val hh = TextAnalysis.heavyHitters(tiny, num = 1, den = 5).collect()
+      .map(r => r.getAs[String]("token") -> r.getAs[Long]("cnt")).toMap
+    // hot: 6·5 > 15 ✓; warm sits exactly AT the threshold (3·5 = 15) —
+    // the strict > must exclude it
+    assert(hh === Map("hot" -> 6L))
+    // exact-definition parity on the real corpus
+    val tok = docs.select(explode(graft.GraftFunctions.tokens(col("text"))).as("token"))
+    val total = tok.count()
+    val exact = tok.groupBy("token").count()
+      .filter(col("count") * 100 > total)
+      .collect().map(r => r.getAs[String]("token") -> r.getAs[Long]("count")).toMap
+    val got = TextAnalysis.heavyHitters(docs).collect()
+      .map(r => r.getAs[String]("token") -> r.getAs[Long]("cnt")).toMap
+    assert(got === exact)
+  }
+
   test("invertedIndex: exact postings on planted docs; hot tokens cut by maxDf") {
     val tiny = Seq(
       (1L, "apple banana apple"),
