@@ -1132,6 +1132,21 @@ object OracleSql {
        |GROUP BY 1, 2
        |ORDER BY cohort_day, day_offset""".stripMargin
 
+  /** Frame sampling (mirror of Binary.frameSample, 100-byte frames,
+    * step 4): the byte slice is mirrored as a hex-string slice —
+    * hex(substr(bytes, a, n)) ≡ substr(hex(bytes), 2a+1, 2n).
+    */
+  val mmFrameSample: String =
+    s"""WITH m AS (SELECT doc_id, hex(text::BLOB) AS ph,
+       |  octet_length(text::BLOB)::BIGINT AS n_bytes FROM documents),
+       |f AS (SELECT doc_id, ph, (n_bytes + 99) // 100 AS n_frames FROM m
+       |  WHERE n_bytes > 0),
+       |i AS (SELECT doc_id, ph, n_frames,
+       |  unnest(range(0, n_frames, 4))::BIGINT AS frame_idx FROM f)
+       |SELECT doc_id, frame_idx, n_frames,
+       |  substr(ph, (frame_idx * 100) * 2 + 1, 200) AS frame_hex
+       |FROM i ORDER BY doc_id, frame_idx""".stripMargin
+
   /** Consecutive-day streaks (mirror of EventOps.streaks). */
   val eventsStreaks: String =
     s"""WITH d AS (SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day

@@ -276,6 +276,8 @@ object SparkEntry {
     // --- F. multimodal binary columns ---
     "mm_binary_meta" -> ((s, dir) =>
       graft.multimodal.Binary.metadataStats(t(s, dir, "documents"))),
+    "mm_frame_sample" -> ((s, dir) =>
+      graft.multimodal.Binary.frameSample(t(s, dir, "documents"))),
     "mm_feature_stub" -> ((s, dir) => {
       implicit val sp: SparkSession = s
       graft.multimodal.Binary.extractFeatures(
@@ -427,6 +429,7 @@ object SparkEntry {
     "events_funnel" -> OracleSql.eventsFunnel,
     "events_retention" -> OracleSql.eventsRetention,
     "events_streaks" -> OracleSql.eventsStreaks,
+    "mm_frame_sample" -> OracleSql.mmFrameSample,
     "sample_quality_filter" -> OracleSql.sampleQualityFilter,
     "events_anomaly" -> OracleSql.eventsAnomaly,
     "events_props_agg" -> OracleSql.eventsPropsAgg,

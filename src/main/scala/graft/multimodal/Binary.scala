@@ -62,6 +62,30 @@ object Binary {
     }
   }
 
+  /** Deterministic frame sampling BEFORE decode: every media pipeline
+    * selects "each step-th fixed-size window" of a payload by pure
+    * byte arithmetic on (offset, size) — no codec involved — and only
+    * decodes the sampled frames. Frames here are fixed `frameBytes`
+    * windows (a real container supplies an index table; the shape is
+    * identical): frame indices explode map-side, byte ranges slice with
+    * binary `substring`, each frame carries (doc_id, frame_idx,
+    * n_frames) provenance. Zero shuffles — at 100 TB this is one
+    * streaming pass emitting 1/step of the payload bytes.
+    *
+    * The frame content is emitted as hex so the oracle can mirror the
+    * byte slice as a string slice (`hex(substr(bytes))` ≡
+    * `substr(hex(bytes))` — hex is byte-aligned).
+    */
+  def frameSample(docs: DataFrame, frameBytes: Int = 100, step: Int = 4): DataFrame =
+    asMediaTable(docs)
+      .withColumn("n_frames", expr(s"(n_bytes + ${frameBytes - 1}) div $frameBytes"))
+      .filter(col("n_frames") > 0)
+      .withColumn("frame_idx",
+        explode(sequence(lit(0L), col("n_frames") - 1, lit(step.toLong))))
+      .select(col("doc_id"), col("frame_idx"), col("n_frames"),
+        expr(s"hex(substring(payload, CAST(frame_idx * $frameBytes + 1 AS INT), $frameBytes))")
+          .as("frame_hex"))
+
   /** Metadata stats over the media table — schema/partitioning surface
     * checkable against a SQL oracle (payload hashes + sizes).
     */

@@ -69,7 +69,7 @@ class PlanContractSpec extends SparkSpec {
       "sample_temperature", "events_top_paths", "semantic_dedup",
       "corpus_shuffle", "text_pii", "dedup_bloom", "text_inverted_index",
       "text_search_topk", "events_streaks", "sample_quality_filter",
-      "corpus_heavy_hitters")
+      "corpus_heavy_hitters", "mm_frame_sample")
     sweep.foreach { name =>
       val phys = physical(q(name))
       assert(!phys.contains("CartesianProduct"),

@@ -168,6 +168,22 @@ class StreamingMultimodalSpec extends SparkSpec {
     feats.foreach(f => assert(again(f.doc_id) === f.features.toSeq))
   }
 
+  test("frameSample: exact byte-range slices with provenance; map-only plan") {
+    // 10-byte payload, 4-byte frames, step 2 → frames {0, 2}; the last
+    // frame truncates to the remaining 2 bytes
+    val tiny = Seq((7L, "abcdefghij"), (8L, "")).toDF("doc_id", "text")
+    val res = Binary.frameSample(tiny, frameBytes = 4, step = 2).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("frame_idx")) ->
+        (r.getAs[Long]("n_frames"), r.getAs[String]("frame_hex"))).toMap
+    assert(res.keySet === Set((7L, 0L), (7L, 2L))) // empty payload: no frames
+    assert(res((7L, 0L)) === ((3L, "61626364")))   // "abcd"
+    assert(res((7L, 2L)) === ((3L, "696A")))       // "ij" (truncated)
+    // zero shuffles: explode + substring is a pure projection
+    val phys = Binary.frameSample(Tables.load(spark, sfDir, "documents"))
+      .queryExecution.executedPlan.toString
+    assert(!phys.contains("Exchange"), s"frameSample shuffles:\n$phys")
+  }
+
   test("metadataStats hash equals md5 of the text") {
     val docs = Tables.load(spark, sfDir, "documents").limit(5)
     val got = Binary.metadataStats(docs).collect()
