@@ -306,23 +306,27 @@ object OracleSql {
        |WHERE cnt * 100 > n_total * 1
        |ORDER BY cnt DESC, token""".stripMargin
 
-  /** Inverted index (mirror of TextAnalysis.invertedIndex, default
-    * maxDf): per token df/cf + doc_id-sorted posting lists as two
-    * parallel arrays.
+  /** Inverted index (mirror of TextAnalysis.invertedIndexDigest,
+    * default maxDf): per token df/cf + doc_id-sorted posting lists
+    * digested to scalar hex64 columns (posting values comma-joined in
+    * doc_id order, then hashed) — same content as the array form, but
+    * sortable/hashable by the driver's tabular canonicalization.
     */
   val textInvertedIndex: String =
     s"""WITH t AS (SELECT doc_id, $Toks AS toks FROM documents),
        |tok AS (SELECT doc_id, unnest(toks) AS token FROM t),
        |dt AS (SELECT token, doc_id, count(*)::BIGINT AS tf FROM tok GROUP BY 1, 2),
        |dfs AS (SELECT token, count(*)::BIGINT AS df, sum(tf)::BIGINT AS cf
-       |  FROM dt GROUP BY 1)
-       |SELECT d.token, d.df, d.cf,
-       |  list(dt.doc_id ORDER BY dt.doc_id) AS doc_ids,
-       |  list(dt.tf ORDER BY dt.doc_id) AS tfs
+       |  FROM dt GROUP BY 1),
+       |p AS (SELECT d.token, d.df, d.cf,
+       |  array_to_string(list(dt.doc_id ORDER BY dt.doc_id), ',') AS ids_s,
+       |  array_to_string(list(dt.tf ORDER BY dt.doc_id), ',') AS tfs_s
        |FROM dfs d JOIN dt ON dt.token = d.token
        |WHERE d.df <= ${graft.text.TextAnalysis.DefaultMaxTokenDf}
-       |GROUP BY d.token, d.df, d.cf
-       |ORDER BY d.token""".stripMargin
+       |GROUP BY d.token, d.df, d.cf)
+       |SELECT token, df, cf, ${hex64("ids_s")} AS doc_ids_h,
+       |  ${hex64("tfs_s")} AS tfs_h
+       |FROM p ORDER BY token""".stripMargin
 
   /** BM25 top-k search over the query terms (mirror of
     * TextAnalysis.searchTopK): candidates = docs containing ≥1 kept

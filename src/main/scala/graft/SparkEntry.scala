@@ -98,6 +98,11 @@ object SparkEntry {
     "text_repetition" -> ((s, dir) => TextAnalysis.repetition(t(s, dir, "documents"))),
     "text_pii" -> ((s, dir) => graft.text.Pii.scrubQuery(t(s, dir, "documents"))),
     "sample_quality_filter" -> ((s, dir) => TextAnalysis.qualityFilter(t(s, dir, "documents"))),
+    // rows-only: the GK sketch threshold has no cross-engine oracle
+    // (declared); ≥99% keep-set agreement with the exact rank cut is
+    // property-spec'd in RelationalSpec
+    "sample_quality_filter_sketch" -> ((s, dir) =>
+      TextAnalysis.qualityFilterSketch(t(s, dir, "documents"))),
     "text_winnow" -> ((s, dir) => TextAnalysis.winnow(t(s, dir, "documents"))),
     "text_containment" -> ((s, dir) => TextAnalysis.containment(t(s, dir, "documents"),
       maxFingerprintDf = Some(TextAnalysis.DefaultMaxFingerprintDf))),
@@ -120,9 +125,22 @@ object SparkEntry {
       graft.ops.Sampling.shuffleShards(t(s, dir, "documents"), col("doc_id"))
         .select(col("doc_id"), col("shuffle_key"), col("shard"))),
     "text_top_ngrams" -> ((s, dir) => TextAnalysis.topNgrams(t(s, dir, "documents"))),
-    "text_inverted_index" -> ((s, dir) => TextAnalysis.invertedIndex(t(s, dir, "documents"))),
+    // scalar-digest projection: the raw array-typed posting columns are
+    // the API surface, but the driver gate canonicalizes rows in pandas,
+    // which cannot sort array cells (round-3 red row) — hex64 digests
+    // carry the same information hash-exactly
+    "text_inverted_index" -> ((s, dir) => TextAnalysis.invertedIndexDigest(t(s, dir, "documents"))),
     "corpus_heavy_hitters" -> ((s, dir) => TextAnalysis.heavyHitters(t(s, dir, "documents"))),
     "text_search_topk" -> ((s, dir) => TextAnalysis.searchTopK(t(s, dir, "documents"))),
+    // index-at-rest round trip: save → load → serve with the corpus
+    // untouched at serving time (stats from TBLPROPERTIES, doc lengths
+    // from the bucketed doclen table); same oracle as text_search_topk
+    "text_search_topk_persisted" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val tmp = tempDir("search_idx")
+      graft.text.SearchIndex.save(d, "graft_search_idx_rt", path = Some(s"$tmp/tbl"))
+      graft.text.SearchIndex.searchTopK(graft.text.SearchIndex.load(s, "graft_search_idx_rt"))
+    }),
     "text_pmi" -> ((s, dir) => TextAnalysis.tokenPmi(t(s, dir, "documents"))),
     // --- B. dedup suite ---
     "dedup_exact" -> ((s, dir) => Dedup.exact(t(s, dir, "documents"))),
@@ -140,6 +158,18 @@ object SparkEntry {
       val d = t(s, dir, "documents")
       Dedup.incrementalDedup(
         d.filter(col("doc_id") % 2 === 0), d.filter(col("doc_id") % 2 === 1))
+    }),
+    // persisted-signature round trip: corpus fingerprints + minhash
+    // bands saved bucketed, reloaded, and served against a batch with
+    // no corpus-side signature recompute; same oracle as dedup_incremental
+    "dedup_incremental_persisted" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val corpus = d.filter(col("doc_id") % 2 === 0)
+      val tmp = tempDir("dedup_sig")
+      Dedup.saveSignatures(corpus, "graft_dedup_sig_rt", path = Some(s"$tmp/tbl"))
+      val (fp, bands) = Dedup.loadSignatures(s, "graft_dedup_sig_rt")
+      Dedup.incrementalDedupOnSignatures(fp, bands, corpus,
+        d.filter(col("doc_id") % 2 === 1))
     }),
     "dedup_bloom" -> ((s, dir) => {
       val d = t(s, dir, "documents")
@@ -420,6 +450,7 @@ object SparkEntry {
     "text_inverted_index" -> OracleSql.textInvertedIndex,
     "corpus_heavy_hitters" -> OracleSql.corpusHeavyHitters,
     "text_search_topk" -> OracleSql.textSearchTopK,
+    "text_search_topk_persisted" -> OracleSql.textSearchTopK,
     "text_winnow" -> OracleSql.textWinnow,
     "text_containment" -> OracleSql.textContainment,
     "text_gopher" -> OracleSql.textGopher,
@@ -453,6 +484,7 @@ object SparkEntry {
     "dedup_embedding" -> OracleSql.dedupEmbedding,
     "dedup_clusters" -> OracleSql.dedupClusters,
     "dedup_incremental" -> OracleSql.dedupIncremental,
+    "dedup_incremental_persisted" -> OracleSql.dedupIncremental,
     "dedup_bloom" -> OracleSql.dedupBloom,
     "pipeline_clean" -> OracleSql.pipelineClean,
     "dedup_embedding_lsh" -> OracleSql.dedupEmbeddingLsh,

@@ -413,24 +413,42 @@ object Dedup {
     */
   def incrementalDedup(corpus: DataFrame, batch: DataFrame,
       minJaccard: Double = 0.7): DataFrame = {
-    // ONE tokenization pass per side feeds both the exact-fingerprint
-    // and shingle stages (withToks trusts the precomputed toks column)
-    val tokB = withToks(batch).select(col("doc_id"), col("toks"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    // ONE tokenization pass on the corpus side feeds both the exact-
+    // fingerprint and shingle stages (withToks trusts precomputed toks)
     val tokC = withToks(corpus).select(col("doc_id"), col("toks"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    def fpOf(d: DataFrame): DataFrame = d
+    val corpusFp = tokC
+      .select(hex64(array_join(col("toks"), " ")).as("fingerprint")).distinct()
+    val corpusBands = minhashBands(minhashOf(shingleSet(tokC)))
+    incrementalFlags(batch, corpusFp, corpusBands,
+      _ => shingleSet(tokC), minJaccard) { tokC.unpersist(false) }
+  }
+
+  /** The ingest core shared by [[incrementalDedup]] (corpus signatures
+    * recomputed in-plan) and [[incrementalDedupOnSignatures]] (corpus
+    * signatures read from a persisted [[saveSignatures]] table — the
+    * production shape): one definition, so the two tiers cannot drift.
+    * `corpusShinglesFor(candidateIds)` supplies corpus shingle rows for
+    * the exact-Jaccard verify; the persisted path uses it to tokenize
+    * ONLY band-collided corpus docs.
+    */
+  private def incrementalFlags(batch: DataFrame, corpusFp: DataFrame,
+      corpusBands: DataFrame, corpusShinglesFor: DataFrame => DataFrame,
+      minJaccard: Double)(releaseCorpus: => Unit): DataFrame = {
+    val tokB = withToks(batch).select(col("doc_id"), col("toks"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val exact = tokB
       .select(col("doc_id"), hex64(array_join(col("toks"), " ")).as("fingerprint"))
-    val exact = fpOf(tokB)
-      .join(fpOf(tokC).select(col("fingerprint")).distinct(), Seq("fingerprint"), "left_semi")
+      .join(corpusFp, Seq("fingerprint"), "left_semi")
       .select(col("doc_id"), lit(true).as("exact_dup"))
     val shB = shingleSet(tokB).persist(StorageLevel.MEMORY_AND_DISK)
-    val shC = shingleSet(tokC).persist(StorageLevel.MEMORY_AND_DISK)
     val cand = minhashBands(minhashOf(shB)).as("x")
-      .join(minhashBands(minhashOf(shC)).as("y"),
+      .join(corpusBands.as("y"),
         col("x.band") === col("y.band") && col("x.band_hash") === col("y.band_hash"))
       .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
       .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val shC = corpusShinglesFor(cand.select(col("b").as("doc_id")).distinct())
       .persist(StorageLevel.MEMORY_AND_DISK)
     val near = jaccardAcross(cand, shB, shC)
       .filter(col("jaccard") >= minJaccard)
@@ -450,9 +468,59 @@ object Dedup {
       .orderBy(col("doc_id"))
     materialized(out) {
       cand.unpersist(false); shB.unpersist(false); shC.unpersist(false)
-      tokB.unpersist(false); tokC.unpersist(false)
+      tokB.unpersist(false); releaseCorpus
     }
   }
+
+  /** Persist the corpus-side dedup signatures ONCE — fingerprints as a
+    * `<table>_fp` catalog table bucketed by fingerprint, minhash bands
+    * as `<table>` bucketed + sorted on (band, band_hash) — so a batch
+    * ingest never recomputes corpus minhashes (the round-3 gap: the
+    * docstring promised this shape but [[incrementalDedup]] recomputed
+    * per batch). The bucketed layouts make BOTH corpus-side joins of an
+    * ingest exchange-free after reload: the exact semi-join co-locates
+    * on fingerprint, the band collision join on (band, band_hash).
+    * One corpus tokenize pass feeds both relations.
+    */
+  def saveSignatures(corpus: DataFrame, table: String, nBuckets: Int = 32,
+      path: Option[String] = None): Unit = {
+    val tokC = withToks(corpus).select(col("doc_id"), col("toks"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val fp = tokC
+      .select(hex64(array_join(col("toks"), " ")).as("fingerprint")).distinct()
+    val wf = fp.write.mode("overwrite")
+      .bucketBy(nBuckets, "fingerprint").sortBy("fingerprint").format("parquet")
+    path.foreach(loc => wf.option("path", s"${loc}_fp"))
+    wf.saveAsTable(s"${table}_fp")
+    val bands = minhashBands(minhashOf(shingleSet(tokC)))
+    val wb = bands.write.mode("overwrite")
+      .bucketBy(nBuckets, "band", "band_hash").sortBy("band", "band_hash")
+      .format("parquet")
+    path.foreach(loc => wb.option("path", loc))
+    wb.saveAsTable(table)
+    tokC.unpersist(false)
+  }
+
+  /** Restore (fingerprints, bands) from a [[saveSignatures]] table pair. */
+  def loadSignatures(spark: org.apache.spark.sql.SparkSession,
+      table: String): (DataFrame, DataFrame) =
+    (spark.table(s"${table}_fp"), spark.table(table))
+
+  /** [[incrementalDedup]] against PERSISTED corpus signatures
+    * (reference analogue: query-after-`load_from_disk`,
+    * core/main.py:898): the corpus text is touched only to tokenize
+    * band-collided candidate docs for the exact-Jaccard verify (a
+    * candidate-id semi-join — ~|collisions| docs, not the corpus), and
+    * the signature tables serve their joins bucket-local with no
+    * corpus-side exchange (spec-asserted). Output ≡ [[incrementalDedup]]
+    * (spec-asserted).
+    */
+  def incrementalDedupOnSignatures(corpusFp: DataFrame, corpusBands: DataFrame,
+      corpus: DataFrame, batch: DataFrame, minJaccard: Double = 0.7): DataFrame =
+    incrementalFlags(batch, corpusFp.select(col("fingerprint")), corpusBands,
+      ids => shingleSet(withToks(
+        corpus.join(graft.ops.Broadcasting.maybeBroadcast(ids), Seq("doc_id"), "left_semi"))),
+      minJaccard)(())
 
   /** Bloom-gated incremental exact dedup: flag new-batch docs whose
     * normalized-text fingerprint already exists in the corpus, with a

@@ -126,12 +126,17 @@ object LshIndex {
       .filter(col("vec_id") =!= col("q_id"))
       .groupBy(col("q_id"), col("vec_id"))
       .agg(count(lit(1)).as("n_collisions"))
-    val w = Window.partitionBy(col("q_id"))
-      .orderBy(col("n_collisions").desc, col("vec_id"))
+    // bounded TopKByScore aggregate, not a rank window (the idiom shared
+    // with Knn/Ivf/Quantize): map-side partials carry ≤ k rows per query
+    // per partition and no per-query sort runs anywhere. Collision
+    // counts are exact in double (≤ 2⁵³), so the round trip is lossless.
     collisions
-      .withColumn("rn", row_number().over(w).cast("long"))
-      .filter(col("rn") <= k)
-      .select(col("q_id"), col("rn"), col("vec_id").as("cand_id"), col("n_collisions"))
+      .groupBy(col("q_id"))
+      .agg(graft.GraftFunctions.top_k_by_score(
+        col("n_collisions").cast("double"), col("vec_id"), k).as("top"))
+      .select(col("q_id"), posexplode(col("top")).as(Seq("pos", "t")))
+      .select(col("q_id"), (col("pos") + 1).cast("long").as("rn"),
+        col("t.id").as("cand_id"), col("t.score").cast("long").as("n_collisions"))
       .orderBy(col("q_id"), col("rn"))
   }
 
@@ -164,14 +169,32 @@ object LshIndex {
     val candQ = if (broadcastCandidates) broadcast(candQ0) else candQ0
     val scored = c.join(candQ, Seq("cand_id"))
       .select(col("q_id"), col("cand_id"), cosine_sim(col("q_emb"), col("cand_emb")).as("sim"))
-    val w = Window.partitionBy(col("q_id"))
-    val wOrd = w.orderBy(col("sim").desc, col("cand_id"))
-    scored
-      .withColumn("n_cand", count(lit(1)).over(w))
-      .withColumn("rn", row_number().over(wOrd).cast("long"))
-      .filter(col("rn") <= least(greatest(ceil(col("n_cand") * topP), lit(1L)), lit(topK.toLong)))
-      .select(col("q_id"), col("rn"), col("cand_id"), col("sim"))
-      .orderBy(col("q_id"), col("rn"))
+    if (topK == Int.MaxValue) {
+      // unbounded top-p must rank EVERY candidate of a query — a bounded
+      // aggregate cannot apply; the rank window is the honest plan here
+      // (these are post-aggregation rows: ≤ candidates per query)
+      val w = Window.partitionBy(col("q_id"))
+      val wOrd = w.orderBy(col("sim").desc, col("cand_id"))
+      scored
+        .withColumn("n_cand", count(lit(1)).over(w))
+        .withColumn("rn", row_number().over(wOrd).cast("long"))
+        .filter(col("rn") <= least(greatest(ceil(col("n_cand") * topP), lit(1L)), lit(topK.toLong)))
+        .select(col("q_id"), col("rn"), col("cand_id"), col("sim"))
+        .orderBy(col("q_id"), col("rn"))
+    } else {
+      // bounded TopKByScore (same (sim desc, cand_id asc) order as the
+      // window) + candidate count in the SAME aggregation; the per-query
+      // ceil(n·p) prefix is applied on the exploded ≤ topK rows
+      scored
+        .groupBy(col("q_id"))
+        .agg(count(lit(1)).as("n_cand"),
+          graft.GraftFunctions.top_k_by_score(col("sim"), col("cand_id"), topK).as("top"))
+        .select(col("q_id"), col("n_cand"), posexplode(col("top")).as(Seq("pos", "t")))
+        .withColumn("rn", (col("pos") + 1).cast("long"))
+        .filter(col("rn") <= least(greatest(ceil(col("n_cand") * topP), lit(1L)), lit(topK.toLong)))
+        .select(col("q_id"), col("rn"), col("t.id").as("cand_id"), col("t.score").as("sim"))
+        .orderBy(col("q_id"), col("rn"))
+    }
   }
 
   /** Incrementally index new vectors into an existing index

@@ -1,0 +1,96 @@
+package graft.text
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Text-search index persisted AT REST — the postings twin of the LSH
+  * bucket store ([[graft.lsh.LshIndex.saveBucketed]]; reference
+  * analogue: `core/main.py:846 save_to_disk` / `:898 load_from_disk`
+  * then `query`): "index once, serve many" with the corpus never
+  * touched at serving time.
+  *
+  * Layout: the [[TextAnalysis.invertedIndex]] postings as a catalog
+  * table bucketed + sorted by token (a query term's postings prune to
+  * one file bucket); per-document lengths as a sibling
+  * `<table>_doclen` table bucketed by doc_id (the candidate join reads
+  * bucket-local); the corpus stats (n_docs, Σdl) — the only other
+  * serving input — computed once at save time and stored in
+  * TBLPROPERTIES, so [[searchTopK]] does not re-aggregate the corpus
+  * per query (the round-3 gap: TextAnalysis.scala recomputed N and Σdl
+  * on every search).
+  */
+object SearchIndex {
+
+  /** A loaded index: everything [[searchTopK]] needs, corpus-free. */
+  final case class TextIndex(postings: DataFrame, docLens: DataFrame,
+      nDocs: Long, sumDl: Long, maxDf: Long)
+
+  private def statsJson(nDocs: Long, sumDl: Long, maxDf: Long): String =
+    s"""{"n_docs":$nDocs,"sum_dl":$sumDl,"max_df":$maxDf}"""
+
+  private def parseStats(json: String): (Long, Long, Long) = {
+    def field(k: String): Long = {
+      val m = s""""$k"\\s*:\\s*(-?\\d+)""".r.findFirstMatchIn(json)
+      m.getOrElse(sys.error(s"stats property lacks $k: $json")).group(1).toLong
+    }
+    (field("n_docs"), field("sum_dl"), field("max_df"))
+  }
+
+  /** Build and persist the index for `docs`: one corpus pass for the
+    * postings (the invertedIndex build), one for doc lengths + stats.
+    * `nBuckets` sizes the at-rest file buckets — pick so one token
+    * bucket's postings fit an executor core at target scale.
+    */
+  def save(docs: DataFrame, table: String, nBuckets: Int = 32,
+      maxDf: Long = TextAnalysis.DefaultMaxTokenDf,
+      path: Option[String] = None): Unit = {
+    val spark = docs.sparkSession
+    val idx = TextAnalysis.invertedIndex(docs, maxDf)
+    val w = idx.write.mode("overwrite")
+      .bucketBy(nBuckets, "token").sortBy("token").format("parquet")
+    path.foreach(loc => w.option("path", loc))
+    w.saveAsTable(table)
+    val dls = TextAnalysis.withToks(docs)
+      .select(col("doc_id"), size(col("toks")).cast("long").as("dl"))
+    val wd = dls.write.mode("overwrite")
+      .bucketBy(nBuckets, "doc_id").sortBy("doc_id").format("parquet")
+    path.foreach(loc => wd.option("path", s"${loc}_doclen"))
+    wd.saveAsTable(s"${table}_doclen")
+    val s = spark.table(s"${table}_doclen")
+      .agg(count(lit(1)).as("n"), sum(col("dl")).as("s")).head()
+    spark.sql(s"ALTER TABLE $table SET TBLPROPERTIES ('graft.search.stats' = " +
+      s"'${statsJson(s.getLong(0), s.getLong(1), maxDf)}')")
+  }
+
+  /** Restore a [[TextIndex]] from a [[save]]d table pair. Missing
+    * tables or a missing stats property raise (the
+    * tests/test_persistence_security.py posture: no silent serving
+    * from a half-written index).
+    */
+  def load(spark: SparkSession, table: String): TextIndex = {
+    val props = spark.sql(s"SHOW TBLPROPERTIES $table").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    val json = props.getOrElse("graft.search.stats",
+      sys.error(s"table $table has no graft.search.stats property"))
+    val (n, s, m) = parseStats(json)
+    TextIndex(spark.table(table), spark.table(s"${table}_doclen"), n, s, m)
+  }
+
+  /** BM25 top-k served ENTIRELY from the persisted index: postings of
+    * the query terms → candidate pivot → bucket-local doc-length
+    * fetch; the stored (n_docs, Σdl) ride in as a 1-row literal frame.
+    * Identical scoring core as [[TextAnalysis.searchTopKOnIndex]]
+    * ([[TextAnalysis.searchFromPostings]]) — the two plans agree
+    * bitwise; the difference is purely what gets scanned: here, zero
+    * corpus-side work (spec-asserted: no exchange above the doclen
+    * scan, no `documents` scan anywhere in the plan).
+    */
+  def searchTopK(idx: TextIndex, terms: Seq[String] = TextAnalysis.Bm25Terms,
+      k: Int = 20, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val spark = idx.postings.sparkSession
+    val stats = spark.range(1).select(
+      lit(idx.nDocs).cast("long").as("n_docs"),
+      lit(idx.sumDl).cast("long").as("sum_dl"))
+    TextAnalysis.searchFromPostings(idx.docLens, stats, idx.postings, terms, k, k1, b)
+  }
+}

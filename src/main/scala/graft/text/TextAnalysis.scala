@@ -36,7 +36,7 @@ object TextAnalysis {
   /** Trusts a precomputed `toks` column (the shared-tokenization
     * contract [[graft.ops.Pipeline.cleanCorpus]] relies on).
     */
-  private def withToks(docs: DataFrame): DataFrame =
+  private[text] def withToks(docs: DataFrame): DataFrame =
     if (docs.columns.contains("toks")) docs
     else docs.withColumn("toks", GraftFunctions.tokens(col("text")))
 
@@ -104,17 +104,52 @@ object TextAnalysis {
     * error, no per-source sort.
     */
   def qualityFilter(docs: DataFrame, keepNum: Int = 3, keepDen: Int = 10): DataFrame = {
-    val scored = withToks(docs)
+    val part = Window.partitionBy(col("source"))
+    val ord = part.orderBy(col("quality_score").desc, col("doc_id"))
+    scoredBySource(docs)
+      .withColumn("q_rank", row_number().over(ord).cast("long"))
+      .withColumn("n_source", count(lit(1)).over(part).cast("long"))
+      .withColumn("keep", col("q_rank") * keepDen <= col("n_source") * keepNum)
+      .orderBy(col("doc_id"))
+  }
+
+  /** The (doc_id, source, quality_score) projection shared by
+    * [[qualityFilter]] and [[qualityFilterSketch]] — one scoring
+    * definition so the exact and sketch tiers cannot drift.
+    */
+  private def scoredBySource(docs: DataFrame): DataFrame =
+    withToks(docs)
       .withColumn("n_chars", length(lower(col("text"))).cast("long"))
       .withColumn("n_tokens", size(col("toks")).cast("long"))
       .withColumn("n_punct", length(regexp_replace(lower(col("text")), "[a-z0-9 ]", "")))
       .select(col("doc_id"), col("source"), qualityScore.as("quality_score"))
-    val part = Window.partitionBy(col("source"))
-    val ord = part.orderBy(col("quality_score").desc, col("doc_id"))
-    scored
-      .withColumn("q_rank", row_number().over(ord).cast("long"))
-      .withColumn("n_source", count(lit(1)).over(part).cast("long"))
-      .withColumn("keep", col("q_rank") * keepDen <= col("n_source") * keepNum)
+
+  /** Sketch-threshold quality pruning — the 100 TB tier of
+    * [[qualityFilter]]: instead of ranking every document within its
+    * source (a full per-source sort — hot partition chains when a few
+    * web-scale sources own most of the corpus), compute each source's
+    * keep-threshold as `approx_percentile(quality_score, 1 − keepFrac)`
+    * (bounded-memory mergeable GK summary, map-side partials — see
+    * [[graft.events.EventOps.approxValuePercentiles]]), broadcast the
+    * #sources-row threshold frame back, and keep map-side by a simple
+    * score ≥ threshold comparison. No sort anywhere; the only shuffle
+    * is the constant-size sketch merge.
+    *
+    * The cut agrees with the exact rank within the sketch's rank error
+    * (boundary-tie docs may differ) — spec'd ≥99% keep-set agreement at
+    * test SF. Rows-only at the driver gate like the other sketch tiers
+    * (GK has no cross-engine oracle).
+    */
+  def qualityFilterSketch(docs: DataFrame, keepNum: Int = 3, keepDen: Int = 10,
+      accuracy: Int = 10000): DataFrame = {
+    val scored = scoredBySource(docs)
+    val q = 1.0 - keepNum.toDouble / keepDen.toDouble
+    val thresholds = scored.groupBy(col("source"))
+      .agg(percentile_approx(col("quality_score"), lit(q), lit(accuracy)).as("q_threshold"))
+    scored.join(broadcast(thresholds), Seq("source"))
+      .withColumn("keep", col("quality_score") >= col("q_threshold"))
+      .select(col("doc_id"), col("source"), col("quality_score"),
+        col("q_threshold"), col("keep"))
       .orderBy(col("doc_id"))
   }
 
@@ -497,6 +532,20 @@ object TextAnalysis {
         transform(col("p"), x => x.getField("tf")).as("tfs"))
   }
 
+  /** Oracle-checkable projection of [[invertedIndex]]: the posting
+    * arrays digested to scalar columns (hex64 over the comma-joined
+    * values) so the row is sortable/hashable by any tabular harness —
+    * same information content, cross-engine hash-exact. The
+    * array-returning [[invertedIndex]] stays the composition API
+    * ([[searchTopKOnIndex]] consumes it directly).
+    */
+  def invertedIndexDigest(docs: DataFrame, maxDf: Long = DefaultMaxTokenDf): DataFrame =
+    invertedIndex(docs, maxDf).select(col("token"), col("df"), col("cf"),
+      graft.GraftFunctions.hex64(
+        array_join(transform(col("doc_ids"), _.cast("string")), ",")).as("doc_ids_h"),
+      graft.GraftFunctions.hex64(
+        array_join(transform(col("tfs"), _.cast("string")), ",")).as("tfs_h"))
+
   /** BM25 top-k search served FROM a prebuilt inverted index: postings
     * of the query terms → per-candidate term frequencies → BM25 score
     * (same constants, association order, and [[graft.expressions.DetLn]]
@@ -514,6 +563,19 @@ object TextAnalysis {
       k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     val t = withToks(docs).withColumn("dl", size(col("toks")).cast("long"))
     val stats = t.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+    searchFromPostings(t.select(col("doc_id"), col("dl")), stats, index, terms, k, k1, b)
+  }
+
+  /** The serving core shared by [[searchTopKOnIndex]] (stats/doc
+    * lengths recomputed from the corpus) and
+    * [[SearchIndex.searchTopK]] (stats/doc lengths read from the
+    * persisted index — the corpus is never touched): `docLens` is
+    * (doc_id, dl: long), `stats` a 1-row (n_docs: long, sum_dl: long)
+    * frame. One scoring definition, so the two tiers agree bitwise.
+    */
+  private[text] def searchFromPostings(docLens: DataFrame, stats: DataFrame,
+      index: DataFrame, terms: Seq[String], k: Int,
+      k1: Double, b: Double): DataFrame = {
     val qIdx = index.filter(col("token").isin(terms: _*))
     val dfAggs = terms.zipWithIndex.map { case (term, i) =>
       max(when(col("token") === term, col("df"))).as(s"df_$i")
@@ -526,7 +588,7 @@ object TextAnalysis {
       coalesce(max(when(col("token") === term, col("tf"))), lit(0L)).as(s"tf_$i")
     }
     val cand = posts.groupBy(col("doc_id")).agg(tfAggs.head, tfAggs.tail: _*)
-    val withDl = t.select(col("doc_id"), col("dl"))
+    val withDl = docLens
       .join(graft.ops.Broadcasting.maybeBroadcast(cand), Seq("doc_id"))
       .crossJoin(broadcast(stats)).crossJoin(broadcast(dfr))
     val termScores = terms.zipWithIndex.map { case (term, i) =>

@@ -98,6 +98,40 @@ class DedupSpec extends SparkSpec {
     res.foreach { case (_, (ex, near, keep)) => assert(keep === !(ex || near)) }
   }
 
+  test("persisted signatures: ingest output equals self-contained path; corpus band join exchange-free") {
+    import org.apache.spark.sql.functions._
+    val corpus = docs.filter(col("doc_id") % 2 === 0)
+    val batch = docs.filter(col("doc_id") % 2 === 1)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_dedup_sig").toString
+    Dedup.saveSignatures(corpus, "graft_dedup_sig_spec", path = Some(s"$tmp/tbl"))
+    val (fp, bands) = Dedup.loadSignatures(spark, "graft_dedup_sig_spec")
+    val persisted = Dedup.incrementalDedupOnSignatures(fp, bands, corpus, batch)
+    // the persisted band table serves the collision join bucket-local:
+    // strictly fewer exchanges than the same join against freshly
+    // computed corpus bands (which must shuffle) — asserted on the
+    // un-executed join subplan (the operator result itself is cache-
+    // materialized, which would mask its exchanges)
+    def exchanges(df: org.apache.spark.sql.DataFrame) =
+      "Exchange".r.findAllIn(df.queryExecution.executedPlan.toString).size
+    val batchBands = Dedup.minhashBands(Dedup.minhash(batch))
+    def collisionJoin(corpusBands: org.apache.spark.sql.DataFrame) =
+      batchBands.as("x").join(corpusBands.as("y"),
+        col("x.band") === col("y.band") && col("x.band_hash") === col("y.band_hash"))
+    val freshBands = Dedup.minhashBands(Dedup.minhash(corpus))
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val old = spark.conf.get(key)
+    spark.conf.set(key, "-1") // force shuffle joins so bucketing is visible
+    try
+      assert(exchanges(collisionJoin(bands)) < exchanges(collisionJoin(freshBands)),
+        "loaded band table should serve the collision join without a corpus-side exchange")
+    finally spark.conf.set(key, old)
+    // identical output row-for-row
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect().map(_.toString).toSeq
+    assert(rows(persisted) === rows(Dedup.incrementalDedup(corpus, batch)))
+    spark.sql("DROP TABLE IF EXISTS graft_dedup_sig_spec")
+    spark.sql("DROP TABLE IF EXISTS graft_dedup_sig_spec_fp")
+  }
+
   test("nearDupClusters: copies join their source's cluster; chains collapse transitively") {
     val res = Dedup.nearDupClusters(withCopies).collect()
     assert(res.length === withCopies.count())

@@ -88,6 +88,13 @@ class PlanContractSpec extends SparkSpec {
     // sizes — corpus never reshuffles for a batch lookup
     val serve = physical(q("lsh_topk"))
     assert(serve.contains("BroadcastHashJoin"), s"collision join not broadcast:\n$serve")
+    // the final top-k is the bounded TopKByScore aggregate, not a rank
+    // window (round-3 verdict #6 — same idiom as Knn/Ivf/Quantize)
+    assert(!serve.contains("Window"),
+      s"lsh_topk routes collision counts through a rank window:\n$serve")
+    val rerank = physical(q("lsh_topp_rerank"))
+    assert(!rerank.contains("Window"),
+      s"lsh_topp_rerank (bounded topK) routes scored rows through a rank window:\n$rerank")
   }
 
   test("ann_ivf: cell argmax and rerank are partial aggregates, no window over scored rows") {

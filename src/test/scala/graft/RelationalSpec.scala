@@ -203,6 +203,33 @@ class RelationalSpec extends SparkSpec {
     }
   }
 
+  test("qualityFilterSketch: no window in the plan; >=99% keep-set agreement with exact") {
+    val docs = Tables.load(spark, sfDir, "documents")
+    val sk = graft.text.TextAnalysis.qualityFilterSketch(docs)
+    // the whole point of the sketch tier: no per-source sort/window
+    val plan = sk.queryExecution.optimizedPlan.toString
+    assert(!plan.toLowerCase.contains("window"), s"sketch path must be window-free:\n$plan")
+    // agreement is measured where a source is LARGE (the sketch tier's
+    // target regime): the boundary element is off by at most one doc per
+    // source, so tiny 25-doc sources would show pure granularity noise
+    // (20 sources × 1 boundary doc = 4% at sf0.001). One merged source
+    // makes the boundary share 1/n.
+    val oneSource = docs.withColumn("source", org.apache.spark.sql.functions.lit("all"))
+    val skKeep = graft.text.TextAnalysis.qualityFilterSketch(oneSource).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Boolean]("keep")).toMap
+    val exKeep = graft.text.TextAnalysis.qualityFilter(oneSource).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Boolean]("keep")).toMap
+    assert(skKeep.keySet === exKeep.keySet)
+    val agree = skKeep.count { case (id, k) => exKeep(id) == k }
+    assert(agree.toDouble / skKeep.size >= 0.99,
+      s"keep-set agreement ${agree.toDouble / skKeep.size} below 0.99")
+    // on the real multi-source table, per-source off-by-one boundary
+    // noise is allowed but no more: kept fraction stays near 30%
+    val frac = sk.collect().map(_.getAs[Boolean]("keep"))
+    val kf = frac.count(identity).toDouble / frac.length
+    assert(kf >= 0.25 && kf <= 0.35, s"sketch kept fraction $kf")
+  }
+
   test("shuffleShards: reproducible decorrelated order; new salt = new permutation") {
     import org.apache.spark.sql.functions._
     val docs = Tables.load(spark, sfDir, "documents")

@@ -368,6 +368,31 @@ class TextKnnSpec extends SparkSpec {
     assert(nonCand.forall(id => full(id) === 0.0))
   }
 
+  test("SearchIndex: persisted round trip serves bitwise-equal results with zero corpus-side work") {
+    import graft.text.SearchIndex
+    val tmp = java.nio.file.Files.createTempDirectory("graft_search_idx").toString
+    SearchIndex.save(docs, "graft_search_idx_spec", path = Some(s"$tmp/tbl"))
+    val idx = SearchIndex.load(spark, "graft_search_idx_spec")
+    // stats come from TBLPROPERTIES, not a corpus re-aggregation — and
+    // they equal the corpus-derived values
+    val t = TextAnalysis.tokenStats(docs).agg(
+      org.apache.spark.sql.functions.count(org.apache.spark.sql.functions.lit(1)),
+      org.apache.spark.sql.functions.sum(col("n_tokens"))).head()
+    assert(idx.nDocs === t.getLong(0))
+    assert(idx.sumDl === t.getLong(1))
+    val served = SearchIndex.searchTopK(idx)
+    // serving plan never scans the corpus: only the two index tables
+    val plan = served.queryExecution.executedPlan.toString
+    assert(!plan.contains("documents.parquet"),
+      s"persisted serving must not scan the corpus:\n$plan")
+    // bitwise-identical to the self-contained path (same top-20, same order)
+    val a = served.collect().map(r => (r.getLong(0),
+      java.lang.Double.doubleToLongBits(r.getDouble(1))))
+    val b = TextAnalysis.searchTopK(docs).collect().map(r => (r.getLong(0),
+      java.lang.Double.doubleToLongBits(r.getDouble(1))))
+    assert(a.toSeq === b.toSeq)
+  }
+
   test("pii scrub: planted classes counted once each, redaction complete, clean text untouched") {
     import graft.text.Pii
     val samples = Seq(
