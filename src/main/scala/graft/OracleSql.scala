@@ -852,24 +852,27 @@ object OracleSql {
 
   /** SemDeDup (mirror of Knn.semanticDedup wiring in SparkEntry:
     * centroids = vec_id<8, threshold 0.4 — the non-vacuous range for
-    * the random test vectors). Cell assignment mirrors Ivf.assign.
+    * the random test vectors; nProbe=2 multi-probe). Each vector joins
+    * its top-2 cells for the pair comparison; the reported cell is the
+    * primary (rank-1) assignment, mirroring Ivf.assignProbes.
     */
   val semanticDedup: String =
     s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
        |cent AS (SELECT vec_id AS c_id, v AS cv FROM e WHERE vec_id < 8),
-       |asg AS (SELECT vec_id, c_id AS cell FROM (
+       |asg AS (SELECT vec_id, c_id AS cell, rn FROM (
        |  SELECT e.vec_id, c.c_id,
        |    row_number() OVER (PARTITION BY e.vec_id
        |      ORDER BY list_cosine_similarity(e.v, c.cv) DESC, c.c_id) AS rn
-       |  FROM e, cent c) WHERE rn = 1),
+       |  FROM e, cent c) WHERE rn <= 2),
+       |prim AS (SELECT vec_id, cell FROM asg WHERE rn = 1),
        |ec AS (SELECT a.vec_id, a.cell, e.v FROM asg a JOIN e ON e.vec_id = a.vec_id),
        |d AS (SELECT DISTINCT y.vec_id
        |  FROM ec x JOIN ec y ON x.cell = y.cell AND x.vec_id < y.vec_id
        |  WHERE list_cosine_similarity(x.v, y.v) >= 0.4)
-       |SELECT ec.vec_id, ec.cell, d.vec_id IS NOT NULL AS is_dup,
+       |SELECT p.vec_id, p.cell, d.vec_id IS NOT NULL AS is_dup,
        |  d.vec_id IS NULL AS keep
-       |FROM ec LEFT JOIN d ON ec.vec_id = d.vec_id
-       |ORDER BY ec.vec_id""".stripMargin
+       |FROM prim p LEFT JOIN d ON p.vec_id = d.vec_id
+       |ORDER BY p.vec_id""".stripMargin
 
   /** Quantized-prefilter ANN (mirror of Quantize.quantizedTopK wiring
     * in SparkEntry: queries = vec_id<10, prefilterK=20, k=5).

@@ -40,6 +40,28 @@ object Ivf {
       .select(col("vec_id"), col("m.c_id").as("cell"))
   }
 
+  /** Multi-probe assignment: each vector's top-`nProbe` cells, ranked
+    * (probe_rank 1 = the [[assign]] argmax cell; ties → smaller
+    * centroid id, matching [[assign]] exactly). Same map-side
+    * [[graft.expressions.TopKByScore]] shape as the single-cell argmax
+    * — the corpus × nCells scored rows still never enter a shuffle;
+    * the output is nProbe rows per vector. The standard recall lever
+    * for cell-confined algorithms ([[graft.ann.Knn.semanticDedup]]):
+    * near-neighbors split by a cell boundary still co-occur in some
+    * probed cell.
+    */
+  def assignProbes(corpus: DataFrame, centroids: DataFrame, nProbe: Int,
+      broadcastCentroids: Option[Boolean] = None): DataFrame = {
+    val c = centroids.select(col("vec_id").as("c_id"), col("embedding").as("c_emb"))
+    corpus.crossJoin(graft.ops.Broadcasting.maybeBroadcast(c, broadcastCentroids))
+      .select(col("vec_id"), col("c_id"),
+        cosine_sim(col("embedding"), col("c_emb")).as("c_sim"))
+      .groupBy(col("vec_id"))
+      .agg(top_k_by_score(col("c_sim"), col("c_id"), nProbe).as("top"))
+      .select(col("vec_id"), posexplode(col("top.id")).as(Seq("pos", "cell")))
+      .select(col("vec_id"), (col("pos") + 1).as("probe_rank"), col("cell"))
+  }
+
   /** Probe-and-rerank top-k: (q_id, rn, cand_id, sim).
     *
     * Both the probe selection (top-nProbe cells per query) and the

@@ -107,24 +107,30 @@ object Knn {
     * (vec_id, cell, is_dup, keep).
     *
     * Semantics: greedy min-id survivorship (the dedup family's keep
-    * rule) — a vector is a duplicate iff some SMALLER vec_id in its
-    * cell has cosine ≥ threshold with it; survivors are vectors with no
-    * senior near-neighbor. Cross-cell near-dups are missed by design
-    * (the SemDeDup trade-off; raise nCells recall via multi-probe
-    * assignment if needed). At 100 TB a skewed cell re-balances by
-    * splitting on a secondary hash — the comparison stays in-cell
-    * either way.
+    * rule) — a vector is a duplicate iff some SMALLER vec_id sharing a
+    * probed cell has cosine ≥ threshold with it; survivors are vectors
+    * with no senior near-neighbor. Single-probe assignment misses
+    * near-dups split by a cell boundary, so each vector probes its
+    * top-`nProbe` cells ([[graft.ann.Ivf.assignProbes]]) and the
+    * comparison runs within the union — comparisons grow ~nProbe² /
+    * nCells per pair of probes but stay cell-confined (never a corpus
+    * self-join); the reported `cell` is the primary (argmax) cell.
+    * At 100 TB a skewed cell re-balances by splitting on a secondary
+    * hash — the comparison stays in-cell either way.
     */
   def semanticDedup(corpus: DataFrame, centroids: DataFrame,
-      threshold: Double = 0.95): DataFrame = {
-    val cells = Ivf.assign(corpus, centroids)
-    val e = corpus.select(col("vec_id"), col("embedding")).join(cells, Seq("vec_id"))
+      threshold: Double = 0.95, nProbe: Int = 2): DataFrame = {
+    val probed = Ivf.assignProbes(corpus, centroids, nProbe)
+    val primary = probed.filter(col("probe_rank") === 1)
+      .select(col("vec_id"), col("cell"))
+    val e = corpus.select(col("vec_id"), col("embedding"))
+      .join(probed.select(col("vec_id"), col("cell")), Seq("vec_id"))
     val dups = e.as("x").join(e.as("y"),
         col("x.cell") === col("y.cell") && col("x.vec_id") < col("y.vec_id"))
       .filter(cosine_sim(col("x.embedding"), col("y.embedding")) >= threshold)
       .select(col("y.vec_id").as("vec_id")).distinct()
       .withColumn("is_dup", lit(true))
-    cells.join(dups, Seq("vec_id"), "left")
+    primary.join(dups, Seq("vec_id"), "left")
       .select(col("vec_id"), col("cell"),
         coalesce(col("is_dup"), lit(false)).as("is_dup"),
         (!coalesce(col("is_dup"), lit(false))).as("keep"))

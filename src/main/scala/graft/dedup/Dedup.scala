@@ -74,6 +74,15 @@ object Dedup {
 
   /** Exact dedup on the normalized token stream: fingerprint, group
     * size, and a keep flag on the minimum doc_id of each group.
+    *
+    * Why a window and not groupBy(fingerprint)+join-back: both shapes
+    * shuffle the (doc_id, fingerprint) projection once on fingerprint;
+    * the window then sorts those 2-column rows in place, while the
+    * join-back pays a second full exchange of the doc rows plus the
+    * join. Measured at sf0.1/local[8] (warm, min of 3): window 0.45 s
+    * vs group+join 0.63 s — the sort of a 16-byte projection is cheaper
+    * than an extra exchange, and nothing about that ratio flips at
+    * scale (both sides grow linearly; the window needs no broadcast).
     */
   def exact(docs: DataFrame): DataFrame = {
     val t = withToks(docs)
@@ -158,6 +167,14 @@ object Dedup {
     * jaccard then count capped shingles only). Capped BY DEFAULT
     * ([[DefaultMaxShingleDf]]) so the path a 100 TB corpus hits first
     * is the bounded one; pass None for the exact uncapped baseline.
+    *
+    * BEHAVIOR NOTE (since the round-3 default flip): callers that
+    * relied on the former exact-by-default jaccard/n_int values must
+    * now pass `maxShingleDf = None` explicitly — with the default cap,
+    * counts on corpora containing >df-cap boilerplate shingles are
+    * capped counts. Oracles, specs, and the driver wiring all encode
+    * the capped default; [[graft.text.TextAnalysis.containment]]'s
+    * `maxFingerprintDf` made the same flip.
     */
   def ngramJaccardPairs(docs: DataFrame, minJaccard: Double = 0.5,
       maxShingleDf: Option[Long] = Some(Dedup.DefaultMaxShingleDf)): DataFrame = {
@@ -552,7 +569,10 @@ object Dedup {
       fpp: Double = 0.01): DataFrame = {
     def fpOf(d: DataFrame): DataFrame = withToks(d)
       .select(col("doc_id"), hex64(array_join(col("toks"), " ")).as("fingerprint"))
-    val corpusFp = fpOf(corpus)
+    // the corpus fingerprint projection feeds THREE actions (the sizing
+    // count, the bloomFilter treeAggregate, the verify semi-join) —
+    // cache it for the operator's scope or the corpus tokenizes thrice
+    val corpusFp = fpOf(corpus).persist(StorageLevel.MEMORY_AND_DISK)
     val expected = math.max(corpusFp.count(), 64L)
     val bloom = corpusFp.stat.bloomFilter("fingerprint", expected, fpp)
     val bc = corpus.sparkSession.sparkContext.broadcast(bloom)
@@ -562,12 +582,18 @@ object Dedup {
       .join(corpusFp.select(col("fingerprint")).distinct(),
         Seq("fingerprint"), "left_semi")
       .select(col("doc_id"), lit(true).as("exact_dup"))
-    batchFp.select(col("doc_id"), col("bloom_hit"))
+    val out = batchFp.select(col("doc_id"), col("bloom_hit"))
       .join(verified, Seq("doc_id"), "left")
       .select(col("doc_id"), col("bloom_hit"),
         coalesce(col("exact_dup"), lit(false)).as("exact_dup"))
       .withColumn("keep", !col("exact_dup"))
       .orderBy(col("doc_id"))
+    // release the broadcast's executor copies once the output is
+    // materialized (unpersist, NOT destroy: the cached result's lineage
+    // still references the broadcast, so a destroy would poison task
+    // serialization for any later consumer — if an evicted block ever
+    // recomputes, the driver re-ships the filter on demand)
+    materialized(out) { corpusFp.unpersist(false); bc.unpersist(false) }
   }
 
   val SimhashBits = 32

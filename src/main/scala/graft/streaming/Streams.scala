@@ -43,6 +43,35 @@ object Streams {
       .withWatermark("ts", watermark)
       .dropDuplicates("fingerprint")
 
+  /** Streaming ingest dedup against an EXISTING corpus — the streaming
+    * face of [[graft.dedup.Dedup.bloomDedup]], composed with
+    * [[dedupStream]]: arriving documents first dedup within the stream
+    * (watermark-bounded `dropDuplicates`), then probe a broadcast Bloom
+    * filter of the corpus fingerprint set map-side. `corpus_hit = false`
+    * is DEFINITIVELY new (Bloom has no false negatives — the sound
+    * direction of the gate); `corpus_hit = true` marks a possible
+    * corpus duplicate for the downstream exact verify, shrunk from
+    * |stream| to ~|dups| rows. The filter is built once at stream
+    * start (one batch `treeAggregate` pass over the corpus — fixed
+    * size, ~1.2 GB for 10⁹ fingerprints at 1% fpp) and rides every
+    * microbatch as a stateless projection; rebuild-and-restart to pick
+    * up corpus growth, exactly like reloading a persisted index.
+    * Input schema: (ts timestamp, doc_id long, text string).
+    */
+  def dedupStreamAgainstCorpus(docs: DataFrame, corpus: DataFrame,
+      watermark: String = "1 hour", fpp: Double = 0.01): DataFrame = {
+    val corpusFp = corpus.select(
+      GraftFunctions.hex64(array_join(GraftFunctions.tokens(col("text")), " "))
+        .as("fingerprint"))
+    val expected = math.max(corpusFp.count(), 64L)
+    val bloom = corpusFp.stat.bloomFilter("fingerprint", expected, fpp)
+    val bc = corpus.sparkSession.sparkContext.broadcast(bloom)
+    // UDF by necessity (mightContain has no public Catalyst surface) —
+    // one long→boolean call per surviving row
+    val probe = udf((fp: Long) => bc.value.mightContainLong(fp))
+    dedupStream(docs, watermark).withColumn("corpus_hit", probe(col("fingerprint")))
+  }
+
   case class SessionEvent(user_id: Long, event_id: Long, us: Long)
   case class SessionState(start_us: Long, var end_us: Long, var n: Long)
   case class SessionOut(user_id: Long, start_us: Long, end_us: Long, n_events: Long)

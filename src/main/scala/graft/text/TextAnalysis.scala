@@ -479,15 +479,20 @@ object TextAnalysis {
     * only sees rows matching the tiny broadcast candidate set.
     */
   def heavyHitters(docs: DataFrame, num: Int = 1, den: Int = 100): DataFrame = {
+    // the exploded token frame feeds THREE actions (freqItems sketch,
+    // total count, candidate count) — cache it for the operator's scope
+    // or the corpus tokenizes three times over
     val tok = withToks(docs).select(explode(col("toks")).as("token"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cands = tok.stat.freqItems(Seq("token"), num.toDouble / den)
       .head.getSeq[String](0)
     val total = tok.agg(count(lit(1)).as("n_total"))
-    tok.filter(col("token").isin(cands: _*))
+    val out = tok.filter(col("token").isin(cands: _*))
       .groupBy(col("token")).agg(count(lit(1)).as("cnt"))
       .crossJoin(broadcast(total))
       .filter(col("cnt") * den > col("n_total") * num)
       .orderBy(col("cnt").desc, col("token"))
+    graft.ops.Caching.materialized(out) { tok.unpersist(false) }
   }
 
   /** Document-frequency cap for [[invertedIndex]] postings: a token

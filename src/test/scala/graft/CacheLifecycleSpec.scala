@@ -56,6 +56,26 @@ class CacheLifecycleSpec extends SparkSpec {
     assertScoped(graft.ops.Pipeline.cleanCorpus(docs))
   }
 
+  test("bloomDedup releases the corpus fingerprint cache; result is the scope") {
+    assertScoped(Dedup.bloomDedup(
+      docs.filter(col("doc_id") % 2 === 0), docs.filter(col("doc_id") % 2 === 1)))
+  }
+
+  test("heavyHitters releases the token cache; result is the scope") {
+    assertScoped(graft.text.TextAnalysis.heavyHitters(docs))
+  }
+
+  test("incrementalDedupOnSignatures releases its caches; result is the scope") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_sig_clc").toString
+    Dedup.saveSignatures(docs.filter(col("doc_id") % 2 === 0),
+      "graft_dedup_sig_clc", path = Some(s"$tmp/tbl"))
+    val (fp, bands) = Dedup.loadSignatures(spark, "graft_dedup_sig_clc")
+    assertScoped(Dedup.incrementalDedupOnSignatures(fp, bands,
+      docs.filter(col("doc_id") % 2 === 0), docs.filter(col("doc_id") % 2 === 1)))
+    spark.sql("DROP TABLE IF EXISTS graft_dedup_sig_clc")
+    spark.sql("DROP TABLE IF EXISTS graft_dedup_sig_clc_fp")
+  }
+
   test("star contraction converges within 30 rounds on a diameter-200 chain") {
     // min-label propagation would need 200 rounds here; large-star/
     // small-star must reach the fixpoint (all labels = 0) inside 30

@@ -203,6 +203,21 @@ class RelationalSpec extends SparkSpec {
     }
   }
 
+  test("floor-division oracle domain: every div operand is nonnegative on the test tables") {
+    // Spark `div` truncates toward zero; DuckDB `//` floors — they agree
+    // ONLY on nonnegative operands. The oracles for events_windowed/
+    // streaks/retention (epoch-µs day/hour buckets) and events_props_agg
+    // (props.k bands) rely on that agreement; pin the domain so a
+    // negative timestamp or props value sneaking into test data would
+    // fail HERE instead of surfacing as an inscrutable hash mismatch.
+    import org.apache.spark.sql.functions._
+    val ev = Tables.load(spark, sfDir, "events")
+    val us = graft.events.EventOps.microsOfTsCol(ev)
+    assert(ev.filter(us < 0).count() === 0, "negative event timestamp in test data")
+    val k = get_json_object(col("props"), "$.k").cast("long")
+    assert(ev.filter(k < 0).count() === 0, "negative props.k in test data")
+  }
+
   test("qualityFilterSketch: no window in the plan; >=99% keep-set agreement with exact") {
     val docs = Tables.load(spark, sfDir, "documents")
     val sk = graft.text.TextAnalysis.qualityFilterSketch(docs)

@@ -53,6 +53,32 @@ class StreamingMultimodalSpec extends SparkSpec {
     assert(rocks.toSeq === run("hdfs").toSeq)
   }
 
+  test("dedupStreamAgainstCorpus: corpus dup bloom-flagged, fresh doc definitively new, within-stream dup dropped") {
+    val corpus = Seq((1L, "alpha beta gamma delta"), (2L, "epsilon zeta eta"))
+      .toDF("doc_id", "text")
+    case class StreamDoc(ts: java.sql.Timestamp, doc_id: Long, text: String)
+    val input = MemoryStream[(Long, Long, String)](spark, 2)
+    input.addData(
+      (1000L, 101L, "alpha beta gamma delta"),  // duplicates corpus doc 1
+      (2000L, 102L, "totally fresh content here"),
+      (3000L, 103L, "totally fresh content here")) // within-stream dup of 102
+    val docs = input.toDF()
+      .select(timestamp_micros(col("_1")).as("ts"), col("_2").as("doc_id"),
+        col("_3").as("text"))
+    val out = Streams.runOnce(spark,
+        Streams.dedupStreamAgainstCorpus(docs, corpus),
+        "sdc_spec", OutputMode.Append())
+      .select(col("doc_id"), col("corpus_hit")).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Boolean]("corpus_hit")).toMap
+    // within-stream dup dropped: only one of 102/103 survives
+    assert(out.size === 2)
+    assert(out(101L) === true,
+      "a corpus duplicate must bloom-flag (no false negatives)")
+    val freshId = if (out.contains(102L)) 102L else 103L
+    assert(out(freshId) === false,
+      "a fresh doc should probe negative at this fpp/corpus size")
+  }
+
   test("stateful sessionize emits closed sessions with correct bounds") {
     val input = MemoryStream[Streams.SessionEvent](spark, 1)
     val hour = 3600L * 1000000L

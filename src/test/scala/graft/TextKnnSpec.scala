@@ -296,6 +296,27 @@ class TextKnnSpec extends SparkSpec {
     assert(res.length === all.count())
   }
 
+  test("semanticDedup multi-probe: perfect precision, recall well above single-probe vs all-pairs") {
+    // ground truth at threshold 0.4 (the non-vacuous range for the
+    // random corpus): every vector with a senior cosine-neighbor
+    val e = emb.select(col("vec_id"), col("embedding"))
+    val gt = e.as("x").join(e.as("y"), col("x.vec_id") < col("y.vec_id"))
+      .filter(graft.GraftFunctions.cosine_sim(col("x.embedding"), col("y.embedding")) >= 0.4)
+      .select(col("y.vec_id")).distinct().collect().map(_.getLong(0)).toSet
+    def flagged(nProbe: Int) = graft.ann.Knn.semanticDedup(
+        emb, emb.filter(col("vec_id") < 8), threshold = 0.4, nProbe = nProbe)
+      .filter(col("is_dup")).select(col("vec_id")).collect().map(_.getLong(0)).toSet
+    val p1 = flagged(1)
+    val p2 = flagged(2)
+    // in-cell comparison is exact cosine — no false positives ever
+    assert(p1.subsetOf(gt) && p2.subsetOf(gt))
+    // multi-probe strictly recovers boundary-split pairs
+    assert(p1.subsetOf(p2))
+    val (r1, r2) = (p1.size.toDouble / gt.size, p2.size.toDouble / gt.size)
+    assert(r2 > r1, s"nProbe=2 recall $r2 not above single-probe $r1")
+    assert(r2 >= 0.7, s"nProbe=2 recall $r2 below 0.7 (single-probe was $r1)")
+  }
+
   test("nearestNeighborDedup flags exact-copy vectors") {
     val copies = emb.filter(col("vec_id") < 3)
       .withColumn("vec_id", col("vec_id") + lit(1000000L))
