@@ -850,6 +850,39 @@ object OracleSql {
        |  FROM s)
        |SELECT q_id, rn, cand_id, sim FROM r WHERE rn <= 5 ORDER BY q_id, rn""".stripMargin
 
+  /** Corpus-bigram LM scoring (mirror of TextAnalysis.ngramLmScore):
+    * add-one-smoothed bigram log-probs through detLn, reassembled per
+    * document in POSITION order and folded left-to-right with
+    * list_reduce — bitwise-mirroring Spark's sort_array + aggregate
+    * fold, so even the double summation hash-matches.
+    */
+  val textNgramLm: String = {
+    val base =
+      s"""WITH t AS (SELECT doc_id, $Toks AS toks FROM documents),
+         |bgd AS (SELECT doc_id,
+         |  unnest([{'p': i, 'w1': toks[i], 'w2': toks[i+1]}
+         |    for i in range(1, len(toks))]) AS u
+         |  FROM t WHERE len(toks) >= 2),
+         |bg AS (SELECT doc_id, u.p AS pos, u.w1 AS w1, u.w2 AS w2 FROM bgd),
+         |uni AS (SELECT w1, count(*)::BIGINT AS c1
+         |  FROM (SELECT unnest(toks) AS w1 FROM t) GROUP BY 1),
+         |big AS (SELECT w1, w2, count(*)::BIGINT AS c12 FROM bg GROUP BY 1, 2),
+         |vv AS (SELECT count(DISTINCT w)::BIGINT AS v
+         |  FROM (SELECT unnest(toks) AS w FROM t))
+         |SELECT bg.doc_id, bg.pos,
+         |  (big.c12 + 1) / (uni.c1 + vv.v) AS ratio
+         |FROM bg JOIN big ON bg.w1 = big.w1 AND bg.w2 = big.w2
+         |  JOIN uni ON bg.w1 = uni.w1 CROSS JOIN vv""".stripMargin
+    val wrapped = detLn(base, "doc_id, pos", "ratio", "logp", "lm")
+    s"""WITH agg AS (SELECT doc_id, count(*)::BIGINT AS n_bigrams,
+       |  list(logp ORDER BY pos) AS l
+       |  FROM ($wrapped) __lm GROUP BY doc_id)
+       |SELECT doc_id, n_bigrams,
+       |  list_reduce(l, (x, y) -> x + y) AS sum_logp,
+       |  list_reduce(l, (x, y) -> x + y) / n_bigrams AS avg_logp
+       |FROM agg ORDER BY doc_id""".stripMargin
+  }
+
   /** SemDeDup (mirror of Knn.semanticDedup wiring in SparkEntry:
     * centroids = vec_id<8, threshold 0.4 — the non-vacuous range for
     * the random test vectors; nProbe=2 multi-probe). Each vector joins

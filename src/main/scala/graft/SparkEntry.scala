@@ -142,6 +142,7 @@ object SparkEntry {
       graft.text.SearchIndex.searchTopK(graft.text.SearchIndex.load(s, "graft_search_idx_rt"))
     }),
     "text_pmi" -> ((s, dir) => TextAnalysis.tokenPmi(t(s, dir, "documents"))),
+    "text_ngram_lm" -> ((s, dir) => TextAnalysis.ngramLmScore(t(s, dir, "documents"))),
     // --- B. dedup suite ---
     "dedup_exact" -> ((s, dir) => Dedup.exact(t(s, dir, "documents"))),
     "dedup_minhash" -> ((s, dir) => Dedup.minhash(t(s, dir, "documents"))),
@@ -213,6 +214,16 @@ object SparkEntry {
     "ann_ivf" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
       Ivf.probeTopK(e, e.filter(col("vec_id") < 10), e.filter(col("vec_id") < 8), 2, 5)
+    }),
+    // IVF index at rest: cells+embeddings bucketed by cell, reloaded and
+    // served with no corpus fetch at serving time; same oracle as ann_ivf
+    "ann_ivf_persisted" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val tmp = tempDir("ivf_idx")
+      Ivf.saveIndex(e, e.filter(col("vec_id") < 8), "graft_ivf_idx_rt",
+        path = Some(s"$tmp/tbl"))
+      val (cells, cents) = Ivf.loadIndex(s, "graft_ivf_idx_rt")
+      Ivf.probeTopKOnIndex(cells, cents, e.filter(col("vec_id") < 10), 2, 5)
     }),
     // --- A. LSH core (deterministic seeded projections; rows-only oracle,
     //        semantics verified against brute force in LshSpec) ---
@@ -473,6 +484,7 @@ object SparkEntry {
     "events_top_paths" -> OracleSql.eventsTopPaths,
     "text_top_ngrams" -> OracleSql.textTopNgrams,
     "text_pmi" -> OracleSql.textPmi,
+    "text_ngram_lm" -> OracleSql.textNgramLm,
     "vec_quantize" -> OracleSql.vecQuantize,
     "ann_quantized" -> OracleSql.annQuantized,
     "dedup_exact" -> OracleSql.dedupExact,
@@ -494,6 +506,7 @@ object SparkEntry {
     "emb_label_centroids" -> OracleSql.embLabelCentroids,
     "semantic_dedup" -> OracleSql.semanticDedup,
     "ann_ivf" -> OracleSql.annIvf,
+    "ann_ivf_persisted" -> OracleSql.annIvf,
     "vec_norm" -> OracleSql.vecNorm,
     "lsh_signatures" -> OracleSql.lshSignatures,
     "lsh_bucket_stats" -> OracleSql.lshBucketStats,

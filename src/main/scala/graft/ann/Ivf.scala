@@ -74,8 +74,22 @@ object Ivf {
     * to a shuffle join.
     */
   def probeTopK(corpus: DataFrame, queries: DataFrame, centroids: DataFrame,
-      nProbe: Int, k: Int, broadcastQueries: Option[Boolean] = None): DataFrame = {
-    val cells = assign(corpus, centroids)
+      nProbe: Int, k: Int, broadcastQueries: Option[Boolean] = None): DataFrame =
+    probeTopKOnIndex(
+      assign(corpus, centroids)
+        .join(corpus.select(col("vec_id"), col("embedding")), Seq("vec_id")),
+      centroids, queries, nProbe, k, broadcastQueries)
+
+  /** [[probeTopK]] against a prebuilt (e.g. [[loadIndex]]ed) cell
+    * table `(vec_id, cell, embedding)` — the serving path for an IVF
+    * index at rest: the probe join reads a bucketed-by-cell table
+    * bucket-local (no index-side exchange post-load, spec-asserted),
+    * and the candidate embeddings ride OUT OF THE INDEX itself — no
+    * separate corpus fetch join at serving time.
+    */
+  def probeTopKOnIndex(cells: DataFrame, centroids: DataFrame,
+      queries: DataFrame, nProbe: Int, k: Int,
+      broadcastQueries: Option[Boolean] = None): DataFrame = {
     val c = centroids.select(col("vec_id").as("c_id"), col("embedding").as("c_emb"))
     val probes = queries.select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
       .crossJoin(graft.ops.Broadcasting.maybeBroadcast(c))
@@ -84,15 +98,17 @@ object Ivf {
       .groupBy(col("q_id"))
       .agg(top_k_by_score(col("c_sim"), col("c_id"), nProbe).as("top"))
       .select(col("q_id"), explode(col("top.id")).as("cell"))
-    val cand = probes.join(cells, Seq("cell"))
+    // a corpus vector lives in exactly one cell and a query probes
+    // distinct cells, so (q_id, cand_id) pairs are unique by
+    // construction — no distinct pass needed
+    val cand = probes
+      .join(cells.select(col("cell"), col("vec_id"),
+        col("embedding").as("cand_emb")), Seq("cell"))
       .filter(col("vec_id") =!= col("q_id"))
-      .select(col("q_id"), col("vec_id").as("cand_id"))
-      .distinct()
+      .select(col("q_id"), col("vec_id").as("cand_id"), col("cand_emb"))
     val q = queries.select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
-    val corp = corpus.select(col("vec_id").as("cand_id"), col("embedding").as("cand_emb"))
     cand
       .join(graft.ops.Broadcasting.maybeBroadcast(q, broadcastQueries), Seq("q_id"))
-      .join(corp, Seq("cand_id"))
       .select(col("q_id"), col("cand_id"), cosine_sim(col("q_emb"), col("cand_emb")).as("sim"))
       .groupBy(col("q_id"))
       .agg(top_k_by_score(col("sim"), col("cand_id"), k).as("top"))
@@ -101,4 +117,31 @@ object Ivf {
         col("t.id").as("cand_id"), col("t.score").as("sim"))
       .orderBy(col("q_id"), col("rn"))
   }
+
+  /** Persist the IVF index at rest — the cells-and-centroids twin of
+    * [[graft.lsh.LshIndex.saveBucketed]] / [[graft.text.SearchIndex]]:
+    * the assigned corpus `(vec_id, cell, embedding)` as a catalog table
+    * bucketed + sorted by cell (a probe prunes to its cells' file
+    * buckets and serves the join exchange-free), the centroid table as
+    * a `<table>_centroids` sibling. `nBuckets` should keep one cell
+    * bucket within an executor core's working memory at target scale.
+    */
+  def saveIndex(corpus: DataFrame, centroids: DataFrame, table: String,
+      nBuckets: Int = 32, path: Option[String] = None): Unit = {
+    val cells = assign(corpus, centroids)
+      .join(corpus.select(col("vec_id"), col("embedding")), Seq("vec_id"))
+    val w = cells.write.mode("overwrite")
+      .bucketBy(nBuckets, "cell").sortBy("cell").format("parquet")
+    path.foreach(loc => w.option("path", loc))
+    w.saveAsTable(table)
+    val wc = centroids.select(col("vec_id"), col("embedding"))
+      .write.mode("overwrite").format("parquet")
+    path.foreach(loc => wc.option("path", s"${loc}_centroids"))
+    wc.saveAsTable(s"${table}_centroids")
+  }
+
+  /** Restore (cells, centroids) from a [[saveIndex]] table pair. */
+  def loadIndex(spark: org.apache.spark.sql.SparkSession,
+      table: String): (DataFrame, DataFrame) =
+    (spark.table(table), spark.table(s"${table}_centroids"))
 }

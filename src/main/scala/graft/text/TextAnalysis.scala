@@ -495,6 +495,59 @@ object TextAnalysis {
     graft.ops.Caching.materialized(out) { tok.unpersist(false) }
   }
 
+  /** Corpus-bigram language-model scoring — the CCNet/perplexity
+    * quality signal (Wenzek et al. 2020): score each document by the
+    * mean log-probability of its bigrams under an add-one-smoothed
+    * bigram model TRAINED ON THE CORPUS ITSELF (the self-scoring
+    * variant; junk documents score low because their token transitions
+    * are rare corpus-wide). p(w2|w1) = (c(w1,w2) + 1) / (c(w1) + V)
+    * with V = distinct corpus unigrams; log through
+    * [[graft.expressions.DetLn]] so the score is cross-engine
+    * bit-exact.
+    *
+    * Determinism: a per-doc float sum over shuffled rows is
+    * order-dependent, so each document's bigram log-probs are
+    * reassembled POSITIONALLY (sort_array over (pos, logp)) and folded
+    * left-to-right with `aggregate` — the oracle mirrors the exact
+    * fold with DuckDB's `list_reduce` over `list(... ORDER BY pos)`,
+    * making even the double summation bitwise reproducible.
+    *
+    * Scale shape: bigram/unigram count tables are one map-side-partial
+    * groupBy each; the scoring join is co-partitioned on the bigram key
+    * (AQE covers hot-bigram skew); V rides in as a 1-row broadcast; the
+    * per-doc reassembly shuffles one (pos, logp) pair per bigram —
+    * bounded by document length, the same cost class as [[chunks]].
+    * Only documents with ≥ 2 tokens score (a bigram model says nothing
+    * about shorter ones).
+    */
+  def ngramLmScore(docs: DataFrame): DataFrame = {
+    val t = withToks(docs).select(col("doc_id"), col("toks"))
+    val bg = t.filter(size(col("toks")) >= 2)
+      .select(col("doc_id"), posexplode(expr(
+        "transform(sequence(0, size(toks)-2), i -> named_struct('w1', toks[i], 'w2', toks[i+1]))"))
+        .as(Seq("pos", "b")))
+      .select(col("doc_id"), col("pos"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+    val uni = t.select(explode(col("toks")).as("w1"))
+      .groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+    val big = bg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
+    val vocab = t.select(explode(col("toks")).as("w"))
+      .agg(count_distinct(col("w")).as("v"))
+    val scored = bg
+      .join(big, Seq("w1", "w2"))
+      .join(uni, Seq("w1"))
+      .crossJoin(broadcast(vocab))
+      .select(col("doc_id"), col("pos"),
+        GraftFunctions.det_ln((col("c12") + 1) / (col("c1") + col("v"))).as("logp"))
+    scored.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        sort_array(collect_list(struct(col("pos"), col("logp")))).as("ps"))
+      .select(col("doc_id"), col("n_bigrams"),
+        aggregate(transform(col("ps"), p => p.getField("logp")),
+          lit(0.0), (acc, x) => acc + x).as("sum_logp"))
+      .withColumn("avg_logp", col("sum_logp") / col("n_bigrams"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Document-frequency cap for [[invertedIndex]] postings: a token
     * present in more documents than this carries no search selectivity
     * (its posting list is ~the whole corpus) and is excluded from the

@@ -296,6 +296,35 @@ class TextKnnSpec extends SparkSpec {
     assert(res.length === all.count())
   }
 
+  test("Ivf persisted index: loaded serving equals fresh probeTopK; probe join exchange-free post-load") {
+    import graft.ann.Ivf
+    val cents = emb.filter(col("vec_id") < 8)
+    val queries = emb.filter(col("vec_id") < 10)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_ivf_idx").toString
+    Ivf.saveIndex(emb, cents, "graft_ivf_idx_spec", path = Some(s"$tmp/tbl"))
+    val (cells, loadedCents) = Ivf.loadIndex(spark, "graft_ivf_idx_spec")
+    val served = Ivf.probeTopKOnIndex(cells, loadedCents, queries, 2, 5)
+    val fresh = Ivf.probeTopK(emb, queries, cents, 2, 5)
+    assert(served.collect().map(_.toString).toSeq ===
+      fresh.collect().map(_.toString).toSeq)
+    // the bucketed cell table serves the probe join with fewer
+    // exchanges than the same join against a freshly assigned corpus
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val old = spark.conf.get(key)
+    spark.conf.set(key, "-1")
+    try {
+      def exchanges(df: org.apache.spark.sql.DataFrame) =
+        "Exchange".r.findAllIn(df.queryExecution.executedPlan.toString).size
+      val freshCells = Ivf.assign(emb, cents)
+        .join(emb.select(col("vec_id"), col("embedding")), Seq("vec_id"))
+      assert(exchanges(Ivf.probeTopKOnIndex(cells, loadedCents, queries, 2, 5)) <
+        exchanges(Ivf.probeTopKOnIndex(freshCells, cents, queries, 2, 5)),
+        "loaded cell table should not exchange on the probe join")
+    } finally spark.conf.set(key, old)
+    spark.sql("DROP TABLE IF EXISTS graft_ivf_idx_spec")
+    spark.sql("DROP TABLE IF EXISTS graft_ivf_idx_spec_centroids")
+  }
+
   test("semanticDedup multi-probe: perfect precision, recall well above single-probe vs all-pairs") {
     // ground truth at threshold 0.4 (the non-vacuous range for the
     // random corpus): every vector with a senior cosine-neighbor
@@ -387,6 +416,32 @@ class TextKnnSpec extends SparkSpec {
     // non-candidates are exactly the zero-scored docs of the full plan
     val nonCand = full.keySet -- served.keySet
     assert(nonCand.forall(id => full(id) === 0.0))
+  }
+
+  test("ngramLmScore: hand-computed add-one bigram log-probs; frequent transitions outscore rare") {
+    // corpus: c(a)=3, c(b)=3, c(z)=2, V=3; bigram counts (a,b)=3,
+    // (b,a)=1, (z,z)=1
+    val tiny = Seq((1L, "a b a b"), (2L, "a b"), (3L, "z z"))
+      .toDF("doc_id", "text")
+    val res = TextAnalysis.ngramLmScore(tiny).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_bigrams"), r.getAs[Double]("sum_logp"),
+          r.getAs[Double]("avg_logp"))).toMap
+    assert(res(1L)._1 === 3L)
+    assert(res(2L)._1 === 1L)
+    assert(res(3L)._1 === 1L)
+    val lnAB = math.log(4.0 / 6.0)  // (3+1)/(3+3)
+    val lnBA = math.log(2.0 / 6.0)  // (1+1)/(3+3)
+    val lnZZ = math.log(2.0 / 5.0)  // (1+1)/(2+3)
+    assert(math.abs(res(1L)._2 - (lnAB + lnBA + lnAB)) < 1e-9)
+    assert(math.abs(res(2L)._2 - lnAB) < 1e-9)
+    assert(math.abs(res(3L)._2 - lnZZ) < 1e-9)
+    // the quality signal: a document of corpus-frequent transitions
+    // scores above one of rare transitions
+    assert(res(2L)._3 > res(3L)._3)
+    // single-token and empty docs don't score
+    val short = Seq((1L, "a b"), (2L, "a"), (3L, "")).toDF("doc_id", "text")
+    assert(TextAnalysis.ngramLmScore(short).collect().map(_.getLong(0)).toSeq === Seq(1L))
   }
 
   test("SearchIndex: persisted round trip serves bitwise-equal results with zero corpus-side work") {
