@@ -850,6 +850,41 @@ object OracleSql {
        |  FROM s)
        |SELECT q_id, rn, cand_id, sim FROM r WHERE rn <= 5 ORDER BY q_id, rn""".stripMargin
 
+  /** Feature-hashing embedding, sparse surface (mirror of
+    * TextAnalysis.hashEmbed, d=64): integer signed counts; the only
+    * floats are √ and one division — both correctly-rounded IEEE ops,
+    * hence hash-exact.
+    */
+  val textHashEmbed: String =
+    s"""WITH t AS (SELECT doc_id, $Toks AS toks FROM documents),
+       |tok AS (SELECT doc_id, unnest(toks) AS tk FROM t),
+       |h AS (SELECT doc_id, ${hex64("'he|'||tk")} AS h FROM tok),
+       |s AS (SELECT doc_id, h % 64 AS dim,
+       |  CASE WHEN (h >> 20) & 1 = 1 THEN 1 ELSE -1 END AS sgn FROM h),
+       |w AS (SELECT doc_id, dim, sum(sgn)::BIGINT AS w FROM s
+       |  GROUP BY 1, 2 HAVING sum(sgn) <> 0),
+       |n AS (SELECT doc_id, sqrt(sum(w * w)) AS nrm FROM w GROUP BY 1)
+       |SELECT w.doc_id, w.dim, w.w, w.w / n.nrm AS weight
+       |FROM w JOIN n ON w.doc_id = n.doc_id
+       |ORDER BY w.doc_id, w.dim""".stripMargin
+
+  /** Sliding 1h/15min window rollup (mirror of EventOps.slidingRollup):
+    * the window replication is pure integer slide-index arithmetic on
+    * the nonnegative-µs domain (pinned by spec); value sums in exact
+    * decimal.
+    */
+  val eventsSliding: String =
+    s"""WITH e AS (SELECT event_type, epoch_us(ts) AS us, value FROM events),
+       |x AS (SELECT event_type, value,
+       |  unnest(range(us // 900000000 - 3, us // 900000000 + 1)) AS slide_idx
+       |  FROM e)
+       |SELECT slide_idx * 900000000 AS window_start_us, event_type,
+       |  count(*) AS n_events,
+       |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+       |FROM x WHERE slide_idx >= 0
+       |GROUP BY 1, 2
+       |ORDER BY window_start_us, event_type""".stripMargin
+
   /** Corpus-bigram LM scoring (mirror of TextAnalysis.ngramLmScore):
     * add-one-smoothed bigram log-probs through detLn, reassembled per
     * document in POSITION order and folded left-to-right with

@@ -143,6 +143,8 @@ object SparkEntry {
     }),
     "text_pmi" -> ((s, dir) => TextAnalysis.tokenPmi(t(s, dir, "documents"))),
     "text_ngram_lm" -> ((s, dir) => TextAnalysis.ngramLmScore(t(s, dir, "documents"))),
+    "text_hash_embed" -> ((s, dir) => TextAnalysis.hashEmbed(t(s, dir, "documents"))),
+    "events_sliding" -> ((s, dir) => EventOps.slidingRollup(t(s, dir, "events"))),
     // --- B. dedup suite ---
     "dedup_exact" -> ((s, dir) => Dedup.exact(t(s, dir, "documents"))),
     "dedup_minhash" -> ((s, dir) => Dedup.minhash(t(s, dir, "documents"))),
@@ -485,6 +487,8 @@ object SparkEntry {
     "text_top_ngrams" -> OracleSql.textTopNgrams,
     "text_pmi" -> OracleSql.textPmi,
     "text_ngram_lm" -> OracleSql.textNgramLm,
+    "text_hash_embed" -> OracleSql.textHashEmbed,
+    "events_sliding" -> OracleSql.eventsSliding,
     "vec_quantize" -> OracleSql.vecQuantize,
     "ann_quantized" -> OracleSql.annQuantized,
     "dedup_exact" -> OracleSql.dedupExact,

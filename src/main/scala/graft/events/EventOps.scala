@@ -347,4 +347,34 @@ object EventOps {
         count(lit(1)).as("n_events"),
         sum(dec(col("value"))).cast("double").as("sum_value"))
       .orderBy(col("hour_bucket"), col("event_type"))
+
+  /** SLIDING (hopping) window aggregation: 1-hour windows every 15
+    * minutes — each event contributes to window/slide = 4 overlapping
+    * windows (the batch face of Structured Streaming's
+    * `window(ts, "1 hour", "15 minutes")`). The window replication is
+    * a map-side explode of `window/slide` integer slide indices per
+    * event (nonnegative-µs domain, integer arithmetic only — engine-
+    * exact), then ONE keyed map-side-partial shuffle, exactly like the
+    * tumbling rollup at `window/slide`× the row volume. Only windows
+    * with ≥1 event appear.
+    */
+  def slidingRollup(events: DataFrame, windowUs: Long = 3600000000L,
+      slideUs: Long = 900000000L): DataFrame = {
+    require(windowUs % slideUs == 0, "window must be a multiple of slide")
+    val per = windowUs / slideUs
+    microsOfTs(events)
+      .select(col("event_type"), col("us"), col("value"))
+      .withColumn("slide_idx", explode(expr(
+        s"sequence(us div $slideUs - ${per - 1}, us div $slideUs)")))
+      // clip the leading partial windows so every reported window is
+      // a full [start, start+window) interval with start ≥ 0
+      .filter(col("slide_idx") >= 0)
+      .select((col("slide_idx") * slideUs).as("window_start_us"),
+        col("event_type"), col("value"))
+      .groupBy(col("window_start_us"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(dec(col("value"))).cast("double").as("sum_value"))
+      .orderBy(col("window_start_us"), col("event_type"))
+  }
 }

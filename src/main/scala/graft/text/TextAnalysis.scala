@@ -495,6 +495,57 @@ object TextAnalysis {
     graft.ops.Caching.materialized(out) { tok.unpersist(false) }
   }
 
+  /** Feature-hashing document embedding (the "hashing trick",
+    * Weinberger et al. 2009): a deterministic d-dimensional signed
+    * term-frequency vector per document, model-free — the bridge from
+    * raw text into every embedding-side operator (cosine kNN, IVF,
+    * SemDeDup) when no learned encoder is in the loop. Each token
+    * hashes to a dimension (`hex64 mod d`) with a hash-derived ±1 sign
+    * (an independent hash bit, so sign and dimension are uncorrelated);
+    * the vector is the signed count sum, L2-normalized.
+    *
+    * Everything is integer arithmetic until the final `w/√Σw²` — and
+    * both √ and the division are correctly-rounded IEEE ops, so the
+    * normalized weights are cross-engine bit-exact (the rare always-
+    * safe float case, same argument as `sample_temperature`'s √-only α).
+    *
+    * Scale shape: one token explode + one (doc_id, dim) map-side-
+    * partial groupBy (≤ d rows per doc into the shuffle) + a per-doc
+    * norm reduced the same way; no windows, no broadcast.
+    *
+    * Sparse driver/oracle surface: (doc_id, dim, w, weight) rows with
+    * w ≠ 0. [[hashEmbedVectors]] assembles the dense normalized
+    * `array<double>` for ANN composition.
+    */
+  def hashEmbed(docs: DataFrame, d: Int = 64): DataFrame = {
+    val tok = withToks(docs).select(col("doc_id"), explode(col("toks")).as("t"))
+      .withColumn("h", GraftFunctions.hex64(concat(lit("he|"), col("t"))))
+      // low bits pick the dimension, bit 20 the sign — independent
+      .withColumn("dim", col("h") % d)
+      .withColumn("sgn", when(shiftright(col("h"), 20).bitwiseAND(lit(1L)) === 1L, 1L)
+        .otherwise(-1L))
+    val w = tok.groupBy(col("doc_id"), col("dim"))
+      .agg(sum(col("sgn")).as("w"))
+      .filter(col("w") =!= 0)
+    val norms = w.groupBy(col("doc_id")).agg(sqrt(sum(col("w") * col("w"))).as("nrm"))
+    w.join(norms, Seq("doc_id"))
+      .select(col("doc_id"), col("dim"), col("w"), (col("w") / col("nrm")).as("weight"))
+      .orderBy(col("doc_id"), col("dim"))
+  }
+
+  /** Dense normalized vectors from [[hashEmbed]]: (doc_id, embedding
+    * array<float>) ready for [[graft.ann.Knn.cosineTopK]] / IVF /
+    * SemDeDup composition (float to match the embeddings table type).
+    */
+  def hashEmbedVectors(docs: DataFrame, d: Int = 64): DataFrame =
+    hashEmbed(docs, d)
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(struct(col("dim"), col("weight")))).as("ps"))
+      .select(col("doc_id"),
+        expr(s"transform(sequence(0, ${d - 1}), i -> " +
+          "coalesce(cast(get(filter(ps, p -> p.dim = i), 0).weight as float), cast(0.0 as float)))")
+          .as("embedding"))
+
   /** Corpus-bigram language-model scoring — the CCNet/perplexity
     * quality signal (Wenzek et al. 2020): score each document by the
     * mean log-probability of its bigrams under an add-one-smoothed

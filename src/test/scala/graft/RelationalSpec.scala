@@ -203,6 +203,37 @@ class RelationalSpec extends SparkSpec {
     }
   }
 
+  test("slidingRollup: each event lands in window/slide overlapping windows at the right starts") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // one event at exactly 2h; one at 2h + 10min (same first window set
+    // shifted); slide = 15 min, window = 1 h
+    val h = 3600000000L
+    val planted = Seq(
+      (1L, 2 * h, 7L, "view", 2.0, "{}"),
+      (2L, 2 * h + 600000000L, 7L, "view", 3.0, "{}"))
+      .map { case (id, us, u, t, v, p) => (id, us * 1000L, u, t, v, p) }
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val res = graft.events.EventOps.slidingRollup(planted).collect()
+      .map(r => r.getAs[Long]("window_start_us") ->
+        (r.getAs[Long]("n_events"), r.getAs[Double]("sum_value"))).toMap
+    // event 1 (us = 8·slide) → windows starting at slide indices 5..8;
+    // event 2 (us = 8.67·slide) → the same 5..8 set
+    val slide = 900000000L
+    assert(res.keySet === (5L to 8L).map(_ * slide).toSet)
+    assert(res(5L * slide) === ((2L, 5.0)))
+    assert(res(8L * slide) === ((2L, 5.0)))
+    // the real table: every window's count is ≤ total events, and the
+    // sum over all windows is exactly (window/slide)× the per-event
+    // contribution for events past the clipped leading edge
+    val ev = Tables.load(spark, sfDir, "events")
+    val total = ev.count()
+    val sumN = graft.events.EventOps.slidingRollup(ev)
+      .agg(sum(col("n_events"))).head().getLong(0)
+    assert(sumN <= 4 * total)
+    assert(sumN > 3 * total, "almost every event should appear in 4 windows")
+  }
+
   test("floor-division oracle domain: every div operand is nonnegative on the test tables") {
     // Spark `div` truncates toward zero; DuckDB `//` floors — they agree
     // ONLY on nonnegative operands. The oracles for events_windowed/

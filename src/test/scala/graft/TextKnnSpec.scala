@@ -418,6 +418,39 @@ class TextKnnSpec extends SparkSpec {
     assert(nonCand.forall(id => full(id) === 0.0))
   }
 
+  test("hashEmbed: deterministic unit vectors; copies collide exactly; composes with cosine kNN") {
+    val copies = docs.orderBy("doc_id").limit(3)
+      .withColumn("doc_id", col("doc_id") + lit(1000000L))
+    val all = docs.unionByName(copies)
+    val vecs = TextAnalysis.hashEmbedVectors(all).persist()
+    // unit norm (within float assembly tolerance)
+    val norms = vecs.select(expr(
+      "sqrt(aggregate(embedding, 0.0d, (a, x) -> a + cast(x as double) * x))").as("n"))
+      .collect().map(_.getDouble(0))
+    norms.foreach(n => assert(math.abs(n - 1.0) < 1e-5, s"norm $n"))
+    // exact copies hash to identical vectors → cosine 1 with the original
+    val nn = graft.ann.Knn.cosineTopK(
+      vecs.select(col("doc_id").as("vec_id"), col("embedding")),
+      vecs.filter(col("doc_id") >= 1000000L)
+        .select(col("doc_id").as("vec_id"), col("embedding")), 1)
+      .collect()
+    assert(nn.length === 3)
+    nn.foreach { r =>
+      assert(r.getAs[Long]("cand_id") === r.getAs[Long]("q_id") - 1000000L)
+      assert(math.abs(r.getAs[Double]("sim") - 1.0) < 1e-6)
+    }
+    vecs.unpersist()
+    // sparse surface: w is the exact signed count; weights = w/√Σw²
+    val sparse = TextAnalysis.hashEmbed(docs.limit(5)).collect()
+    val byDoc = sparse.groupBy(_.getAs[Long]("doc_id"))
+    byDoc.values.foreach { rows =>
+      val s2 = rows.map(r => { val w = r.getAs[Long]("w"); w * w }).sum.toDouble
+      rows.foreach { r =>
+        assert(r.getAs[Double]("weight") === r.getAs[Long]("w") / math.sqrt(s2))
+      }
+    }
+  }
+
   test("ngramLmScore: hand-computed add-one bigram log-probs; frequent transitions outscore rare") {
     // corpus: c(a)=3, c(b)=3, c(z)=2, V=3; bigram counts (a,b)=3,
     // (b,a)=1, (z,z)=1
