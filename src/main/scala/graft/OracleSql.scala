@@ -850,6 +850,37 @@ object OracleSql {
        |  FROM s)
        |SELECT q_id, rn, cand_id, sim FROM r WHERE rn <= 5 ORDER BY q_id, rn""".stripMargin
 
+  /** Hamming-prefilter ANN (mirror of Quantize.binaryTopK wiring in
+    * SparkEntry: queries = vec_id<10, prefilterK=20, k=5, d=64 → two
+    * 32-bit sign words). Integer bit_count(xor) distances; the
+    * prefilter rank (hamming asc, cand_id) mirrors TopKByScore on
+    * −hamming; exact-cosine rerank of the 20 survivors.
+    */
+  val annHamming: String = {
+    def word(w: Int): String = (0 until 32)
+      .map(j => s"(CASE WHEN v[${w * 32 + j + 1}] > 0 THEN ${1L << j} ELSE 0 END)")
+      .mkString(" + ")
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |b AS (SELECT vec_id, v, (${word(0)})::BIGINT AS c0,
+       |  (${word(1)})::BIGINT AS c1 FROM e),
+       |q AS (SELECT vec_id AS q_id, v AS qv, c0 AS q0, c1 AS q1 FROM b WHERE vec_id < 10),
+       |h AS (SELECT q.q_id, b.vec_id AS cand_id, b.v AS cv,
+       |  bit_count(xor(q.q0, b.c0)) + bit_count(xor(q.q1, b.c1)) AS ham
+       |  FROM b, q WHERE b.vec_id <> q.q_id),
+       |pre AS (SELECT q_id, cand_id, cv FROM (
+       |  SELECT q_id, cand_id, cv,
+       |    row_number() OVER (PARTITION BY q_id ORDER BY ham, cand_id) AS prn
+       |  FROM h) WHERE prn <= 20),
+       |s AS (SELECT pre.q_id, pre.cand_id,
+       |  list_cosine_similarity(q.qv, pre.cv) AS sim
+       |  FROM pre JOIN q ON q.q_id = pre.q_id),
+       |r AS (SELECT q_id, cand_id, sim,
+       |  CAST(row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, cand_id) AS BIGINT) AS rn
+       |  FROM s)
+       |SELECT q_id, rn, cand_id, sim FROM r WHERE rn <= 5
+       |ORDER BY q_id, rn""".stripMargin
+  }
+
   /** Feature-hashing embedding, sparse surface (mirror of
     * TextAnalysis.hashEmbed, d=64): integer signed counts; the only
     * floats are √ and one division — both correctly-rounded IEEE ops,

@@ -252,6 +252,10 @@ object SparkEntry {
       val e = t(s, dir, "embeddings")
       graft.ann.Quantize.quantizedTopK(e, e.filter(col("vec_id") < 10), k = 5, prefilterK = 20)
     }),
+    "ann_hamming" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      graft.ann.Quantize.binaryTopK(e, e.filter(col("vec_id") < 10), k = 5, prefilterK = 20)
+    }),
     "vec_norm" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
       e.select(col("vec_id"),
@@ -491,6 +495,7 @@ object SparkEntry {
     "events_sliding" -> OracleSql.eventsSliding,
     "vec_quantize" -> OracleSql.vecQuantize,
     "ann_quantized" -> OracleSql.annQuantized,
+    "ann_hamming" -> OracleSql.annHamming,
     "dedup_exact" -> OracleSql.dedupExact,
     "dedup_minhash" -> OracleSql.dedupMinhash,
     "dedup_minhash_lsh" -> OracleSql.dedupMinhashLsh,

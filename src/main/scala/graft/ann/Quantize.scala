@@ -111,6 +111,66 @@ object Quantize {
       .orderBy(col("q_id"), col("rn"))
   }
 
+  /** 1-bit sign quantization: each dimension's SIGN packed into 32-bit
+    * words (32 dims per word, 32× smaller than float32) — the extreme
+    * end of the compression ladder (float32 → int8 → 1 bit), and the
+    * standard Hamming-space prefilter for cosine search on roughly
+    * isotropic embeddings (sign-random-projection with the identity
+    * projection). 32-bit packing keeps every word positive in an int64
+    * on ANY engine — a 64-dim single-word pack would put dimension 63
+    * into the BIGINT sign bit and diverge engines on comparison order.
+    * Output: (vec_id, code array<long>, ceil(d/32) words).
+    */
+  def binarySign(emb: DataFrame): DataFrame =
+    emb.select(col("vec_id"),
+      expr("transform(sequence(0, (size(embedding)-1) div 32), w -> " +
+        "aggregate(sequence(0, 31), 0L, (acc, j) -> " +
+        "acc + CASE WHEN w*32 + j < size(embedding) AND embedding[w*32 + j] > 0 " +
+        "THEN shiftleft(1L, j) ELSE 0L END))").as("code"))
+
+  /** Hamming-prefilter ANN serving: rank candidates by the Hamming
+    * distance between sign codes (integer `bit_count(xor)` per word —
+    * exact on any engine), keep the `prefilterK` nearest per query
+    * map-side ([[graft.expressions.TopKByScore]] on −hamming, ties →
+    * smaller id), rerank ONLY the survivors with exact float cosine.
+    * Output: (q_id, rn, cand_id, sim) — the [[Knn.cosineTopK]] shape.
+    *
+    * The 100 TB reading: the O(corpus × queries) scoring scan reads
+    * d/8 BYTES per vector (vs 4d for float32 — a 32× shrink) and the
+    * inner loop is XOR+popcount; full-precision embeddings are fetched
+    * only for prefilterK × queries survivors. Fully SQL-oracle-exact,
+    * unlike most binary-ANN implementations: integer distances, IEEE
+    * cosine rerank, deterministic ties.
+    */
+  def binaryTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      prefilterK: Int, broadcastQueries: Option[Boolean] = None): DataFrame = {
+    val qc = binarySign(queries)
+      .select(col("vec_id").as("q_id"), col("code").as("q_code"))
+    val cc = binarySign(corpus)
+      .select(col("vec_id").as("cand_id"), col("code").as("c_code"))
+    val ham = expr(
+      "aggregate(zip_with(q_code, c_code, (a, b) -> bit_count(a ^ b)), 0, (acc, x) -> acc + x)")
+    val survivors = cc
+      .crossJoin(graft.ops.Broadcasting.maybeBroadcast(qc, broadcastQueries))
+      .filter(col("q_id") =!= col("cand_id"))
+      .select(col("q_id"), col("cand_id"), (-ham).cast("double").as("nham"))
+      .groupBy(col("q_id"))
+      .agg(top_k_by_score(col("nham"), col("cand_id"), prefilterK).as("pre"))
+      .select(col("q_id"), explode(col("pre.id")).as("cand_id"))
+    val q = queries.select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val c = corpus.select(col("vec_id").as("cand_id"), col("embedding").as("cand_emb"))
+    survivors
+      .join(graft.ops.Broadcasting.maybeBroadcast(q, broadcastQueries), Seq("q_id"))
+      .join(c, Seq("cand_id"))
+      .select(col("q_id"), col("cand_id"), cosine_sim(col("q_emb"), col("cand_emb")).as("sim"))
+      .groupBy(col("q_id"))
+      .agg(top_k_by_score(col("sim"), col("cand_id"), k).as("top"))
+      .select(col("q_id"), posexplode(col("top")).as(Seq("pos", "t")))
+      .select(col("q_id"), (col("pos") + 1).cast("long").as("rn"),
+        col("t.id").as("cand_id"), col("t.score").as("sim"))
+      .orderBy(col("q_id"), col("rn"))
+  }
+
   /** Reconstruct float vectors from [[int8]] output (q / scale), for
     * rerank-after-quantized-prefilter flows and for measuring the
     * quantization error. One groupBy shuffle; components reassembled

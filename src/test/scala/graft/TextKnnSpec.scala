@@ -296,6 +296,46 @@ class TextKnnSpec extends SparkSpec {
     assert(res.length === all.count())
   }
 
+  test("binaryTopK: sign codes pack correctly; planted copies recalled at hamming 0; decent brute recall") {
+    import graft.ann.Quantize
+    // code words reproduce the sign pattern (hand-check on a planted vector)
+    import spark.implicits._
+    val v = (0 until 64).map(i => if (i % 3 == 0) 1.0f else -1.0f).toArray
+    val planted = Seq((1L, v)).toDF("vec_id", "embedding")
+    val row = Quantize.binarySign(planted).head()
+    val code = row.getSeq[Long](row.fieldIndex("code")).toList
+    val expect = (0 until 2).map { w =>
+      (0 until 32).map(j => if ((w * 32 + j) % 3 == 0) 1L << j else 0L).sum
+    }.toList
+    assert(code === expect)
+    // copies of the queries under new ids: hamming 0 → always prefiltered,
+    // cosine 1.0 → rank 1
+    val queries = emb.filter(col("vec_id") < 10)
+    val copies = queries.withColumn("vec_id", col("vec_id") + lit(1000000L))
+    val res = Quantize.binaryTopK(emb.unionByName(copies), queries, k = 1, prefilterK = 20)
+      .collect()
+    res.foreach { r =>
+      assert(r.getAs[Long]("cand_id") === r.getAs[Long]("q_id") + 1000000L)
+      assert(math.abs(r.getAs[Double]("sim") - 1.0) < 1e-6)
+    }
+    // recall vs brute: the 64-bit sign sketch is a coarse filter on
+    // this WORST-CASE corpus (random near-orthogonal vectors, all true
+    // cosines ≈ 0.2-0.5 — no planted structure to find), so the
+    // meaningful contract is the knob: recall grows with prefilterK,
+    // and a 100-survivor prefilter recovers most of the true top-5
+    val truth = Knn.cosineTopK(emb, queries, 5).collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("cand_id"))).toSet
+    def recall(preK: Int) = {
+      val got = Quantize.binaryTopK(emb, queries, k = 5, prefilterK = preK).collect()
+        .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("cand_id"))).toSet
+      (got & truth).size.toDouble / truth.size
+    }
+    val (r20, r100) = (recall(20), recall(100))
+    assert(r20 >= 0.3, s"hamming-prefilter recall@20 $r20 below 0.3")
+    assert(r100 > r20, s"recall must grow with prefilterK ($r20 → $r100)")
+    assert(r100 >= 0.6, s"hamming-prefilter recall@100 $r100 below 0.6")
+  }
+
   test("Ivf persisted index: loaded serving equals fresh probeTopK; probe join exchange-free post-load") {
     import graft.ann.Ivf
     val cents = emb.filter(col("vec_id") < 8)
