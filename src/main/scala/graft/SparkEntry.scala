@@ -252,6 +252,15 @@ object SparkEntry {
       val e = t(s, dir, "embeddings")
       graft.ann.Quantize.quantizedTopK(e, e.filter(col("vec_id") < 10), k = 5, prefilterK = 20)
     }),
+    // rows-only: MLlib KMeans codebooks are not SQL-reproducible
+    // (declared); planted-copy + recall specs in TextKnnSpec
+    "ann_pq" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      // codebooks train on a deterministic 10% sample — the standard PQ
+      // practice (training cost is per-sample, serving cost per-corpus)
+      val model = graft.ann.Pq.train(e.filter(col("vec_id") % 10 === 0), m = 8, k = 16)
+      graft.ann.Pq.pqTopK(e, e.filter(col("vec_id") < 10), model, k = 5, prefilterK = 20)
+    }),
     "ann_hamming" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
       graft.ann.Quantize.binaryTopK(e, e.filter(col("vec_id") < 10), k = 5, prefilterK = 20)

@@ -1,0 +1,149 @@
+package graft.ann
+
+import org.apache.spark.ml.clustering.KMeans
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.GraftFunctions.{cosine_sim, l2_normalize, top_k_by_score}
+
+/** Product quantization (Jégou et al., "Product Quantization for
+  * Nearest Neighbor Search", TPAMI 2011) — the classic middle ground
+  * of the compression ladder: split the (L2-normalized) vector into
+  * `m` subspaces, learn a `k`-centroid codebook per subspace (seeded
+  * MLlib KMeans — deterministic models), store each vector as `m`
+  * small codes (m·log₂k bits; m=8, k=16 → 4 bytes per 64-dim vector,
+  * a 64× shrink), and serve cosine ANN by Asymmetric Distance
+  * Computation: the query stays full-precision, each candidate's
+  * score is `Σ_s dot(q_s, codebook_s[code_s])` — m table lookups per
+  * candidate, no vector arithmetic at all in the scan.
+  *
+  * Scale shape: training is m seeded KMeans fits (offline, corpus
+  * sample is fine in production); encoding is a broadcast codebook
+  * join + per-(vector, subspace) `min(struct)` argmin — the map-side
+  * partial-aggregation idiom shared with [[Ivf.assign]], never a
+  * window; serving scans only the 4-byte code arrays and reads the
+  * per-query lookup table from a broadcast. Like [[Quantize]], exact
+  * rerank touches prefilterK × queries full vectors only.
+  *
+  * Rows-only at the driver gate (MLlib centroids are not
+  * SQL-reproducible); recall + planted-copy property specs.
+  */
+object Pq {
+
+  /** Trained codebooks: `codebooks(s)(c)` = centroid `c` of subspace
+    * `s`, each of length `dSub`.
+    */
+  final case class PqModel(m: Int, k: Int, dSub: Int,
+      codebooks: Array[Array[Array[Float]]]) {
+    /** Codebook as a (subspace, code, centroid) frame for joins. */
+    def frame(spark: SparkSession): DataFrame = {
+      import spark.implicits._
+      (for {
+        s <- codebooks.indices
+        c <- codebooks(s).indices
+      } yield (s, c, codebooks(s)(c).toSeq)).toDF("s", "code", "centroid")
+    }
+  }
+
+  /** Fit one seeded KMeans per subspace over the L2-normalized
+    * corpus. `m` must divide the dimension.
+    */
+  def train(emb: DataFrame, m: Int = 8, k: Int = 16, seed: Long = 42L): PqModel = {
+    val spark = emb.sparkSession
+    val d = emb.select(size(col("embedding"))).head().getInt(0)
+    require(d % m == 0, s"m=$m must divide dim=$d")
+    val dSub = d / m
+    val unit = emb.select(l2_normalize(col("embedding")).as("nv"))
+      .filter(col("nv").isNotNull)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    unit.count()
+    val codebooks = (0 until m).map { s =>
+      val sub = unit.select(org.apache.spark.ml.functions.array_to_vector(
+        slice(col("nv"), s * dSub + 1, dSub)).as("features"))
+      new KMeans().setK(k).setSeed(seed + s).setFeaturesCol("features")
+        .fit(sub).clusterCenters.map(_.toArray.map(_.toFloat))
+    }.toArray
+    unit.unpersist(false)
+    PqModel(m, k, dSub, codebooks)
+  }
+
+  /** Squared-L2 between two float arrays — built-in HOF (codegen). */
+  private def l2sq(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0.0), (acc, v) => acc + v)
+
+  /** Dot product of two float arrays — built-in HOF (codegen). */
+  private def dotc(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+
+  /** Encode each vector as its per-subspace nearest-codebook codes:
+    * (vec_id, codes array<tinyint>, length m). Broadcast codebook
+    * cross join → per-(vector, subspace) `min(struct(dist, code))`
+    * argmin partial aggregate → positional reassembly.
+    */
+  def encode(emb: DataFrame, model: PqModel): DataFrame = {
+    val spark = emb.sparkSession
+    val cb = broadcast(model.frame(spark))
+    val subs = emb
+      .select(col("vec_id"), l2_normalize(col("embedding")).as("nv"))
+      .filter(col("nv").isNotNull)
+      .select(col("vec_id"), posexplode(expr(
+        s"transform(sequence(0, ${model.m - 1}), s -> slice(nv, s * ${model.dSub} + 1, ${model.dSub}))"))
+        .as(Seq("s", "sub")))
+    subs.join(cb, Seq("s"))
+      .groupBy(col("vec_id"), col("s"))
+      .agg(min(struct(l2sq(col("sub"), col("centroid")).as("dist"), col("code"))).as("a"))
+      .groupBy(col("vec_id"))
+      .agg(sort_array(collect_list(struct(col("s"), col("a.code").as("code")))).as("cs"))
+      .select(col("vec_id"),
+        expr("transform(cs, x -> cast(x.code as tinyint))").as("codes"))
+  }
+
+  /** ADC top-k serving: per-query lookup tables (m·k dot products
+    * against the broadcast codebook), candidate score = in-order sum
+    * of m table lookups over the code array, bounded TopKByScore
+    * prefilter, exact-cosine rerank of survivors. Output:
+    * (q_id, rn, cand_id, sim) — the [[Knn.cosineTopK]] shape.
+    */
+  def pqTopK(corpus: DataFrame, queries: DataFrame, model: PqModel,
+      k: Int, prefilterK: Int,
+      broadcastQueries: Option[Boolean] = None): DataFrame = {
+    val spark = corpus.sparkSession
+    val cb = broadcast(model.frame(spark))
+    // (q_id, tab): tab(s·k + code) = dot(q_s, codebook_s[code])
+    val qtab = queries
+      .select(col("vec_id").as("q_id"), l2_normalize(col("embedding")).as("nv"))
+      .filter(col("nv").isNotNull)
+      .select(col("q_id"), posexplode(expr(
+        s"transform(sequence(0, ${model.m - 1}), s -> slice(nv, s * ${model.dSub} + 1, ${model.dSub}))"))
+        .as(Seq("s", "sub")))
+      .join(cb, Seq("s"))
+      .select(col("q_id"), (col("s") * model.k + col("code")).as("slot"),
+        dotc(col("sub"), col("centroid")).as("w"))
+      .groupBy(col("q_id"))
+      .agg(sort_array(collect_list(struct(col("slot"), col("w")))).as("tw"))
+      .select(col("q_id"), expr("transform(tw, x -> x.w)").as("tab"))
+    val codes = encode(corpus, model)
+      .select(col("vec_id").as("cand_id"), col("codes"))
+    val adc = expr(s"aggregate(sequence(0, ${model.m - 1}), cast(0.0 as double), " +
+      s"(acc, s) -> acc + element_at(tab, s * ${model.k} + cast(codes[s] as int) + 1))")
+    val survivors = codes
+      .crossJoin(graft.ops.Broadcasting.maybeBroadcast(qtab, broadcastQueries))
+      .filter(col("q_id") =!= col("cand_id"))
+      .select(col("q_id"), col("cand_id"), adc.as("ascore"))
+      .groupBy(col("q_id"))
+      .agg(top_k_by_score(col("ascore"), col("cand_id"), prefilterK).as("pre"))
+      .select(col("q_id"), explode(col("pre.id")).as("cand_id"))
+    val q = queries.select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val c = corpus.select(col("vec_id").as("cand_id"), col("embedding").as("cand_emb"))
+    survivors
+      .join(graft.ops.Broadcasting.maybeBroadcast(q, broadcastQueries), Seq("q_id"))
+      .join(c, Seq("cand_id"))
+      .select(col("q_id"), col("cand_id"), cosine_sim(col("q_emb"), col("cand_emb")).as("sim"))
+      .groupBy(col("q_id"))
+      .agg(top_k_by_score(col("sim"), col("cand_id"), k).as("top"))
+      .select(col("q_id"), posexplode(col("top")).as(Seq("pos", "t")))
+      .select(col("q_id"), (col("pos") + 1).cast("long").as("rn"),
+        col("t.id").as("cand_id"), col("t.score").as("sim"))
+      .orderBy(col("q_id"), col("rn"))
+  }
+}

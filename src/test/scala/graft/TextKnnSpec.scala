@@ -296,6 +296,42 @@ class TextKnnSpec extends SparkSpec {
     assert(res.length === all.count())
   }
 
+  test("Pq: codes well-formed; planted copies share codes and rerank to the top; recall grows with prefilterK") {
+    import graft.ann.Pq
+    val model = Pq.train(emb, m = 8, k = 16)
+    assert(model.codebooks.length === 8)
+    assert(model.codebooks.forall(_.length === 16))
+    assert(model.codebooks.forall(_.forall(_.length === 8)))
+    val codes = Pq.encode(emb, model).collect()
+    codes.foreach { r =>
+      val cs = r.getSeq[Byte](r.fieldIndex("codes"))
+      assert(cs.length === 8)
+      assert(cs.forall(c => c >= 0 && c < 16))
+    }
+    // an exact copy of a query encodes to identical codes → maximal ADC
+    // score for that cell pattern → survives any prefilter; rerank puts
+    // it first at cosine 1
+    val queries = emb.filter(col("vec_id") < 10)
+    val copies = queries.withColumn("vec_id", col("vec_id") + lit(1000000L))
+    val res = Pq.pqTopK(emb.unionByName(copies), queries, model, k = 1, prefilterK = 20)
+      .collect()
+    res.foreach { r =>
+      assert(r.getAs[Long]("cand_id") === r.getAs[Long]("q_id") + 1000000L)
+      assert(math.abs(r.getAs[Double]("sim") - 1.0) < 1e-6)
+    }
+    // recall knob vs brute on the worst-case random corpus
+    val truth = Knn.cosineTopK(emb, queries, 5).collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("cand_id"))).toSet
+    def recall(preK: Int) = {
+      val got = Pq.pqTopK(emb, queries, model, k = 5, prefilterK = preK).collect()
+        .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("cand_id"))).toSet
+      (got & truth).size.toDouble / truth.size
+    }
+    val (r20, r100) = (recall(20), recall(100))
+    assert(r20 >= 0.3, s"PQ ADC recall@20 $r20 below 0.3")
+    assert(r100 >= r20 && r100 >= 0.6, s"PQ recall@100 $r100 (from $r20)")
+  }
+
   test("binaryTopK: sign codes pack correctly; planted copies recalled at hamming 0; decent brute recall") {
     import graft.ann.Quantize
     // code words reproduce the sign pattern (hand-check on a planted vector)
