@@ -60,6 +60,9 @@ object SparkEntry {
     "q1_agg" -> ((s, dir) => Relational.pricingSummary(t(s, dir, "lineitem"))),
     "q3_join" -> ((s, dir) =>
       Relational.segmentRevenue(t(s, dir, "customer"), t(s, dir, "orders"), t(s, dir, "lineitem"))),
+    "q5_region_join" -> ((s, dir) => Relational.localSupplierRevenue(
+      t(s, dir, "region"), t(s, dir, "nation"), t(s, dir, "supplier"),
+      t(s, dir, "customer"), t(s, dir, "orders"), t(s, dir, "lineitem"))),
     "q_topn_group" -> ((s, dir) => Relational.topNPerGroup(t(s, dir, "orders"))),
     "q_window_running" -> ((s, dir) => Relational.runningCustomerSpend(t(s, dir, "orders"))),
     "events_sessionize" -> ((s, dir) => EventOps.sessionize(t(s, dir, "events"))),
@@ -386,6 +389,19 @@ object SparkEntry {
         |WHERE c_mktsegment = 'BUILDING'
         |GROUP BY o_orderkey, o_orderpriority
         |ORDER BY o_orderkey""".stripMargin,
+    "q5_region_join" ->
+      """SELECT n_name,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+        |  count(*) AS n_rows
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |GROUP BY n_name
+        |ORDER BY revenue DESC, n_name""".stripMargin,
     "q_topn_group" ->
       """SELECT o_orderpriority, o_orderkey, o_totalprice, rn
         |FROM (

@@ -54,6 +54,36 @@ object Relational {
       .orderBy(col("o_orderkey"))
   }
 
+  /** Six-way dim-chain join (TPC-H Q5 flavor): revenue by supplier
+    * nation within one region, counting only LOCAL supply (customer
+    * and supplier share a nation). The canonical snowflake shape:
+    * region (5 rows, pre-filtered to 1) and nation (25 rows) broadcast
+    * explicitly; supplier is dim-sized and joins on
+    * (suppkey, nationkey); the fact-side lineitem⋈orders⋈customer
+    * chain shuffles on its keys with AQE re-planning. At 100 TB only
+    * the fact tables scale — the dim broadcasts are constant-size, so
+    * the plan's shuffle volume is exactly the fact co-partitioning and
+    * nothing else.
+    */
+  def localSupplierRevenue(region: DataFrame, nation: DataFrame,
+      supplier: DataFrame, customer: DataFrame, orders: DataFrame,
+      lineitem: DataFrame, regionName: String = "ASIA"): DataFrame =
+    lineitem
+      .join(orders, col("l_orderkey") === col("o_orderkey"))
+      .join(customer, col("o_custkey") === col("c_custkey"))
+      .join(supplier,
+        col("l_suppkey") === col("s_suppkey") &&
+          col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(region.filter(col("r_name") === regionName)),
+        col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("n_name"))
+      .agg(
+        sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount")))).cast("double")
+          .as("revenue"),
+        count(lit(1)).as("n_rows"))
+      .orderBy(col("revenue").desc, col("n_name"))
+
   /** Top-N rows per group via ranking window (N=3 orders by price per
     * priority class). */
   def topNPerGroup(orders: DataFrame, n: Int = 3): DataFrame = {

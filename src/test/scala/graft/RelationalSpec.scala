@@ -28,6 +28,36 @@ class RelationalSpec extends SparkSpec {
     assert(rows.map(_.getAs[Long]("o_orderkey")).distinct.length === rows.length)
   }
 
+  test("localSupplierRevenue: ASIA nations only, local-supply semantics, dims broadcast") {
+    import org.apache.spark.sql.functions._
+    def tb(n: String) = Tables.load(spark, sfDir, n)
+    val res = graft.ops.Relational.localSupplierRevenue(
+      tb("region"), tb("nation"), tb("supplier"), tb("customer"), tb("orders"), tb("lineitem"))
+    val rows = res.collect()
+    // every reported nation belongs to the ASIA region
+    val asiaNations = tb("nation").join(
+        tb("region").filter(col("r_name") === "ASIA"),
+        col("n_regionkey") === col("r_regionkey"))
+      .select("n_name").collect().map(_.getString(0)).toSet
+    assert(rows.nonEmpty)
+    assert(rows.map(_.getAs[String]("n_name")).toSet.subsetOf(asiaNations))
+    // local-supply only: manual recount of one nation via raw joins
+    val nation = rows.head.getAs[String]("n_name")
+    val nk = tb("nation").filter(col("n_name") === nation)
+      .head().getAs[Int]("n_nationkey")
+    val manual = tb("lineitem")
+      .join(tb("orders"), col("l_orderkey") === col("o_orderkey"))
+      .join(tb("customer").filter(col("c_nationkey") === nk),
+        col("o_custkey") === col("c_custkey"))
+      .join(tb("supplier").filter(col("s_nationkey") === nk),
+        col("l_suppkey") === col("s_suppkey"))
+      .count()
+    assert(rows.head.getAs[Long]("n_rows") === manual)
+    // the dim chain broadcasts — no shuffle on nation/region
+    val plan = res.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"dim chain not broadcast:\n$plan")
+  }
+
   test("topNPerGroup: ≤3 per priority, descending within group") {
     val rows = Relational.topNPerGroup(orders).collect()
     val byGroup = rows.groupBy(_.getAs[String]("o_orderpriority"))
