@@ -69,7 +69,9 @@ class PlanContractSpec extends SparkSpec {
       "sample_temperature", "events_top_paths", "semantic_dedup",
       "corpus_shuffle", "text_pii", "dedup_bloom", "text_inverted_index",
       "text_search_topk", "events_streaks", "sample_quality_filter",
-      "corpus_heavy_hitters", "mm_frame_sample")
+      "corpus_heavy_hitters", "mm_frame_sample",
+      "text_hash_embed", "events_sliding", "text_ngram_lm",
+      "q5_region_join", "sample_quality_filter_sketch")
     sweep.foreach { name =>
       val phys = physical(q(name))
       assert(!phys.contains("CartesianProduct"),
@@ -123,6 +125,22 @@ class PlanContractSpec extends SparkSpec {
     // PII scrubbing is a pure per-document projection — zero exchanges
     val pii = physical(q("text_pii"))
     assert(!pii.contains("Exchange"), s"text_pii is not map-only:\n$pii")
+  }
+
+  test("round-4 operators: window-free plans; sliding rollup is one agg shuffle") {
+    // the new ANN prefilter paths rank through TopKByScore, never a window
+    Seq("ann_hamming", "ann_pq").foreach { name =>
+      val phys = physical(q(name))
+      assert(!phys.contains("Window"), s"$name routes scores through a window:\n$phys")
+    }
+    // hash embedding: two keyed aggs + the norm join, no window
+    val he = physical(q("text_hash_embed"))
+    assert(!he.contains("Window"), s"hash_embed plans a window:\n$he")
+    // sliding rollup: the explode is map-side — exactly one hash
+    // exchange (the window_start/event_type agg) plus the output sort
+    val sl = physical(q("events_sliding"))
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(sl).size
+    assert(hashEx === 1, s"events_sliding shuffles $hashEx times (expected 1):\n$sl")
   }
 
   test("events_streaks: post-window aggregations reuse the user partitioning") {
