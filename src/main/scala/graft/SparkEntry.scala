@@ -317,6 +317,23 @@ object SparkEntry {
           col("n_events"), col("sum_value"))
         .orderBy(col("start_us"), col("event_type"))
     }),
+    // sliding twin: same oracle as the BATCH events_sliding rollup —
+    // the leading partial windows (start < 0) are clipped on both
+    // sides, so the two faces agree window-for-window
+    "stream_sliding_agg" -> ((s, dir) => {
+      val schema = t(s, dir, "events").schema
+      val stream = s.readStream.schema(schema).parquet(streamDir(dir, "events"))
+      val ev = stream.select(
+        timestamp_micros(EventOps.microsOfTsCol(stream)).as("ts"),
+        col("event_type"), col("value"))
+      graft.streaming.Streams.runOnce(s,
+          graft.streaming.Streams.slidingAgg(ev),
+          s"ssa_${System.nanoTime()}", OutputMode.Complete())
+        .select(unix_micros(col("window_start")).as("window_start_us"),
+          col("event_type"), col("n_events"), col("sum_value"))
+        .filter(col("window_start_us") >= 0)
+        .orderBy(col("window_start_us"), col("event_type"))
+    }),
     "stream_dedup" -> ((s, dir) => {
       val schema = t(s, dir, "documents").schema
       val stream = s.readStream.schema(schema).parquet(streamDir(dir, "documents"))
@@ -552,6 +569,7 @@ object SparkEntry {
     "lsh_save_load_bucketed" -> OracleSql.lshSaveLoad,
     "lsh_delete_clear" -> OracleSql.lshDeleteClear,
     "stream_windowed_agg" -> OracleSql.streamWindowedAgg,
+    "stream_sliding_agg" -> OracleSql.eventsSliding,
     "stream_dedup" -> OracleSql.streamDedup,
     "mm_binary_meta" -> OracleSql.mmBinaryMeta,
   )

@@ -46,9 +46,14 @@ object Pq {
   }
 
   /** Fit one seeded KMeans per subspace over the L2-normalized
-    * corpus. `m` must divide the dimension.
+    * corpus. `m` must divide the dimension. `maxIter` is capped low by
+    * default: PQ codebooks are a quantization grid, not a clustering
+    * result — centroid movement past the first few Lloyd iterations
+    * changes ADC recall marginally while costing a full corpus pass
+    * per iteration per subspace.
     */
-  def train(emb: DataFrame, m: Int = 8, k: Int = 16, seed: Long = 42L): PqModel = {
+  def train(emb: DataFrame, m: Int = 8, k: Int = 16, seed: Long = 42L,
+      maxIter: Int = 10): PqModel = {
     val spark = emb.sparkSession
     val d = emb.select(size(col("embedding"))).head().getInt(0)
     require(d % m == 0, s"m=$m must divide dim=$d")
@@ -60,7 +65,8 @@ object Pq {
     val codebooks = (0 until m).map { s =>
       val sub = unit.select(org.apache.spark.ml.functions.array_to_vector(
         slice(col("nv"), s * dSub + 1, dSub)).as("features"))
-      new KMeans().setK(k).setSeed(seed + s).setFeaturesCol("features")
+      new KMeans().setK(k).setSeed(seed + s).setMaxIter(maxIter)
+        .setFeaturesCol("features")
         .fit(sub).clusterCenters.map(_.toArray.map(_.toFloat))
     }.toArray
     unit.unpersist(false)

@@ -32,6 +32,23 @@ object Streams {
       .select(col("window.start").as("window_start"), col("event_type"),
         col("n_events"), col("sum_value"))
 
+  /** SLIDING-window streaming aggregation — the streaming twin of
+    * [[graft.events.EventOps.slidingRollup]]: each event lands in
+    * window/slide overlapping windows, state bounded by the watermark.
+    * The driver row's oracle is the BATCH sliding rollup's SQL — the
+    * two faces must agree window-for-window.
+    */
+  def slidingAgg(events: DataFrame, window: String = "1 hour",
+      slide: String = "15 minutes", watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(org.apache.spark.sql.functions.window(col("ts"), window, slide),
+        col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n_events"), col("sum_value"))
+
   /** Streaming exact dedup on a content fingerprint within the
     * watermark horizon (the streaming face of Dedup.exact).
     * Input schema: (ts timestamp, doc_id long, text string).
