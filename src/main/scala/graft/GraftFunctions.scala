@@ -41,6 +41,14 @@ object GraftFunctions {
       graft.expressions.IntDotProduct(
         GraftColumnBridge.expression(a), GraftColumnBridge.expression(b)))
 
+  /** Hamming distance over packed bit codes (codegen tight loop); see
+    * [[graft.expressions.HammingDistance]].
+    */
+  def hamming_distance(a: Column, b: Column): Column =
+    GraftColumnBridge.column(
+      graft.expressions.HammingDistance(
+        GraftColumnBridge.expression(a), GraftColumnBridge.expression(b)))
+
   /** Map-side bounded top-k aggregate over (score, id); see
     * [[graft.expressions.TopKByScore]].
     */

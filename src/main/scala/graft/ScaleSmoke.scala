@@ -74,6 +74,13 @@ object ScaleSmoke {
       graft.ann.Quantize.quantizedTopK(corpus, queries, 10, prefilterK = 40).collect()
     }
 
+    // 1-bit serving: the bottom of the compression ladder — the scan
+    // reads two int64 words per vector (32× less than float32) and the
+    // inner loop is XOR+popcount; same exact rerank of 40/query
+    val (hamRows, tHam) = time {
+      graft.ann.Quantize.binaryTopK(corpus, queries, 10, prefilterK = 40).collect()
+    }
+
     def plantedRecall(rows: Array[org.apache.spark.sql.Row]): Double = {
       val hits = rows.count { r =>
         r.getAs[Long]("cand_id") == r.getAs[Long]("q_id") + n
@@ -87,9 +94,11 @@ object ScaleSmoke {
       f""""lsh_build_sec":$tBuild%.2f,"lsh_serve_sec":$tServe%.2f,""" +
       f""""serve_speedup":${tBrute / tServe}%.2f,""" +
       f""""quant_serve_sec":$tQuant%.2f,""" +
+      f""""hamming_serve_sec":$tHam%.2f,""" +
       f""""planted_recall_brute":${plantedRecall(bruteRows)}%.2f,""" +
       f""""planted_recall_lsh":${plantedRecall(lshRows)}%.2f,""" +
-      f""""planted_recall_quant":${plantedRecall(quantRows)}%.2f}""")
+      f""""planted_recall_quant":${plantedRecall(quantRows)}%.2f,""" +
+      f""""planted_recall_hamming":${plantedRecall(hamRows)}%.2f}""")
     spark.stop()
   }
 }

@@ -148,8 +148,10 @@ object Quantize {
       .select(col("vec_id").as("q_id"), col("code").as("q_code"))
     val cc = binarySign(corpus)
       .select(col("vec_id").as("cand_id"), col("code").as("c_code"))
-    val ham = expr(
-      "aggregate(zip_with(q_code, c_code, (a, b) -> bit_count(a ^ b)), 0, (acc, x) -> acc + x)")
+    // native codegen kernel — the HOF form (aggregate(zip_with(...)))
+    // measured ~0.95× brute at 500k×1000; the tight loop makes the
+    // 32× byte shrink actually pay (same lesson as IntDotProduct)
+    val ham = graft.GraftFunctions.hamming_distance(col("q_code"), col("c_code"))
     val survivors = cc
       .crossJoin(graft.ops.Broadcasting.maybeBroadcast(qc, broadcastQueries))
       .filter(col("q_id") =!= col("cand_id"))

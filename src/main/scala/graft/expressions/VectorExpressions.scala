@@ -218,6 +218,49 @@ case class IntDotProduct(left: Expression, right: Expression) extends BinaryExpr
     copy(left = l, right = r)
 }
 
+/** Hamming distance between two packed bit-code arrays (array<long>):
+  * Σ Long.bitCount(a ^ b) in a codegen tight loop — the scoring kernel
+  * of the 1-bit ANN tier ([[graft.ann.Quantize.binaryTopK]]). The HOF
+  * form (`aggregate(zip_with(...))`) measured ~0.95× brute force at
+  * 500k×1000 serving (lambda evaluation per element swallowed the
+  * byte-shrink win); this expression is the same tight-loop fix as
+  * [[IntDotProduct]].
+  */
+case class HammingDistance(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "hamming_distance"
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]
+    val b = r.asInstanceOf[ArrayData]
+    VecUtil.requireSameDim(prettyName, a.numElements(), b.numElements())
+    val n = a.numElements()
+    var d = 0L
+    var i = 0
+    while (i < n) { d += java.lang.Long.bitCount(a.getLong(i) ^ b.getLong(i)); i += 1 }
+    d
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val d = ctx.freshName("d")
+      s"""
+         |${VecUtil.dimCheckSrc(prettyName, s"$a.numElements()", s"$b.numElements()")}
+         |int $n = $a.numElements();
+         |long $d = 0L;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $d += java.lang.Long.bitCount($a.getLong($i) ^ $b.getLong($i));
+         |}
+         |${ev.value} = $d;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
 /** L2 (Euclidean) norm of a vector (reference: lshrs/utils/norm.py:4). */
 case class L2Norm(child: Expression) extends UnaryExpression {
   override def dataType: DataType = DoubleType
