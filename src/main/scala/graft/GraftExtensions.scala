@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.SparkSessionExtensions
 
-import graft.expressions.{CosineSimilarity, DotProduct, IntDotProduct, L2Norm, L2Normalize}
+import graft.expressions.{CosineSimilarity, DotProduct, HammingDistance, IntDotProduct, L2Norm, L2Normalize}
 
 /** Session-extension entry point: enables
   * `--conf spark.sql.extensions=graft.GraftExtensions` so every
@@ -30,5 +30,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("int_dot_product"),
       info("int_dot_product", "int_dot_product(a, b) - exact int64 dot product of integer code vectors"),
       (es: Seq[Expression]) => IntDotProduct(es.head, es(1))))
+    ext.injectFunction((FunctionIdentifier("hamming_distance"),
+      info("hamming_distance", "hamming_distance(a, b) - popcount distance over packed bit-code arrays"),
+      (es: Seq[Expression]) => HammingDistance(es.head, es(1))))
   }
 }

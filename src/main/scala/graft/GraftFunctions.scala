@@ -102,5 +102,7 @@ object GraftFunctions {
     reg.createOrReplaceTempFunction("l2_normalize", es => L2Normalize(es.head), "scala_udf")
     reg.createOrReplaceTempFunction("int_dot_product",
       es => graft.expressions.IntDotProduct(es.head, es(1)), "scala_udf")
+    reg.createOrReplaceTempFunction("hamming_distance",
+      es => graft.expressions.HammingDistance(es.head, es(1)), "scala_udf")
   }
 }

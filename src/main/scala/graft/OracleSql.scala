@@ -899,6 +899,34 @@ object OracleSql {
        |FROM w JOIN n ON w.doc_id = n.doc_id
        |ORDER BY w.doc_id, w.dim""".stripMargin
 
+  /** Hash-embedding cosine top-k (mirror of TextAnalysis.hashEmbedTopK,
+    * queries = doc_id<10, d=64, k=5): integer numerator/norm sums, two
+    * √ and one ÷ — fully hash-exact.
+    */
+  val textKnnHashEmbed: String =
+    s"""WITH t AS (SELECT doc_id, $Toks AS toks FROM documents),
+       |tok AS (SELECT doc_id, unnest(toks) AS tk FROM t),
+       |h AS (SELECT doc_id, ${hex64("'he|'||tk")} AS h FROM tok),
+       |sg AS (SELECT doc_id, h % 64 AS dim,
+       |  CASE WHEN (h >> 20) & 1 = 1 THEN 1 ELSE -1 END AS sgn FROM h),
+       |w AS (SELECT doc_id, dim, sum(sgn)::BIGINT AS w FROM sg
+       |  GROUP BY 1, 2 HAVING sum(sgn) <> 0),
+       |n AS (SELECT doc_id, sum(w * w)::BIGINT AS s2 FROM w GROUP BY 1),
+       |q AS (SELECT * FROM w WHERE doc_id < 10),
+       |num AS (SELECT q.doc_id AS q_id, c.doc_id AS cand_id,
+       |  sum(q.w * c.w)::BIGINT AS num
+       |  FROM q JOIN w c ON q.dim = c.dim AND q.doc_id <> c.doc_id
+       |  GROUP BY 1, 2),
+       |s AS (SELECT num.q_id, num.cand_id,
+       |  num / (sqrt(nq.s2) * sqrt(nc.s2)) AS sim
+       |  FROM num JOIN n nq ON nq.doc_id = num.q_id
+       |  JOIN n nc ON nc.doc_id = num.cand_id),
+       |r AS (SELECT q_id, cand_id, sim,
+       |  CAST(row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, cand_id) AS BIGINT) AS rn
+       |  FROM s)
+       |SELECT q_id, rn, cand_id, sim FROM r WHERE rn <= 5
+       |ORDER BY q_id, rn""".stripMargin
+
   /** Sliding 1h/15min window rollup (mirror of EventOps.slidingRollup):
     * the window replication is pure integer slide-index arithmetic on
     * the nonnegative-µs domain (pinned by spec); value sums in exact

@@ -147,6 +147,10 @@ object SparkEntry {
     "text_pmi" -> ((s, dir) => TextAnalysis.tokenPmi(t(s, dir, "documents"))),
     "text_ngram_lm" -> ((s, dir) => TextAnalysis.ngramLmScore(t(s, dir, "documents"))),
     "text_hash_embed" -> ((s, dir) => TextAnalysis.hashEmbed(t(s, dir, "documents"))),
+    "text_knn_hash_embed" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      TextAnalysis.hashEmbedTopK(d, d.filter(col("doc_id") < 10).select(col("doc_id")))
+    }),
     "events_sliding" -> ((s, dir) => EventOps.slidingRollup(t(s, dir, "events"))),
     // --- B. dedup suite ---
     "dedup_exact" -> ((s, dir) => Dedup.exact(t(s, dir, "documents"))),
@@ -534,6 +538,7 @@ object SparkEntry {
     "text_pmi" -> OracleSql.textPmi,
     "text_ngram_lm" -> OracleSql.textNgramLm,
     "text_hash_embed" -> OracleSql.textHashEmbed,
+    "text_knn_hash_embed" -> OracleSql.textKnnHashEmbed,
     "events_sliding" -> OracleSql.eventsSliding,
     "vec_quantize" -> OracleSql.vecQuantize,
     "ann_quantized" -> OracleSql.annQuantized,

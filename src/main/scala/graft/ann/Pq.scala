@@ -73,6 +73,44 @@ object Pq {
     PqModel(m, k, dSub, codebooks)
   }
 
+  /** Persist the trained codebooks as a catalog table (the fifth
+    * member of the index-at-rest family — codebooks are O(m·k·dSub)
+    * floats, kilobytes, but the table form keeps them on the same
+    * shared filesystem/catalog as the other indexes) with (m, k,
+    * d_sub) in TBLPROPERTIES.
+    */
+  def save(model: PqModel, spark: SparkSession, table: String,
+      path: Option[String] = None): Unit = {
+    val w = model.frame(spark).write.mode("overwrite").format("parquet")
+    path.foreach(loc => w.option("path", loc))
+    w.saveAsTable(table)
+    spark.sql(s"ALTER TABLE $table SET TBLPROPERTIES ('graft.pq.params' = " +
+      s"'{\"m\":${model.m},\"k\":${model.k},\"d_sub\":${model.dSub}}')")
+  }
+
+  /** Restore a [[PqModel]] from a [[save]]d table. The collect is the
+    * codebook itself (m·k rows, kilobytes) — the one legitimately
+    * driver-sized relation in this family.
+    */
+  def load(spark: SparkSession, table: String): PqModel = {
+    val props = spark.sql(s"SHOW TBLPROPERTIES $table").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    val json = props.getOrElse("graft.pq.params",
+      sys.error(s"table $table has no graft.pq.params property"))
+    def field(key: String): Int = {
+      val m = s""""$key"\\s*:\\s*(\\d+)""".r.findFirstMatchIn(json)
+      m.getOrElse(sys.error(s"pq params lack $key: $json")).group(1).toInt
+    }
+    val (m, k, dSub) = (field("m"), field("k"), field("d_sub"))
+    val cbs = Array.ofDim[Array[Float]](m, k)
+    spark.table(table).collect().foreach { r =>
+      cbs(r.getAs[Int]("s"))(r.getAs[Int]("code")) =
+        r.getSeq[Float](r.fieldIndex("centroid")).toArray
+    }
+    require(cbs.forall(_.forall(_ != null)), s"table $table has missing codebook entries")
+    PqModel(m, k, dSub, cbs)
+  }
+
   /** Squared-L2 between two float arrays — built-in HOF (codegen). */
   private def l2sq(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
     aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0.0), (acc, v) => acc + v)

@@ -546,6 +546,44 @@ object TextAnalysis {
           "coalesce(cast(get(filter(ps, p -> p.dim = i), 0).weight as float), cast(0.0 as float)))")
           .as("embedding"))
 
+  /** Cosine top-k neighbors over [[hashEmbed]] vectors, computed at
+    * the SPARSE (doc_id, dim, w) grain with INTEGER arithmetic until
+    * the final step: numerator = Σ_dim w_q·w_c (exact int64 sums —
+    * order-independent, unlike a float dot product over shuffled
+    * rows), norms = Σ w² per doc, cosine = num / (√s2_q · √s2_c) —
+    * two correctly-rounded √ and one ÷, so the whole ranking is
+    * cross-engine hash-exact. The SQL-oracle-checkable face of the
+    * text→ANN bridge (the dense [[hashEmbedVectors]] form serves the
+    * float ANN operators).
+    *
+    * Scale shape: the dim-join fan-out is |queries|·|corpus|·overlap/d
+    * (the classic sparse similarity join) — bounded by the broadcast
+    * query side; norms are one map-side-partial groupBy; the final
+    * top-k is TopKByScore.
+    */
+  def hashEmbedTopK(docs: DataFrame, queryIds: DataFrame, d: Int = 64,
+      k: Int = 5): DataFrame = {
+    val w = hashEmbed(docs, d).select(col("doc_id"), col("dim"), col("w"))
+    val norms = w.groupBy(col("doc_id")).agg(sum(col("w") * col("w")).as("s2"))
+    val qw = w.join(graft.ops.Broadcasting.maybeBroadcast(queryIds),
+      Seq("doc_id"), "left_semi")
+    val num = qw.as("q").join(w.as("c"),
+        col("q.dim") === col("c.dim") && col("q.doc_id") =!= col("c.doc_id"))
+      .groupBy(col("q.doc_id").as("q_id"), col("c.doc_id").as("cand_id"))
+      .agg(sum(col("q.w") * col("c.w")).as("num"))
+    num
+      .join(norms.as("nq"), col("q_id") === col("nq.doc_id"))
+      .join(norms.as("nc"), col("cand_id") === col("nc.doc_id"))
+      .select(col("q_id"), col("cand_id"),
+        (col("num") / (sqrt(col("nq.s2")) * sqrt(col("nc.s2")))).as("sim"))
+      .groupBy(col("q_id"))
+      .agg(graft.GraftFunctions.top_k_by_score(col("sim"), col("cand_id"), k).as("top"))
+      .select(col("q_id"), posexplode(col("top")).as(Seq("pos", "t")))
+      .select(col("q_id"), (col("pos") + 1).cast("long").as("rn"),
+        col("t.id").as("cand_id"), col("t.score").as("sim"))
+      .orderBy(col("q_id"), col("rn"))
+  }
+
   /** Corpus-bigram language-model scoring — the CCNet/perplexity
     * quality signal (Wenzek et al. 2020): score each document by the
     * mean log-probability of its bigrams under an add-one-smoothed

@@ -332,6 +332,39 @@ class TextKnnSpec extends SparkSpec {
     assert(r100 >= r20 && r100 >= 0.6, s"PQ recall@100 $r100 (from $r20)")
   }
 
+  test("hashEmbedTopK: sparse integer cosine equals the dense-vector cosine ranking") {
+    val qids = docs.filter(col("doc_id") < 10).select(col("doc_id"))
+    val sparse = TextAnalysis.hashEmbedTopK(docs, qids, k = 5).collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("rn")) ->
+        (r.getAs[Long]("cand_id"), r.getAs[Double]("sim"))).toMap
+    // independent dense path: assembled float vectors through the
+    // codegen cosine — same ranking, sims equal within float assembly
+    val vecs = TextAnalysis.hashEmbedVectors(docs)
+      .select(col("doc_id").as("vec_id"), col("embedding"))
+    val dense = Knn.cosineTopK(vecs, vecs.filter(col("vec_id") < 10), 5).collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("rn")) ->
+        (r.getAs[Long]("cand_id"), r.getAs[Double]("sim"))).toMap
+    assert(sparse.keySet === dense.keySet)
+    sparse.foreach { case (key, (cand, sim)) =>
+      assert(dense(key)._1 === cand, s"rank mismatch at $key")
+      assert(math.abs(dense(key)._2 - sim) < 1e-5, s"sim mismatch at $key")
+    }
+  }
+
+  test("Pq save/load: codebooks round-trip; served results identical") {
+    import graft.ann.Pq
+    val model = Pq.train(emb, m = 8, k = 16)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_pq").toString
+    Pq.save(model, spark, "graft_pq_spec", path = Some(s"$tmp/tbl"))
+    val loaded = Pq.load(spark, "graft_pq_spec")
+    assert(loaded.m === model.m && loaded.k === model.k && loaded.dSub === model.dSub)
+    assert(loaded.codebooks.flatten.flatten.toSeq === model.codebooks.flatten.flatten.toSeq)
+    val queries = emb.filter(col("vec_id") < 5)
+    assert(Pq.pqTopK(emb, queries, loaded, 3, 10).collect().map(_.toString).toSeq ===
+      Pq.pqTopK(emb, queries, model, 3, 10).collect().map(_.toString).toSeq)
+    spark.sql("DROP TABLE IF EXISTS graft_pq_spec")
+  }
+
   test("binaryTopK: sign codes pack correctly; planted copies recalled at hamming 0; decent brute recall") {
     import graft.ann.Quantize
     // code words reproduce the sign pattern (hand-check on a planted vector)
