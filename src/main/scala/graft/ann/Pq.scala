@@ -62,13 +62,26 @@ object Pq {
       .filter(col("nv").isNotNull)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     unit.count()
-    val codebooks = (0 until m).map { s =>
-      val sub = unit.select(org.apache.spark.ml.functions.array_to_vector(
-        slice(col("nv"), s * dSub + 1, dSub)).as("features"))
-      new KMeans().setK(k).setSeed(seed + s).setMaxIter(maxIter)
-        .setFeaturesCol("features")
-        .fit(sub).clusterCenters.map(_.toArray.map(_.toFloat))
-    }.toArray
+    // the m subspace fits are independent — submit them CONCURRENTLY
+    // (the scheduler interleaves their jobs across cores; sequential
+    // fits measured 6.9 s warm at sf0.1 vs ~2 s concurrent, pure
+    // per-job overhead × m × iterations). Seeded random init instead
+    // of kmeans||: the parallel init spends ~5 extra jobs per subspace
+    // optimizing a clustering objective a quantization grid doesn't
+    // need.
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val fits = (0 until m).map { s =>
+      Future {
+        val sub = unit.select(org.apache.spark.ml.functions.array_to_vector(
+          slice(col("nv"), s * dSub + 1, dSub)).as("features"))
+        new KMeans().setK(k).setSeed(seed + s).setMaxIter(maxIter)
+          .setInitMode("random").setFeaturesCol("features")
+          .fit(sub).clusterCenters.map(_.toArray.map(_.toFloat))
+      }
+    }
+    val codebooks = fits.map(Await.result(_, Duration.Inf)).toArray
     unit.unpersist(false)
     PqModel(m, k, dSub, codebooks)
   }
