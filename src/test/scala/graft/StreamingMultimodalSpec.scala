@@ -53,6 +53,36 @@ class StreamingMultimodalSpec extends SparkSpec {
     assert(rocks.toSeq === run("hdfs").toSeq)
   }
 
+  test("dedupStream state survives a checkpointed restart (no re-emission of pre-restart fingerprints)") {
+    val input = MemoryStream[(Long, Long, String)](spark, 5)
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
+    val outDir = java.nio.file.Files.createTempDirectory("graft_ckpt_out").toString
+    def docsOf = input.toDF()
+      .select(timestamp_micros(col("_1")).as("ts"), col("_2").as("doc_id"),
+        col("_3").as("text"))
+    // a FILE sink (not memory): file sinks participate in checkpoint
+    // recovery, and their output is exactly-once across restarts
+    def start() = Streams.dedupStream(docsOf)
+      .select(col("doc_id"), col("fingerprint")).writeStream
+      .option("checkpointLocation", ckpt)
+      .outputMode("append").format("parquet")
+      .option("path", outDir).start()
+    input.addData((1000L, 1L, "alpha beta gamma"), (2000L, 2L, "delta epsilon"))
+    val q1 = start()
+    try q1.processAllAvailable() finally q1.stop()
+    assert(spark.read.parquet(outDir).select("doc_id").collect()
+      .map(_.getLong(0)).toSet === Set(1L, 2L))
+    // doc 3 duplicates doc 1's fingerprint ACROSS the restart boundary —
+    // only the recovered state store can know that
+    input.addData((3000L, 3L, "alpha beta gamma"), (4000L, 4L, "zeta eta"))
+    val q2 = start()
+    try q2.processAllAvailable() finally q2.stop()
+    val all = spark.read.parquet(outDir).select("doc_id").collect()
+      .map(_.getLong(0)).toSet
+    assert(all === Set(1L, 2L, 4L),
+      s"restart lost state or re-emitted a pre-restart fingerprint: $all")
+  }
+
   test("dedupStreamAgainstCorpus: corpus dup bloom-flagged, fresh doc definitively new, within-stream dup dropped") {
     val corpus = Seq((1L, "alpha beta gamma delta"), (2L, "epsilon zeta eta"))
       .toDF("doc_id", "text")
