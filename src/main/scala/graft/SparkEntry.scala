@@ -76,6 +76,10 @@ object SparkEntry {
       EventOps.withinRangePairs(t(s, dir, "events"))),
     "events_funnel" -> ((s, dir) => EventOps.funnel(t(s, dir, "events"))),
     "events_retention" -> ((s, dir) => EventOps.retention(t(s, dir, "events"))),
+    // rows-only: HLL sketches have no cross-engine oracle (declared);
+    // accuracy property-spec'd vs exact in RelationalSpec
+    "events_retention_approx" -> ((s, dir) =>
+      EventOps.retentionApprox(t(s, dir, "events"))),
     "events_streaks" -> ((s, dir) => EventOps.streaks(t(s, dir, "events"))),
     "events_anomaly" -> ((s, dir) => EventOps.valueAnomalies(t(s, dir, "events"))),
     "events_props_agg" -> ((s, dir) => EventOps.propsAgg(t(s, dir, "events"))),

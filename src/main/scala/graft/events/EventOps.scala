@@ -257,6 +257,29 @@ object EventOps {
       .orderBy(col("cohort_day"), col("day_offset"))
   }
 
+  /** The HLL sketch tier of [[retention]] — the extreme-cardinality
+    * path the exact version's docstring promises: per-cell distinct
+    * users via `approx_count_distinct` (constant-size mergeable HLL++
+    * registers map-side) instead of shuffling every (cell, user) pair
+    * for the exact distinct. At 10⁹ users per cohort the exact
+    * distinct's shuffle carries the full membership; the sketch
+    * carries kilobytes per cell. Rows-only at the driver gate like the
+    * other sketch tiers; accuracy spec'd vs exact at test SF.
+    */
+  def retentionApprox(events: DataFrame, maxOffsetDays: Int = 30,
+      rsd: Double = 0.02): DataFrame = {
+    val e = microsOfTs(events)
+      .select(col("user_id"), expr("us div 86400000000").as("day"))
+      .filter(col("day").isNotNull)
+    val cohorts = e.groupBy(col("user_id")).agg(min(col("day")).as("cohort_day"))
+    e.join(cohorts, Seq("user_id"))
+      .select(col("user_id"), col("cohort_day"), (col("day") - col("cohort_day")).as("day_offset"))
+      .filter(col("day_offset") <= maxOffsetDays)
+      .groupBy(col("cohort_day"), col("day_offset"))
+      .agg(approx_count_distinct(col("user_id"), rsd).as("n_users_approx"))
+      .orderBy(col("cohort_day"), col("day_offset"))
+  }
+
   /** Consecutive-day activity streaks per user (gaps-and-islands):
     * distinct active days, number of maximal consecutive-day runs, and
     * the longest run. Island key = `day − row_number` (constant within

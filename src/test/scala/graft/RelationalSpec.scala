@@ -233,6 +233,24 @@ class RelationalSpec extends SparkSpec {
     }
   }
 
+  test("retentionApprox: HLL cells land within the rsd error bound of exact") {
+    import org.apache.spark.sql.functions._
+    val ev = Tables.load(spark, sfDir, "events")
+    val exact = graft.events.EventOps.retention(ev).collect()
+      .map(r => (r.getAs[Long]("cohort_day"), r.getAs[Long]("day_offset")) ->
+        r.getAs[Long]("n_users")).toMap
+    val approx = graft.events.EventOps.retentionApprox(ev).collect()
+      .map(r => (r.getAs[Long]("cohort_day"), r.getAs[Long]("day_offset")) ->
+        r.getAs[Long]("n_users_approx")).toMap
+    assert(approx.keySet === exact.keySet)
+    // 4σ at rsd=0.02 (plus integer slack for tiny cells)
+    approx.foreach { case (cell, a) =>
+      val ex = exact(cell).toDouble
+      assert(math.abs(a - ex) <= math.max(4 * 0.02 * ex, 2.0),
+        s"cell $cell: approx $a vs exact $ex")
+    }
+  }
+
   test("slidingRollup: each event lands in window/slide overlapping windows at the right starts") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
