@@ -503,18 +503,27 @@ object Dedup {
       path: Option[String] = None): Unit = {
     val tokC = withToks(corpus).select(col("doc_id"), col("toks"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val fp = tokC
-      .select(hex64(array_join(col("toks"), " ")).as("fingerprint")).distinct()
-    val wf = fp.write.mode("overwrite")
-      .bucketBy(nBuckets, "fingerprint").sortBy("fingerprint").format("parquet")
-    path.foreach(loc => wf.option("path", s"${loc}_fp"))
-    wf.saveAsTable(s"${table}_fp")
-    val bands = minhashBands(minhashOf(shingleSet(tokC)))
-    val wb = bands.write.mode("overwrite")
-      .bucketBy(nBuckets, "band", "band_hash").sortBy("band", "band_hash")
-      .format("parquet")
-    path.foreach(loc => wb.option("path", loc))
-    wb.saveAsTable(table)
+    tokC.count()
+    // the fingerprint and band tables are independent — write them as
+    // CONCURRENT jobs off the shared cached tokenize pass (the Pq.train
+    // submission pattern)
+    val fFp = Future {
+      val fp = tokC
+        .select(hex64(array_join(col("toks"), " ")).as("fingerprint")).distinct()
+      val wf = fp.write.mode("overwrite")
+        .bucketBy(nBuckets, "fingerprint").sortBy("fingerprint").format("parquet")
+      path.foreach(loc => wf.option("path", s"${loc}_fp"))
+      wf.saveAsTable(s"${table}_fp")
+    }
+    val fBands = Future {
+      val bands = minhashBands(minhashOf(shingleSet(tokC)))
+      val wb = bands.write.mode("overwrite")
+        .bucketBy(nBuckets, "band", "band_hash").sortBy("band", "band_hash")
+        .format("parquet")
+      path.foreach(loc => wb.option("path", loc))
+      wb.saveAsTable(table)
+    }
+    Await.result(fFp, Duration.Inf); Await.result(fBands, Duration.Inf)
     tokC.unpersist(false)
   }
 

@@ -45,17 +45,31 @@ object SearchIndex {
       maxDf: Long = TextAnalysis.DefaultMaxTokenDf,
       path: Option[String] = None): Unit = {
     val spark = docs.sparkSession
-    val idx = TextAnalysis.invertedIndex(docs, maxDf)
-    val w = idx.write.mode("overwrite")
-      .bucketBy(nBuckets, "token").sortBy("token").format("parquet")
-    path.foreach(loc => w.option("path", loc))
-    w.saveAsTable(table)
-    val dls = TextAnalysis.withToks(docs)
-      .select(col("doc_id"), size(col("toks")).cast("long").as("dl"))
-    val wd = dls.write.mode("overwrite")
-      .bucketBy(nBuckets, "doc_id").sortBy("doc_id").format("parquet")
-    path.foreach(loc => wd.option("path", s"${loc}_doclen"))
-    wd.saveAsTable(s"${table}_doclen")
+    // ONE cached tokenize pass feeds both tables (withToks trusts the
+    // precomputed column), and the two independent writes run as
+    // CONCURRENT jobs — the same submission pattern as Pq.train's
+    // subspace fits
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val tokD = TextAnalysis.withToks(docs)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    tokD.count()
+    val fIdx = Future {
+      val w = TextAnalysis.invertedIndex(tokD, maxDf).write.mode("overwrite")
+        .bucketBy(nBuckets, "token").sortBy("token").format("parquet")
+      path.foreach(loc => w.option("path", loc))
+      w.saveAsTable(table)
+    }
+    val fDl = Future {
+      val wd = tokD.select(col("doc_id"), size(col("toks")).cast("long").as("dl"))
+        .write.mode("overwrite")
+        .bucketBy(nBuckets, "doc_id").sortBy("doc_id").format("parquet")
+      path.foreach(loc => wd.option("path", s"${loc}_doclen"))
+      wd.saveAsTable(s"${table}_doclen")
+    }
+    Await.result(fIdx, Duration.Inf); Await.result(fDl, Duration.Inf)
+    tokD.unpersist(false)
     val s = spark.table(s"${table}_doclen")
       .agg(count(lit(1)).as("n"), sum(col("dl")).as("s")).head()
     spark.sql(s"ALTER TABLE $table SET TBLPROPERTIES ('graft.search.stats' = " +
