@@ -1281,6 +1281,39 @@ object OracleSql {
        |  substr(ph, (frame_idx * 100) * 2 + 1, 200) AS frame_hex
        |FROM i ORDER BY doc_id, frame_idx""".stripMargin
 
+  /** Pre-decode media SimHash (mirror of Binary.simFingerprint,
+    * frameBytes=100, step=4): the frame-sample CTE feeding the
+    * bit-vote fingerprint, plus the exact-dup group ledger.
+    */
+  val mmSimFingerprint: String = {
+    val bitSums = (0 until Dedup.SimhashBits)
+      .map(b => s"  sum(CASE WHEN ((h >> $b) & 1) = 1 THEN 1 ELSE -1 END) AS s$b")
+      .mkString(",\n")
+    val combine = (0 until Dedup.SimhashBits)
+      .map(b => s"CASE WHEN s$b > 0 THEN (1::BIGINT << $b) ELSE 0 END")
+      .mkString(" + ")
+    s"""WITH m AS (SELECT doc_id, hex(text::BLOB) AS ph,
+       |  octet_length(text::BLOB)::BIGINT AS n_bytes FROM documents),
+       |f AS (SELECT doc_id, ph, (n_bytes + 99) // 100 AS n_frames FROM m
+       |  WHERE n_bytes > 0),
+       |i AS (SELECT doc_id, ph, n_frames,
+       |  unnest(range(0, n_frames, 4))::BIGINT AS frame_idx FROM f),
+       |fr AS (SELECT doc_id, substr(ph, (frame_idx * 100) * 2 + 1, 200) AS frame_hex
+       |  FROM i),
+       |h AS (SELECT doc_id, ${hex64("'mm|'||frame_hex")} AS h FROM fr),
+       |bits AS (SELECT doc_id, count(*)::BIGINT AS n_frames_sampled,
+       |$bitSums
+       |FROM h GROUP BY doc_id),
+       |sim AS (SELECT doc_id, n_frames_sampled,
+       |  ($combine)::BIGINT AS sim_fingerprint FROM bits),
+       |g AS (SELECT sim_fingerprint, count(*)::BIGINT AS group_size,
+       |  min(doc_id) AS min_id FROM sim GROUP BY 1)
+       |SELECT s.doc_id, s.n_frames_sampled, s.sim_fingerprint, g.group_size,
+       |  s.doc_id = g.min_id AS keep
+       |FROM sim s JOIN g ON s.sim_fingerprint = g.sim_fingerprint
+       |ORDER BY s.doc_id""".stripMargin
+  }
+
   /** Consecutive-day streaks (mirror of EventOps.streaks). */
   val eventsStreaks: String =
     s"""WITH d AS (SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day

@@ -362,6 +362,8 @@ object SparkEntry {
       graft.multimodal.Binary.metadataStats(t(s, dir, "documents"))),
     "mm_frame_sample" -> ((s, dir) =>
       graft.multimodal.Binary.frameSample(t(s, dir, "documents"))),
+    "mm_sim_fingerprint" -> ((s, dir) =>
+      graft.multimodal.Binary.simFingerprint(t(s, dir, "documents"))),
     "mm_feature_stub" -> ((s, dir) => {
       implicit val sp: SparkSession = s
       graft.multimodal.Binary.extractFeatures(
@@ -528,6 +530,7 @@ object SparkEntry {
     "events_retention" -> OracleSql.eventsRetention,
     "events_streaks" -> OracleSql.eventsStreaks,
     "mm_frame_sample" -> OracleSql.mmFrameSample,
+    "mm_sim_fingerprint" -> OracleSql.mmSimFingerprint,
     "sample_quality_filter" -> OracleSql.sampleQualityFilter,
     "events_anomaly" -> OracleSql.eventsAnomaly,
     "events_props_agg" -> OracleSql.eventsPropsAgg,

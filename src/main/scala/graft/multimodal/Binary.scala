@@ -86,6 +86,38 @@ object Binary {
         expr(s"hex(substring(payload, CAST(frame_idx * $frameBytes + 1 AS INT), $frameBytes))")
           .as("frame_hex"))
 
+  /** Pre-decode media similarity fingerprint: SimHash over the SAMPLED
+    * frame bytes — [[frameSample]]'s zero-decode shape composed with
+    * the dedup family's bit-vote fingerprint
+    * ([[graft.dedup.Dedup.simhash]], but at frame grain instead of
+    * token grain). Payloads sharing most sampled frames (re-muxed
+    * media, retried uploads, trailing-metadata variants) land at small
+    * Hamming distance; byte-identical payloads collide exactly — the
+    * `group_size`/`keep` columns give the exact-dup ledger directly.
+    * No codec anywhere: at 100 TB this is one streaming pass over
+    * 1/step of the payload bytes plus one 32-number-per-doc partial
+    * aggregation.
+    */
+  def simFingerprint(docs: DataFrame, frameBytes: Int = 100, step: Int = 4): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val frames = frameSample(docs, frameBytes, step)
+      .withColumn("h", GraftFunctions.hex64(concat(lit("mm|"), col("frame_hex"))))
+    val sums = (0 until graft.dedup.Dedup.SimhashBits).map { b =>
+      sum(when(shiftright(col("h"), b).bitwiseAND(lit(1L)) === 1L, 1).otherwise(-1)).as(s"s$b")
+    }
+    val bits = frames.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_frames_sampled"), sums: _*)
+    val fp = (0 until graft.dedup.Dedup.SimhashBits)
+      .map(b => when(col(s"s$b") > 0, lit(1L << b)).otherwise(lit(0L)))
+      .reduce(_ + _)
+    val w = Window.partitionBy(col("sim_fingerprint"))
+    bits.select(col("doc_id"), col("n_frames_sampled"), fp.as("sim_fingerprint"))
+      .select(col("doc_id"), col("n_frames_sampled"), col("sim_fingerprint"),
+        count(lit(1)).over(w).as("group_size"),
+        (col("doc_id") === min(col("doc_id")).over(w)).as("keep"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Metadata stats over the media table — schema/partitioning surface
     * checkable against a SQL oracle (payload hashes + sizes).
     */

@@ -53,6 +53,28 @@ class StreamingMultimodalSpec extends SparkSpec {
     assert(rocks.toSeq === run("hdfs").toSeq)
   }
 
+  test("simFingerprint: byte-identical payloads collide; a tail edit stays at small hamming") {
+    val base = (1 to 50).map(i => s"frame-content-$i").mkString(" ")
+    val samples = Seq(
+      (1L, base),
+      (2L, base),                       // byte-identical copy
+      (3L, base.dropRight(10) + "-- edited"), // tail-modified variant
+      (4L, (1 to 50).map(i => s"other-$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val res = Binary.simFingerprint(samples).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    val fp = (id: Long) => res(id).getAs[Long]("sim_fingerprint")
+    // exact copies share the fingerprint; min-id keeps
+    assert(fp(1L) === fp(2L))
+    assert(res(1L).getAs[Boolean]("keep") && !res(2L).getAs[Boolean]("keep"))
+    assert(res(1L).getAs[Long]("group_size") === 2L)
+    // tail edit changes only the last sampled frames → nearer to the
+    // original than an unrelated payload
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(fp(1L), fp(3L)) < ham(fp(1L), fp(4L)),
+      s"tail-edit hamming ${ham(fp(1L), fp(3L))} not below unrelated ${ham(fp(1L), fp(4L))}")
+  }
+
   test("dedupStream state survives a checkpointed restart (no re-emission of pre-restart fingerprints)") {
     val input = MemoryStream[(Long, Long, String)](spark, 5)
     val ckpt = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
