@@ -103,8 +103,12 @@ object Bench {
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
     val ok = errors.isEmpty
+    // capture the after-load ONCE: assemble() runs repeatedly in the
+    // budget loop, and a load value crossing a digit boundary between
+    // the length check and the final emit would desynchronize them
+    val loadAfter = loadAvg()
     def assemble(qEntries: Seq[String]) =
-      s"""{"metric":"total","value":${fmt(total, 3)},"unit":"sec","n_queries":${results.size},"queries":${qEntries.mkString("{", ",", "}")},"ok":$ok,"errors":$errJson,"runs":$runs,"load":[${fmt(loadBefore, 2)},${fmt(loadAvg(), 2)}],"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total, 3)},"unit":"sec","n_queries":${results.size},"queries":${qEntries.mkString("{", ",", "}")},"ok":$ok,"errors":$errJson,"runs":$runs,"load":[${fmt(loadBefore, 2)},${fmt(loadAfter, 2)}],"sf":"$sfDir"}"""
     val byCost = results.toSeq.sortBy { case (k, v) => (-v, k) }
       .map { case (k, v) => "\"" + k + "\":" + fmt(v, 4) }
     val fullJson = assemble(results.toSeq.map { case (k, v) => "\"" + k + "\":" + fmt(v, 4) })

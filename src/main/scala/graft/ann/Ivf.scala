@@ -98,24 +98,27 @@ object Ivf {
       .groupBy(col("q_id"))
       .agg(top_k_by_score(col("c_sim"), col("c_id"), nProbe).as("top"))
       .select(col("q_id"), explode(col("top.id")).as("cell"))
-    // a corpus vector lives in exactly one cell and a query probes
-    // distinct cells, so (q_id, cand_id) pairs are unique by
-    // construction — no distinct pass needed
+    // an [[assign]]-built cell table holds one cell per vector, making
+    // (q_id, cand_id) pairs unique — but this is a PUBLIC serving API
+    // over any loaded table, and an [[assignProbes]]-built table (the
+    // documented recall lever) legitimately repeats vectors across
+    // cells. Deduplicate defensively: duplicate candidate rows would
+    // otherwise fill multiple ranks of the top-k with the same id. The
+    // pairs are already bounded by the probe selectivity, and identical
+    // rows collapse map-side.
     val cand = probes
       .join(cells.select(col("cell"), col("vec_id"),
         col("embedding").as("cand_emb")), Seq("cell"))
       .filter(col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id").as("cand_id"), col("cand_emb"))
+      .dropDuplicates("q_id", "cand_id")
     val q = queries.select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
-    cand
-      .join(graft.ops.Broadcasting.maybeBroadcast(q, broadcastQueries), Seq("q_id"))
-      .select(col("q_id"), col("cand_id"), cosine_sim(col("q_emb"), col("cand_emb")).as("sim"))
-      .groupBy(col("q_id"))
-      .agg(top_k_by_score(col("sim"), col("cand_id"), k).as("top"))
-      .select(col("q_id"), posexplode(col("top")).as(Seq("pos", "t")))
-      .select(col("q_id"), (col("pos") + 1).cast("long").as("rn"),
-        col("t.id").as("cand_id"), col("t.score").as("sim"))
-      .orderBy(col("q_id"), col("rn"))
+    graft.ops.TopK.rankByScore(
+      cand
+        .join(graft.ops.Broadcasting.maybeBroadcast(q, broadcastQueries), Seq("q_id"))
+        .select(col("q_id"), col("cand_id"),
+          cosine_sim(col("q_emb"), col("cand_emb")).as("sim")),
+      k)
   }
 
   /** Persist the IVF index at rest — the cells-and-centroids twin of

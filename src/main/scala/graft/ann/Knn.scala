@@ -37,13 +37,7 @@ object Knn {
     val scored = c.crossJoin(graft.ops.Broadcasting.maybeBroadcast(q, broadcastQueries))
       .filter(col("q_id") =!= col("cand_id"))
       .select(col("q_id"), col("cand_id"), cosine_sim(col("q_emb"), col("cand_emb")).as("sim"))
-    scored
-      .groupBy(col("q_id"))
-      .agg(graft.GraftFunctions.top_k_by_score(col("sim"), col("cand_id"), k).as("top"))
-      .select(col("q_id"), posexplode(col("top")).as(Seq("pos", "t")))
-      .select(col("q_id"), (col("pos") + 1).cast("long").as("rn"),
-        col("t.id").as("cand_id"), col("t.score").as("sim"))
-      .orderBy(col("q_id"), col("rn"))
+    graft.ops.TopK.rankByScore(scored, k)
   }
 
   /** Embedding near-dup detection: nearest neighbor per vector plus a

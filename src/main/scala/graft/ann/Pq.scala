@@ -55,6 +55,9 @@ object Pq {
   def train(emb: DataFrame, m: Int = 8, k: Int = 16, seed: Long = 42L,
       maxIter: Int = 10): PqModel = {
     val spark = emb.sparkSession
+    // codes are stored as tinyint and ADC tables are indexed s·k+code —
+    // both silently corrupt past these bounds, so fail loudly here
+    require(k >= 2 && k <= 127, s"k=$k must be in [2, 127] (codes are tinyint)")
     val d = emb.select(size(col("embedding"))).head().getInt(0)
     require(d % m == 0, s"m=$m must divide dim=$d")
     val dSub = d / m
@@ -83,6 +86,14 @@ object Pq {
     }
     val codebooks = fits.map(Await.result(_, Duration.Inf)).toArray
     unit.unpersist(false)
+    // a training sample smaller than k makes KMeans return fewer
+    // centroids than k; with PqModel.k trusted by the ADC slot
+    // arithmetic (tab[s·k + code]), a short codebook would silently
+    // mis-index EVERY score — refuse instead
+    codebooks.zipWithIndex.foreach { case (cb, s) =>
+      require(cb.length == k,
+        s"subspace $s fitted ${cb.length} centroids (< k=$k) — train on ≥ k vectors")
+    }
     PqModel(m, k, dSub, codebooks)
   }
 
@@ -97,8 +108,8 @@ object Pq {
     val w = model.frame(spark).write.mode("overwrite").format("parquet")
     path.foreach(loc => w.option("path", loc))
     w.saveAsTable(table)
-    spark.sql(s"ALTER TABLE $table SET TBLPROPERTIES ('graft.pq.params' = " +
-      s"'{\"m\":${model.m},\"k\":${model.k},\"d_sub\":${model.dSub}}')")
+    graft.ops.TableProps.set(spark, table, "graft.pq.params",
+      s"""{"m":${model.m},"k":${model.k},"d_sub":${model.dSub}}""")
   }
 
   /** Restore a [[PqModel]] from a [[save]]d table. The collect is the
@@ -106,14 +117,8 @@ object Pq {
     * driver-sized relation in this family.
     */
   def load(spark: SparkSession, table: String): PqModel = {
-    val props = spark.sql(s"SHOW TBLPROPERTIES $table").collect()
-      .map(r => r.getString(0) -> r.getString(1)).toMap
-    val json = props.getOrElse("graft.pq.params",
-      sys.error(s"table $table has no graft.pq.params property"))
-    def field(key: String): Int = {
-      val m = s""""$key"\\s*:\\s*(\\d+)""".r.findFirstMatchIn(json)
-      m.getOrElse(sys.error(s"pq params lack $key: $json")).group(1).toInt
-    }
+    val json = graft.ops.TableProps.get(spark, table, "graft.pq.params")
+    def field(key: String): Int = graft.ops.TableProps.longField(json, key).toInt
     val (m, k, dSub) = (field("m"), field("k"), field("d_sub"))
     val cbs = Array.ofDim[Array[Float]](m, k)
     spark.table(table).collect().foreach { r =>
@@ -155,14 +160,46 @@ object Pq {
         expr("transform(cs, x -> cast(x.code as tinyint))").as("codes"))
   }
 
-  /** ADC top-k serving: per-query lookup tables (m·k dot products
-    * against the broadcast codebook), candidate score = in-order sum
-    * of m table lookups over the code array, bounded TopKByScore
-    * prefilter, exact-cosine rerank of survivors. Output:
-    * (q_id, rn, cand_id, sim) — the [[Knn.cosineTopK]] shape.
+  /** ADC top-k serving over FRESHLY ENCODED corpus codes — the
+    * self-contained form: every call pays the [[encode]] pass. The
+    * "index once, serve many" shape is [[saveIndex]]/[[loadIndex]] +
+    * [[pqTopKOnCodes]], where the scoring scan reads only the
+    * persisted m-byte code rows.
     */
   def pqTopK(corpus: DataFrame, queries: DataFrame, model: PqModel,
       k: Int, prefilterK: Int,
+      broadcastQueries: Option[Boolean] = None): DataFrame =
+    pqTopKOnCodes(encode(corpus, model), corpus, queries, model,
+      k, prefilterK, broadcastQueries)
+
+  /** Persist codebooks AND the encoded corpus — the full PQ index at
+    * rest: `<table>` = the codebook ([[save]]), `<table>_codes` = one
+    * m-byte code row per vector. Serving from [[loadIndex]] never
+    * re-encodes (or even reads) the full-precision corpus in the
+    * scoring scan.
+    */
+  def saveIndex(model: PqModel, corpus: DataFrame, table: String,
+      path: Option[String] = None): Unit = {
+    save(model, corpus.sparkSession, table, path)
+    val wc = encode(corpus, model).write.mode("overwrite").format("parquet")
+    path.foreach(loc => wc.option("path", s"${loc}_codes"))
+    wc.saveAsTable(s"${table}_codes")
+  }
+
+  /** Restore (model, codes) from a [[saveIndex]] table pair. */
+  def loadIndex(spark: SparkSession, table: String): (PqModel, DataFrame) =
+    (load(spark, table), spark.table(s"${table}_codes"))
+
+  /** ADC top-k serving from PREBUILT codes: per-query lookup tables
+    * (m·k dot products against the broadcast codebook), candidate
+    * score = in-order sum of m table lookups over the code array,
+    * bounded TopKByScore prefilter, exact-cosine rerank of survivors
+    * (the only step touching full vectors — prefilterK × queries
+    * rows). Output: (q_id, rn, cand_id, sim) — the [[Knn.cosineTopK]]
+    * shape.
+    */
+  def pqTopKOnCodes(codes: DataFrame, corpus: DataFrame, queries: DataFrame,
+      model: PqModel, k: Int, prefilterK: Int,
       broadcastQueries: Option[Boolean] = None): DataFrame = {
     val spark = corpus.sparkSession
     val cb = broadcast(model.frame(spark))
@@ -179,28 +216,16 @@ object Pq {
       .groupBy(col("q_id"))
       .agg(sort_array(collect_list(struct(col("slot"), col("w")))).as("tw"))
       .select(col("q_id"), expr("transform(tw, x -> x.w)").as("tab"))
-    val codes = encode(corpus, model)
-      .select(col("vec_id").as("cand_id"), col("codes"))
+    val codesR = codes.select(col("vec_id").as("cand_id"), col("codes"))
     val adc = expr(s"aggregate(sequence(0, ${model.m - 1}), cast(0.0 as double), " +
       s"(acc, s) -> acc + element_at(tab, s * ${model.k} + cast(codes[s] as int) + 1))")
-    val survivors = codes
+    val survivors = codesR
       .crossJoin(graft.ops.Broadcasting.maybeBroadcast(qtab, broadcastQueries))
       .filter(col("q_id") =!= col("cand_id"))
       .select(col("q_id"), col("cand_id"), adc.as("ascore"))
       .groupBy(col("q_id"))
       .agg(top_k_by_score(col("ascore"), col("cand_id"), prefilterK).as("pre"))
       .select(col("q_id"), explode(col("pre.id")).as("cand_id"))
-    val q = queries.select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
-    val c = corpus.select(col("vec_id").as("cand_id"), col("embedding").as("cand_emb"))
-    survivors
-      .join(graft.ops.Broadcasting.maybeBroadcast(q, broadcastQueries), Seq("q_id"))
-      .join(c, Seq("cand_id"))
-      .select(col("q_id"), col("cand_id"), cosine_sim(col("q_emb"), col("cand_emb")).as("sim"))
-      .groupBy(col("q_id"))
-      .agg(top_k_by_score(col("sim"), col("cand_id"), k).as("top"))
-      .select(col("q_id"), posexplode(col("top")).as(Seq("pos", "t")))
-      .select(col("q_id"), (col("pos") + 1).cast("long").as("rn"),
-        col("t.id").as("cand_id"), col("t.score").as("sim"))
-      .orderBy(col("q_id"), col("rn"))
+    graft.ops.TopK.cosineRerank(survivors, corpus, queries, k, broadcastQueries)
   }
 }

@@ -97,18 +97,7 @@ object Quantize {
       .groupBy(col("q_id"))
       .agg(top_k_by_score(col("ascore"), col("cand_id"), prefilterK).as("pre"))
       .select(col("q_id"), explode(col("pre.id")).as("cand_id"))
-    val q = queries.select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
-    val c = corpus.select(col("vec_id").as("cand_id"), col("embedding").as("cand_emb"))
-    survivors
-      .join(graft.ops.Broadcasting.maybeBroadcast(q, broadcastQueries), Seq("q_id"))
-      .join(c, Seq("cand_id"))
-      .select(col("q_id"), col("cand_id"), cosine_sim(col("q_emb"), col("cand_emb")).as("sim"))
-      .groupBy(col("q_id"))
-      .agg(top_k_by_score(col("sim"), col("cand_id"), k).as("top"))
-      .select(col("q_id"), posexplode(col("top")).as(Seq("pos", "t")))
-      .select(col("q_id"), (col("pos") + 1).cast("long").as("rn"),
-        col("t.id").as("cand_id"), col("t.score").as("sim"))
-      .orderBy(col("q_id"), col("rn"))
+    graft.ops.TopK.cosineRerank(survivors, corpus, queries, k, broadcastQueries)
   }
 
   /** 1-bit sign quantization: each dimension's SIGN packed into 32-bit
@@ -159,18 +148,7 @@ object Quantize {
       .groupBy(col("q_id"))
       .agg(top_k_by_score(col("nham"), col("cand_id"), prefilterK).as("pre"))
       .select(col("q_id"), explode(col("pre.id")).as("cand_id"))
-    val q = queries.select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
-    val c = corpus.select(col("vec_id").as("cand_id"), col("embedding").as("cand_emb"))
-    survivors
-      .join(graft.ops.Broadcasting.maybeBroadcast(q, broadcastQueries), Seq("q_id"))
-      .join(c, Seq("cand_id"))
-      .select(col("q_id"), col("cand_id"), cosine_sim(col("q_emb"), col("cand_emb")).as("sim"))
-      .groupBy(col("q_id"))
-      .agg(top_k_by_score(col("sim"), col("cand_id"), k).as("top"))
-      .select(col("q_id"), posexplode(col("top")).as(Seq("pos", "t")))
-      .select(col("q_id"), (col("pos") + 1).cast("long").as("rn"),
-        col("t.id").as("cand_id"), col("t.score").as("sim"))
-      .orderBy(col("q_id"), col("rn"))
+    graft.ops.TopK.cosineRerank(survivors, corpus, queries, k, broadcastQueries)
   }
 
   /** Reconstruct float vectors from [[int8]] output (q / scale), for

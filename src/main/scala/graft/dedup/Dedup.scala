@@ -436,9 +436,13 @@ object Dedup {
       .persist(StorageLevel.MEMORY_AND_DISK)
     val corpusFp = tokC
       .select(hex64(array_join(col("toks"), " ")).as("fingerprint")).distinct()
-    val corpusBands = minhashBands(minhashOf(shingleSet(tokC)))
+    // ONE corpus shingle pass feeds both the band signatures and the
+    // exact-Jaccard verify (tokC caching alone would still run the
+    // WordShingles explode twice)
+    val shC = shingleSet(tokC).persist(StorageLevel.MEMORY_AND_DISK)
+    val corpusBands = minhashBands(minhashOf(shC))
     incrementalFlags(batch, corpusFp, corpusBands,
-      _ => shingleSet(tokC), minJaccard) { tokC.unpersist(false) }
+      _ => shC, minJaccard) { shC.unpersist(false); tokC.unpersist(false) }
   }
 
   /** The ingest core shared by [[incrementalDedup]] (corpus signatures
@@ -607,20 +611,32 @@ object Dedup {
 
   val SimhashBits = 32
 
+  /** Per-bit ±1 vote aggregates over a hashed column `h` — the SimHash
+    * vote stage, shared with the frame-grain variant
+    * ([[graft.multimodal.Binary.simFingerprint]]) so the vote/tie
+    * convention cannot drift between operators (both oracles encode
+    * `s_b > 0 → bit set`, ties → 0).
+    */
+  private[graft] def simhashVoteAggs: Seq[org.apache.spark.sql.Column] =
+    (0 until SimhashBits).map { b =>
+      sum(when(shiftright(col("h"), b).bitwiseAND(lit(1L)) === 1L, 1).otherwise(-1)).as(s"s$b")
+    }
+
+  /** Combine the `s0..s31` vote columns into the fingerprint long. */
+  private[graft] def simhashCombineCol: org.apache.spark.sql.Column =
+    (0 until SimhashBits)
+      .map(b => when(col(s"s$b") > 0, lit(1L << b)).otherwise(lit(0L)))
+      .reduce(_ + _)
+
   /** 32-bit SimHash fingerprint: per token (with multiplicity) each
     * hash bit votes ±1; fingerprint bit = sign of the vote sum.
     */
   def simhash(docs: DataFrame): DataFrame = {
     val tok = withToks(docs).select(col("doc_id"), explode(col("toks")).as("t"))
     val h = tok.withColumn("h", hex64(concat(lit("t|"), col("t"))))
-    val sums = (0 until SimhashBits).map { b =>
-      sum(when(shiftright(col("h"), b).bitwiseAND(lit(1L)) === 1L, 1).otherwise(-1)).as(s"s$b")
-    }
+    val sums = simhashVoteAggs
     val bits = h.groupBy(col("doc_id")).agg(sums.head, sums.tail: _*)
-    val fp = (0 until SimhashBits)
-      .map(b => when(col(s"s$b") > 0, lit(1L << b)).otherwise(lit(0L)))
-      .reduce(_ + _)
-    bits.select(col("doc_id"), fp.as("simhash")).orderBy(col("doc_id"))
+    bits.select(col("doc_id"), simhashCombineCol.as("simhash")).orderBy(col("doc_id"))
   }
 
   /** SimHash near-dup pairs with Hamming distance ≤ maxHamming,

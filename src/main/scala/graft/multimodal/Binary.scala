@@ -102,16 +102,12 @@ object Binary {
     import org.apache.spark.sql.expressions.Window
     val frames = frameSample(docs, frameBytes, step)
       .withColumn("h", GraftFunctions.hex64(concat(lit("mm|"), col("frame_hex"))))
-    val sums = (0 until graft.dedup.Dedup.SimhashBits).map { b =>
-      sum(when(shiftright(col("h"), b).bitwiseAND(lit(1L)) === 1L, 1).otherwise(-1)).as(s"s$b")
-    }
+    // the vote/combine stages are Dedup's — one definition per convention
     val bits = frames.groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_frames_sampled"), sums: _*)
-    val fp = (0 until graft.dedup.Dedup.SimhashBits)
-      .map(b => when(col(s"s$b") > 0, lit(1L << b)).otherwise(lit(0L)))
-      .reduce(_ + _)
+      .agg(count(lit(1)).as("n_frames_sampled"), graft.dedup.Dedup.simhashVoteAggs: _*)
     val w = Window.partitionBy(col("sim_fingerprint"))
-    bits.select(col("doc_id"), col("n_frames_sampled"), fp.as("sim_fingerprint"))
+    bits.select(col("doc_id"), col("n_frames_sampled"),
+      graft.dedup.Dedup.simhashCombineCol.as("sim_fingerprint"))
       .select(col("doc_id"), col("n_frames_sampled"), col("sim_fingerprint"),
         count(lit(1)).over(w).as("group_size"),
         (col("doc_id") === min(col("doc_id")).over(w)).as("keep"))

@@ -1,0 +1,26 @@
+package graft.ops
+
+import org.apache.spark.sql.SparkSession
+
+/** Shared TBLPROPERTIES codec for the index-at-rest family: one place
+  * that writes a property, reads it back (missing → error, the
+  * no-silent-serving posture), and extracts integer fields from the
+  * small JSON blobs the indexes store — so LSH params / search stats /
+  * PQ params cannot each grow a subtly different hand-rolled parser.
+  */
+object TableProps {
+
+  def set(spark: SparkSession, table: String, key: String, value: String): Unit =
+    spark.sql(s"ALTER TABLE $table SET TBLPROPERTIES ('$key' = '$value')")
+
+  def get(spark: SparkSession, table: String, key: String): String =
+    spark.sql(s"SHOW TBLPROPERTIES $table").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+      .getOrElse(key, sys.error(s"table $table has no $key property"))
+
+  /** Integer field from a flat JSON object string. */
+  def longField(json: String, key: String): Long = {
+    val m = s""""$key"\\s*:\\s*(-?\\d+)""".r.findFirstMatchIn(json)
+    m.getOrElse(sys.error(s"property lacks $key: $json")).group(1).toLong
+  }
+}

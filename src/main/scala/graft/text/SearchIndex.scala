@@ -28,14 +28,6 @@ object SearchIndex {
   private def statsJson(nDocs: Long, sumDl: Long, maxDf: Long): String =
     s"""{"n_docs":$nDocs,"sum_dl":$sumDl,"max_df":$maxDf}"""
 
-  private def parseStats(json: String): (Long, Long, Long) = {
-    def field(k: String): Long = {
-      val m = s""""$k"\\s*:\\s*(-?\\d+)""".r.findFirstMatchIn(json)
-      m.getOrElse(sys.error(s"stats property lacks $k: $json")).group(1).toLong
-    }
-    (field("n_docs"), field("sum_dl"), field("max_df"))
-  }
-
   /** Build and persist the index for `docs`: one corpus pass for the
     * postings (the invertedIndex build), one for doc lengths + stats.
     * `nBuckets` sizes the at-rest file buckets — pick so one token
@@ -72,8 +64,8 @@ object SearchIndex {
     tokD.unpersist(false)
     val s = spark.table(s"${table}_doclen")
       .agg(count(lit(1)).as("n"), sum(col("dl")).as("s")).head()
-    spark.sql(s"ALTER TABLE $table SET TBLPROPERTIES ('graft.search.stats' = " +
-      s"'${statsJson(s.getLong(0), s.getLong(1), maxDf)}')")
+    graft.ops.TableProps.set(spark, table, "graft.search.stats",
+      statsJson(s.getLong(0), s.getLong(1), maxDf))
   }
 
   /** Restore a [[TextIndex]] from a [[save]]d table pair. Missing
@@ -82,12 +74,10 @@ object SearchIndex {
     * from a half-written index).
     */
   def load(spark: SparkSession, table: String): TextIndex = {
-    val props = spark.sql(s"SHOW TBLPROPERTIES $table").collect()
-      .map(r => r.getString(0) -> r.getString(1)).toMap
-    val json = props.getOrElse("graft.search.stats",
-      sys.error(s"table $table has no graft.search.stats property"))
-    val (n, s, m) = parseStats(json)
-    TextIndex(spark.table(table), spark.table(s"${table}_doclen"), n, s, m)
+    val json = graft.ops.TableProps.get(spark, table, "graft.search.stats")
+    import graft.ops.TableProps.longField
+    TextIndex(spark.table(table), spark.table(s"${table}_doclen"),
+      longField(json, "n_docs"), longField(json, "sum_dl"), longField(json, "max_df"))
   }
 
   /** BM25 top-k served ENTIRELY from the persisted index: postings of

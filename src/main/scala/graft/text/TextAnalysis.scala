@@ -571,17 +571,13 @@ object TextAnalysis {
         col("q.dim") === col("c.dim") && col("q.doc_id") =!= col("c.doc_id"))
       .groupBy(col("q.doc_id").as("q_id"), col("c.doc_id").as("cand_id"))
       .agg(sum(col("q.w") * col("c.w")).as("num"))
-    num
-      .join(norms.as("nq"), col("q_id") === col("nq.doc_id"))
-      .join(norms.as("nc"), col("cand_id") === col("nc.doc_id"))
-      .select(col("q_id"), col("cand_id"),
-        (col("num") / (sqrt(col("nq.s2")) * sqrt(col("nc.s2")))).as("sim"))
-      .groupBy(col("q_id"))
-      .agg(graft.GraftFunctions.top_k_by_score(col("sim"), col("cand_id"), k).as("top"))
-      .select(col("q_id"), posexplode(col("top")).as(Seq("pos", "t")))
-      .select(col("q_id"), (col("pos") + 1).cast("long").as("rn"),
-        col("t.id").as("cand_id"), col("t.score").as("sim"))
-      .orderBy(col("q_id"), col("rn"))
+    graft.ops.TopK.rankByScore(
+      num
+        .join(norms.as("nq"), col("q_id") === col("nq.doc_id"))
+        .join(norms.as("nc"), col("cand_id") === col("nc.doc_id"))
+        .select(col("q_id"), col("cand_id"),
+          (col("num") / (sqrt(col("nq.s2")) * sqrt(col("nc.s2")))).as("sim")),
+      k)
   }
 
   /** Corpus-bigram language-model scoring — the CCNet/perplexity

@@ -351,18 +351,22 @@ class TextKnnSpec extends SparkSpec {
     }
   }
 
-  test("Pq save/load: codebooks round-trip; served results identical") {
+  test("Pq saveIndex/loadIndex: codebooks+codes round-trip; code-served results identical") {
     import graft.ann.Pq
     val model = Pq.train(emb, m = 8, k = 16)
     val tmp = java.nio.file.Files.createTempDirectory("graft_pq").toString
-    Pq.save(model, spark, "graft_pq_spec", path = Some(s"$tmp/tbl"))
-    val loaded = Pq.load(spark, "graft_pq_spec")
+    Pq.saveIndex(model, emb, "graft_pq_spec", path = Some(s"$tmp/tbl"))
+    val (loaded, codes) = Pq.loadIndex(spark, "graft_pq_spec")
     assert(loaded.m === model.m && loaded.k === model.k && loaded.dSub === model.dSub)
     assert(loaded.codebooks.flatten.flatten.toSeq === model.codebooks.flatten.flatten.toSeq)
+    // serving from the PERSISTED codes (no re-encode of the corpus)
+    // matches the self-contained path row-for-row
     val queries = emb.filter(col("vec_id") < 5)
-    assert(Pq.pqTopK(emb, queries, loaded, 3, 10).collect().map(_.toString).toSeq ===
+    assert(Pq.pqTopKOnCodes(codes, emb, queries, loaded, 3, 10)
+      .collect().map(_.toString).toSeq ===
       Pq.pqTopK(emb, queries, model, 3, 10).collect().map(_.toString).toSeq)
     spark.sql("DROP TABLE IF EXISTS graft_pq_spec")
+    spark.sql("DROP TABLE IF EXISTS graft_pq_spec_codes")
   }
 
   test("binaryTopK: sign codes pack correctly; planted copies recalled at hamming 0; decent brute recall") {
