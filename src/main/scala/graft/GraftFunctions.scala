@@ -49,6 +49,14 @@ object GraftFunctions {
       graft.expressions.HammingDistance(
         GraftColumnBridge.expression(a), GraftColumnBridge.expression(b)))
 
+  /** ADC lookup-table score over PQ codes (codegen tight loop); see
+    * [[graft.expressions.AdcScore]].
+    */
+  def adc_score(codes: Column, tab: Column): Column =
+    GraftColumnBridge.column(
+      graft.expressions.AdcScore(
+        GraftColumnBridge.expression(codes), GraftColumnBridge.expression(tab)))
+
   /** Map-side bounded top-k aggregate over (score, id); see
     * [[graft.expressions.TopKByScore]].
     */
@@ -104,5 +112,7 @@ object GraftFunctions {
       es => graft.expressions.IntDotProduct(es.head, es(1)), "scala_udf")
     reg.createOrReplaceTempFunction("hamming_distance",
       es => graft.expressions.HammingDistance(es.head, es(1)), "scala_udf")
+    reg.createOrReplaceTempFunction("adc_score",
+      es => graft.expressions.AdcScore(es.head, es(1)), "scala_udf")
   }
 }

@@ -267,10 +267,29 @@ object SparkEntry {
     // (declared); planted-copy + recall specs in TextKnnSpec
     "ann_pq" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
-      // codebooks train on a deterministic 10% sample — the standard PQ
-      // practice (training cost is per-sample, serving cost per-corpus)
-      val model = graft.ann.Pq.train(e.filter(col("vec_id") % 10 === 0), m = 8, k = 16)
+      // codebooks train on train()'s default deterministic 10% sample —
+      // the standard PQ practice (training cost is per-sample, serving
+      // cost per-corpus); this row serves the declared EXHAUSTIVE ADC
+      // baseline — the cell-pruned production path is ann_ivfpq
+      val model = graft.ann.Pq.train(e, m = 8, k = 16)
       graft.ann.Pq.pqTopK(e, e.filter(col("vec_id") < 10), model, k = 5, prefilterK = 20)
+    }),
+    // rows-only like ann_pq (MLlib codebooks); IVFADC — the full
+    // persisted round trip: codebook + (vec_id, cell, codes) bucketed
+    // by cell + centroids saved, reloaded, and served with ADC scored
+    // ONLY inside probed cells (equi-join on cell, never a codes ×
+    // queries cross join — plan-asserted in PlanContractSpec);
+    // planted-copy/recall/≡-exhaustive specs in TextKnnSpec
+    "ann_ivfpq" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val cents = e.filter(col("vec_id") < 8)
+      val model = graft.ann.Pq.train(e, m = 8, k = 16)
+      val tmp = tempDir("ivfpq_idx")
+      graft.ann.Pq.saveCellIndex(model, e, cents, "graft_ivfpq_rt",
+        path = Some(s"$tmp/tbl"))
+      val (m2, cells, c2) = graft.ann.Pq.loadCellIndex(s, "graft_ivfpq_rt")
+      graft.ann.Pq.pqTopKOnCells(cells, e, c2, e.filter(col("vec_id") < 10), m2,
+        nProbe = 2, k = 5, prefilterK = 20)
     }),
     "ann_hamming" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")

@@ -51,17 +51,30 @@ object Pq {
     * result — centroid movement past the first few Lloyd iterations
     * changes ADC recall marginally while costing a full corpus pass
     * per iteration per subspace.
+    *
+    * `sampleFrac` (default 0.1) trains on a DETERMINISTIC corpus
+    * sample (`vec_id % round(1/frac) == 0`) — the standard PQ
+    * practice: training cost is per-sample, serving cost per-corpus,
+    * and a quantization grid fitted on 10% of the data is
+    * recall-indistinguishable from the full fit (spec'd in
+    * TextKnnSpec). Pass 1.0 for the full-corpus fit. The sample must
+    * still hold ≥ k vectors (refused loudly below otherwise).
     */
   def train(emb: DataFrame, m: Int = 8, k: Int = 16, seed: Long = 42L,
-      maxIter: Int = 10): PqModel = {
+      maxIter: Int = 10, sampleFrac: Double = 0.1): PqModel = {
     val spark = emb.sparkSession
     // codes are stored as tinyint and ADC tables are indexed s·k+code —
     // both silently corrupt past these bounds, so fail loudly here
     require(k >= 2 && k <= 127, s"k=$k must be in [2, 127] (codes are tinyint)")
-    val d = emb.select(size(col("embedding"))).head().getInt(0)
+    require(sampleFrac > 0.0 && sampleFrac <= 1.0,
+      s"sampleFrac=$sampleFrac must be in (0, 1]")
+    val sampled =
+      if (sampleFrac >= 1.0) emb
+      else emb.filter(col("vec_id") % math.round(1.0 / sampleFrac) === 0)
+    val d = sampled.select(size(col("embedding"))).head().getInt(0)
     require(d % m == 0, s"m=$m must divide dim=$d")
     val dSub = d / m
-    val unit = emb.select(l2_normalize(col("embedding")).as("nv"))
+    val unit = sampled.select(l2_normalize(col("embedding")).as("nv"))
       .filter(col("nv").isNotNull)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     unit.count()
@@ -190,21 +203,13 @@ object Pq {
   def loadIndex(spark: SparkSession, table: String): (PqModel, DataFrame) =
     (load(spark, table), spark.table(s"${table}_codes"))
 
-  /** ADC top-k serving from PREBUILT codes: per-query lookup tables
-    * (m·k dot products against the broadcast codebook), candidate
-    * score = in-order sum of m table lookups over the code array,
-    * bounded TopKByScore prefilter, exact-cosine rerank of survivors
-    * (the only step touching full vectors — prefilterK × queries
-    * rows). Output: (q_id, rn, cand_id, sim) — the [[Knn.cosineTopK]]
-    * shape.
+  /** Per-query ADC lookup tables: (q_id, tab) with
+    * tab(s·k + code) = dot(q_s, codebook_s[code]) — m·k dot products
+    * per query against the broadcast codebook, assembled in slot order.
     */
-  def pqTopKOnCodes(codes: DataFrame, corpus: DataFrame, queries: DataFrame,
-      model: PqModel, k: Int, prefilterK: Int,
-      broadcastQueries: Option[Boolean] = None): DataFrame = {
-    val spark = corpus.sparkSession
-    val cb = broadcast(model.frame(spark))
-    // (q_id, tab): tab(s·k + code) = dot(q_s, codebook_s[code])
-    val qtab = queries
+  private def adcTables(queries: DataFrame, model: PqModel): DataFrame = {
+    val cb = broadcast(model.frame(queries.sparkSession))
+    queries
       .select(col("vec_id").as("q_id"), l2_normalize(col("embedding")).as("nv"))
       .filter(col("nv").isNotNull)
       .select(col("q_id"), posexplode(expr(
@@ -216,16 +221,123 @@ object Pq {
       .groupBy(col("q_id"))
       .agg(sort_array(collect_list(struct(col("slot"), col("w")))).as("tw"))
       .select(col("q_id"), expr("transform(tw, x -> x.w)").as("tab"))
+  }
+
+  /** ADC top-k serving from PREBUILT codes: per-query lookup tables
+    * ([[adcTables]]), candidate score = the codegen
+    * [[graft.expressions.AdcScore]] kernel (m table lookups per
+    * candidate — the HOF fold it replaced measured interpreted
+    * per-element, the IntDotProduct/HammingDistance lesson), bounded
+    * TopKByScore prefilter, exact-cosine rerank of survivors (the only
+    * step touching full vectors — prefilterK × queries rows). Output:
+    * (q_id, rn, cand_id, sim) — the [[Knn.cosineTopK]] shape.
+    *
+    * This is the EXHAUSTIVE ADC form: every code row is scored against
+    * every query — the declared O(n·q) baseline of the PQ family, kept
+    * for small corpora and as the oracle for the cell-pruned path.
+    * At scale, serve [[pqTopKOnCells]] instead (IVFADC — Jégou et al.
+    * 2011 §V: ADC within probed IVF cells only).
+    */
+  def pqTopKOnCodes(codes: DataFrame, corpus: DataFrame, queries: DataFrame,
+      model: PqModel, k: Int, prefilterK: Int,
+      broadcastQueries: Option[Boolean] = None): DataFrame = {
+    val qtab = adcTables(queries, model)
     val codesR = codes.select(col("vec_id").as("cand_id"), col("codes"))
-    val adc = expr(s"aggregate(sequence(0, ${model.m - 1}), cast(0.0 as double), " +
-      s"(acc, s) -> acc + element_at(tab, s * ${model.k} + cast(codes[s] as int) + 1))")
     val survivors = codesR
       .crossJoin(graft.ops.Broadcasting.maybeBroadcast(qtab, broadcastQueries))
       .filter(col("q_id") =!= col("cand_id"))
-      .select(col("q_id"), col("cand_id"), adc.as("ascore"))
+      .select(col("q_id"), col("cand_id"),
+        graft.GraftFunctions.adc_score(col("codes"), col("tab")).as("ascore"))
       .groupBy(col("q_id"))
       .agg(top_k_by_score(col("ascore"), col("cand_id"), prefilterK).as("pre"))
       .select(col("q_id"), explode(col("pre.id")).as("cand_id"))
     graft.ops.TopK.cosineRerank(survivors, corpus, queries, k, broadcastQueries)
   }
+
+  // ---- IVFADC: cell-pruned ADC serving (Jégou et al. 2011 §V) ----
+
+  /** Encode the corpus AND assign each vector to its IVF cell in one
+    * frame: (vec_id, cell, codes). The inverted-file face of the PQ
+    * index — [[pqTopKOnCells]] scores ADC only inside probed cells, so
+    * the 64×-compressed scan ALSO touches only nProbe/nCells of the
+    * rows (compression × pruning, the composition that earns PQ its
+    * 100 TB claim; the exhaustive [[pqTopKOnCodes]] scan is the form
+    * the paper's own IVFADC section exists to avoid).
+    */
+  def encodeInCells(corpus: DataFrame, model: PqModel, centroids: DataFrame,
+      broadcastCentroids: Option[Boolean] = None): DataFrame =
+    Ivf.assign(corpus, centroids, broadcastCentroids)
+      .join(encode(corpus, model), Seq("vec_id"))
+      .select(col("vec_id"), col("cell"), col("codes"))
+
+  /** IVFADC top-k serving: probe the nProbe nearest cells per query
+    * (the [[Ivf.probeTopKOnIndex]] probe shape), score ADC only over
+    * code rows in probed cells — an equi-join on cell against the
+    * (bucketed-at-rest) cell table, never a codes × queries cross
+    * join — then exact-cosine rerank of the prefilterK survivors
+    * against the full-precision corpus (the only step touching full
+    * vectors, prefilterK × queries rows).
+    *
+    * `cells` is an [[encodeInCells]] / [[loadCellIndex]] frame
+    * (vec_id, cell, codes). A multi-probe-built cells table (vectors
+    * repeated across cells) may fill several prefilter slots with the
+    * same candidate; survivors are deduplicated before the rerank, so
+    * the output stays rank-unique — size prefilterK accordingly.
+    */
+  def pqTopKOnCells(cells: DataFrame, corpus: DataFrame, centroids: DataFrame,
+      queries: DataFrame, model: PqModel, nProbe: Int, k: Int, prefilterK: Int,
+      broadcastQueries: Option[Boolean] = None): DataFrame = {
+    val c = centroids.select(col("vec_id").as("c_id"), col("embedding").as("c_emb"))
+    val probes = queries.select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+      .crossJoin(graft.ops.Broadcasting.maybeBroadcast(c))
+      .select(col("q_id"), col("c_id"),
+        cosine_sim(col("q_emb"), col("c_emb")).as("c_sim"))
+      .groupBy(col("q_id"))
+      .agg(top_k_by_score(col("c_sim"), col("c_id"), nProbe).as("top"))
+      .select(col("q_id"), explode(col("top.id")).as("cell"))
+    val qtab = adcTables(queries, model)
+    val survivors = probes
+      .join(cells.select(col("cell"), col("vec_id").as("cand_id"), col("codes")),
+        Seq("cell"))
+      .filter(col("cand_id") =!= col("q_id"))
+      .join(graft.ops.Broadcasting.maybeBroadcast(qtab, broadcastQueries), Seq("q_id"))
+      .select(col("q_id"), col("cand_id"),
+        graft.GraftFunctions.adc_score(col("codes"), col("tab")).as("ascore"))
+      .groupBy(col("q_id"))
+      .agg(top_k_by_score(col("ascore"), col("cand_id"), prefilterK).as("pre"))
+      .select(col("q_id"), explode(col("pre.id")).as("cand_id"))
+      // a multi-probe cells table repeats candidates across cells with
+      // IDENTICAL ADC scores — collapse before the rerank (survivor
+      // grain: ≤ prefilterK × queries rows, negligible)
+      .dropDuplicates("q_id", "cand_id")
+    graft.ops.TopK.cosineRerank(survivors, corpus, queries, k, broadcastQueries)
+  }
+
+  /** Persist the full IVFADC index at rest: `<table>` = the codebook
+    * ([[save]]), `<table>_cells` = (vec_id, cell, codes) bucketed +
+    * sorted by cell (a probe prunes to its cells' file buckets and the
+    * serving equi-join runs exchange-free on the index side — the
+    * [[Ivf.saveIndex]] layout with m-byte codes instead of
+    * full-precision embeddings riding in the index), `<table>_centroids`
+    * = the coarse quantizer.
+    */
+  def saveCellIndex(model: PqModel, corpus: DataFrame, centroids: DataFrame,
+      table: String, nBuckets: Int = 32, path: Option[String] = None): Unit = {
+    save(model, corpus.sparkSession, table, path)
+    val wc = encodeInCells(corpus, model, centroids).write.mode("overwrite")
+      .bucketBy(nBuckets, "cell").sortBy("cell").format("parquet")
+    path.foreach(loc => wc.option("path", s"${loc}_cells"))
+    wc.saveAsTable(s"${table}_cells")
+    val wct = centroids.select(col("vec_id"), col("embedding"))
+      .write.mode("overwrite").format("parquet")
+    path.foreach(loc => wct.option("path", s"${loc}_centroids"))
+    wct.saveAsTable(s"${table}_centroids")
+  }
+
+  /** Restore (model, cells, centroids) from a [[saveCellIndex]] table
+    * triple.
+    */
+  def loadCellIndex(spark: SparkSession, table: String): (PqModel, DataFrame, DataFrame) =
+    (load(spark, table), spark.table(s"${table}_cells"),
+      spark.table(s"${table}_centroids"))
 }

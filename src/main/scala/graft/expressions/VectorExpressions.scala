@@ -261,6 +261,90 @@ case class HammingDistance(left: Expression, right: Expression) extends BinaryEx
     copy(left = l, right = r)
 }
 
+/** Asymmetric-Distance-Computation score: Σ_s tab[s·k + codes[s]] over
+  * a PQ code array (array<tinyint|smallint|int>, length m) and a
+  * per-query lookup table (array<double>, length m·k) — the inner loop
+  * of PQ serving (Jégou et al. 2011 §ADC;
+  * [[graft.ann.Pq.pqTopKOnCodes]]). `k` is recovered as tabLen / m, so
+  * the expression needs no constructor parameter and any (m, k) layout
+  * mismatch fails loudly instead of mis-indexing.
+  *
+  * The HOF form (`aggregate(sequence(0,m-1), acc + element_at(...))`)
+  * evaluates a lambda object per subspace per candidate — the same
+  * interpreted-per-element pattern measured 1.5× slower for
+  * [[HammingDistance]] and ~5× for [[IntDotProduct]]; this is the same
+  * tight-loop fix.
+  */
+case class AdcScore(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "adc_score"
+
+  private lazy val ct = VecUtil.elementType(left.dataType)
+
+  // dispatch hoisted out of the per-subspace loop (IntDotProduct lesson)
+  private def codeGetter(et: DataType): (ArrayData, Int) => Int = et match {
+    case ByteType    => (a, i) => a.getByte(i).toInt
+    case ShortType   => (a, i) => a.getShort(i).toInt
+    case IntegerType => (a, i) => a.getInt(i)
+    case other => throw new IllegalArgumentException(s"unsupported code element type $other")
+  }
+  @transient private lazy val getCode = codeGetter(ct)
+
+  private def codeGetterSrc(et: DataType, arr: String, i: String): String = et match {
+    case ByteType    => s"(int) $arr.getByte($i)"
+    case ShortType   => s"(int) $arr.getShort($i)"
+    case IntegerType => s"$arr.getInt($i)"
+    case other => throw new IllegalArgumentException(s"unsupported code element type $other")
+  }
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val codes = l.asInstanceOf[ArrayData]
+    val tab = r.asInstanceOf[ArrayData]
+    val m = codes.numElements()
+    val tl = tab.numElements()
+    if (m == 0 || tl % m != 0) throw new IllegalArgumentException(
+      s"$prettyName: table length $tl is not a multiple of code length $m")
+    val k = tl / m
+    var acc = 0.0
+    var s = 0
+    while (s < m) {
+      val c = getCode(codes, s)
+      // an out-of-range code would silently read another subspace's slot
+      if (c < 0 || c >= k) throw new IllegalArgumentException(
+        s"$prettyName: code $c out of range [0, $k) in subspace $s")
+      acc += tab.getDouble(s * k + c)
+      s += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val s = ctx.freshName("s")
+      val m = ctx.freshName("m")
+      val k = ctx.freshName("k")
+      val c = ctx.freshName("c")
+      val acc = ctx.freshName("acc")
+      s"""
+         |int $m = $a.numElements();
+         |if ($m == 0 || $b.numElements() % $m != 0) throw new IllegalArgumentException(
+         |  "$prettyName: table length " + $b.numElements() + " is not a multiple of code length " + $m);
+         |int $k = $b.numElements() / $m;
+         |double $acc = 0.0;
+         |for (int $s = 0; $s < $m; $s++) {
+         |  int $c = ${codeGetterSrc(ct, a, s)};
+         |  if ($c < 0 || $c >= $k) throw new IllegalArgumentException(
+         |    "$prettyName: code " + $c + " out of range [0, " + $k + ") in subspace " + $s);
+         |  $acc += $b.getDouble($s * $k + $c);
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
 /** L2 (Euclidean) norm of a vector (reference: lshrs/utils/norm.py:4). */
 case class L2Norm(child: Expression) extends UnaryExpression {
   override def dataType: DataType = DoubleType

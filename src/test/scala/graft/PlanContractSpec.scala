@@ -133,6 +133,9 @@ class PlanContractSpec extends SparkSpec {
       val phys = physical(q(name))
       assert(!phys.contains("Window"), s"$name routes scores through a window:\n$phys")
     }
+    // the ADC inner loop is the codegen kernel, not an interpreted HOF fold
+    assert(physical(q("ann_pq")).contains("adc_score"),
+      "ann_pq does not score through the native AdcScore kernel")
     // hash embedding: two keyed aggs + the norm join, no window
     val he = physical(q("text_hash_embed"))
     assert(!he.contains("Window"), s"hash_embed plans a window:\n$he")
@@ -141,6 +144,22 @@ class PlanContractSpec extends SparkSpec {
     val sl = physical(q("events_sliding"))
     val hashEx = "Exchange hashpartitioning".r.findAllIn(sl).size
     assert(hashEx === 1, s"events_sliding shuffles $hashEx times (expected 1):\n$sl")
+  }
+
+  test("ann_ivfpq: ADC only inside probed cells — no codes × queries cross join, native kernel, window-free") {
+    val phys = physical(q("ann_ivfpq"))
+    assert(phys.contains("adc_score"),
+      s"ann_ivfpq does not score through the native AdcScore kernel:\n$phys")
+    assert(!phys.contains("Window"),
+      s"ann_ivfpq routes scores through a window:\n$phys")
+    assert(!phys.contains("CartesianProduct"),
+      s"ann_ivfpq plans a cartesian product:\n$phys")
+    // the ONLY nested-loop join allowed is the queries × centroids probe
+    // (nCells rows, broadcast); the code rows must reach the scorer
+    // through equi-joins on cell/q_id — an exhaustive codes × queries
+    // scan would appear as a second nested loop here
+    val nl = "NestedLoopJoin".r.findAllIn(phys).size
+    assert(nl <= 1, s"ann_ivfpq plans $nl nested-loop joins (max 1, the centroid probe):\n$phys")
   }
 
   test("events_streaks: post-window aggregations reuse the user partitioning") {

@@ -369,6 +369,93 @@ class TextKnnSpec extends SparkSpec {
     spark.sql("DROP TABLE IF EXISTS graft_pq_spec_codes")
   }
 
+  test("Pq IVFADC: planted copies found cell-pruned; probing every cell ≡ exhaustive ADC; pruned recall holds") {
+    import graft.ann.Pq
+    val model = Pq.train(emb, m = 8, k = 16)
+    val cents = emb.filter(col("vec_id") < 8)
+    val queries = emb.filter(col("vec_id") < 10)
+    // an exact copy encodes identical codes AND lands in its original's
+    // cell (identical argmax) — the cell-pruned path must surface it at
+    // rank 1 / cosine 1 even at nProbe=1
+    val copies = queries.withColumn("vec_id", col("vec_id") + lit(1000000L))
+    val all = emb.unionByName(copies)
+    Pq.pqTopKOnCells(Pq.encodeInCells(all, model, cents), all, cents,
+        queries, model, nProbe = 1, k = 1, prefilterK = 20).collect()
+      .foreach { r =>
+        assert(r.getAs[Long]("cand_id") === r.getAs[Long]("q_id") + 1000000L)
+        assert(math.abs(r.getAs[Double]("sim") - 1.0) < 1e-6)
+      }
+    // probing EVERY cell makes the candidate set the whole corpus — the
+    // cell-pruned path must then reproduce the exhaustive ADC scan
+    // row-for-row (same scores, same TopKByScore tie-breaks)
+    val cells = Pq.encodeInCells(emb, model, cents)
+    assert(Pq.pqTopKOnCells(cells, emb, cents, queries, model, nProbe = 8,
+      k = 5, prefilterK = 20).collect().map(_.toString).toSeq ===
+      Pq.pqTopKOnCodes(Pq.encode(emb, model), emb, queries, model, k = 5,
+        prefilterK = 20).collect().map(_.toString).toSeq)
+    // pruned serving (nProbe=2 of 8 cells — the scan touches ~25% of
+    // the code rows) still recovers a usable share of the exact top-5
+    // on the worst-case random corpus
+    val truth = Knn.cosineTopK(emb, queries, 5).collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("cand_id"))).toSet
+    val got = Pq.pqTopKOnCells(cells, emb, cents, queries, model, nProbe = 2,
+      k = 5, prefilterK = 100).collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("cand_id"))).toSet
+    val rec = (got & truth).size.toDouble / truth.size
+    assert(rec >= 0.25, s"IVFADC recall at nProbe=2 is $rec, below 0.25")
+  }
+
+  test("Pq.train sampleFrac: sampled (default) and full-corpus fits both satisfy the recall bar") {
+    import graft.ann.Pq
+    val queries = emb.filter(col("vec_id") < 10)
+    val truth = Knn.cosineTopK(emb, queries, 5).collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("cand_id"))).toSet
+    def recall(model: Pq.PqModel): Double = {
+      val got = Pq.pqTopK(emb, queries, model, k = 5, prefilterK = 100).collect()
+        .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("cand_id"))).toSet
+      (got & truth).size.toDouble / truth.size
+    }
+    val rSampled = recall(Pq.train(emb, m = 8, k = 16)) // default 10% sample
+    val rFull = recall(Pq.train(emb, m = 8, k = 16, sampleFrac = 1.0))
+    assert(rSampled >= 0.6, s"sampled-fit recall $rSampled below 0.6")
+    assert(rFull >= 0.6, s"full-fit recall $rFull below 0.6")
+  }
+
+  test("Pq saveCellIndex/loadCellIndex: IVFADC round trip; loaded serving ≡ fresh; bucketed cells exchange-free") {
+    import graft.ann.Pq
+    val model = Pq.train(emb, m = 8, k = 16)
+    val cents = emb.filter(col("vec_id") < 8)
+    val queries = emb.filter(col("vec_id") < 5)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_ivfpq").toString
+    Pq.saveCellIndex(model, emb, cents, "graft_ivfpq_spec", path = Some(s"$tmp/tbl"))
+    val (loaded, cells, loadedCents) = Pq.loadCellIndex(spark, "graft_ivfpq_spec")
+    assert(loaded.m === model.m && loaded.k === model.k && loaded.dSub === model.dSub)
+    val served = Pq.pqTopKOnCells(cells, emb, loadedCents, queries, loaded,
+      nProbe = 2, k = 3, prefilterK = 10)
+    val fresh = Pq.pqTopKOnCells(Pq.encodeInCells(emb, model, cents), emb,
+      cents, queries, model, nProbe = 2, k = 3, prefilterK = 10)
+    assert(served.collect().map(_.toString).toSeq ===
+      fresh.collect().map(_.toString).toSeq)
+    // the bucketed-by-cell code table serves the probe equi-join with
+    // fewer exchanges than a freshly encoded corpus (same idiom as the
+    // Ivf persisted-index spec)
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val old = spark.conf.get(key)
+    spark.conf.set(key, "-1")
+    try {
+      def exchanges(df: org.apache.spark.sql.DataFrame) =
+        "Exchange".r.findAllIn(df.queryExecution.executedPlan.toString).size
+      assert(exchanges(Pq.pqTopKOnCells(cells, emb, loadedCents, queries,
+        loaded, 2, 3, 10)) <
+        exchanges(Pq.pqTopKOnCells(Pq.encodeInCells(emb, model, cents), emb,
+          cents, queries, model, 2, 3, 10)),
+        "loaded cell table should not exchange on the serving join")
+    } finally spark.conf.set(key, old)
+    spark.sql("DROP TABLE IF EXISTS graft_ivfpq_spec")
+    spark.sql("DROP TABLE IF EXISTS graft_ivfpq_spec_cells")
+    spark.sql("DROP TABLE IF EXISTS graft_ivfpq_spec_centroids")
+  }
+
   test("binaryTopK: sign codes pack correctly; planted copies recalled at hamming 0; decent brute recall") {
     import graft.ann.Quantize
     // code words reproduce the sign pattern (hand-check on a planted vector)

@@ -71,6 +71,41 @@ class VectorFunctionsSpec extends SparkSpec {
     assert(causes(e).exists(c => Option(c.getMessage).exists(_.contains("dimensions differ"))))
   }
 
+  test("adc_score: hand-computed lookup sums; layout and range errors raise") {
+    // m=2 subspaces, k=3 codes: tab slots [s0: 1,2,3 | s1: 10,20,30]
+    // Seq[Byte] → array<tinyint> (an Array[Byte] column would be binary)
+    val tab = Array(1.0, 2.0, 3.0, 10.0, 20.0, 30.0)
+    val rows = Seq(
+      (Seq(0.toByte, 0.toByte), 1.0 + 10.0),
+      (Seq(2.toByte, 1.toByte), 3.0 + 20.0),
+      (Seq(1.toByte, 2.toByte), 2.0 + 30.0))
+    rows.foreach { case (codes, want) =>
+      val got = one(Seq((codes, tab)).toDF("c", "t")
+        .select(adc_score($"c", $"t"))).asInstanceOf[Double]
+      assert(got === want, s"adc_score(${codes.toSeq}) = $got, want $want")
+    }
+    // interpreted eval (constant-folded literals) agrees with codegen
+    val lit2 = one(Seq(1).toDF("x").select(adc_score(
+      typedLit(Seq(2.toByte, 1.toByte)), typedLit(tab)))).asInstanceOf[Double]
+    assert(lit2 === 23.0)
+    def causes(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: causes(t.getCause)
+    // table length not a multiple of m → loud error, not a mis-indexed score
+    val badLayout = intercept[Exception] {
+      Seq((Seq(0.toByte, 0.toByte, 0.toByte, 0.toByte), tab)).toDF("c", "t")
+        .select(adc_score($"c", $"t")).collect()
+    }
+    assert(causes(badLayout).exists(c =>
+      Option(c.getMessage).exists(_.contains("not a multiple"))))
+    // code outside [0, k) → loud error (would read another subspace's slot)
+    val badCode = intercept[Exception] {
+      Seq((Seq(3.toByte, 0.toByte), tab)).toDF("c", "t")
+        .select(adc_score($"c", $"t")).collect()
+    }
+    assert(causes(badCode).exists(c =>
+      Option(c.getMessage).exists(_.contains("out of range"))))
+  }
+
   test("cosine_sim interpreted eval matches codegen") {
     // force interpreted path via filter on the expression in a situation
     // Catalyst may constant-fold; compare against a manual computation
