@@ -48,19 +48,27 @@ object Bench {
     // checksum over every output column: count() alone would let Catalyst
     // prune the aggregates/projections being measured. bit_xor is closed
     // over int64 — no ANSI overflow possible.
+    // (buildSec, execSec, err): build = the fn(...) call — eager work a
+    // query does before its plan executes (e.g. ann_pq/ann_ivfpq KMeans
+    // training + index save/load); exec = the collect. The split keeps a
+    // mostly-one-time-cost row (PQ training is ~70% of ann_pq) from
+    // reading as a serving regression when training knobs change
+    // (round-4 verdict item #8). The stdout line carries totals; the
+    // full (build, exec) map goes to bench_out.json.
     def runOnce(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
-        : (Double, Option[String]) = {
+        : (Double, Double, Option[String]) = {
       val t0 = System.nanoTime()
       val out = try {
         val df = fn(spark, sfDir)
+        val t1 = System.nanoTime()
         df.select(xxhash64(df.columns.toIndexedSeq.map(col): _*).as("h"))
           .agg(expr("bit_xor(h)")).collect()
-        ((System.nanoTime() - t0) / 1e9, None)
+        ((t1 - t0) / 1e9, (System.nanoTime() - t1) / 1e9, None)
       } catch {
         case e: Throwable =>
           val msg = Option(e.getMessage).getOrElse(e.getClass.getName)
             .replaceAll("[\"\\\\\n\r\t]", " ").take(200)
-          ((System.nanoTime() - t0) / 1e9, Some(msg))
+          ((System.nanoTime() - t0) / 1e9, 0.0, Some(msg))
       }
       // drop every cached plan/block between runs: operators that
       // materialize internally would otherwise serve runs 2..N from run
@@ -78,16 +86,21 @@ object Bench {
     val loadBefore = loadAvg()
 
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    val phases = scala.collection.mutable.LinkedHashMap.empty[String, (Double, Double)]
     val results = SparkEntry.queries.map { case (name, fn) =>
       val attempts = (1 to runs).map(_ => runOnce(name, fn))
-      attempts.collectFirst { case (_, Some(err)) => err }.foreach { err =>
+      attempts.collectFirst { case (_, _, Some(err)) => err }.foreach { err =>
         errors(name) = err
         System.err.println(s"[bench] FAILED $name: $err")
       }
       // min over SUCCESSFUL attempts only — a fast failure must not
       // masquerade as a fast query
-      val okTimes = attempts.collect { case (t, None) => t }
-      name -> (if (okTimes.nonEmpty) okTimes.min else attempts.map(_._1).min)
+      val okAttempts = attempts.collect { case (b, x, None) => (b, x) }
+      if (okAttempts.nonEmpty) {
+        val best = okAttempts.minBy { case (b, x) => b + x }
+        phases(name) = best
+        name -> (best._1 + best._2)
+      } else name -> attempts.map(_._1).min
     }
     // the driver parses the stdout line from a 2000-char tail window
     // (round-3 verdict item #2: full-precision doubles for 81 queries =
@@ -99,22 +112,31 @@ object Bench {
     // per-query map always goes to the bench_out.json file.
     def fmt(v: Double, dp: Int): String =
       String.format(java.util.Locale.ROOT, s"%.${dp}f", Double.box(v))
-    val errJson = errors.map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }
-      .mkString("{", ",", "}")
+    def errJsonOf(es: Iterable[(String, String)]): String =
+      es.map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }.mkString("{", ",", "}")
+    // the stdout line's error map is budgeted too (round-4 ADVICE): at
+    // most 3 entries of 60 chars each — unbounded messages could blow
+    // the 2000-char tail window the query budget exists to protect.
+    // The file JSON always carries the full map.
+    val errLine = errJsonOf(errors.take(3).map { case (k, v) => k -> v.take(60) }) +
+      (if (errors.size > 3) s""","errors_omitted":${errors.size - 3}""" else "")
     val total = if (results.nonEmpty) results.values.sum else 0.0
     val ok = errors.isEmpty
     // capture the after-load ONCE: assemble() runs repeatedly in the
     // budget loop, and a load value crossing a digit boundary between
     // the length check and the final emit would desynchronize them
     val loadAfter = loadAvg()
-    def assemble(qEntries: Seq[String]) =
-      s"""{"metric":"total","value":${fmt(total, 3)},"unit":"sec","n_queries":${results.size},"queries":${qEntries.mkString("{", ",", "}")},"ok":$ok,"errors":$errJson,"runs":$runs,"load":[${fmt(loadBefore, 2)},${fmt(loadAfter, 2)}],"sf":"$sfDir"}"""
+    def assemble(qEntries: Seq[String], errJson: String, extra: String = "") =
+      s"""{"metric":"total","value":${fmt(total, 3)},"unit":"sec","n_queries":${results.size},"queries":${qEntries.mkString("{", ",", "}")},"ok":$ok,"errors":$errJson$extra,"runs":$runs,"load":[${fmt(loadBefore, 2)},${fmt(loadAfter, 2)}],"sf":"$sfDir"}"""
     val byCost = results.toSeq.sortBy { case (k, v) => (-v, k) }
       .map { case (k, v) => "\"" + k + "\":" + fmt(v, 4) }
-    val fullJson = assemble(results.toSeq.map { case (k, v) => "\"" + k + "\":" + fmt(v, 4) })
+    val phasesJson = phases.map { case (k, (b, x)) =>
+      "\"" + k + "\":[" + fmt(b, 4) + "," + fmt(x, 4) + "]" }.mkString("{", ",", "}")
+    val fullJson = assemble(results.toSeq.map { case (k, v) => "\"" + k + "\":" + fmt(v, 4) },
+      errJsonOf(errors), s""","phases_build_exec":$phasesJson""")
     var kept = byCost
-    while (assemble(kept).length > 1900 && kept.nonEmpty) kept = kept.dropRight(1)
-    val lineJson = assemble(kept)
+    while (assemble(kept, errLine).length > 1900 && kept.nonEmpty) kept = kept.dropRight(1)
+    val lineJson = assemble(kept, errLine)
     System.err.println(s"[bench] stdout line ${lineJson.length} chars " +
       s"(${kept.size}/${results.size} queries; full map in the output file)")
     // always persist the FULL result to a file — sbt/log4j stdout

@@ -104,14 +104,19 @@ object Ivf {
     // documented recall lever) legitimately repeats vectors across
     // cells. Deduplicate defensively: duplicate candidate rows would
     // otherwise fill multiple ranks of the top-k with the same id. The
-    // pairs are already bounded by the probe selectivity, and identical
-    // rows collapse map-side.
+    // pick is `min(cand_emb)` rather than dropDuplicates' arbitrary
+    // row, so serving stays REPRODUCIBLE even over a malformed index
+    // whose duplicate (vec_id, cell) rows disagree on the embedding
+    // (on a well-formed index the rows are bit-identical and min is
+    // the identity). Same shuffle shape, still partial-aggregated,
+    // bounded by the probe selectivity.
     val cand = probes
       .join(cells.select(col("cell"), col("vec_id"),
         col("embedding").as("cand_emb")), Seq("cell"))
       .filter(col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id").as("cand_id"), col("cand_emb"))
-      .dropDuplicates("q_id", "cand_id")
+      .groupBy(col("q_id"), col("cand_id"))
+      .agg(min(col("cand_emb")).as("cand_emb"))
     val q = queries.select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
     graft.ops.TopK.rankByScore(
       cand

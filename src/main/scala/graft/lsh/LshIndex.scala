@@ -92,9 +92,17 @@ object LshIndex {
     * monitoring).
     */
   def candidatePairs(index: DataFrame, maxBucketSize: Int = 10000): DataFrame = {
-    val sized = index
-      .withColumn("bucket_n", count(lit(1)).over(Window.partitionBy(col("band"), col("sig"))))
+    // bucket sizing via groupBy + semi-join, NOT a count-over-window:
+    // the window form sorts every index row within its (band, sig)
+    // partition just to attach a count, where the aggregate reduces
+    // map-side (partial_count) and the semi-join co-locates with the
+    // pair join's own (band, sig) shuffle — on a bucketed-at-rest index
+    // both sides serve exchange-free (window-free plan-asserted)
+    val undersized = index.groupBy(col("band"), col("sig"))
+      .agg(count(lit(1)).as("bucket_n"))
       .filter(col("bucket_n") <= maxBucketSize)
+      .select(col("band"), col("sig"))
+    val sized = index.join(undersized, Seq("band", "sig"), "left_semi")
       .select(col("vec_id"), col("band"), col("sig"))
     sized.as("x").join(sized.as("y"),
         col("x.band") === col("y.band") && col("x.sig") === col("y.sig") &&

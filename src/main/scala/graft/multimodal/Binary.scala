@@ -105,6 +105,13 @@ object Binary {
     // the vote/combine stages are Dedup's — one definition per convention
     val bits = frames.groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_frames_sampled"), graft.dedup.Dedup.simhashVoteAggs: _*)
+    // keep-ledger via count/min over a fingerprint partition — the same
+    // shape Dedup.exact MEASURED window 0.45 s vs groupBy+join 0.63 s at
+    // sf0.1 and kept: the window runs at DOC grain (one 8-byte
+    // fingerprint row per doc, after the frame explode has already been
+    // reduced by the vote aggregation), and its partition sort is over
+    // near-unique fingerprints — tiny groups, no skew, strictly less
+    // data than the group+join's second shuffle of the same rows
     val w = Window.partitionBy(col("sim_fingerprint"))
     bits.select(col("doc_id"), col("n_frames_sampled"),
       graft.dedup.Dedup.simhashCombineCol.as("sim_fingerprint"))

@@ -10,8 +10,16 @@ import org.apache.spark.sql.SparkSession
   */
 object TableProps {
 
-  def set(spark: SparkSession, table: String, key: String, value: String): Unit =
-    spark.sql(s"ALTER TABLE $table SET TBLPROPERTIES ('$key' = '$value')")
+  /** Single quotes in key/value are doubled (ANSI string-literal
+    * escaping) — the current callers only write self-generated JSON
+    * blobs, but this is the shared codec for the whole index-at-rest
+    * family and a stray quote must not break (or worse, truncate) the
+    * DDL statement.
+    */
+  def set(spark: SparkSession, table: String, key: String, value: String): Unit = {
+    def esc(s: String): String = s.replace("'", "''")
+    spark.sql(s"ALTER TABLE $table SET TBLPROPERTIES ('${esc(key)}' = '${esc(value)}')")
+  }
 
   def get(spark: SparkSession, table: String, key: String): String =
     spark.sql(s"SHOW TBLPROPERTIES $table").collect()

@@ -74,9 +74,16 @@ object Streams {
     * microbatch as a stateless projection; rebuild-and-restart to pick
     * up corpus growth, exactly like reloading a persisted index.
     * Input schema: (ts timestamp, doc_id long, text string).
+    *
+    * Returns (stream, bloomHandle): the broadcast Bloom filter lives
+    * for the session unless released — call `handle.unpersist()` after
+    * the query terminates (e.g. from a StreamingQueryListener), or the
+    * ~GB-scale broadcast leaks per invocation at production corpus
+    * sizes.
     */
   def dedupStreamAgainstCorpus(docs: DataFrame, corpus: DataFrame,
-      watermark: String = "1 hour", fpp: Double = 0.01): DataFrame = {
+      watermark: String = "1 hour", fpp: Double = 0.01)
+      : (DataFrame, org.apache.spark.broadcast.Broadcast[org.apache.spark.util.sketch.BloomFilter]) = {
     val corpusFp = corpus.select(
       GraftFunctions.hex64(array_join(GraftFunctions.tokens(col("text")), " "))
         .as("fingerprint"))
@@ -86,8 +93,42 @@ object Streams {
     // UDF by necessity (mightContain has no public Catalyst surface) —
     // one long→boolean call per surviving row
     val probe = udf((fp: Long) => bc.value.mightContainLong(fp))
-    dedupStream(docs, watermark).withColumn("corpus_hit", probe(col("fingerprint")))
+    (dedupStream(docs, watermark).withColumn("corpus_hit", probe(col("fingerprint"))),
+      bc)
   }
+
+  /** Streaming NEAR-dup ingest against a persisted
+    * [[graft.dedup.Dedup.saveSignatures]] table — the streaming face of
+    * `dedup_incremental_persisted`, completing the batch/streaming
+    * symmetry of the dedup family: [[dedupStreamAgainstCorpus]] gates
+    * EXACT fingerprints; this gates minhash-band near-duplicates too.
+    *
+    * Each micro-batch runs
+    * [[graft.dedup.Dedup.incrementalDedupOnSignatures]] whole against
+    * the loaded signature tables: exact fingerprints semi-join the
+    * bucketed `_fp` table, minhash bands equi-join the bucketed band
+    * table (both corpus-side exchange-free post-load), and corpus text
+    * is tokenized ONLY for band-collided candidates — per batch, the
+    * same scale shape as the batch ingest. `sink(flags, batchId)`
+    * receives the per-batch (doc_id, exact_dup, near_dup, best_match,
+    * best_jaccard, keep) frame; write it to the output table /
+    * quarantine of choice. Reload-and-restart to pick up corpus
+    * growth, exactly like [[dedupStreamAgainstCorpus]]'s Bloom filter.
+    *
+    * Returns the configured [[DataStreamWriter]] — the caller sets
+    * checkpoint/trigger options and starts it. Input schema:
+    * (doc_id long, text string, ...) — extra columns pass through to
+    * the flags join inside the batch dedup.
+    */
+  def nearDupStreamAgainstSignatures(docs: DataFrame, corpusFp: DataFrame,
+      corpusBands: DataFrame, corpus: DataFrame, minJaccard: Double = 0.7)
+      (sink: (DataFrame, Long) => Unit)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    docs.writeStream.foreachBatch {
+      (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        sink(graft.dedup.Dedup.incrementalDedupOnSignatures(
+          corpusFp, corpusBands, corpus, batch, minJaccard), batchId)
+    }
 
   case class SessionEvent(user_id: Long, event_id: Long, us: Long)
   case class SessionState(start_us: Long, var end_us: Long, var n: Long)

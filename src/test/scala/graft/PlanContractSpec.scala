@@ -97,6 +97,11 @@ class PlanContractSpec extends SparkSpec {
     val rerank = physical(q("lsh_topp_rerank"))
     assert(!rerank.contains("Window"),
       s"lsh_topp_rerank (bounded topK) routes scored rows through a rank window:\n$rerank")
+    // the bucket-size skew guard is a partial-aggregated groupBy +
+    // semi-join, not a count-over-window sort of the full index
+    val pairs = physical(q("lsh_candidate_pairs"))
+    assert(!pairs.contains("Window"),
+      s"lsh_candidate_pairs sizes buckets through a window sort:\n$pairs")
   }
 
   test("ann_ivf: cell argmax and rerank are partial aggregates, no window over scored rows") {

@@ -117,11 +117,14 @@ class StreamingMultimodalSpec extends SparkSpec {
     val docs = input.toDF()
       .select(timestamp_micros(col("_1")).as("ts"), col("_2").as("doc_id"),
         col("_3").as("text"))
-    val out = Streams.runOnce(spark,
-        Streams.dedupStreamAgainstCorpus(docs, corpus),
-        "sdc_spec", OutputMode.Append())
+    val (gated, bloomHandle) = Streams.dedupStreamAgainstCorpus(docs, corpus)
+    val out = Streams.runOnce(spark, gated, "sdc_spec", OutputMode.Append())
       .select(col("doc_id"), col("corpus_hit")).collect()
       .map(r => r.getAs[Long]("doc_id") -> r.getAs[Boolean]("corpus_hit")).toMap
+    // the returned handle releases the session-lifetime broadcast once
+    // the query is done (the ADVICE leak: ~1.2 GB per invocation at
+    // 10⁹-fingerprint corpus scale)
+    bloomHandle.unpersist(false)
     // within-stream dup dropped: only one of 102/103 survives
     assert(out.size === 2)
     assert(out(101L) === true,
@@ -129,6 +132,41 @@ class StreamingMultimodalSpec extends SparkSpec {
     val freshId = if (out.contains(102L)) 102L else 103L
     assert(out(freshId) === false,
       "a fresh doc should probe negative at this fpp/corpus size")
+  }
+
+  test("nearDupStreamAgainstSignatures: planted NEAR-dup caught across the corpus boundary, exact and fresh flagged right") {
+    val corpusTexts = Seq(
+      (1L, (1 to 30).map(i => s"alpha$i").mkString(" ")),
+      (2L, (1 to 30).map(i => s"beta$i").mkString(" ")))
+    val corpus = corpusTexts.toDF("doc_id", "text")
+    val tmp = java.nio.file.Files.createTempDirectory("graft_stream_sig").toString
+    graft.dedup.Dedup.saveSignatures(corpus, "graft_stream_sig_spec",
+      path = Some(s"$tmp/tbl"))
+    val (fp, bands) = graft.dedup.Dedup.loadSignatures(spark, "graft_stream_sig_spec")
+    val input = MemoryStream[(Long, String)](spark, 7)
+    input.addData(
+      (201L, corpusTexts.head._2),                                 // exact corpus dup
+      (202L, corpusTexts(1)._2.split(" ").drop(3).mkString(" ")),  // near-dup (j ≈ 0.89)
+      (203L, (1 to 30).map(i => s"fresh$i").mkString(" ")))        // genuinely new
+    val docs = input.toDF().select(col("_1").as("doc_id"), col("_2").as("text"))
+    val got = scala.collection.concurrent.TrieMap.empty[Long, (Boolean, Boolean, Boolean)]
+    val q = Streams.nearDupStreamAgainstSignatures(docs, fp, bands, corpus,
+        minJaccard = 0.5) { (flags, _) =>
+      flags.collect().foreach { r =>
+        got(r.getAs[Long]("doc_id")) = (r.getAs[Boolean]("exact_dup"),
+          r.getAs[Boolean]("near_dup"), r.getAs[Boolean]("keep"))
+      }
+    }.start()
+    try q.processAllAvailable() finally q.stop()
+    assert(got(201L)._1 === true, s"exact corpus dup missed: ${got.get(201L)}")
+    assert(got(201L)._3 === false)
+    // the item dedupStreamAgainstCorpus cannot catch: no exact
+    // fingerprint match, flagged through the persisted minhash bands
+    assert(got(202L)._1 === false && got(202L)._2 === true,
+      s"NEAR corpus dup missed across the stream/corpus boundary: ${got.get(202L)}")
+    assert(got(203L) === ((false, false, true)), s"fresh doc flagged: ${got.get(203L)}")
+    spark.sql("DROP TABLE IF EXISTS graft_stream_sig_spec")
+    spark.sql("DROP TABLE IF EXISTS graft_stream_sig_spec_fp")
   }
 
   test("stateful sessionize emits closed sessions with correct bounds") {
