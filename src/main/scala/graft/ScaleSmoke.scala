@@ -81,6 +81,26 @@ object ScaleSmoke {
       graft.ann.Quantize.binaryTopK(corpus, queries, 10, prefilterK = 40).collect()
     }
 
+    // PQ / IVFADC: the ladder's middle rung — 8-byte code rows (32×
+    // scan shrink vs float32) AND cell pruning (nProbe=8 of ~64 cells
+    // → the ADC scan touches ~12% of the code rows), scored by the
+    // codegen AdcScore kernel, exact rerank of 40/query. Build =
+    // codebook fit on the deterministic 10% sample + encode+assign
+    // (one-time, amortized like the LSH index build).
+    val pqCents = corpus
+      .filter(col("vec_id") % math.max(n / 64, 1) === 0 && col("vec_id") < n)
+      .cache()
+    val (pqIndex, tPqBuild) = time {
+      val model = graft.ann.Pq.train(corpus, m = 8, k = 16)
+      val cells = graft.ann.Pq.encodeInCells(corpus, model, pqCents).cache()
+      cells.count()
+      (model, cells)
+    }
+    val (pqRows, tPqServe) = time {
+      graft.ann.Pq.pqTopKOnCells(pqIndex._2, corpus, pqCents, queries,
+        pqIndex._1, nProbe = 8, k = 10, prefilterK = 40).collect()
+    }
+
     def plantedRecall(rows: Array[org.apache.spark.sql.Row]): Double = {
       val hits = rows.count { r =>
         r.getAs[Long]("cand_id") == r.getAs[Long]("q_id") + n
@@ -95,10 +115,12 @@ object ScaleSmoke {
       f""""serve_speedup":${tBrute / tServe}%.2f,""" +
       f""""quant_serve_sec":$tQuant%.2f,""" +
       f""""hamming_serve_sec":$tHam%.2f,""" +
+      f""""pq_build_sec":$tPqBuild%.2f,"pq_ivfadc_serve_sec":$tPqServe%.2f,""" +
       f""""planted_recall_brute":${plantedRecall(bruteRows)}%.2f,""" +
       f""""planted_recall_lsh":${plantedRecall(lshRows)}%.2f,""" +
       f""""planted_recall_quant":${plantedRecall(quantRows)}%.2f,""" +
-      f""""planted_recall_hamming":${plantedRecall(hamRows)}%.2f}""")
+      f""""planted_recall_hamming":${plantedRecall(hamRows)}%.2f,""" +
+      f""""planted_recall_pq":${plantedRecall(pqRows)}%.2f}""")
     spark.stop()
   }
 }
