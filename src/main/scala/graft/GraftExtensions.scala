@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.SparkSessionExtensions
 
-import graft.expressions.{CosineSimilarity, DotProduct, HammingDistance, IntDotProduct, L2Norm, L2Normalize}
+import graft.expressions.{AdcScore, CosineSimilarity, DotProduct, HammingDistance, IntDotProduct, L2Norm, L2Normalize}
 
 /** Session-extension entry point: enables
   * `--conf spark.sql.extensions=graft.GraftExtensions` so every
@@ -33,5 +33,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("hamming_distance"),
       info("hamming_distance", "hamming_distance(a, b) - popcount distance over packed bit-code arrays"),
       (es: Seq[Expression]) => HammingDistance(es.head, es(1))))
+    ext.injectFunction((FunctionIdentifier("adc_score"),
+      info("adc_score", "adc_score(codes, tab) - PQ asymmetric-distance score: sum of tab[s*k + codes[s]]"),
+      (es: Seq[Expression]) => AdcScore(es.head, es(1))))
   }
 }

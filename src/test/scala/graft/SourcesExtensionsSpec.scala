@@ -62,7 +62,8 @@ class SourcesExtensionsSpec extends SparkSpec {
     new GraftExtensions().apply(ext)
     val reg = new SimpleFunctionRegistry
     org.apache.spark.sql.GraftColumnBridge.registerExtensions(ext, reg)
-    Seq("cosine_sim", "dot_product", "l2_norm", "l2_normalize").foreach { f =>
+    Seq("cosine_sim", "dot_product", "l2_norm", "l2_normalize",
+        "int_dot_product", "hamming_distance", "adc_score").foreach { f =>
       assert(reg.functionExists(FunctionIdentifier(f)), s"$f not injected")
     }
     // builder produces a working expression
