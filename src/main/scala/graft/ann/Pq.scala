@@ -263,6 +263,17 @@ object Pq {
     * rows (compression × pruning, the composition that earns PQ its
     * 100 TB claim; the exhaustive [[pqTopKOnCodes]] scan is the form
     * the paper's own IVFADC section exists to avoid).
+    *
+    * Deliberate divergence from Jégou et al.'s §V: codes quantize the
+    * RAW unit vector, not the cell residual (x − centroid). One
+    * codebook then serves both the exhaustive and cell-pruned paths —
+    * probing every cell reproduces [[pqTopKOnCodes]] row-for-row
+    * (spec-asserted), the per-query ADC table is built once instead of
+    * once per probed cell, and cells can be re-centroided without
+    * re-encoding the corpus. Residual encoding is the standard recall
+    * refinement when the planted/measured recall (0.96 at nProbe 8/64,
+    * ScaleSmoke) stops being enough; the serving join shape would not
+    * change.
     */
   def encodeInCells(corpus: DataFrame, model: PqModel, centroids: DataFrame,
       broadcastCentroids: Option[Boolean] = None): DataFrame =
