@@ -61,23 +61,65 @@ object Pq {
     * still hold ≥ k vectors (refused loudly below otherwise).
     */
   def train(emb: DataFrame, m: Int = 8, k: Int = 16, seed: Long = 42L,
-      maxIter: Int = 10, sampleFrac: Double = 0.1): PqModel = {
-    val spark = emb.sparkSession
-    // codes are stored as tinyint and ADC tables are indexed s·k+code —
-    // both silently corrupt past these bounds, so fail loudly here
+      maxIter: Int = 10, sampleFrac: Double = 0.1): PqModel =
+    fitCodebooks(
+      sample(emb, sampleFrac, k)
+        .select(l2_normalize(col("embedding")).as("nv"))
+        .filter(col("nv").isNotNull),
+      m, k, seed, maxIter, sampleFrac)
+
+  /** [[train]] on CELL RESIDUALS (x̂ − ĉ, both unit-normalized): the
+    * codebook for [[encodeInCells]]`(residual = true)` — Jégou et al.
+    * §V's standard refinement. Residuals concentrate around the origin
+    * (most of each vector's direction is explained by its cell
+    * centroid), so a grid fitted on them spends its k·m cells on the
+    * part the coarse quantizer could NOT express — the recall gain the
+    * residual path exists for. Train and encode must share the SAME
+    * `centroids` table.
+    */
+  def trainResidual(emb: DataFrame, centroids: DataFrame, m: Int = 8,
+      k: Int = 16, seed: Long = 42L, maxIter: Int = 10,
+      sampleFrac: Double = 0.1): PqModel = {
+    val sampled = sample(emb, sampleFrac, k)
+    fitCodebooks(
+      residualVectors(Ivf.assign(sampled, centroids), sampled, centroids)
+        .select(col("nv")),
+      m, k, seed, maxIter, sampleFrac)
+  }
+
+  /** Deterministic training sample: `vec_id % round(1/frac) == 0`. */
+  private def sample(emb: DataFrame, sampleFrac: Double, k: Int): DataFrame = {
     require(k >= 2 && k <= 127, s"k=$k must be in [2, 127] (codes are tinyint)")
     require(sampleFrac > 0.0 && sampleFrac <= 1.0,
       s"sampleFrac=$sampleFrac must be in (0, 1]")
-    val sampled =
-      if (sampleFrac >= 1.0) emb
-      else emb.filter(col("vec_id") % math.round(1.0 / sampleFrac) === 0)
-    val d = sampled.select(size(col("embedding"))).head().getInt(0)
+    if (sampleFrac >= 1.0) emb
+    else emb.filter(col("vec_id") % math.round(1.0 / sampleFrac) === 0)
+  }
+
+  /** The shared fit: one seeded KMeans per subspace over a prepared
+    * `nv` (array<double>) training frame — unit vectors for [[train]],
+    * cell residuals for [[trainResidual]].
+    */
+  private def fitCodebooks(vecs: DataFrame, m: Int, k: Int, seed: Long,
+      maxIter: Int, sampleFrac: Double): PqModel = {
+    // codes are stored as tinyint and ADC tables are indexed s·k+code —
+    // both silently corrupt past these bounds, so fail loudly here
+    require(k >= 2 && k <= 127, s"k=$k must be in [2, 127] (codes are tinyint)")
+    val unit = vecs
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // the deterministic sample is `vec_id % round(1/sampleFrac) == 0` —
+    // a sparse or offset vec_id space (e.g. a pre-filtered corpus where
+    // no id hits the modulus) can make it EMPTY, which would otherwise
+    // surface as a bare NoSuchElementException from the dimension probe
+    // below instead of the documented loud refusal
+    val nSample = unit.count()
+    require(nSample >= k,
+      s"PQ training sample holds $nSample vectors (need ≥ k=$k): sampleFrac=$sampleFrac " +
+        "samples rows with vec_id % round(1/sampleFrac) == 0 — raise sampleFrac or " +
+        "re-densify vec_id if the id space is sparse")
+    val d = unit.select(size(col("nv"))).head().getInt(0)
     require(d % m == 0, s"m=$m must divide dim=$d")
     val dSub = d / m
-    val unit = sampled.select(l2_normalize(col("embedding")).as("nv"))
-      .filter(col("nv").isNotNull)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    unit.count()
     // the m subspace fits are independent — submit them CONCURRENTLY
     // (the scheduler interleaves their jobs across cores; sequential
     // fits measured 6.9 s warm at sf0.1 vs ~2 s concurrent, pure

@@ -281,6 +281,16 @@ case class AdcScore(left: Expression, right: Expression) extends BinaryExpressio
 
   private lazy val ct = VecUtil.elementType(left.dataType)
 
+  // the loop reads the table via getDouble — on any other element type
+  // (e.g. array<float> through the session-registered SQL function)
+  // that reads misaligned bytes and returns silently wrong scores, so
+  // refuse loudly like the code side does
+  private lazy val tabTypeChecked: Unit = VecUtil.elementType(right.dataType) match {
+    case DoubleType => ()
+    case other => throw new IllegalArgumentException(
+      s"$prettyName: lookup table must be array<double>, got element type $other")
+  }
+
   // dispatch hoisted out of the per-subspace loop (IntDotProduct lesson)
   private def codeGetter(et: DataType): (ArrayData, Int) => Int = et match {
     case ByteType    => (a, i) => a.getByte(i).toInt
@@ -298,6 +308,7 @@ case class AdcScore(left: Expression, right: Expression) extends BinaryExpressio
   }
 
   override def nullSafeEval(l: Any, r: Any): Any = {
+    tabTypeChecked
     val codes = l.asInstanceOf[ArrayData]
     val tab = r.asInstanceOf[ArrayData]
     val m = codes.numElements()
@@ -320,6 +331,7 @@ case class AdcScore(left: Expression, right: Expression) extends BinaryExpressio
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) => {
+      tabTypeChecked // validated at codegen time — generated code is double-only
       val s = ctx.freshName("s")
       val m = ctx.freshName("m")
       val k = ctx.freshName("k")

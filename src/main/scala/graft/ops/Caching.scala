@@ -1,7 +1,6 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
 
@@ -31,9 +30,27 @@ object Caching {
 
   /** Drop rows whose `key` value occurs in more than `cap` rows — the
     * quadratic-blow-up guard shared by the shingle/fingerprint
-    * self-joins (one window pass, no extra join).
+    * self-joins.
+    *
+    * A partial-aggregated groupBy + semi-join of under-cap keys, NOT a
+    * count-over-window: the keys this guards are hot BY DEFINITION (a
+    * stop-phrase shingle or boilerplate fingerprint shared by 10⁶ docs
+    * is exactly what the cap exists to drop), and the window form
+    * sorts the full hot-key partition BEFORE the cap can discard it —
+    * the skewed sort happens first. The aggregate reduces map-side
+    * (partial_count: one row per key per partition enters the
+    * shuffle) and the semi-join is AQE-skew-split-eligible, which a
+    * window exchange is not. Same idiom as
+    * [[graft.lsh.LshIndex.candidatePairs]]'s bucket guard; null keys
+    * group together like the window form (null-safe join key).
     */
-  def capByFrequency(df: DataFrame, key: Column, cap: Long): DataFrame =
-    df.withColumn("__df", count(lit(1)).over(Window.partitionBy(key)))
-      .filter(col("__df") <= cap).drop("__df")
+  def capByFrequency(df: DataFrame, key: Column, cap: Long): DataFrame = {
+    val tagged = df.withColumn("__cap_key", key)
+    val underCap = tagged.groupBy(col("__cap_key"))
+      .agg(count(lit(1)).as("__df"))
+      .filter(col("__df") <= cap)
+      .select(col("__cap_key").as("__cap_keep"))
+    tagged.join(underCap, col("__cap_key") <=> col("__cap_keep"), "left_semi")
+      .drop("__cap_key")
+  }
 }

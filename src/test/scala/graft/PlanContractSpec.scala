@@ -167,6 +167,24 @@ class PlanContractSpec extends SparkSpec {
     assert(nl <= 1, s"ann_ivfpq plans $nl nested-loop joins (max 1, the centroid probe):\n$phys")
   }
 
+  test("df caps are groupBy + semi-join, never a count-over-window on the hot key") {
+    // Caching.capByFrequency guards the two self-joins whose keys are
+    // hot BY DEFINITION (capped shingles / fingerprints) — a window
+    // partitioned by that key would sort the 10⁶-row hot partition
+    // BEFORE the cap could drop it (round-5 verdict #1; same idiom as
+    // lsh_candidate_pairs' bucket guard)
+    val nj = physical(q("dedup_ngram_jaccard"))
+    assert(!nj.contains("Window"),
+      s"dedup_ngram_jaccard sizes shingles through a window sort:\n$nj")
+    // text_containment rides on winnow, whose two windows are doc-grain
+    // (bounded by doc length — the justified kind); the fingerprint df
+    // cap must add ZERO windows beyond them
+    val winnowW = "Window".r.findAllIn(physical(q("text_winnow"))).size
+    val contW = "Window".r.findAllIn(physical(q("text_containment"))).size
+    assert(contW <= winnowW,
+      s"text_containment adds ${contW - winnowW} window(s) beyond winnow's doc-grain ones")
+  }
+
   test("events_streaks: post-window aggregations reuse the user partitioning") {
     // distinct (user, day) = 1 exchange, window by user = 1 exchange,
     // output sort = range; the two groupBys must NOT add exchanges —
