@@ -75,7 +75,9 @@ object Pq {
     * centroid), so a grid fitted on them spends its k·m cells on the
     * part the coarse quantizer could NOT express — the recall gain the
     * residual path exists for. Train and encode must share the SAME
-    * `centroids` table.
+    * `centroids` table, and serving must pass
+    * [[pqTopKOnCells]]`(residual = true)` so the probe's centroid
+    * similarity is added back to the ADC score.
     */
   def trainResidual(emb: DataFrame, centroids: DataFrame, m: Int = 8,
       k: Int = 16, seed: Long = 42L, maxIter: Int = 10,
@@ -85,6 +87,30 @@ object Pq {
       residualVectors(Ivf.assign(sampled, centroids), sampled, centroids)
         .select(col("nv")),
       m, k, seed, maxIter, sampleFrac)
+  }
+
+  /** Per-(vector, cell) unit-sphere residuals `nv = x̂ − ĉ` over an
+    * assignment frame `(vec_id, cell)` — the decomposition the residual
+    * path rests on: `dot(q̂, x̂) = dot(q̂, ĉ) + dot(q̂, x̂ − ĉ)`, so codes
+    * fitted/encoded on `nv` plus the probe's centroid similarity
+    * (which [[pqTopKOnCells]]'s probe step computes anyway)
+    * reconstruct the cosine score up to quantization error. Broadcast
+    * centroid join (the side is O(nCells) by construction); rows whose
+    * embedding or centroid has zero norm normalize to NULL and are
+    * filtered like [[train]].
+    */
+  private def residualVectors(assigned: DataFrame, emb: DataFrame,
+      centroids: DataFrame,
+      broadcastCentroids: Option[Boolean] = None): DataFrame = {
+    val c = centroids.select(col("vec_id").as("cell"),
+      l2_normalize(col("embedding")).as("c_nv"))
+    assigned.select(col("vec_id"), col("cell"))
+      .join(emb.select(col("vec_id"), l2_normalize(col("embedding")).as("x_nv"))
+        .filter(col("x_nv").isNotNull), Seq("vec_id"))
+      .join(graft.ops.Broadcasting.maybeBroadcast(c, broadcastCentroids), Seq("cell"))
+      .select(col("vec_id"), col("cell"),
+        zip_with(col("x_nv"), col("c_nv"), (a, b) => a - b).as("nv"))
+      .filter(col("nv").isNotNull)
   }
 
   /** Deterministic training sample: `vec_id % round(1/frac) == 0`. */
@@ -197,22 +223,35 @@ object Pq {
     * cross join → per-(vector, subspace) `min(struct(dist, code))`
     * argmin partial aggregate → positional reassembly.
     */
-  def encode(emb: DataFrame, model: PqModel): DataFrame = {
-    val spark = emb.sparkSession
-    val cb = broadcast(model.frame(spark))
-    val subs = emb
-      .select(col("vec_id"), l2_normalize(col("embedding")).as("nv"))
-      .filter(col("nv").isNotNull)
-      .select(col("vec_id"), posexplode(expr(
+  def encode(emb: DataFrame, model: PqModel): DataFrame =
+    encodeNv(
+      emb.select(col("vec_id"), l2_normalize(col("embedding")).as("nv"))
+        .filter(col("nv").isNotNull),
+      model, Seq("vec_id"))
+
+  /** The shared argmin encode over a prepared `nv` frame keyed by
+    * `keyCols` — `(vec_id)` for raw unit vectors ([[encode]]),
+    * `(vec_id, cell)` for per-cell residuals (residual
+    * [[encodeInCells]], where a multi-assigned vector has a DIFFERENT
+    * residual — and so different codes — in each of its cells). Same
+    * shape either way: broadcast codebook join → per-(key, subspace)
+    * `min(struct(dist, code))` argmin partial aggregate → positional
+    * reassembly, never a window.
+    */
+  private def encodeNv(vecs: DataFrame, model: PqModel,
+      keyCols: Seq[String]): DataFrame = {
+    val cb = broadcast(model.frame(vecs.sparkSession))
+    val keys = keyCols.map(col)
+    vecs
+      .select(keys :+ posexplode(expr(
         s"transform(sequence(0, ${model.m - 1}), s -> slice(nv, s * ${model.dSub} + 1, ${model.dSub}))"))
-        .as(Seq("s", "sub")))
-    subs.join(cb, Seq("s"))
-      .groupBy(col("vec_id"), col("s"))
+        .as(Seq("s", "sub")): _*)
+      .join(cb, Seq("s"))
+      .groupBy(keys :+ col("s"): _*)
       .agg(min(struct(l2sq(col("sub"), col("centroid")).as("dist"), col("code"))).as("a"))
-      .groupBy(col("vec_id"))
+      .groupBy(keys: _*)
       .agg(sort_array(collect_list(struct(col("s"), col("a.code").as("code")))).as("cs"))
-      .select(col("vec_id"),
-        expr("transform(cs, x -> cast(x.code as tinyint))").as("codes"))
+      .select(keys :+ expr("transform(cs, x -> cast(x.code as tinyint))").as("codes"): _*)
   }
 
   /** ADC top-k serving over FRESHLY ENCODED corpus codes — the
@@ -306,22 +345,42 @@ object Pq {
     * 100 TB claim; the exhaustive [[pqTopKOnCodes]] scan is the form
     * the paper's own IVFADC section exists to avoid).
     *
-    * Deliberate divergence from Jégou et al.'s §V: codes quantize the
-    * RAW unit vector, not the cell residual (x − centroid). One
-    * codebook then serves both the exhaustive and cell-pruned paths —
-    * probing every cell reproduces [[pqTopKOnCodes]] row-for-row
-    * (spec-asserted), the per-query ADC table is built once instead of
-    * once per probed cell, and cells can be re-centroided without
-    * re-encoding the corpus. Residual encoding is the standard recall
-    * refinement when the planted/measured recall (0.96 at nProbe 8/64,
-    * ScaleSmoke) stops being enough; the serving join shape would not
-    * change.
+    * Two documented encodings, one serving join shape:
+    *
+    *  - `residual = false` (default): codes quantize the RAW unit
+    *    vector — one codebook ([[train]]) serves both the exhaustive
+    *    and cell-pruned paths, probing every cell reproduces
+    *    [[pqTopKOnCodes]] row-for-row (spec-asserted), the per-query
+    *    ADC table is built once instead of once per probed cell, and
+    *    cells can be re-centroided without re-encoding the corpus.
+    *  - `residual = true`: codes quantize the CELL RESIDUAL x̂ − ĉ
+    *    (Jégou et al. §V proper, [[trainResidual]] codebooks) — the
+    *    grid spends its k·m cells on what the coarse quantizer could
+    *    not express, the standard recall refinement. Serving must pass
+    *    [[pqTopKOnCells]]`(residual = true)` (the centroid-similarity
+    *    bias term); re-centroiding requires re-encoding.
+    *
+    * `nProbe` > 1 multi-assigns each vector to its nProbe nearest
+    * cells ([[Ivf.assignProbes]] — the index-side recall lever: near
+    * neighbors split by a cell boundary still co-occur in some probed
+    * cell) at nProbe× index size; [[pqTopKOnCells]] deduplicates
+    * repeated candidates before the rerank.
     */
   def encodeInCells(corpus: DataFrame, model: PqModel, centroids: DataFrame,
-      broadcastCentroids: Option[Boolean] = None): DataFrame =
-    Ivf.assign(corpus, centroids, broadcastCentroids)
-      .join(encode(corpus, model), Seq("vec_id"))
-      .select(col("vec_id"), col("cell"), col("codes"))
+      broadcastCentroids: Option[Boolean] = None,
+      residual: Boolean = false, nProbe: Int = 1): DataFrame = {
+    require(nProbe >= 1, s"nProbe=$nProbe must be ≥ 1")
+    val assigned =
+      if (nProbe == 1) Ivf.assign(corpus, centroids, broadcastCentroids)
+      else Ivf.assignProbes(corpus, centroids, nProbe, broadcastCentroids)
+        .select(col("vec_id"), col("cell"))
+    if (residual)
+      encodeNv(residualVectors(assigned, corpus, centroids, broadcastCentroids),
+        model, Seq("vec_id", "cell"))
+    else
+      assigned.join(encode(corpus, model), Seq("vec_id"))
+        .select(col("vec_id"), col("cell"), col("codes"))
+  }
 
   /** IVFADC top-k serving: probe the nProbe nearest cells per query
     * (the [[Ivf.probeTopKOnIndex]] probe shape), score ADC only over
@@ -332,36 +391,54 @@ object Pq {
     * vectors, prefilterK × queries rows).
     *
     * `cells` is an [[encodeInCells]] / [[loadCellIndex]] frame
-    * (vec_id, cell, codes). A multi-probe-built cells table (vectors
+    * (vec_id, cell, codes). A multi-assigned cells table (vectors
     * repeated across cells) may fill several prefilter slots with the
     * same candidate; survivors are deduplicated before the rerank, so
     * the output stays rank-unique — size prefilterK accordingly.
+    *
+    * `residual` MUST match the flag the cells table was encoded with
+    * ([[cellIndexParams]] recovers it for a persisted index): residual
+    * codes approximate x̂ − ĉ, so the candidate score becomes
+    * `dot(q̂, ĉ) + Σ_s tab[…]` — the first term is the probe's
+    * centroid similarity, already computed by the probe step and
+    * carried through the cell join at no extra shuffle. Raw ADC tables
+    * over residual codes (or the reverse) score silently wrong.
     */
   def pqTopKOnCells(cells: DataFrame, corpus: DataFrame, centroids: DataFrame,
       queries: DataFrame, model: PqModel, nProbe: Int, k: Int, prefilterK: Int,
-      broadcastQueries: Option[Boolean] = None): DataFrame = {
+      broadcastQueries: Option[Boolean] = None,
+      residual: Boolean = false): DataFrame = {
     val c = centroids.select(col("vec_id").as("c_id"), col("embedding").as("c_emb"))
-    val probes = queries.select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val probed = queries.select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
       .crossJoin(graft.ops.Broadcasting.maybeBroadcast(c))
       .select(col("q_id"), col("c_id"),
         cosine_sim(col("q_emb"), col("c_emb")).as("c_sim"))
       .groupBy(col("q_id"))
       .agg(top_k_by_score(col("c_sim"), col("c_id"), nProbe).as("top"))
-      .select(col("q_id"), explode(col("top.id")).as("cell"))
+      .select(col("q_id"), explode(col("top")).as("t"))
+    val probes =
+      if (residual)
+        probed.select(col("q_id"), col("t.id").as("cell"), col("t.score").as("c_sim"))
+      else probed.select(col("q_id"), col("t.id").as("cell"))
     val qtab = adcTables(queries, model)
+    val adc = graft.GraftFunctions.adc_score(col("codes"), col("tab"))
     val survivors = probes
       .join(cells.select(col("cell"), col("vec_id").as("cand_id"), col("codes")),
         Seq("cell"))
       .filter(col("cand_id") =!= col("q_id"))
       .join(graft.ops.Broadcasting.maybeBroadcast(qtab, broadcastQueries), Seq("q_id"))
       .select(col("q_id"), col("cand_id"),
-        graft.GraftFunctions.adc_score(col("codes"), col("tab")).as("ascore"))
+        (if (residual) col("c_sim") + adc else adc).as("ascore"))
       .groupBy(col("q_id"))
       .agg(top_k_by_score(col("ascore"), col("cand_id"), prefilterK).as("pre"))
       .select(col("q_id"), explode(col("pre.id")).as("cand_id"))
-      // a multi-probe cells table repeats candidates across cells with
-      // IDENTICAL ADC scores — collapse before the rerank (survivor
-      // grain: ≤ prefilterK × queries rows, negligible)
+      // a multi-assigned cells table repeats candidates across cells —
+      // with IDENTICAL ADC scores on raw codes, with per-cell scores
+      // (each a valid approximation of the same exact cosine) on
+      // residual codes. Collapse before the rerank either way — the
+      // rerank re-scores survivors by EXACT cosine, so which duplicate
+      // survives is immaterial (survivor grain: ≤ prefilterK × queries
+      // rows, negligible)
       .dropDuplicates("q_id", "cand_id")
     graft.ops.TopK.cosineRerank(survivors, corpus, queries, k, broadcastQueries)
   }
@@ -375,12 +452,20 @@ object Pq {
     * = the coarse quantizer.
     */
   def saveCellIndex(model: PqModel, corpus: DataFrame, centroids: DataFrame,
-      table: String, nBuckets: Int = 32, path: Option[String] = None): Unit = {
+      table: String, nBuckets: Int = 32, path: Option[String] = None,
+      residual: Boolean = false, nProbe: Int = 1): Unit = {
     save(model, corpus.sparkSession, table, path)
-    val wc = encodeInCells(corpus, model, centroids).write.mode("overwrite")
+    val wc = encodeInCells(corpus, model, centroids,
+      residual = residual, nProbe = nProbe).write.mode("overwrite")
       .bucketBy(nBuckets, "cell").sortBy("cell").format("parquet")
     path.foreach(loc => wc.option("path", s"${loc}_cells"))
     wc.saveAsTable(s"${table}_cells")
+    // the encoding flags ride on the cells table: a residual index
+    // served without the bias term (or vice versa) scores silently
+    // wrong, so the flag must live WITH the index, not in caller lore
+    graft.ops.TableProps.set(corpus.sparkSession, s"${table}_cells",
+      "graft.pq.cells_params",
+      s"""{"residual":${if (residual) 1 else 0},"n_probe":$nProbe}""")
     val wct = centroids.select(col("vec_id"), col("embedding"))
       .write.mode("overwrite").format("parquet")
     path.foreach(loc => wct.option("path", s"${loc}_centroids"))
@@ -393,4 +478,21 @@ object Pq {
   def loadCellIndex(spark: SparkSession, table: String): (PqModel, DataFrame, DataFrame) =
     (load(spark, table), spark.table(s"${table}_cells"),
       spark.table(s"${table}_centroids"))
+
+  /** Encoding parameters of a [[saveCellIndex]]ed cells table:
+    * (residual, nProbe). Pass the residual flag straight to
+    * [[pqTopKOnCells]] — it selects the scoring decomposition, not a
+    * tuning knob. Indexes persisted before the flag existed carry no
+    * property and load as (false, 1), their then-only encoding.
+    */
+  def cellIndexParams(spark: SparkSession, table: String): (Boolean, Int) = {
+    val props = spark.sql(s"SHOW TBLPROPERTIES ${table}_cells").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    props.get("graft.pq.cells_params") match {
+      case None => (false, 1)
+      case Some(json) =>
+        (graft.ops.TableProps.longField(json, "residual") == 1L,
+          graft.ops.TableProps.longField(json, "n_probe").toInt)
+    }
+  }
 }
