@@ -240,21 +240,30 @@ object TextAnalysis {
     * the distinct minima are the document's fingerprints. Guarantees a
     * shared fingerprint for any sufficiently long shared substring —
     * the standard rolling-hash dedup/plagiarism primitive.
+    *
+    * The sliding minimum is a per-document ARRAY computation
+    * (`transform` over window starts + `array_min(slice(...))`, then
+    * `array_distinct`), not a window function: the whole operator is a
+    * narrow projection — zero exchanges, zero sorts — where the window
+    * form costs a doc-hash shuffle plus a per-doc sort, and (worse) a
+    * consumer that self-joins the fingerprints ([[containment]])
+    * re-runs that shuffle once per plan reference. Work is O(n·window)
+    * per doc against the window form's O(n log n) sort — for winnowing
+    * windows (4-ish) the constant is smaller than the sort it
+    * replaces.
     */
   def winnow(docs: DataFrame, shingleW: Int = 3, window: Int = 4): DataFrame = {
-    val ps = docs
+    val hs = transform(
+      GraftFunctions.shingles(col("text"), shingleW, distinct = false),
+      s => GraftFunctions.hex64(concat(lit("wn|"), s)))
+    docs
+      .select(col("doc_id"), hs.as("hs"))
+      .filter(size(col("hs")) >= window)
       .select(col("doc_id"),
-        posexplode(GraftFunctions.shingles(col("text"), shingleW, distinct = false))
-          .as(Seq("pos0", "s")))
-      .select(col("doc_id"), (col("pos0") + 1).as("pos"),
-        GraftFunctions.hex64(concat(lit("wn|"), col("s"))).as("h"))
-    val wSpec = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-    ps
-      .withColumn("wmin", min(col("h")).over(wSpec.rowsBetween(0, window - 1)))
-      .withColumn("n_sh", count(lit(1)).over(Window.partitionBy(col("doc_id"))))
-      .filter(col("pos") <= col("n_sh") - (window - 1))
-      .select(col("doc_id"), col("wmin").as("fingerprint"))
-      .distinct()
+        explode(array_distinct(
+          transform(sequence(lit(1), size(col("hs")) - (window - 1)),
+            i => array_min(slice(col("hs"), i, lit(window))))))
+          .as("fingerprint"))
       .orderBy(col("doc_id"), col("fingerprint"))
   }
 
