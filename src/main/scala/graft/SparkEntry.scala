@@ -291,6 +291,24 @@ object SparkEntry {
       graft.ann.Pq.pqTopKOnCells(cells, e, c2, e.filter(col("vec_id") < 10), m2,
         nProbe = 2, k = 5, prefilterK = 20)
     }),
+    // rows-only like ann_ivfpq; the residual encoding (Jégou §V
+    // proper): codes quantize x̂ − ĉ inside each assigned cell, the
+    // index is multi-assigned (nProbe=2 — the index-side recall
+    // lever), and serving recovers the encoding flags from the table
+    // properties instead of caller lore; recall-delta (residual ≥ raw
+    // at equal probes) and ≡-fresh specs in TextKnnSpec
+    "ann_ivfpq_residual" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val cents = e.filter(col("vec_id") < 8)
+      val model = graft.ann.Pq.trainResidual(e, cents, m = 8, k = 16)
+      val tmp = tempDir("ivfpq_res_idx")
+      graft.ann.Pq.saveCellIndex(model, e, cents, "graft_ivfpq_res_rt",
+        path = Some(s"$tmp/tbl"), residual = true, nProbe = 2)
+      val (m2, cells, c2) = graft.ann.Pq.loadCellIndex(s, "graft_ivfpq_res_rt")
+      val (resFlag, _) = graft.ann.Pq.cellIndexParams(s, "graft_ivfpq_res_rt")
+      graft.ann.Pq.pqTopKOnCells(cells, e, c2, e.filter(col("vec_id") < 10), m2,
+        nProbe = 2, k = 5, prefilterK = 20, residual = resFlag)
+    }),
     "ann_hamming" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
       graft.ann.Quantize.binaryTopK(e, e.filter(col("vec_id") < 10), k = 5, prefilterK = 20)

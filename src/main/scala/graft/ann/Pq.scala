@@ -454,22 +454,37 @@ object Pq {
   def saveCellIndex(model: PqModel, corpus: DataFrame, centroids: DataFrame,
       table: String, nBuckets: Int = 32, path: Option[String] = None,
       residual: Boolean = false, nProbe: Int = 1): Unit = {
-    save(model, corpus.sparkSession, table, path)
-    val wc = encodeInCells(corpus, model, centroids,
-      residual = residual, nProbe = nProbe).write.mode("overwrite")
-      .bucketBy(nBuckets, "cell").sortBy("cell").format("parquet")
-    path.foreach(loc => wc.option("path", s"${loc}_cells"))
-    wc.saveAsTable(s"${table}_cells")
-    // the encoding flags ride on the cells table: a residual index
-    // served without the bias term (or vice versa) scores silently
-    // wrong, so the flag must live WITH the index, not in caller lore
-    graft.ops.TableProps.set(corpus.sparkSession, s"${table}_cells",
-      "graft.pq.cells_params",
-      s"""{"residual":${if (residual) 1 else 0},"n_probe":$nProbe}""")
-    val wct = centroids.select(col("vec_id"), col("embedding"))
-      .write.mode("overwrite").format("parquet")
-    path.foreach(loc => wct.option("path", s"${loc}_centroids"))
-    wct.saveAsTable(s"${table}_centroids")
+    // the three tables are independent — submit the writes as
+    // concurrent jobs (the SearchIndex.save / train() submission
+    // pattern) so the tiny codebook/centroid writes ride along with
+    // the corpus-sized cells encode instead of serializing after it
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val spark = corpus.sparkSession
+    val fModel = Future(save(model, spark, table, path))
+    val fCells = Future {
+      val wc = encodeInCells(corpus, model, centroids,
+        residual = residual, nProbe = nProbe).write.mode("overwrite")
+        .bucketBy(nBuckets, "cell").sortBy("cell").format("parquet")
+      path.foreach(loc => wc.option("path", s"${loc}_cells"))
+      wc.saveAsTable(s"${table}_cells")
+      // the encoding flags ride on the cells table: a residual index
+      // served without the bias term (or vice versa) scores silently
+      // wrong, so the flag must live WITH the index, not in caller lore
+      graft.ops.TableProps.set(spark, s"${table}_cells",
+        "graft.pq.cells_params",
+        s"""{"residual":${if (residual) 1 else 0},"n_probe":$nProbe}""")
+    }
+    val fCents = Future {
+      val wct = centroids.select(col("vec_id"), col("embedding"))
+        .write.mode("overwrite").format("parquet")
+      path.foreach(loc => wct.option("path", s"${loc}_centroids"))
+      wct.saveAsTable(s"${table}_centroids")
+    }
+    Await.result(fModel, Duration.Inf)
+    Await.result(fCells, Duration.Inf)
+    Await.result(fCents, Duration.Inf)
   }
 
   /** Restore (model, cells, centroids) from a [[saveCellIndex]] table

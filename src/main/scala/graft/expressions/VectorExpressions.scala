@@ -279,6 +279,20 @@ case class AdcScore(left: Expression, right: Expression) extends BinaryExpressio
   override def dataType: DataType = DoubleType
   override def prettyName: String = "adc_score"
 
+  // fail MISUSE at analysis, not first-task execution: a mistyped SQL
+  // call (array<float> table, string codes, ...) surfaces as the
+  // standard plan-time error instead of a mid-job task failure (the
+  // runtime guards below stay as the codegen/eval backstop)
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(ByteType | ShortType | IntegerType, _), ArrayType(DoubleType, _)) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case (l, r) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires (array<tinyint|smallint|int> codes, array<double> table), " +
+            s"got (${l.catalogString}, ${r.catalogString})")
+    }
+
   private lazy val ct = VecUtil.elementType(left.dataType)
 
   // the loop reads the table via getDouble — on any other element type

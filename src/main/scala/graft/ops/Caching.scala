@@ -45,6 +45,11 @@ object Caching {
     * group together like the window form (null-safe join key).
     */
   def capByFrequency(df: DataFrame, key: Column, cap: Long): DataFrame = {
+    // withColumn would silently REPLACE a caller column of the same
+    // name (and drop it on the way out) — refuse instead; the helper's
+    // own callers all pass narrow internal frames
+    require(!df.columns.contains("__cap_key"),
+      "capByFrequency: input already has a __cap_key column")
     val tagged = df.withColumn("__cap_key", key)
     val underCap = tagged.groupBy(col("__cap_key"))
       .agg(count(lit(1)).as("__df"))

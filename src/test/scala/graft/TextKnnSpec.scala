@@ -451,9 +451,99 @@ class TextKnnSpec extends SparkSpec {
           cents, queries, model, 2, 3, 10)),
         "loaded cell table should not exchange on the serving join")
     } finally spark.conf.set(key, old)
+    // a default-flag index carries its encoding params (raw, single-assign)
+    assert(graft.ann.Pq.cellIndexParams(spark, "graft_ivfpq_spec") === ((false, 1)))
     spark.sql("DROP TABLE IF EXISTS graft_ivfpq_spec")
     spark.sql("DROP TABLE IF EXISTS graft_ivfpq_spec_cells")
     spark.sql("DROP TABLE IF EXISTS graft_ivfpq_spec_centroids")
+  }
+
+  test("Pq residual IVFADC: planted copies rank 1; recall at least matches raw encoding at equal probes") {
+    import graft.ann.Pq
+    val cents = emb.filter(col("vec_id") < 8)
+    val queries = emb.filter(col("vec_id") < 10)
+    val raw = Pq.train(emb, m = 8, k = 16)
+    val res = Pq.trainResidual(emb, cents, m = 8, k = 16)
+    // an exact copy lands in its original's cell with the IDENTICAL
+    // residual → identical codes → maximal ADC for the pattern, equal
+    // centroid bias → rank 1 / cosine 1 even at nProbe=1
+    val copies = queries.withColumn("vec_id", col("vec_id") + lit(1000000L))
+    val all = emb.unionByName(copies)
+    Pq.pqTopKOnCells(Pq.encodeInCells(all, res, cents, residual = true), all,
+        cents, queries, res, nProbe = 1, k = 1, prefilterK = 20,
+        residual = true).collect()
+      .foreach { r =>
+        assert(r.getAs[Long]("cand_id") === r.getAs[Long]("q_id") + 1000000L)
+        assert(math.abs(r.getAs[Double]("sim") - 1.0) < 1e-6)
+      }
+    // recall-delta at equal nProbe/prefilterK against the exact top-5:
+    // the residual grid spends its resolution inside the probed cell,
+    // so it must not LOSE recall vs the raw-vector grid (the draw that
+    // would argue for deleting the path)
+    val truth = Knn.cosineTopK(emb, queries, 5).collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("cand_id"))).toSet
+    def recall(model: Pq.PqModel, residual: Boolean): Double = {
+      val got = Pq.pqTopKOnCells(
+        Pq.encodeInCells(emb, model, cents, residual = residual), emb, cents,
+        queries, model, nProbe = 2, k = 5, prefilterK = 20,
+        residual = residual).collect()
+        .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("cand_id"))).toSet
+      (got & truth).size.toDouble / truth.size
+    }
+    val (rRaw, rRes) = (recall(raw, residual = false), recall(res, residual = true))
+    info(s"IVFADC recall at nProbe=2/prefilterK=20: raw=$rRaw residual=$rRes")
+    assert(rRes >= rRaw, s"residual recall $rRes lost ground to raw $rRaw")
+  }
+
+  test("Pq multi-assign encode: nProbe=1 ≡ default row-for-row; nProbe=2 doubles the index and lifts recall") {
+    import graft.ann.Pq
+    val model = Pq.train(emb, m = 8, k = 16)
+    val cents = emb.filter(col("vec_id") < 8)
+    val queries = emb.filter(col("vec_id") < 10)
+    val c1 = Pq.encodeInCells(emb, model, cents)
+    assert(Pq.encodeInCells(emb, model, cents, nProbe = 1).collect()
+      .map(_.toString).sorted.toSeq === c1.collect().map(_.toString).sorted.toSeq)
+    val c2 = Pq.encodeInCells(emb, model, cents, nProbe = 2)
+    assert(c2.count() === 2 * c1.count(), "every vector should sit in its 2 nearest cells")
+    // at a fixed serving fan-out the multi-assigned index's candidate
+    // set is a superset (a vector split from its neighbors by a cell
+    // boundary now co-occurs with them), so with a prefilter wide
+    // enough not to bind — isolating the candidate-set effect from the
+    // ADC cut — the exact rerank's recall cannot drop
+    val truth = Knn.cosineTopK(emb, queries, 5).collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("cand_id"))).toSet
+    def recall(cells: org.apache.spark.sql.DataFrame): Double = {
+      val got = Pq.pqTopKOnCells(cells, emb, cents, queries, model,
+        nProbe = 2, k = 5, prefilterK = 100000).collect()
+        .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("cand_id"))).toSet
+      (got & truth).size.toDouble / truth.size
+    }
+    val (r1, r2) = (recall(c1), recall(c2))
+    info(s"IVFADC candidate-set recall at serve nProbe=2: index nProbe=1 $r1, nProbe=2 $r2")
+    assert(r2 >= r1, s"multi-assign recall $r2 below single-assign $r1")
+  }
+
+  test("Pq residual persisted index: flags ride the table; recovered-flag serving ≡ fresh") {
+    import graft.ann.Pq
+    val cents = emb.filter(col("vec_id") < 8)
+    val queries = emb.filter(col("vec_id") < 5)
+    val model = Pq.trainResidual(emb, cents, m = 8, k = 16)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_ivfpq_res").toString
+    Pq.saveCellIndex(model, emb, cents, "graft_ivfpq_res_spec",
+      path = Some(s"$tmp/tbl"), residual = true, nProbe = 2)
+    val (resFlag, idxProbes) = Pq.cellIndexParams(spark, "graft_ivfpq_res_spec")
+    assert(resFlag && idxProbes === 2)
+    val (loaded, cells, loadedCents) = Pq.loadCellIndex(spark, "graft_ivfpq_res_spec")
+    val served = Pq.pqTopKOnCells(cells, emb, loadedCents, queries, loaded,
+      nProbe = 2, k = 3, prefilterK = 10, residual = resFlag)
+    val fresh = Pq.pqTopKOnCells(
+      Pq.encodeInCells(emb, model, cents, residual = true, nProbe = 2), emb,
+      cents, queries, model, nProbe = 2, k = 3, prefilterK = 10, residual = true)
+    assert(served.collect().map(_.toString).toSeq ===
+      fresh.collect().map(_.toString).toSeq)
+    spark.sql("DROP TABLE IF EXISTS graft_ivfpq_res_spec")
+    spark.sql("DROP TABLE IF EXISTS graft_ivfpq_res_spec_cells")
+    spark.sql("DROP TABLE IF EXISTS graft_ivfpq_res_spec_centroids")
   }
 
   test("binaryTopK: sign codes pack correctly; planted copies recalled at hamming 0; decent brute recall") {

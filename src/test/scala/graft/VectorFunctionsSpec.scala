@@ -104,6 +104,14 @@ class VectorFunctionsSpec extends SparkSpec {
     }
     assert(causes(badCode).exists(c =>
       Option(c.getMessage).exists(_.contains("out of range"))))
+    // a mistyped table (array<float> — would read misaligned bytes)
+    // fails at ANALYSIS time, before any task runs
+    val mistyped = intercept[Exception] {
+      Seq((Seq(0.toByte, 0.toByte), tab.map(_.toFloat))).toDF("c", "t")
+        .select(adc_score($"c", $"t"))
+    }
+    assert(causes(mistyped).exists(c =>
+      Option(c.getMessage).exists(_.contains("array<double>"))), s"got: $mistyped")
   }
 
   test("cosine_sim interpreted eval matches codegen") {
