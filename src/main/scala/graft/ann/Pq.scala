@@ -420,13 +420,26 @@ object Pq {
       if (residual)
         probed.select(col("q_id"), col("t.id").as("cell"), col("t.score").as("c_sim"))
       else probed.select(col("q_id"), col("t.id").as("cell"))
+    // probes (queries × nProbe rows) and the ADC tables (queries × m·k
+    // doubles) are bounded by the SERVING BATCH, but both estimates
+    // pass through aggregates and are meaningless to the optimizer —
+    // left to the coin flip, Catalyst has been observed broadcasting
+    // the CODE TABLE against a streamed 10³-row probe side, collapsing
+    // the candidate expansion onto one task (measured 2.7× slower at
+    // the 500k smoke). Decide off the queries frame itself (real
+    // stats): batch fits → codes stream wide, batch side broadcasts —
+    // the only shape that survives 100 TB of codes; corpus-sized
+    // queries still degrade to the bucket-aligned sort-merge join
+    // rather than an OOM.
+    val bcBatch = broadcastQueries.orElse(
+      Some(graft.ops.Broadcasting.fitsBroadcast(queries)))
     val qtab = adcTables(queries, model)
     val adc = graft.GraftFunctions.adc_score(col("codes"), col("tab"))
-    val survivors = probes
+    val survivors = graft.ops.Broadcasting.maybeBroadcast(probes, bcBatch)
       .join(cells.select(col("cell"), col("vec_id").as("cand_id"), col("codes")),
         Seq("cell"))
       .filter(col("cand_id") =!= col("q_id"))
-      .join(graft.ops.Broadcasting.maybeBroadcast(qtab, broadcastQueries), Seq("q_id"))
+      .join(graft.ops.Broadcasting.maybeBroadcast(qtab, bcBatch), Seq("q_id"))
       .select(col("q_id"), col("cand_id"),
         (if (residual) col("c_sim") + adc else adc).as("ascore"))
       .groupBy(col("q_id"))

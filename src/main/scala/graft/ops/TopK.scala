@@ -29,15 +29,26 @@ object TopK {
   /** The exact-cosine rerank tail shared by the prefilter ANN tiers:
     * join survivor (q_id, cand_id) pairs to query and corpus vectors,
     * score with the codegen cosine, [[rankByScore]] top-k.
+    *
+    * Join order: bare survivors against the corpus FIRST, then the
+    * query vectors. Survivors are batch-bounded (≤ prefilterK ×
+    * queries ids, no embeddings yet) but their size estimate passes
+    * through aggregates and is meaningless, so the broadcast decision
+    * is taken off the queries frame — when the batch fits, the corpus
+    * streams with ZERO shuffle (the alternative sort-merge join
+    * shuffles + sorts the full corpus to meet 10³-ish survivor rows;
+    * measured seconds at the 500k smoke). A corpus-sized query batch
+    * degrades to the shuffle join instead of an OOM.
     */
   def cosineRerank(survivors: DataFrame, corpus: DataFrame, queries: DataFrame,
       k: Int, broadcastQueries: Option[Boolean] = None): DataFrame = {
     val q = queries.select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
     val c = corpus.select(col("vec_id").as("cand_id"), col("embedding").as("cand_emb"))
+    val bcBatch = broadcastQueries.orElse(Some(Broadcasting.fitsBroadcast(q)))
     rankByScore(
-      survivors
-        .join(Broadcasting.maybeBroadcast(q, broadcastQueries), Seq("q_id"))
+      Broadcasting.maybeBroadcast(survivors, bcBatch)
         .join(c, Seq("cand_id"))
+        .join(Broadcasting.maybeBroadcast(q, bcBatch), Seq("q_id"))
         .select(col("q_id"), col("cand_id"),
           graft.GraftFunctions.cosine_sim(col("q_emb"), col("cand_emb")).as("sim")),
       k)

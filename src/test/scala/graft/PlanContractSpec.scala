@@ -152,19 +152,23 @@ class PlanContractSpec extends SparkSpec {
   }
 
   test("ann_ivfpq: ADC only inside probed cells — no codes × queries cross join, native kernel, window-free") {
-    val phys = physical(q("ann_ivfpq"))
-    assert(phys.contains("adc_score"),
-      s"ann_ivfpq does not score through the native AdcScore kernel:\n$phys")
-    assert(!phys.contains("Window"),
-      s"ann_ivfpq routes scores through a window:\n$phys")
-    assert(!phys.contains("CartesianProduct"),
-      s"ann_ivfpq plans a cartesian product:\n$phys")
-    // the ONLY nested-loop join allowed is the queries × centroids probe
-    // (nCells rows, broadcast); the code rows must reach the scorer
-    // through equi-joins on cell/q_id — an exhaustive codes × queries
-    // scan would appear as a second nested loop here
-    val nl = "NestedLoopJoin".r.findAllIn(phys).size
-    assert(nl <= 1, s"ann_ivfpq plans $nl nested-loop joins (max 1, the centroid probe):\n$phys")
+    // the residual variant must keep the identical serving join shape —
+    // the bias term rides the existing probe join, not a new operator
+    for (name <- Seq("ann_ivfpq", "ann_ivfpq_residual")) {
+      val phys = physical(q(name))
+      assert(phys.contains("adc_score"),
+        s"$name does not score through the native AdcScore kernel:\n$phys")
+      assert(!phys.contains("Window"),
+        s"$name routes scores through a window:\n$phys")
+      assert(!phys.contains("CartesianProduct"),
+        s"$name plans a cartesian product:\n$phys")
+      // the ONLY nested-loop join allowed is the queries × centroids probe
+      // (nCells rows, broadcast); the code rows must reach the scorer
+      // through equi-joins on cell/q_id — an exhaustive codes × queries
+      // scan would appear as a second nested loop here
+      val nl = "NestedLoopJoin".r.findAllIn(phys).size
+      assert(nl <= 1, s"$name plans $nl nested-loop joins (max 1, the centroid probe):\n$phys")
+    }
   }
 
   test("df caps are groupBy + semi-join, never a count-over-window on the hot key") {
