@@ -84,21 +84,41 @@ object ScaleSmoke {
     // PQ / IVFADC: the ladder's middle rung — 8-byte code rows (32×
     // scan shrink vs float32) AND cell pruning (nProbe=8 of ~64 cells
     // → the ADC scan touches ~12% of the code rows), scored by the
-    // codegen AdcScore kernel, exact rerank of 40/query. Build =
-    // codebook fit on the deterministic 10% sample + encode+assign
-    // (one-time, amortized like the LSH index build).
+    // codegen AdcScore kernel, exact rerank of 40/query. This rung is
+    // the PRODUCTION path end-to-end: build = codebook fit on the
+    // deterministic 10% sample + encode+assign + the bucketed-by-cell
+    // table WRITE (saveCellIndex, one-time, amortized like the LSH
+    // index build); serving reads the index AT REST (loadCellIndex →
+    // the probe equi-join rides the table's cell bucketing).
     val pqCents = corpus
       .filter(col("vec_id") % math.max(n / 64, 1) === 0 && col("vec_id") < n)
       .cache()
+    val pqTmp = java.nio.file.Files.createTempDirectory("graft_scale_ivfpq").toString
     val (pqIndex, tPqBuild) = time {
       val model = graft.ann.Pq.train(corpus, m = 8, k = 16)
-      val cells = graft.ann.Pq.encodeInCells(corpus, model, pqCents).cache()
-      cells.count()
-      (model, cells)
+      graft.ann.Pq.saveCellIndex(model, corpus, pqCents, "graft_scale_ivfpq",
+        path = Some(s"$pqTmp/tbl"))
+      graft.ann.Pq.loadCellIndex(spark, "graft_scale_ivfpq")
     }
     val (pqRows, tPqServe) = time {
-      graft.ann.Pq.pqTopKOnCells(pqIndex._2, corpus, pqCents, queries,
+      graft.ann.Pq.pqTopKOnCells(pqIndex._2, corpus, pqIndex._3, queries,
         pqIndex._1, nProbe = 8, k = 10, prefilterK = 40).collect()
+    }
+
+    // residual IVFADC (Jégou §V proper): same serving join shape plus
+    // the centroid-similarity bias term — measures what the recall
+    // refinement costs at scale on build (per-cell residual encode)
+    // and serve (bias add), also from the index at rest
+    val resTmp = java.nio.file.Files.createTempDirectory("graft_scale_ivfpq_res").toString
+    val (resIndex, tResBuild) = time {
+      val model = graft.ann.Pq.trainResidual(corpus, pqCents, m = 8, k = 16)
+      graft.ann.Pq.saveCellIndex(model, corpus, pqCents, "graft_scale_ivfpq_res",
+        path = Some(s"$resTmp/tbl"), residual = true)
+      graft.ann.Pq.loadCellIndex(spark, "graft_scale_ivfpq_res")
+    }
+    val (resRows, tResServe) = time {
+      graft.ann.Pq.pqTopKOnCells(resIndex._2, corpus, resIndex._3, queries,
+        resIndex._1, nProbe = 8, k = 10, prefilterK = 40, residual = true).collect()
     }
 
     def plantedRecall(rows: Array[org.apache.spark.sql.Row]): Double = {
@@ -115,12 +135,14 @@ object ScaleSmoke {
       f""""serve_speedup":${tBrute / tServe}%.2f,""" +
       f""""quant_serve_sec":$tQuant%.2f,""" +
       f""""hamming_serve_sec":$tHam%.2f,""" +
-      f""""pq_build_sec":$tPqBuild%.2f,"pq_ivfadc_serve_sec":$tPqServe%.2f,""" +
+      f""""pq_build_incl_write_sec":$tPqBuild%.2f,"pq_ivfadc_serve_sec":$tPqServe%.2f,""" +
+      f""""pq_res_build_incl_write_sec":$tResBuild%.2f,"pq_res_serve_sec":$tResServe%.2f,""" +
       f""""planted_recall_brute":${plantedRecall(bruteRows)}%.2f,""" +
       f""""planted_recall_lsh":${plantedRecall(lshRows)}%.2f,""" +
       f""""planted_recall_quant":${plantedRecall(quantRows)}%.2f,""" +
       f""""planted_recall_hamming":${plantedRecall(hamRows)}%.2f,""" +
-      f""""planted_recall_pq":${plantedRecall(pqRows)}%.2f}""")
+      f""""planted_recall_pq":${plantedRecall(pqRows)}%.2f,""" +
+      f""""planted_recall_pq_res":${plantedRecall(resRows)}%.2f}""")
     spark.stop()
   }
 }
