@@ -241,29 +241,24 @@ object TextAnalysis {
     * shared fingerprint for any sufficiently long shared substring —
     * the standard rolling-hash dedup/plagiarism primitive.
     *
-    * The sliding minimum is a per-document ARRAY computation
-    * (`transform` over window starts + `array_min(slice(...))`, then
-    * `array_distinct`), not a window function: the whole operator is a
-    * narrow projection — zero exchanges, zero sorts — where the window
-    * form costs a doc-hash shuffle plus a per-doc sort, and (worse) a
-    * consumer that self-joins the fingerprints ([[containment]])
-    * re-runs that shuffle once per plan reference. Work is O(n·window)
-    * per doc against the window form's O(n log n) sort — for winnowing
-    * windows (4-ish) the constant is smaller than the sort it
-    * replaces.
+    * The hash + sliding minimum + dedup is ONE native per-document
+    * pass ([[graft.expressions.WinnowFingerprints]]), not a window
+    * function: the whole operator is a narrow projection — zero
+    * exchanges, zero sorts — where the window form costs a doc-hash
+    * shuffle plus a per-doc sort, and (worse) a consumer that
+    * self-joins the fingerprints ([[containment]]) re-runs that
+    * shuffle once per plan reference.
     */
   def winnow(docs: DataFrame, shingleW: Int = 3, window: Int = 4): DataFrame = {
-    val hs = transform(
-      GraftFunctions.shingles(col("text"), shingleW, distinct = false),
-      s => GraftFunctions.hex64(concat(lit("wn|"), s)))
+    val fps = org.apache.spark.sql.GraftColumnBridge.column(
+      graft.expressions.WinnowFingerprints(
+        org.apache.spark.sql.GraftColumnBridge.expression(
+          GraftFunctions.shingles(col("text"), shingleW, distinct = false)),
+        window))
     docs
-      .select(col("doc_id"), hs.as("hs"))
-      .filter(size(col("hs")) >= window)
-      .select(col("doc_id"),
-        explode(array_distinct(
-          transform(sequence(lit(1), size(col("hs")) - (window - 1)),
-            i => array_min(slice(col("hs"), i, lit(window))))))
-          .as("fingerprint"))
+      .select(col("doc_id"), fps.as("fps"))
+      .filter(size(col("fps")) > 0)
+      .select(col("doc_id"), explode(col("fps")).as("fingerprint"))
       .orderBy(col("doc_id"), col("fingerprint"))
   }
 
@@ -329,14 +324,20 @@ object TextAnalysis {
       shingleW: Int = 3, window: Int = 4,
       maxFingerprintDf: Option[Long] = Some(TextAnalysis.DefaultMaxFingerprintDf)): DataFrame = {
     val fpAll = winnow(docs, shingleW, window)
+    // the capped fingerprint table feeds FOUR plan references (both
+    // self-join sides + both size lookups) — cache it so the
+    // shingle/hash/winnow pipeline runs once, not once per reference
+    // (released before returning; the returned result is the cache
+    // scope, the shared dedup-operator idiom)
     val fp = maxFingerprintDf.fold(fpAll)(cap =>
-      graft.ops.Caching.capByFrequency(fpAll, col("fingerprint"), cap))
+        graft.ops.Caching.capByFrequency(fpAll, col("fingerprint"), cap))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sizes = fp.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val shared = fp.as("x").join(fp.as("y"),
         col("x.fingerprint") === col("y.fingerprint") && col("x.doc_id") < col("y.doc_id"))
       .groupBy(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
       .agg(count(lit(1)).as("n_shared"))
-    shared
+    val out = shared
       .join(sizes.as("za"), col("a") === col("za.doc_id"))
       .join(sizes.as("zb"), col("b") === col("zb.doc_id"))
       .select(col("a"), col("b"), col("n_shared"),
@@ -344,6 +345,7 @@ object TextAnalysis {
         (col("n_shared") / least(col("za.n"), col("zb.n"))).as("containment"))
       .filter(col("containment") >= minContainment)
       .orderBy(col("a"), col("b"))
+    graft.ops.Caching.materialized(out)(fp.unpersist(false))
   }
 
   /** Pointwise mutual information over within-document co-occurrence —

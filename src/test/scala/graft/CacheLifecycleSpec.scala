@@ -61,6 +61,10 @@ class CacheLifecycleSpec extends SparkSpec {
       docs.filter(col("doc_id") % 2 === 0), docs.filter(col("doc_id") % 2 === 1)))
   }
 
+  test("containment releases the fingerprint cache; result is the scope") {
+    assertScoped(graft.text.TextAnalysis.containment(docs))
+  }
+
   test("heavyHitters releases the token cache; result is the scope") {
     assertScoped(graft.text.TextAnalysis.heavyHitters(docs))
   }
