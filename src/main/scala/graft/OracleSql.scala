@@ -1172,6 +1172,60 @@ object OracleSql {
        |ORDER BY pd.doc_id""".stripMargin
   }
 
+  /** Shared CTE for the ExactSubstr-style span pair: positional
+    * n-grams → 60-bit hashes → corpus-wide duplicate set (count > 1,
+    * same-doc repeats included) → per-doc sorted duplicate-window
+    * starts. Mirrors Dedup.dupGramStarts (1-based positions here,
+    * 0-based in Spark — only gaps and window membership matter, and
+    * both are base-invariant within each engine).
+    */
+  private def dupStartsCte(n: Int): String =
+    s"""WITH t AS (SELECT doc_id, $Toks AS toks FROM documents),
+       |ps AS (SELECT doc_id, unnest([{'p': i, 's': array_to_string(toks[i:i+${n - 1}],' ')}
+       |  for i in range(1, len(toks)-${n - 2})]) AS u FROM t),
+       |h AS (SELECT doc_id, u.p AS pos, ${hex64("'ds|'||u.s")} AS g FROM ps),
+       |d AS (SELECT g FROM h GROUP BY g HAVING count(*) > 1),
+       |a AS (SELECT doc_id, count(*)::BIGINT AS n_dup_grams,
+       |  list_sort(list(pos)) AS starts
+       |  FROM h WHERE g IN (SELECT g FROM d) GROUP BY doc_id)""".stripMargin
+
+  /** Duplicated-span accounting (mirror of Dedup.dupSpans, n = 10):
+    * window-union coverage = n + Σ min(n, gap) over sorted starts.
+    */
+  val textDupSpans: String = {
+    val n = Dedup.DupSpanN
+    s"""${dupStartsCte(n)},
+       |c AS (SELECT doc_id, n_dup_grams,
+       |  ($n + coalesce(list_aggregate(
+       |    [least($n, starts[i+1]-starts[i]) for i in range(1, len(starts))],
+       |    'sum'), 0))::BIGINT AS dup_tokens FROM a),
+       |b AS (SELECT doc_id, len(toks)::BIGINT AS n_tokens FROM t)
+       |SELECT b.doc_id, n_tokens,
+       |  coalesce(n_dup_grams, 0) AS n_dup_grams,
+       |  coalesce(dup_tokens, 0) AS dup_tokens,
+       |  CASE WHEN n_tokens > 0 THEN coalesce(dup_tokens, 0) / n_tokens
+       |       ELSE 0.0 END AS dup_fraction
+       |FROM b LEFT JOIN c USING (doc_id) ORDER BY b.doc_id""".stripMargin
+  }
+
+  /** Span removal (mirror of Dedup.removeDupSpans): drop every token
+    * inside a duplicated n-window, rejoin with single spaces.
+    * array_to_string of an empty list is NULL in DuckDB → coalesce ''.
+    */
+  val textDedupSubstrings: String = {
+    val n = Dedup.DupSpanN
+    s"""${dupStartsCte(n)}
+       |SELECT doc_id, len(toks)::BIGINT AS n_tokens,
+       |  len(kept)::BIGINT AS n_kept,
+       |  coalesce(array_to_string(kept, ' '), '') AS clean_text
+       |FROM (SELECT t.doc_id, toks,
+       |  CASE WHEN starts IS NULL THEN toks
+       |       ELSE [toks[i] for i in range(1, len(toks)+1)
+       |             if len(list_filter(starts, s -> i >= s AND i < s + $n)) = 0]
+       |  END AS kept FROM t LEFT JOIN a USING (doc_id))
+       |ORDER BY doc_id""".stripMargin
+  }
+
   /** Offset-based sequence packing (mirror of Packing.packSequences). */
   val seqPack: String = {
     val b = graft.ops.Packing.DefaultBudget

@@ -102,6 +102,8 @@ object SparkEntry {
       Dedup.decontaminate(
         sp.filter(col("split") === "train"), sp.filter(col("split") === "test"))
     }),
+    "text_dup_spans" -> ((s, dir) => Dedup.dupSpans(t(s, dir, "documents"))),
+    "text_dedup_substrings" -> ((s, dir) => Dedup.removeDupSpans(t(s, dir, "documents"))),
     "text_repetition" -> ((s, dir) => TextAnalysis.repetition(t(s, dir, "documents"))),
     "text_pii" -> ((s, dir) => graft.text.Pii.scrubQuery(t(s, dir, "documents"))),
     "sample_quality_filter" -> ((s, dir) => TextAnalysis.qualityFilter(t(s, dir, "documents"))),
@@ -577,6 +579,8 @@ object SparkEntry {
     "corpus_shuffle" -> OracleSql.corpusShuffle,
     "chunks_dedup" -> OracleSql.chunksDedup,
     "text_decontaminate" -> OracleSql.textDecontaminate,
+    "text_dup_spans" -> OracleSql.textDupSpans,
+    "text_dedup_substrings" -> OracleSql.textDedupSubstrings,
     "events_top_paths" -> OracleSql.eventsTopPaths,
     "text_top_ngrams" -> OracleSql.textTopNgrams,
     "text_pmi" -> OracleSql.textPmi,

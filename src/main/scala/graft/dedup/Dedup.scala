@@ -703,4 +703,118 @@ object Dedup {
         (coalesce(col("n_contaminated"), lit(0L)) > 0).as("contaminated"))
       .orderBy(col("doc_id"))
   }
+
+  /** Span length (in tokens) for substring-level dedup: a duplicated
+    * passage must be at least this long to be detected/removed. Real
+    * pipelines use ~50 BPE tokens (Lee et al. 2022, "Deduplicating
+    * Training Data Makes Language Models Better" — the ExactSubstr
+    * pass); 10 word-tokens is the same design scaled to the test
+    * corpus's short documents. Mirrored into the DuckDB oracle.
+    */
+  val DupSpanN = 10
+
+  /** Positional n-gram hash stream + per-doc sorted duplicate-window
+    * starts — the shared core of [[dupSpans]] / [[removeDupSpans]].
+    *
+    * A gram is duplicated when its 60-bit hash occurs MORE THAN ONCE
+    * corpus-wide — across documents or twice in the same document
+    * (ExactSubstr semantics: any repeated substring counts, unlike the
+    * doc-level dedups above). Every duplicated substring of ≥ n tokens
+    * contains at least one duplicated n-gram, and the union of the
+    * duplicated grams' n-token windows is exactly the token span such
+    * a substring covers — so window-union coverage (computed by the
+    * callers from the starts array) is the ExactSubstr span measure
+    * without a suffix array, which does not distribute.
+    *
+    * Scale (100 TB): the gram stream is one narrow projection per
+    * token (doc_id, pos, hash — no strings past the hash). It feeds
+    * two consumers — the global duplicate-hash aggregate (map-side
+    * partial count, one row per hash per partition enters the shuffle)
+    * and the occurrence semi-join — so it is persisted once
+    * (MEMORY_AND_DISK ≈ the "write the gram table once" pass real
+    * pipelines run; released by the caller via the materialized
+    * scope). The semi-join emits each occurrence AT MOST ONCE — a
+    * boilerplate gram shared by 10⁶ docs fans out nothing (contrast
+    * the pair-join blow-up [[capByFrequency]] guards elsewhere) — and
+    * is AQE-skew-eligible on the hash. The per-doc window-union fold
+    * is a narrow array computation after one groupBy(doc_id).
+    */
+  private def dupGramStarts(docs: DataFrame, n: Int): (DataFrame, DataFrame) = {
+    val t = withToks(docs)
+    val grams = t
+      .select(col("doc_id"),
+        posexplode(graft.GraftFunctions.shinglesOfTokens(col("toks"), n, distinct = false)))
+      .toDF("doc_id", "pos", "s")
+      .select(col("doc_id"), col("pos"), hex64(concat(lit("ds|"), col("s"))).as("g"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val dup = grams.groupBy(col("g")).agg(count(lit(1)).as("c"))
+      .filter(col("c") > 1).select(col("g"))
+    val starts = grams.join(dup, Seq("g"), "left_semi")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_dup_grams"),
+        sort_array(collect_list(col("pos"))).as("starts"))
+    (grams, starts)
+  }
+
+  /** Union coverage (token count) of n-wide windows at sorted
+    * `starts`: n for the first window plus min(n, gap) per successive
+    * start — integer-exact, so the DuckDB oracle matches bitwise.
+    */
+  private def windowUnionTokens(starts: org.apache.spark.sql.Column, n: Int) =
+    lit(n.toLong) + aggregate(
+      zip_with(slice(starts, lit(2), size(starts) - 1),
+        slice(starts, lit(1), size(starts) - 1),
+        (b, a) => least(lit(n), b - a)),
+      lit(0L), (acc, x) => acc + x)
+
+  /** ExactSubstr-style duplicated-span accounting: per document, how
+    * many positional n-grams are duplicated corpus-wide and how many
+    * tokens their window-union covers (`dup_tokens`, the span an
+    * ExactSubstr pass would remove), plus the covered fraction.
+    * Documents with fewer than n tokens have no grams and report 0.
+    */
+  def dupSpans(docs: DataFrame, n: Int = DupSpanN): DataFrame = {
+    val (grams, starts) = dupGramStarts(docs, n)
+    val base = withToks(docs).select(col("doc_id"),
+      size(col("toks")).cast("long").as("n_tokens"))
+    val out = base.join(starts, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("n_dup_grams"), lit(0L)).as("n_dup_grams"),
+        coalesce(when(col("starts").isNotNull, windowUnionTokens(col("starts"), n)),
+          lit(0L)).as("dup_tokens"))
+      .withColumn("dup_fraction",
+        when(col("n_tokens") > 0,
+          col("dup_tokens").cast("double") / col("n_tokens").cast("double"))
+          .otherwise(lit(0.0)))
+      .orderBy(col("doc_id"))
+    materialized(out) { grams.unpersist() }
+  }
+
+  /** ExactSubstr-style span REMOVAL: rewrites each document with every
+    * duplicated window's tokens dropped (from ALL copies, per Lee et
+    * al. — a passage seen twice vanishes everywhere; doc-level dedup
+    * above is what keeps one canonical copy). Reconstruction joins the
+    * kept tokens with single spaces — original whitespace/case inside
+    * kept spans is already normalized by the tokenizer, which is the
+    * contract every hash in this suite shares.
+    *
+    * The kept-token filter tests each token index against the
+    * duplicate starts (O(tokens × dup-starts) per doc, narrow); dup
+    * density is low in a once-deduplicated corpus, and a pathological
+    * all-duplicate doc costs O(tokens²) only locally to that row.
+    */
+  def removeDupSpans(docs: DataFrame, n: Int = DupSpanN): DataFrame = {
+    val (grams, starts) = dupGramStarts(docs, n)
+    val kept = filter(col("toks"), (t, i) =>
+      !exists(col("starts"), s => i >= s && i < s + n))
+    val out = withToks(docs).join(starts, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        size(col("toks")).cast("long").as("n_tokens"),
+        when(col("starts").isNotNull, kept).otherwise(col("toks")).as("kept"))
+      .select(col("doc_id"), col("n_tokens"),
+        size(col("kept")).cast("long").as("n_kept"),
+        array_join(col("kept"), " ").as("clean_text"))
+      .orderBy(col("doc_id"))
+    materialized(out) { grams.unpersist() }
+  }
 }

@@ -56,6 +56,11 @@ class CacheLifecycleSpec extends SparkSpec {
     assertScoped(graft.ops.Pipeline.cleanCorpus(docs))
   }
 
+  test("dupSpans/removeDupSpans release the gram-stream cache; result is the scope") {
+    assertScoped(Dedup.dupSpans(docs))
+    assertScoped(Dedup.removeDupSpans(docs))
+  }
+
   test("bloomDedup releases the corpus fingerprint cache; result is the scope") {
     assertScoped(Dedup.bloomDedup(
       docs.filter(col("doc_id") % 2 === 0), docs.filter(col("doc_id") % 2 === 1)))

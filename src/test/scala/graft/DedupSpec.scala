@@ -202,6 +202,54 @@ class DedupSpec extends SparkSpec {
     assert(res(3L) === (0L, 0L, false))
   }
 
+  test("dupSpans/removeDupSpans: planted shared + internal spans, exact window-union arithmetic") {
+    // P = 12 shared tokens → 3 dup 10-grams, union coverage 10+1+1 = 12.
+    // Q = 10 tokens repeated inside doc 4 (gap > 10) → 2 dup grams, 20
+    // tokens covered — corpus-wide count > 1 includes same-doc repeats.
+    val p = (1 to 12).map(i => s"p$i").mkString(" ")
+    val q = (1 to 10).map(i => s"q$i").mkString(" ")
+    val fillA = (1 to 20).map(i => s"a$i").mkString(" ")
+    val fillB = (1 to 20).map(i => s"b$i").mkString(" ")
+    val fillC = (1 to 30).map(i => s"c$i").mkString(" ")
+    val fillD = (1 to 5).map(i => s"d$i").mkString(" ")
+    val docs4 = Seq(
+      (1L, s"$fillA $p"), (2L, s"$p $fillB"), (3L, fillC),
+      (4L, s"$q $fillD $q")).toDF("doc_id", "text")
+
+    val spans = Dedup.dupSpans(docs4)
+    val byId = spans.collect().map(r => r.getAs[Long]("doc_id") ->
+      (r.getAs[Long]("n_tokens"), r.getAs[Long]("n_dup_grams"),
+        r.getAs[Long]("dup_tokens"), r.getAs[Double]("dup_fraction"))).toMap
+    spans.unpersist()
+    assert(byId(1L) === ((32L, 3L, 12L, 12.0 / 32.0)))
+    assert(byId(2L) === ((32L, 3L, 12L, 12.0 / 32.0)))
+    assert(byId(3L) === ((30L, 0L, 0L, 0.0)))
+    assert(byId(4L) === ((25L, 2L, 20L, 20.0 / 25.0)))
+
+    val removed = Dedup.removeDupSpans(docs4)
+    val rById = removed.collect().map(r => r.getAs[Long]("doc_id") ->
+      (r.getAs[Long]("n_kept"), r.getAs[String]("clean_text"))).toMap
+    removed.unpersist()
+    // the passage vanishes from ALL copies (ExactSubstr), fillers survive
+    assert(rById(1L) === ((20L, fillA)))
+    assert(rById(2L) === ((20L, fillB)))
+    assert(rById(3L) === ((30L, fillC)))
+    assert(rById(4L) === ((5L, fillD)))
+  }
+
+  test("dupSpans coverage ≡ tokens removed by removeDupSpans on the real corpus") {
+    val spans = Dedup.dupSpans(docs)
+    val removed = Dedup.removeDupSpans(docs)
+    val joined = spans.select(col("doc_id"), col("dup_tokens"))
+      .join(removed.select(col("doc_id"),
+        (col("n_tokens") - col("n_kept")).as("gone")), Seq("doc_id"))
+    val mismatches = joined.filter(col("dup_tokens") =!= col("gone")).count()
+    val nDup = spans.filter(col("n_dup_grams") > 0).count()
+    spans.unpersist(); removed.unpersist()
+    assert(mismatches === 0L)
+    assert(nDup > 0L, "corpus should contain duplicated spans (planted near-dups)")
+  }
+
   test("bloomDedup: gate ≡ ungated exact semi-join; fp rate bounded; planted dups flagged") {
     val corpus = docs.filter(col("doc_id") % 2 === 0)
     // batch = odd docs + exact copies of 3 corpus texts under new odd ids

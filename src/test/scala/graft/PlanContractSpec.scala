@@ -171,6 +171,20 @@ class PlanContractSpec extends SparkSpec {
     }
   }
 
+  test("dup-span ops: duplicate gate is agg + semi-join, window-free; occurrences never fan out") {
+    Seq("text_dup_spans", "text_dedup_substrings").foreach { name =>
+      val df = q(name)
+      val phys = physical(df)
+      assert(!phys.contains("Window"), s"$name plans a window:\n$phys")
+      // corpus-wide duplicate set gates occurrences through a LeftSemi
+      // (each gram row emitted at most once — a hot boilerplate gram
+      // fans out nothing), backed by a partial-aggregated count
+      assert(phys.contains("LeftSemi"), s"$name lost the semi-join gate:\n$phys")
+      assert(!phys.contains("CartesianProduct"), s"$name plans a cross join:\n$phys")
+      df.unpersist(blocking = true)
+    }
+  }
+
   test("df caps are groupBy + semi-join, never a count-over-window on the hot key") {
     // Caching.capByFrequency guards the two self-joins whose keys are
     // hot BY DEFINITION (capped shingles / fingerprints) — a window
