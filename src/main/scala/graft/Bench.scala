@@ -87,7 +87,13 @@ object Bench {
 
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     val phases = scala.collection.mutable.LinkedHashMap.empty[String, (Double, Double)]
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // SPARK_GRAFT_BENCH_ONLY=q1,q2 — iterate on a subset without paying
+    // the full 99-query run; the driver never sets it (full map there)
+    val selected = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+      .map(o => SparkEntry.queries.view.filterKeys(o).toMap)
+      .getOrElse(SparkEntry.queries)
+    val results = selected.map { case (name, fn) =>
       val attempts = (1 to runs).map(_ => runOnce(name, fn))
       attempts.collectFirst { case (_, _, Some(err)) => err }.foreach { err =>
         errors(name) = err

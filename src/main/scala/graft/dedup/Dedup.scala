@@ -739,8 +739,13 @@ object Dedup {
     * is AQE-skew-eligible on the hash. The per-doc window-union fold
     * is a narrow array computation after one groupBy(doc_id).
     */
-  private def dupGramStarts(docs: DataFrame, n: Int): (DataFrame, DataFrame) = {
-    val t = withToks(docs)
+  private def dupGramStarts(docs: DataFrame, n: Int): (DataFrame, DataFrame, DataFrame) = {
+    // one tokenize pass, widened so the explode+hash stage isn't pinned
+    // to a tiny file's single scan partition; persisted because both the
+    // gram stream and the callers' per-doc reconstruction read it
+    val t = graft.ops.Partitions.widened(
+      withToks(docs).select(col("doc_id"), col("toks")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val grams = t
       .select(col("doc_id"),
         posexplode(graft.GraftFunctions.shinglesOfTokens(col("toks"), n, distinct = false)))
@@ -753,7 +758,7 @@ object Dedup {
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_dup_grams"),
         sort_array(collect_list(col("pos"))).as("starts"))
-    (grams, starts)
+    (t, grams, starts)
   }
 
   /** Union coverage (token count) of n-wide windows at sorted
@@ -774,8 +779,8 @@ object Dedup {
     * Documents with fewer than n tokens have no grams and report 0.
     */
   def dupSpans(docs: DataFrame, n: Int = DupSpanN): DataFrame = {
-    val (grams, starts) = dupGramStarts(docs, n)
-    val base = withToks(docs).select(col("doc_id"),
+    val (t, grams, starts) = dupGramStarts(docs, n)
+    val base = t.select(col("doc_id"),
       size(col("toks")).cast("long").as("n_tokens"))
     val out = base.join(starts, Seq("doc_id"), "left")
       .select(col("doc_id"), col("n_tokens"),
@@ -787,7 +792,7 @@ object Dedup {
           col("dup_tokens").cast("double") / col("n_tokens").cast("double"))
           .otherwise(lit(0.0)))
       .orderBy(col("doc_id"))
-    materialized(out) { grams.unpersist() }
+    materialized(out) { grams.unpersist(); t.unpersist() }
   }
 
   /** ExactSubstr-style span REMOVAL: rewrites each document with every
@@ -804,10 +809,10 @@ object Dedup {
     * all-duplicate doc costs O(tokens²) only locally to that row.
     */
   def removeDupSpans(docs: DataFrame, n: Int = DupSpanN): DataFrame = {
-    val (grams, starts) = dupGramStarts(docs, n)
-    val kept = filter(col("toks"), (t, i) =>
+    val (t, grams, starts) = dupGramStarts(docs, n)
+    val kept = filter(col("toks"), (tok, i) =>
       !exists(col("starts"), s => i >= s && i < s + n))
-    val out = withToks(docs).join(starts, Seq("doc_id"), "left")
+    val out = t.join(starts, Seq("doc_id"), "left")
       .select(col("doc_id"),
         size(col("toks")).cast("long").as("n_tokens"),
         when(col("starts").isNotNull, kept).otherwise(col("toks")).as("kept"))
@@ -815,6 +820,6 @@ object Dedup {
         size(col("kept")).cast("long").as("n_kept"),
         array_join(col("kept"), " ").as("clean_text"))
       .orderBy(col("doc_id"))
-    materialized(out) { grams.unpersist() }
+    materialized(out) { grams.unpersist(); t.unpersist() }
   }
 }
