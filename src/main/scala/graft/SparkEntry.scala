@@ -107,6 +107,11 @@ object SparkEntry {
     "text_repetition" -> ((s, dir) => TextAnalysis.repetition(t(s, dir, "documents"))),
     "text_pii" -> ((s, dir) => graft.text.Pii.scrubQuery(t(s, dir, "documents"))),
     "sample_quality_filter" -> ((s, dir) => TextAnalysis.qualityFilter(t(s, dir, "documents"))),
+    // rows-only: MLlib L-BFGS float-fold order is partitioning-dependent
+    // in the last ulps (declared); separation + plan contracts in
+    // QualityClassifierSpec
+    "quality_classifier" -> ((s, dir) =>
+      graft.text.QualityClassifier.trainScoreQuery(t(s, dir, "documents"))),
     // rows-only: the GK sketch threshold has no cross-engine oracle
     // (declared); ≥99% keep-set agreement with the exact rank cut is
     // property-spec'd in RelationalSpec
