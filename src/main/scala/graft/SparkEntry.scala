@@ -108,10 +108,19 @@ object SparkEntry {
     "text_pii" -> ((s, dir) => graft.text.Pii.scrubQuery(t(s, dir, "documents"))),
     "sample_quality_filter" -> ((s, dir) => TextAnalysis.qualityFilter(t(s, dir, "documents"))),
     // rows-only: MLlib L-BFGS float-fold order is partitioning-dependent
-    // in the last ulps (declared); separation + plan contracts in
+    // in the last ulps (declared); planted-separation, sigmoid-recount,
+    // no-UDF/no-Window serving-plan, and sampled-vs-full contracts in
     // QualityClassifierSpec
     "quality_classifier" -> ((s, dir) =>
       graft.text.QualityClassifier.trainScoreQuery(t(s, dir, "documents"))),
+    // rows-only like quality_classifier; the model-at-rest round trip:
+    // train (sampled) → saveModel (weight rows + params in
+    // TBLPROPERTIES) → loadModel → score from the LOADED weights —
+    // loaded-≡-fresh is spec'd bitwise in QualityClassifierSpec
+    "quality_classifier_persisted" -> ((s, dir) =>
+      graft.text.QualityClassifier.trainSaveScoreQuery(
+        t(s, dir, "documents"), "graft_quality_model_rt",
+        path = Some(s"${tempDir("quality_model")}/tbl"))),
     // rows-only: the GK sketch threshold has no cross-engine oracle
     // (declared); ≥99% keep-set agreement with the exact rank cut is
     // property-spec'd in RelationalSpec

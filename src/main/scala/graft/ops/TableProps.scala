@@ -31,4 +31,15 @@ object TableProps {
     val m = s""""$key"\\s*:\\s*(-?\\d+)""".r.findFirstMatchIn(json)
     m.getOrElse(sys.error(s"property lacks $key: $json")).group(1).toLong
   }
+
+  /** Floating-point field from a flat JSON object string. The values
+    * are self-written `Double.toString` renderings (which round-trip
+    * exactly through `toDouble`), so the pattern accepts plain,
+    * fractional, and exponent forms.
+    */
+  def doubleField(json: String, key: String): Double = {
+    val m = s""""$key"\\s*:\\s*(-?\\d+(?:\\.\\d+)?(?:[eE][+-]?\\d+)?)""".r
+      .findFirstMatchIn(json)
+    m.getOrElse(sys.error(s"property lacks $key: $json")).group(1).toDouble
+  }
 }

@@ -2,8 +2,9 @@ package graft.text
 
 import org.apache.spark.ml.classification.LogisticRegression
 import org.apache.spark.ml.functions.array_to_vector
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 
 import graft.GraftFunctions
 
@@ -11,25 +12,47 @@ import graft.GraftFunctions
   * pipelines layer over rule batteries (GPT-3 §A trained LR against a
   * WebText-positive class; CCNet and LLaMA used fasttext the same
   * way). Features are the engine's own hashed bag-of-words embeddings
-  * ([[TextAnalysis.hashEmbed]] — no external tokenizer or model), so
-  * the whole loop is:
+  * ([[TextAnalysis.hashEmbedVectors]] — no external tokenizer or
+  * model), so the whole loop is:
   *
   *   weak labels (Gopher rule battery) → MLlib LogisticRegression on
   *   hash-embed features → serve scores with a codegen dot product.
   *
   * Train/serve split mirrors the ANN family: TRAINING is an MLlib fit
   * (distributed L-BFGS treeAggregate — the one place a Vector UDF
-  * conversion is unavoidable, same boundary as [[graft.ann.MlLsh]]);
-  * SERVING is `sigmoid(w·x + b)` where w rides along as an array
-  * literal in a native [[graft.expressions.DotProduct]] — broadcast
-  * with the plan, no model object, no UDF, whole-stage codegen. At
-  * 100 TB the scoring pass is a narrow map over the corpus: d float
-  * multiplies per doc after the O(tokens) sparse feature build.
+  * conversion is unavoidable, same boundary as [[graft.ann.MlLsh]])
+  * over a deterministic `doc_id`-gated SAMPLE of the corpus (the
+  * [[graft.ann.Pq.train]] precedent: at 100 TB nobody fits 50 L-BFGS
+  * iterations against every row; a bounded sample fits the same
+  * decision surface). SERVING is `sigmoid(w·x + b)` where w rides
+  * along as an array literal in a native
+  * [[graft.expressions.DotProduct]] — broadcast with the plan, no
+  * model object, no UDF, whole-stage codegen. At 100 TB the scoring
+  * pass is a narrow map over the corpus: d float multiplies per doc
+  * after the O(tokens) sparse feature build.
+  *
+  * The fitted model joins the index-at-rest family
+  * ([[saveModel]]/[[loadModel]] — weight rows + params in
+  * TBLPROPERTIES, the [[graft.ann.Pq.save]] layout): train once,
+  * score many, across sessions.
+  *
+  * Separation on planted good/bad corpora, the sigmoid recount, the
+  * no-UDF/no-Window serving-plan contract, sampled-vs-full parity,
+  * and the save/load round trip are pinned in QualityClassifierSpec.
   */
 object QualityClassifier {
 
   /** Serving-side model: d-dim weights + intercept. */
   case class QualityModel(weights: Array[Float], intercept: Double, d: Int)
+
+  /** Default training-sample fraction — the same knob and default
+    * shape as [[graft.ann.Pq.train]]'s `sampleFrac`: L-BFGS cost is
+    * per-row per-iteration, and the rule-derived labels are cheap to
+    * make plentiful, so a bounded deterministic sample trains the
+    * same boundary at a fraction of the cost (sampled-vs-full parity
+    * is spec'd).
+    */
+  val DefaultTrainSampleFrac = 0.25
 
   /** Weak labels from the Gopher rule battery: pass = positive. The
     * classifier generalizes the brittle rule edges into a smooth
@@ -42,47 +65,148 @@ object QualityClassifier {
     TextAnalysis.gopherQuality(docs)
       .select(col("doc_id"), col("gopher_pass").cast("int").as("label"))
 
-  /** Fit LR on hash-embed features joined to `labels` (doc_id,
-    * label∈{0,1}). Deterministic given the data (seeded by being
-    * seedless: L-BFGS from a zero start; float-sum order across
-    * partitions makes the last ulps run-dependent, which is why the
-    * driver row is declared rows-only).
+  /** The feature frame: (doc_id, embedding array<float>) — one
+    * definition so train and serve cannot drift apart.
     */
-  def train(docs: DataFrame, labels: DataFrame, d: Int = 256,
-      maxIter: Int = 50, regParam: Double = 1e-3): QualityModel = {
-    val feats = TextAnalysis.hashEmbedVectors(docs, d)
-      .join(labels, Seq("doc_id"))
+  def features(docs: DataFrame, d: Int = 256): DataFrame =
+    TextAnalysis.hashEmbedVectors(docs, d)
+
+  /** Deterministic training gate — `doc_id % round(1/frac) == 0`, the
+    * [[graft.ann.Pq]] sampling idiom (reproducible across runs and
+    * engines, no RNG state to thread).
+    */
+  private def sampleLabels(labels: DataFrame, sampleFrac: Double): DataFrame = {
+    require(sampleFrac > 0.0 && sampleFrac <= 1.0,
+      s"sampleFrac=$sampleFrac must be in (0, 1]")
+    if (sampleFrac >= 1.0) labels
+    else labels.filter(col("doc_id") % math.round(1.0 / sampleFrac) === 0)
+  }
+
+  /** Fit LR against an ALREADY-BUILT feature frame (so a caller that
+    * scores the same corpus — [[trainScoreQuery]] — builds features
+    * once). Deterministic given the data (seeded by being seedless:
+    * L-BFGS from a zero start; float-sum order across partitions
+    * makes the last ulps run-dependent, which is why the driver rows
+    * are declared rows-only).
+    */
+  def trainOnFeatures(feats: DataFrame, labels: DataFrame, d: Int,
+      maxIter: Int = 50, regParam: Double = 1e-3,
+      sampleFrac: Double = 1.0): QualityModel = {
+    // the sampled training set is batch-bounded — compact it to a few
+    // partitions so each of the maxIter treeAggregate passes is a
+    // handful of tasks, not a full grid of near-empty ones (at 100 TB
+    // the sample is the only thing the iterations ever touch)
+    val tr = feats.join(sampleLabels(labels, sampleFrac), Seq("doc_id"))
       .select(array_to_vector(col("embedding")).as("features"),
         col("label").cast("double").as("label"))
+      .coalesce(8)
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val m = new LogisticRegression()
       .setMaxIter(maxIter).setRegParam(regParam)
-      .fit(feats)
+      .fit(tr)
+    tr.unpersist(false)
     QualityModel(m.coefficients.toArray.map(_.toFloat), m.intercept, d)
   }
 
-  /** Score every doc: (doc_id, quality_prob, quality_pred). The
-    * weights array is a plan literal — no UDF, no model broadcast
-    * machinery, the dot product is the codegen kernel shared with the
-    * ANN scan tiers.
+  /** Fit LR on hash-embed features joined to `labels` (doc_id,
+    * label∈{0,1}). Features are built only for the sampled subset —
+    * the semi-join runs BEFORE the O(tokens) feature build.
     */
-  def score(docs: DataFrame, model: QualityModel): DataFrame = {
+  def train(docs: DataFrame, labels: DataFrame, d: Int = 256,
+      maxIter: Int = 50, regParam: Double = 1e-3,
+      sampleFrac: Double = 1.0): QualityModel = {
+    val lab = sampleLabels(labels, sampleFrac)
+    val sub =
+      if (sampleFrac >= 1.0) docs
+      else docs.join(lab.select(col("doc_id")), Seq("doc_id"), "left_semi")
+    trainOnFeatures(features(sub, d), lab, d, maxIter, regParam)
+  }
+
+  /** Score an already-built feature frame: (doc_id, quality_prob,
+    * quality_pred). The weights array is a plan literal — no UDF, no
+    * model broadcast machinery, the dot product is the codegen kernel
+    * shared with the ANN scan tiers (plan-asserted: no UDF, no
+    * Window).
+    */
+  def scoreFeatures(feats: DataFrame, model: QualityModel): DataFrame = {
     val z = GraftFunctions.dot_product(col("embedding"), typedlit(model.weights)) +
       lit(model.intercept)
-    TextAnalysis.hashEmbedVectors(docs, model.d)
+    feats
       .select(col("doc_id"),
         (lit(1.0) / (lit(1.0) + exp(-z))).as("quality_prob"))
       .withColumn("quality_pred", (col("quality_prob") >= 0.5).cast("int"))
       .orderBy(col("doc_id"))
   }
 
-  /** The driver row: weak-label → train → score the same corpus, with
-    * the label joined back for inspection. Rows-only (see [[train]]).
+  /** Score every doc from raw text. */
+  def score(docs: DataFrame, model: QualityModel): DataFrame =
+    scoreFeatures(features(docs, model.d), model)
+
+  /** Persist a fitted model as a (dim, weight) table with
+    * d/intercept in TBLPROPERTIES — the [[graft.ann.Pq.save]] layout:
+    * the artifact lives WITH its parameters, not in caller lore.
     */
-  def trainScoreQuery(docs: DataFrame, d: Int = 256): DataFrame = {
-    val labels = weakLabels(docs)
-    val model = train(docs, labels, d)
-    score(docs, model).join(labels, Seq("doc_id"))
+  def saveModel(model: QualityModel, spark: SparkSession, table: String,
+      path: Option[String] = None): Unit = {
+    import spark.implicits._
+    val w = model.weights.toSeq.zipWithIndex.map { case (wt, i) => (i, wt) }
+      .toDF("dim", "weight")
+      .coalesce(1)
+      .write.mode("overwrite").format("parquet")
+    path.foreach(loc => w.option("path", loc))
+    w.saveAsTable(table)
+    graft.ops.TableProps.set(spark, table, "graft.quality.params",
+      s"""{"d":${model.d},"intercept":${model.intercept}}""")
+  }
+
+  /** Restore a [[saveModel]]ed model. The collect is the weight
+    * vector itself (d rows, kilobytes) — driver-sized by
+    * construction, like the PQ codebook load.
+    */
+  def loadModel(spark: SparkSession, table: String): QualityModel = {
+    val json = graft.ops.TableProps.get(spark, table, "graft.quality.params")
+    val d = graft.ops.TableProps.longField(json, "d").toInt
+    val intercept = graft.ops.TableProps.doubleField(json, "intercept")
+    val w = new Array[Float](d)
+    val seen = new Array[Boolean](d)
+    spark.table(table).collect().foreach { r =>
+      val i = r.getAs[Int]("dim")
+      w(i) = r.getAs[Float]("weight"); seen(i) = true
+    }
+    require(seen.forall(identity), s"table $table has missing weight dims")
+    QualityModel(w, intercept, d)
+  }
+
+  /** The driver row: weak-label → train (sampled) → score the same
+    * corpus, with the label joined back for inspection. Features and
+    * labels are built ONCE and shared between the fit and the scoring
+    * pass ([[graft.ops.Caching.materialized]] scope). Rows-only (see
+    * [[trainOnFeatures]]).
+    */
+  def trainScoreQuery(docs: DataFrame, d: Int = 256,
+      sampleFrac: Double = DefaultTrainSampleFrac): DataFrame = {
+    val feats = features(docs, d).persist(StorageLevel.MEMORY_AND_DISK)
+    val labels = weakLabels(docs).persist(StorageLevel.MEMORY_AND_DISK)
+    val model = trainOnFeatures(feats, labels, d, sampleFrac = sampleFrac)
+    val out = scoreFeatures(feats, model).join(labels, Seq("doc_id"))
       .select(col("doc_id"), col("label"), col("quality_prob"), col("quality_pred"))
       .orderBy(col("doc_id"))
+    graft.ops.Caching.materialized(out) {
+      feats.unpersist(false); labels.unpersist(false)
+    }
+  }
+
+  /** The persisted driver row: train (sampled) → [[saveModel]] →
+    * [[loadModel]] → score from the LOADED weights — the
+    * train-once/score-many production shape, same round-trip contract
+    * as `ann_ivf_persisted`. Rows-only (see [[trainOnFeatures]]).
+    */
+  def trainSaveScoreQuery(docs: DataFrame, table: String,
+      path: Option[String] = None, d: Int = 256,
+      sampleFrac: Double = DefaultTrainSampleFrac): DataFrame = {
+    val spark = docs.sparkSession
+    val model = train(docs, weakLabels(docs), d, sampleFrac = sampleFrac)
+    saveModel(model, spark, table, path)
+    score(docs, loadModel(spark, table))
   }
 }

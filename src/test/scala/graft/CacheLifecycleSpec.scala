@@ -61,6 +61,10 @@ class CacheLifecycleSpec extends SparkSpec {
     assertScoped(Dedup.removeDupSpans(docs))
   }
 
+  test("quality_classifier releases feature/label/training caches; result is the scope") {
+    assertScoped(graft.text.QualityClassifier.trainScoreQuery(docs, d = 64))
+  }
+
   test("bloomDedup releases the corpus fingerprint cache; result is the scope") {
     assertScoped(Dedup.bloomDedup(
       docs.filter(col("doc_id") % 2 === 0), docs.filter(col("doc_id") % 2 === 1)))
