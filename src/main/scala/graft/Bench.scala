@@ -88,10 +88,19 @@ object Bench {
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     val phases = scala.collection.mutable.LinkedHashMap.empty[String, (Double, Double)]
     // SPARK_GRAFT_BENCH_ONLY=q1,q2 — iterate on a subset without paying
-    // the full 99-query run; the driver never sets it (full map there)
+    // the full run; the driver never sets it (full map there). A name
+    // that matches no query is an ERROR, not an empty run — a typo'd
+    // filter must not report a vacuous green bench (ADVICE r7)
     val selected = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
-      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
-      .map(o => SparkEntry.queries.view.filterKeys(o).toMap)
+      .map { raw =>
+        val names = raw.split(",").map(_.trim).filter(_.nonEmpty)
+        val unknown = names.filterNot(SparkEntry.queries.contains)
+        require(unknown.isEmpty,
+          s"SPARK_GRAFT_BENCH_ONLY names not in SparkEntry.queries: " +
+            unknown.mkString(", "))
+        val keep = names.toSet
+        SparkEntry.queries.filter { case (n, _) => keep(n) }
+      }
       .getOrElse(SparkEntry.queries)
     val results = selected.map { case (name, fn) =>
       val attempts = (1 to runs).map(_ => runOnce(name, fn))

@@ -29,6 +29,11 @@ object DupSpanScaleSmoke {
   def main(args: Array[String]): Unit = {
     val nDocs = args.headOption.map(_.toInt).getOrElse(500000)
     val dupPct = args.drop(1).headOption.map(_.toInt).getOrElse(5)
+    // the planted rate is id % (100/dupPct) == 0 — integer division:
+    // a dupPct that doesn't divide 100 silently skews the rate, and
+    // dupPct > 100 makes the stride 0 (modulo-by-zero at runtime)
+    require(dupPct >= 1 && dupPct <= 100 && 100 % dupPct == 0,
+      s"dupPct=$dupPct must be a divisor of 100 in [1, 100]")
     val spark = GraftSession.builder("local[32]", 64).getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 

@@ -320,10 +320,8 @@ object SparkEntry {
       val tmp = tempDir("ivfpq_res_idx")
       graft.ann.Pq.saveCellIndex(model, e, cents, "graft_ivfpq_res_rt",
         path = Some(s"$tmp/tbl"), residual = true, nProbe = 2)
-      val (m2, cells, c2) = graft.ann.Pq.loadCellIndex(s, "graft_ivfpq_res_rt")
-      val (resFlag, _) = graft.ann.Pq.cellIndexParams(s, "graft_ivfpq_res_rt")
-      graft.ann.Pq.pqTopKOnCells(cells, e, c2, e.filter(col("vec_id") < 10), m2,
-        nProbe = 2, k = 5, prefilterK = 20, residual = resFlag)
+      graft.ann.Pq.topKOnSavedCellIndex(s, "graft_ivfpq_res_rt", e,
+        e.filter(col("vec_id") < 10), k = 5, prefilterK = 20)
     }),
     "ann_hamming" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")

@@ -332,7 +332,8 @@ object Pq {
       .groupBy(col("q_id"))
       .agg(top_k_by_score(col("ascore"), col("cand_id"), prefilterK).as("pre"))
       .select(col("q_id"), explode(col("pre.id")).as("cand_id"))
-    graft.ops.TopK.cosineRerank(survivors, corpus, queries, k, broadcastQueries)
+    graft.ops.TopK.cosineRerank(survivors, corpus, queries, k, broadcastQueries,
+      prefilterK = Some(prefilterK.toLong))
   }
 
   // ---- IVFADC: cell-pruned ADC serving (Jégou et al. 2011 §V) ----
@@ -433,13 +434,24 @@ object Pq {
     // rather than an OOM.
     val bcBatch = broadcastQueries.orElse(
       Some(graft.ops.Broadcasting.fitsBroadcast(queries)))
+    // the batch-bounded sides fan out from the queries frame by KNOWN
+    // multipliers (probes: nProbe small rows; ADC tables: m·k doubles
+    // per query) — cap even a forced broadcast by the source-side rows
+    // bound so an extreme nProbe/m·k config degrades to a shuffle
+    // instead of a driver-memory spike (ADVICE r7, the TopK.cosineRerank
+    // survivors fix applied to the same pattern here)
+    val bcProbes = Some(bcBatch.contains(true) &&
+      graft.ops.Broadcasting.fitsBroadcastRows(queries, nProbe.toLong, 32L))
+    val bcQtab = Some(bcBatch.contains(true) &&
+      graft.ops.Broadcasting.fitsBroadcastRows(queries, 1L,
+        model.m.toLong * model.k * 8 + 32L))
     val qtab = adcTables(queries, model)
     val adc = graft.GraftFunctions.adc_score(col("codes"), col("tab"))
-    val survivors = graft.ops.Broadcasting.maybeBroadcast(probes, bcBatch)
+    val survivors = graft.ops.Broadcasting.maybeBroadcast(probes, bcProbes)
       .join(cells.select(col("cell"), col("vec_id").as("cand_id"), col("codes")),
         Seq("cell"))
       .filter(col("cand_id") =!= col("q_id"))
-      .join(graft.ops.Broadcasting.maybeBroadcast(qtab, bcBatch), Seq("q_id"))
+      .join(graft.ops.Broadcasting.maybeBroadcast(qtab, bcQtab), Seq("q_id"))
       .select(col("q_id"), col("cand_id"),
         (if (residual) col("c_sim") + adc else adc).as("ascore"))
       .groupBy(col("q_id"))
@@ -453,7 +465,8 @@ object Pq {
       // survives is immaterial (survivor grain: ≤ prefilterK × queries
       // rows, negligible)
       .dropDuplicates("q_id", "cand_id")
-    graft.ops.TopK.cosineRerank(survivors, corpus, queries, k, broadcastQueries)
+    graft.ops.TopK.cosineRerank(survivors, corpus, queries, k, broadcastQueries,
+      prefilterK = Some(prefilterK.toLong))
   }
 
   /** Persist the full IVFADC index at rest: `<table>` = the codebook
@@ -522,5 +535,25 @@ object Pq {
         (graft.ops.TableProps.longField(json, "residual") == 1L,
           graft.ops.TableProps.longField(json, "n_probe").toInt)
     }
+  }
+
+  /** One-call serving from a [[saveCellIndex]]ed index: loads the
+    * codebook/cells/centroids AND the persisted encoding flags in the
+    * same call, so a residual index cannot be served with the wrong
+    * scoring decomposition (ADVICE r8: [[loadCellIndex]] alone returns
+    * the tables but leaves the residual flag to caller lore — the
+    * exact misuse the persisted flag exists to prevent). The probe
+    * count defaults to the index's own multi-assignment width;
+    * `nProbeOverride` widens serving-side probing beyond it.
+    */
+  def topKOnSavedCellIndex(spark: SparkSession, table: String,
+      corpus: DataFrame, queries: DataFrame, k: Int, prefilterK: Int,
+      nProbeOverride: Option[Int] = None,
+      broadcastQueries: Option[Boolean] = None): DataFrame = {
+    val (model, cells, cents) = loadCellIndex(spark, table)
+    val (residual, nProbe) = cellIndexParams(spark, table)
+    pqTopKOnCells(cells, corpus, cents, queries, model,
+      nProbe = nProbeOverride.getOrElse(nProbe), k = k, prefilterK = prefilterK,
+      broadcastQueries = broadcastQueries, residual = residual)
   }
 }

@@ -97,7 +97,8 @@ object Quantize {
       .groupBy(col("q_id"))
       .agg(top_k_by_score(col("ascore"), col("cand_id"), prefilterK).as("pre"))
       .select(col("q_id"), explode(col("pre.id")).as("cand_id"))
-    graft.ops.TopK.cosineRerank(survivors, corpus, queries, k, broadcastQueries)
+    graft.ops.TopK.cosineRerank(survivors, corpus, queries, k, broadcastQueries,
+      prefilterK = Some(prefilterK.toLong))
   }
 
   /** 1-bit sign quantization: each dimension's SIGN packed into 32-bit
@@ -148,7 +149,8 @@ object Quantize {
       .groupBy(col("q_id"))
       .agg(top_k_by_score(col("nham"), col("cand_id"), prefilterK).as("pre"))
       .select(col("q_id"), explode(col("pre.id")).as("cand_id"))
-    graft.ops.TopK.cosineRerank(survivors, corpus, queries, k, broadcastQueries)
+    graft.ops.TopK.cosineRerank(survivors, corpus, queries, k, broadcastQueries,
+      prefilterK = Some(prefilterK.toLong))
   }
 
   /** Reconstruct float vectors from [[int8]] output (q / scale), for

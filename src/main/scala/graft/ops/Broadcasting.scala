@@ -34,4 +34,24 @@ object Broadcasting {
     */
   def maybeBroadcast(df: DataFrame, force: Option[Boolean] = None): DataFrame =
     if (force.getOrElse(fitsBroadcast(df))) broadcast(df) else df
+
+  /** True when a frame DERIVED from `df` — `fanout` rows per `df` row,
+    * `bytesPerRow` each — fits the broadcast threshold. The guard for
+    * batch-bounded sides whose own estimates pass through aggregates
+    * and are meaningless (survivor pair-lists, ADC tables, probe
+    * fan-outs): bound them from the SOURCE frame's stats instead.
+    * Rows use CBO `rowCount` when present, else `sizeInBytes` over the
+    * schema's `defaultSize` width — `defaultSize` UNDERSTATES
+    * variable-width columns (an array reports one element), which
+    * OVERSTATES rows and keeps the guard conservative.
+    */
+  def fitsBroadcastRows(df: DataFrame, fanout: Long, bytesPerRow: Long): Boolean = {
+    val threshold = df.sparkSession.sessionState.conf.autoBroadcastJoinThreshold
+    if (threshold <= 0) return false
+    val stats = df.queryExecution.optimizedPlan.stats
+    val rowW = math.max(1, df.schema.map(_.dataType.defaultSize).sum)
+    val rows = stats.rowCount
+      .getOrElse(stats.sizeInBytes / rowW + 1)
+    rows * fanout * bytesPerRow <= BigInt(threshold)
+  }
 }

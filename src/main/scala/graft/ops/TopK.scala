@@ -41,12 +41,25 @@ object TopK {
     * degrades to the shuffle join instead of an OOM.
     */
   def cosineRerank(survivors: DataFrame, corpus: DataFrame, queries: DataFrame,
-      k: Int, broadcastQueries: Option[Boolean] = None): DataFrame = {
+      k: Int, broadcastQueries: Option[Boolean] = None,
+      prefilterK: Option[Long] = None): DataFrame = {
     val q = queries.select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
     val c = corpus.select(col("vec_id").as("cand_id"), col("embedding").as("cand_emb"))
     val bcBatch = broadcastQueries.orElse(Some(Broadcasting.fitsBroadcast(q)))
+    // survivors are ≤ prefilterK × |queries| rows — the queries frame
+    // is a PROXY whose size understates them by the prefilterK fan-out
+    // (ADVICE r7: prefilterK=100k × a modest batch dwarfs the frame
+    // the proxy measured, and a forced broadcastQueries=Some(true)
+    // used to extend to them unconditionally). When the caller supplies
+    // prefilterK, bound the survivors side from the source stats —
+    // even a forced broadcast is capped to the q/batch frames.
+    val bcSurv = prefilterK match {
+      case Some(pk) =>
+        Some(bcBatch.contains(true) && Broadcasting.fitsBroadcastRows(q, pk, 32L))
+      case None => bcBatch
+    }
     rankByScore(
-      Broadcasting.maybeBroadcast(survivors, bcBatch)
+      Broadcasting.maybeBroadcast(survivors, bcSurv)
         .join(c, Seq("cand_id"))
         .join(Broadcasting.maybeBroadcast(q, bcBatch), Seq("q_id"))
         .select(col("q_id"), col("cand_id"),

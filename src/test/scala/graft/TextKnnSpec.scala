@@ -541,6 +541,13 @@ class TextKnnSpec extends SparkSpec {
       cents, queries, model, nProbe = 2, k = 3, prefilterK = 10, residual = true)
     assert(served.collect().map(_.toString).toSeq ===
       fresh.collect().map(_.toString).toSeq)
+    // the one-call serving helper recovers flags AND probe width from
+    // the table itself — a loaded residual index cannot be served with
+    // the wrong decomposition by construction (ADVICE r8)
+    val helper = Pq.topKOnSavedCellIndex(spark, "graft_ivfpq_res_spec", emb,
+      queries, k = 3, prefilterK = 10)
+    assert(helper.collect().map(_.toString).toSeq ===
+      fresh.collect().map(_.toString).toSeq)
     spark.sql("DROP TABLE IF EXISTS graft_ivfpq_res_spec")
     spark.sql("DROP TABLE IF EXISTS graft_ivfpq_res_spec_cells")
     spark.sql("DROP TABLE IF EXISTS graft_ivfpq_res_spec_centroids")
