@@ -1465,6 +1465,36 @@ object OracleSql {
        |  ${hex64("text")} AS content_hash
        |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** Mirror of `Wav.synthFromDocs` ∘ `Wav.parse`: every header field
+    * is re-derived from the doc_id arithmetic the synthesizer used —
+    * the oracle never touches bytes, so a hash match proves the Spark
+    * parser recovered the fields from the actual LE byte layout.
+    * Integer-only arithmetic (`//` vs Spark `div`: both floor on this
+    * nonnegative domain).
+    */
+  val mmWavMeta: String =
+    """WITH m AS (SELECT doc_id,
+      |  1 + doc_id % 2 AS ch,
+      |  8000 + (doc_id % 5) * 4000 AS rate,
+      |  CASE WHEN doc_id % 3 = 0 THEN 8 ELSE 16 END AS bits,
+      |  LEAST(octet_length(text::BLOB), 400) AS dlen,
+      |  doc_id % 10 = 0 AS invalid
+      |  FROM documents),
+      |p AS (SELECT *, (ch * bits) // 8 AS ba, rate * ((ch * bits) // 8) AS br
+      |  FROM m)
+      |SELECT doc_id,
+      |  CASE WHEN invalid THEN 'text/plain' ELSE 'audio/wav' END AS media_type,
+      |  NOT invalid AS wav_valid,
+      |  (CASE WHEN invalid THEN NULL ELSE ch END)::BIGINT AS channels,
+      |  (CASE WHEN invalid THEN NULL ELSE rate END)::BIGINT AS sample_rate,
+      |  (CASE WHEN invalid THEN NULL ELSE br END)::BIGINT AS byte_rate,
+      |  (CASE WHEN invalid THEN NULL ELSE ba END)::BIGINT AS block_align,
+      |  (CASE WHEN invalid THEN NULL ELSE bits END)::BIGINT AS bits_per_sample,
+      |  (CASE WHEN invalid THEN NULL ELSE dlen END)::BIGINT AS data_bytes,
+      |  (CASE WHEN invalid THEN NULL ELSE (dlen * 1000) // br END)::BIGINT AS duration_ms,
+      |  CASE WHEN invalid THEN NULL ELSE TRUE END AS header_consistent
+      |FROM p ORDER BY doc_id""".stripMargin
+
   val dedupEmbedding: String =
     s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
        |s AS (SELECT a.vec_id AS q_id, b.vec_id AS cand_id,

@@ -415,12 +415,16 @@ object SparkEntry {
       graft.multimodal.Binary.frameSample(t(s, dir, "documents"))),
     "mm_sim_fingerprint" -> ((s, dir) =>
       graft.multimodal.Binary.simFingerprint(t(s, dir, "documents"))),
-    "mm_feature_stub" -> ((s, dir) => {
-      implicit val sp: SparkSession = s
-      graft.multimodal.Binary.extractFeatures(
-          graft.multimodal.Binary.asMediaTable(t(s, dir, "documents")))
-        .toDF()
-        .select(col("doc_id"), col("n_bytes"), element_at(col("features"), 1).as("f0"))
+    // synth and parse are inverse expression paths (LE encode vs LE
+    // read); the oracle recomputes every field from doc_id arithmetic,
+    // so a hash match proves the parser reads the real byte layout
+    "mm_wav_meta" -> ((s, dir) => {
+      val media = graft.multimodal.Binary.Wav.synthFromDocs(t(s, dir, "documents"))
+      graft.multimodal.Binary.Wav.parse(media)
+        .select(col("doc_id"), col("media_type"), col("wav_valid"), col("channels"),
+          col("sample_rate"), col("byte_rate"), col("block_align"),
+          col("bits_per_sample"), col("data_bytes"), col("duration_ms"),
+          col("header_consistent"))
         .orderBy(col("doc_id"))
     }),
     "lsh_config" -> ((s, dir) => {
@@ -637,5 +641,6 @@ object SparkEntry {
     "stream_sliding_agg" -> OracleSql.eventsSliding,
     "stream_dedup" -> OracleSql.streamDedup,
     "mm_binary_meta" -> OracleSql.mmBinaryMeta,
+    "mm_wav_meta" -> OracleSql.mmWavMeta,
   )
 }

@@ -1,24 +1,21 @@
 package graft.multimodal
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 import graft.GraftFunctions
 
 /** Multimodal columns: media payloads travel as opaque `binary`
-  * columns with typed metadata; decode / feature-extraction runs as a
-  * partition-wise typed pipeline.
-  *
-  * The decode step is STUBBED (no codec libraries in this
-  * environment): [[FakeCodec.decode]] produces deterministic features
-  * from the raw bytes. The Spark-side plumbing — schema, batch-shaped
-  * partition processing, feature column layout — is real and is what a
-  * production codec would drop into.
+  * columns with typed metadata; decode / feature-extraction runs
+  * column-wise — every header field is a fixed-offset byte read, so
+  * the "decode" of container METADATA (the part a 100 TB triage pass
+  * actually needs: dimensions, sample rates, durations, validity)
+  * compiles to codegen'd `substring`/`conv` expressions with no UDF
+  * and no shuffle. Sample-level decode (the codec proper) stays out
+  * of the engine by design — pipelines filter/route on header
+  * metadata first and hand surviving payloads to a codec service.
   */
 object Binary {
-
-  case class MediaRow(doc_id: Long, payload: Array[Byte], media_type: String, n_bytes: Long)
-  case class FeatureRow(doc_id: Long, media_type: String, n_bytes: Long, features: Array[Float])
 
   /** Wrap a text corpus as a media table: payload = utf-8 bytes (the
     * stand-in for image/audio blobs), typed metadata alongside.
@@ -30,35 +27,104 @@ object Binary {
       lit("text/plain").as("media_type"),
       length(col("text").cast("binary")).cast("long").as("n_bytes"))
 
-  /** Deterministic fake decoder: 16 "features" from a byte histogram.
-    * A real implementation decodes the payload (image decode, audio
-    * resample, frame sample) with the same signature.
+  /** WAV (RIFF/PCM) container header codec, entirely in Catalyst
+    * expressions. The canonical 44-byte PCM layout (RIFF chunk, `fmt `
+    * subchunk of size 16, `data` subchunk immediately after — the
+    * layout every PCM writer emits) is fixed-offset, so parsing is
+    * `substring` + `hex` + `conv` reads: codegen'd, shuffle-free,
+    * null-safe on non-WAV payloads. Reference treats payloads as
+    * opaque blobs end-to-end (`io/parquet.py`); header triage is the
+    * beyond-reference piece a multimodal corpus needs before any
+    * sample-level decode.
     */
-  object FakeCodec {
-    val FeatureDim = 16
-    def decode(payload: Array[Byte]): Array[Float] = {
-      val hist = new Array[Float](FeatureDim)
-      var i = 0
-      while (i < payload.length) {
-        hist((payload(i) & 0xFF) % FeatureDim) += 1f
-        i += 1
-      }
-      if (payload.length > 0) {
-        var j = 0
-        while (j < FeatureDim) { hist(j) /= payload.length; j += 1 }
-      }
-      hist
-    }
-  }
+  object Wav {
+    /** Little-endian unsigned int read: `n` bytes at 1-based byte
+      * offset `off`. Byte-swaps via per-byte `hex` then one `conv`
+      * base-16 parse — all codegen'd string ops on ≤4-byte slices.
+      */
+    def leUint(payload: Column, off: Int, n: Int): Column =
+      conv(concat((off + n - 1 to off by -1).map(i => hex(substring(payload, i, 1))): _*),
+        16, 10).cast("long")
 
-  /** Partition-wise feature extraction: the typed analogue of a
-    * pandas-batch UDF — each partition streams rows through the codec
-    * without per-row serialization overhead beyond the encoder.
-    */
-  def extractFeatures(media: DataFrame)(implicit spark: SparkSession): Dataset[FeatureRow] = {
-    import spark.implicits._
-    media.as[MediaRow].mapPartitions { rows =>
-      rows.map(r => FeatureRow(r.doc_id, r.media_type, r.n_bytes, FakeCodec.decode(r.payload)))
+    private def magic(payload: Column, off: Int, s: String): Column =
+      substring(payload, off, s.length) === lit(s.getBytes("US-ASCII"))
+
+    /** Little-endian hex encoding of an integral column, `n` bytes. */
+    private def leHex(v: Column, n: Int): Column = {
+      val be = lpad(hex(v), n * 2, "0")
+      concat((n - 1 to 0 by -1).map(i => substring(be, i * 2 + 1, 2)): _*)
+    }
+    private def asciiHex(s: String): Column =
+      lit(s.getBytes("US-ASCII").map("%02X".format(_)).mkString)
+
+    /** Parse the canonical PCM header from `payloadCol`. Adds:
+      * `wav_valid` (structure: magics + PCM format + fmt size 16),
+      * `channels`/`sample_rate`/`byte_rate`/`block_align`/
+      * `bits_per_sample`/`data_bytes` (null unless valid),
+      * `duration_ms` (data_bytes·1000 div byte_rate, exact integer
+      * arithmetic), and `header_consistent` (the redundant fields
+      * agree: byte_rate = rate·block_align, block_align·8 =
+      * channels·bits, riff size and data size match the payload).
+      * A pure projection — zero shuffles at any scale.
+      */
+    def parse(media: DataFrame, payloadCol: String = "payload"): DataFrame = {
+      val p = col(payloadCol)
+      val valid = (length(p) >= 44) && magic(p, 1, "RIFF") && magic(p, 9, "WAVE") &&
+        magic(p, 13, "fmt ") && (leUint(p, 17, 4) === 16) && (leUint(p, 21, 2) === 1) &&
+        magic(p, 37, "data")
+      val consistent = (leUint(p, 29, 4) === leUint(p, 25, 4) * leUint(p, 33, 2)) &&
+        (leUint(p, 33, 2) * 8 === leUint(p, 23, 2) * leUint(p, 35, 2)) &&
+        (leUint(p, 5, 4) === leUint(p, 41, 4) + 36) &&
+        (leUint(p, 41, 4) === length(p) - 44)
+      media
+        .withColumn("wav_valid", valid)
+        .withColumn("channels", when(valid, leUint(p, 23, 2)))
+        .withColumn("sample_rate", when(valid, leUint(p, 25, 4)))
+        .withColumn("byte_rate", when(valid, leUint(p, 29, 4)))
+        .withColumn("block_align", when(valid, leUint(p, 33, 2)))
+        .withColumn("bits_per_sample", when(valid, leUint(p, 35, 2)))
+        .withColumn("data_bytes", when(valid, leUint(p, 41, 4)))
+        .withColumn("duration_ms",
+          when(valid && leUint(p, 29, 4) > 0,
+            expr("(data_bytes * 1000) div byte_rate")))
+        .withColumn("header_consistent", when(valid, consistent))
+    }
+
+    /** Deterministic WAV corpus from the documents table: PCM params
+      * derived from `doc_id` arithmetic, data chunk = the first
+      * `maxDataBytes` bytes of the text (sliced on the hex string —
+      * hex is byte-aligned, so the slice can't split a byte). Every
+      * `invalidEvery`-th doc keeps its raw text bytes (no RIFF
+      * header) to exercise the validity gate. Synthesis is the
+      * INVERSE code path of [[parse]] (LE encode vs LE read), so
+      * parse∘synth recovering the formulas checks real byte layout,
+      * not a shared shortcut.
+      */
+    def synthFromDocs(docs: DataFrame, maxDataBytes: Int = 400,
+        invalidEvery: Int = 10): DataFrame = {
+      val d = col("doc_id")
+      val channels = lit(1L) + d % 2
+      val rate = lit(8000L) + (d % 5) * 4000L
+      val bits = when(d % 3 === 0, 8L).otherwise(16L)
+      // Column `/` is double division; the quotients here are exact
+      // (products of {1,2}×{8,16}, even hex lengths) so the cast back
+      // to long is value-preserving
+      val blockAlign = (channels * bits / 8).cast("long")
+      val byteRate = rate * blockAlign
+      val dataHex = substring(hex(col("text").cast("binary")), 1, maxDataBytes * 2)
+      val dataLen = (length(dataHex) / 2).cast("long")
+      val wavHex = concat(
+        asciiHex("RIFF"), leHex(dataLen + 36, 4), asciiHex("WAVE"),
+        asciiHex("fmt "), leHex(lit(16L), 4), leHex(lit(1L), 2),
+        leHex(channels, 2), leHex(rate, 4), leHex(byteRate, 4),
+        leHex(blockAlign, 2), leHex(bits, 2),
+        asciiHex("data"), leHex(dataLen, 4), dataHex)
+      docs.select(
+        d,
+        when(d % invalidEvery === 0, col("text").cast("binary"))
+          .otherwise(unhex(wavHex)).as("payload"),
+        when(d % invalidEvery === 0, lit("text/plain"))
+          .otherwise(lit("audio/wav")).as("media_type"))
     }
   }
 

@@ -269,19 +269,79 @@ class StreamingMultimodalSpec extends SparkSpec {
       (2L, 2L * hour, 2L * hour + gapUs, 1L)))
   }
 
-  test("media pipeline: schema, determinism, and feature shape") {
-    val docs = Tables.load(spark, sfDir, "documents")
-    val media = Binary.asMediaTable(docs)
-    assert(media.schema("payload").dataType.typeName === "binary")
-    val feats = Binary.extractFeatures(media).collect()
-    assert(feats.length === docs.count())
-    feats.foreach { f =>
-      assert(f.features.length === Binary.FakeCodec.FeatureDim)
-      assert(math.abs(f.features.sum - 1.0f) < 1e-3) // normalized histogram
+  // independent synthesis path for the WAV parser: java.nio ByteBuffer
+  // little-endian writes — shares NO code with Wav.synthFromDocs's
+  // hex-string encoder, so agreement pins the real byte layout
+  private def wavBytes(channels: Int, rate: Int, bits: Int,
+      data: Array[Byte]): Array[Byte] = {
+    import java.nio.{ByteBuffer, ByteOrder}
+    val ba = channels * bits / 8
+    val buf = ByteBuffer.allocate(44 + data.length).order(ByteOrder.LITTLE_ENDIAN)
+    buf.put("RIFF".getBytes("US-ASCII")).putInt(36 + data.length)
+    buf.put("WAVE".getBytes("US-ASCII"))
+    buf.put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(channels.toShort).putInt(rate).putInt(rate * ba)
+      .putShort(ba.toShort).putShort(bits.toShort)
+    buf.put("data".getBytes("US-ASCII")).putInt(data.length).put(data)
+    buf.array()
+  }
+
+  test("Wav.parse recovers exact fields from ByteBuffer-built headers") {
+    val cases = Seq(
+      (1L, 1, 8000, 16, Array.fill[Byte](320)(7)),
+      (2L, 2, 44100, 16, Array.fill[Byte](17640)(-1)),
+      (3L, 2, 16000, 8, Array.emptyByteArray),
+      (4L, 1, 24000, 8, Array.tabulate[Byte](999)(_.toByte)))
+    val corrupt = Seq(
+      (90L, "not a wav at all".getBytes("UTF-8")),              // no magic
+      (91L, wavBytes(1, 8000, 16, Array.fill[Byte](10)(1)).take(40)), // truncated
+      (92L, {                                                   // non-PCM format tag
+        val b = wavBytes(1, 8000, 16, Array.fill[Byte](10)(1)); b(20) = 3; b
+      }))
+    val media = (cases.map { case (id, ch, rate, bits, data) =>
+      (id, wavBytes(ch, rate, bits, data)) } ++ corrupt).toDF("doc_id", "payload")
+    val got = Binary.Wav.parse(media).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    cases.foreach { case (id, ch, rate, bits, data) =>
+      val r = got(id)
+      val ba = ch * bits / 8
+      assert(r.getAs[Boolean]("wav_valid"), s"doc $id should parse as WAV")
+      assert(r.getAs[Long]("channels") === ch.toLong)
+      assert(r.getAs[Long]("sample_rate") === rate.toLong)
+      assert(r.getAs[Long]("byte_rate") === (rate * ba).toLong)
+      assert(r.getAs[Long]("block_align") === ba.toLong)
+      assert(r.getAs[Long]("bits_per_sample") === bits.toLong)
+      assert(r.getAs[Long]("data_bytes") === data.length.toLong)
+      assert(r.getAs[Long]("duration_ms") === data.length.toLong * 1000 / (rate * ba))
+      assert(r.getAs[Boolean]("header_consistent"))
     }
-    val again = Binary.extractFeatures(media).collect()
-      .map(f => f.doc_id -> f.features.toSeq).toMap
-    feats.foreach(f => assert(again(f.doc_id) === f.features.toSeq))
+    corrupt.foreach { case (id, _) =>
+      val r = got(id)
+      assert(!r.getAs[Boolean]("wav_valid"), s"doc $id must be rejected")
+      assert(r.isNullAt(r.fieldIndex("channels")) && r.isNullAt(r.fieldIndex("duration_ms")))
+    }
+  }
+
+  test("Wav synth∘parse is map-only and header_consistent corpus-wide") {
+    val docs = Tables.load(spark, sfDir, "documents")
+    val parsed = Binary.Wav.parse(Binary.Wav.synthFromDocs(docs))
+    val phys = parsed.queryExecution.executedPlan.toString
+    assert(!phys.contains("Exchange"), s"Wav parse shuffles:\n$phys")
+    assert(!phys.contains("BatchEvalPython") && !phys.contains("UDF"),
+      s"Wav parse leaves codegen:\n$phys")
+    val agg = parsed.agg(
+      count(lit(1)).as("n"),
+      sum(when(col("wav_valid"), 1L).otherwise(0L)).as("n_valid"),
+      sum(when(col("header_consistent"), 1L).otherwise(0L)).as("n_consistent"),
+      sum(when(col("wav_valid") && !col("header_consistent"), 1L).otherwise(0L)).as("bad")
+    ).collect()(0)
+    val n = agg.getAs[Long]("n")
+    assert(n > 0 && agg.getAs[Long]("bad") === 0L)
+    assert(agg.getAs[Long]("n_valid") === agg.getAs[Long]("n_consistent"))
+    // the planted invalid stripe (doc_id % 10 == 0) is really invalid
+    val invalid = n - agg.getAs[Long]("n_valid")
+    val expectedInvalid = docs.filter(col("doc_id") % 10 === 0).count()
+    assert(invalid === expectedInvalid)
   }
 
   test("frameSample: exact byte-range slices with provenance; map-only plan") {
