@@ -18,6 +18,11 @@ object Partitions {
     */
   def widened(df: DataFrame): DataFrame = {
     val target = df.sparkSession.sparkContext.defaultParallelism
+    // df.rdd forces eager physical planning on the driver (no job) and
+    // reads the PRE-AQE partition count — acceptable because callers
+    // hand it a narrow projection right off a scan; don't call it on
+    // frames whose planning is expensive or whose parallelism AQE
+    // later rewrites
     if (df.rdd.getNumPartitions < target) df.repartition(target) else df
   }
 }

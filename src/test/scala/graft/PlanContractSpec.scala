@@ -253,4 +253,23 @@ class PlanContractSpec extends SparkSpec {
     assert(phys.contains("partial_min") || phys.contains("min("),
       s"no map-side partial min:\n$phys")
   }
+
+  test("Partitions.widened: many-partition input passes through with NO added Exchange") {
+    // the production-scale case (scan partitions ≥ cores): the guard
+    // must be a literal no-op — same frame back, zero plan change
+    // (round-7 verdict #6: the claim was prose, now a contract)
+    val target = spark.sparkContext.defaultParallelism
+    val many = spark.range(0, 10000, 1, numPartitions = target * 2).toDF("id")
+    val wide = graft.ops.Partitions.widened(many)
+    assert(wide eq many, "widened must return the input frame untouched")
+    assert(!physical(wide).contains("Exchange"),
+      s"many-partition input got a shuffle:\n${physical(wide)}")
+    // the test-scale case (one tiny file pinning a narrow pipeline):
+    // exactly the one round-robin repartition, nothing else
+    val few = spark.range(0, 100, 1, numPartitions = 1).toDF("id")
+    val widened = graft.ops.Partitions.widened(few)
+    assert(widened.rdd.getNumPartitions === target)
+    val ex = "Exchange".r.findAllIn(physical(widened)).size
+    assert(ex === 1, s"expected exactly the widening exchange:\n${physical(widened)}")
+  }
 }
