@@ -93,6 +93,13 @@ object SparkEntry {
     "text_tokens" -> ((s, dir) => TextAnalysis.tokenStats(t(s, dir, "documents"))),
     "text_quality" -> ((s, dir) => TextAnalysis.quality(t(s, dir, "documents"))),
     "text_langid" -> ((s, dir) => TextAnalysis.langId(t(s, dir, "documents"))),
+    // rows-only (float fit, like quality_classifier): plants a
+    // deterministic multilingual corpus, trains multinomial LR on the
+    // marker heuristic's own labels, scores the MARKER-STRIPPED
+    // variant next to the heuristic (which collapses to 'und' there);
+    // recall bounds + plan/round-trip contracts in LangClassifierSpec
+    "text_langid_learned" -> ((s, dir) =>
+      graft.text.LangClassifier.trainScoreQuery(t(s, dir, "documents"))),
     "text_fingerprint" -> ((s, dir) => TextAnalysis.fingerprint(t(s, dir, "documents"))),
     "text_chunks" -> ((s, dir) => TextAnalysis.chunks(t(s, dir, "documents"))),
     "text_dup_chunk_ratio" -> ((s, dir) => TextAnalysis.dupChunkRatio(t(s, dir, "documents"))),

@@ -32,6 +32,15 @@ object TableProps {
     m.getOrElse(sys.error(s"property lacks $key: $json")).group(1).toLong
   }
 
+  /** String field from a flat JSON object string. The values are
+    * self-written identifier-ish strings (language codes, table
+    * names) — no escape handling needed or attempted.
+    */
+  def stringField(json: String, key: String): String = {
+    val m = s""""$key"\\s*:\\s*"([^"]*)"""".r.findFirstMatchIn(json)
+    m.getOrElse(sys.error(s"property lacks $key: $json")).group(1)
+  }
+
   /** Floating-point field from a flat JSON object string. The values
     * are self-written `Double.toString` renderings (which round-trip
     * exactly through `toDouble`), so the pattern accepts plain,
