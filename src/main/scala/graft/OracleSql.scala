@@ -306,6 +306,28 @@ object OracleSql {
        |WHERE cnt * 100 > n_total * 1
        |ORDER BY cnt DESC, token""".stripMargin
 
+  /** Count-Min sketch top-token estimates (mirror of
+    * CountMin.sketchTopTokensQuery, depth=4 width=8192): the sketch is
+    * deterministic integer arithmetic on the portable hex64 hash, so
+    * the oracle rebuilds the full counter grid and the estimates match
+    * bit-for-bit — no tolerance band.
+    */
+  val corpusCmsCounts: String =
+    s"""WITH t AS (SELECT doc_id, $Toks AS toks FROM documents),
+       |tok AS (SELECT unnest(toks) AS token FROM t),
+       |pr AS (SELECT token, unnest(generate_series(0, 3)) AS j FROM tok),
+       |sk AS (SELECT j, ${hex64("CAST(j AS VARCHAR)||'|'||token")} % 8192 AS bucket,
+       |  count(*)::BIGINT AS cnt FROM pr GROUP BY 1, 2),
+       |top AS (SELECT token, count(*)::BIGINT AS n_exact FROM tok GROUP BY 1
+       |  ORDER BY n_exact DESC, token LIMIT 30),
+       |qb AS (SELECT token, n_exact, j,
+       |  ${hex64("CAST(j AS VARCHAR)||'|'||token")} % 8192 AS bucket
+       |  FROM (SELECT token, n_exact, unnest(generate_series(0, 3)) AS j FROM top)),
+       |est AS (SELECT token, n_exact, min(coalesce(cnt, 0))::BIGINT AS cms_count
+       |  FROM qb LEFT JOIN sk USING (j, bucket) GROUP BY 1, 2)
+       |SELECT token, n_exact, cms_count, cms_count - n_exact AS overestimate
+       |FROM est ORDER BY n_exact DESC, token""".stripMargin
+
   /** Inverted index (mirror of TextAnalysis.invertedIndexDigest,
     * default maxDf): per token df/cf + doc_id-sorted posting lists
     * digested to scalar hex64 columns (posting values comma-joined in
@@ -1274,6 +1296,37 @@ object OracleSql {
        |SELECT th.source, n_docs, rate, threshold, coalesce(n_kept, 0) AS n_kept
        |FROM th LEFT JOIN k ON th.source = k.source
        |ORDER BY th.source""".stripMargin
+
+  /** Epoch-based domain mixing (mirror of Sampling.epochMix with the
+    * default harmonic weights, scale=1): the per-source coefficients
+    * are the SAME Scala-computed doubles the Spark plan embeds
+    * (string→double cast is correctly rounded, so the epochs division
+    * chain `coef·N/n` is bit-identical), big_n is an integer sum, and
+    * copy membership is the portable hex64 gate.
+    */
+  val sampleEpochMix: String = {
+    val values = graft.ops.Sampling
+      .mixCoefs(graft.ops.Sampling.defaultMixWeights, 1.0)
+      .map { case (s, c) => s"('$s', CAST('$c' AS DOUBLE))" }
+      .mkString(",\n       ")
+    s"""WITH c AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY source),
+       |w(source, coef) AS (VALUES $values),
+       |r AS (SELECT source, n_docs,
+       |  CAST(sum(n_docs) OVER (ORDER BY source
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS BIGINT) AS big_n
+       |  FROM c),
+       |e AS (SELECT r.source, n_docs, coef * big_n / n_docs AS epochs
+       |  FROM r JOIN w ON r.source = w.source),
+       |t AS (SELECT source, CAST(floor(epochs) AS BIGINT) AS full_copies,
+       |  CAST(floor((epochs - CAST(floor(epochs) AS BIGINT)) * 10000) AS BIGINT) AS threshold
+       |  FROM e),
+       |k AS (SELECT d.doc_id, d.source,
+       |  full_copies + CASE WHEN ${hex64("'mix|'||CAST(doc_id AS VARCHAR)")} % 10000 < threshold
+       |    THEN 1 ELSE 0 END AS copies
+       |  FROM documents d JOIN t ON d.source = t.source)
+       |SELECT doc_id, source, CAST(unnest(generate_series(1, copies)) AS BIGINT) AS epoch
+       |FROM k WHERE copies >= 1 ORDER BY doc_id, epoch""".stripMargin
+  }
 
   /** Top event-type paths (mirror of EventOps.topPaths, len=3, k=20). */
   val eventsTopPaths: String =

@@ -150,6 +150,10 @@ object SparkEntry {
         .orderBy(col("doc_id"))),
     "sample_temperature" -> ((s, dir) =>
       graft.ops.Sampling.temperatureSample(t(s, dir, "documents"), col("doc_id"))),
+    "sample_epoch_mix" -> ((s, dir) =>
+      graft.ops.Sampling.epochMix(t(s, dir, "documents"), col("doc_id"))
+        .select(col("doc_id"), col("source"), col("epoch"))
+        .orderBy(col("doc_id"), col("epoch"))),
     "seq_pack" -> ((s, dir) => graft.ops.Packing.packSequences(t(s, dir, "documents"))),
     "corpus_shuffle" -> ((s, dir) =>
       graft.ops.Sampling.shuffleShards(t(s, dir, "documents"), col("doc_id"))
@@ -161,6 +165,8 @@ object SparkEntry {
     // carry the same information hash-exactly
     "text_inverted_index" -> ((s, dir) => TextAnalysis.invertedIndexDigest(t(s, dir, "documents"))),
     "corpus_heavy_hitters" -> ((s, dir) => TextAnalysis.heavyHitters(t(s, dir, "documents"))),
+    "corpus_cms_counts" -> ((s, dir) =>
+      graft.text.CountMin.sketchTopTokensQuery(t(s, dir, "documents"))),
     "text_search_topk" -> ((s, dir) => TextAnalysis.searchTopK(t(s, dir, "documents"))),
     // index-at-rest round trip: save → load → serve with the corpus
     // untouched at serving time (stats from TBLPROPERTIES, doc lengths
@@ -598,6 +604,8 @@ object SparkEntry {
     "events_props_agg" -> OracleSql.eventsPropsAgg,
     "sample_split" -> OracleSql.sampleSplit,
     "sample_temperature" -> OracleSql.sampleTemperature,
+    "sample_epoch_mix" -> OracleSql.sampleEpochMix,
+    "corpus_cms_counts" -> OracleSql.corpusCmsCounts,
     "seq_pack" -> OracleSql.seqPack,
     "corpus_shuffle" -> OracleSql.corpusShuffle,
     "chunks_dedup" -> OracleSql.chunksDedup,

@@ -73,6 +73,81 @@ object Sampling {
       .withColumn("shard", pmod(col("shuffle_key"), lit(nShards.toLong)))
       .orderBy(col("shard"), col("shuffle_key"), key)
 
+  /** Default source-mix weights for the driver query: harmonic decay
+    * over the 20 test sources — head sources get epochs > 1
+    * (up-sampling by replication), tail sources get epochs < 1
+    * (down-sampling), so ONE query exercises both mixing directions.
+    */
+  val defaultMixWeights: Seq[(String, Double)] =
+    (0 until 20).map(i => (s"src$i", 1.0 / (1 + i)))
+
+  /** Normalized per-source mix coefficients: `coef_s = w_s·scale / Σw`.
+    * Computed once driver-side so the SAME double literals feed the
+    * Spark plan and the DuckDB oracle (Double.toString round-trips
+    * bit-exactly through the oracle's string→double cast).
+    */
+  def mixCoefs(weights: Seq[(String, Double)],
+      scale: Double): Seq[(String, Double)] = {
+    val z = weights.map(_._2).sum
+    weights.map { case (s, w) => (s, w * scale / z) }
+  }
+
+  /** Epoch-based domain mixing — the LLM-pretraining data-mix step
+    * (the Pile / Llama recipe): given target weights per source,
+    * re-shape the corpus so source s contributes `coef_s` of the
+    * output token/doc mass by REPLICATING its documents `epochs_s =
+    * coef_s·N / n_s` times — integer part as full copies, fractional
+    * part as a stable per-document hash gate (the [[hashBucket]]
+    * rule). Up-sampling (epochs > 1, small high-weight sources) and
+    * down-sampling (epochs < 1) fall out of the same formula; `scale`
+    * stretches the total output mass (scale=1 ⇒ output ≈ |corpus|
+    * rows redistributed to the target mix). Every copy carries an
+    * `epoch` index (1..copies) so a downstream [[shuffleShards]] can
+    * salt each epoch into a different permutation.
+    *
+    * Shape at 100 TB: one #sources-row count shuffle; the per-source
+    * plan (epochs, thresholds) is a broadcast back onto the corpus;
+    * replication is a map-side `explode(sequence)` whose fan-out is
+    * exactly the target epoch count — no row-level window, no
+    * skew-prone key (the gate hash is per-document). Sources absent
+    * from `weights` are dropped (weight 0); weighted sources absent
+    * from the corpus contribute nothing.
+    *
+    * Determinism: membership of the fractional copy is a pure
+    * function of (salt, key) — the realized mix is reproducible on
+    * any engine, and the DuckDB oracle recomputes it bit-for-bit
+    * (the epochs division chain is single IEEE ops in an identical
+    * order; `big_n` is an integer sum, order-independent).
+    */
+  def epochMix(df: DataFrame, key: Column,
+      weights: Seq[(String, Double)] = defaultMixWeights,
+      scale: Double = 1.0, salt: String = "mix"): DataFrame = {
+    require(weights.nonEmpty && weights.forall(_._2 >= 0.0) &&
+      weights.exists(_._2 > 0.0),
+      "weights must be non-negative with at least one positive entry")
+    require(scale > 0.0, s"scale=$scale must be positive")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val wdf = mixCoefs(weights, scale).toDF("source", "coef")
+    val counts = df.groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+    val all = Window.orderBy(col("source"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val plan = counts
+      .withColumn("big_n", sum(col("n_docs")).over(all))
+      .join(wdf, Seq("source"))
+      .withColumn("epochs", col("coef") * col("big_n") / col("n_docs"))
+      .withColumn("full_copies", floor(col("epochs")))
+      .withColumn("threshold",
+        floor((col("epochs") - col("full_copies")) * lit(Granularity)))
+    df.join(broadcast(plan.select(col("source"), col("full_copies"),
+        col("threshold"))), Seq("source"))
+      .withColumn("copies", col("full_copies") +
+        when(hashBucket(key, salt) < col("threshold"), lit(1L)).otherwise(lit(0L)))
+      .filter(col("copies") >= 1L)
+      .withColumn("epoch", explode(sequence(lit(1L), col("copies"))))
+      .drop("full_copies", "threshold", "copies")
+  }
+
   /** Temperature-based source rebalancing (the multilingual/multi-source
     * mixing rule of mBERT/XLM-R, α = 0.5): sampling mass per source is
     * proportional to √n_s instead of n_s, flattening the head so small

@@ -130,6 +130,46 @@ object Streams {
           corpusFp, corpusBands, corpus, batch, minJaccard), batchId)
     }
 
+  /** Streaming inference from a model at rest — the serving face of
+    * the learned-classifier family: load the persisted weights ONCE on
+    * the driver (kilobytes, [[graft.text.QualityClassifier.loadModel]])
+    * and score every micro-batch with the same codegen dot-product
+    * projection the batch path uses (weights ride the plan as
+    * literals — nothing is broadcast per batch, no UDF, no state).
+    * `sink(scored, batchId)` receives (doc_id, quality_prob, ...)
+    * per batch. Retrain-and-restart to pick up new weights, exactly
+    * like the Bloom/signature reloads above.
+    *
+    * The per-batch feature build is the batch
+    * [[graft.text.TextAnalysis.hashEmbedVectors]] pass — legal here
+    * because foreachBatch hands each micro-batch over as a bounded
+    * frame, so its groupBy is batch-local, never unbounded stream
+    * state.
+    */
+  def scoreQualityStream(docs: DataFrame, modelTable: String)
+      (sink: (DataFrame, Long) => Unit)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    val model = graft.text.QualityClassifier.loadModel(docs.sparkSession, modelTable)
+    docs.writeStream.foreachBatch {
+      (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        sink(graft.text.QualityClassifier.score(batch, model), batchId)
+    }
+  }
+
+  /** [[scoreQualityStream]] for the multinomial language-ID model
+    * ([[graft.text.LangClassifier]]): per-batch (doc_id, pred_lang,
+    * score) from persisted per-class weights.
+    */
+  def scoreLangStream(docs: DataFrame, modelTable: String)
+      (sink: (DataFrame, Long) => Unit)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    val model = graft.text.LangClassifier.loadModel(docs.sparkSession, modelTable)
+    docs.writeStream.foreachBatch {
+      (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        sink(graft.text.LangClassifier.score(batch, model), batchId)
+    }
+  }
+
   case class SessionEvent(user_id: Long, event_id: Long, us: Long)
   case class SessionState(start_us: Long, var end_us: Long, var n: Long)
   case class SessionOut(user_id: Long, start_us: Long, end_us: Long, n_events: Long)

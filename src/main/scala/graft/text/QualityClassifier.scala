@@ -105,6 +105,12 @@ object QualityClassifier {
       .setMaxIter(maxIter).setRegParam(regParam)
       .fit(tr)
     tr.unpersist(false)
+    // a single-class training set fits a degenerate ±∞ intercept that
+    // only explodes later (unparseable at saveModel/JSON time) — fail
+    // at the fit with the actionable cause instead
+    require(!m.intercept.isInfinity && !m.intercept.isNaN,
+      "training labels cover a single class — the fitted intercept is " +
+        s"${m.intercept}; widen the corpus or the label rule")
     QualityModel(m.coefficients.toArray.map(_.toFloat), m.intercept, d)
   }
 

@@ -369,6 +369,47 @@ class RelationalSpec extends SparkSpec {
       s"kept ${bigKept.toDouble / bigN} vs rate $bigRate")
   }
 
+  test("epochMix replicates to the target mix: full copies exact, fractional gate recounted") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // 100 "web" + 50 "code" docs, weights 3:1 → with scale=1, N=150:
+    // web epochs = 0.75·150/100 = 1.125 (1 full copy + 12.5% gate)
+    // code epochs = 0.25·150/50 = 0.75 (0 full copies + 75% gate)
+    val docs = ((1 to 100).map(i => (i.toLong, "web")) ++
+      (201 to 250).map(i => (i.toLong, "code"))).toDF("doc_id", "source")
+    val weights = Seq("web" -> 3.0, "code" -> 1.0)
+    val out = graft.ops.Sampling.epochMix(docs, col("doc_id"), weights)
+      .select(col("doc_id"), col("source"), col("epoch"))
+    val rows = out.collect().map(r =>
+      (r.getAs[Long]("doc_id"), r.getAs[String]("source"), r.getAs[Long]("epoch")))
+    // every web doc appears at least once (1 full copy), epochs are 1..copies
+    val perDoc = rows.groupBy(_._1).view.mapValues(_.map(_._3).sorted.toSeq).toMap
+    (1 to 100).foreach { i =>
+      val es = perDoc.getOrElse(i.toLong, Seq.empty)
+      assert(es.nonEmpty && es == (1L to es.length.toLong), s"web doc $i epochs $es")
+      assert(es.length <= 2, s"web doc $i copied ${es.length}× (expected 1 or 2)")
+    }
+    // fractional copies match a manual recount of the hash gate
+    val webTh = math.floor((1.125 - 1.0) * graft.ops.Sampling.Granularity).toLong
+    val webExtra = docs.filter(col("source") === "web")
+      .filter(graft.ops.Sampling.hashBucket(col("doc_id"), "mix") < lit(webTh)).count()
+    assert(rows.count(_._2 == "web") === 100L + webExtra)
+    val codeTh = math.floor(0.75 * graft.ops.Sampling.Granularity).toLong
+    val codeKept = docs.filter(col("source") === "code")
+      .filter(graft.ops.Sampling.hashBucket(col("doc_id"), "mix") < lit(codeTh)).count()
+    assert(rows.count(_._2 == "code") === codeKept)
+    assert(rows.filter(_._2 == "code").forall(_._3 == 1L))
+    // deterministic under repartitioning: same multiset of (doc_id, epoch)
+    val re = graft.ops.Sampling.epochMix(docs.repartition(13), col("doc_id"), weights)
+      .select(col("doc_id"), col("source"), col("epoch")).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("source"), r.getAs[Long]("epoch")))
+    assert(re.sorted.toSeq == rows.sorted.toSeq)
+    // a source with zero weight (absent from `weights`) contributes nothing
+    val extra = docs.union(Seq((900L, "junk")).toDF("doc_id", "source"))
+    assert(graft.ops.Sampling.epochMix(extra, col("doc_id"), weights)
+      .filter(col("source") === "junk").count() === 0L)
+  }
+
   test("asofJoin attaches the latest right event at-or-before each left event") {
     import org.apache.spark.sql.functions._
     val res = EventOps.asofJoin(events,

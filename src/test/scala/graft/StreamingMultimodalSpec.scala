@@ -169,6 +169,60 @@ class StreamingMultimodalSpec extends SparkSpec {
     spark.sql("DROP TABLE IF EXISTS graft_stream_sig_spec_fp")
   }
 
+  test("scoreQualityStream / scoreLangStream: micro-batch scores ≡ batch scoring from the persisted model") {
+    import graft.text.{LangClassifier, QualityClassifier}
+    val sent = "the project team reviewed all of the results and found that " +
+      "the data was sound because every test in the set passed with a clear margin today"
+    val docs = ((0 until 40).map(i => (i.toLong, s"$sent item$i $sent")) ++
+      (40 until 80).map(i => (i.toLong, s"### 123 456 ### $i ###"))).toDF("doc_id", "text")
+    val tmp = java.nio.file.Files.createTempDirectory("graft_stream_model").toString
+    val qm = QualityClassifier.train(docs, QualityClassifier.weakLabels(docs), d = 64)
+    QualityClassifier.saveModel(qm, spark, "graft_stream_qm_spec",
+      path = Some(s"$tmp/qm"))
+    val input = MemoryStream[(Long, String)](spark, 21)
+    input.addData((0L, s"$sent item0 $sent"), (41L, "### 123 456 ### 41 ###"))
+    input.addData((7L, s"$sent item7 $sent"))
+    val stream = input.toDF().select(col("_1").as("doc_id"), col("_2").as("text"))
+    val got = scala.collection.concurrent.TrieMap.empty[Long, (Double, Int)]
+    val q = Streams.scoreQualityStream(stream, "graft_stream_qm_spec") { (scored, _) =>
+      scored.collect().foreach(r => got(r.getAs[Long]("doc_id")) =
+        (r.getAs[Double]("quality_prob"), r.getAs[Int]("quality_pred")))
+    }.start()
+    try q.processAllAvailable() finally q.stop()
+    // bitwise-identical to batch scoring from the same persisted weights:
+    // same feature pass, same plan-literal weights, same sigmoid
+    val batch = QualityClassifier.score(
+      docs.filter(col("doc_id").isin(0L, 7L, 41L)),
+      QualityClassifier.loadModel(spark, "graft_stream_qm_spec")).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Double]("quality_prob"), r.getAs[Int]("quality_pred"))).toMap
+    assert(got.toMap === batch, s"stream $got vs batch $batch")
+    assert(got(0L)._2 === 1 && got(41L)._2 === 0)
+    // language model: same persisted-weights path, multinomial serving
+    val planted = LangClassifier.plantedCorpus(docs)
+    val lm = LangClassifier.train(planted, d = 64)
+    LangClassifier.saveModel(lm, spark, "graft_stream_lm_spec",
+      path = Some(s"$tmp/lm"))
+    val sample = planted.orderBy(col("doc_id")).limit(3)
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("text")))
+    val linput = MemoryStream[(Long, String)](spark, 22)
+    linput.addData(sample.toIndexedSeq)
+    val lstream = linput.toDF().select(col("_1").as("doc_id"), col("_2").as("text"))
+    val lgot = scala.collection.concurrent.TrieMap.empty[Long, String]
+    val lq = Streams.scoreLangStream(lstream, "graft_stream_lm_spec") { (scored, _) =>
+      scored.collect().foreach(r =>
+        lgot(r.getAs[Long]("doc_id")) = r.getAs[String]("pred_lang"))
+    }.start()
+    try lq.processAllAvailable() finally lq.stop()
+    val lbatch = LangClassifier.score(
+      planted.filter(col("doc_id").isin(sample.map(_._1): _*)),
+      LangClassifier.loadModel(spark, "graft_stream_lm_spec")).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("pred_lang")).toMap
+    assert(lgot.toMap === lbatch, s"stream $lgot vs batch $lbatch")
+    spark.sql("DROP TABLE IF EXISTS graft_stream_qm_spec")
+    spark.sql("DROP TABLE IF EXISTS graft_stream_lm_spec")
+  }
+
   test("stateful sessionize emits closed sessions with correct bounds") {
     val input = MemoryStream[Streams.SessionEvent](spark, 1)
     val hour = 3600L * 1000000L

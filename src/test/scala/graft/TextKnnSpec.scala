@@ -99,6 +99,40 @@ class TextKnnSpec extends SparkSpec {
     assert(r(9000002L)._1 === 0.0)
   }
 
+  test("CountMin: one-sided guarantee, εN bound, merge ≡ whole-corpus sketch, unseen token") {
+    import graft.text.CountMin
+    val (depth, width) = (4, 8192)
+    val tok = docs.select(explode(GraftFunctions.tokens(col("text"))).as("token"))
+    val exact = tok.groupBy(col("token")).agg(count(lit(1)).as("n_exact"))
+    val nTotal = tok.count()
+    val est = CountMin.estimate(CountMin.sketch(docs, depth, width),
+      exact, depth, width).collect()
+      .map(r => (r.getAs[String]("token"),
+        r.getAs[Long]("n_exact"), r.getAs[Long]("cms_count")))
+    // overestimate-only, and within the e/width·N Markov bound for
+    // every row of EVERY token (4 independent rows make a miss on all
+    // of them essentially impossible at this corpus size)
+    val eps = math.E / width
+    est.foreach { case (t, n, c) =>
+      assert(c >= n, s"$t underestimated: $c < $n")
+      assert(c - n <= (eps * nTotal).toLong.max(2L), s"$t over by ${c - n}")
+    }
+    // sharded build + counter merge == whole-corpus sketch, bit-for-bit
+    val (a, b) = (docs.filter(col("doc_id") % 2 === 0), docs.filter(col("doc_id") % 2 === 1))
+    val merged = CountMin.merge(CountMin.sketch(a, depth, width),
+      CountMin.sketch(b, depth, width))
+      .collect().map(r => (r.getAs[Int]("j"), r.getAs[Long]("bucket"), r.getAs[Long]("cnt"))).sorted
+    val whole = CountMin.sketch(docs, depth, width)
+      .collect().map(r => (r.getAs[Int]("j"), r.getAs[Long]("bucket"), r.getAs[Long]("cnt"))).sorted
+    assert(merged.toSeq == whole.toSeq)
+    // a token absent from the corpus estimates near zero (collision-bounded)
+    import spark.implicits._
+    val ghost = CountMin.estimate(CountMin.sketch(docs, depth, width),
+      Seq("zz_never_a_token_zz").toDF("token"), depth, width)
+      .collect().head.getAs[Long]("cms_count")
+    assert(ghost <= (eps * nTotal).toLong.max(2L), s"ghost token estimated $ghost")
+  }
+
   test("corpusApproxDistinct: HLL estimates land within the rsd error bound of exact") {
     val rsd = 0.05
     val approx = TextAnalysis.corpusApproxDistinct(docs, rsd).collect()
