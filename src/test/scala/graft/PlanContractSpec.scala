@@ -222,6 +222,31 @@ class PlanContractSpec extends SparkSpec {
       s"no map-side partial min for the keeper:\n$phys")
   }
 
+  test("sample_epoch_mix: per-source plan broadcasts back; no corpus-row window") {
+    // the mix plan (epochs/thresholds) is #sources rows — it must come
+    // back onto the corpus as a broadcast join, and the only Window is
+    // the big_n sum OVER SOURCES, never over document rows
+    val phys = physical(q("sample_epoch_mix"))
+    assert(phys.contains("BroadcastHashJoin"),
+      s"mix plan not broadcast onto the corpus:\n$phys")
+    assert(!phys.contains("CartesianProduct"))
+    // replication is an explode (Generate), not a join against a
+    // per-copy table
+    assert(phys.contains("Generate explode"),
+      s"replication is not a map-side explode:\n$phys")
+  }
+
+  test("corpus_cms_counts: sketch groupBy partial-aggregates; probes equi-join the grid") {
+    // the (j,bucket) groupBy must map-side combine — that is the whole
+    // sketch contract: every partition reduces to ≤ depth·width rows
+    // before the exchange
+    val phys = physical(q("corpus_cms_counts"))
+    assert(phys.contains("partial_count"),
+      s"no map-side partial aggregation in the CMS build:\n$phys")
+    assert(!phys.contains("CartesianProduct"),
+      s"CMS estimate must equi-join the probe buckets:\n$phys")
+  }
+
   test("events_top_paths: top-k is a distributed TakeOrdered, not a global sort") {
     // the path vocabulary must never be sorted on one partition — the
     // same contract text_top_ngrams pins (SURVEY §2 D)
