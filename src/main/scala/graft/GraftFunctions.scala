@@ -65,6 +65,13 @@ object GraftFunctions {
       TopKByScore(GraftColumnBridge.expression(score), GraftColumnBridge.expression(id), k)
         .toAggregateExpression())
 
+  /** Compressed size (raw DEFLATE, fixed level) of a string/binary
+    * value; see [[graft.expressions.DeflateSize]].
+    */
+  def deflate_size(v: Column): Column =
+    GraftColumnBridge.column(
+      graft.expressions.DeflateSize(GraftColumnBridge.expression(v)))
+
   // ---- portable 64-bit hashing ----
   /** Deterministic 60-bit positive hash of a string, identically
     * computable in any engine with `md5` (the DuckDB oracle uses
@@ -114,5 +121,7 @@ object GraftFunctions {
       es => graft.expressions.HammingDistance(es.head, es(1)), "scala_udf")
     reg.createOrReplaceTempFunction("adc_score",
       es => graft.expressions.AdcScore(es.head, es(1)), "scala_udf")
+    reg.createOrReplaceTempFunction("deflate_size",
+      es => graft.expressions.DeflateSize(es.head), "scala_udf")
   }
 }

@@ -1558,4 +1558,72 @@ object OracleSql {
        |  FROM s)
        |SELECT q_id AS vec_id, cand_id AS nn_id, sim, sim >= 0.95 AS is_dup
        |FROM r WHERE rn = 1 ORDER BY vec_id""".stripMargin
+
+  /** Char-level Shannon entropy (mirror of TextAnalysis.charEntropy):
+    * per-char ratios through detLn, the term list reassembled in
+    * binary char order and folded left-to-right — the same float
+    * chain as Spark's sorted-array `aggregate`, so even the entropy
+    * double hash-matches.
+    */
+  val textEntropy: String = {
+    val base =
+      s"""WITH c AS (SELECT doc_id, [text[i] for i in range(1, len(text)+1)] AS cs
+         |  FROM documents WHERE len(text) > 0),
+         |u AS (SELECT doc_id, unnest(cs) AS ch FROM c),
+         |g AS (SELECT doc_id, ch, count(*)::BIGINT AS cnt FROM u GROUP BY 1, 2),
+         |n AS (SELECT doc_id, sum(cnt)::BIGINT AS n_chars,
+         |  count(*)::BIGINT AS n_distinct FROM g GROUP BY 1)
+         |SELECT g.doc_id, g.ch, n.n_chars, n.n_distinct, g.cnt / n.n_chars AS p
+         |FROM g JOIN n ON g.doc_id = n.doc_id""".stripMargin
+    val wrapped = detLn(base, "doc_id, ch, n_chars, n_distinct, p", "p", "lnp", "ent")
+    s"""WITH agg AS (SELECT doc_id, n_chars, n_distinct,
+       |  list(p * lnp ORDER BY ch) AS l
+       |  FROM ($wrapped) __ent GROUP BY doc_id, n_chars, n_distinct)
+       |SELECT doc_id, n_chars, n_distinct,
+       |  -(list_reduce(l, (x, y) -> x + y)) / ${dlit(graft.expressions.DetLn.LN2)}
+       |    AS entropy_bits
+       |FROM agg ORDER BY doc_id""".stripMargin
+  }
+
+  /** Fixed-k per-source sample (mirror of Sampling.stratifiedSample,
+    * k=25, salt "strat"): ascending (hex64 mod 2^50, doc_id) rank ≡
+    * the Spark TopKByScore (score desc, id asc) order on the negated
+    * key.
+    */
+  val sampleStratified: String =
+    s"""WITH h AS (SELECT source, doc_id,
+       |  ${hex64("'strat|'||CAST(doc_id AS VARCHAR)")} % ${graft.ops.Sampling.StratModulus} AS sample_key
+       |  FROM documents),
+       |r AS (SELECT source, doc_id, sample_key,
+       |  row_number() OVER (PARTITION BY source ORDER BY sample_key, doc_id) AS rn
+       |  FROM h)
+       |SELECT source, rn::BIGINT AS rn, doc_id, sample_key
+       |FROM r WHERE rn <= 25 ORDER BY source, rn""".stripMargin
+
+  /** Best-copy exact dedup (mirror of Dedup.keepBest): the keeper is
+    * the (quality_score DESC, doc_id ASC) head of each fingerprint
+    * group — the same argmax the Spark struct-max computes; the
+    * quality double is the textQuality float chain verbatim.
+    */
+  val dedupKeepBest: String =
+    s"""WITH t AS (SELECT doc_id, lower(text) AS txt, $Toks AS toks FROM documents),
+       |m AS (SELECT doc_id,
+       |  ${hex64("array_to_string(toks,' ')")} AS fingerprint,
+       |  length(txt)::BIGINT AS n_chars, len(toks)::BIGINT AS n_tokens,
+       |  length(regexp_replace(txt, '[a-z0-9 ]', '', 'g'))::BIGINT AS n_punct
+       |  FROM t),
+       |q AS (SELECT doc_id, fingerprint,
+       |  CASE WHEN n_tokens > 0 THEN (least(n_tokens, 100) / 100.0) *
+       |    (1.0 - CASE WHEN n_chars > 0 THEN n_punct / n_chars ELSE 0.0 END)
+       |  ELSE 0.0 END AS quality_score
+       |  FROM m),
+       |w AS (SELECT doc_id, fingerprint, quality_score,
+       |  count(*) OVER (PARTITION BY fingerprint) AS group_size,
+       |  first_value(doc_id) OVER (PARTITION BY fingerprint
+       |    ORDER BY quality_score DESC, doc_id
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS keeper_id
+       |  FROM q)
+       |SELECT doc_id, fingerprint, quality_score, group_size, keeper_id,
+       |  doc_id = keeper_id AS keep
+       |FROM w ORDER BY doc_id""".stripMargin
 }

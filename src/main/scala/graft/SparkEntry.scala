@@ -92,6 +92,9 @@ object SparkEntry {
     // --- D. text analysis ---
     "text_tokens" -> ((s, dir) => TextAnalysis.tokenStats(t(s, dir, "documents"))),
     "text_quality" -> ((s, dir) => TextAnalysis.quality(t(s, dir, "documents"))),
+    "text_entropy" -> ((s, dir) => TextAnalysis.charEntropy(t(s, dir, "documents"))),
+    "text_compression" -> ((s, dir) =>
+      TextAnalysis.compressionStats(t(s, dir, "documents"))),
     "text_langid" -> ((s, dir) => TextAnalysis.langId(t(s, dir, "documents"))),
     // rows-only (float fit, like quality_classifier): plants a
     // deterministic multilingual corpus, trains multinomial LR on the
@@ -150,6 +153,8 @@ object SparkEntry {
         .orderBy(col("doc_id"))),
     "sample_temperature" -> ((s, dir) =>
       graft.ops.Sampling.temperatureSample(t(s, dir, "documents"), col("doc_id"))),
+    "sample_stratified" -> ((s, dir) =>
+      graft.ops.Sampling.stratifiedSample(t(s, dir, "documents"), col("doc_id"))),
     "sample_epoch_mix" -> ((s, dir) =>
       graft.ops.Sampling.epochMix(t(s, dir, "documents"), col("doc_id"))
         .select(col("doc_id"), col("source"), col("epoch"))
@@ -187,6 +192,7 @@ object SparkEntry {
     "events_sliding" -> ((s, dir) => EventOps.slidingRollup(t(s, dir, "events"))),
     // --- B. dedup suite ---
     "dedup_exact" -> ((s, dir) => Dedup.exact(t(s, dir, "documents"))),
+    "dedup_keep_best" -> ((s, dir) => Dedup.keepBest(t(s, dir, "documents"))),
     "dedup_minhash" -> ((s, dir) => Dedup.minhash(t(s, dir, "documents"))),
     "dedup_minhash_lsh" -> ((s, dir) => Dedup.minhashLshPairs(t(s, dir, "documents"))),
     "dedup_ngram_jaccard" -> ((s, dir) => Dedup.ngramJaccardPairs(t(s, dir, "documents"),
@@ -578,6 +584,7 @@ object SparkEntry {
         |ORDER BY event_type""".stripMargin,
     "text_tokens" -> OracleSql.textTokens,
     "text_quality" -> OracleSql.textQuality,
+    "text_entropy" -> OracleSql.textEntropy,
     "text_langid" -> OracleSql.textLangid,
     "text_fingerprint" -> OracleSql.textFingerprint,
     "text_chunks" -> OracleSql.textChunks,
@@ -604,6 +611,7 @@ object SparkEntry {
     "events_props_agg" -> OracleSql.eventsPropsAgg,
     "sample_split" -> OracleSql.sampleSplit,
     "sample_temperature" -> OracleSql.sampleTemperature,
+    "sample_stratified" -> OracleSql.sampleStratified,
     "sample_epoch_mix" -> OracleSql.sampleEpochMix,
     "corpus_cms_counts" -> OracleSql.corpusCmsCounts,
     "seq_pack" -> OracleSql.seqPack,
@@ -623,6 +631,7 @@ object SparkEntry {
     "ann_quantized" -> OracleSql.annQuantized,
     "ann_hamming" -> OracleSql.annHamming,
     "dedup_exact" -> OracleSql.dedupExact,
+    "dedup_keep_best" -> OracleSql.dedupKeepBest,
     "dedup_minhash" -> OracleSql.dedupMinhash,
     "dedup_minhash_lsh" -> OracleSql.dedupMinhashLsh,
     "dedup_ngram_jaccard" -> OracleSql.dedupNgramJaccard,

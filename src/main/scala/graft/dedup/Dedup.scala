@@ -95,6 +95,35 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  /** Exact dedup keeping the BEST copy, not the first: within each
+    * fingerprint group the keeper is the document with the highest
+    * [[graft.text.TextAnalysis.qualityScore]] (ties to the lower
+    * doc_id) — the production dedup rule (a crawl's duplicates differ
+    * in boilerplate/truncation; keeping min-id throws away the cleanest
+    * copy whenever it wasn't crawled first). Quality and fingerprint
+    * come from ONE tokenize pass; the keeper is
+    * `max(struct(quality_score, −doc_id))` over the same single
+    * fingerprint-keyed window shuffle as [[exact]] — struct max gives
+    * argmax-with-tiebreak without a sort-based rank or a join-back.
+    */
+  def keepBest(docs: DataFrame): DataFrame = {
+    val t = withToks(docs)
+      .withColumn("n_chars", length(lower(col("text"))).cast("long"))
+      .withColumn("n_tokens", size(col("toks")).cast("long"))
+      .withColumn("n_punct", length(regexp_replace(lower(col("text")), "[a-z0-9 ]", "")))
+      .withColumn("fingerprint", hex64(array_join(col("toks"), " ")))
+      .select(col("doc_id"), col("fingerprint"),
+        graft.text.TextAnalysis.qualityScore.as("quality_score"))
+    val w = Window.partitionBy(col("fingerprint"))
+    t.select(
+      col("doc_id"), col("fingerprint"), col("quality_score"),
+      count(lit(1)).over(w).as("group_size"),
+      (-max(struct(col("quality_score"), (-col("doc_id")).as("nid"))).over(w)
+        .getField("nid")).as("keeper_id"))
+      .withColumn("keep", col("doc_id") === col("keeper_id"))
+      .orderBy(col("doc_id"))
+  }
+
   /** MinHash aggregation over a (doc_id, s) shingle table. */
   private def minhashOf(sh: DataFrame): DataFrame = {
     val hashed = sh

@@ -73,6 +73,43 @@ object Sampling {
       .withColumn("shard", pmod(col("shuffle_key"), lit(nShards.toLong)))
       .orderBy(col("shard"), col("shuffle_key"), key)
 
+  /** Modulus for [[stratifiedSample]] keys: < 2^53 so the key is exact
+    * as a double inside the top-k aggregate's score slot.
+    */
+  val StratModulus: Long = 1L << 50
+
+  /** Deterministic fixed-size per-stratum sample — the "k documents
+    * from every source" inspection/eval draw (a reservoir sample at
+    * rest): within each source keep the k documents with the smallest
+    * `hex64(salt|key) mod 2^50`, ties to the lower key. Membership is
+    * a pure function of (salt, key) — re-running, repartitioning, or
+    * growing OTHER sources never changes a stratum's picks (only new
+    * rows hashing below a current pick displace one).
+    *
+    * Shape at 100 TB: the bounded [[graft.expressions.TopKByScore]]
+    * aggregate map-side-combines to ≤ k rows per source per partition
+    * BEFORE the exchange — the classic distributed-reservoir property —
+    * so the shuffle carries O(partitions·sources·k) tiny rows, never
+    * the corpus; no window, no per-source sort. (`df.sampleBy` offers
+    * only approximate per-stratum fractions and is partitioning-
+    * dependent; an exact-k window rank would sort every stratum.)
+    */
+  def stratifiedSample(df: DataFrame, key: Column, k: Int = 25,
+      salt: String = "strat"): DataFrame = {
+    require(k > 0, s"k=$k must be positive")
+    val h = pmod(hex64(concat(lit(s"$salt|"), key.cast("string"))),
+      lit(StratModulus))
+    df.select(col("source"), key.as("__key"), h.as("sample_key"))
+      .groupBy(col("source"))
+      .agg(graft.GraftFunctions.top_k_by_score(
+        negate(col("sample_key").cast("double")), col("__key"), k).as("top"))
+      .select(col("source"), posexplode(col("top")).as(Seq("pos", "t")))
+      .select(col("source"), (col("pos") + 1).cast("long").as("rn"),
+        col("t.id").as("doc_id"),
+        (-col("t.score")).cast("long").as("sample_key"))
+      .orderBy(col("source"), col("rn"))
+  }
+
   /** Default source-mix weights for the driver query: harmonic decay
     * over the 20 test sources — head sources get epochs > 1
     * (up-sampling by replication), tail sources get epochs < 1

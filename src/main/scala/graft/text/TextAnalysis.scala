@@ -82,7 +82,7 @@ object TextAnalysis {
     * n_punct columns — shared by [[quality]] and [[qualityFilter]] so
     * the two operators (and their oracles) cannot drift.
     */
-  private def qualityScore: Column =
+  private[graft] def qualityScore: Column =
     when(col("n_tokens") > 0,
       (least(col("n_tokens"), lit(100)) / lit(100.0)) *
         (lit(1.0) - when(col("n_chars") > 0, col("n_punct") / col("n_chars")).otherwise(lit(0.0))))
@@ -112,6 +112,63 @@ object TextAnalysis {
       .withColumn("keep", col("q_rank") * keepDen <= col("n_source") * keepNum)
       .orderBy(col("doc_id"))
   }
+
+  /** Character-level Shannon entropy per document — the
+    * information-density quality signal (near-zero entropy = one
+    * repeated character / degenerate filler; natural prose sits in a
+    * stable band): `H = −Σ_c p_c·log2(p_c)` over the document's raw
+    * characters.
+    *
+    * Everything is computed per document with higher-order functions —
+    * at 100 TB this is a pure narrow map (no explode to a char-grain
+    * shuffle: a corpus-wide `groupBy(doc, char)` would shuffle ~|chars|
+    * rows to recompute what each row can compute locally in O(n·d),
+    * d = distinct chars ≤ alphabet). Cross-engine exactness: the
+    * distinct characters are sorted (binary order — DuckDB's default
+    * collation), p = cnt/n is one IEEE divide, the log goes through
+    * [[graft.expressions.DetLn]], and the sum is a left fold in sorted
+    * order — the DuckDB oracle replays the identical float chain via
+    * `list(term ORDER BY ch)` + `list_reduce`.
+    */
+  def charEntropy(docs: DataFrame): DataFrame = {
+    val cs = transform(sequence(lit(1), length(col("text"))),
+      i => col("text").substr(i, lit(1)))
+    val withChars = docs
+      .filter(length(col("text")) > 0)
+      .withColumn("cs", cs)
+      .withColumn("uniq", array_sort(array_distinct(col("cs"))))
+    val n = size(col("cs")).cast("double")
+    val terms = transform(col("uniq"), c => {
+      val p = size(filter(col("cs"), x => x === c)).cast("double") / n
+      p * GraftFunctions.det_ln(p)
+    })
+    withChars.select(
+      col("doc_id"),
+      size(col("cs")).cast("long").as("n_chars"),
+      size(col("uniq")).cast("long").as("n_distinct"),
+      (-aggregate(terms, lit(0.0), (acc, t) => acc + t) /
+        lit(graft.expressions.DetLn.LN2)).as("entropy_bits"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Compressibility quality signal: raw-DEFLATE size of the document
+    * next to its byte length, ratio = deflated/raw. Repetitive,
+    * templated, or keyword-stuffed text compresses far below natural
+    * prose (CCNet/Gopher both gate on it); the fixed-level zlib stream
+    * makes the number a pure function of the bytes (see
+    * [[graft.expressions.DeflateKernel]]). One narrow codegen map —
+    * no shuffle, the cost IS the deflate scan. Rows-only: no SQL
+    * engine exposes zlib sizing, so the spec pins planted
+    * repetitive-vs-prose separation and a JVM recount instead.
+    */
+  def compressionStats(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      octet_length(col("text")).cast("long").as("n_bytes"),
+      GraftFunctions.deflate_size(col("text")).as("deflate_bytes"))
+      .withColumn("compress_ratio",
+        when(col("n_bytes") > 0, col("deflate_bytes") / col("n_bytes")))
+      .orderBy(col("doc_id"))
 
   /** The (doc_id, source, quality_score) projection shared by
     * [[qualityFilter]] and [[qualityFilterSketch]] — one scoring

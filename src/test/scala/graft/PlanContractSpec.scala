@@ -247,6 +247,40 @@ class PlanContractSpec extends SparkSpec {
       s"CMS estimate must equi-join the probe buckets:\n$phys")
   }
 
+  test("text_entropy / text_compression are narrow maps; no char-grain or corpus shuffle") {
+    // both signals are per-document computations — the ONLY exchange
+    // allowed is the deterministic output sort (a groupBy(doc, char)
+    // entropy or a shuffled compression pass would move the corpus to
+    // recompute what each row computes locally)
+    Seq("text_entropy", "text_compression").foreach { name =>
+      val phys = physical(q(name))
+      val ex = "Exchange".r.findAllIn(phys).size
+      val rangeEx = "Exchange rangepartitioning".r.findAllIn(phys).size
+      assert(ex === rangeEx, s"$name shuffles beyond the output sort:\n$phys")
+      assert(!phys.contains("Window"), s"$name uses a window:\n$phys")
+    }
+  }
+
+  test("sample_stratified: bounded top-k partial-aggregates map-side; no window rank") {
+    // the distributed-reservoir contract: every partition reduces to
+    // <= k rows per source BEFORE the exchange — a row_number window
+    // would shuffle and sort whole strata instead
+    val phys = physical(q("sample_stratified"))
+    assert(phys.contains("partial_top_k_by_score"),
+      s"no map-side partial top-k in sample_stratified:\n$phys")
+    assert(!phys.contains("Window"),
+      s"sample_stratified ranks through a window:\n$phys")
+  }
+
+  test("dedup_keep_best: same single fingerprint shuffle as dedup_exact") {
+    // argmax-by-struct rides the one hash exchange; a join-back or a
+    // rank would add a second corpus pass
+    val phys = physical(q("dedup_keep_best"))
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(phys).size
+    assert(hashEx === 1,
+      s"dedup_keep_best expected exactly 1 hash shuffle, got $hashEx:\n$phys")
+  }
+
   test("events_top_paths: top-k is a distributed TakeOrdered, not a global sort") {
     // the path vocabulary must never be sorted on one partition — the
     // same contract text_top_ngrams pins (SURVEY §2 D)
