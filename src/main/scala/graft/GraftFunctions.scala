@@ -72,6 +72,13 @@ object GraftFunctions {
     GraftColumnBridge.column(
       graft.expressions.DeflateSize(GraftColumnBridge.expression(v)))
 
+  /** One-pass char-frequency entropy struct; see
+    * [[graft.expressions.CharEntropyStats]].
+    */
+  def char_entropy_stats(v: Column): Column =
+    GraftColumnBridge.column(
+      graft.expressions.CharEntropyStats(GraftColumnBridge.expression(v)))
+
   // ---- portable 64-bit hashing ----
   /** Deterministic 60-bit positive hash of a string, identically
     * computable in any engine with `md5` (the DuckDB oracle uses
@@ -123,5 +130,7 @@ object GraftFunctions {
       es => graft.expressions.AdcScore(es.head, es(1)), "scala_udf")
     reg.createOrReplaceTempFunction("deflate_size",
       es => graft.expressions.DeflateSize(es.head), "scala_udf")
+    reg.createOrReplaceTempFunction("char_entropy_stats",
+      es => graft.expressions.CharEntropyStats(es.head), "scala_udf")
   }
 }

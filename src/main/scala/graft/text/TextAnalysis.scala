@@ -119,37 +119,26 @@ object TextAnalysis {
     * stable band): `H = −Σ_c p_c·log2(p_c)` over the document's raw
     * characters.
     *
-    * Everything is computed per document with higher-order functions —
-    * at 100 TB this is a pure narrow map (no explode to a char-grain
-    * shuffle: a corpus-wide `groupBy(doc, char)` would shuffle ~|chars|
-    * rows to recompute what each row can compute locally in O(n·d),
-    * d = distinct chars ≤ alphabet). Cross-engine exactness: the
-    * distinct characters are sorted (binary order — DuckDB's default
-    * collation), p = cnt/n is one IEEE divide, the log goes through
-    * [[graft.expressions.DetLn]], and the sum is a left fold in sorted
-    * order — the DuckDB oracle replays the identical float chain via
+    * One codegen kernel call per document
+    * ([[graft.expressions.CharEntropyStats]]: a single code-point scan
+    * + a d-sized fold, d = distinct chars ≤ alphabet) — at 100 TB this
+    * is a pure narrow map; no explode to a char-grain shuffle (a
+    * corpus-wide `groupBy(doc, char)` would shuffle ~|chars| rows to
+    * recompute what each row computes locally). Cross-engine
+    * exactness: distinct code points visited ascending (≡ binary
+    * string order), p = cnt/n one IEEE divide, the log through
+    * [[graft.expressions.DetLn]], the sum a left fold in sorted order
+    * — the DuckDB oracle replays the identical float chain via
     * `list(term ORDER BY ch)` + `list_reduce`.
     */
-  def charEntropy(docs: DataFrame): DataFrame = {
-    val cs = transform(sequence(lit(1), length(col("text"))),
-      i => col("text").substr(i, lit(1)))
-    val withChars = docs
+  def charEntropy(docs: DataFrame): DataFrame =
+    docs
       .filter(length(col("text")) > 0)
-      .withColumn("cs", cs)
-      .withColumn("uniq", array_sort(array_distinct(col("cs"))))
-    val n = size(col("cs")).cast("double")
-    val terms = transform(col("uniq"), c => {
-      val p = size(filter(col("cs"), x => x === c)).cast("double") / n
-      p * GraftFunctions.det_ln(p)
-    })
-    withChars.select(
-      col("doc_id"),
-      size(col("cs")).cast("long").as("n_chars"),
-      size(col("uniq")).cast("long").as("n_distinct"),
-      (-aggregate(terms, lit(0.0), (acc, t) => acc + t) /
-        lit(graft.expressions.DetLn.LN2)).as("entropy_bits"))
+      .withColumn("st", GraftFunctions.char_entropy_stats(col("text")))
+      .select(col("doc_id"), col("st.n_chars").as("n_chars"),
+        col("st.n_distinct").as("n_distinct"),
+        col("st.entropy_bits").as("entropy_bits"))
       .orderBy(col("doc_id"))
-  }
 
   /** Compressibility quality signal: raw-DEFLATE size of the document
     * next to its byte length, ratio = deflated/raw. Repetitive,
