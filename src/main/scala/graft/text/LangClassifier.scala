@@ -213,9 +213,10 @@ object LangClassifier {
     * recall bounds are pinned in LangClassifierSpec.
     */
   def trainScoreQuery(docs: DataFrame, d: Int = 256,
-      sampleFrac: Double = 0.5): DataFrame = {
+      sampleFrac: Double = 0.5,
+      maxIter: Int = QualityClassifier.DriverRowMaxIter): DataFrame = {
     val planted = plantedCorpus(docs).persist(StorageLevel.MEMORY_AND_DISK)
-    val model = train(planted, d, sampleFrac = sampleFrac)
+    val model = train(planted, d, maxIter = maxIter, sampleFrac = sampleFrac)
     val stripped = stripMarkers(planted)
     val out = score(stripped, model)
       .join(TextAnalysis.langId(stripped)

@@ -54,6 +54,15 @@ object QualityClassifier {
     */
   val DefaultTrainSampleFrac = 0.25
 
+  /** L-BFGS iteration cap for the DRIVER-ROW queries (the API default
+    * stays 50): at driver-row data shapes each iteration is one
+    * treeAggregate job whose fixed scheduling overhead dominates, and
+    * past ~25 iterations the fit only polishes decimals the spec
+    * bounds (accuracy, separation, held-out recall) can't see — the
+    * specs exercise the driver rows AT this setting.
+    */
+  val DriverRowMaxIter = 25
+
   /** Weak labels from the Gopher rule battery: pass = positive. The
     * classifier generalizes the brittle rule edges into a smooth
     * score (a doc failing one rule by a hair scores near the
@@ -190,10 +199,12 @@ object QualityClassifier {
     * [[trainOnFeatures]]).
     */
   def trainScoreQuery(docs: DataFrame, d: Int = 256,
-      sampleFrac: Double = DefaultTrainSampleFrac): DataFrame = {
+      sampleFrac: Double = DefaultTrainSampleFrac,
+      maxIter: Int = DriverRowMaxIter): DataFrame = {
     val feats = features(docs, d).persist(StorageLevel.MEMORY_AND_DISK)
     val labels = weakLabels(docs).persist(StorageLevel.MEMORY_AND_DISK)
-    val model = trainOnFeatures(feats, labels, d, sampleFrac = sampleFrac)
+    val model = trainOnFeatures(feats, labels, d, maxIter = maxIter,
+      sampleFrac = sampleFrac)
     val out = scoreFeatures(feats, model).join(labels, Seq("doc_id"))
       .select(col("doc_id"), col("label"), col("quality_prob"), col("quality_pred"))
       .orderBy(col("doc_id"))
@@ -209,9 +220,11 @@ object QualityClassifier {
     */
   def trainSaveScoreQuery(docs: DataFrame, table: String,
       path: Option[String] = None, d: Int = 256,
-      sampleFrac: Double = DefaultTrainSampleFrac): DataFrame = {
+      sampleFrac: Double = DefaultTrainSampleFrac,
+      maxIter: Int = DriverRowMaxIter): DataFrame = {
     val spark = docs.sparkSession
-    val model = train(docs, weakLabels(docs), d, sampleFrac = sampleFrac)
+    val model = train(docs, weakLabels(docs), d, maxIter = maxIter,
+      sampleFrac = sampleFrac)
     saveModel(model, spark, table, path)
     score(docs, loadModel(spark, table))
   }
