@@ -1,0 +1,171 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.dedup.Dedup
+import graft.text.TextAnalysis
+
+/** Scale evidence for the corpus-pipeline operators at ~100× the bench
+  * SF (500k docs): the narrow-signal scans (char entropy +
+  * compressibility), fixed-k stratified sampling (measured against the
+  * window-rank alternative it replaces), best-copy exact dedup with
+  * planted quality ladders, and epoch-based domain mixing with the
+  * realized mix checked against the formula.
+  *
+  * Every assertion is planted arithmetic — the synthetic corpus is
+  * pure hash expressions, so expected values are exact (or
+  * tolerance-bounded only where the hash gate itself is the mechanism).
+  *
+  * Run: `sbt "runMain graft.CorpusScaleSmoke [nDocs]"`.
+  */
+object CorpusScaleSmoke {
+  def main(args: Array[String]): Unit = {
+    val n = args.headOption.map(_.toInt).getOrElse(500000)
+    val spark = GraftSession.builder("local[32]", 64).getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    def time[T](f: => T): (T, Double) = {
+      val t0 = System.nanoTime(); val r = f; (r, (System.nanoTime() - t0) / 1e9)
+    }
+
+    // ---- corpus: ~40 hash words per doc, 20 sources; every 1000th doc
+    // degenerate (one repeated char — the filler the signal scans must
+    // flag: entropy exactly 0, deeply compressible) ----
+    val words = transform(sequence(lit(0), lit(39)),
+      p => concat(lit("w"), hex(xxhash64(col("id"), p))))
+    val degenerate = col("id") % 1000 === 0
+    val docs = spark.range(n).toDF("id")
+      .select(col("id").as("doc_id"),
+        concat(lit("src"), pmod(col("id"), lit(20L))).as("source"),
+        when(degenerate, concat_ws("", transform(sequence(lit(1), lit(240)), _ => lit("a"))))
+          .otherwise(array_join(words, " ")).as("text"))
+      .repartition(64).cache()
+    docs.count() // materialize generation outside all timings
+
+    // ---- rung 1: signal scans are narrow-map throughput ----
+    val (entAgg, tEnt) = time {
+      TextAnalysis.charEntropy(docs)
+        .agg(sum("n_chars").as("chars"),
+          sum(when(col("entropy_bits") === 0.0, 1L).otherwise(0L)).as("zeros"))
+        .head()
+    }
+    val totalChars = entAgg.getLong(0)
+    // exactly the planted degenerates (single distinct char ⇒ H = 0;
+    // hash words make a 0-entropy collision impossible elsewhere)
+    assert(entAgg.getLong(1) == (n + 999) / 1000,
+      s"zero-entropy docs: ${entAgg.getLong(1)} != ${(n + 999) / 1000}")
+
+    val (cmpRows, tCmp) = time {
+      TextAnalysis.compressionStats(docs)
+        .withColumn("degen", col("doc_id") % 1000 === 0)
+        .groupBy(col("degen")).agg(avg(col("compress_ratio")).as("r"))
+        .collect()
+    }
+    val ratios = cmpRows.map(r => r.getBoolean(0) -> r.getDouble(1)).toMap
+    // hex-hash words are a 17-char alphabet (~0.55 deflate ratio);
+    // "a"*240 lands ~0.05 — an 8x gap with margin on both sides
+    assert(ratios(true) * 8 < ratios(false),
+      s"degenerate docs not 8x more compressible: $ratios")
+
+    // ---- rung 2: stratified sample vs the window-rank alternative ----
+    val k = 25
+    val (topkRows, tTopk) = time {
+      graft.ops.Sampling.stratifiedSample(docs, col("doc_id"), k).collect()
+    }
+    assert(topkRows.length == 20 * k, s"picks: ${topkRows.length}")
+    val (windowRows, tWindow) = time {
+      val h = pmod(GraftFunctions.hex64(concat(lit("strat|"), col("doc_id").cast("string"))),
+        lit(graft.ops.Sampling.StratModulus))
+      docs.select(col("source"), col("doc_id"), h.as("sample_key"))
+        .withColumn("rn", row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("source"))
+            .orderBy(col("sample_key"), col("doc_id"))).cast("long"))
+        .filter(col("rn") <= k)
+        .select(col("source"), col("rn"), col("doc_id"), col("sample_key"))
+        .collect()
+    }
+    assert(topkRows.map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet ==
+      windowRows.map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet,
+      "reservoir picks != window-rank picks")
+    // ---- rung 3: best-copy dedup with a planted quality ladder ----
+    // 10 docs per group share tokens; id%10 trailing bangs lower the
+    // quality monotonically, so the keeper is exactly the bang-free doc
+    val gwords = transform(sequence(lit(0), lit(29)),
+      p => concat(lit("g"), hex(xxhash64(col("id") - pmod(col("id"), lit(10L)), p))))
+    val bangs = concat_ws("", transform(sequence(lit(0), pmod(col("id"), lit(10L)).cast("int")),
+      _ => lit("!")))
+    val dupDocs = spark.range(n).toDF("id")
+      .select(col("id").as("doc_id"),
+        concat(array_join(gwords, " "), lit(" "), bangs).as("text"))
+      .repartition(64).cache()
+    dupDocs.count()
+    val (kbAgg, tKb) = time {
+      Dedup.keepBest(dupDocs)
+        .agg(count(lit(1)).as("rows"),
+          sum(when(col("keep"), 1L).otherwise(0L)).as("keepers"),
+          sum(when(col("keeper_id") === col("doc_id") - pmod(col("doc_id"), lit(10L)), 0L)
+            .otherwise(1L)).as("wrong"),
+          countDistinct(col("fingerprint")).as("groups"))
+        .head()
+    }
+    assert(kbAgg.getLong(0) == n && kbAgg.getLong(1) == n / 10 &&
+      kbAgg.getLong(2) == 0 && kbAgg.getLong(3) == n / 10,
+      s"keepBest planted arithmetic: $kbAgg")
+
+    // ---- rung 4: epoch mix — realized counts vs the formula ----
+    val (mixCounts, tMix) = time {
+      graft.ops.Sampling.epochMix(docs, col("doc_id"))
+        .groupBy(col("source")).agg(count(lit(1)).as("out"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    }
+    val inCounts = docs.groupBy(col("source")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val coefs = graft.ops.Sampling.mixCoefs(
+      graft.ops.Sampling.defaultMixWeights, 1.0).toMap
+    val bigN = inCounts.values.sum
+    coefs.foreach { case (s, c) =>
+      val target = c * bigN
+      val got = mixCounts.getOrElse(s, 0L).toDouble
+      // the fractional copy is a granularity-10000 hash gate: realized
+      // mass is within gate quantization + hash dispersion of target
+      assert(math.abs(got - target) <= target * 0.05 + 50,
+        s"source $s: realized $got vs target $target")
+    }
+
+    // ---- rung 5 (LAST — its 20×n skinny frame evicts the doc cache):
+    // the hot-stratum case is where the sampling shapes diverge: ONE
+    // stratum holding every row means the window rank must move the
+    // WHOLE population into a single partition and sort it there (at
+    // real scale that partition simply doesn't fit an executor), while
+    // the bounded top-k still partial-aggregates to k rows/partition —
+    // wall clock at local[32] understates the gap; the structural
+    // bound is plan-asserted in PlanContractSpec
+    val hotN = 20L * n
+    val hot = spark.range(hotN).toDF("doc_id")
+      .withColumn("source", lit("all")).repartition(64)
+    val (hotTopk, tHotTopk) = time {
+      graft.ops.Sampling.stratifiedSample(hot, col("doc_id"), k).collect()
+    }
+    val (hotWin, tHotWindow) = time {
+      val h = pmod(GraftFunctions.hex64(concat(lit("strat|"), col("doc_id").cast("string"))),
+        lit(graft.ops.Sampling.StratModulus))
+      hot.select(col("source"), col("doc_id"), h.as("sample_key"))
+        .withColumn("rn", row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("source"))
+            .orderBy(col("sample_key"), col("doc_id"))).cast("long"))
+        .filter(col("rn") <= k)
+        .collect()
+    }
+    assert(hotTopk.map(_.getLong(2)).toSet ==
+      hotWin.map(_.getAs[Long]("doc_id")).toSet,
+      "hot-stratum picks differ")
+
+    val mb = totalChars / 1e6
+    println(s"""{"smoke":"corpus_scale","n_docs":$n,"corpus_mb":${mb.round},""" +
+      f""""entropy_sec":$tEnt%.1f,"deflate_sec":$tCmp%.1f,""" +
+      f""""stratified_topk_sec":$tTopk%.1f,"stratified_window_sec":$tWindow%.1f,""" +
+      f""""hot_stratum_topk_sec":$tHotTopk%.1f,"hot_stratum_window_sec":$tHotWindow%.1f,""" +
+      f""""keep_best_sec":$tKb%.1f,"epoch_mix_sec":$tMix%.1f}""")
+    spark.stop()
+  }
+}
