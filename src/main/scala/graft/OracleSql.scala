@@ -872,6 +872,36 @@ object OracleSql {
        |  FROM s)
        |SELECT q_id, rn, cand_id, sim FROM r WHERE rn <= 5 ORDER BY q_id, rn""".stripMargin
 
+  /** Filtered IVF ANN (mirror of the ann_ivf_filtered wiring:
+    * candidates restricted to label < 5 at serving time; cell
+    * assignment is per-vector, so filtering candidates ≡ filtering
+    * the corpus before indexing).
+    */
+  val annIvfFiltered: String =
+    s"""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+       |cent AS (SELECT vec_id AS c_id, v AS cv FROM e WHERE vec_id < 8),
+       |asg AS (SELECT vec_id, c_id AS cell FROM (
+       |  SELECT e.vec_id, c.c_id,
+       |    row_number() OVER (PARTITION BY e.vec_id
+       |      ORDER BY list_cosine_similarity(e.v, c.cv) DESC, c.c_id) AS rn
+       |  FROM e, cent c) WHERE rn = 1),
+       |q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 10),
+       |probe AS (SELECT q_id, c_id AS cell FROM (
+       |  SELECT q.q_id, c.c_id,
+       |    row_number() OVER (PARTITION BY q.q_id
+       |      ORDER BY list_cosine_similarity(q.qv, c.cv) DESC, c.c_id) AS rn
+       |  FROM q, cent c) WHERE rn <= 2),
+       |cand AS (SELECT DISTINCT p.q_id, a.vec_id AS cand_id
+       |  FROM probe p JOIN asg a ON a.cell = p.cell
+       |  JOIN e ON e.vec_id = a.vec_id
+       |  WHERE a.vec_id <> p.q_id AND e.label < 5),
+       |s AS (SELECT cand.q_id, cand.cand_id, list_cosine_similarity(q.qv, e.v) AS sim
+       |  FROM cand JOIN q ON q.q_id = cand.q_id JOIN e ON e.vec_id = cand.cand_id),
+       |r AS (SELECT q_id, cand_id, sim,
+       |  CAST(row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, cand_id) AS BIGINT) AS rn
+       |  FROM s)
+       |SELECT q_id, rn, cand_id, sim FROM r WHERE rn <= 5 ORDER BY q_id, rn""".stripMargin
+
   /** Hamming-prefilter ANN (mirror of Quantize.binaryTopK wiring in
     * SparkEntry: queries = vec_id<10, prefilterK=20, k=5, d=64 → two
     * 32-bit sign words). Integer bit_count(xor) distances; the

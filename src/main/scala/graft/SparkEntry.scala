@@ -273,6 +273,20 @@ object SparkEntry {
       val (cells, cents) = Ivf.loadIndex(s, "graft_ivf_idx_rt")
       Ivf.probeTopKOnIndex(cells, cents, e.filter(col("vec_id") < 10), 2, 5)
     }),
+    // filtered ANN: "top-k among vectors WHERE label < 5", served
+    // from an index at rest that carries the label as a meta column —
+    // the serving-time filter reaches the index parquet scan as a
+    // pushed filter (plan-asserted); assignment is per-vector so the
+    // result ≡ indexing only the filtered corpus
+    "ann_ivf_filtered" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val tmp = tempDir("ivf_flt")
+      Ivf.saveIndex(e, e.filter(col("vec_id") < 8), "graft_ivf_flt_rt",
+        path = Some(s"$tmp/tbl"), metaCols = Seq("label"))
+      val (cells, cents) = Ivf.loadIndex(s, "graft_ivf_flt_rt")
+      Ivf.probeTopKOnIndex(cells.filter(col("label") < 5), cents,
+        e.filter(col("vec_id") < 10), 2, 5)
+    }),
     // --- A. LSH core (deterministic seeded projections; rows-only oracle,
     //        semantics verified against brute force in LshSpec) ---
     "lsh_signatures" -> ((s, dir) =>
@@ -651,6 +665,7 @@ object SparkEntry {
     "semantic_dedup" -> OracleSql.semanticDedup,
     "ann_ivf" -> OracleSql.annIvf,
     "ann_ivf_persisted" -> OracleSql.annIvf,
+    "ann_ivf_filtered" -> OracleSql.annIvfFiltered,
     "vec_norm" -> OracleSql.vecNorm,
     "lsh_signatures" -> OracleSql.lshSignatures,
     "lsh_bucket_stats" -> OracleSql.lshBucketStats,

@@ -133,11 +133,22 @@ object Ivf {
     * buckets and serves the join exchange-free), the centroid table as
     * a `<table>_centroids` sibling. `nBuckets` should keep one cell
     * bucket within an executor core's working memory at target scale.
+    *
+    * `metaCols` rides metadata (labels, source, language) INTO the
+    * index rows — the filtered-search enabler: a serving-time
+    * `cells.filter(pred)` before [[probeTopKOnIndex]] then reaches the
+    * parquet scan as a pushed filter (row-group pruning at rest), so
+    * "top-k among documents WHERE …" never rereads or rejoins the
+    * corpus. Assignment is per-vector, so filtering candidates at
+    * serving is exactly equivalent to filtering the corpus before
+    * indexing — but one index serves every predicate.
     */
   def saveIndex(corpus: DataFrame, centroids: DataFrame, table: String,
-      nBuckets: Int = 32, path: Option[String] = None): Unit = {
+      nBuckets: Int = 32, path: Option[String] = None,
+      metaCols: Seq[String] = Nil): Unit = {
     val cells = assign(corpus, centroids)
-      .join(corpus.select(col("vec_id"), col("embedding")), Seq("vec_id"))
+      .join(corpus.select((Seq("vec_id", "embedding") ++ metaCols).map(col): _*),
+        Seq("vec_id"))
     val w = cells.write.mode("overwrite")
       .bucketBy(nBuckets, "cell").sortBy("cell").format("parquet")
     path.foreach(loc => w.option("path", loc))

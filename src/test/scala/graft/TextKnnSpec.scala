@@ -656,6 +656,38 @@ class TextKnnSpec extends SparkSpec {
     spark.sql("DROP TABLE IF EXISTS graft_ivf_idx_spec_centroids")
   }
 
+  test("Ivf filtered search: meta column rides the index; predicate pushed to the scan; result ≡ filter-then-index") {
+    import graft.ann.Ivf
+    val cents = emb.filter(col("vec_id") < 8)
+    val queries = emb.filter(col("vec_id") < 10)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_ivf_flt").toString
+    Ivf.saveIndex(emb, cents, "graft_ivf_flt_spec", path = Some(s"$tmp/tbl"),
+      metaCols = Seq("label"))
+    val (cells, loadedCents) = Ivf.loadIndex(spark, "graft_ivf_flt_spec")
+    val pred = col("label") < 5
+    val servedDf = Ivf.probeTopKOnIndex(cells.filter(pred), loadedCents, queries, 2, 5)
+    val served = servedDf.collect()
+    // every candidate satisfies the predicate
+    val evenIds = emb.filter(pred).select("vec_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(served.nonEmpty)
+    assert(served.forall(r => evenIds(r.getAs[Long]("cand_id"))),
+      "filtered serve returned an out-of-predicate candidate")
+    // assignment is per-vector: serving-time filter ≡ indexing only
+    // the filtered corpus
+    val filteredFresh = Ivf.probeTopK(emb.filter(pred), queries, cents, 2, 5)
+    assert(served.map(_.toString).toSeq ===
+      filteredFresh.collect().map(_.toString).toSeq)
+    // the predicate reaches the bucketed parquet scan as a pushed
+    // filter — row-group pruning at rest, the 100 TB win
+    val plan = servedDf.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    val pushed = plan.linesIterator.filter(_.contains("PushedFilters")).mkString("\n")
+    assert(pushed.contains("label"), s"label filter not pushed to the index scan:\n$pushed")
+    spark.sql("DROP TABLE IF EXISTS graft_ivf_flt_spec")
+    spark.sql("DROP TABLE IF EXISTS graft_ivf_flt_spec_centroids")
+  }
+
   test("semanticDedup multi-probe: perfect precision, recall well above single-probe vs all-pairs") {
     // ground truth at threshold 0.4 (the non-vacuous range for the
     // random corpus): every vector with a senior cosine-neighbor
