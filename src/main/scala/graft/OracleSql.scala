@@ -646,6 +646,22 @@ object OracleSql {
        |JOIN ($dedupClusters) c ON q.doc_id = c.doc_id
        |ORDER BY q.doc_id""".stripMargin
 
+  /** Near-dup best-copy (mirror of Dedup.nearDupKeepBest): cluster
+    * labels and quality scores from the two already-exact chains,
+    * keeper = (quality DESC, doc_id) head per cluster.
+    */
+  val dedupClustersKeepBest: String =
+    s"""SELECT doc_id, cluster_id, quality_score, cluster_size, keeper_id,
+       |  doc_id = keeper_id AS keep
+       |FROM (SELECT c.doc_id, c.cluster_id, q.quality_score,
+       |  count(*) OVER (PARTITION BY c.cluster_id) AS cluster_size,
+       |  first_value(c.doc_id) OVER (PARTITION BY c.cluster_id
+       |    ORDER BY q.quality_score DESC, c.doc_id
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS keeper_id
+       |FROM ($dedupClusters) c
+       |JOIN ($textQuality) q ON q.doc_id = c.doc_id) w
+       |ORDER BY doc_id""".stripMargin
+
   private val simhashBitSums: String = (0 until Dedup.SimhashBits)
     .map(b => s"  sum(CASE WHEN ((h >> $b) & 1) = 1 THEN 1 ELSE -1 END) AS s$b").mkString(",\n")
 

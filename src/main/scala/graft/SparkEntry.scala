@@ -203,6 +203,8 @@ object SparkEntry {
     "dedup_embedding_lsh" -> ((s, dir) =>
       Knn.lshNearDupPairs(t(s, dir, "embeddings"), lshP, threshold = 0.3)),
     "dedup_clusters" -> ((s, dir) => Dedup.nearDupClusters(t(s, dir, "documents"))),
+    "dedup_clusters_keep_best" -> ((s, dir) =>
+      Dedup.nearDupKeepBest(t(s, dir, "documents"))),
     "dedup_incremental" -> ((s, dir) => {
       val d = t(s, dir, "documents")
       Dedup.incrementalDedup(
@@ -653,6 +655,7 @@ object SparkEntry {
     "dedup_simhash_pairs" -> OracleSql.dedupSimhashPairs,
     "dedup_embedding" -> OracleSql.dedupEmbedding,
     "dedup_clusters" -> OracleSql.dedupClusters,
+    "dedup_clusters_keep_best" -> OracleSql.dedupClustersKeepBest,
     "dedup_incremental" -> OracleSql.dedupIncremental,
     "dedup_incremental_persisted" -> OracleSql.dedupIncremental,
     "dedup_bloom" -> OracleSql.dedupBloom,

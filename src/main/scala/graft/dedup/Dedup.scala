@@ -416,6 +416,32 @@ object Dedup {
     out
   }
 
+  /** Best-copy selection over NEAR-dup clusters — [[keepBest]]'s rule
+    * applied to [[nearDupClusters]]' components: within each cluster
+    * the keeper is the quality argmax (ties → lower doc_id), not the
+    * min-id. This is what a production near-dedup pass actually keeps
+    * (SemDeDup/NearDup retain the best exemplar, and near-duplicates
+    * genuinely DIFFER in quality — truncation, boilerplate — unlike
+    * exact copies). Composition: the cluster labels from the pair
+    * graph, one quality pass, one cluster-keyed window for the
+    * `max(struct(quality, −id))` argmax + size.
+    */
+  def nearDupKeepBest(docs: DataFrame, minJaccard: Double = 0.7,
+      maxIters: Int = 30): DataFrame = {
+    val clusters = nearDupClusters(docs, minJaccard, maxIters)
+      .select(col("doc_id"), col("cluster_id"))
+    val q = graft.text.TextAnalysis.quality(docs)
+      .select(col("doc_id"), col("quality_score"))
+    val w = Window.partitionBy(col("cluster_id"))
+    clusters.join(q, Seq("doc_id"))
+      .select(col("doc_id"), col("cluster_id"), col("quality_score"),
+        count(lit(1)).over(w).as("cluster_size"),
+        (-max(struct(col("quality_score"), (-col("doc_id")).as("nid"))).over(w)
+          .getField("nid")).as("keeper_id"))
+      .withColumn("keep", col("doc_id") === col("keeper_id"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Exact Jaccard for candidate pairs whose sides come from two
     * DIFFERENT shingle sources (a-side docs in `shA`, b-side docs in
     * `shB`) — the cross-table generalization of [[jaccardOf]].

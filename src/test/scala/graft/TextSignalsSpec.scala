@@ -142,6 +142,32 @@ class TextSignalsSpec extends SparkSpec {
     kb.foreach { case (id, _, qs, _, _, _) => assert(q(id) === qs) }
   }
 
+  test("nearDupKeepBest: keeper is the quality argmax of each near-dup cluster") {
+    val d = spark.read.parquet(s"$sfDir/documents.parquet")
+    val got = Dedup.nearDupKeepBest(d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3), r.getLong(4),
+        r.getBoolean(5)))
+    // cluster structure must agree with nearDupClusters
+    val clusters = Dedup.nearDupClusters(d).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.length === clusters.size)
+    got.foreach { case (id, cid, _, _, _, _) => assert(clusters(id) === cid) }
+    // exactly one keeper per cluster; keeper is the (quality, -id) argmax
+    got.groupBy(_._2).foreach { case (cid, members) =>
+      assert(members.count(_._6) === 1, s"cluster $cid keeper count")
+      val k = members.filter(_._6).head
+      assert(members.forall(_._4 === members.length.toLong))
+      members.foreach { m =>
+        assert(m._5 === k._1)
+        assert(m._3 < k._3 || (m._3 === k._3 && m._1 >= k._1),
+          s"cluster $cid: ${m._1} beats keeper ${k._1}")
+      }
+    }
+    // at least one non-trivial cluster exists at this SF, else the
+    // argmax is vacuous
+    assert(got.exists(_._4 > 1), "no multi-doc near-dup cluster in corpus")
+  }
+
   test("keepBest: planted tie goes to the lower doc_id; best copy wins over first copy") {
     // docs 1/2 identical tokens -> tie on quality, keeper = 1;
     // docs 10/11: same fingerprint (tokens equal after normalization)
