@@ -163,4 +163,31 @@ object Ivf {
   def loadIndex(spark: org.apache.spark.sql.SparkSession,
       table: String): (DataFrame, DataFrame) =
     (spark.table(table), spark.table(s"${table}_centroids"))
+
+  /** Append new vectors to a [[saveIndex]]ed table — the reference's
+    * incremental ingest lifecycle (`LshIndex.add`'s IVF twin): assign
+    * the additions against the PERSISTED centroids and write them
+    * bucket-aligned into the existing table (the bucket count is read
+    * from the catalog so the append cannot silently break the
+    * bucketing that makes probes exchange-free). Assignment is
+    * per-vector, so the appended index ≡ a full rebuild over
+    * corpus ∪ additions (spec-asserted) — at 100 TB the add touches
+    * only the new rows, never rewrites the index. `metaCols` must
+    * match the saved layout (schema-checked by the append).
+    */
+  def addToIndex(spark: org.apache.spark.sql.SparkSession,
+      additions: DataFrame, table: String,
+      metaCols: Seq[String] = Nil): Unit = {
+    val meta = spark.sessionState.catalog.getTableMetadata(
+      org.apache.spark.sql.catalyst.TableIdentifier(table))
+    val spec = meta.bucketSpec.getOrElse(throw new IllegalArgumentException(
+      s"table $table is not bucketed — not a saveIndex table"))
+    val (_, cents) = loadIndex(spark, table)
+    val cells = assign(additions, cents)
+      .join(additions.select((Seq("vec_id", "embedding") ++ metaCols).map(col): _*),
+        Seq("vec_id"))
+    cells.write.mode("append")
+      .bucketBy(spec.numBuckets, "cell").sortBy("cell").format("parquet")
+      .saveAsTable(table)
+  }
 }

@@ -688,6 +688,36 @@ class TextKnnSpec extends SparkSpec {
     spark.sql("DROP TABLE IF EXISTS graft_ivf_flt_spec_centroids")
   }
 
+  test("Ivf addToIndex: incremental append ≡ full rebuild; bucketed serving intact") {
+    import graft.ann.Ivf
+    val cents = emb.filter(col("vec_id") < 8)
+    val queries = emb.filter(col("vec_id") < 10)
+    val (half, rest) = (emb.filter(col("vec_id") % 2 === 0),
+      emb.filter(col("vec_id") % 2 === 1))
+    val tmp = java.nio.file.Files.createTempDirectory("graft_ivf_add").toString
+    Ivf.saveIndex(half, cents, "graft_ivf_add_spec", path = Some(s"$tmp/tbl"))
+    Ivf.addToIndex(spark, rest, "graft_ivf_add_spec")
+    val (cells, loadedCents) = Ivf.loadIndex(spark, "graft_ivf_add_spec")
+    // the appended index holds every vector exactly once
+    assert(cells.count() === emb.count())
+    assert(cells.select("vec_id").distinct().count() === emb.count())
+    // serving from the appended table ≡ a fresh index over the union
+    val served = Ivf.probeTopKOnIndex(cells, loadedCents, queries, 2, 5)
+    val fresh = Ivf.probeTopK(emb, queries, cents, 2, 5)
+    assert(served.collect().map(_.toString).toSeq ===
+      fresh.collect().map(_.toString).toSeq)
+    // a non-bucketed table is refused (the append would silently break
+    // the exchange-free probe property)
+    emb.limit(1).write.mode("overwrite")
+      .option("path", s"$tmp/plain").saveAsTable("graft_ivf_add_plain")
+    intercept[IllegalArgumentException] {
+      Ivf.addToIndex(spark, rest, "graft_ivf_add_plain")
+    }
+    spark.sql("DROP TABLE IF EXISTS graft_ivf_add_spec")
+    spark.sql("DROP TABLE IF EXISTS graft_ivf_add_spec_centroids")
+    spark.sql("DROP TABLE IF EXISTS graft_ivf_add_plain")
+  }
+
   test("semanticDedup multi-probe: perfect precision, recall well above single-probe vs all-pairs") {
     // ground truth at threshold 0.4 (the non-vacuous range for the
     // random corpus): every vector with a senior cosine-neighbor
