@@ -520,6 +520,32 @@ object Pq {
     (load(spark, table), spark.table(s"${table}_cells"),
       spark.table(s"${table}_centroids"))
 
+  /** Incremental ingest into a persisted IVFADC index
+    * ([[graft.ann.Ivf.addToIndex]]'s code-tier twin): additions are
+    * encoded with the PERSISTED codebook, centroids, AND encoding
+    * flags — residual/nProbe are read from the table, never taken from
+    * the caller, so appended rows cannot be encoded under a different
+    * decomposition than the rows already at rest (the silent-wrong
+    * failure the persisted flags exist to prevent). The encoded rows
+    * append bucket-aligned (bucket count from the catalog; TBL
+    * properties survive an append). Encoding is per-vector, so the
+    * appended index ≡ re-encoding corpus ∪ additions with the same
+    * model (spec) — the add touches only the new rows.
+    */
+  def addToCellIndex(spark: SparkSession, additions: DataFrame,
+      table: String): Unit = {
+    val meta = spark.sessionState.catalog.getTableMetadata(
+      org.apache.spark.sql.catalyst.TableIdentifier(s"${table}_cells"))
+    val spec = meta.bucketSpec.getOrElse(throw new IllegalArgumentException(
+      s"table ${table}_cells is not bucketed — not a saveCellIndex table"))
+    val (model, _, cents) = loadCellIndex(spark, table)
+    val (residual, nProbe) = cellIndexParams(spark, table)
+    encodeInCells(additions, model, cents, residual = residual, nProbe = nProbe)
+      .write.mode("append")
+      .bucketBy(spec.numBuckets, "cell").sortBy("cell").format("parquet")
+      .saveAsTable(s"${table}_cells")
+  }
+
   /** Encoding parameters of a [[saveCellIndex]]ed cells table:
     * (residual, nProbe). Pass the residual flag straight to
     * [[pqTopKOnCells]] — it selects the scoring decomposition, not a

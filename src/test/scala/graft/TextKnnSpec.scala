@@ -492,6 +492,42 @@ class TextKnnSpec extends SparkSpec {
     spark.sql("DROP TABLE IF EXISTS graft_ivfpq_spec_centroids")
   }
 
+  test("Pq addToCellIndex: incremental append ≡ full re-encode; persisted flags drive the encoding") {
+    import graft.ann.Pq
+    val model = Pq.train(emb, m = 8, k = 16)
+    val cents = emb.filter(col("vec_id") < 8)
+    val queries = emb.filter(col("vec_id") < 5)
+    val (half, rest) = (emb.filter(col("vec_id") % 2 === 0),
+      emb.filter(col("vec_id") % 2 === 1))
+    val tmp = java.nio.file.Files.createTempDirectory("graft_ivfpq_add").toString
+    // a RESIDUAL index: the append must pick the flag up from the table
+    Pq.saveCellIndex(model, half, cents, "graft_ivfpq_add_spec",
+      path = Some(s"$tmp/tbl"), residual = true, nProbe = 2)
+    Pq.addToCellIndex(spark, rest, "graft_ivfpq_add_spec")
+    val (loaded, cells, loadedCents) = Pq.loadCellIndex(spark, "graft_ivfpq_add_spec")
+    // flags survive the append; every vector present nProbe times
+    assert(Pq.cellIndexParams(spark, "graft_ivfpq_add_spec") === ((true, 2)))
+    assert(cells.count() === emb.count() * 2)
+    // appended rows are bit-identical to a full re-encode under the
+    // same model and flags
+    val full = Pq.encodeInCells(emb, model, cents, residual = true, nProbe = 2)
+    def canon(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("vec_id"), col("cell"), col("codes"))
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getAs[Seq[Int]](2).mkString(","))).sortBy(x => (x._1, x._2))
+    assert(canon(cells).toSeq === canon(full).toSeq)
+    // serving from the appended table ≡ serving a fresh full encode
+    val served = Pq.pqTopKOnCells(cells, emb, loadedCents, queries, loaded,
+      nProbe = 2, k = 3, prefilterK = 10, residual = true)
+    val fresh = Pq.pqTopKOnCells(full, emb, cents, queries, model,
+      nProbe = 2, k = 3, prefilterK = 10, residual = true)
+    assert(served.collect().map(_.toString).toSeq ===
+      fresh.collect().map(_.toString).toSeq)
+    spark.sql("DROP TABLE IF EXISTS graft_ivfpq_add_spec")
+    spark.sql("DROP TABLE IF EXISTS graft_ivfpq_add_spec_cells")
+    spark.sql("DROP TABLE IF EXISTS graft_ivfpq_add_spec_centroids")
+  }
+
   test("Pq residual IVFADC: planted copies rank 1; recall at least matches raw encoding at equal probes") {
     import graft.ann.Pq
     val cents = emb.filter(col("vec_id") < 8)
