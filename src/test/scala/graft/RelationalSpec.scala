@@ -417,7 +417,7 @@ class RelationalSpec extends SparkSpec {
     assert(res.length === events.count())
     // brute-force oracle on the collected rows
     val purchases = events.filter(col("event_type") === "purchase")
-      .select(col("user_id"), col("event_id"), expr("ts div 1000").as("us"), col("value"))
+      .select(col("user_id"), col("event_id"), EventOps.microsOfTsCol(events).as("us"), col("value"))
       .collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.get(3)))
     res.foreach { r =>
@@ -439,7 +439,7 @@ class RelationalSpec extends SparkSpec {
     val got = EventOps.withinRangePairs(events, gap).collect()
       .map(r => (r.getAs[Long]("e1"), r.getAs[Long]("e2"), r.getAs[Long]("gap_us"))).toSet
     // brute force over collected rows
-    val ev = events.select(col("user_id"), col("event_id"), expr("ts div 1000").as("us"))
+    val ev = events.select(col("user_id"), col("event_id"), EventOps.microsOfTsCol(events).as("us"))
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
     val brute = (for {
       x <- ev; y <- ev

@@ -13,12 +13,16 @@ class StreamingMultimodalSpec extends SparkSpec {
   implicit lazy val s: SparkSession = spark
 
   test("windowedAgg over a bounded stream equals the batch rollup") {
-    val schema = Tables.load(spark, sfDir, "events").schema
+    val batchEv = Tables.load(spark, sfDir, "events")
+    val schema = batchEv.schema
     val tmp = java.nio.file.Files.createTempDirectory("ev")
     java.nio.file.Files.createSymbolicLink(
       tmp.resolve("events.parquet"), java.nio.file.Paths.get(s"$sfDir/events.parquet"))
+    // schema-branched µs projection (int64-nanos OR timestamp-typed ts),
+    // decided on the batch-loaded schema before readStream
     val stream = spark.readStream.schema(schema).parquet(tmp.toString)
-      .select(timestamp_micros(expr("ts div 1000")).as("ts"), col("event_type"), col("value"))
+      .select(timestamp_micros(graft.events.EventOps.microsOfTsCol(batchEv)).as("ts"),
+        col("event_type"), col("value"))
     val got = Streams.runOnce(spark, Streams.windowedAgg(stream), "wa_spec", OutputMode.Complete())
       .select(unix_micros(col("window_start")).as("start_us"), col("event_type"),
         col("n_events"), col("sum_value"))
@@ -36,13 +40,15 @@ class StreamingMultimodalSpec extends SparkSpec {
   test("RocksDB state store runs the windowed agg with identical results") {
     val key = "spark.sql.streaming.stateStore.providerClass"
     val default = spark.conf.get(key)
-    val schema = Tables.load(spark, sfDir, "events").schema
+    val batchEv = Tables.load(spark, sfDir, "events")
+    val schema = batchEv.schema
     def run(tag: String): Array[org.apache.spark.sql.Row] = {
       val tmp = java.nio.file.Files.createTempDirectory(s"evr_$tag")
       java.nio.file.Files.createSymbolicLink(
         tmp.resolve("events.parquet"), java.nio.file.Paths.get(s"$sfDir/events.parquet"))
       val stream = spark.readStream.schema(schema).parquet(tmp.toString)
-        .select(timestamp_micros(expr("ts div 1000")).as("ts"), col("event_type"), col("value"))
+        .select(timestamp_micros(graft.events.EventOps.microsOfTsCol(batchEv)).as("ts"),
+          col("event_type"), col("value"))
       Streams.runOnce(spark, Streams.windowedAgg(stream), s"wa_$tag", OutputMode.Complete())
         .select(unix_micros(col("window_start")).as("start_us"), col("event_type"),
           col("n_events"), col("sum_value"))
