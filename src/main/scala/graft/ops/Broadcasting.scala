@@ -48,10 +48,28 @@ object Broadcasting {
   def fitsBroadcastRows(df: DataFrame, fanout: Long, bytesPerRow: Long): Boolean = {
     val threshold = df.sparkSession.sessionState.conf.autoBroadcastJoinThreshold
     if (threshold <= 0) return false
+    // rows the threshold can afford at this fan-out
+    val maxRows = BigInt(threshold) / (BigInt(fanout) * BigInt(math.max(1L, bytesPerRow)))
+    if (maxRows <= 0) return false
     val stats = df.queryExecution.optimizedPlan.stats
     val rowW = math.max(1, df.schema.map(_.dataType.defaultSize).sum)
-    val rows = stats.rowCount
-      .getOrElse(stats.sizeInBytes / rowW + 1)
-    rows * fanout * bytesPerRow <= BigInt(threshold)
+    val est = stats.rowCount.getOrElse(stats.sizeInBytes / rowW + 1)
+    if (est <= maxRows) true
+    else if (stats.rowCount.isDefined) false // CBO count is exact — trust it
+    else {
+      // The sizeInBytes-derived estimate said "too big", but on
+      // filter-derived frames that estimate ignores selectivity and can
+      // overstate rows by orders of magnitude — multiplied by the
+      // fan-out it silently demotes genuinely tiny serving batches to
+      // sort-merge joins (round-8 verdict: ann_pq exec 0.8 → 4.6 s).
+      // Settle it with a LIMIT-bounded runtime count: the limit is
+      // maxRows+1 — small by construction (threshold / fan-out bytes),
+      // so the job early-exits after a handful of rows on big frames
+      // and costs one cheap scan on batch frames. Serving flows already
+      // pay per-batch jobs; a bounded count is noise next to a wrongly
+      // shuffled corpus.
+      val cap = maxRows.min(BigInt(Int.MaxValue) - 1).toInt
+      df.limit(cap + 1).count() <= cap.toLong
+    }
   }
 }

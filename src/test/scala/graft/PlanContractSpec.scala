@@ -115,6 +115,20 @@ class PlanContractSpec extends SparkSpec {
       s"no map-side partial aggregation in ann_ivf:\n$phys")
   }
 
+  test("ann_pq: driver-row query batch keeps the survivors broadcast (no sort-merge rerank)") {
+    // round-8 verdict #2: fitsBroadcastRows multiplied a filter-derived
+    // frame's overstated row estimate by prefilterK and demoted the
+    // ~100-row survivors broadcast to a sort-merge join over the corpus
+    // (exec 0.8 → 4.6 s). The guard now settles an oversized estimate
+    // with a LIMIT-bounded runtime count — a tiny serving batch must
+    // keep every rerank join broadcast.
+    val phys = physical(q("ann_pq"))
+    assert(!phys.contains("SortMergeJoin"),
+      s"ann_pq survivors rerank demoted to sort-merge:\n$phys")
+    assert(phys.contains("BroadcastHashJoin"),
+      s"ann_pq rerank joins are not broadcast:\n$phys")
+  }
+
   test("sample_split prunes to key+output columns; text_chunks plans no shuffle beyond the sort") {
     // the split assignment must never drag the text payload through the
     // scan — it's a projection of (doc_id, source, lang) only
