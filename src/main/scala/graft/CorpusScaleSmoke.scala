@@ -112,6 +112,34 @@ object CorpusScaleSmoke {
       kbAgg.getLong(2) == 0 && kbAgg.getLong(3) == n / 10,
       s"keepBest planted arithmetic: $kbAgg")
 
+    // ---- rung 3b: ONE giant group — the adversarial skew case ----
+    // every doc shares the same token set, so the whole 2n-doc corpus
+    // is a single fingerprint group (round-8 verdict #3: the former
+    // window form buffered it on one task). The argmax must finish
+    // through map-side partials; the keeper is the bang-minimal
+    // lowest-id doc (doc 0) — exact planted arithmetic.
+    val gN = 2L * n
+    val cwords = array_join(transform(sequence(lit(0), lit(29)),
+      p => concat(lit("c"), hex(xxhash64(lit(7L), p)))), " ")
+    val gBangs = concat_ws("", transform(
+      sequence(lit(0), pmod(col("id"), lit(10L)).cast("int")), _ => lit("!")))
+    val giant = spark.range(gN).toDF("id")
+      .select(col("id").as("doc_id"), concat(cwords, lit(" "), gBangs).as("text"))
+      .repartition(64).cache()
+    giant.count()
+    val (gAgg, tGiant) = time {
+      Dedup.keepBest(giant)
+        .agg(count(lit(1)).as("rows"),
+          sum(when(col("keep"), 1L).otherwise(0L)).as("keepers"),
+          countDistinct(col("fingerprint")).as("groups"),
+          max(col("keeper_id")).as("max_keeper"))
+        .head()
+    }
+    assert(gAgg.getLong(0) == gN && gAgg.getLong(1) == 1L &&
+      gAgg.getLong(2) == 1L && gAgg.getLong(3) == 0L,
+      s"giant-group keepBest arithmetic: $gAgg")
+    giant.unpersist(false)
+
     // ---- rung 4: epoch mix — realized counts vs the formula ----
     val (mixCounts, tMix) = time {
       graft.ops.Sampling.epochMix(docs, col("doc_id"))
@@ -165,7 +193,8 @@ object CorpusScaleSmoke {
       f""""entropy_sec":$tEnt%.1f,"deflate_sec":$tCmp%.1f,""" +
       f""""stratified_topk_sec":$tTopk%.1f,"stratified_window_sec":$tWindow%.1f,""" +
       f""""hot_stratum_topk_sec":$tHotTopk%.1f,"hot_stratum_window_sec":$tHotWindow%.1f,""" +
-      f""""keep_best_sec":$tKb%.1f,"epoch_mix_sec":$tMix%.1f}""")
+      f""""keep_best_sec":$tKb%.1f,"giant_group_sec":$tGiant%.1f,""" +
+      f""""epoch_mix_sec":$tMix%.1f}""")
     spark.stop()
   }
 }

@@ -100,11 +100,16 @@ object Dedup {
     * [[graft.text.TextAnalysis.qualityScore]] (ties to the lower
     * doc_id) — the production dedup rule (a crawl's duplicates differ
     * in boilerplate/truncation; keeping min-id throws away the cleanest
-    * copy whenever it wasn't crawled first). Quality and fingerprint
-    * come from ONE tokenize pass; the keeper is
-    * `max(struct(quality_score, −doc_id))` over the same single
-    * fingerprint-keyed window shuffle as [[exact]] — struct max gives
-    * argmax-with-tiebreak without a sort-based rank or a join-back.
+    * copy whenever it wasn't crawled first). The keeper is a
+    * `groupBy(fingerprint).agg(max(struct(quality, −id)), count)`
+    * partial aggregate joined back onto the rows (the `chunks_dedup`
+    * idiom) — NOT a fingerprint-keyed window: a window buffers each
+    * whole group on one task, so an adversarial giant group (a
+    * boilerplate template with 10⁶ copies — exactly what dedup exists
+    * to find) becomes a straggler, while the map-side combine reduces
+    * it to one row per partition before any exchange (round-8 verdict
+    * #3). The join-back re-runs the tokenize map pass on the probe
+    * side — narrow, linear, and cheaper at scale than a skewed sort.
     */
   def keepBest(docs: DataFrame): DataFrame = {
     val t = withToks(docs)
@@ -114,12 +119,14 @@ object Dedup {
       .withColumn("fingerprint", hex64(array_join(col("toks"), " ")))
       .select(col("doc_id"), col("fingerprint"),
         graft.text.TextAnalysis.qualityScore.as("quality_score"))
-    val w = Window.partitionBy(col("fingerprint"))
-    t.select(
-      col("doc_id"), col("fingerprint"), col("quality_score"),
-      count(lit(1)).over(w).as("group_size"),
-      (-max(struct(col("quality_score"), (-col("doc_id")).as("nid"))).over(w)
-        .getField("nid")).as("keeper_id"))
+    val best = t.groupBy(col("fingerprint")).agg(
+      count(lit(1)).as("group_size"),
+      max(struct(col("quality_score"), (-col("doc_id")).as("nid"))).as("best"))
+      .select(col("fingerprint"), col("group_size"),
+        (-col("best").getField("nid")).as("keeper_id"))
+    t.join(best, Seq("fingerprint"))
+      .select(col("doc_id"), col("fingerprint"), col("quality_score"),
+        col("group_size"), col("keeper_id"))
       .withColumn("keep", col("doc_id") === col("keeper_id"))
       .orderBy(col("doc_id"))
   }
@@ -423,8 +430,16 @@ object Dedup {
     * (SemDeDup/NearDup retain the best exemplar, and near-duplicates
     * genuinely DIFFER in quality — truncation, boilerplate — unlike
     * exact copies). Composition: the cluster labels from the pair
-    * graph, one quality pass, one cluster-keyed window for the
-    * `max(struct(quality, −id))` argmax + size.
+    * graph, one quality pass, then the cluster argmax as a
+    * `groupBy(cluster_id).agg(max(struct(quality, −id)), count)`
+    * partial aggregate joined back — NOT a cluster-keyed window.
+    * Near-dup clusters are exactly where degenerate giants live (one
+    * boilerplate template → a 10⁶-member component); the map-side
+    * combine bounds that cluster at one row per partition before the
+    * exchange, where a window would buffer-and-sort the whole cluster
+    * on one task (round-8 verdict #3). The cluster labels are cached
+    * by [[clustersFromPairs]], so the two references cost one
+    * contraction.
     */
   def nearDupKeepBest(docs: DataFrame, minJaccard: Double = 0.7,
       maxIters: Int = 30): DataFrame = {
@@ -432,12 +447,15 @@ object Dedup {
       .select(col("doc_id"), col("cluster_id"))
     val q = graft.text.TextAnalysis.quality(docs)
       .select(col("doc_id"), col("quality_score"))
-    val w = Window.partitionBy(col("cluster_id"))
-    clusters.join(q, Seq("doc_id"))
+    val labeled = clusters.join(q, Seq("doc_id"))
+    val best = labeled.groupBy(col("cluster_id")).agg(
+      count(lit(1)).as("cluster_size"),
+      max(struct(col("quality_score"), (-col("doc_id")).as("nid"))).as("best"))
+      .select(col("cluster_id"), col("cluster_size"),
+        (-col("best").getField("nid")).as("keeper_id"))
+    labeled.join(best, Seq("cluster_id"))
       .select(col("doc_id"), col("cluster_id"), col("quality_score"),
-        count(lit(1)).over(w).as("cluster_size"),
-        (-max(struct(col("quality_score"), (-col("doc_id")).as("nid"))).over(w)
-          .getField("nid")).as("keeper_id"))
+        col("cluster_size"), col("keeper_id"))
       .withColumn("keep", col("doc_id") === col("keeper_id"))
       .orderBy(col("doc_id"))
   }

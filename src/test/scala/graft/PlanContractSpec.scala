@@ -286,13 +286,27 @@ class PlanContractSpec extends SparkSpec {
       s"sample_stratified ranks through a window:\n$phys")
   }
 
-  test("dedup_keep_best: same single fingerprint shuffle as dedup_exact") {
-    // argmax-by-struct rides the one hash exchange; a join-back or a
-    // rank would add a second corpus pass
+  test("dedup_keep_best: window-free; keeper argmax partial-aggregates before its exchange") {
+    // round-8 verdict #3: a fingerprint-keyed window buffers each whole
+    // group on one task — an adversarial 10⁶-copy group becomes a
+    // straggler. The keeper must be a map-side-combined groupBy argmax
+    // (bounded at one row per group per partition pre-exchange) joined
+    // back, with no Window anywhere in the plan.
     val phys = physical(q("dedup_keep_best"))
-    val hashEx = "Exchange hashpartitioning".r.findAllIn(phys).size
-    assert(hashEx === 1,
-      s"dedup_keep_best expected exactly 1 hash shuffle, got $hashEx:\n$phys")
+    assert(!phys.contains("Window"),
+      s"dedup_keep_best routes the keeper argmax through a window:\n$phys")
+    assert(phys.contains("partial_max"),
+      s"keeper argmax has no map-side partial aggregation:\n$phys")
+    assert(phys.contains("partial_count"),
+      s"group_size has no map-side partial aggregation:\n$phys")
+  }
+
+  test("dedup_clusters_keep_best: cluster argmax is window-free with map-side partials") {
+    val phys = physical(q("dedup_clusters_keep_best"))
+    assert(!phys.contains("Window"),
+      s"cluster keeper argmax routes through a window:\n$phys")
+    assert(phys.contains("partial_max"),
+      s"cluster argmax has no map-side partial aggregation:\n$phys")
   }
 
   test("events_top_paths: top-k is a distributed TakeOrdered, not a global sort") {
