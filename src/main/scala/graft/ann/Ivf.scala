@@ -190,4 +190,61 @@ object Ivf {
       .bucketBy(spec.numBuckets, "cell").sortBy("cell").format("parquet")
       .saveAsTable(table)
   }
+
+  /** Compact a [[saveIndex]]ed table after repeated [[addToIndex]]
+    * appends — the close of the at-rest lifecycle (build → serve →
+    * add → compact; reference maintenance analogue:
+    * `storage/redis.py:419,590`). One bucketed rewrite through
+    * [[graft.ops.Compaction.rewriteBucketed]] returns every bucket to
+    * a single file; bucket spec and metadata survive, so probes stay
+    * exchange-free.
+    *
+    * `refreshedCentroids` additionally reassigns every vector against
+    * a NEW coarse quantizer on the way through — the drift repair for
+    * an index whose data distribution moved away from its original
+    * centroids (appends assign against the frozen quantizer by
+    * design). The index stores full embeddings, so reassignment needs
+    * no other input; the centroids sibling table is rewritten to
+    * match. The refreshed frame is materialized BEFORE the old tables
+    * are touched, so it may safely derive from the index itself
+    * (e.g. k-means over the indexed embeddings).
+    */
+  def compactIndex(spark: org.apache.spark.sql.SparkSession, table: String,
+      refreshedCentroids: Option[DataFrame] = None): Unit = {
+    // Sever the refreshed frame's lineage COMPLETELY before touching
+    // the old tables: centroids are nCells rows — driver-bounded by
+    // the same contract that lets `assign` broadcast them — so a
+    // collect into a local relation is cheap and, unlike cache(),
+    // survives the DROP TABLE inside the rewrite (dropping a table
+    // cascades cache invalidation to every plan that references it,
+    // which would silently recompute from the deleted file set).
+    val local = refreshedCentroids.map { c0 =>
+      val pruned = c0.select(col("vec_id"), col("embedding"))
+      spark.createDataFrame(
+        java.util.Arrays.asList(pruned.collect(): _*), pruned.schema)
+    }
+    graft.ops.Compaction.rewriteBucketed(spark, table, cells => local match {
+      case None => cells
+      case Some(c) =>
+        val corpus = cells.drop("cell")
+        assign(corpus, c).join(corpus, Seq("vec_id"))
+          .select(cells.columns.map(col): _*)
+    })
+    local.foreach { c =>
+      val cTable = s"${table}_centroids"
+      val meta = spark.sessionState.catalog.getTableMetadata(
+        org.apache.spark.sql.catalyst.TableIdentifier(cTable))
+      val external = meta.tableType ==
+        org.apache.spark.sql.catalyst.catalog.CatalogTableType.EXTERNAL
+      val loc = meta.location
+      spark.sql(s"DROP TABLE `$cTable`")
+      val w = c.write.mode("overwrite").format("parquet")
+      val wp = if (external) {
+        val p = new org.apache.hadoop.fs.Path(loc)
+        p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+        w.option("path", loc.getPath)
+      } else w
+      wp.saveAsTable(cTable)
+    }
+  }
 }

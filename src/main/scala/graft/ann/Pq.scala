@@ -546,6 +546,21 @@ object Pq {
       .saveAsTable(s"${table}_cells")
   }
 
+  /** Compact the cells table of a [[saveCellIndex]]ed index after
+    * repeated [[addToCellIndex]] appends — [[graft.ann.Ivf.compactIndex]]'s
+    * code-tier twin (reference maintenance analogue:
+    * `storage/redis.py:419,590`). One bucketed rewrite returns every
+    * cell bucket to a single file; the bucket spec AND the persisted
+    * encoding flags (`graft.pq.cells_params` — residual/nProbe)
+    * survive the swap, so a compacted residual index still serves
+    * with its bias term. Codes are never re-derived: unlike the IVF
+    * tier the cells table has no full embeddings, so compaction here
+    * is layout-only — refresh the quantizer by rebuilding via
+    * [[saveCellIndex]] when drift demands it.
+    */
+  def compactCellIndex(spark: SparkSession, table: String): Unit =
+    graft.ops.Compaction.rewriteBucketed(spark, s"${table}_cells")
+
   /** Encoding parameters of a [[saveCellIndex]]ed cells table:
     * (residual, nProbe). Pass the residual flag straight to
     * [[pqTopKOnCells]] — it selects the scoring decomposition, not a

@@ -528,6 +528,45 @@ class TextKnnSpec extends SparkSpec {
     spark.sql("DROP TABLE IF EXISTS graft_ivfpq_add_spec_centroids")
   }
 
+  test("Pq compactCellIndex: append debris collapses to one file per bucket; flags and serving survive") {
+    import graft.ann.Pq
+    import graft.ops.Compaction
+    val model = Pq.train(emb, m = 8, k = 16)
+    val cents = emb.filter(col("vec_id") < 8)
+    val queries = emb.filter(col("vec_id") < 5)
+    val thirds = (0 to 2).map(i => emb.filter(col("vec_id") % 3 === i))
+    val tmp = java.nio.file.Files.createTempDirectory("graft_ivfpq_cpt").toString
+    Pq.saveCellIndex(model, thirds(0), cents, "graft_ivfpq_cpt_spec",
+      path = Some(s"$tmp/tbl"), residual = true, nProbe = 2)
+    Pq.addToCellIndex(spark, thirds(1), "graft_ivfpq_cpt_spec")
+    Pq.addToCellIndex(spark, thirds(2), "graft_ivfpq_cpt_spec")
+    assert(Compaction.filesPerBucket(spark, "graft_ivfpq_cpt_spec_cells").values.max > 1,
+      "appends should leave more than one file in some bucket")
+    Pq.compactCellIndex(spark, "graft_ivfpq_cpt_spec")
+    val perBucket = Compaction.filesPerBucket(spark, "graft_ivfpq_cpt_spec_cells")
+    assert(perBucket.nonEmpty && perBucket.values.forall(_ == 1),
+      s"compaction left multi-file buckets: $perBucket")
+    // the persisted encoding flags survive the staging swap
+    assert(Pq.cellIndexParams(spark, "graft_ivfpq_cpt_spec") === ((true, 2)))
+    // compacted rows ≡ a full re-encode; serving ≡ fresh
+    val (loaded, cells, loadedCents) = Pq.loadCellIndex(spark, "graft_ivfpq_cpt_spec")
+    val full = Pq.encodeInCells(emb, model, cents, residual = true, nProbe = 2)
+    def canon(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("vec_id"), col("cell"), col("codes"))
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getAs[Seq[Int]](2).mkString(","))).sortBy(x => (x._1, x._2))
+    assert(canon(cells).toSeq === canon(full).toSeq)
+    val served = Pq.topKOnSavedCellIndex(spark, "graft_ivfpq_cpt_spec",
+      emb, queries, k = 3, prefilterK = 10)
+    val fresh = Pq.pqTopKOnCells(full, emb, cents, queries, model,
+      nProbe = 2, k = 3, prefilterK = 10, residual = true)
+    assert(served.collect().map(_.toString).toSeq ===
+      fresh.collect().map(_.toString).toSeq)
+    spark.sql("DROP TABLE IF EXISTS graft_ivfpq_cpt_spec")
+    spark.sql("DROP TABLE IF EXISTS graft_ivfpq_cpt_spec_cells")
+    spark.sql("DROP TABLE IF EXISTS graft_ivfpq_cpt_spec_centroids")
+  }
+
   test("Pq residual IVFADC: planted copies rank 1; recall at least matches raw encoding at equal probes") {
     import graft.ann.Pq
     val cents = emb.filter(col("vec_id") < 8)
@@ -752,6 +791,55 @@ class TextKnnSpec extends SparkSpec {
     spark.sql("DROP TABLE IF EXISTS graft_ivf_add_spec")
     spark.sql("DROP TABLE IF EXISTS graft_ivf_add_spec_centroids")
     spark.sql("DROP TABLE IF EXISTS graft_ivf_add_plain")
+  }
+
+  test("Ivf compactIndex: N appends then compact ≡ rebuild over the union; one file per bucket") {
+    import graft.ann.Ivf
+    import graft.ops.Compaction
+    val cents = emb.filter(col("vec_id") < 8)
+    val queries = emb.filter(col("vec_id") < 10)
+    val thirds = (0 to 2).map(i => emb.filter(col("vec_id") % 3 === i))
+    val tmp = java.nio.file.Files.createTempDirectory("graft_ivf_cpt").toString
+    Ivf.saveIndex(thirds(0), cents, "graft_ivf_cpt_spec", path = Some(s"$tmp/tbl"))
+    Ivf.addToIndex(spark, thirds(1), "graft_ivf_cpt_spec")
+    Ivf.addToIndex(spark, thirds(2), "graft_ivf_cpt_spec")
+    // appends accumulated multiple file sets in at least one bucket
+    assert(Compaction.filesPerBucket(spark, "graft_ivf_cpt_spec").values.max > 1,
+      "appends should leave more than one file in some bucket")
+    Ivf.compactIndex(spark, "graft_ivf_cpt_spec")
+    // every bucket back to one file
+    val perBucket = Compaction.filesPerBucket(spark, "graft_ivf_cpt_spec")
+    assert(perBucket.nonEmpty && perBucket.values.forall(_ == 1),
+      s"compaction left multi-file buckets: $perBucket")
+    // compacted index ≡ a fresh rebuild over the union
+    val (cells, loadedCents) = Ivf.loadIndex(spark, "graft_ivf_cpt_spec")
+    assert(cells.count() === emb.count())
+    val served = Ivf.probeTopKOnIndex(cells, loadedCents, queries, 2, 5)
+    val fresh = Ivf.probeTopK(emb, queries, cents, 2, 5)
+    assert(served.collect().map(_.toString).toSeq ===
+      fresh.collect().map(_.toString).toSeq)
+    // bucketed serving stays exchange-free after the swap: the index
+    // side of the probe join must plan no shuffle
+    val phys = Ivf.probeTopKOnIndex(cells, loadedCents, queries, 2, 5)
+      .queryExecution.executedPlan.toString
+    assert(!phys.contains("Exchange hashpartitioning(cell"),
+      s"compacted index side re-shuffles on cell:\n$phys")
+    // refreshed-centroid compaction: reassigning against a DIFFERENT
+    // quantizer (derived from the index itself) ≡ a fresh index built
+    // with that quantizer
+    val cents2 = spark.table("graft_ivf_cpt_spec")
+      .filter(col("vec_id") >= 8 && col("vec_id") < 16)
+      .select(col("vec_id"), col("embedding"))
+    Ivf.compactIndex(spark, "graft_ivf_cpt_spec", Some(cents2))
+    val (cells2, loadedCents2) = Ivf.loadIndex(spark, "graft_ivf_cpt_spec")
+    val cents2Fresh = emb.filter(col("vec_id") >= 8 && col("vec_id") < 16)
+    val served2 = Ivf.probeTopKOnIndex(cells2, loadedCents2, queries, 2, 5)
+    val fresh2 = Ivf.probeTopK(emb, queries, cents2Fresh, 2, 5)
+    assert(served2.collect().map(_.toString).toSeq ===
+      fresh2.collect().map(_.toString).toSeq)
+    assert(loadedCents2.count() === 8)
+    spark.sql("DROP TABLE IF EXISTS graft_ivf_cpt_spec")
+    spark.sql("DROP TABLE IF EXISTS graft_ivf_cpt_spec_centroids")
   }
 
   test("semanticDedup multi-probe: perfect precision, recall well above single-probe vs all-pairs") {
