@@ -213,7 +213,7 @@ object LangClassifier {
     * recall bounds are pinned in LangClassifierSpec.
     */
   def trainScoreQuery(docs: DataFrame, d: Int = 256,
-      sampleFrac: Double = 0.5,
+      sampleFrac: Double = 0.25,
       maxIter: Int = QualityClassifier.DriverRowMaxIter): DataFrame = {
     val planted = plantedCorpus(docs).persist(StorageLevel.MEMORY_AND_DISK)
     val model = train(planted, d, maxIter = maxIter, sampleFrac = sampleFrac)
