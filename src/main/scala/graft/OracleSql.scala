@@ -1594,6 +1594,45 @@ object OracleSql {
       |  CASE WHEN invalid THEN NULL ELSE TRUE END AS header_consistent
       |FROM p ORDER BY doc_id""".stripMargin
 
+  /** Mirror of `Png.synthFromDocs` ∘ `Png.parse`: every IHDR field is
+    * re-derived from the doc_id arithmetic the synthesizer used — the
+    * oracle never touches bytes, so a hash match proves the Spark
+    * parser recovered the fields from the actual BIG-endian layout,
+    * and `ihdr_crc_ok = TRUE` corpus-wide proves the synthesized
+    * CRC-32s round-trip through Spark's `crc32` check. DuckDB list
+    * literals are 1-indexed like the Spark `element_at` calls they
+    * mirror.
+    */
+  val mmPngMeta: String =
+    """WITH m AS (SELECT doc_id,
+      |  16 + (doc_id % 7) * 9 AS w,
+      |  9 + (doc_id % 5) * 7 AS h,
+      |  ([0, 2, 3, 4, 6])[(doc_id % 5) + 1] AS ct,
+      |  (doc_id // 3) % 2 AS il,
+      |  LEAST(octet_length(text::BLOB), 400) AS dlen,
+      |  doc_id % 10 = 0 AS invalid
+      |  FROM documents),
+      |p AS (SELECT *,
+      |  CASE WHEN ct IN (2, 4, 6) THEN (CASE WHEN doc_id % 2 = 0 THEN 8 ELSE 16 END)
+      |       WHEN ct = 3 THEN ([1, 2, 4, 8])[((doc_id // 5) % 4) + 1]
+      |       ELSE ([1, 2, 4, 8, 16])[((doc_id // 5) % 5) + 1] END AS depth,
+      |  CASE ct WHEN 0 THEN 1 WHEN 2 THEN 3 WHEN 3 THEN 1 WHEN 4 THEN 2 ELSE 4 END AS chans
+      |  FROM m)
+      |SELECT doc_id,
+      |  CASE WHEN invalid THEN 'text/plain' ELSE 'image/png' END AS media_type,
+      |  NOT invalid AS png_valid,
+      |  (CASE WHEN invalid THEN NULL ELSE w END)::BIGINT AS width,
+      |  (CASE WHEN invalid THEN NULL ELSE h END)::BIGINT AS height,
+      |  (CASE WHEN invalid THEN NULL ELSE depth END)::BIGINT AS bit_depth,
+      |  (CASE WHEN invalid THEN NULL ELSE ct END)::BIGINT AS color_type,
+      |  (CASE WHEN invalid THEN NULL ELSE chans END)::BIGINT AS channels,
+      |  (CASE WHEN invalid THEN NULL ELSE il END)::BIGINT AS interlace,
+      |  (CASE WHEN invalid THEN NULL ELSE w * h END)::BIGINT AS n_pixels,
+      |  (CASE WHEN invalid THEN NULL ELSE dlen END)::BIGINT AS idat_bytes,
+      |  CASE WHEN invalid THEN NULL ELSE TRUE END AS ihdr_crc_ok,
+      |  CASE WHEN invalid THEN NULL ELSE TRUE END AS header_consistent
+      |FROM p ORDER BY doc_id""".stripMargin
+
   val dedupEmbedding: String =
     s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
        |s AS (SELECT a.vec_id AS q_id, b.vec_id AS cand_id,

@@ -462,6 +462,19 @@ object SparkEntry {
           col("header_consistent"))
         .orderBy(col("doc_id"))
     }),
+    // the image-side twin: BE layout + real chunk CRCs (Spark crc32 ≡
+    // the zlib CRC PNG specifies); oracle re-derives every field from
+    // doc_id arithmetic — a hash match proves the parser read the
+    // actual big-endian bytes AND that the synthesized CRCs verify
+    "mm_png_meta" -> ((s, dir) => {
+      val media = graft.multimodal.Binary.Png.synthFromDocs(t(s, dir, "documents"))
+      graft.multimodal.Binary.Png.parse(media)
+        .select(col("doc_id"), col("media_type"), col("png_valid"), col("width"),
+          col("height"), col("bit_depth"), col("color_type"), col("channels"),
+          col("interlace"), col("n_pixels"), col("idat_bytes"),
+          col("ihdr_crc_ok"), col("header_consistent"))
+        .orderBy(col("doc_id"))
+    }),
     "lsh_config" -> ((s, dir) => {
       import s.implicits._
       val grid = for {
@@ -684,5 +697,6 @@ object SparkEntry {
     "stream_dedup" -> OracleSql.streamDedup,
     "mm_binary_meta" -> OracleSql.mmBinaryMeta,
     "mm_wav_meta" -> OracleSql.mmWavMeta,
+    "mm_png_meta" -> OracleSql.mmPngMeta,
   )
 }

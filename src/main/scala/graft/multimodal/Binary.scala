@@ -128,6 +128,133 @@ object Binary {
     }
   }
 
+  /** PNG container header codec, entirely in Catalyst expressions —
+    * the image-side proof that the [[Wav]] header-triage design
+    * generalizes across container families: PNG is fixed-layout like
+    * RIFF but BIG-endian with per-chunk CRCs, so the same
+    * `substring`+`hex`+`conv` idiom covers both byte orders, and
+    * Spark's built-in `crc32` (the zlib CRC PNG specifies) lets the
+    * parser VERIFY chunk integrity in codegen — no UDF, no shuffle,
+    * no codec. Layout parsed: 8-byte signature, IHDR (length 13,
+    * width/height/depth/color-type/compression/filter/interlace,
+    * CRC over type+data), then the first following chunk (IDAT in
+    * any sane file) and the trailing IEND. Reference treats payloads
+    * as opaque blobs (`io/parquet.py`); header triage is the
+    * beyond-reference multimodal piece.
+    */
+  object Png {
+    /** Big-endian unsigned int read: `n` bytes at 1-based offset
+      * `off` — one `hex` + one `conv`, no byte swap (network order).
+      */
+    def beUint(payload: Column, off: Int, n: Int): Column =
+      conv(hex(substring(payload, off, n)), 16, 10).cast("long")
+
+    private def magic(payload: Column, off: Int, s: String): Column =
+      substring(payload, off, s.length) === lit(s.getBytes("US-ASCII"))
+
+    private val Signature: Array[Byte] =
+      Array(0x89.toByte, 'P'.toByte, 'N'.toByte, 'G'.toByte, 0x0D, 0x0A, 0x1A, 0x0A)
+
+    /** Big-endian hex of an integral column, `n` bytes. */
+    private def beHex(v: Column, n: Int): Column = lpad(hex(v), n * 2, "0")
+    private def asciiHex(s: String): Column =
+      lit(s.getBytes("US-ASCII").map("%02X".format(_)).mkString)
+
+    /** Samples per pixel for each PNG color type (spec §11.2.2). */
+    private def channelsOf(ct: Column): Column =
+      when(ct === 0, 1L).when(ct === 2, 3L).when(ct === 3, 1L)
+        .when(ct === 4, 2L).when(ct === 6, 4L)
+
+    /** Legal (bit depth, color type) pairs per the PNG spec. */
+    private def depthLegal(depth: Column, ct: Column): Column =
+      (ct === 0 && depth.isin(1L, 2L, 4L, 8L, 16L)) ||
+        (ct === 3 && depth.isin(1L, 2L, 4L, 8L)) ||
+        (ct.isin(2L, 4L, 6L) && depth.isin(8L, 16L))
+
+    /** Parse signature + IHDR (+ the first data chunk) from
+      * `payloadCol`. Adds: `png_valid` (signature, IHDR length 13 and
+      * magic, positive dimensions), `width`/`height`/`bit_depth`/
+      * `color_type`/`interlace`/`channels`/`n_pixels` (null unless
+      * valid), `idat_bytes` (declared length of the first chunk after
+      * IHDR when it is an IDAT), `ihdr_crc_ok` (stored CRC equals
+      * `crc32` recomputed over type+data — real integrity, not
+      * structure), and `header_consistent` (compression and filter
+      * methods 0, interlace ≤ 1, depth legal for the color type, file
+      * length accounts for sig + IHDR + IDAT + IEND). A pure
+      * projection — zero shuffles at any scale.
+      */
+    def parse(media: DataFrame, payloadCol: String = "payload"): DataFrame = {
+      val p = col(payloadCol)
+      val valid = (length(p) >= 45) && (substring(p, 1, 8) === lit(Signature)) &&
+        (beUint(p, 9, 4) === 13) && magic(p, 13, "IHDR") &&
+        (beUint(p, 17, 4) > 0) && (beUint(p, 21, 4) > 0)
+      val depth = beUint(p, 25, 1)
+      val ct = beUint(p, 26, 1)
+      val idat = when(magic(p, 38, "IDAT"), beUint(p, 34, 4))
+      val consistent = (beUint(p, 27, 1) === 0) && (beUint(p, 28, 1) === 0) &&
+        (beUint(p, 29, 1) <= 1) && depthLegal(depth, ct) &&
+        (idat.isNotNull && length(p) === idat + 57)
+      media
+        .withColumn("png_valid", valid)
+        .withColumn("width", when(valid, beUint(p, 17, 4)))
+        .withColumn("height", when(valid, beUint(p, 21, 4)))
+        .withColumn("bit_depth", when(valid, depth))
+        .withColumn("color_type", when(valid, ct))
+        .withColumn("interlace", when(valid, beUint(p, 29, 1)))
+        .withColumn("channels", when(valid, channelsOf(ct)))
+        .withColumn("n_pixels", when(valid, beUint(p, 17, 4) * beUint(p, 21, 4)))
+        .withColumn("idat_bytes", when(valid, idat))
+        .withColumn("ihdr_crc_ok",
+          when(valid, beUint(p, 30, 4) === crc32(substring(p, 13, 17))))
+        .withColumn("header_consistent", when(valid, consistent))
+    }
+
+    /** Deterministic PNG corpus from the documents table: IHDR fields
+      * from `doc_id` arithmetic (all five color types, every legal
+      * depth for each), IDAT data = the first `maxDataBytes` bytes of
+      * the text, REAL `crc32` CRCs on every chunk. Every
+      * `invalidEvery`-th doc keeps raw text bytes to exercise the
+      * validity gate. Synthesis is the INVERSE code path of [[parse]]
+      * (BE encode vs BE read, CRC computed vs CRC checked), so
+      * parse ∘ synth recovering the formulas — and `ihdr_crc_ok` —
+      * proves real byte layout.
+      */
+    def synthFromDocs(docs: DataFrame, maxDataBytes: Int = 400,
+        invalidEvery: Int = 10): DataFrame = {
+      val d = col("doc_id")
+      val width = lit(16L) + (d % 7) * 9L
+      val height = lit(9L) + (d % 5) * 7L
+      val ct = element_at(
+        array(lit(0L), lit(2L), lit(3L), lit(4L), lit(6L)),
+        (d % 5 + 1).cast("int"))
+      val depth = when(ct.isin(2L, 4L, 6L),
+          when(d % 2 === 0, 8L).otherwise(16L))
+        .when(ct === 3, element_at(array(lit(1L), lit(2L), lit(4L), lit(8L)),
+          (expr("doc_id div 5") % 4 + 1).cast("int")))
+        .otherwise(element_at(array(lit(1L), lit(2L), lit(4L), lit(8L), lit(16L)),
+          (expr("doc_id div 5") % 5 + 1).cast("int")))
+      val interlace = expr("doc_id div 3") % 2
+      val ihdrTypeData = concat(
+        asciiHex("IHDR"), beHex(width, 4), beHex(height, 4),
+        beHex(depth, 1), beHex(ct, 1), beHex(lit(0L), 1), beHex(lit(0L), 1),
+        beHex(interlace, 1))
+      val dataHex = substring(hex(col("text").cast("binary")), 1, maxDataBytes * 2)
+      val dataLen = (length(dataHex) / 2).cast("long")
+      val idatTypeData = concat(asciiHex("IDAT"), dataHex)
+      val pngHex = concat(
+        lit(Signature.map("%02X".format(_)).mkString),
+        beHex(lit(13L), 4), ihdrTypeData, beHex(crc32(unhex(ihdrTypeData)), 4),
+        beHex(dataLen, 4), idatTypeData, beHex(crc32(unhex(idatTypeData)), 4),
+        beHex(lit(0L), 4), asciiHex("IEND"), beHex(crc32(unhex(asciiHex("IEND"))), 4))
+      docs.select(
+        d,
+        when(d % invalidEvery === 0, col("text").cast("binary"))
+          .otherwise(unhex(pngHex)).as("payload"),
+        when(d % invalidEvery === 0, lit("text/plain"))
+          .otherwise(lit("image/png")).as("media_type"))
+    }
+  }
+
   /** Deterministic frame sampling BEFORE decode: every media pipeline
     * selects "each step-th fixed-size window" of a payload by pure
     * byte arithmetic on (offset, size) — no codec involved — and only

@@ -404,6 +404,96 @@ class StreamingMultimodalSpec extends SparkSpec {
     assert(invalid === expectedInvalid)
   }
 
+  // independent synthesis path for the PNG parser: java.nio ByteBuffer
+  // big-endian writes + java.util.zip.CRC32 — shares NO code with
+  // Png.synthFromDocs's hex-string encoder or Spark's crc32
+  private def pngBytes(width: Int, height: Int, depth: Int, colorType: Int,
+      interlace: Int, data: Array[Byte]): Array[Byte] = {
+    import java.nio.ByteBuffer
+    def chunk(typ: String, payload: Array[Byte]): Array[Byte] = {
+      val td = typ.getBytes("US-ASCII") ++ payload
+      val crc = new java.util.zip.CRC32(); crc.update(td)
+      ByteBuffer.allocate(12 + payload.length)
+        .putInt(payload.length).put(td).putInt(crc.getValue.toInt).array()
+    }
+    val ihdr = ByteBuffer.allocate(13).putInt(width).putInt(height)
+      .put(depth.toByte).put(colorType.toByte)
+      .put(0.toByte).put(0.toByte).put(interlace.toByte).array()
+    Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0D, 0x0A, 0x1A, 0x0A) ++
+      chunk("IHDR", ihdr) ++ chunk("IDAT", data) ++ chunk("IEND", Array.emptyByteArray)
+  }
+
+  test("Png.parse recovers exact fields and verifies CRCs from ByteBuffer-built files") {
+    val cases = Seq(
+      (1L, 640, 480, 8, 2, 0, Array.fill[Byte](100)(7)),   // truecolor
+      (2L, 1, 1, 1, 0, 0, Array.emptyByteArray),           // 1-bit gray, minimal
+      (3L, 4096, 2160, 16, 6, 1, Array.fill[Byte](999)(-1)), // RGBA16, interlaced
+      (4L, 13, 7, 4, 3, 0, Array.tabulate[Byte](55)(_.toByte))) // palette
+    val badCrc = {
+      val b = pngBytes(10, 10, 8, 0, 0, Array.fill[Byte](5)(1))
+      b(30) = (b(30) ^ 0x55).toByte; b // flip bits inside the stored IHDR CRC
+    }
+    val illegalDepth = pngBytes(10, 10, 4, 2, 0, Array.fill[Byte](5)(1)) // depth 4 illegal for truecolor
+    val corrupt = Seq(
+      (90L, "not a png at all padded to enough bytes to pass length".getBytes("UTF-8")),
+      (91L, pngBytes(10, 10, 8, 0, 0, Array.fill[Byte](50)(1)).take(30))) // truncated
+    val media = (cases.map { case (id, w, h, d, ct, il, data) =>
+      (id, pngBytes(w, h, d, ct, il, data)) } ++ corrupt ++
+      Seq((92L, badCrc), (93L, illegalDepth))).toDF("doc_id", "payload")
+    val got = Binary.Png.parse(media).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    val chans = Map(0 -> 1L, 2 -> 3L, 3 -> 1L, 4 -> 2L, 6 -> 4L)
+    cases.foreach { case (id, w, h, d, ct, il, data) =>
+      val r = got(id)
+      assert(r.getAs[Boolean]("png_valid"), s"doc $id should parse as PNG")
+      assert(r.getAs[Long]("width") === w.toLong)
+      assert(r.getAs[Long]("height") === h.toLong)
+      assert(r.getAs[Long]("bit_depth") === d.toLong)
+      assert(r.getAs[Long]("color_type") === ct.toLong)
+      assert(r.getAs[Long]("interlace") === il.toLong)
+      assert(r.getAs[Long]("channels") === chans(ct))
+      assert(r.getAs[Long]("n_pixels") === w.toLong * h)
+      assert(r.getAs[Long]("idat_bytes") === data.length.toLong)
+      assert(r.getAs[Boolean]("ihdr_crc_ok"), s"doc $id CRC must verify")
+      assert(r.getAs[Boolean]("header_consistent"))
+    }
+    corrupt.foreach { case (id, _) =>
+      val r = got(id)
+      assert(!r.getAs[Boolean]("png_valid"), s"doc $id must be rejected")
+      assert(r.isNullAt(r.fieldIndex("width")) && r.isNullAt(r.fieldIndex("n_pixels")))
+    }
+    // structurally valid but integrity-broken: parsed, CRC flagged
+    assert(got(92L).getAs[Boolean]("png_valid"))
+    assert(!got(92L).getAs[Boolean]("ihdr_crc_ok"))
+    // structurally valid but spec-illegal depth/color combination
+    assert(got(93L).getAs[Boolean]("png_valid"))
+    assert(!got(93L).getAs[Boolean]("header_consistent"))
+    assert(got(93L).getAs[Boolean]("ihdr_crc_ok"))
+  }
+
+  test("Png synth∘parse is map-only, CRC-verified and header_consistent corpus-wide") {
+    val docs = Tables.load(spark, sfDir, "documents")
+    val parsed = Binary.Png.parse(Binary.Png.synthFromDocs(docs))
+    val phys = parsed.queryExecution.executedPlan.toString
+    assert(!phys.contains("Exchange"), s"Png parse shuffles:\n$phys")
+    assert(!phys.contains("BatchEvalPython") && !phys.contains("UDF"),
+      s"Png parse leaves codegen:\n$phys")
+    val agg = parsed.agg(
+      count(lit(1)).as("n"),
+      sum(when(col("png_valid"), 1L).otherwise(0L)).as("n_valid"),
+      sum(when(col("header_consistent"), 1L).otherwise(0L)).as("n_consistent"),
+      sum(when(col("ihdr_crc_ok"), 1L).otherwise(0L)).as("n_crc_ok"),
+      sum(when(col("png_valid") && !col("header_consistent"), 1L).otherwise(0L)).as("bad")
+    ).collect()(0)
+    val n = agg.getAs[Long]("n")
+    assert(n > 0 && agg.getAs[Long]("bad") === 0L)
+    assert(agg.getAs[Long]("n_valid") === agg.getAs[Long]("n_consistent"))
+    // Spark's crc32 ≡ the PNG CRC on every synthesized chunk
+    assert(agg.getAs[Long]("n_crc_ok") === agg.getAs[Long]("n_valid"))
+    val invalid = n - agg.getAs[Long]("n_valid")
+    assert(invalid === docs.filter(col("doc_id") % 10 === 0).count())
+  }
+
   test("frameSample: exact byte-range slices with provenance; map-only plan") {
     // 10-byte payload, 4-byte frames, step 2 → frames {0, 2}; the last
     // frame truncates to the remaining 2 bytes
