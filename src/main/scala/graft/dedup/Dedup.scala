@@ -75,23 +75,26 @@ object Dedup {
   /** Exact dedup on the normalized token stream: fingerprint, group
     * size, and a keep flag on the minimum doc_id of each group.
     *
-    * Why a window and not groupBy(fingerprint)+join-back: both shapes
-    * shuffle the (doc_id, fingerprint) projection once on fingerprint;
-    * the window then sorts those 2-column rows in place, while the
-    * join-back pays a second full exchange of the doc rows plus the
-    * join. Measured at sf0.1/local[8] (warm, min of 3): window 0.45 s
-    * vs group+join 0.63 s — the sort of a 16-byte projection is cheaper
-    * than an extra exchange, and nothing about that ratio flips at
-    * scale (both sides grow linearly; the window needs no broadcast).
+    * Shape history: a fingerprint-keyed window measured faster than
+    * groupBy+join-back at sf0.1 (0.45 vs 0.63 s — one exchange + an
+    * in-place sort of a 16-byte projection). That comparison averages
+    * over BENIGN group sizes; the adversarial case (round-8 verdict
+    * #3) is a single 10⁶-copy boilerplate group — exactly what exact
+    * dedup exists to find — which a window buffers wholesale on one
+    * task. The groupBy argmin partial-aggregates map-side (any group
+    * collapses to one row per partition before the exchange), so the
+    * ~40% test-SF premium buys immunity to the case that matters at
+    * 100 TB. [[keepBest]] / [[nearDupKeepBest]] share the idiom.
     */
   def exact(docs: DataFrame): DataFrame = {
     val t = withToks(docs)
       .withColumn("fingerprint", hex64(array_join(col("toks"), " ")))
-    val w = Window.partitionBy(col("fingerprint"))
-    t.select(
-      col("doc_id"), col("fingerprint"),
-      count(lit(1)).over(w).as("group_size"),
-      (col("doc_id") === min(col("doc_id")).over(w)).as("keep"))
+      .select(col("doc_id"), col("fingerprint"))
+    val g = t.groupBy(col("fingerprint")).agg(
+      count(lit(1)).as("group_size"), min(col("doc_id")).as("keeper_id"))
+    t.join(g, Seq("fingerprint"))
+      .select(col("doc_id"), col("fingerprint"), col("group_size"),
+        (col("doc_id") === col("keeper_id")).as("keep"))
       .orderBy(col("doc_id"))
   }
 

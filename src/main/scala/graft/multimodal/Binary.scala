@@ -292,25 +292,32 @@ object Binary {
     * aggregation.
     */
   def simFingerprint(docs: DataFrame, frameBytes: Int = 100, step: Int = 4): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val frames = frameSample(docs, frameBytes, step)
       .withColumn("h", GraftFunctions.hex64(concat(lit("mm|"), col("frame_hex"))))
     // the vote/combine stages are Dedup's — one definition per convention
     val bits = frames.groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_frames_sampled"), graft.dedup.Dedup.simhashVoteAggs: _*)
-    // keep-ledger via count/min over a fingerprint partition — the same
-    // shape Dedup.exact MEASURED window 0.45 s vs groupBy+join 0.63 s at
-    // sf0.1 and kept: the window runs at DOC grain (one 8-byte
-    // fingerprint row per doc, after the frame explode has already been
-    // reduced by the vote aggregation), and its partition sort is over
-    // near-unique fingerprints — tiny groups, no skew, strictly less
-    // data than the group+join's second shuffle of the same rows
-    val w = Window.partitionBy(col("sim_fingerprint"))
-    bits.select(col("doc_id"), col("n_frames_sampled"),
+    // keep-ledger as a groupBy argmin + join-back, NOT a
+    // fingerprint-keyed window (the Dedup.exact idiom, round-8 verdict
+    // #3): fingerprints are near-unique on real media, but the
+    // adversarial case — one payload uploaded 10⁶ times — collapses to
+    // ONE fingerprint group, which a window would buffer on one task.
+    // The keeper argmin is min(struct(doc_id, n_frames_sampled)) —
+    // doc_id is unique so the struct changes nothing semantically, but
+    // it keeps n_frames_sampled ALIVE in the stats branch: both
+    // references to `fps` then canonicalize to the same doc-grain
+    // aggregate and the heavy frame-explode + vote prefix is shared
+    // through exchange reuse (spec-asserted) instead of recomputed.
+    val fps = bits.select(col("doc_id"), col("n_frames_sampled"),
       graft.dedup.Dedup.simhashCombineCol.as("sim_fingerprint"))
+    val g = fps.groupBy(col("sim_fingerprint")).agg(
+      count(lit(1)).as("group_size"),
+      min(struct(col("doc_id"), col("n_frames_sampled"))).as("k"))
+      .select(col("sim_fingerprint"), col("group_size"),
+        col("k").getField("doc_id").as("keeper_id"))
+    fps.join(g, Seq("sim_fingerprint"))
       .select(col("doc_id"), col("n_frames_sampled"), col("sim_fingerprint"),
-        count(lit(1)).over(w).as("group_size"),
-        (col("doc_id") === min(col("doc_id")).over(w)).as("keep"))
+        col("group_size"), (col("doc_id") === col("keeper_id")).as("keep"))
       .orderBy(col("doc_id"))
   }
 

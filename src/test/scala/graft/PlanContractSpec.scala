@@ -309,6 +309,27 @@ class PlanContractSpec extends SparkSpec {
       s"cluster argmax has no map-side partial aggregation:\n$phys")
   }
 
+  test("dedup_exact: keep ledger is window-free with map-side partial min") {
+    val phys = physical(q("dedup_exact"))
+    assert(!phys.contains("Window"),
+      s"dedup_exact routes the keeper through a window:\n$phys")
+    assert(phys.contains("partial_min"),
+      s"keeper argmin has no map-side partial aggregation:\n$phys")
+  }
+
+  test("mm_sim_fingerprint: window-free keep ledger; vote prefix shared via exchange reuse") {
+    val df = q("mm_sim_fingerprint")
+    val phys = physical(df)
+    assert(!phys.contains("Window"),
+      s"sim fingerprint keep ledger routes through a window:\n$phys")
+    // the two branches over the vote aggregation must share the heavy
+    // frame-explode prefix, not recompute it
+    df.collect()
+    assert(physical(df).contains("ReusedExchange") ||
+        physical(df).contains("TableCacheQueryStage"),
+      s"vote-aggregation prefix recomputed per branch:\n${physical(df)}")
+  }
+
   test("events_top_paths: top-k is a distributed TakeOrdered, not a global sort") {
     // the path vocabulary must never be sorted on one partition — the
     // same contract text_top_ngrams pins (SURVEY §2 D)
