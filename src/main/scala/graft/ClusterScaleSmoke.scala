@@ -40,7 +40,15 @@ object ClusterScaleSmoke {
         (expr("i div 9") * 10 + col("i") % 9 + 1 + starBase).as("b"))
     val smalls = spark.range(nSmall).toDF("i")
       .select((col("i") * 2 + smallBase).as("a"), (col("i") * 2 + smallBase + 1).as("b"))
-    val pairs = chain.unionByName(stars).unionByName(smalls)
+    // one GIANT hub: a single component with nHub members attached
+    // directly to its minimum — the contraction's own fixed-point
+    // shape, and the skew case the starMin aggregate (vs the former
+    // u-keyed window) must absorb without a one-task straggler
+    val nHub = nSmall
+    val hubBase = smallBase + nSmall * 2L + 10L
+    val hub = spark.range(nHub).toDF("i")
+      .select(lit(hubBase).as("a"), (col("i") + hubBase + 1).as("b"))
+    val pairs = chain.unionByName(stars).unionByName(smalls).unionByName(hub)
       .repartition(64).cache()
     val nEdges = pairs.count() // materialize generation outside the timing
 
@@ -54,18 +62,23 @@ object ClusterScaleSmoke {
     // correctness probe on the adversarial component: the whole chain
     // must collapse to min = chainBase despite its huge diameter
     val chainOk = labels.filter(col("u") <= chainLen && col("v") =!= chainBase).count() == 0
+    // every giant-hub member must label to the hub minimum
+    val hubOk = labels.filter(col("u") > hubBase && col("v") =!= hubBase)
+      .count() == 0 &&
+      labels.filter(col("u") > hubBase).count() == nHub.toLong
     val nComponents = labels.select(col("v")).distinct().count()
-    val expected = 1L + nStar + nSmall
+    val expected = 2L + nStar + nSmall
     println(
       s"""{"edges":$nEdges,"labeled_nodes":$nLabeled,"components":$nComponents,""" +
         s""""expected_components":$expected,"cc_rounds":$rounds,""" +
         s""""round_edges":${roundStats.mkString("[", ",", "]")},""" +
-        f""""chain_len":$chainLen,"chain_collapsed":$chainOk,"cc_sec":$secs%.2f}""")
+        f""""chain_len":$chainLen,"chain_collapsed":$chainOk,""" +
+        f""""hub_members":$nHub,"hub_collapsed":$hubOk,"cc_sec":$secs%.2f}""")
     spark.stop()
     // star contraction is O(log²) rounds — a chain of diameter d must
     // converge in ~log₂(d) rounds (measured: 15 at d=10⁴), nowhere
     // near the d rounds min-label propagation needs
     val roundBound = (math.log(chainLen.toDouble + 2) / math.log(2)).ceil.toInt + 6
-    if (!chainOk || nComponents != expected || rounds > roundBound) sys.exit(1)
+    if (!chainOk || !hubOk || nComponents != expected || rounds > roundBound) sys.exit(1)
   }
 }

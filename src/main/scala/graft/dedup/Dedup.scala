@@ -343,8 +343,20 @@ object Dedup {
     def canon(df: DataFrame): DataFrame = df
       .select(greatest(col("u"), col("v")).as("u"), least(col("u"), col("v")).as("v"))
       .filter(col("u") =!= col("v")).distinct()
-    def starMin(nbrs: DataFrame): DataFrame =
-      nbrs.withColumn("m", least(col("u"), min(col("v")).over(Window.partitionBy(col("u")))))
+    // per-u neighbor min as a map-side-combined aggregate + join-back,
+    // NOT a u-keyed window: star contraction's own fixed point turns
+    // every component into a star around its min label, so the hub's
+    // partition IS the whole component — a window would buffer it on
+    // one task every round, with the skew GROWING as contraction
+    // succeeds (the round-8 verdict #3 idiom applied where the giant
+    // group is guaranteed, not adversarial). The double reference to
+    // `nbrs` is cheap: it derives from the round's localCheckpoint and
+    // identical branches share exchanges via reuse.
+    def starMin(nbrs: DataFrame): DataFrame = {
+      val mins = nbrs.groupBy(col("u")).agg(min(col("v")).as("__mv"))
+      nbrs.join(mins, Seq("u"))
+        .withColumn("m", least(col("u"), col("__mv"))).drop("__mv")
+    }
 
     val stats = scala.collection.mutable.ArrayBuffer.empty[Long]
     var (edges, sig) = checkpointWithSig(
