@@ -138,6 +138,24 @@ object CorpusScaleSmoke {
     assert(gAgg.getLong(0) == gN && gAgg.getLong(1) == 1L &&
       gAgg.getLong(2) == 1L && gAgg.getLong(3) == 0L,
       s"giant-group keepBest arithmetic: $gAgg")
+
+    // ---- rung 3c: sequence packing of ONE mega-source ----
+    // all 2n docs in a single source — the case the former per-source
+    // window serialized on one task; the distributed prefix sum must
+    // pack it in parallel. Invariant: the last doc's bin_id follows
+    // the corpus-total prefix exactly.
+    val (packStats, tPack) = time {
+      val packed = graft.ops.Packing.packSequences(
+        giant.withColumn("source", lit("s0")), budget = 256L)
+      val a = packed.agg(count(lit(1)).as("rows"), sum(col("n_tokens")).as("tot")).head()
+      val last = packed.orderBy(col("doc_id").desc).limit(1).head()
+      (a.getLong(0), a.getLong(1), last.getAs[Long]("n_tokens"),
+        last.getAs[Long]("bin_id"), last.getAs[Long]("bin_offset"))
+    }
+    val (pRows, pTot, pLastN, pLastBin, pLastOff) = packStats
+    assert(pRows == gN, s"mega-source pack row count: $pRows != $gN")
+    assert(pLastBin == (pTot - pLastN) / 256L && pLastOff == (pTot - pLastN) % 256L,
+      s"mega-source pack prefix arithmetic: $packStats")
     giant.unpersist(false)
 
     // ---- rung 4: epoch mix — realized counts vs the formula ----
@@ -194,7 +212,7 @@ object CorpusScaleSmoke {
       f""""stratified_topk_sec":$tTopk%.1f,"stratified_window_sec":$tWindow%.1f,""" +
       f""""hot_stratum_topk_sec":$tHotTopk%.1f,"hot_stratum_window_sec":$tHotWindow%.1f,""" +
       f""""keep_best_sec":$tKb%.1f,"giant_group_sec":$tGiant%.1f,""" +
-      f""""epoch_mix_sec":$tMix%.1f}""")
+      f""""mega_source_pack_sec":$tPack%.1f,"epoch_mix_sec":$tMix%.1f}""")
     spark.stop()
   }
 }

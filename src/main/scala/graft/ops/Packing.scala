@@ -30,26 +30,67 @@ object Packing {
   /** One row per document: (doc_id, source, n_tokens, bin_id,
     * bin_offset), bins numbered per source in doc_id order.
     *
-    * Shape: one token-count projection (map-side), then ONE shuffle —
-    * the per-source ordered window for the running total. At 100 TB
-    * the window partitions by source (coarse); for a skewed mega-source
-    * pre-split the key (e.g. source × doc_id range) and renumber bins
-    * by adding per-range bin-count prefix sums — same offsets, two
-    * cheap passes.
+    * Shape (r9): a DISTRIBUTED PREFIX SUM, not a per-source ordered
+    * window. The former `Window.partitionBy(source).orderBy(doc_id)`
+    * coalesced each source onto ONE task — a mega-source (the normal
+    * case: one crawl dominates a training mix) serialized the whole
+    * pack on a single straggler. Now:
+    *
+    *   1. range-exchange on (source, doc_id) — a PARALLEL global sort
+    *      whose sampling splits a mega-source across many partitions
+    *      (explicit partition count so AQE cannot re-coalesce the two
+    *      consumers onto different pid maps);
+    *   2. per-(partition, source) token totals — a few rows per
+    *      partition, map-side;
+    *   3. per-source running offsets over PARTITION IDS — a
+    *      #partitions × #sources-row window (driver-scale);
+    *   4. within-partition running sums (every window group bounded by
+    *      the range partition size, independent of source skew) + the
+    *      broadcast offsets.
+    *
+    * `cum_before` is a pure function of the global (source, doc_id)
+    * order, so the output is identical to the single-window form — and
+    * to the oracle — under ANY partition boundaries.
+    *
+    * The ranged frame is MATERIALIZED before fan-out: range boundaries
+    * are sampled per exchange execution (seeded by RDD id), so `__pid`
+    * is only meaningful within one execution — two independent
+    * computations of the same subtree can disagree on the pid map and
+    * silently mis-join the offsets (caught by the 1M-doc smoke rung,
+    * not by small specs: tiny inputs land identical boundaries by
+    * luck). The cached result is the single source both consumers
+    * read; the returned frame is the cache scope
+    * ([[graft.ops.Caching.materialized]] — CacheLifecycleSpec
+    * contract), with the usual eviction caveat: on a fault-prone
+    * cluster replace the cache with a reliable checkpoint.
     */
   def packSequences(docs: DataFrame, budget: Long = DefaultBudget): DataFrame = {
     require(budget > 0, s"budget must be positive, got $budget")
-    val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
-    docs
+    val nPart = docs.sparkSession.sessionState.conf.numShufflePartitions
+    val ranged = docs
       .select(col("doc_id"), col("source"),
         size(GraftFunctions.tokens(col("text"))).cast("long").as("n_tokens"))
-      .withColumn("cum_before",
-        coalesce(
-          sum(col("n_tokens")).over(w.rowsBetween(Window.unboundedPreceding, -1)),
-          lit(0L)))
+      .repartitionByRange(nPart, col("source"), col("doc_id"))
+      .withColumn("__pid", spark_partition_id())
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // per-source mass of every EARLIER range partition: tiny frame,
+    // its window runs over partition ids, never document rows
+    val wOff = Window.partitionBy(col("source")).orderBy(col("__pid"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = ranged.groupBy(col("__pid"), col("source"))
+      .agg(sum(col("n_tokens")).as("__psum"))
+      .withColumn("__offset", coalesce(sum(col("__psum")).over(wOff), lit(0L)))
+      .select(col("__pid"), col("source"), col("__offset"))
+    val wIn = Window.partitionBy(col("__pid"), col("source")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val out = ranged
+      .withColumn("__cum_in", coalesce(sum(col("n_tokens")).over(wIn), lit(0L)))
+      .join(broadcast(offsets), Seq("__pid", "source"))
+      .withColumn("cum_before", col("__cum_in") + col("__offset"))
       .select(col("doc_id"), col("source"), col("n_tokens"),
         expr(s"cum_before div $budget").as("bin_id"),
         (col("cum_before") % budget).as("bin_offset"))
       .orderBy(col("source"), col("doc_id"))
+    Caching.materialized(out) { ranged.unpersist(false) }
   }
 }

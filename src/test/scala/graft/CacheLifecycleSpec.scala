@@ -56,6 +56,10 @@ class CacheLifecycleSpec extends SparkSpec {
     assertScoped(graft.ops.Pipeline.cleanCorpus(docs))
   }
 
+  test("packSequences releases the ranged prefix-sum cache; result is the scope") {
+    assertScoped(graft.ops.Packing.packSequences(docs))
+  }
+
   test("dupSpans/removeDupSpans release the gram-stream cache; result is the scope") {
     assertScoped(Dedup.dupSpans(docs))
     assertScoped(Dedup.removeDupSpans(docs))

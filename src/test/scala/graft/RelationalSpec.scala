@@ -188,6 +188,12 @@ class RelationalSpec extends SparkSpec {
     assert(res(2L) === (200L, 0L, 100L)) // straddles into bin 1; assigned by start
     assert(res(3L) === (30L, 1L, 44L))   // (300 div 256, 300 mod 256)
     assert(res(4L) === (10L, 0L, 0L))    // sources pack independently
+    // the distributed prefix sum is a pure function of the global
+    // (source, doc_id) order — identical under any input partitioning
+    val re = graft.ops.Packing.packSequences(docs.repartition(7), budget = 256L)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_tokens"), r.getAs[Long]("bin_id"), r.getAs[Long]("bin_offset"))).toMap
+    assert(re === res)
   }
 
   test("streaks: gaps-and-islands on planted activity days") {
