@@ -1711,4 +1711,93 @@ object OracleSql {
        |SELECT doc_id, fingerprint, quality_score, group_size, keeper_id,
        |  doc_id = keeper_id AS keep
        |FROM w ORDER BY doc_id""".stripMargin
+
+  /** DSIR importance resampling (mirror of Dsir.importanceResample,
+    * target = lang 'en', k = 100, B = 2048, M = 2^50): integer hashed
+    * unigram+bigram occurrence counts, add-one-smoothed bucket
+    * probability ratios through [[detLn]], fixed-point longs from
+    * there on (order-free sums), Gumbel noise from the doc-id hash
+    * through two nested [[detLn]] stages — every column either integer
+    * or a [[detLn]]-defined double, so the comparison is hash-exact.
+    */
+  val sampleDsir: String = {
+    val b = graft.text.Dsir.NumBuckets
+    val m = graft.text.Dsir.GumbelMod
+    val llrBase =
+      s"""SELECT bucket, (tc + 1)::DOUBLE / (ttot::DOUBLE + ${b}e0) AS pt,
+         |  (rc + 1)::DOUBLE / (rtot::DOUBLE + ${b}e0) AS pr
+         |FROM cnt, tot""".stripMargin
+    val llrChain = detLn(detLn(llrBase, "bucket, pr", "pt", "lt", "dsa"),
+      "bucket, lt", "pr", "lr", "dsb")
+    val gumBase = detLn("SELECT doc_id, u FROM g0", "doc_id", "u", "l1", "dsg1")
+    val gumChain = detLn(
+      s"SELECT doc_id, -l1 AS nl1 FROM ($gumBase) gq1",
+      "doc_id", "nl1", "l2", "dsg2")
+    s"""WITH t AS (SELECT doc_id, lang, $Toks AS toks FROM documents),
+       |f AS (SELECT doc_id, is_t, ${hex64("'dsir|'||g")} % $b AS bucket
+       |  FROM (SELECT doc_id, (lang = 'en') AS is_t,
+       |    unnest(toks ||
+       |      [array_to_string(toks[i:i+1], ' ') for i in range(1, len(toks))]) AS g
+       |  FROM t) gf),
+       |cnt AS (SELECT bucket, count(*)::BIGINT AS rc,
+       |  sum(CASE WHEN is_t THEN 1 ELSE 0 END)::BIGINT AS tc
+       |  FROM f GROUP BY bucket),
+       |tot AS (SELECT sum(rc)::BIGINT AS rtot, sum(tc)::BIGINT AS ttot FROM cnt),
+       |llr AS (SELECT bucket,
+       |  CAST(floor((lt - lr) * 1.0e6 + 0.5e0) AS BIGINT) AS llr_fp
+       |  FROM ($llrChain) lq),
+       |w AS (SELECT doc_id, sum(llr_fp)::BIGINT AS weight_fp,
+       |  count(*)::BIGINT AS n_feat
+       |  FROM f JOIN llr USING (bucket) GROUP BY doc_id),
+       |g0 AS (SELECT doc_id,
+       |  ((${hex64("'dsir_g|'||CAST(doc_id AS VARCHAR)")} % $m) + 1)::DOUBLE
+       |    / ${m + 1}e0 AS u
+       |  FROM documents),
+       |gum AS (SELECT doc_id,
+       |  CAST(floor(-l2 * 1.0e6 + 0.5e0) AS BIGINT) AS gum_fp
+       |  FROM ($gumChain) gq2),
+       |s AS (SELECT d.doc_id, d.source, d.lang,
+       |  coalesce(w.n_feat, 0)::BIGINT AS n_feat,
+       |  coalesce(w.weight_fp, 0)::BIGINT AS weight_fp,
+       |  (coalesce(w.weight_fp, 0) + g.gum_fp)::BIGINT AS score_fp
+       |  FROM documents d LEFT JOIN w ON d.doc_id = w.doc_id
+       |  JOIN gum g ON d.doc_id = g.doc_id),
+       |r AS (SELECT *, row_number() OVER (ORDER BY score_fp DESC, doc_id) AS rn
+       |  FROM s)
+       |SELECT doc_id, source, lang, n_feat, weight_fp, score_fp,
+       |  CAST(CASE WHEN rn <= 100 THEN rn END AS BIGINT) AS sel_rank,
+       |  rn <= 100 AS selected
+       |FROM r ORDER BY doc_id""".stripMargin
+  }
+
+  /** Prototype pruning (mirror of Prune.prototypePrune, centroids =
+    * vec_id < 8, k = 32): per-vector argmax cell + similarity to the
+    * OWN centroid, per-cell prototype rank by (sim desc, vec_id) —
+    * the same (score, id) order TopKByScore maintains. The cosine is
+    * spelled `dot/(sqrt(na)·sqrt(nb))` — the CosineSimilarity
+    * expression's exact association — because DuckDB's
+    * list_cosine_similarity normalizes as dot/sqrt(na·nb), which
+    * differs in the last ulp exactly on self-similarity (centroids
+    * land in their own cells here, unlike the ann_* queries, which
+    * exclude self-matches).
+    */
+  val embPrototypePrune: String =
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |cent AS (SELECT vec_id AS c_id, v AS cv FROM e WHERE vec_id < 8),
+       |asg AS (SELECT vec_id, c_id AS cell, sim AS cent_sim FROM (
+       |  SELECT e.vec_id, c.c_id,
+       |    list_dot_product(e.v, c.cv) / (sqrt(list_dot_product(e.v, e.v))
+       |      * sqrt(list_dot_product(c.cv, c.cv))) AS sim,
+       |    row_number() OVER (PARTITION BY e.vec_id
+       |      ORDER BY list_dot_product(e.v, c.cv) / (sqrt(list_dot_product(e.v, e.v))
+       |        * sqrt(list_dot_product(c.cv, c.cv))) DESC, c.c_id) AS rn
+       |  FROM e, cent c) aq WHERE rn = 1),
+       |r AS (SELECT vec_id, cell, cent_sim,
+       |  CAST(row_number() OVER (PARTITION BY cell
+       |    ORDER BY cent_sim DESC, vec_id) AS BIGINT) AS rk
+       |  FROM asg)
+       |SELECT vec_id, cell, cent_sim,
+       |  CAST(CASE WHEN rk <= 32 THEN rk END AS BIGINT) AS prune_rank,
+       |  rk <= 32 AS pruned
+       |FROM r ORDER BY vec_id""".stripMargin
 }

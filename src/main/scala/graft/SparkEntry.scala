@@ -159,6 +159,10 @@ object SparkEntry {
       graft.ops.Sampling.epochMix(t(s, dir, "documents"), col("doc_id"))
         .select(col("doc_id"), col("source"), col("epoch"))
         .orderBy(col("doc_id"), col("epoch"))),
+    // DSIR importance resampling: target = the English slice; k=100
+    // winners by Gumbel-top-k over the hashed-ngram log-importance
+    "sample_dsir" -> ((s, dir) =>
+      graft.text.Dsir.importanceResample(t(s, dir, "documents"))),
     "seq_pack" -> ((s, dir) => graft.ops.Packing.packSequences(t(s, dir, "documents"))),
     "corpus_shuffle" -> ((s, dir) =>
       graft.ops.Sampling.shuffleShards(t(s, dir, "documents"), col("doc_id"))
@@ -264,6 +268,13 @@ object SparkEntry {
     "ann_ivf" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
       Ivf.probeTopK(e, e.filter(col("vec_id") < 10), e.filter(col("vec_id") < 8), 2, 5)
+    }),
+    // prototype pruning (SSL prototypes / D4 stage 2): per-cell
+    // most-prototypical k flagged for removal; k=32 keeps the winner
+    // set non-trivial at every test SF
+    "emb_prototype_prune" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      graft.ann.Prune.prototypePrune(e, e.filter(col("vec_id") < 8), k = 32)
     }),
     // IVF index at rest: cells+embeddings bucketed by cell, reloaded and
     // served with no corpus fetch at serving time; same oracle as ann_ivf
@@ -642,6 +653,7 @@ object SparkEntry {
     "sample_temperature" -> OracleSql.sampleTemperature,
     "sample_stratified" -> OracleSql.sampleStratified,
     "sample_epoch_mix" -> OracleSql.sampleEpochMix,
+    "sample_dsir" -> OracleSql.sampleDsir,
     "corpus_cms_counts" -> OracleSql.corpusCmsCounts,
     "seq_pack" -> OracleSql.seqPack,
     "corpus_shuffle" -> OracleSql.corpusShuffle,
@@ -680,6 +692,7 @@ object SparkEntry {
     "emb_label_centroids" -> OracleSql.embLabelCentroids,
     "semantic_dedup" -> OracleSql.semanticDedup,
     "ann_ivf" -> OracleSql.annIvf,
+    "emb_prototype_prune" -> OracleSql.embPrototypePrune,
     "ann_ivf_persisted" -> OracleSql.annIvf,
     "ann_ivf_filtered" -> OracleSql.annIvfFiltered,
     "vec_norm" -> OracleSql.vecNorm,
