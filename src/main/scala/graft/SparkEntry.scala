@@ -163,6 +163,12 @@ object SparkEntry {
     // winners by Gumbel-top-k over the hashed-ngram log-importance
     "sample_dsir" -> ((s, dir) =>
       graft.text.Dsir.importanceResample(t(s, dir, "documents"))),
+    // llr model at rest: fit → saveLlr (params in TBLPROPERTIES) →
+    // loadLlr → resample from the LOADED table; ≡ sample_dsir, so it
+    // shares the oracle
+    "sample_dsir_persisted" -> ((s, dir) =>
+      graft.text.Dsir.fitSaveResampleQuery(t(s, dir, "documents"),
+        "graft_dsir_llr_rt", path = Some(s"${tempDir("dsir_llr")}/tbl"))),
     "seq_pack" -> ((s, dir) => graft.ops.Packing.packSequences(t(s, dir, "documents"))),
     "corpus_shuffle" -> ((s, dir) =>
       graft.ops.Sampling.shuffleShards(t(s, dir, "documents"), col("doc_id"))
@@ -654,6 +660,7 @@ object SparkEntry {
     "sample_stratified" -> OracleSql.sampleStratified,
     "sample_epoch_mix" -> OracleSql.sampleEpochMix,
     "sample_dsir" -> OracleSql.sampleDsir,
+    "sample_dsir_persisted" -> OracleSql.sampleDsir,
     "corpus_cms_counts" -> OracleSql.corpusCmsCounts,
     "seq_pack" -> OracleSql.seqPack,
     "corpus_shuffle" -> OracleSql.corpusShuffle,

@@ -156,6 +156,25 @@ object Streams {
     }
   }
 
+  /** [[scoreQualityStream]] for the DSIR llr model
+    * ([[graft.text.Dsir]]): per-batch (doc_id, weight_fp, n_feat)
+    * log-importance against a [[graft.text.Dsir.saveLlr]]ed table —
+    * the streaming face of fit-once/score-many data selection (the
+    * global Gumbel-top-k resample stays a batch op by nature; online
+    * selection thresholds on the weight instead). The llr table is
+    * loaded ONCE driver-side (≤ 2^11 rows) and each micro-batch runs
+    * the batch scoring plan (broadcast join + map-side long sums).
+    */
+  def scoreDsirStream(docs: DataFrame, llrTable: String)
+      (sink: (DataFrame, Long) => Unit)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    val llr = graft.text.Dsir.loadLlr(docs.sparkSession, llrTable)
+    docs.writeStream.foreachBatch {
+      (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        sink(graft.text.Dsir.weigh(batch, llr), batchId)
+    }
+  }
+
   /** [[scoreQualityStream]] for the multinomial language-ID model
     * ([[graft.text.LangClassifier]]): per-batch (doc_id, pred_lang,
     * score) from persisted per-class weights.

@@ -71,14 +71,23 @@ object Dsir {
       .select(col("doc_id"), col("is_target"), bucketOf(col("gram")).as("bucket"))
   }
 
-  /** Per-bucket fixed-point log-likelihood ratio table (≤ B rows):
-    * (bucket, llr_fp). Smoothed with add-one; totals ride along via a
-    * 1-row cross join (B rows × 1 row — never corpus-sized).
+  /** Per-bucket fixed-point log-likelihood ratio table, COMPLETE over
+    * the closed hashed feature space (exactly B rows): (bucket,
+    * llr_fp). Buckets unobserved at fit time get the smoothed
+    * zero-count ratio, so serving a batch the fit never saw still
+    * weighs every feature — no silent drops, no default plumbing.
+    * Smoothed with add-one; totals ride along via a 1-row cross join
+    * (B rows × 1 row — never corpus-sized).
     */
-  private def llrTable(features: DataFrame): DataFrame = {
-    val counts = features.groupBy(col("bucket"))
+  private[graft] def llrTable(features: DataFrame): DataFrame = {
+    val observed = features.groupBy(col("bucket"))
       .agg(count(lit(1)).as("rc"),
         sum(col("is_target").cast("long")).as("tc"))
+    val counts = features.sparkSession.range(NumBuckets)
+      .select(col("id").as("bucket"))
+      .join(observed, Seq("bucket"), "left")
+      .select(col("bucket"), coalesce(col("rc"), lit(0L)).as("rc"),
+        coalesce(col("tc"), lit(0L)).as("tc"))
     val totals = counts.agg(sum(col("rc")).as("rtot"), sum(col("tc")).as("ttot"))
     val b = lit(NumBuckets).cast("double")
     counts.crossJoin(totals)
@@ -108,13 +117,31 @@ object Dsir {
     * slice"). Raw distribution: the whole pool.
     */
   def importanceResample(docs: DataFrame, k: Int = 100,
-      targetPred: Column = col("lang") === "en"): DataFrame = {
-    val fs = featureStream(docs, targetPred)
-    val llr = llrTable(fs)
-    val weights = fs
+      targetPred: Column = col("lang") === "en"): DataFrame =
+    importanceResampleOnLlr(docs,
+      llrTable(featureStream(docs, targetPred)), k)
+
+  /** Fit just the llr model table from a raw pool + target predicate
+    * — the trainable artifact of the DSIR recipe (≤ [[NumBuckets]]
+    * rows).
+    */
+  def fitLlr(docs: DataFrame, targetPred: Column = col("lang") === "en"): DataFrame =
+    llrTable(featureStream(docs, targetPred))
+
+  /** Per-doc log-importance from an EXISTING llr table — the serving
+    * pass (one tokenize + hashed-gram projection, broadcast llr join,
+    * map-side-combined long sums; no target labels needed).
+    */
+  def weigh(docs: DataFrame, llr: DataFrame): DataFrame =
+    featureStream(docs, lit(false))
       .join(broadcast(llr), Seq("bucket"))
       .groupBy(col("doc_id"))
       .agg(sum(col("llr_fp")).as("weight_fp"), count(lit(1)).as("n_feat"))
+
+  /** [[importanceResample]] against a prebuilt/loaded llr table. */
+  def importanceResampleOnLlr(docs: DataFrame, llr: DataFrame,
+      k: Int = 100): DataFrame = {
+    val weights = weigh(docs, llr)
     val scored = docs.select(col("doc_id"), col("source"), col("lang"))
       .join(weights, Seq("doc_id"), "left")
       .select(col("doc_id"), col("source"), col("lang"),
@@ -134,5 +161,40 @@ object Dsir {
         col("weight_fp"), col("score_fp"), col("sel_rank"),
         col("sel_rank").isNotNull.as("selected"))
       .orderBy(col("doc_id"))
+  }
+
+  /** Persist a fitted llr table with its hashing parameters in
+    * TBLPROPERTIES — the model-at-rest layout shared with
+    * [[QualityClassifier.saveModel]] / [[graft.ann.Pq]]: the artifact
+    * carries B and the fixed-point scale, so a loader can refuse a
+    * mismatched serving configuration instead of silently mis-hashing.
+    */
+  def saveLlr(llr: DataFrame, table: String, path: Option[String] = None): Unit = {
+    val spark = llr.sparkSession
+    val w = llr.coalesce(1).write.mode("overwrite").format("parquet")
+    path.foreach(loc => w.option("path", loc))
+    w.saveAsTable(table)
+    graft.ops.TableProps.set(spark, table, "graft.dsir.params",
+      s"""{"num_buckets":$NumBuckets,"scale":$Scale}""")
+  }
+
+  /** Restore a [[saveLlr]]ed table, validating the hashing params. */
+  def loadLlr(spark: org.apache.spark.sql.SparkSession, table: String): DataFrame = {
+    val json = graft.ops.TableProps.get(spark, table, "graft.dsir.params")
+    val b = graft.ops.TableProps.longField(json, "num_buckets")
+    require(b == NumBuckets,
+      s"table $table was fitted with num_buckets=$b, serving expects $NumBuckets")
+    spark.table(table)
+  }
+
+  /** The persisted driver row: fit → [[saveLlr]] → [[loadLlr]] →
+    * resample from the LOADED table — fit-once/select-many, the same
+    * round-trip contract as `ann_ivf_persisted`; output ≡
+    * [[importanceResample]], so it shares the oracle.
+    */
+  def fitSaveResampleQuery(docs: DataFrame, table: String,
+      path: Option[String] = None, k: Int = 100): DataFrame = {
+    saveLlr(fitLlr(docs), table, path)
+    importanceResampleOnLlr(docs, loadLlr(docs.sparkSession, table), k)
   }
 }

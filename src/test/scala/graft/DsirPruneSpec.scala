@@ -90,6 +90,60 @@ class DsirPruneSpec extends SparkSpec {
       s"selection not through the bounded top-k aggregate:\n$phys")
   }
 
+  test("dsir: persisted llr round trip — resample from the loaded table ≡ fresh, params guarded") {
+    val d = spark.read.parquet(s"$sfDir/documents.parquet")
+    val tmp = java.nio.file.Files.createTempDirectory("graft_dsir_spec").toString
+    val fresh = Dsir.importanceResample(d).collect().map(_.toString)
+    val persisted = Dsir.fitSaveResampleQuery(d, "graft_dsir_llr_spec",
+      path = Some(s"$tmp/llr")).collect().map(_.toString)
+    assert(fresh.sameElements(persisted))
+    // a table fitted under different hashing params must be refused
+    graft.ops.TableProps.set(spark, "graft_dsir_llr_spec", "graft.dsir.params",
+      s"""{"num_buckets":${Dsir.NumBuckets * 2},"scale":${Dsir.Scale}}""")
+    intercept[IllegalArgumentException] {
+      Dsir.loadLlr(spark, "graft_dsir_llr_spec")
+    }
+    spark.sql("DROP TABLE IF EXISTS graft_dsir_llr_spec")
+  }
+
+  test("dsir: llr table is complete over the hashed space — a disjoint batch drops no features") {
+    val llr = Dsir.fitLlr(mixedDocs)
+    assert(llr.count() === Dsir.NumBuckets)
+    // a batch with vocabulary the fit never saw still weighs every
+    // feature occurrence (unobserved buckets carry the zero-count llr)
+    val novel = Seq((100L, "totally unseen vocabulary tokens here", "xx", "s9"))
+      .toDF("doc_id", "text", "lang", "source")
+    val w = Dsir.weigh(novel, llr).collect()
+    assert(w.length === 1 && w.head.getAs[Long]("n_feat") === 9L) // 5 toks -> 5+4
+  }
+
+  test("dsir: stream scoring from the persisted llr ≡ batch weigh, bitwise") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.Streams
+    val d = spark.read.parquet(s"$sfDir/documents.parquet")
+    val tmp = java.nio.file.Files.createTempDirectory("graft_dsir_stream").toString
+    Dsir.saveLlr(Dsir.fitLlr(d), "graft_dsir_llr_stream_spec",
+      path = Some(s"$tmp/llr"))
+    val sample = d.orderBy(col("doc_id")).limit(5).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("text")))
+    val input = MemoryStream[(Long, String)](spark, 31)
+    input.addData(sample.toIndexedSeq)
+    val stream = input.toDF().select(col("_1").as("doc_id"), col("_2").as("text"))
+    val got = scala.collection.concurrent.TrieMap.empty[Long, (Long, Long)]
+    val q = Streams.scoreDsirStream(stream, "graft_dsir_llr_stream_spec") { (scored, _) =>
+      scored.collect().foreach(r => got(r.getAs[Long]("doc_id")) =
+        (r.getAs[Long]("weight_fp"), r.getAs[Long]("n_feat")))
+    }.start()
+    try q.processAllAvailable() finally q.stop()
+    val batch = Dsir.weigh(
+      d.filter(col("doc_id").isin(sample.map(_._1).toSeq: _*)),
+      Dsir.loadLlr(spark, "graft_dsir_llr_stream_spec")).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("weight_fp"), r.getAs[Long]("n_feat"))).toMap
+    assert(got.toMap === batch)
+    spark.sql("DROP TABLE IF EXISTS graft_dsir_llr_stream_spec")
+  }
+
   // ---- Prune.prototypePrune ----
 
   private def vecs = {
