@@ -206,13 +206,55 @@ object CorpusScaleSmoke {
       hotWin.map(_.getAs[Long]("doc_id")).toSet,
       "hot-stratum picks differ")
 
+    // ---- rung 6: DSIR importance resampling — the real use case:
+    // labeled target docs (lang=en, vocab A), UNLABELED look-alikes
+    // (lang=xx, same vocab A), and off-target mass (vocab B). The llr
+    // model fitted on the en labels must pull the unlabeled
+    // look-alikes into the resample: that transfer IS the algorithm.
+    val vocabA = array_join(transform(sequence(lit(0), lit(39)),
+      p => concat(lit("a"), pmod(xxhash64(col("id"), p), lit(1000L)))), " ")
+    val vocabB = array_join(transform(sequence(lit(0), lit(39)),
+      p => concat(lit("b"), pmod(xxhash64(col("id"), p), lit(1000L)))), " ")
+    val dsirDocs = spark.range(n).toDF("id")
+      .select(col("id").as("doc_id"),
+        concat(lit("src"), pmod(col("id"), lit(20L))).as("source"),
+        when(col("id") % 4 === 0, lit("en")).otherwise(lit("xx")).as("lang"),
+        when(col("id") % 4 <= 1, vocabA).otherwise(vocabB).as("text"))
+      .repartition(64).cache()
+    dsirDocs.count()
+    // the fitted model is cached (2^11 rows — what saveLlr would
+    // persist) so the serving timing measures serving, not a refit
+    val (llrDf, tFit) = time {
+      val l = graft.text.Dsir.fitLlr(dsirDocs)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      l.count(); l
+    }
+    val (dsirAgg, tWeigh) = time {
+      graft.text.Dsir.importanceResampleOnLlr(dsirDocs, llrDf, k = 1000)
+        .withColumn("cls", when(col("doc_id") % 4 === 0, "tgt")
+          .when(col("doc_id") % 4 === 1, "lookalike").otherwise("off"))
+        .groupBy(col("cls"))
+        .agg(avg(col("weight_fp")).as("w"),
+          sum(when(col("selected"), 1L).otherwise(0L)).as("sel"))
+        .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getLong(2))).toMap
+    }
+    // unlabeled look-alikes score like the target (same vocabulary),
+    // far above off-target mass; the resample is ≥90% vocab-A docs
+    assert(dsirAgg("lookalike")._1 > dsirAgg("off")._1 + 1e6,
+      s"dsir look-alike transfer: $dsirAgg")
+    assert(dsirAgg("tgt")._2 + dsirAgg("lookalike")._2 >= 900,
+      s"dsir selection purity: $dsirAgg")
+    llrDf.unpersist(false)
+    dsirDocs.unpersist(false)
+
     val mb = totalChars / 1e6
     println(s"""{"smoke":"corpus_scale","n_docs":$n,"corpus_mb":${mb.round},""" +
       f""""entropy_sec":$tEnt%.1f,"deflate_sec":$tCmp%.1f,""" +
       f""""stratified_topk_sec":$tTopk%.1f,"stratified_window_sec":$tWindow%.1f,""" +
       f""""hot_stratum_topk_sec":$tHotTopk%.1f,"hot_stratum_window_sec":$tHotWindow%.1f,""" +
       f""""keep_best_sec":$tKb%.1f,"giant_group_sec":$tGiant%.1f,""" +
-      f""""mega_source_pack_sec":$tPack%.1f,"epoch_mix_sec":$tMix%.1f}""")
+      f""""mega_source_pack_sec":$tPack%.1f,"epoch_mix_sec":$tMix%.1f,""" +
+      f""""dsir_fit_sec":$tFit%.1f,"dsir_resample_sec":$tWeigh%.1f}""")
     spark.stop()
   }
 }
