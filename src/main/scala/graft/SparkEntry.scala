@@ -174,6 +174,12 @@ object SparkEntry {
       graft.ops.Sampling.shuffleShards(t(s, dir, "documents"), col("doc_id"))
         .select(col("doc_id"), col("shuffle_key"), col("shard"))),
     "text_top_ngrams" -> ((s, dir) => TextAnalysis.topNgrams(t(s, dir, "documents"))),
+    // rows-only: iterative BPE merge training has no SQL oracle
+    // (declared); encode ≡ training-fold, reference-reimplementation
+    // parity, and save/load round trip are spec'd in BpeSpec
+    "text_bpe" -> ((s, dir) =>
+      graft.text.Bpe.trainSaveCountQuery(t(s, dir, "documents"),
+        "graft_bpe_model_rt", path = Some(s"${tempDir("bpe_model")}/tbl"))),
     // scalar-digest projection: the raw array-typed posting columns are
     // the API surface, but the driver gate canonicalizes rows in pandas,
     // which cannot sort array cells (round-3 red row) — hex64 digests
