@@ -1240,6 +1240,57 @@ object OracleSql {
        |ORDER BY pd.doc_id""".stripMargin
   }
 
+  /** Fuzzy decontamination (mirror of Dedup.decontaminateFuzzy over
+    * the assignSplits train/test sides, minJaccard 0.5): the
+    * dedupIncremental chain with the split hash gate selecting the two
+    * sides — train docs as the batch, eval docs as the corpus.
+    */
+  val textDecontaminateFuzzy: String =
+    s"""$ShHashCte,
+       |mh AS (SELECT doc_id,
+       |$minhashCols
+       |FROM shh GROUP BY doc_id),
+       |bands AS (
+       |$bandSelects),
+       |sp AS (SELECT doc_id,
+       |  ${hex64("'split|'||CAST(doc_id AS VARCHAR)")} % 10000 AS bucket
+       |  FROM documents),
+       |tr AS (SELECT doc_id FROM sp WHERE bucket < 9000),
+       |ev AS (SELECT doc_id FROM sp WHERE bucket >= 9500),
+       |cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+       |  FROM bands x JOIN bands y ON x.band = y.band AND x.bh = y.bh
+       |  JOIN tr ON tr.doc_id = x.doc_id
+       |  JOIN ev ON ev.doc_id = y.doc_id),
+       |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+       |inter AS (SELECT c.a, c.b, count(*) AS n_int FROM cand c
+       |  JOIN sh sa ON sa.doc_id = c.a
+       |  JOIN sh sb ON sb.doc_id = c.b AND sb.s = sa.s
+       |  GROUP BY c.a, c.b),
+       |ver AS (SELECT i.a, i.b,
+       |  i.n_int / (za.n + zb.n - i.n_int) AS jaccard
+       |  FROM inter i
+       |  JOIN sizes za ON za.doc_id = i.a
+       |  JOIN sizes zb ON zb.doc_id = i.b
+       |  WHERE i.n_int / (za.n + zb.n - i.n_int) >= 0.5),
+       |near AS (SELECT a AS doc_id, b AS best_match, jaccard AS best_jaccard
+       |  FROM (SELECT a, b, jaccard,
+       |    row_number() OVER (PARTITION BY a ORDER BY jaccard DESC, b) AS rn FROM ver)
+       |  WHERE rn = 1),
+       |fp AS (SELECT doc_id, ${hex64("array_to_string(toks,' ')")} AS fingerprint FROM t),
+       |ex AS (SELECT DISTINCT bf.doc_id FROM fp bf
+       |  JOIN fp cf ON bf.fingerprint = cf.fingerprint
+       |  JOIN tr ON tr.doc_id = bf.doc_id
+       |  JOIN ev ON ev.doc_id = cf.doc_id)
+       |SELECT tr.doc_id,
+       |  ex.doc_id IS NOT NULL AS exact_contaminated,
+       |  near.best_match IS NOT NULL AS near_contaminated,
+       |  near.best_match, near.best_jaccard,
+       |  NOT (ex.doc_id IS NOT NULL OR near.best_match IS NOT NULL) AS keep
+       |FROM tr
+       |LEFT JOIN ex ON ex.doc_id = tr.doc_id
+       |LEFT JOIN near ON near.doc_id = tr.doc_id
+       |ORDER BY tr.doc_id""".stripMargin
+
   /** Shared CTE for the ExactSubstr-style span pair: positional
     * n-grams → 60-bit hashes → corpus-wide duplicate set (count > 1,
     * same-doc repeats included) → per-doc sorted duplicate-window

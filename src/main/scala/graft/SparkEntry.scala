@@ -112,6 +112,13 @@ object SparkEntry {
       Dedup.decontaminate(
         sp.filter(col("split") === "train"), sp.filter(col("split") === "test"))
     }),
+    // fuzzy (near-dup) decontamination: same split gate, MinHash band
+    // candidates + exact-Jaccard verify at 0.5 against the eval side
+    "text_decontaminate_fuzzy" -> ((s, dir) => {
+      val sp = graft.ops.Sampling.assignSplits(t(s, dir, "documents"), col("doc_id"))
+      Dedup.decontaminateFuzzy(
+        sp.filter(col("split") === "train"), sp.filter(col("split") === "test"))
+    }),
     "text_dup_spans" -> ((s, dir) => Dedup.dupSpans(t(s, dir, "documents"))),
     "text_dedup_substrings" -> ((s, dir) => Dedup.removeDupSpans(t(s, dir, "documents"))),
     "text_repetition" -> ((s, dir) => TextAnalysis.repetition(t(s, dir, "documents"))),
@@ -672,6 +679,7 @@ object SparkEntry {
     "corpus_shuffle" -> OracleSql.corpusShuffle,
     "chunks_dedup" -> OracleSql.chunksDedup,
     "text_decontaminate" -> OracleSql.textDecontaminate,
+    "text_decontaminate_fuzzy" -> OracleSql.textDecontaminateFuzzy,
     "text_dup_spans" -> OracleSql.textDupSpans,
     "text_dedup_substrings" -> OracleSql.textDedupSubstrings,
     "events_top_paths" -> OracleSql.eventsTopPaths,

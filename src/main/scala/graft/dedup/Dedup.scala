@@ -792,6 +792,30 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  /** FUZZY benchmark decontamination — flag training documents that
+    * NEAR-duplicate any eval document (MinHash-band candidates +
+    * exact-Jaccard verify at `minJaccard`), the Llama/GPT-4-style
+    * similarity rule that catches paraphrased or lightly-edited
+    * benchmark leakage the exact n-gram rule ([[decontaminate]])
+    * misses. Identical-text leakage reports as `exact_contaminated`.
+    *
+    * This IS [[incrementalDedup]] with the eval set as the "corpus" —
+    * one definition (the batch→corpus band join never cross-joins, the
+    * eval side is benchmark-sized and broadcastable, verification
+    * touches only band-collided train docs), re-surfaced under the
+    * decontamination contract so the two use cases cannot drift.
+    * Output one row per training doc: (doc_id, exact_contaminated,
+    * near_contaminated, best_match = the closest eval doc,
+    * best_jaccard, keep).
+    */
+  def decontaminateFuzzy(train: DataFrame, eval: DataFrame,
+      minJaccard: Double = 0.5): DataFrame =
+    incrementalDedup(eval, train, minJaccard)
+      .select(col("doc_id"),
+        col("exact_dup").as("exact_contaminated"),
+        col("near_dup").as("near_contaminated"),
+        col("best_match"), col("best_jaccard"), col("keep"))
+
   /** Span length (in tokens) for substring-level dedup: a duplicated
     * passage must be at least this long to be detected/removed. Real
     * pipelines use ~50 BPE tokens (Lee et al. 2022, "Deduplicating

@@ -202,6 +202,28 @@ class DedupSpec extends SparkSpec {
     assert(res(3L) === (0L, 0L, false))
   }
 
+  test("decontaminateFuzzy: paraphrased eval leakage flags near, verbatim flags exact") {
+    // doc 1 is eval doc 10 with one word APPENDED (shingle jaccard
+    // 22/23 ≈ 0.96 — near-dup, but a different exact fingerprint);
+    // doc 2 is verbatim eval text; doc 3 is clean
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+      "lambda mu alef bet gimel dalet he vav zayin het tet yod kaf lamed"
+    val train = Seq(
+      (1L, base + " extra"),
+      (2L, base),
+      (3L, "one two three four five six seven eight nine ten eleven twelve"))
+      .toDF("doc_id", "text")
+    val eval = Seq((10L, base)).toDF("doc_id", "text")
+    val res = Dedup.decontaminateFuzzy(train, eval).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Boolean]("exact_contaminated"),
+          r.getAs[Boolean]("near_contaminated"),
+          r.getAs[Boolean]("keep"))).toMap
+    assert(res(1L)._2 && !res(1L)._1 && !res(1L)._3, s"paraphrase: ${res(1L)}")
+    assert(res(2L)._1 && !res(2L)._3, s"verbatim: ${res(2L)}")
+    assert(!res(3L)._1 && !res(3L)._2 && res(3L)._3, s"clean: ${res(3L)}")
+  }
+
   test("dupSpans/removeDupSpans: planted shared + internal spans, exact window-union arithmetic") {
     // P = 12 shared tokens → 3 dup 10-grams, union coverage 10+1+1 = 12.
     // Q = 10 tokens repeated inside doc 4 (gap > 10) → 2 dup grams, 20
