@@ -782,6 +782,27 @@ object OracleSql {
 
   private lazy val SigCteDefault: String = sigCte(SparkEntry.lshP)
 
+  /** JL Gaussian projection (mirror of Project.projectQuery): one
+    * UNION ALL branch per output dimension, each an explicit in-order
+    * dot over the SAME seeded plane literals the expression
+    * materializes, scaled by 1/√16 = 0.25 (exact in binary) — the
+    * doubles hash-match bit-for-bit.
+    */
+  val vecProject: String = {
+    import graft.ann.Project
+    val plane = graft.lsh.RandomProjection.bandPlanes(
+      Project.Seed, 0, Project.OutDim, Project.Dim)
+    val branches = (0 until Project.OutDim).map { r =>
+      s"""  SELECT vec_id, CAST($r AS BIGINT) AS dim_idx,
+         |    (${dotSql(plane, Project.Dim, r * Project.Dim)}) * 2.5e-1 AS value
+         |  FROM e""".stripMargin
+    }.mkString("\n  UNION ALL\n")
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+       |SELECT vec_id, dim_idx, value FROM (
+       |$branches
+       |) p ORDER BY vec_id, dim_idx""".stripMargin
+  }
+
   val lshSignatures: String =
     s"""$SigCteDefault
        |SELECT vec_id, band, sig FROM idx ORDER BY vec_id, band""".stripMargin

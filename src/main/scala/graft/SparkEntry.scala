@@ -288,6 +288,9 @@ object SparkEntry {
       val e = t(s, dir, "embeddings")
       Ivf.probeTopK(e, e.filter(col("vec_id") < 10), e.filter(col("vec_id") < 8), 2, 5)
     }),
+    // JL random projection: 64 -> 16 dims, seeded planes, zero state
+    "vec_project" -> ((s, dir) =>
+      graft.ann.Project.projectQuery(t(s, dir, "embeddings"))),
     // prototype pruning (SSL prototypes / D4 stage 2): per-cell
     // most-prototypical k flagged for removal; k=32 keeps the winner
     // set non-trivial at every test SF
@@ -714,6 +717,7 @@ object SparkEntry {
     "semantic_dedup" -> OracleSql.semanticDedup,
     "ann_ivf" -> OracleSql.annIvf,
     "emb_prototype_prune" -> OracleSql.embPrototypePrune,
+    "vec_project" -> OracleSql.vecProject,
     "ann_ivf_persisted" -> OracleSql.annIvf,
     "ann_ivf_filtered" -> OracleSql.annIvfFiltered,
     "vec_norm" -> OracleSql.vecNorm,
