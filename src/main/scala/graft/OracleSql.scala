@@ -1016,6 +1016,43 @@ object OracleSql {
        |SELECT q_id, rn, cand_id, sim FROM r WHERE rn <= 5
        |ORDER BY q_id, rn""".stripMargin
 
+  /** Corpus topics (mirror of Topics.topics: centroids = hash-embeds
+    * of doc_id < 8, top 5 terms per cluster): the textKnnHashEmbed
+    * sparse-cosine chain as the assignment argmax, then integer count
+    * tables and a rank by (score desc, token hash).
+    */
+  val corpusTopics: String =
+    s"""WITH t AS (SELECT doc_id, $Toks AS toks FROM documents),
+       |tok AS (SELECT doc_id, unnest(toks) AS tk FROM t),
+       |h AS (SELECT doc_id, ${hex64("'he|'||tk")} AS h FROM tok),
+       |sg AS (SELECT doc_id, h % 64 AS dim,
+       |  CASE WHEN (h >> 20) & 1 = 1 THEN 1 ELSE -1 END AS sgn FROM h),
+       |w AS (SELECT doc_id, dim, sum(sgn)::BIGINT AS w FROM sg
+       |  GROUP BY 1, 2 HAVING sum(sgn) <> 0),
+       |n AS (SELECT doc_id, sum(w * w)::BIGINT AS s2 FROM w GROUP BY 1),
+       |cw AS (SELECT doc_id AS c_id, dim, w AS cw FROM w WHERE doc_id < 8),
+       |num AS (SELECT w.doc_id, cw.c_id, sum(w.w * cw.cw)::BIGINT AS num
+       |  FROM w JOIN cw ON w.dim = cw.dim GROUP BY 1, 2),
+       |sim AS (SELECT num.doc_id, num.c_id,
+       |  num / (sqrt(nd.s2) * sqrt(nc.s2)) AS sim
+       |  FROM num JOIN n nd ON nd.doc_id = num.doc_id
+       |  JOIN n nc ON nc.doc_id = num.c_id),
+       |asg AS (SELECT doc_id, c_id AS cluster FROM (
+       |  SELECT doc_id, c_id, row_number() OVER (PARTITION BY doc_id
+       |    ORDER BY sim DESC, c_id) AS rn FROM sim) aq WHERE rn = 1),
+       |cc AS (SELECT tk AS t, count(*)::BIGINT AS corpus_count FROM tok GROUP BY 1),
+       |kc AS (SELECT a.cluster, tok.tk AS t, count(*)::BIGINT AS cluster_count
+       |  FROM tok JOIN asg a ON a.doc_id = tok.doc_id GROUP BY 1, 2),
+       |sc AS (SELECT kc.cluster, kc.t, kc.cluster_count, cc.corpus_count,
+       |  kc.cluster_count::DOUBLE / cc.corpus_count::DOUBLE AS score,
+       |  ${hex64("'tp|'||kc.t")} AS th
+       |  FROM kc JOIN cc ON cc.t = kc.t),
+       |r AS (SELECT cluster, t, cluster_count, corpus_count, score,
+       |  CAST(row_number() OVER (PARTITION BY cluster
+       |    ORDER BY score DESC, th) AS BIGINT) AS term_rank FROM sc)
+       |SELECT cluster, term_rank, t AS token, cluster_count, corpus_count, score
+       |FROM r WHERE term_rank <= 5 ORDER BY cluster, term_rank""".stripMargin
+
   /** Sliding 1h/15min window rollup (mirror of EventOps.slidingRollup):
     * the window replication is pure integer slide-index arithmetic on
     * the nonnegative-µs domain (pinned by spec); value sums in exact

@@ -181,6 +181,9 @@ object SparkEntry {
       graft.ops.Sampling.shuffleShards(t(s, dir, "documents"), col("doc_id"))
         .select(col("doc_id"), col("shuffle_key"), col("shard"))),
     "text_top_ngrams" -> ((s, dir) => TextAnalysis.topNgrams(t(s, dir, "documents"))),
+    // corpus cartography: hash-embed clusters labeled by c-TF-IDF terms
+    "corpus_topics" -> ((s, dir) =>
+      graft.text.Topics.topics(t(s, dir, "documents"))),
     // rows-only: iterative BPE merge training has no SQL oracle
     // (declared); encode ≡ training-fold, reference-reimplementation
     // parity, and save/load round trip are spec'd in BpeSpec
@@ -687,6 +690,7 @@ object SparkEntry {
     "text_dedup_substrings" -> OracleSql.textDedupSubstrings,
     "events_top_paths" -> OracleSql.eventsTopPaths,
     "text_top_ngrams" -> OracleSql.textTopNgrams,
+    "corpus_topics" -> OracleSql.corpusTopics,
     "text_pmi" -> OracleSql.textPmi,
     "text_ngram_lm" -> OracleSql.textNgramLm,
     "text_hash_embed" -> OracleSql.textHashEmbed,

@@ -1,0 +1,43 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.text.Topics
+
+class TopicsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("topics: planted vocabularies cluster onto their own centroids with their own terms") {
+    // centroid 0 carries vocab A, centroid 1 vocab B (nCentroids = 2);
+    // every other doc uses one vocabulary and must assign to the
+    // matching centroid; the cluster terms are that vocabulary
+    val a = "apple apricot avocado almond anise"
+    val b = "banana blueberry bergamot breadfruit barberry"
+    val docs = (Seq((0L, a), (1L, b)) ++
+      (2L until 12L).map(i => (i, if (i % 2 == 0) a else b)))
+      .toDF("doc_id", "text")
+    val out = Topics.topics(docs, nCentroids = 2, topTerms = 3).collect()
+    val byCluster = out.groupBy(_.getLong(0))
+    assert(byCluster.keySet === Set(0L, 1L))
+    val termsA = byCluster(0L).map(_.getString(2)).toSet
+    val termsB = byCluster(1L).map(_.getString(2)).toSet
+    assert(termsA.subsetOf(a.split(" ").toSet), s"cluster 0 terms $termsA")
+    assert(termsB.subsetOf(b.split(" ").toSet), s"cluster 1 terms $termsB")
+    // every term fully captured by its cluster: score exactly 1.0
+    assert(out.forall(_.getDouble(5) === 1.0))
+    // ranks are 1..topTerms per cluster
+    assert(byCluster.values.forall(
+      _.map(_.getLong(1)).sorted.sameElements(1L to 3L)))
+  }
+
+  test("topics: partitioning-invariant and window-free over the vocabulary") {
+    val d = spark.read.parquet(s"$sfDir/documents.parquet")
+    val x = Topics.topics(d).collect().map(_.toString)
+    val y = Topics.topics(d.repartition(7)).collect().map(_.toString)
+    assert(x.sameElements(y))
+    val phys = Topics.topics(d).queryExecution.executedPlan.toString
+    assert(!phys.contains("Window"), s"topics plans a window:\n$phys")
+    assert(phys.contains("TopKByScore") || phys.contains("top_k_by_score"),
+      s"term ranking not through the bounded aggregate:\n$phys")
+  }
+}
