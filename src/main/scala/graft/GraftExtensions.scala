@@ -36,5 +36,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("adc_score"),
       info("adc_score", "adc_score(codes, tab) - PQ asymmetric-distance score: sum of tab[s*k + codes[s]]"),
       (es: Seq[Expression]) => AdcScore(es.head, es(1))))
+    ext.injectFunction((FunctionIdentifier("deflate_size"),
+      info("deflate_size", "deflate_size(v) - raw DEFLATE compressed size of a string/binary value"),
+      (es: Seq[Expression]) => graft.expressions.DeflateSize(es.head)))
+    ext.injectFunction((FunctionIdentifier("char_entropy_stats"),
+      info("char_entropy_stats", "char_entropy_stats(s) - (n_chars, n_distinct, entropy_bits) struct"),
+      (es: Seq[Expression]) => graft.expressions.CharEntropyStats(es.head)))
+    ext.injectFunction((FunctionIdentifier("det_ln"),
+      info("det_ln", "det_ln(x) - deterministic series-defined natural log (NULL for x <= 0)"),
+      (es: Seq[Expression]) => graft.expressions.DetLnExpr(es.head)))
+    ext.injectFunction((FunctionIdentifier("gaussian_project"),
+      info("gaussian_project", "gaussian_project(v, outDim, dim, seed) - seeded JL Gaussian projection"),
+      (es: Seq[Expression]) => GraftFunctions.projectFromSql(es)))
   }
 }

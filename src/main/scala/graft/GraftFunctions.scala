@@ -132,5 +132,31 @@ object GraftFunctions {
       es => graft.expressions.DeflateSize(es.head), "scala_udf")
     reg.createOrReplaceTempFunction("char_entropy_stats",
       es => graft.expressions.CharEntropyStats(es.head), "scala_udf")
+    reg.createOrReplaceTempFunction("det_ln",
+      es => DetLnExpr(es.head), "scala_udf")
+    reg.createOrReplaceTempFunction("gaussian_project",
+      es => GraftFunctions.projectFromSql(es), "scala_udf")
+  }
+
+  /** SQL-surface constructor for [[graft.expressions.GaussianProjectExpr]]:
+    * `gaussian_project(v, outDim, dim, seed)` with the three parameters
+    * as integer literals (the projection family is fixed per query, like
+    * the LSH plane config).
+    */
+  private[graft] def projectFromSql(
+      es: Seq[org.apache.spark.sql.catalyst.expressions.Expression])
+      : org.apache.spark.sql.catalyst.expressions.Expression = {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    def intOf(e: org.apache.spark.sql.catalyst.expressions.Expression, what: String): Long =
+      e match {
+        case Literal(v: Int, _) => v.toLong
+        case Literal(v: Long, _) => v
+        case other => throw new IllegalArgumentException(
+          s"gaussian_project: $what must be an integer literal, got $other")
+      }
+    require(es.length == 4,
+      "gaussian_project(v, outDim, dim, seed) takes exactly 4 arguments")
+    graft.expressions.GaussianProjectExpr(es.head,
+      intOf(es(1), "outDim").toInt, intOf(es(2), "dim").toInt, intOf(es(3), "seed"))
   }
 }

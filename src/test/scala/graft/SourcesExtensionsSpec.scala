@@ -63,7 +63,9 @@ class SourcesExtensionsSpec extends SparkSpec {
     val reg = new SimpleFunctionRegistry
     org.apache.spark.sql.GraftColumnBridge.registerExtensions(ext, reg)
     Seq("cosine_sim", "dot_product", "l2_norm", "l2_normalize",
-        "int_dot_product", "hamming_distance", "adc_score").foreach { f =>
+        "int_dot_product", "hamming_distance", "adc_score",
+        "deflate_size", "char_entropy_stats", "det_ln",
+        "gaussian_project").foreach { f =>
       assert(reg.functionExists(FunctionIdentifier(f)), s"$f not injected")
     }
     // builder produces a working expression
@@ -72,6 +74,19 @@ class SourcesExtensionsSpec extends SparkSpec {
         Array(3.0f, 4.0f), org.apache.spark.sql.types.ArrayType(
           org.apache.spark.sql.types.FloatType, containsNull = false))))
     assert(e.eval(null) === 5.0)
+    // the parameterized builder folds its integer literals
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    val g = reg.lookupFunction(FunctionIdentifier("gaussian_project"),
+      Seq(Literal.create(Array.fill(64)(1.0f), org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.FloatType, containsNull = false)),
+        Literal(16), Literal(64), Literal(42L)))
+    assert(g.eval(null).asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+      .numElements() === 16)
+    // non-literal params are an analysis-time error, not hash garbage
+    intercept[IllegalArgumentException] {
+      reg.lookupFunction(FunctionIdentifier("gaussian_project"),
+        Seq(Literal(1.0), Literal(1.0), Literal(64), Literal(42L)))
+    }
   }
 
   test("LshIndex.add: incremental ingest equals rebuilding from the union") {
