@@ -803,6 +803,50 @@ object OracleSql {
        |) p ORDER BY vec_id, dim_idx""".stripMargin
   }
 
+  /** IVF with projected candidate generation + original-space rerank
+    * (mirror of Project.probeTopKProjected, centroids vec_id < 8,
+    * queries vec_id < 10, nProbe 2, k 5): projected vectors are the
+    * [[vecProject]] branches reassembled with `list(... ORDER BY
+    * dim_idx)`; every cosine is the explicit `dot/(√na·√nb)`
+    * association (self-similarity appears in the assignment/probe
+    * ranks here, where DuckDB's fused normalization is 1 ulp off).
+    */
+  val annIvfProjected: String = {
+    import graft.ann.Project
+    val plane = graft.lsh.RandomProjection.bandPlanes(
+      Project.Seed, 0, Project.OutDim, Project.Dim)
+    val branches = (0 until Project.OutDim).map { r =>
+      s"""  SELECT vec_id, $r AS dim_idx,
+         |    (${dotSql(plane, Project.Dim, r * Project.Dim)}) * 2.5e-1 AS value
+         |  FROM e""".stripMargin
+    }.mkString("\n  UNION ALL\n")
+    val cos = (a: String, b: String) =>
+      s"list_dot_product($a, $b) / (sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b)))"
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |pv AS (SELECT vec_id, list(value ORDER BY dim_idx) AS p FROM (
+       |$branches
+       |) px GROUP BY vec_id),
+       |cent AS (SELECT vec_id AS c_id, p AS cp FROM pv WHERE vec_id < 8),
+       |sc AS (SELECT pv.vec_id, c.c_id, ${cos("pv.p", "c.cp")} AS c_sim
+       |  FROM pv, cent c),
+       |asg AS (SELECT vec_id, c_id AS cell FROM (
+       |  SELECT vec_id, c_id, row_number() OVER (PARTITION BY vec_id
+       |    ORDER BY c_sim DESC, c_id) AS rn FROM sc) aq WHERE rn = 1),
+       |probe AS (SELECT vec_id AS q_id, c_id AS cell FROM (
+       |  SELECT vec_id, c_id, row_number() OVER (PARTITION BY vec_id
+       |    ORDER BY c_sim DESC, c_id) AS rn FROM sc WHERE vec_id < 10) pq
+       |  WHERE rn <= 2),
+       |cand AS (SELECT DISTINCT p.q_id, a.vec_id AS cand_id
+       |  FROM probe p JOIN asg a ON a.cell = p.cell WHERE a.vec_id <> p.q_id),
+       |s AS (SELECT cand.q_id, cand.cand_id, ${cos("qe.v", "ce.v")} AS sim
+       |  FROM cand JOIN e qe ON qe.vec_id = cand.q_id
+       |  JOIN e ce ON ce.vec_id = cand.cand_id),
+       |r AS (SELECT q_id, cand_id, sim,
+       |  CAST(row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, cand_id) AS BIGINT) AS rn
+       |  FROM s)
+       |SELECT q_id, rn, cand_id, sim FROM r WHERE rn <= 5 ORDER BY q_id, rn""".stripMargin
+  }
+
   val lshSignatures: String =
     s"""$SigCteDefault
        |SELECT vec_id, band, sig FROM idx ORDER BY vec_id, band""".stripMargin

@@ -294,6 +294,13 @@ object SparkEntry {
     // JL random projection: 64 -> 16 dims, seeded planes, zero state
     "vec_project" -> ((s, dir) =>
       graft.ann.Project.projectQuery(t(s, dir, "embeddings"))),
+    // compressed candidates, exact rerank: IVF probing in the 16-dim
+    // projected space, full-precision cosine only on probed candidates
+    "ann_ivf_projected" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      graft.ann.Project.probeTopKProjected(e,
+        e.filter(col("vec_id") < 10), e.filter(col("vec_id") < 8), 2, 5)
+    }),
     // prototype pruning (SSL prototypes / D4 stage 2): per-cell
     // most-prototypical k flagged for removal; k=32 keeps the winner
     // set non-trivial at every test SF
@@ -722,6 +729,7 @@ object SparkEntry {
     "ann_ivf" -> OracleSql.annIvf,
     "emb_prototype_prune" -> OracleSql.embPrototypePrune,
     "vec_project" -> OracleSql.vecProject,
+    "ann_ivf_projected" -> OracleSql.annIvfProjected,
     "ann_ivf_persisted" -> OracleSql.annIvf,
     "ann_ivf_filtered" -> OracleSql.annIvfFiltered,
     "vec_norm" -> OracleSql.vecNorm,

@@ -39,4 +39,47 @@ object Project {
         .as(Seq("dim_idx", "value")))
       .select(col("vec_id"), col("dim_idx").cast("long").as("dim_idx"), col("value"))
       .orderBy(col("vec_id"), col("dim_idx"))
+
+  /** IVF serving with candidate generation in the PROJECTED space and
+    * exact rerank in the ORIGINAL space — the standard compressed-
+    * candidates/exact-rerank composition (the [[Quantize.quantizedTopK]]
+    * shape with JL as the compressor): cell assignment and probing
+    * score 16-dim vectors (4× less arithmetic and shuffle width than
+    * the raw 64-dim IVF), and only probed-cell candidates ever touch
+    * the full-precision embeddings. Same map-side `max(struct)` /
+    * TopKByScore discipline as [[Ivf]] — no window, no cross join.
+    */
+  def probeTopKProjected(embeddings: DataFrame, queries: DataFrame,
+      centroids: DataFrame, nProbe: Int, k: Int): DataFrame = {
+    import graft.GraftFunctions.{cosine_sim, top_k_by_score}
+    val proj = embeddings.select(col("vec_id"), project(col("embedding")).as("p"))
+    val cents = centroids.select(col("vec_id").as("c_id"),
+      project(col("embedding")).as("cp"))
+    val scored = proj
+      .crossJoin(graft.ops.Broadcasting.maybeBroadcast(cents, Some(true)))
+      .select(col("vec_id"), col("c_id"),
+        cosine_sim(col("p"), col("cp")).as("c_sim"))
+    val asg = scored.groupBy(col("vec_id"))
+      .agg(max(struct(col("c_sim"), (-col("c_id")).as("neg"), col("c_id"))).as("m"))
+      .select(col("vec_id"), col("m.c_id").as("cell"))
+    val qIds = queries.select(col("vec_id").as("q_id"))
+    val probes = scored
+      .join(broadcast(qIds), col("vec_id") === col("q_id"), "left_semi")
+      .groupBy(col("vec_id").as("q_id"))
+      .agg(top_k_by_score(col("c_sim"), col("c_id"), nProbe).as("top"))
+      .select(col("q_id"), explode(col("top.id")).as("cell"))
+    val cand = probes.join(asg, Seq("cell"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id").as("cand_id")).distinct()
+    val e = embeddings.select(col("vec_id"), col("embedding"))
+    val sims = cand
+      .join(broadcast(queries.select(col("vec_id").as("q_id"),
+        col("embedding").as("q_emb"))), Seq("q_id"))
+      .join(e.withColumnRenamed("vec_id", "cand_id")
+        .withColumnRenamed("embedding", "c_emb"), Seq("cand_id"))
+      .select(col("q_id"), col("cand_id"),
+        cosine_sim(col("q_emb"), col("c_emb")).as("sim"))
+    graft.ops.TopK.rankByScore(
+      sims.select(col("q_id"), col("cand_id"), col("sim")), k)
+  }
 }

@@ -205,4 +205,20 @@ class VectorFunctionsSpec extends SparkSpec {
       .select(cosine_sim($"proj", $"proj").as("c")).collect().map(_.getDouble(0))
     assert(self.forall(c => math.abs(c - 1.0) < 1e-12))
   }
+
+  test("probeTopKProjected: window-free plan; probed-cell recall vs exhaustive within each query's cells") {
+    import graft.ann.Project
+    val emb = Tables.load(spark, sfDir, "embeddings")
+    val q = emb.filter($"vec_id" < 10)
+    val cents = emb.filter($"vec_id" < 8)
+    val df = Project.probeTopKProjected(emb, q, cents, nProbe = 2, k = 5)
+    val phys = df.queryExecution.executedPlan.toString
+    assert(!phys.contains("Window"), s"projected IVF plans a window:\n$phys")
+    // probing EVERY cell makes the projected path an exhaustive search
+    // in disguise — it must then agree with brute force row-for-row
+    val all = Project.probeTopKProjected(emb, q, cents, nProbe = 8, k = 5)
+      .collect().map(_.toString)
+    val brute = graft.ann.Knn.cosineTopK(emb, q, k = 5).collect().map(_.toString)
+    assert(all.sameElements(brute))
+  }
 }
