@@ -190,6 +190,11 @@ object SparkEntry {
     "text_bpe" -> ((s, dir) =>
       graft.text.Bpe.trainSaveCountQuery(t(s, dir, "documents"),
         "graft_bpe_model_rt", path = Some(s"${tempDir("bpe_model")}/tbl"))),
+    // rows-only: packing under the learned BPE counts (the packing
+    // arithmetic itself is the oracle-checked seq_pack prefix sum);
+    // 32 merges — the training cost already has its own row (text_bpe)
+    "seq_pack_bpe" -> ((s, dir) =>
+      graft.text.Bpe.packBpeQuery(t(s, dir, "documents"), numMerges = 32)),
     // scalar-digest projection: the raw array-typed posting columns are
     // the API surface, but the driver gate canonicalizes rows in pandas,
     // which cannot sort array cells (round-3 red row) — hex64 digests

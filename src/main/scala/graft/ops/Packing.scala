@@ -64,12 +64,21 @@ object Packing {
     * contract), with the usual eviction caveat: on a fault-prone
     * cluster replace the cache with a reliable checkpoint.
     */
-  def packSequences(docs: DataFrame, budget: Long = DefaultBudget): DataFrame = {
+  def packSequences(docs: DataFrame, budget: Long = DefaultBudget): DataFrame =
+    packCounts(docs.select(col("doc_id"), col("source"),
+      size(GraftFunctions.tokens(col("text"))).cast("long").as("n_tokens")), budget)
+
+  /** [[packSequences]] over a PRE-COUNTED (doc_id, source, n_tokens)
+    * frame — the entry point for packing under a learned tokenizer
+    * ([[graft.text.Bpe.tokenCounts]]): the budget arithmetic does not
+    * care where the counts came from, so whitespace packing and BPE
+    * packing share one prefix-sum implementation.
+    */
+  def packCounts(counted: DataFrame, budget: Long = DefaultBudget): DataFrame = {
     require(budget > 0, s"budget must be positive, got $budget")
-    val nPart = docs.sparkSession.sessionState.conf.numShufflePartitions
-    val ranged = docs
-      .select(col("doc_id"), col("source"),
-        size(GraftFunctions.tokens(col("text"))).cast("long").as("n_tokens"))
+    val nPart = counted.sparkSession.sessionState.conf.numShufflePartitions
+    val ranged = counted
+      .select(col("doc_id"), col("source"), col("n_tokens"))
       .repartitionByRange(nPart, col("source"), col("doc_id"))
       .withColumn("__pid", spark_partition_id())
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

@@ -168,4 +168,23 @@ object Bpe {
     saveModel(train(docs, numMerges, sampleFrac), spark, table, path)
     tokenCounts(docs, loadModel(spark, table))
   }
+
+  /** Sequence packing under the LEARNED tokenizer: [[tokenCounts]]
+    * feeding [[graft.ops.Packing.packCounts]] — bins cut at the real
+    * subword budget, which is what a training data loader actually
+    * consumes (whitespace packing misestimates bins exactly where BPE
+    * fragments: rare words, code, non-Latin text). Rows-only like
+    * [[trainSaveCountQuery]]; the packing arithmetic itself is the
+    * oracle-checked `seq_pack` prefix-sum, spec'd equal on shared
+    * counts.
+    */
+  def packBpeQuery(docs: DataFrame, numMerges: Int = 48,
+      sampleFrac: Double = 0.5, budget: Long = graft.ops.Packing.DefaultBudget)
+      : DataFrame = {
+    val model = train(docs, numMerges, sampleFrac)
+    val counted = TextAnalysis.withToks(docs)
+      .select(col("doc_id"), col("source"),
+        size(encodeTokens(col("toks"), model)).cast("long").as("n_tokens"))
+    graft.ops.Packing.packCounts(counted, budget)
+  }
 }

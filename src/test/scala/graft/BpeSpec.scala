@@ -110,6 +110,26 @@ class BpeSpec extends SparkSpec {
     spark.sql("DROP TABLE IF EXISTS graft_bpe_spec_model")
   }
 
+  test("bpe: packing under learned counts matches the driver-side prefix-sum arithmetic") {
+    val d = spark.read.parquet(s"$sfDir/documents.parquet").limit(80)
+    val model = Bpe.train(d, numMerges = 16)
+    val packed = Bpe.packBpeQuery(d, numMerges = 16, sampleFrac = 1.0).collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toMap
+    // driver recount: per-source cumulative BPE token offsets in doc order
+    val counts = d.withColumn("toks", GraftFunctions.tokens(col("text")))
+      .select(col("doc_id"), col("source"),
+        size(Bpe.encodeTokens(col("toks"), model)).cast("long").as("n"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      .sortBy(r => (r._2, r._1))
+    val cums = scala.collection.mutable.Map.empty[String, Long]
+    counts.foreach { case (id, src, n) =>
+      val before = cums.getOrElse(src, 0L)
+      assert(packed(id) === ((src, n, before / 256L, before % 256L)), s"doc $id")
+      cums(src) = before + n
+    }
+  }
+
   test("bpe: subword counts are bounded by chars below and words above; merges shrink them") {
     val d = spark.read.parquet(s"$sfDir/documents.parquet").limit(60)
     val model = Bpe.train(d, numMerges = 24)
