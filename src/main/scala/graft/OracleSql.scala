@@ -646,6 +646,31 @@ object OracleSql {
        |JOIN ($dedupClusters) c ON q.doc_id = c.doc_id
        |ORDER BY q.doc_id""".stripMargin
 
+  /** FineWeb-style filter stack (mirror of Pipeline.qualityEnsemble,
+    * thresholds 0.3 / 2.0 / 0.5): the four already-exact signal chains
+    * composed as subqueries — the composition cannot drift from the
+    * individually-gated rows. Signals a doc is too short to produce
+    * (entropy on empty text, bigrams on <2 tokens) are passes via the
+    * LEFT joins, mirroring the Spark coalesce.
+    */
+  // lazy: textEntropy/textRepetition initialize further down the
+  // object — an eager val here would interpolate their nulls
+  lazy val pipelineQualityEnsemble: String =
+    s"""SELECT q.doc_id, q.quality_score, g.gopher_pass,
+       |  e.entropy_bits, r.dup_bigram_frac,
+       |  q.quality_score < 0.3 AS fail_quality,
+       |  NOT g.gopher_pass AS fail_gopher,
+       |  coalesce(e.entropy_bits < 2.0, false) AS fail_entropy,
+       |  coalesce(r.dup_bigram_frac > 0.5, false) AS fail_repetition,
+       |  (g.gopher_pass AND NOT q.quality_score < 0.3
+       |    AND NOT coalesce(e.entropy_bits < 2.0, false)
+       |    AND NOT coalesce(r.dup_bigram_frac > 0.5, false)) AS keep
+       |FROM ($textQuality) q
+       |JOIN ($textGopher) g ON q.doc_id = g.doc_id
+       |LEFT JOIN ($textEntropy) e ON q.doc_id = e.doc_id
+       |LEFT JOIN ($textRepetition) r ON q.doc_id = r.doc_id
+       |ORDER BY q.doc_id""".stripMargin
+
   /** Near-dup best-copy (mirror of Dedup.nearDupKeepBest): cluster
     * labels and quality scores from the two already-exact chains,
     * keeper = (quality DESC, doc_id) head per cluster.

@@ -260,6 +260,10 @@ object SparkEntry {
         .select(col("doc_id"), col("exact_dup"), col("keep"))
     }),
     "pipeline_clean" -> ((s, dir) => graft.ops.Pipeline.cleanCorpus(t(s, dir, "documents"))),
+    // FineWeb-style filter stack: four content signals over one cached
+    // tokenize pass, combined with per-signal failure reasons
+    "pipeline_quality_ensemble" -> ((s, dir) =>
+      graft.ops.Pipeline.qualityEnsemble(t(s, dir, "documents"))),
     "dedup_mllib_minhash" -> ((s, dir) => {
       implicit val sp: SparkSession = s
       graft.ann.MlLsh.minhashNearDupPairs(t(s, dir, "documents"), maxJaccardDistance = 0.5)
@@ -725,6 +729,7 @@ object SparkEntry {
     "dedup_incremental_persisted" -> OracleSql.dedupIncremental,
     "dedup_bloom" -> OracleSql.dedupBloom,
     "pipeline_clean" -> OracleSql.pipelineClean,
+    "pipeline_quality_ensemble" -> OracleSql.pipelineQualityEnsemble,
     "dedup_embedding_lsh" -> OracleSql.dedupEmbeddingLsh,
     "cosine_topk_exact" -> OracleSql.cosineTopkExact,
     "knn_brute" -> OracleSql.knnBrute,

@@ -48,4 +48,46 @@ object Pipeline {
       clRaw.unpersist(false); toked.unpersist(false)
     }
   }
+
+  /** FineWeb-style quality filter stack: the four per-document content
+    * signals (heuristic quality score, Gopher rules, character
+    * entropy, bigram repetition) computed over ONE cached tokenize
+    * pass and combined into a keep decision with per-signal reasons —
+    * every document carries WHY it was dropped, which is what makes a
+    * 100 TB filtering run auditable (and the per-signal flags
+    * re-weightable without recomputing the signals).
+    *
+    * `keep = gopher_pass ∧ quality ≥ minQuality ∧ entropy ≥ minEntropy
+    * ∧ dup_bigram_frac ≤ maxDupBigram` (signals a doc is too short to
+    * produce are passes, mirroring each signal's own gate). All four
+    * signals are individually hash-exact chains, so the composition is
+    * too.
+    */
+  def qualityEnsemble(docs: DataFrame, minQuality: Double = 0.3,
+      minEntropy: Double = 2.0, maxDupBigram: Double = 0.5): DataFrame = {
+    val toked = docs.withColumn("toks", graft.GraftFunctions.tokens(col("text")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val q = TextAnalysis.quality(toked).select(col("doc_id"), col("quality_score"))
+    val g = TextAnalysis.gopherQuality(toked)
+      .select(col("doc_id"), col("gopher_pass"))
+    val e = TextAnalysis.charEntropy(toked)
+      .select(col("doc_id"), col("entropy_bits"))
+    val r = TextAnalysis.repetition(toked)
+      .select(col("doc_id"), col("dup_bigram_frac"))
+    val failQ = col("quality_score") < minQuality
+    val failE = coalesce(col("entropy_bits") < minEntropy, lit(false))
+    val failR = coalesce(col("dup_bigram_frac") > maxDupBigram, lit(false))
+    Caching.materialized(
+      q.join(g, Seq("doc_id"))
+        .join(e, Seq("doc_id"), "left")
+        .join(r, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("quality_score"), col("gopher_pass"),
+          col("entropy_bits"), col("dup_bigram_frac"),
+          failQ.as("fail_quality"), (!col("gopher_pass")).as("fail_gopher"),
+          failE.as("fail_entropy"), failR.as("fail_repetition"),
+          (col("gopher_pass") && !failQ && !failE && !failR).as("keep"))
+        .orderBy(col("doc_id"))) {
+      toked.unpersist(false)
+    }
+  }
 }

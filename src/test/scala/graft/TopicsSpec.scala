@@ -30,6 +30,27 @@ class TopicsSpec extends SparkSpec {
       _.map(_.getLong(1)).sorted.sameElements(1L to 3L)))
   }
 
+  test("qualityEnsemble: each signal catches its own planted failure mode") {
+    // ≥50 distinct words (Gopher's floor), stopwords present, mean
+    // word length ≥3, no repeated bigrams
+    val prose = ((0 until 58).map(i => s"word${('a' + i % 26).toChar}$i") ++
+      Seq("the", "and")).mkString(" ")
+    val docs = Seq(
+      (1L, prose),                                   // clean: keeps
+      (2L, "aaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaa"),      // zero entropy
+      (3L, ("spam ham " * 40).trim),                 // repetition
+      (4L, "!!! ### ??? *** $$$ %%% @@@ ^^^")        // quality + gopher
+    ).toDF("doc_id", "text")
+    val out = graft.ops.Pipeline.qualityEnsemble(docs).collect()
+      .map(r => r.getLong(0) ->
+        (r.getBoolean(5), r.getBoolean(6), r.getBoolean(7), r.getBoolean(8),
+          r.getBoolean(9))).toMap
+    assert(out(1L)._5, s"clean doc dropped: ${out(1L)}")
+    assert(out(2L)._3 && !out(2L)._5, s"degenerate entropy: ${out(2L)}")
+    assert(out(3L)._4 && !out(3L)._5, s"repetition: ${out(3L)}")
+    assert(out(4L)._1 && !out(4L)._5, s"symbol soup: ${out(4L)}")
+  }
+
   test("topics: partitioning-invariant and window-free over the vocabulary") {
     val d = spark.read.parquet(s"$sfDir/documents.parquet")
     val x = Topics.topics(d).collect().map(_.toString)
