@@ -1781,6 +1781,39 @@ object OracleSql {
     * literals are 1-indexed like the Spark `element_at` calls they
     * mirror.
     */
+  /** Mixed-container triage (mirror of the mm_media_triage wiring:
+    * doc_id%3 picks raw/WAV/PNG, each synth keeps its own %10 corrupt
+    * members): detection, sizes, and content units all re-derived from
+    * doc_id arithmetic + text length — a hash match proves the Spark
+    * triage detected containers from the actual bytes and routed each
+    * to the right parser's field formulas.
+    */
+  val mmMediaTriage: String =
+    """WITH m AS (SELECT doc_id,
+      |  LEAST(octet_length(text::BLOB), 400) AS dlen,
+      |  octet_length(text::BLOB) AS rawlen,
+      |  doc_id % 3 AS cls, doc_id % 10 = 0 AS corrupt
+      |  FROM documents),
+      |w AS (SELECT *,
+      |  (1 + doc_id % 2) * (CASE WHEN doc_id % 3 = 0 THEN 8 ELSE 16 END) // 8 AS ba,
+      |  (8000 + (doc_id % 5) * 4000) *
+      |    ((1 + doc_id % 2) * (CASE WHEN doc_id % 3 = 0 THEN 8 ELSE 16 END) // 8) AS br,
+      |  16 + (doc_id % 7) * 9 AS pw, 9 + (doc_id % 5) * 7 AS ph
+      |  FROM m),
+      |d AS (SELECT doc_id, dlen, rawlen, br, pw, ph,
+      |  CASE WHEN cls = 1 AND NOT corrupt THEN 'wav'
+      |       WHEN cls = 2 AND NOT corrupt THEN 'png'
+      |       ELSE 'unknown' END AS detected
+      |  FROM w)
+      |SELECT doc_id, detected,
+      |  (CASE WHEN detected = 'wav' THEN dlen + 44
+      |        WHEN detected = 'png' THEN dlen + 57
+      |        ELSE rawlen END)::BIGINT AS payload_bytes,
+      |  detected <> 'unknown' AS valid,
+      |  (CASE WHEN detected = 'wav' THEN (dlen * 1000) // br
+      |        WHEN detected = 'png' THEN pw * ph END)::BIGINT AS content_units
+      |FROM d ORDER BY doc_id""".stripMargin
+
   val mmPngMeta: String =
     """WITH m AS (SELECT doc_id,
       |  16 + (doc_id % 7) * 9 AS w,

@@ -103,6 +103,11 @@ object SparkEntry {
     // recall bounds + plan/round-trip contracts in LangClassifierSpec
     "text_langid_learned" -> ((s, dir) =>
       graft.text.LangClassifier.trainScoreQuery(t(s, dir, "documents"))),
+    // rows-only like text_langid_learned; the model-at-rest round trip
+    // through the driver gate (save/load bitwise is spec'd)
+    "text_langid_learned_persisted" -> ((s, dir) =>
+      graft.text.LangClassifier.trainSaveScoreQuery(t(s, dir, "documents"),
+        "graft_lang_model_rt", path = Some(s"${tempDir("lang_model")}/tbl"))),
     "text_fingerprint" -> ((s, dir) => TextAnalysis.fingerprint(t(s, dir, "documents"))),
     "text_chunks" -> ((s, dir) => TextAnalysis.chunks(t(s, dir, "documents"))),
     "text_dup_chunk_ratio" -> ((s, dir) => TextAnalysis.dupChunkRatio(t(s, dir, "documents"))),
@@ -527,6 +532,25 @@ object SparkEntry {
           col("ihdr_crc_ok"), col("header_consistent"))
         .orderBy(col("doc_id"))
     }),
+    // container triage over a mixed blob column: detect by magic
+    // bytes, parse the matching codec, one uniform row per blob; the
+    // mixing joins exist only to SYNTHESIZE the test corpus —
+    // production triage reads one payload column as-is
+    "mm_media_triage" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val d = col("doc_id")
+      val w = graft.multimodal.Binary.Wav.synthFromDocs(docs)
+        .select(d, col("payload").as("wp"))
+      val g = graft.multimodal.Binary.Png.synthFromDocs(docs)
+        .select(d, col("payload").as("gp"))
+      val mixed = docs.select(d, col("text"))
+        .join(w, Seq("doc_id")).join(g, Seq("doc_id"))
+        .select(d,
+          when(d % 3 === 1, col("wp"))
+            .when(d % 3 === 2, col("gp"))
+            .otherwise(col("text").cast("binary")).as("payload"))
+      graft.multimodal.Binary.triage(mixed).orderBy(d)
+    }),
     "lsh_config" -> ((s, dir) => {
       import s.implicits._
       val grid = for {
@@ -758,5 +782,6 @@ object SparkEntry {
     "mm_binary_meta" -> OracleSql.mmBinaryMeta,
     "mm_wav_meta" -> OracleSql.mmWavMeta,
     "mm_png_meta" -> OracleSql.mmPngMeta,
+    "mm_media_triage" -> OracleSql.mmMediaTriage,
   )
 }

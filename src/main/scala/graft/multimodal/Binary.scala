@@ -152,7 +152,7 @@ object Binary {
     private def magic(payload: Column, off: Int, s: String): Column =
       substring(payload, off, s.length) === lit(s.getBytes("US-ASCII"))
 
-    private val Signature: Array[Byte] =
+    private[multimodal] val Signature: Array[Byte] =
       Array(0x89.toByte, 'P'.toByte, 'N'.toByte, 'G'.toByte, 0x0D, 0x0A, 0x1A, 0x0A)
 
     /** Big-endian hex of an integral column, `n` bytes. */
@@ -324,6 +324,38 @@ object Binary {
   /** Metadata stats over the media table — schema/partitioning surface
     * checkable against a SQL oracle (payload hashes + sizes).
     */
+  /** Container triage over a MIXED blob column — the first pass any
+    * multimodal ingest runs on 100 TB of unlabeled payloads: detect
+    * the container by magic bytes, parse the matching header codec's
+    * fields, and emit one uniform row per blob (detected type, size,
+    * structural validity, and a per-type content measure — audio
+    * milliseconds for WAV, pixels for PNG). Routing happens INSIDE the
+    * projection (both parsers are pure codegen column expressions over
+    * the same payload, gated by the detection CASE), so triage is one
+    * narrow map over the blob scan — no shuffle, no per-type job, no
+    * UDF. Declared media_type metadata is deliberately ignored: at
+    * crawl scale the label lies; the bytes decide.
+    */
+  def triage(media: DataFrame, payloadCol: String = "payload"): DataFrame = {
+    val p = col(payloadCol)
+    val detected =
+      when(length(p) >= 4 &&
+          substring(p, 1, 4) === lit("RIFF".getBytes("US-ASCII")), "wav")
+        .when(length(p) >= 8 && substring(p, 1, 8) === lit(Png.Signature), "png")
+        .otherwise("unknown")
+    val keep = media.columns.map(col)
+    val afterWav = Wav.parse(media, payloadCol)
+      .select(keep :+ col("wav_valid") :+ col("duration_ms"): _*)
+    Png.parse(afterWav, payloadCol)
+      .select(col("doc_id"), detected.as("detected"),
+        length(p).cast("long").as("payload_bytes"),
+        when(detected === "wav", col("wav_valid"))
+          .when(detected === "png", col("png_valid"))
+          .otherwise(lit(false)).as("valid"),
+        when(detected === "wav", col("duration_ms"))
+          .when(detected === "png", col("n_pixels")).as("content_units"))
+  }
+
   def metadataStats(docs: DataFrame): DataFrame =
     asMediaTable(docs)
       .select(

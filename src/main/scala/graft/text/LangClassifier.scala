@@ -227,4 +227,27 @@ object LangClassifier {
       .orderBy(col("doc_id"))
     graft.ops.Caching.materialized(out) { planted.unpersist(false) }
   }
+
+  /** The persisted driver row ([[QualityClassifier.trainSaveScoreQuery]]'s
+    * language twin): train (sampled) → [[saveModel]] → [[loadModel]] →
+    * score the marker-stripped corpus from the LOADED per-class
+    * weights — train-once/score-many; bitwise save/load is already
+    * spec'd, this row exercises it through the driver gate. Rows-only
+    * (float fit, like `text_langid_learned`).
+    */
+  def trainSaveScoreQuery(docs: DataFrame, table: String,
+      path: Option[String] = None, d: Int = 256,
+      sampleFrac: Double = 0.25,
+      maxIter: Int = QualityClassifier.DriverRowMaxIter): DataFrame = {
+    val spark = docs.sparkSession
+    val planted = plantedCorpus(docs).persist(StorageLevel.MEMORY_AND_DISK)
+    val model = train(planted, d, maxIter = maxIter, sampleFrac = sampleFrac)
+    saveModel(model, spark, table, path)
+    val out = score(stripMarkers(planted), loadModel(spark, table))
+      .join(planted.select(col("doc_id"), col("lang_true")), Seq("doc_id"))
+      .select(col("doc_id"), col("lang_true"), col("pred_lang"),
+        (col("pred_lang") === col("lang_true")).as("correct"))
+      .orderBy(col("doc_id"))
+    graft.ops.Caching.materialized(out) { planted.unpersist(false) }
+  }
 }

@@ -65,6 +65,17 @@ class LangClassifierSpec extends SparkSpec {
       s"scoring lost the codegen kernel:\n$phys")
   }
 
+  test("persisted driver row: loaded-weights scoring stays accurate on the stripped corpus") {
+    val d = spark.read.parquet(s"$sfDir/documents.parquet")
+    val tmp = java.nio.file.Files.createTempDirectory("graft_lang_rt").toString
+    val out = graft.text.LangClassifier.trainSaveScoreQuery(d,
+      "graft_lang_model_rt_spec", path = Some(s"$tmp/m")).collect()
+    assert(out.nonEmpty)
+    val acc = out.count(_.getAs[Boolean]("correct")).toDouble / out.length
+    assert(acc >= 0.95, s"persisted-row accuracy $acc")
+    spark.sql("DROP TABLE IF EXISTS graft_lang_model_rt_spec")
+  }
+
   test("model-at-rest round trip serves bitwise-identical predictions") {
     val model = LangClassifier.train(planted, d = 64, sampleFrac = 0.5)
     LangClassifier.saveModel(model, spark, "graft_langid_model_spec")

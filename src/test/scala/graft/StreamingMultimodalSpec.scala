@@ -494,6 +494,31 @@ class StreamingMultimodalSpec extends SparkSpec {
     assert(invalid === docs.filter(col("doc_id") % 10 === 0).count())
   }
 
+  test("triage: magic-byte routing to the right parser; detected-but-corrupt stays invalid") {
+    val media = Seq(
+      (1L, wavBytes(2, 16000, 16, Array.fill[Byte](6400)(3))), // 100ms of audio
+      (2L, pngBytes(20, 10, 8, 2, 0, Array.fill[Byte](50)(9))),
+      (3L, "just some text bytes".getBytes("UTF-8")),
+      (4L, wavBytes(1, 8000, 16, Array.fill[Byte](10)(1)).take(40)), // truncated RIFF
+      (5L, Array.emptyByteArray)
+    ).toDF("doc_id", "payload")
+    val got = Binary.triage(media).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[String]("detected"), r.getAs[Long]("payload_bytes"),
+          r.getAs[Boolean]("valid"),
+          if (r.isNullAt(r.fieldIndex("content_units"))) -1L
+          else r.getAs[Long]("content_units"))).toMap
+    assert(got(1L) === (("wav", 6444L, true, 100L)))
+    assert(got(2L) === (("png", 8 + 25 + 62 + 12L, true, 200L)))
+    assert(got(3L) === (("unknown", 20L, false, -1L)))
+    // magic says wav, structure says no: detection routes, validity gates
+    assert(got(4L) === (("wav", 40L, false, -1L)))
+    assert(got(5L) === (("unknown", 0L, false, -1L)))
+    // the whole triage is one narrow projection — no exchange
+    val phys = Binary.triage(media).queryExecution.executedPlan.toString
+    assert(!phys.contains("Exchange"), s"triage shuffles:\n$phys")
+  }
+
   test("frameSample: exact byte-range slices with provenance; map-only plan") {
     // 10-byte payload, 4-byte frames, step 2 → frames {0, 2}; the last
     // frame truncates to the remaining 2 bytes
