@@ -67,6 +67,7 @@ object SparkEntry {
     "q_window_running" -> ((s, dir) => Relational.runningCustomerSpend(t(s, dir, "orders"))),
     "events_sessionize" -> ((s, dir) => EventOps.sessionize(t(s, dir, "events"))),
     "events_windowed" -> ((s, dir) => EventOps.hourlyRollup(t(s, dir, "events"))),
+    "events_cube" -> ((s, dir) => EventOps.cubeRollup(t(s, dir, "events"))),
     "events_percentiles" -> ((s, dir) => EventOps.valuePercentiles(t(s, dir, "events"))),
     // rows-only: the GK sketch has no cross-engine oracle (declared);
     // accuracy property-spec'd vs exact in RelationalSpec
@@ -648,6 +649,15 @@ object SparkEntry {
         |FROM events
         |GROUP BY 1, 2
         |ORDER BY hour_bucket, event_type""".stripMargin,
+    "events_cube" ->
+      """WITH e AS (SELECT event_type,
+        |  (epoch_us(ts) // 3600000000) % 24 AS hour_of_day, value FROM events)
+        |SELECT event_type, hour_of_day,
+        |  GROUPING(event_type, hour_of_day)::BIGINT AS gid,
+        |  count(*) AS n_events,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM e GROUP BY CUBE(event_type, hour_of_day)
+        |ORDER BY gid, event_type, hour_of_day""".stripMargin,
     "events_range_join" ->
       """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us
         |  FROM events WHERE epoch_us(ts) IS NOT NULL)

@@ -371,6 +371,24 @@ object EventOps {
         sum(dec(col("value"))).cast("double").as("sum_value"))
       .orderBy(col("hour_bucket"), col("event_type"))
 
+  /** Multi-dimensional CUBE rollup: every (event_type × hour-of-day)
+    * aggregation level in ONE pass — totals by type, by hour, by both,
+    * and grand total, each row tagged with its `grouping_id` (the
+    * OLAP dashboard feed). Catalyst expands the cube as a single
+    * map-side-partial aggregate over the 4 grouping sets — one
+    * shuffle, not four jobs; value sums in exact decimal.
+    */
+  def cubeRollup(events: DataFrame): DataFrame =
+    microsOfTs(events)
+      .select(col("event_type"),
+        (expr("us div 3600000000") % 24).as("hour_of_day"), col("value"))
+      .cube(col("event_type"), col("hour_of_day"))
+      .agg(grouping_id().as("gid"), count(lit(1)).as("n_events"),
+        sum(dec(col("value"))).cast("double").as("sum_value"))
+      .select(col("event_type"), col("hour_of_day"), col("gid"),
+        col("n_events"), col("sum_value"))
+      .orderBy(col("gid"), col("event_type"), col("hour_of_day"))
+
   /** SLIDING (hopping) window aggregation: 1-hour windows every 15
     * minutes — each event contributes to window/slide = 4 overlapping
     * windows (the batch face of Structured Streaming's
