@@ -380,4 +380,13 @@ class PlanContractSpec extends SparkSpec {
     val ex = "Exchange".r.findAllIn(physical(widened)).size
     assert(ex === 1, s"expected exactly the widening exchange:\n${physical(widened)}")
   }
+
+  test("events_cube: one Expand feeding one partial-aggregated shuffle, not a job per level") {
+    val phys = physical(q("events_cube"))
+    assert(phys.contains("Expand"), s"cube not expanded in-plan:\n$phys")
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(phys).size
+    assert(hashEx === 1, s"expected exactly the one cube agg shuffle, got $hashEx:\n$phys")
+    assert(phys.contains("partial_count") || phys.contains("partial count") ||
+      phys.contains("HashAggregate"), s"cube agg not map-side combined:\n$phys")
+  }
 }
