@@ -48,5 +48,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("gaussian_project"),
       info("gaussian_project", "gaussian_project(v, outDim, dim, seed) - seeded JL Gaussian projection"),
       (es: Seq[Expression]) => GraftFunctions.projectFromSql(es)))
+    ext.injectFunction((FunctionIdentifier("jpeg_sof_offset"),
+      info("jpeg_sof_offset", "jpeg_sof_offset(payload) - 1-based SOFn marker offset, NULL for non-JPEG"),
+      (es: Seq[Expression]) => graft.expressions.JpegSofOffset(es.head)))
   }
 }

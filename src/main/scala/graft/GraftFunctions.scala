@@ -79,6 +79,13 @@ object GraftFunctions {
     GraftColumnBridge.column(
       graft.expressions.CharEntropyStats(GraftColumnBridge.expression(v)))
 
+  /** 1-based offset of a JPEG frame header (SOFn) marker, NULL for
+    * non-JPEG payloads; see [[graft.expressions.JpegSofOffset]].
+    */
+  def jpeg_sof_offset(v: Column): Column =
+    GraftColumnBridge.column(
+      graft.expressions.JpegSofOffset(GraftColumnBridge.expression(v)))
+
   // ---- portable 64-bit hashing ----
   /** Deterministic 60-bit positive hash of a string, identically
     * computable in any engine with `md5` (the DuckDB oracle uses
@@ -132,6 +139,8 @@ object GraftFunctions {
       es => graft.expressions.DeflateSize(es.head), "scala_udf")
     reg.createOrReplaceTempFunction("char_entropy_stats",
       es => graft.expressions.CharEntropyStats(es.head), "scala_udf")
+    reg.createOrReplaceTempFunction("jpeg_sof_offset",
+      es => graft.expressions.JpegSofOffset(es.head), "scala_udf")
     reg.createOrReplaceTempFunction("det_ln",
       es => DetLnExpr(es.head), "scala_udf")
     reg.createOrReplaceTempFunction("gaussian_project",

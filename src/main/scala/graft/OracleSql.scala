@@ -1782,36 +1782,47 @@ object OracleSql {
     * mirror.
     */
   /** Mixed-container triage (mirror of the mm_media_triage wiring:
-    * doc_id%3 picks raw/WAV/PNG, each synth keeps its own %10 corrupt
-    * members): detection, sizes, and content units all re-derived from
-    * doc_id arithmetic + text length — a hash match proves the Spark
-    * triage detected containers from the actual bytes and routed each
-    * to the right parser's field formulas.
+    * doc_id%4 picks raw/WAV/PNG/JPEG, each synth keeps its own %10
+    * corrupt members): detection, sizes, and content units all
+    * re-derived from doc_id arithmetic + text length — a hash match
+    * proves the Spark triage detected containers from the actual
+    * bytes and routed each to the right parser's field formulas. The
+    * JPEG byte total mirrors Binary.Jpeg.synthFromDocs segment by
+    * segment: SOI(2) + APP0(18) + COM1(4+c1) [+ COM2(4+c2) every
+    * third doc] + SOF(10+3·nc) + SOS(8+2·nc) + data(8) + EOI(2).
     */
   val mmMediaTriage: String =
     """WITH m AS (SELECT doc_id,
       |  LEAST(octet_length(text::BLOB), 400) AS dlen,
       |  octet_length(text::BLOB) AS rawlen,
-      |  doc_id % 3 AS cls, doc_id % 10 = 0 AS corrupt
+      |  LEAST(octet_length(text::BLOB), 5 + doc_id % 37) AS c1,
+      |  CASE WHEN doc_id % 3 = 0
+      |    THEN LEAST(GREATEST(octet_length(text::BLOB) - 5, 0), 3 + doc_id % 11)
+      |    ELSE NULL END AS c2,
+      |  CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 3 END AS nc,
+      |  doc_id % 4 AS cls, doc_id % 10 = 0 AS corrupt
       |  FROM documents),
       |w AS (SELECT *,
-      |  (1 + doc_id % 2) * (CASE WHEN doc_id % 3 = 0 THEN 8 ELSE 16 END) // 8 AS ba,
       |  (8000 + (doc_id % 5) * 4000) *
       |    ((1 + doc_id % 2) * (CASE WHEN doc_id % 3 = 0 THEN 8 ELSE 16 END) // 8) AS br,
-      |  16 + (doc_id % 7) * 9 AS pw, 9 + (doc_id % 5) * 7 AS ph
+      |  16 + (doc_id % 7) * 9 AS pw, 9 + (doc_id % 5) * 7 AS ph,
+      |  120 + doc_id % 33 AS jh, 160 + doc_id % 21 AS jw
       |  FROM m),
-      |d AS (SELECT doc_id, dlen, rawlen, br, pw, ph,
+      |d AS (SELECT doc_id, dlen, rawlen, c1, c2, nc, br, pw, ph, jh, jw,
       |  CASE WHEN cls = 1 AND NOT corrupt THEN 'wav'
       |       WHEN cls = 2 AND NOT corrupt THEN 'png'
+      |       WHEN cls = 3 AND NOT corrupt THEN 'jpeg'
       |       ELSE 'unknown' END AS detected
       |  FROM w)
       |SELECT doc_id, detected,
       |  (CASE WHEN detected = 'wav' THEN dlen + 44
       |        WHEN detected = 'png' THEN dlen + 57
+      |        WHEN detected = 'jpeg' THEN 52 + c1 + 5 * nc + COALESCE(4 + c2, 0)
       |        ELSE rawlen END)::BIGINT AS payload_bytes,
       |  detected <> 'unknown' AS valid,
       |  (CASE WHEN detected = 'wav' THEN (dlen * 1000) // br
-      |        WHEN detected = 'png' THEN pw * ph END)::BIGINT AS content_units
+      |        WHEN detected = 'png' THEN pw * ph
+      |        WHEN detected = 'jpeg' THEN jw * jh END)::BIGINT AS content_units
       |FROM d ORDER BY doc_id""".stripMargin
 
   val mmPngMeta: String =
@@ -1843,6 +1854,41 @@ object OracleSql {
       |  CASE WHEN invalid THEN NULL ELSE TRUE END AS ihdr_crc_ok,
       |  CASE WHEN invalid THEN NULL ELSE TRUE END AS header_consistent
       |FROM p ORDER BY doc_id""".stripMargin
+
+  /** Mirror of Binary.Jpeg.synthFromDocs ∘ parse: every field —
+    * including the VARIABLE sof_offset, which moves with the
+    * synthesized comment-train lengths — re-derived from doc_id
+    * arithmetic, so a hash match proves the codegen segment walk
+    * located the frame header in the actual bytes. Offset formula:
+    * SOI(2) + APP0(18) + COM1(4+c1) [+ COM2(4+c2) on every third doc]
+    * puts the SOF 0xFF at 0-based 24+c1[+4+c2] → 1-based 25+c1[+…].
+    */
+  val mmJpegMeta: String =
+    """WITH m AS (SELECT doc_id,
+      |  LEAST(octet_length(text::BLOB), 5 + doc_id % 37) AS c1,
+      |  CASE WHEN doc_id % 3 = 0
+      |    THEN LEAST(GREATEST(octet_length(text::BLOB) - 5, 0), 3 + doc_id % 11)
+      |    ELSE NULL END AS c2,
+      |  CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 3 END AS nc,
+      |  doc_id % 4 = 0 AS prog,
+      |  120 + doc_id % 33 AS h,
+      |  160 + doc_id % 21 AS w,
+      |  doc_id % 10 = 0 AS invalid
+      |  FROM documents)
+      |SELECT doc_id,
+      |  CASE WHEN invalid THEN 'text/plain' ELSE 'image/jpeg' END AS media_type,
+      |  NOT invalid AS jpeg_valid,
+      |  (CASE WHEN invalid THEN NULL
+      |        ELSE 25 + c1 + COALESCE(4 + c2, 0) END)::BIGINT AS sof_offset,
+      |  CASE WHEN invalid THEN NULL ELSE prog END AS progressive,
+      |  CASE WHEN invalid THEN NULL ELSE TRUE END AS jfif_present,
+      |  (CASE WHEN invalid THEN NULL ELSE 8 END)::BIGINT AS precision_bits,
+      |  (CASE WHEN invalid THEN NULL ELSE h END)::BIGINT AS height,
+      |  (CASE WHEN invalid THEN NULL ELSE w END)::BIGINT AS width,
+      |  (CASE WHEN invalid THEN NULL ELSE nc END)::BIGINT AS n_components,
+      |  (CASE WHEN invalid THEN NULL ELSE w * h END)::BIGINT AS n_pixels,
+      |  CASE WHEN invalid THEN NULL ELSE TRUE END AS header_consistent
+      |FROM m ORDER BY doc_id""".stripMargin
 
   val dedupEmbedding: String =
     s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),

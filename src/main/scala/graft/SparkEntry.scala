@@ -68,6 +68,8 @@ object SparkEntry {
     "events_sessionize" -> ((s, dir) => EventOps.sessionize(t(s, dir, "events"))),
     "events_windowed" -> ((s, dir) => EventOps.hourlyRollup(t(s, dir, "events"))),
     "events_cube" -> ((s, dir) => EventOps.cubeRollup(t(s, dir, "events"))),
+    "events_pivot" -> ((s, dir) => EventOps.pivotByType(t(s, dir, "events"))),
+    "events_histogram" -> ((s, dir) => EventOps.valueHistogram(t(s, dir, "events"))),
     "events_percentiles" -> ((s, dir) => EventOps.valuePercentiles(t(s, dir, "events"))),
     // rows-only: the GK sketch has no cross-engine oracle (declared);
     // accuracy property-spec'd vs exact in RelationalSpec
@@ -533,6 +535,20 @@ object SparkEntry {
           col("ihdr_crc_ok"), col("header_consistent"))
         .orderBy(col("doc_id"))
     }),
+    // the variable-offset third family: the SOF marker position moves
+    // doc-by-doc with the synthesized comment train, so a hash-exact
+    // sof_offset column proves the codegen segment WALK (JpegSofOffset)
+    // located the header, not a shared constant; every other field is
+    // a BE read relative to that offset
+    "mm_jpeg_meta" -> ((s, dir) => {
+      val media = graft.multimodal.Binary.Jpeg.synthFromDocs(t(s, dir, "documents"))
+      graft.multimodal.Binary.Jpeg.parse(media)
+        .select(col("doc_id"), col("media_type"), col("jpeg_valid"), col("sof_offset"),
+          col("progressive"), col("jfif_present"), col("precision_bits"),
+          col("height"), col("width"), col("n_components"), col("n_pixels"),
+          col("header_consistent"))
+        .orderBy(col("doc_id"))
+    }),
     // container triage over a mixed blob column: detect by magic
     // bytes, parse the matching codec, one uniform row per blob; the
     // mixing joins exist only to SYNTHESIZE the test corpus —
@@ -544,11 +560,14 @@ object SparkEntry {
         .select(d, col("payload").as("wp"))
       val g = graft.multimodal.Binary.Png.synthFromDocs(docs)
         .select(d, col("payload").as("gp"))
+      val j = graft.multimodal.Binary.Jpeg.synthFromDocs(docs)
+        .select(d, col("payload").as("jp"))
       val mixed = docs.select(d, col("text"))
-        .join(w, Seq("doc_id")).join(g, Seq("doc_id"))
+        .join(w, Seq("doc_id")).join(g, Seq("doc_id")).join(j, Seq("doc_id"))
         .select(d,
-          when(d % 3 === 1, col("wp"))
-            .when(d % 3 === 2, col("gp"))
+          when(d % 4 === 1, col("wp"))
+            .when(d % 4 === 2, col("gp"))
+            .when(d % 4 === 3, col("jp"))
             .otherwise(col("text").cast("binary")).as("payload"))
       graft.multimodal.Binary.triage(mixed).orderBy(d)
     }),
@@ -658,6 +677,38 @@ object SparkEntry {
         |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM e GROUP BY CUBE(event_type, hour_of_day)
         |ORDER BY gid, event_type, hour_of_day""".stripMargin,
+    "events_pivot" ->
+      """WITH e AS (SELECT (epoch_us(ts) // 3600000000) % 24 AS hour_of_day,
+        |  event_type, value FROM events)
+        |SELECT hour_of_day,
+        |  count(*) FILTER (WHERE event_type = 'click') AS click_n,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) FILTER (WHERE event_type = 'click') AS DOUBLE) AS click_sum,
+        |  count(*) FILTER (WHERE event_type = 'error') AS error_n,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) FILTER (WHERE event_type = 'error') AS DOUBLE) AS error_sum,
+        |  count(*) FILTER (WHERE event_type = 'purchase') AS purchase_n,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) FILTER (WHERE event_type = 'purchase') AS DOUBLE) AS purchase_sum,
+        |  count(*) FILTER (WHERE event_type = 'signup') AS signup_n,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) FILTER (WHERE event_type = 'signup') AS DOUBLE) AS signup_sum,
+        |  count(*) FILTER (WHERE event_type = 'view') AS view_n,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) FILTER (WHERE event_type = 'view') AS DOUBLE) AS view_sum
+        |FROM e GROUP BY hour_of_day
+        |ORDER BY hour_of_day""".stripMargin,
+    "events_histogram" ->
+      """WITH b AS (SELECT min(value) AS lo, max(value) AS hi FROM events),
+        |binned AS (
+        |  SELECT least(CAST(floor((value - lo) / (hi - lo) * 20) AS BIGINT), 19) AS bin,
+        |    value, lo, hi
+        |  FROM events, b),
+        |g AS (
+        |  SELECT bin, count(*) AS n_events,
+        |    CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+        |    min(lo) AS lo, min(hi) AS hi
+        |  FROM binned GROUP BY bin)
+        |SELECT bin,
+        |  lo + (hi - lo) * bin / 20.0 AS bin_lo,
+        |  lo + (hi - lo) * (bin + 1) / 20.0 AS bin_hi,
+        |  n_events, sum_value
+        |FROM g ORDER BY bin""".stripMargin,
     "events_range_join" ->
       """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us
         |  FROM events WHERE epoch_us(ts) IS NOT NULL)
@@ -792,6 +843,7 @@ object SparkEntry {
     "mm_binary_meta" -> OracleSql.mmBinaryMeta,
     "mm_wav_meta" -> OracleSql.mmWavMeta,
     "mm_png_meta" -> OracleSql.mmPngMeta,
+    "mm_jpeg_meta" -> OracleSql.mmJpegMeta,
     "mm_media_triage" -> OracleSql.mmMediaTriage,
   )
 }

@@ -389,6 +389,58 @@ object EventOps {
         col("n_events"), col("sum_value"))
       .orderBy(col("gid"), col("event_type"), col("hour_of_day"))
 
+  /** Wide PIVOT: hour-of-day rows × event-type columns, each cell the
+    * (count, exact decimal value sum) for that combination — the
+    * long-to-wide reshape every BI layer asks for. The pivot values
+    * are caller-enumerated, so the plan is ONE map-side-partial
+    * aggregate with `count/sum(CASE WHEN type = v ...)` cells — no
+    * hidden distinct-collect pass over the corpus to discover the
+    * column set, and no second shuffle. Counts are coalesced to 0 so
+    * an empty (hour, type) cell is a number, not a NULL (the SQL
+    * `FILTER` convention); empty sums stay NULL.
+    */
+  def pivotByType(events: DataFrame,
+      types: Seq[String] = Seq("click", "error", "purchase", "signup", "view")): DataFrame = {
+    val wide = microsOfTs(events)
+      .select((expr("us div 3600000000") % 24).as("hour_of_day"),
+        col("event_type"), col("value"))
+      .groupBy(col("hour_of_day"))
+      .pivot("event_type", types)
+      .agg(count(lit(1)).as("n"), sum(dec(col("value"))).cast("double").as("sum"))
+    val cells = types.flatMap(v => Seq(
+      coalesce(col(s"${v}_n"), lit(0L)).as(s"${v}_n"), col(s"${v}_sum")))
+    wide.select(col("hour_of_day") +: cells: _*).orderBy(col("hour_of_day"))
+  }
+
+  /** Equi-width histogram of `value` over `nBins` bins spanning the
+    * observed [min, max] — the distribution probe behind every data
+    * profile. Two passes by construction: a 1-row global min/max
+    * aggregate rides back in as a broadcast, then one
+    * map-side-partial keyed count — both linear, no sort, no window.
+    * Bin arithmetic is plain IEEE double ops in the same expression
+    * shape as the oracle, so bin edges are cross-engine bit-exact.
+    */
+  def valueHistogram(events: DataFrame, nBins: Int = 20): DataFrame = {
+    require(nBins >= 1, s"need at least one bin, got $nBins")
+    val bounds = events.agg(min(col("value")).as("lo"), max(col("value")).as("hi"))
+    events
+      .select(col("value"))
+      .crossJoin(broadcast(bounds))
+      .select(
+        least(floor((col("value") - col("lo")) / (col("hi") - col("lo")) * lit(nBins)),
+          lit(nBins - 1L)).as("bin"),
+        col("value"), col("lo"), col("hi"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(dec(col("value"))).cast("double").as("sum_value"),
+        min(col("lo")).as("lo"), min(col("hi")).as("hi"))
+      .select(col("bin"),
+        (col("lo") + (col("hi") - col("lo")) * col("bin") / lit(nBins.toDouble)).as("bin_lo"),
+        (col("lo") + (col("hi") - col("lo")) * (col("bin") + lit(1L)) / lit(nBins.toDouble)).as("bin_hi"),
+        col("n_events"), col("sum_value"))
+      .orderBy(col("bin"))
+  }
+
   /** SLIDING (hopping) window aggregation: 1-hour windows every 15
     * minutes — each event contributes to window/slide = 4 overlapping
     * windows (the batch face of Structured Streaming's

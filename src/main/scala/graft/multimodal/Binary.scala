@@ -255,6 +255,113 @@ object Binary {
     }
   }
 
+  /** JPEG (JFIF) frame-header codec. The third container family, and
+    * the one that breaks the fixed-offset assumption [[Wav]] and
+    * [[Png]] share: a JPEG frame header (SOFn) sits after a
+    * VARIABLE-length train of APPn/COM/DQT segments, so triage needs
+    * a segment walk, not a constant offset. The walk is the custom
+    * codegen expression [[graft.expressions.JpegSofOffset]] (O(#segments)
+    * marker hops, no codec); every field read AFTER it is a fixed
+    * offset RELATIVE to the located marker, so the rest of the parse
+    * stays declarative `substr`+`conv` big-endian reads exactly like
+    * PNG. Reference treats payloads as opaque blobs (`io/parquet.py`);
+    * header triage is the beyond-reference multimodal piece.
+    */
+  object Jpeg {
+    /** Big-endian unsigned int read at a COLUMN offset (1-based) —
+      * the relative-addressing twin of [[Png.beUint]].
+      */
+    def beUintAt(payload: Column, off: Column, n: Int): Column =
+      conv(hex(payload.substr(off.cast("int"), lit(n))), 16, 10).cast("long")
+
+    /** Big-endian hex of an integral column, `n` bytes. */
+    private def beHex(v: Column, n: Int): Column = lpad(hex(v), n * 2, "0")
+
+    /** Parse the frame header fields from `payloadCol`. Adds:
+      * `jpeg_valid` (SOI magic + a SOFn marker located before the
+      * scan data), `sof_offset` (the VARIABLE 1-based marker offset —
+      * surfacing it makes the walk itself oracle-checkable),
+      * `progressive` (SOF2 vs SOF0), `jfif_present` (APP0/JFIF
+      * directly after SOI), `precision_bits`/`height`/`width`/
+      * `n_components`/`n_pixels`, and `header_consistent` (declared
+      * SOF length = 8 + 3·components, legal precision and component
+      * count, positive dimensions, frame header fits the payload).
+      * A pure projection — zero shuffles at any scale.
+      */
+    def parse(media: DataFrame, payloadCol: String = "payload"): DataFrame = {
+      val p = col(payloadCol)
+      val off = GraftFunctions.jpeg_sof_offset(p)
+      val valid = off.isNotNull
+      val marker = beUintAt(p, off + 1, 1)
+      val sofLen = beUintAt(p, off + 2, 2)
+      val precision = beUintAt(p, off + 4, 1)
+      val height = beUintAt(p, off + 5, 2)
+      val width = beUintAt(p, off + 7, 2)
+      val ncomp = beUintAt(p, off + 9, 1)
+      val jfif = length(p) >= 11 &&
+        substring(p, 7, 5) === lit(Array[Byte]('J', 'F', 'I', 'F', 0))
+      val consistent = (sofLen === ncomp * 3 + 8) && precision.isin(8L, 12L) &&
+        ncomp.isin(1L, 3L, 4L) && (width > 0) && (height > 0) &&
+        (off + 1 + sofLen <= length(p))
+      media
+        .withColumn("jpeg_valid", valid)
+        .withColumn("sof_offset", when(valid, off))
+        .withColumn("progressive", when(valid, marker === lit(0xC2L)))
+        .withColumn("jfif_present", when(valid, jfif))
+        .withColumn("precision_bits", when(valid, precision))
+        .withColumn("height", when(valid, height))
+        .withColumn("width", when(valid, width))
+        .withColumn("n_components", when(valid, ncomp))
+        .withColumn("n_pixels", when(valid, width * height))
+        .withColumn("header_consistent", when(valid, consistent))
+    }
+
+    /** Deterministic JPEG corpus from the documents table: SOI, a
+      * fixed APP0/JFIF, then a VARIABLE-length comment train — one COM
+      * of `5 + doc_id%37` text bytes, plus a second COM of
+      * `3 + doc_id%11` bytes on every third doc — before the SOF
+      * (baseline, or progressive on every fourth doc; 1 component on
+      * every fifth, else 3), then a minimal SOS + data + EOI tail.
+      * The comment lengths shift the SOF marker doc-by-doc, so a
+      * hash-exact `sof_offset` proves the segment WALK (not a shared
+      * constant) found the header. Every `invalidEvery`-th doc keeps
+      * raw text bytes to exercise the validity gate. Synthesis builds
+      * hex big-endian (the inverse code path of [[parse]]'s BE reads).
+      */
+    def synthFromDocs(docs: DataFrame, invalidEvery: Int = 10): DataFrame = {
+      val d = col("doc_id")
+      val textHex = hex(col("text").cast("binary"))
+      val textBytes = (length(textHex) / 2).cast("long")
+      // APP0/JFIF v1.1, 1x1 density, no thumbnail: fixed 18 bytes
+      val app0Hex = lit("FFE0" + "0010" + "4A46494600" + "0101" + "00" +
+        "0001" + "0001" + "00" + "00")
+      val com1Len = least(textBytes, lit(5L) + d % 37)
+      val com1Seg = concat(lit("FFFE"), beHex(com1Len + 2, 2),
+        textHex.substr(lit(1), (com1Len * 2).cast("int")))
+      val com2Len = least(greatest(textBytes - 5, lit(0L)), lit(3L) + d % 11)
+      val com2Seg = when(d % 3 === 0,
+        concat(lit("FFFE"), beHex(com2Len + 2, 2),
+          textHex.substr(lit(11), (com2Len * 2).cast("int")))).otherwise(lit(""))
+      val ncomp = when(d % 5 === 0, 1L).otherwise(3L)
+      val sofMarker = when(d % 4 === 0, "FFC2").otherwise("FFC0")
+      val h = lit(120L) + d % 33
+      val w = lit(160L) + d % 21
+      val compsHex = when(ncomp === 1, "011100").otherwise("011100" + "021100" + "031100")
+      val sofHex = concat(sofMarker, beHex(ncomp * 3 + 8, 2), beHex(lit(8L), 1),
+        beHex(h, 2), beHex(w, 2), beHex(ncomp, 1), compsHex)
+      val sosHex = when(ncomp === 1, "FFDA" + "0008" + "01" + "0100" + "003F00")
+        .otherwise("FFDA" + "000C" + "03" + "0100" + "0200" + "0300" + "003F00")
+      val jpegHex = concat(lit("FFD8"), app0Hex, com1Seg, com2Seg, sofHex, sosHex,
+        textHex.substr(lit(1), lit(16)), lit("FFD9"))
+      docs.select(
+        d,
+        when(d % invalidEvery === 0, col("text").cast("binary"))
+          .otherwise(unhex(jpegHex)).as("payload"),
+        when(d % invalidEvery === 0, lit("text/plain"))
+          .otherwise(lit("image/jpeg")).as("media_type"))
+    }
+  }
+
   /** Deterministic frame sampling BEFORE decode: every media pipeline
     * selects "each step-th fixed-size window" of a payload by pure
     * byte arithmetic on (offset, size) — no codec involved — and only
@@ -342,18 +449,27 @@ object Binary {
       when(length(p) >= 4 &&
           substring(p, 1, 4) === lit("RIFF".getBytes("US-ASCII")), "wav")
         .when(length(p) >= 8 && substring(p, 1, 8) === lit(Png.Signature), "png")
+        // SOI plus the 0xFF of the first marker — every JFIF/EXIF
+        // stream starts FF D8 FF
+        .when(length(p) >= 3 && substring(p, 1, 3) ===
+          lit(Array[Byte](0xFF.toByte, 0xD8.toByte, 0xFF.toByte)), "jpeg")
         .otherwise("unknown")
     val keep = media.columns.map(col)
     val afterWav = Wav.parse(media, payloadCol)
       .select(keep :+ col("wav_valid") :+ col("duration_ms"): _*)
-    Png.parse(afterWav, payloadCol)
+    val afterPng = Png.parse(afterWav, payloadCol)
+      .select(keep :+ col("wav_valid") :+ col("duration_ms") :+
+        col("png_valid") :+ col("n_pixels").as("png_pixels"): _*)
+    Jpeg.parse(afterPng, payloadCol)
       .select(col("doc_id"), detected.as("detected"),
         length(p).cast("long").as("payload_bytes"),
         when(detected === "wav", col("wav_valid"))
           .when(detected === "png", col("png_valid"))
+          .when(detected === "jpeg", col("jpeg_valid"))
           .otherwise(lit(false)).as("valid"),
         when(detected === "wav", col("duration_ms"))
-          .when(detected === "png", col("n_pixels")).as("content_units"))
+          .when(detected === "png", col("png_pixels"))
+          .when(detected === "jpeg", col("n_pixels")).as("content_units"))
   }
 
   def metadataStats(docs: DataFrame): DataFrame =

@@ -463,6 +463,55 @@ class RelationalSpec extends SparkSpec {
     assert(rows.map(_.getAs[Long]("n_events")).sum === events.count())
   }
 
+  test("pivotByType: wide cells reconcile with the long rollup; empty cells are 0/null") {
+    import org.apache.spark.sql.functions._
+    val wide = EventOps.pivotByType(events).collect()
+    val types = Seq("click", "error", "purchase", "signup", "view")
+    // the wide count cells cover every event exactly once
+    val total = wide.map(r => types.map(v => r.getAs[Long](s"${v}_n")).sum).sum
+    assert(total === events.count())
+    // cross-check one cell against a direct filter-count
+    val hour0Clicks = EventOps.pivotByType(events).filter(col("hour_of_day") === 0)
+      .collect().headOption.map(_.getAs[Long]("click_n")).getOrElse(0L)
+    val direct = events
+      .withColumn("us", EventOps.microsOfTsCol(events))
+      .filter(expr("us div 3600000000") % 24 === 0 && col("event_type") === "click")
+      .count()
+    assert(hour0Clicks === direct)
+    // an enumerated type absent from the data yields 0-count, null-sum cells
+    val phantom = EventOps.pivotByType(events, Seq("click", "no_such_type")).collect()
+    assert(phantom.forall(_.getAs[Long]("no_such_type_n") === 0L))
+    assert(phantom.forall(_.isNullAt(phantom.head.fieldIndex("no_such_type_sum"))))
+  }
+
+  test("pivotByType plan: one aggregate, no distinct-collect discovery pass") {
+    val phys = EventOps.pivotByType(events).queryExecution.executedPlan.toString
+    // caller-enumerated pivot values → no second job to collect the
+    // column set; the plan is a single hash aggregate chain
+    assert(!phys.contains("CollectLimit"), phys)
+    assert(phys.contains("partial_count") || phys.contains("partial_pivotfirst")
+      || phys.contains("HashAggregate"), phys)
+  }
+
+  test("valueHistogram: bins partition the value range, counts and mass reconcile") {
+    import org.apache.spark.sql.functions._
+    val bins = EventOps.valueHistogram(events).collect()
+    assert(bins.map(_.getAs[Long]("n_events")).sum === events.count())
+    val Array(lo, hi) = events.agg(min(col("value")), max(col("value")))
+      .collect().head.toSeq.map(_.asInstanceOf[Double]).toArray
+    // bin edges tile [lo, hi] in order with equal width
+    val sorted = bins.sortBy(_.getAs[Long]("bin"))
+    sorted.foreach { r =>
+      val b = r.getAs[Long]("bin")
+      assert(b >= 0 && b < 20)
+      assert(r.getAs[Double]("bin_lo") === lo + (hi - lo) * b / 20.0)
+      assert(r.getAs[Double]("bin_hi") === lo + (hi - lo) * (b + 1) / 20.0)
+    }
+    // every value landed in the bin containing it (spot-check extremes)
+    assert(sorted.head.getAs[Long]("bin") === 0L)
+    assert(sorted.last.getAs[Long]("bin") === 19L, "the max value must land in the top bin")
+  }
+
   test("pricingSummary plan: filter and pruned columns reach the parquet scan") {
     val plan = Relational.pricingSummary(lineitem).queryExecution.executedPlan.toString
     assert(plan.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"), plan)

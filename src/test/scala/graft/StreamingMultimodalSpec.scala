@@ -59,6 +59,40 @@ class StreamingMultimodalSpec extends SparkSpec {
     assert(rocks.toSeq === run("hdfs").toSeq)
   }
 
+  test("intervalJoinStreams: stream-stream pairs ≡ the batch interval join on the same data") {
+    val batchEv = Tables.load(spark, sfDir, "events")
+    val schema = batchEv.schema
+    def sideStream(tag: String, typ: String): org.apache.spark.sql.DataFrame = {
+      val tmp = java.nio.file.Files.createTempDirectory(s"ij_$tag")
+      java.nio.file.Files.createSymbolicLink(
+        tmp.resolve("events.parquet"), java.nio.file.Paths.get(s"$sfDir/events.parquet"))
+      spark.readStream.schema(schema).parquet(tmp.toString)
+        .filter(col("event_type") === typ)
+        .select(timestamp_micros(graft.events.EventOps.microsOfTsCol(batchEv)).as("ts"),
+          col("user_id"), col("event_id"))
+    }
+    val joined = Streams.intervalJoinStreams(
+      sideStream("l", "purchase"), sideStream("r", "click"))
+    val got = Streams.runOnce(spark, joined, "ij_spec", OutputMode.Append())
+      .orderBy("user_id", "l_id", "r_id").collect()
+    // batch equivalent on the same frames
+    val us = graft.events.EventOps.microsOfTsCol(batchEv)
+    val base = batchEv.select(col("event_type"), col("user_id"), col("event_id"), us.as("us"))
+    val bl = base.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("l_id"), col("us").as("l_us"))
+    val br = base.filter(col("event_type") === "click")
+      .select(col("user_id").as("r_user"), col("event_id").as("r_id"), col("us").as("r_us"))
+    val batch = bl.join(br,
+        col("user_id") === col("r_user") &&
+          col("r_us") >= col("l_us") - 300000000L && col("r_us") <= col("l_us") + 300000000L)
+      .select(col("user_id"), col("l_id"), col("r_id"),
+        (col("r_us") - col("l_us")).as("gap_us"))
+      .orderBy("user_id", "l_id", "r_id").collect()
+    assert(got.length === batch.length && got.length > 0,
+      s"stream ${got.length} vs batch ${batch.length} pairs")
+    got.zip(batch).foreach { case (g, b) => assert(g.toSeq === b.toSeq) }
+  }
+
   test("simFingerprint: byte-identical payloads collide; a tail edit stays at small hamming") {
     val base = (1 to 50).map(i => s"frame-content-$i").mkString(" ")
     val samples = Seq(
@@ -500,7 +534,10 @@ class StreamingMultimodalSpec extends SparkSpec {
       (2L, pngBytes(20, 10, 8, 2, 0, Array.fill[Byte](50)(9))),
       (3L, "just some text bytes".getBytes("UTF-8")),
       (4L, wavBytes(1, 8000, 16, Array.fill[Byte](10)(1)).take(40)), // truncated RIFF
-      (5L, Array.emptyByteArray)
+      (5L, Array.emptyByteArray),
+      (6L, jpegBytes(30, 20, 3, false, Seq(Array.fill[Byte](9)(88)))),
+      // magic says jpeg, walk finds no frame header: routed, not validated
+      (7L, Array[Byte](0xFF.toByte, 0xD8.toByte, 0xFF.toByte, 0xD9.toByte))
     ).toDF("doc_id", "payload")
     val got = Binary.triage(media).collect()
       .map(r => r.getAs[Long]("doc_id") ->
@@ -514,6 +551,9 @@ class StreamingMultimodalSpec extends SparkSpec {
     // magic says wav, structure says no: detection routes, validity gates
     assert(got(4L) === (("wav", 40L, false, -1L)))
     assert(got(5L) === (("unknown", 0L, false, -1L)))
+    // SOI(2) + COM(4+9) + SOF(4+15) + EOI(2) = 36
+    assert(got(6L) === (("jpeg", 36L, true, 600L)))
+    assert(got(7L) === (("jpeg", 4L, false, -1L)))
     // the whole triage is one narrow projection — no exchange
     val phys = Binary.triage(media).queryExecution.executedPlan.toString
     assert(!phys.contains("Exchange"), s"triage shuffles:\n$phys")
@@ -533,6 +573,114 @@ class StreamingMultimodalSpec extends SparkSpec {
     val phys = Binary.frameSample(Tables.load(spark, sfDir, "documents"))
       .queryExecution.executedPlan.toString
     assert(!phys.contains("Exchange"), s"frameSample shuffles:\n$phys")
+  }
+
+  // independent synthesis path for the JPEG parser: java.nio ByteBuffer
+  // segment writes — shares NO code with Jpeg.synthFromDocs's
+  // hex-string encoder or the JpegKernel walk
+  private def jpegBytes(width: Int, height: Int, nComp: Int, progressive: Boolean,
+      preamble: Seq[Array[Byte]], fillBytes: Int = 0): Array[Byte] = {
+    import java.nio.ByteBuffer
+    def seg(marker: Int, payload: Array[Byte]): Array[Byte] =
+      ByteBuffer.allocate(4 + payload.length)
+        .put(0xFF.toByte).put(marker.toByte)
+        .putShort((payload.length + 2).toShort).put(payload).array()
+    val comps = (1 to nComp).flatMap(i => Seq(i.toByte, 0x11.toByte, 0.toByte)).toArray
+    val sof = ByteBuffer.allocate(6 + comps.length)
+      .put(8.toByte).putShort(height.toShort).putShort(width.toShort)
+      .put(nComp.toByte).put(comps).array()
+    Array[Byte](0xFF.toByte, 0xD8.toByte) ++
+      preamble.flatMap(p => seg(0xFE, p)) ++
+      Array.fill[Byte](fillBytes)(0xFF.toByte) ++
+      seg(if (progressive) 0xC2 else 0xC0, sof) ++
+      Array[Byte](0xFF.toByte, 0xD9.toByte)
+  }
+
+  test("Jpeg.parse walks a variable comment train to the SOF; edge markers handled") {
+    val cases = Seq(
+      (1L, jpegBytes(640, 480, 3, false, Seq(Array.fill[Byte](7)(65)))),
+      (2L, jpegBytes(33, 77, 1, true, Seq(Array.fill[Byte](200)(66), Array.fill[Byte](3)(67)))),
+      // fill bytes (extra 0xFF padding) before the SOF marker are legal
+      (3L, jpegBytes(100, 50, 3, false, Seq.empty, fillBytes = 2)),
+      // no comment train at all: SOF directly after SOI
+      (4L, jpegBytes(8, 8, 1, false, Seq.empty)))
+    val corrupt = Seq(
+      (90L, "not a jpeg at all, just text bytes".getBytes("UTF-8")),
+      // SOS with no SOF before it: walk must stop, not misread scan data
+      (91L, Array[Byte](0xFF.toByte, 0xD8.toByte, 0xFF.toByte, 0xDA.toByte,
+        0, 8, 1, 1, 0, 0, 0x3F, 0)),
+      (92L, jpegBytes(10, 10, 1, false, Seq.empty).take(6)), // truncated mid-segment
+      (93L, Array.emptyByteArray))
+    val media = (cases ++ corrupt).toDF("doc_id", "payload")
+    val got = Binary.Jpeg.parse(media).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    Seq((1L, 640L, 480L, 3L, false), (2L, 33L, 77L, 1L, true),
+      (3L, 100L, 50L, 3L, false), (4L, 8L, 8L, 1L, false)).foreach {
+      case (id, w, h, nc, prog) =>
+        val r = got(id)
+        assert(r.getAs[Boolean]("jpeg_valid"), s"doc $id should parse as JPEG")
+        assert(r.getAs[Long]("width") === w)
+        assert(r.getAs[Long]("height") === h)
+        assert(r.getAs[Long]("n_components") === nc)
+        assert(r.getAs[Boolean]("progressive") === prog)
+        assert(r.getAs[Long]("precision_bits") === 8L)
+        assert(r.getAs[Boolean]("header_consistent"), s"doc $id consistency")
+    }
+    // the located offset really is variable: doc 2's longer comment
+    // train pushes its SOF past doc 1's
+    assert(got(2L).getAs[Long]("sof_offset") > got(1L).getAs[Long]("sof_offset"))
+    // doc 4 has no preamble: SOF at 1-based offset 3
+    assert(got(4L).getAs[Long]("sof_offset") === 3L)
+    corrupt.foreach { case (id, _) =>
+      assert(!got(id).getAs[Boolean]("jpeg_valid"), s"doc $id must be rejected")
+      assert(got(id).isNullAt(got(id).fieldIndex("sof_offset")))
+    }
+  }
+
+  test("JpegKernel: DHT (0xC4) is skipped, not mistaken for a frame header") {
+    import java.nio.ByteBuffer
+    def seg(marker: Int, payload: Array[Byte]): Array[Byte] =
+      ByteBuffer.allocate(4 + payload.length)
+        .put(0xFF.toByte).put(marker.toByte)
+        .putShort((payload.length + 2).toShort).put(payload).array()
+    val sofPayload = ByteBuffer.allocate(9).put(8.toByte)
+      .putShort(10.toShort).putShort(20.toShort).put(1.toByte)
+      .put(Array[Byte](1, 0x11, 0)).array()
+    val bytes = Array[Byte](0xFF.toByte, 0xD8.toByte) ++
+      seg(0xC4, Array.fill[Byte](5)(0)) ++ // DHT: in the 0xC0–0xCF range but NOT a SOF
+      seg(0xC0, sofPayload)
+    val off = graft.expressions.JpegKernel.sofOffset(bytes)
+    assert(off === 2L + 9L + 1L, "walk must hop over the DHT segment") // SOI + DHT(4+5) + 1-based
+    // and a standalone RST marker (no length field) advances by 2
+    val withRst = Array[Byte](0xFF.toByte, 0xD8.toByte, 0xFF.toByte, 0xD0.toByte) ++
+      seg(0xC0, sofPayload)
+    assert(graft.expressions.JpegKernel.sofOffset(withRst) === 5L)
+  }
+
+  test("Jpeg synth∘parse is map-only and header_consistent corpus-wide") {
+    val docs = Tables.load(spark, sfDir, "documents")
+    val parsed = Binary.Jpeg.parse(Binary.Jpeg.synthFromDocs(docs))
+    val phys = parsed.queryExecution.executedPlan.toString
+    assert(!phys.contains("Exchange"), s"Jpeg parse shuffles:\n$phys")
+    assert(!phys.contains("BatchEvalPython") && !phys.contains("UDF"),
+      s"Jpeg parse leaves codegen:\n$phys")
+    val agg = parsed.agg(
+      count(lit(1)).as("n"),
+      sum(when(col("jpeg_valid"), 1L).otherwise(0L)).as("n_valid"),
+      sum(when(col("header_consistent"), 1L).otherwise(0L)).as("n_consistent"),
+      sum(when(col("jfif_present"), 1L).otherwise(0L)).as("n_jfif"),
+      sum(when(col("jpeg_valid") && !col("header_consistent"), 1L).otherwise(0L)).as("bad"),
+      count_distinct(col("sof_offset")).as("n_offsets")
+    ).collect()(0)
+    val n = agg.getAs[Long]("n")
+    assert(n > 0 && agg.getAs[Long]("bad") === 0L)
+    assert(agg.getAs[Long]("n_valid") === agg.getAs[Long]("n_consistent"))
+    assert(agg.getAs[Long]("n_jfif") === agg.getAs[Long]("n_valid"))
+    // the comment train really moves the frame header around
+    assert(agg.getAs[Long]("n_offsets") > 10L,
+      "sof_offset should vary across the corpus (variable-length preamble)")
+    val invalid = n - agg.getAs[Long]("n_valid")
+    assert(invalid === docs.filter(col("doc_id") % 10 === 0).count())
   }
 
   test("metadataStats hash equals md5 of the text") {
