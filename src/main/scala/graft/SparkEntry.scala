@@ -311,6 +311,13 @@ object SparkEntry {
     // JL random projection: 64 -> 16 dims, seeded planes, zero state
     "vec_project" -> ((s, dir) =>
       graft.ann.Project.projectQuery(t(s, dir, "embeddings"))),
+    // rows-only (float fit, the quality_classifier convention): the
+    // data-derived compression lever — one GramMoments corpus pass,
+    // driver-side Jacobi, components served as codegen plan literals;
+    // orthonormality/eigen-order/variance/planted-axis/independent-
+    // power-iteration parity all pinned in PcaSpec
+    "vec_pca" -> ((s, dir) =>
+      graft.ann.Pca.query(t(s, dir, "embeddings"), d = 64, k = 8)),
     // compressed candidates, exact rerank: IVF probing in the 16-dim
     // projected space, full-precision cosine only on probed candidates
     "ann_ivf_projected" -> ((s, dir) => {

@@ -353,4 +353,39 @@ object LshIndex {
     if (validate) validateIndex(idx, p, "the graft.lsh.params table property")
     (idx, p)
   }
+
+  /** Incrementally index new vectors into a [[saveBucketed]] table —
+    * the at-rest twin of [[add]] (reference: core/main.py:340 ingest
+    * against the live Redis store). Signatures are computed under the
+    * table's OWN stored params (so an add can never silently mix
+    * plane families) and appended bucket-aligned, with the bucket
+    * count read from the catalog — the append cannot break the
+    * bucketing that makes reloaded collision joins exchange-free.
+    * At 100 TB the add touches only the new rows, never the index.
+    */
+  def addToBucketed(spark: SparkSession, newVectors: DataFrame, table: String): Unit = {
+    val meta = spark.sessionState.catalog.getTableMetadata(
+      org.apache.spark.sql.catalyst.TableIdentifier(table))
+    val spec = meta.bucketSpec.getOrElse(throw new IllegalArgumentException(
+      s"table $table is not bucketed — not a saveBucketed table"))
+    val (_, p) = loadBucketed(spark, table, validate = false)
+    build(newVectors, p).write.mode("append")
+      .bucketBy(spec.numBuckets, "band", "sig").sortBy("band", "sig")
+      .format("parquet")
+      .saveAsTable(table)
+  }
+
+  /** Compact a [[saveBucketed]] table after repeated [[addToBucketed]]
+    * appends — the close of the LSH at-rest lifecycle (build → serve →
+    * add → compact), completing the same maintenance surface the IVF
+    * and PQ families have ([[graft.ann.Ivf.compactIndex]] /
+    * [[graft.ann.Pq.compactCellIndex]]; reference analogue:
+    * `storage/redis.py:419,590`). One bucketed rewrite via
+    * [[graft.ops.Compaction.rewriteBucketed]] returns every (band,
+    * sig) bucket to a single file; the bucket/sort spec and the
+    * `graft.lsh.params` property survive, so post-compact collision
+    * joins stay exchange-free and the plane family is unchanged.
+    */
+  def compactBucketed(spark: SparkSession, table: String): Unit =
+    graft.ops.Compaction.rewriteBucketed(spark, table)
 }

@@ -56,8 +56,13 @@ object Compaction {
     // false (disabled by query planner)"), which re-emits the append
     // debris one file per task. The raw parquet read carries no
     // bucketing metadata, so the compacting shuffle genuinely runs.
+    // repartition on ALL bucket columns: HashPartitioning over the
+    // full column list is what matches the bucket layout's hash — a
+    // prefix (e.g. `band` alone for a (band, sig) index) would spread
+    // each bucket's rows over several tasks and re-emit multi-file
+    // buckets
     val rows = transform(spark.read.parquet(meta.location.toString))
-      .repartition(spec.numBuckets, col(spec.bucketColumnNames.head))
+      .repartition(spec.numBuckets, spec.bucketColumnNames.map(col): _*)
     val w0 = rows.write.mode("overwrite").format("parquet")
       .bucketBy(spec.numBuckets,
         spec.bucketColumnNames.head, spec.bucketColumnNames.tail: _*)

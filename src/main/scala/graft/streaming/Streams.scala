@@ -49,6 +49,33 @@ object Streams {
       .select(col("window.start").as("window_start"), col("event_type"),
         col("n_events"), col("sum_value"))
 
+  /** STREAM-STREAM interval join: pair each left event with every
+    * right event of the same user within ±`gap` of event time — the
+    * always-on face of [[graft.events.EventOps.withinRangePairs]]'s
+    * correlation shape (click ↔ purchase attribution, impression ↔
+    * conversion). Both sides carry watermarks and the join condition
+    * carries a two-sided event-time bound, which is exactly what
+    * Structured Streaming needs to BOUND the join state: each side
+    * buffers only `watermark + gap` of history per key, evicting as
+    * the watermark advances — state is O(rate × horizon) at any
+    * corpus lifetime, never unbounded. Input schema both sides:
+    * (ts timestamp, user_id long, event_id long).
+    */
+  def intervalJoinStreams(left: DataFrame, right: DataFrame,
+      gap: String = "5 minutes", watermark: String = "1 hour"): DataFrame = {
+    val l = left.withWatermark("ts", watermark)
+      .select(col("user_id"), col("event_id").as("l_id"), col("ts").as("l_ts"))
+    val r = right.withWatermark("ts", watermark)
+      .select(col("user_id").as("r_user"), col("event_id").as("r_id"),
+        col("ts").as("r_ts"))
+    l.join(r,
+      col("user_id") === col("r_user") &&
+        col("r_ts") >= col("l_ts") - expr(s"INTERVAL $gap") &&
+        col("r_ts") <= col("l_ts") + expr(s"INTERVAL $gap"))
+      .select(col("user_id"), col("l_id"), col("r_id"),
+        (unix_micros(col("r_ts")) - unix_micros(col("l_ts"))).as("gap_us"))
+  }
+
   /** Streaming exact dedup on a content fingerprint within the
     * watermark horizon (the streaming face of Dedup.exact).
     * Input schema: (ts timestamp, doc_id long, text string).

@@ -150,6 +150,51 @@ class LshSpec extends SparkSpec {
     spark.sql("DROP TABLE IF EXISTS lsh_idx_spec")
   }
 
+  test("bucketed lifecycle: add appends under stored params; compact ≡ rebuild, one file per bucket") {
+    import graft.ops.Compaction
+    val thirds = (0 to 2).map(i => emb.filter(col("vec_id") % 3 === i))
+    val dir = java.nio.file.Files.createTempDirectory("lshcpt").toString
+    LshIndex.saveBucketed(LshIndex.build(thirds(0), p), p, "lsh_cpt_spec",
+      nBuckets = 4, path = Some(s"$dir/tbl"))
+    LshIndex.addToBucketed(spark, thirds(1), "lsh_cpt_spec")
+    LshIndex.addToBucketed(spark, thirds(2), "lsh_cpt_spec")
+    // the adds signed under the TABLE's params: appended index ≡ a
+    // full rebuild over the union (same planes, same signatures)
+    val (loaded, lp) = LshIndex.loadBucketed(spark, "lsh_cpt_spec")
+    val full = LshIndex.build(emb, p)
+    assert(loaded.count() === full.count())
+    assert(loaded.except(full).count() === 0 && full.except(loaded).count() === 0)
+    // append debris: some bucket holds more than one file set
+    assert(Compaction.filesPerBucket(spark, "lsh_cpt_spec").values.max > 1,
+      "appends should leave more than one file in some bucket")
+    LshIndex.compactBucketed(spark, "lsh_cpt_spec")
+    val perBucket = Compaction.filesPerBucket(spark, "lsh_cpt_spec")
+    assert(perBucket.nonEmpty && perBucket.values.forall(_ == 1),
+      s"compaction left multi-file buckets: $perBucket")
+    // params property survived the staging-table swap; serving from
+    // the compacted table ≡ serving from a fresh index
+    val (compacted, cp) = LshIndex.loadBucketed(spark, "lsh_cpt_spec")
+    assert(cp === p.copy(numBands = Some(p.b), rowsPerBand = Some(p.r)))
+    val queries = emb.filter(col("vec_id") < 5)
+    assert(LshIndex.topKOnIndex(compacted, queries, cp, 10).collect().toSeq ===
+      LshIndex.topK(emb, queries, p, 10).collect().toSeq)
+    // the compacted table still serves its collision join with fewer
+    // exchanges than a from-scratch build (the bucketed-at-rest contract)
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val old = spark.conf.get(key)
+    spark.conf.set(key, "-1")
+    try {
+      def exchanges(s: String) = "Exchange".r.findAllIn(s).size
+      val plan = LshIndex.topKOnIndex(compacted, queries, cp, 10, broadcastQueries = false)
+        .queryExecution.executedPlan.toString
+      val freshPlan = LshIndex.topK(emb, queries, p, 10, broadcastQueries = false)
+        .queryExecution.executedPlan.toString
+      assert(exchanges(plan) < exchanges(freshPlan),
+        s"compacted index still exchanges:\n$plan")
+    } finally spark.conf.set(key, old)
+    spark.sql("DROP TABLE IF EXISTS lsh_cpt_spec")
+  }
+
   test("delete removes all bands of the given ids") {
     val idx = LshIndex.build(emb, p)
     val ids = Seq(1L, 2L, 3L).toDF("vec_id")
