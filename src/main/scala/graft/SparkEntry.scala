@@ -325,6 +325,16 @@ object SparkEntry {
       graft.ann.Project.probeTopKProjected(e,
         e.filter(col("vec_id") < 10), e.filter(col("vec_id") < 8), 2, 5)
     }),
+    // rows-only (PCA axes are a float fit): the data-derived twin of
+    // ann_ivf_projected — candidate generation in 16-dim PCA space,
+    // exact rerank in the original space; probe-every-cell ≡ brute
+    // force spec'd in PcaSpec
+    "ann_ivf_pca" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val m = graft.ann.Pca.fit(e, d = 64, k = 16)
+      graft.ann.Pca.probeTopKPca(e,
+        e.filter(col("vec_id") < 10), e.filter(col("vec_id") < 8), 2, 5, m)
+    }),
     // prototype pruning (SSL prototypes / D4 stage 2): per-cell
     // most-prototypical k flagged for removal; k=32 keeps the winner
     // set non-trivial at every test SF

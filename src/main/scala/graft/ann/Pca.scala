@@ -151,19 +151,38 @@ object Pca {
     math.sqrt(s)
   }
 
-  /** Append the k-dim projection `(x − μ)·Wᵀ` as `outCol`. The
-    * components and the constant μ·w_c offsets are plan literals
-    * into the codegen `dot_product` kernel — a pure projection, zero
-    * shuffles at any scale.
+  /** The k-dim projection `(x − μ)·Wᵀ` as a single Column over a
+    * vector column — components and the constant μ·w_c offsets are
+    * plan literals into the codegen `dot_product` kernel. Composable
+    * anywhere a projection Column fits (e.g. the projected-IVF
+    * serving path).
     */
-  def project(df: DataFrame, model: PcaModel,
-      vecCol: String = "embedding", outCol: String = "projected"): DataFrame = {
+  def projectCol(v: Column, model: PcaModel): Column = {
     val cols = model.components.map { w =>
       val offset = w.zip(model.mean).map { case (wi, mi) => wi * mi }.sum
-      GraftFunctions.dot_product(col(vecCol), typedlit(w.toSeq)) - lit(offset)
+      GraftFunctions.dot_product(v, typedlit(w.toSeq)) - lit(offset)
     }
-    df.withColumn(outCol, array(cols.toIndexedSeq: _*))
+    array(cols.toIndexedSeq: _*)
   }
+
+  /** Append the k-dim projection `(x − μ)·Wᵀ` as `outCol`. A pure
+    * codegen projection, zero shuffles at any scale.
+    */
+  def project(df: DataFrame, model: PcaModel,
+      vecCol: String = "embedding", outCol: String = "projected"): DataFrame =
+    df.withColumn(outCol, projectCol(col(vecCol), model))
+
+  /** IVF serving with candidate generation in the PCA space —
+    * [[Project.probeTopKProjected]] with the DATA-DERIVED compressor
+    * slotted in as the projector: assignment and probing score k-dim
+    * PCA coordinates (maximum variance retained per dimension kept),
+    * exact rerank in the original space touches only probed
+    * candidates. Same plan discipline, swapped axes.
+    */
+  def probeTopKPca(embeddings: DataFrame, queries: DataFrame,
+      centroids: DataFrame, nProbe: Int, k: Int, model: PcaModel): DataFrame =
+    Project.probeTopKProjected(embeddings, queries, centroids, nProbe, k,
+      projector = v => projectCol(v, model))
 
   /** Persist the fitted model as a (kind, idx, dim, value) long table
     * with shape params in TBLPROPERTIES (the QualityClassifier

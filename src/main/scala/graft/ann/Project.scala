@@ -50,11 +50,12 @@ object Project {
     * TopKByScore discipline as [[Ivf]] — no window, no cross join.
     */
   def probeTopKProjected(embeddings: DataFrame, queries: DataFrame,
-      centroids: DataFrame, nProbe: Int, k: Int): DataFrame = {
+      centroids: DataFrame, nProbe: Int, k: Int,
+      projector: Column => Column = project(_)): DataFrame = {
     import graft.GraftFunctions.{cosine_sim, top_k_by_score}
-    val proj = embeddings.select(col("vec_id"), project(col("embedding")).as("p"))
+    val proj = embeddings.select(col("vec_id"), projector(col("embedding")).as("p"))
     val cents = centroids.select(col("vec_id").as("c_id"),
-      project(col("embedding")).as("cp"))
+      projector(col("embedding")).as("cp"))
     val scored = proj
       .crossJoin(graft.ops.Broadcasting.maybeBroadcast(cents, Some(true)))
       .select(col("vec_id"), col("c_id"),

@@ -73,6 +73,30 @@ object Sampling {
       .withColumn("shard", pmod(col("shuffle_key"), lit(nShards.toLong)))
       .orderBy(col("shard"), col("shuffle_key"), key)
 
+  /** Materialize [[shuffleShards]] as training-consumable files: one
+    * directory per shard (`shard=N/`), rows within each file in the
+    * deterministic (shuffle_key, key) order — the exact layout a
+    * sequential training reader consumes shard-by-shard. The
+    * repartition hits nShards exactly (hash on the already-computed
+    * shard id), and `sortWithinPartitions` makes the in-file order
+    * part of the write, so the materialized corpus is byte-stable
+    * across reruns at any cluster size: same salt → same shard
+    * membership, same order, same files.
+    */
+  def writeShuffledShards(df: DataFrame, key: Column, dir: String,
+      nShards: Int = 16, salt: String = "epoch0"): Unit =
+    df.withColumn("shuffle_key", hex64(concat(lit(s"$salt|"), key.cast("string"))))
+      .withColumn("shard", pmod(col("shuffle_key"), lit(nShards.toLong)))
+      .repartition(nShards, col("shard"))
+      // lead with the partition column: the file writer REQUIRES
+      // per-task ordering by partition columns and would otherwise
+      // insert its own shard-only sort (dropping this one via
+      // EliminateSorts), which scrambles the in-file order — with the
+      // shard prefix this sort satisfies the writer's requirement and
+      // survives as the one and only ordering
+      .sortWithinPartitions(col("shard"), col("shuffle_key"), key)
+      .write.mode("overwrite").partitionBy("shard").parquet(dir)
+
   /** Modulus for [[stratifiedSample]] keys: < 2^53 so the key is exact
     * as a double inside the top-k aggregate's score slot.
     */

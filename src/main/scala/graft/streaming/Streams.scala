@@ -216,6 +216,40 @@ object Streams {
     }
   }
 
+  /** Continuous multimodal triage: [[graft.multimodal.Binary.triage]]
+    * applied to a stream of raw blobs. The triage is a pure codegen
+    * projection (magic-byte detection + all three header codecs, no
+    * shuffle), so it runs NATIVELY as a streaming projection — no
+    * foreachBatch, no state, append mode, restart-safe; this wrapper
+    * exists so the ingest-side entry point is one call.
+    */
+  def triageStream(media: DataFrame): DataFrame =
+    graft.multimodal.Binary.triage(media)
+
+  /** The ALWAYS-ON face of the reference's core serving loop
+    * (core/main.py:524 `query` against the live Redis store): a
+    * stream of query vectors served top-k against a
+    * [[graft.lsh.LshIndex.saveBucketed]] index at rest. Index handle
+    * + params are resolved ONCE driver-side (the rows stay at rest,
+    * bucket-local); each micro-batch runs the exact BATCH serving
+    * operator (collision join → band-count → bounded TopKByScore)
+    * against the bucketed table — so stream results are
+    * definitionally ≡ batch results for the same queries (spec'd)
+    * and the index side of every per-batch join stays exchange-free.
+    * Queries are independent rows: no cross-batch state, no
+    * watermark, restart-safe for free.
+    */
+  def queryTopKStream(queries: DataFrame, indexTable: String, k: Int = 10)
+      (sink: (DataFrame, Long) => Unit)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    val spark = queries.sparkSession
+    val (index, p) = graft.lsh.LshIndex.loadBucketed(spark, indexTable)
+    queries.writeStream.foreachBatch {
+      (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        sink(graft.lsh.LshIndex.topKOnIndex(index, batch, p, k), batchId)
+    }
+  }
+
   case class SessionEvent(user_id: Long, event_id: Long, us: Long)
   case class SessionState(start_us: Long, var end_us: Long, var n: Long)
   case class SessionOut(user_id: Long, start_us: Long, end_us: Long, n_events: Long)

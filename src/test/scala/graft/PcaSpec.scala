@@ -133,6 +133,22 @@ class PcaSpec extends SparkSpec {
     assert(cos > 0.999, s"planted axis not recovered: |cos| = $cos")
   }
 
+  test("probeTopKPca: window-free plan; probe-every-cell ≡ brute force row-for-row") {
+    val m = Pca.fit(emb, d, 16)
+    val q = emb.filter(col("vec_id") < 10)
+    val cents = emb.filter(col("vec_id") < 8)
+    val df = Pca.probeTopKPca(emb, q, cents, nProbe = 2, k = 5, m)
+    val phys = df.queryExecution.executedPlan.toString
+    assert(!phys.contains("Window"), s"PCA-projected IVF plans a window:\n$phys")
+    assert(!phys.contains("BatchEvalPython"), phys)
+    // probing EVERY cell = exhaustive search in disguise: the
+    // PCA-space candidate generation must then agree with brute force
+    val all = Pca.probeTopKPca(emb, q, cents, nProbe = 8, k = 5, m)
+      .collect().map(_.toString)
+    val brute = graft.ann.Knn.cosineTopK(emb, q, k = 5).collect().map(_.toString)
+    assert(all.sameElements(brute))
+  }
+
   test("query: one projected row per vector with the eigenvalue spectrum attached") {
     val got = Pca.query(emb, d, 4)
     assert(got.count() === emb.count())

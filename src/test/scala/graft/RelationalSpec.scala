@@ -348,6 +348,30 @@ class RelationalSpec extends SparkSpec {
     assert(counts.max.toDouble / counts.min <= 2.5, s"shard skew: ${counts.mkString(",")}")
   }
 
+  test("writeShuffledShards: one dir per shard, in-file order is the deterministic total order") {
+    import org.apache.spark.sql.functions._
+    val docs = Tables.load(spark, sfDir, "documents")
+    val dir = java.nio.file.Files.createTempDirectory("shards").toString + "/out"
+    graft.ops.Sampling.writeShuffledShards(docs, col("doc_id"), dir, nShards = 4)
+    // every row lands in exactly one shard; union reloads the corpus
+    val back = spark.read.parquet(dir)
+    assert(back.count() === docs.count())
+    assert(back.select(col("doc_id")).distinct().count() === docs.count())
+    val shardDirs = new java.io.File(dir).listFiles().filter(_.getName.startsWith("shard="))
+    assert(shardDirs.length === 4)
+    // in-file order within a shard = (shuffle_key, doc_id) ascending —
+    // the order a sequential reader consumes without sorting
+    val one = spark.read.parquet(s"$dir/shard=3")
+      .select(col("shuffle_key"), col("doc_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(one.nonEmpty && one.sameElements(one.sorted),
+      "shard file rows are not in the deterministic order")
+    // membership matches the logical shuffleShards assignment
+    val logical = graft.ops.Sampling.shuffleShards(docs, col("doc_id"), nShards = 4)
+      .filter(col("shard") === 3).select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    assert(one.map(_._2).toSet === logical)
+  }
+
   test("temperatureSample flattens the source head and keeps by stable hash") {
     import spark.implicits._
     import org.apache.spark.sql.functions._

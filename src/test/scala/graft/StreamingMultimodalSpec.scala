@@ -209,6 +209,50 @@ class StreamingMultimodalSpec extends SparkSpec {
     spark.sql("DROP TABLE IF EXISTS graft_stream_sig_spec_fp")
   }
 
+  test("triageStream: triage runs natively as a streaming projection, batch-identical") {
+    val docs = Tables.load(spark, sfDir, "documents").limit(60)
+    val media = Binary.Jpeg.synthFromDocs(docs)
+    val tmp = java.nio.file.Files.createTempDirectory("triage_stream")
+    media.write.parquet(s"$tmp/in")
+    val stream = spark.readStream.schema(media.schema).parquet(s"$tmp/in")
+    val got = Streams.runOnce(spark, Streams.triageStream(stream), "triage_stream_spec",
+        OutputMode.Append())
+      .orderBy(col("doc_id")).collect().map(_.toString)
+    val batch = Binary.triage(media).orderBy(col("doc_id")).collect().map(_.toString)
+    assert(got.toSeq === batch.toSeq && got.nonEmpty)
+  }
+
+  test("queryTopKStream: streamed queries against the at-rest LSH index ≡ batch serving") {
+    import graft.lsh.{LshIndex, LshParams}
+    val emb = Tables.load(spark, sfDir, "embeddings")
+    val p = LshParams(dim = 64, numPerm = 32, numBands = Some(8), rowsPerBand = Some(4))
+    val tmp = java.nio.file.Files.createTempDirectory("graft_qstream").toString
+    LshIndex.saveBucketed(LshIndex.build(emb, p), p, "graft_qstream_spec",
+      nBuckets = 4, path = Some(s"$tmp/tbl"))
+    val queryVecs = emb.filter(col("vec_id") < 6)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getSeq[Float](1)))
+    val input = MemoryStream[(Long, Seq[Float])](spark, 31)
+    input.addData(queryVecs.take(3).toSeq: _*) // two micro-batches:
+    input.addData(queryVecs.drop(3).toSeq: _*) // queries are stateless rows
+    val stream = input.toDF().select(col("_1").as("vec_id"), col("_2").as("embedding"))
+    val got = scala.collection.concurrent.TrieMap.empty[(Long, Long), Long]
+    val q = Streams.queryTopKStream(stream, "graft_qstream_spec", k = 10) { (res, _) =>
+      res.collect().foreach(r => got(
+        (r.getAs[Long]("q_id"), r.getAs[Long]("rn"))) = r.getAs[Long]("cand_id"))
+    }.start()
+    try q.processAllAvailable() finally q.stop()
+    // union of per-batch results ≡ one batch serve of all 6 queries
+    val (loaded, lp) = LshIndex.loadBucketed(spark, "graft_qstream_spec")
+    val batch = LshIndex.topKOnIndex(loaded, emb.filter(col("vec_id") < 6), lp, 10)
+      .collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("rn")) -> r.getAs[Long]("cand_id"))
+      .toMap
+    assert(got.toMap === batch, "streamed top-k diverged from batch serving")
+    assert(batch.nonEmpty)
+    spark.sql("DROP TABLE IF EXISTS graft_qstream_spec")
+  }
+
   test("scoreQualityStream / scoreLangStream: micro-batch scores ≡ batch scoring from the persisted model") {
     import graft.text.{LangClassifier, QualityClassifier}
     val sent = "the project team reviewed all of the results and found that " +
