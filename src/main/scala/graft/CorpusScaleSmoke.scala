@@ -247,6 +247,29 @@ object CorpusScaleSmoke {
     llrDf.unpersist(false)
     dsirDocs.unpersist(false)
 
+    // ---- rung: PCA sufficient statistics at scale — one narrow pass
+    // over n vectors, shuffle bounded at #partitions × d(d+1)/2
+    // doubles regardless of n; planted dominant axis recovered ----
+    val dDim = 64
+    val uRaw = Array.tabulate(dDim)(i => if (i % 5 == 0) 1.0 else 0.1)
+    val uNorm = math.sqrt(uRaw.map(x => x * x).sum)
+    val u = uRaw.map(_ / uNorm)
+    val uLit = typedlit(u.toSeq)
+    val signal = ((col("id") % 1001).cast("double") - 500.0) / 100.0
+    val vecs = spark.range(n).toDF("id")
+      .select(col("id").as("vec_id"),
+        transform(sequence(lit(0), lit(dDim - 1)), i =>
+          (signal * element_at(uLit, i + 1) +
+            pmod(xxhash64(col("id"), i), lit(1000L)).cast("double") / 50000.0)
+            .cast("float")).as("embedding"))
+      .repartition(64)
+    val (pcaModel, tPca) = time { graft.ann.Pca.fit(vecs, dDim, 4) }
+    val cosPca = math.abs(pcaModel.components(0).zip(u)
+      .map { case (a, b) => a * b }.sum)
+    assert(cosPca > 0.999, s"pca planted axis not recovered: |cos| = $cosPca")
+    assert(pcaModel.eigenvalues(0) > 100 * pcaModel.eigenvalues(1),
+      s"planted dominance lost: ${pcaModel.eigenvalues.take(2).toSeq}")
+
     val mb = totalChars / 1e6
     println(s"""{"smoke":"corpus_scale","n_docs":$n,"corpus_mb":${mb.round},""" +
       f""""entropy_sec":$tEnt%.1f,"deflate_sec":$tCmp%.1f,""" +
@@ -254,7 +277,8 @@ object CorpusScaleSmoke {
       f""""hot_stratum_topk_sec":$tHotTopk%.1f,"hot_stratum_window_sec":$tHotWindow%.1f,""" +
       f""""keep_best_sec":$tKb%.1f,"giant_group_sec":$tGiant%.1f,""" +
       f""""mega_source_pack_sec":$tPack%.1f,"epoch_mix_sec":$tMix%.1f,""" +
-      f""""dsir_fit_sec":$tFit%.1f,"dsir_resample_sec":$tWeigh%.1f}""")
+      f""""dsir_fit_sec":$tFit%.1f,"dsir_resample_sec":$tWeigh%.1f,""" +
+      f""""pca_fit_sec":$tPca%.1f}""")
     spark.stop()
   }
 }

@@ -223,6 +223,17 @@ object SparkEntry {
     }),
     "text_pmi" -> ((s, dir) => TextAnalysis.tokenPmi(t(s, dir, "documents"))),
     "text_ngram_lm" -> ((s, dir) => TextAnalysis.ngramLmScore(t(s, dir, "documents"))),
+    // LM-at-rest round trip (the CCNet perplexity-filter deployment
+    // shape): fit + persist the bigram/unigram tables bucketed on
+    // their join keys, score the same corpus from the LOADED tables —
+    // same oracle as text_ngram_lm, so a hash match proves the
+    // persisted path is byte-identical to the in-query fit
+    "text_ngram_lm_persisted" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val tmp = tempDir("lm_rt")
+      TextAnalysis.saveLm(d, "graft_lm_rt", path = Some(s"$tmp/tbl"))
+      TextAnalysis.ngramLmScoreOnLm(d, "graft_lm_rt")
+    }),
     "text_hash_embed" -> ((s, dir) => TextAnalysis.hashEmbed(t(s, dir, "documents"))),
     "text_knn_hash_embed" -> ((s, dir) => {
       val d = t(s, dir, "documents")
@@ -811,6 +822,7 @@ object SparkEntry {
     "corpus_topics" -> OracleSql.corpusTopics,
     "text_pmi" -> OracleSql.textPmi,
     "text_ngram_lm" -> OracleSql.textNgramLm,
+    "text_ngram_lm_persisted" -> OracleSql.textNgramLm,
     "text_hash_embed" -> OracleSql.textHashEmbed,
     "text_knn_hash_embed" -> OracleSql.textKnnHashEmbed,
     "events_sliding" -> OracleSql.eventsSliding,

@@ -202,6 +202,23 @@ object Streams {
     }
   }
 
+  /** [[scoreQualityStream]] for the persisted bigram LM
+    * ([[graft.text.TextAnalysis.saveLm]]): per-batch (doc_id,
+    * n_bigrams, sum_logp, avg_logp) perplexity scoring against the
+    * LM at rest — the always-on face of CCNet-style perplexity
+    * filtering. The count tables stay AT REST (bucketed; each
+    * micro-batch's scoring join reads them LM-side exchange-free) —
+    * unlike the weight-vector models there is no driver-side load,
+    * because a web-scale LM table is not driver-sized.
+    */
+  def scoreLmStream(docs: DataFrame, lmTable: String)
+      (sink: (DataFrame, Long) => Unit)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    docs.writeStream.foreachBatch {
+      (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        sink(graft.text.TextAnalysis.ngramLmScoreOnLm(batch, lmTable), batchId)
+    }
+
   /** [[scoreQualityStream]] for the multinomial language-ID model
     * ([[graft.text.LangClassifier]]): per-batch (doc_id, pred_lang,
     * score) from persisted per-class weights.

@@ -668,16 +668,33 @@ object TextAnalysis {
     */
   def ngramLmScore(docs: DataFrame): DataFrame = {
     val t = withToks(docs).select(col("doc_id"), col("toks"))
-    val bg = t.filter(size(col("toks")) >= 2)
-      .select(col("doc_id"), posexplode(expr(
-        "transform(sequence(0, size(toks)-2), i -> named_struct('w1', toks[i], 'w2', toks[i+1]))"))
-        .as(Seq("pos", "b")))
-      .select(col("doc_id"), col("pos"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+    val bg = positionalBigrams(t)
     val uni = t.select(explode(col("toks")).as("w1"))
       .groupBy(col("w1")).agg(count(lit(1)).as("c1"))
     val big = bg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
     val vocab = t.select(explode(col("toks")).as("w"))
       .agg(count_distinct(col("w")).as("v"))
+    lmScoreCore(bg, big, uni, vocab)
+  }
+
+  /** Positional bigram stream of a tokenized frame — shared by the
+    * in-query LM fit and the persisted-LM scoring pass.
+    */
+  private def positionalBigrams(t: DataFrame): DataFrame =
+    t.filter(size(col("toks")) >= 2)
+      .select(col("doc_id"), posexplode(expr(
+        "transform(sequence(0, size(toks)-2), i -> named_struct('w1', toks[i], 'w2', toks[i+1]))"))
+        .as(Seq("pos", "b")))
+      .select(col("doc_id"), col("pos"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+
+  /** Shared scoring core: Laplace-smoothed bigram log-probs joined
+    * onto the positional stream, reassembled positionally and folded
+    * left-to-right (the bitwise-reproducible float discipline of
+    * [[ngramLmScore]]). `vocab` is a 1-row (v) frame — broadcast
+    * whether it came from an in-query count or a persisted property.
+    */
+  private def lmScoreCore(bg: DataFrame, big: DataFrame, uni: DataFrame,
+      vocab: DataFrame): DataFrame = {
     val scored = bg
       .join(big, Seq("w1", "w2"))
       .join(uni, Seq("w1"))
@@ -692,6 +709,51 @@ object TextAnalysis {
           lit(0.0), (acc, x) => acc + x).as("sum_logp"))
       .withColumn("avg_logp", col("sum_logp") / col("n_bigrams"))
       .orderBy(col("doc_id"))
+  }
+
+  /** Persist a fitted bigram LM at rest: the bigram count table
+    * bucketed + sorted on its JOIN KEY (w1, w2) and the unigram table
+    * on (w1), vocabulary size in TBLPROPERTIES — fit once on a
+    * reference corpus, score many corpora (the CCNet perplexity-
+    * filter deployment shape: the LM tables can be billions of rows
+    * at web scale, so they live as bucketed tables the scoring join
+    * reads WITHOUT an LM-side exchange, exactly the
+    * [[graft.lsh.LshIndex.saveBucketed]] contract).
+    */
+  def saveLm(docs: DataFrame, table: String, nBuckets: Int = 32,
+      path: Option[String] = None): Unit = {
+    val spark = docs.sparkSession
+    val t = withToks(docs).select(col("doc_id"), col("toks"))
+    val bg = positionalBigrams(t)
+    val bigW = bg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
+      .write.mode("overwrite").format("parquet")
+      .bucketBy(nBuckets, "w1", "w2").sortBy("w1", "w2")
+    path.foreach(loc => bigW.option("path", s"$loc/big"))
+    bigW.saveAsTable(table)
+    val uniW = t.select(explode(col("toks")).as("w1"))
+      .groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+      .write.mode("overwrite").format("parquet")
+      .bucketBy(nBuckets, "w1").sortBy("w1")
+    path.foreach(loc => uniW.option("path", s"$loc/uni"))
+    uniW.saveAsTable(s"${table}_uni")
+    val v = t.select(explode(col("toks")).as("w"))
+      .agg(count_distinct(col("w"))).collect()(0).getLong(0)
+    graft.ops.TableProps.set(spark, table, "graft.lm.params", s"""{"v":$v}""")
+  }
+
+  /** Score a corpus against a [[saveLm]]ed model. Bigrams of the
+    * SCORED corpus stream map-side into the two bucketed joins (LM
+    * side exchange-free); unseen bigrams drop out (inner join) — the
+    * model says nothing about pairs it never saw, same contract as
+    * the in-query fit scoring its own corpus.
+    */
+  def ngramLmScoreOnLm(docs: DataFrame, table: String): DataFrame = {
+    val spark = docs.sparkSession
+    val json = graft.ops.TableProps.get(spark, table, "graft.lm.params")
+    val v = graft.ops.TableProps.longField(json, "v")
+    val vocab = spark.range(1).select(lit(v).as("v"))
+    val bg = positionalBigrams(withToks(docs).select(col("doc_id"), col("toks")))
+    lmScoreCore(bg, spark.table(table), spark.table(s"${table}_uni"), vocab)
   }
 
   /** Document-frequency cap for [[invertedIndex]] postings: a token

@@ -209,6 +209,33 @@ class StreamingMultimodalSpec extends SparkSpec {
     spark.sql("DROP TABLE IF EXISTS graft_stream_sig_spec_fp")
   }
 
+  test("scoreLmStream: micro-batch perplexity ≡ batch scoring from the LM at rest") {
+    val docs = Tables.load(spark, sfDir, "documents")
+    val tmp = java.nio.file.Files.createTempDirectory("graft_lm_stream").toString
+    graft.text.TextAnalysis.saveLm(docs, "graft_lm_stream_spec", path = Some(s"$tmp/tbl"))
+    val texts = docs.filter(col("doc_id") < 4)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val input = MemoryStream[(Long, String)](spark, 41)
+    input.addData(texts.take(2).toSeq: _*)
+    input.addData(texts.drop(2).toSeq: _*)
+    val stream = input.toDF().select(col("_1").as("doc_id"), col("_2").as("text"))
+    val got = scala.collection.concurrent.TrieMap.empty[Long, (Long, Double)]
+    val q = Streams.scoreLmStream(stream, "graft_lm_stream_spec") { (scored, _) =>
+      scored.collect().foreach(r => got(r.getAs[Long]("doc_id")) =
+        (r.getAs[Long]("n_bigrams"), r.getAs[Double]("sum_logp")))
+    }.start()
+    try q.processAllAvailable() finally q.stop()
+    val batch = graft.text.TextAnalysis
+      .ngramLmScoreOnLm(docs.filter(col("doc_id") < 4), "graft_lm_stream_spec")
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_bigrams"), r.getAs[Double]("sum_logp"))).toMap
+    assert(got.toMap === batch && batch.size === 4)
+    spark.sql("DROP TABLE IF EXISTS graft_lm_stream_spec")
+    spark.sql("DROP TABLE IF EXISTS graft_lm_stream_spec_uni")
+  }
+
   test("triageStream: triage runs natively as a streaming projection, batch-identical") {
     val docs = Tables.load(spark, sfDir, "documents").limit(60)
     val media = Binary.Jpeg.synthFromDocs(docs)

@@ -994,6 +994,33 @@ class TextKnnSpec extends SparkSpec {
     assert(TextAnalysis.ngramLmScore(short).collect().map(_.getLong(0)).toSeq === Seq(1L))
   }
 
+  test("LM at rest: persisted scoring ≡ in-query fit bitwise; LM-side joins exchange-free; cross-corpus") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_lm").toString
+    TextAnalysis.saveLm(docs, "graft_lm_spec", path = Some(s"$tmp/tbl"))
+    // scoring the training corpus from the loaded tables is bitwise
+    // identical to the in-query fit (same joins, same positional fold)
+    val persisted = TextAnalysis.ngramLmScoreOnLm(docs, "graft_lm_spec").collect()
+    val fresh = TextAnalysis.ngramLmScore(docs).collect()
+    assert(persisted.map(_.toString).toSeq === fresh.map(_.toString).toSeq)
+    // the LM side of both joins reads bucket-local: no exchange keyed
+    // on the count tables' join columns on the table side
+    val plan = TextAnalysis.ngramLmScoreOnLm(docs, "graft_lm_spec")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange hashpartitioning(w1#"),
+      s"persisted LM re-shuffles its count tables:\n$plan")
+    // fit-once/score-many: a DIFFERENT corpus scores against the
+    // persisted model; bigrams the model never saw drop out
+    val other = Seq((900L, "spark table row column value"),
+      (901L, "zzz qqq vvv www")).toDF("doc_id", "text")
+    val scored = TextAnalysis.ngramLmScoreOnLm(other, "graft_lm_spec").collect()
+    // a doc built entirely of unseen tokens has no scorable bigrams
+    // and is absent from the output (the inner-join contract)
+    assert(!scored.map(_.getLong(0)).contains(901L),
+      "doc of entirely-unseen tokens must not score")
+    spark.sql("DROP TABLE IF EXISTS graft_lm_spec")
+    spark.sql("DROP TABLE IF EXISTS graft_lm_spec_uni")
+  }
+
   test("SearchIndex: persisted round trip serves bitwise-equal results with zero corpus-side work") {
     import graft.text.SearchIndex
     val tmp = java.nio.file.Files.createTempDirectory("graft_search_idx").toString
