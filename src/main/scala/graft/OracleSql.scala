@@ -1085,6 +1085,33 @@ object OracleSql {
        |SELECT q_id, rn, cand_id, sim FROM r WHERE rn <= 5
        |ORDER BY q_id, rn""".stripMargin
 
+  /** Persisted-topic assignment (mirror of Topics.saveTopics ∘
+    * assignOnTopics over the same corpus): the corpusTopics
+    * sparse-cosine assignment prefix with the winning sim surfaced —
+    * integer numerators + one IEEE division keep even the similarity
+    * hash-exact.
+    */
+  val corpusTopicsAssign: String =
+    s"""WITH t AS (SELECT doc_id, $Toks AS toks FROM documents),
+       |tok AS (SELECT doc_id, unnest(toks) AS tk FROM t),
+       |h AS (SELECT doc_id, ${hex64("'he|'||tk")} AS h FROM tok),
+       |sg AS (SELECT doc_id, h % 64 AS dim,
+       |  CASE WHEN (h >> 20) & 1 = 1 THEN 1 ELSE -1 END AS sgn FROM h),
+       |w AS (SELECT doc_id, dim, sum(sgn)::BIGINT AS w FROM sg
+       |  GROUP BY 1, 2 HAVING sum(sgn) <> 0),
+       |n AS (SELECT doc_id, sum(w * w)::BIGINT AS s2 FROM w GROUP BY 1),
+       |cw AS (SELECT doc_id AS c_id, dim, w AS cw FROM w WHERE doc_id < 8),
+       |num AS (SELECT w.doc_id, cw.c_id, sum(w.w * cw.cw)::BIGINT AS num
+       |  FROM w JOIN cw ON w.dim = cw.dim GROUP BY 1, 2),
+       |sim AS (SELECT num.doc_id, num.c_id,
+       |  num / (sqrt(nd.s2) * sqrt(nc.s2)) AS sim
+       |  FROM num JOIN n nd ON nd.doc_id = num.doc_id
+       |  JOIN n nc ON nc.doc_id = num.c_id),
+       |r AS (SELECT doc_id, c_id, sim, row_number() OVER (PARTITION BY doc_id
+       |  ORDER BY sim DESC, c_id) AS rn FROM sim)
+       |SELECT doc_id, c_id AS cluster, sim FROM r WHERE rn = 1
+       |ORDER BY doc_id""".stripMargin
+
   /** Corpus topics (mirror of Topics.topics: centroids = hash-embeds
     * of doc_id < 8, top 5 terms per cluster): the textKnnHashEmbed
     * sparse-cosine chain as the assignment argmax, then integer count

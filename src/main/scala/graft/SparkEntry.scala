@@ -192,6 +192,16 @@ object SparkEntry {
     // corpus cartography: hash-embed clusters labeled by c-TF-IDF terms
     "corpus_topics" -> ((s, dir) =>
       graft.text.Topics.topics(t(s, dir, "documents"))),
+    // topic model at rest: centroids + labels persisted, a corpus
+    // tagged against the LOADED cluster space — topic ids comparable
+    // across ingests; the winning sim is hash-exact (integer
+    // numerators, one IEEE division)
+    "corpus_topics_persisted" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val tmp = tempDir("topics_rt")
+      graft.text.Topics.saveTopics(d, "graft_topics_rt", path = Some(s"$tmp/tbl"))
+      graft.text.Topics.assignOnTopics(d, "graft_topics_rt")
+    }),
     // rows-only: iterative BPE merge training has no SQL oracle
     // (declared); encode ≡ training-fold, reference-reimplementation
     // parity, and save/load round trip are spec'd in BpeSpec
@@ -820,6 +830,7 @@ object SparkEntry {
     "events_top_paths" -> OracleSql.eventsTopPaths,
     "text_top_ngrams" -> OracleSql.textTopNgrams,
     "corpus_topics" -> OracleSql.corpusTopics,
+    "corpus_topics_persisted" -> OracleSql.corpusTopicsAssign,
     "text_pmi" -> OracleSql.textPmi,
     "text_ngram_lm" -> OracleSql.textNgramLm,
     "text_ngram_lm_persisted" -> OracleSql.textNgramLm,

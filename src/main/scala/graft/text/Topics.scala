@@ -74,4 +74,60 @@ object Topics {
         col("cluster_count"), col("corpus_count"), col("score"))
       .orderBy(col("cluster"), col("term_rank"))
   }
+
+  /** Persist the topic model at rest: the centroids' sparse
+    * hash-embedding rows (c_id, dim, w) — O(nCentroids · d), tiny by
+    * the same contract that lets assignment broadcast them — plus the
+    * c-TF-IDF label table as a `_terms` sibling, params in
+    * TBLPROPERTIES. Fit the map once on a reference crawl, then
+    * [[assignOnTopics]] tags every future corpus against the SAME
+    * cluster space — the piece that makes topic ids comparable across
+    * ingests (a refit would renumber and redraw the clusters).
+    */
+  def saveTopics(docs: DataFrame, table: String, nCentroids: Int = 8,
+      topTerms: Int = 5, d: Int = 64, path: Option[String] = None): Unit = {
+    val spark = docs.sparkSession
+    val cw = TextAnalysis.hashEmbed(docs, d)
+      .filter(col("doc_id") < nCentroids)
+      .select(col("doc_id").as("c_id"), col("dim"), col("w"))
+    val w0 = cw.coalesce(1).write.mode("overwrite").format("parquet")
+    path.foreach(loc => w0.option("path", s"$loc/centroids"))
+    w0.saveAsTable(table)
+    val w1 = topics(docs, nCentroids, topTerms, d)
+      .coalesce(1).write.mode("overwrite").format("parquet")
+    path.foreach(loc => w1.option("path", s"$loc/terms"))
+    w1.saveAsTable(s"${table}_terms")
+    graft.ops.TableProps.set(spark, table, "graft.topics.params",
+      s"""{"nCentroids":$nCentroids,"topTerms":$topTerms,"d":$d}""")
+  }
+
+  /** Assign a corpus to the PERSISTED cluster space: sparse cosine of
+    * each doc's hash-embedding against the loaded centroid rows
+    * (broadcast — they are nCentroids·d rows at most), map-side
+    * `max(struct)` argmax, output (doc_id, cluster, sim). Docs
+    * sharing no dimension with any centroid drop out (same contract
+    * as [[topics]]). Integer numerators + one IEEE division keep the
+    * assignment — and the winning sim — oracle-hash-exact.
+    */
+  def assignOnTopics(docs: DataFrame, table: String): DataFrame = {
+    val spark = docs.sparkSession
+    val json = graft.ops.TableProps.get(spark, table, "graft.topics.params")
+    val d = graft.ops.TableProps.longField(json, "d").toInt
+    val cw = spark.table(table)
+      .select(col("c_id"), col("dim"), col("w").as("cw"))
+    val cNorms = cw.groupBy(col("c_id")).agg(sum(col("cw") * col("cw")).as("c_s2"))
+    val w = TextAnalysis.hashEmbed(docs, d).select(col("doc_id"), col("dim"), col("w"))
+    val norms = w.groupBy(col("doc_id")).agg(sum(col("w") * col("w")).as("s2"))
+    w.join(broadcast(cw), Seq("dim"))
+      .groupBy(col("doc_id"), col("c_id"))
+      .agg(sum(col("w") * col("cw")).as("num"))
+      .join(norms, Seq("doc_id"))
+      .join(broadcast(cNorms), Seq("c_id"))
+      .select(col("doc_id"), col("c_id"),
+        (col("num") / (sqrt(col("s2")) * sqrt(col("c_s2")))).as("sim"))
+      .groupBy(col("doc_id"))
+      .agg(max(struct(col("sim"), (-col("c_id")).as("neg"), col("c_id"))).as("m"))
+      .select(col("doc_id"), col("m.c_id").as("cluster"), col("m.sim").as("sim"))
+      .orderBy(col("doc_id"))
+  }
 }

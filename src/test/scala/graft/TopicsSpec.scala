@@ -30,6 +30,40 @@ class TopicsSpec extends SparkSpec {
       _.map(_.getLong(1)).sorted.sameElements(1L to 3L)))
   }
 
+  test("topic model at rest: cross-corpus assignment against the persisted cluster space") {
+    val a = "apple apricot avocado almond anise"
+    val b = "banana blueberry bergamot breadfruit barberry"
+    val train = (Seq((0L, a), (1L, b)) ++
+      (2L until 12L).map(i => (i, if (i % 2 == 0) a else b)))
+      .toDF("doc_id", "text")
+    val tmp = java.nio.file.Files.createTempDirectory("topics_rt").toString
+    Topics.saveTopics(train, "graft_topics_spec", nCentroids = 2, topTerms = 3,
+      path = Some(s"$tmp/tbl"))
+    // label table round trip ≡ the in-query topics output bitwise
+    val terms = spark.table("graft_topics_spec_terms")
+      .orderBy(col("cluster"), col("term_rank")).collect().map(_.toString)
+    val fresh = Topics.topics(train, nCentroids = 2, topTerms = 3)
+      .collect().map(_.toString)
+    assert(terms.toSeq === fresh.toSeq)
+    // a NEW corpus tags against the SAME cluster space: vocab-A docs
+    // land on cluster 0, vocab-B on cluster 1 — ids comparable across
+    // ingests because the centroids never refit
+    val incoming = Seq((100L, a), (101L, b), (102L, a)).toDF("doc_id", "text")
+    val asg = Topics.assignOnTopics(incoming, "graft_topics_spec").collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("cluster"), r.getAs[Double]("sim"))).toMap
+    assert(asg(100L)._1 === 0L && asg(102L)._1 === 0L && asg(101L)._1 === 1L, s"$asg")
+    // identical vocabulary ⇒ exact cosine 1.0 against its centroid
+    assert(asg.values.forall(v => math.abs(v._2 - 1.0) < 1e-12))
+    // assignment plan: centroid side broadcast, no window
+    val plan = Topics.assignOnTopics(incoming, "graft_topics_spec")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), plan)
+    assert(plan.contains("BroadcastExchange"), "centroids must broadcast")
+    spark.sql("DROP TABLE IF EXISTS graft_topics_spec")
+    spark.sql("DROP TABLE IF EXISTS graft_topics_spec_terms")
+  }
+
   test("qualityEnsemble: each signal catches its own planted failure mode") {
     // ≥50 distinct words (Gopher's floor), stopwords present, mean
     // word length ≥3, no repeated bigrams
