@@ -64,6 +64,7 @@ object SparkEntry {
       t(s, dir, "region"), t(s, dir, "nation"), t(s, dir, "supplier"),
       t(s, dir, "customer"), t(s, dir, "orders"), t(s, dir, "lineitem"))),
     "q_topn_group" -> ((s, dir) => Relational.topNPerGroup(t(s, dir, "orders"))),
+    "q_profile" -> ((s, dir) => graft.ops.Profile.profile(t(s, dir, "orders"))),
     "q_window_running" -> ((s, dir) => Relational.runningCustomerSpend(t(s, dir, "orders"))),
     "events_sessionize" -> ((s, dir) => EventOps.sessionize(t(s, dir, "events"))),
     "events_windowed" -> ((s, dir) => EventOps.hourlyRollup(t(s, dir, "events"))),
@@ -674,6 +675,36 @@ object SparkEntry {
         |  FROM orders)
         |WHERE rn <= 3
         |ORDER BY o_orderpriority, rn""".stripMargin,
+    "q_profile" ->
+      """WITH src AS (SELECT * FROM orders)
+        |SELECT * FROM (
+        |SELECT 'o_orderkey' AS "column", count(*) AS n_rows,
+        |  count(*) FILTER (o_orderkey IS NULL) AS n_null,
+        |  count(DISTINCT o_orderkey) AS n_distinct,
+        |  min(o_orderkey)::DOUBLE AS min_num, max(o_orderkey)::DOUBLE AS max_num,
+        |  NULL::VARCHAR AS min_str, NULL::VARCHAR AS max_str FROM src
+        |UNION ALL
+        |SELECT 'o_custkey', count(*), count(*) FILTER (o_custkey IS NULL),
+        |  count(DISTINCT o_custkey),
+        |  min(o_custkey)::DOUBLE, max(o_custkey)::DOUBLE, NULL, NULL FROM src
+        |UNION ALL
+        |SELECT 'o_orderstatus', count(*), count(*) FILTER (o_orderstatus IS NULL),
+        |  count(DISTINCT o_orderstatus), NULL::DOUBLE, NULL::DOUBLE,
+        |  min(o_orderstatus), max(o_orderstatus) FROM src
+        |UNION ALL
+        |SELECT 'o_totalprice', count(*), count(*) FILTER (o_totalprice IS NULL),
+        |  count(DISTINCT o_totalprice),
+        |  min(o_totalprice), max(o_totalprice), NULL, NULL FROM src
+        |UNION ALL
+        |SELECT 'o_orderdate', count(*), count(*) FILTER (o_orderdate IS NULL),
+        |  count(DISTINCT o_orderdate),
+        |  min(epoch_us(o_orderdate))::DOUBLE, max(epoch_us(o_orderdate))::DOUBLE,
+        |  NULL, NULL FROM src
+        |UNION ALL
+        |SELECT 'o_orderpriority', count(*), count(*) FILTER (o_orderpriority IS NULL),
+        |  count(DISTINCT o_orderpriority), NULL::DOUBLE, NULL::DOUBLE,
+        |  min(o_orderpriority), max(o_orderpriority) FROM src)
+        |ORDER BY "column"""".stripMargin,
     "q_window_running" ->
       """SELECT o_custkey, o_orderkey,
         |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER (

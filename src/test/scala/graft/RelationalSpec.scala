@@ -536,6 +536,37 @@ class RelationalSpec extends SparkSpec {
     assert(sorted.last.getAs[Long]("bin") === 19L, "the max value must land in the top bin")
   }
 
+  test("profile: per-column nulls/distincts/bounds on a planted frame; one aggregation pass") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val df = Seq(
+      (1L, Some(2.5), Some("b")),
+      (2L, None, Some("a")),
+      (3L, Some(7.5), None),
+      (3L, Some(2.5), Some("c"))).toDF("k", "v", "s")
+    val p = graft.ops.Profile.profile(df).collect()
+      .map(r => r.getAs[String]("column") -> r).toMap
+    assert(p.keySet === Set("k", "v", "s"))
+    p.values.foreach(r => assert(r.getAs[Long]("n_rows") === 4L))
+    assert(p("k").getAs[Long]("n_null") === 0L)
+    assert(p("k").getAs[Long]("n_distinct") === 3L)
+    assert(p("k").getAs[Double]("min_num") === 1.0 && p("k").getAs[Double]("max_num") === 3.0)
+    assert(p("v").getAs[Long]("n_null") === 1L)
+    assert(p("v").getAs[Long]("n_distinct") === 2L)
+    assert(p("s").getAs[Long]("n_null") === 1L)
+    assert(p("s").getAs[String]("min_str") === "a" && p("s").getAs[String]("max_str") === "c")
+    assert(p("s").isNullAt(p("s").fieldIndex("min_num")))
+    // sketch tier: approx distincts land near exact on a tiny frame
+    val approx = graft.ops.Profile.profile(df, exact = false).collect()
+      .map(r => r.getAs[String]("column") -> r.getAs[Long]("n_distinct")).toMap
+    assert(approx.values.forall(n => n >= 2 && n <= 4))
+    // one aggregation pass: a single pair of (partial, final) aggregates
+    // over the source — no per-column jobs
+    val phys = graft.ops.Profile.profile(df, exact = false)
+      .queryExecution.executedPlan.toString
+    assert("Scan ExistingRDD".r.findAllIn(phys).size <= 1, phys)
+  }
+
   test("pricingSummary plan: filter and pruned columns reach the parquet scan") {
     val plan = Relational.pricingSummary(lineitem).queryExecution.executedPlan.toString
     assert(plan.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"), plan)
