@@ -955,6 +955,35 @@ object OracleSql {
   /** IVF probe-and-rerank: centroids = vec_id<8, queries = vec_id<10,
     * nProbe=2, k=5 (mirror of Ivf.probeTopK wiring in SparkEntry).
     */
+  /** Hard-negative mining (mirror of Ivf.hardNegatives: the annIvf
+    * probed-candidate chain with the near-dup threshold applied
+    * BEFORE the rank - the full filtered set ranks, not a truncated
+    * top-k's survivors).
+    */
+  val embHardNegatives: String =
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |cent AS (SELECT vec_id AS c_id, v AS cv FROM e WHERE vec_id < 8),
+       |asg AS (SELECT vec_id, c_id AS cell FROM (
+       |  SELECT e.vec_id, c.c_id,
+       |    row_number() OVER (PARTITION BY e.vec_id
+       |      ORDER BY list_cosine_similarity(e.v, c.cv) DESC, c.c_id) AS rn
+       |  FROM e, cent c) WHERE rn = 1),
+       |q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 10),
+       |probe AS (SELECT q_id, c_id AS cell FROM (
+       |  SELECT q.q_id, c.c_id,
+       |    row_number() OVER (PARTITION BY q.q_id
+       |      ORDER BY list_cosine_similarity(q.qv, c.cv) DESC, c.c_id) AS rn
+       |  FROM q, cent c) WHERE rn <= 2),
+       |cand AS (SELECT DISTINCT p.q_id, a.vec_id AS cand_id
+       |  FROM probe p JOIN asg a ON a.cell = p.cell WHERE a.vec_id <> p.q_id),
+       |s AS (SELECT cand.q_id, cand.cand_id, list_cosine_similarity(q.qv, e.v) AS sim
+       |  FROM cand JOIN q ON q.q_id = cand.q_id JOIN e ON e.vec_id = cand.cand_id),
+       |f AS (SELECT * FROM s WHERE sim < 0.95),
+       |r AS (SELECT q_id, cand_id, sim,
+       |  CAST(row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, cand_id) AS BIGINT) AS rn
+       |  FROM f)
+       |SELECT q_id, rn, cand_id, sim FROM r WHERE rn <= 3 ORDER BY q_id, rn""".stripMargin
+
   val annIvf: String =
     s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
        |cent AS (SELECT vec_id AS c_id, v AS cv FROM e WHERE vec_id < 8),

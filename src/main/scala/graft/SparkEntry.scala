@@ -347,6 +347,14 @@ object SparkEntry {
       graft.ann.Project.probeTopKProjected(e,
         e.filter(col("vec_id") < 10), e.filter(col("vec_id") < 8), 2, 5)
     }),
+    // hard-negative mining for contrastive pairs: most-confusable
+    // non-duplicates from the probed cells, thresholded BEFORE the
+    // bounded top-k so near-dup floods can't crowd out the boundary
+    "emb_hard_negatives" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      Ivf.hardNegatives(e, e.filter(col("vec_id") < 10),
+        e.filter(col("vec_id") < 8), nProbe = 2, k = 3)
+    }),
     // rows-only (PCA axes are a float fit): the data-derived twin of
     // ann_ivf_projected — candidate generation in 16-dim PCA space,
     // exact rerank in the original space; probe-every-cell ≡ brute
@@ -893,6 +901,7 @@ object SparkEntry {
     "emb_label_centroids" -> OracleSql.embLabelCentroids,
     "semantic_dedup" -> OracleSql.semanticDedup,
     "ann_ivf" -> OracleSql.annIvf,
+    "emb_hard_negatives" -> OracleSql.embHardNegatives,
     "emb_prototype_prune" -> OracleSql.embPrototypePrune,
     "vec_project" -> OracleSql.vecProject,
     "ann_ivf_projected" -> OracleSql.annIvfProjected,

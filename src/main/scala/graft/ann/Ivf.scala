@@ -89,6 +89,18 @@ object Ivf {
     */
   def probeTopKOnIndex(cells: DataFrame, centroids: DataFrame,
       queries: DataFrame, nProbe: Int, k: Int,
+      broadcastQueries: Option[Boolean] = None): DataFrame =
+    graft.ops.TopK.rankByScore(
+      probeCandidateSims(cells, centroids, queries, nProbe, broadcastQueries), k)
+
+  /** The probed-candidate cosine stream `(q_id, cand_id, sim)` BEFORE
+    * any ranking — the raw material every cell-confined consumer
+    * ranks or filters its own way ([[probeTopKOnIndex]] ranks it;
+    * [[hardNegatives]] thresholds it first). Extracted so a filter
+    * can run before the bounded top-k rather than after it.
+    */
+  def probeCandidateSims(cells: DataFrame, centroids: DataFrame,
+      queries: DataFrame, nProbe: Int,
       broadcastQueries: Option[Boolean] = None): DataFrame = {
     val c = centroids.select(col("vec_id").as("c_id"), col("embedding").as("c_emb"))
     val probes = queries.select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
@@ -118,12 +130,31 @@ object Ivf {
       .groupBy(col("q_id"), col("cand_id"))
       .agg(min(col("cand_emb")).as("cand_emb"))
     val q = queries.select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    cand
+      .join(graft.ops.Broadcasting.maybeBroadcast(q, broadcastQueries), Seq("q_id"))
+      .select(col("q_id"), col("cand_id"),
+        cosine_sim(col("q_emb"), col("cand_emb")).as("sim"))
+  }
+
+  /** Hard-negative mining for contrastive training pairs: per query,
+    * the `k` most similar candidates BELOW the near-duplicate
+    * threshold — the most-confusable non-duplicates, exactly the
+    * boundary samples a contrastive trainer wants next to its
+    * positives. Cell-confined like every serving flow (probed cells
+    * only — at 100 TB the miner never scores the whole corpus per
+    * query), and the threshold filter runs BEFORE the bounded top-k,
+    * so a query drowning in exact/near duplicates still surfaces its
+    * true hard negative instead of k copies of itself.
+    */
+  def hardNegatives(corpus: DataFrame, queries: DataFrame,
+      centroids: DataFrame, nProbe: Int, k: Int = 1,
+      dupThreshold: Double = 0.95,
+      broadcastQueries: Option[Boolean] = None): DataFrame = {
+    val cells = assign(corpus, centroids)
+      .join(corpus.select(col("vec_id"), col("embedding")), Seq("vec_id"))
     graft.ops.TopK.rankByScore(
-      cand
-        .join(graft.ops.Broadcasting.maybeBroadcast(q, broadcastQueries), Seq("q_id"))
-        .select(col("q_id"), col("cand_id"),
-          cosine_sim(col("q_emb"), col("cand_emb")).as("sim")),
-      k)
+      probeCandidateSims(cells, centroids, queries, nProbe, broadcastQueries)
+        .filter(col("sim") < dupThreshold), k)
   }
 
   /** Persist the IVF index at rest — the cells-and-centroids twin of

@@ -149,6 +149,35 @@ class PcaSpec extends SparkSpec {
     assert(all.sameElements(brute))
   }
 
+  test("hardNegatives: planted near-dup excluded, boundary sample surfaces, filter precedes the top-k") {
+    import graft.ann.Ivf
+    // 0/1 are centroids & queries; 10 is a near-duplicate of 0 (same
+    // direction), 11 is similar-but-below-threshold, 12 is dissimilar
+    def vec(main: Int, eps: Double, seed: Int): Seq[Float] =
+      Array.tabulate(8)(i =>
+        (if (i == main) 1.0 else eps * math.sin(seed * 31 + i)).toFloat).toSeq
+    val rows = Seq(
+      (0L, vec(0, 0.0, 1)), (1L, vec(1, 0.0, 2)),
+      (10L, vec(0, 0.001, 3)),  // near-dup of 0: sim > 0.999
+      (11L, vec(0, 0.45, 4)),   // confusable with 0 but < 0.95
+      (12L, vec(1, 0.05, 5)))   // other cluster
+    val emb8 = rows.toDF("vec_id", "embedding")
+    val queries = emb8.filter(col("vec_id") === 0L)
+    val cents = emb8.filter(col("vec_id") < 2)
+    val got = Ivf.hardNegatives(emb8, queries, cents, nProbe = 1, k = 1)
+      .collect()
+    assert(got.length === 1)
+    val r = got.head
+    assert(r.getAs[Long]("cand_id") === 11L,
+      s"hard negative should be the boundary sample, got ${r.getAs[Long]("cand_id")}")
+    assert(r.getAs[Double]("sim") < 0.95 && r.getAs[Double]("sim") > 0.5)
+    // the near-dup (sim > 0.999) was excluded by the threshold even
+    // though it is the TOP candidate — proving the filter runs before
+    // the bounded top-k, not on its survivors
+    val unfiltered = Ivf.probeTopK(emb8, queries, cents, nProbe = 1, k = 1).collect()
+    assert(unfiltered.head.getAs[Long]("cand_id") === 10L)
+  }
+
   test("query: one projected row per vector with the eigenvalue spectrum attached") {
     val got = Pca.query(emb, d, 4)
     assert(got.count() === emb.count())
