@@ -984,6 +984,40 @@ object OracleSql {
        |  FROM f)
        |SELECT q_id, rn, cand_id, sim FROM r WHERE rn <= 3 ORDER BY q_id, rn""".stripMargin
 
+  /** Cell-pruned k-NN classification (mirror of Knn.knnClassifyIvf:
+    * the annIvf probed-candidate chain feeding the knnClassify vote).
+    */
+  val knnClassifyIvf: String =
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |cent AS (SELECT vec_id AS c_id, v AS cv FROM e WHERE vec_id < 8),
+       |asg AS (SELECT vec_id, c_id AS cell FROM (
+       |  SELECT e.vec_id, c.c_id,
+       |    row_number() OVER (PARTITION BY e.vec_id
+       |      ORDER BY list_cosine_similarity(e.v, c.cv) DESC, c.c_id) AS rn
+       |  FROM e, cent c) WHERE rn = 1),
+       |q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 10),
+       |probe AS (SELECT q_id, c_id AS cell FROM (
+       |  SELECT q.q_id, c.c_id,
+       |    row_number() OVER (PARTITION BY q.q_id
+       |      ORDER BY list_cosine_similarity(q.qv, c.cv) DESC, c.c_id) AS rn
+       |  FROM q, cent c) WHERE rn <= 2),
+       |cand AS (SELECT DISTINCT p.q_id, a.vec_id AS cand_id
+       |  FROM probe p JOIN asg a ON a.cell = p.cell WHERE a.vec_id <> p.q_id),
+       |s AS (SELECT cand.q_id, cand.cand_id, list_cosine_similarity(q.qv, e.v) AS sim
+       |  FROM cand JOIN q ON q.q_id = cand.q_id JOIN e ON e.vec_id = cand.cand_id),
+       |r AS (SELECT q_id, cand_id,
+       |  row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, cand_id) AS rn
+       |  FROM s),
+       |v AS (SELECT r.q_id, emb.label::BIGINT AS label,
+       |  count(*) AS votes, min(rn) AS best_rn
+       |  FROM r JOIN embeddings emb ON emb.vec_id = r.cand_id
+       |  WHERE rn <= 5 GROUP BY 1, 2),
+       |p AS (SELECT q_id, label, votes,
+       |  row_number() OVER (PARTITION BY q_id
+       |    ORDER BY votes DESC, best_rn, label) AS pr FROM v)
+       |SELECT q_id, label AS pred_label, votes FROM p WHERE pr = 1
+       |ORDER BY q_id""".stripMargin
+
   val annIvf: String =
     s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
        |cent AS (SELECT vec_id AS c_id, v AS cv FROM e WHERE vec_id < 8),

@@ -313,6 +313,14 @@ object SparkEntry {
       val e = t(s, dir, "embeddings")
       Knn.cosineTopK(e, e, 3)
     }),
+    // cell-pruned classification serving: the knn_classify vote over
+    // probed-cell neighbors — per-query cost = probe selectivity,
+    // not corpus size
+    "knn_classify_ivf" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      Knn.knnClassifyIvf(e, e.filter(col("vec_id") < 10),
+        e.filter(col("vec_id") < 8), nProbe = 2, k = 5)
+    }),
     "knn_classify" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
       Knn.knnClassify(e, e.filter(col("vec_id") < 100), 5)
@@ -898,6 +906,7 @@ object SparkEntry {
     "cosine_topk_exact" -> OracleSql.cosineTopkExact,
     "knn_brute" -> OracleSql.knnBrute,
     "knn_classify" -> OracleSql.knnClassify,
+    "knn_classify_ivf" -> OracleSql.knnClassifyIvf,
     "emb_label_centroids" -> OracleSql.embLabelCentroids,
     "semantic_dedup" -> OracleSql.semanticDedup,
     "ann_ivf" -> OracleSql.annIvf,

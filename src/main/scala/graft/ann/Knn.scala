@@ -59,9 +59,17 @@ object Knn {
     * Output: (q_id, pred_label, votes).
     */
   def knnClassify(corpus: DataFrame, queries: DataFrame, k: Int,
-      broadcastQueries: Option[Boolean] = None): DataFrame = {
-    val nn = cosineTopK(corpus, queries, k, broadcastQueries)
-    val labels = corpus.select(col("vec_id").as("cand_id"), col("label").cast("long").as("label"))
+      broadcastQueries: Option[Boolean] = None): DataFrame =
+    voteOnNeighbors(cosineTopK(corpus, queries, k, broadcastQueries), corpus)
+
+  /** The majority-vote stage over ANY ranked neighbor frame
+    * `(q_id, rn, cand_id, …)` — shared by the brute [[knnClassify]]
+    * and the cell-pruned [[knnClassifyIvf]]: two small keyed
+    * aggregations, the argmax a `max(struct)` partial aggregate, not
+    * a window.
+    */
+  def voteOnNeighbors(nn: DataFrame, labeled: DataFrame): DataFrame = {
+    val labels = labeled.select(col("vec_id").as("cand_id"), col("label").cast("long").as("label"))
     nn.join(labels, Seq("cand_id"))
       .groupBy(col("q_id"), col("label"))
       .agg(count(lit(1)).as("votes"), min(col("rn")).as("best_rn"))
@@ -71,6 +79,19 @@ object Knn {
       .select(col("q_id"), col("m.label").as("pred_label"), col("m.votes").as("votes"))
       .orderBy(col("q_id"))
   }
+
+  /** Cell-pruned k-NN classification: the [[knnClassify]] vote over
+    * [[graft.ann.Ivf.probeTopK]] neighbors instead of a brute scan —
+    * the serving-scale classifier (probed cells only; at 100 TB the
+    * per-query cost is probe selectivity, not corpus size), with the
+    * identical deterministic vote semantics.
+    */
+  def knnClassifyIvf(corpus: DataFrame, queries: DataFrame,
+      centroids: DataFrame, nProbe: Int, k: Int,
+      broadcastQueries: Option[Boolean] = None): DataFrame =
+    voteOnNeighbors(
+      graft.ann.Ivf.probeTopK(corpus, queries, centroids, nProbe, k, broadcastQueries),
+      corpus)
 
   /** Scale path for embedding near-dup: LSH candidate pairs (corpus
     * never self-cross-joins) verified by exact cosine ≥ threshold.
