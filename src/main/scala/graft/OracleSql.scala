@@ -987,6 +987,29 @@ object OracleSql {
   /** Cell-pruned k-NN classification (mirror of Knn.knnClassifyIvf:
     * the annIvf probed-candidate chain feeding the knnClassify vote).
     */
+  /** Positional phrase search (mirror of TextAnalysis.phraseSearch ∘
+    * cannedPhrases): offset voting over positional postings — a start
+    * whose matched-offset count equals the phrase length is one
+    * occurrence.
+    */
+  val textPhraseSearch: String =
+    s"""WITH t AS (SELECT doc_id, $Toks AS toks FROM documents),
+       |post AS (SELECT doc_id, unnest(toks) AS token,
+       |  generate_subscripts(toks, 1) - 1 AS pos FROM t),
+       |ph AS (SELECT doc_id AS phrase_id, toks[3:5] AS terms FROM t
+       |  WHERE doc_id < 5 AND len(toks) >= 5),
+       |q AS (SELECT phrase_id, len(terms) AS plen, unnest(terms) AS token,
+       |  generate_subscripts(terms, 1) - 1 AS off FROM ph),
+       |j AS (SELECT q.phrase_id, q.plen, post.doc_id,
+       |  post.pos - q.off AS start
+       |  FROM post JOIN q ON q.token = post.token
+       |  WHERE post.pos - q.off >= 0),
+       |m AS (SELECT phrase_id, plen, doc_id, start, count(*) AS matched
+       |  FROM j GROUP BY 1, 2, 3, 4)
+       |SELECT phrase_id, doc_id, count(*) AS n_occurrences
+       |FROM m WHERE matched = plen GROUP BY 1, 2
+       |ORDER BY phrase_id, doc_id""".stripMargin
+
   val knnClassifyIvf: String =
     s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
        |cent AS (SELECT vec_id AS c_id, v AS cv FROM e WHERE vec_id < 8),

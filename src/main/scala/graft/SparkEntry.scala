@@ -233,6 +233,12 @@ object SparkEntry {
       graft.text.SearchIndex.searchTopK(graft.text.SearchIndex.load(s, "graft_search_idx_rt"))
     }),
     "text_pmi" -> ((s, dir) => TextAnalysis.tokenPmi(t(s, dir, "documents"))),
+    // exact-sequence queries over positional postings: offset voting,
+    // one keyed shuffle, no per-document scan
+    "text_phrase_search" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      TextAnalysis.phraseSearch(d, TextAnalysis.cannedPhrases(d))
+    }),
     "text_ngram_lm" -> ((s, dir) => TextAnalysis.ngramLmScore(t(s, dir, "documents"))),
     // LM-at-rest round trip (the CCNet perplexity-filter deployment
     // shape): fit + persist the bigram/unigram tables bucketed on
@@ -880,6 +886,7 @@ object SparkEntry {
     "corpus_topics_persisted" -> OracleSql.corpusTopicsAssign,
     "text_pmi" -> OracleSql.textPmi,
     "text_ngram_lm" -> OracleSql.textNgramLm,
+    "text_phrase_search" -> OracleSql.textPhraseSearch,
     "text_ngram_lm_persisted" -> OracleSql.textNgramLm,
     "text_hash_embed" -> OracleSql.textHashEmbed,
     "text_knn_hash_embed" -> OracleSql.textKnnHashEmbed,

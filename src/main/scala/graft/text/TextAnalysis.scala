@@ -812,6 +812,48 @@ object TextAnalysis {
       graft.GraftFunctions.hex64(
         array_join(transform(col("tfs"), _.cast("string")), ",")).as("tfs_h"))
 
+  /** Positional PHRASE search — the exact-sequence query the
+    * term-bag [[searchTopK]] cannot answer: a phrase matches where
+    * every term appears at its offset from a common start position.
+    * Pure offset arithmetic on positional postings: each (term,
+    * offset) hit votes for `start = pos − offset`, and a start whose
+    * vote count equals the phrase length is an occurrence — no
+    * per-document loop, no regex scan of the text.
+    *
+    * Scale shape: positional postings explode map-side; the phrase
+    * table broadcasts (queries are small by nature); ONE shuffle on
+    * the (phrase, doc, start) group key with map-side partials, then
+    * a keyed count. Duplicate terms inside a phrase are handled by
+    * construction ((pos, offset) rows are unique). At rest, persist
+    * the positional postings bucketed by token — the
+    * [[invertedIndex]] discipline with a `pos` column.
+    */
+  def phraseSearch(docs: DataFrame, phrases: DataFrame): DataFrame = {
+    val post = withToks(docs)
+      .select(col("doc_id"), posexplode(col("toks")).as(Seq("pos", "token")))
+    val q = phrases
+      .select(col("phrase_id"), size(col("terms")).as("plen"),
+        posexplode(col("terms")).as(Seq("offset", "token")))
+    post.join(broadcast(q), Seq("token"))
+      .select(col("phrase_id"), col("plen"), col("doc_id"),
+        (col("pos") - col("offset")).as("start"))
+      .filter(col("start") >= 0)
+      .groupBy(col("phrase_id"), col("plen"), col("doc_id"), col("start"))
+      .agg(count(lit(1)).as("matched"))
+      .filter(col("matched") === col("plen"))
+      .groupBy(col("phrase_id"), col("doc_id"))
+      .agg(count(lit(1)).as("n_occurrences"))
+      .orderBy(col("phrase_id"), col("doc_id"))
+  }
+
+  /** Deterministic corpus-derived phrase set for the driver row: the
+    * 3rd–5th tokens of each of the first `n` long-enough docs.
+    */
+  def cannedPhrases(docs: DataFrame, n: Int = 5): DataFrame =
+    withToks(docs)
+      .filter(col("doc_id") < n && size(col("toks")) >= 5)
+      .select(col("doc_id").as("phrase_id"), slice(col("toks"), 3, 3).as("terms"))
+
   /** BM25 top-k search served FROM a prebuilt inverted index: postings
     * of the query terms → per-candidate term frequencies → BM25 score
     * (same constants, association order, and [[graft.expressions.DetLn]]

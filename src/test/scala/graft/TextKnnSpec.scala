@@ -994,6 +994,33 @@ class TextKnnSpec extends SparkSpec {
     assert(TextAnalysis.ngramLmScore(short).collect().map(_.getLong(0)).toSeq === Seq(1L))
   }
 
+  test("phraseSearch: exact sequences only; overlaps and duplicate-term phrases count right") {
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "brown fox quick the"),          // all terms, wrong order
+      (3L, "a quick brown fox and a quick brown fox again"),
+      (4L, "buffalo buffalo buffalo buffalo")).toDF("doc_id", "text")
+    val phrases = Seq(
+      (10L, Seq("quick", "brown", "fox")),
+      (11L, Seq("buffalo", "buffalo")),     // duplicate-term phrase
+      (12L, Seq("lazy", "fox"))             // never adjacent
+    ).toDF("phrase_id", "terms")
+    val got = graft.text.TextAnalysis.phraseSearch(corpus, phrases).collect()
+      .map(r => (r.getAs[Long]("phrase_id"), r.getAs[Long]("doc_id")) ->
+        r.getAs[Long]("n_occurrences")).toMap
+    // exact sequence: doc 2 has all the terms but never the phrase
+    assert(got === Map(
+      (10L, 1L) -> 1L, (10L, 3L) -> 2L,
+      // "buffalo buffalo" in a run of 4 = 3 overlapping occurrences
+      (11L, 4L) -> 3L), s"got $got")
+    // plan: phrase side broadcasts; the heavy side shuffles once on
+    // the vote key with map-side partial aggregation
+    val phys = graft.text.TextAnalysis.phraseSearch(corpus, phrases)
+      .queryExecution.executedPlan.toString
+    assert(phys.contains("BroadcastExchange"), phys)
+    assert(!phys.contains("SortMergeJoin"), s"phrase join should broadcast:\n$phys")
+  }
+
   test("LM at rest: persisted scoring ≡ in-query fit bitwise; LM-side joins exchange-free; cross-corpus") {
     val tmp = java.nio.file.Files.createTempDirectory("graft_lm").toString
     TextAnalysis.saveLm(docs, "graft_lm_spec", path = Some(s"$tmp/tbl"))
