@@ -239,6 +239,17 @@ object SparkEntry {
       val d = t(s, dir, "documents")
       TextAnalysis.phraseSearch(d, TextAnalysis.cannedPhrases(d))
     }),
+    // positional index at rest: tokenize once, serve every phrase
+    // query from the bucketed postings table — same oracle as the
+    // self-contained row
+    "text_phrase_search_persisted" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val tmp = tempDir("phrase_idx")
+      TextAnalysis.savePositionalIndex(d, "graft_phrase_idx_rt",
+        path = Some(s"$tmp/tbl"))
+      TextAnalysis.phraseSearchOnIndex(s, "graft_phrase_idx_rt",
+        TextAnalysis.cannedPhrases(d))
+    }),
     "text_ngram_lm" -> ((s, dir) => TextAnalysis.ngramLmScore(t(s, dir, "documents"))),
     // LM-at-rest round trip (the CCNet perplexity-filter deployment
     // shape): fit + persist the bigram/unigram tables bucketed on
@@ -887,6 +898,7 @@ object SparkEntry {
     "text_pmi" -> OracleSql.textPmi,
     "text_ngram_lm" -> OracleSql.textNgramLm,
     "text_phrase_search" -> OracleSql.textPhraseSearch,
+    "text_phrase_search_persisted" -> OracleSql.textPhraseSearch,
     "text_ngram_lm_persisted" -> OracleSql.textNgramLm,
     "text_hash_embed" -> OracleSql.textHashEmbed,
     "text_knn_hash_embed" -> OracleSql.textKnnHashEmbed,

@@ -828,9 +828,19 @@ object TextAnalysis {
     * the positional postings bucketed by token — the
     * [[invertedIndex]] discipline with a `pos` column.
     */
-  def phraseSearch(docs: DataFrame, phrases: DataFrame): DataFrame = {
-    val post = withToks(docs)
+  def phraseSearch(docs: DataFrame, phrases: DataFrame): DataFrame =
+    phraseSearchOnPostings(positionalPostings(docs), phrases)
+
+  /** The positional posting stream `(doc_id, pos, token)` — the
+    * index-side input of [[phraseSearchOnPostings]], fresh or at
+    * rest.
+    */
+  def positionalPostings(docs: DataFrame): DataFrame =
+    withToks(docs)
       .select(col("doc_id"), posexplode(col("toks")).as(Seq("pos", "token")))
+
+  /** The offset-voting core over any positional posting frame. */
+  def phraseSearchOnPostings(post: DataFrame, phrases: DataFrame): DataFrame = {
     val q = phrases
       .select(col("phrase_id"), size(col("terms")).as("plen"),
         posexplode(col("terms")).as(Seq("offset", "token")))
@@ -845,6 +855,25 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_occurrences"))
       .orderBy(col("phrase_id"), col("doc_id"))
   }
+
+  /** Persist the positional postings at rest, bucketed + sorted by
+    * token — [[SearchIndex]]'s positional sibling: tokenize once,
+    * serve every future phrase query from the table (a phrase touches
+    * only its terms' postings, and single-term probes prune to one
+    * file bucket). The corpus is never re-read at serving time.
+    */
+  def savePositionalIndex(docs: DataFrame, table: String, nBuckets: Int = 32,
+      path: Option[String] = None): Unit = {
+    val w = positionalPostings(docs).write.mode("overwrite").format("parquet")
+      .bucketBy(nBuckets, "token").sortBy("token")
+    path.foreach(loc => w.option("path", loc))
+    w.saveAsTable(table)
+  }
+
+  /** [[phraseSearch]] served from a [[savePositionalIndex]] table. */
+  def phraseSearchOnIndex(spark: org.apache.spark.sql.SparkSession,
+      table: String, phrases: DataFrame): DataFrame =
+    phraseSearchOnPostings(spark.table(table), phrases)
 
   /** Deterministic corpus-derived phrase set for the driver row: the
     * 3rd–5th tokens of each of the first `n` long-enough docs.

@@ -1021,6 +1021,34 @@ class TextKnnSpec extends SparkSpec {
     assert(!phys.contains("SortMergeJoin"), s"phrase join should broadcast:\n$phys")
   }
 
+  test("positional index at rest: phrase serving ≡ fresh bitwise, no corpus scan in the plan") {
+    val tmp = java.nio.file.Files.createTempDirectory("phrase_idx").toString
+    graft.text.TextAnalysis.savePositionalIndex(docs, "graft_phrase_idx_spec",
+      path = Some(s"$tmp/tbl"))
+    val phrases = graft.text.TextAnalysis.cannedPhrases(docs)
+    val served = graft.text.TextAnalysis
+      .phraseSearchOnIndex(spark, "graft_phrase_idx_spec", phrases).collect()
+    val fresh = graft.text.TextAnalysis.phraseSearch(docs, phrases).collect()
+    assert(served.map(_.toString).toSeq === fresh.map(_.toString).toSeq)
+    assert(served.nonEmpty)
+    // serving reads ONLY the postings table: the documents parquet
+    // never appears on the index side of the plan
+    val plan = graft.text.TextAnalysis
+      .phraseSearchOnIndex(spark, "graft_phrase_idx_spec",
+        spark.createDataFrame(java.util.Arrays.asList(
+          org.apache.spark.sql.Row(99L, Seq("quick", "brown"))),
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("phrase_id",
+              org.apache.spark.sql.types.LongType),
+            org.apache.spark.sql.types.StructField("terms",
+              org.apache.spark.sql.types.ArrayType(
+                org.apache.spark.sql.types.StringType))))))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("documents.parquet"),
+      s"phrase serving re-reads the corpus:\n$plan")
+    spark.sql("DROP TABLE IF EXISTS graft_phrase_idx_spec")
+  }
+
   test("LM at rest: persisted scoring ≡ in-query fit bitwise; LM-side joins exchange-free; cross-corpus") {
     val tmp = java.nio.file.Files.createTempDirectory("graft_lm").toString
     TextAnalysis.saveLm(docs, "graft_lm_spec", path = Some(s"$tmp/tbl"))
