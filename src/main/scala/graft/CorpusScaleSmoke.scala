@@ -270,6 +270,32 @@ object CorpusScaleSmoke {
     assert(pcaModel.eigenvalues(0) > 100 * pcaModel.eigenvalues(1),
       s"planted dominance lost: ${pcaModel.eigenvalues.take(2).toSeq}")
 
+    // ---- rung: sketch-tier profiler — one pass, HLL distincts ----
+    val (prof, tProf) = time {
+      graft.ops.Profile.profile(docs, exact = false).collect()
+        .map(r => r.getAs[String]("column") -> r).toMap
+    }
+    assert(prof("doc_id").getAs[Long]("n_rows") == n)
+    assert(prof("doc_id").getAs[Long]("n_null") == 0L)
+    // default approx_count_distinct rsd is 5% (1σ) — bound at 2σ
+    val approxIds = prof("doc_id").getAs[Long]("n_distinct")
+    assert(math.abs(approxIds - n) < n / 10,
+      s"doc_id HLL distinct $approxIds vs $n")
+
+    // ---- rung: selective phrase over ~20M positional postings —
+    // postings explode map-side, the 3-term phrase broadcast prunes
+    // everything else before the one vote-key shuffle ----
+    val phrase = graft.text.TextAnalysis.cannedPhrases(docs, 2)
+      .filter(col("phrase_id") === 1L)
+    val (hits, tPhrase) = time {
+      graft.text.TextAnalysis.phraseSearch(docs, phrase).collect()
+    }
+    // hash words are unique per doc: doc 1's own 3-gram matches doc 1
+    // exactly once and nothing else
+    assert(hits.length == 1 && hits.head.getAs[Long]("doc_id") == 1L &&
+      hits.head.getAs[Long]("n_occurrences") == 1L,
+      s"phrase rung: ${hits.toSeq}")
+
     val mb = totalChars / 1e6
     println(s"""{"smoke":"corpus_scale","n_docs":$n,"corpus_mb":${mb.round},""" +
       f""""entropy_sec":$tEnt%.1f,"deflate_sec":$tCmp%.1f,""" +
@@ -278,7 +304,8 @@ object CorpusScaleSmoke {
       f""""keep_best_sec":$tKb%.1f,"giant_group_sec":$tGiant%.1f,""" +
       f""""mega_source_pack_sec":$tPack%.1f,"epoch_mix_sec":$tMix%.1f,""" +
       f""""dsir_fit_sec":$tFit%.1f,"dsir_resample_sec":$tWeigh%.1f,""" +
-      f""""pca_fit_sec":$tPca%.1f}""")
+      f""""pca_fit_sec":$tPca%.1f,"profile_sketch_sec":$tProf%.1f,""" +
+      f""""phrase_search_sec":$tPhrase%.1f}""")
     spark.stop()
   }
 }
