@@ -76,6 +76,24 @@ object Streams {
         (unix_micros(col("r_ts")) - unix_micros(col("l_ts"))).as("gap_us"))
   }
 
+  /** Windowed DISTINCT-user counts on a stream — the canonical
+    * streaming-sketch use: exact distinct aggregation is unsupported
+    * (and unbounded) under incremental execution, so the HLL sketch
+    * (`approx_count_distinct`) is the always-on answer — mergeable
+    * across micro-batches, state bounded by the watermark, rsd-bounded
+    * error (spec'd against the batch exact). Input schema:
+    * (ts timestamp, event_type string, user_id long).
+    */
+  def windowedApproxUsers(events: DataFrame, window: String = "1 hour",
+      watermark: String = "2 hours", rsd: Double = 0.05): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(org.apache.spark.sql.functions.window(col("ts"), window), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        approx_count_distinct(col("user_id"), rsd).as("approx_users"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n_events"), col("approx_users"))
+
   /** Streaming exact dedup on a content fingerprint within the
     * watermark horizon (the streaming face of Dedup.exact).
     * Input schema: (ts timestamp, doc_id long, text string).

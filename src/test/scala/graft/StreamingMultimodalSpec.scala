@@ -37,6 +37,38 @@ class StreamingMultimodalSpec extends SparkSpec {
     }
   }
 
+  test("windowedApproxUsers: streamed HLL user counts land within the rsd bound of batch exact") {
+    val batchEv = Tables.load(spark, sfDir, "events")
+    val schema = batchEv.schema
+    val tmp = java.nio.file.Files.createTempDirectory("evu")
+    java.nio.file.Files.createSymbolicLink(
+      tmp.resolve("events.parquet"), java.nio.file.Paths.get(s"$sfDir/events.parquet"))
+    val stream = spark.readStream.schema(schema).parquet(tmp.toString)
+      .select(timestamp_micros(graft.events.EventOps.microsOfTsCol(batchEv)).as("ts"),
+        col("event_type"), col("user_id"))
+    val got = Streams.runOnce(spark, Streams.windowedApproxUsers(stream), "wau_spec",
+        OutputMode.Complete())
+      .select(unix_micros(col("window_start")).as("start_us"), col("event_type"),
+        col("n_events"), col("approx_users"))
+      .collect()
+      .map(r => (r.getAs[Long]("start_us"), r.getAs[String]("event_type")) ->
+        (r.getAs[Long]("n_events"), r.getAs[Long]("approx_users"))).toMap
+    val exact = batchEv
+      .withColumn("us", graft.events.EventOps.microsOfTsCol(batchEv))
+      .groupBy((expr("us div 3600000000") * 3600000000L).as("start_us"), col("event_type"))
+      .agg(count(lit(1)).as("n"), count_distinct(col("user_id")).as("users"))
+      .collect()
+      .map(r => (r.getAs[Long]("start_us"), r.getAs[String]("event_type")) ->
+        (r.getAs[Long]("n"), r.getAs[Long]("users"))).toMap
+    assert(got.keySet === exact.keySet)
+    got.foreach { case (k, (n, approx)) =>
+      assert(n === exact(k)._1, s"window $k event counts diverge")
+      val u = exact(k)._2
+      assert(math.abs(approx - u) <= math.max(3.0, 4 * 0.05 * u),
+        s"window $k: HLL $approx vs exact $u outside 4σ")
+    }
+  }
+
   test("RocksDB state store runs the windowed agg with identical results") {
     val key = "spark.sql.streaming.stateStore.providerClass"
     val default = spark.conf.get(key)
