@@ -624,6 +624,57 @@ object Dedup {
       table: String): (DataFrame, DataFrame) =
     (spark.table(s"${table}_fp"), spark.table(table))
 
+  /** Append a batch's signatures to a [[saveSignatures]] store — the
+    * write-back that closes the production ingest loop:
+    * [[incrementalDedupOnSignatures]] flags a batch against the
+    * store, the caller keeps the survivors, and appending THEIR
+    * signatures makes the next batch dedup against corpus ∪
+    * survivors — no store rebuild, the add touches only the new rows.
+    * Bucket counts come from the catalog (append-stable bucketing,
+    * the [[graft.ann.Ivf.addToIndex]] contract). Append only
+    * SURVIVORS: the fingerprint table is consumed as a set (semi-join
+    * probes), so a duplicate row would not corrupt results, but it is
+    * dead weight compaction has to carry. Periodic
+    * [[compactSignatures]] folds append debris back to one file per
+    * bucket.
+    */
+  def addSignatures(spark: org.apache.spark.sql.SparkSession,
+      batch: DataFrame, table: String): Unit = {
+    def bucketsOf(t: String): Int =
+      spark.sessionState.catalog
+        .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(t))
+        .bucketSpec.getOrElse(throw new IllegalArgumentException(
+          s"table $t is not bucketed — not a saveSignatures table")).numBuckets
+    val tokC = withToks(batch).select(col("doc_id"), col("toks"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    tokC.count()
+    val fFp = Future {
+      tokC.select(hex64(array_join(col("toks"), " ")).as("fingerprint")).distinct()
+        .write.mode("append")
+        .bucketBy(bucketsOf(s"${table}_fp"), "fingerprint").sortBy("fingerprint")
+        .format("parquet").saveAsTable(s"${table}_fp")
+    }
+    val fBands = Future {
+      minhashBands(minhashOf(shingleSet(tokC)))
+        .write.mode("append")
+        .bucketBy(bucketsOf(table), "band", "band_hash").sortBy("band", "band_hash")
+        .format("parquet").saveAsTable(table)
+    }
+    Await.result(fFp, Duration.Inf); Await.result(fBands, Duration.Inf)
+    tokC.unpersist(false)
+  }
+
+  /** Compact both signature tables after repeated [[addSignatures]]
+    * appends — the dedup store's quarter of the uniform at-rest
+    * lifecycle (build → serve → add → compact), same as the LSH /
+    * IVF / PQ index families.
+    */
+  def compactSignatures(spark: org.apache.spark.sql.SparkSession,
+      table: String): Unit = {
+    graft.ops.Compaction.rewriteBucketed(spark, table)
+    graft.ops.Compaction.rewriteBucketed(spark, s"${table}_fp")
+  }
+
   /** [[incrementalDedup]] against PERSISTED corpus signatures
     * (reference analogue: query-after-`load_from_disk`,
     * core/main.py:898): the corpus text is touched only to tokenize

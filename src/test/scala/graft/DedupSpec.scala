@@ -132,6 +132,56 @@ class DedupSpec extends SparkSpec {
     spark.sql("DROP TABLE IF EXISTS graft_dedup_sig_spec_fp")
   }
 
+  test("signature-store ingest loop: add survivors, next batch sees them; compact to one file per bucket") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val corpus = docs.filter(col("doc_id") < 300)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_sig_loop").toString
+    Dedup.saveSignatures(corpus, "graft_sig_loop_spec", path = Some(s"$tmp/tbl"))
+    // batch B: one fresh doc the corpus has never seen
+    val freshText = (1 to 60).map(i => s"loopy$i").mkString(" ")
+    val batchB = Seq((3000001L, freshText)).toDF("doc_id", "text")
+    val (fp1, bands1) = Dedup.loadSignatures(spark, "graft_sig_loop_spec")
+    val flagsB = Dedup.incrementalDedupOnSignatures(fp1, bands1, corpus, batchB)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Boolean]("keep")).toMap
+    assert(flagsB(3000001L) === true, "fresh doc must survive")
+    // write back the survivor's signatures
+    Dedup.addSignatures(spark, batchB, "graft_sig_loop_spec")
+    // batch C: an exact copy of B's doc and a near-copy — the store
+    // now knows them, WITHOUT any rebuild
+    val nearText = freshText.split(" ").drop(3).mkString(" ")
+    val batchC = Seq((3000002L, freshText), (3000003L, nearText))
+      .toDF("doc_id", "text")
+    val (fp2, bands2) = Dedup.loadSignatures(spark, "graft_sig_loop_spec")
+    val corpusPlusB = corpus.select(col("doc_id"), col("text"))
+      .unionByName(batchB)
+    val flagsC = Dedup.incrementalDedupOnSignatures(fp2, bands2, corpusPlusB, batchC,
+        minJaccard = 0.5)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Boolean]("exact_dup"), r.getAs[Boolean]("near_dup"))).toMap
+    assert(flagsC(3000002L)._1 === true, s"copy of an ADDED doc missed: $flagsC")
+    assert(flagsC(3000003L)._2 === true, s"near-copy of an ADDED doc missed: $flagsC")
+    // append debris → compact → one file per bucket in BOTH tables
+    import graft.ops.Compaction
+    assert(Compaction.filesPerBucket(spark, "graft_sig_loop_spec").values.max > 1 ||
+      Compaction.filesPerBucket(spark, "graft_sig_loop_spec_fp").values.max > 1,
+      "appends should leave multi-file buckets somewhere")
+    Dedup.compactSignatures(spark, "graft_sig_loop_spec")
+    Seq("graft_sig_loop_spec", "graft_sig_loop_spec_fp").foreach { t =>
+      val per = Compaction.filesPerBucket(spark, t)
+      assert(per.nonEmpty && per.values.forall(_ == 1), s"$t: $per")
+    }
+    // the compacted store still flags batch C identically
+    val (fp3, bands3) = Dedup.loadSignatures(spark, "graft_sig_loop_spec")
+    val after = Dedup.incrementalDedupOnSignatures(fp3, bands3, corpusPlusB, batchC,
+        minJaccard = 0.5)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Boolean]("exact_dup"), r.getAs[Boolean]("near_dup"))).toMap
+    assert(after === flagsC)
+    spark.sql("DROP TABLE IF EXISTS graft_sig_loop_spec")
+    spark.sql("DROP TABLE IF EXISTS graft_sig_loop_spec_fp")
+  }
+
   test("nearDupClusters: copies join their source's cluster; chains collapse transitively") {
     val res = Dedup.nearDupClusters(withCopies).collect()
     assert(res.length === withCopies.count())
