@@ -87,7 +87,10 @@ object SearchIndex {
     * ([[TextAnalysis.searchFromPostings]]) — the two plans agree
     * bitwise; the difference is purely what gets scanned: here, zero
     * corpus-side work (spec-asserted: no exchange above the doclen
-    * scan, no `documents` scan anywhere in the plan).
+    * scan, no `documents` scan anywhere in the plan). Segment rows
+    * from [[add]] are merged on the way in — identity on a
+    * freshly-[[save]]d index, and the merge groupBy reads the
+    * bucketed-by-token table bucket-local.
     */
   def searchTopK(idx: TextIndex, terms: Seq[String] = TextAnalysis.Bm25Terms,
       k: Int = 20, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
@@ -95,6 +98,75 @@ object SearchIndex {
     val stats = spark.range(1).select(
       lit(idx.nDocs).cast("long").as("n_docs"),
       lit(idx.sumDl).cast("long").as("sum_dl"))
-    TextAnalysis.searchFromPostings(idx.docLens, stats, idx.postings, terms, k, k1, b)
+    TextAnalysis.searchFromPostings(idx.docLens, stats,
+      mergeSegments(idx.postings, idx.maxDf), terms, k, k1, b)
+  }
+
+  /** Fold segment rows (one per (token, append)) back to one row per
+    * token: df/cf sum; the (doc_id, tf) pairs of all segments
+    * re-sorted ascending by doc_id (appends carry NEW doc_ids, so the
+    * merged array is exactly what a from-scratch build emits).
+    * Identity on a single-segment index. Without this, BM25's
+    * `max(df)` per term would read ONE segment's df — the exact bug
+    * class the serve-time merge exists to prevent.
+    */
+  private def mergeSegments(postings: DataFrame, maxDf: Long): DataFrame =
+    postings.groupBy(col("token"))
+      .agg(sum(col("df")).as("df"), sum(col("cf")).as("cf"),
+        sort_array(flatten(collect_list(arrays_zip(col("doc_ids"), col("tfs"))))).as("z"))
+      .filter(col("df") <= maxDf)
+      .select(col("token"), col("df"), col("cf"),
+        expr("transform(z, s -> s.doc_ids)").as("doc_ids"),
+        expr("transform(z, s -> s.tfs)").as("tfs"))
+
+  /** Incrementally index a batch of NEW documents — the Lucene
+    * segment model in DataFrame form: the batch's postings append as
+    * segment rows bucket-aligned (bucket counts from the catalog),
+    * doc lengths append, and the stored (n_docs, Σdl) stats advance.
+    * Serving merges segments per queried token ([[searchTopK]]);
+    * [[compact]] folds them physically. At 100 TB the add touches
+    * only the new rows. Caveat (documented, not silent): the df cap
+    * is enforced per segment at build and on the merged total at
+    * serve — a token that exceeded the cap inside an earlier segment
+    * alone stays dropped, exactly as a rebuild would drop it.
+    */
+  def add(batch: DataFrame, table: String): Unit = {
+    val spark = batch.sparkSession
+    def bucketsOf(t: String): Int =
+      spark.sessionState.catalog
+        .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(t))
+        .bucketSpec.getOrElse(throw new IllegalArgumentException(
+          s"table $t is not bucketed — not a SearchIndex table")).numBuckets
+    val json = graft.ops.TableProps.get(spark, table, "graft.search.stats")
+    import graft.ops.TableProps.longField
+    val maxDf = longField(json, "max_df")
+    val tokD = TextAnalysis.withToks(batch)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    tokD.count()
+    TextAnalysis.invertedIndex(tokD, maxDf).write.mode("append")
+      .bucketBy(bucketsOf(table), "token").sortBy("token").format("parquet")
+      .saveAsTable(table)
+    tokD.select(col("doc_id"), size(col("toks")).cast("long").as("dl"))
+      .write.mode("append")
+      .bucketBy(bucketsOf(s"${table}_doclen"), "doc_id").sortBy("doc_id")
+      .format("parquet").saveAsTable(s"${table}_doclen")
+    val b = tokD.agg(count(lit(1)).as("n"),
+      sum(size(col("toks")).cast("long")).as("s")).head()
+    tokD.unpersist(false)
+    graft.ops.TableProps.set(spark, table, "graft.search.stats",
+      statsJson(longField(json, "n_docs") + b.getLong(0),
+        longField(json, "sum_dl") + b.getLong(1), maxDf))
+  }
+
+  /** Physically fold the segments: rewrite the postings table with
+    * [[mergeSegments]] applied (back to one row per token AND one
+    * file per bucket) and the doclen table's append debris compacted.
+    * Stats ride in TBLPROPERTIES and survive the swap.
+    */
+  def compact(spark: SparkSession, table: String): Unit = {
+    val json = graft.ops.TableProps.get(spark, table, "graft.search.stats")
+    val maxDf = graft.ops.TableProps.longField(json, "max_df")
+    graft.ops.Compaction.rewriteBucketed(spark, table, p => mergeSegments(p, maxDf))
+    graft.ops.Compaction.rewriteBucketed(spark, s"${table}_doclen")
   }
 }

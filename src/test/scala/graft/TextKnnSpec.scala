@@ -1021,6 +1021,38 @@ class TextKnnSpec extends SparkSpec {
     assert(!phys.contains("SortMergeJoin"), s"phrase join should broadcast:\n$phys")
   }
 
+  test("SearchIndex segments: add new docs, serve merged ≡ full rebuild; compact folds physically") {
+    import graft.text.SearchIndex
+    import graft.ops.Compaction
+    val half1 = docs.filter(col("doc_id") % 2 === 0)
+    val half2 = docs.filter(col("doc_id") % 2 === 1)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_search_seg").toString
+    SearchIndex.save(half1, "graft_search_seg_spec", path = Some(s"$tmp/a"))
+    SearchIndex.add(half2, "graft_search_seg_spec")
+    // reference: a from-scratch index over the full corpus
+    SearchIndex.save(docs, "graft_search_seg_ref", path = Some(s"$tmp/b"))
+    val refIdx = SearchIndex.load(spark, "graft_search_seg_ref")
+    val ref = SearchIndex.searchTopK(refIdx).collect().map(_.toString).toSeq
+    // segment-merged serving ≡ the rebuild, stats advanced correctly
+    val segIdx = SearchIndex.load(spark, "graft_search_seg_spec")
+    assert(segIdx.nDocs === refIdx.nDocs && segIdx.sumDl === refIdx.sumDl,
+      "stats must advance with the append")
+    assert(SearchIndex.searchTopK(segIdx).collect().map(_.toString).toSeq === ref)
+    // physical fold: one row per token, one file per bucket, same serving
+    SearchIndex.compact(spark, "graft_search_seg_spec")
+    Seq("graft_search_seg_spec", "graft_search_seg_spec_doclen").foreach { t =>
+      val per = Compaction.filesPerBucket(spark, t)
+      assert(per.nonEmpty && per.values.forall(_ == 1), s"$t: $per")
+    }
+    val compIdx = SearchIndex.load(spark, "graft_search_seg_spec")
+    assert(compIdx.postings.groupBy(col("token")).count()
+      .filter(col("count") > 1).count() === 0L, "compact left segment rows")
+    assert(SearchIndex.searchTopK(compIdx).collect().map(_.toString).toSeq === ref)
+    Seq("graft_search_seg_spec", "graft_search_seg_spec_doclen",
+      "graft_search_seg_ref", "graft_search_seg_ref_doclen")
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+  }
+
   test("positional index at rest: phrase serving ≡ fresh bitwise, no corpus scan in the plan") {
     val tmp = java.nio.file.Files.createTempDirectory("phrase_idx").toString
     graft.text.TextAnalysis.savePositionalIndex(docs, "graft_phrase_idx_spec",
