@@ -875,6 +875,24 @@ object TextAnalysis {
       table: String, phrases: DataFrame): DataFrame =
     phraseSearchOnPostings(spark.table(table), phrases)
 
+  /** Incrementally index a batch into a [[savePositionalIndex]] table.
+    * Positional postings are ROW-grain — one (doc_id, pos, token) row
+    * each, no per-token aggregate to merge — so a bucket-aligned
+    * append is exactly correct with no serve-time fold (unlike the
+    * BM25 index's segment rows); compaction is the generic
+    * [[graft.ops.Compaction.rewriteBucketed]].
+    */
+  def addToPositionalIndex(batch: DataFrame, table: String): Unit = {
+    val spark = batch.sparkSession
+    val n = spark.sessionState.catalog
+      .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(table))
+      .bucketSpec.getOrElse(throw new IllegalArgumentException(
+        s"table $table is not bucketed — not a positional index table")).numBuckets
+    positionalPostings(batch).write.mode("append")
+      .bucketBy(n, "token").sortBy("token").format("parquet")
+      .saveAsTable(table)
+  }
+
   /** Deterministic corpus-derived phrase set for the driver row: the
     * 3rd–5th tokens of each of the first `n` long-enough docs.
     */

@@ -1078,6 +1078,24 @@ class TextKnnSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("documents.parquet"),
       s"phrase serving re-reads the corpus:\n$plan")
+    // lifecycle: append a batch, phrases over it resolve; compact back
+    // to one file per bucket with results unchanged
+    val extra = Seq((5000L, "wholly novel sequence of phrase words"))
+      .toDF("doc_id", "text")
+    graft.text.TextAnalysis.addToPositionalIndex(extra, "graft_phrase_idx_spec")
+    val novel = Seq((7L, Seq("novel", "sequence", "of")))
+      .toDF("phrase_id", "terms")
+    val hit = graft.text.TextAnalysis
+      .phraseSearchOnIndex(spark, "graft_phrase_idx_spec", novel).collect()
+    assert(hit.length === 1 && hit.head.getAs[Long]("doc_id") === 5000L)
+    import graft.ops.Compaction
+    assert(Compaction.filesPerBucket(spark, "graft_phrase_idx_spec").values.max > 1)
+    Compaction.rewriteBucketed(spark, "graft_phrase_idx_spec")
+    val per = Compaction.filesPerBucket(spark, "graft_phrase_idx_spec")
+    assert(per.nonEmpty && per.values.forall(_ == 1), s"$per")
+    val hit2 = graft.text.TextAnalysis
+      .phraseSearchOnIndex(spark, "graft_phrase_idx_spec", novel).collect()
+    assert(hit2.map(_.toString).toSeq === hit.map(_.toString).toSeq)
     spark.sql("DROP TABLE IF EXISTS graft_phrase_idx_spec")
   }
 
