@@ -51,5 +51,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("jpeg_sof_offset"),
       info("jpeg_sof_offset", "jpeg_sof_offset(payload) - 1-based SOFn marker offset, NULL for non-JPEG"),
       (es: Seq[Expression]) => graft.expressions.JpegSofOffset(es.head)))
+    ext.injectFunction((FunctionIdentifier("nfc_normalize"),
+      info("nfc_normalize", "nfc_normalize(s) - Unicode canonical composition (NFC)"),
+      (es: Seq[Expression]) => graft.expressions.NfcNormalize(es.head)))
   }
 }

@@ -86,6 +86,13 @@ object GraftFunctions {
     GraftColumnBridge.column(
       graft.expressions.JpegSofOffset(GraftColumnBridge.expression(v)))
 
+  /** Unicode canonical composition (NFC); see
+    * [[graft.expressions.NfcNormalize]].
+    */
+  def nfc_normalize(v: Column): Column =
+    GraftColumnBridge.column(
+      graft.expressions.NfcNormalize(GraftColumnBridge.expression(v)))
+
   // ---- portable 64-bit hashing ----
   /** Deterministic 60-bit positive hash of a string, identically
     * computable in any engine with `md5` (the DuckDB oracle uses
@@ -141,6 +148,8 @@ object GraftFunctions {
       es => graft.expressions.CharEntropyStats(es.head), "scala_udf")
     reg.createOrReplaceTempFunction("jpeg_sof_offset",
       es => graft.expressions.JpegSofOffset(es.head), "scala_udf")
+    reg.createOrReplaceTempFunction("nfc_normalize",
+      es => graft.expressions.NfcNormalize(es.head), "scala_udf")
     reg.createOrReplaceTempFunction("det_ln",
       es => DetLnExpr(es.head), "scala_udf")
     reg.createOrReplaceTempFunction("gaussian_project",

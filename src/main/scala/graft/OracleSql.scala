@@ -1010,6 +1010,27 @@ object OracleSql {
        |FROM m WHERE matched = plen GROUP BY 1, 2
        |ORDER BY phrase_id, doc_id""".stripMargin
 
+  /** Unicode NFC normalization (mirror of TextAnalysis.normalizeQuery:
+    * the decomposed combo literals come from the SAME Scala constant,
+    * the plane-literal convention) - nfc_normalize here is DuckDB's
+    * utf8proc, on the Spark side the JDK Normalizer; both implement
+    * UAX #15, which the hash match proves.
+    */
+  val textNormalize: String = {
+    val combos = graft.text.TextAnalysis.NfcCombos.map(c => s"'$c'").mkString(", ")
+    s"""WITH m AS (SELECT doc_id, text,
+       |  ([$combos])[(doc_id % 20) + 1] AS combo FROM documents),
+       |r AS (SELECT doc_id,
+       |  CASE WHEN doc_id % 7 = 0 THEN text
+       |       ELSE text || ' ' || repeat(combo, CAST(doc_id % 3 AS INT) + 1) END AS raw
+       |  FROM m)
+       |SELECT doc_id, raw <> nfc_normalize(raw) AS changed,
+       |  length(raw)::BIGINT AS n_chars_raw,
+       |  length(nfc_normalize(raw))::BIGINT AS n_chars_nfc,
+       |  nfc_normalize(raw) AS nfc_text
+       |FROM r ORDER BY doc_id""".stripMargin
+  }
+
   val knnClassifyIvf: String =
     s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
        |cent AS (SELECT vec_id AS c_id, v AS cv FROM e WHERE vec_id < 8),

@@ -95,6 +95,10 @@ object SparkEntry {
     }),
     // --- D. text analysis ---
     "text_tokens" -> ((s, dir) => TextAnalysis.tokenStats(t(s, dir, "documents"))),
+    // Unicode NFC canonical composition: the pass a multilingual crawl
+    // needs before any byte-keyed hash operator; planted decomposed
+    // suffixes make it observable on the ASCII test corpus
+    "text_normalize" -> ((s, dir) => TextAnalysis.normalizeQuery(t(s, dir, "documents"))),
     "text_quality" -> ((s, dir) => TextAnalysis.quality(t(s, dir, "documents"))),
     "text_entropy" -> ((s, dir) => TextAnalysis.charEntropy(t(s, dir, "documents"))),
     "text_compression" -> ((s, dir) =>
@@ -898,6 +902,7 @@ object SparkEntry {
     "text_pmi" -> OracleSql.textPmi,
     "text_ngram_lm" -> OracleSql.textNgramLm,
     "text_phrase_search" -> OracleSql.textPhraseSearch,
+    "text_normalize" -> OracleSql.textNormalize,
     "text_phrase_search_persisted" -> OracleSql.textPhraseSearch,
     "text_ngram_lm_persisted" -> OracleSql.textNgramLm,
     "text_hash_embed" -> OracleSql.textHashEmbed,

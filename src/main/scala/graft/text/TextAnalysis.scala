@@ -812,6 +812,50 @@ object TextAnalysis {
       graft.GraftFunctions.hex64(
         array_join(transform(col("tfs"), _.cast("string")), ",")).as("tfs_h"))
 
+  /** The 20 decomposed (vowel × combining grave/acute/circumflex/
+    * tilde) pairs the [[normalizeQuery]] synth plants — shared with
+    * the DuckDB oracle (the LSH plane-literal convention), so both
+    * engines normalize the SAME decomposed bytes. All pairs are
+    * Unicode-1.0-era characters: no Unicode-version skew between the
+    * JDK and utf8proc is possible for them.
+    */
+  val NfcCombos: Seq[String] = for {
+    v <- Seq("a", "e", "i", "o", "u")
+    m <- Seq("̀", "́", "̂", "̃")
+  } yield v + m
+
+  /** Unicode NFC normalization over the corpus — the canonical-form
+    * pass a multilingual crawl needs BEFORE any byte-keyed operator
+    * (the same visible text arrives composed and decomposed; every
+    * fingerprint/minhash in this engine is byte-keyed, so
+    * un-normalized variants silently escape dedup). The synthetic
+    * decomposed suffix (combo by doc_id, repeated 1–3×; every 7th doc
+    * untouched ASCII to exercise the no-op path) makes the
+    * normalization observable on the ASCII test corpus; `changed`,
+    * both char counts, and the normalized text itself are
+    * cross-engine hash-exact because JDK Normalizer and DuckDB's
+    * utf8proc implement the same UAX #15. A pure codegen projection —
+    * zero shuffles at any scale, and the kernel's `isNormalized`
+    * fast path never allocates on already-composed text.
+    */
+  def normalizeQuery(docs: DataFrame): DataFrame = {
+    val d = col("doc_id")
+    val comboArr = array(NfcCombos.map(lit): _*)
+    val raw = docs
+      .withColumn("combo", element_at(comboArr, (d % 20 + 1).cast("int")))
+      .withColumn("raw",
+        when(d % 7 === 0, col("text"))
+          .otherwise(concat(col("text"), lit(" "),
+            expr("repeat(combo, CAST(doc_id % 3 AS INT) + 1)"))))
+    val n = GraftFunctions.nfc_normalize(col("raw"))
+    raw.select(d,
+      (col("raw") =!= n).as("changed"),
+      length(col("raw")).cast("long").as("n_chars_raw"),
+      length(n).cast("long").as("n_chars_nfc"),
+      n.as("nfc_text"))
+      .orderBy(d)
+  }
+
   /** Positional PHRASE search — the exact-sequence query the
     * term-bag [[searchTopK]] cannot answer: a phrase matches where
     * every term appears at its offset from a common start position.

@@ -994,6 +994,43 @@ class TextKnnSpec extends SparkSpec {
     assert(TextAnalysis.ngramLmScore(short).collect().map(_.getLong(0)).toSeq === Seq(1L))
   }
 
+  test("nfc_normalize: known compositions, idempotence, ASCII fast path, codegen plan") {
+    import graft.GraftFunctions.nfc_normalize
+    val cases = Seq(
+      (1L, "cafe\u0301", "caf\u00e9"),            // e + acute -> e-acute
+      (2L, "A\u030a", "\u00c5"),                  // A + ring -> Angstrom A
+      (3L, "\u1100\u1161", "\uac00"),            // Hangul jamo -> GA
+      (4L, "plain ascii text", "plain ascii text"), // no-op
+      (5L, "caf\u00e9", "caf\u00e9"))             // already composed
+    val df = cases.toDF("id", "raw", "expected")
+      .withColumn("got", nfc_normalize(col("raw")))
+    df.collect().foreach { r =>
+      assert(r.getAs[String]("got") === r.getAs[String]("expected"),
+        s"case ${r.getAs[Long]("id")}")
+    }
+    // idempotence: normalizing twice is the identity
+    val twice = df.withColumn("again", nfc_normalize(col("got"))).collect()
+    twice.foreach(r => assert(r.getAs[String]("again") === r.getAs[String]("got")))
+    // normalizeQuery: the planted suffix stripe changes exactly the
+    // non-(doc_id % 7 == 0) docs, and composition shortens them
+    val out = graft.text.TextAnalysis.normalizeQuery(docs).collect()
+    out.foreach { r =>
+      val d = r.getAs[Long]("doc_id")
+      assert(r.getAs[Boolean]("changed") === (d % 7 != 0), s"doc $d")
+      if (d % 7 != 0)
+        assert(r.getAs[Long]("n_chars_nfc") < r.getAs[Long]("n_chars_raw"),
+          s"doc $d: composition must shorten the decomposed suffix")
+      else
+        assert(r.getAs[Long]("n_chars_nfc") === r.getAs[Long]("n_chars_raw"))
+    }
+    // pure projection, no UDF, no shuffle
+    val phys = graft.text.TextAnalysis.normalizeQuery(docs)
+      .queryExecution.executedPlan.toString
+    assert(!phys.contains("Exchange") || phys.indexOf("Exchange") >
+      phys.indexOf("Sort"), s"normalize shuffles before the output sort:\n$phys")
+    assert(!phys.contains("BatchEvalPython") && !phys.contains("UDF"), phys)
+  }
+
   test("phraseSearch: exact sequences only; overlaps and duplicate-term phrases count right") {
     val corpus = Seq(
       (1L, "the quick brown fox jumps over the lazy dog"),
