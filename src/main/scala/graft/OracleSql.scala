@@ -1016,6 +1016,48 @@ object OracleSql {
     * utf8proc, on the Spark side the JDK Normalizer; both implement
     * UAX #15, which the hash match proves.
     */
+  /** Market-basket co-occurrence (mirror of Relational.coOccurrence:
+    * per-order pair explosion, keyed count, global top-20 with a
+    * total-order tie-break).
+    */
+  val qCoOccurrence: String =
+    """WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+      |p AS (SELECT a.l_partkey AS part_a, b.l_partkey AS part_b
+      |  FROM li a JOIN li b
+      |  ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+      |g AS (SELECT part_a, part_b, count(*) AS n_orders FROM p GROUP BY 1, 2),
+      |r AS (SELECT part_a, part_b, n_orders,
+      |  CAST(row_number() OVER (ORDER BY n_orders DESC, part_a, part_b) AS BIGINT) AS rank
+      |  FROM g)
+      |SELECT part_a, part_b, n_orders, rank FROM r WHERE rank <= 20
+      |ORDER BY rank""".stripMargin
+
+  /** Crawl-to-crawl diff (mirror of the corpus_diff wiring: new crawl
+    * = drop every 10th doc, append a token to every 7th, add every
+    * 13th under a shifted id; content identity = the dedup
+    * normalized-token fingerprint).
+    */
+  val corpusDiff: String =
+    s"""WITH base AS (SELECT doc_id, text FROM documents),
+       |newc AS (
+       |  SELECT doc_id,
+       |    CASE WHEN doc_id % 7 = 0 THEN text || ' updated' ELSE text END AS text
+       |  FROM base WHERE doc_id % 10 <> 0
+       |  UNION ALL
+       |  SELECT doc_id + 10000000, text FROM base WHERE doc_id % 13 = 0),
+       |o AS (SELECT doc_id,
+       |  ${hex64("array_to_string(" + Toks + ",' ')")} AS old_fp FROM base),
+       |n AS (SELECT doc_id,
+       |  ${hex64("array_to_string(" + Toks + ",' ')")} AS new_fp FROM newc)
+       |SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+       |  CASE WHEN o.doc_id IS NULL THEN 'added'
+       |       WHEN n.doc_id IS NULL THEN 'removed'
+       |       WHEN o.old_fp = n.new_fp THEN 'unchanged'
+       |       ELSE 'changed' END AS status,
+       |  o.old_fp, n.new_fp
+       |FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id
+       |ORDER BY doc_id""".stripMargin
+
   val textNormalize: String = {
     val combos = graft.text.TextAnalysis.NfcCombos.map(c => s"'$c'").mkString(", ")
     s"""WITH m AS (SELECT doc_id, text,

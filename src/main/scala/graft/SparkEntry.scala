@@ -65,6 +65,22 @@ object SparkEntry {
       t(s, dir, "customer"), t(s, dir, "orders"), t(s, dir, "lineitem"))),
     "q_topn_group" -> ((s, dir) => Relational.topNPerGroup(t(s, dir, "orders"))),
     "q_profile" -> ((s, dir) => graft.ops.Profile.profile(t(s, dir, "orders"))),
+    // market-basket co-occurrence: per-order pair explosion bounded by
+    // basket size, one keyed count, distributed top-k
+    "q_cooccurrence" -> ((s, dir) => Relational.coOccurrence(t(s, dir, "lineitem"))),
+    // crawl-to-crawl diff: added/removed/changed/unchanged per doc on
+    // the dedup fingerprint; new crawl synthesized deterministically
+    "corpus_diff" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val id = col("doc_id")
+      val base = d.select(id, col("text"))
+      val newC = base.filter(id % 10 =!= 0)
+        .select(id, when(id % 7 === 0, concat(col("text"), lit(" updated")))
+          .otherwise(col("text")).as("text"))
+        .unionByName(base.filter(id % 13 === 0)
+          .select((id + 10000000L).as("doc_id"), col("text")))
+      graft.ops.Pipeline.corpusDiff(base, newC)
+    }),
     "q_window_running" -> ((s, dir) => Relational.runningCustomerSpend(t(s, dir, "orders"))),
     "events_sessionize" -> ((s, dir) => EventOps.sessionize(t(s, dir, "events"))),
     "events_windowed" -> ((s, dir) => EventOps.hourlyRollup(t(s, dir, "events"))),
@@ -903,6 +919,8 @@ object SparkEntry {
     "text_ngram_lm" -> OracleSql.textNgramLm,
     "text_phrase_search" -> OracleSql.textPhraseSearch,
     "text_normalize" -> OracleSql.textNormalize,
+    "q_cooccurrence" -> OracleSql.qCoOccurrence,
+    "corpus_diff" -> OracleSql.corpusDiff,
     "text_phrase_search_persisted" -> OracleSql.textPhraseSearch,
     "text_ngram_lm_persisted" -> OracleSql.textNgramLm,
     "text_hash_embed" -> OracleSql.textHashEmbed,

@@ -90,4 +90,31 @@ object Pipeline {
       toked.unpersist(false)
     }
   }
+
+  /** Crawl-to-crawl corpus DIFF: per document, whether it was added,
+    * removed, changed, or unchanged between two corpus versions —
+    * the audit every recurring ingest runs before reprocessing (only
+    * `added ∪ changed` need the expensive pipeline; `removed` drives
+    * retention/deletion bookkeeping). Content identity is the dedup
+    * family's normalized-token fingerprint, so whitespace/casing
+    * churn does not read as a content change.
+    *
+    * Shape: one fingerprint projection per side + ONE full-outer join
+    * on doc_id (co-partitioned) — no content join, no pairwise
+    * comparison; at 100 TB this is the cost of two narrow scans and
+    * one keyed shuffle.
+    */
+  def corpusDiff(oldCorpus: DataFrame, newCorpus: DataFrame): DataFrame = {
+    def fp(df: DataFrame, name: String) = df.select(col("doc_id"),
+      graft.GraftFunctions.hex64(
+        array_join(graft.GraftFunctions.tokens(col("text")), " ")).as(name))
+    fp(oldCorpus, "old_fp").join(fp(newCorpus, "new_fp"), Seq("doc_id"), "full_outer")
+      .select(col("doc_id"),
+        when(col("old_fp").isNull, "added")
+          .when(col("new_fp").isNull, "removed")
+          .when(col("old_fp") === col("new_fp"), "unchanged")
+          .otherwise("changed").as("status"),
+        col("old_fp"), col("new_fp"))
+      .orderBy(col("doc_id"))
+  }
 }

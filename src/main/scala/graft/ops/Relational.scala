@@ -109,4 +109,28 @@ object Relational {
         row_number().over(w).cast("long").as("order_seq"))
       .orderBy(col("o_custkey"), col("o_orderkey"))
   }
+
+  /** Market-basket co-occurrence: the `k` part pairs most often
+    * ordered TOGETHER — the association-mining probe behind every
+    * "frequently bought with" surface. The pair explosion is a
+    * per-order self-join: bounded by basket size (≤ tens of items),
+    * so the pair stream is O(Σ basket²) ≈ linear in lineitems at any
+    * corpus scale — never a global cross join; one map-side-partial
+    * keyed count follows, and the global top-k is a distributed
+    * TakeOrdered (count desc, pair asc — no vocabulary-wide window).
+    * AQE covers hot-pair skew.
+    */
+  def coOccurrence(lineitem: DataFrame, k: Int = 20): DataFrame = {
+    val li = lineitem.select(col("l_orderkey"), col("l_partkey")).distinct()
+    val pairs = li.as("a").join(li.as("b"),
+        col("a.l_orderkey") === col("b.l_orderkey") &&
+          col("a.l_partkey") < col("b.l_partkey"))
+      .select(col("a.l_partkey").as("part_a"), col("b.l_partkey").as("part_b"))
+    pairs.groupBy(col("part_a"), col("part_b"))
+      .agg(count(lit(1)).as("n_orders"))
+      .orderBy(col("n_orders").desc, col("part_a"), col("part_b")).limit(k)
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("n_orders").desc, col("part_a"), col("part_b"))).cast("long"))
+      .orderBy(col("rank"))
+  }
 }

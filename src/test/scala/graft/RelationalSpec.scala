@@ -567,6 +567,44 @@ class RelationalSpec extends SparkSpec {
     assert("Scan ExistingRDD".r.findAllIn(phys).size <= 1, phys)
   }
 
+  test("coOccurrence: planted baskets count pairs once per order; bounded no-cartesian plan") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // orders: {1,2,3}, {1,2}, {1,2}, {4} — (1,2) in 3 orders,
+    // (1,3)/(2,3) in 1; part 4 never pairs; duplicate lineitems of
+    // the same part in one order count once
+    val li = Seq(
+      (100L, 1L), (100L, 2L), (100L, 3L),
+      (101L, 1L), (101L, 2L), (101L, 2L),
+      (102L, 2L), (102L, 1L),
+      (103L, 4L)).toDF("l_orderkey", "l_partkey")
+    val got = Relational.coOccurrence(li, k = 10).collect()
+      .map(r => (r.getAs[Long]("part_a"), r.getAs[Long]("part_b")) ->
+        (r.getAs[Long]("n_orders"), r.getAs[Long]("rank"))).toMap
+    assert(got === Map((1L, 2L) -> ((3L, 1L)), (1L, 3L) -> ((1L, 2L)),
+      (2L, 3L) -> ((1L, 3L))), s"got $got")
+    val phys = Relational.coOccurrence(Tables.load(spark, sfDir, "lineitem"))
+      .queryExecution.executedPlan.toString
+    assert(!phys.contains("CartesianProduct") && !phys.contains("BroadcastNestedLoop"),
+      s"pair explosion fell back to a product plan:\n$phys")
+  }
+
+  test("corpusDiff: added/removed/changed/unchanged on planted versions; whitespace churn is not a change") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val old = Seq((1L, "alpha beta gamma"), (2L, "delta epsilon"),
+      (3L, "zeta eta"), (4L, "theta iota")).toDF("doc_id", "text")
+    val next = Seq(
+      (1L, "  Alpha   BETA gamma "),     // case/whitespace churn only
+      (2L, "delta epsilon extended"),    // real content change
+      (4L, "theta iota"),                // identical
+      (9L, "brand new doc")).toDF("doc_id", "text") // doc 3 removed
+    val got = graft.ops.Pipeline.corpusDiff(old, next).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("status")).toMap
+    assert(got === Map(1L -> "unchanged", 2L -> "changed", 3L -> "removed",
+      4L -> "unchanged", 9L -> "added"), s"got $got")
+  }
+
   test("pricingSummary plan: filter and pruned columns reach the parquet scan") {
     val plan = Relational.pricingSummary(lineitem).queryExecution.executedPlan.toString
     assert(plan.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"), plan)
