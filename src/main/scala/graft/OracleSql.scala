@@ -1016,6 +1016,53 @@ object OracleSql {
     * utf8proc, on the Spark side the JDK Normalizer; both implement
     * UAX #15, which the hash match proves.
     */
+  /** Association rules (mirror of Relational.associationRules:
+    * directed pairs from the undirected counts, broadcast totals,
+    * integer-product IEEE ratios).
+    */
+  val qAssociationRules: String =
+    """WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+      |no AS (SELECT count(DISTINCT l_orderkey) AS n_orders FROM li),
+      |np AS (SELECT l_partkey, count(*) AS n_part FROM li GROUP BY 1),
+      |u AS (SELECT a.l_partkey AS x, b.l_partkey AS y, count(*) AS n_ab
+      |  FROM li a JOIN li b
+      |  ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      |  GROUP BY 1, 2),
+      |d AS (SELECT x AS ante, y AS cons, n_ab FROM u
+      |  UNION ALL SELECT y, x, n_ab FROM u),
+      |j AS (SELECT d.ante, d.cons, d.n_ab,
+      |  CAST(d.n_ab AS DOUBLE) / na.n_part AS confidence,
+      |  CAST(d.n_ab * no.n_orders AS DOUBLE) /
+      |    CAST(na.n_part * nb.n_part AS DOUBLE) AS lift
+      |  FROM d
+      |  JOIN np na ON na.l_partkey = d.ante
+      |  JOIN np nb ON nb.l_partkey = d.cons
+      |  CROSS JOIN no
+      |  WHERE d.n_ab >= 3),
+      |r AS (SELECT ante, cons, n_ab, confidence, lift,
+      |  CAST(row_number() OVER (ORDER BY lift DESC, ante, cons) AS BIGINT) AS rank
+      |  FROM j)
+      |SELECT ante, cons, n_ab, confidence, lift, rank FROM r WHERE rank <= 20
+      |ORDER BY rank""".stripMargin
+
+  /** Markov transition matrix (mirror of EventOps.transitions: lead
+    * over the user window, keyed counts, broadcast per-from totals,
+    * one integer-ratio division).
+    */
+  val eventsTransitions: String =
+    """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us, event_type
+      |  FROM events WHERE epoch_us(ts) IS NOT NULL),
+      |p AS (SELECT event_type AS from_type,
+      |  lead(event_type) OVER (PARTITION BY user_id ORDER BY us, event_id) AS to_type
+      |  FROM e),
+      |c AS (SELECT from_type, to_type, count(*) AS n FROM p
+      |  WHERE to_type IS NOT NULL GROUP BY 1, 2),
+      |t AS (SELECT from_type, sum(n) AS n_from FROM c GROUP BY 1)
+      |SELECT c.from_type, c.to_type, c.n,
+      |  CAST(c.n AS DOUBLE) / t.n_from AS p
+      |FROM c JOIN t ON t.from_type = c.from_type
+      |ORDER BY c.from_type, c.to_type""".stripMargin
+
   /** Market-basket co-occurrence (mirror of Relational.coOccurrence:
     * per-order pair explosion, keyed count, global top-20 with a
     * total-order tie-break).

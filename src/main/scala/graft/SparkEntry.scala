@@ -68,6 +68,13 @@ object SparkEntry {
     // market-basket co-occurrence: per-order pair explosion bounded by
     // basket size, one keyed count, distributed top-k
     "q_cooccurrence" -> ((s, dir) => Relational.coOccurrence(t(s, dir, "lineitem"))),
+    // directed rules with confidence + lift over the same bounded
+    // pair explosion; integer-product IEEE ratios → hash-exact
+    "q_association_rules" -> ((s, dir) =>
+      Relational.associationRules(t(s, dir, "lineitem"))),
+    // the Markov chain behind top_paths: P(to | from) per consecutive
+    // user pair, integer-ratio division → hash-exact
+    "events_transitions" -> ((s, dir) => EventOps.transitions(t(s, dir, "events"))),
     // crawl-to-crawl diff: added/removed/changed/unchanged per doc on
     // the dedup fingerprint; new crawl synthesized deterministically
     "corpus_diff" -> ((s, dir) => {
@@ -920,6 +927,8 @@ object SparkEntry {
     "text_phrase_search" -> OracleSql.textPhraseSearch,
     "text_normalize" -> OracleSql.textNormalize,
     "q_cooccurrence" -> OracleSql.qCoOccurrence,
+    "q_association_rules" -> OracleSql.qAssociationRules,
+    "events_transitions" -> OracleSql.eventsTransitions,
     "corpus_diff" -> OracleSql.corpusDiff,
     "text_phrase_search_persisted" -> OracleSql.textPhraseSearch,
     "text_ngram_lm_persisted" -> OracleSql.textNgramLm,

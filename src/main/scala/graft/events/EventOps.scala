@@ -357,6 +357,33 @@ object EventOps {
       .orderBy(col("rank"))
   }
 
+  /** Markov TRANSITION matrix over the event stream: for every
+    * (from → to) consecutive pair per user (time order, event_id
+    * tie-break), the count and the conditional probability
+    * P(to | from) — the chain behind [[topPaths]]' surface, as the
+    * model itself. One user-window shuffle for the `lead`
+    * projection, one keyed count, and the per-from totals ride back
+    * as a broadcast (|event types|² rows at most); the probability is
+    * a single integer-ratio IEEE division, so the whole matrix is
+    * cross-engine hash-exact.
+    */
+  def transitions(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))
+    val pairs = microsOfTs(events)
+      .filter(col("us").isNotNull)
+      .select(col("user_id"), col("event_id"), col("us"), col("event_type"))
+      .select(col("event_type").as("from_type"),
+        lead(col("event_type"), 1).over(w).as("to_type"))
+      .filter(col("to_type").isNotNull)
+    val counts = pairs.groupBy(col("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n"))
+    val totals = counts.groupBy(col("from_type")).agg(sum(col("n")).as("n_from"))
+    counts.join(broadcast(totals), Seq("from_type"))
+      .select(col("from_type"), col("to_type"), col("n"),
+        (col("n").cast("double") / col("n_from")).as("p"))
+      .orderBy(col("from_type"), col("to_type"))
+  }
+
   /** Tumbling time-window aggregation (hourly): exact decimal value
     * sums per (hour, event_type). One shuffle, map-side partials. */
   def hourlyRollup(events: DataFrame): DataFrame =

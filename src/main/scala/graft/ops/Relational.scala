@@ -120,6 +120,46 @@ object Relational {
     * TakeOrdered (count desc, pair asc — no vocabulary-wide window).
     * AQE covers hot-pair skew.
     */
+  /** Association rules over the co-occurrence pairs: for each
+    * DIRECTED pair a→b with support ≥ `minSupport` orders, the
+    * confidence P(b | a) and lift P(a,b)/(P(a)·P(b)) — the ranking
+    * that separates "popular with everything" from genuinely
+    * associated. Same bounded pair explosion as [[coOccurrence]];
+    * the per-part totals and the order count ride back as broadcasts;
+    * both ratios are integer-product IEEE divisions (exact inputs →
+    * cross-engine hash-exact); top-k by (lift desc, pair) is a
+    * distributed TakeOrdered.
+    */
+  def associationRules(lineitem: DataFrame, minSupport: Long = 3,
+      k: Int = 20): DataFrame = {
+    val li = lineitem.select(col("l_orderkey"), col("l_partkey")).distinct()
+    val nOrders = li.select(col("l_orderkey")).distinct()
+      .agg(count(lit(1)).as("n_orders"))
+    val nPart = li.groupBy(col("l_partkey")).agg(count(lit(1)).as("n_part"))
+    val undirected = li.as("a").join(li.as("b"),
+        col("a.l_orderkey") === col("b.l_orderkey") &&
+          col("a.l_partkey") < col("b.l_partkey"))
+      .select(col("a.l_partkey").as("x"), col("b.l_partkey").as("y"))
+      .groupBy(col("x"), col("y")).agg(count(lit(1)).as("n_ab"))
+    val directed = undirected.select(col("x").as("ante"), col("y").as("cons"), col("n_ab"))
+      .unionByName(undirected.select(col("y").as("ante"), col("x").as("cons"), col("n_ab")))
+    directed
+      .filter(col("n_ab") >= minSupport)
+      .join(broadcast(nPart.select(col("l_partkey").as("ante"), col("n_part").as("n_a"))),
+        Seq("ante"))
+      .join(broadcast(nPart.select(col("l_partkey").as("cons"), col("n_part").as("n_b"))),
+        Seq("cons"))
+      .crossJoin(broadcast(nOrders))
+      .select(col("ante"), col("cons"), col("n_ab"),
+        (col("n_ab").cast("double") / col("n_a")).as("confidence"),
+        ((col("n_ab") * col("n_orders")).cast("double") /
+          (col("n_a") * col("n_b")).cast("double")).as("lift"))
+      .orderBy(col("lift").desc, col("ante"), col("cons")).limit(k)
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("lift").desc, col("ante"), col("cons"))).cast("long"))
+      .orderBy(col("rank"))
+  }
+
   def coOccurrence(lineitem: DataFrame, k: Int = 20): DataFrame = {
     val li = lineitem.select(col("l_orderkey"), col("l_partkey")).distinct()
     val pairs = li.as("a").join(li.as("b"),

@@ -589,6 +589,41 @@ class RelationalSpec extends SparkSpec {
       s"pair explosion fell back to a product plan:\n$phys")
   }
 
+  test("transitions: per-from probabilities sum to 1; counts reconcile with consecutive pairs") {
+    import org.apache.spark.sql.functions._
+    val res = EventOps.transitions(events).collect()
+    val byFrom = res.groupBy(_.getAs[String]("from_type"))
+    byFrom.foreach { case (f, rows) =>
+      val pSum = rows.map(_.getAs[Double]("p")).sum
+      assert(math.abs(pSum - 1.0) < 1e-9, s"from $f: probabilities sum to $pSum")
+    }
+    // total transition count = events - one per user with >=1 event
+    val nUsers = events.select(col("user_id")).distinct().count()
+    assert(res.map(_.getAs[Long]("n")).sum === events.count() - nUsers)
+  }
+
+  test("associationRules: planted high-lift pair ranks above the merely-popular one") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // parts 1,2 co-occur ONLY with each other (perfect association);
+    // part 9 is in every order (popular, lift ~1 with everything)
+    val li = (1L to 6L).flatMap(o => Seq((o, 9L))) ++
+      (1L to 3L).flatMap(o => Seq((o, 1L), (o, 2L))) ++
+      (4L to 6L).flatMap(o => Seq((o, 3L + o)))
+    val df = li.toDF("l_orderkey", "l_partkey")
+    val got = Relational.associationRules(df, minSupport = 3, k = 10).collect()
+    val top = got.head
+    assert(Set(1L, 2L).contains(top.getAs[Long]("ante")) &&
+      Set(1L, 2L).contains(top.getAs[Long]("cons")),
+      s"top rule should be the planted 1<->2 pair: ${got.toSeq}")
+    // perfect association: confidence 1.0, lift = n_orders / n_part = 6/3
+    assert(top.getAs[Double]("confidence") === 1.0)
+    assert(top.getAs[Double]("lift") === 2.0)
+    // the popularity pair (1,9): confidence 1 but lift exactly 1
+    val pop = got.find(r => r.getAs[Long]("ante") === 1L && r.getAs[Long]("cons") === 9L)
+    assert(pop.exists(_.getAs[Double]("lift") === 1.0), s"${got.toSeq}")
+  }
+
   test("corpusDiff: added/removed/changed/unchanged on planted versions; whitespace churn is not a change") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
