@@ -1045,6 +1045,28 @@ object OracleSql {
       |SELECT ante, cons, n_ab, confidence, lift, rank FROM r WHERE rank <= 20
       |ORDER BY rank""".stripMargin
 
+  /** Robust MAD outliers (mirror of EventOps.robustAnomalies:
+    * quantile_cont medians are bitwise vs Spark percentile; one
+    * 0.6745-scaled ratio in the same expression shape).
+    */
+  val eventsAnomalyRobust: String =
+    """WITH v AS (SELECT event_id, event_type,
+      |  CAST(CAST(value AS DECIMAL(18,2)) AS DOUBLE) AS value_2dp FROM events),
+      |med AS (SELECT event_type, quantile_cont(value_2dp, 0.5) AS median_v
+      |  FROM v GROUP BY 1),
+      |mad AS (SELECT v.event_type,
+      |  quantile_cont(abs(v.value_2dp - med.median_v), 0.5) AS mad_v
+      |  FROM v JOIN med ON med.event_type = v.event_type GROUP BY 1),
+      |z AS (SELECT v.event_type, v.event_id, v.value_2dp, med.median_v,
+      |  0.6745 * (v.value_2dp - med.median_v) / mad.mad_v AS robust_z
+      |  FROM v
+      |  JOIN med ON med.event_type = v.event_type
+      |  JOIN mad ON mad.event_type = v.event_type
+      |  WHERE mad.mad_v > 0)
+      |SELECT event_type, event_id, value_2dp, median_v, robust_z
+      |FROM z WHERE abs(robust_z) > 3.5
+      |ORDER BY event_id""".stripMargin
+
   /** Markov transition matrix (mirror of EventOps.transitions: lead
     * over the user window, keyed counts, broadcast per-from totals,
     * one integer-ratio division).

@@ -109,6 +109,10 @@ object SparkEntry {
       EventOps.retentionApprox(t(s, dir, "events"))),
     "events_streaks" -> ((s, dir) => EventOps.streaks(t(s, dir, "events"))),
     "events_anomaly" -> ((s, dir) => EventOps.valueAnomalies(t(s, dir, "events"))),
+    // median/MAD modified z-score: 50% breakdown point where the
+    // moment z-score suffers outlier masking; exact interpolated
+    // medians are cross-engine bitwise
+    "events_anomaly_robust" -> ((s, dir) => EventOps.robustAnomalies(t(s, dir, "events"))),
     "events_props_agg" -> ((s, dir) => EventOps.propsAgg(t(s, dir, "events"))),
     "events_top_paths" -> ((s, dir) => EventOps.topPaths(t(s, dir, "events"))),
     "events_asof" -> ((s, dir) => {
@@ -929,6 +933,7 @@ object SparkEntry {
     "q_cooccurrence" -> OracleSql.qCoOccurrence,
     "q_association_rules" -> OracleSql.qAssociationRules,
     "events_transitions" -> OracleSql.eventsTransitions,
+    "events_anomaly_robust" -> OracleSql.eventsAnomalyRobust,
     "corpus_diff" -> OracleSql.corpusDiff,
     "text_phrase_search_persisted" -> OracleSql.textPhraseSearch,
     "text_ngram_lm_persisted" -> OracleSql.textNgramLm,

@@ -235,6 +235,42 @@ object EventOps {
       .orderBy(col("event_id"))
   }
 
+  /** ROBUST outlier flags: modified z-score on median / MAD instead
+    * of mean / stddev — the version [[valueAnomalies]]' moment
+    * statistics cannot be: a single extreme value inflates the mean
+    * AND the stddev, masking the very outliers being hunted (masking
+    * breakdown); the median and MAD have a 50% breakdown point, so
+    * the threshold holds even on heavily contaminated streams. Both
+    * medians are Spark's exact interpolated `percentile` ≡ DuckDB
+    * `quantile_cont` bitwise (the [[valuePercentiles]] precedent), so
+    * the flags are cross-engine hash-exact. Two keyed aggregations
+    * (values per type; absolute deviations per type) + a broadcast
+    * stats join — the per-type value buffering is the exact tier; at
+    * extreme group sizes swap `approx_percentile` (GK) per the
+    * established sketch-tier convention.
+    */
+  def robustAnomalies(events: DataFrame, zThreshold: Double = 3.5): DataFrame = {
+    val v = events.select(col("event_id"), col("event_type"),
+      dec(col("value")).cast("double").as("value_2dp"))
+    val med = v.groupBy(col("event_type"))
+      .agg(percentile(col("value_2dp"), lit(0.5)).as("median_v"))
+    val mad = v.join(broadcast(med), Seq("event_type"))
+      .select(col("event_type"), abs(col("value_2dp") - col("median_v")).as("ad"))
+      .groupBy(col("event_type"))
+      .agg(percentile(col("ad"), lit(0.5)).as("mad_v"))
+    v.join(broadcast(med), Seq("event_type"))
+      .join(broadcast(mad), Seq("event_type"))
+      .filter(col("mad_v") > 0)
+      // the classic 0.6745 normal-consistency constant; one literal
+      // multiply + one division, same expression shape as the oracle
+      .withColumn("robust_z",
+        lit(0.6745) * (col("value_2dp") - col("median_v")) / col("mad_v"))
+      .filter(abs(col("robust_z")) > zThreshold)
+      .select(col("event_type"), col("event_id"), col("value_2dp"),
+        col("median_v"), col("robust_z"))
+      .orderBy(col("event_id"))
+  }
+
   /** Cohort retention — the activation/engagement matrix: users are
     * cohorted by their first-activity day; each (cohort_day,
     * day_offset) cell counts the distinct users of that cohort active

@@ -589,6 +589,26 @@ class RelationalSpec extends SparkSpec {
       s"pair explosion fell back to a product plan:\n$phys")
   }
 
+  test("robustAnomalies: MAD flags survive contamination that masks the moment z-score") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // 30 inliers near 10 plus TEN extreme values (25% contamination):
+    // the outlier cluster inflates mean and stddev enough that every
+    // outlier's |z| stays under 3 (classic masking), while median/MAD
+    // (50% breakdown point) still flag all ten
+    val rows = (1L to 30L).map(i => (i, "x", 10.0 + (i % 5) * 0.1)) ++
+      (101L to 110L).map(i => (i, "x", 5000.0 + (i % 3) * 100.0))
+    val ev = rows.toDF("event_id", "event_type", "value")
+      .withColumn("ts", timestamp_micros(col("event_id") * 1000000L))
+      .withColumn("user_id", col("event_id"))
+      .withColumn("props", lit("{}"))
+    val robust = EventOps.robustAnomalies(ev).collect().map(_.getAs[Long]("event_id")).toSet
+    assert(robust === (101L to 110L).toSet, s"robust flags: $robust")
+    val moment = EventOps.valueAnomalies(ev).collect().map(_.getAs[Long]("event_id")).toSet
+    assert(moment.isEmpty,
+      s"expected moment z-score masking on 25% contamination, got $moment")
+  }
+
   test("transitions: per-from probabilities sum to 1; counts reconcile with consecutive pairs") {
     import org.apache.spark.sql.functions._
     val res = EventOps.transitions(events).collect()
