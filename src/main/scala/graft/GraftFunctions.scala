@@ -93,6 +93,14 @@ object GraftFunctions {
     GraftColumnBridge.column(
       graft.expressions.NfcNormalize(GraftColumnBridge.expression(v)))
 
+  /** Codegen Bloom probe over a broadcast filter; see
+    * [[graft.expressions.BloomMightContain]].
+    */
+  def bloom_might_contain(fingerprint: Column,
+      bc: org.apache.spark.broadcast.Broadcast[org.apache.spark.util.sketch.BloomFilter]): Column =
+    GraftColumnBridge.column(
+      graft.expressions.BloomMightContain(GraftColumnBridge.expression(fingerprint), bc))
+
   // ---- portable 64-bit hashing ----
   /** Deterministic 60-bit positive hash of a string, identically
     * computable in any engine with `md5` (the DuckDB oracle uses

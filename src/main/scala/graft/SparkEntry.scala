@@ -521,6 +521,22 @@ object SparkEntry {
       graft.ann.Pq.topKOnSavedCellIndex(s, "graft_ivfpq_res_rt", e,
         e.filter(col("vec_id") < 10), k = 5, prefilterK = 20)
     }),
+    // rows-only like ann_pq (MLlib codebooks + float PCA rotation);
+    // OPQ (Ge et al. 2013, parametric): an orthogonal eigen-allocation
+    // rotation fitted in one GramMoments pass precedes codebook
+    // training, rides at rest in <table>_rot, and queries rotate with
+    // the PERSISTED matrix at serve — inner products are preserved
+    // exactly, so the ADC/rerank machinery runs unchanged; rotation
+    // orthonormality / allocation balance / recall ≥ raw PQ on
+    // anisotropic data spec'd in OpqSpec
+    "ann_opq" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val model = graft.ann.Opq.train(e, m = 8, k = 16)
+      val tmp = tempDir("opq_idx")
+      graft.ann.Opq.saveIndex(model, e, "graft_opq_rt", path = Some(s"$tmp/tbl"))
+      graft.ann.Opq.topKOnSavedIndex(s, "graft_opq_rt", e,
+        e.filter(col("vec_id") < 10), k = 5, prefilterK = 20)
+    }),
     "ann_hamming" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
       graft.ann.Quantize.binaryTopK(e, e.filter(col("vec_id") < 10), k = 5, prefilterK = 20)
@@ -827,11 +843,13 @@ object SparkEntry {
         |FROM e GROUP BY hour_of_day
         |ORDER BY hour_of_day""".stripMargin,
     "events_histogram" ->
-      """WITH b AS (SELECT min(value) AS lo, max(value) AS hi FROM events),
+      """WITH v AS (SELECT value FROM events WHERE value IS NOT NULL),
+        |b AS (SELECT min(value) AS lo, max(value) AS hi FROM v),
         |binned AS (
-        |  SELECT least(CAST(floor((value - lo) / (hi - lo) * 20) AS BIGINT), 19) AS bin,
+        |  SELECT CASE WHEN hi = lo THEN CAST(0 AS BIGINT)
+        |    ELSE least(CAST(floor((value - lo) / (hi - lo) * 20) AS BIGINT), 19) END AS bin,
         |    value, lo, hi
-        |  FROM events, b),
+        |  FROM v, b),
         |g AS (
         |  SELECT bin, count(*) AS n_events,
         |    CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,

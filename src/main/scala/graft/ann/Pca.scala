@@ -228,12 +228,19 @@ object Pca {
 
   /** Driver row: fit on the corpus, project every vector, and carry
     * the per-component eigenvalue alongside — rows-only (float fit).
+    * Long format, one (vec_id, dim_idx, value, eigenvalue) row per
+    * projected component: the gate canonicalizes SCALAR cells only
+    * (array cells crash its pandas row-sort), so this is the
+    * [[Project.projectQuery]] layout with the component's eigenvalue
+    * joined in as a scalar via the plan-literal eigenvalue array.
     */
   def query(embeddings: DataFrame, d: Int, k: Int): DataFrame = {
     val model = fit(embeddings, d, k)
+    val ev = typedlit(model.eigenvalues.toSeq)
     project(embeddings, model)
-      .select(col("vec_id"), col("projected"),
-        typedlit(model.eigenvalues.toSeq).as("eigenvalues"))
-      .orderBy(col("vec_id"))
+      .select(col("vec_id"), posexplode(col("projected")).as(Seq("dim_idx", "value")))
+      .select(col("vec_id"), col("dim_idx").cast("long").as("dim_idx"),
+        col("value"), element_at(ev, col("dim_idx").cast("int") + 1).as("eigenvalue"))
+      .orderBy(col("vec_id"), col("dim_idx"))
   }
 }

@@ -709,10 +709,10 @@ object Dedup {
     * ~|dups|. Bloom guarantees no false NEGATIVES: a `false` probe is
     * definitively new, which is what makes the gate sound.
     *
-    * The probe is a Scala UDF by necessity (`BloomFilter.mightContain`
-    * has no Catalyst expression surface in the public API) — one
-    * long→boolean call per row on an already-computed fingerprint,
-    * not a per-element hot loop.
+    * The probe is the codegen
+    * [[graft.expressions.BloomMightContain]] expression (the filter
+    * rides as a broadcast handle, one native call per row inside the
+    * whole-stage-codegen projection — no UDF on the ingest path).
     *
     * Output per batch doc: (doc_id, bloom_hit, exact_dup, keep);
     * `bloom_hit && !exact_dup` rows are the measured false positives.
@@ -728,8 +728,8 @@ object Dedup {
     val expected = math.max(corpusFp.count(), 64L)
     val bloom = corpusFp.stat.bloomFilter("fingerprint", expected, fpp)
     val bc = corpus.sparkSession.sparkContext.broadcast(bloom)
-    val probe = udf((fp: Long) => bc.value.mightContainLong(fp))
-    val batchFp = fpOf(batch).withColumn("bloom_hit", probe(col("fingerprint")))
+    val batchFp = fpOf(batch).withColumn("bloom_hit",
+      graft.GraftFunctions.bloom_might_contain(col("fingerprint"), bc))
     val verified = batchFp.filter(col("bloom_hit"))
       .join(corpusFp.select(col("fingerprint")).distinct(),
         Seq("fingerprint"), "left_semi")

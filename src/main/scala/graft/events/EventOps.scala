@@ -485,13 +485,18 @@ object EventOps {
     */
   def valueHistogram(events: DataFrame, nBins: Int = 20): DataFrame = {
     require(nBins >= 1, s"need at least one bin, got $nBins")
-    val bounds = events.agg(min(col("value")).as("lo"), max(col("value")).as("hi"))
-    events
-      .select(col("value"))
+    // null values carry no position on the axis — drop them before
+    // binning; a degenerate range (all values equal, or one row) puts
+    // everything in bin 0 instead of dividing 0/0 into NaN bins
+    val vals = events.select(col("value")).filter(col("value").isNotNull)
+    val bounds = vals.agg(min(col("value")).as("lo"), max(col("value")).as("hi"))
+    vals
       .crossJoin(broadcast(bounds))
       .select(
-        least(floor((col("value") - col("lo")) / (col("hi") - col("lo")) * lit(nBins)),
-          lit(nBins - 1L)).as("bin"),
+        when(col("hi") === col("lo"), lit(0L))
+          .otherwise(least(
+            floor((col("value") - col("lo")) / (col("hi") - col("lo")) * lit(nBins)),
+            lit(nBins - 1L))).as("bin"),
         col("value"), col("lo"), col("hi"))
       .groupBy(col("bin"))
       .agg(count(lit(1)).as("n_events"),

@@ -351,8 +351,12 @@ object Binary {
         beHex(h, 2), beHex(w, 2), beHex(ncomp, 1), compsHex)
       val sosHex = when(ncomp === 1, "FFDA" + "0008" + "01" + "0100" + "003F00")
         .otherwise("FFDA" + "000C" + "03" + "0100" + "0200" + "0300" + "003F00")
+      // entropy data: a FIXED 8 bytes — zero-padded when the document's
+      // text is shorter, so payload size is a pure function of the
+      // header arithmetic (the triage oracle's constant `data(8)` term)
+      // rather than a latent ≥8-byte test-corpus assumption
       val jpegHex = concat(lit("FFD8"), app0Hex, com1Seg, com2Seg, sofHex, sosHex,
-        textHex.substr(lit(1), lit(16)), lit("FFD9"))
+        rpad(textHex.substr(lit(1), lit(16)), 16, "0"), lit("FFD9"))
       docs.select(
         d,
         when(d % invalidEvery === 0, col("text").cast("binary"))

@@ -84,17 +84,26 @@ object Relational {
         count(lit(1)).as("n_rows"))
       .orderBy(col("revenue").desc, col("n_name"))
 
-  /** Top-N rows per group via ranking window (N=3 orders by price per
-    * priority class). */
-  def topNPerGroup(orders: DataFrame, n: Int = 3): DataFrame = {
-    val w = Window.partitionBy(col("o_orderpriority"))
-      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+  /** Top-N rows per group (N=3 orders by price per priority class) as
+    * a bounded [[graft.expressions.TopKByScore]] partial aggregate —
+    * NOT a ranking window. The window shape partitions by
+    * `o_orderpriority` (five distinct values), so at scale one task
+    * sorts ~20% of ALL orders; the aggregate keeps ≤ N rows per group
+    * per map partition pre-exchange, making the shuffle O(groups ×
+    * partitions × N) regardless of corpus size. Tie-break identical:
+    * (o_totalprice desc, o_orderkey asc) is exactly the aggregate's
+    * (score desc, id asc) order.
+    */
+  def topNPerGroup(orders: DataFrame, n: Int = 3): DataFrame =
     orders
       .select(col("o_orderpriority"), col("o_orderkey"), col("o_totalprice"))
-      .withColumn("rn", row_number().over(w).cast("long"))
-      .filter(col("rn") <= n)
+      .groupBy(col("o_orderpriority"))
+      .agg(graft.GraftFunctions.top_k_by_score(
+        col("o_totalprice"), col("o_orderkey"), n).as("top"))
+      .select(col("o_orderpriority"), posexplode(col("top")).as(Seq("pos", "t")))
+      .select(col("o_orderpriority"), col("t.id").as("o_orderkey"),
+        col("t.score").as("o_totalprice"), (col("pos") + 1).cast("long").as("rn"))
       .orderBy(col("o_orderpriority"), col("rn"))
-  }
 
   /** Running per-customer analytics: cumulative spend (exact decimal
     * frame sum) + order sequence number. */

@@ -135,10 +135,10 @@ object Streams {
     val expected = math.max(corpusFp.count(), 64L)
     val bloom = corpusFp.stat.bloomFilter("fingerprint", expected, fpp)
     val bc = corpus.sparkSession.sparkContext.broadcast(bloom)
-    // UDF by necessity (mightContain has no public Catalyst surface) —
-    // one long→boolean call per surviving row
-    val probe = udf((fp: Long) => bc.value.mightContainLong(fp))
-    (dedupStream(docs, watermark).withColumn("corpus_hit", probe(col("fingerprint"))),
+    // codegen probe (BloomMightContain) — the filter rides as a
+    // broadcast handle, one native call per surviving row
+    (dedupStream(docs, watermark).withColumn("corpus_hit",
+      graft.GraftFunctions.bloom_might_contain(col("fingerprint"), bc)),
       bc)
   }
 

@@ -63,10 +63,48 @@ object Bpe {
   /** Learn `numMerges` merge rules. Ties break lexicographically on
     * (a, b) — fully deterministic on any partitioning. Stops early
     * when the best pair's weighted count falls below `minCount`.
+    *
+    * Routing: after the one corpus-wide tokenize + `groupBy(word)`
+    * pass the working set is VOCABULARY-sized, not corpus-sized — for
+    * any natural-language corpus that is well under driver memory, so
+    * the merge loop runs DRIVER-LOCAL over the collected (word, wc)
+    * table with incremental pair-count maintenance (the standard
+    * Sennrich single-node loop). The alternative — one Spark job per
+    * merge — is fine at `numMerges=64` but a production 32k-merge
+    * vocab would be 32k sequential driver-coordinated jobs: days of
+    * scheduler latency on a real cluster for work that is milliseconds
+    * of arithmetic. The distributed per-merge loop is kept for
+    * beyond-driver vocabularies (`> maxLocalVocab` distinct words);
+    * both paths produce the IDENTICAL model bitwise (same pair
+    * weighting, same (cnt desc, a, b) UTF-8 tie-break, same greedy
+    * left-fold merge — pinned in BpeSpec).
     */
   def train(docs: DataFrame, numMerges: Int = 64, sampleFrac: Double = 1.0,
-      minCount: Long = 2L): BpeModel = {
-    var words = wordCounts(docs, sampleFrac)
+      minCount: Long = 2L, maxLocalVocab: Long = 4000000L): BpeModel = {
+    // one corpus tokenize pass, materialized at vocabulary grain; the
+    // size probe and the collect (or the distributed loop) both read
+    // the checkpointed blocks, never the corpus again
+    val wc = wordCounts(docs, sampleFrac).localCheckpoint(true)
+    try {
+      val probeCap = math.min(maxLocalVocab + 1L, Int.MaxValue.toLong).toInt
+      if (maxLocalVocab > 0 && wc.limit(probeCap).count() <= maxLocalVocab) {
+        val vocab = wc.collect().map { r =>
+          (charsLocal(r.getAs[String]("word")), r.getAs[Long]("wc"))
+        }
+        trainLocal(vocab, numMerges, minCount)
+      } else trainDistributed(wc, numMerges, minCount)
+    } finally releaseCheckpoint(wc)
+  }
+
+  /** The per-merge Spark loop for vocabularies too large to collect:
+    * each round is a pair-count aggregate (map-side-combined to one
+    * row per pair per partition) → 1-row argmax on the driver → a
+    * map-side array-fold rewrite, with lineage cut by an eager
+    * `localCheckpoint` per round.
+    */
+  private[text] def trainDistributed(wordCounts: DataFrame, numMerges: Int,
+      minCount: Long): BpeModel = {
+    var words = wordCounts
       .select(col("wc"), charsOf(col("word")).as("syms"))
       .localCheckpoint(true)
     val merges = Seq.newBuilder[(String, String)]
@@ -95,6 +133,118 @@ object Bpe {
       }
     }
     releaseCheckpoint(words)
+    BpeModel(merges.result())
+  }
+
+  /** Code-point symbols of a word — the driver-local twin of
+    * [[charsOf]] (Spark `substr` walks code points, so a
+    * surrogate-pair character is ONE symbol on both paths).
+    */
+  private[text] def charsLocal(w: String): Array[String] = {
+    val out = Array.newBuilder[String]
+    var i = 0
+    while (i < w.length) {
+      val cp = w.codePointAt(i)
+      out += new String(Character.toChars(cp))
+      i += Character.charCount(cp)
+    }
+    out.result()
+  }
+
+  /** UTF-8 byte order ≡ code-point order — the comparator behind the
+    * local argmax tie-break, matching Spark's binary UTF8String
+    * ordering (Java's `String.compareTo` is UTF-16 code-UNIT order,
+    * which sorts supplementary characters BEFORE U+E000..U+FFFF and
+    * would diverge from the distributed `orderBy` there).
+    */
+  private[text] def utf8Compare(x: String, y: String): Int = {
+    var i = 0
+    var j = 0
+    while (i < x.length && j < y.length) {
+      val cx = x.codePointAt(i)
+      val cy = y.codePointAt(j)
+      if (cx != cy) return Integer.compare(cx, cy)
+      i += Character.charCount(cx)
+      j += Character.charCount(cy)
+    }
+    Integer.compare(x.length - i, y.length - j)
+  }
+
+  /** One greedy left-to-right merge pass — the exact local twin of the
+    * [[mergePair]] fold (replace the trailing `a` with `ab` when the
+    * next symbol is `b`; a fresh `ab` never re-merges with a following
+    * `b` because the fold compares the ALREADY-MERGED last symbol).
+    */
+  private[text] def mergeLocal(syms: Array[String], a: String, b: String): Array[String] = {
+    val buf = scala.collection.mutable.ArrayBuffer.empty[String]
+    var i = 0
+    while (i < syms.length) {
+      val x = syms(i)
+      if (buf.nonEmpty && buf.last == a && x == b) buf(buf.length - 1) = a + b
+      else buf += x
+      i += 1
+    }
+    buf.toArray
+  }
+
+  /** Driver-local merge loop with incremental pair-count maintenance:
+    * per merge, only words CONTAINING the merged pair are re-counted
+    * (their old adjacent pairs subtracted, the fold applied, new pairs
+    * added), so a merge costs O(touched words), not O(vocabulary) —
+    * 1024 merges over an sf0.1 vocabulary run in seconds where the
+    * per-merge-job loop pays 1024 Spark job latencies. The argmax is a
+    * full scan of the live pair table with the (cnt desc, a, b) UTF-8
+    * tie-break — identical to the distributed `orderBy`.
+    */
+  private[text] def trainLocal(vocab: Array[(Array[String], Long)],
+      numMerges: Int, minCount: Long): BpeModel = {
+    import scala.collection.mutable
+    val words: Array[Array[String]] = vocab.map(_._1)
+    val wcs: Array[Long] = vocab.map(_._2)
+    val pairCounts = mutable.HashMap.empty[(String, String), Long]
+    val pairWords = mutable.HashMap.empty[(String, String), mutable.BitSet]
+    def applyPairs(wi: Int, sign: Long, index: Boolean): Unit = {
+      val syms = words(wi)
+      val delta = wcs(wi) * sign
+      var i = 0
+      while (i < syms.length - 1) {
+        val p = (syms(i), syms(i + 1))
+        val nv = pairCounts.getOrElse(p, 0L) + delta
+        if (nv == 0L) pairCounts.remove(p) else pairCounts.update(p, nv)
+        if (index) pairWords.getOrElseUpdate(p, mutable.BitSet.empty) += wi
+        i += 1
+      }
+    }
+    words.indices.foreach(applyPairs(_, 1L, index = true))
+    val merges = Seq.newBuilder[(String, String)]
+    var m = 0
+    var done = false
+    while (m < numMerges && !done) {
+      var best: (String, String) = null
+      var bestCnt = Long.MinValue
+      pairCounts.foreach { case (p, c) =>
+        if (best == null || c > bestCnt || (c == bestCnt && {
+          val ca = utf8Compare(p._1, best._1)
+          ca < 0 || (ca == 0 && utf8Compare(p._2, best._2) < 0)
+        })) { best = p; bestCnt = c }
+      }
+      if (best == null || bestCnt < minCount) done = true
+      else {
+        merges += best
+        val (a, b) = best
+        // pairWords entries can be stale (a word that lost the pair in
+        // an earlier merge) — the subtract/merge/re-add round trip is a
+        // net no-op for those, so staleness costs time, never counts
+        val touched = pairWords.getOrElse(best, mutable.BitSet.empty).toArray
+        touched.foreach { wi =>
+          applyPairs(wi, -1L, index = false)
+          words(wi) = mergeLocal(words(wi), a, b)
+          applyPairs(wi, 1L, index = true)
+        }
+        pairWords.remove(best)
+        m += 1
+      }
+    }
     BpeModel(merges.result())
   }
 

@@ -129,6 +129,15 @@ object SearchIndex {
     * is enforced per segment at build and on the merged total at
     * serve — a token that exceeded the cap inside an earlier segment
     * alone stays dropped, exactly as a rebuild would drop it.
+    *
+    * Failure atomicity: the two appends are not transactional — a
+    * crash between them can leave the batch's postings present with
+    * its doc lengths missing (re-run the add for the batch, then
+    * [[compact]], to converge). The stats, however, can never drift:
+    * they are RE-DERIVED from the doclen table after the appends (not
+    * advanced by a delta), so a retried or partially-failed add leaves
+    * n_docs/Σdl exactly consistent with what the doclen table holds —
+    * BM25's IDF/avgdl always describe the index as stored.
     */
   def add(batch: DataFrame, table: String): Unit = {
     val spark = batch.sparkSession
@@ -150,12 +159,16 @@ object SearchIndex {
       .write.mode("append")
       .bucketBy(bucketsOf(s"${table}_doclen"), "doc_id").sortBy("doc_id")
       .format("parquet").saveAsTable(s"${table}_doclen")
-    val b = tokD.agg(count(lit(1)).as("n"),
-      sum(size(col("toks")).cast("long")).as("s")).head()
     tokD.unpersist(false)
+    // stats LAST, re-derived from the appended doclen table (one
+    // linear pass over a two-long-per-doc table — not the corpus):
+    // a crash before this line leaves the PREVIOUS stats paired with
+    // the previous serve set; a retry re-runs this aggregate and
+    // lands on the stored truth either way — no compounding delta
+    val s = spark.table(s"${table}_doclen")
+      .agg(count(lit(1)).as("n"), sum(col("dl")).as("s")).head()
     graft.ops.TableProps.set(spark, table, "graft.search.stats",
-      statsJson(longField(json, "n_docs") + b.getLong(0),
-        longField(json, "sum_dl") + b.getLong(1), maxDf))
+      statsJson(s.getLong(0), s.getLong(1), maxDf))
   }
 
   /** Physically fold the segments: rewrite the postings table with

@@ -97,6 +97,32 @@ class BpeSpec extends SparkSpec {
     assert(a.merges === b.merges)
   }
 
+  test("bpe: driver-local merge loop ≡ per-merge distributed loop, bitwise") {
+    // maxLocalVocab = 0 forces the distributed per-merge-job path; the
+    // default routes through the collected-vocabulary local loop — the
+    // two must learn the identical merge list (same pair weighting,
+    // same (cnt desc, a, b) tie-break, same greedy fold)
+    val d = spark.read.parquet(s"$sfDir/documents.parquet").limit(60)
+    val local = Bpe.train(d, numMerges = 24, minCount = 2L)
+    val dist = Bpe.train(d, numMerges = 24, minCount = 2L, maxLocalVocab = 0L)
+    assert(local.merges === dist.merges)
+    assert(local.merges.nonEmpty)
+  }
+
+  test("bpe: production-scale merge budget trains in one corpus pass") {
+    // the per-merge-job loop at numMerges=1024 would be 1024 sequential
+    // Spark jobs; the local loop is one tokenize pass + driver
+    // arithmetic — wall-clock stays in seconds even with a generous
+    // flake margin, and early-stops cleanly when the vocab dries up
+    val d = spark.read.parquet(s"$sfDir/documents.parquet")
+    val t0 = System.nanoTime()
+    val model = Bpe.train(d, numMerges = 1024, minCount = 2L)
+    val secs = (System.nanoTime() - t0) / 1e9
+    assert(model.merges.nonEmpty)
+    assert(model.merges.size <= 1024)
+    assert(secs < 120.0, s"local BPE training took ${secs}s")
+  }
+
   test("bpe: save/load round trip preserves the merge list and the counts query") {
     val d = spark.read.parquet(s"$sfDir/documents.parquet").limit(60)
     val tmp = java.nio.file.Files.createTempDirectory("graft_bpe_spec").toString

@@ -178,11 +178,28 @@ class PcaSpec extends SparkSpec {
     assert(unfiltered.head.getAs[Long]("cand_id") === 10L)
   }
 
-  test("query: one projected row per vector with the eigenvalue spectrum attached") {
-    val got = Pca.query(emb, d, 4)
-    assert(got.count() === emb.count())
-    val r = got.collect().head
-    assert(r.getSeq[Double](r.fieldIndex("projected")).size === 4)
-    assert(r.getSeq[Double](r.fieldIndex("eigenvalues")).size === 4)
+  test("query: k scalar rows per vector, eigenvalue attached per component") {
+    val k = 4
+    val got = Pca.query(emb, d, k)
+    val n = emb.count()
+    assert(got.count() === n * k)
+    // all cells scalar (the gate's pandas row-sort requirement) and the
+    // eigenvalue column carries the model spectrum, constant per dim_idx
+    val m = Pca.fit(emb, d, k)
+    val rows = got.filter(col("vec_id") === 0L).orderBy(col("dim_idx")).collect()
+    assert(rows.length === k)
+    rows.zipWithIndex.foreach { case (r, i) =>
+      assert(r.getAs[Long]("dim_idx") === i.toLong)
+      assert(r.getAs[Double]("eigenvalue") === m.eigenvalues(i))
+    }
+    // per-row value matches the direct projection of vector 0
+    val x = emb.filter(col("vec_id") === 0L).select(col("embedding"))
+      .collect().head.getSeq[Float](0).map(_.toDouble).toArray
+    rows.zipWithIndex.foreach { case (r, c) =>
+      val w = m.components(c)
+      val offset = w.zip(m.mean).map { case (wi, mi) => wi * mi }.sum
+      val expect = x.zip(w).map { case (xi, wi) => xi * wi }.sum - offset
+      assert(math.abs(r.getAs[Double]("value") - expect) < 1e-9)
+    }
   }
 }

@@ -79,6 +79,25 @@ class PlanContractSpec extends SparkSpec {
     }
   }
 
+  test("dedup_bloom: codegen Bloom probe, no Scala UDF on the ingest path") {
+    val phys = physical(q("dedup_bloom"))
+    assert(phys.contains("bloom_might_contain"),
+      s"dedup_bloom lost the native Bloom probe expression:\n$phys")
+    assert(!phys.contains("UDF("),
+      s"dedup_bloom still routes the probe through a Scala UDF:\n$phys")
+  }
+
+  test("q_topn_group: bounded per-group top-k aggregate, no ranking window") {
+    // five priority classes → a rank window would sort ~20% of all
+    // orders in one task at scale; the TopKByScore partial aggregate
+    // bounds the exchange at N rows per group per map partition
+    val phys = physical(q("q_topn_group"))
+    assert(!phys.contains("Window"),
+      s"q_topn_group routes orders through a ranking window:\n$phys")
+    assert(phys.contains("top_k_by_score"),
+      s"q_topn_group lost the bounded top-k aggregate:\n$phys")
+  }
+
   test("lsh serving joins collide on (band, sig); index build shuffles nothing") {
     // index build: signature expression + explode only — no Exchange
     val build = physical(q("lsh_signatures"))

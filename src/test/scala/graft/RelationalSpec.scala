@@ -536,6 +536,24 @@ class RelationalSpec extends SparkSpec {
     assert(sorted.last.getAs[Long]("bin") === 19L, "the max value must land in the top bin")
   }
 
+  test("valueHistogram: degenerate range and null values — one clean bin, no NaN") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // all equal values + nulls: hi == lo would be 0/0 → NaN bins
+    // without the guard; nulls carry no axis position and must not bin
+    val flat = Seq((1L, Some(7.5)), (2L, Some(7.5)), (3L, None), (4L, Some(7.5)))
+      .toDF("event_id", "value")
+    val bins = EventOps.valueHistogram(flat).collect()
+    assert(bins.length === 1)
+    assert(bins.head.getAs[Long]("bin") === 0L)
+    assert(bins.head.getAs[Long]("n_events") === 3L)
+    assert(!bins.head.getAs[Double]("bin_lo").isNaN)
+    // single-row input: same shape
+    val one = Seq((1L, 2.0)).toDF("event_id", "value")
+    val b1 = EventOps.valueHistogram(one).collect()
+    assert(b1.length === 1 && b1.head.getAs[Long]("n_events") === 1L)
+  }
+
   test("profile: per-column nulls/distincts/bounds on a planted frame; one aggregation pass") {
     import org.apache.spark.sql.functions._
     import spark.implicits._

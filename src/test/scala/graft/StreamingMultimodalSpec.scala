@@ -281,6 +281,36 @@ class StreamingMultimodalSpec extends SparkSpec {
     assert(got.toSeq === batch.toSeq && got.nonEmpty)
   }
 
+  test("Jpeg.synthFromDocs: entropy data is a FIXED 8 bytes even for short texts") {
+    import spark.implicits._
+    // texts shorter than 8 bytes used to shrink the entropy segment,
+    // breaking the triage oracle's constant data(8) size term — the
+    // padded synth keeps payload size a pure function of doc_id + the
+    // least()-mirrored comment lengths
+    val cases = Seq((3L, "ab"), (5L, ""), (6L, "abcdef"), (9L, "x"), (11L, "longer than eight"))
+    val docs = cases.toDF("doc_id", "text")
+    val media = Binary.Jpeg.synthFromDocs(docs, invalidEvery = 1000)
+    val textLen = cases.toMap.view.mapValues(_.getBytes("UTF-8").length.toLong).toMap
+    media.collect().foreach { r =>
+      val d = r.getAs[Long]("doc_id")
+      val p = r.getAs[Array[Byte]]("payload")
+      val tb = textLen(d)
+      val c1 = math.min(tb, 5 + d % 37)
+      val hasCom2 = d % 3 == 0
+      val c2 = if (hasCom2) math.min(math.max(tb - 5, 0), 3 + d % 11) else 0L
+      val nc = if (d % 5 == 0) 1 else 3
+      // SOI + APP0(18) + COM1 hdr+body + optional COM2 + SOF + SOS +
+      // fixed data(8) + EOI
+      val expected = 2 + 18 + (4 + c1) + (if (hasCom2) 4 + c2 else 0) +
+        (2 + nc * 3 + 8) + (2 + (if (nc == 1) 8 else 12)) + 8 + 2
+      assert(p.length.toLong === expected, s"doc $d payload size")
+      assert((p(p.length - 2) & 0xFF) === 0xFF && (p(p.length - 1) & 0xFF) === 0xD9)
+    }
+    Binary.Jpeg.parse(media).collect().foreach { r =>
+      assert(r.getAs[Boolean]("jpeg_valid"), s"doc ${r.getAs[Long]("doc_id")}")
+    }
+  }
+
   test("queryTopKStream: streamed queries against the at-rest LSH index ≡ batch serving") {
     import graft.lsh.{LshIndex, LshParams}
     val emb = Tables.load(spark, sfDir, "embeddings")
