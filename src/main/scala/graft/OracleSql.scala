@@ -876,6 +876,36 @@ object OracleSql {
     s"""$SigCteDefault
        |SELECT vec_id, band, sig FROM idx ORDER BY vec_id, band""".stripMargin
 
+  /** Wide (r > 64) byte-packed signatures — mirror of
+    * [[graft.lsh.LshIndex.build]] on a wide config: per band, each of
+    * the ceil(r/8) little-endian bytes is a CASE bit sum over the SAME
+    * plane-literal in-order dot products as the narrow oracle, and the
+    * hex pairs concatenate exactly as Spark's `hex(binary)` (uppercase,
+    * two chars per byte).
+    */
+  def lshWideSignatures(p: graft.lsh.LshParams): String = {
+    val nBytes = (p.r + 7) / 8
+    val bandExprs = (0 until p.b).map { band =>
+      val plane = graft.lsh.RandomProjection.bandPlanes(p.seed, band, p.r, p.dim)
+      val bytes = (0 until nBytes).map { bi =>
+        val bits = (0 until 8).filter(bb => bi * 8 + bb < p.r).map { bb =>
+          val rr = bi * 8 + bb
+          s"(CASE WHEN ${dotSql(plane, p.dim, rr * p.dim)} > 0 THEN ${1 << bb} ELSE 0 END)"
+        }.mkString(" + ")
+        s"upper(lpad(to_hex($bits), 2, '0'))"
+      }.mkString(" || ")
+      s"  ($bytes) AS sig$band"
+    }.mkString(",\n")
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |sigs AS (SELECT vec_id,
+       |$bandExprs
+       |FROM e),
+       |idx AS (SELECT vec_id,
+       |  unnest([${(0 until p.b).mkString(",")}]) AS band,
+       |  unnest([${(0 until p.b).map(i => s"sig$i").mkString(",")}]) AS sig FROM sigs)
+       |SELECT vec_id, band, sig FROM idx ORDER BY vec_id, band""".stripMargin
+  }
+
   val lshBucketStats: String =
     s"""$SigCteDefault,
        |buckets AS (SELECT band, sig, count(*) AS bucket_size FROM idx GROUP BY 1, 2)

@@ -456,6 +456,13 @@ object SparkEntry {
     //        semantics verified against brute force in LshSpec) ---
     "lsh_signatures" -> ((s, dir) =>
       LshIndex.build(t(s, dir, "embeddings"), lshP).orderBy(col("vec_id"), col("band"))),
+    // the r > 64 parameter domain the int64 band signature cannot hold:
+    // wide configs pack little-endian BYTES per band (the reference's
+    // arbitrary-width _project_and_pack layout), indexed as hex — the
+    // oracle re-derives every bit from the same plane literals
+    "lsh_wide_signatures" -> ((s, dir) =>
+      LshIndex.build(t(s, dir, "embeddings"), lshWideP)
+        .orderBy(col("vec_id"), col("band"))),
     "lsh_bucket_stats" -> ((s, dir) =>
       LshIndex.bucketStats(LshIndex.build(t(s, dir, "embeddings"), lshP))),
     "lsh_candidate_pairs" -> ((s, dir) =>
@@ -709,6 +716,8 @@ object SparkEntry {
     * literals mirror exactly.
     */
   val lshP = LshParams(dim = 64, numPerm = 32, numBands = Some(8), rowsPerBand = Some(4))
+  /** A rowsPerBand > 64 config — exercises the byte-packed wide path. */
+  val lshWideP = LshParams(dim = 64, numPerm = 144, numBands = Some(2), rowsPerBand = Some(72))
 
   /** Recall-oriented layout for ANN serving: more bands, same rows. */
   val lshRecallP = LshParams(dim = 64, numPerm = 64, numBands = Some(16), rowsPerBand = Some(4))
@@ -992,6 +1001,7 @@ object SparkEntry {
     "ann_ivf_filtered" -> OracleSql.annIvfFiltered,
     "vec_norm" -> OracleSql.vecNorm,
     "lsh_signatures" -> OracleSql.lshSignatures,
+    "lsh_wide_signatures" -> OracleSql.lshWideSignatures(lshWideP),
     "lsh_bucket_stats" -> OracleSql.lshBucketStats,
     "lsh_candidate_pairs" -> OracleSql.lshCandidatePairs,
     "lsh_topk" -> OracleSql.lshTopk,

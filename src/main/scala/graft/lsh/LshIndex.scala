@@ -29,7 +29,10 @@ case class LshParams(
       (bb, rr)
     case _ => LshConfig.optimalConfig(numPerm, similarityThreshold)
   }
-  require(r <= 64, s"rowsPerBand=$r exceeds the 64-bit band signature")
+  /** r > 64 signatures pack into bytes (the reference's arbitrary-width
+    * layout) instead of one long per band — see [[LshIndex.build]].
+    */
+  def wide: Boolean = r > 64
 }
 
 /** Spark-native re-expression of the reference's LSH engine
@@ -56,17 +59,31 @@ case class LshParams(
 object LshIndex {
 
   def signatureCol(emb: Column, p: LshParams): Column =
-    GraftColumnBridge.column(
-      LshBandSignatures(GraftColumnBridge.expression(emb), p.b, p.r, p.dim, p.seed))
+    if (p.wide)
+      GraftColumnBridge.column(graft.expressions.LshBandSignaturesWide(
+        GraftColumnBridge.expression(emb), p.b, p.r, p.dim, p.seed))
+    else
+      GraftColumnBridge.column(
+        LshBandSignatures(GraftColumnBridge.expression(emb), p.b, p.r, p.dim, p.seed))
 
-  /** (vec_id, sigs: array<long>) — one signature per band. */
+  /** (vec_id, sigs) — one signature per band: `array<long>` for
+    * r ≤ 64, `array<binary>` (little-endian packed, ceil(r/8) bytes —
+    * the reference's `_project_and_pack` layout) for wide configs.
+    */
   def signatures(emb: DataFrame, p: LshParams): DataFrame =
     emb.select(col("vec_id"), signatureCol(col("embedding"), p).as("sigs"))
 
-  /** Inverted index: (vec_id, band, sig). */
-  def build(emb: DataFrame, p: LshParams): DataFrame =
-    signatures(emb, p)
+  /** Inverted index: (vec_id, band, sig). `sig` is a long for r ≤ 64;
+    * wide configs carry the packed bytes hex-encoded as a string (same
+    * equi-join/groupBy serving shapes, engine-portable bucket keys) —
+    * every downstream operator here is agnostic to which.
+    */
+  def build(emb: DataFrame, p: LshParams): DataFrame = {
+    val exploded = signatures(emb, p)
       .select(col("vec_id"), posexplode(col("sigs")).as(Seq("band", "sig")))
+    if (p.wide) exploded.select(col("vec_id"), col("band"), hex(col("sig")).as("sig"))
+    else exploded
+  }
 
   /** Bucket-size histogram: (bucket_size, n_buckets) — the operational
     * monitoring surface (oversized buckets = low selectivity).

@@ -203,6 +203,56 @@ class LshSpec extends SparkSpec {
     assert(after.count() === idx.count() - 3 * p.b)
   }
 
+  test("wide signatures: byte packing agrees bit-for-bit with the long packing at r ≤ 64") {
+    // same planes, same sign decisions — the little-endian byte layout
+    // (reference hash/lsh.py:171) reassembles to exactly the int64 sig
+    val sub = emb.limit(40)
+    val longs = LshIndex.signatures(sub, p).collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getSeq[Long](1)).toMap
+    val wideExpr = org.apache.spark.sql.GraftColumnBridge.column(
+      graft.expressions.LshBandSignaturesWide(
+        org.apache.spark.sql.GraftColumnBridge.expression(col("embedding")),
+        p.b, p.r, p.dim, p.seed))
+    val wides = sub.select(col("vec_id"), wideExpr.as("sigs")).collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getSeq[Array[Byte]](1)).toMap
+    assert(wides.nonEmpty && wides.keySet === longs.keySet)
+    wides.foreach { case (id, bands) =>
+      assert(bands.length === p.b)
+      bands.zipWithIndex.foreach { case (bytes, bi) =>
+        assert(bytes.length === (p.r + 7) / 8)
+        val reassembled = bytes.zipWithIndex
+          .map { case (by, i) => (by.toLong & 0xFFL) << (8 * i) }.sum
+        assert(reassembled === longs(id)(bi), s"vec $id band $bi")
+      }
+    }
+  }
+
+  test("wide config r=96: builds, collides exact dups in every band, serves topK") {
+    // the parameter domain the long path rejects — numPerm/b > 64
+    val wp = LshParams(dim = 64, numPerm = 192, numBands = Some(2), rowsPerBand = Some(96))
+    assert(wp.wide)
+    val sub = emb.limit(60)
+    val idx = LshIndex.build(sub, wp)
+    // one hex string per (vec, band), 96 bits → 12 bytes → 24 hex chars
+    val rows = idx.collect()
+    assert(rows.length === 60 * 2)
+    rows.foreach(r => assert(r.getAs[String]("sig").length === 24))
+    // a planted duplicate collides in all bands with its source
+    val base = sub.select(col("vec_id"), col("embedding"))
+    val dup = base.filter(col("vec_id") === 0L)
+      .select((col("vec_id") + 100000L).as("vec_id"), col("embedding"))
+    val pairs = LshIndex.candidatePairs(LshIndex.build(base.unionByName(dup), wp))
+      .filter(col("a") === 0L && col("b") === 100000L).collect()
+    assert(pairs.length === 1 && pairs.head.getAs[Long]("n_shared_bands") === 2L)
+    // end-to-end serving: at r=96 only (near-)identical vectors ever
+    // collide — query the planted duplicate against the dup'd index
+    val got = LshIndex.topKOnIndex(LshIndex.build(base.unionByName(dup), wp),
+      dup, wp, k = 5).collect()
+    assert(got.length === 1)
+    assert(got.head.getAs[Long]("cand_id") === 0L)
+    assert(got.head.getAs[Long]("n_collisions") === 2L)
+  }
+
   test("RandomProjection gaussians: deterministic, ~N(0,1)") {
     val xs = (0 until 20000).map(i => RandomProjection.gaussian(42L, i % 8, (i / 8) % 4, i / 32))
     val mean = xs.sum / xs.size

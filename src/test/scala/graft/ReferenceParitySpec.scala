@@ -18,14 +18,18 @@ class ReferenceParitySpec extends SparkSpec {
   private val rng = new scala.util.Random(42)
   private def randVec(dim: Int): Array[Float] = Array.fill(dim)(rng.nextGaussian().toFloat)
 
-  // test_core.py:17-29 — constructor validation
-  test("invalid params rejected: dim, num_perm, bands*rows, rows>64") {
+  // test_core.py:17-29 — constructor validation. rowsPerBand > 64 is
+  // ACCEPTED, like the reference (its signatures are arbitrary-width
+  // packed bytes, hash/lsh.py:171): wide configs route to the
+  // byte-packed signature variant instead of being rejected.
+  test("invalid params rejected: dim, num_perm, bands*rows; r>64 routes wide") {
     assertThrows[IllegalArgumentException](LshParams(dim = 0))
     assertThrows[IllegalArgumentException](LshParams(dim = 4, numPerm = 0))
     assertThrows[IllegalArgumentException](
       LshParams(dim = 4, numPerm = 8, numBands = Some(3), rowsPerBand = Some(2)))
-    assertThrows[IllegalArgumentException](
-      LshParams(dim = 4, numPerm = 130, numBands = Some(1), rowsPerBand = Some(130)))
+    val wp = LshParams(dim = 4, numPerm = 130, numBands = Some(1), rowsPerBand = Some(130))
+    assert(wp.wide && wp.b === 1 && wp.r === 130)
+    assert(!LshParams(dim = 4, numPerm = 8, numBands = Some(2), rowsPerBand = Some(4)).wide)
   }
 
   // test_core.py:33 — auto-config when bands not specified
