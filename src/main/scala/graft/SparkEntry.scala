@@ -139,10 +139,15 @@ object SparkEntry {
     "text_langid_learned" -> ((s, dir) =>
       graft.text.LangClassifier.trainScoreQuery(t(s, dir, "documents"))),
     // rows-only like text_langid_learned; the model-at-rest round trip
-    // through the driver gate (save/load bitwise is spec'd)
+    // through the driver gate (save/load bitwise is spec'd). Trains at
+    // a reduced sampleFrac: this row proves the save→load→score
+    // lifecycle — fit quality is the non-persisted twin's job, and at
+    // 100 TB the model trains once, so the bench shouldn't pay two
+    // full fits per round
     "text_langid_learned_persisted" -> ((s, dir) =>
       graft.text.LangClassifier.trainSaveScoreQuery(t(s, dir, "documents"),
-        "graft_lang_model_rt", path = Some(s"${tempDir("lang_model")}/tbl"))),
+        "graft_lang_model_rt", path = Some(s"${tempDir("lang_model")}/tbl"),
+        sampleFrac = 0.1)),
     "text_fingerprint" -> ((s, dir) => TextAnalysis.fingerprint(t(s, dir, "documents"))),
     "text_chunks" -> ((s, dir) => TextAnalysis.chunks(t(s, dir, "documents"))),
     "text_dup_chunk_ratio" -> ((s, dir) => TextAnalysis.dupChunkRatio(t(s, dir, "documents"))),
@@ -173,11 +178,13 @@ object SparkEntry {
     // rows-only like quality_classifier; the model-at-rest round trip:
     // train (sampled) → saveModel (weight rows + params in
     // TBLPROPERTIES) → loadModel → score from the LOADED weights —
-    // loaded-≡-fresh is spec'd bitwise in QualityClassifierSpec
+    // loaded-≡-fresh is spec'd bitwise in QualityClassifierSpec.
+    // Reduced sampleFrac: the row proves the lifecycle, not the fit
+    // (the non-persisted twin trains at the full driver-row frac)
     "quality_classifier_persisted" -> ((s, dir) =>
       graft.text.QualityClassifier.trainSaveScoreQuery(
         t(s, dir, "documents"), "graft_quality_model_rt",
-        path = Some(s"${tempDir("quality_model")}/tbl"))),
+        path = Some(s"${tempDir("quality_model")}/tbl"), sampleFrac = 0.1)),
     // rows-only: the GK sketch threshold has no cross-engine oracle
     // (declared); ≥99% keep-set agreement with the exact rank cut is
     // property-spec'd in RelationalSpec
