@@ -20,6 +20,7 @@ import org.apache.spark.sql.functions.{col, lit}
   * | `stats` (:798) | [[stats]] |
   * | `save_to_disk` (:846) | [[saveToDisk]] |
   * | `load_from_disk` (:898) | [[Lshrs.loadFromDisk]] |
+  * | `print_config_analysis` (utils/br.py:398) | [[configAnalysis]] |
   *
   * Differences are the Spark-native ones: vectors live in DataFrames
   * rather than numpy arrays (so "a vector" is a one-row table and a
@@ -80,6 +81,15 @@ class Lshrs private (val params: LshParams, val corpus: DataFrame, val indexDf: 
     LshIndex.getBucket(indexDf, band, sig)
 
   def saveToDisk(path: String): Unit = LshIndex.save(indexDf, params, path)
+
+  /** Human-readable configuration analysis of THIS instance's params
+    * (reference utils/br.py:398 `print_config_analysis`): optimal
+    * layout, actual threshold, FP/FN rates, S-curve steepness, and the
+    * detection-probability curve — returned as the report string (the
+    * Spark-side convention: the caller decides where it prints).
+    */
+  def configAnalysis(): String =
+    graft.config.LshConfig.analysisReport(params.numPerm, params.similarityThreshold)
 }
 
 object Lshrs {

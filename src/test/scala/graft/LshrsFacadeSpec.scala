@@ -48,5 +48,12 @@ class LshrsFacadeSpec extends SparkSpec {
     assert(reloaded.params === p.copy(numBands = Some(p.b), rowsPerBand = Some(p.r)))
     assert(reloaded.indexDf.count() === lsh.indexDf.count())
     assert(reloaded.getTopK(queries, 1).collect().head.getAs[Long]("cand_id") === 900000L)
+
+    // config analysis report (reference print_config_analysis): the
+    // instance's own num_perm/threshold drive the rendered numbers
+    val rep = lsh.configAnalysis()
+    assert(rep.contains(s"num_perm=${p.numPerm}"))
+    assert(rep.contains("bands=") && rep.contains("rows_per_band="))
+    assert(rep.contains("false_positive_rate=") && rep.contains("similarity 0.9"))
   }
 }
