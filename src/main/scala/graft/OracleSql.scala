@@ -1333,6 +1333,58 @@ object OracleSql {
        |SELECT q_id, rn, cand_id, sim FROM r WHERE rn <= 5
        |ORDER BY q_id, rn""".stripMargin
 
+  /** Hybrid RRF retrieval (mirror of TextAnalysis.hybridSearchTopK,
+    * defaults: kEach=20, k=10, rrfK=60, d=64): the [[textSearchTopK]]
+    * chain supplies lexical ranks; the semantic side hash-embeds the
+    * query TERMS as a pseudo-document through the same `he|` chain and
+    * ranks corpus docs by integer-exact sparse cosine; fusion is
+    * `1/(60+lex_rank) + 1/(60+vec_rank)` in that association order —
+    * two correctly-rounded IEEE divisions and one addition over
+    * integer ranks, hash-exact end to end.
+    */
+  val textSearchHybrid: String = {
+    val terms = TextAnalysis.Bm25Terms
+    val termList = terms.map(t => s"'$t'").mkString(", ")
+    val vecChain =
+      s"""WITH t AS (SELECT doc_id, $Toks AS toks FROM documents),
+         |tok AS (SELECT doc_id, unnest(toks) AS tk FROM t),
+         |h AS (SELECT doc_id, ${hex64("'he|'||tk")} AS h FROM tok),
+         |sg AS (SELECT doc_id, h % 64 AS dim,
+         |  CASE WHEN (h >> 20) & 1 = 1 THEN 1 ELSE -1 END AS sgn FROM h),
+         |w AS (SELECT doc_id, dim, sum(sgn)::BIGINT AS w FROM sg
+         |  GROUP BY 1, 2 HAVING sum(sgn) <> 0),
+         |n AS (SELECT doc_id, sum(w * w)::BIGINT AS s2 FROM w GROUP BY 1),
+         |qtok AS (SELECT unnest([$termList]) AS tk),
+         |qh AS (SELECT ${hex64("'he|'||tk")} AS h FROM qtok),
+         |qsg AS (SELECT h % 64 AS dim,
+         |  CASE WHEN (h >> 20) & 1 = 1 THEN 1 ELSE -1 END AS sgn FROM qh),
+         |qw AS (SELECT dim, sum(sgn)::BIGINT AS w FROM qsg
+         |  GROUP BY 1 HAVING sum(sgn) <> 0),
+         |qn AS (SELECT sum(w * w)::BIGINT AS s2 FROM qw),
+         |num AS (SELECT c.doc_id AS cand_id, sum(q.w * c.w)::BIGINT AS num
+         |  FROM qw q JOIN w c ON q.dim = c.dim GROUP BY 1),
+         |sc AS (SELECT num.cand_id, num / (sqrt(qn.s2) * sqrt(nc.s2)) AS sim
+         |  FROM num CROSS JOIN qn JOIN n nc ON nc.doc_id = num.cand_id),
+         |vr AS (SELECT cand_id, sim, CAST(row_number() OVER (
+         |  ORDER BY sim DESC, cand_id) AS BIGINT) AS rn FROM sc)
+         |SELECT cand_id AS doc_id, rn AS vec_rank FROM vr WHERE rn <= 20""".stripMargin
+    s"""WITH lexr AS (
+       |  SELECT doc_id, CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT)
+       |    AS lex_rank
+       |  FROM ($textSearchTopK) __lex),
+       |vecr AS (SELECT * FROM ($vecChain) __vec),
+       |fused AS (SELECT coalesce(l.doc_id, v.doc_id) AS doc_id,
+       |  l.lex_rank, v.vec_rank,
+       |  coalesce(1.0::DOUBLE / (60 + l.lex_rank), 0.0e0)
+       |    + coalesce(1.0::DOUBLE / (60 + v.vec_rank), 0.0e0) AS rrf_score
+       |  FROM lexr l FULL OUTER JOIN vecr v ON l.doc_id = v.doc_id),
+       |r AS (SELECT doc_id, lex_rank, vec_rank, rrf_score,
+       |  CAST(row_number() OVER (ORDER BY rrf_score DESC, doc_id) AS BIGINT) AS rn
+       |  FROM fused)
+       |SELECT rn, doc_id, lex_rank, vec_rank, rrf_score FROM r
+       |WHERE rn <= 10 ORDER BY rn""".stripMargin
+  }
+
   /** Persisted-topic assignment (mirror of Topics.saveTopics ∘
     * assignOnTopics over the same corpus): the corpusTopics
     * sparse-cosine assignment prefix with the winning sim surfaced —

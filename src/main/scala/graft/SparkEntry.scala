@@ -261,6 +261,12 @@ object SparkEntry {
     "corpus_cms_counts" -> ((s, dir) =>
       graft.text.CountMin.sketchTopTokensQuery(t(s, dir, "documents"))),
     "text_search_topk" -> ((s, dir) => TextAnalysis.searchTopK(t(s, dir, "documents"))),
+    // hybrid lexical+semantic retrieval: BM25 top-20 and hash-embed
+    // cosine top-20 (query terms as a pseudo-doc) fused by Reciprocal
+    // Rank Fusion — integer ranks + two IEEE divisions per doc, so the
+    // whole hybrid ranker is hash-exact against the composed oracle
+    "text_search_hybrid" -> ((s, dir) =>
+      TextAnalysis.hybridSearchTopK(t(s, dir, "documents"))),
     // index-at-rest round trip: save → load → serve with the corpus
     // untouched at serving time (stats from TBLPROPERTIES, doc lengths
     // from the bucketed doclen table); same oracle as text_search_topk
@@ -927,6 +933,7 @@ object SparkEntry {
     "text_inverted_index" -> OracleSql.textInvertedIndex,
     "corpus_heavy_hitters" -> OracleSql.corpusHeavyHitters,
     "text_search_topk" -> OracleSql.textSearchTopK,
+    "text_search_hybrid" -> OracleSql.textSearchHybrid,
     "text_search_topk_persisted" -> OracleSql.textSearchTopK,
     "text_winnow" -> OracleSql.textWinnow,
     "text_containment" -> OracleSql.textContainment,

@@ -1007,6 +1007,63 @@ object TextAnalysis {
       .orderBy(col("score").desc, col("doc_id")).limit(k)
   }
 
+  /** Hybrid lexical + semantic retrieval fused by Reciprocal Rank
+    * Fusion (Cormack et al., SIGIR 2009): the BM25 top-`kEach`
+    * ([[searchTopK]]) and the hash-embedding cosine top-`kEach`
+    * (the query terms embedded as a pseudo-document through the SAME
+    * [[hashEmbed]] pipeline as the corpus) merge by
+    * `rrf = Σ_retriever 1/(rrfK + rank)` — the standard fusion that
+    * needs NO score calibration between retrievers, only their ranks.
+    * The production shape of every hybrid search/retrieval-curation
+    * surface: lexical catches exact terminology, the embedding side
+    * catches synonymy/paraphrase, RRF rewards documents both agree on.
+    *
+    * Scale shape: each retriever is its own already-scale-shaped
+    * pipeline; the fusion itself touches only 2·kEach ranked rows —
+    * a full-outer join on doc_id plus one bounded TopKByScore, nothing
+    * corpus-sized. Determinism: ranks are integers, each RRF term is
+    * one correctly-rounded IEEE division, the two-term sum has a fixed
+    * association order mirrored in the oracle, ties break on doc_id —
+    * the whole fusion is cross-engine hash-exact (the rare hybrid
+    * ranker that can be oracle-checked end to end).
+    *
+    * `terms` must be tokenizer-canonical words (lowercase, no
+    * punctuation): the pseudo-document is `terms.mkString(" ")` run
+    * through [[GraftFunctions.tokens]].
+    *
+    * Output: (rn, doc_id, lex_rank, vec_rank, rrf_score) — a null
+    * rank means that retriever did not surface the document.
+    */
+  val HybridQueryDocId: Long = -1L
+
+  def hybridSearchTopK(docs: DataFrame, terms: Seq[String] = Bm25Terms,
+      k: Int = 10, kEach: Int = 20, d: Int = 64, rrfK: Int = 60): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val lex = graft.ops.TopK.rankByScore(
+      searchTopK(docs, terms, kEach)
+        .select(lit(0L).as("q_id"), col("doc_id").as("cand_id"), col("score").as("sim")),
+      kEach)
+      .select(col("cand_id").as("doc_id"), col("rn").as("lex_rank"))
+    val qRow = Seq((HybridQueryDocId, terms.mkString(" "))).toDF("doc_id", "text")
+    val vec = hashEmbedTopK(
+      docs.select(col("doc_id"), col("text")).unionByName(qRow),
+      qRow.select(col("doc_id")), d, kEach)
+      .select(col("cand_id").as("doc_id"), col("rn").as("vec_rank"))
+    val rrfScore =
+      coalesce(lit(1.0) / (lit(rrfK.toDouble) + col("lex_rank")), lit(0.0)) +
+        coalesce(lit(1.0) / (lit(rrfK.toDouble) + col("vec_rank")), lit(0.0))
+    val fused = lex.join(vec, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"), col("lex_rank"), col("vec_rank"), rrfScore.as("rrf_score"))
+    graft.ops.TopK.rankByScore(
+      fused.select(lit(0L).as("q_id"), col("doc_id").as("cand_id"),
+        col("rrf_score").as("sim")), k)
+      .select(col("rn"), col("cand_id").as("doc_id"), col("sim").as("rrf_score"))
+      .join(fused.select(col("doc_id"), col("lex_rank"), col("vec_rank")), Seq("doc_id"))
+      .select(col("rn"), col("doc_id"), col("lex_rank"), col("vec_rank"), col("rrf_score"))
+      .orderBy(col("rn"))
+  }
+
   /** [[searchTopKOnIndex]] over a freshly built [[invertedIndex]]. */
   def searchTopK(docs: DataFrame, terms: Seq[String] = Bm25Terms,
       k: Int = 20, k1: Double = 1.2, b: Double = 0.75,

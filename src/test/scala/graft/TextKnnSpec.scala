@@ -208,6 +208,40 @@ class TextKnnSpec extends SparkSpec {
     assert(!res.exists(r => r.getAs[Long]("a") === 3L || r.getAs[Long]("b") === 3L))
   }
 
+  test("hybridSearchTopK: RRF fusion recounts from the two retrievers' own ranks") {
+    import graft.text.TextAnalysis
+    val got = TextAnalysis.hybridSearchTopK(docs).collect()
+    assert(got.length === 10)
+    // independent recount: collect both retrievers separately, fuse on
+    // the driver with the same 1/(60+rank) arithmetic
+    val lex = TextAnalysis.searchTopK(docs, TextAnalysis.Bm25Terms, 20).collect()
+      .sortBy(r => (-r.getAs[Double]("score"), r.getAs[Long]("doc_id")))
+      .zipWithIndex.map { case (r, i) => r.getAs[Long]("doc_id") -> (i + 1L) }.toMap
+    val spark2 = spark
+    import spark2.implicits._
+    val qRow = Seq((TextAnalysis.HybridQueryDocId,
+      TextAnalysis.Bm25Terms.mkString(" "))).toDF("doc_id", "text")
+    val vec = TextAnalysis.hashEmbedTopK(
+      docs.select(org.apache.spark.sql.functions.col("doc_id"),
+        org.apache.spark.sql.functions.col("text")).unionByName(qRow),
+      qRow.select(org.apache.spark.sql.functions.col("doc_id")), 64, 20).collect()
+      .map(r => r.getAs[Long]("cand_id") -> r.getAs[Long]("rn")).toMap
+    val expected = (lex.keySet ++ vec.keySet).toSeq.map { id =>
+      val s = lex.get(id).map(r => 1.0 / (60.0 + r)).getOrElse(0.0) +
+        vec.get(id).map(r => 1.0 / (60.0 + r)).getOrElse(0.0)
+      (id, s)
+    }.sortBy { case (id, s) => (-s, id) }.take(10)
+    got.zip(expected).foreach { case (r, (id, s)) =>
+      assert(r.getAs[Long]("doc_id") === id)
+      assert(r.getAs[Double]("rrf_score") === s)
+      assert(r.getAs[Any]("lex_rank") === lex.get(id).map(Long.box).orNull)
+      assert(r.getAs[Any]("vec_rank") === vec.get(id).map(Long.box).orNull)
+    }
+    // both retrievers actually contribute to the fused list
+    val top = got.map(_.getAs[Long]("doc_id")).toSet
+    assert(top.exists(lex.contains) && top.exists(vec.contains))
+  }
+
   test("int8 quantization round-trips within quantization error") {
     import graft.ann.Quantize
     val q = Quantize.int8(emb)
