@@ -184,4 +184,37 @@ object Opq {
     Pq.pqTopKOnCodes(codes, rotate(corpus, model.rotation),
       rotate(queries, model.rotation), model.pq, k, prefilterK, broadcastQueries)
   }
+
+  /** OPQ × IVFADC at rest: the rotation composes with the cell-pruned
+    * path exactly as with the exhaustive one — corpus AND centroids
+    * persist rotated (cell assignment in rotated space ≡ raw space by
+    * orthogonality), the rotation rides in `<table>_rot` next to the
+    * `Pq.saveCellIndex` triple, and residual/nProbe encoding flags
+    * persist in the cells table as usual. Everything downstream —
+    * bucketed-by-cell layout, probe equi-join, ADC kernel, bias term —
+    * is the unmodified [[Pq]] machinery.
+    */
+  def saveCellIndex(model: OpqModel, corpus: DataFrame, centroids: DataFrame,
+      table: String, nBuckets: Int = 32, path: Option[String] = None,
+      residual: Boolean = false, nProbe: Int = 1): Unit = {
+    saveRotation(model.rotation, corpus.sparkSession, s"${table}_rot",
+      path.map(loc => s"${loc}_rot"))
+    Pq.saveCellIndex(model.pq, rotate(corpus, model.rotation),
+      rotate(centroids, model.rotation), table, nBuckets, path, residual, nProbe)
+  }
+
+  /** One-call IVFADC serving from an [[saveCellIndex]]ed OPQ index:
+    * the persisted rotation applies to the query batch and the rerank
+    * corpus (cells and centroids are already at rest rotated), the
+    * persisted encoding flags select the scoring decomposition — a
+    * rotated residual index cannot be served un-rotated or un-biased.
+    */
+  def topKOnSavedCellIndex(spark: SparkSession, table: String,
+      corpus: DataFrame, queries: DataFrame, k: Int, prefilterK: Int,
+      nProbeOverride: Option[Int] = None,
+      broadcastQueries: Option[Boolean] = None): DataFrame = {
+    val rot = loadRotation(spark, s"${table}_rot")
+    Pq.topKOnSavedCellIndex(spark, table, rotate(corpus, rot),
+      rotate(queries, rot), k, prefilterK, nProbeOverride, broadcastQueries)
+  }
 }

@@ -104,6 +104,38 @@ class OpqSpec extends SparkSpec {
     assert(opqR > 0.5, s"OPQ recall $opqR implausibly low")
   }
 
+  test("OPQ × IVFADC: cell-pruned serving from the rotated index at rest") {
+    val model = Opq.train(planted, m = 4, k = 8, sampleFrac = 1.0)
+    val cents = planted.filter(col("vec_id") < 6)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_opq_cells").toString
+    Opq.saveCellIndex(model, planted, cents, "graft_opq_cells_rt",
+      path = Some(s"$tmp/tbl"), residual = true, nProbe = 2)
+    val queries = planted.filter(col("vec_id") < 5)
+    val served = Opq.topKOnSavedCellIndex(spark, "graft_opq_cells_rt",
+      planted, queries, k = 5, prefilterK = 20).collect()
+    // composition ≡ rotating every input and running the raw PQ path
+    val rot = model.rotation
+    val fresh = Pq.topKOnSavedCellIndex(spark, "graft_opq_cells_rt",
+      Opq.rotate(planted, rot), Opq.rotate(queries, rot),
+      k = 5, prefilterK = 20).collect()
+    assert(served.map(_.toString).toSeq === fresh.map(_.toString).toSeq)
+    assert(served.nonEmpty)
+    // the rerank returns TRUE cosines: spot-check one served pair
+    // against the unrotated exact cosine (orthogonality)
+    val exact = Knn.cosineTopK(planted, queries, 20).collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("cand_id")) -> r.getAs[Double]("sim"))
+      .toMap
+    served.foreach { r =>
+      val key = (r.getAs[Long]("q_id"), r.getAs[Long]("cand_id"))
+      exact.get(key).foreach { s =>
+        assert(math.abs(r.getAs[Double]("sim") - s) < 1e-9, s"pair $key")
+      }
+    }
+    Seq("graft_opq_cells_rt", "graft_opq_cells_rt_cells",
+      "graft_opq_cells_rt_centroids", "graft_opq_cells_rt_rot")
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+  }
+
   test("save/load round trip: rotation bitwise, served top-k identical") {
     val model = Opq.train(planted, m = 4, k = 8, sampleFrac = 1.0)
     val tmp = java.nio.file.Files.createTempDirectory("graft_opq_spec").toString
