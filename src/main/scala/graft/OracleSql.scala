@@ -1075,6 +1075,38 @@ object OracleSql {
       |SELECT ante, cons, n_ab, confidence, lift, rank FROM r WHERE rank <= 20
       |ORDER BY rank""".stripMargin
 
+  /** Fixed-point PageRank over the co-purchase graph (mirror of
+    * Graph.pageRankQuery, 10 iterations, top 50): the iterations
+    * unroll as generated CTEs; every operation is exact int64
+    * arithmetic (Spark `div` ≡ DuckDB `//` on nonnegative values,
+    * order-independent integer sums), and the surfaced double is one
+    * correctly-rounded division by the scale — the whole iterative
+    * graph computation is hash-exact.
+    */
+  val qPagerank: String = {
+    val iters = 10
+    val scale = graft.ops.Graph.Scale
+    val base = 15L * scale / 100L
+    val iterCtes = (1 to iters).map { i =>
+      s"""r$i AS (SELECT d.node, d.outdeg,
+         |  ($base + (85 * coalesce(s.s, 0)) // 100)::BIGINT AS rank_fp
+         |  FROM degs d LEFT JOIN (
+         |    SELECT e.dst AS node, sum(r.rank_fp // r.outdeg)::BIGINT AS s
+         |    FROM edges e JOIN r${i - 1} r ON r.node = e.src GROUP BY 1) s
+         |  ON s.node = d.node)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+       |und AS (SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+       |  FROM li a JOIN li b
+       |  ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+       |edges AS (SELECT src, dst FROM und UNION ALL SELECT dst, src FROM und),
+       |degs AS (SELECT src AS node, count(*)::BIGINT AS outdeg FROM edges GROUP BY 1),
+       |r0 AS (SELECT node, outdeg, $scale::BIGINT AS rank_fp FROM degs),
+       |$iterCtes
+       |SELECT node, outdeg, rank_fp, rank_fp::DOUBLE / ${dlit(scale.toDouble)} AS pagerank
+       |FROM r$iters ORDER BY rank_fp DESC, node LIMIT 50""".stripMargin
+  }
+
   /** Robust MAD outliers (mirror of EventOps.robustAnomalies:
     * quantile_cont medians are bitwise vs Spark percentile; one
     * 0.6745-scaled ratio in the same expression shape).

@@ -70,6 +70,13 @@ object SparkEntry {
     "q_cooccurrence" -> ((s, dir) => Relational.coOccurrence(t(s, dir, "lineitem"))),
     // directed rules with confidence + lift over the same bounded
     // pair explosion; integer-product IEEE ratios → hash-exact
+    // iterative graph analytics in fixed-point integer arithmetic:
+    // PageRank over the part co-purchase graph — one edge⋈rank join +
+    // one keyed partial sum per iteration, lineage cut per round (the
+    // star-contraction discipline applied to power iteration); int64
+    // everywhere makes even the iterative result hash-exact
+    "q_pagerank" -> ((s, dir) =>
+      graft.ops.Graph.pageRankQuery(t(s, dir, "lineitem"))),
     "q_association_rules" -> ((s, dir) =>
       Relational.associationRules(t(s, dir, "lineitem"))),
     // the Markov chain behind top_paths: P(to | from) per consecutive
@@ -973,6 +980,7 @@ object SparkEntry {
     "text_normalize" -> OracleSql.textNormalize,
     "q_cooccurrence" -> OracleSql.qCoOccurrence,
     "q_association_rules" -> OracleSql.qAssociationRules,
+    "q_pagerank" -> OracleSql.qPagerank,
     "events_transitions" -> OracleSql.eventsTransitions,
     "events_anomaly_robust" -> OracleSql.eventsAnomalyRobust,
     "corpus_diff" -> OracleSql.corpusDiff,

@@ -536,6 +536,43 @@ class RelationalSpec extends SparkSpec {
     assert(sorted.last.getAs[Long]("bin") === 19L, "the max value must land in the top bin")
   }
 
+  test("pageRank: fixed-point iteration matches a driver-side recount; mass behaves") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    import graft.ops.Graph
+    // planted directed graph (symmetric edges): a 3-cycle + a pendant
+    val und = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L))
+    val edges = (und ++ und.map(_.swap)).toDF("src", "dst")
+    val got = Graph.pageRank(edges, iterations = 10).collect()
+      .map(r => r.getAs[Long]("node") ->
+        (r.getAs[Long]("outdeg"), r.getAs[Long]("rank_fp"))).toMap
+    // independent recount with the same integer arithmetic
+    val adj = (und ++ und.map(_.swap)).groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val deg = adj.view.mapValues(_.length.toLong).toMap
+    var rank = adj.keys.map(_ -> Graph.Scale).toMap
+    (1 to 10).foreach { _ =>
+      val contrib = scala.collection.mutable.Map.empty[Long, Long].withDefaultValue(0L)
+      adj.foreach { case (u, vs) =>
+        val c = rank(u) / deg(u)
+        vs.foreach(v => contrib(v) += c)
+      }
+      rank = adj.keys.map(n => n -> (15L * Graph.Scale / 100L + 85L * contrib(n) / 100L)).toMap
+    }
+    assert(got.keySet === rank.keySet)
+    rank.foreach { case (n, r) =>
+      assert(got(n)._1 === deg(n))
+      assert(got(n)._2 === r, s"node $n")
+    }
+    // the cycle's hub (node 3, degree 3) outranks the pendant
+    assert(rank(3L) > rank(4L))
+    // conserved-ish mass: total stays within integer-floor leakage of N·Scale
+    val total = rank.values.sum
+    assert(total <= 4L * Graph.Scale && total > 4L * Graph.Scale * 9L / 10L)
+    // result unpersists cleanly (the cache-scope convention)
+    val res = Graph.pageRank(edges, iterations = 2)
+    res.unpersist()
+  }
+
   test("valueHistogram: degenerate range and null values — one clean bin, no NaN") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
