@@ -2062,6 +2062,25 @@ object OracleSql {
   /** Deterministic hash split (mirror of Sampling.assignSplits over
     * doc_id, 90/5/5 at granularity 10000).
     */
+  /** Weighted sample without replacement (mirror of
+    * Sampling.weightedSample, weight = length(text)+1, k=100): the
+    * A-Res key `ln(u)/w` with u an exact power-of-two-rational hash
+    * uniform and ln through [[detLn]] — membership bit-exact.
+    */
+  val sampleWeighted: String = {
+    val m = 1L << 40
+    val base =
+      s"""SELECT doc_id AS id, (length(text) + 1)::DOUBLE AS weight,
+         |  ((${hex64("'ws|'||CAST(doc_id AS VARCHAR)")} % $m)::DOUBLE + 5.0e-1)
+         |    / ${dlit(m.toDouble)} AS u
+         |FROM documents""".stripMargin
+    detLn(base, "id, weight, u", "u", "__lnu", "ws") match { case wrapped =>
+      s"""SELECT id, weight, u, __lnu / weight AS es_key
+         |FROM ($wrapped) __esk
+         |ORDER BY es_key DESC, id LIMIT 100""".stripMargin
+    }
+  }
+
   val sampleSplit: String =
     s"""SELECT doc_id, source, lang,
        |  ${hex64("'split|'||CAST(doc_id AS VARCHAR)")} % 10000 AS bucket,

@@ -214,6 +214,12 @@ object SparkEntry {
         .orderBy(col("doc_id"))),
     "sample_temperature" -> ((s, dir) =>
       graft.ops.Sampling.temperatureSample(t(s, dir, "documents"), col("doc_id"))),
+    // A-Res weighted sampling without replacement: longer docs carry
+    // proportionally more probability mass; DetLn + exact-rational
+    // hash uniforms make even the "random" draw hash-exact
+    "sample_weighted" -> ((s, dir) =>
+      graft.ops.Sampling.weightedSample(t(s, dir, "documents"),
+        col("doc_id"), length(col("text")) + 1)),
     "sample_stratified" -> ((s, dir) =>
       graft.ops.Sampling.stratifiedSample(t(s, dir, "documents"), col("doc_id"))),
     "sample_epoch_mix" -> ((s, dir) =>
@@ -957,6 +963,7 @@ object SparkEntry {
     "events_anomaly" -> OracleSql.eventsAnomaly,
     "events_props_agg" -> OracleSql.eventsPropsAgg,
     "sample_split" -> OracleSql.sampleSplit,
+    "sample_weighted" -> OracleSql.sampleWeighted,
     "sample_temperature" -> OracleSql.sampleTemperature,
     "sample_stratified" -> OracleSql.sampleStratified,
     "sample_epoch_mix" -> OracleSql.sampleEpochMix,

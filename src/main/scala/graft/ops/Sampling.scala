@@ -37,6 +37,34 @@ object Sampling {
       salt: String = "sample"): DataFrame =
     df.filter(hashBucket(key, salt) < lit((rate * Granularity).toLong))
 
+  /** Weighted sample WITHOUT replacement (Efraimidis & Spirakis 2006,
+    * algorithm A-Res): each row draws a key `ln(u)/w` from its own
+    * hash-derived uniform `u` and weight `w > 0`; the k LARGEST keys
+    * are a weighted random sample without replacement — the standard
+    * one-pass distributed weighted subsample (corpus thinning where
+    * higher-quality/longer documents deserve proportionally more
+    * probability mass).
+    *
+    * Fully deterministic AND cross-engine hash-exact, unusual for a
+    * "random" sample: `u = (hash mod 2⁴⁰ + 0.5) / 2⁴⁰` is an exact
+    * power-of-two rational (every step exact in double), the log is
+    * [[graft.GraftFunctions.det_ln]], and the one division per row is
+    * correctly rounded — so membership is a pure function of
+    * (id, salt) and the DuckDB oracle reproduces it bit-for-bit.
+    * Selection is a distributed TakeOrdered over the per-row keys —
+    * one map-side bounded pass, no shuffle beyond the top-k.
+    */
+  def weightedSample(df: DataFrame, id: Column, weight: Column,
+      k: Int = 100, salt: String = "ws"): DataFrame = {
+    val m = 1L << 40
+    val h = hex64(concat(lit(s"$salt|"), id.cast("string")))
+    val u = ((h % m).cast("double") + lit(0.5)) / lit(m.toDouble)
+    df.select(id.as("id"), weight.cast("double").as("weight"), u.as("u"))
+      .withColumn("es_key", graft.GraftFunctions.det_ln(col("u")) / col("weight"))
+      .orderBy(col("es_key").desc, col("id"))
+      .limit(k)
+  }
+
   /** Train/val/test assignment per row: (…, bucket, split) with
     * boundaries at cumulative fractions of [[Granularity]].
     * Defaults 90/5/5.

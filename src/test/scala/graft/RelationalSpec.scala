@@ -372,6 +372,36 @@ class RelationalSpec extends SparkSpec {
     assert(one.map(_._2).toSet === logical)
   }
 
+  test("weightedSample: A-Res keys recount on the driver; weight-biased; repartition-stable") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // planted two-weight corpus: heavy rows (w=1000) vs light (w=1)
+    val rows = (0L until 400L).map(i => (i, if (i % 2 == 0) 1000L else 1L))
+    val d = rows.toDF("doc_id", "w")
+    val got = graft.ops.Sampling.weightedSample(d, col("doc_id"),
+      col("w"), k = 50).collect()
+    assert(got.length === 50)
+    // heavy rows dominate the sample (each carries 1000× the mass)
+    val heavy = got.count(_.getAs[Long]("id") % 2 == 0)
+    assert(heavy >= 45, s"only $heavy/50 heavy rows sampled")
+    // key recount: es_key = DetLn(u)/w with the exact-rational uniform
+    val m = 1L << 40
+    got.foreach { r =>
+      val id = r.getAs[Long]("id")
+      val hx = d.filter(col("doc_id") === id)
+        .select(graft.GraftFunctions.hex64(concat(lit("ws|"), col("doc_id").cast("string"))))
+        .collect().head.getLong(0)
+      val u = ((hx % m).toDouble + 0.5) / m.toDouble
+      assert(r.getAs[Double]("u") === u)
+      val expect = graft.expressions.DetLn.ln(u) / r.getAs[Double]("weight")
+      assert(r.getAs[Double]("es_key") === expect, s"id $id")
+    }
+    // stable under repartitioning (pure function of id + salt)
+    val again = graft.ops.Sampling.weightedSample(d.repartition(13), col("doc_id"),
+      col("w"), k = 50).collect()
+    assert(again.map(_.toString).toSeq === got.map(_.toString).toSeq)
+  }
+
   test("temperatureSample flattens the source head and keeps by stable hash") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
