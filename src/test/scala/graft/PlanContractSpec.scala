@@ -71,7 +71,9 @@ class PlanContractSpec extends SparkSpec {
       "text_search_topk", "events_streaks", "sample_quality_filter",
       "corpus_heavy_hitters", "mm_frame_sample",
       "text_hash_embed", "events_sliding", "text_ngram_lm",
-      "q5_region_join", "sample_quality_filter_sketch")
+      "q5_region_join", "sample_quality_filter_sketch",
+      "q_pagerank", "text_search_hybrid", "sample_weighted",
+      "lsh_wide_signatures")
     sweep.foreach { name =>
       val phys = physical(q(name))
       assert(!phys.contains("CartesianProduct"),
