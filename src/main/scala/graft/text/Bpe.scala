@@ -102,7 +102,7 @@ object Bpe {
     * map-side array-fold rewrite, with lineage cut by an eager
     * `localCheckpoint` per round.
     */
-  private[text] def trainDistributed(wordCounts: DataFrame, numMerges: Int,
+  private[graft] def trainDistributed(wordCounts: DataFrame, numMerges: Int,
       minCount: Long): BpeModel = {
     var words = wordCounts
       .select(col("wc"), charsOf(col("word")).as("syms"))
@@ -140,7 +140,7 @@ object Bpe {
     * [[charsOf]] (Spark `substr` walks code points, so a
     * surrogate-pair character is ONE symbol on both paths).
     */
-  private[text] def charsLocal(w: String): Array[String] = {
+  private[graft] def charsLocal(w: String): Array[String] = {
     val out = Array.newBuilder[String]
     var i = 0
     while (i < w.length) {
@@ -157,7 +157,7 @@ object Bpe {
     * which sorts supplementary characters BEFORE U+E000..U+FFFF and
     * would diverge from the distributed `orderBy` there).
     */
-  private[text] def utf8Compare(x: String, y: String): Int = {
+  private[graft] def utf8Compare(x: String, y: String): Int = {
     var i = 0
     var j = 0
     while (i < x.length && j < y.length) {
@@ -175,7 +175,7 @@ object Bpe {
     * next symbol is `b`; a fresh `ab` never re-merges with a following
     * `b` because the fold compares the ALREADY-MERGED last symbol).
     */
-  private[text] def mergeLocal(syms: Array[String], a: String, b: String): Array[String] = {
+  private[graft] def mergeLocal(syms: Array[String], a: String, b: String): Array[String] = {
     val buf = scala.collection.mutable.ArrayBuffer.empty[String]
     var i = 0
     while (i < syms.length) {
@@ -196,7 +196,7 @@ object Bpe {
     * full scan of the live pair table with the (cnt desc, a, b) UTF-8
     * tie-break — identical to the distributed `orderBy`.
     */
-  private[text] def trainLocal(vocab: Array[(Array[String], Long)],
+  private[graft] def trainLocal(vocab: Array[(Array[String], Long)],
       numMerges: Int, minCount: Long): BpeModel = {
     import scala.collection.mutable
     val words: Array[Array[String]] = vocab.map(_._1)

@@ -109,6 +109,29 @@ class BpeSpec extends SparkSpec {
     assert(local.merges.nonEmpty)
   }
 
+  test("bpe: local argmax tie-break is UTF-8 order even past the BMP") {
+    // U+FFFD orders BEFORE U+10000 by code point (= UTF-8 bytes, =
+    // Spark's binary UTF8String order) but AFTER it in Java's UTF-16
+    // code-unit compareTo (surrogates D800.. < FFFD) — the exact
+    // divergence utf8Compare exists to avoid. The word tokenizer strips
+    // non-alphanumerics, so feed the two loop cores the word-count
+    // table directly: a corpus tying pair counts on those characters
+    // must merge the same pair on both paths.
+    val hi = new String(Character.toChars(0x10000)) // 𐀀 (surrogate pair)
+    val lo = "�"
+    assert(Bpe.utf8Compare(lo, hi) < 0 && lo.compareTo(hi) > 0,
+      "test premise: the two orders must disagree on this pair")
+    assert(Bpe.charsLocal(s"a$hi").toSeq === Seq("a", hi),
+      "a surrogate-pair character must be ONE symbol")
+    val wc = Seq((s"a$hi", 1L), (s"a$lo", 1L)).toDF("word", "wc")
+    val dist = Bpe.trainDistributed(wc, numMerges = 1, minCount = 1L)
+    val vocab = Seq(s"a$hi", s"a$lo").map(w => (Bpe.charsLocal(w), 1L)).toArray
+    val local = Bpe.trainLocal(vocab, numMerges = 1, minCount = 1L)
+    assert(local.merges === dist.merges)
+    assert(local.merges.head === (("a", lo)),
+      s"tie must break to the UTF-8-smaller pair, got ${local.merges.head}")
+  }
+
   test("bpe: production-scale merge budget trains in one corpus pass") {
     // the per-merge-job loop at numMerges=1024 would be 1024 sequential
     // Spark jobs; the local loop is one tokenize pass + driver

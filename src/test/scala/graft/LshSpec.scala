@@ -251,6 +251,14 @@ class LshSpec extends SparkSpec {
     assert(got.length === 1)
     assert(got.head.getAs[Long]("cand_id") === 0L)
     assert(got.head.getAs[Long]("n_collisions") === 2L)
+    // persistence: the hex-sig index round-trips through save/load
+    // with its wide params intact
+    val dir = java.nio.file.Files.createTempDirectory("lsh_wide_rt").toString
+    LshIndex.save(idx, wp, dir)
+    val (reloaded, rp) = LshIndex.load(spark, dir)
+    assert(rp === wp && rp.wide)
+    assert(reloaded.orderBy(col("vec_id"), col("band")).collect().map(_.toString).toSeq
+      === idx.orderBy(col("vec_id"), col("band")).collect().map(_.toString).toSeq)
   }
 
   test("RandomProjection gaussians: deterministic, ~N(0,1)") {
