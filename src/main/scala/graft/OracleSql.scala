@@ -2160,14 +2160,15 @@ object OracleSql {
     * mirror.
     */
   /** Mixed-container triage (mirror of the mm_media_triage wiring:
-    * doc_id%4 picks raw/WAV/PNG/JPEG, each synth keeps its own %10
+    * doc_id%5 picks raw/WAV/PNG/JPEG/BMP, each synth keeps its own %10
     * corrupt members): detection, sizes, and content units all
     * re-derived from doc_id arithmetic + text length — a hash match
     * proves the Spark triage detected containers from the actual
     * bytes and routed each to the right parser's field formulas. The
     * JPEG byte total mirrors Binary.Jpeg.synthFromDocs segment by
     * segment: SOI(2) + APP0(18) + COM1(4+c1) [+ COM2(4+c2) every
-    * third doc] + SOF(10+3·nc) + SOS(8+2·nc) + data(8) + EOI(2).
+    * third doc] + SOF(10+3·nc) + SOS(8+2·nc) + data(8) + EOI(2); the
+    * BMP total is 54 + aligned stride × height.
     */
   val mmMediaTriage: String =
     """WITH m AS (SELECT doc_id,
@@ -2178,30 +2179,63 @@ object OracleSql {
       |    THEN LEAST(GREATEST(octet_length(text::BLOB) - 5, 0), 3 + doc_id % 11)
       |    ELSE NULL END AS c2,
       |  CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 3 END AS nc,
-      |  doc_id % 4 AS cls, doc_id % 10 = 0 AS corrupt
+      |  doc_id % 5 AS cls, doc_id % 10 = 0 AS corrupt
       |  FROM documents),
       |w AS (SELECT *,
       |  (8000 + (doc_id % 5) * 4000) *
       |    ((1 + doc_id % 2) * (CASE WHEN doc_id % 3 = 0 THEN 8 ELSE 16 END) // 8) AS br,
       |  16 + (doc_id % 7) * 9 AS pw, 9 + (doc_id % 5) * 7 AS ph,
-      |  120 + doc_id % 33 AS jh, 160 + doc_id % 21 AS jw
+      |  120 + doc_id % 33 AS jh, 160 + doc_id % 21 AS jw,
+      |  10 + doc_id % 13 AS bw, 5 + doc_id % 9 AS bh,
+      |  ([16, 24, 32])[(doc_id % 3) + 1] AS bbpp
       |  FROM m),
-      |d AS (SELECT doc_id, dlen, rawlen, c1, c2, nc, br, pw, ph, jh, jw,
+      |w2 AS (SELECT *, (((bw * bbpp + 31) // 32) * 4) * bh AS bimg FROM w),
+      |d AS (SELECT doc_id, dlen, rawlen, c1, c2, nc, br, pw, ph, jh, jw, bw, bh, bimg,
       |  CASE WHEN cls = 1 AND NOT corrupt THEN 'wav'
       |       WHEN cls = 2 AND NOT corrupt THEN 'png'
       |       WHEN cls = 3 AND NOT corrupt THEN 'jpeg'
+      |       WHEN cls = 4 AND NOT corrupt THEN 'bmp'
       |       ELSE 'unknown' END AS detected
-      |  FROM w)
+      |  FROM w2)
       |SELECT doc_id, detected,
       |  (CASE WHEN detected = 'wav' THEN dlen + 44
       |        WHEN detected = 'png' THEN dlen + 57
       |        WHEN detected = 'jpeg' THEN 52 + c1 + 5 * nc + COALESCE(4 + c2, 0)
+      |        WHEN detected = 'bmp' THEN 54 + bimg
       |        ELSE rawlen END)::BIGINT AS payload_bytes,
       |  detected <> 'unknown' AS valid,
       |  (CASE WHEN detected = 'wav' THEN (dlen * 1000) // br
       |        WHEN detected = 'png' THEN pw * ph
-      |        WHEN detected = 'jpeg' THEN jw * jh END)::BIGINT AS content_units
+      |        WHEN detected = 'jpeg' THEN jw * jh
+      |        WHEN detected = 'bmp' THEN bw * bh END)::BIGINT AS content_units
       |FROM d ORDER BY doc_id""".stripMargin
+
+  /** Mirror of Binary.Bmp.synthFromDocs ∘ parse: every field —
+    * including the 4-byte-aligned row stride and the image/file size
+    * arithmetic — re-derived from doc_id arithmetic, so a hash match
+    * proves the parser read the actual little-endian byte layout.
+    */
+  val mmBmpMeta: String =
+    """WITH m AS (SELECT doc_id,
+      |  10 + doc_id % 13 AS w,
+      |  5 + doc_id % 9 AS h,
+      |  ([16, 24, 32])[(doc_id % 3) + 1] AS bpp,
+      |  doc_id % 10 = 0 AS invalid
+      |  FROM documents),
+      |p AS (SELECT *, ((w * bpp + 31) // 32) * 4 AS stride FROM m)
+      |SELECT doc_id,
+      |  CASE WHEN invalid THEN 'text/plain' ELSE 'image/bmp' END AS media_type,
+      |  NOT invalid AS bmp_valid,
+      |  (CASE WHEN invalid THEN NULL ELSE w END)::BIGINT AS width,
+      |  (CASE WHEN invalid THEN NULL ELSE h END)::BIGINT AS height,
+      |  (CASE WHEN invalid THEN NULL ELSE bpp END)::BIGINT AS bits_per_pixel,
+      |  (CASE WHEN invalid THEN NULL ELSE 0 END)::BIGINT AS compression,
+      |  (CASE WHEN invalid THEN NULL ELSE 54 END)::BIGINT AS data_offset,
+      |  (CASE WHEN invalid THEN NULL ELSE stride * h END)::BIGINT AS image_bytes,
+      |  (CASE WHEN invalid THEN NULL ELSE stride END)::BIGINT AS row_stride,
+      |  (CASE WHEN invalid THEN NULL ELSE w * h END)::BIGINT AS n_pixels,
+      |  CASE WHEN invalid THEN NULL ELSE TRUE END AS header_consistent
+      |FROM p ORDER BY doc_id""".stripMargin
 
   val mmPngMeta: String =
     """WITH m AS (SELECT doc_id,

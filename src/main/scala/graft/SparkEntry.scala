@@ -701,6 +701,19 @@ object SparkEntry {
           col("header_consistent"))
         .orderBy(col("doc_id"))
     }),
+    // the LE-image fourth container family: fixed-offset BMP
+    // (BITMAPFILEHEADER + 40-byte DIB) with the aligned-stride size
+    // arithmetic reconciled against the physical payload; oracle
+    // re-derives every field from doc_id arithmetic
+    "mm_bmp_meta" -> ((s, dir) => {
+      val media = graft.multimodal.Binary.Bmp.synthFromDocs(t(s, dir, "documents"))
+      graft.multimodal.Binary.Bmp.parse(media)
+        .select(col("doc_id"), col("media_type"), col("bmp_valid"), col("width"),
+          col("height"), col("bits_per_pixel"), col("compression"),
+          col("data_offset"), col("image_bytes"), col("row_stride"),
+          col("n_pixels"), col("header_consistent"))
+        .orderBy(col("doc_id"))
+    }),
     // container triage over a mixed blob column: detect by magic
     // bytes, parse the matching codec, one uniform row per blob; the
     // mixing joins exist only to SYNTHESIZE the test corpus —
@@ -714,12 +727,16 @@ object SparkEntry {
         .select(d, col("payload").as("gp"))
       val j = graft.multimodal.Binary.Jpeg.synthFromDocs(docs)
         .select(d, col("payload").as("jp"))
+      val b = graft.multimodal.Binary.Bmp.synthFromDocs(docs)
+        .select(d, col("payload").as("bp"))
       val mixed = docs.select(d, col("text"))
         .join(w, Seq("doc_id")).join(g, Seq("doc_id")).join(j, Seq("doc_id"))
+        .join(b, Seq("doc_id"))
         .select(d,
-          when(d % 4 === 1, col("wp"))
-            .when(d % 4 === 2, col("gp"))
-            .when(d % 4 === 3, col("jp"))
+          when(d % 5 === 1, col("wp"))
+            .when(d % 5 === 2, col("gp"))
+            .when(d % 5 === 3, col("jp"))
+            .when(d % 5 === 4, col("bp"))
             .otherwise(col("text").cast("binary")).as("payload"))
       graft.multimodal.Binary.triage(mixed).orderBy(d)
     }),
@@ -1046,6 +1063,7 @@ object SparkEntry {
     "mm_wav_meta" -> OracleSql.mmWavMeta,
     "mm_png_meta" -> OracleSql.mmPngMeta,
     "mm_jpeg_meta" -> OracleSql.mmJpegMeta,
+    "mm_bmp_meta" -> OracleSql.mmBmpMeta,
     "mm_media_triage" -> OracleSql.mmMediaTriage,
   )
 }

@@ -432,6 +432,103 @@ object Binary {
       .orderBy(col("doc_id"))
   }
 
+  /** BMP (BITMAPINFOHEADER) container codec — the fourth family,
+    * completing the little-endian IMAGE corner of the container grid
+    * (WAV = LE audio, PNG = BE image + CRC, JPEG = variable-offset
+    * walk, BMP = LE image): the canonical 54-byte header
+    * (BITMAPFILEHEADER + 40-byte DIB) is fixed-offset, so the parse is
+    * the [[Wav]] `substring`+`hex`+`conv` idiom verbatim — codegen'd,
+    * shuffle-free, null-safe on non-BMP payloads. The consistency
+    * check exercises real BMP arithmetic: the 4-byte-aligned row
+    * stride `((width·bpp + 31) div 32)·4` must reconcile the declared
+    * image size, the data offset, and the physical payload length.
+    */
+  object Bmp {
+    /** Little-endian hex of an integral column, `n` bytes. */
+    private def leHex(v: Column, n: Int): Column = {
+      val be = lpad(hex(v), n * 2, "0")
+      concat((n - 1 to 0 by -1).map(i => substring(be, i * 2 + 1, 2)): _*)
+    }
+    private def asciiHex(s: String): Column =
+      lit(s.getBytes("US-ASCII").map("%02X".format(_)).mkString)
+
+    private[multimodal] def isBmp(p: Column): Column =
+      length(p) >= 54 && substring(p, 1, 2) === lit("BM".getBytes("US-ASCII"))
+
+    /** Parse the canonical BITMAPINFOHEADER layout from `payloadCol`.
+      * Adds: `bmp_valid` (magic, DIB size 40, one plane, positive
+      * dimensions), `width`/`height`/`bits_per_pixel`/`compression`/
+      * `data_offset`/`image_bytes`/`row_stride`/`n_pixels` (null
+      * unless valid), and `header_consistent` (uncompressed BI_RGB,
+      * a true-color bpp, data at offset 54, image size = aligned
+      * stride × height, declared file size = 54 + image size = the
+      * physical payload length). A pure projection — zero shuffles.
+      */
+    def parse(media: DataFrame, payloadCol: String = "payload"): DataFrame = {
+      val p = col(payloadCol)
+      import Wav.leUint
+      val valid = isBmp(p) && (leUint(p, 15, 4) === 40) &&
+        (leUint(p, 27, 2) === 1) && (leUint(p, 19, 4) > 0) && (leUint(p, 23, 4) > 0)
+      val width = leUint(p, 19, 4)
+      val height = leUint(p, 23, 4)
+      val bpp = leUint(p, 29, 2)
+      val stride = ((width * bpp + 31) - pmod(width * bpp + 31, lit(32L))) / 32 * 4
+      val consistent = (leUint(p, 31, 4) === 0) && bpp.isin(16L, 24L, 32L) &&
+        (leUint(p, 11, 4) === 54) &&
+        (leUint(p, 35, 4) === stride.cast("long") * height) &&
+        (leUint(p, 3, 4) === leUint(p, 35, 4) + 54) &&
+        (length(p) === leUint(p, 3, 4))
+      media
+        .withColumn("bmp_valid", valid)
+        .withColumn("width", when(valid, width))
+        .withColumn("height", when(valid, height))
+        .withColumn("bits_per_pixel", when(valid, bpp))
+        .withColumn("compression", when(valid, leUint(p, 31, 4)))
+        .withColumn("data_offset", when(valid, leUint(p, 11, 4)))
+        .withColumn("image_bytes", when(valid, leUint(p, 35, 4)))
+        .withColumn("row_stride", when(valid, stride.cast("long")))
+        .withColumn("n_pixels", when(valid, width * height))
+        .withColumn("header_consistent", when(valid, consistent))
+    }
+
+    /** Deterministic BMP corpus from the documents table: dimensions
+      * and bit depth from `doc_id` arithmetic (16/24/32 bpp — the
+      * palette-free true-color family), pixel data = text bytes
+      * truncated/zero-padded to the EXACT aligned `stride × height`
+      * size, so every size field is a pure function of doc_id. Every
+      * `invalidEvery`-th doc keeps raw text bytes to exercise the
+      * validity gate. Synthesis is the INVERSE code path of [[parse]]
+      * (LE encode vs LE read) — parse ∘ synth recovering the formulas
+      * checks real byte layout.
+      */
+    def synthFromDocs(docs: DataFrame, invalidEvery: Int = 10): DataFrame = {
+      val d = col("doc_id")
+      val width = lit(10L) + d % 13
+      val height = lit(5L) + d % 9
+      val bpp = element_at(array(lit(16L), lit(24L), lit(32L)), (d % 3 + 1).cast("int"))
+      val stride = ((width * bpp + 31) - pmod(width * bpp + 31, lit(32L))) / 32 * 4
+      val staged = docs
+        .withColumn("__imgsz", (stride * height).cast("long"))
+        // substring/rpad need COLUMN lengths here → the SQL forms
+        .withColumn("__data_hex", expr(
+          "rpad(substring(hex(cast(text as binary)), 1, cast(__imgsz * 2 as int)), " +
+            "cast(__imgsz * 2 as int), '0')"))
+      val imgSz = col("__imgsz")
+      val bmpHex = concat(
+        asciiHex("BM"), leHex(imgSz + 54, 4), leHex(lit(0L), 4), leHex(lit(54L), 4),
+        leHex(lit(40L), 4), leHex(width, 4), leHex(height, 4),
+        leHex(lit(1L), 2), leHex(bpp, 2), leHex(lit(0L), 4), leHex(imgSz, 4),
+        leHex(lit(0L), 4), leHex(lit(0L), 4), leHex(lit(0L), 4), leHex(lit(0L), 4),
+        col("__data_hex"))
+      staged.select(
+        d,
+        when(d % invalidEvery === 0, col("text").cast("binary"))
+          .otherwise(unhex(bmpHex)).as("payload"),
+        when(d % invalidEvery === 0, lit("text/plain"))
+          .otherwise(lit("image/bmp")).as("media_type"))
+    }
+  }
+
   /** Metadata stats over the media table — schema/partitioning surface
     * checkable against a SQL oracle (payload hashes + sizes).
     */
@@ -457,6 +554,7 @@ object Binary {
         // stream starts FF D8 FF
         .when(length(p) >= 3 && substring(p, 1, 3) ===
           lit(Array[Byte](0xFF.toByte, 0xD8.toByte, 0xFF.toByte)), "jpeg")
+        .when(Bmp.isBmp(p), "bmp")
         .otherwise("unknown")
     val keep = media.columns.map(col)
     val afterWav = Wav.parse(media, payloadCol)
@@ -464,16 +562,22 @@ object Binary {
     val afterPng = Png.parse(afterWav, payloadCol)
       .select(keep :+ col("wav_valid") :+ col("duration_ms") :+
         col("png_valid") :+ col("n_pixels").as("png_pixels"): _*)
-    Jpeg.parse(afterPng, payloadCol)
+    val afterJpeg = Jpeg.parse(afterPng, payloadCol)
+      .select(keep :+ col("wav_valid") :+ col("duration_ms") :+
+        col("png_valid") :+ col("png_pixels") :+
+        col("jpeg_valid") :+ col("n_pixels").as("jpeg_pixels"): _*)
+    Bmp.parse(afterJpeg, payloadCol)
       .select(col("doc_id"), detected.as("detected"),
         length(p).cast("long").as("payload_bytes"),
         when(detected === "wav", col("wav_valid"))
           .when(detected === "png", col("png_valid"))
           .when(detected === "jpeg", col("jpeg_valid"))
+          .when(detected === "bmp", col("bmp_valid"))
           .otherwise(lit(false)).as("valid"),
         when(detected === "wav", col("duration_ms"))
           .when(detected === "png", col("png_pixels"))
-          .when(detected === "jpeg", col("n_pixels")).as("content_units"))
+          .when(detected === "jpeg", col("jpeg_pixels"))
+          .when(detected === "bmp", col("n_pixels")).as("content_units"))
   }
 
   def metadataStats(docs: DataFrame): DataFrame =

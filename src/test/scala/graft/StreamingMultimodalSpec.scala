@@ -729,6 +729,59 @@ class StreamingMultimodalSpec extends SparkSpec {
       Array[Byte](0xFF.toByte, 0xD9.toByte)
   }
 
+  // independent synthesis path for the BMP parser: java.nio ByteBuffer
+  // little-endian writes — shares NO code with Bmp.synthFromDocs's
+  // hex-string encoder
+  private def bmpBytes(width: Int, height: Int, bpp: Int,
+      compression: Int = 0, dibSize: Int = 40): Array[Byte] = {
+    import java.nio.{ByteBuffer, ByteOrder}
+    val stride = ((width * bpp + 31) / 32) * 4
+    val imgSz = stride * height
+    val bb = ByteBuffer.allocate(54 + imgSz).order(ByteOrder.LITTLE_ENDIAN)
+    bb.put('B'.toByte).put('M'.toByte)
+      .putInt(54 + imgSz).putInt(0).putInt(54)
+      .putInt(dibSize).putInt(width).putInt(height)
+      .putShort(1).putShort(bpp.toShort).putInt(compression).putInt(imgSz)
+      .putInt(0).putInt(0).putInt(0).putInt(0)
+    (0 until imgSz).foreach(i => bb.put((i % 251).toByte))
+    bb.array()
+  }
+
+  test("Bmp.parse reads the independent LE synthesis; corrupt layouts rejected") {
+    import spark.implicits._
+    val cases = Seq(
+      (1L, bmpBytes(13, 7, 24)),
+      (2L, bmpBytes(32, 2, 16)),
+      (3L, bmpBytes(10, 10, 32)))
+    val corrupt = Seq(
+      (90L, "definitely not a bitmap".getBytes("UTF-8")),
+      (91L, bmpBytes(13, 7, 24, dibSize = 12)),  // BITMAPCOREHEADER, not INFOHEADER
+      (92L, bmpBytes(13, 7, 24).take(20)),       // truncated mid-header
+      (93L, Array.emptyByteArray))
+    val media = (cases ++ corrupt).toDF("doc_id", "payload")
+    val got = Binary.Bmp.parse(media).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    Seq((1L, 13L, 7L, 24L), (2L, 32L, 2L, 16L), (3L, 10L, 10L, 32L)).foreach {
+      case (id, w, h, bpp) =>
+        val r = got(id)
+        assert(r.getAs[Boolean]("bmp_valid"), s"doc $id should parse as BMP")
+        assert(r.getAs[Long]("width") === w)
+        assert(r.getAs[Long]("height") === h)
+        assert(r.getAs[Long]("bits_per_pixel") === bpp)
+        assert(r.getAs[Long]("row_stride") === ((w * bpp + 31) / 32) * 4)
+        assert(r.getAs[Long]("image_bytes") === r.getAs[Long]("row_stride") * h)
+        assert(r.getAs[Boolean]("header_consistent"), s"doc $id consistency")
+    }
+    // compressed BI_RLE8 parses but fails the consistency gate
+    val rle = Seq((5L, bmpBytes(13, 7, 24, compression = 1))).toDF("doc_id", "payload")
+    val r5 = Binary.Bmp.parse(rle).collect().head
+    assert(r5.getAs[Boolean]("bmp_valid") && !r5.getAs[Boolean]("header_consistent"))
+    corrupt.foreach { case (id, _) =>
+      assert(!got(id).getAs[Boolean]("bmp_valid"), s"doc $id must be rejected")
+      assert(got(id).isNullAt(got(id).fieldIndex("width")))
+    }
+  }
+
   test("Jpeg.parse walks a variable comment train to the SOF; edge markers handled") {
     val cases = Seq(
       (1L, jpegBytes(640, 480, 3, false, Seq(Array.fill[Byte](7)(65)))),
