@@ -1040,14 +1040,19 @@ object TextAnalysis {
       k: Int = 10, kEach: Int = 20, d: Int = 64, rrfK: Int = 60): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
+    // ONE cached tokenize pass feeds BOTH retrievers (withToks trusts
+    // the precomputed column — the pipeline_clean discipline); without
+    // this the corpus tokenizes once for the postings and again for
+    // the hash embedding
+    val tokD = withToks(docs.select(col("doc_id"), col("text")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val lex = graft.ops.TopK.rankByScore(
-      searchTopK(docs, terms, kEach)
+      searchTopK(tokD, terms, kEach)
         .select(lit(0L).as("q_id"), col("doc_id").as("cand_id"), col("score").as("sim")),
       kEach)
       .select(col("cand_id").as("doc_id"), col("rn").as("lex_rank"))
-    val qRow = Seq((HybridQueryDocId, terms.mkString(" "))).toDF("doc_id", "text")
-    val vec = hashEmbedTopK(
-      docs.select(col("doc_id"), col("text")).unionByName(qRow),
+    val qRow = withToks(Seq((HybridQueryDocId, terms.mkString(" "))).toDF("doc_id", "text"))
+    val vec = hashEmbedTopK(tokD.unionByName(qRow),
       qRow.select(col("doc_id")), d, kEach)
       .select(col("cand_id").as("doc_id"), col("rn").as("vec_rank"))
     val rrfScore =
@@ -1055,13 +1060,14 @@ object TextAnalysis {
         coalesce(lit(1.0) / (lit(rrfK.toDouble) + col("vec_rank")), lit(0.0))
     val fused = lex.join(vec, Seq("doc_id"), "full_outer")
       .select(col("doc_id"), col("lex_rank"), col("vec_rank"), rrfScore.as("rrf_score"))
-    graft.ops.TopK.rankByScore(
+    val out = graft.ops.TopK.rankByScore(
       fused.select(lit(0L).as("q_id"), col("doc_id").as("cand_id"),
         col("rrf_score").as("sim")), k)
       .select(col("rn"), col("cand_id").as("doc_id"), col("sim").as("rrf_score"))
       .join(fused.select(col("doc_id"), col("lex_rank"), col("vec_rank")), Seq("doc_id"))
       .select(col("rn"), col("doc_id"), col("lex_rank"), col("vec_rank"), col("rrf_score"))
       .orderBy(col("rn"))
+    graft.ops.Caching.materialized(out) { tokD.unpersist(false) }
   }
 
   /** [[searchTopKOnIndex]] over a freshly built [[invertedIndex]]. */
