@@ -57,10 +57,19 @@ object Graph {
     */
   def pageRank(edges: DataFrame, iterations: Int = 10): DataFrame = {
     require(iterations >= 1, s"need at least one iteration, got $iterations")
+    // partition the STATIC sides once, on their join keys: the cached
+    // InMemoryRelation advertises its hashpartitioning, so every
+    // iteration's edge⋈rank join exchanges ONLY the iteration-fresh
+    // rank table, and the deg join runs exchange-free on both sides
+    // (contribs arrive hash-partitioned by node from their own agg) —
+    // at scale this halves the per-iteration shuffle volume, and the
+    // edge list (the big side) never re-shuffles after iteration 0
     val e = edges.select(col("src"), col("dst"))
+      .repartition(col("src"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val degs = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
       .select(col("src").as("node"), col("outdeg"))
+      .repartition(col("node"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     degs.count()
     var ranks = degs.select(col("node"), col("outdeg"),
