@@ -1235,6 +1235,27 @@ object OracleSql {
        |SELECT q_id, label AS pred_label, votes FROM p WHERE pr = 1
        |ORDER BY q_id""".stripMargin
 
+  /** Recall of the probed IVF top-5 against the exact top-5 (mirror of
+    * Knn.recallEval over the ann_ivf and cosine_topk_exact chains):
+    * counts are exact integers, recall is one IEEE division.
+    */
+  lazy val annRecallEval: String =
+    s"""WITH g AS (SELECT q_id, cand_id FROM ($annIvf) __g),
+       |t AS (SELECT q_id, cand_id FROM ($cosineTopkExact) __t),
+       |cm AS (SELECT g.q_id, count(*)::BIGINT AS n_common
+       |  FROM g JOIN t ON t.q_id = g.q_id AND t.cand_id = g.cand_id GROUP BY 1),
+       |gn AS (SELECT q_id, count(*)::BIGINT AS n_got FROM g GROUP BY 1),
+       |tn AS (SELECT q_id, count(*)::BIGINT AS n_truth FROM t GROUP BY 1)
+       |SELECT COALESCE(gn.q_id, tn.q_id) AS q_id,
+       |  COALESCE(n_got, 0)::BIGINT AS n_got,
+       |  COALESCE(n_truth, 0)::BIGINT AS n_truth,
+       |  COALESCE(cm.n_common, 0)::BIGINT AS n_common,
+       |  CASE WHEN COALESCE(n_truth, 0) > 0
+       |    THEN COALESCE(cm.n_common, 0)::DOUBLE / n_truth END AS recall
+       |FROM gn FULL OUTER JOIN tn ON tn.q_id = gn.q_id
+       |LEFT JOIN cm ON cm.q_id = COALESCE(gn.q_id, tn.q_id)
+       |ORDER BY q_id""".stripMargin
+
   val annIvf: String =
     s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
        |cent AS (SELECT vec_id AS c_id, v AS cv FROM e WHERE vec_id < 8),

@@ -412,6 +412,16 @@ object SparkEntry {
       val e = t(s, dir, "embeddings")
       Ivf.probeTopK(e, e.filter(col("vec_id") < 10), e.filter(col("vec_id") < 8), 2, 5)
     }),
+    // the recall-tracking surface: IVF probed top-5 vs the exact top-5
+    // per query — both sides queries×k-bounded, so evaluation is free
+    // at any corpus scale and the metric itself is hash-exact
+    "ann_recall_eval" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val q = e.filter(col("vec_id") < 10)
+      Knn.recallEval(
+        Ivf.probeTopK(e, q, e.filter(col("vec_id") < 8), 2, 5),
+        Knn.cosineTopK(e, q, 5))
+    }),
     // JL random projection: 64 -> 16 dims, seeded planes, zero state
     "vec_project" -> ((s, dir) =>
       graft.ann.Project.projectQuery(t(s, dir, "embeddings"))),
@@ -1039,6 +1049,7 @@ object SparkEntry {
     "emb_label_centroids" -> OracleSql.embLabelCentroids,
     "semantic_dedup" -> OracleSql.semanticDedup,
     "ann_ivf" -> OracleSql.annIvf,
+    "ann_recall_eval" -> OracleSql.annRecallEval,
     "emb_hard_negatives" -> OracleSql.embHardNegatives,
     "emb_prototype_prune" -> OracleSql.embPrototypePrune,
     "vec_project" -> OracleSql.vecProject,

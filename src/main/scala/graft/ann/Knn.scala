@@ -151,4 +151,32 @@ object Knn {
         (!coalesce(col("is_dup"), lit(false))).as("keep"))
       .orderBy(col("vec_id"))
   }
+
+  /** Recall evaluation of an ANN result against an exact baseline —
+    * the operational metric every approximate index is tuned by
+    * (nProbe / prefilterK / band counts all trade recall for cost, and
+    * production serving tracks it continuously). Per query:
+    * (q_id, n_got, n_truth, n_common, recall = n_common / n_truth).
+    * Both inputs are (q_id, cand_id, ...) top-k frames — bounded at
+    * queries × k rows by construction, so the evaluation costs
+    * nothing at any corpus scale; the division is one IEEE op over two
+    * exact integers (cross-engine hash-exact).
+    */
+  def recallEval(got: DataFrame, truth: DataFrame): DataFrame = {
+    val g = got.select(col("q_id"), col("cand_id"))
+    val t = truth.select(col("q_id"), col("cand_id"))
+    val common = g.join(t, Seq("q_id", "cand_id"), "left_semi")
+      .groupBy(col("q_id")).agg(count(lit(1)).as("n_common"))
+    val gn = g.groupBy(col("q_id")).agg(count(lit(1)).as("n_got"))
+    val tn = t.groupBy(col("q_id")).agg(count(lit(1)).as("n_truth"))
+    gn.join(tn, Seq("q_id"), "full_outer")
+      .join(common, Seq("q_id"), "left")
+      .select(col("q_id"),
+        coalesce(col("n_got"), lit(0L)).as("n_got"),
+        coalesce(col("n_truth"), lit(0L)).as("n_truth"),
+        coalesce(col("n_common"), lit(0L)).as("n_common"))
+      .withColumn("recall", when(col("n_truth") > 0,
+        col("n_common").cast("double") / col("n_truth")))
+      .orderBy(col("q_id"))
+  }
 }

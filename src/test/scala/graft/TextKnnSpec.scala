@@ -208,6 +208,28 @@ class TextKnnSpec extends SparkSpec {
     assert(!res.exists(r => r.getAs[Long]("a") === 3L || r.getAs[Long]("b") === 3L))
   }
 
+  test("recallEval: identity = 1.0, disjoint = 0.0, partial = the exact fraction") {
+    import spark.implicits._
+    import graft.ann.Knn
+    val truth = Seq((1L, 10L), (1L, 11L), (1L, 12L), (2L, 20L), (2L, 21L))
+      .toDF("q_id", "cand_id")
+    val self = Knn.recallEval(truth, truth).collect()
+      .map(r => r.getAs[Long]("q_id") -> r.getAs[Double]("recall")).toMap
+    assert(self === Map(1L -> 1.0, 2L -> 1.0))
+    val got = Seq((1L, 10L), (1L, 99L), (1L, 12L), (2L, 98L), (2L, 97L))
+      .toDF("q_id", "cand_id")
+    val part = Knn.recallEval(got, truth).collect()
+      .map(r => r.getAs[Long]("q_id") ->
+        (r.getAs[Long]("n_common"), r.getAs[Double]("recall"))).toMap
+    assert(part(1L) === ((2L, 2.0 / 3.0)))
+    assert(part(2L) === ((0L, 0.0)))
+    // one-sided queries survive the full-outer with zeroed counts
+    val extra = Seq((9L, 1L)).toDF("q_id", "cand_id")
+    val r9 = Knn.recallEval(extra, truth).collect()
+      .map(r => r.getAs[Long]("q_id") -> r.getAs[Long]("n_truth")).toMap
+    assert(r9(9L) === 0L)
+  }
+
   test("hybridSearchTopK: RRF fusion recounts from the two retrievers' own ranks") {
     import graft.text.TextAnalysis
     val got = TextAnalysis.hybridSearchTopK(docs).collect()
