@@ -296,6 +296,37 @@ object CorpusScaleSmoke {
       hits.head.getAs[Long]("n_occurrences") == 1L,
       s"phrase rung: ${hits.toSeq}")
 
+    // ---- rung: hybrid RRF retrieval at corpus scale, split into the
+    // production phases: the BM25 postings index builds ONCE (the
+    // expensive part — this synthetic corpus has ~20M DISTINCT tokens,
+    // the worst case for an inverted index), then serving fuses the
+    // index-pruned lexical ranks with the one-linear-pass semantic
+    // side; a 3-term query unique to ONE planted doc must surface it
+    // at fused rank 1 ----
+    val probeTerms = docs.filter(col("doc_id") === 42L)
+      .select(graft.GraftFunctions.tokens(col("text"))).head()
+      .getSeq[String](0).take(3)
+    val (idx, tHybridBuild) = time {
+      graft.text.SearchIndex.save(docs, "graft_smoke_hybrid_idx",
+        path = Some(java.nio.file.Files.createTempDirectory("smoke_hyb").toString + "/t"))
+      graft.text.SearchIndex.load(spark, "graft_smoke_hybrid_idx")
+    }
+    val (fused, tHybrid) = time {
+      graft.text.TextAnalysis.hybridSearchTopKOnIndex(idx, docs, probeTerms, k = 5)
+        .collect()
+    }
+    assert(fused.head.getAs[Long]("doc_id") == 42L,
+      s"hybrid rung: planted doc not fused top-1: ${fused.toSeq}")
+
+    // ---- rung: A-Res weighted sampling — one TakeOrdered pass over
+    // per-row keys; membership a pure hash function, no shuffle beyond
+    // the bounded top-k ----
+    val (ws, tWs) = time {
+      graft.ops.Sampling.weightedSample(docs, col("doc_id"),
+        length(col("text")) + 1, k = 1000).collect()
+    }
+    assert(ws.length == 1000 && ws.forall(_.getAs[Double]("weight") > 0))
+
     val mb = totalChars / 1e6
     println(s"""{"smoke":"corpus_scale","n_docs":$n,"corpus_mb":${mb.round},""" +
       f""""entropy_sec":$tEnt%.1f,"deflate_sec":$tCmp%.1f,""" +
@@ -305,7 +336,9 @@ object CorpusScaleSmoke {
       f""""mega_source_pack_sec":$tPack%.1f,"epoch_mix_sec":$tMix%.1f,""" +
       f""""dsir_fit_sec":$tFit%.1f,"dsir_resample_sec":$tWeigh%.1f,""" +
       f""""pca_fit_sec":$tPca%.1f,"profile_sketch_sec":$tProf%.1f,""" +
-      f""""phrase_search_sec":$tPhrase%.1f}""")
+      f""""phrase_search_sec":$tPhrase%.1f,""" +
+      f""""hybrid_index_build_sec":$tHybridBuild%.1f,""" +
+      f""""hybrid_serve_sec":$tHybrid%.1f,"weighted_sample_sec":$tWs%.1f}""")
     spark.stop()
   }
 }

@@ -624,7 +624,12 @@ object TextAnalysis {
     */
   def hashEmbedTopK(docs: DataFrame, queryIds: DataFrame, d: Int = 64,
       k: Int = 5): DataFrame = {
+    // the sparse weight table feeds THREE consumers (norms, the query
+    // side, the candidate side) — cache it for the operator's scope or
+    // the tokenize + hash + signed-count chain recomputes three times
+    // (measured: the dominant cost of hybrid serving at the 500k smoke)
     val w = hashEmbed(docs, d).select(col("doc_id"), col("dim"), col("w"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val norms = w.groupBy(col("doc_id")).agg(sum(col("w") * col("w")).as("s2"))
     val qw = w.join(graft.ops.Broadcasting.maybeBroadcast(queryIds),
       Seq("doc_id"), "left_semi")
@@ -632,13 +637,14 @@ object TextAnalysis {
         col("q.dim") === col("c.dim") && col("q.doc_id") =!= col("c.doc_id"))
       .groupBy(col("q.doc_id").as("q_id"), col("c.doc_id").as("cand_id"))
       .agg(sum(col("q.w") * col("c.w")).as("num"))
-    graft.ops.TopK.rankByScore(
+    val out = graft.ops.TopK.rankByScore(
       num
         .join(norms.as("nq"), col("q_id") === col("nq.doc_id"))
         .join(norms.as("nc"), col("cand_id") === col("nc.doc_id"))
         .select(col("q_id"), col("cand_id"),
           (col("num") / (sqrt(col("nq.s2")) * sqrt(col("nc.s2")))).as("sim")),
       k)
+    graft.ops.Caching.materialized(out) { w.unpersist(false) }
   }
 
   /** Corpus-bigram language-model scoring — the CCNet/perplexity
@@ -1038,21 +1044,45 @@ object TextAnalysis {
 
   def hybridSearchTopK(docs: DataFrame, terms: Seq[String] = Bm25Terms,
       k: Int = 10, kEach: Int = 20, d: Int = 64, rrfK: Int = 60): DataFrame = {
-    val spark = docs.sparkSession
-    import spark.implicits._
     // ONE cached tokenize pass feeds BOTH retrievers (withToks trusts
     // the precomputed column — the pipeline_clean discipline); without
     // this the corpus tokenizes once for the postings and again for
     // the hash embedding
     val tokD = withToks(docs.select(col("doc_id"), col("text")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val lexScored = searchTopK(tokD, terms, kEach)
+    val out = hybridFuse(lexScored, tokD, terms, k, kEach, d, rrfK)
+    graft.ops.Caching.materialized(out) { tokD.unpersist(false) }
+  }
+
+  /** [[hybridSearchTopK]] with the LEXICAL side served from a
+    * persisted [[SearchIndex]] — the production hybrid shape: the
+    * postings index is built once ("index once, serve many"), each
+    * query touches only its terms' postings there, and the semantic
+    * side stays the one linear hash-embed pass over the corpus. The
+    * fusion core is shared, so the two forms cannot drift.
+    */
+  def hybridSearchTopKOnIndex(idx: SearchIndex.TextIndex, docs: DataFrame,
+      terms: Seq[String] = Bm25Terms, k: Int = 10, kEach: Int = 20,
+      d: Int = 64, rrfK: Int = 60): DataFrame =
+    hybridFuse(SearchIndex.searchTopK(idx, terms, kEach),
+      docs.select(col("doc_id"), col("text")), terms, k, kEach, d, rrfK)
+
+  /** The shared RRF fusion core: rank the lexical scores, rank the
+    * pseudo-document hash-embed cosines, full-outer join on doc_id,
+    * `Σ 1/(rrfK + rank)` in fixed association order, bounded top-k.
+    */
+  private def hybridFuse(lexScored: DataFrame, corpus: DataFrame,
+      terms: Seq[String], k: Int, kEach: Int, d: Int, rrfK: Int): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
     val lex = graft.ops.TopK.rankByScore(
-      searchTopK(tokD, terms, kEach)
+      lexScored
         .select(lit(0L).as("q_id"), col("doc_id").as("cand_id"), col("score").as("sim")),
       kEach)
       .select(col("cand_id").as("doc_id"), col("rn").as("lex_rank"))
     val qRow = withToks(Seq((HybridQueryDocId, terms.mkString(" "))).toDF("doc_id", "text"))
-    val vec = hashEmbedTopK(tokD.unionByName(qRow),
+    val vec = hashEmbedTopK(withToks(corpus).unionByName(qRow),
       qRow.select(col("doc_id")), d, kEach)
       .select(col("cand_id").as("doc_id"), col("rn").as("vec_rank"))
     val rrfScore =
@@ -1060,14 +1090,13 @@ object TextAnalysis {
         coalesce(lit(1.0) / (lit(rrfK.toDouble) + col("vec_rank")), lit(0.0))
     val fused = lex.join(vec, Seq("doc_id"), "full_outer")
       .select(col("doc_id"), col("lex_rank"), col("vec_rank"), rrfScore.as("rrf_score"))
-    val out = graft.ops.TopK.rankByScore(
+    graft.ops.TopK.rankByScore(
       fused.select(lit(0L).as("q_id"), col("doc_id").as("cand_id"),
         col("rrf_score").as("sim")), k)
       .select(col("rn"), col("cand_id").as("doc_id"), col("sim").as("rrf_score"))
       .join(fused.select(col("doc_id"), col("lex_rank"), col("vec_rank")), Seq("doc_id"))
       .select(col("rn"), col("doc_id"), col("lex_rank"), col("vec_rank"), col("rrf_score"))
       .orderBy(col("rn"))
-    graft.ops.Caching.materialized(out) { tokD.unpersist(false) }
   }
 
   /** [[searchTopKOnIndex]] over a freshly built [[invertedIndex]]. */

@@ -264,6 +264,19 @@ class TextKnnSpec extends SparkSpec {
     assert(top.exists(lex.contains) && top.exists(vec.contains))
   }
 
+  test("hybridSearchTopKOnIndex ≡ the self-contained hybrid, bitwise") {
+    import graft.text.{SearchIndex, TextAnalysis}
+    val tmp = java.nio.file.Files.createTempDirectory("hyb_idx").toString
+    SearchIndex.save(docs, "graft_hybrid_spec_idx", path = Some(s"$tmp/t"))
+    val idx = SearchIndex.load(spark, "graft_hybrid_spec_idx")
+    val fresh = TextAnalysis.hybridSearchTopK(docs).collect().map(_.toString)
+    val served = TextAnalysis.hybridSearchTopKOnIndex(idx, docs)
+      .collect().map(_.toString)
+    assert(served.toSeq === fresh.toSeq)
+    spark.sql("DROP TABLE IF EXISTS graft_hybrid_spec_idx")
+    spark.sql("DROP TABLE IF EXISTS graft_hybrid_spec_idx_doclen")
+  }
+
   test("int8 quantization round-trips within quantization error") {
     import graft.ann.Quantize
     val q = Quantize.int8(emb)
