@@ -1051,8 +1051,8 @@ object TextAnalysis {
     val tokD = withToks(docs.select(col("doc_id"), col("text")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val lexScored = searchTopK(tokD, terms, kEach)
-    val out = hybridFuse(lexScored, tokD, terms, k, kEach, d, rrfK)
-    graft.ops.Caching.materialized(out) { tokD.unpersist(false) }
+    val (out, releaseVec) = hybridFuse(lexScored, tokD, terms, k, kEach, d, rrfK)
+    graft.ops.Caching.materialized(out) { tokD.unpersist(false); releaseVec() }
   }
 
   /** [[hybridSearchTopK]] with the LEXICAL side served from a
@@ -1064,16 +1064,22 @@ object TextAnalysis {
     */
   def hybridSearchTopKOnIndex(idx: SearchIndex.TextIndex, docs: DataFrame,
       terms: Seq[String] = Bm25Terms, k: Int = 10, kEach: Int = 20,
-      d: Int = 64, rrfK: Int = 60): DataFrame =
-    hybridFuse(SearchIndex.searchTopK(idx, terms, kEach),
+      d: Int = 64, rrfK: Int = 60): DataFrame = {
+    val (out, releaseVec) = hybridFuse(SearchIndex.searchTopK(idx, terms, kEach),
       docs.select(col("doc_id"), col("text")), terms, k, kEach, d, rrfK)
+    graft.ops.Caching.materialized(out) { releaseVec() }
+  }
 
   /** The shared RRF fusion core: rank the lexical scores, rank the
     * pseudo-document hash-embed cosines, full-outer join on doc_id,
     * `Σ 1/(rrfK + rank)` in fixed association order, bounded top-k.
+    * Returns the fused frame plus a release for the embed side's
+    * cache scope — the caller runs it once its own result is
+    * materialized, so the operator leaves ONE scope behind.
     */
   private def hybridFuse(lexScored: DataFrame, corpus: DataFrame,
-      terms: Seq[String], k: Int, kEach: Int, d: Int, rrfK: Int): DataFrame = {
+      terms: Seq[String], k: Int, kEach: Int, d: Int, rrfK: Int)
+      : (DataFrame, () => Unit) = {
     val spark = corpus.sparkSession
     import spark.implicits._
     val lex = graft.ops.TopK.rankByScore(
@@ -1082,21 +1088,22 @@ object TextAnalysis {
       kEach)
       .select(col("cand_id").as("doc_id"), col("rn").as("lex_rank"))
     val qRow = withToks(Seq((HybridQueryDocId, terms.mkString(" "))).toDF("doc_id", "text"))
-    val vec = hashEmbedTopK(withToks(corpus).unionByName(qRow),
+    val vecScoped = hashEmbedTopK(withToks(corpus).unionByName(qRow),
       qRow.select(col("doc_id")), d, kEach)
-      .select(col("cand_id").as("doc_id"), col("rn").as("vec_rank"))
+    val vec = vecScoped.select(col("cand_id").as("doc_id"), col("rn").as("vec_rank"))
     val rrfScore =
       coalesce(lit(1.0) / (lit(rrfK.toDouble) + col("lex_rank")), lit(0.0)) +
         coalesce(lit(1.0) / (lit(rrfK.toDouble) + col("vec_rank")), lit(0.0))
     val fused = lex.join(vec, Seq("doc_id"), "full_outer")
       .select(col("doc_id"), col("lex_rank"), col("vec_rank"), rrfScore.as("rrf_score"))
-    graft.ops.TopK.rankByScore(
+    val out = graft.ops.TopK.rankByScore(
       fused.select(lit(0L).as("q_id"), col("doc_id").as("cand_id"),
         col("rrf_score").as("sim")), k)
       .select(col("rn"), col("cand_id").as("doc_id"), col("sim").as("rrf_score"))
       .join(fused.select(col("doc_id"), col("lex_rank"), col("vec_rank")), Seq("doc_id"))
       .select(col("rn"), col("doc_id"), col("lex_rank"), col("vec_rank"), col("rrf_score"))
       .orderBy(col("rn"))
+    (out, () => { vecScoped.unpersist(false); () })
   }
 
   /** [[searchTopKOnIndex]] over a freshly built [[invertedIndex]]. */

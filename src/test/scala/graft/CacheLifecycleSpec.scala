@@ -93,6 +93,21 @@ class CacheLifecycleSpec extends SparkSpec {
     spark.sql("DROP TABLE IF EXISTS graft_dedup_sig_clc_fp")
   }
 
+  test("hashEmbedTopK releases the weight-table cache; result is the scope") {
+    assertScoped(graft.text.TextAnalysis.hashEmbedTopK(
+      docs, docs.select(col("doc_id")).filter(col("doc_id") < 10)))
+  }
+
+  test("hybridSearchTopK releases tokenize + embed caches; result is the scope") {
+    assertScoped(graft.text.TextAnalysis.hybridSearchTopK(docs))
+  }
+
+  test("pageRank releases edges, degrees, and iteration checkpoints; result is the scope") {
+    val und = Seq((1L, 2L), (2L, 3L), (1L, 3L))
+    val edges = (und ++ und.map(_.swap)).toDF("src", "dst")
+    assertScoped(graft.ops.Graph.pageRank(edges, iterations = 3))
+  }
+
   test("star contraction converges within 30 rounds on a diameter-200 chain") {
     // min-label propagation would need 200 rounds here; large-star/
     // small-star must reach the fixpoint (all labels = 0) inside 30
