@@ -102,6 +102,12 @@ object SearchIndex {
       mergeSegments(idx.postings, idx.maxDf), terms, k, k1, b)
   }
 
+  /** Segment-merged postings of a loaded index — the serve-time view
+    * every reader must use (see [[mergeSegments]]).
+    */
+  def mergedPostings(idx: TextIndex): DataFrame =
+    mergeSegments(idx.postings, idx.maxDf)
+
   /** Fold segment rows (one per (token, append)) back to one row per
     * token: df/cf sum; the (doc_id, tf) pairs of all segments
     * re-sorted ascending by doc_id (appends carry NEW doc_ids, so the

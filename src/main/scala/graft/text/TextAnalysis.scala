@@ -971,6 +971,82 @@ object TextAnalysis {
     searchFromPostings(t.select(col("doc_id"), col("dl")), stats, index, terms, k, k1, b)
   }
 
+  /** MULTI-QUERY BM25 top-k — the set-oriented serving form: a whole
+    * TABLE of queries `(query_id, term)` scores in ONE plan instead of
+    * one plan per query (the shape an always-on serving loop or a
+    * batch re-ranking pass actually needs; a per-query loop costs one
+    * driver round-trip and one corpus-side plan per query).
+    *
+    * Shape: postings semi-join down to the UNION of queried terms
+    * (each query touches Σ df(term) posting entries, never the
+    * corpus), explode to (token, doc, tf), join the query table on the
+    * term, one keyed aggregate per (query, doc). The per-(query, doc)
+    * float sum runs over a VARIABLE term set, so contributions are
+    * reassembled positionally (sort_array by token) and folded
+    * left-to-right — the ngram-LM determinism discipline — making the
+    * scores cross-engine hash-exact. Top-k per query is the bounded
+    * TopKByScore aggregate. Scoring constants and the per-term formula
+    * are [[searchFromPostings]]'s exactly; only the association order
+    * differs (token order vs the caller's term-list order), which is
+    * THIS operator's documented contract, mirrored in its oracle.
+    */
+  private[text] def searchManyFromPostings(docLens: DataFrame, stats: DataFrame,
+      index: DataFrame, queryTerms: DataFrame, k: Int,
+      k1: Double, b: Double): DataFrame = {
+    val qt = queryTerms.select(col("query_id"), col("term").as("token")).distinct()
+    val qIdx = index.join(qt.select(col("token")).distinct(), Seq("token"), "left_semi")
+    val posts = qIdx.select(col("token"), col("df"),
+        explode(arrays_zip(col("doc_ids"), col("tfs"))).as("p"))
+      .select(col("token"), col("df"), col("p.doc_ids").as("doc_id"), col("p.tfs").as("tf"))
+    val matched = graft.ops.Broadcasting.maybeBroadcast(qt)
+      .join(posts, Seq("token"))
+      .join(docLens, Seq("doc_id"))
+      .crossJoin(broadcast(stats))
+    val idf = GraftFunctions.det_ln(lit(1.0) +
+      (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+    val contrib = idf * (col("tf") * lit(k1 + 1.0)) /
+      (col("tf") + lit(k1) * (lit(1.0) - lit(b) +
+        lit(b) * (col("dl") / (col("sum_dl") / col("n_docs")))))
+    val scored = matched
+      .select(col("query_id"), col("doc_id"),
+        struct(col("token"), contrib.as("c")).as("tc"))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(sort_array(collect_list(col("tc"))).as("tcs"))
+      .select(col("query_id"), col("doc_id"),
+        expr("aggregate(tcs, cast(0.0 as double), (acc, x) -> acc + x.c)").as("score"))
+    scored
+      .groupBy(col("query_id"))
+      .agg(GraftFunctions.top_k_by_score(col("score"), col("doc_id"), k).as("top"))
+      .select(col("query_id"), posexplode(col("top")).as(Seq("pos", "t")))
+      .select(col("query_id"), (col("pos") + 1).cast("long").as("rn"),
+        col("t.id").as("doc_id"), col("t.score").as("score"))
+      .orderBy(col("query_id"), col("rn"))
+  }
+
+  /** [[searchManyFromPostings]] over a freshly built corpus index. */
+  def searchManyTopK(docs: DataFrame, queryTerms: DataFrame, k: Int = 20,
+      k1: Double = 1.2, b: Double = 0.75,
+      maxDf: Long = DefaultMaxTokenDf): DataFrame = {
+    val t = withToks(docs).withColumn("dl", size(col("toks")).cast("long"))
+    val stats = t.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+    searchManyFromPostings(t.select(col("doc_id"), col("dl")), stats,
+      invertedIndex(t, maxDf), queryTerms, k, k1, b)
+  }
+
+  /** [[searchManyFromPostings]] served from a persisted
+    * [[SearchIndex]] — the corpus untouched at serving time.
+    */
+  def searchManyTopKOnIndex(idx: SearchIndex.TextIndex,
+      queryTerms: DataFrame, k: Int = 20,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val spark = idx.postings.sparkSession
+    val stats = spark.range(1).select(
+      lit(idx.nDocs).cast("long").as("n_docs"),
+      lit(idx.sumDl).cast("long").as("sum_dl"))
+    searchManyFromPostings(idx.docLens, stats,
+      SearchIndex.mergedPostings(idx), queryTerms, k, k1, b)
+  }
+
   /** The serving core shared by [[searchTopKOnIndex]] (stats/doc
     * lengths recomputed from the corpus) and
     * [[SearchIndex.searchTopK]] (stats/doc lengths read from the
