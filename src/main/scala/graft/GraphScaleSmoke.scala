@@ -21,12 +21,15 @@ import graft.ops.Graph
   * iterative operator. Prints one JSON line with edge count, wall
   * seconds, the top node, and the fixed-point mass ratio.
   *
-  * Run: `sbt "runMain graft.GraphScaleSmoke [nNodes] [iters]"`.
+  * Run: `sbt "runMain graft.GraphScaleSmoke [nNodes] [iters] [scale]"`
+  * — `scale` defaults to [[Graph.Scale]]; pass a reduced one (e.g.
+  * 10000000) to exercise the node-count-headroom regime end-to-end.
   */
 object GraphScaleSmoke {
   def main(args: Array[String]): Unit = {
     val n = args.headOption.map(_.toLong).getOrElse(1000000L)
     val iters = args.drop(1).headOption.map(_.toInt).getOrElse(10)
+    val scale = args.drop(2).headOption.map(_.toLong).getOrElse(Graph.Scale)
     val spark = GraftSession.builder("local[32]", 64).getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -38,7 +41,7 @@ object GraphScaleSmoke {
     val nEdges = edges.count() // materialize generation outside the timing
 
     val t0 = System.nanoTime()
-    val ranks = Graph.pageRank(edges, iters)
+    val ranks = Graph.pageRank(edges, iters, scale)
     val top = ranks.orderBy(col("rank_fp").desc, col("node")).limit(5).collect()
       .map(r => (r.getAs[Long]("node"), r.getAs[Long]("rank_fp")))
     val agg = ranks.agg(sum(col("rank_fp")).as("mass"), count(lit(1)).as("nodes")).head()
@@ -47,16 +50,21 @@ object GraphScaleSmoke {
     val mass = agg.getAs[Long]("mass")
     val nodes = agg.getAs[Long]("nodes")
 
-    // single-threaded exact recount over the same generated edges
+    // single-threaded exact recount over the same generated edges;
+    // the array-backed recount truncates past Int.MaxValue, so refuse
+    // loudly rather than certify a bogus verdict at the exact scales
+    // this smoke exists for
+    require(n <= Int.MaxValue,
+      s"recount is array-backed and capped at Int.MaxValue nodes; got $n")
     val nn = n.toInt
     val outdeg = new Array[Long](nn)
     var i = 1
     while (i < nn) { outdeg(i) += 1; i += 1 } // tree edge
     i = 0
     while (i < nn) { outdeg(i) += 1; i += 1 } // ring edge
-    var rank = Array.fill(nn)(Graph.Scale)
+    var rank = Array.fill(nn)(scale)
     var it = 0
-    val base = 15L * Graph.Scale / 100L
+    val base = 15L * scale / 100L
     while (it < iters) {
       val contrib = new Array[Long](nn)
       i = 1
@@ -74,9 +82,9 @@ object GraphScaleSmoke {
       .sortBy { case (node, r) => (-r, node) }.take(5)
     val exact = top.sameElements(refTop) && mass == refMass && nodes == n
 
-    val massRatio = mass.toDouble / (nodes.toDouble * Graph.Scale)
+    val massRatio = mass.toDouble / (nodes.toDouble * scale)
     println(
-      s"""{"edges":$nEdges,"nodes":$nodes,"iterations":$iters,""" +
+      s"""{"edges":$nEdges,"nodes":$nodes,"iterations":$iters,"scale":$scale,""" +
         s""""top_node":${top.head._1},"top_rank":${top.head._2},""" +
         s""""recount_exact":$exact,""" +
         f""""mass_ratio":$massRatio%.6f,"pagerank_sec":$secs%.2f}""")

@@ -1107,6 +1107,41 @@ object OracleSql {
        |FROM r$iters ORDER BY rank_fp DESC, node LIMIT 50""".stripMargin
   }
 
+  /** Personalized PageRank (mirror of Graph.personalizedPageRankQuery):
+    * the same unrolled-CTE fixed-point idiom as [[qPagerank]], with
+    * r₀ and the teleport term gated on `is_seed` — seeds are the 20
+    * smallest nodes present in the graph; zero-rank (unreached) nodes
+    * excluded before the top-k.
+    */
+  val qPagerankPersonalized: String = {
+    val iters = 10
+    val scale = graft.ops.Graph.Scale
+    val base = 15L * scale / 100L
+    val iterCtes = (1 to iters).map { i =>
+      s"""r$i AS (SELECT d.node, d.outdeg, d.is_seed,
+         |  ($base * d.is_seed + (85 * coalesce(s.s, 0)) // 100)::BIGINT AS rank_fp
+         |  FROM sdegs d LEFT JOIN (
+         |    SELECT e.dst AS node, sum(r.rank_fp // r.outdeg)::BIGINT AS s
+         |    FROM edges e JOIN r${i - 1} r ON r.node = e.src GROUP BY 1) s
+         |  ON s.node = d.node)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+       |und AS (SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+       |  FROM li a JOIN li b
+       |  ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+       |edges AS (SELECT src, dst FROM und UNION ALL SELECT dst, src FROM und),
+       |degs AS (SELECT src AS node, count(*)::BIGINT AS outdeg FROM edges GROUP BY 1),
+       |seeds AS (SELECT node FROM degs ORDER BY node LIMIT 20),
+       |sdegs AS (SELECT d.node, d.outdeg,
+       |  CASE WHEN s.node IS NULL THEN 0 ELSE 1 END::BIGINT AS is_seed
+       |  FROM degs d LEFT JOIN seeds s ON s.node = d.node),
+       |r0 AS (SELECT node, outdeg, is_seed,
+       |  ($scale * is_seed)::BIGINT AS rank_fp FROM sdegs),
+       |$iterCtes
+       |SELECT node, outdeg, rank_fp, rank_fp::DOUBLE / ${dlit(scale.toDouble)} AS pagerank
+       |FROM r$iters WHERE rank_fp > 0 ORDER BY rank_fp DESC, node LIMIT 50""".stripMargin
+  }
+
   /** Robust MAD outliers (mirror of EventOps.robustAnomalies:
     * quantile_cont medians are bitwise vs Spark percentile; one
     * 0.6745-scaled ratio in the same expression shape).

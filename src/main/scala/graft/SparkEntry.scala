@@ -77,6 +77,12 @@ object SparkEntry {
     // everywhere makes even the iterative result hash-exact
     "q_pagerank" -> ((s, dir) =>
       graft.ops.Graph.pageRankQuery(t(s, dir, "lineitem"))),
+    // seeded-teleport variant: rank = proximity to a trusted/topical
+    // node set (the graph-side "select data near a target" primitive
+    // pairing with DSIR); seeds broadcast onto the degree table, per-
+    // iteration plan shape identical to the uniform variant
+    "q_pagerank_personalized" -> ((s, dir) =>
+      graft.ops.Graph.personalizedPageRankQuery(t(s, dir, "lineitem"))),
     "q_association_rules" -> ((s, dir) =>
       Relational.associationRules(t(s, dir, "lineitem"))),
     // the Markov chain behind top_paths: P(to | from) per consecutive
@@ -280,6 +286,25 @@ object SparkEntry {
     // whole hybrid ranker is hash-exact against the composed oracle
     "text_search_hybrid" -> ((s, dir) =>
       TextAnalysis.hybridSearchTopK(t(s, dir, "documents"))),
+    // the 100 TB hybrid shape: BOTH retriever sides served from
+    // indexes at rest — postings from the persisted SearchIndex,
+    // semantic candidates from a persisted IVF over the hash-embed
+    // vectors (cell-confined serve; probing every cell here makes the
+    // semantic side ≡ the exact dense-cosine ranking, which is what
+    // the composed oracle mirrors); shared RRF fusion core
+    "text_search_hybrid_indexed" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val tmpL = tempDir("hyb_lex")
+      val tmpA = tempDir("hyb_ann")
+      graft.text.SearchIndex.save(d, "graft_hyb_lex_rt", path = Some(s"$tmpL/tbl"))
+      val vecs = TextAnalysis.hashEmbedVectors(d)
+        .select(col("doc_id").as("vec_id"), col("embedding"))
+      graft.ann.Ivf.saveIndex(vecs, vecs.filter(col("vec_id") < 8),
+        "graft_hyb_ann_rt", path = Some(s"$tmpA/tbl"))
+      val lexIdx = graft.text.SearchIndex.load(s, "graft_hyb_lex_rt")
+      val (cells, cents) = graft.ann.Ivf.loadIndex(s, "graft_hyb_ann_rt")
+      TextAnalysis.hybridSearchTopKOnIndexes(lexIdx, cells, cents, nProbe = 8)
+    }),
     // index-at-rest round trip: save → load → serve with the corpus
     // untouched at serving time (stats from TBLPROPERTIES, doc lengths
     // from the bucketed doclen table); same oracle as text_search_topk
@@ -1015,6 +1040,7 @@ object SparkEntry {
     "q_cooccurrence" -> OracleSql.qCoOccurrence,
     "q_association_rules" -> OracleSql.qAssociationRules,
     "q_pagerank" -> OracleSql.qPagerank,
+    "q_pagerank_personalized" -> OracleSql.qPagerankPersonalized,
     "events_transitions" -> OracleSql.eventsTransitions,
     "events_anomaly_robust" -> OracleSql.eventsAnomalyRobust,
     "corpus_diff" -> OracleSql.corpusDiff,

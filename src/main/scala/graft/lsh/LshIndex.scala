@@ -98,9 +98,33 @@ object LshIndex {
     * on the inverted index; on a [[saveBucketed]] table this prunes to
     * one file bucket.
     */
-  def getBucket(index: DataFrame, band: Int, sig: Long): DataFrame =
+  def getBucket(index: DataFrame, band: Int, sig: Long): DataFrame = {
+    // A wide (r > 64) index stores sigs hex-encoded as strings; a Long
+    // probe against it would cast the string column to bigint → null →
+    // a silently empty bucket. Fail fast instead of lying.
+    require(
+      index.schema("sig").dataType ==
+        org.apache.spark.sql.types.LongType,
+      "getBucket(sig: Long) probed a wide index whose sig column is " +
+        s"${index.schema("sig").dataType.simpleString}; use the " +
+        "getBucket(band, sig: String) overload with the hex signature")
     index.filter(col("band") === band && col("sig") === sig)
       .select(col("vec_id")).orderBy(col("vec_id"))
+  }
+
+  /** [[getBucket]] for wide (r > 64) indexes whose bucket keys are the
+    * hex-encoded packed signature bytes.
+    */
+  def getBucket(index: DataFrame, band: Int, sig: String): DataFrame = {
+    require(
+      index.schema("sig").dataType ==
+        org.apache.spark.sql.types.StringType,
+      "getBucket(sig: String) probed a narrow index whose sig column " +
+        s"is ${index.schema("sig").dataType.simpleString}; use the " +
+        "getBucket(band, sig: Long) overload")
+    index.filter(col("band") === band && col("sig") === sig)
+      .select(col("vec_id")).orderBy(col("vec_id"))
+  }
 
   /** Candidate pairs sharing ≥1 bucket, with collision count.
     * Buckets larger than maxBucketSize are dropped (skew guard — at

@@ -80,6 +80,10 @@ class Lshrs private (val params: LshParams, val corpus: DataFrame, val indexDf: 
   def getBucket(band: Int, sig: Long): DataFrame =
     LshIndex.getBucket(indexDf, band, sig)
 
+  /** Wide-index (r > 64) form: bucket key is the hex signature. */
+  def getBucket(band: Int, sig: String): DataFrame =
+    LshIndex.getBucket(indexDf, band, sig)
+
   def saveToDisk(path: String): Unit = LshIndex.save(indexDf, params, path)
 
   /** Human-readable configuration analysis of THIS instance's params

@@ -464,13 +464,27 @@ object Binary {
       * stride × height, declared file size = 54 + image size = the
       * physical payload length). A pure projection — zero shuffles.
       */
+    /** Sign-extended little-endian int32 read: real-world BMPs encode
+      * top-down row order as a NEGATIVE height, which an unsigned read
+      * would misreport as a ~4e9 "valid" height.
+      */
+    private[multimodal] def leSint32(p: Column, off: Int): Column = {
+      val u = Wav.leUint(p, off, 4)
+      when(u >= (1L << 31), u - (1L << 32)).otherwise(u)
+    }
+
     def parse(media: DataFrame, payloadCol: String = "payload"): DataFrame = {
       val p = col(payloadCol)
       import Wav.leUint
+      val widthS = leSint32(p, 19)
+      val heightS = leSint32(p, 23)
+      // Top-down BMPs (negative int32 height) are real and valid: the
+      // height is normalized to its magnitude and the orientation
+      // surfaced as `bmp_top_down`. A negative WIDTH is always junk.
       val valid = isBmp(p) && (leUint(p, 15, 4) === 40) &&
-        (leUint(p, 27, 2) === 1) && (leUint(p, 19, 4) > 0) && (leUint(p, 23, 4) > 0)
-      val width = leUint(p, 19, 4)
-      val height = leUint(p, 23, 4)
+        (leUint(p, 27, 2) === 1) && (widthS > 0) && (heightS =!= 0)
+      val width = widthS
+      val height = abs(heightS)
       val bpp = leUint(p, 29, 2)
       val stride = ((width * bpp + 31) - pmod(width * bpp + 31, lit(32L))) / 32 * 4
       val consistent = (leUint(p, 31, 4) === 0) && bpp.isin(16L, 24L, 32L) &&
@@ -482,6 +496,7 @@ object Binary {
         .withColumn("bmp_valid", valid)
         .withColumn("width", when(valid, width))
         .withColumn("height", when(valid, height))
+        .withColumn("bmp_top_down", when(valid, heightS < 0))
         .withColumn("bits_per_pixel", when(valid, bpp))
         .withColumn("compression", when(valid, leUint(p, 31, 4)))
         .withColumn("data_offset", when(valid, leUint(p, 11, 4)))

@@ -25,11 +25,14 @@ import org.apache.spark.storage.StorageLevel
   * exact int64 operation (Spark `div` ≡ DuckDB `//` on nonnegative
   * values). Headroom: the total mass stays ≤ N·Scale (integer floors
   * only leak mass downward), so `85·Σ` fits int64 for graphs up to
-  * ~10⁸ nodes at the default Scale.
+  * ~10⁸ nodes at the default Scale — and the scale is a PARAMETER
+  * with the bound enforced at runtime against the real node count
+  * (scale=10⁷ covers the 10¹⁰-node web-graph regime at 10⁻⁷ rank
+  * resolution).
   */
 object Graph {
 
-  /** 10⁻⁹ rank resolution; see the headroom note above. */
+  /** Default 10⁻⁹ rank resolution; see the headroom note above. */
   val Scale = 1000000000L
 
   /** Symmetric co-purchase edge list over lineitem: parts that appear
@@ -52,11 +55,38 @@ object Graph {
     * dangling nodes (every src must have outdeg ≥ 1 — symmetric edge
     * lists like [[coPurchaseEdges]] satisfy this by construction).
     * Returns (node, outdeg, rank_fp, pagerank) for every node with at
-    * least one outgoing edge; `pagerank = rank_fp / Scale` is the
+    * least one outgoing edge; `pagerank = rank_fp / scale` is the
     * conventional damped rank with r₀ = 1.
+    *
+    * `scale` trades rank resolution for node-count headroom: the total
+    * mass stays ≤ N·scale (integer floors only leak mass downward), so
+    * `85·Σ contributions` fits int64 iff N ≤ Long.MaxValue/(85·scale)
+    * — ~10⁸ nodes at the default 10⁻⁹ resolution, ~10¹⁰ at scale=10⁷.
+    * The bound is ENFORCED against the actual node count (computed on
+    * the pass that builds the degree table, so the guard is free), not
+    * documented-and-hoped.
     */
-  def pageRank(edges: DataFrame, iterations: Int = 10): DataFrame = {
+  def pageRank(edges: DataFrame, iterations: Int = 10,
+      scale: Long = Scale): DataFrame =
+    pageRankImpl(edges, iterations, scale, seeds = None)
+
+  /** Personalized PageRank: teleport mass lands ONLY on the seed set
+    * (r₀(v) = scale·[v∈S]; rank'(v) = [v∈S]·(15·scale div 100) +
+    * (85·Σ contributions) div 100) — the graph-side "select data near
+    * a target" primitive (seed = a trusted/topical node set, rank =
+    * proximity). Same fixed-point discipline and int64 headroom bound
+    * as [[pageRank]] (PPR mass ≤ |S|·scale ≤ N·scale). `seeds` is a
+    * one-column (node) table, broadcast onto the degree table — the
+    * per-iteration plan shape is identical to the uniform variant.
+    */
+  def personalizedPageRank(edges: DataFrame, seeds: DataFrame,
+      iterations: Int = 10, scale: Long = Scale): DataFrame =
+    pageRankImpl(edges, iterations, scale, Some(seeds))
+
+  private def pageRankImpl(edges: DataFrame, iterations: Int, scale: Long,
+      seeds: Option[DataFrame]): DataFrame = {
     require(iterations >= 1, s"need at least one iteration, got $iterations")
+    require(scale >= 1L, s"scale must be positive, got $scale")
     // partition the STATIC sides once, on their join keys: the cached
     // InMemoryRelation advertises its hashpartitioning, so every
     // iteration's edge⋈rank join exchanges ONLY the iteration-fresh
@@ -67,13 +97,31 @@ object Graph {
     val e = edges.select(col("src"), col("dst"))
       .repartition(col("src"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val degs = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+    val degsBase = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
       .select(col("src").as("node"), col("outdeg"))
+    // seed flag rides the degree table via a broadcast join (seed sets
+    // are small by construction); is_seed ∈ {0,1} makes both the r₀
+    // mass and the per-iteration teleport term one multiply — the
+    // uniform variant is the constant-1 case of the same plan
+    val degs = seeds.fold(degsBase.withColumn("is_seed", lit(1L))) { s =>
+      degsBase.join(
+          broadcast(s.select(col("node"), lit(1L).as("__seed"))),
+          Seq("node"), "left")
+        .select(col("node"), col("outdeg"),
+          coalesce(col("__seed"), lit(0L)).as("is_seed"))
+    }
       .repartition(col("node"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    degs.count()
-    var ranks = degs.select(col("node"), col("outdeg"),
-      lit(Scale).as("rank_fp")).localCheckpoint(true)
+    val nNodes = degs.count()
+    val maxNodes = Long.MaxValue / 85L / scale
+    require(nNodes <= maxNodes,
+      s"int64 fixed-point headroom exceeded: $nNodes nodes at scale=" +
+        s"$scale (85·N·scale must fit int64; max $maxNodes nodes). " +
+        "Pass a smaller `scale` — e.g. 10_000_000 covers ~10^10 nodes " +
+        "at 10^-7 rank resolution.")
+    val baseFp = 15L * scale / 100L
+    var ranks = degs.select(col("node"), col("outdeg"), col("is_seed"),
+      (lit(scale) * col("is_seed")).as("rank_fp")).localCheckpoint(true)
     var it = 0
     while (it < iterations) {
       val contribs = e
@@ -82,8 +130,8 @@ object Graph {
         .select(col("dst").as("node"), expr("rank_fp div outdeg").as("c"))
         .groupBy(col("node")).agg(sum(col("c")).as("s"))
       val next = degs.join(contribs, Seq("node"), "left")
-        .select(col("node"), col("outdeg"),
-          (lit(15L * Scale / 100L) +
+        .select(col("node"), col("outdeg"), col("is_seed"),
+          (lit(baseFp) * col("is_seed") +
             expr(s"(85 * coalesce(s, 0L)) div 100")).as("rank_fp"))
         .localCheckpoint(true)
       releaseCheckpoint(ranks)
@@ -96,7 +144,7 @@ object Graph {
     // blocks are lost — write it out / use reliable checkpointing on a
     // fault-prone cluster
     val out = ranks.select(col("node"), col("outdeg"), col("rank_fp"),
-      (col("rank_fp").cast("double") / lit(Scale.toDouble)).as("pagerank"))
+      (col("rank_fp").cast("double") / lit(scale.toDouble)).as("pagerank"))
     val last = ranks
     Caching.materialized(out) {
       e.unpersist(false); degs.unpersist(false); releaseCheckpoint(last)
@@ -112,6 +160,23 @@ object Graph {
       k: Int = 50): DataFrame =
     pageRank(coPurchaseEdges(lineitem), iterations)
       .orderBy(col("rank_fp").desc, col("node")).limit(k)
+
+  /** Driver row: PERSONALIZED PageRank over the co-purchase graph,
+    * seeded on the `nSeeds` smallest part keys present in the graph
+    * (a deterministic, oracle-expressible stand-in for "the trusted /
+    * topical set"), top `k` by proximity. Nodes the seeds can't reach
+    * in `iterations` hops hold rank 0 and are excluded (rank ties at 0
+    * would otherwise make the top-k cutoff unstable).
+    */
+  def personalizedPageRankQuery(lineitem: DataFrame, iterations: Int = 10,
+      nSeeds: Int = 20, k: Int = 50): DataFrame = {
+    val edges = coPurchaseEdges(lineitem)
+    val seeds = edges.select(col("src").as("node")).distinct()
+      .orderBy(col("node")).limit(nSeeds)
+    personalizedPageRank(edges, seeds, iterations)
+      .filter(col("rank_fp") > 0)
+      .orderBy(col("rank_fp").desc, col("node")).limit(k)
+  }
 
   private def releaseCheckpoint(df: DataFrame): Unit =
     df.queryExecution.analyzed.collectLeaves().foreach {

@@ -60,7 +60,17 @@ object Sampling {
     val h = hex64(concat(lit(s"$salt|"), id.cast("string")))
     val u = ((h % m).cast("double") + lit(0.5)) / lit(m.toDouble)
     df.select(id.as("id"), weight.cast("double").as("weight"), u.as("u"))
-      .withColumn("es_key", graft.GraftFunctions.det_ln(col("u")) / col("weight"))
+      // w > 0 is a contract, enforced loudly: a zero weight divides by
+      // 0 (−∞ key), a negative one flips the A-Res key sign and makes
+      // the row near-certain to be selected, a null silently sinks the
+      // row — all of which would corrupt the sample without a signal.
+      .withColumn("es_key",
+        when(col("weight") > 0d,
+          graft.GraftFunctions.det_ln(col("u")) / col("weight"))
+          .otherwise(raise_error(concat(
+            lit("weightedSample requires weight > 0; got "),
+            coalesce(col("weight").cast("string"), lit("null")),
+            lit(" for id "), col("id").cast("string")))))
       .orderBy(col("es_key").desc, col("id"))
       .limit(k)
   }

@@ -202,7 +202,14 @@ object Bpe {
     val words: Array[Array[String]] = vocab.map(_._1)
     val wcs: Array[Long] = vocab.map(_._2)
     val pairCounts = mutable.HashMap.empty[(String, String), Long]
-    val pairWords = mutable.HashMap.empty[(String, String), mutable.BitSet]
+    // Word-index postings per pair as a growable buffer, NOT a BitSet:
+    // a BitSet keyed by word index costs ~maxWordIdx/8 bytes per pair
+    // (a pair seen once in a late-indexed word pays the full span), so
+    // large vocabularies with many distinct pairs would allocate GBs on
+    // the driver. Duplicates/stale entries are harmless — the
+    // subtract/merge/re-add round trip is a net no-op for them.
+    val pairWords =
+      mutable.HashMap.empty[(String, String), mutable.ArrayBuffer[Int]]
     def applyPairs(wi: Int, sign: Long, index: Boolean): Unit = {
       val syms = words(wi)
       val delta = wcs(wi) * sign
@@ -211,7 +218,9 @@ object Bpe {
         val p = (syms(i), syms(i + 1))
         val nv = pairCounts.getOrElse(p, 0L) + delta
         if (nv == 0L) pairCounts.remove(p) else pairCounts.update(p, nv)
-        if (index) pairWords.getOrElseUpdate(p, mutable.BitSet.empty) += wi
+        if (index) {
+          pairWords.getOrElseUpdate(p, mutable.ArrayBuffer.empty[Int]) += wi
+        }
         i += 1
       }
     }
@@ -235,7 +244,9 @@ object Bpe {
         // pairWords entries can be stale (a word that lost the pair in
         // an earlier merge) — the subtract/merge/re-add round trip is a
         // net no-op for those, so staleness costs time, never counts
-        val touched = pairWords.getOrElse(best, mutable.BitSet.empty).toArray
+        val touched =
+          pairWords.getOrElse(best, mutable.ArrayBuffer.empty[Int])
+            .distinct.toArray
         touched.foreach { wi =>
           applyPairs(wi, -1L, index = false)
           words(wi) = mergeLocal(words(wi), a, b)

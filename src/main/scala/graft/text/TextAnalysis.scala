@@ -1158,28 +1158,68 @@ object TextAnalysis {
       : (DataFrame, () => Unit) = {
     val spark = corpus.sparkSession
     import spark.implicits._
+    val qRow = withToks(Seq((HybridQueryDocId, terms.mkString(" "))).toDF("doc_id", "text"))
+    val vecScoped = hashEmbedTopK(withToks(corpus).unionByName(qRow),
+      qRow.select(col("doc_id")), d, kEach)
+    val vec = vecScoped.select(col("cand_id").as("doc_id"), col("rn").as("vec_rank"))
+    val out = fuseRankLists(lexScored, vec, k, kEach, rrfK)
+    (out, () => { vecScoped.unpersist(false); () })
+  }
+
+  /** The RRF fusion tail shared by EVERY hybrid form (exact embed
+    * scan, IVF-served embed side): rank the lexical scores, full-outer
+    * join with the semantic rank list on doc_id, `Σ 1/(rrfK + rank)`
+    * in fixed association order, bounded top-k. Keeping one fusion
+    * core is what stops the exact and ANN forms from drifting.
+    */
+  private def fuseRankLists(lexScored: DataFrame, vec: DataFrame,
+      k: Int, kEach: Int, rrfK: Int): DataFrame = {
     val lex = graft.ops.TopK.rankByScore(
       lexScored
         .select(lit(0L).as("q_id"), col("doc_id").as("cand_id"), col("score").as("sim")),
       kEach)
       .select(col("cand_id").as("doc_id"), col("rn").as("lex_rank"))
-    val qRow = withToks(Seq((HybridQueryDocId, terms.mkString(" "))).toDF("doc_id", "text"))
-    val vecScoped = hashEmbedTopK(withToks(corpus).unionByName(qRow),
-      qRow.select(col("doc_id")), d, kEach)
-    val vec = vecScoped.select(col("cand_id").as("doc_id"), col("rn").as("vec_rank"))
     val rrfScore =
       coalesce(lit(1.0) / (lit(rrfK.toDouble) + col("lex_rank")), lit(0.0)) +
         coalesce(lit(1.0) / (lit(rrfK.toDouble) + col("vec_rank")), lit(0.0))
     val fused = lex.join(vec, Seq("doc_id"), "full_outer")
       .select(col("doc_id"), col("lex_rank"), col("vec_rank"), rrfScore.as("rrf_score"))
-    val out = graft.ops.TopK.rankByScore(
+    graft.ops.TopK.rankByScore(
       fused.select(lit(0L).as("q_id"), col("doc_id").as("cand_id"),
         col("rrf_score").as("sim")), k)
       .select(col("rn"), col("cand_id").as("doc_id"), col("sim").as("rrf_score"))
       .join(fused.select(col("doc_id"), col("lex_rank"), col("vec_rank")), Seq("doc_id"))
       .select(col("rn"), col("doc_id"), col("lex_rank"), col("vec_rank"), col("rrf_score"))
       .orderBy(col("rn"))
-    (out, () => { vecScoped.unpersist(false); () })
+  }
+
+  /** Hybrid retrieval with BOTH sides served from indexes at rest —
+    * the 100 TB shape: the lexical side reads its terms' postings from
+    * the persisted [[SearchIndex]] (sub-linear in corpus size), and
+    * the semantic side probes a persisted IVF index over the
+    * [[hashEmbedVectors]] corpus ([[graft.ann.Ivf.probeTopKOnIndex]] —
+    * cell-confined, so a serve touches nProbe cells' vectors, never
+    * the corpus). The query pseudo-document is hash-embedded at query
+    * time (hashEmbed is per-doc pure, so the query vector needs no
+    * corpus pass), and the fusion tail is the SAME [[fuseRankLists]]
+    * core as the exact forms. With `nProbe` ≥ the cell count the
+    * semantic side degenerates to the exact dense-cosine ranking —
+    * the oracle-checkable configuration; production serves with small
+    * `nProbe` at measured recall ([[graft.ann.Knn.recallEval]]).
+    */
+  def hybridSearchTopKOnIndexes(lexIdx: SearchIndex.TextIndex,
+      annCells: DataFrame, annCentroids: DataFrame,
+      terms: Seq[String] = Bm25Terms, k: Int = 10, kEach: Int = 20,
+      d: Int = 64, nProbe: Int = 3, rrfK: Int = 60): DataFrame = {
+    val spark = annCells.sparkSession
+    import spark.implicits._
+    val qVec = hashEmbedVectors(
+      withToks(Seq((HybridQueryDocId, terms.mkString(" "))).toDF("doc_id", "text")), d)
+      .select(col("doc_id").as("vec_id"), col("embedding"))
+    val vec = graft.ann.Ivf.probeTopKOnIndex(annCells, annCentroids, qVec,
+        nProbe, kEach)
+      .select(col("cand_id").as("doc_id"), col("rn").as("vec_rank"))
+    fuseRankLists(SearchIndex.searchTopK(lexIdx, terms, kEach), vec, k, kEach, rrfK)
   }
 
   /** [[searchTopKOnIndex]] over a freshly built [[invertedIndex]]. */

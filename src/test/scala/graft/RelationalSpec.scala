@@ -400,6 +400,18 @@ class RelationalSpec extends SparkSpec {
     val again = graft.ops.Sampling.weightedSample(d.repartition(13), col("doc_id"),
       col("w"), k = 50).collect()
     assert(again.map(_.toString).toSeq === got.map(_.toString).toSeq)
+    // invalid weights fail LOUDLY instead of corrupting the sample:
+    // w=0 would divide by zero, w<0 flips the A-Res key sign, null sinks
+    Seq(0L, -3L).foreach { bad =>
+      val poisoned = (rows :+ (999L, bad)).toDF("doc_id", "w")
+      val ex = intercept[Exception] {
+        graft.ops.Sampling.weightedSample(poisoned, col("doc_id"),
+          col("w"), k = 50).collect()
+      }
+      assert(ex.getMessage.contains("weight > 0") ||
+        Option(ex.getCause).exists(_.getMessage.contains("weight > 0")),
+        s"w=$bad must raise the contract error, got: ${ex.getMessage}")
+    }
   }
 
   test("temperatureSample flattens the source head and keeps by stable hash") {
@@ -601,6 +613,64 @@ class RelationalSpec extends SparkSpec {
     // result unpersists cleanly (the cache-scope convention)
     val res = Graph.pageRank(edges, iterations = 2)
     res.unpersist()
+  }
+
+  test("pageRank: scale is a parameter — reduced scale matches recount, headroom guard trips") {
+    import spark.implicits._
+    import graft.ops.Graph
+    val und = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L))
+    val edges = (und ++ und.map(_.swap)).toDF("src", "dst")
+    val redScale = 100000L // 10^-5 resolution — the big-graph regime
+    val got = Graph.pageRank(edges, iterations = 6, scale = redScale).collect()
+      .map(r => r.getAs[Long]("node") -> r.getAs[Long]("rank_fp")).toMap
+    val adj = (und ++ und.map(_.swap)).groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val deg = adj.view.mapValues(_.length.toLong).toMap
+    var rank = adj.keys.map(_ -> redScale).toMap
+    (1 to 6).foreach { _ =>
+      val contrib = scala.collection.mutable.Map.empty[Long, Long].withDefaultValue(0L)
+      adj.foreach { case (u, vs) => vs.foreach(v => contrib(v) += rank(u) / deg(u)) }
+      rank = adj.keys.map(n => n -> (15L * redScale / 100L + 85L * contrib(n) / 100L)).toMap
+    }
+    rank.foreach { case (n, r) => assert(got(n) === r, s"node $n at scale=$redScale") }
+    // the guard is enforced against the REAL node count: 4 nodes at a
+    // scale where even 1 node overflows 85·N·scale must refuse loudly
+    val boom = intercept[IllegalArgumentException] {
+      Graph.pageRank(edges, iterations = 1, scale = Long.MaxValue / 84L)
+    }
+    assert(boom.getMessage.contains("headroom"))
+  }
+
+  test("personalizedPageRank: teleport mass lands on the seed set only; recount exact") {
+    import spark.implicits._
+    import graft.ops.Graph
+    // two triangles bridged by one edge: seeds in triangle A must
+    // concentrate rank there, with mass decaying across the bridge
+    val und = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L),
+      (4L, 5L), (5L, 6L), (4L, 6L))
+    val edges = (und ++ und.map(_.swap)).toDF("src", "dst")
+    val seeds = Seq(1L, 2L).toDF("node")
+    val iters = 8
+    val got = Graph.personalizedPageRank(edges, seeds, iters).collect()
+      .map(r => r.getAs[Long]("node") -> r.getAs[Long]("rank_fp")).toMap
+    val seedSet = Set(1L, 2L)
+    val adj = (und ++ und.map(_.swap)).groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val deg = adj.view.mapValues(_.length.toLong).toMap
+    var rank = adj.keys.map(n => n -> (if (seedSet(n)) Graph.Scale else 0L)).toMap
+    (1 to iters).foreach { _ =>
+      val contrib = scala.collection.mutable.Map.empty[Long, Long].withDefaultValue(0L)
+      adj.foreach { case (u, vs) => vs.foreach(v => contrib(v) += rank(u) / deg(u)) }
+      rank = adj.keys.map { n =>
+        val base = if (seedSet(n)) 15L * Graph.Scale / 100L else 0L
+        n -> (base + 85L * contrib(n) / 100L)
+      }.toMap
+    }
+    assert(got.keySet === rank.keySet)
+    rank.foreach { case (n, r) => assert(got(n) === r, s"node $n") }
+    // proximity ordering: a seed outranks its triangle-mate, which
+    // outranks everything across the bridge
+    assert(got(1L) > got(3L) && got(3L) > got(5L))
+    // mass is bounded by the seed mass, not N·Scale
+    assert(got.values.sum <= seedSet.size * Graph.Scale)
   }
 
   test("valueHistogram: degenerate range and null values — one clean bin, no NaN") {

@@ -55,6 +55,31 @@ class SourcesExtensionsSpec extends SparkSpec {
     assert(members.toSeq === members.sorted.toSeq)
   }
 
+  test("LshIndex.getBucket: wide index takes the hex overload; a Long probe fails fast") {
+    val emb = Tables.load(spark, sfDir, "embeddings")
+    // r > 64 → wide byte-packed signatures, sig column is a hex string
+    val p = LshParams(dim = 64, numPerm = 192, numBands = Some(2), rowsPerBand = Some(96))
+    val idx = LshIndex.build(emb, p)
+    val some = idx.groupBy(col("band"), col("sig")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc).limit(1).collect().head
+    val members = LshIndex.getBucket(idx, some.getAs[Int]("band"), some.getAs[String]("sig"))
+      .collect().map(_.getLong(0))
+    assert(members.length === some.getAs[Long]("n"))
+    // a Long probe against the wide index would cast-to-null into a
+    // silently empty bucket — it must refuse instead
+    val boom = intercept[IllegalArgumentException] {
+      LshIndex.getBucket(idx, some.getAs[Int]("band"), 42L)
+    }
+    assert(boom.getMessage.contains("wide index"))
+    // and the hex overload against a narrow index refuses symmetrically
+    val narrow = LshIndex.build(emb,
+      LshParams(dim = 64, numPerm = 32, numBands = Some(8), rowsPerBand = Some(4)))
+    val boom2 = intercept[IllegalArgumentException] {
+      LshIndex.getBucket(narrow, 0, "FF00")
+    }
+    assert(boom2.getMessage.contains("narrow index"))
+  }
+
   test("GraftExtensions injects the engine functions into a registry") {
     import org.apache.spark.sql.catalyst.FunctionIdentifier
     import org.apache.spark.sql.catalyst.analysis.SimpleFunctionRegistry

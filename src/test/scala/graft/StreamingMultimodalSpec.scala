@@ -733,14 +733,16 @@ class StreamingMultimodalSpec extends SparkSpec {
   // little-endian writes — shares NO code with Bmp.synthFromDocs's
   // hex-string encoder
   private def bmpBytes(width: Int, height: Int, bpp: Int,
-      compression: Int = 0, dibSize: Int = 40): Array[Byte] = {
+      compression: Int = 0, dibSize: Int = 40,
+      topDown: Boolean = false): Array[Byte] = {
     import java.nio.{ByteBuffer, ByteOrder}
     val stride = ((width * bpp + 31) / 32) * 4
     val imgSz = stride * height
     val bb = ByteBuffer.allocate(54 + imgSz).order(ByteOrder.LITTLE_ENDIAN)
     bb.put('B'.toByte).put('M'.toByte)
       .putInt(54 + imgSz).putInt(0).putInt(54)
-      .putInt(dibSize).putInt(width).putInt(height)
+      .putInt(dibSize).putInt(width)
+      .putInt(if (topDown) -height else height)
       .putShort(1).putShort(bpp.toShort).putInt(compression).putInt(imgSz)
       .putInt(0).putInt(0).putInt(0).putInt(0)
     (0 until imgSz).foreach(i => bb.put((i % 251).toByte))
@@ -776,6 +778,18 @@ class StreamingMultimodalSpec extends SparkSpec {
     val rle = Seq((5L, bmpBytes(13, 7, 24, compression = 1))).toDF("doc_id", "payload")
     val r5 = Binary.Bmp.parse(rle).collect().head
     assert(r5.getAs[Boolean]("bmp_valid") && !r5.getAs[Boolean]("header_consistent"))
+    // top-down BMP: negative int32 height is real-world-valid — the
+    // height must be sign-extended and normalized, not read as ~4e9
+    val td = Seq((6L, bmpBytes(13, 7, 24, topDown = true))).toDF("doc_id", "payload")
+    val r6 = Binary.Bmp.parse(td).collect().head
+    assert(r6.getAs[Boolean]("bmp_valid"), "top-down BMP must be valid")
+    assert(r6.getAs[Long]("height") === 7L, "height normalized to magnitude")
+    assert(r6.getAs[Boolean]("bmp_top_down"), "orientation surfaced")
+    assert(r6.getAs[Long]("n_pixels") === 13L * 7L)
+    assert(r6.getAs[Boolean]("header_consistent"), "image size reconciles on |height|")
+    // bottom-up rows must report bmp_top_down = false
+    val r1 = got(1L)
+    assert(!r1.getAs[Boolean]("bmp_top_down"))
     corrupt.foreach { case (id, _) =>
       assert(!got(id).getAs[Boolean]("bmp_valid"), s"doc $id must be rejected")
       assert(got(id).isNullAt(got(id).fieldIndex("width")))
