@@ -318,6 +318,42 @@ object CorpusScaleSmoke {
     assert(fused.head.getAs[Long]("doc_id") == 42L,
       s"hybrid rung: planted doc not fused top-1: ${fused.toSeq}")
 
+    // ---- rung: hybrid with BOTH sides index-served — the semantic
+    // side probes a persisted IVF over the hash-embed vectors instead
+    // of scanning every corpus embedding per serve (the r10-flagged
+    // linear side). Build = one hash-embed pass + the IVF
+    // assign/write, one-time and amortized like the postings index;
+    // the serve touches nProbe cells (~nProbe/nCells of the corpus).
+    // Fused-list agreement vs the exact form is measured through
+    // Knn.recallEval — the SAME operator a production deployment
+    // tracks its index tuning by. ----
+    val nCells = 512
+    val (annIdx, tAnnBuild) = time {
+      val vecs = graft.text.TextAnalysis.hashEmbedVectors(docs)
+        .select(col("doc_id").as("vec_id"), col("embedding"))
+      val step = math.max(n / nCells, 1).toLong
+      graft.ann.Ivf.saveIndex(vecs, vecs.filter(col("vec_id") % step === 0),
+        "graft_smoke_hybrid_ann",
+        path = Some(java.nio.file.Files
+          .createTempDirectory("smoke_hyb_ann").toString + "/t"))
+      graft.ann.Ivf.loadIndex(spark, "graft_smoke_hybrid_ann")
+    }
+    val (fusedIdx, tHybridIdx) = time {
+      graft.text.TextAnalysis.hybridSearchTopKOnIndexes(idx, annIdx._1, annIdx._2,
+        probeTerms, k = 5, nProbe = 32).collect()
+    }
+    assert(fusedIdx.head.getAs[Long]("doc_id") == 42L,
+      s"hybrid-indexed rung: planted doc not fused top-1: ${fusedIdx.toSeq}")
+    val fusedRecall = {
+      import spark.implicits._
+      val got = fusedIdx.map(r => (0L, r.getAs[Long]("doc_id"))).toSeq
+        .toDF("q_id", "cand_id")
+      val truth = fused.map(r => (0L, r.getAs[Long]("doc_id"))).toSeq
+        .toDF("q_id", "cand_id")
+      graft.ann.Knn.recallEval(got, truth)
+        .agg(avg(col("recall"))).head().getDouble(0)
+    }
+
     // ---- rung: A-Res weighted sampling — one TakeOrdered pass over
     // per-row keys; membership a pure hash function, no shuffle beyond
     // the bounded top-k ----
@@ -338,7 +374,11 @@ object CorpusScaleSmoke {
       f""""pca_fit_sec":$tPca%.1f,"profile_sketch_sec":$tProf%.1f,""" +
       f""""phrase_search_sec":$tPhrase%.1f,""" +
       f""""hybrid_index_build_sec":$tHybridBuild%.1f,""" +
-      f""""hybrid_serve_sec":$tHybrid%.1f,"weighted_sample_sec":$tWs%.1f}""")
+      f""""hybrid_serve_sec":$tHybrid%.1f,""" +
+      f""""hybrid_ann_build_sec":$tAnnBuild%.1f,""" +
+      f""""hybrid_indexed_serve_sec":$tHybridIdx%.1f,""" +
+      f""""hybrid_fused_recall":$fusedRecall%.2f,""" +
+      f""""weighted_sample_sec":$tWs%.1f}""")
     spark.stop()
   }
 }

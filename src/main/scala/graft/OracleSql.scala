@@ -1473,6 +1473,71 @@ object OracleSql {
        |WHERE rn <= 10 ORDER BY rn""".stripMargin
   }
 
+  /** Hybrid retrieval with both sides index-served (mirror of
+    * hybridSearchTopKOnIndexes with nProbe = every cell): the lexical
+    * ranks are the same persisted-postings BM25 chain as
+    * [[textSearchTopK]]; the semantic side, served probe-every-cell,
+    * degenerates to the exact DENSE float cosine over the
+    * hashEmbedVectors corpus — mirrored here by assembling each doc's
+    * 64-dim float-cast vector (zero-padded, dim order) and ranking
+    * `list_cosine_similarity` against the query pseudo-doc vector
+    * (both engines accumulate in double, index order). Fusion tail
+    * identical to [[textSearchHybrid]].
+    */
+  val textSearchHybridIndexed: String = {
+    val terms = TextAnalysis.Bm25Terms
+    val termList = terms.map(t => s"'$t'").mkString(", ")
+    val vecChain =
+      s"""WITH t AS (SELECT doc_id, $Toks AS toks FROM documents),
+         |tok AS (SELECT doc_id, unnest(toks) AS tk FROM t),
+         |h AS (SELECT doc_id, ${hex64("'he|'||tk")} AS h FROM tok),
+         |sg AS (SELECT doc_id, h % 64 AS dim,
+         |  CASE WHEN (h >> 20) & 1 = 1 THEN 1 ELSE -1 END AS sgn FROM h),
+         |w AS (SELECT doc_id, dim, sum(sgn)::BIGINT AS w FROM sg
+         |  GROUP BY 1, 2 HAVING sum(sgn) <> 0),
+         |n AS (SELECT doc_id, sum(w * w)::BIGINT AS s2 FROM w GROUP BY 1),
+         |wt AS (SELECT w.doc_id, w.dim, (w.w / sqrt(n.s2)) AS wt
+         |  FROM w JOIN n ON n.doc_id = w.doc_id),
+         |dims AS (SELECT unnest(range(0, 64)) AS dim),
+         |dense AS (SELECT d.doc_id,
+         |  list(coalesce(wt.wt::FLOAT, 0.0::FLOAT)::DOUBLE ORDER BY dm.dim) AS v
+         |  FROM (SELECT DISTINCT doc_id FROM w) d
+         |  CROSS JOIN dims dm
+         |  LEFT JOIN wt ON wt.doc_id = d.doc_id AND wt.dim = dm.dim
+         |  GROUP BY d.doc_id),
+         |qtok AS (SELECT unnest([$termList]) AS tk),
+         |qh AS (SELECT ${hex64("'he|'||tk")} AS h FROM qtok),
+         |qsg AS (SELECT h % 64 AS dim,
+         |  CASE WHEN (h >> 20) & 1 = 1 THEN 1 ELSE -1 END AS sgn FROM qh),
+         |qw AS (SELECT dim, sum(sgn)::BIGINT AS w FROM qsg
+         |  GROUP BY 1 HAVING sum(sgn) <> 0),
+         |qn AS (SELECT sum(w * w)::BIGINT AS s2 FROM qw),
+         |qwt AS (SELECT qw.dim, (qw.w / sqrt(qn.s2)) AS wt FROM qw CROSS JOIN qn),
+         |qdense AS (SELECT
+         |  list(coalesce(qwt.wt::FLOAT, 0.0::FLOAT)::DOUBLE ORDER BY dm.dim) AS qv
+         |  FROM dims dm LEFT JOIN qwt ON qwt.dim = dm.dim),
+         |vsim AS (SELECT dv.doc_id, list_cosine_similarity(q.qv, dv.v) AS sim
+         |  FROM dense dv CROSS JOIN qdense q),
+         |vr AS (SELECT doc_id, sim, CAST(row_number() OVER (
+         |  ORDER BY sim DESC, doc_id) AS BIGINT) AS rn FROM vsim)
+         |SELECT doc_id, rn AS vec_rank FROM vr WHERE rn <= 20""".stripMargin
+    s"""WITH lexr AS (
+       |  SELECT doc_id, CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT)
+       |    AS lex_rank
+       |  FROM ($textSearchTopK) __lex),
+       |vecr AS (SELECT * FROM ($vecChain) __vec),
+       |fused AS (SELECT coalesce(l.doc_id, v.doc_id) AS doc_id,
+       |  l.lex_rank, v.vec_rank,
+       |  coalesce(1.0::DOUBLE / (60 + l.lex_rank), 0.0e0)
+       |    + coalesce(1.0::DOUBLE / (60 + v.vec_rank), 0.0e0) AS rrf_score
+       |  FROM lexr l FULL OUTER JOIN vecr v ON l.doc_id = v.doc_id),
+       |r AS (SELECT doc_id, lex_rank, vec_rank, rrf_score,
+       |  CAST(row_number() OVER (ORDER BY rrf_score DESC, doc_id) AS BIGINT) AS rn
+       |  FROM fused)
+       |SELECT rn, doc_id, lex_rank, vec_rank, rrf_score FROM r
+       |WHERE rn <= 10 ORDER BY rn""".stripMargin
+  }
+
   /** Persisted-topic assignment (mirror of Topics.saveTopics ∘
     * assignOnTopics over the same corpus): the corpusTopics
     * sparse-cosine assignment prefix with the winning sim surfaced —
@@ -2409,6 +2474,120 @@ object OracleSql {
        |  FROM h)
        |SELECT source, rn::BIGINT AS rn, doc_id, sample_key
        |FROM r WHERE rn <= 25 ORDER BY source, rn""".stripMargin
+
+  /** Deterministic URL synthesis over documents (mirror of
+    * Curation.synthUrls — the testdata has no URL column; the
+    * curation operators downstream are the real ones).
+    */
+  private val UrlSynth: String =
+    """SELECT doc_id, source,
+      |  'https://' ||
+      |  (CASE doc_id % 7 WHEN 0 THEN '' WHEN 1 THEN 'www.' WHEN 2 THEN 'cdn.'
+      |    WHEN 3 THEN 'm.' WHEN 4 THEN 'a.' WHEN 5 THEN 'b.' ELSE 'c.' END) ||
+      |  source || '.' ||
+      |  (CASE (doc_id // 3) % 3 WHEN 0 THEN 'com' WHEN 1 THEN 'org' ELSE 'net' END) ||
+      |  repeat('/s', (doc_id % 4)::INT) || '/doc' || doc_id::VARCHAR AS url
+      |FROM documents""".stripMargin
+
+  private val UrlHost: String =
+    "split_part(split_part(url, '://', 2), '/', 1)"
+
+  /** URL parsing (mirror of Curation.withUrlParts over synthUrls):
+    * host between '://' and the first '/', registered domain = last
+    * two labels, path from the same anchored regex Spark's parse_url
+    * PATH semantics produce on these URLs.
+    */
+  val urlDomains: String =
+    s"""WITH u AS ($UrlSynth),
+       |p AS (SELECT doc_id, url, $UrlHost AS host FROM u)
+       |SELECT doc_id, url, host,
+       |  regexp_extract(host, '([^.]+\\.[^.]+)$$', 1) AS domain,
+       |  regexp_extract(host, '\\.([^.]+)$$', 1) AS tld,
+       |  regexp_extract(url, '://[^/]+(/.*)$$', 1) AS path,
+       |  (len(string_split(regexp_extract(url, '://[^/]+(/.*)$$', 1), '/')) - 1)::BIGINT
+       |    AS path_depth
+       |FROM p ORDER BY doc_id""".stripMargin
+
+  /** Per-domain quota cap (mirror of Curation.domainQuota quota=20:
+    * stable-hash order within each domain, bounded top-k ≡ the rank
+    * window on (sample_key, key)).
+    */
+  val domainQuota: String =
+    s"""WITH u AS ($UrlSynth),
+       |p AS (SELECT doc_id, $UrlHost AS host FROM u),
+       |d AS (SELECT doc_id, regexp_extract(host, '([^.]+\\.[^.]+)$$', 1) AS domain FROM p),
+       |h AS (SELECT domain, doc_id,
+       |  ${hex64("'quota|'||CAST(doc_id AS VARCHAR)")} % ${graft.ops.Sampling.StratModulus}
+       |    AS sample_key FROM d),
+       |r AS (SELECT domain, doc_id, sample_key,
+       |  row_number() OVER (PARTITION BY domain ORDER BY sample_key, doc_id) AS rn
+       |  FROM h)
+       |SELECT domain, rn::BIGINT AS rn, doc_id AS key, sample_key
+       |FROM r WHERE rn <= 2 ORDER BY domain, rn""".stripMargin
+
+  /** Blocklist anti-join (mirror of Curation.dropBlocklisted with
+    * subdomain semantics: host = blocked OR host endswith '.'+blocked).
+    */
+  val domainBlocklist: String =
+    s"""WITH u AS ($UrlSynth),
+       |p AS (SELECT doc_id, $UrlHost AS host FROM u),
+       |b AS (SELECT unnest(['src0.com', 'src1.org', 'src2.net']) AS blocked)
+       |SELECT doc_id, host FROM p
+       |WHERE NOT EXISTS (SELECT 1 FROM b
+       |  WHERE p.host = b.blocked OR p.host LIKE '%.' || b.blocked)
+       |ORDER BY doc_id""".stripMargin
+
+  /** URL canonicalization (mirror of Curation.canonicalizeUrl over
+    * deterministically-dirtied synth URLs): fragment strip, tracking-
+    * param drop, surviving-param sort, authority lowercase, default
+    * port + trailing-slash strip — every step one regex/list op with
+    * identical semantics in both engines (DuckDB regexp_replace is
+    * first-match, matching Spark on these anchored/tail patterns).
+    */
+  val urlCanonicalize: String =
+    s"""WITH u AS ($UrlSynth),
+       |m AS (SELECT doc_id,
+       |  CASE doc_id % 5
+       |    WHEN 0 THEN url
+       |    WHEN 1 THEN url || '#section2'
+       |    WHEN 2 THEN url || '?utm_source=feed&b=2&a=1'
+       |    WHEN 3 THEN url || '?z=9&utm_campaign=x&a=1#frag'
+       |    ELSE replace(url, 'https://', 'HTTPS://') || '/'
+       |  END AS url_messy FROM u),
+       |s1 AS (SELECT doc_id, url_messy,
+       |  regexp_replace(url_messy, '#.*', '') AS nofrag FROM m),
+       |s2 AS (SELECT doc_id, url_messy,
+       |  regexp_replace(nofrag, '\\?.*', '') AS base,
+       |  coalesce(regexp_extract(nofrag, '\\?(.*)', 1), '') AS query FROM s1),
+       |s3 AS (SELECT doc_id, url_messy, query,
+       |  regexp_replace(lower(regexp_extract(base,
+       |    '^([A-Za-z][A-Za-z0-9+.-]*://[^/]*)', 1)), ':(80|443)$$', '') AS auth,
+       |  regexp_replace(regexp_replace(base,
+       |    '^[A-Za-z][A-Za-z0-9+.-]*://[^/]*', ''), '/$$', '') AS path FROM s2),
+       |s4 AS (SELECT doc_id, url_messy, auth, path,
+       |  coalesce(array_to_string(list_sort(list_filter(string_split(query, '&'),
+       |    p -> NOT (p LIKE 'utm_%' OR p LIKE 'gclid=%'
+       |      OR p LIKE 'fbclid=%' OR p = ''))), '&'), '') AS q FROM s3)
+       |SELECT doc_id, url_messy,
+       |  auth || path || (CASE WHEN q = '' THEN '' ELSE '?' || q END)
+       |    AS url_canonical,
+       |  (url_messy <> auth || path ||
+       |    (CASE WHEN q = '' THEN '' ELSE '?' || q END)) AS changed
+       |FROM s4 ORDER BY doc_id""".stripMargin
+
+  /** Per-domain curation profile (mirror of Curation.domainStats
+    * quota=20; quota_util is one IEEE division of exact integers).
+    */
+  val domainStats: String =
+    s"""WITH u AS ($UrlSynth),
+       |p AS (SELECT doc_id, $UrlHost AS host FROM u),
+       |d AS (SELECT doc_id, host,
+       |  regexp_extract(host, '([^.]+\\.[^.]+)$$', 1) AS domain FROM p)
+       |SELECT domain, count(*)::BIGINT AS n_pages,
+       |  count(DISTINCT host)::BIGINT AS n_hosts,
+       |  least(count(*), 2)::BIGINT AS n_kept,
+       |  count(*)::DOUBLE / ${dlit(2.0)} AS quota_util
+       |FROM d GROUP BY domain ORDER BY domain""".stripMargin
 
   /** Best-copy exact dedup (mirror of Dedup.keepBest): the keeper is
     * the (quality_score DESC, doc_id ASC) head of each fingerprint

@@ -127,6 +127,19 @@ object ScaleSmoke {
       }
       hits.toDouble / nQ
     }
+    // recall vs the exact top-k through Knn.recallEval — the SAME
+    // operator (and driver row, ann_recall_eval) a production
+    // deployment tunes nProbe/prefilterK/band layout by, not an
+    // ad-hoc recount; inputs are the already-collected queries×k
+    // frames, so the evaluation is corpus-size-free
+    def recallVsExact(rows: Array[org.apache.spark.sql.Row]): Double = {
+      import spark.implicits._
+      def pairs(rs: Array[org.apache.spark.sql.Row]) =
+        rs.map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("cand_id"))).toSeq
+          .toDF("q_id", "cand_id")
+      Knn.recallEval(pairs(rows), pairs(bruteRows))
+        .agg(avg(col("recall"))).head().getDouble(0)
+    }
     // brute serving is O(corpus × queries); LSH serving touches only
     // ~0.5% of the corpus per query — the gap widens with batch size
     println(f"""{"corpus":$n,"queries":$nQ,"k":10,""" +
@@ -142,7 +155,12 @@ object ScaleSmoke {
       f""""planted_recall_quant":${plantedRecall(quantRows)}%.2f,""" +
       f""""planted_recall_hamming":${plantedRecall(hamRows)}%.2f,""" +
       f""""planted_recall_pq":${plantedRecall(pqRows)}%.2f,""" +
-      f""""planted_recall_pq_res":${plantedRecall(resRows)}%.2f}""")
+      f""""planted_recall_pq_res":${plantedRecall(resRows)}%.2f,""" +
+      f""""recall_vs_exact_lsh":${recallVsExact(lshRows)}%.2f,""" +
+      f""""recall_vs_exact_quant":${recallVsExact(quantRows)}%.2f,""" +
+      f""""recall_vs_exact_hamming":${recallVsExact(hamRows)}%.2f,""" +
+      f""""recall_vs_exact_pq":${recallVsExact(pqRows)}%.2f,""" +
+      f""""recall_vs_exact_pq_res":${recallVsExact(resRows)}%.2f}""")
     spark.stop()
   }
 }

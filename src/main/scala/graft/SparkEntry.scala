@@ -228,6 +228,58 @@ object SparkEntry {
         col("doc_id"), length(col("text")) + 1)),
     "sample_stratified" -> ((s, dir) =>
       graft.ops.Sampling.stratifiedSample(t(s, dir, "documents"), col("doc_id"))),
+    // URL/domain curation — the web-corpus stage BEFORE any content
+    // filter (RefinedWeb-style URL filtering): parse (pure codegen
+    // projection), per-domain quota (bounded top-k aggregate, never a
+    // rank window), broadcast blocklist anti-join with subdomain
+    // semantics, and the per-domain monitoring profile. The URL column
+    // is synthesized deterministically (testdata has none); the
+    // operators are the production ones
+    "url_domains" -> ((s, dir) =>
+      graft.ops.Curation.withUrlParts(
+          graft.ops.Curation.synthUrls(t(s, dir, "documents")), col("url"))
+        .select(col("doc_id"), col("url"), col("host"), col("domain"),
+          col("tld"), col("path"), col("path_depth"))
+        .orderBy(col("doc_id"))),
+    "domain_quota" -> ((s, dir) =>
+      graft.ops.Curation.domainQuota(
+          graft.ops.Curation.withUrlParts(
+            graft.ops.Curation.synthUrls(t(s, dir, "documents")), col("url")),
+          col("domain"), col("doc_id"), quota = 2)
+        .orderBy(col("domain"), col("rn"))),
+    "domain_blocklist" -> ((s, dir) => {
+      import s.implicits._
+      val parsed = graft.ops.Curation.withUrlParts(
+        graft.ops.Curation.synthUrls(t(s, dir, "documents")), col("url"))
+      val bl = Seq("src0.com", "src1.org", "src2.net").toDF("domain")
+      graft.ops.Curation.dropBlocklisted(parsed, col("host"), bl)
+        .select(col("doc_id"), col("host")).orderBy(col("doc_id"))
+    }),
+    // canonical URL normalization — the dedup/join key a crawl needs
+    // before quota/blocklist/dedup fire; messy variants (fragments,
+    // tracking params, unsorted queries, scheme case, trailing slash)
+    // synthesized deterministically, canonicalized by the real operator
+    "url_canonicalize" -> ((s, dir) => {
+      val u = graft.ops.Curation.synthUrls(t(s, dir, "documents"))
+      val d = col("doc_id")
+      val messy = when(d % 5 === 1, concat(col("url"), lit("#section2")))
+        .when(d % 5 === 2, concat(col("url"), lit("?utm_source=feed&b=2&a=1")))
+        .when(d % 5 === 3, concat(col("url"), lit("?z=9&utm_campaign=x&a=1#frag")))
+        .when(d % 5 === 4,
+          concat(regexp_replace(col("url"), "^https://", "HTTPS://"), lit("/")))
+        .otherwise(col("url"))
+      u.select(d, messy.as("url_messy"))
+        .withColumn("url_canonical",
+          graft.ops.Curation.canonicalizeUrl(col("url_messy")))
+        .withColumn("changed", col("url_messy") =!= col("url_canonical"))
+        .orderBy(d)
+    }),
+    "domain_stats" -> ((s, dir) =>
+      graft.ops.Curation.domainStats(
+          graft.ops.Curation.withUrlParts(
+            graft.ops.Curation.synthUrls(t(s, dir, "documents")), col("url")),
+          quota = 2)
+        .orderBy(col("domain"))),
     "sample_epoch_mix" -> ((s, dir) =>
       graft.ops.Sampling.epochMix(t(s, dir, "documents"), col("doc_id"))
         .select(col("doc_id"), col("source"), col("epoch"))
@@ -999,6 +1051,7 @@ object SparkEntry {
     "corpus_heavy_hitters" -> OracleSql.corpusHeavyHitters,
     "text_search_topk" -> OracleSql.textSearchTopK,
     "text_search_hybrid" -> OracleSql.textSearchHybrid,
+    "text_search_hybrid_indexed" -> OracleSql.textSearchHybridIndexed,
     "text_search_topk_persisted" -> OracleSql.textSearchTopK,
     "text_winnow" -> OracleSql.textWinnow,
     "text_containment" -> OracleSql.textContainment,
@@ -1018,6 +1071,11 @@ object SparkEntry {
     "sample_weighted" -> OracleSql.sampleWeighted,
     "sample_temperature" -> OracleSql.sampleTemperature,
     "sample_stratified" -> OracleSql.sampleStratified,
+    "url_domains" -> OracleSql.urlDomains,
+    "domain_quota" -> OracleSql.domainQuota,
+    "domain_blocklist" -> OracleSql.domainBlocklist,
+    "url_canonicalize" -> OracleSql.urlCanonicalize,
+    "domain_stats" -> OracleSql.domainStats,
     "sample_epoch_mix" -> OracleSql.sampleEpochMix,
     "sample_dsir" -> OracleSql.sampleDsir,
     "sample_dsir_persisted" -> OracleSql.sampleDsir,

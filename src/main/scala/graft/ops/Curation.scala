@@ -1,0 +1,156 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.GraftFunctions.hex64
+
+/** URL/domain-level corpus curation — the stage a web-corpus pipeline
+  * hits BEFORE any content filter (the RefinedWeb-style URL filtering
+  * discipline): parse the URL into host / registered domain / TLD /
+  * path, enforce per-domain quotas so no single site dominates the
+  * corpus, and drop blocklisted domains outright.
+  *
+  * Scale shape: parsing is a pure codegen projection (Spark's native
+  * `parse_url` + regexes — zero shuffle); the quota cap is the bounded
+  * [[graft.expressions.TopKByScore]] per-domain aggregate (map-side
+  * partials, ≤ quota rows per domain per partition into the shuffle —
+  * NEVER a rank window, which would sort every domain's full row set);
+  * the blocklist is a broadcast anti-join (blocklists are small by
+  * construction — even industrial ones are ≪ broadcast threshold).
+  * All three survive a 100 TB crawl unchanged.
+  *
+  * Registered-domain note: `domain` here is the last two host labels —
+  * correct for single-label public suffixes (.com/.org/...). A
+  * production deployment on real crawl data should substitute a
+  * public-suffix-list lookup (a ~10k-row broadcast join) for the
+  * 2-label rule; the quota/blocklist operators are agnostic to which.
+  */
+object Curation {
+
+  /** Parse a URL column into curation columns: `host` (authority),
+    * `domain` (last two host labels — see the registered-domain note),
+    * `tld`, `path`, `path_depth`. Pure projection; null-safe on
+    * malformed URLs (parse_url yields null, the regexes yield '').
+    */
+  def withUrlParts(df: DataFrame, url: Column): DataFrame = {
+    // try_parse_url, not parse_url: under ANSI mode (the Spark 4
+    // default) parse_url THROWS on the malformed URLs a real crawl is
+    // full of — a curation stage must flag them (null host), not die
+    val host = lower(try_parse_url(url, lit("HOST")))
+    df.withColumn("host", host)
+      .withColumn("domain", regexp_extract(col("host"), "([^.]+\\.[^.]+)$", 1))
+      .withColumn("tld", regexp_extract(col("host"), "\\.([^.]+)$", 1))
+      .withColumn("path", coalesce(try_parse_url(url, lit("PATH")), lit("")))
+      .withColumn("path_depth",
+        (size(split(col("path"), "/")) - 1).cast("long"))
+  }
+
+  /** Per-domain quota: keep at most `quota` rows per domain, selected
+    * by stable hash order of `key` (a pure function of (key, salt) —
+    * re-runs and repartitionings keep the SAME rows, and the kept set
+    * composes with any other hash-gated stage). The bounded top-k
+    * aggregate idiom: a domain with 10⁹ pages contributes `quota` rows
+    * per partition to the shuffle, not 10⁹ sorted rows.
+    * Output: one row per kept key — (domain, rn, key, sample_key);
+    * join back on the key for full rows.
+    */
+  def domainQuota(df: DataFrame, domain: Column, key: Column,
+      quota: Int = 100, salt: String = "quota"): DataFrame = {
+    require(quota > 0, s"quota=$quota must be positive")
+    val h = pmod(hex64(concat(lit(s"$salt|"), key.cast("string"))),
+      lit(graft.ops.Sampling.StratModulus))
+    df.select(domain.as("domain"), key.as("__key"), h.as("sample_key"))
+      .groupBy(col("domain"))
+      .agg(graft.GraftFunctions.top_k_by_score(
+        negate(col("sample_key").cast("double")), col("__key"), quota).as("top"))
+      .select(col("domain"), posexplode(col("top")).as(Seq("pos", "t")))
+      .select(col("domain"), (col("pos") + 1).cast("long").as("rn"),
+        col("t.id").as("key"),
+        (-col("t.score")).cast("long").as("sample_key"))
+  }
+
+  /** Drop rows whose host is a blocklisted domain OR any subdomain of
+    * one (`host == d` or `host endswith "." + d`) — the standard
+    * blocklist semantics. The blocklist frame `(domain)` is broadcast;
+    * the suffix probe is a theta anti-join against the broadcast side,
+    * O(|df| × |blocklist|) comparisons map-side — the right shape
+    * while blocklists are ≪ corpus (always). Exact-domain-only
+    * matching (no subdomains) is the `left_anti` equi-join special
+    * case; pass `includeSubdomains = false` for it.
+    */
+  def dropBlocklisted(df: DataFrame, host: Column, blocklist: DataFrame,
+      includeSubdomains: Boolean = true): DataFrame = {
+    val b = graft.ops.Broadcasting.maybeBroadcast(
+      blocklist.select(lower(col("domain")).as("__blocked")))
+    val h = lower(host)
+    if (includeSubdomains)
+      df.join(b, h === col("__blocked") ||
+        h.endsWith(concat(lit("."), col("__blocked"))), "left_anti")
+    else
+      df.join(b, h === col("__blocked"), "left_anti")
+  }
+
+  /** Per-domain curation profile over a parsed corpus: pages, docs
+    * kept under `quota`, and the quota utilization — the monitoring
+    * surface a corpus curator reads before picking quotas.
+    */
+  def domainStats(parsed: DataFrame, quota: Int = 100): DataFrame =
+    parsed.groupBy(col("domain"))
+      .agg(count(lit(1)).as("n_pages"),
+        countDistinct(col("host")).as("n_hosts"))
+      .withColumn("n_kept", least(col("n_pages"), lit(quota.toLong)))
+      .withColumn("quota_util",
+        col("n_pages").cast("double") / lit(quota.toDouble))
+
+  /** Canonical URL normalization — the dedup key of URL-level exact
+    * dedup and the quota/blocklist join key a real crawl needs before
+    * any of them fire (the same physical page arrives as `http://X`,
+    * `X/`, `X?utm_source=...`, `X#section`): lowercases the
+    * scheme+authority, strips the fragment, drops tracking parameters
+    * (`utm_*`, `gclid`, `fbclid`), sorts the surviving query
+    * parameters (order-insensitive equality), strips default ports
+    * and the trailing slash. A pure per-row projection — regexes plus
+    * array HOFs, zero shuffle, composes in front of
+    * [[graft.dedup.Dedup]]'s exact dedup as `canonical_url` the way
+    * `fingerprint` composes for content.
+    */
+  def canonicalizeUrl(url: Column): Column = {
+    val noFrag = regexp_replace(url, "#.*", "")
+    val base = regexp_replace(noFrag, "\\?.*", "")
+    val query = regexp_extract(noFrag, "\\?(.*)", 1)
+    val auth = regexp_extract(base, "^([A-Za-z][A-Za-z0-9+.-]*://[^/]*)", 1)
+    val path = regexp_replace(base, "^[A-Za-z][A-Za-z0-9+.-]*://[^/]*", "")
+    val cleanAuth = regexp_replace(lower(auth), ":(80|443)$", "")
+    val cleanPath = regexp_replace(path, "/$", "")
+    val params = filter(split(query, "&"), p =>
+      !(p.startsWith("utm_") || p.startsWith("gclid=") ||
+        p.startsWith("fbclid=") || p === ""))
+    val q = array_join(array_sort(params), "&")
+    concat(cleanAuth, cleanPath,
+      when(q === "", lit("")).otherwise(concat(lit("?"), q)))
+  }
+
+  /** Deterministic URL corpus over the documents table — the synth
+    * convention of [[graft.multimodal.Binary.Bmp.synthFromDocs]]: the
+    * testdata has no URL column, so one is derived as a pure function
+    * of (doc_id, source) exercising subdomains, three TLDs, and
+    * variable path depth. Every curation operator downstream is the
+    * real production operator; only this column is synthetic.
+    */
+  def synthUrls(docs: DataFrame): DataFrame = {
+    val d = col("doc_id")
+    // host variety lives in the SUBDOMAIN (7 of them) so the
+    // registered-domain space stays coarse (20 sources × 3 TLDs = 60
+    // domains) — at 500 test docs a domain holds ~8 pages and the
+    // quota/blocklist stages actually bind in the gate
+    val sub = element_at(array(lit(""), lit("www."), lit("cdn."), lit("m."),
+      lit("a."), lit("b."), lit("c.")), (d % 7 + 1).cast("int"))
+    val tld = element_at(array(lit("com"), lit("org"), lit("net")),
+      (expr("(doc_id div 3) % 3") + 1).cast("int"))
+    docs.withColumn("url",
+      concat(lit("https://"), sub, col("source"), lit("."), tld,
+        expr("repeat('/s', cast(doc_id % 4 as int))"),
+        lit("/doc"), d.cast("string")))
+  }
+}

@@ -1,0 +1,132 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.Curation
+
+class CurationSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("withUrlParts: hand-written URLs parse; malformed URLs stay null-safe") {
+    val urls = Seq(
+      (1L, "https://www.example.com/a/b/c"),
+      (2L, "http://cdn.news.site.org/x"),
+      (3L, "https://plain.net/"),
+      (4L, "https://UPPER.Example.COM/Path"),
+      (5L, "not a url at all")).toDF("doc_id", "url")
+    val got = Curation.withUrlParts(urls, col("url")).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(got(1L).getAs[String]("host") === "www.example.com")
+    assert(got(1L).getAs[String]("domain") === "example.com")
+    assert(got(1L).getAs[String]("tld") === "com")
+    assert(got(1L).getAs[String]("path") === "/a/b/c")
+    assert(got(1L).getAs[Long]("path_depth") === 3L)
+    // deep subdomain: registered domain is still the last two labels
+    assert(got(2L).getAs[String]("domain") === "site.org")
+    assert(got(2L).getAs[Long]("path_depth") === 1L)
+    assert(got(3L).getAs[String]("host") === "plain.net")
+    assert(got(3L).getAs[Long]("path_depth") === 1L) // trailing slash
+    // hosts are case-normalized (the blocklist/quota join key)
+    assert(got(4L).getAs[String]("host") === "upper.example.com")
+    // malformed: parse_url yields null host, regexes don't throw
+    assert(got(5L).isNullAt(got(5L).fieldIndex("host")))
+  }
+
+  test("domainQuota: giant domain capped at quota; stable under repartitioning; window-free") {
+    // planted skew: domain "big.com" holds 1000 of 1010 rows
+    val rows = (0L until 1000L).map(i => (i, "big.com")) ++
+      (1000L until 1010L).map(i => (i, s"small${i % 5}.org"))
+    val df = rows.toDF("doc_id", "domain")
+    val kept = Curation.domainQuota(df, col("domain"), col("doc_id"), quota = 7)
+    val byDomain = kept.groupBy(col("domain")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getAs[String]("domain") -> r.getAs[Long]("n")).toMap
+    assert(byDomain("big.com") === 7L, "giant domain must be capped at the quota")
+    assert(byDomain.filter(_._1.startsWith("small")).values.forall(_ <= 7L))
+    assert(byDomain.values.sum === 7L + 10L)
+    // membership is a pure function of (key, salt): same rows kept
+    // regardless of physical layout
+    val again = Curation.domainQuota(df.repartition(13), col("domain"),
+      col("doc_id"), quota = 7).collect().map(_.toString).sorted.toSeq
+    assert(again === kept.collect().map(_.toString).sorted.toSeq)
+    // bounded top-k aggregate, not a rank window
+    val phys = kept.queryExecution.executedPlan.toString
+    assert(!phys.contains("Window"), s"domainQuota routes through a window:\n$phys")
+  }
+
+  test("dropBlocklisted: exact + subdomain semantics; equi-only mode keeps subdomains") {
+    val pages = Seq(
+      (1L, "bad.com"), (2L, "www.bad.com"), (3L, "cdn.api.bad.com"),
+      (4L, "notbad.com"), (5L, "bad.com.evil.net"), (6L, "good.org"))
+      .toDF("doc_id", "host")
+    val bl = Seq("bad.com").toDF("domain")
+    val kept = Curation.dropBlocklisted(pages, col("host"), bl)
+      .select(col("doc_id")).collect().map(_.getLong(0)).sorted.toSeq
+    // 1 exact, 2/3 subdomains dropped; 4 is a different registered
+    // domain (suffix match is label-aligned via the "." anchor); 5's
+    // host merely CONTAINS bad.com — kept
+    assert(kept === Seq(4L, 5L, 6L))
+    val keptExact = Curation.dropBlocklisted(pages, col("host"), bl,
+      includeSubdomains = false)
+      .select(col("doc_id")).collect().map(_.getLong(0)).sorted.toSeq
+    assert(keptExact === Seq(2L, 3L, 4L, 5L, 6L))
+  }
+
+  test("domainStats: counts, host cardinality, quota utilization") {
+    val pages = Seq(
+      (1L, "a.com", "www.a.com"), (2L, "a.com", "a.com"), (3L, "a.com", "www.a.com"),
+      (4L, "b.org", "b.org")).toDF("doc_id", "domain", "host")
+    val got = Curation.domainStats(pages, quota = 2).collect()
+      .map(r => r.getAs[String]("domain") -> r).toMap
+    assert(got("a.com").getAs[Long]("n_pages") === 3L)
+    assert(got("a.com").getAs[Long]("n_hosts") === 2L)
+    assert(got("a.com").getAs[Long]("n_kept") === 2L)
+    assert(got("a.com").getAs[Double]("quota_util") === 1.5)
+    assert(got("b.org").getAs[Long]("n_kept") === 1L)
+  }
+
+  test("canonicalizeUrl: fragment/tracking/sort/port/slash/case normalize; idempotent") {
+    val urls = Seq(
+      (1L, "HTTPS://WWW.Example.COM:443/Path/"),
+      (2L, "https://a.com/p?utm_source=x&b=2&a=1#frag"),
+      (3L, "http://a.com:80/p?z=1&gclid=abc&fbclid=def"),
+      (4L, "https://a.com/p?b=2&a=1"),
+      (5L, "https://a.com/p?a=1&b=2"),
+      (6L, "https://a.com/"),
+      (7L, "https://a.com/clean?x=1")).toDF("doc_id", "url")
+    val got = urls.withColumn("c", Curation.canonicalizeUrl(col("url")))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("c")).toMap
+    // authority lowercased (path case preserved), :443 + trailing slash gone
+    assert(got(1L) === "https://www.example.com/Path")
+    // tracking params dropped, survivors sorted, fragment gone
+    assert(got(2L) === "https://a.com/p?a=1&b=2")
+    assert(got(3L) === "http://a.com/p?z=1")
+    // param ORDER no longer distinguishes the same page
+    assert(got(4L) === got(5L))
+    // root URL: trailing slash strips to the bare authority
+    assert(got(6L) === "https://a.com")
+    assert(got(7L) === "https://a.com/clean?x=1")
+    // idempotent: canonical of canonical is itself
+    val twice = urls.withColumn("c", Curation.canonicalizeUrl(
+      Curation.canonicalizeUrl(col("url")))).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("c")).toMap
+    assert(twice === got)
+  }
+
+  test("synthUrls ∘ withUrlParts: parse recovers the synthesis formulas") {
+    val docs = Seq((0L, "t", "src0"), (8L, "t", "src8"), (11L, "t", "src11"))
+      .toDF("doc_id", "text", "source")
+    val got = Curation.withUrlParts(Curation.synthUrls(docs), col("url"))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    // doc 0: 0%7=0 → bare host, (0 div 3)%3=0 → com, 0%4=0 segs
+    assert(got(0L).getAs[String]("host") === "src0.com")
+    assert(got(0L).getAs[String]("path") === "/doc0")
+    // doc 8: 8%7=1 → www., (8 div 3)%3=2 → net, 8%4=0 segs
+    assert(got(8L).getAs[String]("host") === "www.src8.net")
+    assert(got(8L).getAs[String]("path") === "/doc8")
+    // doc 11: 11%7=4 → a., (11 div 3)%3=0 → com, 11%4=3 segs
+    assert(got(11L).getAs[String]("host") === "a.src11.com")
+    assert(got(11L).getAs[String]("domain") === "src11.com")
+    assert(got(11L).getAs[String]("path") === "/s/s/s/doc11")
+    assert(got(11L).getAs[Long]("path_depth") === 4L)
+  }
+}

@@ -1289,4 +1289,51 @@ class TextKnnSpec extends SparkSpec {
       .agg(sum(col("n_pii"))).head.getLong(0)
     assert(residual === 0L)
   }
+
+  test("hybridSearchTopKOnIndexes: probe-every-cell ≡ independently fused exact ranks") {
+    import graft.text.SearchIndex
+    val terms = TextAnalysis.Bm25Terms
+    // in-memory index pair (the save/load round trip is covered by its
+    // own specs; this one pins the SERVING semantics)
+    val docLens = docs.select(col("doc_id"),
+      size(GraftFunctions.tokens(col("text"))).cast("long").as("dl"))
+    val lexIdx = SearchIndex.TextIndex(
+      TextAnalysis.invertedIndex(docs), docLens,
+      docLens.count(), docLens.agg(sum("dl")).head().getLong(0),
+      TextAnalysis.DefaultMaxTokenDf)
+    val vecs = TextAnalysis.hashEmbedVectors(docs)
+      .select(col("doc_id").as("vec_id"), col("embedding"))
+    val cents = vecs.filter(col("vec_id") < 8)
+    val cells = graft.ann.Ivf.assign(vecs, cents)
+      .join(vecs.select(col("vec_id"), col("embedding")), Seq("vec_id"))
+    val got = TextAnalysis.hybridSearchTopKOnIndexes(lexIdx, cells, cents,
+      terms, k = 10, kEach = 20, nProbe = 8).collect()
+
+    // independent recount: probing every one of the 8 cells makes the
+    // semantic side the exact dense cosine ranking; fuse by hand
+    val lexRanks = SearchIndex.searchTopK(lexIdx, terms, 20).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Double]("score")))
+      .sortBy { case (id, s) => (-s, id) }
+      .zipWithIndex.map { case ((id, _), i) => id -> (i + 1L) }.toMap
+    val qVec = TextAnalysis.hashEmbedVectors(
+      Seq((TextAnalysis.HybridQueryDocId, terms.mkString(" "))).toDF("doc_id", "text"))
+      .select(col("doc_id").as("vec_id"), col("embedding"))
+    val vecRanks = Knn.cosineTopK(vecs, qVec, 20).collect()
+      .map(r => (r.getAs[Long]("cand_id"), r.getAs[Long]("rn"))).toMap
+    val rrf = (lexRanks.keySet ++ vecRanks.keySet).toSeq.map { id =>
+      id -> (lexRanks.get(id).map(r => 1.0 / (60.0 + r)).getOrElse(0.0) +
+        vecRanks.get(id).map(r => 1.0 / (60.0 + r)).getOrElse(0.0))
+    }.sortBy { case (id, s) => (-s, id) }.take(10)
+    assert(got.map(_.getAs[Long]("doc_id")).toSeq === rrf.map(_._1))
+    got.foreach { r =>
+      val expect = rrf.find(_._1 == r.getAs[Long]("doc_id")).get._2
+      assert(r.getAs[Double]("rrf_score") === expect,
+        s"doc ${r.getAs[Long]("doc_id")}")
+    }
+    // a small-nProbe serve stays within the same candidate universe
+    // (cell-confined ⊆ corpus) and returns k rows
+    val narrow = TextAnalysis.hybridSearchTopKOnIndexes(lexIdx, cells, cents,
+      terms, k = 10, kEach = 20, nProbe = 2).collect()
+    assert(narrow.length === 10)
+  }
 }
