@@ -2575,6 +2575,50 @@ object OracleSql {
        |    (CASE WHEN q = '' THEN '' ELSE '?' || q END)) AS changed
        |FROM s4 ORDER BY doc_id""".stripMargin
 
+  /** Token-level content blocklist (mirror of Curation.blocklistTerms
+    * over ['slow','merge','window'], maxHits=2): list_filter against
+    * the literal wordlist, distinct via list_distinct — pure per-row,
+    * no join in either engine.
+    */
+  val textWordBlocklist: String =
+    s"""WITH t AS (SELECT doc_id, $Toks AS toks FROM documents),
+       |f AS (SELECT doc_id,
+       |  list_filter(toks, x -> list_contains(['slow', 'merge', 'window'], x)) AS hits
+       |  FROM t)
+       |SELECT doc_id, len(hits)::BIGINT AS n_blocked_hits,
+       |  len(list_distinct(hits))::BIGINT AS n_blocked_distinct,
+       |  (len(hits) <= 2) AS keep
+       |FROM f ORDER BY doc_id""".stripMargin
+
+  /** Line-level boilerplate strip (mirror of Boilerplate
+    * .stripBoilerplate over synthBoilerplate, minDf=5, group=source):
+    * per-(source, line-hash) doc frequency, boilerplate = df ≥ 5,
+    * survivors re-joined positionally — string_agg ORDER BY pos skips
+    * the CASE's NULLs exactly as collect_list does.
+    */
+  val textStripBoilerplate: String =
+    s"""WITH b AS (SELECT doc_id, source,
+       |  'NAV home about contact ' || source || chr(10) ||
+       |  (CASE WHEN doc_id % 3 = 0
+       |    THEN 'PROMO subscribe now ' || source || chr(10) ELSE '' END) ||
+       |  text || chr(10) || 'FOOTER copyright example inc' AS text
+       |  FROM documents),
+       |p AS (SELECT doc_id, source AS grp,
+       |  string_split(text, chr(10)) AS parts FROM b),
+       |l AS (SELECT doc_id, grp, unnest(parts) AS line,
+       |  generate_subscripts(parts, 1) - 1 AS pos FROM p),
+       |h AS (SELECT doc_id, grp, pos, line,
+       |  ${hex64("'bp|'||line")} AS line_hash FROM l),
+       |df AS (SELECT grp, line_hash, count(DISTINCT doc_id) AS line_df
+       |  FROM h GROUP BY 1, 2)
+       |SELECT h.doc_id, count(*)::BIGINT AS n_lines,
+       |  sum(CASE WHEN df.line_df >= 5 THEN 1 ELSE 0 END)::BIGINT
+       |    AS n_boiler_removed,
+       |  coalesce(string_agg(CASE WHEN df.line_df < 5 THEN h.line END,
+       |    chr(10) ORDER BY h.pos), '') AS clean_text
+       |FROM h JOIN df ON df.grp = h.grp AND df.line_hash = h.line_hash
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** Per-domain curation profile (mirror of Curation.domainStats
     * quota=20; quota_util is one IEEE division of exact integers).
     */

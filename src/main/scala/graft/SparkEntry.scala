@@ -274,6 +274,24 @@ object SparkEntry {
         .withColumn("changed", col("url_messy") =!= col("url_canonical"))
         .orderBy(d)
     }),
+    // content blocklist: token-level wordlist filter as a pure
+    // map-side projection — the blocklist rides the plan as an array
+    // literal, no join, no shuffle (the content twin of the domain
+    // blocklist); maxHits=2 tolerates incidental mentions
+    "text_word_blocklist" -> ((s, dir) =>
+      graft.ops.Curation.blocklistTerms(t(s, dir, "documents"),
+          Seq("slow", "merge", "window"), maxHits = 2)
+        .orderBy(col("doc_id"))),
+    // line-level boilerplate strip (CCNet/RefinedWeb cleaning stage):
+    // nav/footer lines repeat verbatim across a site's pages — strip
+    // lines with doc-frequency ≥ 5 WITHIN the source group, reassemble
+    // survivors positionally; header/footer/promo structure is
+    // synthesized (testdata pages are single-line), the operator is real
+    "text_strip_boilerplate" -> ((s, dir) =>
+      graft.text.Boilerplate.stripBoilerplate(
+          graft.text.Boilerplate.synthBoilerplate(t(s, dir, "documents")),
+          col("source"))
+        .orderBy(col("doc_id"))),
     "domain_stats" -> ((s, dir) =>
       graft.ops.Curation.domainStats(
           graft.ops.Curation.withUrlParts(
@@ -1075,6 +1093,8 @@ object SparkEntry {
     "domain_quota" -> OracleSql.domainQuota,
     "domain_blocklist" -> OracleSql.domainBlocklist,
     "url_canonicalize" -> OracleSql.urlCanonicalize,
+    "text_strip_boilerplate" -> OracleSql.textStripBoilerplate,
+    "text_word_blocklist" -> OracleSql.textWordBlocklist,
     "domain_stats" -> OracleSql.domainStats,
     "sample_epoch_mix" -> OracleSql.sampleEpochMix,
     "sample_dsir" -> OracleSql.sampleDsir,

@@ -131,6 +131,31 @@ object Curation {
       when(q === "", lit("")).otherwise(concat(lit("?"), q)))
   }
 
+  /** Token-level content blocklist — the content twin of
+    * [[dropBlocklisted]] (NSFW/spam wordlist filtering, the RefinedWeb
+    * content-filter stage): count blocked-token occurrences per
+    * document and keep documents at or under `maxHits`. TOKEN-level
+    * matching (not substring) sidesteps the classic embedded-word
+    * false positives. A pure map-side projection: the blocklist rides
+    * the plan as an array literal (wordlists are ≤ thousands of
+    * entries), so there is NO join and NO shuffle at all — the ideal
+    * 100 TB filter shape.
+    * Output: (doc_id, n_blocked_hits, n_blocked_distinct, keep).
+    */
+  def blocklistTerms(docs: DataFrame, terms: Seq[String],
+      maxHits: Int = 0): DataFrame = {
+    require(terms.nonEmpty, "empty blocklist: nothing to filter")
+    val blocked = array(terms.map(lit(_)): _*)
+    docs
+      .select(col("doc_id"),
+        filter(graft.GraftFunctions.tokens(col("text")),
+          t => array_contains(blocked, t)).as("hits"))
+      .select(col("doc_id"),
+        size(col("hits")).cast("long").as("n_blocked_hits"),
+        size(array_distinct(col("hits"))).cast("long").as("n_blocked_distinct"))
+      .withColumn("keep", col("n_blocked_hits") <= maxHits)
+  }
+
   /** Deterministic URL corpus over the documents table — the synth
     * convention of [[graft.multimodal.Binary.Bmp.synthFromDocs]]: the
     * testdata has no URL column, so one is derived as a pure function

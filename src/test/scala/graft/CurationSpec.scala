@@ -112,6 +112,57 @@ class CurationSpec extends SparkSpec {
     assert(twice === got)
   }
 
+  test("blocklistTerms: token-level hits, embedded words spared, zero-shuffle plan") {
+    val docs = Seq(
+      (1L, "the slow slow merge of things"),
+      (2L, "clean text here"),
+      (3L, "slowly merging windowless"), // embedded words must NOT hit
+      (4L, "slow merge window")).toDF("doc_id", "text")
+    val got = Curation.blocklistTerms(docs, Seq("slow", "merge", "window"),
+      maxHits = 2)
+    val m = got.collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(m(1L).getAs[Long]("n_blocked_hits") === 3L)
+    assert(m(1L).getAs[Long]("n_blocked_distinct") === 2L)
+    assert(!m(1L).getAs[Boolean]("keep"))
+    assert(m(2L).getAs[Long]("n_blocked_hits") === 0L && m(2L).getAs[Boolean]("keep"))
+    assert(m(3L).getAs[Long]("n_blocked_hits") === 0L,
+      "token-level matching must spare embedded words")
+    assert(m(4L).getAs[Long]("n_blocked_hits") === 3L && !m(4L).getAs[Boolean]("keep"))
+    // the wordlist is a plan literal: no join, no exchange anywhere
+    val phys = got.queryExecution.executedPlan.toString
+    assert(!phys.contains("Exchange") && !phys.contains("Join"),
+      s"blocklistTerms must be map-only:\n$phys")
+  }
+
+  test("stripBoilerplate: intra-group repeated lines stripped; body reassembles positionally") {
+    import graft.text.Boilerplate
+    val docs = ((1L to 6L).map(i =>
+      (i, "A", s"HEADER\nbody $i line one\nmid $i\nFOOTER")) ++ Seq(
+      (7L, "A", "HEADER\nFOOTER"), // pure-boilerplate page
+      (10L, "B", "shared\nuniq10"), // df=2 < minDf — kept
+      (11L, "B", "shared\nuniq11"))).toDF("doc_id", "source", "text")
+    val got = Boilerplate.stripBoilerplate(docs, col("source"), minDf = 5)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(got(1L).getAs[String]("clean_text") === "body 1 line one\nmid 1")
+    assert(got(1L).getAs[Long]("n_lines") === 4L)
+    assert(got(1L).getAs[Long]("n_boiler_removed") === 2L)
+    // the pure-boilerplate page empties (downstream length filter's job)
+    assert(got(7L).getAs[String]("clean_text") === "")
+    assert(got(7L).getAs[Long]("n_boiler_removed") === 2L)
+    // group B's shared line is below the threshold — intra-group df,
+    // not corpus-wide, decides
+    assert(got(10L).getAs[String]("clean_text") === "shared\nuniq10")
+    assert(got(10L).getAs[Long]("n_boiler_removed") === 0L)
+    // partition-layout free
+    val again = Boilerplate.stripBoilerplate(docs.repartition(7), col("source"), minDf = 5)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("clean_text")).toMap
+    assert(again === got.view.mapValues(_.getAs[String]("clean_text")).toMap)
+    // no rank window in the plan (count + semi filter + reassembly only)
+    val phys = Boilerplate.stripBoilerplate(docs, col("source"), minDf = 5)
+      .queryExecution.executedPlan.toString
+    assert(!phys.contains("Window"), s"boilerplate strip plans a window:\n$phys")
+  }
+
   test("synthUrls ∘ withUrlParts: parse recovers the synthesis formulas") {
     val docs = Seq((0L, "t", "src0"), (8L, "t", "src8"), (11L, "t", "src11"))
       .toDF("doc_id", "text", "source")
