@@ -170,12 +170,23 @@ object Graph {
     */
   def personalizedPageRankQuery(lineitem: DataFrame, iterations: Int = 10,
       nSeeds: Int = 20, k: Int = 50): DataFrame = {
+    // the co-purchase self-join feeds TWO consumers (the seed pick and
+    // the iteration loop) — cache it for the operator's scope or the
+    // lineitem pair explosion runs twice (measured ~3 s of the row)
     val edges = coPurchaseEdges(lineitem)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // materialize BEFORE deriving seeds: the seed pick runs as a
+    // broadcast job ahead of the main job, so a lazy cache would be
+    // cold when it reads — both consumers must find the blocks ready
+    edges.count()
     val seeds = edges.select(col("src").as("node")).distinct()
       .orderBy(col("node")).limit(nSeeds)
-    personalizedPageRank(edges, seeds, iterations)
+    val ranked = personalizedPageRank(edges, seeds, iterations)
       .filter(col("rank_fp") > 0)
       .orderBy(col("rank_fp").desc, col("node")).limit(k)
+    // personalizedPageRank's result is already materialized (its own
+    // cache scope closed), so the edge cache can release immediately
+    Caching.materialized(ranked) { edges.unpersist(false) }
   }
 
   private def releaseCheckpoint(df: DataFrame): Unit =
