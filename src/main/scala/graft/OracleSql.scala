@@ -2575,6 +2575,55 @@ object OracleSql {
        |    (CASE WHEN q = '' THEN '' ELSE '?' || q END)) AS changed
        |FROM s4 ORDER BY doc_id""".stripMargin
 
+  /** Composed URL-curation pipeline (mirror of Curation.curateCorpus
+    * over collision-planted messy synth URLs): every determinant is a
+    * closed-form function of the quotient key `k = doc_id div 2 · 2`
+    * (so consecutive docs collide on canonical URL when their messy
+    * variants carry no surviving query), the canonical URL is written
+    * directly from the synthesis+canonicalization algebra, and each
+    * stage flag is its own proven chain (quota rank window, min-keeper
+    * per canonical, list_filter wordlist, blocklist lambda).
+    */
+  val pipelineCurate: String =
+    s"""WITH kk AS (SELECT doc_id, text, (doc_id // 2) * 2 AS k FROM documents),
+       |u AS (SELECT doc_id, text, k,
+       |  (CASE k % 7 WHEN 0 THEN '' WHEN 1 THEN 'www.' WHEN 2 THEN 'cdn.'
+       |    WHEN 3 THEN 'm.' WHEN 4 THEN 'a.' WHEN 5 THEN 'b.' ELSE 'c.' END) AS sub,
+       |  'src' || (k % 20)::VARCHAR AS src2,
+       |  (CASE (k // 3) % 3 WHEN 0 THEN 'com' WHEN 1 THEN 'org' ELSE 'net' END) AS tld
+       |  FROM kk),
+       |p AS (SELECT doc_id, text,
+       |  sub || src2 || '.' || tld AS host,
+       |  src2 || '.' || tld AS domain,
+       |  'https://' || sub || src2 || '.' || tld ||
+       |    repeat('/s', (k % 4)::INT) || '/doc' || k::VARCHAR ||
+       |    (CASE doc_id % 5 WHEN 2 THEN '?a=1&b=2' WHEN 3 THEN '?a=1&z=9'
+       |      ELSE '' END) AS canonical_url
+       |  FROM u),
+       |q AS (SELECT doc_id, domain,
+       |  row_number() OVER (PARTITION BY domain ORDER BY
+       |    ${hex64("'quota|'||CAST(doc_id AS VARCHAR)")} % ${graft.ops.Sampling.StratModulus},
+       |    doc_id) AS rn FROM p),
+       |urlk AS (SELECT canonical_url, min(doc_id) AS keeper FROM p GROUP BY 1),
+       |c AS (SELECT doc_id,
+       |  len(list_filter($Toks, x -> list_contains(['slow', 'merge', 'window'], x)))::BIGINT
+       |    AS n_blocked_hits FROM documents)
+       |SELECT p.doc_id, p.host, p.domain, p.canonical_url,
+       |  (len(list_filter(['src0.com', 'src1.org', 'src2.net'],
+       |    bd -> p.host = bd OR p.host LIKE '%.' || bd)) > 0) AS domain_blocked,
+       |  (q.rn <= 5) AS quota_keep,
+       |  (p.doc_id = urlk.keeper) AS url_keep,
+       |  c.n_blocked_hits, (c.n_blocked_hits <= 2) AS content_keep,
+       |  (NOT (len(list_filter(['src0.com', 'src1.org', 'src2.net'],
+       |      bd -> p.host = bd OR p.host LIKE '%.' || bd)) > 0)
+       |    AND q.rn <= 5 AND p.doc_id = urlk.keeper
+       |    AND c.n_blocked_hits <= 2) AS keep
+       |FROM p
+       |JOIN q ON q.doc_id = p.doc_id
+       |JOIN urlk ON urlk.canonical_url = p.canonical_url
+       |JOIN c ON c.doc_id = p.doc_id
+       |ORDER BY p.doc_id""".stripMargin
+
   /** Token-level content blocklist (mirror of Curation.blocklistTerms
     * over ['slow','merge','window'], maxHits=2): list_filter against
     * the literal wordlist, distinct via list_distinct — pure per-row,

@@ -274,6 +274,28 @@ object SparkEntry {
         .withColumn("changed", col("url_messy") =!= col("url_canonical"))
         .orderBy(d)
     }),
+    // the composed URL-curation decision: parse → canonicalize →
+    // domain blocklist → per-domain quota → canonical-URL dedup →
+    // content wordlist, one auditable flag row per doc (every stage
+    // its own flag, keep = conjunction); URL determinants keyed on
+    // doc_id div 2 so consecutive docs plant canonical collisions,
+    // messy variants exercise canonicalization INSIDE the pipeline
+    "pipeline_curate" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val k = expr("(doc_id div 2) * 2")
+      val withUrl = graft.ops.Curation.synthUrls(docs, key = k,
+        sourceOf = Some(concat(lit("src"), pmod(k, lit(20L)).cast("string"))))
+      val d = col("doc_id")
+      val messy = when(d % 5 === 1, concat(col("url"), lit("#section2")))
+        .when(d % 5 === 2, concat(col("url"), lit("?utm_source=feed&b=2&a=1")))
+        .when(d % 5 === 3, concat(col("url"), lit("?z=9&utm_campaign=x&a=1#frag")))
+        .when(d % 5 === 4,
+          concat(regexp_replace(col("url"), "^https://", "HTTPS://"), lit("/")))
+        .otherwise(col("url"))
+      graft.ops.Curation.curateCorpus(withUrl.withColumn("url", messy), col("url"),
+        Seq("src0.com", "src1.org", "src2.net"),
+        Seq("slow", "merge", "window"), quota = 5, maxHits = 2)
+    }),
     // content blocklist: token-level wordlist filter as a pure
     // map-side projection — the blocklist rides the plan as an array
     // literal, no join, no shuffle (the content twin of the domain
@@ -1095,6 +1117,7 @@ object SparkEntry {
     "url_canonicalize" -> OracleSql.urlCanonicalize,
     "text_strip_boilerplate" -> OracleSql.textStripBoilerplate,
     "text_word_blocklist" -> OracleSql.textWordBlocklist,
+    "pipeline_curate" -> OracleSql.pipelineCurate,
     "domain_stats" -> OracleSql.domainStats,
     "sample_epoch_mix" -> OracleSql.sampleEpochMix,
     "sample_dsir" -> OracleSql.sampleDsir,

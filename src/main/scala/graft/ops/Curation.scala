@@ -156,6 +156,55 @@ object Curation {
       .withColumn("keep", col("n_blocked_hits") <= maxHits)
   }
 
+  /** The composed URL-curation decision — every stage of the
+    * RefinedWeb-style URL pipeline as ONE auditable per-document row
+    * (the [[graft.ops.Pipeline.cleanCorpus]] discipline: signals are
+    * policy-combinable FLAGS, not sequential filters, so each stage
+    * stays individually auditable and they share one pass):
+    * parse → canonicalize → domain blocklist flag → per-domain quota
+    * flag → canonical-URL exact-dedup flag → content-wordlist flag,
+    * `keep` = the conjunction.
+    *
+    * Scale shape: parse/canonicalize/blocklist/content are all pure
+    * map-side projections over ONE cached pass (blocklists ride the
+    * plan as array literals — no joins); the quota flag is the bounded
+    * top-k aggregate joined back on doc_id; the URL-dedup flag is a
+    * `min(doc_id)` partial aggregation per canonical URL joined back
+    * on its own grouping key — the `dedup_exact` shape with
+    * `canonical_url` as the fingerprint. No windows anywhere.
+    */
+  def curateCorpus(docs: DataFrame, url: Column,
+      blockedDomains: Seq[String], blockedTerms: Seq[String],
+      quota: Int = 5, maxHits: Int = 2): DataFrame = {
+    val parsed = withUrlParts(docs.withColumn("__url", url), col("__url"))
+      .withColumn("canonical_url", canonicalizeUrl(col("__url")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val blockedArr = array(blockedDomains.map(lit(_)): _*)
+    val flags = parsed.withColumn("domain_blocked",
+      exists(blockedArr, d =>
+        col("host") === d || col("host").endsWith(concat(lit("."), d))))
+    val quotaKeys = domainQuota(parsed, col("domain"), col("doc_id"), quota)
+      .select(col("key").as("doc_id"), lit(true).as("quota_keep"))
+    val urlKeepers = parsed.groupBy(col("canonical_url"))
+      .agg(min(col("doc_id")).as("__url_keeper"))
+    val content = blocklistTerms(parsed, blockedTerms, maxHits)
+      .select(col("doc_id"), col("n_blocked_hits"),
+        col("keep").as("content_keep"))
+    val out = flags
+      .join(quotaKeys, Seq("doc_id"), "left")
+      .withColumn("quota_keep", coalesce(col("quota_keep"), lit(false)))
+      .join(urlKeepers, Seq("canonical_url"))
+      .withColumn("url_keep", col("doc_id") === col("__url_keeper"))
+      .join(content, Seq("doc_id"))
+      .select(col("doc_id"), col("host"), col("domain"), col("canonical_url"),
+        col("domain_blocked"), col("quota_keep"), col("url_keep"),
+        col("n_blocked_hits"), col("content_keep"),
+        (!col("domain_blocked") && col("quota_keep") && col("url_keep") &&
+          col("content_keep")).as("keep"))
+      .orderBy(col("doc_id"))
+    Caching.materialized(out) { parsed.unpersist(false) }
+  }
+
   /** Deterministic URL corpus over the documents table — the synth
     * convention of [[graft.multimodal.Binary.Bmp.synthFromDocs]]: the
     * testdata has no URL column, so one is derived as a pure function
@@ -163,19 +212,27 @@ object Curation {
     * variable path depth. Every curation operator downstream is the
     * real production operator; only this column is synthetic.
     */
-  def synthUrls(docs: DataFrame): DataFrame = {
-    val d = col("doc_id")
+  def synthUrls(docs: DataFrame, key: Column = col("doc_id"),
+      sourceOf: Option[Column] = None): DataFrame = {
     // host variety lives in the SUBDOMAIN (7 of them) so the
     // registered-domain space stays coarse (20 sources × 3 TLDs = 60
     // domains) — at 500 test docs a domain holds ~8 pages and the
-    // quota/blocklist stages actually bind in the gate
+    // quota/blocklist stages actually bind in the gate. Every URL
+    // determinant is a pure function of `key` (default: doc_id) —
+    // passing a quotient key (e.g. `doc_id div 2 * 2` with the
+    // matching sourceOf) plants EXACT URL collisions for the
+    // URL-dedup stage to find.
+    val staged = docs.withColumn("__k", key.cast("long"))
+    val k = col("__k")
     val sub = element_at(array(lit(""), lit("www."), lit("cdn."), lit("m."),
-      lit("a."), lit("b."), lit("c.")), (d % 7 + 1).cast("int"))
+      lit("a."), lit("b."), lit("c.")), (k % 7 + 1).cast("int"))
     val tld = element_at(array(lit("com"), lit("org"), lit("net")),
-      (expr("(doc_id div 3) % 3") + 1).cast("int"))
-    docs.withColumn("url",
-      concat(lit("https://"), sub, col("source"), lit("."), tld,
-        expr("repeat('/s', cast(doc_id % 4 as int))"),
-        lit("/doc"), d.cast("string")))
+      (expr("(__k div 3) % 3") + 1).cast("int"))
+    val host = sourceOf.getOrElse(col("source"))
+    staged.withColumn("url",
+      concat(lit("https://"), sub, host, lit("."), tld,
+        expr("repeat('/s', cast(__k % 4 as int))"),
+        lit("/doc"), k.cast("string")))
+      .drop("__k")
   }
 }

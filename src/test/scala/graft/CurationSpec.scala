@@ -163,6 +163,37 @@ class CurationSpec extends SparkSpec {
     assert(!phys.contains("Window"), s"boilerplate strip plans a window:\n$phys")
   }
 
+  test("curateCorpus: each stage flags independently; keep is the conjunction") {
+    val docs = Seq(
+      // blocked domain (exact)
+      (1L, "https://bad.com/x", "clean text"),
+      // blocked via subdomain
+      (2L, "https://www.bad.com/y", "clean text"),
+      // url-dup pair: 3 keeps (min id), 4 loses — canonicalization
+      // must unify the tracking-param variant first
+      (3L, "https://ok.org/page", "clean text"),
+      (4L, "https://ok.org/page?utm_source=x#f", "clean text"),
+      // content-blocked
+      (5L, "https://ok.org/other", "bad bad bad words"),
+      // survivor
+      (6L, "https://fine.net/a", "clean text here")).toDF("doc_id", "url", "text")
+    val got = graft.ops.Curation.curateCorpus(docs, col("url"),
+      blockedDomains = Seq("bad.com"), blockedTerms = Seq("bad"),
+      quota = 10, maxHits = 2)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(got(1L).getAs[Boolean]("domain_blocked") && !got(1L).getAs[Boolean]("keep"))
+    assert(got(2L).getAs[Boolean]("domain_blocked"))
+    assert(got(3L).getAs[Boolean]("url_keep") && got(3L).getAs[Boolean]("keep"))
+    assert(!got(4L).getAs[Boolean]("url_keep"), "canonical collision must lose")
+    assert(got(3L).getAs[String]("canonical_url") === got(4L).getAs[String]("canonical_url"))
+    assert(got(5L).getAs[Long]("n_blocked_hits") === 3L &&
+      !got(5L).getAs[Boolean]("content_keep") && !got(5L).getAs[Boolean]("keep"))
+    assert(got(6L).getAs[Boolean]("keep"))
+    // flags stay independently auditable: doc 1 is domain-blocked but
+    // its other stages still report
+    assert(got(1L).getAs[Boolean]("quota_keep") && got(1L).getAs[Boolean]("url_keep"))
+  }
+
   test("synthUrls ∘ withUrlParts: parse recovers the synthesis formulas") {
     val docs = Seq((0L, "t", "src0"), (8L, "t", "src8"), (11L, "t", "src11"))
       .toDF("doc_id", "text", "source")
