@@ -105,6 +105,46 @@ object Streams {
       .withWatermark("ts", watermark)
       .dropDuplicates("fingerprint")
 
+  /** Streaming URL curation — the crawl-frontier face of
+    * [[graft.ops.Curation.curateCorpus]]: arriving pages get the
+    * STATELESS stage flags (parse, canonical URL, domain-blocklist,
+    * content-wordlist) as pure per-row projections — both blocklists
+    * ride the plan as array literals, so every microbatch is map-only
+    * — and then the stateful canonical-URL dedup within the watermark
+    * horizon (`dropDuplicates` on the canonical key, the
+    * [[dedupStream]] shape: the SAME page re-crawled via a tracking
+    * link inside the horizon is dropped, because canonicalization ran
+    * first). Per-domain quotas are an at-rest batch decision
+    * (a stream cannot know a domain's final page count) — run
+    * [[graft.ops.Curation.domainQuota]] on the landed table.
+    * Input schema: (ts timestamp, doc_id long, url string,
+    * text string).
+    */
+  def curateStream(docs: DataFrame, blockedDomains: Seq[String],
+      blockedTerms: Seq[String], maxHits: Int = 2,
+      watermark: String = "1 hour"): DataFrame = {
+    val parsed = graft.ops.Curation
+      .withUrlParts(docs, col("url"))
+      .withColumn("canonical_url",
+        graft.ops.Curation.canonicalizeUrl(col("url")))
+    val blockedArr = array(blockedDomains.map(lit(_)): _*)
+    val blockedTermArr = array(blockedTerms.map(lit(_)): _*)
+    parsed
+      .withColumn("domain_blocked",
+        exists(blockedArr, d =>
+          col("host") === d || col("host").endsWith(concat(lit("."), d))))
+      .withColumn("n_blocked_hits",
+        size(filter(GraftFunctions.tokens(col("text")),
+          t => array_contains(blockedTermArr, t))).cast("long"))
+      .withColumn("content_keep", col("n_blocked_hits") <= maxHits)
+      .withWatermark("ts", watermark)
+      .dropDuplicates("canonical_url")
+      .select(col("ts"), col("doc_id"), col("url"), col("host"),
+        col("domain"), col("canonical_url"), col("domain_blocked"),
+        col("n_blocked_hits"), col("content_keep"),
+        (!col("domain_blocked") && col("content_keep")).as("keep"))
+  }
+
   /** Streaming ingest dedup against an EXISTING corpus — the streaming
     * face of [[graft.dedup.Dedup.bloomDedup]], composed with
     * [[dedupStream]]: arriving documents first dedup within the stream

@@ -177,6 +177,35 @@ class StreamingMultimodalSpec extends SparkSpec {
       s"restart lost state or re-emitted a pre-restart fingerprint: $all")
   }
 
+  test("curateStream: stateless stage flags map-only; canonical-URL dedup drops the re-crawl") {
+    val input = MemoryStream[(Long, Long, String, String)](spark, 7)
+    val docs = input.toDF()
+      .select(timestamp_micros(col("_1")).as("ts"), col("_2").as("doc_id"),
+        col("_3").as("url"), col("_4").as("text"))
+    val curated = Streams.curateStream(docs,
+      blockedDomains = Seq("bad.com"), blockedTerms = Seq("bad"))
+    val q = curated.writeStream.format("memory")
+      .queryName("curated_stream").outputMode("append").start()
+    try {
+      input.addData(
+        (1000L, 1L, "https://ok.org/page", "clean text"),
+        // the SAME page re-crawled via a tracking link: canonicalize
+        // runs BEFORE the dedup key, so this drops
+        (2000L, 2L, "https://ok.org/page?utm_source=feed#f", "clean text"),
+        (3000L, 3L, "https://www.bad.com/x", "clean text"),
+        (4000L, 4L, "https://fine.net/y", "bad bad bad things"))
+      q.processAllAvailable()
+      val rows = spark.table("curated_stream").collect()
+        .map(r => r.getAs[Long]("doc_id") -> r).toMap
+      assert(rows.keySet === Set(1L, 3L, 4L), "tracking-link re-crawl must dedup")
+      assert(rows(1L).getAs[Boolean]("keep"))
+      assert(rows(3L).getAs[Boolean]("domain_blocked") && !rows(3L).getAs[Boolean]("keep"))
+      assert(rows(4L).getAs[Long]("n_blocked_hits") === 3L &&
+        !rows(4L).getAs[Boolean]("keep"))
+      assert(rows(1L).getAs[String]("canonical_url") === "https://ok.org/page")
+    } finally q.stop()
+  }
+
   test("dedupStreamAgainstCorpus: corpus dup bloom-flagged, fresh doc definitively new, within-stream dup dropped") {
     val corpus = Seq((1L, "alpha beta gamma delta"), (2L, "epsilon zeta eta"))
       .toDF("doc_id", "text")
