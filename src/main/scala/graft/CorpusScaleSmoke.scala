@@ -354,6 +354,36 @@ object CorpusScaleSmoke {
         .agg(avg(col("recall"))).head().getDouble(0)
     }
 
+    // ---- rung: URL curation at corpus scale — parse/canonicalize/
+    // blocklists map-side (array-literal blocklists, no joins), the
+    // per-domain quota a bounded top-k aggregate, canonical-URL dedup
+    // a min-keeper partial agg; planted counts are exact ----
+    val (curAgg, tCurate) = time {
+      val k = expr("(doc_id div 2) * 2")
+      val withUrl = graft.ops.Curation.synthUrls(docs, key = k,
+        sourceOf = Some(concat(lit("src"), pmod(k, lit(20L)).cast("string"))))
+      val cur = graft.ops.Curation.curateCorpus(withUrl, col("url"),
+        blockedDomains = Seq("src0.com", "src1.org", "src2.net"),
+        // the degenerate docs' single repeated-char token is the only
+        // corpus-wide repeated word — the wordlist rung flags exactly them
+        blockedTerms = Seq("a" * 240), quota = 1000, maxHits = 0)
+      val agg = cur.agg(count(lit(1)).as("n"),
+        sum(when(col("url_keep"), 1L).otherwise(0L)).as("url_keepers"),
+        sum(when(col("domain_blocked"), 1L).otherwise(0L)).as("blocked"),
+        sum(when(!col("content_keep"), 1L).otherwise(0L)).as("content_flagged"))
+        .head()
+      cur.unpersist()
+      agg
+    }
+    assert(curAgg.getAs[Long]("n") == n, s"curation lost rows: $curAgg")
+    // doc pairs share a canonical URL → exactly one keeper per pair
+    assert(curAgg.getAs[Long]("url_keepers") == (n + 1L) / 2,
+      s"canonical-URL keepers: $curAgg")
+    assert(curAgg.getAs[Long]("content_flagged") == (n + 999) / 1000,
+      s"wordlist must flag exactly the degenerate docs: $curAgg")
+    assert(curAgg.getAs[Long]("blocked") > 0 && curAgg.getAs[Long]("blocked") < n / 10,
+      s"blocked-domain count implausible: $curAgg")
+
     // ---- rung: A-Res weighted sampling — one TakeOrdered pass over
     // per-row keys; membership a pure hash function, no shuffle beyond
     // the bounded top-k ----
@@ -378,6 +408,7 @@ object CorpusScaleSmoke {
       f""""hybrid_ann_build_sec":$tAnnBuild%.1f,""" +
       f""""hybrid_indexed_serve_sec":$tHybridIdx%.1f,""" +
       f""""hybrid_fused_recall":$fusedRecall%.2f,""" +
+      f""""curate_sec":$tCurate%.1f,""" +
       f""""weighted_sample_sec":$tWs%.1f}""")
     spark.stop()
   }

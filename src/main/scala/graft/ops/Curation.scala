@@ -180,9 +180,12 @@ object Curation {
       .withColumn("canonical_url", canonicalizeUrl(col("__url")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val blockedArr = array(blockedDomains.map(lit(_)): _*)
+    // coalesce: a null host (unparseable URL) cannot match a blocklist
+    // entry — the flag is false, not null (audit columns carry answers)
     val flags = parsed.withColumn("domain_blocked",
-      exists(blockedArr, d =>
-        col("host") === d || col("host").endsWith(concat(lit("."), d))))
+      coalesce(exists(blockedArr, d =>
+        col("host") === d || col("host").endsWith(concat(lit("."), d))),
+        lit(false)))
     val quotaKeys = domainQuota(parsed, col("domain"), col("doc_id"), quota)
       .select(col("key").as("doc_id"), lit(true).as("quota_keep"))
     val urlKeepers = parsed.groupBy(col("canonical_url"))
@@ -193,8 +196,14 @@ object Curation {
     val out = flags
       .join(quotaKeys, Seq("doc_id"), "left")
       .withColumn("quota_keep", coalesce(col("quota_keep"), lit(false)))
-      .join(urlKeepers, Seq("canonical_url"))
-      .withColumn("url_keep", col("doc_id") === col("__url_keeper"))
+      // LEFT join: a malformed URL canonicalizes to null, and an inner
+      // join on the null key would silently DROP the row from the
+      // decision table — the one thing a curation audit can't have.
+      // A null-canonical doc has no URL identity to collide on, so its
+      // url_keep defaults true and the other stages decide its fate.
+      .join(urlKeepers, Seq("canonical_url"), "left")
+      .withColumn("url_keep",
+        coalesce(col("doc_id") === col("__url_keeper"), lit(true)))
       .join(content, Seq("doc_id"))
       .select(col("doc_id"), col("host"), col("domain"), col("canonical_url"),
         col("domain_blocked"), col("quota_keep"), col("url_keep"),

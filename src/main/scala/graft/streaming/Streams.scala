@@ -131,8 +131,9 @@ object Streams {
     val blockedTermArr = array(blockedTerms.map(lit(_)): _*)
     parsed
       .withColumn("domain_blocked",
-        exists(blockedArr, d =>
-          col("host") === d || col("host").endsWith(concat(lit("."), d))))
+        coalesce(exists(blockedArr, d =>
+          col("host") === d || col("host").endsWith(concat(lit("."), d))),
+          lit(false)))
       .withColumn("n_blocked_hits",
         size(filter(GraftFunctions.tokens(col("text")),
           t => array_contains(blockedTermArr, t))).cast("long"))

@@ -176,7 +176,11 @@ class CurationSpec extends SparkSpec {
       // content-blocked
       (5L, "https://ok.org/other", "bad bad bad words"),
       // survivor
-      (6L, "https://fine.net/a", "clean text here")).toDF("doc_id", "url", "text")
+      (6L, "https://fine.net/a", "clean text here"),
+      // null URL (a crawl record with no url field): must stay IN the
+      // decision table (null canonical → url_keep defaults true,
+      // domain_blocked answers false), not silently vanish
+      (7L, null, "clean text")).toDF("doc_id", "url", "text")
     val got = graft.ops.Curation.curateCorpus(docs, col("url"),
       blockedDomains = Seq("bad.com"), blockedTerms = Seq("bad"),
       quota = 10, maxHits = 2)
@@ -192,6 +196,16 @@ class CurationSpec extends SparkSpec {
     // flags stay independently auditable: doc 1 is domain-blocked but
     // its other stages still report
     assert(got(1L).getAs[Boolean]("quota_keep") && got(1L).getAs[Boolean]("url_keep"))
+    // the null-URL row survives into the audit table with answered flags
+    assert(got.contains(7L), "null URL must not vanish from the decision table")
+    assert(got(7L).getAs[Boolean]("url_keep"))
+    assert(!got(7L).getAs[Boolean]("domain_blocked"))
+    assert(got(7L).isNullAt(got(7L).fieldIndex("canonical_url")))
+    // the whole composition is window-free (bounded aggs + joins only)
+    val phys = graft.ops.Curation.curateCorpus(docs, col("url"),
+      Seq("bad.com"), Seq("bad"), quota = 10, maxHits = 2)
+      .queryExecution.executedPlan.toString
+    assert(!phys.contains("Window"), s"curateCorpus plans a window:\n$phys")
   }
 
   test("synthUrls ∘ withUrlParts: parse recovers the synthesis formulas") {
