@@ -2271,6 +2271,91 @@ object OracleSql {
       |  CASE WHEN invalid THEN NULL ELSE TRUE END AS header_consistent
       |FROM p ORDER BY doc_id""".stripMargin
 
+  /** Mirror of `Wav.synthFromDocs` ∘ `Wav.sampleStats`: the data chunk
+    * is the first ≤400 TEXT bytes, so the oracle recomputes every
+    * sample from the characters directly (ASCII corpus: char = byte)
+    * while Spark decodes the actual payload bytes — a hash match
+    * proves the byte-level PCM decode. Integer sums exactly, two IEEE
+    * ops (√, ÷) at the end.
+    */
+  val mmWavSamples: String =
+    """WITH m AS (SELECT doc_id, text,
+      |  CASE WHEN doc_id % 3 = 0 THEN 8 ELSE 16 END AS bits,
+      |  LEAST(octet_length(text::BLOB), 400) AS dlen,
+      |  doc_id % 10 = 0 AS invalid
+      |  FROM documents),
+      |n AS (SELECT *, (CASE WHEN bits = 8 THEN dlen ELSE dlen // 2 END) AS ns FROM m),
+      |s AS (SELECT doc_id, bits, invalid, ns,
+      |  CASE WHEN invalid OR ns = 0 THEN NULL ELSE
+      |    list_transform(range(ns), i ->
+      |      CASE WHEN bits = 8 THEN ascii(substr(text, (i + 1)::INT, 1)) - 128
+      |      ELSE (CASE WHEN ascii(substr(text, (2 * i + 2)::INT, 1)) * 256
+      |          + ascii(substr(text, (2 * i + 1)::INT, 1)) >= 32768
+      |        THEN ascii(substr(text, (2 * i + 2)::INT, 1)) * 256
+      |          + ascii(substr(text, (2 * i + 1)::INT, 1)) - 65536
+      |        ELSE ascii(substr(text, (2 * i + 2)::INT, 1)) * 256
+      |          + ascii(substr(text, (2 * i + 1)::INT, 1)) END)
+      |      END)
+      |  END AS samples FROM n)
+      |SELECT doc_id, NOT invalid AS wav_valid,
+      |  (CASE WHEN invalid THEN NULL ELSE bits END)::BIGINT AS bits_per_sample,
+      |  (CASE WHEN samples IS NULL THEN NULL ELSE ns END)::BIGINT AS n_samples,
+      |  CASE WHEN samples IS NULL THEN NULL
+      |    ELSE sqrt(list_sum(list_transform(samples, v -> v * v))::DOUBLE / ns)
+      |  END AS rms,
+      |  (CASE WHEN samples IS NULL THEN NULL
+      |    ELSE list_max(list_transform(samples, v -> abs(v))) END)::BIGINT AS peak_abs,
+      |  (CASE WHEN samples IS NULL THEN NULL
+      |    ELSE len(list_filter(samples, v -> abs(v) >=
+      |      (CASE WHEN bits = 8 THEN 127 ELSE 32767 END))) END)::BIGINT AS n_clipped,
+      |  CASE WHEN samples IS NULL THEN NULL
+      |    ELSE list_sum(samples)::DOUBLE / ns END AS dc_mean
+      |FROM s ORDER BY doc_id""".stripMargin
+
+  /** Mirror of `Bmp.synthFromDocs` ∘ `Bmp.pixelStats`: pixel bytes are
+    * the first imgSz TEXT bytes zero-padded, so the oracle recomputes
+    * each channel byte from the characters (ASCII corpus) with the
+    * same stride walk Spark performs on the payload bytes — a hash
+    * match proves the stride-aware 24-bpp decode. Stats only for the
+    * valid 24-bpp members (d%3=1, not every-10th-invalid).
+    */
+  val mmBmpPixels: String =
+    """WITH m AS (SELECT doc_id, text,
+      |  10 + doc_id % 13 AS w, 5 + doc_id % 9 AS ht,
+      |  CASE (doc_id % 3) WHEN 0 THEN 16 WHEN 1 THEN 24 ELSE 32 END AS bpp,
+      |  doc_id % 10 = 0 AS invalid
+      |  FROM documents),
+      |g AS (SELECT *, ((w * bpp + 31) // 32) * 4 AS stride FROM m),
+      |s AS (SELECT *, stride * ht AS imgsz,
+      |  LEAST(octet_length(text::BLOB), stride * ht) AS tlen,
+      |  (NOT invalid AND bpp = 24) AS ok FROM g),
+      |px AS (SELECT doc_id, invalid, ok, w, ht, tlen, stride, text,
+      |  CASE WHEN ok AND w * ht > 0 THEN w * ht ELSE NULL END AS npx FROM s)
+      |SELECT doc_id, NOT invalid AS bmp_valid,
+      |  npx::BIGINT AS pixels_decoded,
+      |  CASE WHEN npx IS NULL THEN NULL ELSE
+      |    list_sum(list_transform(range(w * ht), i ->
+      |      CASE WHEN (i // w) * stride + (i % w) * 3 + 0 < tlen
+      |        THEN ascii(substr(text, ((i // w) * stride + (i % w) * 3 + 1)::INT, 1))
+      |        ELSE 0 END))::DOUBLE / npx END AS mean_b,
+      |  CASE WHEN npx IS NULL THEN NULL ELSE
+      |    list_sum(list_transform(range(w * ht), i ->
+      |      CASE WHEN (i // w) * stride + (i % w) * 3 + 1 < tlen
+      |        THEN ascii(substr(text, ((i // w) * stride + (i % w) * 3 + 2)::INT, 1))
+      |        ELSE 0 END))::DOUBLE / npx END AS mean_g,
+      |  CASE WHEN npx IS NULL THEN NULL ELSE
+      |    list_sum(list_transform(range(w * ht), i ->
+      |      CASE WHEN (i // w) * stride + (i % w) * 3 + 2 < tlen
+      |        THEN ascii(substr(text, ((i // w) * stride + (i % w) * 3 + 3)::INT, 1))
+      |        ELSE 0 END))::DOUBLE / npx END AS mean_r,
+      |  (CASE WHEN npx IS NULL THEN NULL ELSE
+      |    list_max(list_transform(range(w * ht * 3), i ->
+      |      CASE WHEN ((i // 3) // w) * stride + ((i // 3) % w) * 3 + (i % 3) < tlen
+      |        THEN ascii(substr(text,
+      |          (((i // 3) // w) * stride + ((i // 3) % w) * 3 + (i % 3) + 1)::INT, 1))
+      |        ELSE 0 END)) END)::BIGINT AS peak_byte
+      |FROM px ORDER BY doc_id""".stripMargin
+
   /** Mirror of `Png.synthFromDocs` ∘ `Png.parse`: every IHDR field is
     * re-derived from the doc_id arithmetic the synthesizer used — the
     * oracle never touches bytes, so a hash match proves the Spark

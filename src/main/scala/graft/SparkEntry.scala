@@ -801,6 +801,19 @@ object SparkEntry {
           col("header_consistent"))
         .orderBy(col("doc_id"))
     }),
+    // sample-level PCM decode: RMS / peak / clipping / DC offset read
+    // from the actual data-chunk bytes (8-bit recentered, 16-bit LE
+    // signed) — the audio-triage features past the header; Spark reads
+    // payload bytes, the oracle recomputes from the source text chars,
+    // so a hash match proves the byte-level decode
+    "mm_wav_samples" -> ((s, dir) => {
+      val media = graft.multimodal.Binary.Wav.synthFromDocs(t(s, dir, "documents"))
+      graft.multimodal.Binary.Wav.sampleStats(media)
+        .select(col("doc_id"), col("wav_valid"), col("bits_per_sample"),
+          col("n_samples"), col("rms"), col("peak_abs"), col("n_clipped"),
+          col("dc_mean"))
+        .orderBy(col("doc_id"))
+    }),
     // the image-side twin: BE layout + real chunk CRCs (Spark crc32 ≡
     // the zlib CRC PNG specifies); oracle re-derives every field from
     // doc_id arithmetic — a hash match proves the parser read the
@@ -832,6 +845,17 @@ object SparkEntry {
     // (BITMAPFILEHEADER + 40-byte DIB) with the aligned-stride size
     // arithmetic reconciled against the physical payload; oracle
     // re-derives every field from doc_id arithmetic
+    // pixel-level 24-bpp BMP decode: per-channel means + peak byte
+    // read from the actual BGR bytes with the 4-byte row-stride walk;
+    // oracle recomputes from the source text chars — a hash match
+    // proves the stride-aware byte decode
+    "mm_bmp_pixels" -> ((s, dir) => {
+      val media = graft.multimodal.Binary.Bmp.synthFromDocs(t(s, dir, "documents"))
+      graft.multimodal.Binary.Bmp.pixelStats(media)
+        .select(col("doc_id"), col("bmp_valid"), col("pixels_decoded"),
+          col("mean_b"), col("mean_g"), col("mean_r"), col("peak_byte"))
+        .orderBy(col("doc_id"))
+    }),
     "mm_bmp_meta" -> ((s, dir) => {
       val media = graft.multimodal.Binary.Bmp.synthFromDocs(t(s, dir, "documents"))
       graft.multimodal.Binary.Bmp.parse(media)
@@ -1199,9 +1223,11 @@ object SparkEntry {
     "stream_dedup" -> OracleSql.streamDedup,
     "mm_binary_meta" -> OracleSql.mmBinaryMeta,
     "mm_wav_meta" -> OracleSql.mmWavMeta,
+    "mm_wav_samples" -> OracleSql.mmWavSamples,
     "mm_png_meta" -> OracleSql.mmPngMeta,
     "mm_jpeg_meta" -> OracleSql.mmJpegMeta,
     "mm_bmp_meta" -> OracleSql.mmBmpMeta,
+    "mm_bmp_pixels" -> OracleSql.mmBmpPixels,
     "mm_media_triage" -> OracleSql.mmMediaTriage,
   )
 }

@@ -90,6 +90,62 @@ object Binary {
         .withColumn("header_consistent", when(valid, consistent))
     }
 
+    /** Sample-level PCM feature extraction — the DECODE step past the
+      * header: reads the actual data-chunk bytes as samples (8-bit
+      * unsigned re-centered at 0; 16-bit signed little-endian) and
+      * computes the audio-triage features a corpus curator filters on
+      * — RMS level, absolute peak, clipped-sample count, DC offset —
+      * with EXACT integer sums (order-independent; the two final
+      * √/÷ are correctly-rounded IEEE, so the stats are cross-engine
+      * hash-exact). Channels are interleaved into one stream (level
+      * stats are channel-agnostic; split per-channel the same way if
+      * needed). A pure per-row projection over the payload bytes —
+      * zero shuffle; the per-sample loop is an array HOF chain (the
+      * codegen-Expression upgrade is mechanical if this becomes the
+      * hot path). Null stats unless `wav_valid` and the data chunk is
+      * non-empty.
+      */
+    def sampleStats(media: DataFrame, payloadCol: String = "payload"): DataFrame = {
+      val p = col(payloadCol)
+      val h = hex(p)
+      val bits = col("bits_per_sample")
+      val nS = when(bits === 8L, col("data_bytes"))
+        .otherwise(expr("data_bytes div 2"))
+      // 44 header bytes → data begins at hex char 89 (1-based)
+      val dataHex = h.substr(lit(89), (col("data_bytes") * 2).cast("int"))
+      val samples16 = transform(sequence(lit(0L), nS - 1), i => {
+        val lo = conv(dataHex.substr((i * 4 + 1).cast("int"), lit(2)), 16, 10)
+          .cast("long")
+        val hi = conv(dataHex.substr((i * 4 + 3).cast("int"), lit(2)), 16, 10)
+          .cast("long")
+        val v = hi * 256 + lo
+        when(v >= 32768L, v - 65536L).otherwise(v)
+      })
+      val samples8 = transform(sequence(lit(0L), nS - 1), i =>
+        conv(dataHex.substr((i * 2 + 1).cast("int"), lit(2)), 16, 10)
+          .cast("long") - 128)
+      val clipThr = when(bits === 8L, 127L).otherwise(32767L)
+      parse(media, payloadCol)
+        .withColumn("__samples",
+          when(col("wav_valid") && nS > 0,
+            when(bits === 8L, samples8).otherwise(samples16)))
+        .withColumn("n_samples", when(col("__samples").isNotNull, nS))
+        .withColumn("__sum",
+          aggregate(col("__samples"), lit(0L), (a, v) => a + v))
+        .withColumn("__sum_sq",
+          aggregate(col("__samples"), lit(0L), (a, v) => a + v * v))
+        .withColumn("peak_abs",
+          array_max(transform(col("__samples"), v => abs(v))))
+        .withColumn("n_clipped",
+          when(col("__samples").isNotNull,
+            size(filter(col("__samples"), v => abs(v) >= clipThr)).cast("long")))
+        .withColumn("rms",
+          sqrt(col("__sum_sq").cast("double") / col("n_samples")))
+        .withColumn("dc_mean",
+          col("__sum").cast("double") / col("n_samples"))
+        .drop("__samples", "__sum", "__sum_sq")
+    }
+
     /** Deterministic WAV corpus from the documents table: PCM params
       * derived from `doc_id` arithmetic, data chunk = the first
       * `maxDataBytes` bytes of the text (sliced on the hex string —
@@ -504,6 +560,59 @@ object Binary {
         .withColumn("row_stride", when(valid, stride.cast("long")))
         .withColumn("n_pixels", when(valid, width * height))
         .withColumn("header_consistent", when(valid, consistent))
+    }
+
+    /** Pixel-level decode for uncompressed 24-bpp BMPs — the image
+      * sibling of [[Wav.sampleStats]]: reads the actual BGR pixel
+      * bytes (skipping each row's 4-byte-alignment padding via the
+      * stride walk) and computes per-channel means and the peak byte —
+      * the exposure/solid-color triage features an image curator
+      * filters on. Exact integer sums; three final IEEE divisions →
+      * cross-engine hash-exact. Null stats unless `bmp_valid`,
+      * BI_RGB, and 24 bpp (the palette-free byte-per-channel case;
+      * 16/32-bpp need their own unpacking and are left null, not
+      * guessed). Pure per-row projection, zero shuffle.
+      */
+    def pixelStats(media: DataFrame, payloadCol: String = "payload"): DataFrame = {
+      val p = col(payloadCol)
+      val h = hex(p)
+      val w = col("width")
+      val ht = col("height")
+      val stride = col("row_stride")
+      val ok = col("bmp_valid") && col("compression") === 0L &&
+        col("bits_per_pixel") === 24L && col("data_offset") === 54L
+      // channel c byte of pixel (x, y): data_offset + y·stride + 3x + c,
+      // read from the payload hex (1-based, 2 chars/byte)
+      // Column `/` is DOUBLE division — divide only exact multiples
+      // (i − i mod w) so the quotient is integral and the cast exact
+      def divEx(a: Column, b: Column): Column =
+        ((a - pmod(a, b)) / b).cast("long")
+      def chanSum(c: Int) = aggregate(
+        transform(sequence(lit(0L), w * ht - 1), i => {
+          val off = lit(54L) + divEx(i, w) * stride + pmod(i, w) * 3 + c
+          conv(h.substr((off * 2 + 1).cast("int"), lit(2)), 16, 10).cast("long")
+        }),
+        lit(0L), (a, v) => a + v)
+      val peak = array_max(
+        transform(sequence(lit(0L), w * ht * 3 - 1), i => {
+          val pix = divEx(i, lit(3L))
+          val off = lit(54L) + divEx(pix, w) * stride +
+            pmod(pix, w) * 3 + pmod(i, lit(3L))
+          conv(h.substr((off * 2 + 1).cast("int"), lit(2)), 16, 10).cast("long")
+        }))
+      parse(media, payloadCol)
+        .withColumn("pixels_decoded", when(ok && w * ht > 0, w * ht))
+        .withColumn("mean_b",
+          when(col("pixels_decoded").isNotNull,
+            chanSum(0).cast("double") / col("pixels_decoded")))
+        .withColumn("mean_g",
+          when(col("pixels_decoded").isNotNull,
+            chanSum(1).cast("double") / col("pixels_decoded")))
+        .withColumn("mean_r",
+          when(col("pixels_decoded").isNotNull,
+            chanSum(2).cast("double") / col("pixels_decoded")))
+        .withColumn("peak_byte",
+          when(col("pixels_decoded").isNotNull, peak))
     }
 
     /** Deterministic BMP corpus from the documents table: dimensions

@@ -177,6 +177,84 @@ class StreamingMultimodalSpec extends SparkSpec {
       s"restart lost state or re-emitted a pre-restart fingerprint: $all")
   }
 
+  test("Wav.sampleStats: byte-exact PCM decode — negatives, clipping, DC offset") {
+    import java.nio.{ByteBuffer, ByteOrder}
+    // independent synthesis: real int16 samples incl. negatives and
+    // clipped extremes — values the ASCII-text synth corpus cannot emit
+    def wav16(samples: Array[Short]): Array[Byte] = {
+      val dataLen = samples.length * 2
+      val bb = ByteBuffer.allocate(44 + dataLen).order(ByteOrder.LITTLE_ENDIAN)
+      bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+        .put("WAVE".getBytes("US-ASCII"))
+        .put("fmt ".getBytes("US-ASCII")).putInt(16).putShort(1)
+        .putShort(1).putInt(8000).putInt(16000).putShort(2).putShort(16)
+        .put("data".getBytes("US-ASCII")).putInt(dataLen)
+      samples.foreach(bb.putShort)
+      bb.array()
+    }
+    val s1 = Array[Short](1000, -1000, 32767, -32768, 0, -1)
+    val s2 = Array[Short](100, 200)
+    val media = Seq((1L, wav16(s1)), (2L, wav16(s2)),
+      (90L, "not audio".getBytes("UTF-8"))).toDF("doc_id", "payload")
+    val got = Binary.Wav.sampleStats(media).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    val r1 = got(1L)
+    assert(r1.getAs[Long]("n_samples") === 6L)
+    // exact integer recount
+    val sum = s1.map(_.toLong).sum
+    val sumSq = s1.map(v => v.toLong * v).sum
+    assert(r1.getAs[Double]("rms") === math.sqrt(sumSq.toDouble / 6))
+    assert(r1.getAs[Long]("peak_abs") === 32768L)
+    assert(r1.getAs[Long]("n_clipped") === 2L, "32767 and -32768 both clip")
+    assert(r1.getAs[Double]("dc_mean") === sum.toDouble / 6)
+    assert(got(2L).getAs[Long]("n_clipped") === 0L)
+    assert(!got(90L).getAs[Boolean]("wav_valid") &&
+      got(90L).isNullAt(got(90L).fieldIndex("rms")))
+  }
+
+  test("Bmp.pixelStats: stride padding skipped, channel means exact, non-24bpp left null") {
+    // 2×2 24-bpp image: stride = ((2*24+31)/32)*4 = 8, so each row has
+    // 2 padding bytes which are set to 0xFF — a decode that reads the
+    // padding would inflate every stat
+    import java.nio.{ByteBuffer, ByteOrder}
+    def bmp24(pixels: Array[Array[Byte]], w: Int, h: Int): Array[Byte] = {
+      val stride = ((w * 24 + 31) / 32) * 4
+      val imgSz = stride * h
+      val bb = ByteBuffer.allocate(54 + imgSz).order(ByteOrder.LITTLE_ENDIAN)
+      bb.put('B'.toByte).put('M'.toByte).putInt(54 + imgSz).putInt(0).putInt(54)
+        .putInt(40).putInt(w).putInt(h).putShort(1).putShort(24)
+        .putInt(0).putInt(imgSz).putInt(0).putInt(0).putInt(0).putInt(0)
+      (0 until h).foreach { y =>
+        (0 until w).foreach(x => bb.put(pixels(y * w + x)))
+        (w * 3 until stride).foreach(_ => bb.put(0xFF.toByte))
+      }
+      bb.array()
+    }
+    // BGR triples
+    val px = Array(
+      Array[Byte](10, 20, 30), Array[Byte](50, 60, 70),
+      Array[Byte](0, 0, 0), Array[Byte](100, 110, 120))
+    val media = Seq((1L, bmp24(px, 2, 2))).toDF("doc_id", "payload")
+    val r = Binary.Bmp.pixelStats(media).collect().head
+    assert(r.getAs[Long]("pixels_decoded") === 4L)
+    assert(r.getAs[Double]("mean_b") === (10 + 50 + 0 + 100) / 4.0)
+    assert(r.getAs[Double]("mean_g") === (20 + 60 + 0 + 110) / 4.0)
+    assert(r.getAs[Double]("mean_r") === (30 + 70 + 0 + 120) / 4.0)
+    // 0xFF padding must NOT be the peak — padding is skipped
+    assert(r.getAs[Long]("peak_byte") === 120L)
+    // 16-bpp member: header-valid but stats stay null, not guessed
+    val b16 = Seq((2L, {
+      val bb = ByteBuffer.allocate(54 + 8).order(ByteOrder.LITTLE_ENDIAN)
+      bb.put('B'.toByte).put('M'.toByte).putInt(62).putInt(0).putInt(54)
+        .putInt(40).putInt(2).putInt(1).putShort(1).putShort(16)
+        .putInt(0).putInt(8).putInt(0).putInt(0).putInt(0).putInt(0)
+      bb.putInt(0).putInt(0); bb.array()
+    })).toDF("doc_id", "payload")
+    val r16 = Binary.Bmp.pixelStats(b16).collect().head
+    assert(r16.getAs[Boolean]("bmp_valid"))
+    assert(r16.isNullAt(r16.fieldIndex("pixels_decoded")))
+  }
+
   test("curateStream: stateless stage flags map-only; canonical-URL dedup drops the re-crawl") {
     val input = MemoryStream[(Long, Long, String, String)](spark, 7)
     val docs = input.toDF()
