@@ -167,6 +167,25 @@ class PlanContractSpec extends SparkSpec {
     assert(!pii.contains("Exchange"), s"text_pii is not map-only:\n$pii")
   }
 
+  test("round-11 operators: window-free plans; map-only stages map-only") {
+    // the curation family ranks/caps through bounded aggregates and
+    // min-keeper partial aggs — never a rank window
+    Seq("pipeline_curate", "domain_quota", "text_strip_boilerplate",
+      "q_pagerank_personalized", "text_search_hybrid_indexed").foreach { name =>
+      val phys = physical(q(name))
+      assert(!phys.contains("Window"), s"$name routes through a window:\n$phys")
+    }
+    // the pure-projection rows carry no exchange beyond their output
+    // sort (blocklists are plan literals — no joins at all)
+    Seq("url_domains", "url_canonicalize", "text_word_blocklist",
+      "mm_wav_samples", "mm_bmp_pixels").foreach { name =>
+      val phys = physical(q(name))
+      assert(!phys.contains("Exchange hashpartitioning"),
+        s"$name shuffles a pure projection:\n$phys")
+      assert(!phys.contains("Join"), s"$name joins a pure projection:\n$phys")
+    }
+  }
+
   test("round-4 operators: window-free plans; sliding rollup is one agg shuffle") {
     // the new ANN prefilter paths rank through TopKByScore, never a window
     Seq("ann_hamming", "ann_pq").foreach { name =>
