@@ -2356,6 +2356,43 @@ object OracleSql {
       |        ELSE 0 END)) END)::BIGINT AS peak_byte
       |FROM px ORDER BY doc_id""".stripMargin
 
+  /** Mirror of `PngPixels.synthFromDocs` ∘ `PngPixels.pixelStats`:
+    * the raster is the first 3wh TEXT bytes zero-padded, so the
+    * oracle recomputes channel stats from the characters while Spark
+    * INFLATES the real zlib IDAT and walks filter-byte-prefixed
+    * scanlines — a hash match proves the compressed decode
+    * end-to-end (deflate at synth, inflate at read, filter strip).
+    */
+  val mmPngPixels: String =
+    """WITH m AS (SELECT doc_id, text,
+      |  4 + doc_id % 5 AS w, 3 + doc_id % 4 AS ht,
+      |  doc_id % 10 = 0 AS invalid FROM documents),
+      |s AS (SELECT *, w * ht AS npx,
+      |  LEAST(octet_length(text::BLOB), 3 * w * ht) AS tlen FROM m)
+      |SELECT doc_id, NOT invalid AS png_valid,
+      |  (CASE WHEN invalid THEN NULL ELSE npx END)::BIGINT AS pixels_decoded,
+      |  CASE WHEN invalid THEN NULL ELSE
+      |    list_sum(list_transform(range(npx), i ->
+      |      CASE WHEN 3 * i + 0 < tlen
+      |        THEN ascii(substr(text, (3 * i + 1)::INT, 1)) ELSE 0 END))::DOUBLE / npx
+      |  END AS mean_r,
+      |  CASE WHEN invalid THEN NULL ELSE
+      |    list_sum(list_transform(range(npx), i ->
+      |      CASE WHEN 3 * i + 1 < tlen
+      |        THEN ascii(substr(text, (3 * i + 2)::INT, 1)) ELSE 0 END))::DOUBLE / npx
+      |  END AS mean_g,
+      |  CASE WHEN invalid THEN NULL ELSE
+      |    list_sum(list_transform(range(npx), i ->
+      |      CASE WHEN 3 * i + 2 < tlen
+      |        THEN ascii(substr(text, (3 * i + 3)::INT, 1)) ELSE 0 END))::DOUBLE / npx
+      |  END AS mean_b,
+      |  (CASE WHEN invalid THEN NULL ELSE
+      |    list_max(list_transform(range(npx * 3), i ->
+      |      CASE WHEN i < tlen
+      |        THEN ascii(substr(text, (i + 1)::INT, 1)) ELSE 0 END)) END)::BIGINT
+      |    AS peak_byte
+      |FROM s ORDER BY doc_id""".stripMargin
+
   /** Mirror of `Png.synthFromDocs` ∘ `Png.parse`: every IHDR field is
     * re-derived from the doc_id arithmetic the synthesizer used — the
     * oracle never touches bytes, so a hash match proves the Spark

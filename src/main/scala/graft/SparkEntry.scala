@@ -845,6 +845,18 @@ object SparkEntry {
     // (BITMAPFILEHEADER + 40-byte DIB) with the aligned-stride size
     // arithmetic reconciled against the physical payload; oracle
     // re-derives every field from doc_id arithmetic
+    // COMPRESSED pixel decode: the PNG corpus carries real zlib IDAT
+    // streams — Spark inflates them natively (ZlibInflate expression,
+    // bomb-guarded), strips per-scanline filter bytes, and reads the
+    // RGB bytes; the oracle recomputes from source text chars, so a
+    // hash match proves the deflate→inflate→unfilter round trip
+    "mm_png_pixels" -> ((s, dir) => {
+      val media = graft.multimodal.Binary.PngPixels.synthFromDocs(t(s, dir, "documents"))
+      graft.multimodal.Binary.PngPixels.pixelStats(media)
+        .select(col("doc_id"), col("png_valid"), col("pixels_decoded"),
+          col("mean_r"), col("mean_g"), col("mean_b"), col("peak_byte"))
+        .orderBy(col("doc_id"))
+    }),
     // pixel-level 24-bpp BMP decode: per-channel means + peak byte
     // read from the actual BGR bytes with the 4-byte row-stride walk;
     // oracle recomputes from the source text chars — a hash match
@@ -1228,6 +1240,7 @@ object SparkEntry {
     "mm_jpeg_meta" -> OracleSql.mmJpegMeta,
     "mm_bmp_meta" -> OracleSql.mmBmpMeta,
     "mm_bmp_pixels" -> OracleSql.mmBmpPixels,
+    "mm_png_pixels" -> OracleSql.mmPngPixels,
     "mm_media_triage" -> OracleSql.mmMediaTriage,
   )
 }

@@ -215,6 +215,8 @@ object Binary {
     private def beHex(v: Column, n: Int): Column = lpad(hex(v), n * 2, "0")
     private def asciiHex(s: String): Column =
       lit(s.getBytes("US-ASCII").map("%02X".format(_)).mkString)
+    private[multimodal] def beHexPub(v: Column, n: Int): Column = beHex(v, n)
+    private[multimodal] def asciiHexPub(s: String): Column = asciiHex(s)
 
     /** Samples per pixel for each PNG color type (spec §11.2.2). */
     private def channelsOf(ct: Column): Column =
@@ -308,6 +310,125 @@ object Binary {
           .otherwise(unhex(pngHex)).as("payload"),
         when(d % invalidEvery === 0, lit("text/plain"))
           .otherwise(lit("image/png")).as("media_type"))
+    }
+  }
+
+  /** PNG pixel-level decode and its synthesis inverse — the full
+    * decode story the container grid builds toward: IDAT is a REAL
+    * zlib stream ([[graft.expressions.ZlibInflate]] — a native
+    * inflate inside the projection, bomb-guarded), scanlines carry
+    * per-row filter bytes, pixels are 8-bit RGB. Scope: color type 2,
+    * depth 8, filter 0, non-interlaced — the common fast path; other
+    * filter types need the sequential unfilter recurrence and return
+    * null rather than guesses (the [[Bmp.pixelStats]] convention).
+    */
+  object PngPixels {
+    import graft.expressions.{ZlibDeflate, ZlibInflate}
+    import org.apache.spark.sql.GraftColumnBridge.{column => gcol, expression => gexpr}
+
+    /** Deterministic RGB8 filter-0 PNG corpus: dimensions from doc_id
+      * arithmetic, pixel bytes = text bytes zero-padded to 3·w·h, each
+      * scanline prefixed with filter byte 0, the whole raster
+      * zlib-compressed into ONE IDAT by the real kernel — so the
+      * corpus contains genuinely compressed image payloads, not raw
+      * bytes wearing a header. CRCs real, every `invalidEvery`-th doc
+      * raw text.
+      */
+    def synthFromDocs(docs: DataFrame, invalidEvery: Int = 10): DataFrame = {
+      val d = col("doc_id")
+      val staged = docs
+        .withColumn("__w", lit(4L) + d % 5)
+        .withColumn("__h", lit(3L) + d % 4)
+        .withColumn("__rowb", col("__w") * 3)
+        // pixel bytes: first 3wh text bytes, zero-padded (hex-aligned)
+        .withColumn("__pixhex", expr(
+          "rpad(substring(hex(cast(text as binary)), 1, " +
+            "cast(__w * __h * 6 as int)), cast(__w * __h * 6 as int), '0')"))
+        // raw raster: per scanline '00' filter byte + that row's pixels
+        .withColumn("__rawhex", expr(
+          "array_join(transform(sequence(0L, __h - 1), y -> " +
+            "concat('00', substring(__pixhex, cast(y * __rowb * 2 + 1 as int), " +
+            "cast(__rowb * 2 as int)))), '')"))
+        .withColumn("__idat",
+          gcol(ZlibDeflate(gexpr(unhex(col("__rawhex"))))))
+      val ihdrTypeData = concat(Png.asciiHexPub("IHDR"),
+        Png.beHexPub(col("__w"), 4), Png.beHexPub(col("__h"), 4),
+        Png.beHexPub(lit(8L), 1), Png.beHexPub(lit(2L), 1),
+        Png.beHexPub(lit(0L), 1), Png.beHexPub(lit(0L), 1),
+        Png.beHexPub(lit(0L), 1))
+      val idatHex = hex(col("__idat"))
+      val idatTypeData = concat(Png.asciiHexPub("IDAT"), idatHex)
+      val pngHex = concat(
+        lit(Png.Signature.map("%02X".format(_)).mkString),
+        Png.beHexPub(lit(13L), 4), ihdrTypeData,
+        Png.beHexPub(crc32(unhex(ihdrTypeData)), 4),
+        Png.beHexPub((length(idatHex) / 2).cast("long"), 4), idatTypeData,
+        Png.beHexPub(crc32(unhex(idatTypeData)), 4),
+        Png.beHexPub(lit(0L), 4), Png.asciiHexPub("IEND"),
+        Png.beHexPub(crc32(unhex(Png.asciiHexPub("IEND"))), 4))
+      staged.select(
+        d,
+        when(d % invalidEvery === 0, col("text").cast("binary"))
+          .otherwise(unhex(pngHex)).as("payload"),
+        when(d % invalidEvery === 0, lit("text/plain"))
+          .otherwise(lit("image/png")).as("media_type"))
+    }
+
+    /** Decode pixels from RGB8/filter-0 PNGs: inflate the IDAT (real
+      * zlib, null on corrupt/truncated/over-budget), verify the
+      * inflated raster length and every scanline's filter byte, then
+      * per-channel means + peak byte over the actual pixel bytes.
+      * Null stats for any other color type/depth/interlace/filter.
+      */
+    def pixelStats(media: DataFrame, payloadCol: String = "payload",
+        maxRasterBytes: Int = 1 << 24): DataFrame = {
+      val p = col(payloadCol)
+      val parsed = Png.parse(media, payloadCol)
+      val w = col("width")
+      val ht = col("height")
+      val rowb = w * 3 + 1
+      val rasterLen = rowb * ht
+      val idat = p.substr(lit(42), col("idat_bytes").cast("int"))
+      val decodable = col("png_valid") && col("color_type") === 2L &&
+        col("bit_depth") === 8L && col("interlace") === 0L &&
+        col("idat_bytes").isNotNull
+      val withRaw = parsed.withColumn("__raw",
+        when(decodable, gcol(ZlibInflate(gexpr(idat), maxRasterBytes))))
+      val rh = hex(col("__raw"))
+      def divEx(a: Column, b: Column): Column =
+        ((a - pmod(a, b)) / b).cast("long")
+      // every scanline's first byte must be filter type 0
+      val filtersOk = forall(
+        transform(sequence(lit(0L), ht - 1), y =>
+          conv(rh.substr((y * rowb * 2 + 1).cast("int"), lit(2)), 16, 10) === 0),
+        x => x)
+      val ok = col("__raw").isNotNull &&
+        length(col("__raw")) === rasterLen && filtersOk && w * ht > 0
+      def chanSum(c: Int) = aggregate(
+        transform(sequence(lit(0L), w * ht - 1), i => {
+          val off = divEx(i, w) * rowb + 1 + pmod(i, w) * 3 + c
+          conv(rh.substr((off * 2 + 1).cast("int"), lit(2)), 16, 10).cast("long")
+        }),
+        lit(0L), (a, v) => a + v)
+      val peak = array_max(
+        transform(sequence(lit(0L), w * ht * 3 - 1), i => {
+          val pix = divEx(i, lit(3L))
+          val off = divEx(pix, w) * rowb + 1 + pmod(pix, w) * 3 + pmod(i, lit(3L))
+          conv(rh.substr((off * 2 + 1).cast("int"), lit(2)), 16, 10).cast("long")
+        }))
+      withRaw
+        .withColumn("pixels_decoded", when(ok, w * ht))
+        .withColumn("mean_r",
+          when(col("pixels_decoded").isNotNull,
+            chanSum(0).cast("double") / col("pixels_decoded")))
+        .withColumn("mean_g",
+          when(col("pixels_decoded").isNotNull,
+            chanSum(1).cast("double") / col("pixels_decoded")))
+        .withColumn("mean_b",
+          when(col("pixels_decoded").isNotNull,
+            chanSum(2).cast("double") / col("pixels_decoded")))
+        .withColumn("peak_byte", when(col("pixels_decoded").isNotNull, peak))
+        .drop("__raw")
     }
   }
 

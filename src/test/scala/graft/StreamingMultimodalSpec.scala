@@ -255,6 +255,57 @@ class StreamingMultimodalSpec extends SparkSpec {
     assert(r16.isNullAt(r16.fieldIndex("pixels_decoded")))
   }
 
+  test("PngPixels: real zlib inflate — known pixels, corrupt stream, bad filter, bomb guard") {
+    import java.util.zip.{CRC32, Deflater}
+    // fully independent synthesis: java.util.zip + manual chunking,
+    // shares no code with PngPixels.synthFromDocs
+    def chunk(typ: String, data: Array[Byte]): Array[Byte] = {
+      val td = typ.getBytes("US-ASCII") ++ data
+      val crc = new CRC32(); crc.update(td)
+      val bb = java.nio.ByteBuffer.allocate(8 + data.length + 4)
+      bb.putInt(data.length).put(td).putInt(crc.getValue.toInt)
+      bb.array()
+    }
+    def png(w: Int, h: Int, raster: Array[Byte]): Array[Byte] = {
+      val d = new Deflater(6, false); d.setInput(raster); d.finish()
+      val buf = new Array[Byte](raster.length * 2 + 64)
+      val n = d.deflate(buf); d.end()
+      val ihdr = java.nio.ByteBuffer.allocate(13)
+        .putInt(w).putInt(h).put(8.toByte).put(2.toByte)
+        .put(0.toByte).put(0.toByte).put(0.toByte).array()
+      Array(0x89.toByte, 'P'.toByte, 'N'.toByte, 'G'.toByte,
+        0x0D.toByte, 0x0A.toByte, 0x1A.toByte, 0x0A.toByte) ++
+        chunk("IHDR", ihdr) ++
+        chunk("IDAT", buf.take(n)) ++ chunk("IEND", Array.emptyByteArray)
+    }
+    // 2×2 RGB: rows prefixed with filter 0
+    val px = Array[Byte](
+      0, 10, 20, 30, 40, 50, 60,
+      0, 70, 80, 90, 100, 110, 120)
+    val good = png(2, 2, px)
+    val badFilter = png(2, 2, { val c = px.clone(); c(7) = 1; c })
+    val corrupt = { val c = png(2, 2, px); c(45) = (c(45) ^ 0xFF).toByte; c }
+    val media = Seq((1L, good), (2L, badFilter), (3L, corrupt))
+      .toDF("doc_id", "payload")
+    val got = Binary.PngPixels.pixelStats(media).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    val r1 = got(1L)
+    assert(r1.getAs[Long]("pixels_decoded") === 4L)
+    assert(r1.getAs[Double]("mean_r") === (10 + 40 + 70 + 100) / 4.0)
+    assert(r1.getAs[Double]("mean_g") === (20 + 50 + 80 + 110) / 4.0)
+    assert(r1.getAs[Double]("mean_b") === (30 + 60 + 90 + 120) / 4.0)
+    assert(r1.getAs[Long]("peak_byte") === 120L)
+    // a non-zero filter byte means the fast path must refuse, not guess
+    assert(got(2L).isNullAt(got(2L).fieldIndex("pixels_decoded")))
+    // corrupt zlib stream: inflate returns null, stats null, no crash
+    assert(got(3L).isNullAt(got(3L).fieldIndex("pixels_decoded")))
+    // bomb guard: a decode budget below the raster size refuses
+    val guarded = Binary.PngPixels.pixelStats(
+      Seq((9L, good)).toDF("doc_id", "payload"), maxRasterBytes = 4)
+      .collect().head
+    assert(guarded.isNullAt(guarded.fieldIndex("pixels_decoded")))
+  }
+
   test("curateStream: stateless stage flags map-only; canonical-URL dedup drops the re-crawl") {
     val input = MemoryStream[(Long, Long, String, String)](spark, 7)
     val docs = input.toDF()
