@@ -107,12 +107,15 @@ object Binary {
       */
     def sampleStats(media: DataFrame, payloadCol: String = "payload"): DataFrame = {
       val p = col(payloadCol)
-      val h = hex(p)
       val bits = col("bits_per_sample")
       val nS = when(bits === 8L, col("data_bytes"))
         .otherwise(expr("data_bytes div 2"))
-      // 44 header bytes → data begins at hex char 89 (1-based)
-      val dataHex = h.substr(lit(89), (col("data_bytes") * 2).cast("int"))
+      // the data-chunk hex is STAGED as a column so the per-sample
+      // lambdas read a bound attribute — inlining it would re-hex the
+      // whole payload once PER SAMPLE (O(bytes·samples) copying per
+      // row, the difference between a decode map and an accidental
+      // quadratic at 100 TB). 44 header bytes → hex char 89 (1-based).
+      val dataHex = col("__dhex")
       val samples16 = transform(sequence(lit(0L), nS - 1), i => {
         val lo = conv(dataHex.substr((i * 4 + 1).cast("int"), lit(2)), 16, 10)
           .cast("long")
@@ -126,6 +129,8 @@ object Binary {
           .cast("long") - 128)
       val clipThr = when(bits === 8L, 127L).otherwise(32767L)
       parse(media, payloadCol)
+        .withColumn("__dhex",
+          hex(p).substr(lit(89), (col("data_bytes") * 2).cast("int")))
         .withColumn("__samples",
           when(col("wav_valid") && nS > 0,
             when(bits === 8L, samples8).otherwise(samples16)))
@@ -143,7 +148,7 @@ object Binary {
           sqrt(col("__sum_sq").cast("double") / col("n_samples")))
         .withColumn("dc_mean",
           col("__sum").cast("double") / col("n_samples"))
-        .drop("__samples", "__sum", "__sum_sq")
+        .drop("__samples", "__sum", "__sum_sq", "__dhex")
     }
 
     /** Deterministic WAV corpus from the documents table: PCM params
@@ -393,8 +398,12 @@ object Binary {
         col("bit_depth") === 8L && col("interlace") === 0L &&
         col("idat_bytes").isNotNull
       val withRaw = parsed.withColumn("__raw",
-        when(decodable, gcol(ZlibInflate(gexpr(idat), maxRasterBytes))))
-      val rh = hex(col("__raw"))
+          when(decodable, gcol(ZlibInflate(gexpr(idat), maxRasterBytes))))
+        // staged raster hex — the per-pixel lambdas read a bound
+        // attribute instead of re-hexing the raster per byte (see
+        // Wav.sampleStats)
+        .withColumn("__rasterhex", hex(col("__raw")))
+      val rh = col("__rasterhex")
       def divEx(a: Column, b: Column): Column =
         ((a - pmod(a, b)) / b).cast("long")
       // every scanline's first byte must be filter type 0
@@ -428,7 +437,7 @@ object Binary {
           when(col("pixels_decoded").isNotNull,
             chanSum(2).cast("double") / col("pixels_decoded")))
         .withColumn("peak_byte", when(col("pixels_decoded").isNotNull, peak))
-        .drop("__raw")
+        .drop("__raw", "__rasterhex")
     }
   }
 
@@ -696,7 +705,10 @@ object Binary {
       */
     def pixelStats(media: DataFrame, payloadCol: String = "payload"): DataFrame = {
       val p = col(payloadCol)
-      val h = hex(p)
+      // staged payload hex: the per-pixel lambdas must read a bound
+      // attribute, not re-hex the payload once per channel byte (see
+      // Wav.sampleStats)
+      val h = col("__phex")
       val w = col("width")
       val ht = col("height")
       val stride = col("row_stride")
@@ -722,6 +734,7 @@ object Binary {
           conv(h.substr((off * 2 + 1).cast("int"), lit(2)), 16, 10).cast("long")
         }))
       parse(media, payloadCol)
+        .withColumn("__phex", hex(p))
         .withColumn("pixels_decoded", when(ok && w * ht > 0, w * ht))
         .withColumn("mean_b",
           when(col("pixels_decoded").isNotNull,
@@ -734,6 +747,7 @@ object Binary {
             chanSum(2).cast("double") / col("pixels_decoded")))
         .withColumn("peak_byte",
           when(col("pixels_decoded").isNotNull, peak))
+        .drop("__phex")
     }
 
     /** Deterministic BMP corpus from the documents table: dimensions
