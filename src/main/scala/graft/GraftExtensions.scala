@@ -54,5 +54,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("nfc_normalize"),
       info("nfc_normalize", "nfc_normalize(s) - Unicode canonical composition (NFC)"),
       (es: Seq[Expression]) => graft.expressions.NfcNormalize(es.head)))
+    ext.injectFunction((FunctionIdentifier("zlib_deflate"),
+      info("zlib_deflate", "zlib_deflate(v) - deterministic zlib compression of a string/binary value"),
+      (es: Seq[Expression]) => graft.expressions.ZlibDeflate(es.head)))
+    ext.injectFunction((FunctionIdentifier("zlib_inflate"),
+      info("zlib_inflate",
+        "zlib_inflate(v, maxLen) - zlib decode, NULL on corrupt/truncated/over-budget input"),
+      (es: Seq[Expression]) => graft.expressions.ZlibInflate(es.head,
+        es(1) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v, _) =>
+            v.toString.toInt
+          case other => throw new IllegalArgumentException(
+            s"zlib_inflate maxLen must be a literal, got $other")
+        })))
   }
 }

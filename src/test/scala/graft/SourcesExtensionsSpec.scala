@@ -90,8 +90,26 @@ class SourcesExtensionsSpec extends SparkSpec {
     Seq("cosine_sim", "dot_product", "l2_norm", "l2_normalize",
         "int_dot_product", "hamming_distance", "adc_score",
         "deflate_size", "char_entropy_stats", "det_ln",
-        "gaussian_project").foreach { f =>
+        "gaussian_project", "zlib_deflate", "zlib_inflate").foreach { f =>
       assert(reg.functionExists(FunctionIdentifier(f)), s"$f not injected")
+    }
+    // zlib round trip through the registry-built expressions
+    locally {
+      import org.apache.spark.sql.catalyst.expressions.Literal
+      val payload = "round trip me round trip me".getBytes("UTF-8")
+      val comp = reg.lookupFunction(FunctionIdentifier("zlib_deflate"),
+        Seq(Literal.create(payload, org.apache.spark.sql.types.BinaryType)))
+        .eval(null).asInstanceOf[Array[Byte]]
+      val back = reg.lookupFunction(FunctionIdentifier("zlib_inflate"),
+        Seq(Literal.create(comp, org.apache.spark.sql.types.BinaryType),
+          Literal(1024)))
+        .eval(null).asInstanceOf[Array[Byte]]
+      assert(back.toSeq === payload.toSeq)
+      // over-budget inflate refuses (bomb guard), never throws
+      val capped = reg.lookupFunction(FunctionIdentifier("zlib_inflate"),
+        Seq(Literal.create(comp, org.apache.spark.sql.types.BinaryType),
+          Literal(4))).eval(null)
+      assert(capped == null)
     }
     // builder produces a working expression
     val e = reg.lookupFunction(FunctionIdentifier("l2_norm"),
