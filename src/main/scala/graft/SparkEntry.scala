@@ -101,6 +101,22 @@ object SparkEntry {
           .select((id + 10000000L).as("doc_id"), col("text")))
       graft.ops.Pipeline.corpusDiff(base, newC)
     }),
+    // sketch-tier cross-corpus overlap: one mergeable HLL per corpus
+    // (kilobytes), inclusion-exclusion on the merged union — the
+    // continuous "is this crawl worth ingesting" probe at 100 TB where
+    // the exact full-outer diff cannot run per check; rows-only (HLL
+    // binaries have no DuckDB twin), tolerance-spec'd vs the exact diff
+    "corpus_overlap_sketch" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val id = col("doc_id")
+      val base = d.select(id, col("text"))
+      val newC = base.filter(id % 10 =!= 0)
+        .select(id, when(id % 7 === 0, concat(col("text"), lit(" updated")))
+          .otherwise(col("text")).as("text"))
+        .unionByName(base.filter(id % 13 === 0)
+          .select((id + 10000000L).as("doc_id"), col("text")))
+      graft.ops.Pipeline.corpusOverlapSketch(base, newC)
+    }),
     "q_window_running" -> ((s, dir) => Relational.runningCustomerSpend(t(s, dir, "orders"))),
     "events_sessionize" -> ((s, dir) => EventOps.sessionize(t(s, dir, "events"))),
     "events_windowed" -> ((s, dir) => EventOps.hourlyRollup(t(s, dir, "events"))),

@@ -104,6 +104,40 @@ object Pipeline {
     * comparison; at 100 TB this is the cost of two narrow scans and
     * one keyed shuffle.
     */
+  /** Sketch-tier cross-corpus overlap — [[corpusDiff]]'s 100 TB
+    * sibling: at crawl scale "how much of crawl B is already in
+    * crawl A" cannot pay the exact full-outer join on every probe, so
+    * each corpus is reduced to ONE mergeable HLL sketch of its
+    * content-fingerprint set (Spark's native `hll_sketch_agg` —
+    * map-side partial, kilobytes per sketch) and the overlap comes
+    * from inclusion-exclusion: |A∩B| ≈ |A| + |B| − |A∪B| with the
+    * union estimated on the MERGED sketches (`hll_union` — no data
+    * movement, the sketches meet on the driver). Output: one row
+    * (est_a, est_b, est_union, est_overlap, est_jaccard). The exact
+    * diff remains the audit tool; this is the continuous monitoring
+    * probe (est_overlap / est_b ≈ the fraction of the new crawl that
+    * is redundant — the number that decides whether to ingest it).
+    * Sketch error is the standard HLL ~1% (lgConfigK default);
+    * spec-bounded against the exact recount on planted overlap.
+    */
+  def corpusOverlapSketch(a: DataFrame, b: DataFrame,
+      lgConfigK: Int = 12): DataFrame = {
+    def fp(df: DataFrame) = df.select(
+      graft.GraftFunctions.hex64(
+        array_join(graft.GraftFunctions.tokens(col("text")), " ")).as("fp"))
+    val sa = fp(a).agg(hll_sketch_agg(col("fp"), lit(lgConfigK)).as("sk_a"))
+    val sb = fp(b).agg(hll_sketch_agg(col("fp"), lit(lgConfigK)).as("sk_b"))
+    sa.crossJoin(sb)
+      .select(
+        hll_sketch_estimate(col("sk_a")).as("est_a"),
+        hll_sketch_estimate(col("sk_b")).as("est_b"),
+        hll_sketch_estimate(hll_union(col("sk_a"), col("sk_b"))).as("est_union"))
+      .select(col("est_a"), col("est_b"), col("est_union"),
+        (col("est_a") + col("est_b") - col("est_union")).as("est_overlap"),
+        ((col("est_a") + col("est_b") - col("est_union")) /
+          col("est_union").cast("double")).as("est_jaccard"))
+  }
+
   def corpusDiff(oldCorpus: DataFrame, newCorpus: DataFrame): DataFrame = {
     def fp(df: DataFrame, name: String) = df.select(col("doc_id"),
       graft.GraftFunctions.hex64(

@@ -815,6 +815,32 @@ class RelationalSpec extends SparkSpec {
       4L -> "unchanged", 9L -> "added"), s"got $got")
   }
 
+  test("corpusOverlapSketch: estimates within HLL tolerance of the exact planted overlap") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // A = docs 0..1999; B = docs 1000..2999 → exact overlap 1000,
+    // union 3000 (hash-word texts are unique per id by construction)
+    def corpus(ids: Range) = ids.map(i => (i.toLong,
+      s"w${i}a unique w${i}b body w${i}c")).toDF("doc_id", "text")
+    val a = corpus(0 until 2000)
+    val b = corpus(1000 until 3000)
+    val r = graft.ops.Pipeline.corpusOverlapSketch(a, b).collect().head
+    // HLL at lgConfigK=12 is ~1.6% rsd; bound every estimate at 4σ
+    def within(got: Double, exact: Double): Boolean =
+      math.abs(got - exact) <= exact * 0.07
+    assert(within(r.getAs[Long]("est_a").toDouble, 2000), r.toString)
+    assert(within(r.getAs[Long]("est_b").toDouble, 2000), r.toString)
+    assert(within(r.getAs[Long]("est_union").toDouble, 3000), r.toString)
+    assert(within(r.getAs[Long]("est_overlap").toDouble, 1000), r.toString)
+    val j = r.getAs[Double]("est_jaccard")
+    assert(j > 0.25 && j < 0.42, s"jaccard estimate off: $j (exact 1/3)")
+    // disjoint corpora: overlap estimate near zero (within union noise)
+    val d = graft.ops.Pipeline.corpusOverlapSketch(
+      corpus(0 until 1000), corpus(5000 until 6000)).collect().head
+    assert(math.abs(d.getAs[Long]("est_overlap").toDouble) < 2000 * 0.07,
+      d.toString)
+  }
+
   test("pricingSummary plan: filter and pruned columns reach the parquet scan") {
     val plan = Relational.pricingSummary(lineitem).queryExecution.executedPlan.toString
     assert(plan.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"), plan)
