@@ -384,6 +384,44 @@ object CorpusScaleSmoke {
     assert(curAgg.getAs[Long]("blocked") > 0 && curAgg.getAs[Long]("blocked") < n / 10,
       s"blocked-domain count implausible: $curAgg")
 
+    // ---- rung: line-level boilerplate strip — one line explode, one
+    // (source, line-hash) partial count, positional reassembly; the
+    // planted header is shared by a source's ~n/20 docs, the footer by
+    // every doc, the body is unique — counts are exact ----
+    val (bpAgg, tBoiler) = time {
+      val bp = graft.text.Boilerplate.stripBoilerplate(
+        graft.text.Boilerplate.synthBoilerplate(docs), col("source"), minDf = 5)
+      val agg = bp.agg(count(lit(1)).as("n"),
+        sum(col("n_boiler_removed")).as("removed"),
+        sum(when(col("clean_text") === "", 1L).otherwise(0L)).as("emptied"))
+        .head()
+      agg
+    }
+    assert(bpAgg.getAs[Long]("n") == n, s"boilerplate lost docs: $bpAgg")
+    // every doc sheds NAV + FOOTER; every 3rd also sheds PROMO
+    assert(bpAgg.getAs[Long]("removed") == 2L * n + (n + 2) / 3,
+      s"boilerplate removals off: $bpAgg (expect ${2L * n + (n + 2) / 3})")
+    assert(bpAgg.getAs[Long]("emptied") == 0L, s"no doc is pure boilerplate: $bpAgg")
+
+    // ---- rung: sample-level PCM decode throughput — synth WAVs over
+    // the corpus (data chunk = text bytes), decode EVERY payload's
+    // samples map-side; the degenerate docs ('a'×240) have a known
+    // constant sample stream, so their stats recount exactly ----
+    val (wavAgg, tWavDecode) = time {
+      val ws = graft.multimodal.Binary.Wav.sampleStats(
+        graft.multimodal.Binary.Wav.synthFromDocs(docs))
+      ws.agg(count(lit(1)).as("n"),
+        sum(when(col("n_samples").isNotNull, col("n_samples"))).as("samples"),
+        // every valid doc decodes: invalid ↔ every 10th (raw text)
+        sum(when(col("n_samples").isNull, 1L).otherwise(0L)).as("undecoded"))
+        .head()
+    }
+    assert(wavAgg.getAs[Long]("n") == n, s"wav decode lost rows: $wavAgg")
+    assert(wavAgg.getAs[Long]("undecoded") == (n + 9) / 10,
+      s"exactly the planted invalid docs must not decode: $wavAgg")
+    assert(wavAgg.getAs[Long]("samples") > 50L * n,
+      s"decoded sample volume implausibly low: $wavAgg")
+
     // ---- rung: A-Res weighted sampling — one TakeOrdered pass over
     // per-row keys; membership a pure hash function, no shuffle beyond
     // the bounded top-k ----
@@ -409,6 +447,8 @@ object CorpusScaleSmoke {
       f""""hybrid_indexed_serve_sec":$tHybridIdx%.1f,""" +
       f""""hybrid_fused_recall":$fusedRecall%.2f,""" +
       f""""curate_sec":$tCurate%.1f,""" +
+      f""""boilerplate_sec":$tBoiler%.1f,""" +
+      f""""wav_decode_sec":$tWavDecode%.1f,""" +
       f""""weighted_sample_sec":$tWs%.1f}""")
     spark.stop()
   }
