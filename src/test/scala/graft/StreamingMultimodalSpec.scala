@@ -322,11 +322,16 @@ class StreamingMultimodalSpec extends SparkSpec {
         // runs BEFORE the dedup key, so this drops
         (2000L, 2L, "https://ok.org/page?utm_source=feed#f", "clean text"),
         (3000L, 3L, "https://www.bad.com/x", "clean text"),
-        (4000L, 4L, "https://fine.net/y", "bad bad bad things"))
+        (4000L, 4L, "https://fine.net/y", "bad bad bad things"),
+        // TWO records with no parseable URL: null canonicals must not
+        // fold into one dedup group — neither may vanish
+        (5000L, 5L, null, "clean text"),
+        (6000L, 6L, null, "clean text"))
       q.processAllAvailable()
       val rows = spark.table("curated_stream").collect()
         .map(r => r.getAs[Long]("doc_id") -> r).toMap
-      assert(rows.keySet === Set(1L, 3L, 4L), "tracking-link re-crawl must dedup")
+      assert(rows.keySet === Set(1L, 3L, 4L, 5L, 6L),
+        "tracking-link re-crawl must dedup; null-URL records must both survive")
       assert(rows(1L).getAs[Boolean]("keep"))
       assert(rows(3L).getAs[Boolean]("domain_blocked") && !rows(3L).getAs[Boolean]("keep"))
       assert(rows(4L).getAs[Long]("n_blocked_hits") === 3L &&
