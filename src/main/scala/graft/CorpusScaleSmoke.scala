@@ -398,10 +398,17 @@ object CorpusScaleSmoke {
       agg
     }
     assert(bpAgg.getAs[Long]("n") == n, s"boilerplate lost docs: $bpAgg")
-    // every doc sheds NAV + FOOTER; every 3rd also sheds PROMO
-    assert(bpAgg.getAs[Long]("removed") == 2L * n + (n + 2) / 3,
-      s"boilerplate removals off: $bpAgg (expect ${2L * n + (n + 2) / 3})")
-    assert(bpAgg.getAs[Long]("emptied") == 0L, s"no doc is pure boilerplate: $bpAgg")
+    // every doc sheds NAV + FOOTER; every 3rd also sheds PROMO; and
+    // the degenerate filler docs (all 'a'×240, all in src0 since
+    // 1000 ≡ 0 mod 20) have IDENTICAL bodies — which really are
+    // boilerplate (df = n/1000 ≥ minDf), so they strip too and those
+    // pages empty: exactly what the stage exists to do to filler
+    val nDegen = (n + 999) / 1000
+    val expectRemoved = 2L * n + (n + 2) / 3 + nDegen
+    assert(bpAgg.getAs[Long]("removed") == expectRemoved,
+      s"boilerplate removals off: $bpAgg (expect $expectRemoved)")
+    assert(bpAgg.getAs[Long]("emptied") == nDegen,
+      s"exactly the degenerate filler pages must empty: $bpAgg")
 
     // ---- rung: sample-level PCM decode throughput — synth WAVs over
     // the corpus (data chunk = text bytes), decode EVERY payload's

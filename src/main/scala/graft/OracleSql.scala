@@ -1107,6 +1107,58 @@ object OracleSql {
        |FROM r$iters ORDER BY rank_fp DESC, node LIMIT 50""".stripMargin
   }
 
+  /** Batch BM25 serving (mirror of SearchIndex.searchTopKBatch over
+    * [[TextAnalysis.BatchQueries]]): the row-wise (no per-term pivot)
+    * BM25 form — one detLn wrap over the TOKEN-level df table, term
+    * scores folded per (query, doc) in token order (`list_reduce` over
+    * `list(... ORDER BY token)` ≡ Spark's sorted-struct aggregate
+    * fold; 0.0-init vs first-element-init agree bitwise because every
+    * term score is positive).
+    */
+  val textSearchBatch: String = {
+    val maxDf = TextAnalysis.DefaultMaxTokenDf
+    val qvals = TextAnalysis.BatchQueries
+      .map { case (q, t) => s"($q, '$t')" }.mkString(", ")
+    val common =
+      s"""t AS (SELECT doc_id, $Toks AS toks FROM documents),
+         |d AS (SELECT doc_id, toks, len(toks)::BIGINT AS dl FROM t),
+         |s AS (SELECT count(*)::BIGINT AS n_docs, sum(dl)::BIGINT AS sum_dl FROM d),
+         |q AS (SELECT * FROM (VALUES $qvals) AS __q(query_id, token)),
+         |qt AS (SELECT DISTINCT token FROM q)""".stripMargin
+    val idfBase =
+      s"""WITH $common,
+         |dfs AS (SELECT qt.token,
+         |  sum(CASE WHEN list_contains(d.toks, qt.token) THEN 1 ELSE 0 END)::BIGINT AS df
+         |  FROM qt CROSS JOIN d GROUP BY 1),
+         |ib AS (SELECT token, df,
+         |  1.0::DOUBLE + (s.n_docs - df + 0.5::DOUBLE) / (df + 0.5::DOUBLE) AS idfarg
+         |  FROM dfs CROSS JOIN s WHERE df > 0 AND df <= $maxDf)
+         |SELECT token, idfarg FROM ib""".stripMargin
+    val idfs = detLn(idfBase, "token", "idfarg", "idf", "bq")
+    val k1p1 = dlit(2.2)
+    val k1 = dlit(1.2)
+    val b = dlit(0.75)
+    s"""WITH $common,
+       |idfs AS ($idfs),
+       |tf AS (SELECT d.doc_id, d.dl, qt.token,
+       |  len(list_filter(d.toks, x -> x = qt.token))::BIGINT AS tf
+       |  FROM d CROSS JOIN qt),
+       |m AS (SELECT q.query_id, tf.doc_id, tf.dl, tf.token, tf.tf
+       |  FROM tf JOIN q ON q.token = tf.token WHERE tf.tf > 0),
+       |sc AS (SELECT m.query_id, m.doc_id, m.token,
+       |  i.idf * (m.tf * $k1p1) / (m.tf + $k1 * (1.0::DOUBLE - $b +
+       |    $b * (m.dl / (s.sum_dl / s.n_docs)))) AS sv
+       |  FROM m JOIN idfs i ON i.token = m.token CROSS JOIN s),
+       |f AS (SELECT query_id, doc_id,
+       |  list_reduce(list(sv ORDER BY token), (a, v) -> a + v) AS score
+       |  FROM sc GROUP BY 1, 2),
+       |r AS (SELECT query_id, doc_id, score,
+       |  CAST(row_number() OVER (PARTITION BY query_id
+       |    ORDER BY score DESC, doc_id) AS BIGINT) AS rn FROM f)
+       |SELECT query_id::BIGINT AS query_id, rn, doc_id, score FROM r
+       |WHERE rn <= 10 ORDER BY query_id, rn""".stripMargin
+  }
+
   /** Personalized PageRank (mirror of Graph.personalizedPageRankQuery):
     * the same unrolled-CTE fixed-point idiom as [[qPagerank]], with
     * r₀ and the teleport term gated on `is_seed` — seeds are the 20

@@ -416,6 +416,22 @@ object SparkEntry {
     // index-at-rest round trip: save → load → serve with the corpus
     // untouched at serving time (stats from TBLPROPERTIES, doc lengths
     // from the bucketed doclen table); same oracle as text_search_topk
+    // BATCH query serving: a (query_id, token) frame served in ONE
+    // pass over the postings — distinct query tokens broadcast-prune
+    // the index, per-(query, doc) BM25 folds term scores in token
+    // order (partition-order-free), bounded top-k per query
+    "text_search_batch" -> ((s, dir) => {
+      import s.implicits._
+      val d = t(s, dir, "documents")
+      val docLens = d.select(col("doc_id"),
+        size(graft.GraftFunctions.tokens(col("text"))).cast("long").as("dl"))
+      val idx = graft.text.SearchIndex.TextIndex(
+        TextAnalysis.invertedIndex(d), docLens,
+        docLens.count(), docLens.agg(sum("dl")).head().getLong(0),
+        TextAnalysis.DefaultMaxTokenDf)
+      graft.text.SearchIndex.searchTopKBatch(idx,
+        TextAnalysis.BatchQueries.toDF("query_id", "token"), k = 10)
+    }),
     "text_search_topk_persisted" -> ((s, dir) => {
       val d = t(s, dir, "documents")
       val tmp = tempDir("search_idx")
@@ -1145,6 +1161,7 @@ object SparkEntry {
     "text_search_hybrid" -> OracleSql.textSearchHybrid,
     "text_search_hybrid_indexed" -> OracleSql.textSearchHybridIndexed,
     "text_search_topk_persisted" -> OracleSql.textSearchTopK,
+    "text_search_batch" -> OracleSql.textSearchBatch,
     "text_winnow" -> OracleSql.textWinnow,
     "text_containment" -> OracleSql.textContainment,
     "text_gopher" -> OracleSql.textGopher,

@@ -102,6 +102,59 @@ object SearchIndex {
       mergeSegments(idx.postings, idx.maxDf), terms, k, k1, b)
   }
 
+  /** BATCH query serving — the production shape the reference's
+    * `query()` takes on the vector side, for text: a frame of
+    * `(query_id, token)` rows is served in ONE pass over the postings
+    * instead of a plan per query. Plan shape: the distinct query-token
+    * set broadcast-semi-joins the postings (index side touches only
+    * Σ df(query tokens) entries regardless of corpus size), candidates
+    * join doc lengths on the bucketed doc_id key, and the per-(query,
+    * doc) BM25 sum folds the per-term scores IN TOKEN ORDER
+    * (`aggregate` over `sort_array(collect_list(struct))` — a
+    * groupBy-sum of doubles would be partition-order-dependent; the
+    * [[TextAnalysis.ngramLmScore]] determinism discipline), so even
+    * the batch ranker is cross-engine hash-exact. Per-query top-k via
+    * the bounded TopKByScore aggregate.
+    * Output: (query_id, rn, doc_id, score).
+    */
+  def searchTopKBatch(idx: TextIndex, queries: DataFrame, k: Int = 20,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val spark = idx.postings.sparkSession
+    val stats = spark.range(1).select(
+      lit(idx.nDocs).cast("long").as("n_docs"),
+      lit(idx.sumDl).cast("long").as("sum_dl"))
+    val q = queries.select(col("query_id"), col("token")).distinct()
+    val qTokens = q.select(col("token")).distinct()
+    val merged = mergeSegments(idx.postings, idx.maxDf)
+      .join(broadcast(qTokens), Seq("token"), "left_semi")
+    val posts = merged.select(col("token"), col("df"),
+        explode(arrays_zip(col("doc_ids"), col("tfs"))).as("p"))
+      .select(col("token"), col("df"),
+        col("p.doc_ids").as("doc_id"), col("p.tfs").as("tf"))
+    val withDl = posts
+      .join(idx.docLens, Seq("doc_id"))
+      .join(broadcast(q), Seq("token"))
+      .crossJoin(broadcast(stats))
+    val idf = graft.GraftFunctions.det_ln(lit(1.0) +
+      (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+    // association order mirrors searchFromPostings term-for-term
+    val termScore = idf * (col("tf") * lit(k1 + 1.0)) /
+      (col("tf") + lit(k1) * (lit(1.0) - lit(b) +
+        lit(b) * (col("dl") / (col("sum_dl") / col("n_docs")))))
+    val perDoc = withDl
+      .select(col("query_id"), col("doc_id"), col("token"), termScore.as("s"))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(aggregate(
+        array_sort(collect_list(struct(col("token"), col("s")))),
+        lit(0.0), (a, x) => a + x.getField("s")).as("score"))
+    graft.ops.TopK.rankByScore(
+        perDoc.select(col("query_id").as("q_id"), col("doc_id").as("cand_id"),
+          col("score").as("sim")), k)
+      .select(col("q_id").as("query_id"), col("rn"),
+        col("cand_id").as("doc_id"), col("sim").as("score"))
+      .orderBy(col("query_id"), col("rn"))
+  }
+
   /** Segment-merged postings of a loaded index — the serve-time view
     * every reader must use (see [[mergeSegments]]).
     */

@@ -313,6 +313,15 @@ object TextAnalysis {
     */
   val Bm25Terms: Seq[String] = Seq("the", "of", "data")
 
+  /** Canned query batch for the batch-serving driver row: three
+    * queries over tokenizer-canonical corpus words (query 0 = the
+    * [[Bm25Terms]] set, so the single-query row anchors it).
+    */
+  val BatchQueries: Seq[(Long, String)] = Seq(
+    (0L, "the"), (0L, "of"), (0L, "data"),
+    (1L, "table"), (1L, "row"), (1L, "scan"),
+    (2L, "query"), (2L, "window"))
+
   /** BM25 relevance score of every document against a fixed term set —
     * the standard retrieval/quality-weighting primitive (Robertson &
     * Zaragoza 2009; k1 = 1.2, b = 0.75):

@@ -1290,6 +1290,38 @@ class TextKnnSpec extends SparkSpec {
     assert(residual === 0L)
   }
 
+  test("searchTopKBatch: one pass serves many queries; each agrees with its single-query serve") {
+    import graft.text.SearchIndex
+    val docLens = docs.select(col("doc_id"),
+      size(GraftFunctions.tokens(col("text"))).cast("long").as("dl"))
+    val idx = SearchIndex.TextIndex(
+      TextAnalysis.invertedIndex(docs), docLens,
+      docLens.count(), docLens.agg(sum("dl")).head().getLong(0),
+      TextAnalysis.DefaultMaxTokenDf)
+    val qs = TextAnalysis.BatchQueries.toDF("query_id", "token")
+    val got = SearchIndex.searchTopKBatch(idx, qs, k = 10).collect()
+    val byQuery = got.groupBy(_.getAs[Long]("query_id"))
+    assert(byQuery.keySet === Set(0L, 1L, 2L))
+    // per-query ranking ≡ the single-query operator's (scores can
+    // differ in the last ulp — the batch folds matched terms in token
+    // order, the single path folds the full term list — so compare
+    // the ranked doc lists and score proximity, not bits)
+    TextAnalysis.BatchQueries.groupBy(_._1).foreach { case (qid, rows) =>
+      val single = SearchIndex.searchTopK(idx, rows.map(_._2), k = 10).collect()
+        .map(r => (r.getAs[Long]("doc_id"), r.getAs[Double]("score")))
+      val batch = byQuery(qid).sortBy(_.getAs[Long]("rn"))
+        .map(r => (r.getAs[Long]("doc_id"), r.getAs[Double]("score")))
+      assert(batch.map(_._1).toSeq === single.map(_._1).toSeq, s"query $qid doc order")
+      batch.zip(single).foreach { case ((_, bs), (_, ss)) =>
+        assert(math.abs(bs - ss) <= math.ulp(ss) * 4, s"query $qid score drift")
+      }
+    }
+    // ranks are 1..k dense per query
+    byQuery.values.foreach { rows =>
+      assert(rows.map(_.getAs[Long]("rn")).sorted.toSeq === (1L to rows.length).toSeq)
+    }
+  }
+
   test("hybridSearchTopKOnIndexes: probe-every-cell ≡ independently fused exact ranks") {
     import graft.text.SearchIndex
     val terms = TextAnalysis.Bm25Terms
