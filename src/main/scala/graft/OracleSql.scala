@@ -1115,7 +1115,9 @@ object OracleSql {
     * fold; 0.0-init vs first-element-init agree bitwise because every
     * term score is positive).
     */
-  val textSearchBatch: String = {
+  val textSearchBatch: String = batchLexSql(10)
+
+  private def batchLexSql(k: Int): String = {
     val maxDf = TextAnalysis.DefaultMaxTokenDf
     val qvals = TextAnalysis.BatchQueries
       .map { case (q, t) => s"($q, '$t')" }.mkString(", ")
@@ -1156,6 +1158,74 @@ object OracleSql {
        |  CAST(row_number() OVER (PARTITION BY query_id
        |    ORDER BY score DESC, doc_id) AS BIGINT) AS rn FROM f)
        |SELECT query_id::BIGINT AS query_id, rn, doc_id, score FROM r
+       |WHERE rn <= $k ORDER BY query_id, rn""".stripMargin
+  }
+
+  /** Batch hybrid serving (mirror of hybridSearchBatchOnIndexes with
+    * probe-every-cell): the [[batchLexSql]] lexical ranks per query,
+    * the dense float hash-embed cosine ranks per query (per-query
+    * pseudo-doc vectors assembled exactly like the corpus side), and
+    * the RRF fusion partitioned by query_id.
+    */
+  val textSearchHybridBatch: String = {
+    val qvals = TextAnalysis.BatchQueries
+      .map { case (q, t) => s"($q, '$t')" }.mkString(", ")
+    val vecChain =
+      s"""WITH t AS (SELECT doc_id, $Toks AS toks FROM documents),
+         |tok AS (SELECT doc_id, unnest(toks) AS tk FROM t),
+         |h AS (SELECT doc_id, ${hex64("'he|'||tk")} AS h FROM tok),
+         |sg AS (SELECT doc_id, h % 64 AS dim,
+         |  CASE WHEN (h >> 20) & 1 = 1 THEN 1 ELSE -1 END AS sgn FROM h),
+         |w AS (SELECT doc_id, dim, sum(sgn)::BIGINT AS w FROM sg
+         |  GROUP BY 1, 2 HAVING sum(sgn) <> 0),
+         |n AS (SELECT doc_id, sum(w * w)::BIGINT AS s2 FROM w GROUP BY 1),
+         |wt AS (SELECT w.doc_id, w.dim, (w.w / sqrt(n.s2)) AS wt
+         |  FROM w JOIN n ON n.doc_id = w.doc_id),
+         |dims AS (SELECT unnest(range(0, 64)) AS dim),
+         |dense AS (SELECT d.doc_id,
+         |  list(coalesce(wt.wt::FLOAT, 0.0::FLOAT)::DOUBLE ORDER BY dm.dim) AS v
+         |  FROM (SELECT DISTINCT doc_id FROM w) d
+         |  CROSS JOIN dims dm
+         |  LEFT JOIN wt ON wt.doc_id = d.doc_id AND wt.dim = dm.dim
+         |  GROUP BY d.doc_id),
+         |q AS (SELECT * FROM (VALUES $qvals) AS __q(query_id, token)),
+         |qh AS (SELECT query_id, ${hex64("'he|'||token")} AS h FROM q),
+         |qsg AS (SELECT query_id, h % 64 AS dim,
+         |  CASE WHEN (h >> 20) & 1 = 1 THEN 1 ELSE -1 END AS sgn FROM qh),
+         |qw AS (SELECT query_id, dim, sum(sgn)::BIGINT AS w FROM qsg
+         |  GROUP BY 1, 2 HAVING sum(sgn) <> 0),
+         |qn AS (SELECT query_id, sum(w * w)::BIGINT AS s2 FROM qw GROUP BY 1),
+         |qwt AS (SELECT qw.query_id, qw.dim, (qw.w / sqrt(qn.s2)) AS wt
+         |  FROM qw JOIN qn ON qn.query_id = qw.query_id),
+         |qdense AS (SELECT q0.query_id,
+         |  list(coalesce(qwt.wt::FLOAT, 0.0::FLOAT)::DOUBLE ORDER BY dm.dim) AS qv
+         |  FROM (SELECT DISTINCT query_id FROM qw) q0
+         |  CROSS JOIN dims dm
+         |  LEFT JOIN qwt ON qwt.query_id = q0.query_id AND qwt.dim = dm.dim
+         |  GROUP BY q0.query_id),
+         |vsim AS (SELECT qd.query_id, dv.doc_id,
+         |  list_cosine_similarity(qd.qv, dv.v) AS sim
+         |  FROM dense dv CROSS JOIN qdense qd),
+         |vr AS (SELECT query_id, doc_id, sim, CAST(row_number() OVER (
+         |  PARTITION BY query_id ORDER BY sim DESC, doc_id) AS BIGINT) AS rn
+         |  FROM vsim)
+         |SELECT query_id::BIGINT AS query_id, doc_id, rn AS vec_rank
+         |FROM vr WHERE rn <= 20""".stripMargin
+    s"""WITH lexr AS (
+       |  SELECT query_id, doc_id, rn AS lex_rank FROM (${batchLexSql(20)}) __lex),
+       |vecr AS (SELECT * FROM ($vecChain) __vec),
+       |fused AS (SELECT coalesce(l.query_id, v.query_id) AS query_id,
+       |  coalesce(l.doc_id, v.doc_id) AS doc_id,
+       |  l.lex_rank, v.vec_rank,
+       |  coalesce(1.0::DOUBLE / (60 + l.lex_rank), 0.0e0)
+       |    + coalesce(1.0::DOUBLE / (60 + v.vec_rank), 0.0e0) AS rrf_score
+       |  FROM lexr l FULL OUTER JOIN vecr v
+       |  ON l.query_id = v.query_id AND l.doc_id = v.doc_id),
+       |r AS (SELECT query_id, doc_id, lex_rank, vec_rank, rrf_score,
+       |  CAST(row_number() OVER (PARTITION BY query_id
+       |    ORDER BY rrf_score DESC, doc_id) AS BIGINT) AS rn
+       |  FROM fused)
+       |SELECT query_id, rn, doc_id, lex_rank, vec_rank, rrf_score FROM r
        |WHERE rn <= 10 ORDER BY query_id, rn""".stripMargin
   }
 

@@ -432,6 +432,26 @@ object SparkEntry {
       graft.text.SearchIndex.searchTopKBatch(idx,
         TextAnalysis.BatchQueries.toDF("query_id", "token"), k = 10)
     }),
+    // BATCH hybrid serving from indexes at rest: lexical sides in one
+    // postings pass, semantic sides in one cell-confined IVF pass
+    // (probeTopKOnIndex is natively batch), shared per-query RRF tail;
+    // probing every cell makes each semantic side exact → composed
+    // per-query oracle, hash-exact
+    "text_search_hybrid_batch" -> ((s, dir) => {
+      import s.implicits._
+      val d = t(s, dir, "documents")
+      val tmpL = tempDir("hybb_lex")
+      val tmpA = tempDir("hybb_ann")
+      graft.text.SearchIndex.save(d, "graft_hybb_lex_rt", path = Some(s"$tmpL/tbl"))
+      val vecs = TextAnalysis.hashEmbedVectors(d)
+        .select(col("doc_id").as("vec_id"), col("embedding"))
+      graft.ann.Ivf.saveIndex(vecs, vecs.filter(col("vec_id") < 8),
+        "graft_hybb_ann_rt", path = Some(s"$tmpA/tbl"))
+      val lexIdx = graft.text.SearchIndex.load(s, "graft_hybb_lex_rt")
+      val (cells, cents) = graft.ann.Ivf.loadIndex(s, "graft_hybb_ann_rt")
+      TextAnalysis.hybridSearchBatchOnIndexes(lexIdx, cells, cents,
+        TextAnalysis.BatchQueries.toDF("query_id", "token"), nProbe = 8)
+    }),
     "text_search_topk_persisted" -> ((s, dir) => {
       val d = t(s, dir, "documents")
       val tmp = tempDir("search_idx")
@@ -1162,6 +1182,7 @@ object SparkEntry {
     "text_search_hybrid_indexed" -> OracleSql.textSearchHybridIndexed,
     "text_search_topk_persisted" -> OracleSql.textSearchTopK,
     "text_search_batch" -> OracleSql.textSearchBatch,
+    "text_search_hybrid_batch" -> OracleSql.textSearchHybridBatch,
     "text_winnow" -> OracleSql.textWinnow,
     "text_containment" -> OracleSql.textContainment,
     "text_gopher" -> OracleSql.textGopher,

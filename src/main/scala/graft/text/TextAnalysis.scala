@@ -1187,19 +1187,37 @@ object TextAnalysis {
       lexScored
         .select(lit(0L).as("q_id"), col("doc_id").as("cand_id"), col("score").as("sim")),
       kEach)
-      .select(col("cand_id").as("doc_id"), col("rn").as("lex_rank"))
+      .select(lit(0L).as("query_id"), col("cand_id").as("doc_id"),
+        col("rn").as("lex_rank"))
+    fuseRankListsBatch(lex, vec.withColumn("query_id", lit(0L)), k, rrfK)
+      .drop("query_id")
+  }
+
+  /** The multi-query RRF fusion tail — ONE fusion implementation for
+    * every hybrid form, single- or batch-query: full-outer join the
+    * two rank lists per (query_id, doc_id), `Σ 1/(rrfK + rank)` in
+    * fixed association order, bounded top-k PER QUERY (rankByScore
+    * partitions on q_id, so fusing 10⁴ queries is the same plan as
+    * fusing one).
+    */
+  private def fuseRankListsBatch(lex: DataFrame, vec: DataFrame,
+      k: Int, rrfK: Int): DataFrame = {
     val rrfScore =
       coalesce(lit(1.0) / (lit(rrfK.toDouble) + col("lex_rank")), lit(0.0)) +
         coalesce(lit(1.0) / (lit(rrfK.toDouble) + col("vec_rank")), lit(0.0))
-    val fused = lex.join(vec, Seq("doc_id"), "full_outer")
-      .select(col("doc_id"), col("lex_rank"), col("vec_rank"), rrfScore.as("rrf_score"))
+    val fused = lex.join(vec, Seq("query_id", "doc_id"), "full_outer")
+      .select(col("query_id"), col("doc_id"), col("lex_rank"), col("vec_rank"),
+        rrfScore.as("rrf_score"))
     graft.ops.TopK.rankByScore(
-      fused.select(lit(0L).as("q_id"), col("doc_id").as("cand_id"),
+      fused.select(col("query_id").as("q_id"), col("doc_id").as("cand_id"),
         col("rrf_score").as("sim")), k)
-      .select(col("rn"), col("cand_id").as("doc_id"), col("sim").as("rrf_score"))
-      .join(fused.select(col("doc_id"), col("lex_rank"), col("vec_rank")), Seq("doc_id"))
-      .select(col("rn"), col("doc_id"), col("lex_rank"), col("vec_rank"), col("rrf_score"))
-      .orderBy(col("rn"))
+      .select(col("q_id").as("query_id"), col("rn"),
+        col("cand_id").as("doc_id"), col("sim").as("rrf_score"))
+      .join(fused.select(col("query_id"), col("doc_id"), col("lex_rank"),
+        col("vec_rank")), Seq("query_id", "doc_id"))
+      .select(col("query_id"), col("rn"), col("doc_id"), col("lex_rank"),
+        col("vec_rank"), col("rrf_score"))
+      .orderBy(col("query_id"), col("rn"))
   }
 
   /** Hybrid retrieval with BOTH sides served from indexes at rest —
@@ -1216,6 +1234,38 @@ object TextAnalysis {
     * the oracle-checkable configuration; production serves with small
     * `nProbe` at measured recall ([[graft.ann.Knn.recallEval]]).
     */
+  /** BATCH hybrid serving from indexes at rest — the full production
+    * serving story in one operator: a `(query_id, token)` frame's
+    * lexical sides serve in one pass over the postings
+    * ([[SearchIndex.searchTopKBatch]]), its semantic sides in one
+    * cell-confined pass over the IVF index (the probe machinery is
+    * natively batch — `probeTopKOnIndex` takes a query FRAME), and
+    * the shared [[fuseRankListsBatch]] tail fuses per query. Query
+    * pseudo-docs hash-embed corpus-free (hashEmbed is per-doc pure,
+    * sign sums are token-order-free); query vec_ids are negated
+    * (−query_id−1) so they can never collide with corpus vec_ids in
+    * the self-exclusion filter. Output: (query_id, rn, doc_id,
+    * lex_rank, vec_rank, rrf_score).
+    */
+  def hybridSearchBatchOnIndexes(lexIdx: SearchIndex.TextIndex,
+      annCells: DataFrame, annCentroids: DataFrame, queries: DataFrame,
+      k: Int = 10, kEach: Int = 20, d: Int = 64, nProbe: Int = 3,
+      rrfK: Int = 60): DataFrame = {
+    val lex = SearchIndex.searchTopKBatch(lexIdx, queries, kEach)
+      .select(col("query_id"), col("doc_id"), col("rn").as("lex_rank"))
+    val qDocs = queries.groupBy(col("query_id"))
+      .agg(concat_ws(" ", sort_array(collect_list(col("token")))).as("text"))
+      .select((-col("query_id") - 1).as("doc_id"), col("text"),
+        col("query_id").as("__qid"))
+    val qVecs = hashEmbedVectors(qDocs.select(col("doc_id"), col("text")), d)
+      .select(col("doc_id").as("vec_id"), col("embedding"))
+    val vec = graft.ann.Ivf.probeTopKOnIndex(annCells, annCentroids, qVecs,
+        nProbe, kEach)
+      .select((-col("q_id") - 1).as("query_id"),
+        col("cand_id").as("doc_id"), col("rn").as("vec_rank"))
+    fuseRankListsBatch(lex, vec, k, rrfK)
+  }
+
   def hybridSearchTopKOnIndexes(lexIdx: SearchIndex.TextIndex,
       annCells: DataFrame, annCentroids: DataFrame,
       terms: Seq[String] = Bm25Terms, k: Int = 10, kEach: Int = 20,
