@@ -383,46 +383,31 @@ object Binary {
         col("bit_depth") === 8L && col("interlace") === 0L &&
         col("idat_bytes").isNotNull
       val withRaw = parsed.withColumn("__raw",
-          when(decodable, gcol(ZlibInflate(gexpr(idat), maxRasterBytes))))
-        // staged raster hex — the per-pixel lambdas read a bound
-        // attribute instead of re-hexing the raster per byte (see
-        // Wav.sampleStats)
-        .withColumn("__rasterhex", hex(col("__raw")))
-      val rh = col("__rasterhex")
-      def divEx(a: Column, b: Column): Column =
-        ((a - pmod(a, b)) / b).cast("long")
-      // every scanline's first byte must be filter type 0
-      val filtersOk = forall(
-        transform(sequence(lit(0L), ht - 1), y =>
-          conv(rh.substr((y * rowb * 2 + 1).cast("int"), lit(2)), 16, 10) === 0),
-        x => x)
-      val ok = col("__raw").isNotNull &&
-        length(col("__raw")) === rasterLen && filtersOk && w * ht > 0
-      def chanSum(c: Int) = aggregate(
-        transform(sequence(lit(0L), w * ht - 1), i => {
-          val off = divEx(i, w) * rowb + 1 + pmod(i, w) * 3 + c
-          conv(rh.substr((off * 2 + 1).cast("int"), lit(2)), 16, 10).cast("long")
-        }),
-        lit(0L), (a, v) => a + v)
-      val peak = array_max(
-        transform(sequence(lit(0L), w * ht * 3 - 1), i => {
-          val pix = divEx(i, lit(3L))
-          val off = divEx(pix, w) * rowb + 1 + pmod(pix, w) * 3 + pmod(i, lit(3L))
-          conv(rh.substr((off * 2 + 1).cast("int"), lit(2)), 16, 10).cast("long")
-        }))
+        when(decodable, gcol(ZlibInflate(gexpr(idat), maxRasterBytes))))
+      // the whole walk — per-scanline filter-0 verification included —
+      // is ONE codegen kernel over the inflated raster bytes
+      // (PixelKernel with checkFilter: pixels at y·(3w+1) + 1 + 3x + c)
+      val st = org.apache.spark.sql.GraftColumnBridge.column(
+        graft.expressions.PixelChannelStats(
+          org.apache.spark.sql.GraftColumnBridge.expression(col("__raw")),
+          org.apache.spark.sql.GraftColumnBridge.expression(
+            array(w.cast("long"), ht.cast("long"), rowb.cast("long"), lit(1L))),
+          checkFilter = true))
       withRaw
-        .withColumn("pixels_decoded", when(ok, w * ht))
+        .withColumn("__st",
+          when(col("__raw").isNotNull && length(col("__raw")) === rasterLen &&
+            w * ht > 0, st))
+        .withColumn("pixels_decoded",
+          when(col("__st").isNotNull, element_at(col("__st"), 1)))
         .withColumn("mean_r",
-          when(col("pixels_decoded").isNotNull,
-            chanSum(0).cast("double") / col("pixels_decoded")))
+          element_at(col("__st"), 2).cast("double") / col("pixels_decoded"))
         .withColumn("mean_g",
-          when(col("pixels_decoded").isNotNull,
-            chanSum(1).cast("double") / col("pixels_decoded")))
+          element_at(col("__st"), 3).cast("double") / col("pixels_decoded"))
         .withColumn("mean_b",
-          when(col("pixels_decoded").isNotNull,
-            chanSum(2).cast("double") / col("pixels_decoded")))
-        .withColumn("peak_byte", when(col("pixels_decoded").isNotNull, peak))
-        .drop("__raw", "__rasterhex")
+          element_at(col("__st"), 4).cast("double") / col("pixels_decoded"))
+        .withColumn("peak_byte",
+          when(col("pixels_decoded").isNotNull, element_at(col("__st"), 5)))
+        .drop("__raw", "__st")
     }
   }
 
@@ -690,49 +675,33 @@ object Binary {
       */
     def pixelStats(media: DataFrame, payloadCol: String = "payload"): DataFrame = {
       val p = col(payloadCol)
-      // staged payload hex: the per-pixel lambdas must read a bound
-      // attribute, not re-hex the payload once per channel byte (see
-      // Wav.sampleStats)
-      val h = col("__phex")
       val w = col("width")
       val ht = col("height")
-      val stride = col("row_stride")
       val ok = col("bmp_valid") && col("compression") === 0L &&
         col("bits_per_pixel") === 24L && col("data_offset") === 54L
-      // channel c byte of pixel (x, y): data_offset + y·stride + 3x + c,
-      // read from the payload hex (1-based, 2 chars/byte)
-      // Column `/` is DOUBLE division — divide only exact multiples
-      // (i − i mod w) so the quotient is integral and the cast exact
-      def divEx(a: Column, b: Column): Column =
-        ((a - pmod(a, b)) / b).cast("long")
-      def chanSum(c: Int) = aggregate(
-        transform(sequence(lit(0L), w * ht - 1), i => {
-          val off = lit(54L) + divEx(i, w) * stride + pmod(i, w) * 3 + c
-          conv(h.substr((off * 2 + 1).cast("int"), lit(2)), 16, 10).cast("long")
-        }),
-        lit(0L), (a, v) => a + v)
-      val peak = array_max(
-        transform(sequence(lit(0L), w * ht * 3 - 1), i => {
-          val pix = divEx(i, lit(3L))
-          val off = lit(54L) + divEx(pix, w) * stride +
-            pmod(pix, w) * 3 + pmod(i, lit(3L))
-          conv(h.substr((off * 2 + 1).cast("int"), lit(2)), 16, 10).cast("long")
-        }))
+      // the whole stride walk is ONE codegen kernel over the raw
+      // payload bytes (PixelKernel — the Wav.sampleStats upgrade
+      // pattern; channel c of pixel (x,y) at 54 + y·stride + 3x + c)
+      val st = org.apache.spark.sql.GraftColumnBridge.column(
+        graft.expressions.PixelChannelStats(
+          org.apache.spark.sql.GraftColumnBridge.expression(p),
+          org.apache.spark.sql.GraftColumnBridge.expression(
+            array(w.cast("long"), ht.cast("long"),
+              col("row_stride").cast("long"), lit(54L))),
+          checkFilter = false))
       parse(media, payloadCol)
-        .withColumn("__phex", hex(p))
-        .withColumn("pixels_decoded", when(ok && w * ht > 0, w * ht))
+        .withColumn("__st", when(ok && w * ht > 0, st))
+        .withColumn("pixels_decoded",
+          when(col("__st").isNotNull, element_at(col("__st"), 1)))
         .withColumn("mean_b",
-          when(col("pixels_decoded").isNotNull,
-            chanSum(0).cast("double") / col("pixels_decoded")))
+          element_at(col("__st"), 2).cast("double") / col("pixels_decoded"))
         .withColumn("mean_g",
-          when(col("pixels_decoded").isNotNull,
-            chanSum(1).cast("double") / col("pixels_decoded")))
+          element_at(col("__st"), 3).cast("double") / col("pixels_decoded"))
         .withColumn("mean_r",
-          when(col("pixels_decoded").isNotNull,
-            chanSum(2).cast("double") / col("pixels_decoded")))
+          element_at(col("__st"), 4).cast("double") / col("pixels_decoded"))
         .withColumn("peak_byte",
-          when(col("pixels_decoded").isNotNull, peak))
-        .drop("__phex")
+          when(col("pixels_decoded").isNotNull, element_at(col("__st"), 5)))
+        .drop("__st")
     }
 
     /** Deterministic BMP corpus from the documents table: dimensions
