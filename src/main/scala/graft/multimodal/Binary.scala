@@ -307,26 +307,35 @@ object Binary {
     * decode story the container grid builds toward: IDAT is a REAL
     * zlib stream ([[graft.expressions.ZlibInflate]] — a native
     * inflate inside the projection, bomb-guarded), scanlines carry
-    * per-row filter bytes, pixels are 8-bit RGB. Scope: color type 2,
-    * depth 8, filter 0, non-interlaced — the common fast path; other
-    * filter types need the sequential unfilter recurrence and return
-    * null rather than guesses (the [[Bmp.pixelStats]] convention).
+    * per-row filter bytes, pixels are 8-bit RGB, and ALL FIVE PNG
+    * filter types (None/Sub/Up/Average/Paeth) reconstruct through the
+    * sequential unfilter recurrence in
+    * [[graft.expressions.PngFilterKernel]] — a real-world RGB8
+    * non-interlaced PNG decodes here, not a synthetic subset. Scope:
+    * color type 2, depth 8, non-interlaced; other color types/depths
+    * return null rather than guesses (the [[Bmp.pixelStats]]
+    * convention).
     */
   object PngPixels {
     import graft.expressions.{ZlibDeflate, ZlibInflate}
     import org.apache.spark.sql.GraftColumnBridge.{column => gcol, expression => gexpr}
 
-    /** Deterministic RGB8 filter-0 PNG corpus: dimensions from doc_id
-      * arithmetic, pixel bytes = text bytes zero-padded to 3·w·h, each
-      * scanline prefixed with filter byte 0, the whole raster
-      * zlib-compressed into ONE IDAT by the real kernel — so the
-      * corpus contains genuinely compressed image payloads, not raw
-      * bytes wearing a header. CRCs real, every `invalidEvery`-th doc
-      * raw text.
+    /** Deterministic RGB8 PNG corpus with REAL adaptive filtering:
+      * dimensions from doc_id arithmetic, pixel bytes = text bytes
+      * zero-padded to 3·w·h, each scanline FILTERED with type
+      * `(doc_id + y) % 5` — all five PNG filters (None/Sub/Up/
+      * Average/Paeth) exercised corpus-wide. The forward filter is a
+      * per-byte pure function of the RAW pixel array (filters predict
+      * from decoded neighbors), so synthesis stays a declarative HOF;
+      * DECODING is the sequential recurrence in
+      * [[graft.expressions.PngFilterKernel]]. The raster
+      * zlib-compresses into ONE IDAT by the real kernel — genuinely
+      * compressed, genuinely filtered payloads. CRCs real, every
+      * `invalidEvery`-th doc raw text.
       */
     def synthFromDocs(docs: DataFrame, invalidEvery: Int = 10): DataFrame = {
       val d = col("doc_id")
-      val staged = docs
+      val preStaged = docs
         .withColumn("__w", lit(4L) + d % 5)
         .withColumn("__h", lit(3L) + d % 4)
         .withColumn("__rowb", col("__w") * 3)
@@ -334,11 +343,33 @@ object Binary {
         .withColumn("__pixhex", expr(
           "rpad(substring(hex(cast(text as binary)), 1, " +
             "cast(__w * __h * 6 as int)), cast(__w * __h * 6 as int), '0')"))
-        // raw raster: per scanline '00' filter byte + that row's pixels
-        .withColumn("__rawhex", expr(
-          "array_join(transform(sequence(0L, __h - 1), y -> " +
-            "concat('00', substring(__pixhex, cast(y * __rowb * 2 + 1 as int), " +
-            "cast(__rowb * 2 as int)))), '')"))
+      def rawAt(g: Column): Column =
+        conv(col("__pixhex").substr((g * 2 + 1).cast("int"), lit(2)), 16, 10)
+          .cast("long")
+      val rowb = col("__rowb")
+      val filteredRows = transform(sequence(lit(0L), col("__h") - 1), y => {
+        val t = pmod(d + y, lit(5L))
+        val rowBytes = transform(sequence(lit(0L), rowb - 1), j => {
+          val g = y * rowb + j
+          val raw = rawAt(g)
+          val a = when(j >= 3, rawAt(g - 3)).otherwise(lit(0L))
+          val b = when(y >= 1, rawAt(g - rowb)).otherwise(lit(0L))
+          val cc = when(y >= 1 && j >= 3, rawAt(g - rowb - 3)).otherwise(lit(0L))
+          val p = a + b - cc
+          val pa = abs(p - a)
+          val pb = abs(p - b)
+          val pc = abs(p - cc)
+          val paeth = when(pa <= pb && pa <= pc, a)
+            .when(pb <= pc, b).otherwise(cc)
+          val pred = when(t === 0, lit(0L)).when(t === 1, a).when(t === 2, b)
+            .when(t === 3, (((a + b) - pmod(a + b, lit(2L))) / 2).cast("long"))
+            .otherwise(paeth)
+          lpad(hex(pmod(raw - pred, lit(256L))), 2, "0")
+        })
+        concat(lpad(hex(t), 2, "0"), array_join(rowBytes, ""))
+      })
+      val staged = preStaged
+        .withColumn("__rawhex", array_join(filteredRows, ""))
         .withColumn("__idat",
           gcol(ZlibDeflate(gexpr(unhex(col("__rawhex"))))))
       val ihdrTypeData = concat(Png.asciiHexPub("IHDR"),
@@ -364,11 +395,12 @@ object Binary {
           .otherwise(lit("image/png")).as("media_type"))
     }
 
-    /** Decode pixels from RGB8/filter-0 PNGs: inflate the IDAT (real
-      * zlib, null on corrupt/truncated/over-budget), verify the
-      * inflated raster length and every scanline's filter byte, then
-      * per-channel means + peak byte over the actual pixel bytes.
-      * Null stats for any other color type/depth/interlace/filter.
+    /** Decode pixels from RGB8 PNGs: inflate the IDAT (real zlib,
+      * null on corrupt/truncated/over-budget), UNFILTER every
+      * scanline (all five adaptive filter types), then per-channel
+      * means + peak byte over the reconstructed pixel bytes. Null
+      * stats for any other color type/depth/interlace or an unknown
+      * filter type.
       */
     def pixelStats(media: DataFrame, payloadCol: String = "payload",
         maxRasterBytes: Int = 1 << 24): DataFrame = {
@@ -384,15 +416,14 @@ object Binary {
         col("idat_bytes").isNotNull
       val withRaw = parsed.withColumn("__raw",
         when(decodable, gcol(ZlibInflate(gexpr(idat), maxRasterBytes))))
-      // the whole walk — per-scanline filter-0 verification included —
-      // is ONE codegen kernel over the inflated raster bytes
-      // (PixelKernel with checkFilter: pixels at y·(3w+1) + 1 + 3x + c)
+      // inflate → UNFILTER (all five PNG filter types, the sequential
+      // reconstruction recurrence) → channel stats, the latter two as
+      // ONE codegen kernel pass over the inflated raster bytes
       val st = org.apache.spark.sql.GraftColumnBridge.column(
-        graft.expressions.PixelChannelStats(
+        graft.expressions.PngFilteredStats(
           org.apache.spark.sql.GraftColumnBridge.expression(col("__raw")),
           org.apache.spark.sql.GraftColumnBridge.expression(
-            array(w.cast("long"), ht.cast("long"), rowb.cast("long"), lit(1L))),
-          checkFilter = true))
+            array(w.cast("long"), ht.cast("long")))))
       withRaw
         .withColumn("__st",
           when(col("__raw").isNotNull && length(col("__raw")) === rasterLen &&

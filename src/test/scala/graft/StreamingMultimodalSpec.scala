@@ -278,24 +278,57 @@ class StreamingMultimodalSpec extends SparkSpec {
         chunk("IHDR", ihdr) ++
         chunk("IDAT", buf.take(n)) ++ chunk("IEND", Array.emptyByteArray)
     }
-    // 2×2 RGB: rows prefixed with filter 0
-    val px = Array[Byte](
-      0, 10, 20, 30, 40, 50, 60,
-      0, 70, 80, 90, 100, 110, 120)
-    val good = png(2, 2, px)
-    val badFilter = png(2, 2, { val c = px.clone(); c(7) = 1; c })
-    val corrupt = { val c = png(2, 2, px); c(45) = (c(45) ^ 0xFF).toByte; c }
+    // independent FORWARD filter (applies PNG filters to raw rows —
+    // the decode must invert it; shares no code with the kernel)
+    def paeth(a: Int, b: Int, c: Int): Int = {
+      val p = a + b - c
+      val (pa, pb, pc) = (math.abs(p - a), math.abs(p - b), math.abs(p - c))
+      if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
+    }
+    def applyFilters(raw: Array[Int], w: Int, h: Int,
+        fts: Array[Int]): Array[Byte] = {
+      val rowb = 3 * w
+      val out = Array.newBuilder[Byte]
+      (0 until h).foreach { y =>
+        out += fts(y).toByte
+        (0 until rowb).foreach { j =>
+          val x = raw(y * rowb + j)
+          val a = if (j >= 3) raw(y * rowb + j - 3) else 0
+          val b = if (y > 0) raw((y - 1) * rowb + j) else 0
+          val c = if (y > 0 && j >= 3) raw((y - 1) * rowb + j - 3) else 0
+          val pred = fts(y) match {
+            case 0 => 0
+            case 1 => a
+            case 2 => b
+            case 3 => (a + b) / 2
+            case 4 => paeth(a, b, c)
+          }
+          out += ((x - pred) & 0xFF).toByte
+        }
+      }
+      out.result()
+    }
+    // 2×5 RGB with values incl. >127 bytes; one row per filter type
+    val raw = (0 until 2 * 5 * 3).map(i => (i * 37 + 11) % 256).toArray
+    val good = png(2, 5, applyFilters(raw, 2, 5, Array(0, 1, 2, 3, 4)))
+    val badFilter = png(2, 5, applyFilters(raw, 2, 5, Array(0, 0, 0, 0, 0))
+      .updated(0, 7.toByte)) // unknown filter type 7 on row 0
+    val corrupt = { val c = png(2, 5, applyFilters(raw, 2, 5,
+      Array(0, 0, 0, 0, 0))); c(45) = (c(45) ^ 0xFF).toByte; c }
     val media = Seq((1L, good), (2L, badFilter), (3L, corrupt))
       .toDF("doc_id", "payload")
     val got = Binary.PngPixels.pixelStats(media).collect()
       .map(r => r.getAs[Long]("doc_id") -> r).toMap
     val r1 = got(1L)
-    assert(r1.getAs[Long]("pixels_decoded") === 4L)
-    assert(r1.getAs[Double]("mean_r") === (10 + 40 + 70 + 100) / 4.0)
-    assert(r1.getAs[Double]("mean_g") === (20 + 50 + 80 + 110) / 4.0)
-    assert(r1.getAs[Double]("mean_b") === (30 + 60 + 90 + 120) / 4.0)
-    assert(r1.getAs[Long]("peak_byte") === 120L)
-    // a non-zero filter byte means the fast path must refuse, not guess
+    // all five filters reconstruct back to the raw bytes
+    assert(r1.getAs[Long]("pixels_decoded") === 10L)
+    def chanMean(c: Int) =
+      raw.indices.filter(_ % 3 == c).map(raw).sum / 10.0
+    assert(r1.getAs[Double]("mean_r") === chanMean(0))
+    assert(r1.getAs[Double]("mean_g") === chanMean(1))
+    assert(r1.getAs[Double]("mean_b") === chanMean(2))
+    assert(r1.getAs[Long]("peak_byte") === raw.max.toLong)
+    // an unknown filter type must refuse, not guess
     assert(got(2L).isNullAt(got(2L).fieldIndex("pixels_decoded")))
     // corrupt zlib stream: inflate returns null, stats null, no crash
     assert(got(3L).isNullAt(got(3L).fieldIndex("pixels_decoded")))
