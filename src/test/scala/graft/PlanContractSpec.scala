@@ -171,7 +171,8 @@ class PlanContractSpec extends SparkSpec {
     // the curation family ranks/caps through bounded aggregates and
     // min-keeper partial aggs — never a rank window
     Seq("pipeline_curate", "domain_quota", "text_strip_boilerplate",
-      "q_pagerank_personalized", "text_search_hybrid_indexed").foreach { name =>
+      "q_pagerank_personalized", "text_search_hybrid_indexed",
+      "text_search_batch", "text_search_hybrid_batch").foreach { name =>
       val phys = physical(q(name))
       assert(!phys.contains("Window"), s"$name routes through a window:\n$phys")
     }
