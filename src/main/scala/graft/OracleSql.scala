@@ -1413,6 +1413,47 @@ object OracleSql {
        |LEFT JOIN cm ON cm.q_id = COALESCE(gn.q_id, tn.q_id)
        |ORDER BY q_id""".stripMargin
 
+  /** Readability battery (mirror of TextAnalysis.readability):
+    * vowel-group syllables (floor 1/word), terminal-punctuation
+    * sentences (floor 1/doc), Flesch-Kincaid grade + Flesch ease with
+    * the same association order and dlit constants.
+    */
+  val textReadability: String =
+    s"""WITH t AS (SELECT doc_id, text, $Toks AS toks FROM documents),
+       |c AS (SELECT doc_id,
+       |  len(toks)::BIGINT AS n_words,
+       |  GREATEST(1, len(list_filter(string_split_regex(text, '[.!?]+'),
+       |    s -> trim(s) <> '')))::BIGINT AS n_sentences,
+       |  list_sum(list_transform(toks, w ->
+       |    GREATEST(1, len(regexp_extract_all(w, '[aeiouy]+')))))::BIGINT
+       |    AS n_syllables
+       |  FROM t WHERE len(toks) > 0)
+       |SELECT doc_id, n_words, n_sentences, n_syllables,
+       |  ${dlit(0.39)} * (n_words::DOUBLE / n_sentences) +
+       |    ${dlit(11.8)} * (n_syllables::DOUBLE / n_words) - ${dlit(15.59)}
+       |    AS fk_grade,
+       |  ${dlit(206.835)} -
+       |    ${dlit(1.015)} * (n_words::DOUBLE / n_sentences) -
+       |    ${dlit(84.6)} * (n_syllables::DOUBLE / n_words) AS flesch_ease
+       |FROM c ORDER BY doc_id""".stripMargin
+
+  /** Ranked-list eval (mirror of Knn.rankEval over the ann_ivf ×
+    * exact chains): min matched rank per query + its reciprocal;
+    * no-hit queries carry nulls.
+    */
+  lazy val annRankEval: String =
+    s"""WITH g AS (SELECT q_id, rn, cand_id FROM ($annIvf) __g),
+       |t AS (SELECT q_id, cand_id FROM ($cosineTopkExact) __t),
+       |h AS (SELECT g.q_id, min(g.rn)::BIGINT AS first_hit_rank,
+       |  count(*)::BIGINT AS n_common
+       |  FROM g JOIN t ON t.q_id = g.q_id AND t.cand_id = g.cand_id GROUP BY 1),
+       |qa AS (SELECT DISTINCT q_id FROM g)
+       |SELECT qa.q_id, COALESCE(h.n_common, 0)::BIGINT AS n_common,
+       |  h.first_hit_rank,
+       |  CASE WHEN h.first_hit_rank IS NOT NULL
+       |    THEN 1.0::DOUBLE / h.first_hit_rank END AS mrr
+       |FROM qa LEFT JOIN h ON h.q_id = qa.q_id ORDER BY qa.q_id""".stripMargin
+
   val annIvf: String =
     s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
        |cent AS (SELECT vec_id AS c_id, v AS cv FROM e WHERE vec_id < 8),

@@ -157,6 +157,11 @@ object SparkEntry {
     "text_normalize" -> ((s, dir) => TextAnalysis.normalizeQuery(t(s, dir, "documents"))),
     "text_quality" -> ((s, dir) => TextAnalysis.quality(t(s, dir, "documents"))),
     "text_entropy" -> ((s, dir) => TextAnalysis.charEntropy(t(s, dir, "documents"))),
+    // Flesch-Kincaid grade + Flesch ease: the dictionary-free
+    // readability battery (vowel-group syllables, floor-1 guards) —
+    // natural prose vs keyword soup vs legalese; pure narrow map
+    "text_readability" -> ((s, dir) =>
+      TextAnalysis.readability(t(s, dir, "documents"))),
     "text_compression" -> ((s, dir) =>
       TextAnalysis.compressionStats(t(s, dir, "documents"))),
     "text_langid" -> ((s, dir) => TextAnalysis.langId(t(s, dir, "documents"))),
@@ -588,6 +593,16 @@ object SparkEntry {
       val e = t(s, dir, "embeddings")
       val q = e.filter(col("vec_id") < 10)
       Knn.recallEval(
+        Ivf.probeTopK(e, q, e.filter(col("vec_id") < 8), 2, 5),
+        Knn.cosineTopK(e, q, 5))
+    }),
+    // recall's ORDER-aware sibling: first true neighbor's rank + MRR
+    // per query — a true hit at rank 1 vs rank k are different user
+    // experiences at identical recall; no-hit queries carry nulls
+    "ann_rank_eval" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val q = e.filter(col("vec_id") < 10)
+      Knn.rankEval(
         Ivf.probeTopK(e, q, e.filter(col("vec_id") < 8), 2, 5),
         Knn.cosineTopK(e, q, 5))
     }),
@@ -1267,6 +1282,8 @@ object SparkEntry {
     "semantic_dedup" -> OracleSql.semanticDedup,
     "ann_ivf" -> OracleSql.annIvf,
     "ann_recall_eval" -> OracleSql.annRecallEval,
+    "ann_rank_eval" -> OracleSql.annRankEval,
+    "text_readability" -> OracleSql.textReadability,
     "emb_hard_negatives" -> OracleSql.embHardNegatives,
     "emb_prototype_prune" -> OracleSql.embPrototypePrune,
     "vec_project" -> OracleSql.vecProject,

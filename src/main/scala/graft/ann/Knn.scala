@@ -162,6 +162,34 @@ object Knn {
     * nothing at any corpus scale; the division is one IEEE op over two
     * exact integers (cross-engine hash-exact).
     */
+  /** Ranked-list evaluation — [[recallEval]]'s ORDER-aware sibling:
+    * per query, the rank of the first true neighbor in the
+    * approximate list (`first_hit_rank`) and its reciprocal (`mrr` —
+    * the metric retrieval/serving stacks track alongside recall,
+    * because a true neighbor at rank 1 and at rank k are different
+    * user experiences at identical recall). Inputs are the usual
+    * (q_id, rn, cand_id) top-k frames — queries×k-bounded, free at
+    * any corpus scale; 1/rank is one IEEE division of exact integers
+    * (hash-exact). Queries with no true neighbor in the list carry
+    * null rank/mrr (not 0 — "never hit" and "hit at rank 10⁹" must
+    * not compare equal).
+    */
+  def rankEval(got: DataFrame, truth: DataFrame): DataFrame = {
+    val g = got.select(col("q_id"), col("rn"), col("cand_id"))
+    val t = truth.select(col("q_id"), col("cand_id"))
+    val hits = g.join(t, Seq("q_id", "cand_id"), "left_semi")
+      .groupBy(col("q_id"))
+      .agg(min(col("rn")).as("first_hit_rank"),
+        count(lit(1)).as("n_common"))
+    g.select(col("q_id")).distinct()
+      .join(hits, Seq("q_id"), "left")
+      .select(col("q_id"),
+        coalesce(col("n_common"), lit(0L)).as("n_common"),
+        col("first_hit_rank"),
+        (lit(1.0) / col("first_hit_rank")).as("mrr"))
+      .orderBy(col("q_id"))
+  }
+
   def recallEval(got: DataFrame, truth: DataFrame): DataFrame = {
     val g = got.select(col("q_id"), col("cand_id"))
     val t = truth.select(col("q_id"), col("cand_id"))

@@ -131,6 +131,34 @@ object TextAnalysis {
     * — the DuckDB oracle replays the identical float chain via
     * `list(term ORDER BY ch)` + `list_reduce`.
     */
+  def readability(docs: DataFrame): DataFrame = {
+    // classic readability battery (Flesch 1948 / Kincaid 1975) — the
+    // curation signal that separates natural prose from keyword soup
+    // and legalese: syllables ≈ vowel groups per word (the standard
+    // dictionary-free approximation, floor 1/word), sentences split
+    // on terminal punctuation (floor 1/doc — headlines and fragments
+    // still score). Pure narrow map: integer counts per row, two
+    // IEEE divisions + fixed-order linear combinations → hash-exact.
+    withToks(docs)
+      .filter(size(col("toks")) > 0)
+      .select(col("doc_id"),
+        size(col("toks")).cast("long").as("n_words"),
+        greatest(lit(1L), size(filter(split(col("text"), "[.!?]+"),
+          s => length(trim(s)) > 0)).cast("long")).as("n_sentences"),
+        expr("aggregate(transform(toks, w -> " +
+          "greatest(1L, size(regexp_extract_all(w, '[aeiouy]+', 0)))), " +
+          "0L, (a, v) -> a + v)").as("n_syllables"))
+      .withColumn("fk_grade",
+        lit(0.39) * (col("n_words").cast("double") / col("n_sentences")) +
+          lit(11.8) * (col("n_syllables").cast("double") / col("n_words")) -
+          lit(15.59))
+      .withColumn("flesch_ease",
+        lit(206.835) -
+          lit(1.015) * (col("n_words").cast("double") / col("n_sentences")) -
+          lit(84.6) * (col("n_syllables").cast("double") / col("n_words")))
+      .orderBy(col("doc_id"))
+  }
+
   def charEntropy(docs: DataFrame): DataFrame =
     docs
       .filter(length(col("text")) > 0)

@@ -230,6 +230,50 @@ class TextKnnSpec extends SparkSpec {
     assert(r9(9L) === 0L)
   }
 
+  test("rankEval: first-hit rank + MRR; a no-hit query is null, not zero") {
+    import spark.implicits._
+    import graft.ann.Knn
+    val truth = Seq((1L, 10L), (1L, 11L), (2L, 20L), (3L, 30L))
+      .toDF("q_id", "cand_id")
+    val got = Seq(
+      (1L, 1L, 99L), (1L, 2L, 11L), (1L, 3L, 10L), // first hit at rank 2
+      (2L, 1L, 20L), (2L, 2L, 98L), //              first hit at rank 1
+      (3L, 1L, 97L), (3L, 2L, 96L)) //              never hits
+      .toDF("q_id", "rn", "cand_id")
+    val r = Knn.rankEval(got, truth).collect()
+      .map(x => x.getAs[Long]("q_id") -> x).toMap
+    assert(r(1L).getAs[Long]("first_hit_rank") === 2L)
+    assert(r(1L).getAs[Double]("mrr") === 0.5)
+    assert(r(1L).getAs[Long]("n_common") === 2L)
+    assert(r(2L).getAs[Long]("first_hit_rank") === 1L)
+    assert(r(2L).getAs[Double]("mrr") === 1.0)
+    assert(r(3L).isNullAt(r(3L).fieldIndex("first_hit_rank")),
+      "no-hit must be null, not a sentinel")
+    assert(r(3L).isNullAt(r(3L).fieldIndex("mrr")))
+    assert(r(3L).getAs[Long]("n_common") === 0L)
+  }
+
+  test("readability: hand-recounted FK grade; floor guards for fragments") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the cat sat. the dog ran!"), // 6 words, 2 sentences, 6 syl
+      (2L, "beautiful organization"), //    2 words, 1 sentence (floor)
+      (3L, "xyz")) //                       0-vowel word: floor 1 syllable
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.readability(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(got(1L).getAs[Long]("n_words") === 6L)
+    assert(got(1L).getAs[Long]("n_sentences") === 2L)
+    assert(got(1L).getAs[Long]("n_syllables") === 6L)
+    assert(got(1L).getAs[Double]("fk_grade") ===
+      0.39 * (6.0 / 2) + 11.8 * (6.0 / 6) - 15.59)
+    // beau-ti-ful = [eau][i][u] → 3 groups; or-ga-ni-za-tion →
+    // [o][a][i][a][io] → 5 groups
+    assert(got(2L).getAs[Long]("n_syllables") === 8L)
+    assert(got(2L).getAs[Long]("n_sentences") === 1L)
+    assert(got(3L).getAs[Long]("n_syllables") === 1L)
+  }
+
   test("hybridSearchTopK: RRF fusion recounts from the two retrievers' own ranks") {
     import graft.text.TextAnalysis
     val got = TextAnalysis.hybridSearchTopK(docs).collect()
