@@ -2810,6 +2810,37 @@ object OracleSql {
        |SELECT domain, rn::BIGINT AS rn, doc_id AS key, sample_key
        |FROM r WHERE rn <= 2 ORDER BY domain, rn""".stripMargin
 
+  /** Incremental quota admission (mirror of initQuotaLedger ∘
+    * admitWithQuota × 2 batches at quota=2): batch 1 ranks and admits
+    * within its own rows; batch 2's per-domain ranks shift by batch
+    * 1's admitted counts and fill only the remaining slots — the
+    * admission-ordered contract in closed form.
+    */
+  val domainQuotaIncremental: String =
+    s"""WITH u AS ($UrlSynth),
+       |p AS (SELECT doc_id, $UrlHost AS host FROM u),
+       |d AS (SELECT doc_id, regexp_extract(host, '([^.]+\\.[^.]+)$$', 1) AS domain FROM p),
+       |h AS (SELECT domain, doc_id,
+       |  ${hex64("'quota|'||CAST(doc_id AS VARCHAR)")} % ${graft.ops.Sampling.StratModulus}
+       |    AS sample_key FROM d),
+       |r1 AS (SELECT domain, doc_id,
+       |  row_number() OVER (PARTITION BY domain ORDER BY sample_key, doc_id) AS rn
+       |  FROM h WHERE doc_id < 250),
+       |a1 AS (SELECT domain, doc_id, rn FROM r1 WHERE rn <= 2),
+       |used AS (SELECT domain, count(*)::BIGINT AS n FROM a1 GROUP BY 1),
+       |r2 AS (SELECT domain, doc_id,
+       |  row_number() OVER (PARTITION BY domain ORDER BY sample_key, doc_id) AS rn
+       |  FROM h WHERE doc_id >= 250),
+       |a2 AS (SELECT r2.domain, r2.doc_id,
+       |  (r2.rn + coalesce(used.n, 0))::BIGINT AS ar
+       |  FROM r2 LEFT JOIN used ON used.domain = r2.domain
+       |  WHERE r2.rn <= 2 - coalesce(used.n, 0))
+       |SELECT 1::BIGINT AS batch, domain, doc_id AS key,
+       |  rn::BIGINT AS admission_rank FROM a1
+       |UNION ALL
+       |SELECT 2::BIGINT, domain, doc_id, ar FROM a2
+       |ORDER BY batch, domain, admission_rank""".stripMargin
+
   /** Blocklist anti-join (mirror of Curation.dropBlocklisted with
     * subdomain semantics: host = blocked OR host endswith '.'+blocked).
     */

@@ -268,6 +268,25 @@ object SparkEntry {
             graft.ops.Curation.synthUrls(t(s, dir, "documents")), col("url")),
           col("domain"), col("doc_id"), quota = 2)
         .orderBy(col("domain"), col("rn"))),
+    // the quota LEDGER at rest — admission-ordered incremental ingest
+    // (dedup_incremental's curation twin): batch 2's admissions fill
+    // only the slots batch 1 left, deterministically
+    "domain_quota_incremental" -> ((s, dir) => {
+      val parsed = graft.ops.Curation.withUrlParts(
+        graft.ops.Curation.synthUrls(t(s, dir, "documents")), col("url"))
+      val tmp = tempDir("quota_ledger")
+      graft.ops.Curation.initQuotaLedger(s, "graft_quota_ledger_rt",
+        Some(s"$tmp/tbl"))
+      val b1 = graft.ops.Curation.admitWithQuota(
+          parsed.filter(col("doc_id") < 250), "graft_quota_ledger_rt", quota = 2)
+        .withColumn("batch", lit(1L))
+      val b2 = graft.ops.Curation.admitWithQuota(
+          parsed.filter(col("doc_id") >= 250), "graft_quota_ledger_rt", quota = 2)
+        .withColumn("batch", lit(2L))
+      b1.unionByName(b2)
+        .select(col("batch"), col("domain"), col("key"), col("admission_rank"))
+        .orderBy(col("batch"), col("domain"), col("admission_rank"))
+    }),
     "domain_blocklist" -> ((s, dir) => {
       import s.implicits._
       val parsed = graft.ops.Curation.withUrlParts(
@@ -1218,6 +1237,7 @@ object SparkEntry {
     "sample_stratified" -> OracleSql.sampleStratified,
     "url_domains" -> OracleSql.urlDomains,
     "domain_quota" -> OracleSql.domainQuota,
+    "domain_quota_incremental" -> OracleSql.domainQuotaIncremental,
     "domain_blocklist" -> OracleSql.domainBlocklist,
     "url_canonicalize" -> OracleSql.urlCanonicalize,
     "text_strip_boilerplate" -> OracleSql.textStripBoilerplate,

@@ -103,6 +103,82 @@ object Curation {
       .withColumn("quota_util",
         col("n_pages").cast("double") / lit(quota.toDouble))
 
+  /** Initialize an empty per-domain admission ledger at rest —
+    * the incremental-ingest lifecycle for [[domainQuota]] (the
+    * curation twin of `Dedup.saveSignatures`): a crawl ingests in
+    * batches, and each batch's admissions must respect the slots
+    * earlier batches already consumed.
+    */
+  def initQuotaLedger(spark: org.apache.spark.sql.SparkSession,
+      table: String, path: Option[String] = None): Unit = {
+    import org.apache.spark.sql.types._
+    val w = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq(StructField("domain", StringType),
+        StructField("n_admitted", LongType))))
+      .write.mode("overwrite").format("parquet")
+    path.foreach(loc => w.option("path", loc))
+    w.saveAsTable(table)
+  }
+
+  /** Admit a batch against the ledger: each domain's additions rank
+    * in the SAME stable hash order as [[domainQuota]] and fill only
+    * its REMAINING slots (`quota − n_admitted`); the ledger advances
+    * by the admitted counts. Returns the admitted rows
+    * `(domain, key, admission_rank)` where `admission_rank` is the
+    * domain-lifetime position (earlier batches' slots counted).
+    *
+    * Semantics: ADMISSION-ORDERED, deliberately ≠ a rebuild over the
+    * union — an online ingest cannot evict documents it already
+    * landed, so a later batch's better-hash-ranked page does not
+    * displace an earlier admission (deterministic given the batch
+    * sequence; a periodic offline [[domainQuota]] rebuild is the
+    * compaction story if global-order quotas are required).
+    *
+    * Scale shape: the batch side is the bounded [[domainQuota]]
+    * aggregate; the ledger is domains-sized (≪ corpus — it rides as
+    * a broadcast join and a driver-bounded rewrite, the model-table
+    * convention).
+    */
+  def admitWithQuota(parsed: DataFrame, table: String, quota: Int,
+      salt: String = "quota"): DataFrame = {
+    val spark = parsed.sparkSession
+    val ledger = spark.table(table)
+    val ranked = domainQuota(parsed, col("domain"), col("doc_id"), quota, salt)
+    val admitted = ranked
+      .join(Broadcasting.maybeBroadcast(
+        ledger.select(col("domain"), col("n_admitted"))), Seq("domain"), "left")
+      .withColumn("__used", coalesce(col("n_admitted"), lit(0L)))
+      .filter(col("rn") <= lit(quota.toLong) - col("__used"))
+      .select(col("domain"), col("key"),
+        (col("rn") + col("__used")).as("admission_rank"))
+    // localCheckpoint, NOT persist: the ledger overwrite below
+    // UNCACHES every plan that references the table (Spark's
+    // saveAsTable invalidation), and a merely-persisted result would
+    // silently recompute against the POST-admission ledger — the
+    // checkpoint severs the lineage so this batch's admissions are
+    // immutable once computed
+    val admittedCached = admitted.localCheckpoint(true)
+    // ledger rewrite: merged counts collected driver-side (the table
+    // is domains-sized by construction) so the overwrite cannot race
+    // its own scan
+    val counts = admittedCached.groupBy(col("domain"))
+      .agg(count(lit(1)).as("add_n"))
+    val merged = ledger.join(counts, Seq("domain"), "full_outer")
+      .select(col("domain"),
+        (coalesce(col("n_admitted"), lit(0L)) +
+          coalesce(col("add_n"), lit(0L))).as("n_admitted"))
+      .collect()
+    import scala.jdk.CollectionConverters._
+    val mergedDf = spark.createDataFrame(merged.toSeq.asJava, ledger.schema)
+    val loc = spark.sql(s"DESCRIBE FORMATTED $table").collect()
+      .find(_.getString(0) == "Location").map(_.getString(1))
+    val w = mergedDf.write.mode("overwrite").format("parquet")
+    loc.foreach(l => w.option("path", l))
+    w.saveAsTable(table)
+    admittedCached
+  }
+
   /** Canonical URL normalization — the dedup key of URL-level exact
     * dedup and the quota/blocklist join key a real crawl needs before
     * any of them fire (the same physical page arrives as `http://X`,

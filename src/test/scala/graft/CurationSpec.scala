@@ -208,6 +208,41 @@ class CurationSpec extends SparkSpec {
     assert(!phys.contains("Window"), s"curateCorpus plans a window:\n$phys")
   }
 
+  test("quota ledger: batch admissions respect earlier batches' slots; full domains admit none") {
+    import graft.ops.Curation
+    val tmp = java.nio.file.Files.createTempDirectory("graft_ledger_spec").toString
+    Curation.initQuotaLedger(spark, "graft_ledger_spec_rt", Some(s"$tmp/tbl"))
+    // batch 1: domain A has 3 candidates for quota 2 → 2 admitted
+    val b1 = Seq((1L, "a.com"), (2L, "a.com"), (3L, "a.com"), (10L, "b.org"))
+      .toDF("doc_id", "domain")
+    val a1 = Curation.admitWithQuota(b1, "graft_ledger_spec_rt", quota = 2)
+      .collect()
+    val a1ByDom = a1.groupBy(_.getAs[String]("domain"))
+    assert(a1ByDom("a.com").length === 2 && a1ByDom("b.org").length === 1)
+    assert(a1.map(_.getAs[Long]("admission_rank")).forall(_ <= 2))
+    // batch 2: a.com is FULL (admits none), b.org has one slot left
+    val b2 = Seq((4L, "a.com"), (11L, "b.org"), (12L, "b.org"), (20L, "c.net"))
+      .toDF("doc_id", "domain")
+    val a2 = Curation.admitWithQuota(b2, "graft_ledger_spec_rt", quota = 2)
+      .collect()
+    val a2ByDom = a2.groupBy(_.getAs[String]("domain"))
+      .view.mapValues(_.map(r => (r.getAs[Long]("key"),
+        r.getAs[Long]("admission_rank")))).toMap
+    assert(!a2ByDom.contains("a.com"), "full domain must admit none")
+    assert(a2ByDom("b.org").length === 1 &&
+      a2ByDom("b.org").head._2 === 2L, "b.org fills its one remaining slot")
+    assert(a2ByDom("c.net").map(_._1).toSet === Set(20L))
+    // the ledger records domain-lifetime counts, capped at quota
+    val ledger = spark.table("graft_ledger_spec_rt").collect()
+      .map(r => r.getAs[String]("domain") -> r.getAs[Long]("n_admitted")).toMap
+    assert(ledger === Map("a.com" -> 2L, "b.org" -> 2L, "c.net" -> 1L))
+    // batch 1's admissions were immutable across the ledger rewrite:
+    // re-admitting batch 1 now admits NOTHING new for a.com/b.org
+    val a3 = Curation.admitWithQuota(b1, "graft_ledger_spec_rt", quota = 2)
+      .collect()
+    assert(a3.isEmpty, s"replayed batch must admit nothing: ${a3.toSeq}")
+  }
+
   test("synthUrls ∘ withUrlParts: parse recovers the synthesis formulas") {
     val docs = Seq((0L, "t", "src0"), (8L, "t", "src8"), (11L, "t", "src11"))
       .toDF("doc_id", "text", "source")
