@@ -339,6 +339,46 @@ class StreamingMultimodalSpec extends SparkSpec {
     assert(guarded.isNullAt(guarded.fieldIndex("pixels_decoded")))
   }
 
+  test("sample-level decode runs natively on a stream: PCM stats ≡ batch row-for-row") {
+    // the decode kernels are pure projections, so they run as-is under
+    // incremental execution — the triageStream property extended to
+    // SAMPLE-level decode (no foreachBatch, no state, restart-safe)
+    import java.nio.{ByteBuffer, ByteOrder}
+    def wav16(samples: Array[Short]): Array[Byte] = {
+      val dataLen = samples.length * 2
+      val bb = ByteBuffer.allocate(44 + dataLen).order(ByteOrder.LITTLE_ENDIAN)
+      bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+        .put("WAVE".getBytes("US-ASCII"))
+        .put("fmt ".getBytes("US-ASCII")).putInt(16).putShort(1)
+        .putShort(1).putInt(8000).putInt(16000).putShort(2).putShort(16)
+        .put("data".getBytes("US-ASCII")).putInt(dataLen)
+      samples.foreach(bb.putShort)
+      bb.array()
+    }
+    val payloads = Seq(
+      (1L, wav16(Array[Short](100, -200, 300))),
+      (2L, wav16(Array[Short](32767, -32768))),
+      (90L, "not audio".getBytes("UTF-8")))
+    val input = MemoryStream[(Long, Array[Byte])](spark, 11)
+    val decoded = Binary.Wav.sampleStats(
+      input.toDF().select(col("_1").as("doc_id"), col("_2").as("payload")))
+      .select(col("doc_id"), col("wav_valid"), col("n_samples"), col("rms"),
+        col("peak_abs"), col("n_clipped"), col("dc_mean"))
+    val q = decoded.writeStream.format("memory")
+      .queryName("pcm_stream").outputMode("append").start()
+    try {
+      input.addData(payloads: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("pcm_stream").collect()
+        .map(r => r.getAs[Long]("doc_id") -> r.toString).toMap
+      val batch = Binary.Wav.sampleStats(payloads.toDF("doc_id", "payload"))
+        .select(col("doc_id"), col("wav_valid"), col("n_samples"), col("rms"),
+          col("peak_abs"), col("n_clipped"), col("dc_mean"))
+        .collect().map(r => r.getAs[Long]("doc_id") -> r.toString).toMap
+      assert(streamed === batch, "stream decode must equal batch bitwise")
+    } finally q.stop()
+  }
+
   test("curateStream: stateless stage flags map-only; canonical-URL dedup drops the re-crawl") {
     val input = MemoryStream[(Long, Long, String, String)](spark, 7)
     val docs = input.toDF()
