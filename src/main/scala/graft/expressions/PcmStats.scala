@@ -22,6 +22,9 @@ object PcmKernel {
     * a 16-bit stream is ignored (div-floor sample count).
     */
   def stats(data: Array[Byte], bits: Long): ArrayData = {
+    // only the two layouts this kernel decodes — a 24/32-bit header
+    // must refuse, not silently mis-read as 16-bit
+    if (bits != 8L && bits != 16L) return null
     var n = 0
     var sum = 0L
     var sumSq = 0L
@@ -62,6 +65,7 @@ object PcmKernel {
 case class PcmSampleStats(left: Expression, right: Expression)
     extends BinaryExpression {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
   override def prettyName: String = "pcm_sample_stats"
 
   override def checkInputDataTypes(): TypeCheckResult =
@@ -76,8 +80,10 @@ case class PcmSampleStats(left: Expression, right: Expression)
       b match { case i: Int => i.toLong; case l: Long => l })
 
   override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, (d, b) =>
-      s"${ev.value} = graft.expressions.PcmKernel.stats($d, (long) $b);")
+    nullSafeCodeGen(ctx, ev, (d, b) => s"""
+      |${ev.value} = graft.expressions.PcmKernel.stats($d, (long) $b);
+      |if (${ev.value} == null) { ${ev.isNull} = true; }
+      |""".stripMargin)
 
   override protected def withNewChildrenInternal(l: Expression, r: Expression)
       : Expression = copy(left = l, right = r)

@@ -26,7 +26,12 @@ object PixelKernel {
     val h = geom.getLong(1)
     val stride = geom.getLong(2)
     val pixOff = geom.getLong(3)
-    if (w <= 0 || h <= 0 || stride < 3 * w) return null
+    // attacker-controlled header geometry: bound every term BEFORE the
+    // bounds-check multiplication, or a huge h·stride could wrap Long
+    // and sail past the length check into out-of-bounds reads
+    if (w <= 0 || h <= 0 || stride < 3 * w || pixOff < 0 ||
+      w > (1L << 20) || h > (1L << 20) || stride > (1L << 24) ||
+      pixOff > (1L << 30)) return null
     if (pixOff + (h - 1) * stride + 3 * w > data.length) return null
     var s0 = 0L; var s1 = 0L; var s2 = 0L
     var peak = 0L
@@ -69,11 +74,17 @@ object PngFilterKernel {
   def stats(raster: Array[Byte], geom: ArrayData): ArrayData = {
     var i = 0
     while (i < 2) { if (geom.isNullAt(i)) return null; i += 1 }
-    val w = geom.getLong(0).toInt
-    val h = geom.getLong(1).toInt
-    if (w <= 0 || h <= 0) return null
+    // header dimensions are ATTACKER-CONTROLLED: bound them before any
+    // narrowing or multiplication so a 2³²+5 width cannot truncate to
+    // a "valid" 5 or wrap the length check (2²⁰ px/side is far beyond
+    // any raster the inflate budget admits anyway)
+    val wL = geom.getLong(0)
+    val hL = geom.getLong(1)
+    if (wL <= 0 || hL <= 0 || wL > (1L << 20) || hL > (1L << 20)) return null
+    val w = wL.toInt
+    val h = hL.toInt
     val rowb = 3 * w
-    if (raster.length != (rowb + 1) * h) return null
+    if (raster.length.toLong != (rowb + 1L) * h) return null
     val prev = new Array[Int](rowb)
     val cur = new Array[Int](rowb)
     var s0 = 0L; var s1 = 0L; var s2 = 0L

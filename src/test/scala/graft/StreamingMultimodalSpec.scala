@@ -210,6 +210,22 @@ class StreamingMultimodalSpec extends SparkSpec {
     assert(got(2L).getAs[Long]("n_clipped") === 0L)
     assert(!got(90L).getAs[Boolean]("wav_valid") &&
       got(90L).isNullAt(got(90L).fieldIndex("rms")))
+    // a 24-bit header must refuse (null stats), not mis-read as 16-bit
+    val w24 = {
+      import java.nio.{ByteBuffer, ByteOrder}
+      val bb = ByteBuffer.allocate(44 + 6).order(ByteOrder.LITTLE_ENDIAN)
+      bb.put("RIFF".getBytes("US-ASCII")).putInt(42)
+        .put("WAVE".getBytes("US-ASCII"))
+        .put("fmt ".getBytes("US-ASCII")).putInt(16).putShort(1)
+        .putShort(1).putInt(8000).putInt(24000).putShort(3).putShort(24)
+        .put("data".getBytes("US-ASCII")).putInt(6)
+      bb.putShort(1).putShort(2).putShort(3); bb.array()
+    }
+    val r24 = Binary.Wav.sampleStats(
+      Seq((7L, w24)).toDF("doc_id", "payload")).collect().head
+    assert(r24.getAs[Boolean]("wav_valid"))
+    assert(r24.isNullAt(r24.fieldIndex("n_samples")),
+      "24-bit PCM must not silently decode as 16-bit")
   }
 
   test("Bmp.pixelStats: stride padding skipped, channel means exact, non-24bpp left null") {
@@ -253,6 +269,19 @@ class StreamingMultimodalSpec extends SparkSpec {
     val r16 = Binary.Bmp.pixelStats(b16).collect().head
     assert(r16.getAs[Boolean]("bmp_valid"))
     assert(r16.isNullAt(r16.fieldIndex("pixels_decoded")))
+    // a LYING header (valid structure, absurd width, tiny payload)
+    // must refuse in the kernel's geometry guard, never read OOB
+    val lying = Seq((3L, {
+      val bb = ByteBuffer.allocate(54).order(ByteOrder.LITTLE_ENDIAN)
+      bb.put('B'.toByte).put('M'.toByte).putInt(54).putInt(0).putInt(54)
+        .putInt(40).putInt((1 << 20) + 7).putInt(3).putShort(1).putShort(24)
+        .putInt(0).putInt(0).putInt(0).putInt(0).putInt(0).putInt(0)
+      bb.array()
+    })).toDF("doc_id", "payload")
+    val rLie = Binary.Bmp.pixelStats(lying).collect().head
+    assert(rLie.getAs[Boolean]("bmp_valid"))
+    assert(rLie.isNullAt(rLie.fieldIndex("pixels_decoded")),
+      "absurd header geometry must null out, not read out of bounds")
   }
 
   test("PngPixels: real zlib inflate — known pixels, corrupt stream, bad filter, bomb guard") {
