@@ -354,6 +354,25 @@ object CorpusScaleSmoke {
         .agg(avg(col("recall"))).head().getDouble(0)
     }
 
+    // ---- rung: BATCH hybrid serving from the SAME at-rest indexes —
+    // an 8-query frame pays ONE postings pass + ONE IVF probe pass,
+    // so per-query cost amortizes well below the single-query serve;
+    // the planted doc must still fuse top-1 for its query ----
+    val (fusedBatch, tHybridBatch) = time {
+      import spark.implicits._
+      val batchQs = (probeTerms.map(t => (0L, t)) ++
+        Seq((1L, "w7a"), (1L, "w7b"), (2L, "w13c"), (2L, "w13d"),
+          (3L, "w21a"), (4L, "w33b"), (5L, "w47c"), (6L, "w55a"),
+          (7L, "w61b"))).toDF("query_id", "token")
+      graft.text.TextAnalysis.hybridSearchBatchOnIndexes(idx, annIdx._1,
+        annIdx._2, batchQs, k = 5, nProbe = 32).collect()
+    }
+    val q0Top = fusedBatch.filter(_.getAs[Long]("query_id") == 0L)
+      .minBy(_.getAs[Long]("rn"))
+    assert(q0Top.getAs[Long]("doc_id") == 42L,
+      s"batch hybrid rung: planted doc not fused top-1 for query 0: $q0Top")
+    assert(fusedBatch.map(_.getAs[Long]("query_id")).distinct.length >= 1)
+
     // ---- rung: URL curation at corpus scale — parse/canonicalize/
     // blocklists map-side (array-literal blocklists, no joins), the
     // per-domain quota a bounded top-k aggregate, canonical-URL dedup
@@ -453,6 +472,7 @@ object CorpusScaleSmoke {
       f""""hybrid_ann_build_sec":$tAnnBuild%.1f,""" +
       f""""hybrid_indexed_serve_sec":$tHybridIdx%.1f,""" +
       f""""hybrid_fused_recall":$fusedRecall%.2f,""" +
+      f""""hybrid_batch8_serve_sec":$tHybridBatch%.1f,""" +
       f""""curate_sec":$tCurate%.1f,""" +
       f""""boilerplate_sec":$tBoiler%.1f,""" +
       f""""wav_decode_sec":$tWavDecode%.1f,""" +
