@@ -2373,6 +2373,41 @@ object OracleSql {
        |       ELSE 'test' END AS split
        |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** Leakage-safe grouped splits (mirror of assignSplits keyed on the
+    * registered DOMAIN over synth URLs): every page of a domain lands
+    * in the same split, so near-duplicate pages of one site cannot
+    * straddle train/test.
+    */
+  lazy val sampleSplitGrouped: String = {
+    val h = hex64("'split|'||domain")
+    s"""WITH u AS ($UrlSynth),
+       |p AS (SELECT doc_id, $UrlHost AS host FROM u),
+       |d AS (SELECT doc_id,
+       |  regexp_extract(host, '([^.]+\\.[^.]+)$$', 1) AS domain FROM p)
+       |SELECT doc_id, domain, $h % 10000 AS bucket,
+       |  CASE WHEN $h % 10000 < 9000 THEN 'train'
+       |       WHEN $h % 10000 < 9500 THEN 'val'
+       |       ELSE 'test' END AS split
+       |FROM d ORDER BY doc_id""".stripMargin
+  }
+
+  /** Embedding-corpus health (mirror of the vec_quality wiring): NaN
+    * dimension counts, zero dimensions, the vec_norm L2 chain, and a
+    * keep flag — the operational gate in front of every ANN build
+    * (one broken producer writes NaN vectors and every cosine
+    * downstream turns NaN).
+    */
+  val vecQuality: String =
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |n AS (SELECT vec_id,
+       |  len(list_filter(v, x -> isnan(x)))::BIGINT AS n_nan,
+       |  len(list_filter(v, x -> x = 0))::BIGINT AS n_zero_dims,
+       |  sqrt(list_aggregate(list_transform(v, x -> x * x), 'sum')) AS l2norm
+       |  FROM e)
+       |SELECT vec_id, n_nan, n_zero_dims, l2norm,
+       |  (n_nan = 0 AND NOT isnan(l2norm) AND l2norm > 0) AS keep
+       |FROM n ORDER BY vec_id""".stripMargin
+
   val vecNorm: String =
     s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
        |n AS (SELECT vec_id, v,

@@ -787,6 +787,30 @@ object SparkEntry {
       val e = t(s, dir, "embeddings")
       graft.ann.Quantize.binaryTopK(e, e.filter(col("vec_id") < 10), k = 5, prefilterK = 20)
     }),
+    // embedding-corpus health: NaN/zero-dim counts + the L2 norm with
+    // a keep flag — the operational gate in front of every ANN build
+    // (one broken producer writes NaN vectors and every downstream
+    // cosine turns NaN); pure narrow map
+    "vec_quality" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      e.select(col("vec_id"),
+          size(filter(col("embedding"), x => isnan(x))).cast("long").as("n_nan"),
+          size(filter(col("embedding"), x => x === 0f)).cast("long").as("n_zero_dims"),
+          GraftFunctions.l2_norm(col("embedding")).as("l2norm"))
+        .withColumn("keep",
+          col("n_nan") === 0L && !isnan(col("l2norm")) && col("l2norm") > 0.0)
+        .orderBy(col("vec_id"))
+    }),
+    // leakage-safe grouped splits: assignment keyed on the registered
+    // DOMAIN, so near-duplicate pages of one site cannot straddle
+    // train/test (the content-keyed sample_split's grouped sibling)
+    "sample_split_grouped" -> ((s, dir) =>
+      graft.ops.Sampling.assignSplits(
+          graft.ops.Curation.withUrlParts(
+            graft.ops.Curation.synthUrls(t(s, dir, "documents")), col("url")),
+          col("domain"))
+        .select(col("doc_id"), col("domain"), col("bucket"), col("split"))
+        .orderBy(col("doc_id"))),
     "vec_norm" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
       e.select(col("vec_id"),
@@ -1238,6 +1262,8 @@ object SparkEntry {
     "url_domains" -> OracleSql.urlDomains,
     "domain_quota" -> OracleSql.domainQuota,
     "domain_quota_incremental" -> OracleSql.domainQuotaIncremental,
+    "sample_split_grouped" -> OracleSql.sampleSplitGrouped,
+    "vec_quality" -> OracleSql.vecQuality,
     "domain_blocklist" -> OracleSql.domainBlocklist,
     "url_canonicalize" -> OracleSql.urlCanonicalize,
     "text_strip_boilerplate" -> OracleSql.textStripBoilerplate,

@@ -243,6 +243,19 @@ class CurationSpec extends SparkSpec {
     assert(a3.isEmpty, s"replayed batch must admit nothing: ${a3.toSeq}")
   }
 
+  test("grouped splits: every page of a domain lands in ONE split (no train/test straddle)") {
+    val pages = (0L until 200L).map(i => (i, s"dom${i % 9}.com"))
+      .toDF("doc_id", "domain")
+    val got = graft.ops.Sampling.assignSplits(pages, col("domain")).collect()
+    val byDomain = got.groupBy(_.getAs[String]("domain"))
+      .view.mapValues(_.map(_.getAs[String]("split")).toSet).toMap
+    byDomain.foreach { case (d, splits) =>
+      assert(splits.size === 1, s"domain $d straddles splits: $splits")
+    }
+    assert(got.map(_.getAs[String]("split")).toSet.subsetOf(
+      Set("train", "val", "test")))
+  }
+
   test("synthUrls ∘ withUrlParts: parse recovers the synthesis formulas") {
     val docs = Seq((0L, "t", "src0"), (8L, "t", "src8"), (11L, "t", "src11"))
       .toDF("doc_id", "text", "source")

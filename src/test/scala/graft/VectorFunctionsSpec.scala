@@ -221,4 +221,26 @@ class VectorFunctionsSpec extends SparkSpec {
     val brute = graft.ann.Knn.cosineTopK(emb, q, k = 5).collect().map(_.toString)
     assert(all.sameElements(brute))
   }
+
+  test("vec_quality flags: NaN vectors, zero vectors, and healthy ones") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val vecs = Seq(
+      (1L, Array(3.0f, 4.0f)), //                      healthy, norm 5
+      (2L, Array(Float.NaN, 1.0f)), //                 NaN dim
+      (3L, Array(0.0f, 0.0f)), //                      zero vector
+      (4L, Array(1.0f, 0.0f))) //                      one zero dim, fine
+      .toDF("vec_id", "embedding")
+    val got = vecs.select(col("vec_id"),
+        size(filter(col("embedding"), x => isnan(x))).cast("long").as("n_nan"),
+        size(filter(col("embedding"), x => x === 0f)).cast("long").as("n_zero_dims"),
+        GraftFunctions.l2_norm(col("embedding")).as("l2norm"))
+      .withColumn("keep",
+        col("n_nan") === 0L && !isnan(col("l2norm")) && col("l2norm") > 0.0)
+      .collect().map(r => r.getAs[Long]("vec_id") -> r).toMap
+    assert(got(1L).getAs[Boolean]("keep") && got(1L).getAs[Double]("l2norm") === 5.0)
+    assert(got(2L).getAs[Long]("n_nan") === 1L && !got(2L).getAs[Boolean]("keep"))
+    assert(got(3L).getAs[Long]("n_zero_dims") === 2L && !got(3L).getAs[Boolean]("keep"))
+    assert(got(4L).getAs[Boolean]("keep"))
+  }
 }
