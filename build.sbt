@@ -1,5 +1,9 @@
 ThisBuild / scalaVersion := "2.13.17"
 ThisBuild / version := "0.1.0"
+// The container's platform charset is ASCII — pin the compiler to
+// UTF-8 so multilingual string literals (the Unicode-tokenizer gate
+// rows/specs) compile byte-exact.
+ThisBuild / scalacOptions ++= Seq("-encoding", "UTF-8")
 name := "lshrsspark"
 // Spark jars ship with the image at /opt/spark/jars (zero-egress):
 unmanagedBase := file("/opt/spark/jars")

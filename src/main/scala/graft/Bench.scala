@@ -87,6 +87,12 @@ object Bench {
 
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     val phases = scala.collection.mutable.LinkedHashMap.empty[String, (Double, Double)]
+    // per-query medians ride the artifact next to the min (r11 verdict
+    // item #7): a regression claim should be one artifact read — the
+    // median says "typical run", the min says "best case", and a gap
+    // between them is the load-artifact signature that cost the
+    // r10→r11 cycle a re-litigation
+    val medians = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     // SPARK_GRAFT_BENCH_ONLY=q1,q2 — iterate on a subset without paying
     // the full run; the driver never sets it (full map there). A name
     // that matches no query is an ERROR, not an empty run — a typo'd
@@ -114,6 +120,8 @@ object Bench {
       if (okAttempts.nonEmpty) {
         val best = okAttempts.minBy { case (b, x) => b + x }
         phases(name) = best
+        val sortedTotals = okAttempts.map { case (b, x) => b + x }.sorted
+        medians(name) = sortedTotals(sortedTotals.size / 2)
         name -> (best._1 + best._2)
       } else name -> attempts.map(_._1).min
     }
@@ -154,8 +162,11 @@ object Bench {
       .map { case (k, v) => "\"" + k + "\":" + fmt(v, 4) }
     val phasesJson = phases.map { case (k, (b, x)) =>
       "\"" + k + "\":[" + fmt(b, 4) + "," + fmt(x, 4) + "]" }.mkString("{", ",", "}")
+    val mediansJson = medians.map { case (k, v) =>
+      "\"" + k + "\":" + fmt(v, 4) }.mkString("{", ",", "}")
     val fullJson = assemble(results.toSeq.map { case (k, v) => "\"" + k + "\":" + fmt(v, 4) },
-      errJsonOf(errors), s""","phases_build_exec":$phasesJson""")
+      errJsonOf(errors),
+      s""","phases_build_exec":$phasesJson,"queries_median":$mediansJson""")
     var kept = byCost
     while (assemble(kept, errLine).length > 1900 && kept.nonEmpty) kept = kept.dropRight(1)
     val lineJson = assemble(kept, errLine)

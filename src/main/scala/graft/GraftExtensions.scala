@@ -62,10 +62,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "zlib_inflate(v, maxLen) - zlib decode, NULL on corrupt/truncated/over-budget input"),
       (es: Seq[Expression]) => graft.expressions.ZlibInflate(es.head,
         es(1) match {
-          case org.apache.spark.sql.catalyst.expressions.Literal(v, _) =>
-            v.toString.toInt
+          // typed literal match: a string/float literal must get the
+          // clean expected-type error, not a NumberFormatException or
+          // a silently-parsed numeric string (r11 ADVICE)
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int,
+            org.apache.spark.sql.types.IntegerType) => v
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Long,
+            org.apache.spark.sql.types.LongType)
+            if v >= 0 && v <= Int.MaxValue => v.toInt
           case other => throw new IllegalArgumentException(
-            s"zlib_inflate maxLen must be a literal, got $other")
+            s"zlib_inflate maxLen must be an integer literal, got $other")
         })))
   }
 }

@@ -113,12 +113,16 @@ object GraftFunctions {
   /** hex64 with a salt — the family of hash functions h_i(x). */
   def hex64(seed: Int, s: Column): Column = hex64(concat(lit(s"$seed|"), s))
 
-  /** Word tokens: lowercase, split on any non-alphanumeric run.
-    * DuckDB equivalent:
-    * `list_filter(string_split_regex(lower(s),'[^a-z0-9]+'), x -> x <> '')`.
+  /** Word tokens, Unicode-aware: per-codepoint lowercase, Han/
+    * Hiragana/Katakana as single-codepoint tokens, runs of
+    * `\p{L}\p{N}` otherwise — one native pass per row
+    * ([[graft.expressions.UnicodeTokens]], which documents the exact
+    * DuckDB/RE2 mirror). On pure-ASCII text this is byte-identical to
+    * the previous `split(lower(s),'[^a-z0-9]+')` form.
     */
   def tokens(s: Column): Column =
-    filter(split(lower(s), "[^a-z0-9]+"), t => t =!= "")
+    GraftColumnBridge.column(
+      graft.expressions.UnicodeTokens(GraftColumnBridge.expression(s)))
 
   /** w-shingles (word n-grams joined with a single space); native
     * single-pass expression ([[graft.expressions.WordShingles]]).
@@ -158,6 +162,8 @@ object GraftFunctions {
       es => graft.expressions.JpegSofOffset(es.head), "scala_udf")
     reg.createOrReplaceTempFunction("nfc_normalize",
       es => graft.expressions.NfcNormalize(es.head), "scala_udf")
+    reg.createOrReplaceTempFunction("unicode_tokens",
+      es => graft.expressions.UnicodeTokens(es.head), "scala_udf")
     reg.createOrReplaceTempFunction("det_ln",
       es => DetLnExpr(es.head), "scala_udf")
     reg.createOrReplaceTempFunction("gaussian_project",

@@ -10,8 +10,16 @@ import graft.text.TextAnalysis
   */
 object OracleSql {
 
-  /** Tokenization (mirror of GraftFunctions.tokens). */
-  val Toks = "list_filter(string_split_regex(lower(text),'[^a-z0-9]+'), x -> x <> '')"
+  /** Tokenization (mirror of GraftFunctions.tokens — the Unicode
+    * kernel, see [[graft.expressions.UnicodeTokens]]): per-codepoint
+    * lowercase, Han/Hiragana/Katakana spaced out as single-codepoint
+    * tokens, then split on non-`\p{L}\p{N}` runs (RE2 classes).
+    */
+  def toksOf(expr: String): String =
+    "list_filter(string_split_regex(regexp_replace(lower(" + expr +
+      "), '([\\p{Han}\\p{Hiragana}\\p{Katakana}])', ' \\1 ', 'g')," +
+      "'[^\\p{L}\\p{N}]+'), x -> x <> '')"
+  val Toks: String = toksOf("text")
 
   /** Portable 60-bit hash (mirror of GraftFunctions.hex64). */
   def hex64(e: String): String = s"('0x'||substr(md5($e),1,15))::BIGINT"
@@ -38,6 +46,25 @@ object OracleSql {
        |  len(regexp_extract_all(lower(text),
        |    '${graft.text.TextAnalysis.SubwordPattern}'))::BIGINT AS n_subword
        |FROM t ORDER BY doc_id""".stripMargin
+
+  /** Unicode tokenizer gate (mirror of
+    * TextAnalysis.tokenDumpMultilingual): the SAME multilingual tails
+    * ride into both engines from one Scala constant and every (pos,
+    * token) is hash-compared — the cross-engine proof that non-Latin
+    * text tokenizes identically (r11 verdict item #1).
+    */
+  val textTokensUnicode: String = {
+    val cases = graft.text.TextAnalysis.MultilingualTails.zipWithIndex
+      .map { case (tl, i) => s"WHEN ${i.toLong} THEN '${tl.replace("'", "''")}'" }
+      .mkString(" ")
+    s"""WITH m AS (SELECT doc_id,
+       |  text || CASE doc_id % 6 $cases END AS mtext FROM documents),
+       |t AS (SELECT doc_id, ${toksOf("mtext")} AS toks FROM m),
+       |p AS (SELECT doc_id, unnest([{'p': i, 'tok': toks[i]}
+       |  for i in range(1, len(toks)+1)]) AS u FROM t)
+       |SELECT doc_id, (u.p - 1)::BIGINT AS pos, u.tok AS tok FROM p
+       |ORDER BY doc_id, pos""".stripMargin
+  }
 
   /** Winnowing CTE chain (shingle w=3, window=4) ending in `fp` =
     * (doc_id, fingerprint) distinct — shared by the winnow dump and the
@@ -2828,7 +2855,53 @@ object OracleSql {
        |    AS path_depth
        |FROM p ORDER BY doc_id""".stripMargin
 
-  /** Per-domain quota cap (mirror of Curation.domainQuota quota=20:
+  /** PSL registered domains (mirror of Curation.withUrlPartsPsl over
+    * the suffix-rewritten synth URLs): the SAME rule snapshot rides
+    * into both engines from `Curation.PublicSuffixes`, and both run
+    * the standard PSL algorithm — exception prevails (suffix = rule
+    * minus its leftmost label), else longest match with `*.y`
+    * counting len(y)+1 labels, else the final label.
+    */
+  val urlDomainsPsl: String = {
+    val all = graft.ops.Curation.PublicSuffixes
+    def sqlList(xs: Seq[String]): String =
+      xs.map(x => s"'${x.replace("'", "''")}'").mkString("[", ",", "]")
+    val normals = sqlList(all.filterNot(s => s.startsWith("!") || s.startsWith("*.")))
+    val wilds = sqlList(all.filter(_.startsWith("*.")))
+    val excs = sqlList(all.filter(_.startsWith("!")).map(_.drop(1)))
+    s"""WITH u AS ($UrlSynth),
+       |r AS (SELECT doc_id, CASE doc_id % 7
+       |  WHEN 1 THEN regexp_replace(url, '\\.(com|org|net)/', '.co.uk/')
+       |  WHEN 2 THEN regexp_replace(url, '\\.(com|org|net)/', '.com.au/')
+       |  WHEN 3 THEN regexp_replace(url, '\\.(com|org|net)/', '.co.jp/')
+       |  WHEN 4 THEN regexp_replace(url, '\\.(com|org|net)/', '.github.io/')
+       |  WHEN 5 THEN regexp_replace(url, '\\.(com|org|net)/', '.ck/')
+       |  WHEN 6 THEN regexp_replace(url, '\\.(com|org|net)/', '.www.ck/')
+       |  ELSE url END AS url FROM u),
+       |p AS (SELECT doc_id, $UrlHost AS host FROM r),
+       |l AS (SELECT doc_id, host, string_split(host, '.') AS ls,
+       |  len(string_split(host, '.')) AS n FROM p),
+       |m AS (SELECT doc_id, host, ls, n,
+       |  list_max([CASE WHEN list_contains($excs,
+       |      array_to_string(ls[i:n], '.')) THEN n - i END
+       |    for i in range(1, n+1)]) AS exc_l,
+       |  list_max([CASE WHEN list_contains($normals,
+       |        array_to_string(ls[i:n], '.'))
+       |      OR (i < n AND list_contains($wilds,
+       |        '*.' || array_to_string(ls[i+1:n], '.')))
+       |      THEN n - i + 1 END
+       |    for i in range(1, n+1)]) AS match_l FROM l),
+       |f AS (SELECT doc_id, host, ls, n,
+       |  COALESCE(exc_l, match_l, 1) AS ps FROM m)
+       |SELECT doc_id, host,
+       |  regexp_extract(host, '([^.]+\\.[^.]+)$$', 1) AS domain,
+       |  array_to_string(ls[n-ps+1:n], '.') AS public_suffix,
+       |  CASE WHEN n <= ps THEN NULL
+       |    ELSE array_to_string(ls[n-ps:n], '.') END AS domain_psl
+       |FROM f ORDER BY doc_id""".stripMargin
+  }
+
+  /** Per-domain quota cap (mirror of Curation.domainQuota quota=2:
     * stable-hash order within each domain, bounded top-k ≡ the rank
     * window on (sample_key, key)).
     */
@@ -3020,7 +3093,7 @@ object OracleSql {
        |GROUP BY 1 ORDER BY 1""".stripMargin
 
   /** Per-domain curation profile (mirror of Curation.domainStats
-    * quota=20; quota_util is one IEEE division of exact integers).
+    * quota=2; quota_util is one IEEE division of exact integers).
     */
   val domainStats: String =
     s"""WITH u AS ($UrlSynth),

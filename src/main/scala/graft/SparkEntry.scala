@@ -151,6 +151,12 @@ object SparkEntry {
     }),
     // --- D. text analysis ---
     "text_tokens" -> ((s, dir) => TextAnalysis.tokenStats(t(s, dir, "documents"))),
+    // Unicode tokenizer gate: deterministic multilingual tails
+    // (Cyrillic/accented-Latin/CJK/Arabic/Greek) appended per doc and
+    // every (pos, token) hash-compared vs the DuckDB mirror — proves
+    // the token kernel cross-engine on non-Latin text (r11 verdict #1)
+    "text_tokens_unicode" -> ((s, dir) =>
+      TextAnalysis.tokenDumpMultilingual(t(s, dir, "documents"))),
     // Unicode NFC canonical composition: the pass a multilingual crawl
     // needs before any byte-keyed hash operator; planted decomposed
     // suffixes make it observable on the ASCII test corpus
@@ -262,6 +268,29 @@ object SparkEntry {
         .select(col("doc_id"), col("url"), col("host"), col("domain"),
           col("tld"), col("path"), col("path_depth"))
         .orderBy(col("doc_id"))),
+    // PSL-backed registered domains (r11 verdict #3): a deterministic
+    // subset of hosts is rewritten onto multi-label public suffixes
+    // (ccTLDs, a wildcard TLD, a wildcard-exception, a private-section
+    // hosting suffix) and the PSL algorithm's registered domain is
+    // hash-compared against the 2-label rule it replaces
+    "url_domains_psl" -> ((s, dir) => {
+      val u = graft.ops.Curation.synthUrls(t(s, dir, "documents"))
+      val d = col("doc_id")
+      val sfx = when(d % 7 === 1, lit(".co.uk"))
+        .when(d % 7 === 2, lit(".com.au"))
+        .when(d % 7 === 3, lit(".co.jp"))
+        .when(d % 7 === 4, lit(".github.io"))
+        .when(d % 7 === 5, lit(".ck"))
+        .when(d % 7 === 6, lit(".www.ck"))
+      val url2 = when(sfx.isNull, col("url")).otherwise(
+        regexp_replace(col("url"), lit("\\.(com|org|net)/"),
+          concat(sfx, lit("/"))))
+      graft.ops.Curation.withUrlPartsPsl(
+          u.withColumn("url", url2), col("url"))
+        .select(d, col("host"), col("domain"), col("public_suffix"),
+          col("domain_psl"))
+        .orderBy(d)
+    }),
     "domain_quota" -> ((s, dir) =>
       graft.ops.Curation.domainQuota(
           graft.ops.Curation.withUrlParts(
@@ -333,8 +362,9 @@ object SparkEntry {
           concat(regexp_replace(col("url"), "^https://", "HTTPS://"), lit("/")))
         .otherwise(col("url"))
       graft.ops.Curation.curateCorpus(withUrl.withColumn("url", messy), col("url"),
-        Seq("src0.com", "src1.org", "src2.net"),
-        Seq("slow", "merge", "window"), quota = 5, maxHits = 2)
+          Seq("src0.com", "src1.org", "src2.net"),
+          Seq("slow", "merge", "window"), quota = 5, maxHits = 2)
+        .orderBy(col("doc_id"))
     }),
     // content blocklist: token-level wordlist filter as a pure
     // map-side projection — the blocklist rides the plan as an array
@@ -1225,6 +1255,7 @@ object SparkEntry {
         |FROM events GROUP BY event_type
         |ORDER BY event_type""".stripMargin,
     "text_tokens" -> OracleSql.textTokens,
+    "text_tokens_unicode" -> OracleSql.textTokensUnicode,
     "text_quality" -> OracleSql.textQuality,
     "text_entropy" -> OracleSql.textEntropy,
     "text_langid" -> OracleSql.textLangid,
@@ -1260,6 +1291,7 @@ object SparkEntry {
     "sample_temperature" -> OracleSql.sampleTemperature,
     "sample_stratified" -> OracleSql.sampleStratified,
     "url_domains" -> OracleSql.urlDomains,
+    "url_domains_psl" -> OracleSql.urlDomainsPsl,
     "domain_quota" -> OracleSql.domainQuota,
     "domain_quota_incremental" -> OracleSql.domainQuotaIncremental,
     "sample_split_grouped" -> OracleSql.sampleSplitGrouped,

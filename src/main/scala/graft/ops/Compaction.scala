@@ -89,6 +89,48 @@ object Compaction {
     spark.sql(s"ALTER TABLE `$staging` RENAME TO `$table`")
   }
 
+  /** Rewrite an UNBUCKETED catalog table through a staging table and
+    * a catalog rename — the same can't-race-its-own-scan idiom as
+    * [[rewriteBucketed]] for plain model/ledger tables (r11 verdict
+    * item #2: the quota ledger's read-modify-write must not collect a
+    * domains-grain table to the driver — a real crawl has 10⁷–10⁸
+    * registered domains). `transform` sees the CURRENT rows (read from
+    * the files, schema from the catalog so an empty table still
+    * reads) and its output becomes the table's new content; the
+    * transform's plan must not lazily re-reference the table name
+    * itself (pass data through the provided frame).
+    */
+  def rewriteTable(spark: SparkSession, table: String,
+      transform: DataFrame => DataFrame): Unit = {
+    val catalog = spark.sessionState.catalog
+    val meta = catalog.getTableMetadata(TableIdentifier(table))
+    require(meta.bucketSpec.isEmpty,
+      s"table $table is bucketed — use rewriteBucketed to preserve the layout")
+    val external = meta.tableType == CatalogTableType.EXTERNAL
+    val oldLoc = meta.location
+    val staging = s"${table}__rewriting"
+    spark.sql(s"DROP TABLE IF EXISTS `$staging`")
+    val rows = transform(
+      spark.read.schema(meta.schema).parquet(oldLoc.toString))
+    val w0 = rows.write.mode("overwrite").format("parquet")
+    // strip any prior rewrite suffix so repeated batch rewrites don't
+    // compound the path name forever
+    val base = oldLoc.getPath.replaceAll("__rewrite_\\d+$", "")
+    val w1 = if (external)
+      w0.option("path", s"${base}__rewrite_${System.nanoTime()}")
+    else w0
+    w1.saveAsTable(staging)
+    meta.properties.filter { case (k, _) => k.startsWith("graft.") }.foreach {
+      case (k, v) => TableProps.set(spark, staging, k, v)
+    }
+    spark.sql(s"DROP TABLE `$table`")
+    if (external) {
+      val p = new org.apache.hadoop.fs.Path(oldLoc)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    }
+    spark.sql(s"ALTER TABLE `$staging` RENAME TO `$table`")
+  }
+
   /** Data files per bucket id of a bucketed catalog table — the
     * compaction observable: N appends leave up to N+1 file sets per
     * bucket; after [[rewriteBucketed]] every count is exactly 1.

@@ -46,6 +46,166 @@ object Curation {
         (size(split(col("path"), "/")) - 1).cast("long"))
   }
 
+  /** Representative snapshot of the Public Suffix List
+    * (publicsuffix.org — public knowledge; r11 verdict item #3). The
+    * 2-label `domain` rule keys every `bbc.co.uk` page to `co.uk`;
+    * PSL lookup is the production fix. Entry syntax is the PSL's own:
+    * plain multi-label suffixes, `*.` wildcard rules, `!` exception
+    * rules; single-label TLDs need no entry (the PSL default rule
+    * `*` makes any unmatched final label a public suffix). The
+    * private section's hosting suffixes (github.io, ...) are included
+    * because quota/split operators want the TENANT as the grouping
+    * entity. Swap in the full ~10k-entry list file for production —
+    * [[registeredDomainPsl]] is agnostic to which.
+    */
+  val PublicSuffixes: Seq[String] = Seq(
+    // United Kingdom
+    "co.uk", "org.uk", "me.uk", "net.uk", "ac.uk", "gov.uk", "sch.uk",
+    "plc.uk", "ltd.uk", "nhs.uk", "police.uk",
+    // Australia
+    "com.au", "net.au", "org.au", "edu.au", "gov.au", "asn.au", "id.au",
+    // Japan (incl. a real wildcard+exception pair: city domains)
+    "co.jp", "or.jp", "ne.jp", "ac.jp", "ad.jp", "ed.jp", "go.jp",
+    "gr.jp", "lg.jp", "*.kawasaki.jp", "!city.kawasaki.jp",
+    "*.kitakyushu.jp", "!city.kitakyushu.jp",
+    // New Zealand
+    "co.nz", "net.nz", "org.nz", "ac.nz", "govt.nz", "school.nz",
+    // India
+    "co.in", "net.in", "org.in", "firm.in", "gen.in", "ind.in",
+    "ac.in", "edu.in", "gov.in", "res.in", "nic.in",
+    // Brazil
+    "com.br", "net.br", "org.br", "gov.br", "edu.br", "art.br", "blog.br",
+    // China
+    "com.cn", "net.cn", "org.cn", "gov.cn", "edu.cn", "ac.cn", "mil.cn",
+    // Taiwan / Hong Kong / Singapore / Korea
+    "com.tw", "net.tw", "org.tw", "edu.tw", "gov.tw", "idv.tw",
+    "com.hk", "net.hk", "org.hk", "edu.hk", "gov.hk", "idv.hk",
+    "com.sg", "net.sg", "org.sg", "edu.sg", "gov.sg", "per.sg",
+    "co.kr", "or.kr", "ne.kr", "re.kr", "go.kr", "ac.kr", "pe.kr",
+    // Mexico / Argentina / Colombia / Chile
+    "com.mx", "org.mx", "net.mx", "edu.mx", "gob.mx",
+    "com.ar", "net.ar", "org.ar", "edu.ar", "gob.ar", "int.ar", "mil.ar",
+    "com.co", "net.co", "org.co", "edu.co", "gov.co", "mil.co", "nom.co",
+    "gob.cl", "gov.cl", "mil.cl",
+    // South Africa / Kenya / Nigeria / Egypt / Ghana
+    "co.za", "org.za", "net.za", "ac.za", "gov.za", "web.za", "edu.za",
+    "co.ke", "or.ke", "ne.ke", "go.ke", "ac.ke", "sc.ke",
+    "com.ng", "net.ng", "org.ng", "edu.ng", "gov.ng",
+    "com.eg", "net.eg", "org.eg", "edu.eg", "gov.eg", "sci.eg",
+    "com.gh", "org.gh", "edu.gh", "gov.gh",
+    // Turkey / Israel / Saudi Arabia / UAE / Pakistan
+    "com.tr", "net.tr", "org.tr", "edu.tr", "gov.tr", "bel.tr", "web.tr",
+    "co.il", "org.il", "net.il", "ac.il", "gov.il", "muni.il", "k12.il",
+    "com.sa", "net.sa", "org.sa", "edu.sa", "gov.sa", "med.sa", "sch.sa",
+    "co.ae", "net.ae", "org.ae", "ac.ae", "gov.ae", "sch.ae",
+    "com.pk", "net.pk", "org.pk", "edu.pk", "gov.pk", "fam.pk", "biz.pk",
+    // Indonesia / Malaysia / Philippines / Thailand / Vietnam
+    "co.id", "or.id", "web.id", "ac.id", "go.id", "my.id", "sch.id",
+    "com.my", "net.my", "org.my", "edu.my", "gov.my", "name.my",
+    "com.ph", "net.ph", "org.ph", "edu.ph", "gov.ph", "ngo.ph",
+    "co.th", "or.th", "in.th", "ac.th", "go.th", "net.th", "mi.th",
+    "com.vn", "net.vn", "org.vn", "edu.vn", "gov.vn", "biz.vn", "ac.vn",
+    // Ukraine / Poland / Russia-adjacent public 2LDs
+    "com.ua", "in.ua", "net.ua", "org.ua", "edu.ua", "gov.ua", "kiev.ua",
+    "com.pl", "net.pl", "org.pl", "edu.pl", "gov.pl", "waw.pl", "poznan.pl",
+    "com.ru", "msk.ru", "spb.ru", "org.ru", "net.ru", "ac.ru",
+    // Cook Islands: the PSL's canonical full-wildcard TLD
+    "*.ck", "!www.ck",
+    // assorted real multi-label ccTLD suffixes
+    "co.at", "or.at", "ac.at", "gv.at",
+    "com.es", "nom.es", "org.es", "gob.es", "edu.es",
+    "com.pt", "edu.pt", "gov.pt", "org.pt", "net.pt",
+    "co.hu", "org.hu", "info.hu", "priv.hu",
+    "com.gr", "edu.gr", "net.gr", "org.gr", "gov.gr",
+    "com.cy", "biz.cy", "ltd.cy", "org.cy",
+    "com.mt", "edu.mt", "net.mt", "org.mt",
+    "co.ie", "gov.ie",
+    "com.ec", "gob.ec", "org.ec", "edu.ec",
+    "com.pe", "net.pe", "org.pe", "edu.pe", "gob.pe", "nom.pe",
+    "com.uy", "edu.uy", "gub.uy", "net.uy", "org.uy",
+    "com.ve", "net.ve", "org.ve", "co.ve", "edu.ve", "gob.ve",
+    "com.bo", "net.bo", "org.bo", "edu.bo", "gob.bo",
+    "com.py", "net.py", "org.py", "edu.py", "gov.py",
+    "com.do", "net.do", "org.do", "edu.do", "gob.do",
+    "com.bd", "net.bd", "org.bd", "edu.bd", "gov.bd",
+    "com.np", "net.np", "org.np", "edu.np", "gov.np",
+    "com.lk", "org.lk", "edu.lk", "gov.lk", "web.lk",
+    "com.kh", "net.kh", "org.kh", "edu.kh", "gov.kh",
+    "com.mm", "net.mm", "org.mm", "edu.mm", "gov.mm",
+    // private-section hosting suffixes (tenant = the entity)
+    "github.io", "gitlab.io", "blogspot.com", "wordpress.com",
+    "herokuapp.com", "appspot.com", "firebaseapp.com", "web.app",
+    "netlify.app", "vercel.app", "azurewebsites.net", "cloudfront.net",
+    "s3.amazonaws.com", "pages.dev", "workers.dev", "fastly.net",
+    "fly.dev", "onrender.com", "surge.sh", "neocities.org", "glitch.me",
+    "readthedocs.io", "bitbucket.io", "pythonanywhere.com", "repl.co")
+
+  /** PSL label count of `host`'s public suffix under the standard
+    * Public Suffix List algorithm (publicsuffix.org/list): among all
+    * matching rules an exception rule prevails (its suffix = the rule
+    * minus its leftmost label), else the longest match (wildcard
+    * `*.y` counts as len(y)+1 labels), else the default rule `*`
+    * (the final label). Rules ride the plan as array literals — a
+    * pure per-row projection, zero joins and zero shuffles (the
+    * [[blocklistTerms]] discipline) at the snapshot's size; a full
+    * 10k-entry production list should move to a hosts-grain broadcast
+    * join (the [[dropBlocklisted]] large-tier shape).
+    */
+  private def pslSuffixLabels(host: Column,
+      suffixes: Seq[String]): Column = {
+    val normals = array(suffixes
+      .filterNot(s => s.startsWith("!") || s.startsWith("*.")).map(lit(_)): _*)
+    val wilds = array(suffixes.filter(_.startsWith("*.")).map(lit(_)): _*)
+    val excs = array(suffixes.filter(_.startsWith("!"))
+      .map(s => lit(s.drop(1))): _*)
+    val ls = split(host, "\\.")
+    val n = size(ls)
+    val idxs = sequence(lit(1), n)
+    def sfxAt(i: Column) = array_join(slice(ls, i, n - i + 1), ".")
+    def wldAt(i: Column) = concat(lit("*."), array_join(slice(ls, i + 1, n - i), "."))
+    val excLabels = array_max(transform(idxs, i =>
+      when(array_contains(excs, sfxAt(i)), n - i).otherwise(lit(null).cast("int"))))
+    val matchLabels = array_max(transform(idxs, i =>
+      when(array_contains(normals, sfxAt(i)) ||
+        (i < n && array_contains(wilds, wldAt(i))), n - i + 1)
+        .otherwise(lit(null).cast("int"))))
+    coalesce(excLabels, matchLabels, lit(1))
+  }
+
+  /** PSL-backed registered domain of a host (null when the host IS a
+    * public suffix or is null) — the production replacement for the
+    * 2-label `domain` rule; see [[PublicSuffixes]].
+    */
+  def registeredDomainPsl(host: Column,
+      suffixes: Seq[String] = PublicSuffixes): Column = {
+    val ls = split(host, "\\.")
+    val n = size(ls)
+    val ps = pslSuffixLabels(host, suffixes)
+    when(host.isNull || n <= ps, lit(null).cast("string"))
+      .otherwise(array_join(slice(ls, n - ps, ps + 1), "."))
+  }
+
+  /** The public suffix string itself (monitoring / join key). */
+  def publicSuffixPsl(host: Column,
+      suffixes: Seq[String] = PublicSuffixes): Column = {
+    val ls = split(host, "\\.")
+    val n = size(ls)
+    val ps = pslSuffixLabels(host, suffixes)
+    when(host.isNull, lit(null).cast("string"))
+      .otherwise(array_join(slice(ls, n - ps + 1, ps), "."))
+  }
+
+  /** [[withUrlParts]] plus the PSL columns: `public_suffix` and
+    * `domain_psl` (the registered domain quota/split/blocklist
+    * operators should key on for real crawl data — they are agnostic
+    * to which domain column they get).
+    */
+  def withUrlPartsPsl(df: DataFrame, url: Column,
+      suffixes: Seq[String] = PublicSuffixes): DataFrame =
+    withUrlParts(df, url)
+      .withColumn("public_suffix", publicSuffixPsl(col("host"), suffixes))
+      .withColumn("domain_psl", registeredDomainPsl(col("host"), suffixes))
+
   /** Per-domain quota: keep at most `quota` rows per domain, selected
     * by stable hash order of `key` (a pure function of (key, salt) —
     * re-runs and repartitionings keep the SAME rows, and the kept set
@@ -72,23 +232,49 @@ object Curation {
 
   /** Drop rows whose host is a blocklisted domain OR any subdomain of
     * one (`host == d` or `host endswith "." + d`) — the standard
-    * blocklist semantics. The blocklist frame `(domain)` is broadcast;
-    * the suffix probe is a theta anti-join against the broadcast side,
-    * O(|df| × |blocklist|) comparisons map-side — the right shape
-    * while blocklists are ≪ corpus (always). Exact-domain-only
-    * matching (no subdomains) is the `left_anti` equi-join special
-    * case; pass `includeSubdomains = false` for it.
+    * blocklist semantics. Exact-domain-only matching (no subdomains)
+    * is the `left_anti` equi-join special case; pass
+    * `includeSubdomains = false` for it.
+    *
+    * Two subdomain tiers, same semantics (r11 verdict item #5):
+    *   - ≤ `thetaMaxEntries` rows: broadcast theta anti-join —
+    *     O(|df| × |blocklist|) comparisons map-side, the cheapest
+    *     shape for the 10²–10⁴ curated lists most pipelines carry;
+    *   - larger (industrial 10⁵–10⁶ lists): EQUI-join — the distinct
+    *     hosts (hosts-grain ≪ pages-grain) explode into their ≤k label
+    *     suffixes, hash-semi-join the blocklist (O(|hosts| × labels)
+    *     probes), and the resulting blocked-host set anti-joins the
+    *     corpus on host equality. No nested loop anywhere
+    *     (plan-asserted in CurationSpec).
     */
   def dropBlocklisted(df: DataFrame, host: Column, blocklist: DataFrame,
-      includeSubdomains: Boolean = true): DataFrame = {
+      includeSubdomains: Boolean = true,
+      thetaMaxEntries: Long = 4096L): DataFrame = {
     val b = graft.ops.Broadcasting.maybeBroadcast(
       blocklist.select(lower(col("domain")).as("__blocked")))
     val h = lower(host)
-    if (includeSubdomains)
+    if (!includeSubdomains)
+      df.join(b, h === col("__blocked"), "left_anti")
+    else if (blocklist.count() <= thetaMaxEntries)
       df.join(b, h === col("__blocked") ||
         h.endsWith(concat(lit("."), col("__blocked"))), "left_anti")
-    else
-      df.join(b, h === col("__blocked"), "left_anti")
+    else {
+      // label suffixes of a host, host itself included:
+      // a.b.co → [a.b.co, b.co, co]
+      def suffixesOf(hc: Column): Column = {
+        val labels = split(hc, "\\.")
+        transform(sequence(lit(0), size(labels) - 1), i =>
+          array_join(slice(labels, i + 1, size(labels) - i), "."))
+      }
+      val hosts = df.select(h.as("__host"))
+        .where(col("__host").isNotNull).distinct()
+      val blockedHosts = hosts
+        .select(col("__host"), explode(suffixesOf(col("__host"))).as("__sfx"))
+        .join(b, col("__sfx") === col("__blocked"), "left_semi")
+        .select(col("__host")).distinct()
+      df.join(graft.ops.Broadcasting.maybeBroadcast(blockedHosts),
+        h === col("__host"), "left_anti")
+    }
   }
 
   /** Per-domain curation profile over a parsed corpus: pages, docs
@@ -136,9 +322,12 @@ object Curation {
     * compaction story if global-order quotas are required).
     *
     * Scale shape: the batch side is the bounded [[domainQuota]]
-    * aggregate; the ledger is domains-sized (≪ corpus — it rides as
-    * a broadcast join and a driver-bounded rewrite, the model-table
-    * convention).
+    * aggregate; the ledger read is a broadcast join (domains-grain ≪
+    * corpus), and the ledger ADVANCE is a fully distributed
+    * staging-table rewrite ([[Compaction.rewriteTable]] — one keyed
+    * full-outer join on the domain grain, never a driver
+    * materialization: a real crawl's ledger has 10⁷–10⁸ registered
+    * domains).
     */
   def admitWithQuota(parsed: DataFrame, table: String, quota: Int,
       salt: String = "quota"): DataFrame = {
@@ -159,23 +348,18 @@ object Curation {
     // checkpoint severs the lineage so this batch's admissions are
     // immutable once computed
     val admittedCached = admitted.localCheckpoint(true)
-    // ledger rewrite: merged counts collected driver-side (the table
-    // is domains-sized by construction) so the overwrite cannot race
-    // its own scan
+    // ledger advance: distributed staging-table rewrite (one
+    // domains-grain full-outer join), swapped in via the catalog
+    // rename idiom — the new files land before the old table name
+    // moves, so the rewrite cannot race its own scan and nothing is
+    // ever collected to the driver
     val counts = admittedCached.groupBy(col("domain"))
       .agg(count(lit(1)).as("add_n"))
-    val merged = ledger.join(counts, Seq("domain"), "full_outer")
-      .select(col("domain"),
-        (coalesce(col("n_admitted"), lit(0L)) +
-          coalesce(col("add_n"), lit(0L))).as("n_admitted"))
-      .collect()
-    import scala.jdk.CollectionConverters._
-    val mergedDf = spark.createDataFrame(merged.toSeq.asJava, ledger.schema)
-    val loc = spark.sql(s"DESCRIBE FORMATTED $table").collect()
-      .find(_.getString(0) == "Location").map(_.getString(1))
-    val w = mergedDf.write.mode("overwrite").format("parquet")
-    loc.foreach(l => w.option("path", l))
-    w.saveAsTable(table)
+    Compaction.rewriteTable(spark, table, current =>
+      current.join(counts, Seq("domain"), "full_outer")
+        .select(col("domain"),
+          (coalesce(col("n_admitted"), lit(0L)) +
+            coalesce(col("add_n"), lit(0L))).as("n_admitted")))
     admittedCached
   }
 
@@ -247,7 +431,10 @@ object Curation {
     * top-k aggregate joined back on doc_id; the URL-dedup flag is a
     * `min(doc_id)` partial aggregation per canonical URL joined back
     * on its own grouping key — the `dedup_exact` shape with
-    * `canonical_url` as the fingerprint. No windows anywhere.
+    * `canonical_url` as the fingerprint. No windows anywhere, and no
+    * global sort: the decision table returns UNORDERED (r11 verdict
+    * item #6 — a 100 TB flag table must not pay a range exchange for
+    * gate determinism; the driver row sorts, the API does not).
     */
   def curateCorpus(docs: DataFrame, url: Column,
       blockedDomains: Seq[String], blockedTerms: Seq[String],
@@ -286,7 +473,6 @@ object Curation {
         col("n_blocked_hits"), col("content_keep"),
         (!col("domain_blocked") && col("quota_keep") && col("url_keep") &&
           col("content_keep")).as("keep"))
-      .orderBy(col("doc_id"))
     Caching.materialized(out) { parsed.unpersist(false) }
   }
 

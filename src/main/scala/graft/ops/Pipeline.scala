@@ -133,9 +133,16 @@ object Pipeline {
         hll_sketch_estimate(col("sk_b")).as("est_b"),
         hll_sketch_estimate(hll_union(col("sk_a"), col("sk_b"))).as("est_union"))
       .select(col("est_a"), col("est_b"), col("est_union"),
-        (col("est_a") + col("est_b") - col("est_union")).as("est_overlap"),
-        ((col("est_a") + col("est_b") - col("est_union")) /
-          col("est_union").cast("double")).as("est_jaccard"))
+        // clamp: HLL noise on near-disjoint corpora can push
+        // inclusion-exclusion slightly negative, and two empty corpora
+        // give union 0 — monitoring consumers must never see a
+        // negative overlap or a NaN jaccard (r11 ADVICE)
+        greatest(lit(0L),
+          col("est_a") + col("est_b") - col("est_union")).as("est_overlap"),
+        when(col("est_union") > 0,
+          greatest(lit(0L), col("est_a") + col("est_b") - col("est_union")) /
+            col("est_union").cast("double"))
+          .otherwise(lit(0.0)).as("est_jaccard"))
   }
 
   def corpusDiff(oldCorpus: DataFrame, newCorpus: DataFrame): DataFrame = {

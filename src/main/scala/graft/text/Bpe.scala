@@ -219,7 +219,14 @@ object Bpe {
         val nv = pairCounts.getOrElse(p, 0L) + delta
         if (nv == 0L) pairCounts.remove(p) else pairCounts.update(p, nv)
         if (index) {
-          pairWords.getOrElseUpdate(p, mutable.ArrayBuffer.empty[Int]) += wi
+          // dedup on insert: a pair occurring k times in one word is
+          // scanned consecutively, so checking the buffer tail keeps
+          // postings one-entry-per-(pair, word) — without it a hot
+          // pair re-touched across many merges accumulates duplicates
+          // without bound and pays O(buffer) distinct per merge
+          // (r11 ADVICE)
+          val buf = pairWords.getOrElseUpdate(p, mutable.ArrayBuffer.empty[Int])
+          if (buf.isEmpty || buf(buf.length - 1) != wi) buf += wi
         }
         i += 1
       }

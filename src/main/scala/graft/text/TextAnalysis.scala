@@ -59,6 +59,46 @@ object TextAnalysis {
           .cast("long").as("n_subword"))
       .orderBy(col("doc_id"))
 
+  /** Deterministic multilingual tails for the Unicode-tokenization
+    * gate row (`text_tokens_unicode`): the ASCII testdata cannot
+    * exercise the non-Latin paths, so each document gets one of these
+    * appended as a pure function of doc_id and BOTH engines tokenize
+    * the result. Characters are chosen where the simple per-codepoint
+    * lowercase mapping is engine-independent (uppercase Cyrillic /
+    * Greek / accented Latin; cased-less Arabic; Han+kana with digits) —
+    * deliberately no Turkish dotted-İ and no ΓΡΑΜΜΑ-final Σ, whose
+    * contextual/locale mappings differ across engines. (build.sbt pins
+    * `-encoding UTF-8` — the container platform charset is ASCII.)
+    */
+  val MultilingualTails: Seq[String] = Seq(
+    // " Привет МИР 2024" (Cyrillic, uppercase folds)
+    " Привет МИР 2024",
+    // " café naïve RÉSUMÉ" (accented Latin, uppercase accents fold)
+    " café naïve RÉSUMÉ",
+    // " 東京は日本の首都" (Han + Hiragana, per-codepoint tokens)
+    " 東京は日本の首都",
+    // " カタカナとひらがな 第3章" (Katakana/Hiragana + Han-digit mix)
+    " カタカナとひらがな 第3章",
+    // " مرحبا بالعالم" (Arabic, no case)
+    " مرحبا بالعالم",
+    // " ελληνικά ΓΡΑΜΜΑΤΑ" (Greek, uppercase folds, no sigma)
+    " ελληνικά ΓΡΑΜΜΑΤΑ")
+
+  /** Positional token dump over multilingual-tailed text — the driver
+    * row proving the Unicode tokenizer cross-engine (every token and
+    * its position hash-compared against the DuckDB mirror, non-Latin
+    * scripts included). Pure narrow map + the gate's orderBy.
+    */
+  def tokenDumpMultilingual(docs: DataFrame): DataFrame = {
+    val tail = element_at(array(MultilingualTails.map(lit(_)): _*),
+      (pmod(col("doc_id"), lit(6L)) + 1).cast("int"))
+    docs.select(col("doc_id"), concat(col("text"), tail).as("mtext"))
+      .select(col("doc_id"),
+        posexplode(GraftFunctions.tokens(col("mtext"))).as(Seq("pos", "tok")))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"), col("tok"))
+      .orderBy(col("doc_id"), col("pos"))
+  }
+
   /** Quality metrics: char/token counts, mean token length, punctuation
     * ratio, stopword ratio, and a composite score in [0,1].
     */

@@ -1,0 +1,165 @@
+package graft
+
+import java.awt.image.BufferedImage
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+
+import javax.imageio.{IIOImage, ImageIO, ImageWriteParam}
+import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+
+import org.apache.spark.sql.functions._
+
+import graft.multimodal.Binary
+
+/** Real-encoder conformance fixtures (r11 verdict item #4): every
+  * prior multimodal proof decoded `synthFromDocs` payloads whose
+  * generator shares layout assumptions with the parser. Here the
+  * payloads come from the JDK's STANDARD encoders — ImageIO's PNG/
+  * BMP/JPEG writers and javax.sound's WAV writer, independent
+  * codebases that share nothing with graft — and the parsers must
+  * recover the metadata fields and the pixel/sample statistics
+  * EXACTLY from pixels/samples this spec planted.
+  */
+class CodecConformanceSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Deterministic RGB test raster (planted, so expected stats are
+    * recomputable from the source pixels, not from any decoder).
+    */
+  private def plantRgb(w: Int, h: Int, imgType: Int): BufferedImage = {
+    val img = new BufferedImage(w, h, imgType)
+    for (y <- 0 until h; x <- 0 until w) {
+      val r = (x * 17 + y * 5) % 256
+      val g = (255 - x * 3 + y) % 256
+      val b = (x * y + 31) % 256
+      img.setRGB(x, y, (r << 16) | (g << 8) | b)
+    }
+    img
+  }
+
+  private def channelSums(img: BufferedImage): (Long, Long, Long, Long) = {
+    var (sr, sg, sb, peak) = (0L, 0L, 0L, 0L)
+    for (y <- 0 until img.getHeight; x <- 0 until img.getWidth) {
+      val p = img.getRGB(x, y)
+      val (r, g, b) = ((p >> 16) & 0xFF, (p >> 8) & 0xFF, p & 0xFF)
+      sr += r; sg += g; sb += b
+      peak = math.max(peak, math.max(r, math.max(g, b)).toLong)
+    }
+    (sr, sg, sb, peak)
+  }
+
+  test("PNG from ImageIO (independent encoder): meta and pixel stats field-exact") {
+    // two sizes, both small enough for the writer's single-IDAT output
+    for ((w, h) <- Seq((16, 9), (31, 23))) {
+      val img = plantRgb(w, h, BufferedImage.TYPE_INT_RGB)
+      val out = new ByteArrayOutputStream()
+      assert(ImageIO.write(img, "png", out), "JDK PNG writer unavailable")
+      val df = Seq((1L, out.toByteArray)).toDF("doc_id", "payload")
+      val row = Binary.PngPixels.pixelStats(df).head()
+      def f[T](n: String): T = row.getAs[T](n)
+      assert(f[Boolean]("png_valid") && f[Boolean]("ihdr_crc_ok") &&
+        f[Boolean]("header_consistent"), s"PNG ${w}x$h header rejected: $row")
+      assert(f[Long]("width") === w.toLong && f[Long]("height") === h.toLong)
+      assert(f[Long]("color_type") === 2L && f[Long]("bit_depth") === 8L &&
+        f[Long]("interlace") === 0L)
+      val n = (w * h).toLong
+      val (sr, sg, sb, peak) = channelSums(img)
+      assert(f[Long]("pixels_decoded") === n,
+        s"PNG ${w}x$h: adaptive-filtered IDAT must fully decode")
+      assert(f[Double]("mean_r") === sr.toDouble / n)
+      assert(f[Double]("mean_g") === sg.toDouble / n)
+      assert(f[Double]("mean_b") === sb.toDouble / n)
+      assert(f[Long]("peak_byte") === peak)
+    }
+  }
+
+  test("BMP from ImageIO (independent encoder): meta and pixel stats field-exact") {
+    for ((w, h) <- Seq((16, 9), (13, 7))) { // 13 → non-trivial stride padding
+      val img = plantRgb(w, h, BufferedImage.TYPE_3BYTE_BGR)
+      val out = new ByteArrayOutputStream()
+      assert(ImageIO.write(img, "bmp", out), "JDK BMP writer unavailable")
+      val df = Seq((1L, out.toByteArray)).toDF("doc_id", "payload")
+      val row = Binary.Bmp.pixelStats(df).head()
+      def f[T](n: String): T = row.getAs[T](n)
+      assert(f[Boolean]("bmp_valid") && f[Boolean]("header_consistent"),
+        s"BMP ${w}x$h header rejected: $row")
+      assert(f[Long]("width") === w.toLong && f[Long]("height") === h.toLong)
+      assert(f[Long]("bits_per_pixel") === 24L && f[Long]("compression") === 0L)
+      assert(f[Boolean]("bmp_top_down") === false) // JDK writes bottom-up
+      assert(f[Long]("row_stride") === ((w * 24 + 31) / 32 * 4).toLong)
+      val n = (w * h).toLong
+      val (sr, sg, sb, peak) = channelSums(img)
+      // channel sums are row-order independent — bottom-up storage
+      // still yields the planted means exactly
+      assert(f[Long]("pixels_decoded") === n)
+      assert(f[Double]("mean_r") === sr.toDouble / n)
+      assert(f[Double]("mean_g") === sg.toDouble / n)
+      assert(f[Double]("mean_b") === sb.toDouble / n)
+      assert(f[Long]("peak_byte") === peak)
+    }
+  }
+
+  test("WAV from javax.sound (independent encoder): meta and sample stats field-exact") {
+    // 16-bit mono with planted clipping
+    val samples = Array.tabulate(500) { i =>
+      if (i % 101 == 0) 32767 else (math.sin(i * 0.1) * 12000).toInt
+    }
+    val pcm = new Array[Byte](samples.length * 2)
+    samples.zipWithIndex.foreach { case (v, i) =>
+      pcm(2 * i) = v.toByte; pcm(2 * i + 1) = (v >> 8).toByte
+    }
+    val fmt = new AudioFormat(8000f, 16, 1, true, false)
+    val ais = new AudioInputStream(
+      new ByteArrayInputStream(pcm), fmt, samples.length.toLong)
+    val out = new ByteArrayOutputStream()
+    AudioSystem.write(ais, AudioFileFormat.Type.WAVE, out)
+    val df = Seq((1L, out.toByteArray)).toDF("doc_id", "payload")
+    val row = Binary.Wav.sampleStats(df).head()
+    def f[T](n: String): T = row.getAs[T](n)
+    assert(f[Boolean]("wav_valid") && f[Boolean]("header_consistent"),
+      s"WAV header rejected: $row")
+    assert(f[Long]("channels") === 1L && f[Long]("sample_rate") === 8000L &&
+      f[Long]("bits_per_sample") === 16L && f[Long]("block_align") === 2L &&
+      f[Long]("data_bytes") === (samples.length * 2).toLong)
+    // expected stats recomputed from the planted SAMPLES, not bytes
+    val n = samples.length.toLong
+    val sum = samples.map(_.toLong).sum
+    val sumSq = samples.map(v => v.toLong * v.toLong).sum
+    assert(f[Long]("n_samples") === n)
+    assert(f[Long]("peak_abs") === 32767L)
+    assert(f[Long]("n_clipped") === samples.count(v => math.abs(v) >= 32767).toLong)
+    assert(f[Double]("rms") === math.sqrt(sumSq.toDouble / n))
+    assert(f[Double]("dc_mean") === sum.toDouble / n)
+  }
+
+  test("JPEG from ImageIO (independent encoder): baseline AND progressive SOF walk") {
+    val img = plantRgb(24, 17, BufferedImage.TYPE_INT_RGB)
+    def encode(progressive: Boolean): Array[Byte] = {
+      val writer = ImageIO.getImageWritersByFormatName("jpeg").next()
+      val param = writer.getDefaultWriteParam
+      if (progressive) param.setProgressiveMode(ImageWriteParam.MODE_DEFAULT)
+      val out = new ByteArrayOutputStream()
+      val ios = ImageIO.createImageOutputStream(out)
+      writer.setOutput(ios)
+      writer.write(null, new IIOImage(img, null, null), param)
+      ios.close(); writer.dispose()
+      out.toByteArray
+    }
+    val df = Seq((1L, encode(false)), (2L, encode(true))).toDF("doc_id", "payload")
+    val rows = Binary.Jpeg.parse(df).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    for ((id, prog) <- Seq(1L -> false, 2L -> true)) {
+      val r = rows(id)
+      assert(r.getAs[Boolean]("jpeg_valid") && r.getAs[Boolean]("header_consistent"),
+        s"JPEG(progressive=$prog) rejected: $r")
+      assert(r.getAs[Boolean]("jfif_present"))
+      assert(r.getAs[Long]("width") === 24L && r.getAs[Long]("height") === 17L)
+      assert(r.getAs[Long]("n_components") === 3L &&
+        r.getAs[Long]("precision_bits") === 8L)
+      assert(r.getAs[Boolean]("progressive") === prog,
+        s"SOF marker class wrong for progressive=$prog")
+    }
+    // the walk, not a constant: baseline and progressive streams put
+    // SOF at different offsets past different segment trains
+    assert(rows(1L).getAs[Long]("sof_offset") > 2L)
+  }
+}

@@ -71,6 +71,72 @@ class CurationSpec extends SparkSpec {
     assert(keptExact === Seq(2L, 3L, 4L, 5L, 6L))
   }
 
+  test("dropBlocklisted large tier: equi-join semantics identical, no nested loop") {
+    val pages = Seq(
+      (1L, "bad.com"), (2L, "www.bad.com"), (3L, "cdn.api.bad.com"),
+      (4L, "notbad.com"), (5L, "bad.com.evil.net"), (6L, "good.org"),
+      (7L, "deep.sub.worse.net"))
+      .toDF("doc_id", "host")
+    // 5000 padding entries push the list over the theta threshold —
+    // the industrial-blocklist shape the equi-join tier exists for
+    val bl = (Seq("bad.com", "worse.net") ++
+      (0 until 5000).map(i => s"pad$i.example")).toDF("domain")
+    val large = Curation.dropBlocklisted(pages, col("host"), bl,
+      thetaMaxEntries = 4096L)
+    val kept = large.select(col("doc_id")).collect().map(_.getLong(0)).sorted.toSeq
+    assert(kept === Seq(4L, 5L, 6L), s"large tier semantics drifted: $kept")
+    // ... and match the theta tier row-for-row on the same inputs
+    val theta = Curation.dropBlocklisted(pages, col("host"), bl,
+        thetaMaxEntries = 10000L)
+      .select(col("doc_id")).collect().map(_.getLong(0)).sorted.toSeq
+    assert(theta === kept)
+    // plan contract: the large tier must carry NO nested-loop join
+    val phys = large.queryExecution.executedPlan.toString
+    assert(!phys.contains("BroadcastNestedLoopJoin"),
+      s"large blocklist tier routes through a nested loop:\n$phys")
+  }
+
+  test("PSL registered domains: ccTLD split, wildcard, exception, private suffix, defaults") {
+    val hosts = Seq(
+      (1L, "www.bbc.co.uk"), (2L, "amazon.co.uk"), (3L, "news.bbc.co.uk"),
+      (4L, "example.com"), (5L, "deep.sub.example.com"),
+      (6L, "user1.github.io"), (7L, "a.user1.github.io"),
+      (8L, "foo.bar.ck"),       // *.ck → PS = bar.ck
+      (9L, "www.ck"),           // !www.ck → PS = ck, domain = www.ck
+      (10L, "city.kawasaki.jp"),// !city.kawasaki.jp → PS = kawasaki.jp
+      (11L, "x.pref.kawasaki.jp"), // *.kawasaki.jp → PS = pref.kawasaki.jp
+      (12L, "co.uk"),           // host IS a public suffix → null
+      (13L, "localhost"),       // single label → null
+      (14L, null: String))
+      .toDF("doc_id", "host")
+    val got = hosts
+      .withColumn("rd", Curation.registeredDomainPsl(col("host")))
+      .withColumn("ps", Curation.publicSuffixPsl(col("host")))
+      .collect().map(r => r.getLong(0) ->
+        (Option(r.getAs[String]("rd")), Option(r.getAs[String]("ps")))).toMap
+    // the whole point: bbc.co.uk ≠ co.uk-wide identity
+    assert(got(1L) === (Some("bbc.co.uk"), Some("co.uk")))
+    assert(got(2L) === (Some("amazon.co.uk"), Some("co.uk")))
+    assert(got(3L)._1 === Some("bbc.co.uk"), "subdomain folds into the tenant")
+    // default rule: unmatched TLD = the final label
+    assert(got(4L) === (Some("example.com"), Some("com")))
+    assert(got(5L)._1 === Some("example.com"))
+    // private-section hosting suffix: tenant is the entity
+    assert(got(6L) === (Some("user1.github.io"), Some("github.io")))
+    assert(got(7L)._1 === Some("user1.github.io"))
+    // wildcard *.ck: every 2-label .ck suffix is public
+    assert(got(8L) === (Some("foo.bar.ck"), Some("bar.ck")))
+    // exception !www.ck: www.ck is a registrable name under ck
+    assert(got(9L) === (Some("www.ck"), Some("ck")))
+    // exception !city.kawasaki.jp under wildcard *.kawasaki.jp
+    assert(got(10L) === (Some("city.kawasaki.jp"), Some("kawasaki.jp")))
+    assert(got(11L) === (Some("x.pref.kawasaki.jp"), Some("pref.kawasaki.jp")))
+    // a bare public suffix has no registered domain
+    assert(got(12L)._1 === None)
+    assert(got(13L)._1 === None)
+    assert(got(14L) === (None, None))
+  }
+
   test("domainStats: counts, host cardinality, quota utilization") {
     val pages = Seq(
       (1L, "a.com", "www.a.com"), (2L, "a.com", "a.com"), (3L, "a.com", "www.a.com"),
@@ -206,6 +272,11 @@ class CurationSpec extends SparkSpec {
       Seq("bad.com"), Seq("bad"), quota = 10, maxHits = 2)
       .queryExecution.executedPlan.toString
     assert(!phys.contains("Window"), s"curateCorpus plans a window:\n$phys")
+    // ...and carries NO global sort in the API path (r12): the flag
+    // table returns unordered — gate determinism is the driver row's
+    // orderBy, not a 100 TB range exchange baked into production
+    assert(!phys.contains("rangepartitioning"),
+      s"curateCorpus bakes a global sort into the API path:\n$phys")
   }
 
   test("quota ledger: batch admissions respect earlier batches' slots; full domains admit none") {

@@ -178,7 +178,8 @@ class PlanContractSpec extends SparkSpec {
     }
     // the pure-projection rows carry no exchange beyond their output
     // sort (blocklists are plan literals — no joins at all)
-    Seq("url_domains", "url_canonicalize", "text_word_blocklist",
+    Seq("url_domains", "url_domains_psl", "url_canonicalize",
+      "text_word_blocklist", "text_tokens_unicode",
       "mm_wav_samples", "mm_bmp_pixels").foreach { name =>
       val phys = physical(q(name))
       assert(!phys.contains("Exchange hashpartitioning"),
