@@ -457,6 +457,84 @@ object CorpusScaleSmoke {
     }
     assert(ws.length == 1000 && ws.forall(_.getAs[Double]("weight") > 0))
 
+    // ---- rung: Unicode token kernel at corpus scale — every 3rd doc
+    // gains a non-Latin tail (the r11 blind spot: the legacy ASCII
+    // regex tokenized those scripts to zero). The kernel must (a) gain
+    // tokens on EXACTLY the tailed docs, (b) match the legacy split
+    // token-for-token on pure-ASCII docs, and (c) cost no more than
+    // the two-regex legacy pipeline it replaced (one native pass —
+    // expected faster; 1.5x is the hard non-regression bound) ----
+    val (tokAgg, tUnicodeTok) = time {
+      val tail = element_at(
+        array(graft.text.TextAnalysis.MultilingualTails.map(lit(_)): _*),
+        (pmod(col("doc_id"), lit(6L)) + 1).cast("int"))
+      val mdocs = docs.select(col("doc_id"),
+        when(col("doc_id") % 3 === 0, concat(col("text"), tail))
+          .otherwise(col("text")).as("text"))
+      mdocs.select(col("doc_id"),
+          size(GraftFunctions.tokens(col("text"))).as("n_kernel"))
+        .agg(sum(col("n_kernel")).as("kernel_tokens")).head()
+    }
+    // expected per-tail (kernel − legacy) token deltas, computed
+    // LOCALLY from the kernel itself and the legacy Java regex — an
+    // independent recount the distributed pass must match doc-exactly
+    val tailDeltas = graft.text.TextAnalysis.MultilingualTails.map { tl =>
+      val kernelN = graft.expressions.UnicodeTokens(
+          org.apache.spark.sql.catalyst.expressions.Literal(tl))
+        .compute(org.apache.spark.unsafe.types.UTF8String.fromString(tl))
+        .numElements().toLong
+      val legacyN = tl.toLowerCase.split("[^a-z0-9]+").count(_.nonEmpty).toLong
+      kernelN - legacyN
+    }
+    val (legAgg, tLegacyTok) = time {
+      val tail = element_at(
+        array(graft.text.TextAnalysis.MultilingualTails.map(lit(_)): _*),
+        (pmod(col("doc_id"), lit(6L)) + 1).cast("int"))
+      val mdocs = docs.select(col("doc_id"),
+        when(col("doc_id") % 3 === 0, concat(col("text"), tail))
+          .otherwise(col("text")).as("text"))
+      val legacy = filter(split(lower(col("text")), "[^a-z0-9]+"), t => t =!= "")
+      val expDelta = when(col("doc_id") % 3 =!= 0, lit(0L)).otherwise(
+        element_at(array(tailDeltas.map(lit(_)): _*),
+          (pmod(col("doc_id"), lit(6L)) + 1).cast("int")))
+      mdocs.select(col("doc_id"), size(legacy).cast("long").as("n_legacy"),
+          size(GraftFunctions.tokens(col("text"))).cast("long").as("n_kernel"),
+          expDelta.as("exp_delta"))
+        .agg(sum(col("n_legacy")).as("legacy_tokens"),
+          sum(when(col("n_kernel") - col("n_legacy") =!= col("exp_delta"), 1L)
+            .otherwise(0L)).as("mismatched")).head()
+    }
+    assert(legAgg.getAs[Long]("mismatched") == 0L,
+      s"kernel-vs-legacy token deltas off the planted per-tail values: " +
+        s"$legAgg (deltas=$tailDeltas)")
+    assert(tokAgg.getAs[Long]("kernel_tokens") > 0L)
+    assert(tUnicodeTok <= tLegacyTok * 1.5 + 2.0,
+      f"unicode kernel slower than the legacy regex path: " +
+        f"$tUnicodeTok%.1f s vs $tLegacyTok%.1f s")
+
+    // ---- rung: industrial blocklist tier — a 100k-entry blocklist is
+    // past the broadcast-theta regime (5*10^10 map-side comparisons at
+    // this corpus); the equi-join tier explodes DISTINCT hosts into
+    // label suffixes and hash-joins. Planted: two real entries block
+    // their registered domains, 99,998 padding entries match nothing ----
+    val (blkAgg, tBlocklist) = time {
+      import spark.implicits._
+      val parsed = graft.ops.Curation.withUrlParts(
+        graft.ops.Curation.synthUrls(docs), col("url"))
+      val bl = ((0 until 99998).map(i => s"pad$i.example") ++
+        Seq("src0.com", "src1.org")).toDF("domain")
+      val kept = graft.ops.Curation.dropBlocklisted(parsed, col("host"), bl)
+      val phys = kept.queryExecution.executedPlan.toString
+      assert(!phys.contains("BroadcastNestedLoopJoin"),
+        "industrial blocklist routed through a nested loop")
+      val survivors = kept.count()
+      val expectBlocked = parsed.filter(
+        col("domain") === "src0.com" || col("domain") === "src1.org").count()
+      (survivors, expectBlocked)
+    }
+    assert(blkAgg._1 == n - blkAgg._2,
+      s"blocklist survivors ${blkAgg._1} != n - blocked ${n - blkAgg._2}")
+
     val mb = totalChars / 1e6
     println(s"""{"smoke":"corpus_scale","n_docs":$n,"corpus_mb":${mb.round},""" +
       f""""entropy_sec":$tEnt%.1f,"deflate_sec":$tCmp%.1f,""" +
@@ -476,6 +554,9 @@ object CorpusScaleSmoke {
       f""""curate_sec":$tCurate%.1f,""" +
       f""""boilerplate_sec":$tBoiler%.1f,""" +
       f""""wav_decode_sec":$tWavDecode%.1f,""" +
+      f""""unicode_tokens_sec":$tUnicodeTok%.1f,""" +
+      f""""legacy_tokens_sec":$tLegacyTok%.1f,""" +
+      f""""blocklist_100k_sec":$tBlocklist%.1f,""" +
       f""""weighted_sample_sec":$tWs%.1f}""")
     spark.stop()
   }

@@ -59,7 +59,9 @@ object SparkEntry {
     // --- E. relational/analytic core ---
     "q1_agg" -> ((s, dir) => Relational.pricingSummary(t(s, dir, "lineitem"))),
     "q3_join" -> ((s, dir) =>
-      Relational.segmentRevenue(t(s, dir, "customer"), t(s, dir, "orders"), t(s, dir, "lineitem"))),
+      Relational.segmentRevenue(t(s, dir, "customer"), t(s, dir, "orders"),
+          t(s, dir, "lineitem"))
+        .orderBy(col("o_orderkey"))),
     "q5_region_join" -> ((s, dir) => Relational.localSupplierRevenue(
       t(s, dir, "region"), t(s, dir, "nation"), t(s, dir, "supplier"),
       t(s, dir, "customer"), t(s, dir, "orders"), t(s, dir, "lineitem"))),
@@ -99,7 +101,7 @@ object SparkEntry {
           .otherwise(col("text")).as("text"))
         .unionByName(base.filter(id % 13 === 0)
           .select((id + 10000000L).as("doc_id"), col("text")))
-      graft.ops.Pipeline.corpusDiff(base, newC)
+      graft.ops.Pipeline.corpusDiff(base, newC).orderBy(col("doc_id"))
     }),
     // sketch-tier cross-corpus overlap: one mergeable HLL per corpus
     // (kilobytes), inclusion-exclusion on the merged union — the
@@ -117,8 +119,12 @@ object SparkEntry {
           .select((id + 10000000L).as("doc_id"), col("text")))
       graft.ops.Pipeline.corpusOverlapSketch(base, newC)
     }),
-    "q_window_running" -> ((s, dir) => Relational.runningCustomerSpend(t(s, dir, "orders"))),
-    "events_sessionize" -> ((s, dir) => EventOps.sessionize(t(s, dir, "events"))),
+    "q_window_running" -> ((s, dir) =>
+      Relational.runningCustomerSpend(t(s, dir, "orders"))
+        .orderBy(col("o_custkey"), col("o_orderkey"))),
+    "events_sessionize" -> ((s, dir) =>
+      EventOps.sessionize(t(s, dir, "events"))
+        .orderBy(col("user_id"), col("session_seq"))),
     "events_windowed" -> ((s, dir) => EventOps.hourlyRollup(t(s, dir, "events"))),
     "events_cube" -> ((s, dir) => EventOps.cubeRollup(t(s, dir, "events"))),
     "events_pivot" -> ((s, dir) => EventOps.pivotByType(t(s, dir, "events"))),
@@ -130,18 +136,22 @@ object SparkEntry {
       EventOps.approxValuePercentiles(t(s, dir, "events"))),
     "events_range_join" -> ((s, dir) =>
       EventOps.withinRangePairs(t(s, dir, "events"))),
-    "events_funnel" -> ((s, dir) => EventOps.funnel(t(s, dir, "events"))),
+    "events_funnel" -> ((s, dir) =>
+      EventOps.funnel(t(s, dir, "events")).orderBy(col("user_id"))),
     "events_retention" -> ((s, dir) => EventOps.retention(t(s, dir, "events"))),
     // rows-only: HLL sketches have no cross-engine oracle (declared);
     // accuracy property-spec'd vs exact in RelationalSpec
     "events_retention_approx" -> ((s, dir) =>
       EventOps.retentionApprox(t(s, dir, "events"))),
-    "events_streaks" -> ((s, dir) => EventOps.streaks(t(s, dir, "events"))),
-    "events_anomaly" -> ((s, dir) => EventOps.valueAnomalies(t(s, dir, "events"))),
+    "events_streaks" -> ((s, dir) =>
+      EventOps.streaks(t(s, dir, "events")).orderBy(col("user_id"))),
+    "events_anomaly" -> ((s, dir) =>
+      EventOps.valueAnomalies(t(s, dir, "events")).orderBy(col("event_id"))),
     // median/MAD modified z-score: 50% breakdown point where the
     // moment z-score suffers outlier masking; exact interpolated
     // medians are cross-engine bitwise
-    "events_anomaly_robust" -> ((s, dir) => EventOps.robustAnomalies(t(s, dir, "events"))),
+    "events_anomaly_robust" -> ((s, dir) =>
+      EventOps.robustAnomalies(t(s, dir, "events")).orderBy(col("event_id"))),
     "events_props_agg" -> ((s, dir) => EventOps.propsAgg(t(s, dir, "events"))),
     "events_top_paths" -> ((s, dir) => EventOps.topPaths(t(s, dir, "events"))),
     "events_asof" -> ((s, dir) => {
@@ -150,34 +160,43 @@ object SparkEntry {
         .orderBy(col("event_id"))
     }),
     // --- D. text analysis ---
-    "text_tokens" -> ((s, dir) => TextAnalysis.tokenStats(t(s, dir, "documents"))),
+    // per-doc signal rows sort HERE (r12): the operators return
+    // unordered — no global sort in the production API path
+    "text_tokens" -> ((s, dir) =>
+      TextAnalysis.tokenStats(t(s, dir, "documents")).orderBy(col("doc_id"))),
     // Unicode tokenizer gate: deterministic multilingual tails
     // (Cyrillic/accented-Latin/CJK/Arabic/Greek) appended per doc and
     // every (pos, token) hash-compared vs the DuckDB mirror — proves
     // the token kernel cross-engine on non-Latin text (r11 verdict #1)
     "text_tokens_unicode" -> ((s, dir) =>
-      TextAnalysis.tokenDumpMultilingual(t(s, dir, "documents"))),
+      TextAnalysis.tokenDumpMultilingual(t(s, dir, "documents"))
+        .orderBy(col("doc_id"), col("pos"))),
     // Unicode NFC canonical composition: the pass a multilingual crawl
     // needs before any byte-keyed hash operator; planted decomposed
     // suffixes make it observable on the ASCII test corpus
-    "text_normalize" -> ((s, dir) => TextAnalysis.normalizeQuery(t(s, dir, "documents"))),
-    "text_quality" -> ((s, dir) => TextAnalysis.quality(t(s, dir, "documents"))),
-    "text_entropy" -> ((s, dir) => TextAnalysis.charEntropy(t(s, dir, "documents"))),
+    "text_normalize" -> ((s, dir) =>
+      TextAnalysis.normalizeQuery(t(s, dir, "documents")).orderBy(col("doc_id"))),
+    "text_quality" -> ((s, dir) =>
+      TextAnalysis.quality(t(s, dir, "documents")).orderBy(col("doc_id"))),
+    "text_entropy" -> ((s, dir) =>
+      TextAnalysis.charEntropy(t(s, dir, "documents")).orderBy(col("doc_id"))),
     // Flesch-Kincaid grade + Flesch ease: the dictionary-free
     // readability battery (vowel-group syllables, floor-1 guards) —
     // natural prose vs keyword soup vs legalese; pure narrow map
     "text_readability" -> ((s, dir) =>
-      TextAnalysis.readability(t(s, dir, "documents"))),
+      TextAnalysis.readability(t(s, dir, "documents")).orderBy(col("doc_id"))),
     "text_compression" -> ((s, dir) =>
-      TextAnalysis.compressionStats(t(s, dir, "documents"))),
-    "text_langid" -> ((s, dir) => TextAnalysis.langId(t(s, dir, "documents"))),
+      TextAnalysis.compressionStats(t(s, dir, "documents")).orderBy(col("doc_id"))),
+    "text_langid" -> ((s, dir) =>
+      TextAnalysis.langId(t(s, dir, "documents")).orderBy(col("doc_id"))),
     // rows-only (float fit, like quality_classifier): plants a
     // deterministic multilingual corpus, trains multinomial LR on the
     // marker heuristic's own labels, scores the MARKER-STRIPPED
     // variant next to the heuristic (which collapses to 'und' there);
     // recall bounds + plan/round-trip contracts in LangClassifierSpec
     "text_langid_learned" -> ((s, dir) =>
-      graft.text.LangClassifier.trainScoreQuery(t(s, dir, "documents"))),
+      graft.text.LangClassifier.trainScoreQuery(t(s, dir, "documents"))
+        .orderBy(col("doc_id"))),
     // rows-only like text_langid_learned; the model-at-rest round trip
     // through the driver gate (save/load bitwise is spec'd). Trains at
     // a reduced sampleFrac: this row proves the save→load→score
@@ -186,35 +205,48 @@ object SparkEntry {
     // full fits per round
     "text_langid_learned_persisted" -> ((s, dir) =>
       graft.text.LangClassifier.trainSaveScoreQuery(t(s, dir, "documents"),
-        "graft_lang_model_rt", path = Some(s"${tempDir("lang_model")}/tbl"),
-        sampleFrac = 0.1)),
-    "text_fingerprint" -> ((s, dir) => TextAnalysis.fingerprint(t(s, dir, "documents"))),
-    "text_chunks" -> ((s, dir) => TextAnalysis.chunks(t(s, dir, "documents"))),
-    "text_dup_chunk_ratio" -> ((s, dir) => TextAnalysis.dupChunkRatio(t(s, dir, "documents"))),
-    "chunks_dedup" -> ((s, dir) => TextAnalysis.chunksDedup(t(s, dir, "documents"))),
+          "graft_lang_model_rt", path = Some(s"${tempDir("lang_model")}/tbl"),
+          sampleFrac = 0.1)
+        .orderBy(col("doc_id"))),
+    "text_fingerprint" -> ((s, dir) =>
+      TextAnalysis.fingerprint(t(s, dir, "documents")).orderBy(col("doc_id"))),
+    "text_chunks" -> ((s, dir) =>
+      TextAnalysis.chunks(t(s, dir, "documents"))
+        .orderBy(col("doc_id"), col("chunk_idx"))),
+    "text_dup_chunk_ratio" -> ((s, dir) =>
+      TextAnalysis.dupChunkRatio(t(s, dir, "documents")).orderBy(col("doc_id"))),
+    "chunks_dedup" -> ((s, dir) =>
+      TextAnalysis.chunksDedup(t(s, dir, "documents")).orderBy(col("doc_id"))),
     "text_decontaminate" -> ((s, dir) => {
       val sp = graft.ops.Sampling.assignSplits(t(s, dir, "documents"), col("doc_id"))
       Dedup.decontaminate(
-        sp.filter(col("split") === "train"), sp.filter(col("split") === "test"))
+          sp.filter(col("split") === "train"), sp.filter(col("split") === "test"))
+        .orderBy(col("doc_id"))
     }),
     // fuzzy (near-dup) decontamination: same split gate, MinHash band
     // candidates + exact-Jaccard verify at 0.5 against the eval side
     "text_decontaminate_fuzzy" -> ((s, dir) => {
       val sp = graft.ops.Sampling.assignSplits(t(s, dir, "documents"), col("doc_id"))
       Dedup.decontaminateFuzzy(
-        sp.filter(col("split") === "train"), sp.filter(col("split") === "test"))
+          sp.filter(col("split") === "train"), sp.filter(col("split") === "test"))
+        .orderBy(col("doc_id"))
     }),
-    "text_dup_spans" -> ((s, dir) => Dedup.dupSpans(t(s, dir, "documents"))),
-    "text_dedup_substrings" -> ((s, dir) => Dedup.removeDupSpans(t(s, dir, "documents"))),
-    "text_repetition" -> ((s, dir) => TextAnalysis.repetition(t(s, dir, "documents"))),
+    "text_dup_spans" -> ((s, dir) =>
+      Dedup.dupSpans(t(s, dir, "documents")).orderBy(col("doc_id"))),
+    "text_dedup_substrings" -> ((s, dir) =>
+      Dedup.removeDupSpans(t(s, dir, "documents")).orderBy(col("doc_id"))),
+    "text_repetition" -> ((s, dir) =>
+      TextAnalysis.repetition(t(s, dir, "documents")).orderBy(col("doc_id"))),
     "text_pii" -> ((s, dir) => graft.text.Pii.scrubQuery(t(s, dir, "documents"))),
-    "sample_quality_filter" -> ((s, dir) => TextAnalysis.qualityFilter(t(s, dir, "documents"))),
+    "sample_quality_filter" -> ((s, dir) =>
+      TextAnalysis.qualityFilter(t(s, dir, "documents")).orderBy(col("doc_id"))),
     // rows-only: MLlib L-BFGS float-fold order is partitioning-dependent
     // in the last ulps (declared); planted-separation, sigmoid-recount,
     // no-UDF/no-Window serving-plan, and sampled-vs-full contracts in
     // QualityClassifierSpec
     "quality_classifier" -> ((s, dir) =>
-      graft.text.QualityClassifier.trainScoreQuery(t(s, dir, "documents"))),
+      graft.text.QualityClassifier.trainScoreQuery(t(s, dir, "documents"))
+        .orderBy(col("doc_id"))),
     // rows-only like quality_classifier; the model-at-rest round trip:
     // train (sampled) → saveModel (weight rows + params in
     // TBLPROPERTIES) → loadModel → score from the LOADED weights —
@@ -223,18 +255,25 @@ object SparkEntry {
     // (the non-persisted twin trains at the full driver-row frac)
     "quality_classifier_persisted" -> ((s, dir) =>
       graft.text.QualityClassifier.trainSaveScoreQuery(
-        t(s, dir, "documents"), "graft_quality_model_rt",
-        path = Some(s"${tempDir("quality_model")}/tbl"), sampleFrac = 0.1)),
+          t(s, dir, "documents"), "graft_quality_model_rt",
+          path = Some(s"${tempDir("quality_model")}/tbl"), sampleFrac = 0.1)
+        .orderBy(col("doc_id"))),
     // rows-only: the GK sketch threshold has no cross-engine oracle
     // (declared); ≥99% keep-set agreement with the exact rank cut is
     // property-spec'd in RelationalSpec
     "sample_quality_filter_sketch" -> ((s, dir) =>
       TextAnalysis.qualityFilterSketch(t(s, dir, "documents"))),
-    "text_winnow" -> ((s, dir) => TextAnalysis.winnow(t(s, dir, "documents"))),
-    "text_containment" -> ((s, dir) => TextAnalysis.containment(t(s, dir, "documents"),
-      maxFingerprintDf = Some(TextAnalysis.DefaultMaxFingerprintDf))),
-    "text_gopher" -> ((s, dir) => TextAnalysis.gopherQuality(t(s, dir, "documents"))),
-    "text_bm25" -> ((s, dir) => TextAnalysis.bm25(t(s, dir, "documents"))),
+    "text_winnow" -> ((s, dir) =>
+      TextAnalysis.winnow(t(s, dir, "documents"))
+        .orderBy(col("doc_id"), col("fingerprint"))),
+    "text_containment" -> ((s, dir) =>
+      TextAnalysis.containment(t(s, dir, "documents"),
+          maxFingerprintDf = Some(TextAnalysis.DefaultMaxFingerprintDf))
+        .orderBy(col("a"), col("b"))),
+    "text_gopher" -> ((s, dir) =>
+      TextAnalysis.gopherQuality(t(s, dir, "documents")).orderBy(col("doc_id"))),
+    "text_bm25" -> ((s, dir) =>
+      TextAnalysis.bm25(t(s, dir, "documents")).orderBy(col("doc_id"))),
     "corpus_stats" -> ((s, dir) => TextAnalysis.corpusStats(t(s, dir, "documents"))),
     "corpus_rollup" -> ((s, dir) => TextAnalysis.corpusRollup(t(s, dir, "documents"))),
     // rows-only: HLL sketches have no cross-engine oracle (declared);
@@ -397,14 +436,18 @@ object SparkEntry {
     // DSIR importance resampling: target = the English slice; k=100
     // winners by Gumbel-top-k over the hashed-ngram log-importance
     "sample_dsir" -> ((s, dir) =>
-      graft.text.Dsir.importanceResample(t(s, dir, "documents"))),
+      graft.text.Dsir.importanceResample(t(s, dir, "documents"))
+        .orderBy(col("doc_id"))),
     // llr model at rest: fit → saveLlr (params in TBLPROPERTIES) →
     // loadLlr → resample from the LOADED table; ≡ sample_dsir, so it
     // shares the oracle
     "sample_dsir_persisted" -> ((s, dir) =>
       graft.text.Dsir.fitSaveResampleQuery(t(s, dir, "documents"),
-        "graft_dsir_llr_rt", path = Some(s"${tempDir("dsir_llr")}/tbl"))),
-    "seq_pack" -> ((s, dir) => graft.ops.Packing.packSequences(t(s, dir, "documents"))),
+          "graft_dsir_llr_rt", path = Some(s"${tempDir("dsir_llr")}/tbl"))
+        .orderBy(col("doc_id"))),
+    "seq_pack" -> ((s, dir) =>
+      graft.ops.Packing.packSequences(t(s, dir, "documents"))
+        .orderBy(col("source"), col("doc_id"))),
     "corpus_shuffle" -> ((s, dir) =>
       graft.ops.Sampling.shuffleShards(t(s, dir, "documents"), col("doc_id"))
         .select(col("doc_id"), col("shuffle_key"), col("shard"))),
@@ -420,14 +463,15 @@ object SparkEntry {
       val d = t(s, dir, "documents")
       val tmp = tempDir("topics_rt")
       graft.text.Topics.saveTopics(d, "graft_topics_rt", path = Some(s"$tmp/tbl"))
-      graft.text.Topics.assignOnTopics(d, "graft_topics_rt")
+      graft.text.Topics.assignOnTopics(d, "graft_topics_rt").orderBy(col("doc_id"))
     }),
     // rows-only: iterative BPE merge training has no SQL oracle
     // (declared); encode ≡ training-fold, reference-reimplementation
     // parity, and save/load round trip are spec'd in BpeSpec
     "text_bpe" -> ((s, dir) =>
       graft.text.Bpe.trainSaveCountQuery(t(s, dir, "documents"),
-        "graft_bpe_model_rt", path = Some(s"${tempDir("bpe_model")}/tbl"))),
+          "graft_bpe_model_rt", path = Some(s"${tempDir("bpe_model")}/tbl"))
+        .orderBy(col("doc_id"))),
     // rows-only: packing under the learned BPE counts (the packing
     // arithmetic itself is the oracle-checked seq_pack prefix sum);
     // 32 merges — the training cost already has its own row (text_bpe)
@@ -512,7 +556,8 @@ object SparkEntry {
       graft.text.SearchIndex.save(d, "graft_search_idx_rt", path = Some(s"$tmp/tbl"))
       graft.text.SearchIndex.searchTopK(graft.text.SearchIndex.load(s, "graft_search_idx_rt"))
     }),
-    "text_pmi" -> ((s, dir) => TextAnalysis.tokenPmi(t(s, dir, "documents"))),
+    "text_pmi" -> ((s, dir) =>
+      TextAnalysis.tokenPmi(t(s, dir, "documents")).orderBy(col("a"), col("b"))),
     // exact-sequence queries over positional postings: offset voting,
     // one keyed shuffle, no per-document scan
     "text_phrase_search" -> ((s, dir) => {
@@ -530,7 +575,8 @@ object SparkEntry {
       TextAnalysis.phraseSearchOnIndex(s, "graft_phrase_idx_rt",
         TextAnalysis.cannedPhrases(d))
     }),
-    "text_ngram_lm" -> ((s, dir) => TextAnalysis.ngramLmScore(t(s, dir, "documents"))),
+    "text_ngram_lm" -> ((s, dir) =>
+      TextAnalysis.ngramLmScore(t(s, dir, "documents")).orderBy(col("doc_id"))),
     // LM-at-rest round trip (the CCNet perplexity-filter deployment
     // shape): fit + persist the bigram/unigram tables bucketed on
     // their join keys, score the same corpus from the LOADED tables —
@@ -540,33 +586,51 @@ object SparkEntry {
       val d = t(s, dir, "documents")
       val tmp = tempDir("lm_rt")
       TextAnalysis.saveLm(d, "graft_lm_rt", path = Some(s"$tmp/tbl"))
-      TextAnalysis.ngramLmScoreOnLm(d, "graft_lm_rt")
+      TextAnalysis.ngramLmScoreOnLm(d, "graft_lm_rt").orderBy(col("doc_id"))
     }),
-    "text_hash_embed" -> ((s, dir) => TextAnalysis.hashEmbed(t(s, dir, "documents"))),
+    "text_hash_embed" -> ((s, dir) =>
+      TextAnalysis.hashEmbed(t(s, dir, "documents"))
+        .orderBy(col("doc_id"), col("dim"))),
     "text_knn_hash_embed" -> ((s, dir) => {
       val d = t(s, dir, "documents")
       TextAnalysis.hashEmbedTopK(d, d.filter(col("doc_id") < 10).select(col("doc_id")))
     }),
-    "events_sliding" -> ((s, dir) => EventOps.slidingRollup(t(s, dir, "events"))),
+    "events_sliding" -> ((s, dir) =>
+      EventOps.slidingRollup(t(s, dir, "events"))
+        .orderBy(col("window_start_us"), col("event_type"))),
     // --- B. dedup suite ---
-    "dedup_exact" -> ((s, dir) => Dedup.exact(t(s, dir, "documents"))),
-    "dedup_keep_best" -> ((s, dir) => Dedup.keepBest(t(s, dir, "documents"))),
-    "dedup_minhash" -> ((s, dir) => Dedup.minhash(t(s, dir, "documents"))),
-    "dedup_minhash_lsh" -> ((s, dir) => Dedup.minhashLshPairs(t(s, dir, "documents"))),
-    "dedup_ngram_jaccard" -> ((s, dir) => Dedup.ngramJaccardPairs(t(s, dir, "documents"),
-      maxShingleDf = Some(Dedup.DefaultMaxShingleDf))),
-    "dedup_simhash" -> ((s, dir) => Dedup.simhash(t(s, dir, "documents"))),
-    "dedup_simhash_pairs" -> ((s, dir) => Dedup.simhashPairs(t(s, dir, "documents"))),
-    "dedup_embedding" -> ((s, dir) => Knn.nearestNeighborDedup(t(s, dir, "embeddings"))),
+    // per-doc dedup ledgers return UNORDERED from the API (r12: no
+    // global sort in a 100 TB flag table); the gate rows sort here
+    "dedup_exact" -> ((s, dir) =>
+      Dedup.exact(t(s, dir, "documents")).orderBy(col("doc_id"))),
+    "dedup_keep_best" -> ((s, dir) =>
+      Dedup.keepBest(t(s, dir, "documents")).orderBy(col("doc_id"))),
+    "dedup_minhash" -> ((s, dir) =>
+      Dedup.minhash(t(s, dir, "documents")).orderBy(col("doc_id"))),
+    "dedup_minhash_lsh" -> ((s, dir) =>
+      Dedup.minhashLshPairs(t(s, dir, "documents")).orderBy(col("a"), col("b"))),
+    "dedup_ngram_jaccard" -> ((s, dir) =>
+      Dedup.ngramJaccardPairs(t(s, dir, "documents"),
+          maxShingleDf = Some(Dedup.DefaultMaxShingleDf))
+        .orderBy(col("a"), col("b"))),
+    "dedup_simhash" -> ((s, dir) =>
+      Dedup.simhash(t(s, dir, "documents")).orderBy(col("doc_id"))),
+    "dedup_simhash_pairs" -> ((s, dir) =>
+      Dedup.simhashPairs(t(s, dir, "documents")).orderBy(col("a"), col("b"))),
+    "dedup_embedding" -> ((s, dir) =>
+      Knn.nearestNeighborDedup(t(s, dir, "embeddings")).orderBy(col("vec_id"))),
     "dedup_embedding_lsh" -> ((s, dir) =>
-      Knn.lshNearDupPairs(t(s, dir, "embeddings"), lshP, threshold = 0.3)),
-    "dedup_clusters" -> ((s, dir) => Dedup.nearDupClusters(t(s, dir, "documents"))),
+      Knn.lshNearDupPairs(t(s, dir, "embeddings"), lshP, threshold = 0.3)
+        .orderBy(col("a"), col("b"))),
+    "dedup_clusters" -> ((s, dir) =>
+      Dedup.nearDupClusters(t(s, dir, "documents")).orderBy(col("doc_id"))),
     "dedup_clusters_keep_best" -> ((s, dir) =>
-      Dedup.nearDupKeepBest(t(s, dir, "documents"))),
+      Dedup.nearDupKeepBest(t(s, dir, "documents")).orderBy(col("doc_id"))),
     "dedup_incremental" -> ((s, dir) => {
       val d = t(s, dir, "documents")
       Dedup.incrementalDedup(
-        d.filter(col("doc_id") % 2 === 0), d.filter(col("doc_id") % 2 === 1))
+          d.filter(col("doc_id") % 2 === 0), d.filter(col("doc_id") % 2 === 1))
+        .orderBy(col("doc_id"))
     }),
     // persisted-signature round trip: corpus fingerprints + minhash
     // bands saved bucketed, reloaded, and served against a batch with
@@ -578,19 +642,23 @@ object SparkEntry {
       Dedup.saveSignatures(corpus, "graft_dedup_sig_rt", path = Some(s"$tmp/tbl"))
       val (fp, bands) = Dedup.loadSignatures(s, "graft_dedup_sig_rt")
       Dedup.incrementalDedupOnSignatures(fp, bands, corpus,
-        d.filter(col("doc_id") % 2 === 1))
+          d.filter(col("doc_id") % 2 === 1))
+        .orderBy(col("doc_id"))
     }),
     "dedup_bloom" -> ((s, dir) => {
       val d = t(s, dir, "documents")
       Dedup.bloomDedup(
-        d.filter(col("doc_id") % 2 === 0), d.filter(col("doc_id") % 2 === 1))
+          d.filter(col("doc_id") % 2 === 0), d.filter(col("doc_id") % 2 === 1))
         .select(col("doc_id"), col("exact_dup"), col("keep"))
+        .orderBy(col("doc_id"))
     }),
-    "pipeline_clean" -> ((s, dir) => graft.ops.Pipeline.cleanCorpus(t(s, dir, "documents"))),
+    "pipeline_clean" -> ((s, dir) =>
+      graft.ops.Pipeline.cleanCorpus(t(s, dir, "documents")).orderBy(col("doc_id"))),
     // FineWeb-style filter stack: four content signals over one cached
     // tokenize pass, combined with per-signal failure reasons
     "pipeline_quality_ensemble" -> ((s, dir) =>
-      graft.ops.Pipeline.qualityEnsemble(t(s, dir, "documents"))),
+      graft.ops.Pipeline.qualityEnsemble(t(s, dir, "documents"))
+        .orderBy(col("doc_id"))),
     "dedup_mllib_minhash" -> ((s, dir) => {
       implicit val sp: SparkSession = s
       graft.ann.MlLsh.minhashNearDupPairs(t(s, dir, "documents"), maxJaccardDistance = 0.5)
@@ -630,6 +698,7 @@ object SparkEntry {
     "semantic_dedup" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
       Knn.semanticDedup(e, e.filter(col("vec_id") < 8), threshold = 0.4)
+        .orderBy(col("vec_id"))
     }),
     "ann_ivf" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
@@ -657,14 +726,16 @@ object SparkEntry {
     }),
     // JL random projection: 64 -> 16 dims, seeded planes, zero state
     "vec_project" -> ((s, dir) =>
-      graft.ann.Project.projectQuery(t(s, dir, "embeddings"))),
+      graft.ann.Project.projectQuery(t(s, dir, "embeddings"))
+        .orderBy(col("vec_id"), col("dim_idx"))),
     // rows-only (float fit, the quality_classifier convention): the
     // data-derived compression lever — one GramMoments corpus pass,
     // driver-side Jacobi, components served as codegen plan literals;
     // orthonormality/eigen-order/variance/planted-axis/independent-
     // power-iteration parity all pinned in PcaSpec
     "vec_pca" -> ((s, dir) =>
-      graft.ann.Pca.query(t(s, dir, "embeddings"), d = 64, k = 8)),
+      graft.ann.Pca.query(t(s, dir, "embeddings"), d = 64, k = 8)
+        .orderBy(col("vec_id"), col("dim_idx"))),
     // compressed candidates, exact rerank: IVF probing in the 16-dim
     // projected space, full-precision cosine only on probed candidates
     "ann_ivf_projected" -> ((s, dir) => {
@@ -696,6 +767,7 @@ object SparkEntry {
     "emb_prototype_prune" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
       graft.ann.Prune.prototypePrune(e, e.filter(col("vec_id") < 8), k = 32)
+        .orderBy(col("vec_id"))
     }),
     // IVF index at rest: cells+embeddings bucketed by cell, reloaded and
     // served with no corpus fetch at serving time; same oracle as ann_ivf
@@ -735,7 +807,8 @@ object SparkEntry {
     "lsh_bucket_stats" -> ((s, dir) =>
       LshIndex.bucketStats(LshIndex.build(t(s, dir, "embeddings"), lshP))),
     "lsh_candidate_pairs" -> ((s, dir) =>
-      LshIndex.candidatePairs(LshIndex.build(t(s, dir, "embeddings"), lshP))),
+      LshIndex.candidatePairs(LshIndex.build(t(s, dir, "embeddings"), lshP))
+        .orderBy(col("a"), col("b"))),
     "lsh_topk" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
       LshIndex.topK(e, e.filter(col("vec_id") < 10), lshP, 10)
@@ -748,7 +821,9 @@ object SparkEntry {
       val e = t(s, dir, "embeddings")
       LshIndex.topPRerank(e, e.filter(col("vec_id") < 10), lshRecallP, topP = 1.0, topK = 5)
     }),
-    "vec_quantize" -> ((s, dir) => graft.ann.Quantize.int8(t(s, dir, "embeddings"))),
+    "vec_quantize" -> ((s, dir) =>
+      graft.ann.Quantize.int8(t(s, dir, "embeddings"))
+        .orderBy(col("vec_id"), col("i"))),
     "ann_quantized" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
       graft.ann.Quantize.quantizedTopK(e, e.filter(col("vec_id") < 10), k = 5, prefilterK = 20)
@@ -924,11 +999,13 @@ object SparkEntry {
     }),
     // --- F. multimodal binary columns ---
     "mm_binary_meta" -> ((s, dir) =>
-      graft.multimodal.Binary.metadataStats(t(s, dir, "documents"))),
+      graft.multimodal.Binary.metadataStats(t(s, dir, "documents"))
+        .orderBy(col("doc_id"))),
     "mm_frame_sample" -> ((s, dir) =>
       graft.multimodal.Binary.frameSample(t(s, dir, "documents"))),
     "mm_sim_fingerprint" -> ((s, dir) =>
-      graft.multimodal.Binary.simFingerprint(t(s, dir, "documents"))),
+      graft.multimodal.Binary.simFingerprint(t(s, dir, "documents"))
+        .orderBy(col("doc_id"))),
     // synth and parse are inverse expression paths (LE encode vs LE
     // read); the oracle recomputes every field from doc_id arithmetic,
     // so a hash match proves the parser reads the real byte layout

@@ -48,7 +48,8 @@ object Knn {
       .select(
         col("q_id").as("vec_id"), col("cand_id").as("nn_id"), col("sim"),
         (col("sim") >= threshold).as("is_dup"))
-      .orderBy(col("vec_id"))
+    // unordered from the API (r12): gate rows sort, production doesn't
+    // pay a global range exchange on a corpus-sized ledger
 
   /** k-NN majority-vote classification over a labeled corpus: each
     * query takes the label with the most votes among its k nearest
@@ -108,7 +109,6 @@ object Knn {
       .select(col("a"), col("b"), col("n_shared_bands"),
         cosine_sim(col("va.embedding"), col("vb.embedding")).as("sim"))
       .filter(col("sim") >= threshold)
-      .orderBy(col("a"), col("b"))
   }
 
   /** Semantic deduplication (SemDeDup, Abbas et al. 2023): partition
@@ -149,7 +149,6 @@ object Knn {
       .select(col("vec_id"), col("cell"),
         coalesce(col("is_dup"), lit(false)).as("is_dup"),
         (!coalesce(col("is_dup"), lit(false))).as("keep"))
-      .orderBy(col("vec_id"))
   }
 
   /** Recall evaluation of an ANN result against an exact baseline —

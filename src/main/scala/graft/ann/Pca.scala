@@ -241,6 +241,5 @@ object Pca {
       .select(col("vec_id"), posexplode(col("projected")).as(Seq("dim_idx", "value")))
       .select(col("vec_id"), col("dim_idx").cast("long").as("dim_idx"),
         col("value"), element_at(ev, col("dim_idx").cast("int") + 1).as("eigenvalue"))
-      .orderBy(col("vec_id"), col("dim_idx"))
   }
 }

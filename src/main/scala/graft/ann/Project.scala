@@ -38,7 +38,6 @@ object Project {
       .select(col("vec_id"), posexplode(project(col("embedding")))
         .as(Seq("dim_idx", "value")))
       .select(col("vec_id"), col("dim_idx").cast("long").as("dim_idx"), col("value"))
-      .orderBy(col("vec_id"), col("dim_idx"))
 
   /** IVF serving with candidate generation in the PROJECTED space and
     * exact rerank in the ORIGINAL space — the standard compressed-

@@ -49,6 +49,5 @@ object Prune {
     asg.join(broadcast(prototypes), Seq("cell", "vec_id"), "left")
       .select(col("vec_id"), col("cell"), col("cent_sim"), col("prune_rank"),
         col("prune_rank").isNotNull.as("pruned"))
-      .orderBy(col("vec_id"))
   }
 }

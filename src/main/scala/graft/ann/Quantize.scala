@@ -34,7 +34,6 @@ object Quantize {
       .select(col("vec_id"), col("i").cast("long").as("i"),
         floor(col("e").cast("double") * col("scale") + lit(0.5)).cast("long").as("q"),
         col("scale"))
-      .orderBy(col("vec_id"), col("i"))
   }
 
   /** Array-form quantization of the L2-NORMALIZED vector:

@@ -95,7 +95,10 @@ object Dedup {
     t.join(g, Seq("fingerprint"))
       .select(col("doc_id"), col("fingerprint"), col("group_size"),
         (col("doc_id") === col("keeper_id")).as("keep"))
-      .orderBy(col("doc_id"))
+    // no trailing sort: a corpus-sized flag table must not pay a
+    // global range exchange in the API path (r12) — gate determinism
+    // is the driver row's orderBy, here and for every per-doc ledger
+    // below
   }
 
   /** Exact dedup keeping the BEST copy, not the first: within each
@@ -131,7 +134,6 @@ object Dedup {
       .select(col("doc_id"), col("fingerprint"), col("quality_score"),
         col("group_size"), col("keeper_id"))
       .withColumn("keep", col("doc_id") === col("keeper_id"))
-      .orderBy(col("doc_id"))
   }
 
   /** MinHash aggregation over a (doc_id, s) shingle table. */
@@ -155,7 +157,7 @@ object Dedup {
     * with map-side partials — the shuffle carries k longs per doc.
     */
   def minhash(docs: DataFrame): DataFrame =
-    minhashOf(shingleSet(docs)).orderBy(col("doc_id"))
+    minhashOf(shingleSet(docs))
 
   /** (doc_id, band, band_hash) — one row per band; band hash combines
     * the band's r minhash values.
@@ -233,7 +235,6 @@ object Dedup {
         col("za.n").as("n_a"), col("zb.n").as("n_b"),
         (col("n_int") / (col("za.n") + col("zb.n") - col("n_int"))).as("jaccard"))
       .filter(col("jaccard") >= minJaccard)
-      .orderBy(col("a"), col("b"))
   }
 
   /** Exact Jaccard for given candidate pairs over a shingle set. The
@@ -258,7 +259,6 @@ object Dedup {
         col("a"), col("b"), col("n_int"),
         col("za.n").as("n_a"), col("zb.n").as("n_b"),
         (col("n_int") / (col("za.n") + col("zb.n") - col("n_int"))).as("jaccard"))
-      .orderBy(col("a"), col("b"))
   }
 
   /** Release the materialized blocks behind a `localCheckpoint`ed
@@ -420,8 +420,7 @@ object Dedup {
         coalesce(col("v"), col("doc_id")).as("cluster_id"))
     materialized(
       labels.select(col("doc_id"), col("cluster_id"),
-        (col("doc_id") === col("cluster_id")).as("keep"))
-        .orderBy(col("doc_id"))) {
+        (col("doc_id") === col("cluster_id")).as("keep"))) {
       releaseCheckpoint(stars)
     }
   }
@@ -472,7 +471,6 @@ object Dedup {
       .select(col("doc_id"), col("cluster_id"), col("quality_score"),
         col("cluster_size"), col("keeper_id"))
       .withColumn("keep", col("doc_id") === col("keeper_id"))
-      .orderBy(col("doc_id"))
   }
 
   /** Exact Jaccard for candidate pairs whose sides come from two
@@ -574,7 +572,6 @@ object Dedup {
         col("best_match"), col("best_jaccard"),
         (!(coalesce(col("exact_dup"), lit(false)) ||
           coalesce(col("near_dup"), lit(false)))).as("keep"))
-      .orderBy(col("doc_id"))
     materialized(out) {
       cand.unpersist(false); shB.unpersist(false); shC.unpersist(false)
       tokB.unpersist(false); releaseCorpus
@@ -739,7 +736,6 @@ object Dedup {
       .select(col("doc_id"), col("bloom_hit"),
         coalesce(col("exact_dup"), lit(false)).as("exact_dup"))
       .withColumn("keep", !col("exact_dup"))
-      .orderBy(col("doc_id"))
     // release the broadcast's executor copies once the output is
     // materialized (unpersist, NOT destroy: the cached result's lineage
     // still references the broadcast, so a destroy would poison task
@@ -775,7 +771,7 @@ object Dedup {
     val h = tok.withColumn("h", hex64(concat(lit("t|"), col("t"))))
     val sums = simhashVoteAggs
     val bits = h.groupBy(col("doc_id")).agg(sums.head, sums.tail: _*)
-    bits.select(col("doc_id"), simhashCombineCol.as("simhash")).orderBy(col("doc_id"))
+    bits.select(col("doc_id"), simhashCombineCol.as("simhash"))
   }
 
   /** SimHash near-dup pairs with Hamming distance ≤ maxHamming,
@@ -797,7 +793,6 @@ object Dedup {
         bit_count(col("x.simhash").bitwiseXOR(col("y.simhash"))).cast("long").as("hamming"))
       .filter(col("hamming") <= maxHamming) // filter before the distinct shuffle
       .distinct()
-      .orderBy(col("a"), col("b"))
     materialized(pairs) { sims.unpersist(false) }
   }
 
@@ -840,7 +835,6 @@ object Dedup {
       .select(col("doc_id"), col("n_shingles"),
         coalesce(col("n_contaminated"), lit(0L)).as("n_contaminated"),
         (coalesce(col("n_contaminated"), lit(0L)) > 0).as("contaminated"))
-      .orderBy(col("doc_id"))
   }
 
   /** FUZZY benchmark decontamination — flag training documents that
@@ -954,7 +948,6 @@ object Dedup {
         when(col("n_tokens") > 0,
           col("dup_tokens").cast("double") / col("n_tokens").cast("double"))
           .otherwise(lit(0.0)))
-      .orderBy(col("doc_id"))
     materialized(out) { grams.unpersist(); t.unpersist() }
   }
 
@@ -982,7 +975,6 @@ object Dedup {
       .select(col("doc_id"), col("n_tokens"),
         size(col("kept")).cast("long").as("n_kept"),
         array_join(col("kept"), " ").as("clean_text"))
-      .orderBy(col("doc_id"))
     materialized(out) { grams.unpersist(); t.unpersist() }
   }
 }

@@ -52,7 +52,8 @@ object EventOps {
         count(lit(1)).as("n_events"),
         min(col("us")).as("start_us"),
         max(col("us")).as("end_us"))
-      .orderBy(col("user_id"), col("session_seq"))
+    // unordered from the API (r12): user/event-grain outputs don't pay
+    // a global range exchange in production — gate rows sort
   }
 
   /** Exact interpolated percentiles of `value` per event type
@@ -203,7 +204,7 @@ object EventOps {
           c = c.when(col(s"step${i}_us").isNotNull, lit(i.toLong))
         c.otherwise(lit(1L)) // step1 is non-null for every funnel row
       }
-    acc.withColumn("stage", stage).orderBy(col("user_id"))
+    acc.withColumn("stage", stage)
   }
 
   /** Per-type z-score anomaly flags — the monitoring primitive: events
@@ -232,7 +233,6 @@ object EventOps {
       .withColumn("z", (col("value_2dp") - col("mean_v")) / col("std_v"))
       .filter(abs(col("z")) > zThreshold)
       .select(col("event_type"), col("event_id"), col("value_2dp"), col("z"))
-      .orderBy(col("event_id"))
   }
 
   /** ROBUST outlier flags: modified z-score on median / MAD instead
@@ -268,7 +268,6 @@ object EventOps {
       .filter(abs(col("robust_z")) > zThreshold)
       .select(col("event_type"), col("event_id"), col("value_2dp"),
         col("median_v"), col("robust_z"))
-      .orderBy(col("event_id"))
   }
 
   /** Cohort retention — the activation/engagement matrix: users are
@@ -342,7 +341,6 @@ object EventOps {
       .agg(sum(col("len")).as("n_active_days"),
         count(lit(1)).as("n_streaks"),
         max(col("len")).as("longest_streak"))
-      .orderBy(col("user_id"))
   }
 
   /** Semi-structured property extraction: pull typed fields out of the
@@ -536,6 +534,5 @@ object EventOps {
       .agg(
         count(lit(1)).as("n_events"),
         sum(dec(col("value"))).cast("double").as("sum_value"))
-      .orderBy(col("window_start_us"), col("event_type"))
   }
 }

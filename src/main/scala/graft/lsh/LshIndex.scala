@@ -150,7 +150,6 @@ object LshIndex {
           col("x.vec_id") < col("y.vec_id"))
       .groupBy(col("x.vec_id").as("a"), col("y.vec_id").as("b"))
       .agg(count(lit(1)).as("n_shared_bands"))
-      .orderBy(col("a"), col("b"))
   }
 
   /** Top-k by band-collision count per query (reference:

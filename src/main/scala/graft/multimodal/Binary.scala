@@ -616,7 +616,6 @@ object Binary {
     fps.join(g, Seq("sim_fingerprint"))
       .select(col("doc_id"), col("n_frames_sampled"), col("sim_fingerprint"),
         col("group_size"), (col("doc_id") === col("keeper_id")).as("keep"))
-      .orderBy(col("doc_id"))
   }
 
   /** BMP (BITMAPINFOHEADER) container codec — the fourth family,
@@ -829,5 +828,4 @@ object Binary {
       .select(
         col("doc_id"), col("media_type"), col("n_bytes"),
         GraftFunctions.hex64(col("payload").cast("string")).as("content_hash"))
-      .orderBy(col("doc_id"))
 }

@@ -99,7 +99,6 @@ object Packing {
       .select(col("doc_id"), col("source"), col("n_tokens"),
         expr(s"cum_before div $budget").as("bin_id"),
         (col("cum_before") % budget).as("bin_offset"))
-      .orderBy(col("source"), col("doc_id"))
     Caching.materialized(out) { ranged.unpersist(false) }
   }
 }

@@ -43,8 +43,7 @@ object Pipeline {
         .select(col("doc_id"), col("quality_score"), col("exact_keep"),
           col("cluster_id"), col("cluster_keep"),
           (col("quality_score") >= minQuality && col("exact_keep") && col("cluster_keep"))
-            .as("keep"))
-        .orderBy(col("doc_id"))) {
+            .as("keep"))) {
       clRaw.unpersist(false); toked.unpersist(false)
     }
   }
@@ -85,8 +84,7 @@ object Pipeline {
           col("entropy_bits"), col("dup_bigram_frac"),
           failQ.as("fail_quality"), (!col("gopher_pass")).as("fail_gopher"),
           failE.as("fail_entropy"), failR.as("fail_repetition"),
-          (col("gopher_pass") && !failQ && !failE && !failR).as("keep"))
-        .orderBy(col("doc_id"))) {
+          (col("gopher_pass") && !failQ && !failE && !failR).as("keep"))) {
       toked.unpersist(false)
     }
   }
@@ -156,6 +154,5 @@ object Pipeline {
           .when(col("old_fp") === col("new_fp"), "unchanged")
           .otherwise("changed").as("status"),
         col("old_fp"), col("new_fp"))
-      .orderBy(col("doc_id"))
   }
 }

@@ -51,7 +51,6 @@ object Relational {
       .groupBy(col("o_orderkey"), col("o_orderpriority"))
       .agg(sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount")))).cast("double")
         .as("revenue"))
-      .orderBy(col("o_orderkey"))
   }
 
   /** Six-way dim-chain join (TPC-H Q5 flavor): revenue by supplier
@@ -116,7 +115,6 @@ object Relational {
           .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
           .cast("double").as("running_spend"),
         row_number().over(w).cast("long").as("order_seq"))
-      .orderBy(col("o_custkey"), col("o_orderkey"))
   }
 
   /** Market-basket co-occurrence: the `k` part pairs most often

@@ -291,7 +291,6 @@ object Bpe {
       .withColumn("bpe_per_word",
         when(col("n_words") > 0,
           col("n_bpe_tokens").cast("double") / col("n_words").cast("double")))
-      .orderBy(col("doc_id"))
 
   /** Persist a learned merge list as a (rank, a, b) table with the
     * merge count in TBLPROPERTIES — the model-at-rest layout shared

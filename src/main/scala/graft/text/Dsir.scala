@@ -160,7 +160,6 @@ object Dsir {
       .select(col("doc_id"), col("source"), col("lang"), col("n_feat"),
         col("weight_fp"), col("score_fp"), col("sel_rank"),
         col("sel_rank").isNotNull.as("selected"))
-      .orderBy(col("doc_id"))
   }
 
   /** Persist a fitted llr table with its hashing parameters in

@@ -224,7 +224,6 @@ object LangClassifier {
       .join(planted.select(col("doc_id"), col("lang_true")), Seq("doc_id"))
       .select(col("doc_id"), col("lang_true"), col("heuristic_lang"),
         col("pred_lang"), (col("pred_lang") === col("lang_true")).as("correct"))
-      .orderBy(col("doc_id"))
     graft.ops.Caching.materialized(out) { planted.unpersist(false) }
   }
 
@@ -247,7 +246,6 @@ object LangClassifier {
       .join(planted.select(col("doc_id"), col("lang_true")), Seq("doc_id"))
       .select(col("doc_id"), col("lang_true"), col("pred_lang"),
         (col("pred_lang") === col("lang_true")).as("correct"))
-      .orderBy(col("doc_id"))
     graft.ops.Caching.materialized(out) { planted.unpersist(false) }
   }
 }

@@ -150,7 +150,6 @@ object QualityClassifier {
       .select(col("doc_id"),
         (lit(1.0) / (lit(1.0) + exp(-z))).as("quality_prob"))
       .withColumn("quality_pred", (col("quality_prob") >= 0.5).cast("int"))
-      .orderBy(col("doc_id"))
   }
 
   /** Score every doc from raw text. */
@@ -207,7 +206,6 @@ object QualityClassifier {
       sampleFrac = sampleFrac)
     val out = scoreFeatures(feats, model).join(labels, Seq("doc_id"))
       .select(col("doc_id"), col("label"), col("quality_prob"), col("quality_pred"))
-      .orderBy(col("doc_id"))
     graft.ops.Caching.materialized(out) {
       feats.unpersist(false); labels.unpersist(false)
     }

@@ -57,7 +57,9 @@ object TextAnalysis {
         size(array_distinct(col("toks"))).cast("long").as("n_unique"),
         size(regexp_extract_all(lower(col("text")), lit(SubwordPattern), lit(0)))
           .cast("long").as("n_subword"))
-      .orderBy(col("doc_id"))
+    // per-doc signal tables return UNORDERED from the API (r12: no
+    // global range exchange in a 100 TB flag/signal path); the gate
+    // rows sort — the convention for every per-doc operator here
 
   /** Deterministic multilingual tails for the Unicode-tokenization
     * gate row (`text_tokens_unicode`): the ASCII testdata cannot
@@ -96,7 +98,6 @@ object TextAnalysis {
       .select(col("doc_id"),
         posexplode(GraftFunctions.tokens(col("mtext"))).as(Seq("pos", "tok")))
       .select(col("doc_id"), col("pos").cast("long").as("pos"), col("tok"))
-      .orderBy(col("doc_id"), col("pos"))
   }
 
   /** Quality metrics: char/token counts, mean token length, punctuation
@@ -115,7 +116,6 @@ object TextAnalysis {
       when(col("n_chars") > 0, col("n_punct") / col("n_chars")).as("punct_ratio"),
       when(col("n_tokens") > 0, col("n_stop") / col("n_tokens")).as("stop_ratio"),
       qualityScore.as("quality_score"))
-      .orderBy(col("doc_id"))
   }
 
   /** The composite quality score over precomputed n_tokens/n_chars/
@@ -150,7 +150,6 @@ object TextAnalysis {
       .withColumn("q_rank", row_number().over(ord).cast("long"))
       .withColumn("n_source", count(lit(1)).over(part).cast("long"))
       .withColumn("keep", col("q_rank") * keepDen <= col("n_source") * keepNum)
-      .orderBy(col("doc_id"))
   }
 
   /** Character-level Shannon entropy per document — the
@@ -196,7 +195,6 @@ object TextAnalysis {
         lit(206.835) -
           lit(1.015) * (col("n_words").cast("double") / col("n_sentences")) -
           lit(84.6) * (col("n_syllables").cast("double") / col("n_words")))
-      .orderBy(col("doc_id"))
   }
 
   def charEntropy(docs: DataFrame): DataFrame =
@@ -206,7 +204,6 @@ object TextAnalysis {
       .select(col("doc_id"), col("st.n_chars").as("n_chars"),
         col("st.n_distinct").as("n_distinct"),
         col("st.entropy_bits").as("entropy_bits"))
-      .orderBy(col("doc_id"))
 
   /** Compressibility quality signal: raw-DEFLATE size of the document
     * next to its byte length, ratio = deflated/raw. Repetitive,
@@ -225,7 +222,6 @@ object TextAnalysis {
       GraftFunctions.deflate_size(col("text")).as("deflate_bytes"))
       .withColumn("compress_ratio",
         when(col("n_bytes") > 0, col("deflate_bytes") / col("n_bytes")))
-      .orderBy(col("doc_id"))
 
   /** The (doc_id, source, quality_score) projection shared by
     * [[qualityFilter]] and [[qualityFilterSketch]] — one scoring
@@ -264,7 +260,6 @@ object TextAnalysis {
       .withColumn("keep", col("quality_score") >= col("q_threshold"))
       .select(col("doc_id"), col("source"), col("quality_score"),
         col("q_threshold"), col("keep"))
-      .orderBy(col("doc_id"))
   }
 
   /** Gopher-style document-quality rules (Rae et al. 2021, "Scaling
@@ -321,7 +316,6 @@ object TextAnalysis {
         coalesce(ellipsisRatio, lit(0.0)) <= 0.3 &&
         alphaRatio >= 0.8 &&
         col("n_stop") >= 2).as("gopher_pass"))
-      .orderBy(col("doc_id"))
   }
 
   /** Stopword-profile language ID: count marker hits per language,
@@ -344,7 +338,6 @@ object TextAnalysis {
     t.select(
       (col("doc_id") +: langMarkers.map { case (l, _) => col(s"s_$l") }) :+
         when(anyHit, pred).otherwise(lit("und")).as("pred_lang"): _*)
-      .orderBy(col("doc_id"))
   }
 
   /** Winnowing fingerprints (Schleimer, Wilkerson & Aiken,
@@ -373,7 +366,6 @@ object TextAnalysis {
       .select(col("doc_id"), fps.as("fps"))
       .filter(size(col("fps")) > 0)
       .select(col("doc_id"), explode(col("fps")).as("fingerprint"))
-      .orderBy(col("doc_id"), col("fingerprint"))
   }
 
   /** Fixed query-term set shared with the oracle generator so both
@@ -426,7 +418,6 @@ object TextAnalysis {
     }
     scored
       .select(col("doc_id"), col("dl"), termScores.reduce(_ + _).as("bm25"))
-      .orderBy(col("doc_id"))
   }
 
   /** Partial-duplication (containment) detection over winnowing
@@ -467,7 +458,6 @@ object TextAnalysis {
         col("za.n").as("n_a"), col("zb.n").as("n_b"),
         (col("n_shared") / least(col("za.n"), col("zb.n"))).as("containment"))
       .filter(col("containment") >= minContainment)
-      .orderBy(col("a"), col("b"))
     graft.ops.Caching.materialized(out)(fp.unpersist(false))
   }
 
@@ -511,7 +501,6 @@ object TextAnalysis {
       .select(col("a"), col("b"), col("co_df"), col("df_a"), col("df_b"),
         GraftFunctions.det_ln((col("co_df").cast("double") * col("n_docs")) /
           (col("df_a").cast("double") * col("df_b"))).as("pmi"))
-      .orderBy(col("a"), col("b"))
     graft.ops.Caching.materialized(out) {
       vocab.unpersist(false); docTokens.unpersist(false)
     }
@@ -664,7 +653,6 @@ object TextAnalysis {
     val norms = w.groupBy(col("doc_id")).agg(sqrt(sum(col("w") * col("w"))).as("nrm"))
     w.join(norms, Seq("doc_id"))
       .select(col("doc_id"), col("dim"), col("w"), (col("w") / col("nrm")).as("weight"))
-      .orderBy(col("doc_id"), col("dim"))
   }
 
   /** Dense normalized vectors from [[hashEmbed]]: (doc_id, embedding
@@ -791,7 +779,6 @@ object TextAnalysis {
         aggregate(transform(col("ps"), p => p.getField("logp")),
           lit(0.0), (acc, x) => acc + x).as("sum_logp"))
       .withColumn("avg_logp", col("sum_logp") / col("n_bigrams"))
-      .orderBy(col("doc_id"))
   }
 
   /** Persist a fitted bigram LM at rest: the bigram count table
@@ -936,7 +923,6 @@ object TextAnalysis {
       length(col("raw")).cast("long").as("n_chars_raw"),
       length(n).cast("long").as("n_chars_nfc"),
       n.as("nfc_text"))
-      .orderBy(d)
   }
 
   /** Positional PHRASE search — the exact-sequence query the
@@ -1376,7 +1362,6 @@ object TextAnalysis {
       .select(col("doc_id"), col("chunk_idx"), col("chunk_start"),
         length(col("chunk")).cast("long").as("n_chunk_chars"),
         GraftFunctions.hex64(col("chunk")).as("chunk_hash"))
-      .orderBy(col("doc_id"), col("chunk_idx"))
 
   /** WITHIN-document repetition signals (Rae et al. 2021 §A1.2's
     * repetition filters, token-2-gram form): the duplicate-bigram
@@ -1398,7 +1383,6 @@ object TextAnalysis {
         col("top_bigram_count"),
         (lit(1.0) - col("n_distinct_bigrams") / col("n_bigrams")).as("dup_bigram_frac"),
         (col("top_bigram_count") / col("n_bigrams")).as("top_bigram_frac"))
-      .orderBy(col("doc_id"))
   }
 
   /** Duplicate-chunk fraction per document — the "duplicate text
@@ -1420,7 +1404,6 @@ object TextAnalysis {
         sum(when(col("n_docs_with") > 1, 1L).otherwise(0L)).as("n_dup_chunks"))
       .select(col("doc_id"), col("n_chunks"), col("n_dup_chunks"),
         (col("n_dup_chunks") / col("n_chunks")).as("dup_chunk_ratio"))
-      .orderBy(col("doc_id"))
   }
 
   /** Chunk-level exact deduplication — the storage-shaping step of a
@@ -1457,7 +1440,6 @@ object TextAnalysis {
         sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
         sum(col("n_chunk_chars")).as("chars_total"),
         sum(when(col("kept"), col("n_chunk_chars")).otherwise(0L)).as("chars_kept"))
-      .orderBy(col("doc_id"))
   }
 
   /** Packing modulus for (doc_id, chunk_idx) → long in [[chunksDedup]];
@@ -1475,5 +1457,4 @@ object TextAnalysis {
         col("doc_id"),
         GraftFunctions.hex64(array_join(col("toks"), " ")).as("fingerprint"),
         (size(col("toks")) / lit(10)).cast("long").as("len_band"))
-      .orderBy(col("doc_id"))
 }

@@ -128,6 +128,5 @@ object Topics {
       .groupBy(col("doc_id"))
       .agg(max(struct(col("sim"), (-col("c_id")).as("neg"), col("c_id"))).as("m"))
       .select(col("doc_id"), col("m.c_id").as("cluster"), col("m.sim").as("sim"))
-      .orderBy(col("doc_id"))
   }
 }
