@@ -135,7 +135,7 @@ object OracleSql {
     s"""WITH t AS (SELECT doc_id, lower(text) AS txt, $Toks AS toks FROM documents),
        |m AS (SELECT doc_id, length(txt)::BIGINT AS n_chars, len(toks)::BIGINT AS n_tokens,
        |  list_aggregate(list_transform(toks, x -> length(x)), 'sum') AS sum_len,
-       |  length(regexp_replace(txt, '[a-z0-9 ]', '', 'g'))::BIGINT AS n_punct,
+       |  length(regexp_replace(txt, '${graft.text.TextAnalysis.PunctKeepClass}', '', 'g'))::BIGINT AS n_punct,
        |  ${hits(TextAnalysis.stopwords)} AS n_stop
        |FROM t)
        |SELECT doc_id, n_chars, n_tokens,
@@ -155,7 +155,7 @@ object OracleSql {
     s"""WITH t AS (SELECT doc_id, source, lower(text) AS txt, $Toks AS toks FROM documents),
        |m AS (SELECT doc_id, source, length(txt)::BIGINT AS n_chars,
        |  len(toks)::BIGINT AS n_tokens,
-       |  length(regexp_replace(txt, '[a-z0-9 ]', '', 'g'))::BIGINT AS n_punct
+       |  length(regexp_replace(txt, '${graft.text.TextAnalysis.PunctKeepClass}', '', 'g'))::BIGINT AS n_punct
        |FROM t),
        |q AS (SELECT doc_id, source,
        |  CASE WHEN n_tokens > 0 THEN (least(n_tokens, 100) / 100.0) *
@@ -444,7 +444,7 @@ object OracleSql {
        |  (length(text) - length(replace(text, '#', '')))::BIGINT AS n_hash,
        |  ((length(text) - length(replace(text, '...', ''))) // 3
        |    + (length(text) - length(replace(text, '…', ''))))::BIGINT AS n_ellipsis,
-       |  len(list_filter(toks, x -> regexp_matches(x, '[a-z]')))::BIGINT AS n_alpha_words,
+       |  len(list_filter(toks, x -> regexp_matches(x, '${graft.text.TextAnalysis.AlphaTokenClass}')))::BIGINT AS n_alpha_words,
        |  ${hits(TextAnalysis.stopwords)} AS n_stop,
        |  string_split(text, chr(10)) AS lines
        |  FROM t),
@@ -3116,7 +3116,7 @@ object OracleSql {
        |m AS (SELECT doc_id,
        |  ${hex64("array_to_string(toks,' ')")} AS fingerprint,
        |  length(txt)::BIGINT AS n_chars, len(toks)::BIGINT AS n_tokens,
-       |  length(regexp_replace(txt, '[a-z0-9 ]', '', 'g'))::BIGINT AS n_punct
+       |  length(regexp_replace(txt, '${graft.text.TextAnalysis.PunctKeepClass}', '', 'g'))::BIGINT AS n_punct
        |  FROM t),
        |q AS (SELECT doc_id, fingerprint,
        |  CASE WHEN n_tokens > 0 THEN (least(n_tokens, 100) / 100.0) *

@@ -121,7 +121,8 @@ object Dedup {
     val t = withToks(docs)
       .withColumn("n_chars", length(lower(col("text"))).cast("long"))
       .withColumn("n_tokens", size(col("toks")).cast("long"))
-      .withColumn("n_punct", length(regexp_replace(lower(col("text")), "[a-z0-9 ]", "")))
+      .withColumn("n_punct", length(regexp_replace(lower(col("text")),
+        graft.text.TextAnalysis.PunctKeepClass, "")))
       .withColumn("fingerprint", hex64(array_join(col("toks"), " ")))
       .select(col("doc_id"), col("fingerprint"),
         graft.text.TextAnalysis.qualityScore.as("quality_score"))

@@ -44,9 +44,24 @@ object TextAnalysis {
     size(filter(toksCol, t => t.isin(words.map(lit(_)): _*))).cast("long")
 
   /** BPE-flavored subword pre-tokenization pattern: letter runs, digit
-    * runs, individual punctuation marks (portable across RE2/Java).
+    * runs, individual punctuation marks — Unicode classes, spelled
+    * identically in Java regex and RE2 so the oracle interpolates the
+    * SAME string (r12: the ASCII classes scored every non-Latin letter
+    * as punctuation).
     */
-  val SubwordPattern = "[a-z]+|[0-9]+|[^a-z0-9 ]"
+  val SubwordPattern = "\\p{L}+|\\p{N}+|[^\\p{L}\\p{N} ]"
+
+  /** Characters that do NOT count as punctuation in the punct-ratio
+    * quality signals (letters, digits, space) — Unicode classes,
+    * Java/RE2-identical, shared with the DuckDB mirrors.
+    */
+  val PunctKeepClass = "[\\p{L}\\p{N} ]"
+
+  /** A token counts as a WORD (not a number/punct glyph) if it has a
+    * letter — Unicode class, Java/RE2-identical (Gopher alpha-word
+    * rule).
+    */
+  val AlphaTokenClass = "\\p{L}"
 
   /** Token, unique-token, and BPE-ish subword counts per document. */
   def tokenStats(docs: DataFrame): DataFrame =
@@ -108,7 +123,8 @@ object TextAnalysis {
       .withColumn("n_chars", length(lower(col("text"))).cast("long"))
       .withColumn("n_tokens", size(col("toks")).cast("long"))
       .withColumn("sum_len", aggregate(col("toks"), lit(0), (acc, t) => acc + length(t)))
-      .withColumn("n_punct", length(regexp_replace(lower(col("text")), "[a-z0-9 ]", "")))
+      .withColumn("n_punct",
+        length(regexp_replace(lower(col("text")), PunctKeepClass, "")))
       .withColumn("n_stop", hits(col("toks"), stopwords))
     base.select(
       col("doc_id"), col("n_chars"), col("n_tokens"),
@@ -231,7 +247,8 @@ object TextAnalysis {
     withToks(docs)
       .withColumn("n_chars", length(lower(col("text"))).cast("long"))
       .withColumn("n_tokens", size(col("toks")).cast("long"))
-      .withColumn("n_punct", length(regexp_replace(lower(col("text")), "[a-z0-9 ]", "")))
+      .withColumn("n_punct",
+        length(regexp_replace(lower(col("text")), PunctKeepClass, "")))
       .select(col("doc_id"), col("source"), qualityScore.as("quality_score"))
 
   /** Sketch-threshold quality pruning — the 100 TB tier of
@@ -288,7 +305,7 @@ object TextAnalysis {
         ((length(col("text")) - length(regexp_replace(col("text"), "\\.\\.\\.", ""))) / 3
           + (length(col("text")) - length(regexp_replace(col("text"), "…", "")))).cast("long"))
       .withColumn("n_alpha_words",
-        size(filter(col("toks"), t => t.rlike("[a-z]"))).cast("long"))
+        size(filter(col("toks"), t => t.rlike(AlphaTokenClass))).cast("long"))
       .withColumn("n_stop", hits(col("toks"), stopwords))
       .withColumn("lines", split(col("text"), "\n"))
       .withColumn("n_lines", size(col("lines")).cast("long"))

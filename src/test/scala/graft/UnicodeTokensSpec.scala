@@ -116,6 +116,23 @@ class UnicodeTokensSpec extends SparkSpec {
     assert(out(3L) === false, "CJK blocked codepoints must fire")
   }
 
+  test("quality/Gopher signals count non-Latin letters as letters, not punctuation") {
+    val docs = Seq(
+      (1L, "это хороший длинный русский текст без знаков препинания"),
+      (2L, "這是 一段 沒有 標點 的 中文")).toDF("doc_id", "text")
+    val q = graft.text.TextAnalysis.quality(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("punct_ratio")).toMap
+    // under the old [a-z0-9 ] class EVERY one of these letters counted
+    // as punctuation (ratio ~1.0) and the docs scored as garbage
+    assert(q(1L) === 0.0, s"Cyrillic text must have zero punct ratio: $q")
+    assert(q(2L) === 0.0, s"CJK text must have zero punct ratio: $q")
+    val g = graft.text.TextAnalysis.gopherQuality(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        r.getAs[Double]("alpha_word_ratio")).toMap
+    assert(g(1L) === 1.0, s"every Cyrillic token is an alpha word: $g")
+    assert(g(2L) === 1.0, s"every CJK token is an alpha word: $g")
+  }
+
   test("kernel lowercase = simple per-codepoint mapping (the cross-engine contract)") {
     // Character.toLowerCase (simple UnicodeData mapping) — NOT
     // String.toLowerCase (contextual): final ΑΣ would contextually
