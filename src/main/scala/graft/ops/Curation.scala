@@ -147,9 +147,9 @@ object Curation {
     * `*.y` counts as len(y)+1 labels), else the default rule `*`
     * (the final label). Rules ride the plan as array literals — a
     * pure per-row projection, zero joins and zero shuffles (the
-    * [[blocklistTerms]] discipline) at the snapshot's size; a full
-    * 10k-entry production list should move to a hosts-grain broadcast
-    * join (the [[dropBlocklisted]] large-tier shape).
+    * [[blocklistTerms]] discipline) — right at the snapshot's size; a
+    * full 10k-entry production list dispatches to the hosts-grain
+    * broadcast equi-join tier instead ([[pslDomainsJoined]]).
     */
   private def pslSuffixLabels(host: Column,
       suffixes: Seq[String]): Column = {
@@ -172,37 +172,114 @@ object Curation {
     coalesce(excLabels, matchLabels, lit(1))
   }
 
+  /** Registered domain of `host` given its public-suffix label count
+    * `ps` (null when the host IS a public suffix or is null). */
+  private def domainFromPs(host: Column, ps: Column): Column = {
+    val ls = split(host, "\\.")
+    val n = size(ls)
+    when(host.isNull || n <= ps, lit(null).cast("string"))
+      .otherwise(array_join(slice(ls, n - ps, ps + 1), "."))
+  }
+
+  /** Public suffix string of `host` given its suffix label count. */
+  private def suffixFromPs(host: Column, ps: Column): Column =
+    when(host.isNull, lit(null).cast("string"))
+      .otherwise(array_join(
+        slice(split(host, "\\."), size(split(host, "\\.")) - ps + 1, ps), "."))
+
   /** PSL-backed registered domain of a host (null when the host IS a
     * public suffix or is null) — the production replacement for the
     * 2-label `domain` rule; see [[PublicSuffixes]].
     */
   def registeredDomainPsl(host: Column,
-      suffixes: Seq[String] = PublicSuffixes): Column = {
-    val ls = split(host, "\\.")
-    val n = size(ls)
-    val ps = pslSuffixLabels(host, suffixes)
-    when(host.isNull || n <= ps, lit(null).cast("string"))
-      .otherwise(array_join(slice(ls, n - ps, ps + 1), "."))
-  }
+      suffixes: Seq[String] = PublicSuffixes): Column =
+    domainFromPs(host, pslSuffixLabels(host, suffixes))
 
   /** The public suffix string itself (monitoring / join key). */
   def publicSuffixPsl(host: Column,
-      suffixes: Seq[String] = PublicSuffixes): Column = {
-    val ls = split(host, "\\.")
-    val n = size(ls)
-    val ps = pslSuffixLabels(host, suffixes)
-    when(host.isNull, lit(null).cast("string"))
-      .otherwise(array_join(slice(ls, n - ps + 1, ps), "."))
+      suffixes: Seq[String] = PublicSuffixes): Column =
+    suffixFromPs(host, pslSuffixLabels(host, suffixes))
+
+  /** PSL decision at the HOSTS grain via broadcast equi-join — the
+    * large-list tier of [[pslSuffixLabels]] (the full ~10k-entry
+    * production PSL): the literal-array HOF is O(labels × |rules|)
+    * per row and a 10⁴-literal plan array defeats codegen, so here
+    * the distinct hosts explode into their ≤k label suffixes and
+    * hash-join a parsed RULES frame instead (O(|hosts| × labels)
+    * probes — the [[dropBlocklisted]] large-tier shape). Rule
+    * parsing: a normal rule keys on itself and consumes its own label
+    * count; a wildcard `*.y` keys on `y` and consumes one label MORE
+    * (valid only when the host has that label — `ck` alone matches no
+    * `*.ck`); an exception `!x.y` keys on `x.y` and consumes one
+    * label FEWER (the rule minus its leftmost label). Exception
+    * prevails, else the longest match, else the PSL default rule `*`
+    * (ps = 1) — byte-identical to the HOF tier (spec-asserted).
+    *
+    * Input: any frame with a `host` column (nulls dropped); output:
+    * one row per distinct host — (host, public_suffix, domain_psl) —
+    * for the caller to join back.
+    */
+  def pslDomainsJoined(hosts: DataFrame,
+      suffixes: Seq[String] = PublicSuffixes): DataFrame = {
+    val spark = hosts.sparkSession
+    import spark.implicits._
+    def nLabels(s: String): Int = s.split("\\.").length
+    val rules = Broadcasting.maybeBroadcast(
+      suffixes.map { s =>
+        if (s.startsWith("!")) { val k = s.drop(1); (k, nLabels(k) - 1, true, false) }
+        else if (s.startsWith("*.")) { val k = s.drop(2); (k, nLabels(k) + 1, false, true) }
+        else (s, nLabels(s), false, false)
+      }.toDF("__rule_key", "__rule_ps", "__rule_exc", "__rule_wild"),
+      force = Some(true))
+    val hs = hosts.select(col("host"))
+      .where(col("host").isNotNull).distinct()
+    val labels = split(col("host"), "\\.")
+    val cands = hs.select(col("host"), size(labels).as("__n"),
+      explode(transform(sequence(lit(0), size(labels) - 1), i =>
+        array_join(slice(labels, i + 1, size(labels) - i), "."))).as("__sfx"))
+    val decided = cands.join(rules, col("__sfx") === col("__rule_key"))
+      .where(!col("__rule_wild") || col("__n") >= col("__rule_ps"))
+      .groupBy(col("host"))
+      .agg(max(when(col("__rule_exc"), col("__rule_ps"))).as("__exc_ps"),
+        max(when(!col("__rule_exc"), col("__rule_ps"))).as("__match_ps"))
+      .select(col("host"),
+        coalesce(col("__exc_ps"), col("__match_ps")).as("__ps"))
+    hs.join(decided, Seq("host"), "left")
+      .select(col("host"), coalesce(col("__ps"), lit(1)).as("__ps"))
+      .select(col("host"),
+        suffixFromPs(col("host"), col("__ps")).as("public_suffix"),
+        domainFromPs(col("host"), col("__ps")).as("domain_psl"))
+  }
+
+  /** [[withUrlPartsPsl]]'s large-list tier: PSL columns via the
+    * hosts-grain broadcast equi-join ([[pslDomainsJoined]]) joined
+    * back onto the corpus on host equality (broadcast when the
+    * hosts-grain fits, shuffle hash-join otherwise — never a nested
+    * loop). Same output schema and values as the HOF tier.
+    */
+  def withUrlPartsPslJoined(df: DataFrame, url: Column,
+      suffixes: Seq[String] = PublicSuffixes): DataFrame = {
+    val parsed = withUrlParts(df, url)
+    val grain = pslDomainsJoined(parsed.select(col("host")), suffixes)
+    parsed.join(Broadcasting.maybeBroadcast(grain), Seq("host"), "left")
+      .select(parsed.columns.map(col) ++
+        Seq(col("public_suffix"), col("domain_psl")): _*)
   }
 
   /** [[withUrlParts]] plus the PSL columns: `public_suffix` and
     * `domain_psl` (the registered domain quota/split/blocklist
     * operators should key on for real crawl data — they are agnostic
-    * to which domain column they get).
+    * to which domain column they get). Two tiers, same semantics (the
+    * [[dropBlocklisted]] discipline): rule lists up to
+    * `literalMaxEntries` ride the plan as array literals (pure
+    * per-row projection, zero shuffle); larger lists dispatch to the
+    * hosts-grain equi-join ([[withUrlPartsPslJoined]]).
     */
   def withUrlPartsPsl(df: DataFrame, url: Column,
-      suffixes: Seq[String] = PublicSuffixes): DataFrame =
-    withUrlParts(df, url)
+      suffixes: Seq[String] = PublicSuffixes,
+      literalMaxEntries: Int = 4096): DataFrame =
+    if (suffixes.size > literalMaxEntries) withUrlPartsPslJoined(df, url, suffixes)
+    else withUrlParts(df, url)
       .withColumn("public_suffix", publicSuffixPsl(col("host"), suffixes))
       .withColumn("domain_psl", registeredDomainPsl(col("host"), suffixes))
 

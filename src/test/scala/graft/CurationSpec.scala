@@ -137,6 +137,55 @@ class CurationSpec extends SparkSpec {
     assert(got(14L) === (None, None))
   }
 
+  test("PSL join tier: host-for-host identical to the HOF tier; dispatcher; no nested loop") {
+    // every rule class + the corner hosts the HOF tier pins: wildcard
+    // needing its filler label (bare `ck`), exception-under-wildcard,
+    // bare suffix, single label, empty string, null
+    val hosts = Seq(
+      (1L, "www.bbc.co.uk"), (2L, "bbc.co.uk"), (3L, "co.uk"),
+      (4L, "example.com"), (5L, "deep.sub.example.com"),
+      (6L, "user1.github.io"), (7L, "foo.bar.ck"), (8L, "bar.ck"),
+      (9L, "ck"), (10L, "www.ck"), (11L, "sub.www.ck"),
+      (12L, "city.kawasaki.jp"), (13L, "x.pref.kawasaki.jp"),
+      (14L, "localhost"), (15L, ""), (16L, null: String))
+      .toDF("doc_id", "host")
+    def key(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("host"), col("public_suffix"), col("domain_psl"))
+      .collect()
+      .map(r => Option(r.getString(0)) ->
+        (Option(r.getString(1)), Option(r.getString(2)))).toMap
+    val hof = key(hosts
+      .withColumn("public_suffix", Curation.publicSuffixPsl(col("host")))
+      .withColumn("domain_psl", Curation.registeredDomainPsl(col("host"))))
+    val joined = Curation.pslDomainsJoined(hosts)
+    val got = key(joined)
+    for ((h, expect) <- hof if h.isDefined)
+      assert(got(h) === expect, s"join tier drifted on host=$h")
+    assert(got.size === hof.size - 1, "join tier is hosts-grain, nulls dropped")
+    // spot-pin the decisive corners against ABSOLUTE values too
+    assert(got(Some("ck")) === (Some("ck"), None),
+      "bare `ck` must NOT match *.ck (the wildcard needs its label)")
+    assert(got(Some("sub.www.ck")) === (Some("ck"), Some("www.ck")),
+      "exception prevails over the longer wildcard match")
+    // plan contract: equi-joins only
+    val phys = joined.queryExecution.executedPlan.toString
+    assert(!phys.contains("BroadcastNestedLoopJoin"),
+      s"PSL join tier routes through a nested loop:\n$phys")
+    // dispatcher: an over-threshold rule list routes to the join tier
+    // and the full-corpus face keeps the HOF schema and values
+    val bigRules = Curation.PublicSuffixes ++
+      (0 until 5000).map(i => s"pad$i.example")
+    val docs = Seq((1L, "https://news.bbc.co.uk/a"), (2L, "https://x.ck/b"))
+      .toDF("doc_id", "url")
+    val viaDispatch = Curation.withUrlPartsPsl(docs, col("url"), bigRules)
+    val viaHof = Curation.withUrlPartsPsl(docs, col("url"))
+    assert(viaDispatch.columns.toSeq === viaHof.columns.toSeq)
+    val dd = viaDispatch.select(col("doc_id"), col("domain_psl"), col("public_suffix"))
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getString(2))).toMap
+    assert(dd(1L) === ("bbc.co.uk", "co.uk"))
+    assert(dd(2L) === (null, "x.ck"))
+  }
+
   test("domainStats: counts, host cardinality, quota utilization") {
     val pages = Seq(
       (1L, "a.com", "www.a.com"), (2L, "a.com", "a.com"), (3L, "a.com", "www.a.com"),
