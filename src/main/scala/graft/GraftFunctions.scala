@@ -124,6 +124,16 @@ object GraftFunctions {
     GraftColumnBridge.column(
       graft.expressions.UnicodeTokens(GraftColumnBridge.expression(s)))
 
+  /** Unicode script histogram of a string — one native pass per row
+    * ([[graft.expressions.ScriptCounts]]): index 0 is the `\p{L}`
+    * letter total, 1..11 the codepoint counts for the fixed tracked
+    * scripts ([[graft.expressions.ScriptCounts.Names]]). The routing
+    * signal a multilingual crawl computes before langid.
+    */
+  def scriptCounts(s: Column): Column =
+    GraftColumnBridge.column(
+      graft.expressions.ScriptCounts(GraftColumnBridge.expression(s)))
+
   /** w-shingles (word n-grams joined with a single space); native
     * single-pass expression ([[graft.expressions.WordShingles]]).
     * distinct=false keeps the full positional sequence (winnowing).
@@ -164,6 +174,8 @@ object GraftFunctions {
       es => graft.expressions.NfcNormalize(es.head), "scala_udf")
     reg.createOrReplaceTempFunction("unicode_tokens",
       es => graft.expressions.UnicodeTokens(es.head), "scala_udf")
+    reg.createOrReplaceTempFunction("script_counts",
+      es => graft.expressions.ScriptCounts(es.head), "scala_udf")
     reg.createOrReplaceTempFunction("det_ln",
       es => DetLnExpr(es.head), "scala_udf")
     reg.createOrReplaceTempFunction("gaussian_project",

@@ -487,6 +487,40 @@ object OracleSql {
        |FROM s ORDER BY doc_id""".stripMargin
   }
 
+  /** Unicode script profile (mirror of
+    * TextAnalysis.scriptProfileMultilingual): the SAME script tails
+    * and tracked-script list ride into both engines from one Scala
+    * constant each; every count is a RE2 script-class match count
+    * (`\p{Latin}`… — script property alone, exactly the kernel's
+    * semantics), the dominant script the same fixed-order CASE chain.
+    */
+  val textScripts: String = {
+    val cases = graft.text.TextAnalysis.ScriptTails.zipWithIndex
+      .map { case (tl, i) => s"WHEN ${i.toLong} THEN '${tl.replace("'", "''")}'" }
+      .mkString(" ")
+    val names = graft.expressions.ScriptCounts.Names
+    val countCols = ("  len(regexp_extract_all(s, '\\p{L}'))::BIGINT AS n_letters" +:
+      names.map(nm =>
+        s"  len(regexp_extract_all(s, '[\\p{${nm.capitalize}}]'))::BIGINT AS n_$nm"))
+      .mkString(",\n")
+    val total = names.map(nm => s"n_$nm").mkString(" + ")
+    val top = s"greatest(${names.map(nm => s"n_$nm").mkString(", ")})"
+    val caseChain = names.init
+      .map(nm => s"WHEN n_$nm = __top THEN '$nm'").mkString(" ")
+    s"""WITH m AS (SELECT doc_id,
+       |  text || CASE doc_id % ${graft.text.TextAnalysis.ScriptTails.size} $cases END AS s
+       |  FROM documents),
+       |c AS (SELECT doc_id,
+       |$countCols
+       |FROM m),
+       |g AS (SELECT *, $top AS __top, $total AS __total FROM c)
+       |SELECT doc_id, n_letters, ${names.map(nm => s"n_$nm").mkString(", ")},
+       |  CASE WHEN __total = 0 THEN 'und' $caseChain
+       |    ELSE '${names.last}' END AS dominant_script,
+       |  CASE WHEN __total > 0 THEN __top / __total END AS script_ratio
+       |FROM g ORDER BY doc_id""".stripMargin
+  }
+
   val textFingerprint: String =
     s"""WITH t AS (SELECT doc_id, $Toks AS toks FROM documents)
        |SELECT doc_id, ${hex64("array_to_string(toks,' ')")} AS fingerprint,

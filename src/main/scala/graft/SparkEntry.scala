@@ -189,6 +189,14 @@ object SparkEntry {
       TextAnalysis.compressionStats(t(s, dir, "documents")).orderBy(col("doc_id"))),
     "text_langid" -> ((s, dir) =>
       TextAnalysis.langId(t(s, dir, "documents")).orderBy(col("doc_id"))),
+    // Unicode script histogram + dominant-script routing (the stage
+    // BEFORE langid on a real crawl): ONE native codegen pass counts
+    // all 11 tracked scripts; deterministic tails put every script in
+    // play and both engines read tails + script list from the same
+    // Scala constants — hash-exact
+    "text_scripts" -> ((s, dir) =>
+      TextAnalysis.scriptProfileMultilingual(t(s, dir, "documents"))
+        .orderBy(col("doc_id"))),
     // rows-only (float fit, like quality_classifier): plants a
     // deterministic multilingual corpus, trains multinomial LR on the
     // marker heuristic's own labels, scores the MARKER-STRIPPED
@@ -1336,6 +1344,7 @@ object SparkEntry {
     "text_quality" -> OracleSql.textQuality,
     "text_entropy" -> OracleSql.textEntropy,
     "text_langid" -> OracleSql.textLangid,
+    "text_scripts" -> OracleSql.textScripts,
     "text_fingerprint" -> OracleSql.textFingerprint,
     "text_chunks" -> OracleSql.textChunks,
     "text_dup_chunk_ratio" -> OracleSql.textDupChunkRatio,

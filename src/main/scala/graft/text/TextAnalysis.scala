@@ -357,6 +357,69 @@ object TextAnalysis {
         when(anyHit, pred).otherwise(lit("und")).as("pred_lang"): _*)
   }
 
+  /** [[MultilingualTails]] extended with the tracked scripts the token
+    * tails don't reach (Hebrew, Hangul, Devanagari incl. combining
+    * matras, Thai incl. vowel/tone marks) — the script-profile row's
+    * planting constant. Separate from MultilingualTails so extending
+    * script coverage never perturbs the tokenizer gate row.
+    */
+  val ScriptTails: Seq[String] = MultilingualTails ++ Seq(
+    // " שלום עולם" (Hebrew)
+    " שלום עולם",
+    // " 안녕하세요 세계" (Hangul syllables)
+    " 안녕하세요 세계",
+    // " नमस्ते दुनिया" (Devanagari, combining vowel signs count to the script)
+    " नमस्ते दुनिया",
+    // " สวัสดีชาวโลก" (Thai, sara/mai marks count to the script)
+    " สวัสดีชาวโลก")
+
+  /** Unicode script profile — the routing stage BEFORE language ID on
+    * a multilingual crawl (script narrows the language family:
+    * Cyrillic → ru/uk/bg…, Han/kana → zh/ja, Hangul → ko; n-gram
+    * langid markers only discriminate within a script). Per document:
+    * the `\p{L}` letter total, one codepoint count per tracked script
+    * ([[graft.expressions.ScriptCounts]] — ONE native codegen pass,
+    * not 12 regex scans), the dominant script (argmax in fixed
+    * [[graft.expressions.ScriptCounts.Names]] order, 'und' when no
+    * tracked-script codepoints), and the dominant share of the
+    * tracked total (mixed-script docs — a spam/injection signal —
+    * surface as low `script_ratio`). Pure narrow map; integer counts
+    * with one final double division.
+    */
+  def scriptProfile(docs: DataFrame): DataFrame = {
+    val names = graft.expressions.ScriptCounts.Names
+    val counted = docs.select(col("doc_id"),
+      GraftFunctions.scriptCounts(col("text")).as("__sc"))
+      .select(col("doc_id") +:
+        element_at(col("__sc"), 1).as("n_letters") +:
+        names.zipWithIndex.map { case (nm, i) =>
+          element_at(col("__sc"), i + 2).as(s"n_$nm")
+        }: _*)
+    val total = names.map(nm => col(s"n_$nm")).reduce(_ + _)
+    val top = greatest(names.map(nm => col(s"n_$nm")): _*)
+    // first tracked script reaching the max wins (both engines emit
+    // the same fixed-order CASE chain)
+    val dom = names.init.foldRight(lit(names.last)) { (nm, els) =>
+      when(col(s"n_$nm") === top, lit(nm)).otherwise(els)
+    }
+    counted.select(
+      (col("doc_id") +: col("n_letters") +: names.map(nm => col(s"n_$nm"))) ++ Seq(
+        when(total > 0, dom).otherwise(lit("und")).as("dominant_script"),
+        when(total > 0, top / total).as("script_ratio")): _*)
+  }
+
+  /** [[scriptProfile]] over [[ScriptTails]]-tailed text — the driver
+    * row: deterministic tails put every tracked script in play on the
+    * ASCII test corpus, and both engines read the tails and the script
+    * list from the same Scala constants.
+    */
+  def scriptProfileMultilingual(docs: DataFrame): DataFrame = {
+    val tail = element_at(array(ScriptTails.map(lit(_)): _*),
+      (pmod(col("doc_id"), lit(ScriptTails.size.toLong)) + 1).cast("int"))
+    scriptProfile(docs.select(col("doc_id"),
+      concat(col("text"), tail).as("text")))
+  }
+
   /** Winnowing fingerprints (Schleimer, Wilkerson & Aiken,
     * "Winnowing: Local Algorithms for Document Fingerprinting",
     * SIGMOD 2003): hash every positional w-token shingle, slide a

@@ -133,6 +133,56 @@ class UnicodeTokensSpec extends SparkSpec {
     assert(g(2L) === 1.0, s"every CJK token is an alpha word: $g")
   }
 
+  test("script counts: per-script codepoints vs letters (marks count to their script)") {
+    def counts(s: String): (Long, Map[String, Long]) = {
+      val r = Seq((1L, s)).toDF("doc_id", "text")
+        .select(GraftFunctions.scriptCounts(col("text")).as("c"))
+        .head().getSeq[Long](0)
+      (r.head, graft.expressions.ScriptCounts.Names.zip(r.tail).toMap)
+    }
+    val (l1, c1) = counts("Привет мир") // 9 Cyrillic letters
+    assert(l1 === 9L && c1("cyrillic") === 9L && c1("latin") === 0L)
+    val (l2, c2) = counts("Spark и 東京") // 5 latin + 1 cyr + 2 han
+    assert(l2 === 8L && c2("latin") === 5L && c2("cyrillic") === 1L && c2("han") === 2L)
+    // Devanagari: न म स ् त े = 6 script codepoints, but virama/matra
+    // are Mn — only 4 are letters. The script count is by script
+    // property alone (exactly RE2's \p{Devanagari}).
+    val (l3, c3) = counts("नमस्ते")
+    assert(l3 === 4L && c3("devanagari") === 6L)
+    // Thai vowel/tone marks likewise
+    val (l4, c4) = counts("สวัสดี")
+    assert(l4 === 4L && c4("thai") === 6L)
+    // digits and punctuation are no script and no letter
+    val (l5, c5) = counts("42 !!")
+    assert(l5 === 0L && c5.values.sum === 0L)
+  }
+
+  test("scriptProfile: dominant routing, fixed-order tie-break, und, mixed-script ratio") {
+    val docs = Seq(
+      (1L, "привет мир от русского текста"),
+      (2L, "한국어 문서입니다"),
+      (3L, "שלום"),
+      (4L, "ab мы"),       // 2 latin vs 2 cyrillic — tie → latin (fixed order)
+      (5L, "12345 !!"),    // no tracked script at all
+      (6L, "abc спам 垃圾圾")) // 3 latin, 4 cyrillic, 3 han — mixed
+      .toDF("doc_id", "text")
+    val out = graft.text.TextAnalysis.scriptProfile(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[String]("dominant_script"),
+          Option(r.getAs[java.lang.Double]("script_ratio")).map(_.doubleValue))).toMap
+    assert(out(1L)._1 === "cyrillic" && out(1L)._2 === Some(1.0))
+    assert(out(2L)._1 === "hangul")
+    assert(out(3L)._1 === "hebrew")
+    assert(out(4L)._1 === "latin", "tie must break in fixed script order")
+    assert(out(5L) === ("und", None))
+    assert(out(6L)._1 === "cyrillic" && out(6L)._2.get < 0.5,
+      s"mixed-script doc must surface a low dominant share: ${out(6L)}")
+    // plan contract: a narrow map — no exchange anywhere
+    val phys = graft.text.TextAnalysis.scriptProfile(docs).queryExecution
+      .executedPlan.toString
+    assert(!phys.contains("Exchange"), s"scriptProfile must not shuffle:\n$phys")
+  }
+
   test("kernel lowercase = simple per-codepoint mapping (the cross-engine contract)") {
     // Character.toLowerCase (simple UnicodeData mapping) — NOT
     // String.toLowerCase (contextual): final ΑΣ would contextually
