@@ -521,6 +521,40 @@ object OracleSql {
        |FROM g ORDER BY doc_id""".stripMargin
   }
 
+  /** DuckDB E-string literal (newlines/quotes escaped) — scaffold
+    * constants ride into the oracle verbatim.
+    */
+  private def slit(s: String): String =
+    "e'" + s.replace("\\", "\\\\").replace("'", "''").replace("\n", "\\n") + "'"
+
+  /** HTML extraction (mirror of Html.extractPlanted): the SAME
+    * scaffold, strip patterns, ordered entity table and whitespace
+    * class ride in from the Html constants; tag-strip is RE2
+    * `regexp_replace(…,'g')`, entity decode literal `replace`.
+    */
+  val textHtmlExtract: String = {
+    import graft.text.Html
+    val stripped = Seq(Html.ScriptBlock, Html.StyleBlock,
+      Html.CommentBlock, Html.AnyTag)
+      .foldLeft("h") { (acc, pat) =>
+        s"regexp_replace($acc, '$pat', ' ', 'g')" }
+    val decoded = Html.Entities.foldLeft(stripped) {
+      case (acc, (ent, ch)) => s"replace($acc, ${slit(ent)}, ${slit(ch)})" }
+    s"""WITH m AS (SELECT doc_id,
+       |  ${slit(Html.ScaffoldPrefix)} || text || ${slit(Html.ScaffoldSuffix)} AS h
+       |  FROM documents),
+       |e AS (SELECT doc_id, h,
+       |  trim(regexp_replace($decoded, '${Html.WhitespaceClass}', ' ', 'g')) AS txt
+       |FROM m)
+       |SELECT doc_id, txt AS text,
+       |  length(h)::BIGINT AS n_html_chars,
+       |  length(txt)::BIGINT AS n_text_chars,
+       |  CASE WHEN length(h) > 0 THEN length(txt) / length(h) END AS text_ratio,
+       |  len(regexp_extract_all(h, '(?i)<a${Html.TagBoundary}'))::BIGINT AS n_links,
+       |  len(regexp_extract_all(h, '(?i)<p${Html.TagBoundary}'))::BIGINT AS n_paragraphs
+       |FROM e ORDER BY doc_id""".stripMargin
+  }
+
   val textFingerprint: String =
     s"""WITH t AS (SELECT doc_id, $Toks AS toks FROM documents)
        |SELECT doc_id, ${hex64("array_to_string(toks,' ')")} AS fingerprint,

@@ -197,6 +197,14 @@ object SparkEntry {
     "text_scripts" -> ((s, dir) =>
       TextAnalysis.scriptProfileMultilingual(t(s, dir, "documents"))
         .orderBy(col("doc_id"))),
+    // HTML -> text extraction (the stage before ANY text operator on
+    // a crawl): script/style/comment block drop, tag strip, ordered
+    // entity decode, whitespace collapse + the text-to-html ratio and
+    // link/paragraph counts a curation pipeline filters on; planted
+    // scaffold puts every rule in play — hash-exact
+    "text_html_extract" -> ((s, dir) =>
+      graft.text.Html.extractPlanted(t(s, dir, "documents"))
+        .orderBy(col("doc_id"))),
     // rows-only (float fit, like quality_classifier): plants a
     // deterministic multilingual corpus, trains multinomial LR on the
     // marker heuristic's own labels, scores the MARKER-STRIPPED
@@ -1345,6 +1353,7 @@ object SparkEntry {
     "text_entropy" -> OracleSql.textEntropy,
     "text_langid" -> OracleSql.textLangid,
     "text_scripts" -> OracleSql.textScripts,
+    "text_html_extract" -> OracleSql.textHtmlExtract,
     "text_fingerprint" -> OracleSql.textFingerprint,
     "text_chunks" -> OracleSql.textChunks,
     "text_dup_chunk_ratio" -> OracleSql.textDupChunkRatio,

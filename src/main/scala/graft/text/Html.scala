@@ -1,0 +1,113 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** HTML → text extraction — the stage a web crawl runs before ANY
+  * text operator (tokenize/dedup/quality all assume prose, not
+  * markup). Deliberately regex-grade, not a DOM parser: at 100 TB the
+  * extractor must be a narrow codegen'd projection, and the fixed
+  * pipeline below is the standard crawl-scale approximation
+  * (trafilatura-class DOM scoring is a per-document tree walk that
+  * does not vectorize). Every step is a Spark built-in whose RE2
+  * mirror is exact, so the driver row is hash-comparable in DuckDB.
+  *
+  * Extraction semantics (fixed order, shared with the oracle):
+  *
+  *   1. `<script>…</script>` and `<style>…</style>` BLOCKS drop
+  *      entirely (content included — case-insensitive, dot-all,
+  *      non-greedy);
+  *   2. HTML comments `<!-- … -->` drop entirely;
+  *   3. every remaining tag `<[^>]*>` becomes one space (block/inline
+  *      distinction is deliberately not modeled);
+  *   4. the [[Html.Entities]] list decodes by LITERAL replace in list
+  *      order — `&amp;` LAST so `&amp;lt;` yields the literal text
+  *      `&lt;` (correct HTML semantics), never a double decode;
+  *   5. whitespace collapses to single spaces, trimmed.
+  *
+  * Alongside the text, the signals a curation pipeline filters on:
+  * raw/extracted char counts, the text-to-html ratio (the classic
+  * boilerplate-page discriminant), and link / paragraph tag counts
+  * (link-farm pages have high `n_links` · low ratio).
+  */
+object Html {
+
+  /** Entity decode table, ORDERED — `&amp;` must be last. Both
+    * engines apply these as literal (non-regex) replaces.
+    */
+  val Entities: Seq[(String, String)] = Seq(
+    "&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+    "&#39;" -> "'", "&apos;" -> "'", "&nbsp;" -> " ",
+    "&amp;" -> "&")
+
+  /** The strip patterns, shared verbatim with the oracle (Java regex
+    * and RE2 agree on every construct used: inline flags, non-greedy,
+    * negated classes).
+    */
+  val ScriptBlock: String = "(?is)<script[^>]*>.*?</script>"
+  val StyleBlock: String = "(?is)<style[^>]*>.*?</style>"
+  val CommentBlock: String = "(?s)<!--.*?-->"
+  val AnyTag: String = "(?s)<[^>]*>"
+
+  /** Tag-strip + entity-decode of an html column (steps 1–5). */
+  def extractText(html: Column): Column = {
+    val noScript = regexp_replace(html, ScriptBlock, " ")
+    val noStyle = regexp_replace(noScript, StyleBlock, " ")
+    val noComment = regexp_replace(noStyle, CommentBlock, " ")
+    val noTags = regexp_replace(noComment, AnyTag, " ")
+    val decoded = Entities.foldLeft(noTags) { case (c, (ent, ch)) =>
+      replace(c, lit(ent), lit(ch))
+    }
+    // explicit class, not \s: Java's \s includes \x0B, RE2's does not
+    trim(regexp_replace(decoded, WhitespaceClass, " "))
+  }
+
+  /** Whitespace run — spelled as an explicit class because Java `\s`
+    * and RE2 `\s` disagree on vertical tab; both engines use THIS.
+    */
+  val WhitespaceClass: String = "[ \\t\\r\\n\\f]+"
+
+  /** Tag-open boundary after the tag name (space or `>`), explicit
+    * for the same reason.
+    */
+  val TagBoundary: String = "[ \\t\\r\\n>]"
+
+  /** Full extraction row: text + the curation signals. One narrow
+    * projection — zero exchanges.
+    */
+  def extract(docs: DataFrame, html: Column): DataFrame =
+    docs.select(col("doc_id"), extractText(html).as("text"),
+        length(html).cast("long").as("n_html_chars"),
+        regexp_count(html, lit("(?i)<a" + TagBoundary)).cast("long").as("n_links"),
+        regexp_count(html, lit("(?i)<p" + TagBoundary)).cast("long").as("n_paragraphs"))
+      .withColumn("n_text_chars", length(col("text")).cast("long"))
+      .select(col("doc_id"), col("text"), col("n_html_chars"),
+        col("n_text_chars"),
+        when(col("n_html_chars") > 0,
+          col("n_text_chars") / col("n_html_chars")).as("text_ratio"),
+        col("n_links"), col("n_paragraphs"))
+
+  /** Deterministic HTML scaffold around the plain-text corpus — the
+    * driver row's planting device (the test corpus is prose, so the
+    * markup, entities, script/style/comment blocks and links ride in
+    * from these constants — shared verbatim with the oracle SQL).
+    * The script block deliberately contains bare `<`/`>` so the
+    * block-drop-BEFORE-tag-strip ordering is observable.
+    */
+  val ScaffoldPrefix: String =
+    "<html><head><title>doc</title>\n" +
+      "<style type=\"text/css\">body { color: #000; }</style>\n" +
+      "<script>var x = 1 < 2 && y > 0; // strip me</script>\n" +
+      "</head><body>\n<!-- boilerplate comment -->\n" +
+      "<h1>Terms &amp; Conditions</h1>\n<p class=\"main\">"
+
+  val ScaffoldSuffix: String =
+    "</p>\n<ul><li>alpha</li><li>beta &lt;tag&gt;</li></ul>\n" +
+      "<a href=\"https://example.com/a?b=1&amp;c=2\">a &quot;link&quot;</a>" +
+      "&nbsp;&#39;quoted&#39; &amp;lt;escaped&amp;gt;\n</body></html>"
+
+  /** [[extract]] over scaffold-wrapped text — the driver row. */
+  def extractPlanted(docs: DataFrame): DataFrame =
+    extract(docs,
+      concat(lit(ScaffoldPrefix), col("text"), lit(ScaffoldSuffix)))
+}

@@ -1,0 +1,75 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** HTML → text extraction: the crawl pre-stage every text operator
+  * assumes has already run.
+  */
+class HtmlSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ext(html: String): String =
+    Seq((1L, html)).toDF("doc_id", "h")
+      .select(graft.text.Html.extractText(col("h")).as("t"))
+      .head().getString(0)
+
+  test("block drop before tag strip: bare </> inside script cannot corrupt") {
+    // the '< 2 && y >' inside script looks like a tag to the bare
+    // tag-strip — the ordered pipeline drops the whole block first
+    assert(ext("<p>keep</p><script>if (1 < 2 && y > 0) alert('x')</script><p>tail</p>")
+      === "keep tail")
+    assert(ext("<style>a { content: '<none>'; }</style>body") === "body")
+    assert(ext("before<!-- <p>commented out</p> -->after") === "before after")
+    // multi-line blocks drop too (dot-all)
+    assert(ext("<script>\nline1\nline2\n</script>ok") === "ok")
+  }
+
+  test("entity decode is ordered: &amp; last, so &amp;lt; stays literal text") {
+    assert(ext("a &amp; b") === "a & b")
+    assert(ext("&lt;tag&gt;") === "<tag>")
+    assert(ext("&quot;q&quot; &#39;s&#39; &apos;a&apos;") === "\"q\" 's' 'a'")
+    // correct HTML semantics: &amp;lt; is the TEXT "&lt;", not "<"
+    assert(ext("&amp;lt;escaped&amp;gt;") === "&lt;escaped&gt;")
+    assert(ext("a&nbsp;b") === "a b")
+  }
+
+  test("tags become spaces; whitespace collapses; trimmed") {
+    assert(ext("<ul><li>alpha</li><li>beta</li></ul>") === "alpha beta")
+    assert(ext("  <br/>x\n\n\ty  ") === "x y")
+    // attribute-laden and uppercase tags strip the same
+    assert(ext("""<A HREF="u?a=1&amp;b=2">link</A>""") === "link")
+  }
+
+  test("extract: stats row — ratio, link/paragraph counts; zero-exchange plan") {
+    val docs = Seq(
+      (1L, "<p>one</p><a href=\"x\">l1</a><a\nhref=\"y\">l2</a>"),
+      (2L, "plain prose, no markup at all"))
+      .toDF("doc_id", "h")
+    val out = graft.text.Html.extract(docs, col("h"))
+    val rows = out.collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(rows(1L).getAs[Long]("n_links") === 2L, "newline inside tag still counts")
+    assert(rows(1L).getAs[Long]("n_paragraphs") === 1L)
+    assert(rows(1L).getAs[String]("text") === "one l1 l2")
+    assert(rows(2L).getAs[String]("text") === "plain prose, no markup at all")
+    assert(rows(2L).getAs[Double]("text_ratio") === 1.0)
+    val r1 = rows(1L)
+    assert(r1.getAs[Double]("text_ratio") ===
+      r1.getAs[Long]("n_text_chars").toDouble / r1.getAs[Long]("n_html_chars"))
+    val phys = out.queryExecution.executedPlan.toString
+    assert(!phys.contains("Exchange"), s"extract must be a narrow map:\n$phys")
+  }
+
+  test("planted scaffold exercises every rule and reconstructs the body text") {
+    val docs = Seq((7L, "the original document body")).toDF("doc_id", "text")
+    val r = graft.text.Html.extractPlanted(docs).head()
+    val txt = r.getAs[String]("text")
+    assert(txt.contains("the original document body"))
+    assert(txt.contains("Terms & Conditions"), "entity in scaffold decodes")
+    assert(txt.contains("beta <tag>"))
+    assert(txt.contains("&lt;escaped&gt;"), "&amp;lt; stays literal")
+    assert(!txt.contains("strip me") && !txt.contains("color"),
+      "script/style content must be gone")
+    assert(!txt.contains("boilerplate comment"))
+    assert(r.getAs[Long]("n_links") === 1L)
+  }
+}
