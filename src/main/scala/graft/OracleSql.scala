@@ -131,8 +131,11 @@ object OracleSql {
        |SELECT vec_id, i, CAST(floor(x * scale + 0.5) AS BIGINT) AS q, scale
        |FROM e ORDER BY vec_id, i""".stripMargin
 
-  val textQuality: String =
-    s"""WITH t AS (SELECT doc_id, lower(text) AS txt, $Toks AS toks FROM documents),
+  /** [[textQuality]] with a pluggable source relation (composed
+    * pipelines run the same chain over derived text).
+    */
+  def textQualityFrom(src: String): String =
+    s"""WITH t AS (SELECT doc_id, lower(text) AS txt, $Toks AS toks FROM $src),
        |m AS (SELECT doc_id, length(txt)::BIGINT AS n_chars, len(toks)::BIGINT AS n_tokens,
        |  list_aggregate(list_transform(toks, x -> length(x)), 'sum') AS sum_len,
        |  length(regexp_replace(txt, '${graft.text.TextAnalysis.PunctKeepClass}', '', 'g'))::BIGINT AS n_punct,
@@ -146,6 +149,8 @@ object OracleSql {
        |    (1.0 - CASE WHEN n_chars > 0 THEN n_punct / n_chars ELSE 0.0 END)
        |  ELSE 0.0 END AS quality_score
        |FROM m ORDER BY doc_id""".stripMargin
+
+  val textQuality: String = textQualityFrom("documents")
 
   /** Per-source quality-percentile cut (mirror of
     * TextAnalysis.qualityFilter, keep top 3/10): the keep decision is
@@ -494,10 +499,10 @@ object OracleSql {
     * (`\p{Latin}`… — script property alone, exactly the kernel's
     * semantics), the dominant script the same fixed-order CASE chain.
     */
-  val textScripts: String = {
-    val cases = graft.text.TextAnalysis.ScriptTails.zipWithIndex
-      .map { case (tl, i) => s"WHEN ${i.toLong} THEN '${tl.replace("'", "''")}'" }
-      .mkString(" ")
+  /** Script-profile chain over a relation providing (doc_id, s) —
+    * shared by the tailed gate row and composed pipelines.
+    */
+  private def scriptProfileOver(srcSql: String): String = {
     val names = graft.expressions.ScriptCounts.Names
     val countCols = ("  len(regexp_extract_all(s, '\\p{L}'))::BIGINT AS n_letters" +:
       names.map(nm =>
@@ -507,18 +512,25 @@ object OracleSql {
     val top = s"greatest(${names.map(nm => s"n_$nm").mkString(", ")})"
     val caseChain = names.init
       .map(nm => s"WHEN n_$nm = __top THEN '$nm'").mkString(" ")
-    s"""WITH m AS (SELECT doc_id,
-       |  text || CASE doc_id % ${graft.text.TextAnalysis.ScriptTails.size} $cases END AS s
-       |  FROM documents),
-       |c AS (SELECT doc_id,
+    s"""WITH c AS (SELECT doc_id,
        |$countCols
-       |FROM m),
+       |FROM $srcSql),
        |g AS (SELECT *, $top AS __top, $total AS __total FROM c)
        |SELECT doc_id, n_letters, ${names.map(nm => s"n_$nm").mkString(", ")},
        |  CASE WHEN __total = 0 THEN 'und' $caseChain
        |    ELSE '${names.last}' END AS dominant_script,
        |  CASE WHEN __total > 0 THEN __top / __total END AS script_ratio
        |FROM g ORDER BY doc_id""".stripMargin
+  }
+
+  val textScripts: String = {
+    val cases = graft.text.TextAnalysis.ScriptTails.zipWithIndex
+      .map { case (tl, i) => s"WHEN ${i.toLong} THEN '${tl.replace("'", "''")}'" }
+      .mkString(" ")
+    scriptProfileOver(
+      s"""(SELECT doc_id,
+         |  text || CASE doc_id % ${graft.text.TextAnalysis.ScriptTails.size} $cases END AS s
+         |  FROM documents) m""".stripMargin)
   }
 
   /** DuckDB E-string literal (newlines/quotes escaped) — scaffold
@@ -532,7 +544,11 @@ object OracleSql {
     * class ride in from the Html constants; tag-strip is RE2
     * `regexp_replace(…,'g')`, entity decode literal `replace`.
     */
-  val textHtmlExtract: String = {
+  /** The tag-strip + entity-decode + collapse chain over a column
+    * named `h` — shared by the extract row and the composed web
+    * pipeline.
+    */
+  private lazy val htmlTxtExpr: String = {
     import graft.text.Html
     val stripped = Seq(Html.ScriptBlock, Html.StyleBlock,
       Html.CommentBlock, Html.AnyTag)
@@ -540,11 +556,21 @@ object OracleSql {
         s"regexp_replace($acc, '$pat', ' ', 'g')" }
     val decoded = Html.Entities.foldLeft(stripped) {
       case (acc, (ent, ch)) => s"replace($acc, ${slit(ent)}, ${slit(ch)})" }
-    s"""WITH m AS (SELECT doc_id,
+    s"trim(regexp_replace($decoded, '${Html.WhitespaceClass}', ' ', 'g'))"
+  }
+
+  /** The scaffold-wrap CTE body (doc_id, h) — ditto. */
+  private lazy val htmlWrapSql: String = {
+    import graft.text.Html
+    s"""SELECT doc_id,
        |  ${slit(Html.ScaffoldPrefix)} || text || ${slit(Html.ScaffoldSuffix)} AS h
-       |  FROM documents),
-       |e AS (SELECT doc_id, h,
-       |  trim(regexp_replace($decoded, '${Html.WhitespaceClass}', ' ', 'g')) AS txt
+       |  FROM documents""".stripMargin
+  }
+
+  val textHtmlExtract: String = {
+    import graft.text.Html
+    s"""WITH m AS ($htmlWrapSql),
+       |e AS (SELECT doc_id, h, $htmlTxtExpr AS txt
        |FROM m)
        |SELECT doc_id, txt AS text,
        |  length(h)::BIGINT AS n_html_chars,
@@ -555,19 +581,55 @@ object OracleSql {
        |FROM e ORDER BY doc_id""".stripMargin
   }
 
+  /** Raw-crawl curation (mirror of Pipeline.webCurate, thresholds
+    * 0.1 / 0.5 / 0.3): scaffold-wrap → extract, then the script /
+    * quality / exact-dedup chains run over the EXTRACTED corpus via
+    * the pluggable-source builders — the composition reuses the
+    * individually-gated mirrors so it cannot drift from them.
+    */
+  lazy val pipelineWeb: String = {
+    import graft.text.Html
+    val scripts = scriptProfileOver("(SELECT doc_id, text AS s FROM webdocs) m")
+    s"""WITH wp AS ($htmlWrapSql),
+       |webdocs AS (SELECT doc_id, $htmlTxtExpr AS text,
+       |  length(h)::BIGINT AS n_html_chars,
+       |  len(regexp_extract_all(h, '(?i)<a${Html.TagBoundary}'))::BIGINT AS n_links
+       |FROM wp),
+       |wr AS (SELECT doc_id,
+       |  CASE WHEN n_html_chars > 0 THEN length(text) / n_html_chars END AS text_ratio,
+       |  n_links FROM webdocs)
+       |SELECT w.doc_id, w.text_ratio, w.n_links,
+       |  s.dominant_script, s.script_ratio, q.quality_score,
+       |  e.keep AS dedup_keep,
+       |  (w.text_ratio >= ${dlit(0.1)}
+       |    AND coalesce(s.script_ratio >= ${dlit(0.5)}, false)
+       |    AND q.quality_score >= ${dlit(0.3)} AND e.keep) AS keep
+       |FROM wr w
+       |JOIN ($scripts) s ON w.doc_id = s.doc_id
+       |JOIN (${textQualityFrom("webdocs")}) q ON w.doc_id = q.doc_id
+       |JOIN (${dedupExactFrom("webdocs")}) e ON w.doc_id = e.doc_id
+       |ORDER BY w.doc_id""".stripMargin
+  }
+
   val textFingerprint: String =
     s"""WITH t AS (SELECT doc_id, $Toks AS toks FROM documents)
        |SELECT doc_id, ${hex64("array_to_string(toks,' ')")} AS fingerprint,
        |  (len(toks) // 10)::BIGINT AS len_band
        |FROM t ORDER BY doc_id""".stripMargin
 
-  val dedupExact: String =
+  /** [[dedupExact]] with a pluggable source relation (a composed
+    * pipeline runs the same chain over derived text, e.g. the
+    * HTML-extracted corpus).
+    */
+  def dedupExactFrom(src: String): String =
     s"""WITH t AS (SELECT doc_id,
-       |  ${hex64("array_to_string(" + Toks + ",' ')")} AS fingerprint FROM documents)
+       |  ${hex64("array_to_string(" + Toks + ",' ')")} AS fingerprint FROM $src)
        |SELECT doc_id, fingerprint,
        |  count(*) OVER (PARTITION BY fingerprint) AS group_size,
        |  doc_id = min(doc_id) OVER (PARTITION BY fingerprint) AS keep
        |FROM t ORDER BY doc_id""".stripMargin
+
+  val dedupExact: String = dedupExactFrom("documents")
 
   private val minhashCols: String = {
     val cs = graft.dedup.MinhashFamily.coefs(Dedup.MinhashK)

@@ -675,6 +675,15 @@ object SparkEntry {
     "pipeline_quality_ensemble" -> ((s, dir) =>
       graft.ops.Pipeline.qualityEnsemble(t(s, dir, "documents"))
         .orderBy(col("doc_id"))),
+    // raw-crawl curation end to end: HTML extract -> script routing ->
+    // quality -> exact dedup over the EXTRACTED text, one keep
+    // decision with per-stage reasons; scaffold-planted pages
+    "pipeline_web" -> ((s, dir) =>
+      graft.ops.Pipeline.webCurate(
+        t(s, dir, "documents").select(col("doc_id"),
+          concat(lit(graft.text.Html.ScaffoldPrefix), col("text"),
+            lit(graft.text.Html.ScaffoldSuffix)).as("html")))
+        .orderBy(col("doc_id"))),
     "dedup_mllib_minhash" -> ((s, dir) => {
       implicit val sp: SparkSession = s
       graft.ann.MlLsh.minhashNearDupPairs(t(s, dir, "documents"), maxJaccardDistance = 0.5)
@@ -1446,6 +1455,7 @@ object SparkEntry {
     "dedup_bloom" -> OracleSql.dedupBloom,
     "pipeline_clean" -> OracleSql.pipelineClean,
     "pipeline_quality_ensemble" -> OracleSql.pipelineQualityEnsemble,
+    "pipeline_web" -> OracleSql.pipelineWeb,
     "dedup_embedding_lsh" -> OracleSql.dedupEmbeddingLsh,
     "cosine_topk_exact" -> OracleSql.cosineTopkExact,
     "knn_brute" -> OracleSql.knnBrute,

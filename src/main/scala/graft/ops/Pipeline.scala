@@ -89,6 +89,48 @@ object Pipeline {
     }
   }
 
+  /** Raw-crawl curation end to end — the web-page face of
+    * [[cleanCorpus]]: HTML→text extraction ([[graft.text.Html]]),
+    * script routing ([[TextAnalysis.scriptProfile]]), heuristic
+    * quality, and exact dedup over the EXTRACTED text, combined into
+    * one auditable keep decision:
+    *
+    * `keep = text_ratio ≥ minTextRatio  (boilerplate-page gate)
+    *       ∧ script_ratio ≥ minScriptRatio  (mixed-script spam gate;
+    *         scriptless docs fail)
+    *       ∧ quality_score ≥ minQuality ∧ dedup_keep`.
+    *
+    * Shape: extraction + tokenize is ONE cached narrow pass feeding
+    * every stage (no stage re-reads raw HTML); the signal frames meet
+    * on doc_id equi-joins (extraction/script/quality are per-doc maps,
+    * dedup is the only keyed shuffle). Like every pipeline face the
+    * flags stay policy-combinable — each document carries its reasons.
+    */
+  def webCurate(pages: DataFrame, minTextRatio: Double = 0.1,
+      minScriptRatio: Double = 0.5, minQuality: Double = 0.3): DataFrame = {
+    val extracted = graft.text.Html.extract(pages, col("html"))
+      .withColumn("toks", graft.GraftFunctions.tokens(col("text")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sp = TextAnalysis.scriptProfile(extracted)
+      .select(col("doc_id"), col("dominant_script"), col("script_ratio"))
+    val q = TextAnalysis.quality(extracted)
+      .select(col("doc_id"), col("quality_score"))
+    val d = Dedup.exact(extracted)
+      .select(col("doc_id"), col("keep").as("dedup_keep"))
+    Caching.materialized(
+      extracted.select(col("doc_id"), col("text_ratio"), col("n_links"))
+        .join(sp, Seq("doc_id")).join(q, Seq("doc_id")).join(d, Seq("doc_id"))
+        .select(col("doc_id"), col("text_ratio"), col("n_links"),
+          col("dominant_script"), col("script_ratio"), col("quality_score"),
+          col("dedup_keep"),
+          (col("text_ratio") >= minTextRatio &&
+            coalesce(col("script_ratio") >= minScriptRatio, lit(false)) &&
+            col("quality_score") >= minQuality && col("dedup_keep"))
+            .as("keep"))) {
+      extracted.unpersist(false)
+    }
+  }
+
   /** Crawl-to-crawl corpus DIFF: per document, whether it was added,
     * removed, changed, or unchanged between two corpus versions —
     * the audit every recurring ingest runs before reprocessing (only

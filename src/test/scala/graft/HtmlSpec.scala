@@ -59,6 +59,33 @@ class HtmlSpec extends SparkSpec {
     assert(!phys.contains("Exchange"), s"extract must be a narrow map:\n$phys")
   }
 
+  test("webCurate: each gate fails independently; keep is the conjunction") {
+    val prose = (1 to 35).map(i => s"word$i content").mkString(" ")
+    val pages = Seq(
+      (1L, s"<html><body><p>$prose</p></body></html>"),       // clean page
+      (2L, s"<div><p>$prose</p></div>"),                      // same TEXT → dup
+      (3L, (1 to 40).map(i => s"""<a href="http://x/$i">z</a>""").mkString), // link farm
+      (4L, "<p>" + "спам спам спам 垃圾垃圾垃圾 spam spam" + "</p>"), // mixed script
+      (5L, "<p>tiny</p>"))                                    // too short → low quality
+      .toDF("doc_id", "html")
+    val out = graft.ops.Pipeline.webCurate(pages).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(out(1L).getAs[Boolean]("keep") === true, s"clean page must pass: ${out(1L)}")
+    assert(out(2L).getAs[Boolean]("dedup_keep") === false,
+      "identical extracted text must dedup against doc 1")
+    assert(out(2L).getAs[Boolean]("keep") === false)
+    val r3 = out(3L)
+    assert(r3.getAs[Double]("text_ratio") < 0.1 && !r3.getAs[Boolean]("keep"),
+      s"link farm must fail on text ratio: $r3")
+    assert(r3.getAs[Long]("n_links") === 40L)
+    val r4 = out(4L)
+    assert(r4.getAs[Double]("script_ratio") < 0.5 && !r4.getAs[Boolean]("keep"),
+      s"mixed-script page must fail the script gate: $r4")
+    val r5 = out(5L)
+    assert(r5.getAs[Double]("quality_score") < 0.3 && !r5.getAs[Boolean]("keep"),
+      s"short page must fail on quality: $r5")
+  }
+
   test("planted scaffold exercises every rule and reconstructs the body text") {
     val docs = Seq((7L, "the original document body")).toDF("doc_id", "text")
     val r = graft.text.Html.extractPlanted(docs).head()
