@@ -108,18 +108,19 @@ object Pipeline {
     */
   def webCurate(pages: DataFrame, minTextRatio: Double = 0.1,
       minScriptRatio: Double = 0.5, minQuality: Double = 0.3): DataFrame = {
-    val extracted = graft.text.Html.extract(pages, col("html"))
-      .withColumn("toks", graft.GraftFunctions.tokens(col("text")))
+    // extraction, script, quality are ALL narrow column compositions
+    // over one pass (the with*Cols faces share expressions with the
+    // standalone operators, so the flags cannot drift from the
+    // individually-gated rows); exact dedup is the pipeline's ONLY
+    // keyed shuffle, met by one equi-join on doc_id
+    val signaled = webSignals(graft.text.Html.extract(pages, col("html")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val sp = TextAnalysis.scriptProfile(extracted)
-      .select(col("doc_id"), col("dominant_script"), col("script_ratio"))
-    val q = TextAnalysis.quality(extracted)
-      .select(col("doc_id"), col("quality_score"))
-    val d = Dedup.exact(extracted)
+    val d = Dedup.exact(signaled)
       .select(col("doc_id"), col("keep").as("dedup_keep"))
     Caching.materialized(
-      extracted.select(col("doc_id"), col("text_ratio"), col("n_links"))
-        .join(sp, Seq("doc_id")).join(q, Seq("doc_id")).join(d, Seq("doc_id"))
+      signaled.select(col("doc_id"), col("text_ratio"), col("n_links"),
+          col("dominant_script"), col("script_ratio"), col("quality_score"))
+        .join(d, Seq("doc_id"))
         .select(col("doc_id"), col("text_ratio"), col("n_links"),
           col("dominant_script"), col("script_ratio"), col("quality_score"),
           col("dedup_keep"),
@@ -127,9 +128,20 @@ object Pipeline {
             coalesce(col("script_ratio") >= minScriptRatio, lit(false)) &&
             col("quality_score") >= minQuality && col("dedup_keep"))
             .as("keep"))) {
-      extracted.unpersist(false)
+      signaled.unpersist(false)
     }
   }
+
+  /** The narrow signal battery over an extracted frame (doc_id, text,
+    * text_ratio, …): tokenize + script columns + quality score, all
+    * pure per-row projections — shared by [[webCurate]] and the
+    * streaming face ([[graft.streaming.Streams.webCurateStream]]).
+    */
+  private[graft] def webSignals(extracted: DataFrame): DataFrame =
+    TextAnalysis.withQualityScore(
+      TextAnalysis.withScriptCols(
+        extracted.withColumn("toks",
+          graft.GraftFunctions.tokens(col("text")))))
 
   /** Crawl-to-crawl corpus DIFF: per document, whether it was added,
     * removed, changed, or unchanged between two corpus versions —

@@ -75,17 +75,19 @@ object Html {
   /** Full extraction row: text + the curation signals. One narrow
     * projection — zero exchanges.
     */
-  def extract(docs: DataFrame, html: Column): DataFrame =
-    docs.select(col("doc_id"), extractText(html).as("text"),
+  def extract(docs: DataFrame, html: Column,
+      carry: Seq[String] = Nil): DataFrame =
+    docs.select(col("doc_id") +: carry.map(col) ++: Seq(
+        extractText(html).as("text"),
         length(html).cast("long").as("n_html_chars"),
         regexp_count(html, lit("(?i)<a" + TagBoundary)).cast("long").as("n_links"),
-        regexp_count(html, lit("(?i)<p" + TagBoundary)).cast("long").as("n_paragraphs"))
+        regexp_count(html, lit("(?i)<p" + TagBoundary)).cast("long").as("n_paragraphs")): _*)
       .withColumn("n_text_chars", length(col("text")).cast("long"))
-      .select(col("doc_id"), col("text"), col("n_html_chars"),
-        col("n_text_chars"),
+      .select(col("doc_id") +: carry.map(col) ++: Seq(
+        col("text"), col("n_html_chars"), col("n_text_chars"),
         when(col("n_html_chars") > 0,
           col("n_text_chars") / col("n_html_chars")).as("text_ratio"),
-        col("n_links"), col("n_paragraphs"))
+        col("n_links"), col("n_paragraphs")): _*)
 
   /** Deterministic HTML scaffold around the plain-text corpus — the
     * driver row's planting device (the test corpus is prose, so the

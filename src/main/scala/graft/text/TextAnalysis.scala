@@ -395,18 +395,60 @@ object TextAnalysis {
         names.zipWithIndex.map { case (nm, i) =>
           element_at(col("__sc"), i + 2).as(s"n_$nm")
         }: _*)
-    val total = names.map(nm => col(s"n_$nm")).reduce(_ + _)
-    val top = greatest(names.map(nm => col(s"n_$nm")): _*)
-    // first tracked script reaching the max wins (both engines emit
-    // the same fixed-order CASE chain)
-    val dom = names.init.foldRight(lit(names.last)) { (nm, els) =>
-      when(col(s"n_$nm") === top, lit(nm)).otherwise(els)
-    }
     counted.select(
       (col("doc_id") +: col("n_letters") +: names.map(nm => col(s"n_$nm"))) ++ Seq(
-        when(total > 0, dom).otherwise(lit("und")).as("dominant_script"),
-        when(total > 0, top / total).as("script_ratio")): _*)
+        dominantScript(nm => col(s"n_$nm")).as("dominant_script"),
+        scriptRatio(nm => col(s"n_$nm")).as("script_ratio")): _*)
   }
+
+  /** Dominant-script argmax over per-script count columns — first
+    * tracked script reaching the max wins (both engines emit the same
+    * fixed-order CASE chain); 'und' when no tracked-script codepoint.
+    * Shared by [[scriptProfile]] and the inline composition faces
+    * ([[withScriptCols]]) so they cannot drift.
+    */
+  private def dominantScript(cnt: String => Column): Column = {
+    val names = graft.expressions.ScriptCounts.Names
+    val total = names.map(cnt).reduce(_ + _)
+    val top = greatest(names.map(cnt): _*)
+    val dom = names.init.foldRight(lit(names.last)) { (nm, els) =>
+      when(cnt(nm) === top, lit(nm)).otherwise(els)
+    }
+    when(total > 0, dom).otherwise(lit("und"))
+  }
+
+  /** Dominant share of the tracked-script total (null when zero). */
+  private def scriptRatio(cnt: String => Column): Column = {
+    val names = graft.expressions.ScriptCounts.Names
+    val total = names.map(cnt).reduce(_ + _)
+    when(total > 0, greatest(names.map(cnt): _*) / total)
+  }
+
+  /** Adds `dominant_script` + `script_ratio` columns from `text` —
+    * the narrow composition face of [[scriptProfile]] (same kernel,
+    * same argmax; zero joins, streaming-safe).
+    */
+  private[graft] def withScriptCols(df: DataFrame): DataFrame = {
+    val sc = GraftFunctions.scriptCounts(col("text"))
+    def cntOf(c: Column)(nm: String): Column =
+      element_at(c, graft.expressions.ScriptCounts.Names.indexOf(nm) + 2)
+    df.withColumn("__sc", sc)
+      .withColumn("dominant_script", dominantScript(cntOf(col("__sc"))))
+      .withColumn("script_ratio", scriptRatio(cntOf(col("__sc"))))
+      .drop("__sc")
+  }
+
+  /** Adds `quality_score` from `text`+`toks` — the narrow composition
+    * face of [[quality]] (same prerequisite columns, same shared
+    * [[qualityScore]] expression; zero joins, streaming-safe).
+    */
+  private[graft] def withQualityScore(df: DataFrame): DataFrame =
+    df.withColumn("n_chars", length(lower(col("text"))).cast("long"))
+      .withColumn("n_tokens", size(col("toks")).cast("long"))
+      .withColumn("n_punct",
+        length(regexp_replace(lower(col("text")), PunctKeepClass, "")))
+      .withColumn("quality_score", qualityScore)
+      .drop("n_chars", "n_tokens", "n_punct")
 
   /** [[scriptProfile]] over [[ScriptTails]]-tailed text — the driver
     * row: deterministic tails put every tracked script in play on the

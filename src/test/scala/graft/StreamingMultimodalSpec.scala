@@ -442,6 +442,43 @@ class StreamingMultimodalSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("webCurateStream: extraction+flags map-only, parity with batch signals; horizon dedup on extracted content") {
+    val prose = (1 to 35).map(i => s"word$i content").mkString(" ")
+    val input = MemoryStream[(Long, Long, String)](spark, 17)
+    val pages = input.toDF()
+      .select(timestamp_micros(col("_1")).as("ts"), col("_2").as("doc_id"),
+        col("_3").as("html"))
+    val curated = Streams.webCurateStream(pages)
+    val q = curated.writeStream.format("memory")
+      .queryName("web_curated").outputMode("append").start()
+    val rawPages = Seq(
+      (1000L, 1L, s"<html><body><p>$prose</p></body></html>"),
+      // different MARKUP, same extracted text → horizon dedup drops it
+      (2000L, 2L, s"<div><p>$prose</p></div>"),
+      (3000L, 3L, (1 to 40).map(i => s"""<a href="http://x/$i">z</a>""").mkString),
+      (4000L, 4L, "<p>спам спам спам 垃圾垃圾垃圾 spam spam</p>"))
+    try {
+      input.addData(rawPages: _*)
+      q.processAllAvailable()
+      val rows = spark.table("web_curated").collect()
+        .map(r => r.getAs[Long]("doc_id") -> r).toMap
+      assert(rows.keySet === Set(1L, 3L, 4L),
+        "same extracted content must dedup within the horizon")
+      assert(rows(1L).getAs[Boolean]("keep"))
+      assert(rows(3L).getAs[Double]("text_ratio") < 0.1 && !rows(3L).getAs[Boolean]("keep"))
+      assert(rows(4L).getAs[Double]("script_ratio") < 0.5 && !rows(4L).getAs[Boolean]("keep"))
+      // parity: the stream's stateless signals are the batch pipeline's
+      val batch = graft.ops.Pipeline.webCurate(
+        rawPages.map { case (_, id, h) => (id, h) }.toDF("doc_id", "html"))
+        .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+      for (id <- Seq(1L, 3L, 4L)) {
+        assert(rows(id).getAs[Double]("text_ratio") === batch(id).getAs[Double]("text_ratio"))
+        assert(rows(id).getAs[String]("dominant_script") === batch(id).getAs[String]("dominant_script"))
+        assert(rows(id).getAs[Double]("quality_score") === batch(id).getAs[Double]("quality_score"))
+      }
+    } finally q.stop()
+  }
+
   test("dedupStreamAgainstCorpus: corpus dup bloom-flagged, fresh doc definitively new, within-stream dup dropped") {
     val corpus = Seq((1L, "alpha beta gamma delta"), (2L, "epsilon zeta eta"))
       .toDF("doc_id", "text")
