@@ -611,6 +611,46 @@ object OracleSql {
        |ORDER BY w.doc_id""".stripMargin
   }
 
+  /** Corpus language/script mix (mirror of
+    * TextAnalysis.languageMixPlanted): the script and langid chains
+    * joined per doc, grouped to (dominant_script, pred_lang), share
+    * over the tiny aggregate. Same tails, markers, and argmax chains
+    * as the per-doc rows.
+    */
+  lazy val corpusLanguageMix: String = {
+    val tails = graft.text.TextAnalysis.ScriptTails
+    val cases = tails.zipWithIndex
+      .map { case (tl, i) => s"WHEN ${i.toLong} THEN '${tl.replace("'", "''")}'" }
+      .mkString(" ")
+    val scoreCols = TextAnalysis.langMarkers
+      .map { case (l, ws) => s"  ${hits(ws)} AS s_$l" }.mkString(",\n")
+    val names = TextAnalysis.langMarkers.map(_._1)
+    val caseChain = names.init.zipWithIndex.map { case (l, i) =>
+      val rest = names.drop(i + 1).map(l2 => s"s_$l >= s_$l2").mkString(" AND ")
+      s"WHEN $rest THEN '$l'"
+    }.mkString(" ")
+    val scripts = scriptProfileOver("(SELECT doc_id, mtext AS s FROM m) z")
+    s"""WITH m AS (SELECT doc_id,
+       |  CASE doc_id % 3
+       |    WHEN 1 THEN CASE doc_id % ${tails.size} $cases END
+       |    WHEN 2 THEN text || CASE doc_id % ${tails.size} $cases END
+       |    ELSE text END AS mtext FROM documents),
+       |t AS (SELECT doc_id, ${toksOf("mtext")} AS toks FROM m),
+       |p AS (SELECT doc_id, n_toks,
+       |  CASE WHEN ${names.map(l => s"s_$l").mkString(" + ")} = 0 THEN 'und'
+       |  $caseChain ELSE '${names.last}' END AS pred_lang
+       |FROM (SELECT doc_id, len(toks)::BIGINT AS n_toks,
+       |$scoreCols
+       |  FROM t) s0),
+       |g AS (SELECT sc.dominant_script, p.pred_lang,
+       |  count(*)::BIGINT AS n_docs, sum(p.n_toks)::BIGINT AS n_tokens
+       |  FROM p JOIN ($scripts) sc ON p.doc_id = sc.doc_id
+       |  GROUP BY 1, 2)
+       |SELECT dominant_script, pred_lang, n_docs, n_tokens,
+       |  n_docs / (sum(n_docs) OVER ())::BIGINT AS doc_share
+       |FROM g ORDER BY dominant_script, pred_lang""".stripMargin
+  }
+
   val textFingerprint: String =
     s"""WITH t AS (SELECT doc_id, $Toks AS toks FROM documents)
        |SELECT doc_id, ${hex64("array_to_string(toks,' ')")} AS fingerprint,

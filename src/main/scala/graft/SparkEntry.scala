@@ -197,6 +197,13 @@ object SparkEntry {
     "text_scripts" -> ((s, dir) =>
       TextAnalysis.scriptProfileMultilingual(t(s, dir, "documents"))
         .orderBy(col("doc_id"))),
+    // corpus language/script mix: the monitoring rollup a multilingual
+    // ingest watches per batch — per-doc dominant script x predicted
+    // language (same inline faces as the per-doc rows), ONE keyed agg
+    // over a ~60-group space, share over the tiny aggregate
+    "corpus_language_mix" -> ((s, dir) =>
+      TextAnalysis.languageMixPlanted(t(s, dir, "documents"))
+        .orderBy(col("dominant_script"), col("pred_lang"))),
     // HTML -> text extraction (the stage before ANY text operator on
     // a crawl): script/style/comment block drop, tag strip, ordered
     // entity decode, whitespace collapse + the text-to-html ratio and
@@ -1363,6 +1370,7 @@ object SparkEntry {
     "text_langid" -> OracleSql.textLangid,
     "text_scripts" -> OracleSql.textScripts,
     "text_html_extract" -> OracleSql.textHtmlExtract,
+    "corpus_language_mix" -> OracleSql.corpusLanguageMix,
     "text_fingerprint" -> OracleSql.textFingerprint,
     "text_chunks" -> OracleSql.textChunks,
     "text_dup_chunk_ratio" -> OracleSql.textDupChunkRatio,

@@ -338,13 +338,26 @@ object TextAnalysis {
   /** Stopword-profile language ID: count marker hits per language,
     * argmax with fixed priority tie-break, 'und' when no marker hits.
     */
-  def langId(docs: DataFrame): DataFrame = {
-    val t = langMarkers.foldLeft(withToks(docs)) { case (df, (lang, words)) =>
-      df.withColumn(s"s_$lang", hits(col("toks"), words))
+  def langId(docs: DataFrame): DataFrame =
+    withLangScores(withToks(docs)).select(
+      (col("doc_id") +: langMarkers.map { case (l, _) => col(s"s_$l") }) :+
+        predLang.as("pred_lang"): _*)
+
+  /** Adds the per-language marker-hit score columns `s_<lang>`
+    * (requires `toks`) — shared by [[langId]] and the corpus rollup.
+    */
+  private def withLangScores(df: DataFrame): DataFrame =
+    langMarkers.foldLeft(df) { case (d, (lang, words)) =>
+      d.withColumn(s"s_$lang", hits(col("toks"), words))
     }
+
+  /** Argmax over the `s_<lang>` columns — CASE chain in priority
+    * order (first language whose score is ≥ all later ones), 'und'
+    * when no marker hits. Shared so faces cannot drift.
+    */
+  private def predLang: Column = {
     val scores = langMarkers.map { case (l, _) => col(s"s_$l") }
     val anyHit = scores.reduce(_ + _) > 0
-    // CASE chain in priority order: first language whose score is >= all later ones
     val pred = langMarkers.indices.init.foldRight(lit(langMarkers.last._1)) { (i, els) =>
       val (lang, _) = langMarkers(i)
       val geRest = langMarkers.drop(i + 1)
@@ -352,9 +365,46 @@ object TextAnalysis {
         .reduce(_ && _)
       when(geRest, lit(lang)).otherwise(els)
     }
-    t.select(
-      (col("doc_id") +: langMarkers.map { case (l, _) => col(s"s_$l") }) :+
-        when(anyHit, pred).otherwise(lit("und")).as("pred_lang"): _*)
+    when(anyHit, pred).otherwise(lit("und"))
+  }
+
+  /** Corpus language/script mix — the monitoring rollup a multilingual
+    * ingest watches per batch (is this crawl 40% CJK? did the Cyrillic
+    * share double?): per-document dominant script and predicted
+    * language (the SAME inline faces as the per-doc rows — zero
+    * drift), aggregated to one row per (dominant_script, pred_lang)
+    * with doc/token counts and the doc share. Shape: one narrow pass
+    * + ONE keyed partial agg over a group space bounded by
+    * |scripts|×|langs| (~60 rows) — the share window runs on the
+    * TINY aggregate, never the corpus.
+    */
+  def languageMix(docs: DataFrame): DataFrame = {
+    val perDoc = withScriptCols(withLangScores(withToks(docs)))
+      .select(col("dominant_script"), predLang.as("pred_lang"),
+        size(col("toks")).cast("long").as("n_toks"))
+    val agg = perDoc.groupBy(col("dominant_script"), col("pred_lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_toks")).as("n_tokens"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy()
+    agg.withColumn("doc_share",
+      col("n_docs") / sum(col("n_docs")).over(w))
+  }
+
+  /** [[languageMix]] over a deterministically diversified corpus —
+    * the driver row. A tiny APPENDED tail cannot flip a document's
+    * dominant script (the prose body out-counts it), so one residue
+    * class becomes tail-ONLY documents (dominant = the tail's script,
+    * language 'und' — no marker hits), one keeps the prose body plus
+    * a tail (still latin-dominant), and one stays untouched; the
+    * rollup then has a real script × language group space on the
+    * ASCII corpus.
+    */
+  def languageMixPlanted(docs: DataFrame): DataFrame = {
+    val tail = element_at(array(ScriptTails.map(lit(_)): _*),
+      (pmod(col("doc_id"), lit(ScriptTails.size.toLong)) + 1).cast("int"))
+    val mtext = when(pmod(col("doc_id"), lit(3L)) === 1, tail)
+      .when(pmod(col("doc_id"), lit(3L)) === 2, concat(col("text"), tail))
+      .otherwise(col("text"))
+    languageMix(docs.select(col("doc_id"), mtext.as("text")))
   }
 
   /** [[MultilingualTails]] extended with the tracked scripts the token

@@ -183,6 +183,25 @@ class UnicodeTokensSpec extends SparkSpec {
     assert(!phys.contains("Exchange"), s"scriptProfile must not shuffle:\n$phys")
   }
 
+  test("languageMix: rollup groups, token sums, shares summing to one") {
+    val docs = Seq(
+      (1L, "the cat and the dog walked to the park in the morning"),
+      (2L, "the quick brown fox is one of the animals in the story"),
+      (3L, "длинный русский текст без английских маркеров вообще"),
+      (4L, "der hund und die katze ist von dem haus mit garten"))
+      .toDF("doc_id", "text")
+    val out = graft.text.TextAnalysis.languageMix(docs).collect()
+      .map(r => (r.getAs[String]("dominant_script"), r.getAs[String]("pred_lang")) ->
+        (r.getAs[Long]("n_docs"), r.getAs[Long]("n_tokens"),
+          r.getAs[Double]("doc_share"))).toMap
+    assert(out(("latin", "en"))._1 === 2L)
+    assert(out(("cyrillic", "und"))._1 === 1L)
+    assert(out(("latin", "de"))._1 === 1L)
+    assert(out(("latin", "en"))._2 === 24L, "token sums ride the rollup")
+    assert(math.abs(out.values.map(_._3).sum - 1.0) < 1e-12,
+      "doc shares must sum to 1")
+  }
+
   test("kernel lowercase = simple per-codepoint mapping (the cross-engine contract)") {
     // Character.toLowerCase (simple UnicodeData mapping) — NOT
     // String.toLowerCase (contextual): final ΑΣ would contextually
