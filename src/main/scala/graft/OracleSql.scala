@@ -2996,15 +2996,17 @@ object OracleSql {
     * Curation.synthUrls — the testdata has no URL column; the
     * curation operators downstream are the real ones).
     */
-  private val UrlSynth: String =
-    """SELECT doc_id, source,
-      |  'https://' ||
-      |  (CASE doc_id % 7 WHEN 0 THEN '' WHEN 1 THEN 'www.' WHEN 2 THEN 'cdn.'
-      |    WHEN 3 THEN 'm.' WHEN 4 THEN 'a.' WHEN 5 THEN 'b.' ELSE 'c.' END) ||
-      |  source || '.' ||
-      |  (CASE (doc_id // 3) % 3 WHEN 0 THEN 'com' WHEN 1 THEN 'org' ELSE 'net' END) ||
-      |  repeat('/s', (doc_id % 4)::INT) || '/doc' || doc_id::VARCHAR AS url
-      |FROM documents""".stripMargin
+  private def urlSynthFrom(rel: String): String =
+    s"""SELECT doc_id, source, text,
+       |  'https://' ||
+       |  (CASE doc_id % 7 WHEN 0 THEN '' WHEN 1 THEN 'www.' WHEN 2 THEN 'cdn.'
+       |    WHEN 3 THEN 'm.' WHEN 4 THEN 'a.' WHEN 5 THEN 'b.' ELSE 'c.' END) ||
+       |  source || '.' ||
+       |  (CASE (doc_id // 3) % 3 WHEN 0 THEN 'com' WHEN 1 THEN 'org' ELSE 'net' END) ||
+       |  repeat('/s', (doc_id % 4)::INT) || '/doc' || doc_id::VARCHAR AS url
+       |FROM $rel""".stripMargin
+
+  private val UrlSynth: String = urlSynthFrom("documents")
 
   private val UrlHost: String =
     "split_part(split_part(url, '://', 2), '/', 1)"
@@ -3275,6 +3277,38 @@ object OracleSql {
        |  least(count(*), 2)::BIGINT AS n_kept,
        |  count(*)::DOUBLE / ${dlit(2.0)} AS quota_util
        |FROM d GROUP BY domain ORDER BY domain""".stripMargin
+
+  /** Per-domain content-quality rollup (mirror of
+    * Curation.domainQuality over synthUrls, with every doc_id % 5 == 0
+    * page rewritten to a per-source mirror template so the duplicate
+    * rate binds): integer sums with ONE final IEEE division per
+    * signal; the duplicate rate keys on the same hex64 content
+    * fingerprint both engines compute.
+    */
+  val domainQuality: String =
+    s"""WITH docs2 AS (SELECT doc_id, source,
+       |  CASE WHEN doc_id % 5 = 0 THEN 'mirror landing page ' || source
+       |    ELSE text END AS text FROM documents),
+       |u AS (${urlSynthFrom("docs2")}),
+       |p AS (SELECT doc_id, text, $UrlHost AS host FROM u),
+       |d AS (SELECT doc_id, text, host,
+       |  regexp_extract(host, '([^.]+\\.[^.]+)$$', 1) AS domain FROM p),
+       |m AS (SELECT domain, host, ${toksOf("text")} AS toks,
+       |  length(lower(text))::BIGINT AS n_chars,
+       |  length(regexp_replace(lower(text),
+       |    '${graft.text.TextAnalysis.PunctKeepClass}', '', 'g'))::BIGINT AS n_punct
+       |  FROM d),
+       |g AS (SELECT domain, host,
+       |  len(toks)::BIGINT AS n_toks, n_chars, n_punct,
+       |  ${hex64("array_to_string(toks,' ')")} AS fp FROM m)
+       |SELECT domain, count(*)::BIGINT AS n_pages,
+       |  count(DISTINCT host)::BIGINT AS n_hosts,
+       |  sum(n_toks)::BIGINT AS n_tokens,
+       |  sum(n_toks)::DOUBLE / count(*)::DOUBLE AS mean_doc_tokens,
+       |  CASE WHEN sum(n_chars) > 0
+       |    THEN sum(n_punct)::DOUBLE / sum(n_chars)::DOUBLE END AS punct_ratio,
+       |  1.0::DOUBLE - count(DISTINCT fp)::DOUBLE / count(*)::DOUBLE AS dup_rate
+       |FROM g GROUP BY domain ORDER BY domain""".stripMargin
 
   /** Best-copy exact dedup (mirror of Dedup.keepBest): the keeper is
     * the (quality_score DESC, doc_id ASC) head of each fingerprint

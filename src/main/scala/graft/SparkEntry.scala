@@ -452,6 +452,19 @@ object SparkEntry {
             graft.ops.Curation.synthUrls(t(s, dir, "documents")), col("url")),
           quota = 2)
         .orderBy(col("domain"))),
+    // per-domain CONTENT quality rollup — ranks the domains themselves
+    // (token volume, mean doc length, punct ratio, within-domain dup
+    // rate); every doc_id % 5 == 0 page is rewritten to a per-source
+    // mirror template so the duplicate-rate signal actually binds
+    "domain_quality" -> ((s, dir) =>
+      graft.ops.Curation.domainQuality(
+          graft.ops.Curation.synthUrls(t(s, dir, "documents")
+            .withColumn("text",
+              when(col("doc_id") % 5 === 0,
+                concat(lit("mirror landing page "), col("source")))
+                .otherwise(col("text")))),
+          col("url"))
+        .orderBy(col("domain"))),
     "sample_epoch_mix" -> ((s, dir) =>
       graft.ops.Sampling.epochMix(t(s, dir, "documents"), col("doc_id"))
         .select(col("doc_id"), col("source"), col("epoch"))
@@ -1414,6 +1427,7 @@ object SparkEntry {
     "text_word_blocklist" -> OracleSql.textWordBlocklist,
     "pipeline_curate" -> OracleSql.pipelineCurate,
     "domain_stats" -> OracleSql.domainStats,
+    "domain_quality" -> OracleSql.domainQuality,
     "sample_epoch_mix" -> OracleSql.sampleEpochMix,
     "sample_dsir" -> OracleSql.sampleDsir,
     "sample_dsir_persisted" -> OracleSql.sampleDsir,

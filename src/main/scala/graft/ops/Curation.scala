@@ -366,6 +366,44 @@ object Curation {
       .withColumn("quota_util",
         col("n_pages").cast("double") / lit(quota.toDouble))
 
+  /** Per-domain CONTENT quality rollup — what decides which domains
+    * to keep, re-crawl, or down-weight (count quotas cap volume;
+    * this ranks the domains themselves): per domain, page/host
+    * cardinalities, token volume, and three one-division signals —
+    * mean document length, corpus-discipline punctuation ratio
+    * (integer sums, ONE final division — float sums would be
+    * partition-order dependent), and the within-domain duplicate
+    * rate (1 − |distinct content fingerprints| / |pages| — mirror
+    * farms and template spam surface here). Shape: one narrow signal
+    * pass + one keyed agg at the domains grain; the two exact
+    * distincts ride the same shuffle (Expand), bounded by the
+    * domains-grain output.
+    */
+  def domainQuality(pages: DataFrame, url: Column): DataFrame = {
+    val parsed = withUrlParts(pages, url)
+    val sig = parsed
+      .withColumn("toks", graft.GraftFunctions.tokens(col("text")))
+      .withColumn("n_toks", size(col("toks")).cast("long"))
+      .withColumn("n_chars", length(lower(col("text"))).cast("long"))
+      .withColumn("n_punct",
+        length(regexp_replace(lower(col("text")),
+          graft.text.TextAnalysis.PunctKeepClass, "")).cast("long"))
+      .withColumn("fp",
+        graft.GraftFunctions.hex64(array_join(col("toks"), " ")))
+    sig.groupBy(col("domain"))
+      .agg(count(lit(1)).as("n_pages"),
+        countDistinct(col("host")).as("n_hosts"),
+        countDistinct(col("fp")).as("n_unique"),
+        sum(col("n_toks")).as("n_tokens"),
+        sum(col("n_chars")).as("__chars"),
+        sum(col("n_punct")).as("__punct"))
+      .select(col("domain"), col("n_pages"), col("n_hosts"), col("n_tokens"),
+        (col("n_tokens") / col("n_pages")).as("mean_doc_tokens"),
+        when(col("__chars") > 0, col("__punct") / col("__chars"))
+          .as("punct_ratio"),
+        (lit(1.0) - col("n_unique") / col("n_pages")).as("dup_rate"))
+  }
+
   /** Initialize an empty per-domain admission ledger at rest —
     * the incremental-ingest lifecycle for [[domainQuota]] (the
     * curation twin of `Dedup.saveSignatures`): a crawl ingests in

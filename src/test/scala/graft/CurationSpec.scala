@@ -199,6 +199,39 @@ class CurationSpec extends SparkSpec {
     assert(got("b.org").getAs[Long]("n_kept") === 1L)
   }
 
+  test("domainQuality: token volume, punct ratio, within-domain dup rate") {
+    // two domains: a.com has 4 pages (2 identical mirrors) on 2 hosts,
+    // b.org has 1 page of pure punctuation
+    val pages = Seq(
+      (1L, "https://www.a.com/x", "alpha beta gamma"),
+      (2L, "https://a.com/y", "alpha beta gamma"), // mirror of 1
+      (3L, "https://www.a.com/z", "delta epsilon"),
+      (4L, "https://a.com/w", "zeta! eta?"),
+      (5L, "https://b.org/p", "!!! ???")).toDF("doc_id", "url", "text")
+    val got = Curation.domainQuality(pages, col("url")).collect()
+      .map(r => r.getAs[String]("domain") -> r).toMap
+    val a = got("a.com")
+    assert(a.getAs[Long]("n_pages") === 4L)
+    assert(a.getAs[Long]("n_hosts") === 2L)
+    // tokens: 3 + 3 + 2 + 2 = 10; mean = 2.5
+    assert(a.getAs[Long]("n_tokens") === 10L)
+    assert(a.getAs[Double]("mean_doc_tokens") === 2.5)
+    // 3 distinct fingerprints over 4 pages -> dup rate 0.25
+    assert(a.getAs[Double]("dup_rate") === 0.25)
+    // punct: 2 of (16+16+13+10) lowered chars
+    assert(a.getAs[Double]("punct_ratio") === 2.0 / 55.0)
+    val b = got("b.org")
+    // all-punct page: zero tokens, punct ratio 6/7, no dups
+    assert(b.getAs[Long]("n_tokens") === 0L)
+    assert(b.getAs[Double]("dup_rate") === 0.0)
+    assert(b.getAs[Double]("punct_ratio") === 6.0 / 7.0)
+    // one narrow pass + one keyed agg: no window, no join
+    val phys = Curation.domainQuality(pages, col("url"))
+      .queryExecution.executedPlan.toString
+    assert(!phys.contains("Window"), s"domainQuality routes through a window:\n$phys")
+    assert(!phys.contains("Join"), s"domainQuality should not join:\n$phys")
+  }
+
   test("canonicalizeUrl: fragment/tracking/sort/port/slash/case normalize; idempotent") {
     val urls = Seq(
       (1L, "HTTPS://WWW.Example.COM:443/Path/"),
