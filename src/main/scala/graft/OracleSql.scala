@@ -3310,6 +3310,37 @@ object OracleSql {
        |  1.0::DOUBLE - count(DISTINCT fp)::DOUBLE / count(*)::DOUBLE AS dup_rate
        |FROM g GROUP BY domain ORDER BY domain""".stripMargin
 
+  /** RFC 9309 robots gate (mirror of Curation.applyRobots over
+    * synthRobots): precedence = longest matching prefix, Allow wins a
+    * length tie — encoded as arg_max over the composite key
+    * `2*len + allow` (strictly longer beats; equal length differs
+    * only in the allow bit, and identical keys carry identical allow
+    * verdicts, so the argmax is deterministic and equals Spark's
+    * replace-on-longer-or-tie-allow fold). The rule rows ride in from
+    * the same `Curation.RobotsSynthRules` constant.
+    */
+  val robotsGate: String = {
+    val rl = graft.ops.Curation.RobotsSynthRules
+      .map { case (sel, p, a) => s"('$sel', '$p', $a)" }.mkString(", ")
+    s"""WITH u AS ($UrlSynth),
+       |p AS (SELECT doc_id, $UrlHost AS host,
+       |  regexp_extract(url, '://[^/]+(/.*)$$', 1) AS path FROM u),
+       |rl(sel, path_prefix, allow) AS (VALUES $rl),
+       |rules AS (SELECT h.host, r.path_prefix, r.allow
+       |  FROM (SELECT DISTINCT host FROM p) h JOIN rl r
+       |    ON r.sel = '*' OR r.sel = regexp_extract(h.host, '([^.]+)$$', 1)),
+       |m AS (SELECT p.doc_id, r.path_prefix, r.allow
+       |  FROM p LEFT JOIN rules r ON r.host = p.host
+       |    AND starts_with(coalesce(p.path, ''), r.path_prefix)),
+       |b AS (SELECT doc_id,
+       |  coalesce(arg_max(allow, 2 * length(path_prefix) + allow::INT), true)
+       |    AS robots_allowed,
+       |  max(length(path_prefix))::INT AS robots_rule_len
+       |  FROM m GROUP BY doc_id)
+       |SELECT p.doc_id, p.host, p.path, b.robots_allowed, b.robots_rule_len
+       |FROM p JOIN b USING (doc_id) ORDER BY p.doc_id""".stripMargin
+  }
+
   /** Best-copy exact dedup (mirror of Dedup.keepBest): the keeper is
     * the (quality_score DESC, doc_id ASC) head of each fingerprint
     * group — the same argmax the Spark struct-max computes; the

@@ -465,6 +465,19 @@ object SparkEntry {
                 .otherwise(col("text")))),
           col("url"))
         .orderBy(col("domain"))),
+    // RFC 9309 robots gate: per-host Disallow/Allow prefix rules,
+    // longest match wins, Allow wins ties; synth rules make every
+    // precedence branch bind (depth-2 blocked, depth-3 re-allowed,
+    // root docs blocked on .com only)
+    "robots_gate" -> ((s, dir) => {
+      val parsed = graft.ops.Curation.withUrlParts(
+        graft.ops.Curation.synthUrls(t(s, dir, "documents")), col("url"))
+      graft.ops.Curation.applyRobots(parsed,
+          graft.ops.Curation.synthRobots(parsed))
+        .select(col("doc_id"), col("host"), col("path"),
+          col("robots_allowed"), col("robots_rule_len"))
+        .orderBy(col("doc_id"))
+    }),
     "sample_epoch_mix" -> ((s, dir) =>
       graft.ops.Sampling.epochMix(t(s, dir, "documents"), col("doc_id"))
         .select(col("doc_id"), col("source"), col("epoch"))
@@ -1428,6 +1441,7 @@ object SparkEntry {
     "pipeline_curate" -> OracleSql.pipelineCurate,
     "domain_stats" -> OracleSql.domainStats,
     "domain_quality" -> OracleSql.domainQuality,
+    "robots_gate" -> OracleSql.robotsGate,
     "sample_epoch_mix" -> OracleSql.sampleEpochMix,
     "sample_dsir" -> OracleSql.sampleDsir,
     "sample_dsir_persisted" -> OracleSql.sampleDsir,

@@ -404,6 +404,73 @@ object Curation {
         (lit(1.0) - col("n_unique") / col("n_pages")).as("dup_rate"))
   }
 
+  /** RFC 9309-style robots gate over a parsed corpus: per-HOST rule
+    * sets (robots.txt is served per origin, not per registered
+    * domain) of path-prefix Disallow/Allow lines decide
+    * crawlability; the most specific (longest) matching prefix wins
+    * and on a length tie Allow prevails — RFC 9309 §2.2.2
+    * precedence. Pages on hosts with no rules, or with no matching
+    * rule, are allowed (the RFC default). Emits `robots_allowed`
+    * plus `robots_rule_len` (length of the winning prefix; NULL when
+    * nothing matched) so a curator can audit WHY a page dropped.
+    *
+    * Scale shape: rules aggregate ONCE to the hosts grain
+    * (array&lt;struct&gt; per host, bounded by the robots.txt a site
+    * actually serves), ride in as one broadcast-able equi-join, and
+    * the precedence fold is a per-row array HOF — the corpus itself
+    * is never re-keyed and never re-shuffled.
+    */
+  def applyRobots(parsed: DataFrame, rules: DataFrame): DataFrame = {
+    val byHost = graft.ops.Broadcasting.maybeBroadcast(
+      rules.groupBy(lower(col("host")).as("__rhost"))
+        .agg(collect_list(struct(col("path_prefix"), col("allow")))
+          .as("__rules")))
+    val matched = filter(col("__rules"), r =>
+      startswith(coalesce(col("path"), lit("")), r("path_prefix")))
+    // fold to the winning rule: strictly-longer prefix replaces, an
+    // equal-length Allow replaces (so Allow prevails on ties)
+    val best = aggregate(matched,
+      struct(lit(-1).as("len"), lit(true).as("allow")),
+      (acc, r) => {
+        val l = length(r("path_prefix"))
+        when(l > acc("len") || (l === acc("len") && r("allow")),
+          struct(l.as("len"), r("allow").as("allow"))).otherwise(acc)
+      })
+    parsed.join(byHost, lower(col("host")) === col("__rhost"), "left")
+      .withColumn("__best", best)
+      .withColumn("robots_allowed",
+        coalesce(col("__best")("allow"), lit(true)))
+      .withColumn("robots_rule_len",
+        when(col("__best")("len") >= 0, col("__best")("len")))
+      .drop("__rhost", "__rules", "__best")
+  }
+
+  /** tld-keyed synthetic robots rules over the corpus's own hosts
+    * (driver-row input — testdata has no robots column; the gate
+    * operator is the real one): every host blocks `/s/s` but
+    * re-allows `/s/s/s` (longest-match-wins binds), `.com` hosts
+    * additionally block `/doc` (per-host variation binds). One Scala
+    * constant feeds both engines.
+    */
+  val RobotsSynthRules: Seq[(String, String, Boolean)] = Seq(
+    ("*", "/s/s", false),
+    ("*", "/s/s/s", true),
+    ("com", "/doc", false))
+
+  def synthRobots(parsed: DataFrame): DataFrame = {
+    val ruleLits = RobotsSynthRules.map { case (sel, p, a) =>
+      struct(lit(sel).as("sel"), lit(p).as("path_prefix"),
+        lit(a).as("allow"))
+    }
+    parsed.select(lower(col("host")).as("host"))
+      .where(col("host").isNotNull).distinct()
+      .withColumn("__tld", substring_index(col("host"), ".", -1))
+      .select(col("host"), explode(
+        filter(array(ruleLits: _*), r =>
+          r("sel") === lit("*") || r("sel") === col("__tld"))).as("r"))
+      .select(col("host"), col("r.path_prefix"), col("r.allow"))
+  }
+
   /** Initialize an empty per-domain admission ledger at rest —
     * the incremental-ingest lifecycle for [[domainQuota]] (the
     * curation twin of `Dedup.saveSignatures`): a crawl ingests in

@@ -232,6 +232,38 @@ class CurationSpec extends SparkSpec {
     assert(!phys.contains("Join"), s"domainQuality should not join:\n$phys")
   }
 
+  test("applyRobots: RFC 9309 precedence — longest match wins, Allow wins ties, no-rule hosts allowed") {
+    val pages = Seq(
+      (1L, "a.com", "/private/x"),       // blocked by /private
+      (2L, "a.com", "/private/pub/x"),   // re-allowed: /private/pub is longer
+      (3L, "a.com", "/open/x"),          // no matching rule -> allowed
+      (4L, "a.com", "/tie"),             // equal-length tie -> Allow prevails
+      (5L, "b.org", "/private/x"),       // host has NO rules -> allowed
+      (6L, "a.com", null))               // null path -> '' matches nothing
+      .toDF("doc_id", "host", "path")
+    val rules = Seq(
+      ("a.com", "/private", false),
+      ("a.com", "/private/pub", true),
+      ("a.com", "/tie", false),
+      ("A.COM", "/tie", true)) // case-insensitive host key; same-length tie
+      .toDF("host", "path_prefix", "allow")
+    val got = Curation.applyRobots(pages, rules).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Boolean]("robots_allowed"),
+          Option(r.getAs[Integer]("robots_rule_len")))).toMap
+    assert(got(1L) === (false, Some(8)))
+    assert(got(2L) === (true, Some(12)))
+    assert(got(3L) === (true, None))
+    assert(got(4L) === (true, Some(4)))
+    assert(got(5L) === (true, None))
+    assert(got(6L) === (true, None))
+    // one equi-join on host, no window, no cartesian
+    val phys = Curation.applyRobots(pages, rules)
+      .queryExecution.executedPlan.toString
+    assert(!phys.contains("Window"), s"robots gate routes through a window:\n$phys")
+    assert(!phys.contains("Cartesian"), s"robots gate goes cartesian:\n$phys")
+  }
+
   test("canonicalizeUrl: fragment/tracking/sort/port/slash/case normalize; idempotent") {
     val urls = Seq(
       (1L, "HTTPS://WWW.Example.COM:443/Path/"),
