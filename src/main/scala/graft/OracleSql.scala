@@ -3310,6 +3310,31 @@ object OracleSql {
        |  1.0::DOUBLE - count(DISTINCT fp)::DOUBLE / count(*)::DOUBLE AS dup_rate
        |FROM g GROUP BY domain ORDER BY domain""".stripMargin
 
+  /** Exact pairwise source-overlap matrix (mirror of
+    * Pipeline.sourceOverlap with the planted shared templates):
+    * distinct (source, fingerprint) grain, self-join on fingerprint,
+    * integer counts with one IEEE division per ratio.
+    */
+  val sourceOverlap: String =
+    s"""WITH docs2 AS (SELECT doc_id, source,
+       |  CASE WHEN doc_id % 7 = 0
+       |    THEN 'shared boilerplate page ' || (doc_id % 3)::VARCHAR
+       |    ELSE text END AS text FROM documents),
+       |t AS (SELECT source, ${toksOf("text")} AS toks FROM docs2),
+       |fp AS (SELECT DISTINCT source AS grp,
+       |  ${hex64("array_to_string(toks,' ')")} AS fp FROM t),
+       |sizes AS (SELECT grp, count(*)::BIGINT AS n FROM fp GROUP BY 1),
+       |pairs AS (SELECT a.grp AS grp_a, b.grp AS grp_b,
+       |  count(*)::BIGINT AS n_common
+       |  FROM fp a JOIN fp b ON a.fp = b.fp AND a.grp < b.grp GROUP BY 1, 2)
+       |SELECT grp_a, grp_b, n_common, sa.n AS n_a, sb.n AS n_b,
+       |  n_common::DOUBLE / (sa.n + sb.n - n_common)::DOUBLE AS jaccard,
+       |  n_common::DOUBLE / sa.n::DOUBLE AS containment_a,
+       |  n_common::DOUBLE / sb.n::DOUBLE AS containment_b
+       |FROM pairs JOIN sizes sa ON sa.grp = grp_a
+       |  JOIN sizes sb ON sb.grp = grp_b
+       |ORDER BY grp_a, grp_b""".stripMargin
+
   /** RFC 9309 robots gate (mirror of Curation.applyRobots over
     * synthRobots): precedence = longest matching prefix, Allow wins a
     * length tie — encoded as arg_max over the composite key

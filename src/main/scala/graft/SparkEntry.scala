@@ -103,6 +103,19 @@ object SparkEntry {
           .select((id + 10000000L).as("doc_id"), col("text")))
       graft.ops.Pipeline.corpusDiff(base, newC).orderBy(col("doc_id"))
     }),
+    // exact pairwise overlap matrix across sources: fingerprint-keyed
+    // self-join (never all-pairs docs); every doc_id % 7 == 0 page is
+    // rewritten to one of 3 source-independent templates so the
+    // cross-source overlap actually binds
+    "source_overlap" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").withColumn("text",
+        when(col("doc_id") % 7 === 0,
+          concat(lit("shared boilerplate page "),
+            (col("doc_id") % 3).cast("string")))
+          .otherwise(col("text")))
+      graft.ops.Pipeline.sourceOverlap(docs, col("source"))
+        .orderBy(col("grp_a"), col("grp_b"))
+    }),
     // sketch-tier cross-corpus overlap: one mergeable HLL per corpus
     // (kilobytes), inclusion-exclusion on the merged union — the
     // continuous "is this crawl worth ingesting" probe at 100 TB where
@@ -1468,6 +1481,7 @@ object SparkEntry {
     "events_transitions" -> OracleSql.eventsTransitions,
     "events_anomaly_robust" -> OracleSql.eventsAnomalyRobust,
     "corpus_diff" -> OracleSql.corpusDiff,
+    "source_overlap" -> OracleSql.sourceOverlap,
     "text_phrase_search_persisted" -> OracleSql.textPhraseSearch,
     "text_ngram_lm_persisted" -> OracleSql.textNgramLm,
     "text_hash_embed" -> OracleSql.textHashEmbed,

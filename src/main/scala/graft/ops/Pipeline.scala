@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 import graft.dedup.Dedup
@@ -208,5 +208,45 @@ object Pipeline {
           .when(col("old_fp") === col("new_fp"), "unchanged")
           .otherwise("changed").as("status"),
         col("old_fp"), col("new_fp"))
+  }
+
+  /** EXACT pairwise content overlap between corpus slices (sources,
+    * shards, snapshots): for every unordered slice pair with shared
+    * content, the common-fingerprint count, both slice sizes, Jaccard,
+    * and both containments — the mixing-decision matrix a curator
+    * reads before weighting sources ([[corpusOverlapSketch]] is the
+    * sketch tier for two corpora; this is the exact matrix over N
+    * slices).
+    *
+    * Shape: reduce to the DISTINCT (slice, fingerprint) grain (one
+    * narrow pass + one dedup shuffle), then a self-equi-join ON THE
+    * FINGERPRINT — never all-pairs documents: each fingerprint joins
+    * only across the slices it actually appears in, so the expansion
+    * is bounded by |distinct fps| × slices², and slice sizes ride in
+    * as a broadcast. Pairs with zero overlap are absent by
+    * construction (a 20-source corpus emits ≤ 190 rows, not a dense
+    * matrix of zeros).
+    */
+  def sourceOverlap(docs: DataFrame, group: Column): DataFrame = {
+    val fp = docs.select(group.cast("string").as("grp"),
+        graft.GraftFunctions.hex64(
+          array_join(graft.GraftFunctions.tokens(col("text")), " ")).as("fp"))
+      .distinct()
+    val sizes = fp.groupBy(col("grp")).agg(count(lit(1)).as("n"))
+    val pairs = fp.as("a").join(fp.as("b"), col("a.fp") === col("b.fp"))
+      .where(col("a.grp") < col("b.grp"))
+      .groupBy(col("a.grp").as("grp_a"), col("b.grp").as("grp_b"))
+      .agg(count(lit(1)).as("n_common"))
+    pairs
+      .join(graft.ops.Broadcasting.maybeBroadcast(
+        sizes.select(col("grp").as("grp_a"), col("n").as("n_a"))), Seq("grp_a"))
+      .join(graft.ops.Broadcasting.maybeBroadcast(
+        sizes.select(col("grp").as("grp_b"), col("n").as("n_b"))), Seq("grp_b"))
+      .select(col("grp_a"), col("grp_b"), col("n_common"),
+        col("n_a"), col("n_b"),
+        (col("n_common") / (col("n_a") + col("n_b") - col("n_common")))
+          .as("jaccard"),
+        (col("n_common") / col("n_a")).as("containment_a"),
+        (col("n_common") / col("n_b")).as("containment_b"))
   }
 }

@@ -815,6 +815,33 @@ class RelationalSpec extends SparkSpec {
       4L -> "unchanged", 9L -> "added"), s"got $got")
   }
 
+  test("sourceOverlap: exact pairwise counts, jaccard, containments; zero-overlap pairs absent") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // a: {x, y, z}; b: {x, y, w}; c: {q} (disjoint); dup copies within
+    // a slice must not inflate its distinct-fingerprint size
+    val docs = Seq(
+      (1L, "a", "x common"), (2L, "a", "y common"), (3L, "a", "z only a"),
+      (4L, "a", "x common"), // duplicate within a
+      (5L, "b", "x common"), (6L, "b", "y common"), (7L, "b", "w only b"),
+      (8L, "c", "q disjoint")).toDF("doc_id", "source", "text")
+    val got = graft.ops.Pipeline.sourceOverlap(docs, col("source")).collect()
+    assert(got.length === 1, s"only (a,b) overlaps: ${got.mkString(";")}")
+    val r = got.head
+    assert(r.getAs[String]("grp_a") === "a")
+    assert(r.getAs[String]("grp_b") === "b")
+    assert(r.getAs[Long]("n_common") === 2L)
+    assert(r.getAs[Long]("n_a") === 3L)
+    assert(r.getAs[Long]("n_b") === 3L)
+    assert(r.getAs[Double]("jaccard") === 0.5)
+    assert(r.getAs[Double]("containment_a") === 2.0 / 3.0)
+    assert(r.getAs[Double]("containment_b") === 2.0 / 3.0)
+    // the join is fingerprint-keyed, never a cartesian over documents
+    val phys = graft.ops.Pipeline.sourceOverlap(docs, col("source"))
+      .queryExecution.executedPlan.toString
+    assert(!phys.contains("Cartesian"), s"sourceOverlap goes cartesian:\n$phys")
+  }
+
   test("corpusOverlapSketch: estimates within HLL tolerance of the exact planted overlap") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
