@@ -3310,6 +3310,27 @@ object OracleSql {
        |  1.0::DOUBLE - count(DISTINCT fp)::DOUBLE / count(*)::DOUBLE AS dup_rate
        |FROM g GROUP BY domain ORDER BY domain""".stripMargin
 
+  /** Token-budget fill (mirror of Sampling.tokenBudget at budget=600
+    * with the hex64 priority): the kept set is the longest prefix of
+    * the per-source (priority, doc_id) stream whose cumulative token
+    * mass fits — cum_before over ALL earlier docs, integer arithmetic
+    * throughout.
+    */
+  val sampleTokenBudget: String =
+    s"""WITH t AS (SELECT doc_id, source AS grp,
+       |  len($Toks)::BIGINT AS n_tokens,
+       |  ${hex64("'budget|' || doc_id::VARCHAR")} AS priority
+       |  FROM documents),
+       |c AS (SELECT doc_id, grp, n_tokens, priority,
+       |  coalesce(sum(n_tokens) OVER (PARTITION BY grp
+       |    ORDER BY priority, doc_id
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT
+       |    AS cum_before
+       |  FROM t)
+       |SELECT doc_id, grp, n_tokens, priority, cum_before,
+       |  cum_before + n_tokens <= 600 AS keep
+       |FROM c ORDER BY doc_id""".stripMargin
+
   /** Exact pairwise source-overlap matrix (mirror of
     * Pipeline.sourceOverlap with the planted shared templates):
     * distinct (source, fingerprint) grain, self-join on fingerprint,

@@ -491,6 +491,16 @@ object SparkEntry {
           col("robots_allowed"), col("robots_rule_len"))
         .orderBy(col("doc_id"))
     }),
+    // token-budget fill per source: longest prefix of the hash-ordered
+    // stream that fits 600 tokens — the "N tokens of web" sampling
+    // primitive; budget is a hard cap, decision table is auditable
+    "sample_token_budget" -> ((s, dir) =>
+      graft.ops.Sampling.tokenBudget(t(s, dir, "documents"), col("source"),
+          size(graft.GraftFunctions.tokens(col("text"))).cast("long"),
+          graft.GraftFunctions.hex64(
+            concat(lit("budget|"), col("doc_id").cast("string"))),
+          budget = 600L)
+        .orderBy(col("doc_id"))),
     "sample_epoch_mix" -> ((s, dir) =>
       graft.ops.Sampling.epochMix(t(s, dir, "documents"), col("doc_id"))
         .select(col("doc_id"), col("source"), col("epoch"))
@@ -1455,6 +1465,7 @@ object SparkEntry {
     "domain_stats" -> OracleSql.domainStats,
     "domain_quality" -> OracleSql.domainQuality,
     "robots_gate" -> OracleSql.robotsGate,
+    "sample_token_budget" -> OracleSql.sampleTokenBudget,
     "sample_epoch_mix" -> OracleSql.sampleEpochMix,
     "sample_dsir" -> OracleSql.sampleDsir,
     "sample_dsir_persisted" -> OracleSql.sampleDsir,

@@ -290,4 +290,55 @@ object Sampling {
         coalesce(col("n_kept"), lit(0L)).as("n_kept"))
       .orderBy(col("source"))
   }
+
+  /** Per-group TOKEN-budget fill — the sampling primitive a training
+    * mix is actually specified in ("500 B tokens of web, 50 B of
+    * code"), where count- or rate-based sampling misses because
+    * document lengths vary by orders of magnitude: within each group,
+    * documents are visited in deterministic `(priority, doc_id)`
+    * order and the kept set is the longest PREFIX of that stream
+    * that fits: `keep = cum_before + n_tokens ≤ budget`, with
+    * `cum_before` the offset over ALL earlier docs — the budget is a
+    * hard cap, and admission is a pure function of the ordered
+    * stream (replayable in any engine), unlike stateful first-fit/
+    * best-fit whose output depends on mutable bin state. Emits the
+    * full decision table (`cum_before`, `keep`) so the fill is
+    * auditable.
+    *
+    * Shape: the [[graft.ops.Packing]] distributed prefix sum — a
+    * range exchange on `(group, priority, id)` splits even a
+    * mega-group across partitions, per-(partition, group) masses
+    * roll up driver-scale, within-partition windows are bounded by
+    * the range partition size — NEVER a per-group ordered window
+    * (one dominant source would serialize onto a single task).
+    */
+  def tokenBudget(docs: DataFrame, group: Column, nTokens: Column,
+      priority: Column, budget: Long): DataFrame = {
+    require(budget > 0, s"budget must be positive, got $budget")
+    val counted = docs.select(col("doc_id"), group.cast("string").as("grp"),
+      nTokens.cast("long").as("n_tokens"), priority.as("__prio"))
+    val nPart = docs.sparkSession.sessionState.conf.numShufflePartitions
+    val ranged = counted
+      .repartitionByRange(nPart, col("grp"), col("__prio"), col("doc_id"))
+      .withColumn("__pid", spark_partition_id())
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val wOff = Window.partitionBy(col("grp")).orderBy(col("__pid"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = ranged.groupBy(col("__pid"), col("grp"))
+      .agg(sum(col("n_tokens")).as("__psum"))
+      .withColumn("__offset", coalesce(sum(col("__psum")).over(wOff), lit(0L)))
+      .select(col("__pid"), col("grp"), col("__offset"))
+    val wIn = Window.partitionBy(col("__pid"), col("grp"))
+      .orderBy(col("__prio"), col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val out = ranged
+      .withColumn("__cum_in", coalesce(sum(col("n_tokens")).over(wIn), lit(0L)))
+      .join(broadcast(offsets), Seq("__pid", "grp"))
+      .select(col("doc_id"), col("grp"), col("n_tokens"),
+        col("__prio").as("priority"),
+        (col("__cum_in") + col("__offset")).as("cum_before"))
+      .withColumn("keep",
+        col("cum_before") + col("n_tokens") <= lit(budget))
+    Caching.materialized(out) { ranged.unpersist(false) }
+  }
 }

@@ -441,6 +441,38 @@ class RelationalSpec extends SparkSpec {
       s"kept ${bigKept.toDouble / bigN} vs rate $bigRate")
   }
 
+  test("tokenBudget: longest fitting prefix per group; hard cap; partitioning-invariant") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // group a in doc_id priority order: 100, 300, 250, 400 tokens
+    // with budget 600: keep 100 (cum 0), keep 300 (cum 100), drop 250
+    // (cum 400 -> 650 > 600), drop 400 (cum 650); group b: tiny docs
+    // all fit
+    val docs = Seq(
+      (1L, "a", 100L), (2L, "a", 300L), (3L, "a", 250L), (4L, "a", 400L),
+      (10L, "b", 5L), (11L, "b", 5L)).toDF("doc_id", "source", "n")
+    def run(df: org.apache.spark.sql.DataFrame) =
+      graft.ops.Sampling.tokenBudget(df, col("source"), col("n"),
+        col("doc_id"), budget = 600L)
+    val got = run(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("cum_before"), r.getAs[Boolean]("keep"))).toMap
+    assert(got(1L) === (0L, true))
+    assert(got(2L) === (100L, true))
+    assert(got(3L) === (400L, false)) // would cross the cap
+    assert(got(4L) === (650L, false)) // stream already over budget
+    assert(got(10L) === (0L, true) && got(11L) === (5L, true))
+    // kept token mass never exceeds the budget in any group
+    val mass = run(docs).where(col("keep"))
+      .groupBy(col("grp")).agg(sum(col("n_tokens")).as("m"))
+      .collect().map(_.getAs[Long]("m"))
+    assert(mass.forall(_ <= 600L), mass.mkString(","))
+    // pure function of the ordered stream: any physical layout agrees
+    val again = run(docs.repartition(7)).collect()
+      .map(_.toString).sorted.toSeq
+    assert(again === run(docs).collect().map(_.toString).sorted.toSeq)
+  }
+
   test("epochMix replicates to the target mix: full copies exact, fractional gate recounted") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
