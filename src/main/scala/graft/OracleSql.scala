@@ -3310,6 +3310,40 @@ object OracleSql {
        |  1.0::DOUBLE - count(DISTINCT fp)::DOUBLE / count(*)::DOUBLE AS dup_rate
        |FROM g GROUP BY domain ORDER BY domain""".stripMargin
 
+  /** Host-level web link graph (mirror of Html.extractLinks +
+    * hostEdges over the link-planted scaffold): both quote-style href
+    * patterns, literal entity decode, scheme-aware resolution, one
+    * keyed agg — every constant rides in from the Html object.
+    */
+  lazy val webLinkGraph: String = {
+    import graft.text.Html
+    val decoded = Html.Entities.foldLeft("href0") {
+      case (acc, (ent, ch)) => s"replace($acc, ${slit(ent)}, ${slit(ch)})" }
+    val dq = Html.HrefDq.replace("'", "''")
+    val sq = Html.HrefSq.replace("'", "''")
+    s"""WITH u AS ($UrlSynth),
+       |p AS (SELECT doc_id, text, $UrlHost AS host FROM u),
+       |m AS (SELECT doc_id, host,
+       |  ${slit(Html.LinkScaffoldA)} || text || ${slit(Html.LinkScaffoldB)} ||
+       |  ((doc_id * 7 + 3) % 20)::VARCHAR || ${slit(Html.LinkScaffoldC)} ||
+       |  doc_id::VARCHAR || ${slit(Html.LinkScaffoldD)} AS h FROM p),
+       |hr AS (SELECT doc_id, host, unnest(list_concat(
+       |  regexp_extract_all(h, '$dq', 1),
+       |  regexp_extract_all(h, '$sq', 1))) AS href0 FROM m),
+       |d AS (SELECT doc_id, host, $decoded AS href FROM hr),
+       |r AS (SELECT host AS src_host,
+       |  CASE WHEN regexp_matches(href, '(?i)^https?://')
+       |    THEN lower(regexp_extract(href, '(?i)^https?://([^/?#]+)', 1))
+       |  WHEN starts_with(href, '//')
+       |    THEN lower(regexp_extract(href, '^//([^/?#]+)', 1))
+       |  WHEN regexp_matches(href, '^[A-Za-z][A-Za-z0-9+.-]*:') THEN NULL
+       |  ELSE host END AS dst_host FROM d)
+       |SELECT src_host, dst_host, count(*)::BIGINT AS n_links,
+       |  src_host = dst_host AS is_internal
+       |FROM r WHERE dst_host IS NOT NULL
+       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+  }
+
   /** Token-budget fill (mirror of Sampling.tokenBudget at budget=600
     * with the hex64 priority): the kept set is the longest prefix of
     * the per-source (priority, doc_id) stream whose cumulative token

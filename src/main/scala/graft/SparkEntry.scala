@@ -491,6 +491,18 @@ object SparkEntry {
           col("robots_allowed"), col("robots_rule_len"))
         .orderBy(col("doc_id"))
     }),
+    // host-level web link graph: href extraction (both quote styles,
+    // entity-decoded), scheme-aware resolution (absolute/protocol-
+    // relative/relative/non-navigation), aggregated to weighted
+    // (src_host, dst_host) edges — the PageRank feeder
+    "web_link_graph" -> ((s, dir) => {
+      val parsed = graft.ops.Curation.withUrlParts(
+        graft.ops.Curation.synthUrls(t(s, dir, "documents")), col("url"))
+      val planted = graft.text.Html.linkPlanted(parsed)
+      graft.text.Html.hostEdges(
+          graft.text.Html.extractLinks(planted, col("__html"), col("host")))
+        .orderBy(col("src_host"), col("dst_host"))
+    }),
     // token-budget fill per source: longest prefix of the hash-ordered
     // stream that fits 600 tokens — the "N tokens of web" sampling
     // primitive; budget is a hard cap, decision table is auditable
@@ -1466,6 +1478,7 @@ object SparkEntry {
     "domain_quality" -> OracleSql.domainQuality,
     "robots_gate" -> OracleSql.robotsGate,
     "sample_token_budget" -> OracleSql.sampleTokenBudget,
+    "web_link_graph" -> OracleSql.webLinkGraph,
     "sample_epoch_mix" -> OracleSql.sampleEpochMix,
     "sample_dsir" -> OracleSql.sampleDsir,
     "sample_dsir_persisted" -> OracleSql.sampleDsir,

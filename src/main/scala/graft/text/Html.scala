@@ -112,4 +112,84 @@ object Html {
   def extractPlanted(docs: DataFrame): DataFrame =
     extract(docs,
       concat(lit(ScaffoldPrefix), col("text"), lit(ScaffoldSuffix)))
+
+  // ---- link graph extraction ----
+
+  /** href capture inside an `<a …>` tag, one pattern per quote style
+    * (RE2 has no backreferences, so one pattern cannot match both) —
+    * shared verbatim with the oracle. Lazy `[^>]*?` keeps the match
+    * inside the tag.
+    */
+  val HrefDq: String =
+    "(?is)<a" + TagBoundary + "[^>]*?href[ \\t\\r\\n]*=[ \\t\\r\\n]*\"([^\"]*)\""
+  val HrefSq: String =
+    "(?is)<a" + TagBoundary + "[^>]*?href[ \\t\\r\\n]*=[ \\t\\r\\n]*'([^']*)'"
+
+  /** Destination host of a decoded href seen on a page hosted at
+    * `pageHost`: absolute `http(s)://` and protocol-relative `//`
+    * links resolve to their own authority, other schemes (mailto:,
+    * javascript:, tel:, data:) resolve to NULL (not navigation),
+    * everything else is a relative link → the page's own host.
+    */
+  def linkDstHost(href: Column, pageHost: Column): Column =
+    when(href.rlike("(?i)^https?://"),
+      lower(regexp_extract(href, "(?i)^https?://([^/?#]+)", 1)))
+      .when(href.startsWith("//"),
+        lower(regexp_extract(href, "^//([^/?#]+)", 1)))
+      .when(href.rlike("^[A-Za-z][A-Za-z0-9+.-]*:"), lit(null))
+      .otherwise(lower(pageHost))
+
+  /** Outbound links of every page: one row per href with the decoded
+    * target and its resolved destination host. Pure narrow map +
+    * explode — zero exchanges; the web-graph feeder for
+    * [[graft.ops.Graph]] PageRank and for link-farm/anchor analyses.
+    */
+  def extractLinks(docs: DataFrame, html: Column,
+      pageHost: Column): DataFrame = {
+    val hrefs = concat(
+      regexp_extract_all(html, lit(HrefDq), lit(1)),
+      regexp_extract_all(html, lit(HrefSq), lit(1)))
+    val decoded = Entities.foldLeft(col("__href0")) {
+      case (c, (ent, ch)) => replace(c, lit(ent), lit(ch))
+    }
+    docs.select(col("doc_id"), lower(pageHost).as("src_host"),
+        explode(hrefs).as("__href0"))
+      .select(col("doc_id"), col("src_host"), decoded.as("href"))
+      .withColumn("dst_host", linkDstHost(col("href"), col("src_host")))
+  }
+
+  /** Host-level link graph: aggregate [[extractLinks]] rows into
+    * weighted (src_host, dst_host) edges — non-navigation hrefs drop,
+    * self-links are flagged, not dropped (internal-to-external ratio
+    * is itself a link-farm signal). ONE keyed agg at the host-pair
+    * grain; the output feeds `Graph.pagerank` directly.
+    */
+  def hostEdges(links: DataFrame): DataFrame =
+    links.where(col("dst_host").isNotNull)
+      .groupBy(col("src_host"), col("dst_host"))
+      .agg(count(lit(1)).as("n_links"))
+      .withColumn("is_internal", col("src_host") === col("dst_host"))
+
+  /** Link-planting scaffold (driver row): each page carries one
+    * external link whose target host is a deterministic function of
+    * doc_id, one relative link, and one mailto (must be dropped).
+    * Pieces are constants so the oracle concatenates the same bytes.
+    */
+  val LinkScaffoldA: String = "<html><body><p>"
+  val LinkScaffoldB: String = "</p>\n<a href=\"https://www.src"
+  val LinkScaffoldC: String = ".com/x?a=1&amp;b=2\">ext</a>\n" +
+    "<a href='/rel/doc"
+  val LinkScaffoldD: String = "'>rel</a>\n" +
+    "<a href=\"mailto:u@v.example\">mail</a>\n</body></html>"
+
+  /** Scaffold-wrapped corpus for the link-graph driver row: the
+    * external target is `www.src{(7·doc_id+3) mod 20}.com`, so the
+    * host graph has real fan-out instead of one hub.
+    */
+  def linkPlanted(parsed: DataFrame): DataFrame =
+    parsed.withColumn("__html", concat(
+      lit(LinkScaffoldA), col("text"), lit(LinkScaffoldB),
+      pmod(col("doc_id") * 7 + 3, lit(20L)).cast("string"),
+      lit(LinkScaffoldC), col("doc_id").cast("string"),
+      lit(LinkScaffoldD)))
 }

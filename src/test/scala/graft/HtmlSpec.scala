@@ -86,6 +86,43 @@ class HtmlSpec extends SparkSpec {
       s"short page must fail on quality: $r5")
   }
 
+  test("extractLinks/hostEdges: quote styles, entity decode, scheme resolution, edge weights") {
+    val docs = Seq(
+      (1L, "Www.Site.COM",
+        """<a href="https://Ext.org/p?a=1&amp;b=2">x</a>
+          |<a href='/rel'>y</a>
+          |<a href="//proto.net/q">z</a>
+          |<a href="mailto:a@b.c">m</a>
+          |<a href="javascript:void(0)">j</a>
+          |<a href="https://ext.org/other">x2</a>""".stripMargin),
+      (2L, "only.site", "<p>no links here</p>")).toDF("doc_id", "host", "html")
+    val links = graft.text.Html.extractLinks(docs, col("html"), col("host"))
+    val byHref = links.collect().map(r =>
+      r.getAs[String]("href") -> Option(r.getAs[String]("dst_host"))).toMap
+    // entity decoded; absolute resolves to its own (lowered) authority
+    assert(byHref("https://Ext.org/p?a=1&b=2") === Some("ext.org"))
+    // single-quoted relative link resolves to the page host, lowered
+    assert(byHref("/rel") === Some("www.site.com"))
+    assert(byHref("//proto.net/q") === Some("proto.net"))
+    // non-navigation schemes resolve to null
+    assert(byHref("mailto:a@b.c") === None)
+    assert(byHref("javascript:void(0)") === None)
+    val edges = graft.text.Html.hostEdges(links).collect()
+      .map(r => (r.getAs[String]("src_host"), r.getAs[String]("dst_host")) ->
+        (r.getAs[Long]("n_links"), r.getAs[Boolean]("is_internal"))).toMap
+    // two links to ext.org aggregate into one weighted edge
+    assert(edges(("www.site.com", "ext.org")) === (2L, false))
+    assert(edges(("www.site.com", "www.site.com")) === (1L, true))
+    assert(edges(("www.site.com", "proto.net")) === (1L, false))
+    assert(edges.size === 3, s"mailto/javascript must not become edges: $edges")
+    // narrow map + explode + one keyed agg: no join, no window
+    val phys = graft.text.Html.hostEdges(
+      graft.text.Html.extractLinks(docs, col("html"), col("host")))
+      .queryExecution.executedPlan.toString
+    assert(!phys.contains("Join") && !phys.contains("Window"),
+      s"link graph should be map+agg only:\n$phys")
+  }
+
   test("planted scaffold exercises every rule and reconstructs the body text") {
     val docs = Seq((7L, "the original document body")).toDF("doc_id", "text")
     val r = graft.text.Html.extractPlanted(docs).head()
