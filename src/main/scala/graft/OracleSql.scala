@@ -3315,13 +3315,13 @@ object OracleSql {
     * patterns, literal entity decode, scheme-aware resolution, one
     * keyed agg — every constant rides in from the Html object.
     */
-  lazy val webLinkGraph: String = {
+  private lazy val linkResolveCtes: String = {
     import graft.text.Html
     val decoded = Html.Entities.foldLeft("href0") {
       case (acc, (ent, ch)) => s"replace($acc, ${slit(ent)}, ${slit(ch)})" }
     val dq = Html.HrefDq.replace("'", "''")
     val sq = Html.HrefSq.replace("'", "''")
-    s"""WITH u AS ($UrlSynth),
+    s"""u AS ($UrlSynth),
        |p AS (SELECT doc_id, text, $UrlHost AS host FROM u),
        |m AS (SELECT doc_id, host,
        |  ${slit(Html.LinkScaffoldA)} || text || ${slit(Html.LinkScaffoldB)} ||
@@ -3337,11 +3337,43 @@ object OracleSql {
        |  WHEN starts_with(href, '//')
        |    THEN lower(regexp_extract(href, '^//([^/?#]+)', 1))
        |  WHEN regexp_matches(href, '^[A-Za-z][A-Za-z0-9+.-]*:') THEN NULL
-       |  ELSE host END AS dst_host FROM d)
+       |  ELSE host END AS dst_host FROM d)""".stripMargin
+  }
+
+  lazy val webLinkGraph: String =
+    s"""WITH $linkResolveCtes
        |SELECT src_host, dst_host, count(*)::BIGINT AS n_links,
        |  src_host = dst_host AS is_internal
        |FROM r WHERE dst_host IS NOT NULL
        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  /** Host PageRank over the extracted link graph (mirror of
+    * Html.hostEdges → Graph.pageRank, internal edges dropped): the
+    * [[qPagerank]] unrolled int64 fixed-point over the
+    * [[linkResolveCtes]] edge set.
+    */
+  lazy val webPagerank: String = {
+    val iters = 10
+    val scale = graft.ops.Graph.Scale
+    val base = 15L * scale / 100L
+    val iterCtes = (1 to iters).map { i =>
+      s"""pr$i AS (SELECT d.node, d.outdeg,
+         |  ($base + (85 * coalesce(s.s, 0)) // 100)::BIGINT AS rank_fp
+         |  FROM degs d LEFT JOIN (
+         |    SELECT e.dst AS node, sum(r.rank_fp // r.outdeg)::BIGINT AS s
+         |    FROM edges e JOIN pr${i - 1} r ON r.node = e.src GROUP BY 1) s
+         |  ON s.node = d.node)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $linkResolveCtes,
+       |edges AS (SELECT DISTINCT src_host AS src, dst_host AS dst FROM r
+       |  WHERE dst_host IS NOT NULL AND dst_host <> src_host),
+       |degs AS (SELECT src AS node, count(*)::BIGINT AS outdeg
+       |  FROM edges GROUP BY 1),
+       |pr0 AS (SELECT node, outdeg, $scale::BIGINT AS rank_fp FROM degs),
+       |$iterCtes
+       |SELECT node, outdeg, rank_fp,
+       |  rank_fp::DOUBLE / ${dlit(scale.toDouble)} AS pagerank
+       |FROM pr$iters ORDER BY rank_fp DESC, node LIMIT 50""".stripMargin
   }
 
   /** Token-budget fill (mirror of Sampling.tokenBudget at budget=600

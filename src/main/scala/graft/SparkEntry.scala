@@ -503,6 +503,20 @@ object SparkEntry {
           graft.text.Html.extractLinks(planted, col("__html"), col("host")))
         .orderBy(col("src_host"), col("dst_host"))
     }),
+    // host PageRank over the EXTRACTED link graph — raw HTML to
+    // authority ranks end-to-end (internal links dropped, the web
+    // convention; top 50 hosts by int64 fixed-point rank)
+    "web_pagerank" -> ((s, dir) => {
+      val parsed = graft.ops.Curation.withUrlParts(
+        graft.ops.Curation.synthUrls(t(s, dir, "documents")), col("url"))
+      val edges = graft.text.Html.hostEdges(
+          graft.text.Html.extractLinks(
+            graft.text.Html.linkPlanted(parsed), col("__html"), col("host")))
+        .where(!col("is_internal"))
+        .select(col("src_host").as("src"), col("dst_host").as("dst"))
+      graft.ops.Graph.pageRank(edges, iterations = 10)
+        .orderBy(col("rank_fp").desc, col("node")).limit(50)
+    }),
     // token-budget fill per source: longest prefix of the hash-ordered
     // stream that fits 600 tokens — the "N tokens of web" sampling
     // primitive; budget is a hard cap, decision table is auditable
@@ -1479,6 +1493,7 @@ object SparkEntry {
     "robots_gate" -> OracleSql.robotsGate,
     "sample_token_budget" -> OracleSql.sampleTokenBudget,
     "web_link_graph" -> OracleSql.webLinkGraph,
+    "web_pagerank" -> OracleSql.webPagerank,
     "sample_epoch_mix" -> OracleSql.sampleEpochMix,
     "sample_dsir" -> OracleSql.sampleDsir,
     "sample_dsir_persisted" -> OracleSql.sampleDsir,
