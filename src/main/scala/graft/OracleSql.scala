@@ -3376,6 +3376,26 @@ object OracleSql {
        |FROM pr$iters ORDER BY rank_fp DESC, node LIMIT 50""".stripMargin
   }
 
+  /** Politeness crawl waves (mirror of Curation.crawlWaves over the
+    * registered domain at perWave=3 with the hex64 priority): rank =
+    * exclusive count of earlier frontier rows per key in (priority,
+    * url) order; wave = rank div 3.
+    */
+  val crawlFrontier: String =
+    s"""WITH u AS ($UrlSynth),
+       |p AS (SELECT doc_id, url, $UrlHost AS host FROM u),
+       |d AS (SELECT url,
+       |  regexp_extract(host, '([^.]+\\.[^.]+)$$', 1) AS dom,
+       |  ${hex64("'frontier|' || doc_id::VARCHAR")} AS priority FROM p),
+       |c AS (SELECT url, dom AS host, priority,
+       |  coalesce(sum(1) OVER (PARTITION BY dom ORDER BY priority, url
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT
+       |    AS host_rank
+       |  FROM d)
+       |SELECT url, host, priority, host_rank,
+       |  (host_rank // 3)::BIGINT AS wave
+       |FROM c ORDER BY url""".stripMargin
+
   /** Token-budget fill (mirror of Sampling.tokenBudget at budget=600
     * with the hex64 priority): the kept set is the longest prefix of
     * the per-source (priority, doc_id) stream whose cumulative token

@@ -503,6 +503,18 @@ object SparkEntry {
           graft.text.Html.extractLinks(planted, col("__html"), col("host")))
         .orderBy(col("src_host"), col("dst_host"))
     }),
+    // politeness-scheduled fetch waves: ≤3 URLs per registered domain
+    // per wave, rank in deterministic (hash-priority, url) order —
+    // the schedule a polite crawler replays wave by wave
+    "crawl_frontier" -> ((s, dir) => {
+      val parsed = graft.ops.Curation.withUrlParts(
+        graft.ops.Curation.synthUrls(t(s, dir, "documents")), col("url"))
+      graft.ops.Curation.crawlWaves(parsed, col("domain"), col("url"),
+          graft.GraftFunctions.hex64(
+            concat(lit("frontier|"), col("doc_id").cast("string"))),
+          perWave = 3)
+        .orderBy(col("url"))
+    }),
     // host PageRank over the EXTRACTED link graph — raw HTML to
     // authority ranks end-to-end (internal links dropped, the web
     // convention; top 50 hosts by int64 fixed-point rank)
@@ -1494,6 +1506,7 @@ object SparkEntry {
     "sample_token_budget" -> OracleSql.sampleTokenBudget,
     "web_link_graph" -> OracleSql.webLinkGraph,
     "web_pagerank" -> OracleSql.webPagerank,
+    "crawl_frontier" -> OracleSql.crawlFrontier,
     "sample_epoch_mix" -> OracleSql.sampleEpochMix,
     "sample_dsir" -> OracleSql.sampleDsir,
     "sample_dsir_persisted" -> OracleSql.sampleDsir,

@@ -471,6 +471,33 @@ object Curation {
       .select(col("host"), col("r.path_prefix"), col("r.allow"))
   }
 
+  /** Politeness-scheduled crawl waves over a frontier: each
+    * politeness key (host, or registered domain for a coarser
+    * budget) may fetch at most `perWave` URLs per wave, so
+    * `wave = rank-within-key div perWave` with rank taken in
+    * deterministic `(priority, url)` order — the fetch schedule a
+    * polite crawler executes wave by wave. Pure function of the
+    * ordered frontier: replayable, resumable (a crashed crawl
+    * recomputes the identical schedule), engine-portable.
+    *
+    * Shape: the [[graft.ops.Sampling.groupedPrefixSum]] distributed
+    * prefix rank — a mega-host frontier (one domain contributing
+    * millions of discovered URLs) range-splits across partitions
+    * instead of serializing onto one task.
+    */
+  def crawlWaves(frontier: DataFrame, key: Column, url: Column,
+      priority: Column, perWave: Int): DataFrame = {
+    require(perWave > 0, s"perWave must be positive, got $perWave")
+    val staged = frontier.select(url.as("url"),
+      lower(key).cast("string").as("host"), priority.as("__prio"),
+      lit(1L).as("__one"))
+    graft.ops.Sampling
+      .groupedPrefixSum(staged, "host", Seq("__prio", "url"), "__one")
+      .select(col("url"), col("host"), col("__prio").as("priority"),
+        col("cum_before").as("host_rank"),
+        expr(s"cum_before div $perWave").as("wave"))
+  }
+
   /** Initialize an empty per-domain admission ledger at rest —
     * the incremental-ingest lifecycle for [[domainQuota]] (the
     * curation twin of `Dedup.saveSignatures`): a crawl ingests in

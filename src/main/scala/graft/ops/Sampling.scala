@@ -317,28 +317,51 @@ object Sampling {
     require(budget > 0, s"budget must be positive, got $budget")
     val counted = docs.select(col("doc_id"), group.cast("string").as("grp"),
       nTokens.cast("long").as("n_tokens"), priority.as("__prio"))
-    val nPart = docs.sparkSession.sessionState.conf.numShufflePartitions
-    val ranged = counted
-      .repartitionByRange(nPart, col("grp"), col("__prio"), col("doc_id"))
-      .withColumn("__pid", spark_partition_id())
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val wOff = Window.partitionBy(col("grp")).orderBy(col("__pid"))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val offsets = ranged.groupBy(col("__pid"), col("grp"))
-      .agg(sum(col("n_tokens")).as("__psum"))
-      .withColumn("__offset", coalesce(sum(col("__psum")).over(wOff), lit(0L)))
-      .select(col("__pid"), col("grp"), col("__offset"))
-    val wIn = Window.partitionBy(col("__pid"), col("grp"))
-      .orderBy(col("__prio"), col("doc_id"))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val out = ranged
-      .withColumn("__cum_in", coalesce(sum(col("n_tokens")).over(wIn), lit(0L)))
-      .join(broadcast(offsets), Seq("__pid", "grp"))
+    groupedPrefixSum(counted, "grp", Seq("__prio", "doc_id"), "n_tokens")
       .select(col("doc_id"), col("grp"), col("n_tokens"),
-        col("__prio").as("priority"),
-        (col("__cum_in") + col("__offset")).as("cum_before"))
+        col("__prio").as("priority"), col("cum_before"))
       .withColumn("keep",
         col("cum_before") + col("n_tokens") <= lit(budget))
+  }
+
+  /** Distributed per-group exclusive prefix sum over a deterministic
+    * order — the shared engine under [[tokenBudget]] and
+    * [[graft.ops.Curation.crawlWaves]]: appends `cum_before` (the
+    * mass of all strictly-earlier rows in the group's
+    * `orderNames`-order) to the input frame. A pure function of the
+    * ordered stream, identical under any physical layout.
+    *
+    * Shape: range exchange on (group, order…) splits even a
+    * mega-group across partitions; per-(partition, group) masses roll
+    * up through a partition-ids-grain window (driver-scale) and ride
+    * back as a broadcast; within-partition windows are bounded by the
+    * range partition size — never a per-group ordered window. The
+    * ranged frame is materialized before the two consumers fan out
+    * (range boundaries are sampled per execution — the
+    * [[graft.ops.Packing]] pid-map caveat), and the result's cache is
+    * scoped via [[Caching.materialized]].
+    */
+  private[graft] def groupedPrefixSum(df: DataFrame, grpName: String,
+      orderNames: Seq[String], massName: String): DataFrame = {
+    val nPart = df.sparkSession.sessionState.conf.numShufflePartitions
+    val ranged = df
+      .repartitionByRange(nPart, (grpName +: orderNames).map(col): _*)
+      .withColumn("__pid", spark_partition_id())
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val wOff = Window.partitionBy(col(grpName)).orderBy(col("__pid"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = ranged.groupBy(col("__pid"), col(grpName))
+      .agg(sum(col(massName)).as("__psum"))
+      .withColumn("__offset", coalesce(sum(col("__psum")).over(wOff), lit(0L)))
+      .select(col("__pid"), col(grpName), col("__offset"))
+    val wIn = Window.partitionBy(col("__pid"), col(grpName))
+      .orderBy(orderNames.map(col): _*)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val out = ranged
+      .withColumn("__cum_in", coalesce(sum(col(massName)).over(wIn), lit(0L)))
+      .join(broadcast(offsets), Seq("__pid", grpName))
+      .withColumn("cum_before", col("__cum_in") + col("__offset"))
+      .drop("__pid", "__cum_in", "__offset")
     Caching.materialized(out) { ranged.unpersist(false) }
   }
 }

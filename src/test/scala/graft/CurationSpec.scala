@@ -264,6 +264,33 @@ class CurationSpec extends SparkSpec {
     assert(!phys.contains("Cartesian"), s"robots gate goes cartesian:\n$phys")
   }
 
+  test("crawlWaves: per-key politeness waves in priority order; partitioning-invariant") {
+    // host a: 5 urls with priorities forcing a known order; perWave=2
+    val rows = Seq(
+      ("a.com", "u1", 30L), ("a.com", "u2", 10L), ("a.com", "u3", 20L),
+      ("a.com", "u4", 40L), ("a.com", "u5", 50L),
+      ("b.org", "v1", 99L)).toDF("host", "url", "prio")
+    def run(df: org.apache.spark.sql.DataFrame) =
+      Curation.crawlWaves(df, col("host"), col("url"), col("prio"), perWave = 2)
+    val got = run(rows).collect()
+      .map(r => r.getAs[String]("url") ->
+        (r.getAs[Long]("host_rank"), r.getAs[Long]("wave"))).toMap
+    // priority order on a.com: u2(10) u3(20) u1(30) u4(40) u5(50)
+    assert(got("u2") === (0L, 0L))
+    assert(got("u3") === (1L, 0L))
+    assert(got("u1") === (2L, 1L))
+    assert(got("u4") === (3L, 1L))
+    assert(got("u5") === (4L, 2L))
+    assert(got("v1") === (0L, 0L), "each key schedules independently")
+    // no wave holds more than perWave urls of one key
+    val perWaveCounts = run(rows).groupBy(col("host"), col("wave"))
+      .agg(count(lit(1)).as("n")).collect().map(_.getAs[Long]("n"))
+    assert(perWaveCounts.forall(_ <= 2L))
+    // pure function of the ordered frontier
+    val again = run(rows.repartition(5)).collect().map(_.toString).sorted.toSeq
+    assert(again === run(rows).collect().map(_.toString).sorted.toSeq)
+  }
+
   test("canonicalizeUrl: fragment/tracking/sort/port/slash/case normalize; idempotent") {
     val urls = Seq(
       (1L, "HTTPS://WWW.Example.COM:443/Path/"),
