@@ -3315,29 +3315,81 @@ object OracleSql {
     * patterns, literal entity decode, scheme-aware resolution, one
     * keyed agg — every constant rides in from the Html object.
     */
+  /** Scaffold-wrap CTEs (u, p, m) shared by all link-graph oracles —
+    * every byte rides in from the Html constants.
+    */
+  private lazy val linkWrapCtes: String = {
+    import graft.text.Html
+    s"""u AS ($UrlSynth),
+       |p AS (SELECT doc_id, text, $UrlHost AS host FROM u),
+       |m AS (SELECT doc_id, host,
+       |  ${slit(Html.LinkScaffoldA)} || text || ${slit(Html.LinkScaffoldB)} ||
+       |  ((doc_id * 7 + 3) % 20)::VARCHAR || ${slit(Html.LinkScaffoldC)} ||
+       |  ((doc_id * 7 + 3) % 20)::VARCHAR || ${slit(Html.LinkScaffoldC2)} ||
+       |  (doc_id % 5)::VARCHAR || ${slit(Html.LinkScaffoldC3)} ||
+       |  doc_id::VARCHAR || ${slit(Html.LinkScaffoldD)} AS h FROM p)""".stripMargin
+  }
+
+  /** Scheme-aware destination-host CASE over a decoded `href` seen on
+    * `src` — the linkDstHost mirror.
+    */
+  private def dstHostCase(href: String, src: String): String =
+    s"""CASE WHEN regexp_matches($href, '(?i)^https?://')
+       |    THEN lower(regexp_extract($href, '(?i)^https?://([^/?#]+)', 1))
+       |  WHEN starts_with($href, '//')
+       |    THEN lower(regexp_extract($href, '^//([^/?#]+)', 1))
+       |  WHEN regexp_matches($href, '^[A-Za-z][A-Za-z0-9+.-]*:') THEN NULL
+       |  ELSE $src END""".stripMargin
+
   private lazy val linkResolveCtes: String = {
     import graft.text.Html
     val decoded = Html.Entities.foldLeft("href0") {
       case (acc, (ent, ch)) => s"replace($acc, ${slit(ent)}, ${slit(ch)})" }
     val dq = Html.HrefDq.replace("'", "''")
     val sq = Html.HrefSq.replace("'", "''")
-    s"""u AS ($UrlSynth),
-       |p AS (SELECT doc_id, text, $UrlHost AS host FROM u),
-       |m AS (SELECT doc_id, host,
-       |  ${slit(Html.LinkScaffoldA)} || text || ${slit(Html.LinkScaffoldB)} ||
-       |  ((doc_id * 7 + 3) % 20)::VARCHAR || ${slit(Html.LinkScaffoldC)} ||
-       |  doc_id::VARCHAR || ${slit(Html.LinkScaffoldD)} AS h FROM p),
+    s"""$linkWrapCtes,
        |hr AS (SELECT doc_id, host, unnest(list_concat(
        |  regexp_extract_all(h, '$dq', 1),
        |  regexp_extract_all(h, '$sq', 1))) AS href0 FROM m),
        |d AS (SELECT doc_id, host, $decoded AS href FROM hr),
        |r AS (SELECT host AS src_host,
-       |  CASE WHEN regexp_matches(href, '(?i)^https?://')
-       |    THEN lower(regexp_extract(href, '(?i)^https?://([^/?#]+)', 1))
-       |  WHEN starts_with(href, '//')
-       |    THEN lower(regexp_extract(href, '^//([^/?#]+)', 1))
-       |  WHEN regexp_matches(href, '^[A-Za-z][A-Za-z0-9+.-]*:') THEN NULL
-       |  ELSE host END AS dst_host FROM d)""".stripMargin
+       |  ${dstHostCase("href", "host")} AS dst_host FROM d)""".stripMargin
+  }
+
+  /** Anchor-term index (mirror of Html.anchorTerms over the planted
+    * scaffold): the anchor pattern captures (href, inner markup) per
+    * quote style; DuckDB's parallel unnest zips the two capture
+    * lists positionally; anchor markup goes through the extractText
+    * rules (tag strip → literal entity decode → collapse) before the
+    * shared tokenizer.
+    */
+  lazy val webAnchorTerms: String = {
+    import graft.text.Html
+    val adq = Html.AnchorDq.replace("'", "''")
+    val asq = Html.AnchorSq.replace("'", "''")
+    val decodedHref = Html.Entities.foldLeft("href0") {
+      case (acc, (ent, ch)) => s"replace($acc, ${slit(ent)}, ${slit(ch)})" }
+    val decodedAnchor = Html.Entities.foldLeft(
+      s"regexp_replace(a0, '${Html.AnyTag}', ' ', 'g')") {
+      case (acc, (ent, ch)) => s"replace($acc, ${slit(ent)}, ${slit(ch)})" }
+    val atxt =
+      s"trim(regexp_replace($decodedAnchor, '${Html.WhitespaceClass}', ' ', 'g'))"
+    s"""WITH $linkWrapCtes,
+       |anchors AS (SELECT doc_id, host,
+       |  unnest(list_concat(regexp_extract_all(h, '$adq', 1),
+       |    regexp_extract_all(h, '$asq', 1))) AS href0,
+       |  unnest(list_concat(regexp_extract_all(h, '$adq', 2),
+       |    regexp_extract_all(h, '$asq', 2))) AS a0 FROM m),
+       |dd AS (SELECT host AS src_host, $decodedHref AS href,
+       |  $atxt AS atxt FROM anchors),
+       |rr AS (SELECT src_host,
+       |  ${dstHostCase("href", "src_host")} AS dst_host,
+       |  ${toksOf("atxt")} AS toks FROM dd),
+       |tok AS (SELECT src_host, dst_host, unnest(toks) AS token
+       |  FROM rr WHERE dst_host IS NOT NULL)
+       |SELECT dst_host, token, count(*)::BIGINT AS n,
+       |  count(DISTINCT src_host)::BIGINT AS n_hosts
+       |FROM tok GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
   }
 
   lazy val webLinkGraph: String =

@@ -515,6 +515,16 @@ object SparkEntry {
           perWave = 3)
         .orderBy(col("url"))
     }),
+    // anchor-term index: what OTHER pages' link text says a host is
+    // about — per (dst_host, token) occurrences + distinct linking
+    // hosts (one host repeating a term ≠ many hosts agreeing)
+    "web_anchor_terms" -> ((s, dir) => {
+      val parsed = graft.ops.Curation.withUrlParts(
+        graft.ops.Curation.synthUrls(t(s, dir, "documents")), col("url"))
+      graft.text.Html.anchorTerms(
+          graft.text.Html.linkPlanted(parsed), col("__html"), col("host"))
+        .orderBy(col("dst_host"), col("token"))
+    }),
     // host PageRank over the EXTRACTED link graph — raw HTML to
     // authority ranks end-to-end (internal links dropped, the web
     // convention; top 50 hosts by int64 fixed-point rank)
@@ -1507,6 +1517,7 @@ object SparkEntry {
     "web_link_graph" -> OracleSql.webLinkGraph,
     "web_pagerank" -> OracleSql.webPagerank,
     "crawl_frontier" -> OracleSql.crawlFrontier,
+    "web_anchor_terms" -> OracleSql.webAnchorTerms,
     "sample_epoch_mix" -> OracleSql.sampleEpochMix,
     "sample_dsir" -> OracleSql.sampleDsir,
     "sample_dsir_persisted" -> OracleSql.sampleDsir,

@@ -171,25 +171,80 @@ object Html {
       .withColumn("is_internal", col("src_host") === col("dst_host"))
 
   /** Link-planting scaffold (driver row): each page carries one
-    * external link whose target host is a deterministic function of
-    * doc_id, one relative link, and one mailto (must be dropped).
-    * Pieces are constants so the oracle concatenates the same bytes.
+    * external link whose target host AND anchor text are
+    * deterministic functions of doc_id, one relative link with a
+    * markup-bearing anchor, and one mailto (must be dropped). Pieces
+    * are constants so the oracle concatenates the same bytes.
     */
   val LinkScaffoldA: String = "<html><body><p>"
   val LinkScaffoldB: String = "</p>\n<a href=\"https://www.src"
-  val LinkScaffoldC: String = ".com/x?a=1&amp;b=2\">ext</a>\n" +
-    "<a href='/rel/doc"
-  val LinkScaffoldD: String = "'>rel</a>\n" +
+  val LinkScaffoldC: String = ".com/x?a=1&amp;b=2\">visit src"
+  val LinkScaffoldC2: String = " &amp; page"
+  val LinkScaffoldC3: String = "</a>\n<a href='/rel/doc"
+  val LinkScaffoldD: String = "'>rel &lt;b&gt; anchor</a>\n" +
     "<a href=\"mailto:u@v.example\">mail</a>\n</body></html>"
 
-  /** Scaffold-wrapped corpus for the link-graph driver row: the
-    * external target is `www.src{(7·doc_id+3) mod 20}.com`, so the
-    * host graph has real fan-out instead of one hub.
+  /** Scaffold-wrapped corpus for the link-graph driver rows: the
+    * external target is `www.src{(7·doc_id+3) mod 20}.com` (real
+    * fan-out instead of one hub) and its anchor text is
+    * `visit src{N} & page{doc_id mod 5}` (real anchor vocabulary).
     */
-  def linkPlanted(parsed: DataFrame): DataFrame =
+  def linkPlanted(parsed: DataFrame): DataFrame = {
+    val n = pmod(col("doc_id") * 7 + 3, lit(20L)).cast("string")
     parsed.withColumn("__html", concat(
-      lit(LinkScaffoldA), col("text"), lit(LinkScaffoldB),
-      pmod(col("doc_id") * 7 + 3, lit(20L)).cast("string"),
-      lit(LinkScaffoldC), col("doc_id").cast("string"),
+      lit(LinkScaffoldA), col("text"), lit(LinkScaffoldB), n,
+      lit(LinkScaffoldC), n,
+      lit(LinkScaffoldC2), pmod(col("doc_id"), lit(5L)).cast("string"),
+      lit(LinkScaffoldC3), col("doc_id").cast("string"),
       lit(LinkScaffoldD)))
+  }
+
+  /** Anchor capture: (href, inner text) of an `<a …>…</a>` element,
+    * one pattern per quote style. Group 1 = href, group 2 = anchor
+    * markup (tags stripped and entities decoded downstream).
+    */
+  val AnchorDq: String =
+    "(?is)<a" + TagBoundary + "[^>]*?href[ \\t\\r\\n]*=[ \\t\\r\\n]*" +
+      "\"([^\"]*)\"[^>]*>(.*?)</a>"
+  val AnchorSq: String =
+    "(?is)<a" + TagBoundary + "[^>]*?href[ \\t\\r\\n]*=[ \\t\\r\\n]*" +
+      "'([^']*)'[^>]*>(.*?)</a>"
+
+  /** Anchor-term index — what OTHER pages' link text says a host is
+    * about (the classic web relevance/spam signal, robust to the
+    * target page's own content): per (dst_host, token), total anchor
+    * occurrences and the count of DISTINCT linking hosts (one host
+    * repeating a term ≠ many hosts agreeing — the spam
+    * discriminant). Non-navigation hrefs drop; anchor markup is
+    * tag-stripped and entity-decoded with the [[extractText]] rules.
+    *
+    * Shape: narrow map + two explodes (anchors, then tokens) and ONE
+    * keyed agg at the (host, token) grain — the distinct-host count
+    * rides the same shuffle.
+    */
+  def anchorTerms(docs: DataFrame, html: Column,
+      pageHost: Column): DataFrame = {
+    def pairs(pat: String) = arrays_zip(
+      regexp_extract_all(html, lit(pat), lit(1)).as("href"),
+      regexp_extract_all(html, lit(pat), lit(2)).as("anchor"))
+    val decodedHref = Entities.foldLeft(col("__p")("href")) {
+      case (c, (ent, ch)) => replace(c, lit(ent), lit(ch))
+    }
+    val decodedAnchor = Entities.foldLeft(
+      regexp_replace(col("__p")("anchor"), AnyTag, " ")) {
+      case (c, (ent, ch)) => replace(c, lit(ent), lit(ch))
+    }
+    val anchorTxt = trim(regexp_replace(decodedAnchor, WhitespaceClass, " "))
+    docs.select(lower(pageHost).as("src_host"),
+        explode(concat(pairs(AnchorDq), pairs(AnchorSq))).as("__p"))
+      .select(col("src_host"),
+        linkDstHost(decodedHref, col("src_host")).as("dst_host"),
+        graft.GraftFunctions.tokens(anchorTxt).as("__toks"))
+      .where(col("dst_host").isNotNull)
+      .select(col("src_host"), col("dst_host"),
+        explode(col("__toks")).as("token"))
+      .groupBy(col("dst_host"), col("token"))
+      .agg(count(lit(1)).as("n"),
+        countDistinct(col("src_host")).as("n_hosts"))
+  }
 }

@@ -123,6 +123,27 @@ class HtmlSpec extends SparkSpec {
       s"link graph should be map+agg only:\n$phys")
   }
 
+  test("anchorTerms: markup-bearing anchors tokenize; distinct-host votes counted") {
+    val docs = Seq(
+      (1L, "a.com",
+        "<a href=\"https://hub.org/x\">Great <b>search</b> engine</a>" +
+          "<a href=\"mailto:u@v.w\">search</a>"),
+      (2L, "b.net",
+        "<a href='https://hub.org/y'>search &amp; rescue</a>"),
+      (3L, "c.io",
+        "<a href=\"https://hub.org/z\">search</a>")).toDF("doc_id", "host", "html")
+    val got = graft.text.Html.anchorTerms(docs, col("html"), col("host"))
+      .collect().map(r => (r.getAs[String]("dst_host"), r.getAs[String]("token")) ->
+        (r.getAs[Long]("n"), r.getAs[Long]("n_hosts"))).toMap
+    // 'search' reaches hub.org from all three hosts (mailto's never counts)
+    assert(got(("hub.org", "search")) === (3L, 3L))
+    // inner markup strips; entity decodes before tokenizing
+    assert(got(("hub.org", "engine")) === (1L, 1L))
+    assert(got(("hub.org", "rescue")) === (1L, 1L))
+    assert(!got.contains(("hub.org", "b")), "tag names must not tokenize")
+    assert(got.keys.forall(_._1 == "hub.org"), s"mailto leaked: ${got.keys}")
+  }
+
   test("planted scaffold exercises every rule and reconstructs the body text") {
     val docs = Seq((7L, "the original document body")).toDF("doc_id", "text")
     val r = graft.text.Html.extractPlanted(docs).head()
