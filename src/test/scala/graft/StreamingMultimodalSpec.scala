@@ -408,6 +408,41 @@ class StreamingMultimodalSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("robotsStream: stream-static rules join, RFC precedence; parity with the batch gate") {
+    import spark.implicits._
+    val rules = Seq(
+      ("ok.org", "/private", false),
+      ("ok.org", "/private/pub", true)).toDF("host", "path_prefix", "allow")
+    val input = MemoryStream[(Long, Long, String)](spark, 23)
+    val frontier = input.toDF()
+      .select(timestamp_micros(col("_1")).as("ts"), col("_2").as("doc_id"),
+        col("_3").as("url"))
+    val gated = Streams.robotsStream(frontier, rules)
+      .select(col("doc_id"), col("robots_allowed"))
+    val q = gated.writeStream.format("memory")
+      .queryName("robots_stream").outputMode("append").start()
+    val batch = Seq(
+      (1000L, 1L, "https://ok.org/private/x"),
+      (2000L, 2L, "https://ok.org/private/pub/y"),
+      (3000L, 3L, "https://ok.org/open"),
+      (4000L, 4L, "https://norules.net/a"))
+    try {
+      input.addData(batch: _*)
+      q.processAllAvailable()
+      val got = spark.table("robots_stream").collect()
+        .map(r => r.getAs[Long]("doc_id") -> r.getAs[Boolean]("robots_allowed"))
+        .toMap
+      assert(got === Map(1L -> false, 2L -> true, 3L -> true, 4L -> true))
+      // row-for-row parity with the batch gate on the same frontier
+      val batchGate = graft.ops.Curation.applyRobots(
+          graft.ops.Curation.withUrlParts(
+            batch.toDF("ts", "doc_id", "url"), col("url")), rules)
+        .collect().map(r => r.getAs[Long]("doc_id") ->
+          r.getAs[Boolean]("robots_allowed")).toMap
+      assert(batchGate === got)
+    } finally q.stop()
+  }
+
   test("curateStream: stateless stage flags map-only; canonical-URL dedup drops the re-crawl") {
     val input = MemoryStream[(Long, Long, String, String)](spark, 7)
     val docs = input.toDF()
