@@ -971,6 +971,35 @@ object OracleSql {
        |  CAST(sum_fx AS DOUBLE) / CAST(n * 1000000 AS DOUBLE) AS centroid
        |FROM g ORDER BY label, i""".stripMargin
 
+  /** Per-label embedding outliers (mirror of Centroids.labelOutliers,
+    * k=5): centroid from the fixed-point sums, distance as the SAME
+    * in-index-order left fold of squared diffs (list_reduce's
+    * first-element init ≡ Spark's 0.0 init bitwise — terms are
+    * non-negative), ranking (dist desc, vec_id asc).
+    */
+  val embLabelOutliers: String =
+    s"""WITH x AS (SELECT label::BIGINT AS label,
+       |  unnest(generate_series(1, len(embedding))) - 1 AS i,
+       |  CAST(unnest(embedding) AS DOUBLE) AS x FROM embeddings),
+       |g AS (SELECT label, CAST(i AS BIGINT) AS i,
+       |  CAST(sum(CAST(floor(x * 1000000) AS BIGINT)) AS BIGINT) AS sum_fx,
+       |  count(*) AS n FROM x GROUP BY 1, 2),
+       |c AS (SELECT label,
+       |  list(CAST(sum_fx AS DOUBLE) / CAST(n * 1000000 AS DOUBLE)
+       |    ORDER BY i) AS cent FROM g GROUP BY 1),
+       |e AS (SELECT emb.label::BIGINT AS label, emb.vec_id,
+       |  emb.embedding::DOUBLE[] AS v, c.cent
+       |  FROM embeddings emb JOIN c ON c.label = emb.label::BIGINT),
+       |d AS (SELECT label, vec_id,
+       |  sqrt(list_reduce(
+       |    [(v[i] - cent[i]) * (v[i] - cent[i]) for i in range(1, len(v) + 1)],
+       |    (a, b) -> a + b)) AS dist FROM e),
+       |r AS (SELECT label, vec_id, dist,
+       |  row_number() OVER (PARTITION BY label
+       |    ORDER BY dist DESC, vec_id) AS rn FROM d)
+       |SELECT label, rn::BIGINT AS rn, vec_id, dist
+       |FROM r WHERE rn <= 5 ORDER BY label, rn""".stripMargin
+
   // ---- LSH oracles: the seeded Gaussian planes are embedded as SQL
   // literals; each plane dot product is written as an explicit
   // left-associative sum so accumulation order (and therefore every

@@ -821,6 +821,12 @@ object SparkEntry {
     }),
     "emb_label_centroids" -> ((s, dir) =>
       graft.ann.Centroids.labelCentroids(t(s, dir, "embeddings"))),
+    // per-label outlier triage: 5 farthest vectors from each label
+    // centroid — mislabels/model failures surface here; bounded
+    // top-k aggregate, never a rank window over the corpus
+    "emb_outliers" -> ((s, dir) =>
+      graft.ann.Centroids.labelOutliers(t(s, dir, "embeddings"), k = 5)
+        .orderBy(col("label"), col("rn"))),
     // threshold 0.4 sits in the test corpus's random-vector similarity
     // range (max pair sim ≈ 0.5) so the dup flags are non-vacuous;
     // production SemDeDup on real embeddings uses ≥0.95
@@ -1575,6 +1581,7 @@ object SparkEntry {
     "knn_classify" -> OracleSql.knnClassify,
     "knn_classify_ivf" -> OracleSql.knnClassifyIvf,
     "emb_label_centroids" -> OracleSql.embLabelCentroids,
+    "emb_outliers" -> OracleSql.embLabelOutliers,
     "semantic_dedup" -> OracleSql.semanticDedup,
     "ann_ivf" -> OracleSql.annIvf,
     "ann_recall_eval" -> OracleSql.annRecallEval,

@@ -243,4 +243,25 @@ class VectorFunctionsSpec extends SparkSpec {
     assert(got(3L).getAs[Long]("n_zero_dims") === 2L && !got(3L).getAs[Boolean]("keep"))
     assert(got(4L).getAs[Boolean]("keep"))
   }
+
+  test("labelOutliers: farthest-from-centroid ranking; window-free bounded top-k") {
+    // label 0: three vectors at x = 0, 0, 3 → centroid x = 1.0;
+    // distances 1, 1, 2 → outlier #1 is vec 3, then the tie (1,2)
+    // breaks on vec_id
+    val emb = Seq(
+      (1L, Array(0f, 0f), 0L), (2L, Array(0f, 0f), 0L), (3L, Array(3f, 0f), 0L),
+      (10L, Array(5f, 5f), 1L), (11L, Array(5f, 5f), 1L))
+      .toDF("vec_id", "embedding", "label")
+    val got = graft.ann.Centroids.labelOutliers(emb, k = 2).collect()
+      .map(r => (r.getAs[Long]("label"), r.getAs[Long]("rn")) ->
+        (r.getAs[Long]("vec_id"), r.getAs[Double]("dist"))).toMap
+    assert(got((0L, 1L)) === (3L, 2.0))
+    assert(got((0L, 2L)) === (1L, 1.0), "distance tie must break on vec_id asc")
+    // label 1 is degenerate: both vectors AT the centroid, dist 0
+    assert(got((1L, 1L))._2 === 0.0 && got((1L, 2L))._2 === 0.0)
+    // bounded aggregate, not a rank window over the corpus
+    val phys = graft.ann.Centroids.labelOutliers(emb, k = 2)
+      .queryExecution.executedPlan.toString
+    assert(!phys.contains("Window"), s"labelOutliers routes through a window:\n$phys")
+  }
 }
