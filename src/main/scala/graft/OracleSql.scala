@@ -2904,6 +2904,36 @@ object OracleSql {
       |  CASE WHEN invalid THEN NULL ELSE TRUE END AS header_consistent
       |FROM p ORDER BY doc_id""".stripMargin
 
+  /** GIF screen descriptor (mirror of Binary.Gif.parse ∘ synthFromDocs:
+    * the oracle recomputes every field closed-form from doc_id while
+    * Spark parses the payload bytes — the hash match proves the read).
+    */
+  val mmGifMeta: String =
+    """WITH m AS (SELECT doc_id,
+      |  7 + doc_id % 11 AS w,
+      |  4 + doc_id % 6 AS h,
+      |  doc_id % 3 <> 0 AS gct,
+      |  (1::BIGINT << ((doc_id % 8 + 1)::INT)) AS entries,
+      |  doc_id % 10 = 0 AS invalid
+      |  FROM documents)
+      |SELECT doc_id,
+      |  CASE WHEN invalid THEN 'text/plain' ELSE 'image/gif' END AS media_type,
+      |  NOT invalid AS gif_valid,
+      |  CASE WHEN invalid THEN NULL
+      |    WHEN doc_id % 2 = 0 THEN '89a' ELSE '87a' END AS version,
+      |  (CASE WHEN invalid THEN NULL ELSE w END)::BIGINT AS width,
+      |  (CASE WHEN invalid THEN NULL ELSE h END)::BIGINT AS height,
+      |  CASE WHEN invalid THEN NULL ELSE gct END AS has_gct,
+      |  (CASE WHEN invalid OR NOT gct THEN NULL ELSE entries END)::BIGINT
+      |    AS gct_entries,
+      |  (CASE WHEN invalid OR NOT gct THEN NULL ELSE entries * 3 END)::BIGINT
+      |    AS gct_bytes,
+      |  (CASE WHEN invalid THEN NULL
+      |    WHEN gct THEN doc_id % 256 ELSE 0 END)::BIGINT AS bg_index,
+      |  (CASE WHEN invalid THEN NULL ELSE w * h END)::BIGINT AS n_pixels,
+      |  CASE WHEN invalid THEN NULL ELSE TRUE END AS header_consistent
+      |FROM m ORDER BY doc_id""".stripMargin
+
   val mmPngMeta: String =
     """WITH m AS (SELECT doc_id,
       |  16 + (doc_id % 7) * 9 AS w,

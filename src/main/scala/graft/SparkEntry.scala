@@ -1229,6 +1229,18 @@ object SparkEntry {
           col("n_pixels"), col("header_consistent"))
         .orderBy(col("doc_id"))
     }),
+    // GIF87a/89a logical-screen-descriptor codec: version, dims,
+    // global color table geometry, trailer consistency — oracle
+    // recomputes closed-form while Spark parses the actual bytes
+    "mm_gif_meta" -> ((s, dir) => {
+      val media = graft.multimodal.Binary.Gif.synthFromDocs(t(s, dir, "documents"))
+      graft.multimodal.Binary.Gif.parse(media)
+        .select(col("doc_id"), col("media_type"), col("gif_valid"),
+          col("version"), col("width"), col("height"), col("has_gct"),
+          col("gct_entries"), col("gct_bytes"), col("bg_index"),
+          col("n_pixels"), col("header_consistent"))
+        .orderBy(col("doc_id"))
+    }),
     // container triage over a mixed blob column: detect by magic
     // bytes, parse the matching codec, one uniform row per blob; the
     // mixing joins exist only to SYNTHESIZE the test corpus —
@@ -1613,6 +1625,7 @@ object SparkEntry {
     "mm_png_meta" -> OracleSql.mmPngMeta,
     "mm_jpeg_meta" -> OracleSql.mmJpegMeta,
     "mm_bmp_meta" -> OracleSql.mmBmpMeta,
+    "mm_gif_meta" -> OracleSql.mmGifMeta,
     "mm_bmp_pixels" -> OracleSql.mmBmpPixels,
     "mm_png_pixels" -> OracleSql.mmPngPixels,
     "mm_media_triage" -> OracleSql.mmMediaTriage,

@@ -631,7 +631,7 @@ object Binary {
     */
   object Bmp {
     /** Little-endian hex of an integral column, `n` bytes. */
-    private def leHex(v: Column, n: Int): Column = {
+    private[multimodal] def leHex(v: Column, n: Int): Column = {
       val be = lpad(hex(v), n * 2, "0")
       concat((n - 1 to 0 by -1).map(i => substring(be, i * 2 + 1, 2)): _*)
     }
@@ -772,6 +772,95 @@ object Binary {
     }
   }
 
+  /** GIF87a/GIF89a logical-screen-descriptor codec. Like the other
+    * codecs: a pure codegen projection over the payload bytes — the
+    * oracle recomputes every field closed-form from doc_id while
+    * Spark parses the actual bytes, so a hash match proves the
+    * byte-level read.
+    */
+  object Gif {
+    private def asciiHex(s: String): Column =
+      lit(s.getBytes("US-ASCII").map("%02X".format(_)).mkString)
+
+    private[multimodal] def isGif(p: Column): Column =
+      length(p) >= 14 &&
+        substring(p, 1, 4) === lit("GIF8".getBytes("US-ASCII")) &&
+        (substring(p, 5, 2) === lit("7a".getBytes("US-ASCII")) ||
+          substring(p, 5, 2) === lit("9a".getBytes("US-ASCII")))
+
+    /** Parse the 13-byte header + logical screen descriptor. Adds:
+      * `gif_valid`, `version` ('87a'/'89a'), `width`/`height`
+      * (u16le), `has_gct`, `gct_entries`/`gct_bytes` (2^(bits+1)
+      * entries × 3, null without a GCT), `bg_index`, and
+      * `header_consistent` (trailer byte 0x3B closes the stream and
+      * the physical length is exactly header + GCT + trailer — the
+      * minimal-stream layout the synth writes). Pure projection.
+      */
+    def parse(media: DataFrame, payloadCol: String = "payload"): DataFrame = {
+      val p = col(payloadCol)
+      import Wav.leUint
+      val width = leUint(p, 7, 2)
+      val height = leUint(p, 9, 2)
+      val packed = leUint(p, 11, 1)
+      val hasGct = packed >= 128
+      val gctEntries = expr("shiftleft(1L, cast(pmod(__gif_packed, 8) + 1 as int))")
+      val valid = isGif(p) && width > 0 && height > 0
+      val staged = media.withColumn("__gif_packed", packed)
+      val gctBytes = when(hasGct, gctEntries * 3L).otherwise(0L)
+      val consistent =
+        substring(p, -1, 1) === lit(Array(0x3B.toByte)) &&
+          length(p).cast("long") === lit(13L) + gctBytes + 1L
+      staged
+        .withColumn("gif_valid", valid)
+        .withColumn("version",
+          when(valid, concat(lit("8"),
+            substring(p, 5, 2).cast("string"))))
+        .withColumn("width", when(valid, width))
+        .withColumn("height", when(valid, height))
+        .withColumn("has_gct", when(valid, hasGct))
+        .withColumn("gct_entries", when(valid && hasGct, gctEntries))
+        .withColumn("gct_bytes", when(valid && hasGct, gctEntries * 3L))
+        .withColumn("bg_index", when(valid, leUint(p, 12, 1)))
+        .withColumn("n_pixels", when(valid, width * height))
+        .withColumn("header_consistent", when(valid, consistent))
+        .drop("__gif_packed")
+    }
+
+    /** Deterministic minimal GIF streams over the docs table (header +
+      * optional GCT from the text bytes + trailer); every 10th doc is
+      * raw text (the invalid lane).
+      */
+    def synthFromDocs(docs: DataFrame, invalidEvery: Int = 10): DataFrame = {
+      val d = col("doc_id")
+      val w = lit(7L) + d % 11
+      val h = lit(4L) + d % 6
+      val hasGct = d % 3 =!= 0
+      val bits = d % 8
+      val entries = expr("shiftleft(1L, cast(doc_id % 8 + 1 as int))")
+      val gctBytes = when(hasGct, entries * 3L).otherwise(0L)
+      // packed: GCT flag bit7, color resolution 7 (bits 6-4), no
+      // sort, GCT size bits 2-0
+      val packed = when(hasGct, lit(240L) + bits).otherwise(lit(112L))
+      val bg = when(hasGct, d % 256).otherwise(lit(0L))
+      val staged = docs
+        .withColumn("__gct_hex", expr(
+          "rpad(substring(hex(cast(text as binary)), 1, " +
+            s"cast((CASE WHEN doc_id % 3 <> 0 THEN shiftleft(1L, cast(doc_id % 8 + 1 as int)) * 3 ELSE 0 END) * 2 as int)), " +
+            s"cast((CASE WHEN doc_id % 3 <> 0 THEN shiftleft(1L, cast(doc_id % 8 + 1 as int)) * 3 ELSE 0 END) * 2 as int), '0')"))
+      val ver = when(d % 2 === 0, asciiHex("GIF89a")).otherwise(asciiHex("GIF87a"))
+      val gifHex = concat(ver,
+        Bmp.leHex(w, 2), Bmp.leHex(h, 2),
+        Bmp.leHex(packed, 1), Bmp.leHex(bg, 1), Bmp.leHex(lit(0L), 1),
+        col("__gct_hex"), lit("3B"))
+      staged.select(d,
+        when(d % invalidEvery === 0, col("text").cast("binary"))
+          .otherwise(unhex(gifHex)).as("payload"),
+        when(d % invalidEvery === 0, lit("text/plain"))
+          .otherwise(lit("image/gif")).as("media_type"))
+        .drop("__gct_hex")
+    }
+  }
+
   /** Metadata stats over the media table — schema/partitioning surface
     * checkable against a SQL oracle (payload hashes + sizes).
     */
@@ -798,6 +887,7 @@ object Binary {
         .when(length(p) >= 3 && substring(p, 1, 3) ===
           lit(Array[Byte](0xFF.toByte, 0xD8.toByte, 0xFF.toByte)), "jpeg")
         .when(Bmp.isBmp(p), "bmp")
+        .when(Gif.isGif(p), "gif")
         .otherwise("unknown")
     val keep = media.columns.map(col)
     val afterWav = Wav.parse(media, payloadCol)
@@ -809,18 +899,25 @@ object Binary {
       .select(keep :+ col("wav_valid") :+ col("duration_ms") :+
         col("png_valid") :+ col("png_pixels") :+
         col("jpeg_valid") :+ col("n_pixels").as("jpeg_pixels"): _*)
-    Bmp.parse(afterJpeg, payloadCol)
+    val afterBmp = Bmp.parse(afterJpeg, payloadCol)
+      .select(keep :+ col("wav_valid") :+ col("duration_ms") :+
+        col("png_valid") :+ col("png_pixels") :+
+        col("jpeg_valid") :+ col("jpeg_pixels") :+
+        col("bmp_valid") :+ col("n_pixels").as("bmp_pixels"): _*)
+    Gif.parse(afterBmp, payloadCol)
       .select(col("doc_id"), detected.as("detected"),
         length(p).cast("long").as("payload_bytes"),
         when(detected === "wav", col("wav_valid"))
           .when(detected === "png", col("png_valid"))
           .when(detected === "jpeg", col("jpeg_valid"))
           .when(detected === "bmp", col("bmp_valid"))
+          .when(detected === "gif", col("gif_valid"))
           .otherwise(lit(false)).as("valid"),
         when(detected === "wav", col("duration_ms"))
           .when(detected === "png", col("png_pixels"))
           .when(detected === "jpeg", col("jpeg_pixels"))
-          .when(detected === "bmp", col("n_pixels")).as("content_units"))
+          .when(detected === "bmp", col("bmp_pixels"))
+          .when(detected === "gif", col("n_pixels")).as("content_units"))
   }
 
   def metadataStats(docs: DataFrame): DataFrame =

@@ -72,6 +72,30 @@ class CodecConformanceSpec extends SparkSpec {
     }
   }
 
+  test("GIF from ImageIO (independent encoder): screen descriptor field-exact") {
+    for ((w, h) <- Seq((13, 7), (40, 25))) {
+      val img = plantRgb(w, h, BufferedImage.TYPE_INT_RGB)
+      val out = new ByteArrayOutputStream()
+      assert(ImageIO.write(img, "gif", out), "JDK GIF writer unavailable")
+      val df = Seq((1L, out.toByteArray)).toDF("doc_id", "payload")
+      val row = Binary.Gif.parse(df).head()
+      def f[T](n: String): T = row.getAs[T](n)
+      assert(f[Boolean]("gif_valid"), s"GIF ${w}x$h rejected: $row")
+      assert(f[String]("version") === "89a", "ImageIO writes GIF89a")
+      assert(f[Long]("width") === w.toLong && f[Long]("height") === h.toLong)
+      // the quantized palette rides as a global color table
+      assert(f[Boolean]("has_gct"))
+      assert(Set(2L, 4L, 8L, 16L, 32L, 64L, 128L, 256L)
+        .contains(f[Long]("gct_entries")), s"GCT entries: $row")
+      // a REAL stream carries image data between GCT and trailer, so
+      // the minimal-stream consistency flag must be false — not null
+      assert(f[Boolean]("header_consistent") === false)
+    }
+    // traps: truncated header and a stream missing its trailer
+    val junk = Seq((1L, "GIF89a12".getBytes("US-ASCII"))).toDF("doc_id", "payload")
+    assert(!Binary.Gif.parse(junk).head().getAs[Boolean]("gif_valid"))
+  }
+
   test("BMP from ImageIO (independent encoder): meta and pixel stats field-exact") {
     for ((w, h) <- Seq((16, 9), (13, 7))) { // 13 → non-trivial stride padding
       val img = plantRgb(w, h, BufferedImage.TYPE_3BYTE_BGR)
