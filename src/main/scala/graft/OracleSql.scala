@@ -611,6 +611,79 @@ object OracleSql {
        |ORDER BY w.doc_id""".stripMargin
   }
 
+  /** The complete crawl decision (mirror of Pipeline.crawlPipeline
+    * over the pipeline_curate URL planting + the pipeline_web
+    * scaffold + synthRobots): URL stages closed-form (canonical,
+    * quota rank, blocklist), robots as the closed-form longest-match
+    * CASE over the RAW parsed path (the planted rule set makes the
+    * precedence derivable: /s/s/s allow beats /s/s disallow; .com
+    * additionally blocks /doc), content stages via the shared
+    * pluggable-source builders over the extracted CTE.
+    */
+  lazy val pipelineCrawl: String = {
+    val scripts = scriptProfileOver("(SELECT doc_id, text AS s FROM webdocs) m")
+    s"""WITH kk AS (SELECT doc_id, text, (doc_id // 2) * 2 AS k FROM documents),
+       |u AS (SELECT doc_id, text, k,
+       |  (CASE k % 7 WHEN 0 THEN '' WHEN 1 THEN 'www.' WHEN 2 THEN 'cdn.'
+       |    WHEN 3 THEN 'm.' WHEN 4 THEN 'a.' WHEN 5 THEN 'b.' ELSE 'c.' END) AS sub,
+       |  'src' || (k % 20)::VARCHAR AS src2,
+       |  (CASE (k // 3) % 3 WHEN 0 THEN 'com' WHEN 1 THEN 'org' ELSE 'net' END) AS tld
+       |  FROM kk),
+       |p AS (SELECT doc_id, k, tld,
+       |  sub || src2 || '.' || tld AS host,
+       |  src2 || '.' || tld AS domain,
+       |  'https://' || sub || src2 || '.' || tld ||
+       |    repeat('/s', (k % 4)::INT) || '/doc' || k::VARCHAR ||
+       |    (CASE doc_id % 5 WHEN 2 THEN '?a=1&b=2' WHEN 3 THEN '?a=1&z=9'
+       |      ELSE '' END) AS canonical_url,
+       |  repeat('/s', (k % 4)::INT) || '/doc' || k::VARCHAR ||
+       |    (CASE WHEN doc_id % 5 = 4 THEN '/' ELSE '' END) AS path
+       |  FROM u),
+       |rb AS (SELECT doc_id,
+       |  CASE WHEN starts_with(path, '/s/s/s') THEN true
+       |    WHEN starts_with(path, '/s/s') THEN false
+       |    WHEN tld = 'com' AND starts_with(path, '/doc') THEN false
+       |    ELSE true END AS robots_allowed FROM p),
+       |q AS (SELECT doc_id, domain,
+       |  row_number() OVER (PARTITION BY domain ORDER BY
+       |    ${hex64("'quota|'||CAST(doc_id AS VARCHAR)")} % ${graft.ops.Sampling.StratModulus},
+       |    doc_id) AS rn FROM p),
+       |urlk AS (SELECT canonical_url, min(doc_id) AS keeper FROM p GROUP BY 1),
+       |wp AS ($htmlWrapSql),
+       |webdocs AS (SELECT doc_id, $htmlTxtExpr AS text,
+       |  length(h)::BIGINT AS n_html_chars FROM wp),
+       |wr AS (SELECT doc_id,
+       |  CASE WHEN n_html_chars > 0 THEN length(text) / n_html_chars END
+       |    AS text_ratio FROM webdocs)
+       |SELECT p.doc_id, p.host, p.domain, p.canonical_url,
+       |  rb.robots_allowed,
+       |  (len(list_filter(['src0.com', 'src1.org', 'src2.net'],
+       |    bd -> p.host = bd OR p.host LIKE '%.' || bd)) > 0) AS domain_blocked,
+       |  (q.rn <= 5) AS quota_keep,
+       |  (p.doc_id = urlk.keeper) AS url_keep,
+       |  w.text_ratio, s.script_ratio, qq.quality_score,
+       |  e.keep AS dedup_keep,
+       |  (w.text_ratio >= ${dlit(0.1)}
+       |    AND coalesce(s.script_ratio >= ${dlit(0.5)}, false)
+       |    AND qq.quality_score >= ${dlit(0.3)} AND e.keep) AS content_keep,
+       |  (rb.robots_allowed
+       |    AND NOT (len(list_filter(['src0.com', 'src1.org', 'src2.net'],
+       |      bd -> p.host = bd OR p.host LIKE '%.' || bd)) > 0)
+       |    AND q.rn <= 5 AND p.doc_id = urlk.keeper
+       |    AND (w.text_ratio >= ${dlit(0.1)}
+       |      AND coalesce(s.script_ratio >= ${dlit(0.5)}, false)
+       |      AND qq.quality_score >= ${dlit(0.3)} AND e.keep)) AS keep
+       |FROM p
+       |JOIN rb ON rb.doc_id = p.doc_id
+       |JOIN q ON q.doc_id = p.doc_id
+       |JOIN urlk ON urlk.canonical_url = p.canonical_url
+       |JOIN wr w ON w.doc_id = p.doc_id
+       |JOIN ($scripts) s ON s.doc_id = p.doc_id
+       |JOIN (${textQualityFrom("webdocs")}) qq ON qq.doc_id = p.doc_id
+       |JOIN (${dedupExactFrom("webdocs")}) e ON e.doc_id = p.doc_id
+       |ORDER BY p.doc_id""".stripMargin
+  }
+
   /** Corpus language/script mix (mirror of
     * TextAnalysis.languageMixPlanted): the script and langid chains
     * joined per doc, grouped to (dominant_script, pred_lang), share

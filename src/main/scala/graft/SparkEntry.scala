@@ -441,6 +441,31 @@ object SparkEntry {
           Seq("slow", "merge", "window"), quota = 5, maxHits = 2)
         .orderBy(col("doc_id"))
     }),
+    // the COMPLETE crawl decision: robots + blocklist + quota +
+    // canonical-URL dedup + the extracted-content battery, one
+    // auditable flag row per page (pipeline_curate's URL planting ×
+    // pipeline_web's scaffold × synthRobots)
+    "pipeline_crawl" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val k = expr("(doc_id div 2) * 2")
+      val withUrl = graft.ops.Curation.synthUrls(docs, key = k,
+        sourceOf = Some(concat(lit("src"), pmod(k, lit(20L)).cast("string"))))
+      val d = col("doc_id")
+      val messy = when(d % 5 === 1, concat(col("url"), lit("#section2")))
+        .when(d % 5 === 2, concat(col("url"), lit("?utm_source=feed&b=2&a=1")))
+        .when(d % 5 === 3, concat(col("url"), lit("?z=9&utm_campaign=x&a=1#frag")))
+        .when(d % 5 === 4,
+          concat(regexp_replace(col("url"), "^https://", "HTTPS://"), lit("/")))
+        .otherwise(col("url"))
+      val pages = withUrl.withColumn("url", messy)
+        .withColumn("html", concat(lit(graft.text.Html.ScaffoldPrefix),
+          col("text"), lit(graft.text.Html.ScaffoldSuffix)))
+      val rules = graft.ops.Curation.synthRobots(
+        graft.ops.Curation.withUrlParts(pages, col("url")))
+      graft.ops.Pipeline.crawlPipeline(pages, col("url"), col("html"),
+          rules, Seq("src0.com", "src1.org", "src2.net"), quota = 5)
+        .orderBy(col("doc_id"))
+    }),
     // content blocklist: token-level wordlist filter as a pure
     // map-side projection — the blocklist rides the plan as an array
     // literal, no join, no shuffle (the content twin of the domain
@@ -1528,6 +1553,7 @@ object SparkEntry {
     "text_strip_boilerplate" -> OracleSql.textStripBoilerplate,
     "text_word_blocklist" -> OracleSql.textWordBlocklist,
     "pipeline_curate" -> OracleSql.pipelineCurate,
+    "pipeline_crawl" -> OracleSql.pipelineCrawl,
     "domain_stats" -> OracleSql.domainStats,
     "domain_quality" -> OracleSql.domainQuality,
     "robots_gate" -> OracleSql.robotsGate,

@@ -210,6 +210,68 @@ object Pipeline {
         col("old_fp"), col("new_fp"))
   }
 
+  /** The COMPLETE crawl decision — every gate a production crawl
+    * pipeline runs, one auditable flag row per page: RFC 9309 robots
+    * compliance, domain blocklist, per-domain quota, canonical-URL
+    * exact dedup (the URL face), and the extracted-content battery
+    * (text ratio, script routing, quality, content dedup — the
+    * [[webCurate]] face). `keep` is the conjunction; every drop
+    * carries its reason (the `pipeline_clean` flag discipline — no
+    * sequential filters, so stages share passes and the decision
+    * table is the audit log).
+    *
+    * Shape: parse + canonicalize are ONE cached projection; robots is
+    * one broadcast-able hosts-grain join; blocklist is a plan array
+    * literal; quota is the bounded top-k aggregate; URL dedup is one
+    * `min(doc_id)` partial agg per canonical; the content face is
+    * [[webCurate]] (extraction + signals one narrow pass, content
+    * dedup its only keyed shuffle). No windows anywhere; no global
+    * sort in the API path (the driver row sorts).
+    */
+  def crawlPipeline(pages: DataFrame, url: Column, html: Column,
+      robots: DataFrame, blockedDomains: Seq[String], quota: Int = 5,
+      minTextRatio: Double = 0.1, minScriptRatio: Double = 0.5,
+      minQuality: Double = 0.3): DataFrame = {
+    import graft.ops.Curation
+    val parsed = Curation.applyRobots(
+        Curation.withUrlParts(
+          pages.withColumn("__url", url).withColumn("__html", html),
+          col("__url"))
+          .withColumn("canonical_url", Curation.canonicalizeUrl(col("__url"))),
+        robots)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val blockedArr = array(blockedDomains.map(lit(_)): _*)
+    val flags = parsed.withColumn("domain_blocked",
+      coalesce(exists(blockedArr, d =>
+        col("host") === d || col("host").endsWith(concat(lit("."), d))),
+        lit(false)))
+    val quotaKeys = Curation.domainQuota(parsed, col("domain"), col("doc_id"), quota)
+      .select(col("key").as("doc_id"), lit(true).as("quota_keep"))
+    val urlKeepers = parsed.groupBy(col("canonical_url"))
+      .agg(min(col("doc_id")).as("__url_keeper"))
+    val content = webCurate(
+        parsed.select(col("doc_id"), col("__html").as("html")),
+        minTextRatio, minScriptRatio, minQuality)
+      .select(col("doc_id"), col("text_ratio"), col("script_ratio"),
+        col("quality_score"), col("dedup_keep"),
+        col("keep").as("content_keep"))
+    val out = flags
+      .join(quotaKeys, Seq("doc_id"), "left")
+      .withColumn("quota_keep", coalesce(col("quota_keep"), lit(false)))
+      .join(urlKeepers, Seq("canonical_url"), "left")
+      .withColumn("url_keep",
+        coalesce(col("doc_id") === col("__url_keeper"), lit(true)))
+      .join(content, Seq("doc_id"))
+      .select(col("doc_id"), col("host"), col("domain"), col("canonical_url"),
+        col("robots_allowed"), col("domain_blocked"), col("quota_keep"),
+        col("url_keep"), col("text_ratio"), col("script_ratio"),
+        col("quality_score"), col("dedup_keep"), col("content_keep"),
+        (col("robots_allowed") && !col("domain_blocked") &&
+          col("quota_keep") && col("url_keep") && col("content_keep"))
+          .as("keep"))
+    Caching.materialized(out) { parsed.unpersist(false) }
+  }
+
   /** EXACT pairwise content overlap between corpus slices (sources,
     * shards, snapshots): for every unordered slice pair with shared
     * content, the common-fingerprint count, both slice sizes, Jaccard,

@@ -847,6 +847,40 @@ class RelationalSpec extends SparkSpec {
       4L -> "unchanged", 9L -> "added"), s"got $got")
   }
 
+  test("crawlPipeline: every gate binds independently; keep is the conjunction") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val prose = (1 to 40).map(i => s"word$i body").mkString(" ")
+    def page(id: Long, url: String, text: String) =
+      (id, url, s"<html><body><p>$text</p></body></html>")
+    val pages = Seq(
+      page(1L, "https://good.com/a", prose + " one"),
+      page(2L, "https://good.com/private/x", prose + " two"),   // robots
+      page(3L, "https://bad.org/a", prose + " three"),          // blocklist
+      page(4L, "https://good.com/b?utm_source=x", prose + " four"),
+      page(5L, "https://good.com/b", prose + " four dup"),      // url dup of 4? no: text differs, canonical same
+      page(6L, "https://good.com/c", "short")).toDF("doc_id", "url", "html") // quality
+    val rules = Seq(("good.com", "/private", false)).toDF("host", "path_prefix", "allow")
+    val got = graft.ops.Pipeline.crawlPipeline(pages, col("url"), col("html"),
+        rules, Seq("bad.org"), quota = 10)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(got(1L).getAs[Boolean]("keep"))
+    assert(!got(2L).getAs[Boolean]("robots_allowed") && !got(2L).getAs[Boolean]("keep"))
+    assert(got(3L).getAs[Boolean]("domain_blocked") && !got(3L).getAs[Boolean]("keep"))
+    // 4 and 5 share a canonical URL (tracking param drops): keeper is
+    // min doc_id, the later crawl of the same page drops
+    assert(got(4L).getAs[Boolean]("url_keep"))
+    assert(!got(5L).getAs[Boolean]("url_keep") && !got(5L).getAs[Boolean]("keep"))
+    assert(got(6L).getAs[Double]("quality_score") < 0.3 && !got(6L).getAs[Boolean]("keep"))
+    // conjunction holds row-for-row
+    got.values.foreach { r =>
+      val conj = r.getAs[Boolean]("robots_allowed") &&
+        !r.getAs[Boolean]("domain_blocked") && r.getAs[Boolean]("quota_keep") &&
+        r.getAs[Boolean]("url_keep") && r.getAs[Boolean]("content_keep")
+      assert(r.getAs[Boolean]("keep") === conj, s"conjunction drift: $r")
+    }
+  }
+
   test("sourceOverlap: exact pairwise counts, jaccard, containments; zero-overlap pairs absent") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
