@@ -2463,6 +2463,56 @@ object OracleSql {
        |FROM th LEFT JOIN k ON th.source = k.source
        |ORDER BY th.source""".stripMargin
 
+  /** Language-balanced sampling (mirror of Sampling.languageBalance
+    * over the marker-tail planting): the shared langid chain predicts
+    * per-doc language, √n temperature rates at the languages grain,
+    * hex64 membership gate — the sampleTemperature arithmetic with
+    * pred_lang as the group.
+    */
+  val sampleLanguageBalance: String = {
+    val scoreCols = TextAnalysis.langMarkers
+      .map { case (l, ws) => s"  ${hits(ws)} AS s_$l" }.mkString(",\n")
+    val names = TextAnalysis.langMarkers.map(_._1)
+    val caseChain = names.init.zipWithIndex.map { case (l, i) =>
+      val rest = names.drop(i + 1).map(l2 => s"s_$l >= s_$l2").mkString(" AND ")
+      s"WHEN $rest THEN '$l'"
+    }.mkString(" ")
+    val tails = TextAnalysis.langMarkers.take(3).map { case (_, ws) =>
+      Seq.fill(12)(ws.take(5)).flatten.mkString(" ") }
+    val tailCase = tails.zipWithIndex
+      .map { case (tl, i) => s"WHEN ${i + 1} THEN text || ' ' || ${slit(tl)}" }
+      .mkString(" ")
+    s"""WITH docs2 AS (SELECT doc_id,
+       |  CASE doc_id % 4 $tailCase ELSE text END AS text FROM documents),
+       |t AS (SELECT doc_id, ${toksOf("text")} AS toks FROM docs2),
+       |s AS (SELECT doc_id,
+       |$scoreCols
+       |FROM t),
+       |pl AS (SELECT doc_id,
+       |  CASE WHEN ${names.map(l => s"s_$l").mkString(" + ")} = 0 THEN 'und'
+       |  $caseChain ELSE '${names.last}' END AS pred_lang FROM s),
+       |c AS (SELECT pred_lang, count(*) AS n_docs FROM pl GROUP BY 1),
+       |r AS (SELECT pred_lang, n_docs, sqrt(n_docs) AS weight,
+       |  sum(sqrt(n_docs)) OVER (ORDER BY pred_lang
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS big_w,
+       |  CAST(sum(n_docs) OVER (ORDER BY pred_lang
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS BIGINT) AS big_n
+       |  FROM c),
+       |th AS (SELECT pred_lang, n_docs,
+       |  least(1.0, 0.5 * big_n * (weight / big_w) / n_docs) AS rate,
+       |  CAST(floor(least(1.0, 0.5 * big_n * (weight / big_w) / n_docs) * 10000)
+       |    AS BIGINT) AS threshold
+       |  FROM r),
+       |k AS (SELECT pl.pred_lang, count(*) AS n_kept
+       |  FROM pl JOIN th ON pl.pred_lang = th.pred_lang
+       |  WHERE ${hex64("'langbal|'||CAST(doc_id AS VARCHAR)")} % 10000 < threshold
+       |  GROUP BY 1)
+       |SELECT th.pred_lang, n_docs, rate, threshold,
+       |  coalesce(n_kept, 0) AS n_kept
+       |FROM th LEFT JOIN k ON th.pred_lang = k.pred_lang
+       |ORDER BY th.pred_lang""".stripMargin
+  }
+
   /** Epoch-based domain mixing (mirror of Sampling.epochMix with the
     * default harmonic weights, scale=1): the per-source coefficients
     * are the SAME Scala-computed doubles the Spark plan embeds

@@ -574,6 +574,20 @@ object SparkEntry {
             concat(lit("budget|"), col("doc_id").cast("string"))),
           budget = 600L)
         .orderBy(col("doc_id"))),
+    // language-balanced sampling: √n temperature over the PREDICTED
+    // language (XLM-R-style low-resource upweighting); 3 residue
+    // classes get 60-token marker tails so the language axis binds
+    "sample_language_balance" -> ((s, dir) => {
+      val tails = graft.text.TextAnalysis.langMarkers.take(3)
+        .map { case (_, ws) => Seq.fill(12)(ws.take(5)).flatten.mkString(" ") }
+      val tailArr = array(tails.map(lit(_)): _*)
+      val planted = t(s, dir, "documents").withColumn("text",
+        when(col("doc_id") % 4 === 0, col("text"))
+          .otherwise(concat(col("text"), lit(" "),
+            element_at(tailArr, (col("doc_id") % 4).cast("int")))))
+      graft.ops.Sampling.languageBalance(planted)
+        .orderBy(col("pred_lang"))
+    }),
     "sample_epoch_mix" -> ((s, dir) =>
       graft.ops.Sampling.epochMix(t(s, dir, "documents"), col("doc_id"))
         .select(col("doc_id"), col("source"), col("epoch"))
@@ -1541,6 +1555,7 @@ object SparkEntry {
     "sample_split" -> OracleSql.sampleSplit,
     "sample_weighted" -> OracleSql.sampleWeighted,
     "sample_temperature" -> OracleSql.sampleTemperature,
+    "sample_language_balance" -> OracleSql.sampleLanguageBalance,
     "sample_stratified" -> OracleSql.sampleStratified,
     "url_domains" -> OracleSql.urlDomains,
     "url_domains_psl" -> OracleSql.urlDomainsPsl,

@@ -291,6 +291,47 @@ object Sampling {
       .orderBy(col("source"))
   }
 
+  /** Language-balanced sampling — the multilingual-mix rebalance
+    * every multilingual pretraining corpus runs (the XLM-R
+    * exponent-smoothing idea): per PREDICTED language, keep rates
+    * scale as √n (temperature 0.5 — upweights low-resource languages,
+    * caps the dominant one), with membership the usual portable hash
+    * gate so the sample is reproducible anywhere. Language comes from
+    * the shared langid chain (`TextAnalysis.langId` — zero drift from
+    * the gated `text_langid` row). √ instead of the customary
+    * p^0.7/p^0.3: sqrt is correctly-rounded IEEE (cross-engine
+    * exact); a free exponent would route through `pow`, which is NOT
+    * (the det_ln discipline).
+    *
+    * Shape: langid is a narrow pass; counts are languages-grain
+    * (tiny — the window runs over ≤ a few dozen rows, never the
+    * corpus); the keep decision is a broadcast threshold join + one
+    * map-side hash compare.
+    */
+  def languageBalance(docs: DataFrame, targetFrac: Double = 0.5,
+      salt: String = "langbal"): DataFrame = {
+    val pred = graft.text.TextAnalysis.langId(docs)
+      .select(col("doc_id"), col("pred_lang"))
+    val counts = pred.groupBy(col("pred_lang")).agg(count(lit(1)).as("n_docs"))
+    val all = Window.orderBy(col("pred_lang"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val rates = counts
+      .withColumn("weight", sqrt(col("n_docs")))
+      .withColumn("big_w", sum(col("weight")).over(all))
+      .withColumn("big_n", sum(col("n_docs")).over(all))
+      .withColumn("rate",
+        least(lit(1.0),
+          lit(targetFrac) * col("big_n") * (col("weight") / col("big_w")) / col("n_docs")))
+      .withColumn("threshold", floor(col("rate") * lit(Granularity)).cast("long"))
+    val kept = pred.join(rates.select(col("pred_lang"), col("threshold")),
+        Seq("pred_lang"))
+      .filter(hashBucket(col("doc_id"), salt) < col("threshold"))
+      .groupBy(col("pred_lang")).agg(count(lit(1)).as("n_kept"))
+    rates.join(kept, Seq("pred_lang"), "left")
+      .select(col("pred_lang"), col("n_docs"), col("rate"), col("threshold"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"))
+  }
+
   /** Per-group TOKEN-budget fill — the sampling primitive a training
     * mix is actually specified in ("500 B tokens of web, 50 B of
     * code"), where count- or rate-based sampling misses because

@@ -847,6 +847,26 @@ class RelationalSpec extends SparkSpec {
       4L -> "unchanged", 9L -> "added"), s"got $got")
   }
 
+  test("languageBalance: rarer predicted language gets the higher keep rate; dominant capped") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // 'the and of to in' are en markers; 'der die und das nicht' de —
+    // 40 en docs vs 8 de docs
+    val docs = ((1 to 40).map(i => (i.toLong, "the and of to in body")) ++
+      (41 to 48).map(i => (i.toLong, "der die und das nicht text")))
+      .toDF("doc_id", "text")
+    val got = graft.ops.Sampling.languageBalance(docs).collect()
+      .map(r => r.getAs[String]("pred_lang") ->
+        (r.getAs[Long]("n_docs"), r.getAs[Double]("rate"))).toMap
+    assert(got("en")._1 === 40L && got("de")._1 === 8L)
+    assert(got("de")._2 > got("en")._2,
+      s"low-resource language must be upweighted: $got")
+    // realized mix: √-temperature at targetFrac 0.5 keeps the total
+    // expectation at half the corpus
+    val expTotal = got.values.map { case (n, r) => n * r }.sum
+    assert(math.abs(expTotal - 24.0) < 1e-9, s"expected kept mass: $expTotal")
+  }
+
   test("crawlPipeline: every gate binds independently; keep is the conjunction") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
