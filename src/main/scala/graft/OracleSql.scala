@@ -3581,6 +3581,24 @@ object OracleSql {
        |FROM r WHERE dst_host IS NOT NULL
        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  /** Host link-graph components (mirror of Graph.hostClusters over
+    * the external edge set): symmetric closure + min-label reachability
+    * as a recursive CTE — the dedupClusters idiom with host labels.
+    */
+  lazy val webHostClusters: String =
+    s"""WITH RECURSIVE $linkResolveCtes,
+       |edges AS (SELECT DISTINCT src_host AS a, dst_host AS b FROM r
+       |  WHERE dst_host IS NOT NULL AND dst_host <> src_host),
+       |nodes AS (SELECT a AS hh FROM edges UNION SELECT b FROM edges),
+       |sym AS (SELECT a, b FROM edges UNION ALL SELECT b AS a, a AS b FROM edges),
+       |reach(hh, label) AS (
+       |  SELECT hh, hh FROM nodes
+       |  UNION
+       |  SELECT s.a, rr.label FROM sym s JOIN reach rr ON rr.hh = s.b)
+       |SELECT hh AS host, min(label) AS cluster_host,
+       |  hh = min(label) AS is_canonical
+       |FROM reach GROUP BY hh ORDER BY host""".stripMargin
+
   /** Host PageRank over the extracted link graph (mirror of
     * Html.hostEdges → Graph.pageRank, internal edges dropped): the
     * [[qPagerank]] unrolled int64 fixed-point over the

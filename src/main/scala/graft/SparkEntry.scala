@@ -550,6 +550,17 @@ object SparkEntry {
           graft.text.Html.linkPlanted(parsed), col("__html"), col("host"))
         .orderBy(col("dst_host"), col("token"))
     }),
+    // site families / mirror networks: connected components over the
+    // extracted host graph (the dedup contraction, host labels)
+    "web_host_clusters" -> ((s, dir) => {
+      val parsed = graft.ops.Curation.withUrlParts(
+        graft.ops.Curation.synthUrls(t(s, dir, "documents")), col("url"))
+      val edges = graft.text.Html.hostEdges(
+          graft.text.Html.extractLinks(
+            graft.text.Html.linkPlanted(parsed), col("__html"), col("host")))
+        .where(!col("is_internal"))
+      graft.ops.Graph.hostClusters(edges).orderBy(col("host"))
+    }),
     // host PageRank over the EXTRACTED link graph — raw HTML to
     // authority ranks end-to-end (internal links dropped, the web
     // convention; top 50 hosts by int64 fixed-point rank)
@@ -1575,6 +1586,7 @@ object SparkEntry {
     "sample_token_budget" -> OracleSql.sampleTokenBudget,
     "web_link_graph" -> OracleSql.webLinkGraph,
     "web_pagerank" -> OracleSql.webPagerank,
+    "web_host_clusters" -> OracleSql.webHostClusters,
     "crawl_frontier" -> OracleSql.crawlFrontier,
     "web_anchor_terms" -> OracleSql.webAnchorTerms,
     "sample_epoch_mix" -> OracleSql.sampleEpochMix,

@@ -189,6 +189,25 @@ object Graph {
     Caching.materialized(ranked) { edges.unpersist(false) }
   }
 
+  /** Connected components over a host-level link graph — mirror
+    * networks and site families (hosts that interlink form one
+    * cluster; the canonical representative is the min host, the label
+    * a curator dedups or quota-groups by). Reuses the large-star/
+    * small-star contraction ([[graft.dedup.Dedup.clustersFromPairs]]
+    * — label-type agnostic, per-round lineage cuts, map-side min
+    * aggregation, never a window), so the dedup-scale evidence (1M-
+    * node smoke) carries over.
+    */
+  def hostClusters(edges: DataFrame, maxIters: Int = 30): DataFrame = {
+    val nodes = edges.select(col("src_host").as("doc_id"))
+      .union(edges.select(col("dst_host").as("doc_id"))).distinct()
+    graft.dedup.Dedup.clustersFromPairs(nodes,
+        edges.select(col("src_host").as("a"), col("dst_host").as("b")),
+        maxIters)
+      .select(col("doc_id").as("host"), col("cluster_id").as("cluster_host"),
+        (col("doc_id") === col("cluster_id")).as("is_canonical"))
+  }
+
   private def releaseCheckpoint(df: DataFrame): Unit =
     df.queryExecution.analyzed.collectLeaves().foreach {
       case lr: org.apache.spark.sql.execution.LogicalRDD =>
