@@ -159,17 +159,30 @@ object Bench {
     def assemble(qEntries: Seq[String], errJson: String, extra: String = "") =
       s"""{"metric":"total","value":${fmt(total, 3)},"unit":"sec","n_queries":${results.size},"queries":${qEntries.mkString("{", ",", "}")},"ok":$ok,"errors":$errJson$extra,"runs":$runs,"load":[${fmt(loadBefore, 2)},${fmt(loadAfter, 2)}],"load_ok":$loadOk,"sf":"$sfDir"}"""
     val byCost = results.toSeq.sortBy { case (k, v) => (-v, k) }
-      .map { case (k, v) => "\"" + k + "\":" + fmt(v, 4) }
+    def render(m: Seq[(String, Double)]): Seq[String] =
+      m.map { case (k, v) => "\"" + k + "\":" + fmt(v, 4) }
     val phasesJson = phases.map { case (k, (b, x)) =>
       "\"" + k + "\":[" + fmt(b, 4) + "," + fmt(x, 4) + "]" }.mkString("{", ",", "}")
     val mediansJson = medians.map { case (k, v) =>
       "\"" + k + "\":" + fmt(v, 4) }.mkString("{", ",", "}")
-    val fullJson = assemble(results.toSeq.map { case (k, v) => "\"" + k + "\":" + fmt(v, 4) },
-      errJsonOf(errors),
+    val fullJson = assemble(render(results.toSeq), errJsonOf(errors),
       s""","phases_build_exec":$phasesJson,"queries_median":$mediansJson""")
-    var kept = byCost
-    while (assemble(kept, errLine).length > 1900 && kept.nonEmpty) kept = kept.dropRight(1)
-    val lineJson = assemble(kept, errLine)
+    // the stdout line now budgets (min + median) PAIRS for the kept
+    // set (r11 verdict item #7: a regression claim should be one
+    // artifact read — the median says "typical run", the min "best
+    // case", and a gap between them says "load artifact, re-measure").
+    // Fewer rows fit, but they are the expensive rows any grading
+    // reads; the file still carries the full maps.
+    def lineOf(n: Int): String = {
+      val ks = byCost.take(n)
+      val med = ks.flatMap { case (k, _) => medians.get(k).map(k -> _) }
+      assemble(render(ks), errLine,
+        s""","queries_median":${render(med).mkString("{", ",", "}")}""")
+    }
+    var keptN = byCost.length
+    while (lineOf(keptN).length > 1900 && keptN > 0) keptN -= 1
+    val kept = byCost.take(keptN)
+    val lineJson = lineOf(keptN)
     System.err.println(s"[bench] stdout line ${lineJson.length} chars " +
       s"(${kept.size}/${results.size} queries; full map in the output file)")
     // always persist the FULL result to a file — sbt/log4j stdout

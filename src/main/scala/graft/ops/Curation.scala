@@ -8,23 +8,27 @@ import graft.GraftFunctions.hex64
 /** URL/domain-level corpus curation — the stage a web-corpus pipeline
   * hits BEFORE any content filter (the RefinedWeb-style URL filtering
   * discipline): parse the URL into host / registered domain / TLD /
-  * path, enforce per-domain quotas so no single site dominates the
-  * corpus, and drop blocklisted domains outright.
+  * path, enforce RFC 9309 robots rules, schedule polite fetch waves,
+  * enforce per-domain quotas so no single site dominates the corpus,
+  * and drop blocklisted domains outright.
   *
   * Scale shape: parsing is a pure codegen projection (Spark's native
-  * `parse_url` + regexes — zero shuffle); the quota cap is the bounded
-  * [[graft.expressions.TopKByScore]] per-domain aggregate (map-side
-  * partials, ≤ quota rows per domain per partition into the shuffle —
-  * NEVER a rank window, which would sort every domain's full row set);
-  * the blocklist is a broadcast anti-join (blocklists are small by
-  * construction — even industrial ones are ≪ broadcast threshold).
-  * All three survive a 100 TB crawl unchanged.
+  * `parse_url` + regexes — zero shuffle); the robots gate is one
+  * hosts-grain broadcast-able join + a per-row precedence fold; the
+  * quota cap is the bounded [[graft.expressions.TopKByScore]]
+  * per-domain aggregate (map-side partials, ≤ quota rows per domain
+  * per partition into the shuffle — NEVER a rank window, which would
+  * sort every domain's full row set); crawl waves ride the shared
+  * distributed prefix rank; the blocklist is a broadcast anti-join
+  * with an equi-join tier for industrial lists. All of them survive a
+  * 100 TB crawl unchanged.
   *
-  * Registered-domain note: `domain` here is the last two host labels —
-  * correct for single-label public suffixes (.com/.org/...). A
-  * production deployment on real crawl data should substitute a
-  * public-suffix-list lookup (a ~10k-row broadcast join) for the
-  * 2-label rule; the quota/blocklist operators are agnostic to which.
+  * Registered-domain note: `domain` is the last two host labels —
+  * correct for single-label public suffixes (.com/.org/...);
+  * `domain_psl` ([[withUrlPartsPsl]]) is the production key, running
+  * the full public-suffix-list algorithm (wildcards, exceptions,
+  * private section) over a checked-in snapshot. The quota/blocklist
+  * operators are agnostic to which.
   */
 object Curation {
 
