@@ -684,6 +684,31 @@ object OracleSql {
        |ORDER BY p.doc_id""".stripMargin
   }
 
+  /** Frontier seen-filter (mirror of Curation.filterSeen over the
+    * messy re-crawl planting): canonical URLs closed-form (the messy
+    * variants collapse back to the clean synth URL, except the
+    * genuine query-string variants which survive sorted and
+    * untracked); seen = EXISTS against the landed even-id set — the
+    * Bloom is pruning-only, the result IS the exact membership test.
+    */
+  val frontierSeen: String = {
+    val base =
+      """'https://' ||
+        |  (CASE doc_id % 7 WHEN 0 THEN '' WHEN 1 THEN 'www.' WHEN 2 THEN 'cdn.'
+        |    WHEN 3 THEN 'm.' WHEN 4 THEN 'a.' WHEN 5 THEN 'b.' ELSE 'c.' END) ||
+        |  source || '.' ||
+        |  (CASE (doc_id // 3) % 3 WHEN 0 THEN 'com' WHEN 1 THEN 'org' ELSE 'net' END) ||
+        |  repeat('/s', (doc_id % 4)::INT) || '/doc' || doc_id::VARCHAR""".stripMargin
+    s"""WITH f AS (SELECT doc_id, $base ||
+       |  (CASE doc_id % 5 WHEN 2 THEN '?a=1&b=2' WHEN 3 THEN '?a=1&z=9'
+       |    ELSE '' END) AS canonical_url FROM documents),
+       |l AS (SELECT $base AS c FROM documents WHERE doc_id % 2 = 0)
+       |SELECT f.doc_id, f.canonical_url,
+       |  EXISTS(SELECT 1 FROM l WHERE l.c = f.canonical_url) AS seen,
+       |  NOT EXISTS(SELECT 1 FROM l WHERE l.c = f.canonical_url) AS keep
+       |FROM f ORDER BY f.doc_id""".stripMargin
+  }
+
   /** Corpus language/script mix (mirror of
     * TextAnalysis.languageMixPlanted): the script and langid chains
     * joined per doc, grouped to (dominant_script, pred_lang), share

@@ -441,6 +441,29 @@ object SparkEntry {
           Seq("slow", "merge", "window"), quota = 5, maxHits = 2)
         .orderBy(col("doc_id"))
     }),
+    // frontier seen-filter: bloom-pruned, exact-verified "already
+    // crawled?" against the landed canonical-URL set; the messy
+    // re-crawl variants canonicalize back onto landed URLs, so the
+    // canonicalize-before-probe ordering binds
+    "frontier_seen" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val landed = graft.ops.Curation.synthUrls(docs)
+        .where(col("doc_id") % 2 === 0)
+        .select(graft.ops.Curation.canonicalizeUrl(col("url"))
+          .as("canonical_url"))
+      val d = col("doc_id")
+      val withUrl = graft.ops.Curation.synthUrls(docs)
+      val messy = when(d % 5 === 1, concat(col("url"), lit("#section2")))
+        .when(d % 5 === 2, concat(col("url"), lit("?utm_source=feed&b=2&a=1")))
+        .when(d % 5 === 3, concat(col("url"), lit("?z=9&utm_campaign=x&a=1#frag")))
+        .when(d % 5 === 4,
+          concat(regexp_replace(col("url"), "^https://", "HTTPS://"), lit("/")))
+        .otherwise(col("url"))
+      graft.ops.Curation.filterSeen(
+          withUrl.withColumn("url", messy), col("url"), landed)
+        .select(col("doc_id"), col("canonical_url"), col("seen"), col("keep"))
+        .orderBy(col("doc_id"))
+    }),
     // the COMPLETE crawl decision: robots + blocklist + quota +
     // canonical-URL dedup + the extracted-content battery, one
     // auditable flag row per page (pipeline_curate's URL planting ×
@@ -1580,6 +1603,7 @@ object SparkEntry {
     "text_word_blocklist" -> OracleSql.textWordBlocklist,
     "pipeline_curate" -> OracleSql.pipelineCurate,
     "pipeline_crawl" -> OracleSql.pipelineCrawl,
+    "frontier_seen" -> OracleSql.frontierSeen,
     "domain_stats" -> OracleSql.domainStats,
     "domain_quality" -> OracleSql.domainQuality,
     "robots_gate" -> OracleSql.robotsGate,

@@ -502,6 +502,48 @@ object Curation {
         expr(s"cum_before div $perWave").as("wave"))
   }
 
+  /** Frontier "seen" filter — have we already crawled this URL?
+    * Canonicalize the frontier, probe a Bloom filter built over the
+    * landed corpus's canonical URLs (codegen
+    * [[graft.expressions.BloomMightContain]] — most frontier URLs are
+    * new, and a definite-miss never joins), and exact-verify ONLY the
+    * probable hits with one semi-join so Bloom false positives cannot
+    * drop a page. The RESULT is exactly the anti-join — the Bloom is
+    * pure pruning (the [[graft.dedup.Dedup.bloomDedup]] discipline,
+    * URL-keyed). Null canonicals (unparseable URLs) have no URL
+    * identity and pass as unseen — the other gates decide their fate.
+    *
+    * Scale shape: the filter is a few bytes per landed URL broadcast
+    * once; the frontier stays map-only except for the bloom-hit
+    * slice, which is the landed-overlap fraction of the batch.
+    */
+  def filterSeen(frontier: DataFrame, url: Column, landed: DataFrame,
+      fpp: Double = 0.01): DataFrame = {
+    val seen = landed.select(col("canonical_url"))
+      .where(col("canonical_url").isNotNull).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val expected = math.max(seen.count(), 64L)
+    val bloom = seen.select(hex64(col("canonical_url")).as("__fp"))
+      .stat.bloomFilter("__fp", expected, fpp)
+    val bc = frontier.sparkSession.sparkContext.broadcast(bloom)
+    val withCanon = frontier
+      .withColumn("canonical_url", canonicalizeUrl(url))
+      .withColumn("__hit", coalesce(
+        graft.GraftFunctions.bloom_might_contain(
+          hex64(col("canonical_url")), bc), lit(false)))
+    val verified = withCanon.where(col("__hit"))
+      .join(seen, Seq("canonical_url"), "left_semi")
+      .select(col("doc_id"), lit(true).as("seen"))
+    val out = withCanon
+      .join(verified, Seq("doc_id"), "left")
+      .withColumn("seen", coalesce(col("seen"), lit(false)))
+      .withColumn("keep", !col("seen"))
+      .drop("__hit")
+    graft.ops.Caching.materialized(out) {
+      seen.unpersist(false); bc.unpersist(false)
+    }
+  }
+
   /** Initialize an empty per-domain admission ledger at rest —
     * the incremental-ingest lifecycle for [[domainQuota]] (the
     * curation twin of `Dedup.saveSignatures`): a crawl ingests in

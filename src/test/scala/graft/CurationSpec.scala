@@ -291,6 +291,35 @@ class CurationSpec extends SparkSpec {
     assert(again === run(rows).collect().map(_.toString).sorted.toSeq)
   }
 
+  test("filterSeen: ≡ exact membership; canonicalize-before-probe; null URLs pass") {
+    val landed = Seq("https://a.com/p", "https://a.com/q", "https://b.org/r")
+      .toDF("canonical_url")
+    val frontier = Seq(
+      (1L, "https://a.com/p?utm_source=x#f"), // messy re-crawl of landed
+      (2L, "https://a.com/new"),
+      (3L, "https://b.org/r"),
+      (4L, null.asInstanceOf[String]),        // unparseable: passes
+      (5L, "https://c.net/s")).toDF("doc_id", "url")
+    val got = Curation.filterSeen(frontier, col("url"), landed).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Boolean]("seen")).toMap
+    assert(got === Map(1L -> true, 2L -> false, 3L -> true,
+      4L -> false, 5L -> false))
+    // exactness under an ADVERSARIAL bloom: fpp near 0.5 forces false
+    // positives through the probe — the semi-join must kill them all
+    val many = spark.range(2000).toDF("doc_id")
+      .select(col("doc_id"),
+        concat(lit("https://x.io/d"), col("doc_id").cast("string")).as("url"))
+    val landedHalf = many.where(col("doc_id") % 2 === 0)
+      .select(Curation.canonicalizeUrl(col("url")).as("canonical_url"))
+    val res = Curation.filterSeen(many, col("url"), landedHalf, fpp = 0.4)
+      .agg(sum(when(col("seen"), 1L).otherwise(0L)).as("s"),
+        sum(when(col("seen") =!= (col("doc_id") % 2 === 0), 1L).otherwise(0L))
+          .as("wrong"))
+      .head()
+    assert(res.getLong(0) === 1000L && res.getLong(1) === 0L,
+      s"bloom false positives must not survive the verify join: $res")
+  }
+
   test("canonicalizeUrl: fragment/tracking/sort/port/slash/case normalize; idempotent") {
     val urls = Seq(
       (1L, "HTTPS://WWW.Example.COM:443/Path/"),
