@@ -3082,6 +3082,42 @@ object OracleSql {
       |  CASE WHEN invalid THEN NULL ELSE TRUE END AS header_consistent
       |FROM m ORDER BY doc_id""".stripMargin
 
+  /** GIF pixel stats (mirror of Gif.pixelStats ∘ synthPixelsFromDocs):
+    * the oracle recomputes channel sums/peak from the closed-form
+    * index sequence `(doc_id + i) mod entries` and the text-derived
+    * palette — Spark must reach the same numbers by actually decoding
+    * the LZW stream, so the hash match proves the decode.
+    */
+  val mmGifPixels: String = {
+    def chan(c: Int): String =
+      s"""[('0x' || substr(ph, (3 * ((doc_id + i) % entries) + $c) * 2 + 1, 2))::BIGINT
+         |    for i in range(0, n)]""".stripMargin
+    s"""WITH m AS (SELECT doc_id, text,
+       |  (1::BIGINT << ((doc_id % 3 + 2)::INT)) AS entries,
+       |  5 + doc_id % 6 AS iw, 3 + doc_id % 4 AS ih,
+       |  doc_id % 10 = 0 AS invalid FROM documents),
+       |p AS (SELECT doc_id, invalid, entries, iw * ih AS n,
+       |  rpad(substring(hex(text::BLOB), 1, (entries * 6)::INT),
+       |    (entries * 6)::INT, '0') AS ph FROM m),
+       |s AS (SELECT doc_id, invalid, n,
+       |  ${chan(0)} AS rs,
+       |  ${chan(1)} AS gs,
+       |  ${chan(2)} AS bs
+       |  FROM p)
+       |SELECT doc_id, NOT invalid AS gif_valid,
+       |  (CASE WHEN invalid THEN NULL ELSE n END)::BIGINT AS pixels_decoded,
+       |  CASE WHEN invalid THEN NULL
+       |    ELSE list_aggregate(rs, 'sum')::DOUBLE / n END AS mean_r,
+       |  CASE WHEN invalid THEN NULL
+       |    ELSE list_aggregate(gs, 'sum')::DOUBLE / n END AS mean_g,
+       |  CASE WHEN invalid THEN NULL
+       |    ELSE list_aggregate(bs, 'sum')::DOUBLE / n END AS mean_b,
+       |  (CASE WHEN invalid THEN NULL
+       |    ELSE greatest(list_max(rs), list_max(gs), list_max(bs)) END)::BIGINT
+       |    AS peak_byte
+       |FROM s ORDER BY doc_id""".stripMargin
+  }
+
   val mmPngMeta: String =
     """WITH m AS (SELECT doc_id,
       |  16 + (doc_id % 7) * 9 AS w,

@@ -1314,6 +1314,18 @@ object SparkEntry {
           col("n_pixels"), col("header_consistent"))
         .orderBy(col("doc_id"))
     }),
+    // GIF pixel stats through a REAL LZW decode: block walk → code
+    // stream → dictionary chains → palette lookups, one kernel pass;
+    // the oracle recomputes channel sums from the closed-form indices
+    // and the same text-derived palette while Spark decodes the bytes
+    "mm_gif_pixels" -> ((s, dir) => {
+      val media = graft.multimodal.Binary.Gif.synthPixelsFromDocs(
+        t(s, dir, "documents"))
+      graft.multimodal.Binary.Gif.pixelStats(media)
+        .select(col("doc_id"), col("gif_valid"), col("pixels_decoded"),
+          col("mean_r"), col("mean_g"), col("mean_b"), col("peak_byte"))
+        .orderBy(col("doc_id"))
+    }),
     // container triage over a mixed blob column: detect by magic
     // bytes, parse the matching codec, one uniform row per blob; the
     // mixing joins exist only to SYNTHESIZE the test corpus —
@@ -1703,6 +1715,7 @@ object SparkEntry {
     "mm_jpeg_meta" -> OracleSql.mmJpegMeta,
     "mm_bmp_meta" -> OracleSql.mmBmpMeta,
     "mm_gif_meta" -> OracleSql.mmGifMeta,
+    "mm_gif_pixels" -> OracleSql.mmGifPixels,
     "mm_bmp_pixels" -> OracleSql.mmBmpPixels,
     "mm_png_pixels" -> OracleSql.mmPngPixels,
     "mm_media_triage" -> OracleSql.mmMediaTriage,

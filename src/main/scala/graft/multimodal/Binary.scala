@@ -826,6 +826,80 @@ object Binary {
         .drop("__gif_packed")
     }
 
+    /** Channel statistics via a REAL LZW decode of the first image —
+      * the GIF sibling of `PngPixels.pixelStats` (zlib there, LZW
+      * here): block walk → variable-width code stream → dictionary
+      * chains accumulated against the active color table, one codegen
+      * kernel pass ([[graft.expressions.GifLzwKernel]]). Adds
+      * `pixels_decoded`, `mean_r/g/b`, `peak_byte` (null when the
+      * payload is not a decodable GIF). Pure projection — zero
+      * shuffles.
+      */
+    def pixelStats(media: DataFrame, payloadCol: String = "payload"): DataFrame = {
+      val st = org.apache.spark.sql.GraftColumnBridge.column(
+        graft.expressions.GifPixelStats(
+          org.apache.spark.sql.GraftColumnBridge.expression(col(payloadCol))))
+      parse(media, payloadCol)
+        .withColumn("__st", when(col("gif_valid"), st))
+        .withColumn("pixels_decoded",
+          when(col("__st").isNotNull && element_at(col("__st"), 1) > 0,
+            element_at(col("__st"), 1)))
+        .withColumn("mean_r",
+          element_at(col("__st"), 2).cast("double") / col("pixels_decoded"))
+        .withColumn("mean_g",
+          element_at(col("__st"), 3).cast("double") / col("pixels_decoded"))
+        .withColumn("mean_b",
+          element_at(col("__st"), 4).cast("double") / col("pixels_decoded"))
+        .withColumn("peak_byte",
+          when(col("pixels_decoded").isNotNull, element_at(col("__st"), 5)))
+        .drop("__st")
+    }
+
+    /** Deterministic FULL GIF streams (header + GCT from the text
+      * bytes + image descriptor + a real literal-mode LZW code stream
+      * + trailer): indices are the closed form `(doc_id + i) mod
+      * entries`, so the oracle recomputes channel sums from the same
+      * text chars while Spark decodes the actual compressed bytes.
+      * Every `invalidEvery`-th doc is raw text (the invalid lane).
+      */
+    def synthPixelsFromDocs(docs: DataFrame, invalidEvery: Int = 10): DataFrame = {
+      val d = col("doc_id")
+      val bits = (d % 3 + 1).cast("int") // GCT size field: 4/8/16 entries
+      val entries = expr("shiftleft(1L, cast(doc_id % 3 + 2 as int))")
+      val iw = lit(5L) + d % 6
+      val ih = lit(3L) + d % 4
+      val n = iw * ih
+      val staged = docs
+        .withColumn("__entries", entries)
+        .withColumn("__gct_hex", expr(
+          "rpad(substring(hex(cast(text as binary)), 1, cast(__entries * 6 as int)), " +
+            "cast(__entries * 6 as int), '0')"))
+        .withColumn("__idx",
+          transform(sequence(lit(0L), n - 1),
+            i => pmod(d + i, col("__entries")).cast("int")))
+      // three encoder expressions, one per minCode (operator constant)
+      def enc(mc: Int) = org.apache.spark.sql.GraftColumnBridge.column(
+        graft.expressions.GifLzwEncode(
+          org.apache.spark.sql.GraftColumnBridge.expression(col("__idx")), mc))
+      val lzwHex = hex(
+        when(d % 3 === 0, enc(2)).when(d % 3 === 1, enc(3)).otherwise(enc(4)))
+      val packed = lit(240L) + bits.cast("long") // GCT flag + colres 7 + size
+      val gifHex = concat(
+        asciiHex("GIF89a"),
+        Bmp.leHex(iw, 2), Bmp.leHex(ih, 2), Bmp.leHex(packed, 1),
+        Bmp.leHex(lit(0L), 1), Bmp.leHex(lit(0L), 1),
+        col("__gct_hex"),
+        lit("2C"), Bmp.leHex(lit(0L), 2), Bmp.leHex(lit(0L), 2),
+        Bmp.leHex(iw, 2), Bmp.leHex(ih, 2), Bmp.leHex(lit(0L), 1),
+        Bmp.leHex(d % 3 + 2, 1), // LZW minimum code size
+        lzwHex, lit("3B"))
+      staged.select(d,
+        when(d % invalidEvery === 0, col("text").cast("binary"))
+          .otherwise(unhex(gifHex)).as("payload"),
+        when(d % invalidEvery === 0, lit("text/plain"))
+          .otherwise(lit("image/gif")).as("media_type"))
+    }
+
     /** Deterministic minimal GIF streams over the docs table (header +
       * optional GCT from the text bytes + trailer); every 10th doc is
       * raw text (the invalid lane).

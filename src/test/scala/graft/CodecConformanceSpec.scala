@@ -96,6 +96,45 @@ class CodecConformanceSpec extends SparkSpec {
     assert(!Binary.Gif.parse(junk).head().getAs[Boolean]("gif_valid"))
   }
 
+  test("GIF LZW decode vs ImageIO's REAL encoder: channel sums exact through dictionary growth") {
+    // an INDEXED image with a known palette: ImageIO's GIF writer
+    // preserves the color map losslessly (no quantization), so the
+    // planted per-pixel RGB sums are exact ground truth — and its LZW
+    // stream grows the dictionary (runs of repeated indices), the
+    // path the literal-mode synth encoder deliberately never takes
+    val pal = Array(0x102030, 0x405060, 0x708090, 0xA0B0C0)
+    val icm = new java.awt.image.IndexColorModel(2, 4,
+      pal.map(p => ((p >> 16) & 0xFF).toByte),
+      pal.map(p => ((p >> 8) & 0xFF).toByte),
+      pal.map(p => (p & 0xFF).toByte))
+    for ((w, h) <- Seq((23, 11), (64, 32))) {
+      val img = new BufferedImage(w, h,
+        BufferedImage.TYPE_BYTE_INDEXED, icm)
+      var (sr, sg, sb) = (0L, 0L, 0L)
+      for (y <- 0 until h; x <- 0 until w) {
+        // long runs (x/7) force dictionary codes incl. KwKwK shapes
+        val idx = ((x / 7) + y) % 4
+        img.getRaster.setSample(x, y, 0, idx)
+        sr += (pal(idx) >> 16) & 0xFF
+        sg += (pal(idx) >> 8) & 0xFF
+        sb += pal(idx) & 0xFF
+      }
+      val out = new ByteArrayOutputStream()
+      assert(ImageIO.write(img, "gif", out), "JDK GIF writer unavailable")
+      val df = Seq((1L, out.toByteArray)).toDF("doc_id", "payload")
+      val row = Binary.Gif.pixelStats(df).head()
+      def f[T](n: String): T = row.getAs[T](n)
+      assert(f[Boolean]("gif_valid"), s"GIF ${w}x$h rejected: $row")
+      val n = (w * h).toLong
+      assert(f[Long]("pixels_decoded") === n,
+        s"GIF ${w}x$h: LZW stream must fully decode: $row")
+      assert(f[Double]("mean_r") === sr.toDouble / n)
+      assert(f[Double]("mean_g") === sg.toDouble / n)
+      assert(f[Double]("mean_b") === sb.toDouble / n)
+      assert(f[Long]("peak_byte") === 0xC0L)
+    }
+  }
+
   test("BMP from ImageIO (independent encoder): meta and pixel stats field-exact") {
     for ((w, h) <- Seq((16, 9), (13, 7))) { // 13 → non-trivial stride padding
       val img = plantRgb(w, h, BufferedImage.TYPE_3BYTE_BGR)
