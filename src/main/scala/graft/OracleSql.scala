@@ -709,6 +709,29 @@ object OracleSql {
        |FROM f ORDER BY f.doc_id""".stripMargin
   }
 
+  /** WARC record split + parse (mirror of Warc.splitRecords ∘
+    * parseRecords over the two-record synth archives): the oracle
+    * emits the closed-form fields directly — Spark must reach them by
+    * actually walking the stream by Content-Length (a planted body
+    * carries the literal record magic, so a pattern split would
+    * mis-cut and hash-mismatch).
+    */
+  // lazy: UrlSynth initializes further down the object
+  lazy val warcRecords: String =
+    s"""WITH u AS ($UrlSynth),
+       |b AS (SELECT doc_id, url, substring(text, 1, 120) AS body1,
+       |  'meta WARC/1.0 inside body for doc ' || doc_id::VARCHAR AS body2
+       |  FROM u)
+       |SELECT doc_id, 0::BIGINT AS rec_idx, true AS warc_valid,
+       |  'response' AS warc_type, url AS target_uri,
+       |  length(body1)::BIGINT AS content_length, body1 AS body,
+       |  true AS length_ok
+       |FROM b
+       |UNION ALL
+       |SELECT doc_id, 1::BIGINT, true, 'metadata', url,
+       |  length(body2)::BIGINT, body2, true FROM b
+       |ORDER BY doc_id, rec_idx""".stripMargin
+
   /** Corpus language/script mix (mirror of
     * TextAnalysis.languageMixPlanted): the script and langid chains
     * joined per doc, grouped to (dominant_script, pred_lang), share

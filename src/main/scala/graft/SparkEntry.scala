@@ -441,6 +441,26 @@ object SparkEntry {
           Seq("slow", "merge", "window"), quota = 5, maxHits = 2)
         .orderBy(col("doc_id"))
     }),
+    // WARC archive ingest: content-length-driven record split (the
+    // kernel walk — a planted body contains the literal record magic,
+    // so pattern splitting would mis-cut) + header-field projection
+    "warc_records" -> ((s, dir) => {
+      val u = graft.ops.Curation.synthUrls(t(s, dir, "documents"))
+      val body1 = substring(col("text"), 1, 120)
+      val body2 = concat(lit("meta WARC/1.0 inside body for doc "),
+        col("doc_id").cast("string"))
+      val blob = concat(
+        graft.sources.Warc.record(lit("response"), col("url"), body1),
+        graft.sources.Warc.record(lit("metadata"), col("url"), body2))
+      graft.sources.Warc.parseRecords(
+          graft.sources.Warc.splitRecords(
+            u.select(col("doc_id"), blob.as("archive")), col("archive")),
+          col("record"))
+        .select(col("doc_id"), col("rec_idx"), col("warc_valid"),
+          col("warc_type"), col("target_uri"), col("content_length"),
+          col("body"), col("length_ok"))
+        .orderBy(col("doc_id"), col("rec_idx"))
+    }),
     // frontier seen-filter: bloom-pruned, exact-verified "already
     // crawled?" against the landed canonical-URL set; the messy
     // re-crawl variants canonicalize back onto landed URLs, so the
@@ -1616,6 +1636,7 @@ object SparkEntry {
     "pipeline_curate" -> OracleSql.pipelineCurate,
     "pipeline_crawl" -> OracleSql.pipelineCrawl,
     "frontier_seen" -> OracleSql.frontierSeen,
+    "warc_records" -> OracleSql.warcRecords,
     "domain_stats" -> OracleSql.domainStats,
     "domain_quality" -> OracleSql.domainQuality,
     "robots_gate" -> OracleSql.robotsGate,

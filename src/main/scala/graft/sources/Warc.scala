@@ -1,0 +1,75 @@
+package graft.sources
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** WARC (ISO 28500) record handling — the wire format web-scale
+  * corpora actually arrive in (Common Crawl ships WARC): a crawl
+  * ingest splits the archive stream into records by their declared
+  * Content-Length (see [[graft.expressions.WarcSplitKernel]] — bodies
+  * may legally contain the record magic, so pattern splitting is
+  * WRONG), then projects the header fields + body every downstream
+  * curation stage keys on.
+  *
+  * Scale shape: the split is one codegen kernel pass per archive
+  * blob + an explode; field extraction is a pure projection (anchored
+  * regexes + one offset substring) — zero shuffles end to end.
+  */
+object Warc {
+
+  /** Render a record (the writer face — also the synth device):
+    * version line, WARC-Type, WARC-Target-URI, Content-Length, blank
+    * line, body, record separator.
+    */
+  def record(warcType: Column, targetUri: Column, body: Column): Column =
+    concat(lit("WARC/1.0\r\nWARC-Type: "), warcType,
+      lit("\r\nWARC-Target-URI: "), targetUri,
+      // Content-Length is OCTETS (ISO 28500 §5.3) — byte length, which
+      // the split kernel walks; parseRecords' char-offset body slice
+      // assumes single-byte bodies (ASCII crawl payloads) — multibyte
+      // bodies should be sliced from the kernel's binary records
+      lit("\r\nContent-Length: "), length(body.cast("binary")).cast("string"),
+      lit("\r\n\r\n"), body, lit("\r\n\r\n"))
+
+  /** Split an archive blob into records: adds `rec_idx` (0-based
+    * position in the stream) and `record` (string). Invalid streams
+    * yield zero rows for that blob (the kernel returns null).
+    */
+  def splitRecords(df: DataFrame, blob: Column): DataFrame =
+    df.withColumn("__recs",
+        org.apache.spark.sql.GraftColumnBridge.column(
+          graft.expressions.WarcSplit(
+            org.apache.spark.sql.GraftColumnBridge.expression(
+              blob.cast("binary")))))
+      .select(col("*"), posexplode(col("__recs")).as(Seq("rec_idx", "__rec")))
+      .withColumn("rec_idx", col("rec_idx").cast("long"))
+      .withColumn("record", col("__rec").cast("string"))
+      .drop("__recs", "__rec")
+
+  /** Project the curation-relevant fields of a record column:
+    * `warc_valid` (magic + header terminator + a parseable
+    * Content-Length), `warc_type`, `target_uri`, `content_length`,
+    * `body` (exactly Content-Length chars past the blank line), and
+    * `length_ok` (declared length consistent with the physical
+    * record). Pure projection.
+    */
+  def parseRecords(df: DataFrame, rec: Column): DataFrame = {
+    val headers = substring_index(rec, "\r\n\r\n", 1)
+    val clen = regexp_extract(rec, "\r\nContent-Length: ([0-9]+)\r\n", 1)
+    val valid = rec.startsWith("WARC/1.0\r\n") &&
+      rec.contains("\r\n\r\n") && clen =!= ""
+    val n = when(valid, clen.cast("long"))
+    df.withColumn("warc_valid", valid)
+      .withColumn("warc_type",
+        when(valid, nullif(
+          regexp_extract(rec, "\r\nWARC-Type: ([^\r\n]+)\r\n", 1), lit(""))))
+      .withColumn("target_uri",
+        when(valid, nullif(
+          regexp_extract(rec, "\r\nWARC-Target-URI: ([^\r\n]+)\r\n", 1), lit(""))))
+      .withColumn("content_length", n)
+      .withColumn("body",
+        when(valid, rec.substr(length(headers) + 5, n.cast("int"))))
+      .withColumn("length_ok",
+        when(valid, length(rec) === length(headers) + lit(4) + n))
+  }
+}

@@ -152,4 +152,29 @@ class SourcesExtensionsSpec extends SparkSpec {
     assert(st.getAs[Long]("n_entries") === 500L * 8)
     assert(st.getAs[Long]("max_bucket") >= 1L)
   }
+
+  test("Warc: length-driven split survives magic-in-body; structural traps yield no records") {
+    import graft.sources.Warc
+    val archive = Seq((1L,
+      "WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: https://a.com/p\r\n" +
+        "Content-Length: 20\r\n\r\nbody WARC/1.0 trap x\r\n\r\n" +
+        "WARC/1.0\r\nWARC-Type: metadata\r\nWARC-Target-URI: https://a.com/p\r\n" +
+        "Content-Length: 5\r\n\r\nhello\r\n\r\n")).toDF("doc_id", "archive")
+    val got = Warc.parseRecords(
+        Warc.splitRecords(archive, col("archive")), col("record"))
+      .collect().map(r => r.getAs[Long]("rec_idx") -> r).toMap
+    assert(got.size === 2, s"magic-in-body must not split a record: $got")
+    assert(got(0L).getAs[String]("body") === "body WARC/1.0 trap x")
+    assert(got(0L).getAs[String]("warc_type") === "response")
+    assert(got(1L).getAs[String]("body") === "hello")
+    assert(got.values.forall(_.getAs[Boolean]("length_ok")))
+    // traps: truncated body, missing record separator, lying length
+    val bad = Seq(
+      (1L, "WARC/1.0\r\nContent-Length: 50\r\n\r\nshort\r\n\r\n"),
+      (2L, "WARC/1.0\r\nContent-Length: 5\r\n\r\nhelloXXXX"),
+      (3L, "NOTWARC\r\nContent-Length: 5\r\n\r\nhello\r\n\r\n"))
+      .toDF("doc_id", "archive")
+    assert(Warc.splitRecords(bad, col("archive")).count() === 0L,
+      "structurally broken archives must yield zero records, not garbage")
+  }
 }
