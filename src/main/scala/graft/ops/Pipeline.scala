@@ -272,6 +272,27 @@ object Pipeline {
     Caching.materialized(out) { parsed.unpersist(false) }
   }
 
+  /** WARC in → crawl decisions out — the full ingestion chain as one
+    * call: split the archive blobs by Content-Length, keep the
+    * `response` records, and run [[crawlPipeline]] with the record's
+    * WARC-Target-URI as the URL and its body as the raw HTML. Record
+    * identity: `doc_id = archive doc_id · 2²⁰ + rec_idx` (stable,
+    * join-able back to both the archive and the record). Everything
+    * downstream is the gated operator — this is deliberately a thin
+    * composition, so it cannot drift from [[crawlPipeline]]
+    * (spec-asserted parity).
+    */
+  def warcCurate(archives: DataFrame, blob: Column, robots: DataFrame,
+      blockedDomains: Seq[String], quota: Int = 5): DataFrame = {
+    val recs = graft.sources.Warc.parseRecords(
+        graft.sources.Warc.splitRecords(archives, blob), col("record"))
+      .where(col("warc_valid") && col("warc_type") === "response")
+      .select((col("doc_id") * (1L << 20) + col("rec_idx")).as("doc_id"),
+        col("target_uri"), col("body"))
+    crawlPipeline(recs, col("target_uri"), col("body"), robots,
+      blockedDomains, quota)
+  }
+
   /** EXACT pairwise content overlap between corpus slices (sources,
     * shards, snapshots): for every unordered slice pair with shared
     * content, the common-fingerprint count, both slice sizes, Jaccard,

@@ -901,6 +901,39 @@ class RelationalSpec extends SparkSpec {
     }
   }
 
+  test("warcCurate ≡ crawlPipeline over the extracted response records") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val prose = (1 to 40).map(i => s"word$i body").mkString(" ")
+    def rec(typ: String, uri: String, body: String) =
+      s"WARC/1.0\r\nWARC-Type: $typ\r\nWARC-Target-URI: $uri\r\n" +
+        s"Content-Length: ${body.length}\r\n\r\n$body\r\n\r\n"
+    val archives = Seq(
+      (1L, rec("response", "https://good.com/a", s"<html><p>$prose one</p></html>") +
+        rec("metadata", "https://good.com/a", "ignored") +
+        rec("response", "https://good.com/private/x", s"<html><p>$prose two</p></html>")),
+      (2L, rec("response", "https://bad.org/a", s"<html><p>$prose three</p></html>")))
+      .toDF("doc_id", "archive")
+    val rules = Seq(("good.com", "/private", false)).toDF("host", "path_prefix", "allow")
+    val got = graft.ops.Pipeline.warcCurate(archives, col("archive"),
+        rules, Seq("bad.org"), quota = 10)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    // metadata records never enter the pipeline
+    assert(got.keySet === Set(1L << 20, (1L << 20) + 2, 2L << 20), got.keySet.toString)
+    assert(got(1L << 20).getAs[Boolean]("keep"))
+    assert(!got((1L << 20) + 2).getAs[Boolean]("robots_allowed"))
+    assert(got(2L << 20).getAs[Boolean]("domain_blocked"))
+    // parity: the composition is exactly crawlPipeline on the record frame
+    val direct = graft.ops.Pipeline.crawlPipeline(
+        Seq((1L << 20, "https://good.com/a", s"<html><p>$prose one</p></html>"),
+          ((1L << 20) + 2, "https://good.com/private/x", s"<html><p>$prose two</p></html>"),
+          (2L << 20, "https://bad.org/a", s"<html><p>$prose three</p></html>"))
+          .toDF("doc_id", "url", "html"),
+        col("url"), col("html"), rules, Seq("bad.org"), quota = 10)
+      .collect().map(_.toString).sorted.toSeq
+    assert(got.values.map(_.toString).toSeq.sorted === direct)
+  }
+
   test("sourceOverlap: exact pairwise counts, jaccard, containments; zero-overlap pairs absent") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
