@@ -732,6 +732,7 @@ object OracleSql {
        |  length(body2)::BIGINT, body2, true FROM b
        |ORDER BY doc_id, rec_idx""".stripMargin
 
+
   /** Corpus language/script mix (mirror of
     * TextAnalysis.languageMixPlanted): the script and langid chains
     * joined per doc, grouped to (dominant_script, pred_lang), share
@@ -3135,6 +3136,55 @@ object OracleSql {
        |    ELSE list_aggregate(gs, 'sum')::DOUBLE / n END AS mean_g,
        |  CASE WHEN invalid THEN NULL
        |    ELSE list_aggregate(bs, 'sum')::DOUBLE / n END AS mean_b,
+       |  (CASE WHEN invalid THEN NULL
+       |    ELSE greatest(list_max(rs), list_max(gs), list_max(bs)) END)::BIGINT
+       |    AS peak_byte
+       |FROM s ORDER BY doc_id""".stripMargin
+  }
+
+  /** JPEG pixel stats (mirror of Jpeg.pixelStats ∘ synthPixelsFromDocs):
+    * the oracle recomputes the decoded channel sums closed-form from
+    * the flat-tile YCbCr values — including the decoder's EXACT
+    * fixed-point YCbCr→RGB arithmetic (libjpeg SCALEBITS-16 constants;
+    * `>> 16` mirrored as floor division by 2¹⁶, exact in doubles
+    * because 65536 is a power of two) — while Spark must reach the
+    * same numbers by actually Huffman-decoding the entropy stream and
+    * running the inverse DCT. A hash match proves the bit-level decode.
+    */
+  val mmJpegPixels: String = {
+    // per-tile channel lists; mode 0 (grayscale) short-circuits to y
+    def fx(e: String): String = s"CAST(floor(($e) / 65536.0) AS BIGINT)"
+    val y = "(7 * doc_id + 13 * t) % 256"
+    val cb = "((5 * doc_id + 11 * t) % 256 - 128)"
+    val cr = "((3 * doc_id + 17 * t) % 256 - 128)"
+    def cl(e: String): String = s"LEAST(255, GREATEST(0, $e))"
+    val rE = cl(s"$y + ${fx(s"91881 * $cr + 32768")}")
+    val gE = cl(s"$y + ${fx(s"-22554 * $cb - 46802 * $cr + 32768")}")
+    val bE = cl(s"$y + ${fx(s"116130 * $cb + 32768")}")
+    def chan(e: String): String =
+      s"[CASE WHEN mode = 0 THEN $y ELSE $e END for t in range(0, nt)]"
+    s"""WITH m AS (SELECT doc_id,
+       |  doc_id % 3 AS mode,
+       |  (2 + doc_id % 3) AS tw,
+       |  (1 + (doc_id // 3) % 2) AS th,
+       |  CASE WHEN doc_id % 3 = 2 THEN 16 ELSE 8 END AS side,
+       |  doc_id % 10 = 0 AS invalid
+       |  FROM documents),
+       |p AS (SELECT doc_id, invalid, mode, tw * th AS nt,
+       |  side * side AS ta, tw * th * side * side AS np FROM m),
+       |s AS (SELECT doc_id, invalid, np, ta,
+       |  ${chan(rE)} AS rs,
+       |  ${chan(gE)} AS gs,
+       |  ${chan(bE)} AS bs
+       |  FROM p)
+       |SELECT doc_id, NOT invalid AS jpeg_valid,
+       |  (CASE WHEN invalid THEN NULL ELSE np END)::BIGINT AS pixels_decoded,
+       |  CASE WHEN invalid THEN NULL
+       |    ELSE (list_aggregate(rs, 'sum') * ta)::DOUBLE / np END AS mean_r,
+       |  CASE WHEN invalid THEN NULL
+       |    ELSE (list_aggregate(gs, 'sum') * ta)::DOUBLE / np END AS mean_g,
+       |  CASE WHEN invalid THEN NULL
+       |    ELSE (list_aggregate(bs, 'sum') * ta)::DOUBLE / np END AS mean_b,
        |  (CASE WHEN invalid THEN NULL
        |    ELSE greatest(list_max(rs), list_max(gs), list_max(bs)) END)::BIGINT
        |    AS peak_byte

@@ -1346,6 +1346,20 @@ object SparkEntry {
           col("mean_r"), col("mean_g"), col("mean_b"), col("peak_byte"))
         .orderBy(col("doc_id"))
     }),
+    // JPEG pixel stats through a REAL baseline decode: Huffman entropy
+    // decode (DC prediction, restart markers, byte unstuffing) →
+    // dequantize → full integer IDCT → YCbCr→RGB, one kernel pass; the
+    // corpus rotates grayscale / 4:4:4 / 4:2:0 flat-tile streams whose
+    // DC-only blocks round-trip exactly, so the oracle recomputes the
+    // decoded sums closed-form while Spark decodes the actual bits
+    "mm_jpeg_pixels" -> ((s, dir) => {
+      val media = graft.multimodal.Binary.Jpeg.synthPixelsFromDocs(
+        t(s, dir, "documents"))
+      graft.multimodal.Binary.Jpeg.pixelStats(media)
+        .select(col("doc_id"), col("jpeg_valid"), col("pixels_decoded"),
+          col("mean_r"), col("mean_g"), col("mean_b"), col("peak_byte"))
+        .orderBy(col("doc_id"))
+    }),
     // container triage over a mixed blob column: detect by magic
     // bytes, parse the matching codec, one uniform row per blob; the
     // mixing joins exist only to SYNTHESIZE the test corpus —
@@ -1737,6 +1751,7 @@ object SparkEntry {
     "mm_bmp_meta" -> OracleSql.mmBmpMeta,
     "mm_gif_meta" -> OracleSql.mmGifMeta,
     "mm_gif_pixels" -> OracleSql.mmGifPixels,
+    "mm_jpeg_pixels" -> OracleSql.mmJpegPixels,
     "mm_bmp_pixels" -> OracleSql.mmBmpPixels,
     "mm_png_pixels" -> OracleSql.mmPngPixels,
     "mm_media_triage" -> OracleSql.mmMediaTriage,

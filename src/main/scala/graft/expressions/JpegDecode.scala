@@ -1,0 +1,743 @@
+package graft.expressions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+
+/** Baseline-JPEG pixel-statistics kernel — the FOURTH real
+  * compressed-stream decode in the engine (zlib/DEFLATE for PNG, PCM
+  * for WAV, LZW for GIF, Huffman-coded DCT here): walks the marker
+  * stream (DQT/DHT/DRI/SOF0/SOS), entropy-decodes every MCU (canonical
+  * Huffman over the stuffed bitstream, DC prediction, AC
+  * run-length/EOB, restart markers), dequantizes, runs the full 8×8
+  * integer inverse DCT, and converts YCbCr→RGB — accumulating channel
+  * sums and the peak byte per MCU region, so the raster is never
+  * materialized beyond one ≤16×16 MCU tile.
+  *
+  * The arithmetic deliberately follows the public libjpeg conventions
+  * bit for bit — the Loeffler "islow" integer IDCT (CONST_BITS 13 /
+  * PASS1_BITS 2 descaling) and the SCALEBITS-16 fixed-point YCbCr→RGB
+  * tables — so decoded samples are byte-identical to what libjpeg
+  * (and therefore `javax.imageio`) produces for 1×1-sampled scans;
+  * CodecConformanceSpec pins that equivalence against real ImageIO
+  * encodes. Subsampled chroma is reconstructed by sample replication
+  * (exact whenever chroma is locally flat; libjpeg's "fancy"
+  * triangular filter differs on gradients, which conformance tests
+  * bound instead of matching).
+  *
+  * Supported: 8-bit precision, SOF0/SOF1 single-scan sequential,
+  * grayscale or 3-component YCbCr, component sampling factors in
+  * {1,2}, restart intervals, multi-table DQT/DHT segments. Null
+  * (never an exception, never unbounded memory) on anything else:
+  * progressive (SOF2+), arithmetic coding, 12-bit, CMYK, truncated or
+  * corrupt streams, or an image area beyond the bomb guard.
+  */
+object JpegDecodeKernel {
+  val MaxPixels: Long = 1L << 22
+
+  // natural-order index for each zigzag position
+  private val Zigzag: Array[Int] = Array(
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63)
+
+  // islow IDCT constants: FIX(x) at CONST_BITS = 13
+  private final val CB = 13 // CONST_BITS
+  private final val PB = 2 // PASS1_BITS
+  private final val F_0_298631336 = 2446
+  private final val F_0_390180644 = 3196
+  private final val F_0_541196100 = 4433
+  private final val F_0_765366865 = 6270
+  private final val F_0_899976223 = 7373
+  private final val F_1_175875602 = 9633
+  private final val F_1_501321110 = 12299
+  private final val F_1_847759065 = 15137
+  private final val F_1_961570560 = 16069
+  private final val F_2_053119869 = 16819
+  private final val F_2_562915447 = 20995
+  private final val F_3_072711026 = 25172
+
+  // YCbCr→RGB fixed point: FIX(x) at SCALEBITS = 16
+  private final val FIX_1_40200 = 91881
+  private final val FIX_0_34414 = 22554
+  private final val FIX_0_71414 = 46802
+  private final val FIX_1_77200 = 116130
+
+  private def descale(x: Long, n: Int): Int = ((x + (1L << (n - 1))) >> n).toInt
+
+  private def clamp255(v: Int): Int = if (v < 0) 0 else if (v > 255) 255 else v
+
+  /** Full 2-D islow inverse DCT of one block. `coef` natural order,
+    * already dequantized; `out` receives 64 samples in [0,255]
+    * (+128 level un-shift and range limit applied).
+    */
+  private def idct(coef: Array[Int], out: Array[Int]): Unit = {
+    val ws = new Array[Int](64)
+    // pass 1: columns
+    var c = 0
+    while (c < 8) {
+      if (coef(8 + c) == 0 && coef(16 + c) == 0 && coef(24 + c) == 0 &&
+          coef(32 + c) == 0 && coef(40 + c) == 0 && coef(48 + c) == 0 &&
+          coef(56 + c) == 0) {
+        val dc = coef(c) << PB
+        var r = 0
+        while (r < 8) { ws(8 * r + c) = dc; r += 1 }
+      } else {
+        var z2 = coef(16 + c).toLong
+        var z3 = coef(48 + c).toLong
+        var z1 = (z2 + z3) * F_0_541196100
+        val t2 = z1 + z3 * (-F_1_847759065)
+        val t3 = z1 + z2 * F_0_765366865
+        z2 = coef(c).toLong
+        z3 = coef(32 + c).toLong
+        val t0 = (z2 + z3) << CB
+        val t1 = (z2 - z3) << CB
+        val t10 = t0 + t3; val t13 = t0 - t3
+        val t11 = t1 + t2; val t12 = t1 - t2
+        var o0 = coef(56 + c).toLong
+        var o1 = coef(40 + c).toLong
+        var o2 = coef(24 + c).toLong
+        var o3 = coef(8 + c).toLong
+        z1 = o0 + o3; z2 = o1 + o2
+        z3 = o0 + o2; var z4 = o1 + o3
+        val z5 = (z3 + z4) * F_1_175875602
+        o0 *= F_0_298631336; o1 *= F_2_053119869
+        o2 *= F_3_072711026; o3 *= F_1_501321110
+        z1 *= -F_0_899976223; z2 *= -F_2_562915447
+        z3 = z3 * (-F_1_961570560) + z5
+        z4 = z4 * (-F_0_390180644) + z5
+        o0 += z1 + z3; o1 += z2 + z4; o2 += z2 + z3; o3 += z1 + z4
+        ws(c) = descale(t10 + o3, CB - PB)
+        ws(56 + c) = descale(t10 - o3, CB - PB)
+        ws(8 + c) = descale(t11 + o2, CB - PB)
+        ws(48 + c) = descale(t11 - o2, CB - PB)
+        ws(16 + c) = descale(t12 + o1, CB - PB)
+        ws(40 + c) = descale(t12 - o1, CB - PB)
+        ws(24 + c) = descale(t13 + o0, CB - PB)
+        ws(32 + c) = descale(t13 - o0, CB - PB)
+      }
+      c += 1
+    }
+    // pass 2: rows
+    var r = 0
+    while (r < 8) {
+      val b = 8 * r
+      var z2 = ws(b + 2).toLong
+      var z3 = ws(b + 6).toLong
+      var z1 = (z2 + z3) * F_0_541196100
+      val t2 = z1 + z3 * (-F_1_847759065)
+      val t3 = z1 + z2 * F_0_765366865
+      val t0 = (ws(b).toLong + ws(b + 4)) << CB
+      val t1 = (ws(b).toLong - ws(b + 4)) << CB
+      val t10 = t0 + t3; val t13 = t0 - t3
+      val t11 = t1 + t2; val t12 = t1 - t2
+      var o0 = ws(b + 7).toLong
+      var o1 = ws(b + 5).toLong
+      var o2 = ws(b + 3).toLong
+      var o3 = ws(b + 1).toLong
+      z1 = o0 + o3; z2 = o1 + o2
+      z3 = o0 + o2; var z4 = o1 + o3
+      val z5 = (z3 + z4) * F_1_175875602
+      o0 *= F_0_298631336; o1 *= F_2_053119869
+      o2 *= F_3_072711026; o3 *= F_1_501321110
+      z1 *= -F_0_899976223; z2 *= -F_2_562915447
+      z3 = z3 * (-F_1_961570560) + z5
+      z4 = z4 * (-F_0_390180644) + z5
+      o0 += z1 + z3; o1 += z2 + z4; o2 += z2 + z3; o3 += z1 + z4
+      out(b) = clamp255(descale(t10 + o3, CB + PB + 3) + 128)
+      out(b + 7) = clamp255(descale(t10 - o3, CB + PB + 3) + 128)
+      out(b + 1) = clamp255(descale(t11 + o2, CB + PB + 3) + 128)
+      out(b + 6) = clamp255(descale(t11 - o2, CB + PB + 3) + 128)
+      out(b + 2) = clamp255(descale(t12 + o1, CB + PB + 3) + 128)
+      out(b + 5) = clamp255(descale(t12 - o1, CB + PB + 3) + 128)
+      out(b + 3) = clamp255(descale(t13 + o0, CB + PB + 3) + 128)
+      out(b + 4) = clamp255(descale(t13 - o0, CB + PB + 3) + 128)
+      r += 1
+    }
+  }
+
+  /** Canonical Huffman table in the JPEG F.2.2.3 decode form. */
+  private final class Huff(bits: Array[Int], val vals: Array[Byte]) {
+    val minCode = new Array[Int](17)
+    val maxCode = new Array[Int](17)
+    val valPtr = new Array[Int](17)
+    locally {
+      var code = 0
+      var k = 0
+      var l = 1
+      while (l <= 16) {
+        valPtr(l) = k
+        minCode(l) = code
+        code += bits(l)
+        k += bits(l)
+        maxCode(l) = code - 1
+        if (bits(l) == 0) maxCode(l) = -1
+        code <<= 1
+        l += 1
+      }
+    }
+  }
+
+  /** Decoder state over the entropy-coded segment: an MSB-first bit
+    * reader with 0xFF00 unstuffing; a pending non-stuffing marker
+    * stops the stream (restart handling consumes RSTn explicitly).
+    */
+  private final class Bits(p: Array[Byte], var pos: Int) {
+    var buf: Long = 0L
+    var cnt: Int = 0
+    var bad: Boolean = false
+
+    def need(n: Int): Boolean = {
+      while (cnt < n) {
+        if (pos >= p.length) { bad = true; return false }
+        val b = p(pos) & 0xFF
+        if (b == 0xFF) {
+          if (pos + 1 >= p.length) { bad = true; return false }
+          val m = p(pos + 1) & 0xFF
+          if (m == 0x00) {
+            buf = (buf << 8) | 0xFF; cnt += 8; pos += 2
+          } else { bad = true; return false } // marker mid-scan
+        } else {
+          buf = (buf << 8) | b; cnt += 8; pos += 1
+        }
+      }
+      true
+    }
+
+    def take(n: Int): Int = {
+      if (n == 0) return 0
+      if (!need(n)) return -1
+      cnt -= n
+      ((buf >>> cnt) & ((1L << n) - 1)).toInt
+    }
+
+    def decode(h: Huff): Int = {
+      if (!need(1)) return -1
+      var code = take(1)
+      var l = 1
+      while (code > h.maxCode(l)) {
+        val b = take(1)
+        if (b < 0) return -1
+        code = (code << 1) | b
+        l += 1
+        if (l > 16) { bad = true; return -1 }
+      }
+      h.vals(h.valPtr(l) + code - h.minCode(l)) & 0xFF
+    }
+
+    /** Byte-align and consume an expected RSTn marker. */
+    def restart(n: Int): Boolean = {
+      cnt = 0; buf = 0L
+      if (pos + 1 >= p.length) return false
+      if ((p(pos) & 0xFF) != 0xFF || (p(pos + 1) & 0xFF) != (0xD0 + n)) return false
+      pos += 2
+      true
+    }
+  }
+
+  private def extend(v: Int, s: Int): Int =
+    if (s == 0) 0 else if (v < (1 << (s - 1))) v - (1 << s) + 1 else v
+
+  private def u16(p: Array[Byte], off: Int): Int =
+    ((p(off) & 0xFF) << 8) | (p(off + 1) & 0xFF)
+
+  /** Core decode: accumulates channel sums and the peak inline (no
+    * per-pixel indirection), optionally filling `fill` (length w·h,
+    * packed 0xRRGGBB, row-major) when non-null and correctly sized.
+    * Returns (w, h, sum_r, sum_g, sum_b, peak) or null.
+    */
+  private def decode(p: Array[Byte], fill: Array[Int]): Array[Long] = {
+    if (p.length < 4) return null
+    if ((p(0) & 0xFF) != 0xFF || (p(1) & 0xFF) != 0xD8) return null
+    var pos = 2
+    val qt = new Array[Array[Int]](4)
+    val dcT = new Array[Huff](4)
+    val acT = new Array[Huff](4)
+    var ri = 0
+    var w = 0; var h = 0; var ncomp = 0
+    // per component: sampling h, v, quant id; then SOS: dc id, ac id
+    val ch = new Array[Int](4); val cv = new Array[Int](4); val cq = new Array[Int](4)
+    val cdc = new Array[Int](4); val cac = new Array[Int](4)
+    var haveSof = false
+    var sosAt = -1
+
+    while (sosAt < 0) {
+      if (pos + 1 >= p.length) return null
+      if ((p(pos) & 0xFF) != 0xFF) return null
+      var marker = p(pos + 1) & 0xFF
+      pos += 2
+      while (marker == 0xFF) { // fill bytes before a marker are legal
+        if (pos >= p.length) return null
+        marker = p(pos) & 0xFF
+        pos += 1
+      }
+      marker match {
+        case 0xD8 => // stray SOI
+        case 0xD9 => return null // EOI before any scan
+        case 0xC0 | 0xC1 => // baseline / extended sequential Huffman
+          if (pos + 1 >= p.length) return null
+          val len = u16(p, pos)
+          if (pos + len > p.length || len < 8) return null
+          val prec = p(pos + 2) & 0xFF
+          h = u16(p, pos + 3)
+          w = u16(p, pos + 5)
+          ncomp = p(pos + 7) & 0xFF
+          if (prec != 8 || w <= 0 || h <= 0) return null
+          if (ncomp != 1 && ncomp != 3) return null
+          if (w.toLong * h > MaxPixels) return null
+          if (len != 8 + 3 * ncomp) return null
+          var i = 0
+          while (i < ncomp) {
+            val sf = p(pos + 9 + 3 * i) & 0xFF
+            ch(i) = sf >> 4; cv(i) = sf & 0x0F
+            cq(i) = p(pos + 10 + 3 * i) & 0xFF
+            if (ch(i) < 1 || ch(i) > 2 || cv(i) < 1 || cv(i) > 2 || cq(i) > 3)
+              return null
+            i += 1
+          }
+          haveSof = true
+          pos += len
+        case m if (m >= 0xC2 && m <= 0xCF && m != 0xC4 && m != 0xC8 && m != 0xCC) =>
+          return null // progressive / arithmetic / lossless
+        case 0xC4 => // DHT: one or more tables
+          if (pos + 1 >= p.length) return null
+          val len = u16(p, pos)
+          if (pos + len > p.length) return null
+          var q = pos + 2
+          val end = pos + len
+          while (q < end) {
+            if (q + 17 > end) return null
+            val tc = (p(q) & 0xF0) >> 4
+            val th = p(q) & 0x0F
+            if (tc > 1 || th > 3) return null
+            val bits = new Array[Int](17)
+            var total = 0
+            var l = 1
+            while (l <= 16) { bits(l) = p(q + l) & 0xFF; total += bits(l); l += 1 }
+            if (total > 256 || q + 17 + total > end) return null
+            val vals = new Array[Byte](total)
+            System.arraycopy(p, q + 17, vals, 0, total)
+            val tab = new Huff(bits, vals)
+            if (tc == 0) dcT(th) = tab else acT(th) = tab
+            q += 17 + total
+          }
+          pos += len
+        case 0xDB => // DQT: one or more tables
+          if (pos + 1 >= p.length) return null
+          val len = u16(p, pos)
+          if (pos + len > p.length) return null
+          var q = pos + 2
+          val end = pos + len
+          while (q < end) {
+            val pq = (p(q) & 0xF0) >> 4
+            val tq = p(q) & 0x0F
+            if (pq > 1 || tq > 3) return null
+            val n = if (pq == 0) 64 else 128
+            if (q + 1 + n > end) return null
+            val t = new Array[Int](64)
+            var k = 0
+            while (k < 64) {
+              val v = if (pq == 0) p(q + 1 + k) & 0xFF
+                else u16(p, q + 1 + 2 * k)
+              t(Zigzag(k)) = v
+              k += 1
+            }
+            qt(tq) = t
+            q += 1 + n
+          }
+          pos += len
+        case 0xDD => // DRI
+          if (pos + 3 >= p.length) return null
+          if (u16(p, pos) != 4) return null
+          ri = u16(p, pos + 2)
+          pos += 4
+        case 0xDA => // SOS
+          if (!haveSof) return null
+          if (pos + 1 >= p.length) return null
+          val len = u16(p, pos)
+          if (pos + len > p.length) return null
+          val ns = p(pos + 2) & 0xFF
+          if (ns != ncomp) return null // multi-scan sequential unsupported
+          if (len != 6 + 2 * ns) return null
+          var i = 0
+          while (i < ns) {
+            // components must appear in frame order (our corpus and
+            // every JFIF writer does this; reordering → null)
+            val tabs = p(pos + 4 + 2 * i) & 0xFF
+            cdc(i) = tabs >> 4; cac(i) = tabs & 0x0F
+            if (cdc(i) > 3 || cac(i) > 3) return null
+            i += 1
+          }
+          sosAt = pos + len
+        case m if m >= 0xD0 && m <= 0xD7 => return null // RST outside scan
+        case _ => // APPn / COM / others: length-skipped
+          if (pos + 1 >= p.length) return null
+          val len = u16(p, pos)
+          if (len < 2 || pos + len > p.length) return null
+          pos += len
+      }
+    }
+
+    // validate tables referenced by the scan
+    var i = 0
+    while (i < ncomp) {
+      if (qt(cq(i)) == null || dcT(cdc(i)) == null || acT(cac(i)) == null)
+        return null
+      i += 1
+    }
+    var hmax = 1; var vmax = 1
+    i = 0
+    while (i < ncomp) {
+      if (ch(i) > hmax) hmax = ch(i)
+      if (cv(i) > vmax) vmax = cv(i)
+      i += 1
+    }
+    if (ncomp == 1) { hmax = 1; vmax = 1; ch(0) = 1; cv(0) = 1 }
+    val mcuW = 8 * hmax; val mcuH = 8 * vmax
+    val mcusX = (w + mcuW - 1) / mcuW
+    val mcusY = (h + mcuH - 1) / mcuH
+
+    val bits = new Bits(p, sosAt)
+    val pred = new Array[Int](4)
+    val coef = new Array[Int](64)
+    // per component, per block-in-MCU sample planes
+    val planes = Array.tabulate(ncomp)(c => Array.fill(ch(c) * cv(c))(new Array[Int](64)))
+    var rstCount = 0
+    var rstIdx = 0
+    var sr = 0L; var sg = 0L; var sb = 0L; var peak = 0L
+    val doFill = fill != null && fill.length == w * h
+
+    var my = 0
+    while (my < mcusY) {
+      var mx = 0
+      while (mx < mcusX) {
+        if (ri > 0 && rstCount == ri) {
+          if (!bits.restart(rstIdx)) return null
+          rstIdx = (rstIdx + 1) & 7
+          rstCount = 0
+          java.util.Arrays.fill(pred, 0)
+        }
+        var c = 0
+        while (c < ncomp) {
+          val q = qt(cq(c))
+          var b = 0
+          while (b < ch(c) * cv(c)) {
+            java.util.Arrays.fill(coef, 0)
+            val s = bits.decode(dcT(cdc(c)))
+            if (s < 0 || s > 15) return null
+            val diffBits = bits.take(s)
+            if (diffBits < 0 && s > 0) return null
+            pred(c) += extend(diffBits, s)
+            coef(0) = pred(c) * q(0)
+            var k = 1
+            var eob = false
+            while (k < 64 && !eob) {
+              val rs = bits.decode(acT(cac(c)))
+              if (rs < 0) return null
+              val r = rs >> 4; val sz = rs & 0x0F
+              if (sz == 0) {
+                if (r == 15) k += 16 else eob = true
+              } else {
+                k += r
+                if (k > 63) return null
+                val v = bits.take(sz)
+                if (v < 0) return null
+                coef(Zigzag(k)) = extend(v, sz) * q(Zigzag(k))
+                k += 1
+              }
+            }
+            idct(coef, planes(c)(b))
+            b += 1
+          }
+          c += 1
+        }
+        rstCount += 1
+        // emit the MCU's in-bounds pixels
+        val x0 = mx * mcuW; val y0 = my * mcuH
+        val xMax = math.min(mcuW, w - x0)
+        val yMax = math.min(mcuH, h - y0)
+        var py = 0
+        while (py < yMax) {
+          var px = 0
+          while (px < xMax) {
+            var r = 0; var g = 0; var bl = 0
+            if (ncomp == 1) {
+              val v = planes(0)(0)((py & 7) * 8 + (px & 7)) // hmax=vmax=1
+              r = v; g = v; bl = v
+            } else {
+              val sx1 = px * ch(1) / hmax; val sy1 = py * cv(1) / vmax
+              val sx2 = px * ch(2) / hmax; val sy2 = py * cv(2) / vmax
+              val sx0 = px * ch(0) / hmax; val sy0 = py * cv(0) / vmax
+              val y = planes(0)((sy0 >> 3) * ch(0) + (sx0 >> 3))((sy0 & 7) * 8 + (sx0 & 7))
+              val cb = planes(1)((sy1 >> 3) * ch(1) + (sx1 >> 3))((sy1 & 7) * 8 + (sx1 & 7)) - 128
+              val cr = planes(2)((sy2 >> 3) * ch(2) + (sx2 >> 3))((sy2 & 7) * 8 + (sx2 & 7)) - 128
+              r = clamp255(y + ((FIX_1_40200 * cr + 32768) >> 16))
+              g = clamp255(y + ((-FIX_0_34414 * cb - FIX_0_71414 * cr + 32768) >> 16))
+              bl = clamp255(y + ((FIX_1_77200 * cb + 32768) >> 16))
+            }
+            sr += r; sg += g; sb += bl
+            if (r > peak) peak = r
+            if (g > peak) peak = g
+            if (bl > peak) peak = bl
+            if (doFill) fill((y0 + py) * w + (x0 + px)) = (r << 16) | (g << 8) | bl
+            px += 1
+          }
+          py += 1
+        }
+        mx += 1
+      }
+      my += 1
+    }
+    Array(w.toLong, h.toLong, sr, sg, sb, peak)
+  }
+
+  /** (n_pixels, sum_r, sum_g, sum_b, peak_byte) over a baseline JPEG
+    * payload, or null.
+    */
+  def stats(p: Array[Byte]): ArrayData = {
+    val d = decode(p, null)
+    if (d == null) null
+    else new GenericArrayData(Array(d(0) * d(1), d(2), d(3), d(4), d(5)))
+  }
+
+  /** (w, h, row-major packed 0xRRGGBB pixels) — spec-level
+    * conformance API (pixel-by-pixel comparison against ImageIO), not
+    * a query path. Two passes: a probe for dimensions, then the fill.
+    */
+  def decodePixels(p: Array[Byte]): (Int, Int, Array[Int]) = {
+    val probe = decode(p, null)
+    if (probe == null) return null
+    val w = probe(0).toInt; val h = probe(1).toInt
+    val arr = new Array[Int](w * h)
+    if (decode(p, arr) == null) null else (w, h, arr)
+  }
+}
+
+/** `jpeg_pixel_stats(payload) → array<long>` of (n_pixels, sum_r,
+  * sum_g, sum_b, peak_byte) via a full baseline decode — see
+  * [[JpegDecodeKernel.stats]].
+  */
+case class JpegPixelStats(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "jpeg_pixel_stats"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case BinaryType => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires binary input, got $other")
+    }
+
+  override def nullSafeEval(d: Any): Any =
+    JpegDecodeKernel.stats(d.asInstanceOf[Array[Byte]])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, d => s"""
+      |${ev.value} = graft.expressions.JpegDecodeKernel.stats($d);
+      |if (${ev.value} == null) { ${ev.isNull} = true; }
+      |""".stripMargin)
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+/** Flat-tile baseline-JPEG encoder — the synthesis-side inverse of
+  * [[JpegDecodeKernel]] (the `ZlibDeflate`/`GifLzwEncoder` convention: test
+  * corpora carry REAL compressed payloads): each 8×8 (16×16 for
+  * 4:2:0) tile is one flat color given in the YCbCr domain, so every
+  * block is DC-only — DC = 8·(v−128) with all-ones quant tables
+  * round-trips EXACTLY through any conforming IDCT, which is what
+  * lets a SQL oracle recompute the decoded channel sums closed-form.
+  * The entropy stream is real Huffman: canonical DC codes (category +
+  * magnitude bits, DC prediction), a 1-code AC table holding only
+  * EOB, 0xFF byte stuffing, and optional restart markers. The
+  * general AC/dictionary path of the DECODER is exercised by the
+  * independent encoder in CodecConformanceSpec (ImageIO's writer).
+  */
+object JpegEncoder {
+  // Annex K table K.3 (luminance DC): lengths histogram + 12 categories
+  private val DcBits = Array(0, 0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0)
+  private val DcVals = Array.tabulate(12)(identity)
+
+  private def canonical(bits: Array[Int], vals: Array[Int]): Array[(Int, Int)] = {
+    // vals(i) → (code, length)
+    val out = new Array[(Int, Int)](vals.length)
+    var code = 0
+    var k = 0
+    var l = 1
+    while (l <= 16) {
+      var i = 0
+      while (i < bits(l)) {
+        out(k) = (code, l)
+        code += 1
+        k += 1
+        i += 1
+      }
+      code <<= 1
+      l += 1
+    }
+    out
+  }
+
+  private val DcCodes = canonical(DcBits, DcVals) // index = category
+  // AC table: single symbol 0x00 (EOB) with code '0' (1 bit)
+  private val AcBits = Array(0, 1, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0)
+
+  private final class BitSink {
+    val out = new java.io.ByteArrayOutputStream()
+    private var acc = 0L
+    private var n = 0
+    def put(code: Int, len: Int): Unit = {
+      acc = (acc << len) | (code & ((1L << len) - 1))
+      n += len
+      while (n >= 8) {
+        val b = ((acc >>> (n - 8)) & 0xFF).toInt
+        out.write(b)
+        if (b == 0xFF) out.write(0x00) // stuffing
+        n -= 8
+      }
+    }
+    def pad(): Unit = if (n > 0) put((1 << (8 - n)) - 1, 8 - n)
+  }
+
+  private def category(v: Int): Int = {
+    var a = math.abs(v)
+    var s = 0
+    while (a != 0) { a >>= 1; s += 1 }
+    s
+  }
+
+  /** Encode a grid of flat tiles. `tiles`: per tile, 1 value (mode 0,
+    * grayscale Y) or 3 values y,cb,cr (modes 1=4:4:4, 2=4:2:0), tile
+    * raster order. Tile size is 8 px (16 for mode 2); image is
+    * exactly `tw`×`th` tiles. `ri` > 0 inserts a DRI segment and a
+    * restart marker every `ri` MCUs.
+    */
+  def encodeFlatTiles(tiles: Array[Int], tw: Int, th: Int, mode: Int,
+      ri: Int): Array[Byte] = {
+    require(mode >= 0 && mode <= 2, s"mode $mode")
+    val vals = if (mode == 0) 1 else 3
+    require(tiles.length == tw * th * vals,
+      s"tiles ${tiles.length} != $tw*$th*$vals")
+    val side = if (mode == 2) 16 else 8
+    val w = tw * side; val h = th * side
+    val ncomp = if (mode == 0) 1 else 3
+    val out = new java.io.ByteArrayOutputStream(256 + tiles.length * 4)
+    def b(v: Int): Unit = out.write(v & 0xFF)
+    def b16(v: Int): Unit = { b(v >> 8); b(v) }
+    // SOI, APP0/JFIF
+    b(0xFF); b(0xD8)
+    b(0xFF); b(0xE0); b16(16)
+    out.write(Array[Byte]('J', 'F', 'I', 'F', 0, 1, 1, 0, 0, 1, 0, 1, 0, 0))
+    // DQT: two all-ones tables in ONE segment (multi-table parse path)
+    b(0xFF); b(0xDB); b16(2 + 65 * 2)
+    b(0x00); (0 until 64).foreach(_ => b(1))
+    b(0x01); (0 until 64).foreach(_ => b(1))
+    // DHT: DC0, AC0, DC1, AC1 in one segment
+    b(0xFF); b(0xC4)
+    val dcLen = 17 + 12; val acLen = 17 + 1
+    b16(2 + 2 * dcLen + 2 * acLen)
+    def writeDc(id: Int): Unit = {
+      b(id); (1 to 16).foreach(l => b(DcBits(l))); DcVals.foreach(b)
+    }
+    def writeAc(id: Int): Unit = {
+      b(0x10 | id); (1 to 16).foreach(l => b(AcBits(l))); b(0x00)
+    }
+    writeDc(0); writeAc(0); writeDc(1); writeAc(1)
+    if (ri > 0) { b(0xFF); b(0xDD); b16(4); b16(ri) }
+    // SOF0
+    b(0xFF); b(0xC0); b16(8 + 3 * ncomp); b(8); b16(h); b16(w); b(ncomp)
+    if (mode == 0) { b(1); b(0x11); b(0) }
+    else {
+      b(1); b(if (mode == 2) 0x22 else 0x11); b(0)
+      b(2); b(0x11); b(1)
+      b(3); b(0x11); b(1)
+    }
+    // SOS
+    b(0xFF); b(0xDA); b16(6 + 2 * ncomp); b(ncomp)
+    if (mode == 0) { b(1); b(0x00) }
+    else { b(1); b(0x00); b(2); b(0x11); b(3); b(0x11) }
+    b(0); b(63); b(0)
+    // entropy scan: MCU per tile
+    val sink = new BitSink
+    val pred = new Array[Int](3)
+    var rstIdx = 0
+    var sinceRst = 0
+    def putDc(comp: Int, level: Int): Unit = {
+      val dc = 8 * (level - 128)
+      val diff = dc - pred(comp)
+      pred(comp) = dc
+      val s = category(diff)
+      val (code, len) = DcCodes(s)
+      sink.put(code, len)
+      if (s > 0) {
+        val m = if (diff < 0) diff + (1 << s) - 1 else diff
+        sink.put(m, s)
+      }
+      sink.put(0, 1) // EOB (AC table code '0')
+    }
+    var t = 0
+    while (t < tw * th) {
+      if (ri > 0 && sinceRst == ri) {
+        sink.pad()
+        sink.out.write(0xFF); sink.out.write(0xD0 + rstIdx)
+        rstIdx = (rstIdx + 1) & 7
+        sinceRst = 0
+        java.util.Arrays.fill(pred, 0)
+      }
+      if (mode == 0) putDc(0, tiles(t))
+      else {
+        val y = tiles(3 * t); val cb = tiles(3 * t + 1); val cr = tiles(3 * t + 2)
+        if (mode == 2) { putDc(0, y); putDc(0, y); putDc(0, y); putDc(0, y) }
+        else putDc(0, y)
+        putDc(1, cb)
+        putDc(2, cr)
+      }
+      sinceRst += 1
+      t += 1
+    }
+    sink.pad()
+    out.write(sink.out.toByteArray)
+    b(0xFF); b(0xD9)
+    out.toByteArray
+  }
+}
+
+/** `jpeg_synth_encode(array<int> tiles, array<int> params) → binary`
+  * where params = [twTiles, thTiles, mode, restartInterval]; see
+  * [[JpegEncoder.encodeFlatTiles]].
+  */
+case class JpegSynthEncode(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = true
+  override def prettyName: String = "jpeg_synth_encode"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(IntegerType, _), ArrayType(IntegerType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires (array<int>, array<int>), got $other")
+    }
+
+  override def nullSafeEval(tiles: Any, params: Any): Any = {
+    val t = tiles.asInstanceOf[ArrayData].toIntArray()
+    val pr = params.asInstanceOf[ArrayData].toIntArray()
+    JpegEncoder.encodeFlatTiles(t, pr(0), pr(1), pr(2), pr(3))
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (t, pr) => s"""
+      |int[] gp = $pr.toIntArray();
+      |${ev.value} = graft.expressions.JpegEncoder.encodeFlatTiles(
+      |  $t.toIntArray(), gp[0], gp[1], gp[2], gp[3]);
+      |""".stripMargin)
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}

@@ -551,6 +551,82 @@ object Binary {
         when(d % invalidEvery === 0, lit("text/plain"))
           .otherwise(lit("image/jpeg")).as("media_type"))
     }
+
+    /** Channel statistics via a REAL baseline-JPEG decode — the
+      * fourth genuine compressed-stream decode (zlib for PNG, PCM for
+      * WAV, LZW for GIF, Huffman-coded DCT here): marker walk →
+      * canonical Huffman entropy decode (DC prediction, restart
+      * markers, byte unstuffing) → dequantize → full integer inverse
+      * DCT → YCbCr→RGB, one codegen kernel pass
+      * ([[graft.expressions.JpegDecodeKernel]], libjpeg-conformant
+      * integer arithmetic). Adds `pixels_decoded`, `mean_r/g/b`,
+      * `peak_byte` (null when the payload is not a decodable baseline
+      * JPEG — progressive streams keep their [[parse]] metadata but
+      * decode null here). Pure projection — zero shuffles.
+      */
+    def pixelStats(media: DataFrame, payloadCol: String = "payload"): DataFrame = {
+      val st = org.apache.spark.sql.GraftColumnBridge.column(
+        graft.expressions.JpegPixelStats(
+          org.apache.spark.sql.GraftColumnBridge.expression(col(payloadCol))))
+      parse(media, payloadCol)
+        .withColumn("__st", when(col("jpeg_valid"), st))
+        .withColumn("pixels_decoded",
+          when(col("__st").isNotNull && element_at(col("__st"), 1) > 0,
+            element_at(col("__st"), 1)))
+        .withColumn("mean_r",
+          element_at(col("__st"), 2).cast("double") / col("pixels_decoded"))
+        .withColumn("mean_g",
+          element_at(col("__st"), 3).cast("double") / col("pixels_decoded"))
+        .withColumn("mean_b",
+          element_at(col("__st"), 4).cast("double") / col("pixels_decoded"))
+        .withColumn("peak_byte",
+          when(col("pixels_decoded").isNotNull, element_at(col("__st"), 5)))
+        .drop("__st")
+    }
+
+    /** Deterministic FULL baseline JPEGs (real Huffman-coded scans,
+      * not header shells): a grid of flat 8×8 tiles (16×16 for the
+      * 4:2:0 lane) whose YCbCr values are the closed forms
+      * `(7·doc_id + 13·t) mod 256` / `(5·doc_id + 11·t)` /
+      * `(3·doc_id + 17·t)`, encoded DC-only against all-ones quant
+      * tables — the one JPEG family whose decode round-trips EXACTLY
+      * (flat blocks survive any conforming IDCT bit-for-bit), so a
+      * SQL oracle can recompute the decoded channel sums closed-form
+      * while Spark actually entropy-decodes the bytes. Rotates
+      * grayscale / 4:4:4 / 4:2:0 by doc_id, inserts restart markers
+      * on odd docs (DC-predictor reset path), and keeps every
+      * `invalidEvery`-th doc as raw text (the invalid lane).
+      */
+    def synthPixelsFromDocs(docs: DataFrame, invalidEvery: Int = 10): DataFrame = {
+      val d = col("doc_id")
+      val mode = (d % 3).cast("int")
+      val tw = (lit(2L) + d % 3).cast("int")
+      val th = (lit(1L) + expr("(doc_id div 3) % 2")).cast("int")
+      val ri = when(d % 2 === 1, lit(2)).otherwise(lit(0)).cast("int")
+      val nTiles = tw * th
+      val yOf = (t: Column) => pmod(d * 7 + t * 13, lit(256L)).cast("int")
+      val cbOf = (t: Column) => pmod(d * 5 + t * 11, lit(256L)).cast("int")
+      val crOf = (t: Column) => pmod(d * 3 + t * 17, lit(256L)).cast("int")
+      val tiles = when(mode === 0,
+        transform(sequence(lit(0), nTiles - 1), t => yOf(t.cast("long"))))
+        .otherwise(
+          transform(sequence(lit(0), nTiles * 3 - 1), i => {
+            val t = (i / 3).cast("long") // int division: i is int
+            val c = i % 3
+            when(c === 0, yOf(t)).when(c === 1, cbOf(t)).otherwise(crOf(t))
+          }))
+      val params = array(tw, th, mode, ri)
+      val payload = org.apache.spark.sql.GraftColumnBridge.column(
+        graft.expressions.JpegSynthEncode(
+          org.apache.spark.sql.GraftColumnBridge.expression(tiles),
+          org.apache.spark.sql.GraftColumnBridge.expression(params)))
+      docs.select(
+        d,
+        when(d % invalidEvery === 0, col("text").cast("binary"))
+          .otherwise(payload).as("payload"),
+        when(d % invalidEvery === 0, lit("text/plain"))
+          .otherwise(lit("image/jpeg")).as("media_type"))
+    }
   }
 
   /** Deterministic frame sampling BEFORE decode: every media pipeline
