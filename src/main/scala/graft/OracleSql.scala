@@ -732,6 +732,27 @@ object OracleSql {
        |  length(body2)::BIGINT, body2, true FROM b
        |ORDER BY doc_id, rec_idx""".stripMargin
 
+  /** `.warc.gz` ingest (mirror of Warc.parseRecords ∘ splitRecordsGz
+    * ∘ gzMember synth): one gzip member per record, so member_idx
+    * enumerates the records and rec_idx is 0 within each member. The
+    * oracle recomputes every field from text closed-form — Spark must
+    * reach them by actually inflating the members (CRC-verified) and
+    * walking the Content-Length offsets.
+    */
+  lazy val warcGzRecords: String =
+    s"""WITH u AS ($UrlSynth),
+       |b AS (SELECT doc_id, url, substring(text, 1, 120) AS body1,
+       |  'meta WARC/1.0 inside body for doc ' || doc_id::VARCHAR AS body2
+       |  FROM u)
+       |SELECT doc_id, 0::BIGINT AS member_idx, 0::BIGINT AS rec_idx,
+       |  true AS warc_valid, 'response' AS warc_type, url AS target_uri,
+       |  length(body1)::BIGINT AS content_length, body1 AS body,
+       |  true AS length_ok
+       |FROM b
+       |UNION ALL
+       |SELECT doc_id, 1::BIGINT, 0::BIGINT, true, 'metadata', url,
+       |  length(body2)::BIGINT, body2, true FROM b
+       |ORDER BY doc_id, member_idx, rec_idx""".stripMargin
 
   /** Corpus language/script mix (mirror of
     * TextAnalysis.languageMixPlanted): the script and langid chains

@@ -461,6 +461,29 @@ object SparkEntry {
           col("body"), col("length_ok"))
         .orderBy(col("doc_id"), col("rec_idx"))
     }),
+    // .warc.gz archive ingest (the Common Crawl wire layout): one
+    // gzip member per record — the member walk is a REAL RFC 1952
+    // decode (optional header fields, raw-DEFLATE inflate, CRC32 +
+    // ISIZE verified), then the same Content-Length record walk; the
+    // oracle recomputes the fields from text closed-form, so a hash
+    // match proves the decompress → split → project chain
+    "warc_gz_records" -> ((s, dir) => {
+      val u = graft.ops.Curation.synthUrls(t(s, dir, "documents"))
+      val body1 = substring(col("text"), 1, 120)
+      val body2 = concat(lit("meta WARC/1.0 inside body for doc "),
+        col("doc_id").cast("string"))
+      val blob = concat(
+        graft.sources.Warc.gzMember(lit("response"), col("url"), body1),
+        graft.sources.Warc.gzMember(lit("metadata"), col("url"), body2))
+      graft.sources.Warc.parseRecords(
+          graft.sources.Warc.splitRecordsGz(
+            u.select(col("doc_id"), blob.as("archive")), col("archive")),
+          col("record"))
+        .select(col("doc_id"), col("member_idx"), col("rec_idx"),
+          col("warc_valid"), col("warc_type"), col("target_uri"),
+          col("content_length"), col("body"), col("length_ok"))
+        .orderBy(col("doc_id"), col("member_idx"), col("rec_idx"))
+    }),
     // frontier seen-filter: bloom-pruned, exact-verified "already
     // crawled?" against the landed canonical-URL set; the messy
     // re-crawl variants canonicalize back onto landed URLs, so the
@@ -1651,6 +1674,7 @@ object SparkEntry {
     "pipeline_crawl" -> OracleSql.pipelineCrawl,
     "frontier_seen" -> OracleSql.frontierSeen,
     "warc_records" -> OracleSql.warcRecords,
+    "warc_gz_records" -> OracleSql.warcGzRecords,
     "domain_stats" -> OracleSql.domainStats,
     "domain_quality" -> OracleSql.domainQuality,
     "robots_gate" -> OracleSql.robotsGate,

@@ -46,6 +46,45 @@ object Warc {
       .withColumn("record", col("__rec").cast("string"))
       .drop("__recs", "__rec")
 
+  /** Render one `.warc.gz` member: [[record]] framed as its own gzip
+    * member (the Common Crawl layout — one member per record, so
+    * archives split on member boundaries without a full gunzip).
+    */
+  def gzMember(warcType: Column, targetUri: Column, body: Column): Column =
+    org.apache.spark.sql.GraftColumnBridge.column(
+      graft.expressions.GzipCompress(
+        org.apache.spark.sql.GraftColumnBridge.expression(
+          record(warcType, targetUri, body).cast("binary"))))
+
+  /** Split a `.warc.gz` archive blob (concatenated gzip members, one
+    * or more WARC records per member) into records: adds `member_idx`
+    * (member position in the blob), `rec_idx` (record position within
+    * the member), and `record` (string). The member walk and the
+    * record walk are BOTH real decodes — RFC 1952 header/trailer with
+    * CRC32+ISIZE verification around a raw-DEFLATE inflate
+    * ([[graft.expressions.GzipKernel]]), then the Content-Length
+    * offset walk ([[graft.expressions.WarcSplitKernel]]). Invalid
+    * blobs/members yield zero rows (kernels return null). Per-member
+    * decode budget `maxLen` is a plan literal (bomb guard).
+    */
+  def splitRecordsGz(df: DataFrame, blob: Column,
+      maxLen: Int = 1 << 24): DataFrame =
+    df.withColumn("__members",
+        org.apache.spark.sql.GraftColumnBridge.column(
+          graft.expressions.GzipMembers(
+            org.apache.spark.sql.GraftColumnBridge.expression(
+              blob.cast("binary")), maxLen)))
+      .select(col("*"), posexplode(col("__members")).as(Seq("member_idx", "__m")))
+      .withColumn("__recs",
+        org.apache.spark.sql.GraftColumnBridge.column(
+          graft.expressions.WarcSplit(
+            org.apache.spark.sql.GraftColumnBridge.expression(col("__m")))))
+      .select(col("*"), posexplode(col("__recs")).as(Seq("rec_idx", "__rec")))
+      .withColumn("member_idx", col("member_idx").cast("long"))
+      .withColumn("rec_idx", col("rec_idx").cast("long"))
+      .withColumn("record", col("__rec").cast("string"))
+      .drop("__members", "__m", "__recs", "__rec")
+
   /** Project the curation-relevant fields of a record column:
     * `warc_valid` (magic + header terminator + a parseable
     * Content-Length), `warc_type`, `target_uri`, `content_length`,

@@ -177,4 +177,84 @@ class SourcesExtensionsSpec extends SparkSpec {
     assert(Warc.splitRecords(bad, col("archive")).count() === 0L,
       "structurally broken archives must yield zero records, not garbage")
   }
+
+  test("Gzip members: real multi-member decode, CRC-verified, conformant with the JDK writer") {
+    import graft.expressions.GzipKernel
+    // conformance: members written by the INDEPENDENT JDK gzip writer
+    // (GZIPOutputStream) must decode member-exact
+    def jdkGzip(s: String): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val gz = new java.util.zip.GZIPOutputStream(bos)
+      gz.write(s.getBytes("UTF-8")); gz.close()
+      bos.toByteArray
+    }
+    val blob = jdkGzip("first member") ++ jdkGzip("") ++
+      GzipKernel.compress("third, ours".getBytes) ++ jdkGzip("x" * 10000)
+    val got = GzipKernel.members(blob, 1 << 20)
+    assert(got != null && got.numElements() === 4)
+    assert(new String(got.getBinary(0), "UTF-8") === "first member")
+    assert(got.getBinary(1).length === 0)
+    assert(new String(got.getBinary(2), "UTF-8") === "third, ours")
+    assert(got.getBinary(3).length === 10000)
+    // and the JDK reader accepts OUR member (legality both directions)
+    val back = new java.util.zip.GZIPInputStream(
+      new java.io.ByteArrayInputStream(GzipKernel.compress("round".getBytes)))
+    assert(new String(back.readAllBytes(), "UTF-8") === "round")
+    // optional header fields: FNAME + FCOMMENT + FEXTRA + FHCRC walk
+    val body = GzipKernel.compress("payload".getBytes)
+    val deflatePart = java.util.Arrays.copyOfRange(body, 10, body.length)
+    val fancy = new java.io.ByteArrayOutputStream()
+    fancy.write(Array[Byte](0x1F, 0x8B.toByte, 8, (4 | 8 | 16).toByte,
+      0, 0, 0, 0, 0, 3)) // FLG = FEXTRA|FNAME|FCOMMENT, OS=unix
+    fancy.write(Array[Byte](4, 0, 'a', 'b', 'c', 'd')) // FEXTRA len 4
+    fancy.write("name.txt".getBytes); fancy.write(0)
+    fancy.write("a comment".getBytes); fancy.write(0)
+    fancy.write(deflatePart)
+    val withFields = GzipKernel.members(fancy.toByteArray, 1 << 20)
+    assert(withFields != null && withFields.numElements() === 1)
+    assert(new String(withFields.getBinary(0), "UTF-8") === "payload")
+    // traps: corrupt CRC, lying ISIZE, truncated member, junk → null
+    val crcBad = blob.clone(); crcBad(blob.length - 8) = 0x55
+    assert(GzipKernel.members(crcBad, 1 << 20) == null, "corrupt CRC must null")
+    assert(GzipKernel.members(blob.take(blob.length - 3), 1 << 20) == null)
+    assert(GzipKernel.members("not gzip".getBytes, 1 << 20) == null)
+    // bomb guard: 10k body over a 1k budget
+    assert(GzipKernel.members(jdkGzip("y" * 10000), 1000) == null)
+  }
+
+  test("Warc.splitRecordsGz: .warc.gz member-per-record layout decodes to the same records") {
+    import graft.sources.Warc
+    val docs = Seq(
+      (1L, "https://a.com/p", "body WARC/1.0 trap x"),
+      (2L, "https://b.org/q", "second page")).toDF("doc_id", "url", "text")
+    val blob = concat(
+      Warc.gzMember(lit("response"), col("url"), col("text")),
+      Warc.gzMember(lit("metadata"), col("url"), lit("meta")))
+    val rows = Warc.parseRecords(
+        Warc.splitRecordsGz(docs.select(col("doc_id"), blob.as("a")), col("a")),
+        col("record"))
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("member_idx")) -> r)
+      .toMap
+    assert(rows.size === 4)
+    assert(rows((1L, 0L)).getAs[String]("body") === "body WARC/1.0 trap x")
+    assert(rows((1L, 1L)).getAs[String]("warc_type") === "metadata")
+    assert(rows((2L, 0L)).getAs[String]("target_uri") === "https://b.org/q")
+    assert(rows.values.forall(r => r.getAs[Long]("rec_idx") === 0L &&
+      r.getAs[Boolean]("length_ok")))
+    // parity: gz path ≡ plain path on the same records
+    val plain = Warc.parseRecords(
+        Warc.splitRecords(docs.select(col("doc_id"), concat(
+          Warc.record(lit("response"), col("url"), col("text")),
+          Warc.record(lit("metadata"), col("url"), lit("meta"))).as("a")),
+          col("a")),
+        col("record"))
+      .select("doc_id", "warc_type", "target_uri", "content_length", "body")
+      .collect().map(_.toSeq).toSet
+    val viaGz = Warc.parseRecords(
+        Warc.splitRecordsGz(docs.select(col("doc_id"), blob.as("a")), col("a")),
+        col("record"))
+      .select("doc_id", "warc_type", "target_uri", "content_length", "body")
+      .collect().map(_.toSeq).toSet
+    assert(viaGz === plain, "gz and plain ingest must land identical records")
+  }
 }
