@@ -754,6 +754,34 @@ object OracleSql {
        |  length(body2)::BIGINT, body2, true FROM b
        |ORDER BY doc_id, member_idx, rec_idx""".stripMargin
 
+  /** HTTP-over-WARC parse (mirror of Warc.parseHttp ∘ parseRecords ∘
+    * splitRecords over the status/content-type synth): every field is
+    * re-derived from doc_id arithmetic and the text prefix, so a hash
+    * match proves the record walk AND the header parse (incl. the
+    * case-insensitive Content-Type match and the parameter strip).
+    */
+  lazy val warcHttpMeta: String =
+    s"""WITH u AS ($UrlSynth),
+       |b AS (SELECT doc_id, substring(text, 1, 100) AS payload,
+       |  doc_id % 10 = 0 AS invalid FROM u)
+       |SELECT doc_id,
+       |  NOT invalid AS http_valid,
+       |  (CASE WHEN invalid THEN NULL ELSE
+       |    CASE doc_id % 4 WHEN 0 THEN 200 WHEN 1 THEN 404
+       |      WHEN 2 THEN 301 ELSE 503 END END)::BIGINT AS http_status,
+       |  CASE WHEN invalid THEN NULL ELSE
+       |    CASE doc_id % 4 WHEN 0 THEN 'OK' WHEN 1 THEN 'Not Found'
+       |      WHEN 2 THEN 'Moved Permanently'
+       |      ELSE 'Service Unavailable' END END AS http_reason,
+       |  CASE WHEN invalid THEN NULL ELSE
+       |    CASE doc_id % 3 WHEN 0 THEN 'text/html' WHEN 1 THEN 'text/plain'
+       |      ELSE 'application/json' END END AS content_type,
+       |  CASE WHEN invalid THEN NULL ELSE
+       |    CASE doc_id % 3 WHEN 0 THEN 'utf-8' WHEN 1 THEN NULL
+       |      ELSE 'iso-8859-1' END END AS charset,
+       |  CASE WHEN invalid THEN NULL ELSE payload END AS http_body
+       |FROM b ORDER BY doc_id""".stripMargin
+
   /** Corpus language/script mix (mirror of
     * TextAnalysis.languageMixPlanted): the script and langid chains
     * joined per doc, grouped to (dominant_script, pred_lang), share

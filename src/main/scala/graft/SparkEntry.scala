@@ -484,6 +484,37 @@ object SparkEntry {
           col("content_length"), col("body"), col("length_ok"))
         .orderBy(col("doc_id"), col("member_idx"), col("rec_idx"))
     }),
+    // HTTP response parse over WARC record bodies — the link between
+    // archive ingest and html extraction: status line, case-insensitive
+    // Content-Type/charset, payload split past the header block; the
+    // whole chain (Content-Length record walk → http parse) recomputed
+    // closed-form by the oracle
+    "warc_http_meta" -> ((s, dir) => {
+      val u = graft.ops.Curation.synthUrls(t(s, dir, "documents"))
+      val d = col("doc_id")
+      val status = when(d % 4 === 0, "200 OK")
+        .when(d % 4 === 1, "404 Not Found")
+        .when(d % 4 === 2, "301 Moved Permanently")
+        .otherwise("503 Service Unavailable")
+      val ctHeader = when(d % 3 === 0, "Content-Type: text/html; charset=UTF-8")
+        .when(d % 3 === 1, "content-type: text/plain")
+        .otherwise("CONTENT-TYPE: application/json;charset=iso-8859-1")
+      val payload = substring(col("text"), 1, 100)
+      val httpMsg = concat(lit("HTTP/1.1 "), status,
+        lit("\r\nServer: synth/1.0\r\n"), ctHeader, lit("\r\n\r\n"), payload)
+      val body = when(d % 10 === 0, substring(col("text"), 1, 60))
+        .otherwise(httpMsg)
+      val blob = graft.sources.Warc.record(lit("response"), col("url"), body)
+      graft.sources.Warc.parseHttp(
+          graft.sources.Warc.parseRecords(
+            graft.sources.Warc.splitRecords(
+              u.select(d, blob.as("archive")), col("archive")),
+            col("record")),
+          col("body"))
+        .select(d, col("http_valid"), col("http_status"), col("http_reason"),
+          col("content_type"), col("charset"), col("http_body"))
+        .orderBy(d)
+    }),
     // frontier seen-filter: bloom-pruned, exact-verified "already
     // crawled?" against the landed canonical-URL set; the messy
     // re-crawl variants canonicalize back onto landed URLs, so the
@@ -1675,6 +1706,7 @@ object SparkEntry {
     "frontier_seen" -> OracleSql.frontierSeen,
     "warc_records" -> OracleSql.warcRecords,
     "warc_gz_records" -> OracleSql.warcGzRecords,
+    "warc_http_meta" -> OracleSql.warcHttpMeta,
     "domain_stats" -> OracleSql.domainStats,
     "domain_quality" -> OracleSql.domainQuality,
     "robots_gate" -> OracleSql.robotsGate,

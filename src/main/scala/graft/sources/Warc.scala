@@ -111,4 +111,38 @@ object Warc {
       .withColumn("length_ok",
         when(valid, length(rec) === length(headers) + lit(4) + n))
   }
+
+  /** Parse the HTTP response message carried by a WARC `response`
+    * record's body (ISO 28500 stores the raw HTTP message; the
+    * crawl-relevant fields live in its status line and headers):
+    * `http_valid` (an HTTP/1.x status line and a header terminator),
+    * `http_status`, `http_reason`, `content_type` (lowercased media
+    * type, parameters stripped), `charset` (from the Content-Type
+    * parameter, lowercased; null when absent), and `http_body` (the
+    * payload past the header block — what html extraction consumes).
+    * Header-name matching is case-insensitive per RFC 9110. Pure
+    * projection — anchored regexes + one offset substring, zero
+    * shuffles at any scale.
+    */
+  def parseHttp(df: DataFrame, body: Column): DataFrame = {
+    val statusLine = "^HTTP/1\\.[01] ([0-9]{3}) ([^\r\n]*)\r\n"
+    val valid = regexp_extract(body, statusLine, 1) =!= "" &&
+      body.contains("\r\n\r\n")
+    val headers = substring_index(body, "\r\n\r\n", 1)
+    df.withColumn("http_valid", valid)
+      .withColumn("http_status",
+        when(valid, regexp_extract(body, statusLine, 1).cast("long")))
+      .withColumn("http_reason",
+        when(valid, regexp_extract(body, statusLine, 2)))
+      .withColumn("content_type",
+        when(valid, nullif(lower(trim(regexp_extract(body,
+          "(?i)\r\ncontent-type:\\s*([^;\r\n]+)", 1))), lit(""))))
+      .withColumn("charset",
+        when(valid, nullif(lower(regexp_extract(body,
+          "(?i)\r\ncontent-type:[^\r\n]*;\\s*charset=\"?([A-Za-z0-9_.:-]+)", 1)),
+          lit(""))))
+      .withColumn("http_body",
+        when(valid, body.substr(length(headers) + 5,
+          greatest(length(body) - length(headers) - 4, lit(0)))))
+  }
 }

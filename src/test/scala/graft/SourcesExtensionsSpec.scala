@@ -257,4 +257,39 @@ class SourcesExtensionsSpec extends SparkSpec {
       .collect().map(_.toSeq).toSet
     assert(viaGz === plain, "gz and plain ingest must land identical records")
   }
+
+  test("Warc.parseHttp: status line, case-insensitive content-type, charset, payload split") {
+    import graft.sources.Warc
+    val rows = Seq(
+      (1L, "HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=UTF-8\r\n\r\n<p>hi</p>"),
+      (2L, "HTTP/1.0 404 Not Found\r\ncontent-type: TEXT/Plain\r\n\r\ngone"),
+      (3L, "HTTP/1.1 301 Moved Permanently\r\nLocation: /x\r\n" +
+        "CONTENT-TYPE: application/json;charset=\"iso-8859-1\"\r\n\r\n{}"),
+      (4L, "HTTP/1.1 204 \r\nServer: s\r\n\r\n"), // empty reason, empty body
+      (5L, "not an http message at all"),
+      (6L, "HTTP/1.1 200 OK\r\nno header terminator"))
+      .toDF("doc_id", "body")
+    val got = Warc.parseHttp(rows, col("body"))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(got(1L).getAs[Boolean]("http_valid"))
+    assert(got(1L).getAs[Long]("http_status") === 200L)
+    assert(got(1L).getAs[String]("content_type") === "text/html")
+    assert(got(1L).getAs[String]("charset") === "utf-8")
+    assert(got(1L).getAs[String]("http_body") === "<p>hi</p>")
+    assert(got(2L).getAs[String]("content_type") === "text/plain",
+      "header name and value case must both normalize")
+    assert(got(2L).getAs[String]("charset") == null, "no charset parameter")
+    assert(got(3L).getAs[String]("http_reason") === "Moved Permanently")
+    assert(got(3L).getAs[String]("content_type") === "application/json")
+    assert(got(3L).getAs[String]("charset") === "iso-8859-1",
+      "quoted charset parameter must parse")
+    assert(got(4L).getAs[Boolean]("http_valid"))
+    assert(got(4L).getAs[String]("http_reason") === "")
+    assert(got(4L).getAs[String]("http_body") === "")
+    assert(got(4L).getAs[String]("content_type") == null)
+    assert(!got(5L).getAs[Boolean]("http_valid"))
+    assert(!got(6L).getAs[Boolean]("http_valid"),
+      "a status line without a header terminator is not a parseable message")
+    assert(got(5L).isNullAt(got(5L).fieldIndex("http_status")))
+  }
 }
