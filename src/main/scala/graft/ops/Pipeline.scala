@@ -293,6 +293,25 @@ object Pipeline {
       blockedDomains, quota)
   }
 
+  /** [[warcCurate]] over `.warc.gz` archives — the Common Crawl wire
+    * layout: the CRC-verified gzip member walk feeds the same record
+    * walk and the same crawl decision battery (`WarcGzParitySpec`
+    * pins gz ≡ plain on identical content). Record identity is
+    * (archive doc_id, member, record-in-member) packed into one key.
+    */
+  def warcGzCurate(archives: DataFrame, blob: Column, robots: DataFrame,
+      blockedDomains: Seq[String], quota: Int = 5,
+      maxLen: Int = 1 << 24): DataFrame = {
+    val recs = graft.sources.Warc.parseRecords(
+        graft.sources.Warc.splitRecordsGz(archives, blob, maxLen), col("record"))
+      .where(col("warc_valid") && col("warc_type") === "response")
+      .select((col("doc_id") * (1L << 20) + col("member_idx") * (1L << 10) +
+          col("rec_idx")).as("doc_id"),
+        col("target_uri"), col("body"))
+    crawlPipeline(recs, col("target_uri"), col("body"), robots,
+      blockedDomains, quota)
+  }
+
   /** EXACT pairwise content overlap between corpus slices (sources,
     * shards, snapshots): for every unordered slice pair with shared
     * content, the common-fingerprint count, both slice sizes, Jaccard,

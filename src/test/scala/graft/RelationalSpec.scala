@@ -934,6 +934,67 @@ class RelationalSpec extends SparkSpec {
     assert(got.values.map(_.toString).toSeq.sorted === direct)
   }
 
+  test("warcGzCurate ≡ warcCurate: the gz member walk changes nothing but the framing") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val prose = (1 to 40).map(i => s"word$i body").mkString(" ")
+    val pages = Seq(
+      (1L, "https://good.com/a", s"<html><p>$prose one</p></html>"),
+      (2L, "https://good.com/private/x", s"<html><p>$prose two</p></html>"),
+      (3L, "https://bad.org/a", s"<html><p>$prose three</p></html>"))
+      .toDF("doc_id", "url", "html")
+    val rules = Seq(("good.com", "/private", false)).toDF("host", "path_prefix", "allow")
+    def decisions(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.select("canonical_url", "robots_allowed", "domain_blocked", "keep")
+        .collect().map(_.toString).sorted.toSeq
+    val plain = graft.ops.Pipeline.warcCurate(
+      pages.select(col("doc_id"),
+        graft.sources.Warc.record(lit("response"), col("url"), col("html"))
+          .as("archive")),
+      col("archive"), rules, Seq("bad.org"), quota = 10)
+    val gz = graft.ops.Pipeline.warcGzCurate(
+      pages.select(col("doc_id"),
+        graft.sources.Warc.gzMember(lit("response"), col("url"), col("html"))
+          .as("archive")),
+      col("archive"), rules, Seq("bad.org"), quota = 10)
+    assert(decisions(gz) === decisions(plain),
+      "gz and plain archives must land identical crawl decisions")
+    assert(gz.collect().length === 3)
+  }
+
+  test("warcRecordsStream: stateless streaming ingest equals the batch walk (plain and gz)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val mk = (doc: Long, uri: String, body: String) => (doc, uri, body)
+    val rows = Seq(
+      mk(1L, "https://a.com/1", "hello one"),
+      mk(2L, "https://b.org/2", "hello WARC/1.0 two"))
+    for (gz <- Seq(false, true)) {
+      val archives = rows.toDF("doc_id", "url", "body").select(col("doc_id"),
+        (if (gz) graft.sources.Warc.gzMember(lit("response"), col("url"), col("body"))
+         else graft.sources.Warc.record(lit("response"), col("url"), col("body"))
+           .cast("binary")).as("archive"))
+      implicit val sq = spark.sqlContext
+      val mem = MemoryStream[(Long, Array[Byte])]
+      mem.addData(archives.as[(Long, Array[Byte])].collect().toSeq)
+      val streamed = graft.streaming.Streams.warcRecordsStream(
+        mem.toDF().toDF("doc_id", "archive"), gz = gz)
+      val got = graft.streaming.Streams.runOnce(spark, streamed,
+        s"warc_stream_$gz", org.apache.spark.sql.streaming.OutputMode.Append())
+        .select("doc_id", "target_uri", "body")
+        .collect().map(_.toString).sorted.toSeq
+      val batch = graft.sources.Warc.parseRecords(
+          (if (gz) graft.sources.Warc.splitRecordsGz(archives, col("archive"))
+           else graft.sources.Warc.splitRecords(archives, col("archive"))),
+          col("record"))
+        .select("doc_id", "target_uri", "body")
+        .collect().map(_.toString).sorted.toSeq
+      assert(got === batch, s"gz=$gz: streaming and batch ingest must agree")
+      assert(got.length === 2)
+    }
+  }
+
   test("sourceOverlap: exact pairwise counts, jaccard, containments; zero-overlap pairs absent") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
