@@ -2285,6 +2285,60 @@ object OracleSql {
        |  CAST(chunk_idx * 150 + 1 AS BIGINT) AS chunk_start,
        |  substring(text, chunk_idx * 150 + 1, 200) AS chunk FROM x)""".stripMargin
 
+  /** Sentence segmentation (mirror of TextAnalysis.sentences): the
+    * identical RE2 rule, trim, empty-drop, and positional index.
+    */
+  val textSentences: String =
+    s"""WITH m AS (SELECT doc_id,
+       |  replace(replace(text, ' merge ', '. '), ' join ', '! ') ||
+       |  CASE doc_id % 3 WHEN 0 THEN ' Tail one. And two!! Third?'
+       |    WHEN 1 THEN ' No terminator tail' ELSE '' END AS text
+       |  FROM documents),
+       |s AS (SELECT doc_id,
+       |  [trim(x) for x in
+       |    regexp_extract_all(text, '[^.!?]+[.!?]+|[^.!?]+$$')
+       |    if trim(x) <> ''] AS sents
+       |  FROM m),
+       |e AS (SELECT doc_id,
+       |  unnest(range(0, len(sents)))::BIGINT AS sent_idx,
+       |  unnest(sents) AS sentence FROM s)
+       |SELECT doc_id, sent_idx,
+       |  length(sentence)::BIGINT AS n_chars,
+       |  len(${toksOf("sentence")})::BIGINT AS n_words,
+       |  ${hex64("sentence")} AS sent_hash
+       |FROM e ORDER BY doc_id, sent_idx""".stripMargin
+
+  /** Sentence-aware chunking (mirror of TextAnalysis.sentenceChunks,
+    * maxChars 200): DuckDB's `list_reduce` seeds the accumulator with
+    * the first element — exactly what Spark's `aggregate` with an
+    * empty-string init produces after its first step, so the two
+    * folds are step-identical.
+    */
+  val textSentenceChunks: String =
+    s"""WITH m AS (SELECT doc_id,
+       |  replace(replace(text, ' merge ', '. '), ' join ', '! ') ||
+       |  CASE doc_id % 3 WHEN 0 THEN ' Tail one. And two!! Third?'
+       |    WHEN 1 THEN ' No terminator tail' ELSE '' END AS text
+       |  FROM documents),
+       |s AS (SELECT doc_id,
+       |  [trim(x) for x in
+       |    regexp_extract_all(text, '[^.!?]+[.!?]+|[^.!?]+$$')
+       |    if trim(x) <> ''] AS sents
+       |  FROM m WHERE length(text) > 0),
+       |p AS (SELECT doc_id,
+       |  str_split(list_reduce(sents, (acc, s) -> CASE
+       |    WHEN length(str_split(acc, chr(1))[-1]) + length(s) + 1 <= 200
+       |      THEN acc || ' ' || s
+       |    ELSE acc || chr(1) || s END), chr(1)) AS chunks
+       |  FROM s WHERE len(sents) > 0),
+       |e AS (SELECT doc_id,
+       |  unnest(range(0, len(chunks)))::BIGINT AS chunk_idx,
+       |  unnest(chunks) AS chunk FROM p)
+       |SELECT doc_id, chunk_idx,
+       |  length(chunk)::BIGINT AS n_chunk_chars,
+       |  ${hex64("chunk")} AS chunk_hash
+       |FROM e ORDER BY doc_id, chunk_idx""".stripMargin
+
   val textChunks: String =
     s"""$chunkCte
        |SELECT doc_id, chunk_idx, chunk_start,

@@ -22,6 +22,22 @@ object SparkEntry {
     Tables.load(s, dir, name)
   }
 
+  /** Plant sentence terminators into the unpunctuated test corpus,
+    * closed-form (mirrored verbatim by the sentence oracles): two
+    * word→terminator rewrites plus a rotating tail — a multi-sentence
+    * run with doubled terminators, an unterminated fragment, or
+    * nothing.
+    */
+  private def plantSentences(docs: DataFrame): DataFrame = {
+    val d = col("doc_id")
+    docs.withColumn("text", concat(
+      regexp_replace(regexp_replace(col("text"), " merge ", ". "),
+        " join ", "! "),
+      when(d % 3 === 0, lit(" Tail one. And two!! Third?"))
+        .when(d % 3 === 1, lit(" No terminator tail"))
+        .otherwise(lit(""))))
+  }
+
   /** One session temp root, removed on JVM exit — per-query scratch
     * dirs live under it so repeated invocations don't accumulate
     * stray /tmp entries (round-1 verdict nit #10).
@@ -248,6 +264,23 @@ object SparkEntry {
       TextAnalysis.fingerprint(t(s, dir, "documents")).orderBy(col("doc_id"))),
     "text_chunks" -> ((s, dir) =>
       TextAnalysis.chunks(t(s, dir, "documents"))
+        .orderBy(col("doc_id"), col("chunk_idx"))),
+    // sentence segmentation with provenance: terminal-punctuation
+    // rule, RE2-portable so the oracle replays it verbatim; the
+    // unpunctuated corpus gets terminators PLANTED closed-form
+    // (word→'. '/'! ' rewrites + rotating tails incl. multi-terminator
+    // runs and an unterminated fragment), so multi-sentence splits,
+    // trims and the fragment lane all actually fire
+    "text_sentences" -> ((s, dir) =>
+      TextAnalysis.sentences(plantSentences(t(s, dir, "documents")))
+        .select(col("doc_id"), col("sent_idx"), col("n_chars"),
+          col("n_words"), col("sent_hash"))
+        .orderBy(col("doc_id"), col("sent_idx"))),
+    // sentence-AWARE chunking: greedy fill to a char budget as a
+    // per-document left fold (separator-accumulator), map-only; the
+    // oracle replays the identical fold via list_reduce
+    "text_sentence_chunks" -> ((s, dir) =>
+      TextAnalysis.sentenceChunks(plantSentences(t(s, dir, "documents")))
         .orderBy(col("doc_id"), col("chunk_idx"))),
     "text_dup_chunk_ratio" -> ((s, dir) =>
       TextAnalysis.dupChunkRatio(t(s, dir, "documents")).orderBy(col("doc_id"))),
@@ -1661,6 +1694,8 @@ object SparkEntry {
     "corpus_language_mix" -> OracleSql.corpusLanguageMix,
     "text_fingerprint" -> OracleSql.textFingerprint,
     "text_chunks" -> OracleSql.textChunks,
+    "text_sentences" -> OracleSql.textSentences,
+    "text_sentence_chunks" -> OracleSql.textSentenceChunks,
     "text_dup_chunk_ratio" -> OracleSql.textDupChunkRatio,
     "text_repetition" -> OracleSql.textRepetition,
     "text_pii" -> OracleSql.textPii,

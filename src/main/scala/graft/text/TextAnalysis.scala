@@ -1523,6 +1523,63 @@ object TextAnalysis {
     * (doc_id, index, start offset) and a portable content hash, so a
     * downstream exact-dedup over chunks composes directly.
     */
+  /** Sentence segmentation with provenance — the boundary-aware
+    * sibling of fixed-width [[chunks]]: each document explodes into
+    * its sentences (terminal-punctuation rule: a maximal
+    * non-terminator run plus its `[.!?]+` tail, or the trailing
+    * unterminated fragment), trimmed, empties dropped. The rule is
+    * deliberately dictionary-free and RE2-portable so the DuckDB
+    * oracle replays it verbatim (abbreviation false-splits are the
+    * documented cost, identical in both engines). Pure per-row
+    * explode projection — map-only at any scale. Emits per sentence:
+    * index, char count, token count, and a portable content hash.
+    */
+  def sentences(docs: DataFrame): DataFrame = {
+    val raw = regexp_extract_all(col("text"),
+      lit("[^.!?]+[.!?]+|[^.!?]+$"), lit(0))
+    val sents = filter(transform(raw, s => trim(s)), s => length(s) > 0)
+    docs
+      .select(col("doc_id"), posexplode(sents).as(Seq("sent_idx", "sentence")))
+      .select(col("doc_id"), col("sent_idx").cast("long").as("sent_idx"),
+        col("sentence"),
+        length(col("sentence")).cast("long").as("n_chars"),
+        size(GraftFunctions.tokens(col("sentence"))).cast("long").as("n_words"),
+        GraftFunctions.hex64(col("sentence")).as("sent_hash"))
+  }
+
+  /** Sentence-AWARE chunking — the RAG-standard greedy fill: pack
+    * consecutive sentences into chunks of at most `maxChars` chars
+    * (single-space joined), starting a new chunk when the next
+    * sentence would overflow; a lone sentence longer than the budget
+    * keeps its own (oversize) chunk rather than being cut mid-thought
+    * — the boundary guarantee fixed-width [[chunks]] cannot give.
+    * The fill is a per-document left fold over the sentence array
+    * (separator-accumulator trick: chunks accumulate into ONE string
+    * split on a sentinel afterwards), so the whole operator stays a
+    * map-only projection — no shuffle, no window, and the identical
+    * fold replays in the DuckDB oracle via `list_reduce`.
+    */
+  def sentenceChunks(docs: DataFrame, maxChars: Int = 200): DataFrame = {
+    val raw = regexp_extract_all(col("text"),
+      lit("[^.!?]+[.!?]+|[^.!?]+$"), lit(0))
+    val sents = filter(transform(raw, s => trim(s)), s => length(s) > 0)
+    val sep = "\u0001"
+    val packed = aggregate(sents, lit(""), (acc, s) =>
+      when(acc === "", s)
+        .when(length(substring_index(acc, sep, -1)) + length(s) + 1 <= maxChars,
+          concat(acc, lit(" "), s))
+        .otherwise(concat(acc, lit(sep), s)))
+    docs
+      .where(length(col("text")) > 0)
+      .select(col("doc_id"), packed.as("__packed"))
+      .where(col("__packed") =!= "")
+      .select(col("doc_id"),
+        posexplode(split(col("__packed"), sep)).as(Seq("chunk_idx", "chunk")))
+      .select(col("doc_id"), col("chunk_idx").cast("long").as("chunk_idx"),
+        length(col("chunk")).cast("long").as("n_chunk_chars"),
+        GraftFunctions.hex64(col("chunk")).as("chunk_hash"))
+  }
+
   def chunks(docs: DataFrame, size: Int = 200, stride: Int = 150): DataFrame =
     docs
       .filter(length(col("text")) > 0)

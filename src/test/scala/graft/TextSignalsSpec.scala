@@ -181,4 +181,53 @@ class TextSignalsSpec extends SparkSpec {
     assert(kb(1L) === ((1L, true)) && kb(2L) === ((1L, false)))
     assert(kb(10L) === ((11L, false)) && kb(11L) === ((11L, true)))
   }
+
+  test("sentences: terminator runs, trailing fragment, empty drops, provenance") {
+    val d = docs(
+      (1L, "One here. Two now!! Is it three? tail fragment", "s"),
+      (2L, "no terminators at all", "s"),
+      (3L, "!!!", "s"), // nothing but terminators: zero sentences
+      (4L, "", "s"))
+    val got = graft.text.TextAnalysis.sentences(d).collect()
+      .groupBy(_.getAs[Long]("doc_id"))
+      .view.mapValues(_.sortBy(_.getAs[Long]("sent_idx"))
+        .map(_.getAs[String]("sentence")).toSeq).toMap
+    assert(got(1L) === Seq("One here.", "Two now!!", "Is it three?",
+      "tail fragment"), got.toString)
+    assert(got(2L) === Seq("no terminators at all"))
+    assert(!got.contains(3L) && !got.contains(4L))
+    val r = graft.text.TextAnalysis.sentences(d)
+      .where(col("doc_id") === 1L && col("sent_idx") === 1L).head()
+    assert(r.getAs[Long]("n_chars") === 9L) // "Two now!!"
+    assert(r.getAs[Long]("n_words") === 2L)
+  }
+
+  test("sentenceChunks: greedy fill respects the budget, never cuts a sentence, oversize keeps its own chunk") {
+    val s60 = "x" * 60
+    val d = docs(
+      // 4 sentences of 61 chars: budget 200 fits three (61+1+61+1+61
+      // = 185), the fourth starts chunk 2
+      (1L, s"$s60. $s60. $s60. $s60.", "s"),
+      // a lone sentence over the budget keeps one oversize chunk
+      (2L, "y" * 300 + ".", "s"),
+      (3L, "short one. short two.", "s"))
+    val got = graft.text.TextAnalysis.sentenceChunks(d, maxChars = 200)
+      .collect().groupBy(_.getAs[Long]("doc_id"))
+      .view.mapValues(_.sortBy(_.getAs[Long]("chunk_idx"))
+        .map(_.getAs[Long]("n_chunk_chars")).toSeq).toMap
+    assert(got(1L) === Seq(185L, 61L), got.toString)
+    assert(got(2L) === Seq(301L), "oversize sentence must not be cut")
+    assert(got(3L) === Seq(21L), "both sentences fit one chunk")
+    // parity: concatenating chunks with ' ' at the seams reproduces
+    // exactly the sentence stream (no chars invented or lost)
+    val chunksOf1 = graft.text.TextAnalysis
+      .sentenceChunks(d.where(col("doc_id") === 1L), maxChars = 200)
+    val totalChars = chunksOf1.collect().map(_.getAs[Long]("n_chunk_chars")).sum
+    val sentChars = graft.text.TextAnalysis
+      .sentences(d.where(col("doc_id") === 1L))
+      .collect().map(_.getAs[Long]("n_chars")).sum
+    // joins add one space per intra-chunk seam: 4 sentences, 2 chunks
+    // -> 2 seams
+    assert(totalChars === sentChars + 2)
+  }
 }
