@@ -754,6 +754,27 @@ object OracleSql {
        |  length(body2)::BIGINT, body2, true FROM b
        |ORDER BY doc_id, member_idx, rec_idx""".stripMargin
 
+  /** WebDataset shard ingest (mirror of Wds.samples ∘ tar synth +
+    * the JPEG decode of each sample's image member): stems, member
+    * counts, labels, text hashes, and the DECODED grayscale stats all
+    * re-derived closed-form — Spark must reach them by walking real
+    * ustar blocks and entropy-decoding real JPEG scans.
+    */
+  lazy val wdsSamples: String =
+    s"""WITH m AS (SELECT doc_id, text, unnest([0, 1]) AS i FROM documents),
+       |s AS (SELECT doc_id,
+       |  's' || (doc_id * 2 + i)::VARCHAR AS stem,
+       |  3::BIGINT AS n_members,
+       |  ((doc_id + i) % 10)::VARCHAR AS cls,
+       |  ${hex64("substring(text, 1 + 40 * i, 40)")} AS txt_hash,
+       |  ((7 * doc_id + (0 + 2 * i) * 13) % 256) AS y0,
+       |  ((7 * doc_id + (1 + 2 * i) * 13) % 256) AS y1
+       |  FROM m)
+       |SELECT doc_id, stem, n_members, cls, txt_hash,
+       |  128::BIGINT AS pixels_decoded,
+       |  ((y0 + y1) * 64)::DOUBLE / 128 AS mean_gray
+       |FROM s ORDER BY doc_id, stem""".stripMargin
+
   /** HTTP-over-WARC parse (mirror of Warc.parseHttp ∘ parseRecords ∘
     * splitRecords over the status/content-type synth): every field is
     * re-derived from doc_id arithmetic and the text prefix, so a hash

@@ -548,6 +548,47 @@ object SparkEntry {
           col("content_type"), col("charset"), col("http_body"))
         .orderBy(d)
     }),
+    // WebDataset tar-shard ingest: the ustar member walk (checksum-
+    // verified), same-stem sample regroup, and a REAL JPEG decode of
+    // each sample's image member — the full multimodal-loader chain,
+    // every field recomputed closed-form by the oracle
+    "wds_samples" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val d = col("doc_id")
+      def stemOf(i: Int) = concat(lit("s"), (d * 2 + i).cast("string"))
+      def tilesOf(i: Int) = transform(sequence(lit(0), lit(1)),
+        tt => pmod(d * 7 + (tt.cast("long") + lit(2L * i)) * 13,
+          lit(256L)).cast("int"))
+      def jpgOf(i: Int) = org.apache.spark.sql.GraftColumnBridge.column(
+        graft.expressions.JpegSynthEncode(
+          org.apache.spark.sql.GraftColumnBridge.expression(tilesOf(i)),
+          org.apache.spark.sql.GraftColumnBridge.expression(
+            array(lit(2), lit(1), lit(0), lit(0)))))
+      def sample(i: Int) = concat(
+        graft.sources.Wds.tarMember(concat(stemOf(i), lit(".jpg")), jpgOf(i)),
+        graft.sources.Wds.tarMember(concat(stemOf(i), lit(".txt")),
+          substring(col("text"), 1 + 40 * i, 40)),
+        graft.sources.Wds.tarMember(concat(stemOf(i), lit(".cls")),
+          pmod(d + i, lit(10L)).cast("string")))
+      val shard = concat(sample(0), sample(1),
+        graft.sources.Wds.tarTerminator)
+      val samp = graft.sources.Wds.samples(
+        docs.select(d, shard.as("shard")), col("shard"))
+      val st = org.apache.spark.sql.GraftColumnBridge.column(
+        graft.expressions.JpegPixelStats(
+          org.apache.spark.sql.GraftColumnBridge.expression(
+            element_at(col("parts"), "jpg"))))
+      samp
+        .withColumn("__st", st)
+        .select(d, col("stem"), col("n_members"),
+          element_at(col("parts"), "cls").cast("string").as("cls"),
+          GraftFunctions.hex64(element_at(col("parts"), "txt").cast("string"))
+            .as("txt_hash"),
+          element_at(col("__st"), 1).as("pixels_decoded"),
+          (element_at(col("__st"), 2).cast("double") /
+            element_at(col("__st"), 1)).as("mean_gray"))
+        .orderBy(d, col("stem"))
+    }),
     // frontier seen-filter: bloom-pruned, exact-verified "already
     // crawled?" against the landed canonical-URL set; the messy
     // re-crawl variants canonicalize back onto landed URLs, so the
@@ -1742,6 +1783,7 @@ object SparkEntry {
     "warc_records" -> OracleSql.warcRecords,
     "warc_gz_records" -> OracleSql.warcGzRecords,
     "warc_http_meta" -> OracleSql.warcHttpMeta,
+    "wds_samples" -> OracleSql.wdsSamples,
     "domain_stats" -> OracleSql.domainStats,
     "domain_quality" -> OracleSql.domainQuality,
     "robots_gate" -> OracleSql.robotsGate,

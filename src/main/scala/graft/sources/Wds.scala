@@ -1,0 +1,71 @@
+package graft.sources
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** WebDataset-style tar-shard ingest — the framing large multimodal
+  * training corpora actually ship in: each sample's modalities are
+  * same-stem members of a plain tar ("000123.jpg", "000123.txt",
+  * "000123.cls", …), sharded into many tars so loaders stream
+  * sequentially and shards parallelize trivially. Ingest = the ustar
+  * member walk ([[graft.expressions.TarKernel]]) + a same-stem
+  * regroup; decode composes with the real codec kernels (a `.jpg`
+  * member feeds `jpeg_pixel_stats` directly).
+  *
+  * Scale shape: the member walk is one codegen kernel pass per shard
+  * blob + an explode (map-only); the sample regroup is ONE keyed
+  * aggregation on (shard, stem) — WebDataset guarantees a sample's
+  * members are adjacent within a shard, so the groups never span
+  * shards and the aggregation state per key is a handful of members.
+  */
+object Wds {
+
+  private def bridge(e: org.apache.spark.sql.catalyst.expressions.Expression) =
+    org.apache.spark.sql.GraftColumnBridge.column(e)
+  private def expr0(c: Column) =
+    org.apache.spark.sql.GraftColumnBridge.expression(c)
+
+  /** One deterministic ustar member (writer face / synthesis device). */
+  def tarMember(name: Column, data: Column): Column =
+    bridge(graft.expressions.TarMemberWrite(expr0(name),
+      expr0(data.cast("binary"))))
+
+  /** The end-of-archive marker (two zero blocks) as a literal. */
+  def tarTerminator: Column = lit(graft.expressions.TarKernel.Terminator)
+
+  /** Explode a tar shard into its regular-file members: adds
+    * `member_idx`, `member_name`, `member_data`. Invalid shards yield
+    * zero rows (the kernel nulls on checksum/size/alignment
+    * violations).
+    */
+  def members(df: DataFrame, blob: Column): DataFrame =
+    df.withColumn("__m",
+        bridge(graft.expressions.TarMembers(expr0(blob.cast("binary")))))
+      .select(col("*"), posexplode(col("__m")).as(Seq("member_idx", "__e")))
+      .withColumn("member_idx", col("member_idx").cast("long"))
+      .withColumn("member_name", col("__e.name"))
+      .withColumn("member_data", col("__e.data"))
+      .drop("__m", "__e")
+
+  /** Regroup members into samples by stem (name minus the final
+    * extension): one row per (shard row, stem) with `n_members` and
+    * `parts` (extension → bytes, extensions lowercased). The one
+    * keyed aggregation of the ingest; everything around it is
+    * map-only.
+    */
+  def samples(df: DataFrame, blob: Column,
+      keys: Seq[String] = Seq("doc_id")): DataFrame = {
+    val m = members(df, blob)
+    val stem = when(col("member_name").rlike("\\.[^.]+$"),
+      regexp_extract(col("member_name"), "^(.*)\\.[^.]+$", 1))
+      .otherwise(col("member_name"))
+    val ext = lower(regexp_extract(col("member_name"), "\\.([^.]+)$", 1))
+    m.withColumn("stem", stem)
+      .withColumn("__ext", ext)
+      .groupBy((keys.map(col) :+ col("stem")): _*)
+      .agg(count(lit(1)).as("n_members"),
+        map_from_entries(array_sort(
+          collect_list(struct(col("__ext"), col("member_data")))))
+          .as("parts"))
+  }
+}

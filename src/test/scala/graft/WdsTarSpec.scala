@@ -1,0 +1,103 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.expressions.TarKernel
+import graft.sources.Wds
+
+/** ustar member walk + WebDataset sample regroup: real-encoder
+  * conformance against a checked-in GNU-tar fixture, writer/reader
+  * round trip, structural traps, and the sample regroup semantics.
+  */
+class WdsTarSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def fixture: Array[Byte] = {
+    val in = getClass.getResourceAsStream("/fixture_ustar.tar")
+    assert(in != null, "fixture_ustar.tar missing from test resources")
+    try in.readAllBytes() finally in.close()
+  }
+
+  test("GNU tar fixture (independent encoder): members decode name- and byte-exact") {
+    val got = TarKernel.members(fixture)
+    assert(got != null, "kernel rejected a real GNU-tar ustar archive")
+    val rows = (0 until got.numElements()).map { i =>
+      val r = got.getStruct(i, 2)
+      r.getUTF8String(0).toString -> r.getBinary(1)
+    }
+    // the directory member is skipped; regular files survive in order
+    assert(rows.map(_._1) === Seq("a.txt", "empty.bin", "pad.bin", "dirA/n.txt"))
+    assert(new String(rows(0)._2, "UTF-8") === "hello tar world")
+    assert(rows(1)._2.length === 0)
+    assert(rows(2)._2.toSeq === Array.tabulate(768)(i => (i % 256).toByte).toSeq)
+    assert(new String(rows(3)._2, "UTF-8") === "nested member")
+  }
+
+  test("writer/reader round trip; GNU tar reads our members back") {
+    val shard = TarKernel.member("x/one.txt".getBytes, "payload one".getBytes) ++
+      TarKernel.member("two.bin".getBytes, Array.tabulate(600)(_.toByte)) ++
+      TarKernel.Terminator
+    val got = TarKernel.members(shard)
+    assert(got != null && got.numElements() === 2)
+    assert(got.getStruct(0, 2).getUTF8String(0).toString === "x/one.txt")
+    assert(got.getStruct(1, 2).getBinary(1).length === 600)
+    // external conformance: GNU tar lists our archive
+    val f = java.io.File.createTempFile("graft_tar", ".tar")
+    try {
+      java.nio.file.Files.write(f.toPath, shard)
+      val p = new ProcessBuilder("tar", "-tf", f.getAbsolutePath).start()
+      val names = new String(p.getInputStream.readAllBytes(), "UTF-8")
+      assert(p.waitFor() === 0, "GNU tar rejected our archive")
+      assert(names.split("\n").toSeq === Seq("x/one.txt", "two.bin"))
+    } finally f.delete()
+  }
+
+  test("structural traps: checksum, truncation, misalignment, overrun all null") {
+    val good = TarKernel.member("a.txt".getBytes, "hi".getBytes) ++
+      TarKernel.Terminator
+    assert(TarKernel.members(good) != null)
+    val badSum = good.clone(); badSum(0) = 'z' // name change breaks checksum
+    assert(TarKernel.members(badSum) == null, "checksum mismatch must null")
+    assert(TarKernel.members(good.take(good.length - 100)) == null,
+      "misaligned blob must null")
+    assert(TarKernel.members(good.take(1024)) != null,
+      "header+data with clean exhaustion is tolerated (no terminator)")
+    // header alone: the declared size overruns the blob
+    assert(TarKernel.members(good.take(512)) == null,
+      "member data overrunning the blob must null")
+  }
+
+  test("samples: same-stem regroup, extension map, missing-modality lane") {
+    val shard = TarKernel.member("s1.jpg".getBytes, Array[Byte](1, 2)) ++
+      TarKernel.member("s1.txt".getBytes, "caption".getBytes) ++
+      TarKernel.member("s2.txt".getBytes, "text only".getBytes) ++
+      TarKernel.member("noext".getBytes, "bare".getBytes) ++
+      TarKernel.Terminator
+    val df = Seq((7L, shard)).toDF("doc_id", "shard")
+    val got = Wds.samples(df, col("shard")).collect()
+      .map(r => r.getAs[String]("stem") ->
+        (r.getAs[Long]("n_members"), r.getAs[Map[String, Array[Byte]]]("parts")))
+      .toMap
+    assert(got.keySet === Set("s1", "s2", "noext"))
+    assert(got("s1")._1 === 2L)
+    assert(got("s1")._2.keySet === Set("jpg", "txt"))
+    assert(new String(got("s1")._2("txt"), "UTF-8") === "caption")
+    assert(got("s2")._1 === 1L && got("s2")._2.keySet === Set("txt"))
+    assert(got("noext")._2.keySet === Set(""),
+      "extension-less members key the empty extension")
+  }
+
+  test("driver-row chain: tar walk, regroup, and the real JPEG decode plan is UDF-free") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet").limit(30)
+    val q = SparkEntry.queries("wds_samples")
+    val rows = q(spark, sfDir).limit(60).collect()
+    assert(rows.length === 60)
+    assert(rows.forall(_.getAs[Long]("pixels_decoded") === 128L))
+    assert(rows.forall(r => r.getAs[Long]("n_members") === 3L))
+    val plan = q(spark, sfDir).queryExecution.executedPlan.toString
+    assert(!plan.toLowerCase.contains("batchevalpython"))
+    // exactly ONE exchange family: the (doc, stem) regroup (+ the
+    // gate's output sort) — the walks and the decode are map-side
+    assert(!plan.contains("CartesianProduct"))
+  }
+}
