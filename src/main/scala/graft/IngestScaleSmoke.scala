@@ -1,0 +1,162 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Scale evidence for the r12 ingest/codec layer at ~100× the bench
+  * SF: `.warc.gz` member-per-record archives (the Common Crawl
+  * layout) decompressed + record-split + HTTP-parsed end to end,
+  * baseline-JPEG entropy decode throughput, and WebDataset tar-shard
+  * walks with the sample regroup — every assertion planted
+  * arithmetic, so expected counts are exact.
+  *
+  * Run: `sbt "runMain graft.IngestScaleSmoke [nRecords] [nImages]"`.
+  */
+object IngestScaleSmoke {
+  def main(args: Array[String]): Unit = {
+    val nRecords = args.headOption.map(_.toInt).getOrElse(200000)
+    val nImages = args.drop(1).headOption.map(_.toInt).getOrElse(200000)
+    val recsPerBlob = 20
+    val nBlobs = nRecords / recsPerBlob
+    val spark = GraftSession.builder("local[32]", 64).getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    def time[T](f: => T): (T, Double) = {
+      val t0 = System.nanoTime(); val r = f; (r, (System.nanoTime() - t0) / 1e9)
+    }
+
+    // ---- rung 1: .warc.gz — one gzip member per record, 20 records
+    // per archive blob; bodies fixed 64 chars (one plants the record
+    // magic) so Content-Length sums are closed-form ----
+    val id = col("id")
+    val recId = (i: org.apache.spark.sql.Column) => id * recsPerBlob + i
+    val bodyOf = (i: org.apache.spark.sql.Column) => rpad(
+      concat(lit("body WARC/1.0 trap rec "), recId(i).cast("string"), lit(" ")),
+      64, "x")
+    val urlOf = (i: org.apache.spark.sql.Column) => concat(lit("https://h"),
+      pmod(recId(i), lit(5000L)).cast("string"), lit(".com/doc"),
+      recId(i).cast("string"))
+    val memberArr = transform(sequence(lit(0L), lit(recsPerBlob - 1L)),
+      i => graft.sources.Warc.gzMember(lit("response"), urlOf(i), bodyOf(i)))
+    val archives = spark.range(nBlobs).toDF("id")
+      .select(id.as("doc_id"),
+        aggregate(memberArr, lit(Array.emptyByteArray),
+          (acc, m) => concat(acc, m)).as("archive"))
+      .repartition(64).cache()
+    archives.count() // materialize synthesis outside the timing
+    val gzBytes = archives.agg(sum(length(col("archive")))).head().getLong(0)
+
+    val (gzAgg, tGz) = time {
+      graft.sources.Warc.parseHttp(
+          graft.sources.Warc.parseRecords(
+            graft.sources.Warc.splitRecordsGz(archives, col("archive")),
+            col("record")),
+          col("body"))
+        .agg(count(lit(1)).as("recs"),
+          sum(col("content_length")).as("clen"),
+          sum(when(col("length_ok"), 1L).otherwise(0L)).as("ok"),
+          // bodies are not HTTP messages here: the parse must refuse
+          // them all without refusing the records
+          sum(when(col("http_valid"), 1L).otherwise(0L)).as("http"))
+        .head()
+    }
+    val totalRecs = nBlobs.toLong * recsPerBlob
+    assert(gzAgg.getLong(0) == totalRecs, s"records: ${gzAgg.getLong(0)} != $totalRecs")
+    assert(gzAgg.getLong(1) == 64L * totalRecs, s"clen sum: ${gzAgg.getLong(1)}")
+    assert(gzAgg.getLong(2) == totalRecs, "every record length_ok")
+    assert(gzAgg.getLong(3) == 0L, "no body is a valid http message")
+    println(f"GZ_WARC n=$totalRecs bytes=${gzBytes / 1e6}%.1fMB " +
+      f"decode+split+parse=${tGz}%.1fs (${totalRecs / tGz / 1000}%.0fk rec/s)")
+
+    // ---- rung 2: baseline-JPEG entropy decode throughput; planted
+    // flat-tile sums make the decoded aggregate exactly computable ----
+    val mode = (id % 3).cast("int")
+    val tw = (lit(2L) + id % 3).cast("int")
+    val th = (lit(1L) + expr("(id div 3) % 2")).cast("int")
+    val ri = when(id % 2 === 1, lit(2)).otherwise(lit(0)).cast("int")
+    val nT = tw * th
+    val yOf = (t: org.apache.spark.sql.Column) =>
+      pmod(id * 7 + t * 13, lit(256L)).cast("int")
+    val tiles = when(mode === 0,
+      transform(sequence(lit(0), nT - 1), t => yOf(t.cast("long"))))
+      .otherwise(transform(sequence(lit(0), nT * 3 - 1), i => {
+        val t = (i / 3).cast("long")
+        when(i % 3 === 0, yOf(t))
+          .when(i % 3 === 1, pmod(id * 5 + t * 11, lit(256L)).cast("int"))
+          .otherwise(pmod(id * 3 + t * 17, lit(256L)).cast("int"))
+      }))
+    val side2 = when(mode === 2, lit(256L)).otherwise(lit(64L))
+    val jpegs = spark.range(nImages).toDF("id")
+      .select(id,
+        org.apache.spark.sql.GraftColumnBridge.column(
+          graft.expressions.JpegSynthEncode(
+            org.apache.spark.sql.GraftColumnBridge.expression(tiles),
+            org.apache.spark.sql.GraftColumnBridge.expression(
+              array(tw, th, mode, ri)))).as("payload"),
+        (nT.cast("long") * side2).as("expect_px"))
+      .repartition(64).cache()
+    jpegs.count()
+    val jpegBytes = jpegs.agg(sum(length(col("payload")))).head().getLong(0)
+    val expectPx = jpegs.agg(sum(col("expect_px"))).head().getLong(0)
+
+    val (pxAgg, tJpeg) = time {
+      jpegs.select(org.apache.spark.sql.GraftColumnBridge.column(
+          graft.expressions.JpegPixelStats(
+            org.apache.spark.sql.GraftColumnBridge.expression(col("payload"))))
+          .as("st"))
+        .agg(sum(element_at(col("st"), 1)).as("px"),
+          sum(when(col("st").isNull, 1L).otherwise(0L)).as("bad"))
+        .head()
+    }
+    assert(pxAgg.getLong(1) == 0L, s"decode failures: ${pxAgg.getLong(1)}")
+    assert(pxAgg.getLong(0) == expectPx,
+      s"decoded pixels: ${pxAgg.getLong(0)} != $expectPx")
+    println(f"JPEG n=$nImages bytes=${jpegBytes / 1e6}%.1fMB decode=${tJpeg}%.1fs " +
+      f"(${nImages / tJpeg / 1000}%.0fk img/s, ${expectPx / tJpeg / 1e6}%.1fM px/s)")
+
+    // ---- rung 3: WebDataset shards — 20 samples × (jpg + cls) per
+    // shard; the walk + the one keyed regroup + a real decode ----
+    val nShards = math.max(1, nImages / 40)
+    val sid = col("id")
+    val sampleArr = flatten(transform(sequence(lit(0L), lit(19L)), i => {
+      val stem = concat(lit("s"), (sid * 20 + i).cast("string"))
+      val y = pmod(sid * 31 + i * 7, lit(256L)).cast("int")
+      array(
+        graft.sources.Wds.tarMember(concat(stem, lit(".jpg")),
+          org.apache.spark.sql.GraftColumnBridge.column(
+            graft.expressions.JpegSynthEncode(
+              org.apache.spark.sql.GraftColumnBridge.expression(array(y, y)),
+              org.apache.spark.sql.GraftColumnBridge.expression(
+                array(lit(2), lit(1), lit(0), lit(0)))))),
+        graft.sources.Wds.tarMember(concat(stem, lit(".cls")),
+          pmod(sid + i, lit(10L)).cast("string")))
+    }))
+    val shards = spark.range(nShards).toDF("id")
+      .select(sid.as("doc_id"),
+        concat(aggregate(sampleArr, lit(Array.emptyByteArray),
+          (acc, m) => concat(acc, m)),
+          graft.sources.Wds.tarTerminator).as("shard"))
+      .repartition(64).cache()
+    shards.count()
+
+    val (wdsAgg, tWds) = time {
+      graft.sources.Wds.samples(shards, col("shard"))
+        .select(col("n_members"),
+          element_at(org.apache.spark.sql.GraftColumnBridge.column(
+            graft.expressions.JpegPixelStats(
+              org.apache.spark.sql.GraftColumnBridge.expression(
+                element_at(col("parts"), "jpg")))), 1).as("px"))
+        .agg(count(lit(1)).as("samples"), sum(col("n_members")).as("members"),
+          sum(col("px")).as("px"))
+        .head()
+    }
+    assert(wdsAgg.getLong(0) == nShards.toLong * 20, s"samples: ${wdsAgg.getLong(0)}")
+    assert(wdsAgg.getLong(1) == nShards.toLong * 40, s"members: ${wdsAgg.getLong(1)}")
+    assert(wdsAgg.getLong(2) == nShards.toLong * 20 * 128,
+      s"decoded px: ${wdsAgg.getLong(2)}")
+    println(f"WDS shards=$nShards samples=${nShards * 20} " +
+      f"walk+regroup+decode=${tWds}%.1fs (${nShards * 20 / tWds / 1000}%.0fk samples/s)")
+
+    println("INGEST_SCALE_SMOKE_OK")
+    spark.stop()
+  }
+}
