@@ -3315,6 +3315,26 @@ object OracleSql {
        |FROM s ORDER BY doc_id""".stripMargin
   }
 
+  /** PDF triage (mirror of Binary.Pdf.parse ∘ synthFromDocs): every
+    * count and flag re-derived from doc_id arithmetic — a hash match
+    * proves the regex counts and the startxref back-pointer follow.
+    */
+  val mmPdfMeta: String =
+    """WITH m AS (SELECT doc_id, 1 + doc_id % 4 AS p,
+      |  doc_id % 10 = 0 AS invalid FROM documents)
+      |SELECT doc_id,
+      |  CASE WHEN invalid THEN 'text/plain' ELSE 'application/pdf' END AS media_type,
+      |  NOT invalid AS pdf_valid,
+      |  CASE WHEN invalid THEN NULL
+      |    ELSE '1.' || (5 + doc_id % 3)::VARCHAR END AS version,
+      |  (CASE WHEN invalid THEN NULL ELSE p + 3 END)::BIGINT AS n_objects,
+      |  (CASE WHEN invalid THEN NULL ELSE 1 END)::BIGINT AS n_streams,
+      |  (CASE WHEN invalid THEN NULL ELSE p END)::BIGINT AS n_pages,
+      |  CASE WHEN invalid THEN NULL ELSE doc_id % 7 = 0 END AS encrypted,
+      |  CASE WHEN invalid THEN NULL ELSE TRUE END AS startxref_ok,
+      |  CASE WHEN invalid THEN NULL ELSE TRUE END AS header_consistent
+      |FROM m ORDER BY doc_id""".stripMargin
+
   val mmPngMeta: String =
     """WITH m AS (SELECT doc_id,
       |  16 + (doc_id % 7) * 9 AS w,

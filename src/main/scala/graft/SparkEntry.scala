@@ -1488,6 +1488,19 @@ object SparkEntry {
           col("mean_r"), col("mean_g"), col("mean_b"), col("peak_byte"))
         .orderBy(col("doc_id"))
     }),
+    // PDF container triage (the sixth family, and the one whose
+    // structure is ASCII — the parse stays declarative): version,
+    // object/stream/page counts, encryption flag, and the startxref
+    // back-pointer actually FOLLOWED (the synth computes the real
+    // byte offset, so startxref_ok proves an offset read, not a flag)
+    "mm_pdf_meta" -> ((s, dir) => {
+      val media = graft.multimodal.Binary.Pdf.synthFromDocs(t(s, dir, "documents"))
+      graft.multimodal.Binary.Pdf.parse(media)
+        .select(col("doc_id"), col("media_type"), col("pdf_valid"),
+          col("version"), col("n_objects"), col("n_streams"), col("n_pages"),
+          col("encrypted"), col("startxref_ok"), col("header_consistent"))
+        .orderBy(col("doc_id"))
+    }),
     // container triage over a mixed blob column: detect by magic
     // bytes, parse the matching codec, one uniform row per blob; the
     // mixing joins exist only to SYNTHESIZE the test corpus —
@@ -1885,6 +1898,7 @@ object SparkEntry {
     "mm_gif_meta" -> OracleSql.mmGifMeta,
     "mm_gif_pixels" -> OracleSql.mmGifPixels,
     "mm_jpeg_pixels" -> OracleSql.mmJpegPixels,
+    "mm_pdf_meta" -> OracleSql.mmPdfMeta,
     "mm_bmp_pixels" -> OracleSql.mmBmpPixels,
     "mm_png_pixels" -> OracleSql.mmPngPixels,
     "mm_media_triage" -> OracleSql.mmMediaTriage,

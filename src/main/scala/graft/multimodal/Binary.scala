@@ -1011,6 +1011,97 @@ object Binary {
     }
   }
 
+  /** PDF container triage — the most common non-HTML document format
+    * a web crawl lands, and the SIXTH container family: unlike every
+    * image/audio family the structure is ASCII text (header comment,
+    * numbered `obj` bodies, an `xref` section the trailing `startxref`
+    * offset points back at), so the whole parse stays DECLARATIVE
+    * column expressions — counts via anchored regexes, the
+    * back-pointer check via one offset substring — no kernel at all.
+    * Triage-level fields only (object/stream/page counts, version,
+    * encryption flag, startxref consistency); content extraction is a
+    * codec service's job, exactly like the image families' pixel rows
+    * vs their meta rows.
+    */
+  object Pdf {
+    def isPdf(p: Column): Column =
+      length(p) >= 10 && substring(p, 1, 5) === lit("%PDF-".getBytes("US-ASCII"))
+
+    /** Parse triage fields from `payloadCol`. Adds `pdf_valid`
+      * (header magic + an `%%EOF` marker), `version` ("1.7" …),
+      * `n_objects` (numbered `obj` bodies), `n_streams`
+      * (`endstream` terminators), `n_pages` (`/Type /Page ` leaf
+      * dictionaries), `encrypted` (`/Encrypt` in scope),
+      * `startxref_ok` (the declared byte offset actually lands on the
+      * `xref` keyword — the structural back-pointer every real reader
+      * follows first), and `header_consistent` (back-pointer ok and
+      * the file ends at `%%EOF`). Pure projection — zero shuffles.
+      */
+    def parse(media: DataFrame, payloadCol: String = "payload"): DataFrame = {
+      val s = col(payloadCol).cast("string")
+      val valid = isPdf(col(payloadCol)) && s.contains("%%EOF")
+      val sx = regexp_extract(s, "startxref\\s+([0-9]+)\\s*%%EOF", 1)
+      val sxOk = sx =!= "" &&
+        s.substr(sx.cast("int") + 1, lit(4)) === lit("xref")
+      media
+        .withColumn("pdf_valid", valid)
+        .withColumn("version", when(valid, substring(s, 6, 3)))
+        .withColumn("n_objects", when(valid,
+          size(regexp_extract_all(s, lit("[0-9]+ [0-9]+ obj"), lit(0))).cast("long")))
+        .withColumn("n_streams", when(valid,
+          size(regexp_extract_all(s, lit("endstream"), lit(0))).cast("long")))
+        .withColumn("n_pages", when(valid,
+          size(regexp_extract_all(s, lit("/Type /Page "), lit(0))).cast("long")))
+        .withColumn("encrypted", when(valid, s.contains("/Encrypt")))
+        .withColumn("startxref_ok", when(valid, sxOk))
+        .withColumn("header_consistent",
+          when(valid, sxOk && s.endsWith("%%EOF")))
+    }
+
+    /** Deterministic minimal-but-legal PDF skeletons: catalog + pages
+      * tree + `1 + doc_id%4` page leaves + one content stream whose
+      * filler is a doc-varying hex slice (hex can never collide with
+      * the structural keywords the parser counts), an xref section,
+      * and a trailer whose `startxref` is the COMPUTED byte offset of
+      * the xref keyword — so `startxref_ok` proves the parser followed
+      * a real back-pointer, not a constant. `/Encrypt` rides every
+      * 7th trailer. Every `invalidEvery`-th doc stays raw text.
+      */
+    def synthFromDocs(docs: DataFrame, invalidEvery: Int = 10): DataFrame = {
+      val d = col("doc_id")
+      val nPages = (lit(1L) + d % 4).cast("int")
+      val filler = hex(col("text").cast("binary"))
+        .substr(lit(1), (lit(20L) + d % 30).cast("int"))
+      val pageObjs = array_join(transform(sequence(lit(3), nPages + 2),
+        i => concat(i.cast("string"),
+          lit(" 0 obj\n<< /Type /Page /Parent 2 0 R >>\nendobj\n"))), "")
+      val kids = array_join(transform(sequence(lit(3), nPages + 2),
+        i => concat(i.cast("string"), lit(" 0 R"))), " ")
+      val streamObj = concat((nPages + 3).cast("string"),
+        lit(" 0 obj\n<< /Length "), length(filler).cast("string"),
+        lit(" >>\nstream\n"), filler, lit("\nendstream\nendobj\n"))
+      val prefix = concat(
+        lit("%PDF-1."), (lit(5L) + d % 3).cast("string"), lit("\n"),
+        lit("1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n"),
+        lit("2 0 obj\n<< /Type /Pages /Kids ["), kids,
+        lit("] /Count "), nPages.cast("string"), lit(" >>\nendobj\n"),
+        pageObjs, streamObj)
+      val trailer = concat(lit("trailer\n<< /Size "),
+        (nPages + 4).cast("string"), lit(" /Root 1 0 R"),
+        when(d % 7 === 0, lit(" /Encrypt 9 0 R")).otherwise(lit("")),
+        lit(" >>\nstartxref\n"), length(prefix).cast("string"),
+        lit("\n%%EOF"))
+      val pdf = concat(prefix, lit("xref\n0 "), (nPages + 4).cast("string"),
+        lit("\n"), trailer)
+      docs.select(
+        d,
+        when(d % invalidEvery === 0, col("text").cast("binary"))
+          .otherwise(pdf.cast("binary")).as("payload"),
+        when(d % invalidEvery === 0, lit("text/plain"))
+          .otherwise(lit("application/pdf")).as("media_type"))
+    }
+  }
+
   /** Metadata stats over the media table — schema/partitioning surface
     * checkable against a SQL oracle (payload hashes + sizes).
     */
@@ -1038,6 +1129,7 @@ object Binary {
           lit(Array[Byte](0xFF.toByte, 0xD8.toByte, 0xFF.toByte)), "jpeg")
         .when(Bmp.isBmp(p), "bmp")
         .when(Gif.isGif(p), "gif")
+        .when(Pdf.isPdf(p), "pdf")
         .otherwise("unknown")
     val keep = media.columns.map(col)
     val afterWav = Wav.parse(media, payloadCol)
@@ -1054,7 +1146,13 @@ object Binary {
         col("png_valid") :+ col("png_pixels") :+
         col("jpeg_valid") :+ col("jpeg_pixels") :+
         col("bmp_valid") :+ col("n_pixels").as("bmp_pixels"): _*)
-    Gif.parse(afterBmp, payloadCol)
+    val afterGif = Gif.parse(afterBmp, payloadCol)
+      .select(keep :+ col("wav_valid") :+ col("duration_ms") :+
+        col("png_valid") :+ col("png_pixels") :+
+        col("jpeg_valid") :+ col("jpeg_pixels") :+
+        col("bmp_valid") :+ col("bmp_pixels") :+
+        col("gif_valid") :+ col("n_pixels").as("gif_pixels"): _*)
+    Pdf.parse(afterGif, payloadCol)
       .select(col("doc_id"), detected.as("detected"),
         length(p).cast("long").as("payload_bytes"),
         when(detected === "wav", col("wav_valid"))
@@ -1062,12 +1160,14 @@ object Binary {
           .when(detected === "jpeg", col("jpeg_valid"))
           .when(detected === "bmp", col("bmp_valid"))
           .when(detected === "gif", col("gif_valid"))
+          .when(detected === "pdf", col("pdf_valid"))
           .otherwise(lit(false)).as("valid"),
         when(detected === "wav", col("duration_ms"))
           .when(detected === "png", col("png_pixels"))
           .when(detected === "jpeg", col("jpeg_pixels"))
           .when(detected === "bmp", col("bmp_pixels"))
-          .when(detected === "gif", col("n_pixels")).as("content_units"))
+          .when(detected === "gif", col("gif_pixels"))
+          .when(detected === "pdf", col("n_pages")).as("content_units"))
   }
 
   def metadataStats(docs: DataFrame): DataFrame =

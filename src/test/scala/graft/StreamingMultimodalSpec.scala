@@ -1220,6 +1220,47 @@ class StreamingMultimodalSpec extends SparkSpec {
     assert(invalid === docs.filter(col("doc_id") % 10 === 0).count())
   }
 
+  test("Pdf: parse follows a real startxref back-pointer; traps null; triage routes the sixth family") {
+    import spark.implicits._
+    val docs = Tables.load(spark, sfDir, "documents").limit(40)
+    val parsed = Binary.Pdf.parse(Binary.Pdf.synthFromDocs(docs)).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    parsed.foreach { case (d, r) =>
+      if (d % 10 == 0) assert(!r.getAs[Boolean]("pdf_valid"))
+      else {
+        val p = 1 + d % 4
+        assert(r.getAs[Boolean]("pdf_valid") && r.getAs[Boolean]("startxref_ok"),
+          s"doc $d: $r")
+        assert(r.getAs[String]("version") === s"1.${5 + d % 3}")
+        assert(r.getAs[Long]("n_objects") === p + 3)
+        assert(r.getAs[Long]("n_pages") === p)
+        assert(r.getAs[Boolean]("encrypted") === (d % 7 == 0))
+      }
+    }
+    // a LYING startxref (right shape, wrong offset) must flip the
+    // back-pointer check without flipping validity
+    val lying = Seq((1L,
+      ("%PDF-1.7\n1 0 obj\n<< /Type /Catalog >>\nendobj\n" +
+        "xref\n0 1\ntrailer\n<< /Size 1 >>\nstartxref\n2\n%%EOF").getBytes))
+      .toDF("doc_id", "payload")
+    val lr = Binary.Pdf.parse(lying).head()
+    assert(lr.getAs[Boolean]("pdf_valid") && !lr.getAs[Boolean]("startxref_ok"))
+    assert(!lr.getAs[Boolean]("header_consistent"))
+    // triage detects and routes pdf: content_units = page count
+    val mixed = Binary.Pdf.synthFromDocs(docs).select(col("doc_id"), col("payload"))
+    val tri = Binary.triage(mixed).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    tri.foreach { case (d, r) =>
+      if (d % 10 == 0) assert(r.getAs[String]("detected") === "unknown")
+      else {
+        assert(r.getAs[String]("detected") === "pdf", s"doc $d: $r")
+        assert(r.getAs[Boolean]("valid"))
+        assert(r.getAs[Long]("content_units") === 1 + d % 4,
+          s"doc $d: pdf content_units must be the page count")
+      }
+    }
+  }
+
   test("metadataStats hash equals md5 of the text") {
     val docs = Tables.load(spark, sfDir, "documents").limit(5)
     val got = Binary.metadataStats(docs).collect()
