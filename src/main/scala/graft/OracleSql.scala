@@ -3335,6 +3335,22 @@ object OracleSql {
       |  CASE WHEN invalid THEN NULL ELSE TRUE END AS header_consistent
       |FROM m ORDER BY doc_id""".stripMargin
 
+  /** PDF text extraction (mirror of Binary.Pdf.extractText ∘
+    * synthTextFromDocs): the shown text re-derived closed-form from
+    * the planted Tj strings — Spark must reach it by slicing the
+    * declared /Length and genuinely inflating the FlateDecode bodies.
+    */
+  lazy val mmPdfText: String =
+    s"""WITH m AS (SELECT doc_id, substring(text, 1, 40) AS l1,
+       |  doc_id % 10 = 0 AS invalid FROM documents),
+       |s AS (SELECT doc_id, invalid,
+       |  l1 || ' doc ' || doc_id::VARCHAR || ' page two' AS pt FROM m)
+       |SELECT doc_id,
+       |  (CASE WHEN invalid THEN 0 ELSE 2 END)::BIGINT AS n_text_streams,
+       |  CASE WHEN invalid THEN NULL ELSE pt END AS pdf_text,
+       |  CASE WHEN invalid THEN NULL ELSE ${hex64("pt")} END AS pdf_text_hash
+       |FROM s ORDER BY doc_id""".stripMargin
+
   val mmPngMeta: String =
     """WITH m AS (SELECT doc_id,
       |  16 + (doc_id % 7) * 9 AS w,

@@ -1501,6 +1501,19 @@ object SparkEntry {
           col("encrypted"), col("startxref_ok"), col("header_consistent"))
         .orderBy(col("doc_id"))
     }),
+    // REAL PDF text extraction: declared-/Length stream slices (bytes
+    // may contain any pattern — the WARC lesson one level down), a
+    // genuine zlib inflate of each FlateDecode body, Tj operators
+    // collected in stream order; the oracle recomputes the text
+    // closed-form while Spark actually decompresses the bits
+    "mm_pdf_text" -> ((s, dir) => {
+      val media = graft.multimodal.Binary.Pdf.synthTextFromDocs(
+        t(s, dir, "documents"))
+      graft.multimodal.Binary.Pdf.extractText(media)
+        .select(col("doc_id"), col("n_text_streams"), col("pdf_text"),
+          col("pdf_text_hash"))
+        .orderBy(col("doc_id"))
+    }),
     // container triage over a mixed blob column: detect by magic
     // bytes, parse the matching codec, one uniform row per blob; the
     // mixing joins exist only to SYNTHESIZE the test corpus —
@@ -1899,6 +1912,7 @@ object SparkEntry {
     "mm_gif_pixels" -> OracleSql.mmGifPixels,
     "mm_jpeg_pixels" -> OracleSql.mmJpegPixels,
     "mm_pdf_meta" -> OracleSql.mmPdfMeta,
+    "mm_pdf_text" -> OracleSql.mmPdfText,
     "mm_bmp_pixels" -> OracleSql.mmBmpPixels,
     "mm_png_pixels" -> OracleSql.mmPngPixels,
     "mm_media_triage" -> OracleSql.mmMediaTriage,

@@ -1100,6 +1100,82 @@ object Binary {
         when(d % invalidEvery === 0, lit("text/plain"))
           .otherwise(lit("application/pdf")).as("media_type"))
     }
+
+    /** REAL PDF text extraction — the crawl ability PDFs exist for:
+      * slice every stream object by its DECLARED `/Length`
+      * ([[graft.expressions.PdfStreamsKernel]] — FlateDecode bytes may
+      * contain any pattern incl. `endstream`, so slicing must follow
+      * the length, the WARC lesson one level down), inflate each with
+      * the native zlib kernel (bomb-guarded), and collect the text
+      * shown by `(…) Tj` operators in stream order. Adds
+      * `n_text_streams`, `pdf_text` (Tj strings joined by spaces),
+      * `pdf_text_hash`. Pure projection — the decompress runs inside
+      * the row, zero shuffles at any scale. (Literal-string escapes
+      * and TJ-array kerning forms are out of scope — documented, the
+      * synth plants plain `(…) Tj`.)
+      */
+    def extractText(media: DataFrame, payloadCol: String = "payload",
+        maxStreamBytes: Int = 1 << 22): DataFrame = {
+      import graft.expressions.{PdfStreams, ZlibInflate}
+      def gcol(e: org.apache.spark.sql.catalyst.expressions.Expression) =
+        org.apache.spark.sql.GraftColumnBridge.column(e)
+      def gexpr(c: Column) =
+        org.apache.spark.sql.GraftColumnBridge.expression(c)
+      val streams = gcol(PdfStreams(gexpr(col(payloadCol))))
+      val texts = transform(streams, s =>
+        array_join(regexp_extract_all(
+          gcol(ZlibInflate(gexpr(s), maxStreamBytes)).cast("string"),
+          lit("\\(([^)]*)\\) Tj"), lit(1)), " "))
+      media
+        .withColumn("__texts", texts)
+        .withColumn("n_text_streams",
+          coalesce(size(col("__texts")), lit(0)).cast("long"))
+        .withColumn("pdf_text",
+          when(col("n_text_streams") > 0,
+            array_join(col("__texts"), " ")))
+        .withColumn("pdf_text_hash",
+          when(col("pdf_text").isNotNull,
+            GraftFunctions.hex64(col("pdf_text"))))
+        .drop("__texts")
+    }
+
+    /** Deterministic PDFs whose content streams are REAL FlateDecode
+      * bodies: two stream objects per doc, each a `BT (…) Tj ET`
+      * program zlib-compressed by the native kernel with `/Length` =
+      * the COMPRESSED byte count — so extraction must slice by the
+      * declared length and genuinely inflate. Planted strings come
+      * from the (paren-free) corpus text, closed-form for the oracle.
+      */
+    def synthTextFromDocs(docs: DataFrame, invalidEvery: Int = 10): DataFrame = {
+      import graft.expressions.ZlibDeflate
+      def gcol(e: org.apache.spark.sql.catalyst.expressions.Expression) =
+        org.apache.spark.sql.GraftColumnBridge.column(e)
+      def gexpr(c: Column) =
+        org.apache.spark.sql.GraftColumnBridge.expression(c)
+      val d = col("doc_id")
+      def flate(content: Column): Column =
+        gcol(ZlibDeflate(gexpr(content.cast("binary"))))
+      val line1 = col("text").substr(1, 40)
+      val c1 = flate(concat(lit("BT /F1 12 Tf ("), line1, lit(") Tj ET")))
+      val c2 = flate(concat(lit("BT (doc "), d.cast("string"),
+        lit(") Tj (page two) Tj ET")))
+      def streamObj(idx: Int, c: Column): Column = concat(
+        lit(s"$idx 0 obj\n<< /Length ").cast("binary"),
+        length(c).cast("string").cast("binary"),
+        lit(" /Filter /FlateDecode >>\nstream\n").cast("binary"),
+        c, lit("\nendstream\nendobj\n").cast("binary"))
+      val pdf = concat(
+        lit("%PDF-1.7\n1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n")
+          .cast("binary"),
+        streamObj(3, c1), streamObj(4, c2),
+        lit("trailer\n<< /Size 5 /Root 1 0 R >>\n%%EOF").cast("binary"))
+      docs.select(
+        d,
+        when(d % invalidEvery === 0, col("text").cast("binary"))
+          .otherwise(pdf).as("payload"),
+        when(d % invalidEvery === 0, lit("text/plain"))
+          .otherwise(lit("application/pdf")).as("media_type"))
+    }
   }
 
   /** Metadata stats over the media table — schema/partitioning surface

@@ -1261,6 +1261,42 @@ class StreamingMultimodalSpec extends SparkSpec {
     }
   }
 
+  test("Pdf.extractText: length-driven stream slicing survives endstream-in-data; real inflate") {
+    import spark.implicits._
+    import graft.expressions.{PdfStreamsKernel, ZlibKernel}
+    // the decisive trap: stream DATA contains the literal `endstream`
+    // and a decoy `/Length` — a pattern-matching slicer mis-cuts, the
+    // declared-length walk does not
+    val trap = "xx endstream yy /Length 3 zz".getBytes("US-ASCII")
+    val real = ZlibKernel.deflate("BT (found it) Tj ET".getBytes)
+    def obj(n: Int, data: Array[Byte]) =
+      s"$n 0 obj\n<< /Length ${data.length} >>\nstream\n".getBytes("US-ASCII") ++
+        data ++ "\nendstream\nendobj\n".getBytes("US-ASCII")
+    val pdf = "%PDF-1.7\n".getBytes ++ obj(1, trap) ++ obj(2, real) ++
+      "%%EOF".getBytes
+    val sliced = PdfStreamsKernel.streams(pdf)
+    assert(sliced != null && sliced.numElements() === 2,
+      "both streams must slice despite the endstream-in-data trap")
+    assert(sliced.getBinary(0).toSeq === trap.toSeq, "trap stream sliced byte-exact")
+    assert(sliced.getBinary(1).toSeq === real.toSeq)
+    // end-to-end: the flate stream's text surfaces; the raw trap
+    // stream inflates to null and contributes nothing
+    val df = Seq((1L, pdf)).toDF("doc_id", "payload")
+    val r = graft.multimodal.Binary.Pdf.extractText(df).head()
+    assert(r.getAs[Long]("n_text_streams") === 2L)
+    assert(r.getAs[String]("pdf_text") === "found it")
+    // lying /Length (overrun) nulls; CRLF after the stream keyword ok
+    val lying = "%PDF-1.7\n".getBytes ++
+      "1 0 obj\n<< /Length 9999 >>\nstream\nshort\nendstream\n".getBytes
+    assert(PdfStreamsKernel.streams(lying) == null)
+    val crlf = "%PDF-1.7\n".getBytes ++
+      ("1 0 obj\n<< /Length 4 >>\nstream\r\nabcd\r\nendstream\nendobj\n%%EOF")
+        .getBytes
+    val cr = PdfStreamsKernel.streams(crlf)
+    assert(cr != null && cr.numElements() === 1 &&
+      new String(cr.getBinary(0)) === "abcd")
+  }
+
   test("metadataStats hash equals md5 of the text") {
     val docs = Tables.load(spark, sfDir, "documents").limit(5)
     val got = Binary.metadataStats(docs).collect()
