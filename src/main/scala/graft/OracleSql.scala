@@ -2317,7 +2317,7 @@ object OracleSql {
        |  FROM documents),
        |s AS (SELECT doc_id,
        |  [trim(x) for x in
-       |    regexp_extract_all(text, '[^.!?]+[.!?]+|[^.!?]+$$')
+       |    regexp_extract_all(text, '[^.!?。！？]+[.!?。！？]+|[^.!?。！？]+$$')
        |    if trim(x) <> ''] AS sents
        |  FROM m),
        |e AS (SELECT doc_id,
@@ -2343,7 +2343,7 @@ object OracleSql {
        |  FROM documents),
        |s AS (SELECT doc_id,
        |  [trim(x) for x in
-       |    regexp_extract_all(text, '[^.!?]+[.!?]+|[^.!?]+$$')
+       |    regexp_extract_all(text, '[^.!?。！？]+[.!?。！？]+|[^.!?。！？]+$$')
        |    if trim(x) <> ''] AS sents
        |  FROM m WHERE length(text) > 0),
        |p AS (SELECT doc_id,

@@ -51,7 +51,10 @@ object Wds {
     * extension): one row per (shard row, stem) with `n_members` and
     * `parts` (extension → bytes, extensions lowercased). The one
     * keyed aggregation of the ingest; everything around it is
-    * map-only.
+    * map-only. A malformed shard with DUPLICATE same-stem extensions
+    * keeps the first entry in sorted order (deterministic, never a
+    * duplicate-key throw — `map_from_entries` would crash the job on
+    * one bad shard).
     */
   def samples(df: DataFrame, blob: Column,
       keys: Seq[String] = Seq("doc_id")): DataFrame = {
@@ -64,8 +67,12 @@ object Wds {
       .withColumn("__ext", ext)
       .groupBy((keys.map(col) :+ col("stem")): _*)
       .agg(count(lit(1)).as("n_members"),
-        map_from_entries(array_sort(
-          collect_list(struct(col("__ext"), col("member_data")))))
+        aggregate(
+          array_sort(collect_list(struct(col("__ext"), col("member_data")))),
+          map().cast("map<string,binary>"),
+          (m2, e) => when(map_contains_key(m2, e.getField("__ext")), m2)
+            .otherwise(map_concat(m2,
+              map(e.getField("__ext"), e.getField("member_data")))))
           .as("parts"))
   }
 }

@@ -1526,8 +1526,10 @@ object TextAnalysis {
   /** Sentence segmentation with provenance — the boundary-aware
     * sibling of fixed-width [[chunks]]: each document explodes into
     * its sentences (terminal-punctuation rule: a maximal
-    * non-terminator run plus its `[.!?]+` tail, or the trailing
-    * unterminated fragment), trimmed, empties dropped. The rule is
+    * non-terminator run plus its terminator tail — ASCII `.!?` AND
+    * the CJK/fullwidth forms `。！？`, so unspaced CJK prose
+    * segments too — or the trailing unterminated fragment), trimmed,
+    * empties dropped. The rule is
     * deliberately dictionary-free and RE2-portable so the DuckDB
     * oracle replays it verbatim (abbreviation false-splits are the
     * documented cost, identical in both engines). Pure per-row
@@ -1536,7 +1538,7 @@ object TextAnalysis {
     */
   def sentences(docs: DataFrame): DataFrame = {
     val raw = regexp_extract_all(col("text"),
-      lit("[^.!?]+[.!?]+|[^.!?]+$"), lit(0))
+      lit("[^.!?。！？]+[.!?。！？]+|[^.!?。！？]+$"), lit(0))
     val sents = filter(transform(raw, s => trim(s)), s => length(s) > 0)
     docs
       .select(col("doc_id"), posexplode(sents).as(Seq("sent_idx", "sentence")))
@@ -1561,7 +1563,7 @@ object TextAnalysis {
     */
   def sentenceChunks(docs: DataFrame, maxChars: Int = 200): DataFrame = {
     val raw = regexp_extract_all(col("text"),
-      lit("[^.!?]+[.!?]+|[^.!?]+$"), lit(0))
+      lit("[^.!?。！？]+[.!?。！？]+|[^.!?。！？]+$"), lit(0))
     val sents = filter(transform(raw, s => trim(s)), s => length(s) > 0)
     val sep = "\u0001"
     val packed = aggregate(sents, lit(""), (acc, s) =>

@@ -202,6 +202,19 @@ class TextSignalsSpec extends SparkSpec {
     assert(r.getAs[Long]("n_words") === 2L)
   }
 
+  test("sentences: CJK terminators segment unspaced prose (the Unicode discipline)") {
+    val d = docs(
+      (1L, "これは文一。これは文二！最後か？", "s"),
+      (2L, "Mixed latin. そして日本語。done", "s"))
+    val got = graft.text.TextAnalysis.sentences(d).collect()
+      .groupBy(_.getAs[Long]("doc_id"))
+      .view.mapValues(_.sortBy(_.getAs[Long]("sent_idx"))
+        .map(_.getAs[String]("sentence")).toSeq).toMap
+    assert(got(1L) === Seq("これは文一。", "これは文二！", "最後か？"),
+      s"unspaced CJK must segment on 。！？: ${got(1L)}")
+    assert(got(2L) === Seq("Mixed latin.", "そして日本語。", "done"))
+  }
+
   test("sentenceChunks: greedy fill respects the budget, never cuts a sentence, oversize keeps its own chunk") {
     val s60 = "x" * 60
     val d = docs(

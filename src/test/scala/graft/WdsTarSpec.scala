@@ -85,6 +85,16 @@ class WdsTarSpec extends SparkSpec {
     assert(got("s2")._1 === 1L && got("s2")._2.keySet === Set("txt"))
     assert(got("noext")._2.keySet === Set(""),
       "extension-less members key the empty extension")
+    // a malformed shard with a DUPLICATE same-stem extension must not
+    // throw (map_from_entries would): first entry in sorted order wins
+    val dup = TarKernel.member("s1.txt".getBytes, "AAA".getBytes) ++
+      TarKernel.member("s1.txt".getBytes, "BBB".getBytes) ++
+      TarKernel.Terminator
+    val d2 = Wds.samples(Seq((1L, dup)).toDF("doc_id", "shard"),
+      col("shard")).head()
+    assert(d2.getAs[Long]("n_members") === 2L)
+    assert(new String(
+      d2.getAs[Map[String, Array[Byte]]]("parts")("txt"), "UTF-8") === "AAA")
   }
 
   test("driver-row chain: tar walk, regroup, and the real JPEG decode plan is UDF-free") {
