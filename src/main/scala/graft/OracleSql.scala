@@ -3351,6 +3351,38 @@ object OracleSql {
        |  CASE WHEN invalid THEN NULL ELSE ${hex64("pt")} END AS pdf_text_hash
        |FROM s ORDER BY doc_id""".stripMargin
 
+  /** Perceptual image dedup (mirror of Binary.imageDedup over the
+    * 9×8-flat-tile JPEG synth): with exactly one flat 8px tile per
+    * dHash grid cell, each cell mean IS the tile value, so all 64
+    * gradient bits — and therefore the hash halves, group sizes and
+    * keepers — are closed-form. Spark must reach the same bits by
+    * entropy-decoding the JPEGs and average-pooling real pixels.
+    */
+  lazy val mmImageDedup: String = {
+    def tile(off: String): String =
+      s"(7 * k + 13 * ((b // 8) * 9 + (b % 8)$off)) % 256"
+    def half(lo: Int, hi: Int, shiftBase: String): String =
+      s"""list_sum([CASE WHEN ${tile("")} > ${tile(" + 1")}
+         |    THEN (1::BIGINT << (b$shiftBase)) ELSE 0::BIGINT END
+         |    for b in range($lo, $hi)])""".stripMargin
+    s"""WITH m AS (SELECT doc_id, (doc_id // 2) * 2 AS k,
+       |  doc_id % 10 = 0 AS invalid FROM documents),
+       |h AS (SELECT doc_id, invalid,
+       |  CASE WHEN invalid THEN NULL ELSE ${half(32, 64, " - 32")} END AS dhash_hi,
+       |  CASE WHEN invalid THEN NULL ELSE ${half(0, 32, "")} END AS dhash_lo
+       |  FROM m),
+       |g AS (SELECT dhash_hi, dhash_lo, count(*) AS nc, min(doc_id) AS kid
+       |  FROM h WHERE NOT invalid GROUP BY 1, 2)
+       |SELECT h.doc_id, NOT h.invalid AS image_valid,
+       |  h.dhash_hi::BIGINT AS dhash_hi, h.dhash_lo::BIGINT AS dhash_lo,
+       |  (CASE WHEN h.invalid THEN NULL ELSE g.nc END)::BIGINT AS n_copies,
+       |  (CASE WHEN h.invalid THEN NULL ELSE g.kid END)::BIGINT AS keeper_id,
+       |  CASE WHEN h.invalid THEN NULL ELSE h.doc_id = g.kid END AS is_canonical
+       |FROM h LEFT JOIN g
+       |  ON h.dhash_hi = g.dhash_hi AND h.dhash_lo = g.dhash_lo
+       |ORDER BY h.doc_id""".stripMargin
+  }
+
   val mmPngMeta: String =
     """WITH m AS (SELECT doc_id,
       |  16 + (doc_id % 7) * 9 AS w,

@@ -1514,6 +1514,33 @@ object SparkEntry {
           col("pdf_text_hash"))
         .orderBy(col("doc_id"))
     }),
+    // perceptual image dedup: dHash over the DECODED raster (the
+    // full JPEG entropy decode feeds it), then the window-free
+    // keep-ledger; paired docs share a planted tile pattern so real
+    // duplicate groups form, and the oracle recomputes the 64
+    // gradient bits closed-form (exactly one flat tile per dHash
+    // grid cell: 9×8 tiles of 8px)
+    "mm_image_dedup" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val d = col("doc_id")
+      val k = expr("(doc_id div 2) * 2")
+      val tiles = transform(sequence(lit(0), lit(71)),
+        tt => pmod(k * 7 + tt.cast("long") * 13, lit(256L)).cast("int"))
+      val jpg = org.apache.spark.sql.GraftColumnBridge.column(
+        graft.expressions.JpegSynthEncode(
+          org.apache.spark.sql.GraftColumnBridge.expression(tiles),
+          org.apache.spark.sql.GraftColumnBridge.expression(
+            array(lit(9), lit(8), lit(0), lit(0)))))
+      val media = docs.select(d,
+        when(d % 10 === 0, col("text").cast("binary")).otherwise(jpg)
+          .as("payload"))
+      graft.multimodal.Binary.imageDedup(media)
+        .select(d, col("image_valid"), col("dhash_hi"), col("dhash_lo"),
+          when(col("image_valid"), col("n_copies")).as("n_copies"),
+          when(col("image_valid"), col("keeper_id")).as("keeper_id"),
+          col("is_canonical"))
+        .orderBy(d)
+    }),
     // container triage over a mixed blob column: detect by magic
     // bytes, parse the matching codec, one uniform row per blob; the
     // mixing joins exist only to SYNTHESIZE the test corpus —
@@ -1913,6 +1940,7 @@ object SparkEntry {
     "mm_jpeg_pixels" -> OracleSql.mmJpegPixels,
     "mm_pdf_meta" -> OracleSql.mmPdfMeta,
     "mm_pdf_text" -> OracleSql.mmPdfText,
+    "mm_image_dedup" -> OracleSql.mmImageDedup,
     "mm_bmp_pixels" -> OracleSql.mmBmpPixels,
     "mm_png_pixels" -> OracleSql.mmPngPixels,
     "mm_media_triage" -> OracleSql.mmMediaTriage,

@@ -1178,6 +1178,39 @@ object Binary {
     }
   }
 
+  /** Perceptual image dedup — the operator that connects the codec
+    * kernels to the dedup family: fingerprint every image payload
+    * with a 64-bit dHash over the DECODED raster
+    * ([[graft.expressions.ImageHashKernel]] — JPEG through the full
+    * entropy decode, 24-bit BMP through the stride walk; content
+    * collides across re-encodes, bytes don't have to), then the
+    * keep-ledger idiom: group sizes + canonical member via ONE keyed
+    * aggregation and a join-back — window-free, the same skew-immune
+    * shape as exact text dedup. Near-dup (few-bit Hamming) tiers
+    * compose with the existing `ann_hamming` machinery downstream.
+    * Adds `dhash_hi`/`dhash_lo` (the two unsigned 32-bit halves —
+    * portable across engines without 64-bit sign games), `n_copies`,
+    * `keeper_id`, `is_canonical`; all null for undecodable payloads.
+    */
+  def imageDedup(media: DataFrame, payloadCol: String = "payload"): DataFrame = {
+    val h = org.apache.spark.sql.GraftColumnBridge.column(
+      graft.expressions.ImageDhash(
+        org.apache.spark.sql.GraftColumnBridge.expression(col(payloadCol))))
+    val withH = media.withColumn("__dhash", h)
+    val groups = withH.where(col("__dhash").isNotNull)
+      .groupBy(col("__dhash"))
+      .agg(count(lit(1)).as("n_copies"), min(col("doc_id")).as("keeper_id"))
+    withH.join(groups, Seq("__dhash"), "left")
+      .withColumn("image_valid", col("__dhash").isNotNull)
+      .withColumn("dhash_hi",
+        when(col("image_valid"), expr("shiftrightunsigned(__dhash, 32)")))
+      .withColumn("dhash_lo",
+        when(col("image_valid"), col("__dhash").bitwiseAND(lit(0xFFFFFFFFL))))
+      .withColumn("is_canonical",
+        when(col("image_valid"), col("doc_id") === col("keeper_id")))
+      .drop("__dhash")
+  }
+
   /** Metadata stats over the media table — schema/partitioning surface
     * checkable against a SQL oracle (payload hashes + sizes).
     */

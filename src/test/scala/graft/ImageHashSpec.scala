@@ -1,0 +1,82 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.expressions.{ImageHashKernel, JpegEncoder}
+
+/** Perceptual dHash: content-not-bytes collision across codecs and
+  * re-encodes, locality under small edits, and the dedup row shape.
+  */
+class ImageHashSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** 24-bit bottom-up BMP of a gray raster (r=g=b). */
+  private def bmpOf(gray: Array[Int], w: Int, h: Int): Array[Byte] = {
+    val stride = (w * 3 + 3) / 4 * 4
+    val out = new Array[Byte](54 + stride * h)
+    def le32(off: Int, v: Int): Unit = {
+      out(off) = v.toByte; out(off + 1) = (v >> 8).toByte
+      out(off + 2) = (v >> 16).toByte; out(off + 3) = (v >> 24).toByte
+    }
+    out(0) = 'B'; out(1) = 'M'
+    le32(2, out.length); le32(10, 54); le32(14, 40)
+    le32(18, w); le32(22, h)
+    out(26) = 1; out(28) = 24
+    le32(34, stride * h)
+    for (y <- 0 until h; x <- 0 until w) {
+      val v = gray(y * w + x).toByte
+      val base = 54 + (h - 1 - y) * stride + 3 * x
+      out(base) = v; out(base + 1) = v; out(base + 2) = v
+    }
+    out
+  }
+
+  private def flatTileGray(tiles: Array[Int], tw: Int, th: Int): Array[Int] = {
+    val w = tw * 8; val h = th * 8
+    Array.tabulate(w * h)(i => tiles(((i / w) / 8) * tw + ((i % w) / 8)))
+  }
+
+  test("same raster through JPEG and BMP collides; re-encode with restarts collides") {
+    val tiles = Array.tabulate(72)(t => (t * 37 + 11) % 256)
+    val jpeg = JpegEncoder.encodeFlatTiles(tiles, 9, 8, 0, 0)
+    val jpegRst = JpegEncoder.encodeFlatTiles(tiles, 9, 8, 0, 3)
+    val bmp = bmpOf(flatTileGray(tiles, 9, 8), 72, 64)
+    val hJ = ImageHashKernel.dhash(jpeg)
+    val hR = ImageHashKernel.dhash(jpegRst)
+    val hB = ImageHashKernel.dhash(bmp)
+    assert(hJ != null && hR != null && hB != null)
+    assert(hJ === hR, "a re-encode (different entropy framing) must collide")
+    assert(hJ === hB, "the same raster through two codecs must collide")
+    // locality: perturbing ONE tile flips at most a few gradient bits
+    val tweaked = tiles.clone(); tweaked(40) = (tiles(40) + 120) % 256
+    val hT = ImageHashKernel.dhash(JpegEncoder.encodeFlatTiles(tweaked, 9, 8, 0, 0))
+    val dist = java.lang.Long.bitCount(hJ.longValue() ^ hT.longValue())
+    assert(dist >= 1 && dist <= 4, s"one-tile edit moved $dist bits")
+    // undecodable payloads null
+    assert(ImageHashKernel.dhash("not an image".getBytes) == null)
+    assert(ImageHashKernel.dhash(Array[Byte](0xFF.toByte, 0xD8.toByte,
+      0xFF.toByte, 0x55)) == null)
+  }
+
+  test("imageDedup: planted pairs group, keeper is min doc_id, invalid lane nulls") {
+    val rows = SparkEntry.queries("mm_image_dedup")(spark, sfDir).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(rows.size === 500)
+    for ((d, r) <- rows) {
+      if (d % 10 == 0) {
+        assert(!r.getAs[Boolean]("image_valid"))
+        assert(r.isNullAt(r.fieldIndex("n_copies")))
+      } else {
+        val partner = if (d % 2 == 0) d + 1 else d - 1
+        val partnerValid = rows.contains(partner) && partner % 10 != 0
+        // pairs share the planted pattern; n_copies reflects the pair
+        // unless the partner fell on the invalid lane (or a chance
+        // cross-pattern collision grew the group)
+        val nc = r.getAs[Long]("n_copies")
+        if (partnerValid) assert(nc >= 2L, s"doc $d expected its pair: $r")
+        assert(r.getAs[Long]("keeper_id") <= d)
+        assert(r.getAs[Boolean]("is_canonical") === (r.getAs[Long]("keeper_id") == d))
+      }
+    }
+  }
+}
