@@ -3383,6 +3383,37 @@ object OracleSql {
        |ORDER BY h.doc_id""".stripMargin
   }
 
+  /** Perceptual audio dedup (mirror of Binary.audioDedup over the
+    * windowed WAV synth): one flat window per fingerprint window, so
+    * each window's mean absolute amplitude IS |((13k + 29w) mod 1024)
+    * − 512| and all 64 gradient bits are closed-form. Spark must
+    * reach the same bits by decoding the real LE sample bytes.
+    */
+  lazy val mmAudioDedup: String = {
+    def amp(off: String): String =
+      s"abs(((13 * k + 29 * (b$off)) % 1024) - 512)"
+    def half(lo: Int, hi: Int, shiftBase: String): String =
+      s"""list_sum([CASE WHEN ${amp("")} > ${amp(" + 1")}
+         |    THEN (1::BIGINT << (b$shiftBase)) ELSE 0::BIGINT END
+         |    for b in range($lo, $hi)])""".stripMargin
+    s"""WITH m AS (SELECT doc_id, (doc_id // 2) * 2 AS k,
+       |  doc_id % 10 = 0 AS invalid FROM documents),
+       |h AS (SELECT doc_id, invalid,
+       |  CASE WHEN invalid THEN NULL ELSE ${half(32, 64, " - 32")} END AS ahash_hi,
+       |  CASE WHEN invalid THEN NULL ELSE ${half(0, 32, "")} END AS ahash_lo
+       |  FROM m),
+       |g AS (SELECT ahash_hi, ahash_lo, count(*) AS nc, min(doc_id) AS kid
+       |  FROM h WHERE NOT invalid GROUP BY 1, 2)
+       |SELECT h.doc_id, NOT h.invalid AS audio_valid,
+       |  h.ahash_hi::BIGINT AS ahash_hi, h.ahash_lo::BIGINT AS ahash_lo,
+       |  (CASE WHEN h.invalid THEN NULL ELSE g.nc END)::BIGINT AS n_copies,
+       |  (CASE WHEN h.invalid THEN NULL ELSE g.kid END)::BIGINT AS keeper_id,
+       |  CASE WHEN h.invalid THEN NULL ELSE h.doc_id = g.kid END AS is_canonical
+       |FROM h LEFT JOIN g
+       |  ON h.ahash_hi = g.ahash_hi AND h.ahash_lo = g.ahash_lo
+       |ORDER BY h.doc_id""".stripMargin
+  }
+
   val mmPngMeta: String =
     """WITH m AS (SELECT doc_id,
       |  16 + (doc_id % 7) * 9 AS w,

@@ -1541,6 +1541,23 @@ object SparkEntry {
           col("is_canonical"))
         .orderBy(d)
     }),
+    // perceptual AUDIO dedup: the energy-gradient fingerprint over
+    // DECODED PCM samples feeds the same window-free keep-ledger;
+    // paired docs share planted window amplitudes (one flat window
+    // per fingerprint window) so the oracle recomputes all 64 bits
+    // closed-form while Spark decodes real little-endian samples
+    "mm_audio_dedup" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val d = col("doc_id")
+      val k = expr("(doc_id div 2) * 2")
+      val media = graft.multimodal.Binary.Wav.synthWindowedFromDocs(docs, k)
+      graft.multimodal.Binary.audioDedup(media)
+        .select(d, col("audio_valid"), col("ahash_hi"), col("ahash_lo"),
+          when(col("audio_valid"), col("n_copies")).as("n_copies"),
+          when(col("audio_valid"), col("keeper_id")).as("keeper_id"),
+          col("is_canonical"))
+        .orderBy(d)
+    }),
     // container triage over a mixed blob column: detect by magic
     // bytes, parse the matching codec, one uniform row per blob; the
     // mixing joins exist only to SYNTHESIZE the test corpus —
@@ -1941,6 +1958,7 @@ object SparkEntry {
     "mm_pdf_meta" -> OracleSql.mmPdfMeta,
     "mm_pdf_text" -> OracleSql.mmPdfText,
     "mm_image_dedup" -> OracleSql.mmImageDedup,
+    "mm_audio_dedup" -> OracleSql.mmAudioDedup,
     "mm_bmp_pixels" -> OracleSql.mmBmpPixels,
     "mm_png_pixels" -> OracleSql.mmPngPixels,
     "mm_media_triage" -> OracleSql.mmMediaTriage,

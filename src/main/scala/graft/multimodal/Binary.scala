@@ -172,6 +172,37 @@ object Binary {
         when(d % invalidEvery === 0, lit("text/plain"))
           .otherwise(lit("audio/wav")).as("media_type"))
     }
+
+    /** Deterministic 16-bit mono WAVs whose samples form exactly
+      * [[graft.expressions.AudioHashKernel.Windows]] flat windows of
+      * `m` samples with planted amplitudes `((key·13 + w·29) mod
+      * 1024) − 512` — one flat window per fingerprint window, so the
+      * energy-gradient hash is closed-form for the oracle while Spark
+      * decodes the real LE sample bytes. Every `invalidEvery`-th doc
+      * stays raw text.
+      */
+    def synthWindowedFromDocs(docs: DataFrame, key: Column, m: Int = 4,
+        invalidEvery: Int = 10): DataFrame = {
+      val d = col("doc_id")
+      val nWin = graft.expressions.AudioHashKernel.Windows
+      val dataLen = lit(2L * nWin * m)
+      val sampleHex = (w: Column) => leHex(
+        pmod(pmod(key * 13 + w * 29, lit(1024L)) - 512L + 65536L, lit(65536L)), 2)
+      val dataHex = array_join(transform(sequence(lit(0L), lit(nWin - 1L)),
+        w => repeat(sampleHex(w), m)), "")
+      val wavHex = concat(
+        asciiHex("RIFF"), leHex(dataLen + 36, 4), asciiHex("WAVE"),
+        asciiHex("fmt "), leHex(lit(16L), 4), leHex(lit(1L), 2),
+        leHex(lit(1L), 2), leHex(lit(8000L), 4), leHex(lit(16000L), 4),
+        leHex(lit(2L), 2), leHex(lit(16L), 2),
+        asciiHex("data"), leHex(dataLen, 4), dataHex)
+      docs.select(
+        d,
+        when(d % invalidEvery === 0, col("text").cast("binary"))
+          .otherwise(unhex(wavHex)).as("payload"),
+        when(d % invalidEvery === 0, lit("text/plain"))
+          .otherwise(lit("audio/wav")).as("media_type"))
+    }
   }
 
   /** PNG container header codec, entirely in Catalyst expressions —
@@ -1176,6 +1207,39 @@ object Binary {
         when(d % invalidEvery === 0, lit("text/plain"))
           .otherwise(lit("application/pdf")).as("media_type"))
     }
+  }
+
+  /** Perceptual AUDIO dedup — the audio face of [[imageDedup]]:
+    * fingerprint every WAV payload with the 64-bit energy-gradient
+    * hash over the DECODED samples
+    * ([[graft.expressions.AudioHashKernel]] — 65 windows, integer
+    * mean absolute amplitude, consecutive-window gradient bits), then
+    * the same window-free keep-ledger. Content collides across
+    * container rewrites of identical samples; envelope edits move few
+    * Hamming bits. Adds the same columns as [[imageDedup]].
+    */
+  def audioDedup(media: DataFrame, payloadCol: String = "payload"): DataFrame = {
+    val p = col(payloadCol)
+    val dataBin = p.substr(lit(45), col("data_bytes").cast("int"))
+    val h = org.apache.spark.sql.GraftColumnBridge.column(
+      graft.expressions.AudioDhash(
+        org.apache.spark.sql.GraftColumnBridge.expression(dataBin),
+        org.apache.spark.sql.GraftColumnBridge.expression(col("bits_per_sample"))))
+    val withH = Wav.parse(media, payloadCol)
+      .withColumn("__ahash",
+        when(col("wav_valid") && col("data_bytes") > 0, h))
+    val groups = withH.where(col("__ahash").isNotNull)
+      .groupBy(col("__ahash"))
+      .agg(count(lit(1)).as("n_copies"), min(col("doc_id")).as("keeper_id"))
+    withH.join(groups, Seq("__ahash"), "left")
+      .withColumn("audio_valid", col("__ahash").isNotNull)
+      .withColumn("ahash_hi",
+        when(col("audio_valid"), expr("shiftrightunsigned(__ahash, 32)")))
+      .withColumn("ahash_lo",
+        when(col("audio_valid"), col("__ahash").bitwiseAND(lit(0xFFFFFFFFL))))
+      .withColumn("is_canonical",
+        when(col("audio_valid"), col("doc_id") === col("keeper_id")))
+      .drop("__ahash")
   }
 
   /** Perceptual image dedup — the operator that connects the codec

@@ -58,6 +58,36 @@ class ImageHashSpec extends SparkSpec {
       0xFF.toByte, 0x55)) == null)
   }
 
+  test("audio fingerprint: sample-content identity, width routing, locality, short-stream null") {
+    import graft.expressions.AudioHashKernel
+    val n = AudioHashKernel.Windows * 4
+    def pcm16(amp: Int => Int): Array[Byte] = {
+      val out = new Array[Byte](2 * n)
+      for (i <- 0 until n) {
+        val v = amp(i / 4) & 0xFFFF
+        out(2 * i) = v.toByte; out(2 * i + 1) = (v >> 8).toByte
+      }
+      out
+    }
+    val a = pcm16(w => (w * 37 + 5) % 500)
+    val h1 = AudioHashKernel.ahash(a, 16)
+    assert(h1 != null)
+    // identity is the SAMPLES: a byte-identical stream re-hashed in a
+    // different container (rate, riff size) is the caller's concern —
+    // the kernel sees data+width only, so equal data must collide
+    assert(AudioHashKernel.ahash(a.clone(), 16) === h1)
+    // one-window envelope edit moves few bits
+    val b = pcm16(w => if (w == 30) 499 else (w * 37 + 5) % 500)
+    val h2 = AudioHashKernel.ahash(b, 16)
+    val dist = java.lang.Long.bitCount(h1.longValue() ^ h2.longValue())
+    assert(dist >= 1 && dist <= 4, s"one-window edit moved $dist bits")
+    // width routing differs (the same bytes as 8-bit are different samples)
+    assert(AudioHashKernel.ahash(a, 8) !== h1)
+    // too short / bad width → null
+    assert(AudioHashKernel.ahash(a.take(64), 16) == null)
+    assert(AudioHashKernel.ahash(a, 24) == null)
+  }
+
   test("imageDedup: planted pairs group, keeper is min doc_id, invalid lane nulls") {
     val rows = SparkEntry.queries("mm_image_dedup")(spark, sfDir).collect()
       .map(r => r.getAs[Long]("doc_id") -> r).toMap
