@@ -3414,6 +3414,33 @@ object OracleSql {
        |ORDER BY h.doc_id""".stripMargin
   }
 
+  /** MP4/BMFF triage (mirror of Binary.Mp4.parse ∘ synthFromDocs):
+    * every field re-derived from doc_id arithmetic — the hash match
+    * proves the nested box walk (the planted `free` box shifts moov)
+    * and the version-gated mvhd reads.
+    */
+  val mmMp4Meta: String =
+    """WITH m AS (SELECT doc_id,
+      |  CASE WHEN doc_id % 3 = 0 THEN 600 ELSE 1000 END AS ts,
+      |  doc_id % 10 = 0 AS invalid FROM documents),
+      |p AS (SELECT doc_id, invalid, ts,
+      |  (1 + doc_id % 50) * ts + doc_id % 97 AS dur FROM m)
+      |SELECT doc_id,
+      |  CASE WHEN invalid THEN 'text/plain' ELSE 'video/mp4' END AS media_type,
+      |  NOT invalid AS mp4_valid,
+      |  CASE WHEN invalid THEN NULL
+      |    WHEN doc_id % 2 = 0 THEN 'isom' ELSE 'mp42' END AS major_brand,
+      |  (CASE WHEN invalid THEN NULL
+      |    WHEN doc_id % 5 = 0 THEN 4 ELSE 3 END)::BIGINT AS n_top_boxes,
+      |  CASE WHEN invalid THEN NULL ELSE TRUE END AS has_mdat,
+      |  (CASE WHEN invalid THEN NULL
+      |    WHEN doc_id % 4 = 0 THEN 1 ELSE 0 END)::BIGINT AS mvhd_version,
+      |  (CASE WHEN invalid THEN NULL ELSE ts END)::BIGINT AS timescale,
+      |  (CASE WHEN invalid THEN NULL ELSE dur END)::BIGINT AS duration,
+      |  (CASE WHEN invalid THEN NULL
+      |    ELSE (dur * 1000) // ts END)::BIGINT AS duration_ms
+      |FROM p ORDER BY doc_id""".stripMargin
+
   val mmPngMeta: String =
     """WITH m AS (SELECT doc_id,
       |  16 + (doc_id % 7) * 9 AS w,

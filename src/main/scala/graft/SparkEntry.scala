@@ -1558,6 +1558,19 @@ object SparkEntry {
           col("is_canonical"))
         .orderBy(d)
     }),
+    // MP4/ISO-BMFF container triage (the VIDEO family): nested box
+    // path walk (ftyp brand, moov/mvhd timescale+duration with
+    // v0/v1 layouts, a planted `free` box SHIFTS moov so the locate
+    // proves a walk), exact integer duration arithmetic
+    "mm_mp4_meta" -> ((s, dir) => {
+      val media = graft.multimodal.Binary.Mp4.synthFromDocs(t(s, dir, "documents"))
+      graft.multimodal.Binary.Mp4.parse(media)
+        .select(col("doc_id"), col("media_type"), col("mp4_valid"),
+          col("major_brand"), col("n_top_boxes"), col("has_mdat"),
+          col("mvhd_version"), col("timescale"), col("duration"),
+          col("duration_ms"))
+        .orderBy(col("doc_id"))
+    }),
     // container triage over a mixed blob column: detect by magic
     // bytes, parse the matching codec, one uniform row per blob; the
     // mixing joins exist only to SYNTHESIZE the test corpus —
@@ -1959,6 +1972,7 @@ object SparkEntry {
     "mm_pdf_text" -> OracleSql.mmPdfText,
     "mm_image_dedup" -> OracleSql.mmImageDedup,
     "mm_audio_dedup" -> OracleSql.mmAudioDedup,
+    "mm_mp4_meta" -> OracleSql.mmMp4Meta,
     "mm_bmp_pixels" -> OracleSql.mmBmpPixels,
     "mm_png_pixels" -> OracleSql.mmPngPixels,
     "mm_media_triage" -> OracleSql.mmMediaTriage,

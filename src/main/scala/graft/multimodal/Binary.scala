@@ -1042,6 +1042,103 @@ object Binary {
     }
   }
 
+  /** MP4 / ISO BMFF (MOV, M4A, HEIF share the framing) container
+    * triage — the VIDEO container family: boxes are BE-sized 4cc
+    * headers, nested, so triage needs a path walk
+    * ([[graft.expressions.Mp4BoxKernel]] — the JPEG segment-walk
+    * idiom generalized to one nesting level per path segment: the
+    * kernel only LOCATES, every field read after is a fixed offset
+    * RELATIVE to the located box, declarative `substr`+`conv` BE
+    * reads, version-gated for the v0/v1 `mvhd` layouts).
+    */
+  object Mp4 {
+    private def boxOff(p: Column, path: String): Column =
+      org.apache.spark.sql.GraftColumnBridge.column(
+        graft.expressions.Mp4BoxOffset(
+          org.apache.spark.sql.GraftColumnBridge.expression(p), path))
+
+    /** Parse triage fields: `mp4_valid` (clean top-level partition +
+      * ftyp + moov/mvhd), `major_brand`, `n_top_boxes`, `has_mdat`,
+      * `mvhd_version`, `timescale`, `duration` (movie units),
+      * `duration_ms` (exact integer arithmetic). Pure projection.
+      */
+    def parse(media: DataFrame, payloadCol: String = "payload"): DataFrame = {
+      val p = col(payloadCol)
+      val nTop = org.apache.spark.sql.GraftColumnBridge.column(
+        graft.expressions.Mp4TopBoxes(
+          org.apache.spark.sql.GraftColumnBridge.expression(p)))
+      val ftyp = boxOff(p, "ftyp")
+      val mvhd = boxOff(p, "moov/mvhd")
+      val valid = nTop.isNotNull && ftyp.isNotNull && mvhd.isNotNull
+      val ver = Jpeg.beUintAt(p, mvhd + 8, 1)
+      val timescale = when(ver === 0, Jpeg.beUintAt(p, mvhd + 20, 4))
+        .otherwise(Jpeg.beUintAt(p, mvhd + 28, 4))
+      val duration = when(ver === 0, Jpeg.beUintAt(p, mvhd + 24, 4))
+        .otherwise(Jpeg.beUintAt(p, mvhd + 32, 8))
+      media
+        .withColumn("mp4_valid", valid)
+        .withColumn("major_brand",
+          when(valid, p.substr((ftyp + 8).cast("int"), lit(4)).cast("string")))
+        .withColumn("n_top_boxes", when(valid, nTop))
+        .withColumn("has_mdat", when(valid, boxOff(p, "mdat").isNotNull))
+        .withColumn("mvhd_version", when(valid, ver))
+        .withColumn("timescale", when(valid, timescale))
+        .withColumn("duration", when(valid, duration))
+        .withColumn("duration_ms",
+          when(valid && timescale > 0,
+            expr("(duration * 1000) div timescale")))
+    }
+
+    /** Deterministic BMFF skeletons: ftyp (brand rotates), an
+      * optional `free` box that SHIFTS moov (so the located offsets
+      * prove a walk, not a constant), moov/mvhd in the v0 layout (or
+      * v1 with 64-bit times on every 4th doc), and an mdat whose
+      * filler varies by doc. Every `invalidEvery`-th doc stays raw
+      * text.
+      */
+    def synthFromDocs(docs: DataFrame, invalidEvery: Int = 10): DataFrame = {
+      val d = col("doc_id")
+      def beHex(v: Column, n: Int): Column = lpad(hex(v), n * 2, "0")
+      def asciiHex(s: String): Column =
+        lit(s.getBytes("US-ASCII").map("%02X".format(_)).mkString)
+      val brand = when(d % 2 === 0, asciiHex("isom")).otherwise(asciiHex("mp42"))
+      val ftypHex = concat(beHex(lit(16L), 4), asciiHex("ftyp"), brand,
+        lit("00000200"))
+      val freeLen = lit(8L) + d % 13
+      val freeHex = when(d % 5 === 0,
+        concat(beHex(freeLen, 4), asciiHex("free"),
+          rpad(lit(""), ((freeLen - 8) * 2).cast("int"), lit("00"))))
+        .otherwise(lit(""))
+      val timescale = when(d % 3 === 0, 600L).otherwise(lit(1000L))
+      val duration = (lit(1L) + d % 50) * timescale + d % 97
+      val tailHex = lit("00010000" + "0100" + "00" * 10 +
+        "00010000" + "00000000" + "00000000" +
+        "00000000" + "00010000" + "00000000" +
+        "00000000" + "00000000" + "40000000" +
+        "00" * 24 + "00000002")
+      val v1 = d % 4 === 0
+      val mvhdHex = when(v1,
+        concat(beHex(lit(120L), 4), asciiHex("mvhd"), lit("01000000"),
+          lit("00" * 16), beHex(timescale, 4), beHex(duration, 8), tailHex))
+        .otherwise(
+          concat(beHex(lit(108L), 4), asciiHex("mvhd"), lit("00000000"),
+            lit("00" * 8), beHex(timescale, 4), beHex(duration, 4), tailHex))
+      val moovHex = concat(beHex(when(v1, 128L).otherwise(lit(116L)), 4),
+        asciiHex("moov"), mvhdHex)
+      val filler = hex(col("text").cast("binary"))
+        .substr(lit(1), ((lit(10L) + d % 23) * 2).cast("int"))
+      val mdatHex = concat(beHex((lit(8L) + length(filler) / 2).cast("long"), 4),
+        asciiHex("mdat"), filler)
+      val mp4Hex = concat(ftypHex, freeHex, moovHex, mdatHex)
+      docs.select(
+        d,
+        when(d % invalidEvery === 0, col("text").cast("binary"))
+          .otherwise(unhex(mp4Hex)).as("payload"),
+        when(d % invalidEvery === 0, lit("text/plain"))
+          .otherwise(lit("video/mp4")).as("media_type"))
+    }
+  }
+
   /** PDF container triage — the most common non-HTML document format
     * a web crawl lands, and the SIXTH container family: unlike every
     * image/audio family the structure is ASCII text (header comment,

@@ -1297,6 +1297,51 @@ class StreamingMultimodalSpec extends SparkSpec {
       new String(cr.getBinary(0)) === "abcd")
   }
 
+  test("Mp4 box walk: largesize header, to-EOF size, nested locate, traps") {
+    import graft.expressions.Mp4BoxKernel
+    def be32(v: Int) = Array[Byte]((v >> 24).toByte, (v >> 16).toByte,
+      (v >> 8).toByte, v.toByte)
+    def be64(v: Long) = (0 to 7).map(i => ((v >> (8 * (7 - i))) & 0xFF).toByte).toArray
+    val ftyp = be32(16) ++ "ftyp".getBytes ++ "isom".getBytes ++ be32(0x200)
+    val mvhd = be32(108) ++ "mvhd".getBytes ++ new Array[Byte](4) ++
+      new Array[Byte](8) ++ be32(1000) ++ be32(5000) ++ new Array[Byte](80)
+    // moov framed with the 64-bit largesize escape (size field = 1)
+    val moovLarge = be32(1) ++ "moov".getBytes ++ be64(16L + 108) ++ mvhd
+    // mdat with size 0 (runs to EOF)
+    val mdatEof = be32(0) ++ "mdat".getBytes ++ "tail bytes".getBytes
+    val p = ftyp ++ moovLarge ++ mdatEof
+    assert(Mp4BoxKernel.topLevelCount(p) === 3L)
+    assert(Mp4BoxKernel.boxOffset(p, "moov/mvhd") === 33L,
+      "descend must skip the 16-byte largesize header")
+    assert(Mp4BoxKernel.boxOffset(p, "mdat") === (16 + 124 + 1).toLong)
+    assert(Mp4BoxKernel.boxOffset(p, "moov/trak") === -1L, "absent path")
+    // traps: (trailing bytes after the size-0 mdat are LEGAL — it
+    // swallows them); a truncated fixed-size box must refuse
+    assert(Mp4BoxKernel.topLevelCount(p ++ "xx".getBytes) === 3L)
+    assert(Mp4BoxKernel.topLevelCount(
+      ftyp ++ moovLarge.dropRight(2)) === -1L)
+    assert(Mp4BoxKernel.topLevelCount(be32(999) ++ "ftyp".getBytes) === -1L)
+    assert(Mp4BoxKernel.topLevelCount("plain text".getBytes) === -1L)
+    // the driver row's shape: a planted free box shifts moov and the
+    // version-gated mvhd reads recover the planted clock math
+    val docs = Tables.load(spark, sfDir, "documents").limit(40)
+    val rows = graft.multimodal.Binary.Mp4.parse(
+        graft.multimodal.Binary.Mp4.synthFromDocs(docs)).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    rows.foreach { case (d, r) =>
+      if (d % 10 == 0) assert(!r.getAs[Boolean]("mp4_valid"))
+      else {
+        val ts = if (d % 3 == 0) 600L else 1000L
+        val dur = (1 + d % 50) * ts + d % 97
+        assert(r.getAs[Boolean]("mp4_valid"), s"doc $d: $r")
+        assert(r.getAs[Long]("mvhd_version") === (if (d % 4 == 0) 1L else 0L))
+        assert(r.getAs[Long]("duration") === dur)
+        assert(r.getAs[Long]("duration_ms") === dur * 1000 / ts)
+        assert(r.getAs[Long]("n_top_boxes") === (if (d % 5 == 0) 4L else 3L))
+      }
+    }
+  }
+
   test("metadataStats hash equals md5 of the text") {
     val docs = Tables.load(spark, sfDir, "documents").limit(5)
     val got = Binary.metadataStats(docs).collect()
