@@ -3441,6 +3441,43 @@ object OracleSql {
       |    ELSE (dur * 1000) // ts END)::BIGINT AS duration_ms
       |FROM p ORDER BY doc_id""".stripMargin
 
+  /** Multimodal curation capstone (mirror of Pipeline.wdsCurate over
+    * the paired-sample shard synth): per-sample captions, token
+    * counts, the closed-form dHash groups (one flat tile per grid
+    * cell, pattern keyed by doc so each doc's two samples pair), and
+    * the composed keep flag — Spark must reach every field through
+    * the tar walk, the regroup, and a real JPEG decode.
+    */
+  lazy val pipelineMultimodal: String = {
+    def tile(off: String): String =
+      s"(7 * doc_id + 13 * ((b // 8) * 9 + (b % 8)$off)) % 256"
+    def half(lo: Int, hi: Int, shiftBase: String): String =
+      s"""list_sum([CASE WHEN ${tile("")} > ${tile(" + 1")}
+         |    THEN (1::BIGINT << (b$shiftBase)) ELSE 0::BIGINT END
+         |    for b in range($lo, $hi)])""".stripMargin
+    s"""WITH m AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 <> 0),
+       |s AS (SELECT doc_id, unnest([0, 1]) AS i, text FROM m),
+       |e AS (SELECT doc_id,
+       |  's' || (2 * doc_id + i)::VARCHAR AS stem,
+       |  lpad(doc_id::VARCHAR, 12, '0') || '|' ||
+       |    's' || (2 * doc_id + i)::VARCHAR AS key,
+       |  substring(text, 1 + 10 * i, (5 + doc_id % 9)::INT) AS cap,
+       |  ${half(32, 64, " - 32")} AS hi,
+       |  ${half(0, 32, "")} AS lo
+       |  FROM s),
+       |g AS (SELECT hi, lo, count(*) AS nc, min(key) AS keeper
+       |  FROM e GROUP BY 1, 2),
+       |f AS (SELECT e.doc_id, e.stem,
+       |  len(${toksOf("e.cap")})::BIGINT AS n_caption_tokens,
+       |  g.nc, e.key = g.keeper AS is_canonical
+       |  FROM e JOIN g ON e.hi = g.hi AND e.lo = g.lo)
+       |SELECT doc_id, stem, TRUE AS image_ok, nc::BIGINT AS n_copies,
+       |  is_canonical, n_caption_tokens,
+       |  n_caption_tokens >= 2 AS caption_ok,
+       |  is_canonical AND n_caption_tokens >= 2 AS keep
+       |FROM f ORDER BY doc_id, stem""".stripMargin
+  }
+
   val mmPngMeta: String =
     """WITH m AS (SELECT doc_id,
       |  16 + (doc_id % 7) * 9 AS w,

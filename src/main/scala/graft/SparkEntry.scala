@@ -589,6 +589,34 @@ object SparkEntry {
             element_at(col("__st"), 1)).as("mean_gray"))
         .orderBy(d, col("stem"))
     }),
+    // the multimodal curation capstone: WebDataset shards in,
+    // per-sample keep decisions out — tar walk + regroup + REAL JPEG
+    // decode + perceptual-dedup ledger + caption token battery, all
+    // composed from the engine's own operators; each doc's two
+    // samples share a planted image (a within-doc duplicate pair), so
+    // dedup genuinely fires and the whole flag row is closed-form
+    "pipeline_multimodal" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val d = col("doc_id")
+      val tiles = transform(sequence(lit(0), lit(71)),
+        tt => pmod(d * 7 + tt.cast("long") * 13, lit(256L)).cast("int"))
+      val jpg = org.apache.spark.sql.GraftColumnBridge.column(
+        graft.expressions.JpegSynthEncode(
+          org.apache.spark.sql.GraftColumnBridge.expression(tiles),
+          org.apache.spark.sql.GraftColumnBridge.expression(
+            array(lit(9), lit(8), lit(0), lit(0)))))
+      def stemOf(i: Int) = concat(lit("s"), (d * 2 + i).cast("string"))
+      def sample(i: Int) = concat(
+        graft.sources.Wds.tarMember(concat(stemOf(i), lit(".jpg")), jpg),
+        graft.sources.Wds.tarMember(concat(stemOf(i), lit(".txt")),
+          col("text").substr(lit(1 + 10 * i), (lit(5L) + d % 9).cast("int"))))
+      val shard = when(d % 10 === 0, col("text").cast("binary"))
+        .otherwise(concat(sample(0), sample(1),
+          graft.sources.Wds.tarTerminator))
+      graft.ops.Pipeline.wdsCurate(
+          docs.select(d, shard.as("shard")), col("shard"))
+        .orderBy(d, col("stem"))
+    }),
     // frontier seen-filter: bloom-pruned, exact-verified "already
     // crawled?" against the landed canonical-URL set; the messy
     // re-crawl variants canonicalize back onto landed URLs, so the
@@ -1973,6 +2001,7 @@ object SparkEntry {
     "mm_image_dedup" -> OracleSql.mmImageDedup,
     "mm_audio_dedup" -> OracleSql.mmAudioDedup,
     "mm_mp4_meta" -> OracleSql.mmMp4Meta,
+    "pipeline_multimodal" -> OracleSql.pipelineMultimodal,
     "mm_bmp_pixels" -> OracleSql.mmBmpPixels,
     "mm_png_pixels" -> OracleSql.mmPngPixels,
     "mm_media_triage" -> OracleSql.mmMediaTriage,

@@ -312,6 +312,53 @@ object Pipeline {
       blockedDomains, quota)
   }
 
+  /** Multimodal sample curation — the WebDataset capstone: tar shards
+    * in, per-SAMPLE keep decisions out, composed entirely from the
+    * engine's own operators: the checksum-verified member walk + stem
+    * regroup ([[graft.sources.Wds.samples]]), a REAL JPEG decode
+    * feeding the perceptual dHash, the window-free keep-ledger over
+    * the fingerprint (content dedup across the whole corpus of
+    * samples), and the Unicode token battery on the caption. `keep` =
+    * image decodes ∧ canonical copy ∧ caption has ≥
+    * `minCaptionTokens` tokens — the flag row a LAION-style curation
+    * run writes. Canonicality ties break on the lexicographic
+    * (zero-padded doc, stem) key so the choice is total and
+    * engine-portable.
+    */
+  def wdsCurate(shards: DataFrame, blob: Column,
+      minCaptionTokens: Int = 2): DataFrame = {
+    val samp = graft.sources.Wds.samples(shards, blob)
+      .withColumn("__key",
+        concat(lpad(col("doc_id").cast("string"), 12, "0"), lit("|"),
+          col("stem")))
+    val h = org.apache.spark.sql.GraftColumnBridge.column(
+      graft.expressions.ImageDhash(
+        org.apache.spark.sql.GraftColumnBridge.expression(
+          element_at(col("parts"), "jpg"))))
+    val withH = samp
+      .withColumn("__dhash", h)
+      .withColumn("caption", element_at(col("parts"), "txt").cast("string"))
+      .withColumn("n_caption_tokens",
+        when(col("caption").isNotNull,
+          size(graft.GraftFunctions.tokens(col("caption"))).cast("long")))
+    val groups = withH.where(col("__dhash").isNotNull)
+      .groupBy(col("__dhash"))
+      .agg(count(lit(1)).as("n_copies"), min(col("__key")).as("__keeper"))
+    withH.join(groups, Seq("__dhash"), "left")
+      .withColumn("image_ok", col("__dhash").isNotNull)
+      .withColumn("is_canonical",
+        when(col("image_ok"), col("__key") === col("__keeper")))
+      .withColumn("caption_ok",
+        coalesce(col("n_caption_tokens") >= minCaptionTokens, lit(false)))
+      .withColumn("keep",
+        col("image_ok") && coalesce(col("is_canonical"), lit(false)) &&
+          col("caption_ok"))
+      .select(col("doc_id"), col("stem"), col("image_ok"),
+        when(col("image_ok"), col("n_copies")).as("n_copies"),
+        col("is_canonical"), col("n_caption_tokens"), col("caption_ok"),
+        col("keep"))
+  }
+
   /** EXACT pairwise content overlap between corpus slices (sources,
     * shards, snapshots): for every unordered slice pair with shared
     * content, the common-fingerprint count, both slice sizes, Jaccard,
