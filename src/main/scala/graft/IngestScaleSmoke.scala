@@ -156,6 +156,59 @@ object IngestScaleSmoke {
     println(f"WDS shards=$nShards samples=${nShards * 20} " +
       f"walk+regroup+decode=${tWds}%.1fs (${nShards * 20 / tWds / 1000}%.0fk samples/s)")
 
+    // ---- rung 4: perceptual image dedup at scale — decode + dHash +
+    // the keep-ledger; every consecutive pair shares a planted
+    // pattern, so the expected group structure is exact ----
+    val k4 = expr("(id div 2) * 2")
+    val tiles4 = transform(sequence(lit(0), lit(71)),
+      tt => conv(substring(md5(concat(lit("img|"), k4.cast("string"),
+        lit("|"), tt.cast("string"))), 1, 2), 16, 10).cast("int"))
+    val dupImgs = spark.range(nImages / 2).toDF("id")
+      .select(id.as("doc_id"),
+        org.apache.spark.sql.GraftColumnBridge.column(
+          graft.expressions.JpegSynthEncode(
+            org.apache.spark.sql.GraftColumnBridge.expression(tiles4),
+            org.apache.spark.sql.GraftColumnBridge.expression(
+              array(lit(9), lit(8), lit(0), lit(0)))))
+          .as("payload"))
+      .repartition(64).cache()
+    dupImgs.count()
+    val (ddAgg, tDedup) = time {
+      graft.multimodal.Binary.imageDedup(dupImgs)
+        .agg(count(lit(1)).as("rows"),
+          sum(when(col("is_canonical"), 1L).otherwise(0L)).as("keepers"),
+          max(col("n_copies")).as("max_copies"))
+        .head()
+    }
+    val nImg4 = (nImages / 2).toLong
+    assert(ddAgg.getLong(0) == nImg4, s"rows: ${ddAgg.getLong(0)}")
+    // pairs (2m, 2m+1) collide and the md5-planted patterns are
+    // distinct, so the group structure is EXACTLY the planted pairs
+    assert(ddAgg.getLong(1) == (nImg4 + 1) / 2,
+      s"keepers: ${ddAgg.getLong(1)} != ${(nImg4 + 1) / 2}")
+    assert(ddAgg.getLong(2) == 2L, s"max group ${ddAgg.getLong(2)} != 2")
+    println(f"IMG_DEDUP n=$nImg4 decode+dhash+ledger=${tDedup}%.1fs " +
+      f"(${nImg4 / tDedup / 1000}%.0fk img/s, keepers=${ddAgg.getLong(1)})")
+
+    // ---- rung 5: MP4 box walk throughput (pure metadata triage) ----
+    val mp4s = graft.multimodal.Binary.Mp4.synthFromDocs(
+      spark.range(nImages).toDF("id")
+        .select(id.as("doc_id"), concat(lit("filler text for doc "),
+          id.cast("string")).as("text")), invalidEvery = 10)
+      .repartition(64).cache()
+    mp4s.count()
+    val (mpAgg, tMp4) = time {
+      graft.multimodal.Binary.Mp4.parse(mp4s)
+        .agg(sum(when(col("mp4_valid"), 1L).otherwise(0L)).as("valid"),
+          sum(col("duration_ms")).as("ms"))
+        .head()
+    }
+    val expectValid = nImages.toLong - (nImages.toLong + 9) / 10
+    assert(mpAgg.getLong(0) == expectValid,
+      s"mp4 valid: ${mpAgg.getLong(0)} != $expectValid")
+    println(f"MP4 n=$nImages walk+parse=${tMp4}%.1fs " +
+      f"(${nImages / tMp4 / 1000}%.0fk box-walks/s)")
+
     println("INGEST_SCALE_SMOKE_OK")
     spark.stop()
   }

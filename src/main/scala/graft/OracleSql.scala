@@ -3360,7 +3360,8 @@ object OracleSql {
     */
   lazy val mmImageDedup: String = {
     def tile(off: String): String =
-      s"(7 * k + 13 * ((b // 8) * 9 + (b % 8)$off)) % 256"
+      s"(('0x' || substr(md5('img|' || k::VARCHAR || '|' || " +
+      s"(((b // 8) * 9 + (b % 8)$off))::VARCHAR), 1, 2))::BIGINT)"
     def half(lo: Int, hi: Int, shiftBase: String): String =
       s"""list_sum([CASE WHEN ${tile("")} > ${tile(" + 1")}
          |    THEN (1::BIGINT << (b$shiftBase)) ELSE 0::BIGINT END
@@ -3450,7 +3451,8 @@ object OracleSql {
     */
   lazy val pipelineMultimodal: String = {
     def tile(off: String): String =
-      s"(7 * doc_id + 13 * ((b // 8) * 9 + (b % 8)$off)) % 256"
+      s"(('0x' || substr(md5('img|' || doc_id::VARCHAR || '|' || " +
+      s"(((b // 8) * 9 + (b % 8)$off))::VARCHAR), 1, 2))::BIGINT)"
     def half(lo: Int, hi: Int, shiftBase: String): String =
       s"""list_sum([CASE WHEN ${tile("")} > ${tile(" + 1")}
          |    THEN (1::BIGINT << (b$shiftBase)) ELSE 0::BIGINT END

@@ -599,7 +599,8 @@ object SparkEntry {
       val docs = t(s, dir, "documents")
       val d = col("doc_id")
       val tiles = transform(sequence(lit(0), lit(71)),
-        tt => pmod(d * 7 + tt.cast("long") * 13, lit(256L)).cast("int"))
+        tt => conv(substring(md5(concat(lit("img|"), d.cast("string"),
+          lit("|"), tt.cast("string"))), 1, 2), 16, 10).cast("int"))
       val jpg = org.apache.spark.sql.GraftColumnBridge.column(
         graft.expressions.JpegSynthEncode(
           org.apache.spark.sql.GraftColumnBridge.expression(tiles),
@@ -1553,7 +1554,8 @@ object SparkEntry {
       val d = col("doc_id")
       val k = expr("(doc_id div 2) * 2")
       val tiles = transform(sequence(lit(0), lit(71)),
-        tt => pmod(k * 7 + tt.cast("long") * 13, lit(256L)).cast("int"))
+        tt => conv(substring(md5(concat(lit("img|"), k.cast("string"),
+          lit("|"), tt.cast("string"))), 1, 2), 16, 10).cast("int"))
       val jpg = org.apache.spark.sql.GraftColumnBridge.column(
         graft.expressions.JpegSynthEncode(
           org.apache.spark.sql.GraftColumnBridge.expression(tiles),

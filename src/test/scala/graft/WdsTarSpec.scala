@@ -97,6 +97,40 @@ class WdsTarSpec extends SparkSpec {
       d2.getAs[Map[String, Array[Byte]]]("parts")("txt"), "UTF-8") === "AAA")
   }
 
+  test("wdsCurate: image gate, dedup canonicality, caption floor compose; junk shards vanish") {
+    import graft.expressions.{JpegEncoder, TarKernel}
+    val tilesA = Array.tabulate(72)(t => (t * 31 + 7) % 256)
+    val tilesB = Array.tabulate(72)(t => (t * 17 + 99) % 256)
+    def jpg(tiles: Array[Int]) = JpegEncoder.encodeFlatTiles(tiles, 9, 8, 0, 0)
+    def shard(entries: (String, Array[Byte])*): Array[Byte] =
+      entries.map { case (n, b) => TarKernel.member(n.getBytes, b) }
+        .reduce(_ ++ _) ++ TarKernel.Terminator
+    val shards = Seq(
+      // doc 1: two samples with the SAME image; one good caption, one
+      // too short; plus a sample with a broken (undecodable) image
+      (1L, shard(
+        "a.jpg" -> jpg(tilesA), "a.txt" -> "two tokens".getBytes,
+        "b.jpg" -> jpg(tilesA), "b.txt" -> "fine words here".getBytes,
+        "c.jpg" -> "not a jpeg".getBytes, "c.txt" -> "good caption".getBytes)),
+      // doc 2: a fresh image, caption below the floor
+      (2L, shard("d.jpg" -> jpg(tilesB), "d.txt" -> "one".getBytes)),
+      // doc 3: junk bytes — not a tar, contributes zero samples
+      (3L, "complete garbage".getBytes)).toDF("doc_id", "shard")
+    val got = graft.ops.Pipeline.wdsCurate(shards, col("shard"))
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("stem")) -> r)
+      .toMap
+    assert(got.keySet === Set((1L, "a"), (1L, "b"), (1L, "c"), (2L, "d")))
+    assert(got((1L, "a")).getAs[Boolean]("keep"),
+      "canonical copy with a good caption must keep")
+    assert(!got((1L, "b")).getAs[Boolean]("keep"), "duplicate image drops")
+    assert(got((1L, "b")).getAs[Long]("n_copies") === 2L)
+    assert(!got((1L, "c")).getAs[Boolean]("image_ok") &&
+      !got((1L, "c")).getAs[Boolean]("keep"), "undecodable image drops")
+    assert(got((2L, "d")).getAs[Boolean]("is_canonical") &&
+      !got((2L, "d")).getAs[Boolean]("caption_ok") &&
+      !got((2L, "d")).getAs[Boolean]("keep"), "caption floor drops")
+  }
+
   test("driver-row chain: tar walk, regroup, and the real JPEG decode plan is UDF-free") {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet").limit(30)
     val q = SparkEntry.queries("wds_samples")
