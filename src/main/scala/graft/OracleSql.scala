@@ -3480,6 +3480,27 @@ object OracleSql {
        |FROM f ORDER BY doc_id, stem""".stripMargin
   }
 
+  /** ZIP ingest (mirror of Zip.entries ∘ build synth): names, sizes
+    * and content hashes re-derived from the text closed-form — Spark
+    * must reach them by walking the real central directory and
+    * CRC-verifying a genuine inflate.
+    */
+  lazy val zipEntries: String =
+    s"""WITH m AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 <> 0),
+       |e AS (
+       |  SELECT doc_id, 0::BIGINT AS entry_idx, 'doc.txt' AS entry_name,
+       |    hex(substring(text, 1, 80)::BLOB) AS h FROM m
+       |  UNION ALL
+       |  SELECT doc_id, 1::BIGINT, 'data.bin',
+       |    substring(hex(text::BLOB), 1, ((20 + doc_id % 40) * 2)::INT) FROM m
+       |  UNION ALL
+       |  SELECT doc_id, 2::BIGINT, 'meta/info.json',
+       |    hex(('{"doc":' || doc_id::VARCHAR || '}')::BLOB) FROM m)
+       |SELECT doc_id, entry_idx, entry_name,
+       |  (length(h) // 2)::BIGINT AS n_bytes,
+       |  ${hex64("h")} AS content_hash
+       |FROM e ORDER BY doc_id, entry_idx""".stripMargin
+
   val mmPngMeta: String =
     """WITH m AS (SELECT doc_id,
       |  16 + (doc_id % 7) * 9 AS w,

@@ -589,6 +589,29 @@ object SparkEntry {
             element_at(col("__st"), 1)).as("mean_gray"))
         .orderBy(d, col("stem"))
     }),
+    // ZIP archive ingest (the office/epub/jar container): EOCD →
+    // central directory → per-entry local offset, CRC-verified
+    // stored + deflate decompression inline; the oracle recomputes
+    // names, sizes and content hashes from the text closed-form
+    "zip_entries" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val d = col("doc_id")
+      val names = array(lit("doc.txt"), lit("data.bin"), lit("meta/info.json"))
+      val binSlice = unhex(hex(col("text").cast("binary"))
+        .substr(lit(1), ((lit(20L) + d % 40) * 2).cast("int")))
+      val datas = array(
+        substring(col("text"), 1, 80).cast("binary"),
+        binSlice,
+        concat(lit("{\"doc\":"), d.cast("string"), lit("}")).cast("binary"))
+      val methods = array(lit(0), lit(8), lit(8))
+      val blob = when(d % 10 === 0, col("text").cast("binary"))
+        .otherwise(graft.sources.Zip.build(names, datas, methods))
+      graft.sources.Zip.entries(docs.select(d, blob.as("archive")), col("archive"))
+        .select(d, col("entry_idx"), col("entry_name"),
+          length(col("entry_data")).cast("long").as("n_bytes"),
+          GraftFunctions.hex64(hex(col("entry_data"))).as("content_hash"))
+        .orderBy(d, col("entry_idx"))
+    }),
     // the multimodal curation capstone: WebDataset shards in,
     // per-sample keep decisions out — tar walk + regroup + REAL JPEG
     // decode + perceptual-dedup ledger + caption token battery, all
@@ -2004,6 +2027,7 @@ object SparkEntry {
     "mm_audio_dedup" -> OracleSql.mmAudioDedup,
     "mm_mp4_meta" -> OracleSql.mmMp4Meta,
     "pipeline_multimodal" -> OracleSql.pipelineMultimodal,
+    "zip_entries" -> OracleSql.zipEntries,
     "mm_bmp_pixels" -> OracleSql.mmBmpPixels,
     "mm_png_pixels" -> OracleSql.mmPngPixels,
     "mm_media_triage" -> OracleSql.mmMediaTriage,

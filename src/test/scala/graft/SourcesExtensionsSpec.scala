@@ -258,6 +258,59 @@ class SourcesExtensionsSpec extends SparkSpec {
     assert(viaGz === plain, "gz and plain ingest must land identical records")
   }
 
+  test("Zip: central-directory walk, CRC-verified inflate, JDK conformance both directions") {
+    import graft.expressions.ZipKernel
+    // an archive written by the INDEPENDENT JDK writer decodes
+    // name- and byte-exact (ZipOutputStream emits data descriptors
+    // after deflated entries — exactly why the walk must go through
+    // the central directory, not the local headers)
+    val bos = new java.io.ByteArrayOutputStream()
+    val zos = new java.util.zip.ZipOutputStream(bos)
+    zos.putNextEntry(new java.util.zip.ZipEntry("a/first.txt"))
+    zos.write("hello zip world".getBytes("UTF-8"))
+    zos.closeEntry()
+    zos.putNextEntry(new java.util.zip.ZipEntry("second.bin"))
+    zos.write(Array.tabulate(5000)(i => (i % 251).toByte))
+    zos.closeEntry()
+    val stored = new java.util.zip.ZipEntry("third.raw")
+    val payload = "stored bytes".getBytes("UTF-8")
+    stored.setMethod(java.util.zip.ZipOutputStream.STORED)
+    stored.setSize(payload.length)
+    val crc = new java.util.zip.CRC32(); crc.update(payload)
+    stored.setCrc(crc.getValue)
+    zos.putNextEntry(stored)
+    zos.write(payload)
+    zos.closeEntry()
+    zos.close()
+    val got = ZipKernel.entries(bos.toByteArray, 1 << 20)
+    assert(got != null && got.numElements() === 3, "JDK archive rejected")
+    assert(got.getStruct(0, 2).getUTF8String(0).toString === "a/first.txt")
+    assert(new String(got.getStruct(0, 2).getBinary(1), "UTF-8") === "hello zip world")
+    assert(got.getStruct(1, 2).getBinary(1).length === 5000)
+    assert(new String(got.getStruct(2, 2).getBinary(1), "UTF-8") === "stored bytes")
+    // and the JDK reader accepts OUR writer's archives
+    val ours = ZipKernel.build(
+      Array("x.txt".getBytes, "y/z.bin".getBytes),
+      Array("alpha".getBytes, Array.tabulate(600)(_.toByte)),
+      Array(0, 8))
+    val zis = new java.util.zip.ZipInputStream(
+      new java.io.ByteArrayInputStream(ours))
+    val e1 = zis.getNextEntry
+    assert(e1.getName === "x.txt" &&
+      new String(zis.readAllBytes(), "UTF-8") === "alpha")
+    val e2 = zis.getNextEntry
+    assert(e2.getName === "y/z.bin" && zis.readAllBytes().length === 600)
+    assert(zis.getNextEntry == null)
+    // traps: corrupt CRC, truncated tail, junk → null; bomb guard
+    val bad = ours.clone()
+    bad(30 + 5) = 'X' // flip a stored byte: CRC must catch it
+    assert(ZipKernel.entries(bad, 1 << 20) == null, "CRC mismatch must null")
+    assert(ZipKernel.entries(ours.take(ours.length - 5), 1 << 20) == null)
+    assert(ZipKernel.entries("not a zip at all......".getBytes, 1 << 20) == null)
+    assert(ZipKernel.entries(bos.toByteArray, 100) == null,
+      "per-entry budget must bound the inflate")
+  }
+
   test("Warc.parseHttp: status line, case-insensitive content-type, charset, payload split") {
     import graft.sources.Warc
     val rows = Seq(
