@@ -431,4 +431,28 @@ class PlanContractSpec extends SparkSpec {
     assert(phys.contains("partial_count") || phys.contains("partial count") ||
       phys.contains("HashAggregate"), s"cube agg not map-side combined:\n$phys")
   }
+
+  test("r12 ingest/codec layer: record streams shuffle NOTHING; regroups and ledgers are keyed aggs, window-free") {
+    // archive→record operators are kernel projections + explodes: the
+    // ONLY exchange in each driver row is its deterministic output sort
+    for (name <- Seq("warc_records", "warc_gz_records", "warc_http_meta",
+        "zip_entries", "mm_jpeg_pixels", "mm_pdf_text", "mm_mp4_meta")) {
+      val phys = physical(q(name))
+      assert(!phys.contains("Exchange hashpartitioning"),
+        s"$name: unexpected keyed shuffle:\n$phys")
+      assert(!phys.contains("Window"), s"$name: unexpected window:\n$phys")
+      assert(!phys.toLowerCase.contains("batchevalpython"), s"$name: python udf")
+    }
+    // the WebDataset regroup and the perceptual-dedup ledgers are the
+    // declared keyed aggregations — partial-aggregated, window-free,
+    // no cartesian anywhere
+    for (name <- Seq("wds_samples", "mm_image_dedup", "mm_audio_dedup",
+        "pipeline_multimodal")) {
+      val phys = physical(q(name))
+      assert(!phys.contains("Window"), s"$name: unexpected window:\n$phys")
+      assert(!phys.contains("CartesianProduct"), s"$name: cartesian:\n$phys")
+      assert(phys.contains("HashAggregate"),
+        s"$name: keyed stage not hash-aggregated:\n$phys")
+    }
+  }
 }
