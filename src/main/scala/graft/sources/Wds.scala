@@ -56,6 +56,41 @@ object Wds {
     * duplicate-key throw — `map_from_entries` would crash the job on
     * one bad shard).
     */
+  /** The WRITE face — pack curated samples back into WebDataset tar
+    * shards: each (stem, parts) row explodes into its members, stems
+    * hash deterministically onto `nShards` shards (stable across
+    * reruns and cluster sizes — the portable md5 discipline), and
+    * each shard aggregates its members in (stem, ext) order — a
+    * sample's members stay ADJACENT, the WebDataset contract — into
+    * one tar blob with the terminator. One keyed aggregation; the
+    * member rendering is the same deterministic writer the ingest
+    * side verifies against GNU tar. `samples ∘ packShards ∘ samples`
+    * is identity (spec-pinned).
+    */
+  def packShards(samples: DataFrame, nShards: Int): DataFrame = {
+    require(nShards > 0, s"nShards=$nShards must be positive")
+    val members = samples
+      .select(col("stem"), explode(col("parts")).as(Seq("__ext", "__data")))
+      .withColumn("__name",
+        when(col("__ext") === "", col("stem"))
+          .otherwise(concat(col("stem"), lit("."), col("__ext"))))
+      .withColumn("shard_id",
+        pmod(graft.GraftFunctions.hex64(col("stem")), lit(nShards.toLong)))
+    members.groupBy(col("shard_id"))
+      .agg(
+        count_distinct(col("stem")).as("n_samples"),
+        count(lit(1)).as("n_members"),
+        aggregate(
+          array_sort(collect_list(
+            struct(col("stem"), col("__ext"), col("__name"), col("__data")))),
+          lit(Array.emptyByteArray),
+          (acc, e) => concat(acc,
+            tarMember(e.getField("__name"), e.getField("__data"))))
+          .as("__body"))
+      .withColumn("shard", concat(col("__body"), tarTerminator))
+      .drop("__body")
+  }
+
   def samples(df: DataFrame, blob: Column,
       keys: Seq[String] = Seq("doc_id")): DataFrame = {
     val m = members(df, blob)

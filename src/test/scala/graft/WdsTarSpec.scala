@@ -131,6 +131,54 @@ class WdsTarSpec extends SparkSpec {
       !got((2L, "d")).getAs[Boolean]("keep"), "caption floor drops")
   }
 
+  test("packShards: samples round-trip through written shards; members stay adjacent") {
+    import graft.expressions.TarKernel
+    // a small curated corpus: 7 samples with mixed modalities
+    val srcShard = (1 to 7).map { i =>
+      TarKernel.member(s"sample$i.jpg".getBytes, Array.tabulate(40 + i)(_.toByte)) ++
+        TarKernel.member(s"sample$i.txt".getBytes, s"caption $i".getBytes)
+    }.reduce(_ ++ _) ++ TarKernel.Terminator
+    val src = Wds.samples(Seq((0L, srcShard)).toDF("doc_id", "shard"),
+      col("shard"))
+    def canon(df: org.apache.spark.sql.DataFrame): Set[(String, Seq[(String, Seq[Byte])])] =
+      df.select("stem", "parts").collect().map { r =>
+        r.getAs[String]("stem") ->
+          r.getAs[Map[String, Array[Byte]]]("parts").toSeq
+            .map { case (k, v) => k -> v.toSeq }.sortBy(_._1)
+      }.toSet
+    val shards = Wds.packShards(src, nShards = 3)
+    assert(shards.agg(sum(col("n_samples"))).head().getLong(0) === 7L)
+    assert(shards.agg(sum(col("n_members"))).head().getLong(0) === 14L)
+    // round trip: reading the written shards recovers the exact samples
+    val back = Wds.samples(
+      shards.select(col("shard_id").as("doc_id"), col("shard")),
+      col("shard"))
+    assert(canon(back) === canon(src), "packShards must round-trip exactly")
+    // adjacency: within every written shard, each stem's members are
+    // contiguous (the WebDataset streaming contract)
+    shards.select("shard").collect().foreach { r =>
+      val names = {
+        val got = TarKernel.members(r.getAs[Array[Byte]]("shard"))
+        (0 until got.numElements())
+          .map(i => got.getStruct(i, 2).getUTF8String(0).toString)
+      }
+      val stems = names.map(_.split('.').head)
+      val firstLast = stems.zipWithIndex.groupBy(_._1)
+        .view.mapValues(v => (v.map(_._2).min, v.map(_._2).max, v.size))
+      firstLast.foreach { case (stem, (lo, hi, n)) =>
+        assert(hi - lo + 1 === n, s"stem $stem members not adjacent: $names")
+      }
+    }
+    // determinism: the same samples pack to byte-identical shards
+    val again = Wds.packShards(src, nShards = 3)
+      .select("shard_id", "shard").collect()
+      .map(r => r.getLong(0) -> r.getAs[Array[Byte]](1).toSeq).toMap
+    shards.select("shard_id", "shard").collect().foreach { r =>
+      assert(again(r.getLong(0)) === r.getAs[Array[Byte]](1).toSeq,
+        "pack must be deterministic")
+    }
+  }
+
   test("driver-row chain: tar walk, regroup, and the real JPEG decode plan is UDF-free") {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet").limit(30)
     val q = SparkEntry.queries("wds_samples")
