@@ -3480,6 +3480,33 @@ object OracleSql {
        |FROM f ORDER BY doc_id, stem""".stripMargin
   }
 
+  /** mbox ingest (mirror of Mbox.parseMessages ∘ messages ∘ synth):
+    * every field re-derived closed-form — incl. the mboxrd `>From `
+    * unescape the synth plants — so the hash match proves the
+    * envelope split and the case-insensitive header parse.
+    */
+  lazy val mboxMessages: String =
+    s"""WITH m AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 <> 0),
+       |e AS (
+       |  SELECT doc_id, 0::BIGINT AS msg_idx,
+       |    'sender' || doc_id::VARCHAR || '@ex.com' AS envelope_from,
+       |    'user' || doc_id::VARCHAR || '@example.com' AS from_addr,
+       |    substring(text, 1, 60) AS body
+       |  FROM m
+       |  UNION ALL
+       |  SELECT doc_id, 1::BIGINT,
+       |    'sender' || (doc_id + 1)::VARCHAR || '@ex.com',
+       |    'user' || (doc_id + 1)::VARCHAR || '@example.com',
+       |    'line one' || chr(10) || 'From the start' || chr(10) ||
+       |      'end ' || doc_id::VARCHAR
+       |  FROM m)
+       |SELECT doc_id, msg_idx, envelope_from, from_addr,
+       |  'doc ' || doc_id::VARCHAR || ' msg ' || msg_idx::VARCHAR AS subject,
+       |  '2026-01-0' || (1 + doc_id % 9)::VARCHAR AS date_hdr,
+       |  length(body)::BIGINT AS n_body_chars,
+       |  ${hex64("body")} AS body_hash
+       |FROM e ORDER BY doc_id, msg_idx""".stripMargin
+
   /** ZIP ingest (mirror of Zip.entries ∘ build synth): names, sizes
     * and content hashes re-derived from the text closed-form — Spark
     * must reach them by walking the real central directory and

@@ -589,6 +589,35 @@ object SparkEntry {
             element_at(col("__st"), 1)).as("mean_gray"))
         .orderBy(d, col("stem"))
     }),
+    // mbox mailbox ingest (the classic email-corpus framing): the
+    // line-anchored envelope split (safe because mboxrd escapes
+    // in-body `From ` as `>From ` — and the synth PLANTS that escape
+    // so the unescape provably fires), case-insensitive header parse;
+    // oracle recomputes every field closed-form
+    "mbox_messages" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val d = col("doc_id")
+      def msg(i: Int) = concat(
+        lit("From sender"), (d + i).cast("string"),
+        lit("@ex.com Thu Jan  1 00:00:00 2026\n"),
+        lit(if (i == 0) "From" else "FROM"), lit(": user"),
+        (d + i).cast("string"), lit("@example.com\nSubject: doc "),
+        d.cast("string"), lit(s" msg $i\nDate: 2026-01-0"),
+        (lit(1L) + d % 9).cast("string"), lit("\n\n"),
+        if (i == 0) substring(col("text"), 1, 60)
+        else concat(lit("line one\n>From the start\nend "), d.cast("string")))
+      val blob = when(d % 10 === 0, col("text"))
+        .otherwise(concat(msg(0), lit("\n"), msg(1)))
+      graft.sources.Mbox.parseMessages(
+          graft.sources.Mbox.messages(
+            docs.select(d, blob.as("mbox")), col("mbox")),
+          col("message"))
+        .select(d, col("msg_idx"), col("envelope_from"), col("from_addr"),
+          col("subject"), col("date_hdr"),
+          length(col("body")).cast("long").as("n_body_chars"),
+          GraftFunctions.hex64(col("body")).as("body_hash"))
+        .orderBy(d, col("msg_idx"))
+    }),
     // ZIP archive ingest (the office/epub/jar container): EOCD →
     // central directory → per-entry local offset, CRC-verified
     // stored + deflate decompression inline; the oracle recomputes
@@ -2028,6 +2057,7 @@ object SparkEntry {
     "mm_mp4_meta" -> OracleSql.mmMp4Meta,
     "pipeline_multimodal" -> OracleSql.pipelineMultimodal,
     "zip_entries" -> OracleSql.zipEntries,
+    "mbox_messages" -> OracleSql.mboxMessages,
     "mm_bmp_pixels" -> OracleSql.mmBmpPixels,
     "mm_png_pixels" -> OracleSql.mmPngPixels,
     "mm_media_triage" -> OracleSql.mmMediaTriage,

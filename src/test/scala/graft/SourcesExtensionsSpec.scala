@@ -311,6 +311,33 @@ class SourcesExtensionsSpec extends SparkSpec {
       "per-entry budget must bound the inflate")
   }
 
+  test("Mbox: envelope split, mboxrd unescape, header case, no-envelope blobs vanish") {
+    import graft.sources.Mbox
+    val mbox =
+      "From a@x.com Thu Jan  1 00:00:00 2026\n" +
+        "FROM: Alice <a@x.com>\nSubject: first\n\n" +
+        "body one\n>From me, escaped\n" +
+        "From b@y.org Thu Jan  1 00:00:01 2026\n" +
+        "Subject: second\n\nplain\n" +
+        "From c@z.net Thu Jan  1 00:00:02 2026\n\n" // headers absent, empty body
+    val got = Mbox.parseMessages(
+        Mbox.messages(Seq((1L, mbox)).toDF("doc_id", "mbox"), col("mbox")),
+        col("message"))
+      .collect().map(r => r.getAs[Long]("msg_idx") -> r).toMap
+    assert(got.size === 3)
+    assert(got(0L).getAs[String]("envelope_from") === "a@x.com")
+    assert(got(0L).getAs[String]("from_addr") === "Alice <a@x.com>",
+      "header-name matching must be case-insensitive")
+    assert(got(0L).getAs[String]("body") === "body one\nFrom me, escaped",
+      "mboxrd >From must unescape")
+    assert(got(1L).getAs[String]("from_addr") == null, "absent From: header")
+    assert(got(1L).getAs[String]("subject") === "second")
+    assert(got(2L).getAs[String]("envelope_from") === "c@z.net")
+    // a blob with no envelope separator yields zero messages
+    assert(Mbox.messages(Seq((1L, "just plain text, no mail here"))
+      .toDF("doc_id", "mbox"), col("mbox")).count() === 0L)
+  }
+
   test("Warc.parseHttp: status line, case-insensitive content-type, charset, payload split") {
     import graft.sources.Warc
     val rows = Seq(
