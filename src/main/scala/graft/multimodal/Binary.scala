@@ -1400,6 +1400,11 @@ object Binary {
         .when(Bmp.isBmp(p), "bmp")
         .when(Gif.isGif(p), "gif")
         .when(Pdf.isPdf(p), "pdf")
+        // BMFF: the first box is ftyp in every real file
+        .when(length(p) >= 12 &&
+          substring(p, 5, 4) === lit("ftyp".getBytes("US-ASCII")), "mp4")
+        .when(length(p) >= 4 && substring(p, 1, 4) ===
+          lit(Array[Byte]('P', 'K', 3, 4)), "zip")
         .otherwise("unknown")
     val keep = media.columns.map(col)
     val afterWav = Wav.parse(media, payloadCol)
@@ -1422,7 +1427,27 @@ object Binary {
         col("jpeg_valid") :+ col("jpeg_pixels") :+
         col("bmp_valid") :+ col("bmp_pixels") :+
         col("gif_valid") :+ col("n_pixels").as("gif_pixels"): _*)
-    Pdf.parse(afterGif, payloadCol)
+    // Mp4.parse also emits `duration_ms` — park the WAV one first
+    val afterPdf = Pdf.parse(afterGif, payloadCol)
+      .select(keep :+ col("wav_valid") :+ col("duration_ms").as("wav_ms") :+
+        col("png_valid") :+ col("png_pixels") :+
+        col("jpeg_valid") :+ col("jpeg_pixels") :+
+        col("bmp_valid") :+ col("bmp_pixels") :+
+        col("gif_valid") :+ col("gif_pixels") :+
+        col("pdf_valid") :+ col("n_pages"): _*)
+    val afterMp4 = Mp4.parse(afterPdf, payloadCol)
+      .select(keep :+ col("wav_valid") :+ col("wav_ms") :+
+        col("png_valid") :+ col("png_pixels") :+
+        col("jpeg_valid") :+ col("jpeg_pixels") :+
+        col("bmp_valid") :+ col("bmp_pixels") :+
+        col("gif_valid") :+ col("gif_pixels") :+
+        col("pdf_valid") :+ col("n_pages") :+
+        col("mp4_valid") :+ col("duration_ms").as("mp4_ms"): _*)
+    val zipEntries = org.apache.spark.sql.GraftColumnBridge.column(
+      graft.expressions.ZipEntries(
+        org.apache.spark.sql.GraftColumnBridge.expression(p), 1 << 22))
+    afterMp4
+      .withColumn("__zip", when(detected === "zip", zipEntries))
       .select(col("doc_id"), detected.as("detected"),
         length(p).cast("long").as("payload_bytes"),
         when(detected === "wav", col("wav_valid"))
@@ -1431,13 +1456,18 @@ object Binary {
           .when(detected === "bmp", col("bmp_valid"))
           .when(detected === "gif", col("gif_valid"))
           .when(detected === "pdf", col("pdf_valid"))
+          .when(detected === "mp4", col("mp4_valid"))
+          .when(detected === "zip", col("__zip").isNotNull)
           .otherwise(lit(false)).as("valid"),
-        when(detected === "wav", col("duration_ms"))
+        when(detected === "wav", col("wav_ms"))
           .when(detected === "png", col("png_pixels"))
           .when(detected === "jpeg", col("jpeg_pixels"))
           .when(detected === "bmp", col("bmp_pixels"))
           .when(detected === "gif", col("gif_pixels"))
-          .when(detected === "pdf", col("n_pages")).as("content_units"))
+          .when(detected === "pdf", col("n_pages"))
+          .when(detected === "mp4", col("mp4_ms"))
+          .when(detected === "zip", size(col("__zip")).cast("long"))
+          .as("content_units"))
   }
 
   def metadataStats(docs: DataFrame): DataFrame =

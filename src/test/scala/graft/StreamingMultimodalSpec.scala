@@ -1342,6 +1342,38 @@ class StreamingMultimodalSpec extends SparkSpec {
     }
   }
 
+  test("triage routes all eight families: mp4 duration and zip entry counts as content units") {
+    import spark.implicits._
+    val docs = Tables.load(spark, sfDir, "documents").limit(30)
+    val mp4 = graft.multimodal.Binary.Mp4.synthFromDocs(docs)
+      .select(col("doc_id"), col("payload"))
+    val t1 = graft.multimodal.Binary.triage(mp4).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    t1.foreach { case (d, r) =>
+      if (d % 10 == 0) assert(r.getAs[String]("detected") === "unknown")
+      else {
+        assert(r.getAs[String]("detected") === "mp4", s"doc $d: $r")
+        val ts = if (d % 3 == 0) 600L else 1000L
+        val dur = (1 + d % 50) * ts + d % 97
+        assert(r.getAs[Long]("content_units") === dur * 1000 / ts,
+          s"doc $d: mp4 content_units must be duration_ms")
+      }
+    }
+    val zipBlob = graft.expressions.ZipKernel.build(
+      Array("a.txt".getBytes, "b.txt".getBytes, "c/d.bin".getBytes),
+      Array("one".getBytes, "two".getBytes, "three".getBytes),
+      Array(0, 8, 8))
+    val t2 = graft.multimodal.Binary.triage(
+      Seq((1L, zipBlob)).toDF("doc_id", "payload")).head()
+    assert(t2.getAs[String]("detected") === "zip" && t2.getAs[Boolean]("valid"))
+    assert(t2.getAs[Long]("content_units") === 3L,
+      "zip content_units must be the entry count")
+    // a zip-magic payload with a corrupt tail: detected but invalid
+    val t3 = graft.multimodal.Binary.triage(
+      Seq((1L, zipBlob.take(zipBlob.length - 4))).toDF("doc_id", "payload")).head()
+    assert(t3.getAs[String]("detected") === "zip" && !t3.getAs[Boolean]("valid"))
+  }
+
   test("metadataStats hash equals md5 of the text") {
     val docs = Tables.load(spark, sfDir, "documents").limit(5)
     val got = Binary.metadataStats(docs).collect()
