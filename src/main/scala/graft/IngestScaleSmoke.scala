@@ -209,6 +209,59 @@ object IngestScaleSmoke {
     println(f"MP4 n=$nImages walk+parse=${tMp4}%.1fs " +
       f"(${nImages / tMp4 / 1000}%.0fk box-walks/s)")
 
+    // ---- rung 6: ZIP archives — central-directory walk + CRC-verified
+    // inflate, 10 entries per archive ----
+    val nZips = nImages / 10
+    val zid = col("id")
+    val zNames = transform(sequence(lit(0L), lit(9L)),
+      i => concat(lit("e"), i.cast("string"), lit("/f.txt")))
+    val zDatas = transform(sequence(lit(0L), lit(9L)),
+      i => rpad(concat(lit("entry "), (zid * 10 + i).cast("string"), lit(" ")),
+        120, "z").cast("binary"))
+    val zMethods = transform(sequence(lit(0L), lit(9L)),
+      i => when(i % 2 === 0, 0).otherwise(lit(8)).cast("int"))
+    val zips = spark.range(nZips).toDF("id")
+      .select(zid.as("doc_id"),
+        graft.sources.Zip.build(zNames, zDatas, zMethods).as("archive"))
+      .repartition(64).cache()
+    zips.count()
+    val (zAgg, tZip) = time {
+      graft.sources.Zip.entries(zips, col("archive"))
+        .agg(count(lit(1)).as("n"), sum(length(col("entry_data"))).as("bytes"))
+        .head()
+    }
+    assert(zAgg.getLong(0) == nZips.toLong * 10, s"zip entries: ${zAgg.getLong(0)}")
+    assert(zAgg.getLong(1) == nZips.toLong * 10 * 120, s"zip bytes: ${zAgg.getLong(1)}")
+    println(f"ZIP archives=$nZips entries=${nZips * 10} " +
+      f"walk+inflate=${tZip}%.1fs (${nZips * 10 / tZip / 1000}%.0fk entries/s)")
+
+    // ---- rung 7: mbox mailboxes — envelope split + header parse,
+    // 10 messages per mailbox ----
+    val nBoxes = nImages / 10
+    val mid = col("id")
+    val msgArr = transform(sequence(lit(0L), lit(9L)), i => concat(
+      lit("From s"), (mid * 10 + i).cast("string"),
+      lit("@x.com Thu Jan  1 00:00:00 2026\nFrom: u"),
+      (mid * 10 + i).cast("string"),
+      lit("@example.com\nSubject: m"), i.cast("string"),
+      lit("\n\nbody "), rpad((mid * 10 + i).cast("string"), 40, "b")))
+    val boxes = spark.range(nBoxes).toDF("id")
+      .select(mid.as("doc_id"),
+        array_join(msgArr, "\n").as("mbox"))
+      .repartition(64).cache()
+    boxes.count()
+    val (mbAgg, tMbox) = time {
+      graft.sources.Mbox.parseMessages(
+          graft.sources.Mbox.messages(boxes, col("mbox")), col("message"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("from_addr").isNotNull, 1L).otherwise(0L)).as("hdrs"))
+        .head()
+    }
+    assert(mbAgg.getLong(0) == nBoxes.toLong * 10, s"messages: ${mbAgg.getLong(0)}")
+    assert(mbAgg.getLong(1) == nBoxes.toLong * 10, "every message has From:")
+    println(f"MBOX boxes=$nBoxes messages=${nBoxes * 10} " +
+      f"split+parse=${tMbox}%.1fs (${nBoxes * 10 / tMbox / 1000}%.0fk msg/s)")
+
     println("INGEST_SCALE_SMOKE_OK")
     spark.stop()
   }

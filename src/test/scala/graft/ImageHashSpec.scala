@@ -88,6 +88,34 @@ class ImageHashSpec extends SparkSpec {
     assert(AudioHashKernel.ahash(a, 24) == null)
   }
 
+  test("imageDedupStream: stream-static seen-filter on decoded fingerprints, batch-identical") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val tilesA = Array.tabulate(72)(t => (t * 31 + 7) % 256)
+    val tilesB = Array.tabulate(72)(t => (t * 17 + 99) % 256)
+    def jpg(tiles: Array[Int]) = JpegEncoder.encodeFlatTiles(tiles, 9, 8, 0, 0)
+    // the landed corpus knows image A (as decoded from a RE-ENCODE:
+    // restart framing differs, content identical)
+    val landed = Seq(Tuple1(
+      graft.expressions.ImageHashKernel.dhash(
+        JpegEncoder.encodeFlatTiles(tilesA, 9, 8, 0, 3)).longValue()))
+      .toDF("dhash")
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[(Long, Array[Byte])]
+    mem.addData(Seq(
+      (1L, jpg(tilesA)), // seen (content collides across framings)
+      (2L, jpg(tilesB)), // fresh
+      (3L, "junk".getBytes))) // undecodable
+    val streamed = graft.streaming.Streams.imageDedupStream(
+      mem.toDF().toDF("doc_id", "payload"), landed)
+    val got = graft.streaming.Streams.runOnce(spark, streamed, "img_dedup_stream",
+        org.apache.spark.sql.streaming.OutputMode.Append())
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(got(1L).getAs[Boolean]("seen") && !got(1L).getAs[Boolean]("keep"),
+      "a re-encoded landed image must be seen")
+    assert(!got(2L).getAs[Boolean]("seen") && got(2L).getAs[Boolean]("keep"))
+    assert(!got(3L).getAs[Boolean]("image_valid") && !got(3L).getAs[Boolean]("keep"))
+  }
+
   test("imageDedup: planted pairs group, keeper is min doc_id, invalid lane nulls") {
     val rows = SparkEntry.queries("mm_image_dedup")(spark, sfDir).collect()
       .map(r => r.getAs[Long]("doc_id") -> r).toMap
