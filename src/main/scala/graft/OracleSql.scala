@@ -2306,6 +2306,27 @@ object OracleSql {
        |  CAST(chunk_idx * 150 + 1 AS BIGINT) AS chunk_start,
        |  substring(text, chunk_idx * 150 + 1, 200) AS chunk FROM x)""".stripMargin
 
+  /** Per-doc keywords (mirror of TextAnalysis.keywords, k=5, maxDf
+    * 100000): exact integer tf/df counts, the rational idf in the
+    * same IEEE operation order, rank via (score desc, hex64 asc) —
+    * the window here replays the bounded top-k's ordering exactly.
+    */
+  lazy val textKeywords: String =
+    s"""WITH t AS (SELECT doc_id, unnest($Toks) AS tok FROM documents),
+       |tf AS (SELECT doc_id, tok, count(*)::BIGINT AS tf FROM t GROUP BY 1, 2),
+       |dfq AS (SELECT tok, count(*)::BIGINT AS df FROM tf GROUP BY 1
+       |  HAVING count(*) <= 100000),
+       |n AS (SELECT count(DISTINCT doc_id) AS nd FROM tf),
+       |s AS (SELECT tf.doc_id, tf.tok, tf.tf, dfq.df,
+       |  tf.tf::DOUBLE * ((n.nd::DOUBLE - dfq.df + 0.5) / (dfq.df + 0.5))
+       |    AS kw_score,
+       |  ${hex64("tok")} AS tid
+       |  FROM tf JOIN dfq USING (tok) CROSS JOIN n),
+       |r AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+       |  ORDER BY kw_score DESC, tid ASC) AS rank FROM s)
+       |SELECT doc_id, rank::BIGINT AS rank, tok AS keyword, tf, df, kw_score
+       |FROM r WHERE rank <= 5 ORDER BY doc_id, rank""".stripMargin
+
   /** Sentence segmentation (mirror of TextAnalysis.sentences): the
     * identical RE2 rule, trim, empty-drop, and positional index.
     */

@@ -265,6 +265,13 @@ object SparkEntry {
     "text_chunks" -> ((s, dir) =>
       TextAnalysis.chunks(t(s, dir, "documents"))
         .orderBy(col("doc_id"), col("chunk_idx"))),
+    // per-doc keyword extraction: tf × rational idf (the BM25 idf
+    // argument, log dropped — monotone, so the ranking is familiar
+    // and every score stays exact integer counts + two IEEE
+    // divisions); bounded top-k per doc, never a rank window
+    "text_keywords" -> ((s, dir) =>
+      TextAnalysis.keywords(t(s, dir, "documents"))
+        .orderBy(col("doc_id"), col("rank"))),
     // sentence segmentation with provenance: terminal-punctuation
     // rule, RE2-portable so the oracle replays it verbatim; the
     // unpunctuated corpus gets terminators PLANTED closed-form
@@ -1900,6 +1907,7 @@ object SparkEntry {
     "corpus_language_mix" -> OracleSql.corpusLanguageMix,
     "text_fingerprint" -> OracleSql.textFingerprint,
     "text_chunks" -> OracleSql.textChunks,
+    "text_keywords" -> OracleSql.textKeywords,
     "text_sentences" -> OracleSql.textSentences,
     "text_sentence_chunks" -> OracleSql.textSentenceChunks,
     "text_dup_chunk_ratio" -> OracleSql.textDupChunkRatio,

@@ -1523,6 +1523,52 @@ object TextAnalysis {
     * (doc_id, index, start offset) and a portable content hash, so a
     * downstream exact-dedup over chunks composes directly.
     */
+  /** Per-document keyword extraction — the metadata op a corpus
+    * curator tags documents with: each document's top-`k` tokens by
+    * tf × rational idf, where the idf factor is BM25's
+    * `(N − df + ½)/(df + ½)` WITHOUT the log — the log is monotone,
+    * so which tokens score high is the familiar ranking, and dropping
+    * it keeps every score a product of exact integer counts and two
+    * IEEE divisions (cross-engine hash-exact with no ln machinery).
+    * Corpus-frequent tokens (df > `maxDf`) are excluded exactly like
+    * the inverted index's stopword cap.
+    *
+    * Scale shape: tf and df are two keyed aggregations; N rides as a
+    * broadcast 1-row frame; per-doc selection is the bounded
+    * [[graft.expressions.TopKByScore]] aggregate on (score,
+    * hex64(token)) — map-side partials, ≤ k rows per doc per
+    * partition into the shuffle, NEVER a rank window — and the token
+    * string joins back on the hash.
+    */
+  def keywords(docs: DataFrame, k: Int = 5,
+      maxDf: Long = DefaultMaxTokenDf): DataFrame = {
+    val tf = withToks(docs)
+      .select(col("doc_id"), explode(col("toks")).as("tok"))
+      .groupBy(col("doc_id"), col("tok"))
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("tok"))
+      .agg(count(lit(1)).as("df"))
+      .where(col("df") <= maxDf)
+    val nDocs = tf.groupBy().agg(count_distinct(col("doc_id")).as("__n"))
+    val scored = tf.join(dfreq, Seq("tok"))
+      .crossJoin(graft.ops.Broadcasting.maybeBroadcast(nDocs))
+      .withColumn("kw_score",
+        col("tf").cast("double") *
+          ((col("__n").cast("double") - col("df") + 0.5) / (col("df") + 0.5)))
+      .withColumn("__tid", GraftFunctions.hex64(col("tok")))
+    val top = scored.groupBy(col("doc_id"))
+      .agg(GraftFunctions.top_k_by_score(col("kw_score"), col("__tid"), k)
+        .as("__top"))
+      .select(col("doc_id"), posexplode(col("__top")).as(Seq("__r", "__e")))
+      .select(col("doc_id"), (col("__r") + 1).cast("long").as("rank"),
+        col("__e.id").as("__tid"))
+    top.join(scored.select(col("doc_id"), col("__tid"), col("tok"),
+        col("tf"), col("df"), col("kw_score")),
+        Seq("doc_id", "__tid"))
+      .select(col("doc_id"), col("rank"), col("tok").as("keyword"),
+        col("tf"), col("df"), col("kw_score"))
+  }
+
   /** Sentence segmentation with provenance — the boundary-aware
     * sibling of fixed-width [[chunks]]: each document explodes into
     * its sentences (terminal-punctuation rule: a maximal
