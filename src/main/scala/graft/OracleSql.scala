@@ -554,7 +554,16 @@ object OracleSql {
       Html.CommentBlock, Html.AnyTag)
       .foldLeft("h") { (acc, pat) =>
         s"regexp_replace($acc, '$pat', ' ', 'g')" }
-    val decoded = Html.Entities.foldLeft(stripped) {
+    // numeric plants FIRST (r13): the Spark side decodes numeric refs
+    // generically in the single-pass kernel; DuckDB mirrors the
+    // PLANTED set by literal replace (none of the planted sequences
+    // interacts with the named list, and the invalid plants appear in
+    // no list — both engines keep them literal). Running them before
+    // the named fold means a later `&amp;`→`&` rewrite can never
+    // fabricate a numeric-looking sequence the kernel would not see.
+    val numeric = Html.NumericPlants.foldLeft(stripped) {
+      case (acc, (ent, ch)) => s"replace($acc, ${slit(ent)}, ${slit(ch)})" }
+    val decoded = Html.Entities.foldLeft(numeric) {
       case (acc, (ent, ch)) => s"replace($acc, ${slit(ent)}, ${slit(ch)})" }
     s"trim(regexp_replace($decoded, '${Html.WhitespaceClass}', ' ', 'g'))"
   }
@@ -3342,16 +3351,22 @@ object OracleSql {
     */
   val mmPdfMeta: String =
     """WITH m AS (SELECT doc_id, 1 + doc_id % 4 AS p,
-      |  doc_id % 10 = 0 AS invalid FROM documents)
+      |  doc_id % 10 = 0 AS invalid, doc_id % 3 = 1 AS xs FROM documents)
       |SELECT doc_id,
       |  CASE WHEN invalid THEN 'text/plain' ELSE 'application/pdf' END AS media_type,
       |  NOT invalid AS pdf_valid,
       |  CASE WHEN invalid THEN NULL
       |    ELSE '1.' || (5 + doc_id % 3)::VARCHAR END AS version,
-      |  (CASE WHEN invalid THEN NULL ELSE p + 3 END)::BIGINT AS n_objects,
-      |  (CASE WHEN invalid THEN NULL ELSE 1 END)::BIGINT AS n_streams,
+      |  (CASE WHEN invalid THEN NULL
+      |    WHEN xs THEN p + 4 ELSE p + 3 END)::BIGINT AS n_objects,
+      |  (CASE WHEN invalid THEN NULL
+      |    WHEN xs THEN 2 ELSE 1 END)::BIGINT AS n_streams,
       |  (CASE WHEN invalid THEN NULL ELSE p END)::BIGINT AS n_pages,
       |  CASE WHEN invalid THEN NULL ELSE doc_id % 7 = 0 END AS encrypted,
+      |  CASE WHEN invalid THEN NULL
+      |    WHEN xs THEN 'stream' ELSE 'table' END AS xref_layout,
+      |  (CASE WHEN invalid THEN NULL
+      |    WHEN xs THEN p + 5 ELSE p + 4 END)::BIGINT AS declared_size,
       |  CASE WHEN invalid THEN NULL ELSE TRUE END AS startxref_ok,
       |  CASE WHEN invalid THEN NULL ELSE TRUE END AS header_consistent
       |FROM m ORDER BY doc_id""".stripMargin

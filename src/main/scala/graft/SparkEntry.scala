@@ -1586,7 +1586,8 @@ object SparkEntry {
       graft.multimodal.Binary.Pdf.parse(media)
         .select(col("doc_id"), col("media_type"), col("pdf_valid"),
           col("version"), col("n_objects"), col("n_streams"), col("n_pages"),
-          col("encrypted"), col("startxref_ok"), col("header_consistent"))
+          col("encrypted"), col("xref_layout"), col("declared_size"),
+          col("startxref_ok"), col("header_consistent"))
         .orderBy(col("doc_id"))
     }),
     // REAL PDF text extraction: declared-/Length stream slices (bytes
@@ -1607,7 +1608,10 @@ object SparkEntry {
     // keep-ledger; paired docs share a planted tile pattern so real
     // duplicate groups form, and the oracle recomputes the 64
     // gradient bits closed-form (exactly one flat tile per dHash
-    // grid cell: 9×8 tiles of 8px)
+    // grid cell: 9×8 tiles of 8px). r13: each pair's ODD member is a
+    // PROGRESSIVE (SOF2) re-encode of the same tiles — the collision
+    // now proves perceptual dedup sees across the baseline/
+    // progressive layout divide (content collides, bytes don't)
     "mm_image_dedup" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
       val d = col("doc_id")
@@ -1619,7 +1623,8 @@ object SparkEntry {
         graft.expressions.JpegSynthEncode(
           org.apache.spark.sql.GraftColumnBridge.expression(tiles),
           org.apache.spark.sql.GraftColumnBridge.expression(
-            array(lit(9), lit(8), lit(0), lit(0)))))
+            array(lit(9), lit(8), lit(0), lit(0),
+              when(d % 2 === 1, lit(1)).otherwise(lit(0)).cast("int")))))
       val media = docs.select(d,
         when(d % 10 === 0, col("text").cast("binary")).otherwise(jpg)
           .as("payload"))

@@ -494,25 +494,546 @@ object JpegDecodeKernel {
     Array(w.toLong, h.toLong, sr, sg, sb, peak)
   }
 
-  /** (n_pixels, sum_r, sum_g, sum_b, peak_byte) over a baseline JPEG
-    * payload, or null.
+  // ------------------------------------------------------------------
+  // Progressive (SOF2) decode — r13. A progressive stream carries the
+  // SAME DCT coefficients as its baseline re-encode, split across
+  // scans: DC and AC bands arrive separately (spectral selection) and
+  // each band may arrive high-bits-first (successive approximation,
+  // ITU-T T.81 §G; the refinement algorithms below follow the public
+  // libjpeg jdphuff.c decode_mcu_DC/AC_first/refine semantics). The
+  // decoder accumulates full coefficient planes across scans and runs
+  // the SAME dequantize → islow IDCT → YCbCr→RGB pipeline at EOI — so
+  // a progressive re-encode of an image decodes to byte-identical
+  // samples, which is exactly what lets perceptual dedup collide
+  // baseline/progressive pairs (a real corpus is ~10-20% progressive;
+  // pre-r13 these nulled and dedup was blind there).
+
+  /** Pixel bomb guard for progressive streams — tighter than the
+    * baseline cap because coefficient planes for the WHOLE image must
+    * persist across scans (≤ 3·4·w·h bytes at 4:4:4): 2M pixels
+    * bounds the transient at ~24 MB per image.
+    */
+  val MaxProgressivePixels: Long = 1L << 21
+
+  /** The stream's SOF marker (0xC0 baseline … 0xC2 progressive …), or
+    * -1 — a cheap marker-walk probe used to dispatch decoders.
+    */
+  def sofMarker(p: Array[Byte]): Int = {
+    if (p.length < 4) return -1
+    if ((p(0) & 0xFF) != 0xFF || (p(1) & 0xFF) != 0xD8) return -1
+    var pos = 2
+    while (pos + 1 < p.length) {
+      if ((p(pos) & 0xFF) != 0xFF) return -1
+      var m = p(pos + 1) & 0xFF
+      pos += 2
+      while (m == 0xFF) {
+        if (pos >= p.length) return -1
+        m = p(pos) & 0xFF
+        pos += 1
+      }
+      if (m >= 0xC0 && m <= 0xCF && m != 0xC4 && m != 0xC8 && m != 0xCC)
+        return m
+      m match {
+        case 0xD8 => // stray SOI
+        case 0xD9 | 0xDA => return -1 // EOI / scan before any SOF
+        case x if x >= 0xD0 && x <= 0xD7 => // RST: no length
+        case _ =>
+          if (pos + 1 >= p.length) return -1
+          val len = u16(p, pos)
+          if (len < 2 || pos + len > p.length) return -1
+          pos += len
+      }
+    }
+    -1
+  }
+
+  private def decodeProgressive(p: Array[Byte], fill: Array[Int]): Array[Long] = {
+    if (p.length < 4) return null
+    if ((p(0) & 0xFF) != 0xFF || (p(1) & 0xFF) != 0xD8) return null
+    var pos = 2
+    val qt = new Array[Array[Int]](4)
+    val dcT = new Array[Huff](4)
+    val acT = new Array[Huff](4)
+    var ri = 0
+    var w = 0; var h = 0; var ncomp = 0
+    val cid = new Array[Int](4)
+    val ch = new Array[Int](4); val cv = new Array[Int](4); val cq = new Array[Int](4)
+    var hmax = 1; var vmax = 1
+    var mcusX = 0; var mcusY = 0
+    // per component: padded block grid (MCU-aligned) and REAL block
+    // dims (non-interleaved scans iterate only real blocks)
+    val bwPad = new Array[Int](4); val bhPad = new Array[Int](4)
+    val bwReal = new Array[Int](4); val bhReal = new Array[Int](4)
+    var coefs: Array[Array[Int]] = null // natural order, 64 per block
+    var nScans = 0
+    var eoi = false
+
+    while (!eoi) {
+      if (pos + 1 >= p.length) return null
+      if ((p(pos) & 0xFF) != 0xFF) return null
+      var marker = p(pos + 1) & 0xFF
+      pos += 2
+      while (marker == 0xFF) {
+        if (pos >= p.length) return null
+        marker = p(pos) & 0xFF
+        pos += 1
+      }
+      marker match {
+        case 0xD8 => // stray SOI
+        case 0xD9 => eoi = true
+        case 0xC2 => // SOF2: progressive Huffman
+          if (coefs != null) return null // second frame
+          if (pos + 1 >= p.length) return null
+          val len = u16(p, pos)
+          if (pos + len > p.length || len < 8) return null
+          val prec = p(pos + 2) & 0xFF
+          h = u16(p, pos + 3)
+          w = u16(p, pos + 5)
+          ncomp = p(pos + 7) & 0xFF
+          if (prec != 8 || w <= 0 || h <= 0) return null
+          if (ncomp != 1 && ncomp != 3) return null
+          if (w.toLong * h > MaxProgressivePixels) return null
+          if (len != 8 + 3 * ncomp) return null
+          var i = 0
+          while (i < ncomp) {
+            cid(i) = p(pos + 8 + 3 * i) & 0xFF
+            val sf = p(pos + 9 + 3 * i) & 0xFF
+            ch(i) = sf >> 4; cv(i) = sf & 0x0F
+            cq(i) = p(pos + 10 + 3 * i) & 0xFF
+            if (ch(i) < 1 || ch(i) > 2 || cv(i) < 1 || cv(i) > 2 || cq(i) > 3)
+              return null
+            i += 1
+          }
+          if (ncomp == 1) { ch(0) = 1; cv(0) = 1 }
+          hmax = 1; vmax = 1
+          i = 0
+          while (i < ncomp) {
+            if (ch(i) > hmax) hmax = ch(i)
+            if (cv(i) > vmax) vmax = cv(i)
+            i += 1
+          }
+          mcusX = (w + 8 * hmax - 1) / (8 * hmax)
+          mcusY = (h + 8 * vmax - 1) / (8 * vmax)
+          coefs = new Array[Array[Int]](ncomp)
+          i = 0
+          while (i < ncomp) {
+            bwPad(i) = mcusX * ch(i); bhPad(i) = mcusY * cv(i)
+            val compW = (w * ch(i) + hmax - 1) / hmax
+            val compH = (h * cv(i) + vmax - 1) / vmax
+            bwReal(i) = (compW + 7) / 8; bhReal(i) = (compH + 7) / 8
+            coefs(i) = new Array[Int](bwPad(i) * bhPad(i) * 64)
+            i += 1
+          }
+          pos += len
+        case m if (m >= 0xC0 && m <= 0xCF && m != 0xC2 && m != 0xC4 &&
+            m != 0xC8 && m != 0xCC) =>
+          return null // any non-progressive frame here → wrong decoder
+        case 0xC4 => // DHT (identical to the baseline walk)
+          if (pos + 1 >= p.length) return null
+          val len = u16(p, pos)
+          if (pos + len > p.length) return null
+          var q = pos + 2
+          val end = pos + len
+          while (q < end) {
+            if (q + 17 > end) return null
+            val tc = (p(q) & 0xF0) >> 4
+            val th = p(q) & 0x0F
+            if (tc > 1 || th > 3) return null
+            val bits = new Array[Int](17)
+            var total = 0
+            var l = 1
+            while (l <= 16) { bits(l) = p(q + l) & 0xFF; total += bits(l); l += 1 }
+            if (total > 256 || q + 17 + total > end) return null
+            val vals = new Array[Byte](total)
+            System.arraycopy(p, q + 17, vals, 0, total)
+            val tab = new Huff(bits, vals)
+            if (tc == 0) dcT(th) = tab else acT(th) = tab
+            q += 17 + total
+          }
+          pos += len
+        case 0xDB => // DQT (identical to the baseline walk)
+          if (pos + 1 >= p.length) return null
+          val len = u16(p, pos)
+          if (pos + len > p.length) return null
+          var q = pos + 2
+          val end = pos + len
+          while (q < end) {
+            val pq = (p(q) & 0xF0) >> 4
+            val tq = p(q) & 0x0F
+            if (pq > 1 || tq > 3) return null
+            val n = if (pq == 0) 64 else 128
+            if (q + 1 + n > end) return null
+            val t = new Array[Int](64)
+            var k = 0
+            while (k < 64) {
+              val v = if (pq == 0) p(q + 1 + k) & 0xFF
+                else u16(p, q + 1 + 2 * k)
+              t(Zigzag(k)) = v
+              k += 1
+            }
+            qt(tq) = t
+            q += 1 + n
+          }
+          pos += len
+        case 0xDD => // DRI (may change between scans)
+          if (pos + 3 >= p.length) return null
+          if (u16(p, pos) != 4) return null
+          ri = u16(p, pos + 2)
+          pos += 4
+        case 0xDA => // SOS: one scan of the progression
+          if (coefs == null) return null
+          if (pos + 1 >= p.length) return null
+          val len = u16(p, pos)
+          if (pos + len > p.length) return null
+          val ns = p(pos + 2) & 0xFF
+          if (ns < 1 || ns > ncomp || len != 6 + 2 * ns) return null
+          val scanComp = new Array[Int](ns)
+          val scanDc = new Array[Int](ns)
+          val scanAc = new Array[Int](ns)
+          var i = 0
+          while (i < ns) {
+            val sel = p(pos + 3 + 2 * i) & 0xFF
+            var c = -1
+            var j = 0
+            while (j < ncomp) { if (cid(j) == sel) c = j; j += 1 }
+            if (c < 0) return null
+            scanComp(i) = c
+            val tabs = p(pos + 4 + 2 * i) & 0xFF
+            scanDc(i) = tabs >> 4; scanAc(i) = tabs & 0x0F
+            if (scanDc(i) > 3 || scanAc(i) > 3) return null
+            i += 1
+          }
+          val ss = p(pos + 3 + 2 * ns) & 0xFF
+          val se = p(pos + 4 + 2 * ns) & 0xFF
+          val aa = p(pos + 5 + 2 * ns) & 0xFF
+          val ah = aa >> 4; val al = aa & 0x0F
+          if (ss > 63 || se > 63 || se < ss || al > 13 || ah > 14) return null
+          if (ss == 0 && se != 0) return null // DC scan is exactly band 0
+          if (ss > 0 && ns != 1) return null // AC scans are single-component
+          if (ah != 0 && ah != al + 1) return null // successive approx steps by 1
+          val after = decodeScanProgressive(p, pos + len, scanComp, scanDc,
+            scanAc, ns, ss, se, ah, al, ri, coefs, dcT, acT,
+            ch, cv, bwPad, bwReal, bhReal, mcusX, mcusY)
+          if (after < 0) return null
+          nScans += 1
+          pos = after
+        case m if m >= 0xD0 && m <= 0xD7 => return null // RST outside scan
+        case _ => // APPn / COM: length-skipped
+          if (pos + 1 >= p.length) return null
+          val len = u16(p, pos)
+          if (len < 2 || pos + len > p.length) return null
+          pos += len
+      }
+    }
+    if (coefs == null || nScans == 0) return null
+    var i = 0
+    while (i < ncomp) {
+      if (qt(cq(i)) == null) return null
+      i += 1
+    }
+
+    // output pass: dequantize + IDCT per MCU, then the SAME emit
+    // arithmetic as the baseline path
+    val coefBuf = new Array[Int](64)
+    val planes = Array.tabulate(ncomp)(c =>
+      Array.fill(ch(c) * cv(c))(new Array[Int](64)))
+    var sr = 0L; var sg = 0L; var sb = 0L; var peak = 0L
+    val doFill = fill != null && fill.length == w * h
+    val mcuW = 8 * hmax; val mcuH = 8 * vmax
+    var my = 0
+    while (my < mcusY) {
+      var mx = 0
+      while (mx < mcusX) {
+        var c = 0
+        while (c < ncomp) {
+          val q = qt(cq(c))
+          var v = 0
+          while (v < cv(c)) {
+            var u = 0
+            while (u < ch(c)) {
+              val bi = ((my * cv(c) + v) * bwPad(c) + (mx * ch(c) + u)) * 64
+              var k = 0
+              while (k < 64) { coefBuf(k) = coefs(c)(bi + k) * q(k); k += 1 }
+              idct(coefBuf, planes(c)(v * ch(c) + u))
+              u += 1
+            }
+            v += 1
+          }
+          c += 1
+        }
+        val x0 = mx * mcuW; val y0 = my * mcuH
+        val xMax = math.min(mcuW, w - x0)
+        val yMax = math.min(mcuH, h - y0)
+        var py = 0
+        while (py < yMax) {
+          var px = 0
+          while (px < xMax) {
+            var r = 0; var g = 0; var bl = 0
+            if (ncomp == 1) {
+              val v = planes(0)(0)((py & 7) * 8 + (px & 7))
+              r = v; g = v; bl = v
+            } else {
+              val sx1 = px * ch(1) / hmax; val sy1 = py * cv(1) / vmax
+              val sx2 = px * ch(2) / hmax; val sy2 = py * cv(2) / vmax
+              val sx0 = px * ch(0) / hmax; val sy0 = py * cv(0) / vmax
+              val y = planes(0)((sy0 >> 3) * ch(0) + (sx0 >> 3))((sy0 & 7) * 8 + (sx0 & 7))
+              val cb = planes(1)((sy1 >> 3) * ch(1) + (sx1 >> 3))((sy1 & 7) * 8 + (sx1 & 7)) - 128
+              val cr = planes(2)((sy2 >> 3) * ch(2) + (sx2 >> 3))((sy2 & 7) * 8 + (sx2 & 7)) - 128
+              r = clamp255(y + ((FIX_1_40200 * cr + 32768) >> 16))
+              g = clamp255(y + ((-FIX_0_34414 * cb - FIX_0_71414 * cr + 32768) >> 16))
+              bl = clamp255(y + ((FIX_1_77200 * cb + 32768) >> 16))
+            }
+            sr += r; sg += g; sb += bl
+            if (r > peak) peak = r
+            if (g > peak) peak = g
+            if (bl > peak) peak = bl
+            if (doFill) fill((y0 + py) * w + (x0 + px)) = (r << 16) | (g << 8) | bl
+            px += 1
+          }
+          py += 1
+        }
+        mx += 1
+      }
+      my += 1
+    }
+    Array(w.toLong, h.toLong, sr, sg, sb, peak)
+  }
+
+  /** Decode one progressive scan's entropy segment into the
+    * coefficient planes. Returns the byte position of the next marker
+    * after the scan, or -1 on corrupt data. The four scan kinds
+    * (DC/AC × first/refine) follow T.81 §G.2 exactly.
+    */
+  private def decodeScanProgressive(p: Array[Byte], dataStart: Int,
+      scanComp: Array[Int], scanDc: Array[Int], scanAc: Array[Int],
+      ns: Int, ss: Int, se: Int, ah: Int, al: Int, ri: Int,
+      coefs: Array[Array[Int]], dcT: Array[Huff], acT: Array[Huff],
+      ch: Array[Int], cv: Array[Int], bwPad: Array[Int],
+      bwReal: Array[Int], bhReal: Array[Int],
+      mcusX: Int, mcusY: Int): Int = {
+    val bits = new Bits(p, dataStart)
+    val p1 = 1 << al
+    val m1 = -1 << al
+    var eobrun = 0
+    var rstCount = 0
+    var rstIdx = 0
+    val pred = new Array[Int](4)
+
+    def restartIfDue(): Boolean = {
+      if (ri > 0 && rstCount == ri) {
+        if (!bits.restart(rstIdx)) return false
+        rstIdx = (rstIdx + 1) & 7
+        rstCount = 0
+        eobrun = 0
+        java.util.Arrays.fill(pred, 0)
+      }
+      true
+    }
+
+    def dcFirst(c: Int, scanIdx: Int, bi: Int): Boolean = {
+      val t = dcT(scanDc(scanIdx))
+      if (t == null) return false
+      val s = bits.decode(t)
+      if (s < 0 || s > 15) return false
+      val db = bits.take(s)
+      if (db < 0 && s > 0) return false
+      pred(c) += extend(db, s)
+      coefs(c)(bi) = pred(c) << al
+      true
+    }
+
+    def dcRefine(c: Int, bi: Int): Boolean = {
+      val b = bits.take(1)
+      if (b < 0) return false
+      if (b != 0) coefs(c)(bi) |= p1
+      true
+    }
+
+    def acFirst(c: Int, scanIdx: Int, bi: Int): Boolean = {
+      if (eobrun > 0) { eobrun -= 1; return true }
+      val t = acT(scanAc(scanIdx))
+      if (t == null) return false
+      var k = ss
+      while (k <= se) {
+        val rs = bits.decode(t)
+        if (rs < 0) return false
+        val r = rs >> 4; val sz = rs & 0x0F
+        if (sz == 0) {
+          if (r == 15) k += 16
+          else {
+            eobrun = (1 << r) - 1
+            if (r > 0) {
+              val eb = bits.take(r)
+              if (eb < 0) return false
+              eobrun += eb
+            }
+            return true
+          }
+        } else {
+          k += r
+          if (k > se) return false
+          val v = bits.take(sz)
+          if (v < 0) return false
+          coefs(c)(bi + Zigzag(k)) = extend(v, sz) << al
+          k += 1
+        }
+      }
+      true
+    }
+
+    def refineBit(c: Int, z: Int): Boolean = {
+      val b = bits.take(1)
+      if (b < 0) return false
+      if (b != 0 && (coefs(c)(z) & p1) == 0)
+        coefs(c)(z) += (if (coefs(c)(z) >= 0) p1 else m1)
+      true
+    }
+
+    def acRefine(c: Int, scanIdx: Int, bi: Int): Boolean = {
+      val t = acT(scanAc(scanIdx))
+      if (t == null) return false
+      var k = ss
+      if (eobrun == 0) {
+        var ended = false
+        while (k <= se && !ended) {
+          val rs = bits.decode(t)
+          if (rs < 0) return false
+          var r = rs >> 4; val sz = rs & 0x0F
+          var sval = 0
+          if (sz == 0) {
+            if (r < 15) {
+              // EOB run INCLUDES this block (decremented in the tail
+              // after its remaining correction bits — jdphuff.c)
+              eobrun = 1 << r
+              if (r > 0) {
+                val eb = bits.take(r)
+                if (eb < 0) return false
+                eobrun += eb
+              }
+              ended = true
+            }
+            // r == 15: ZRL — skip 16 zero-history positions below
+          } else {
+            if (sz != 1) return false
+            val b = bits.take(1)
+            if (b < 0) return false
+            sval = if (b != 0) p1 else m1
+          }
+          if (!ended) {
+            var placed = false
+            while (k <= se && !placed) {
+              val z = bi + Zigzag(k)
+              if (coefs(c)(z) != 0) {
+                if (!refineBit(c, z)) return false
+              } else if (r == 0) {
+                if (sval != 0) coefs(c)(z) = sval
+                placed = true
+              } else r -= 1
+              k += 1
+            }
+          }
+        }
+      }
+      if (eobrun > 0) {
+        while (k <= se) {
+          val z = bi + Zigzag(k)
+          if (coefs(c)(z) != 0) {
+            if (!refineBit(c, z)) return false
+          }
+          k += 1
+        }
+        eobrun -= 1
+      }
+      true
+    }
+
+    var ok = true
+    if (ss == 0 && ns > 1) {
+      // interleaved DC scan: MCU order, every listed component's
+      // ch×cv block cluster per MCU (padded grid)
+      var my = 0
+      while (my < mcusY && ok) {
+        var mx = 0
+        while (mx < mcusX && ok) {
+          if (!restartIfDue()) return -1
+          var i = 0
+          while (i < ns && ok) {
+            val c = scanComp(i)
+            var v = 0
+            while (v < cv(c) && ok) {
+              var u = 0
+              while (u < ch(c) && ok) {
+                val bi = ((my * cv(c) + v) * bwPad(c) + (mx * ch(c) + u)) * 64
+                ok = if (ah == 0) dcFirst(c, i, bi) else dcRefine(c, bi)
+                u += 1
+              }
+              v += 1
+            }
+            i += 1
+          }
+          rstCount += 1
+          mx += 1
+        }
+        my += 1
+      }
+    } else {
+      // non-interleaved: the single component's REAL blocks in raster
+      // order (T.81 §G.2: one block per "MCU")
+      val c = scanComp(0)
+      var by = 0
+      while (by < bhReal(c) && ok) {
+        var bx = 0
+        while (bx < bwReal(c) && ok) {
+          if (!restartIfDue()) return -1
+          val bi = (by * bwPad(c) + bx) * 64
+          ok =
+            if (ss == 0) { if (ah == 0) dcFirst(c, 0, bi) else dcRefine(c, bi) }
+            else { if (ah == 0) acFirst(c, 0, bi) else acRefine(c, 0, bi) }
+          rstCount += 1
+          bx += 1
+        }
+        by += 1
+      }
+    }
+    if (!ok || bits.bad) return -1
+
+    // locate the next marker: skip any stuffed/restart bytes the
+    // entropy reader left unconsumed
+    var q = bits.pos
+    while (q + 1 < p.length) {
+      if ((p(q) & 0xFF) == 0xFF) {
+        val m = p(q + 1) & 0xFF
+        if (m == 0x00 || (m >= 0xD0 && m <= 0xD7)) q += 2
+        else return q
+      } else q += 1
+    }
+    -1
+  }
+
+  /** (n_pixels, sum_r, sum_g, sum_b, peak_byte) over a baseline OR
+    * progressive JPEG payload, or null. The SOF marker routes the
+    * decoder (one cheap header probe).
     */
   def stats(p: Array[Byte]): ArrayData = {
-    val d = decode(p, null)
+    val d = if (sofMarker(p) == 0xC2) decodeProgressive(p, null)
+            else decode(p, null)
     if (d == null) null
     else new GenericArrayData(Array(d(0) * d(1), d(2), d(3), d(4), d(5)))
   }
 
   /** (w, h, row-major packed 0xRRGGBB pixels) — spec-level
-    * conformance API (pixel-by-pixel comparison against ImageIO), not
-    * a query path. Two passes: a probe for dimensions, then the fill.
+    * conformance API (pixel-by-pixel comparison against ImageIO) and
+    * the dHash feeder. Two passes: a probe for dimensions, then the
+    * fill. Routes baseline/progressive by the SOF marker.
     */
   def decodePixels(p: Array[Byte]): (Int, Int, Array[Int]) = {
-    val probe = decode(p, null)
+    val prog = sofMarker(p) == 0xC2
+    val probe = if (prog) decodeProgressive(p, null) else decode(p, null)
     if (probe == null) return null
     val w = probe(0).toInt; val h = probe(1).toInt
     val arr = new Array[Int](w * h)
-    if (decode(p, arr) == null) null else (w, h, arr)
+    val second = if (prog) decodeProgressive(p, arr) else decode(p, arr)
+    if (second == null) null else (w, h, arr)
   }
 }
 
@@ -616,10 +1137,20 @@ object JpegEncoder {
     * raster order. Tile size is 8 px (16 for mode 2); image is
     * exactly `tw`×`th` tiles. `ri` > 0 inserts a DRI segment and a
     * restart marker every `ri` MCUs.
+    *
+    * `progressive = true` (r13) emits the SAME coefficients as an
+    * SOF2 progression — DC first scan at point transform Al=1, a DC
+    * refinement scan (Ah=1→Al=0), then one spectral-selection AC scan
+    * per component (all-zero here, one EOB code per block) — so the
+    * decoded image is BIT-identical to the baseline lane and a
+    * closed-form oracle needs no layout awareness at all. Restarts
+    * are a baseline-lane feature (`ri` must be 0 when progressive).
     */
   def encodeFlatTiles(tiles: Array[Int], tw: Int, th: Int, mode: Int,
-      ri: Int): Array[Byte] = {
+      ri: Int, progressive: Boolean = false): Array[Byte] = {
     require(mode >= 0 && mode <= 2, s"mode $mode")
+    require(!progressive || ri == 0,
+      "the progressive synth lane does not emit restart markers")
     val vals = if (mode == 0) 1 else 3
     require(tiles.length == tw * th * vals,
       s"tiles ${tiles.length} != $tw*$th*$vals")
@@ -649,28 +1180,28 @@ object JpegEncoder {
     }
     writeDc(0); writeAc(0); writeDc(1); writeAc(1)
     if (ri > 0) { b(0xFF); b(0xDD); b16(4); b16(ri) }
-    // SOF0
-    b(0xFF); b(0xC0); b16(8 + 3 * ncomp); b(8); b16(h); b16(w); b(ncomp)
+    // SOF0 (baseline) or SOF2 (progressive) — same component layout
+    b(0xFF); b(if (progressive) 0xC2 else 0xC0)
+    b16(8 + 3 * ncomp); b(8); b16(h); b16(w); b(ncomp)
     if (mode == 0) { b(1); b(0x11); b(0) }
     else {
       b(1); b(if (mode == 2) 0x22 else 0x11); b(0)
       b(2); b(0x11); b(1)
       b(3); b(0x11); b(1)
     }
-    // SOS
-    b(0xFF); b(0xDA); b16(6 + 2 * ncomp); b(ncomp)
-    if (mode == 0) { b(1); b(0x00) }
-    else { b(1); b(0x00); b(2); b(0x11); b(3); b(0x11) }
-    b(0); b(63); b(0)
-    // entropy scan: MCU per tile
-    val sink = new BitSink
-    val pred = new Array[Int](3)
-    var rstIdx = 0
-    var sinceRst = 0
-    def putDc(comp: Int, level: Int): Unit = {
-      val dc = 8 * (level - 128)
-      val diff = dc - pred(comp)
-      pred(comp) = dc
+    def dcOf(level: Int): Int = 8 * (level - 128)
+    // tile DC for component comp (mode 2: chroma tile = image tile)
+    def tileVal(t: Int, comp: Int): Int =
+      if (mode == 0) tiles(t) else tiles(3 * t + comp)
+    def sosHeader(comps: Seq[Int], ss: Int, se: Int, ah: Int, al: Int): Unit = {
+      b(0xFF); b(0xDA); b16(6 + 2 * comps.length); b(comps.length)
+      comps.foreach { c =>
+        b(c + 1) // component id as in SOF
+        b(if (c == 0) 0x00 else 0x11)
+      }
+      b(ss); b(se); b((ah << 4) | al)
+    }
+    def putCategory(sink: BitSink, diff: Int): Unit = {
       val s = category(diff)
       val (code, len) = DcCodes(s)
       sink.put(code, len)
@@ -678,37 +1209,115 @@ object JpegEncoder {
         val m = if (diff < 0) diff + (1 << s) - 1 else diff
         sink.put(m, s)
       }
-      sink.put(0, 1) // EOB (AC table code '0')
     }
-    var t = 0
-    while (t < tw * th) {
-      if (ri > 0 && sinceRst == ri) {
+
+    if (!progressive) {
+      sosHeader(0 until ncomp, 0, 63, 0, 0)
+      // entropy scan: MCU per tile
+      val sink = new BitSink
+      val pred = new Array[Int](3)
+      var rstIdx = 0
+      var sinceRst = 0
+      def putDc(comp: Int, level: Int): Unit = {
+        val dc = dcOf(level)
+        val diff = dc - pred(comp)
+        pred(comp) = dc
+        putCategory(sink, diff)
+        sink.put(0, 1) // EOB (AC table code '0')
+      }
+      var t = 0
+      while (t < tw * th) {
+        if (ri > 0 && sinceRst == ri) {
+          sink.pad()
+          sink.out.write(0xFF); sink.out.write(0xD0 + rstIdx)
+          rstIdx = (rstIdx + 1) & 7
+          sinceRst = 0
+          java.util.Arrays.fill(pred, 0)
+        }
+        if (mode == 0) putDc(0, tiles(t))
+        else {
+          if (mode == 2) {
+            putDc(0, tileVal(t, 0)); putDc(0, tileVal(t, 0))
+            putDc(0, tileVal(t, 0)); putDc(0, tileVal(t, 0))
+          } else putDc(0, tileVal(t, 0))
+          putDc(1, tileVal(t, 1))
+          putDc(2, tileVal(t, 2))
+        }
+        sinceRst += 1
+        t += 1
+      }
+      sink.pad()
+      out.write(sink.out.toByteArray)
+    } else {
+      val yBlocksPerMcu = if (mode == 2) 4 else 1
+      // scan 1: DC first, interleaved, point transform Al=1 — codes
+      // diffs of (DC >> 1) per T.81 G.1.2.1
+      sosHeader(0 until ncomp, 0, 0, 0, 1)
+      locally {
+        val sink = new BitSink
+        val pred = new Array[Int](3)
+        var t = 0
+        while (t < tw * th) {
+          var c = 0
+          while (c < ncomp) {
+            val shifted = dcOf(tileVal(t, c)) >> 1
+            val n = if (c == 0) yBlocksPerMcu else 1
+            var i = 0
+            while (i < n) {
+              putCategory(sink, shifted - pred(c))
+              pred(c) = shifted
+              i += 1
+            }
+            c += 1
+          }
+          t += 1
+        }
         sink.pad()
-        sink.out.write(0xFF); sink.out.write(0xD0 + rstIdx)
-        rstIdx = (rstIdx + 1) & 7
-        sinceRst = 0
-        java.util.Arrays.fill(pred, 0)
+        out.write(sink.out.toByteArray)
       }
-      if (mode == 0) putDc(0, tiles(t))
-      else {
-        val y = tiles(3 * t); val cb = tiles(3 * t + 1); val cr = tiles(3 * t + 2)
-        if (mode == 2) { putDc(0, y); putDc(0, y); putDc(0, y); putDc(0, y) }
-        else putDc(0, y)
-        putDc(1, cb)
-        putDc(2, cr)
+      // scan 2: DC refinement (Ah=1 → Al=0) — bit 0 of each DC
+      sosHeader(0 until ncomp, 0, 0, 1, 0)
+      locally {
+        val sink = new BitSink
+        var t = 0
+        while (t < tw * th) {
+          var c = 0
+          while (c < ncomp) {
+            val bit = dcOf(tileVal(t, c)) & 1
+            val n = if (c == 0) yBlocksPerMcu else 1
+            var i = 0
+            while (i < n) { sink.put(bit, 1); i += 1 }
+            c += 1
+          }
+          t += 1
+        }
+        sink.pad()
+        out.write(sink.out.toByteArray)
       }
-      sinceRst += 1
-      t += 1
+      // scans 3..: one spectral-selection AC scan per component —
+      // every block is all-zero AC, one EOB code (1 bit) per REAL
+      // block in raster order
+      var c = 0
+      while (c < ncomp) {
+        sosHeader(Seq(c), 1, 63, 0, 0)
+        val sink = new BitSink
+        val nBlocks =
+          if (c == 0 && mode == 2) (tw * 2) * (th * 2) else tw * th
+        var i = 0
+        while (i < nBlocks) { sink.put(0, 1); i += 1 }
+        sink.pad()
+        out.write(sink.out.toByteArray)
+        c += 1
+      }
     }
-    sink.pad()
-    out.write(sink.out.toByteArray)
     b(0xFF); b(0xD9)
     out.toByteArray
   }
 }
 
 /** `jpeg_synth_encode(array<int> tiles, array<int> params) → binary`
-  * where params = [twTiles, thTiles, mode, restartInterval]; see
+  * where params = [twTiles, thTiles, mode, restartInterval] with an
+  * optional 5th element (1 → the SOF2 progressive lane); see
   * [[JpegEncoder.encodeFlatTiles]].
   */
 case class JpegSynthEncode(left: Expression, right: Expression)
@@ -728,14 +1337,16 @@ case class JpegSynthEncode(left: Expression, right: Expression)
   override def nullSafeEval(tiles: Any, params: Any): Any = {
     val t = tiles.asInstanceOf[ArrayData].toIntArray()
     val pr = params.asInstanceOf[ArrayData].toIntArray()
-    JpegEncoder.encodeFlatTiles(t, pr(0), pr(1), pr(2), pr(3))
+    JpegEncoder.encodeFlatTiles(t, pr(0), pr(1), pr(2), pr(3),
+      pr.length > 4 && pr(4) == 1)
   }
 
   override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (t, pr) => s"""
       |int[] gp = $pr.toIntArray();
       |${ev.value} = graft.expressions.JpegEncoder.encodeFlatTiles(
-      |  $t.toIntArray(), gp[0], gp[1], gp[2], gp[3]);
+      |  $t.toIntArray(), gp[0], gp[1], gp[2], gp[3],
+      |  gp.length > 4 && gp[4] == 1);
       |""".stripMargin)
 
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =

@@ -57,7 +57,12 @@ object ZipKernel {
     if (eocd < 0) return null
     val n = u16(p, eocd + 10)
     val cdOff = u32(p, eocd + 16)
-    if (n > MaxEntries || cdOff + 46L > p.length) return null
+    // the 46-byte central-record minimum only applies when there ARE
+    // entries — a structurally valid EMPTY archive (EOCD only, n = 0,
+    // cdOff == eocd offset, cdSize 0) must yield an empty array, not
+    // null; the per-entry loop re-checks pos + 46 for every record
+    if (n > MaxEntries || cdOff > p.length ||
+      (n > 0 && cdOff + 46L > p.length)) return null
     val out = new Array[Any](n)
     var pos = cdOff.toInt
     var e = 0

@@ -590,10 +590,14 @@ object Binary {
       * markers, byte unstuffing) → dequantize → full integer inverse
       * DCT → YCbCr→RGB, one codegen kernel pass
       * ([[graft.expressions.JpegDecodeKernel]], libjpeg-conformant
-      * integer arithmetic). Adds `pixels_decoded`, `mean_r/g/b`,
-      * `peak_byte` (null when the payload is not a decodable baseline
-      * JPEG — progressive streams keep their [[parse]] metadata but
-      * decode null here). Pure projection — zero shuffles.
+      * integer arithmetic). Progressive (SOF2) streams decode too
+      * (r13): the kernel routes on the SOF marker and accumulates the
+      * progression's coefficient planes across scans — spectral
+      * selection, successive approximation, EOB runs — before the
+      * same IDCT/convert pipeline (sample-exact vs ImageIO's own
+      * progressive decode, JpegPixelsSpec). Adds `pixels_decoded`,
+      * `mean_r/g/b`, `peak_byte` (null only for genuinely undecodable
+      * payloads). Pure projection — zero shuffles.
       */
     def pixelStats(media: DataFrame, payloadCol: String = "payload"): DataFrame = {
       val st = org.apache.spark.sql.GraftColumnBridge.column(
@@ -625,15 +629,21 @@ object Binary {
       * SQL oracle can recompute the decoded channel sums closed-form
       * while Spark actually entropy-decodes the bytes. Rotates
       * grayscale / 4:4:4 / 4:2:0 by doc_id, inserts restart markers
-      * on odd docs (DC-predictor reset path), and keeps every
-      * `invalidEvery`-th doc as raw text (the invalid lane).
+      * on odd docs (DC-predictor reset path), ships every
+      * `doc_id % 4 == 1` doc as an SOF2 PROGRESSIVE stream (r13 —
+      * spectral selection + DC successive approximation; the decoded
+      * pixels are identical, so the closed-form oracle needs no
+      * layout awareness), and keeps every `invalidEvery`-th doc as
+      * raw text (the invalid lane).
       */
     def synthPixelsFromDocs(docs: DataFrame, invalidEvery: Int = 10): DataFrame = {
       val d = col("doc_id")
       val mode = (d % 3).cast("int")
       val tw = (lit(2L) + d % 3).cast("int")
       val th = (lit(1L) + expr("(doc_id div 3) % 2")).cast("int")
-      val ri = when(d % 2 === 1, lit(2)).otherwise(lit(0)).cast("int")
+      val prog = d % 4 === 1
+      val ri = when(prog, lit(0))
+        .when(d % 2 === 1, lit(2)).otherwise(lit(0)).cast("int")
       val nTiles = tw * th
       val yOf = (t: Column) => pmod(d * 7 + t * 13, lit(256L)).cast("int")
       val cbOf = (t: Column) => pmod(d * 5 + t * 11, lit(256L)).cast("int")
@@ -646,7 +656,8 @@ object Binary {
             val c = i % 3
             when(c === 0, yOf(t)).when(c === 1, cbOf(t)).otherwise(crOf(t))
           }))
-      val params = array(tw, th, mode, ri)
+      val params = array(tw, th, mode, ri,
+        when(prog, lit(1)).otherwise(lit(0)).cast("int"))
       val payload = org.apache.spark.sql.GraftColumnBridge.column(
         graft.expressions.JpegSynthEncode(
           org.apache.spark.sql.GraftColumnBridge.expression(tiles),
@@ -1160,17 +1171,29 @@ object Binary {
       * `n_objects` (numbered `obj` bodies), `n_streams`
       * (`endstream` terminators), `n_pages` (`/Type /Page ` leaf
       * dictionaries), `encrypted` (`/Encrypt` in scope),
-      * `startxref_ok` (the declared byte offset actually lands on the
-      * `xref` keyword — the structural back-pointer every real reader
-      * follows first), and `header_consistent` (back-pointer ok and
-      * the file ends at `%%EOF`). Pure projection — zero shuffles.
+      * `xref_layout` (what the `startxref` back-pointer actually
+      * lands on: `table` — the classic `xref` keyword; `stream` — an
+      * object whose dictionary declares `/Type /XRef`, the PDF 1.5+
+      * compressed cross-reference layout a large share of real PDFs
+      * ship (r13 — previously these reported a FALSE `startxref_ok`,
+      * violating the triage family's "the bytes decide" claim);
+      * `none` — no/broken pointer), `startxref_ok` (the pointer
+      * RESOLVES, in either layout), `declared_size` (the `/Size`
+      * object count from the trailer or XRef-stream dictionary), and
+      * `header_consistent` (back-pointer ok and the file ends at
+      * `%%EOF`). Pure projection — zero shuffles.
       */
     def parse(media: DataFrame, payloadCol: String = "payload"): DataFrame = {
       val s = col(payloadCol).cast("string")
       val valid = isPdf(col(payloadCol)) && s.contains("%%EOF")
       val sx = regexp_extract(s, "startxref\\s+([0-9]+)\\s*%%EOF", 1)
-      val sxOk = sx =!= "" &&
-        s.substr(sx.cast("int") + 1, lit(4)) === lit("xref")
+      // bounded probe slice at the declared offset: enough bytes to
+      // see `N G obj << … /Type /XRef` without re-scanning the file
+      val atOff = s.substr(sx.cast("int") + 1, lit(256))
+      val tableAt = sx =!= "" && atOff.startsWith("xref")
+      val streamAt = sx =!= "" &&
+        atOff.rlike("(?s)^[0-9]+ [0-9]+ obj.{0,200}?/Type\\s*/XRef")
+      val sxOk = tableAt || streamAt
       media
         .withColumn("pdf_valid", valid)
         .withColumn("version", when(valid, substring(s, 6, 3)))
@@ -1181,6 +1204,11 @@ object Binary {
         .withColumn("n_pages", when(valid,
           size(regexp_extract_all(s, lit("/Type /Page "), lit(0))).cast("long")))
         .withColumn("encrypted", when(valid, s.contains("/Encrypt")))
+        .withColumn("xref_layout", when(valid,
+          when(tableAt, "table").when(streamAt, "stream").otherwise("none")))
+        .withColumn("declared_size", when(valid,
+          nullif(regexp_extract(s, "/Size ([0-9]+)", 1), lit(""))
+            .cast("long")))
         .withColumn("startxref_ok", when(valid, sxOk))
         .withColumn("header_consistent",
           when(valid, sxOk && s.endsWith("%%EOF")))
@@ -1192,8 +1220,14 @@ object Binary {
       * the structural keywords the parser counts), an xref section,
       * and a trailer whose `startxref` is the COMPUTED byte offset of
       * the xref keyword — so `startxref_ok` proves the parser followed
-      * a real back-pointer, not a constant. `/Encrypt` rides every
-      * 7th trailer. Every `invalidEvery`-th doc stays raw text.
+      * a real back-pointer, not a constant. Every `doc_id % 3 == 1`
+      * document ships the PDF 1.5+ layout instead: a compressed
+      * cross-reference STREAM object (`/Type /XRef`, `/Size` in its
+      * dictionary, no `trailer` keyword) that the startxref points at
+      * — so `xref_layout = stream` proves the modern-layout probe
+      * reads the pointed-at object, not a global grep. `/Encrypt`
+      * rides every 7th trailer/XRef dict. Every `invalidEvery`-th doc
+      * stays raw text.
       */
     def synthFromDocs(docs: DataFrame, invalidEvery: Int = 10): DataFrame = {
       val d = col("doc_id")
@@ -1219,8 +1253,18 @@ object Binary {
         when(d % 7 === 0, lit(" /Encrypt 9 0 R")).otherwise(lit("")),
         lit(" >>\nstartxref\n"), length(prefix).cast("string"),
         lit("\n%%EOF"))
-      val pdf = concat(prefix, lit("xref\n0 "), (nPages + 4).cast("string"),
+      val classic = concat(prefix, lit("xref\n0 "), (nPages + 4).cast("string"),
         lit("\n"), trailer)
+      // PDF 1.5+ layout: the cross-reference is itself a stream
+      // object; its dictionary carries /Size and there is no trailer
+      val xrefObj = concat((nPages + 4).cast("string"),
+        lit(" 0 obj\n<< /Type /XRef /Size "), (nPages + 5).cast("string"),
+        lit(" /W [1 2 1] /Root 1 0 R"),
+        when(d % 7 === 0, lit(" /Encrypt 9 0 R")).otherwise(lit("")),
+        lit(" >>\nstream\n0000\nendstream\nendobj\n"))
+      val modern = concat(prefix, xrefObj,
+        lit("startxref\n"), length(prefix).cast("string"), lit("\n%%EOF"))
+      val pdf = when(d % 3 === 1, modern).otherwise(classic)
       docs.select(
         d,
         when(d % invalidEvery === 0, col("text").cast("binary"))
@@ -1322,13 +1366,16 @@ object Binary {
       graft.expressions.AudioDhash(
         org.apache.spark.sql.GraftColumnBridge.expression(dataBin),
         org.apache.spark.sql.GraftColumnBridge.expression(col("bits_per_sample"))))
+    // persist the hashed frame — one sample decode per payload across
+    // the ledger aggregate and the join-back (imageDedup's idiom)
     val withH = Wav.parse(media, payloadCol)
       .withColumn("__ahash",
         when(col("wav_valid") && col("data_bytes") > 0, h))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val groups = withH.where(col("__ahash").isNotNull)
       .groupBy(col("__ahash"))
       .agg(count(lit(1)).as("n_copies"), min(col("doc_id")).as("keeper_id"))
-    withH.join(groups, Seq("__ahash"), "left")
+    val out = withH.join(groups, Seq("__ahash"), "left")
       .withColumn("audio_valid", col("__ahash").isNotNull)
       .withColumn("ahash_hi",
         when(col("audio_valid"), expr("shiftrightunsigned(__ahash, 32)")))
@@ -1337,6 +1384,7 @@ object Binary {
       .withColumn("is_canonical",
         when(col("audio_valid"), col("doc_id") === col("keeper_id")))
       .drop("__ahash")
+    graft.ops.Caching.materialized(out) { withH.unpersist(false) }
   }
 
   /** Perceptual image dedup — the operator that connects the codec
@@ -1357,11 +1405,17 @@ object Binary {
     val h = org.apache.spark.sql.GraftColumnBridge.column(
       graft.expressions.ImageDhash(
         org.apache.spark.sql.GraftColumnBridge.expression(col(payloadCol))))
+    // the hashed frame feeds BOTH the ledger aggregate and the
+    // join-back — persist it so the decode kernel (JPEG entropy
+    // decode, the engine's most expensive expression) runs ONCE per
+    // payload, not once per physical subtree (pipeline_clean's
+    // scoped-release idiom; CacheLifecycleSpec pins the lifecycle)
     val withH = media.withColumn("__dhash", h)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val groups = withH.where(col("__dhash").isNotNull)
       .groupBy(col("__dhash"))
       .agg(count(lit(1)).as("n_copies"), min(col("doc_id")).as("keeper_id"))
-    withH.join(groups, Seq("__dhash"), "left")
+    val out = withH.join(groups, Seq("__dhash"), "left")
       .withColumn("image_valid", col("__dhash").isNotNull)
       .withColumn("dhash_hi",
         when(col("image_valid"), expr("shiftrightunsigned(__dhash, 32)")))
@@ -1370,6 +1424,7 @@ object Binary {
       .withColumn("is_canonical",
         when(col("image_valid"), col("doc_id") === col("keeper_id")))
       .drop("__dhash")
+    graft.ops.Caching.materialized(out) { withH.unpersist(false) }
   }
 
   /** Metadata stats over the media table — schema/partitioning surface

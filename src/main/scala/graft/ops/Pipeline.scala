@@ -297,15 +297,24 @@ object Pipeline {
     * layout: the CRC-verified gzip member walk feeds the same record
     * walk and the same crawl decision battery (`WarcGzParitySpec`
     * pins gz ≡ plain on identical content). Record identity is
-    * (archive doc_id, member, record-in-member) packed into one key.
+    * (archive doc_id, member, record-in-member) packed into one key:
+    * `doc_id · 2³² + member_idx · 2¹⁶ + rec_idx`. The field widths
+    * match the kernel caps exactly — `GzipKernel.MaxMembers` and
+    * `WarcSplitKernel.MaxRecords` are both 65536 = 2¹⁶ (an archive
+    * beyond either cap nulls at the kernel, it never reaches here) —
+    * so distinct (archive, member, record) triples can never collide
+    * in the packed key at any archive size the walk admits.
     */
   def warcGzCurate(archives: DataFrame, blob: Column, robots: DataFrame,
       blockedDomains: Seq[String], quota: Int = 5,
       maxLen: Int = 1 << 24): DataFrame = {
+    require(graft.expressions.GzipKernel.MaxMembers <= (1 << 16) &&
+      graft.expressions.WarcSplitKernel.MaxRecords <= (1 << 16),
+      "doc_id packing assumes member_idx and rec_idx fit in 16 bits")
     val recs = graft.sources.Warc.parseRecords(
         graft.sources.Warc.splitRecordsGz(archives, blob, maxLen), col("record"))
       .where(col("warc_valid") && col("warc_type") === "response")
-      .select((col("doc_id") * (1L << 20) + col("member_idx") * (1L << 10) +
+      .select((col("doc_id") * (1L << 32) + col("member_idx") * (1L << 16) +
           col("rec_idx")).as("doc_id"),
         col("target_uri"), col("body"))
     crawlPipeline(recs, col("target_uri"), col("body"), robots,
@@ -335,16 +344,20 @@ object Pipeline {
       graft.expressions.ImageDhash(
         org.apache.spark.sql.GraftColumnBridge.expression(
           element_at(col("parts"), "jpg"))))
+    // persist the decoded frame: the JPEG entropy decode behind
+    // __dhash feeds both the ledger aggregate and the join-back —
+    // one decode per sample, not two (imageDedup's idiom)
     val withH = samp
       .withColumn("__dhash", h)
       .withColumn("caption", element_at(col("parts"), "txt").cast("string"))
       .withColumn("n_caption_tokens",
         when(col("caption").isNotNull,
           size(graft.GraftFunctions.tokens(col("caption"))).cast("long")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val groups = withH.where(col("__dhash").isNotNull)
       .groupBy(col("__dhash"))
       .agg(count(lit(1)).as("n_copies"), min(col("__key")).as("__keeper"))
-    withH.join(groups, Seq("__dhash"), "left")
+    val out = withH.join(groups, Seq("__dhash"), "left")
       .withColumn("image_ok", col("__dhash").isNotNull)
       .withColumn("is_canonical",
         when(col("image_ok"), col("__key") === col("__keeper")))
@@ -357,6 +370,7 @@ object Pipeline {
         when(col("image_ok"), col("n_copies")).as("n_copies"),
         col("is_canonical"), col("n_caption_tokens"), col("caption_ok"),
         col("keep"))
+    Caching.materialized(out) { withH.unpersist(false) }
   }
 
   /** EXACT pairwise content overlap between corpus slices (sources,

@@ -1,7 +1,7 @@
 package graft.sources
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, xxhash64}
 
 /** Vector-table ingestion (reference: lshrs/io/parquet.py
   * iter_parquet_vectors and lshrs/io/postgres.py iter_postgres_vectors,
@@ -86,6 +86,53 @@ object Sources {
       case _ => reader.jdbc(url, dbtable, properties)
     }
     normalize(df, indexColumn, vectorColumn)
+  }
+
+  /** Archive-shard FILE ingest — the last mile from "blob column" to
+    * "bucket of files": every archive operator in the engine
+    * (Warc/Wds/Zip/Mbox splitters, the codec kernels) consumes an
+    * in-memory payload COLUMN; this face reads real `.warc.gz` /
+    * `.tar` / media files from any Hadoop filesystem (local, hdfs,
+    * s3a) via Spark's `binaryFile` source and normalizes them to
+    * `(shard_id, shard_path, length, payload)` — one row per file,
+    * `shard_id = xxhash64(path)` (stable across reruns and cluster
+    * sizes, content-independent; `shard_path` keeps the provenance),
+    * ready to slot into any `keys`/`doc_id` position downstream:
+    * `Wds.samples(binaryShards(spark, dir, "*.tar"), col("payload"),
+    * keys = Seq("shard_id"))` is the whole file→samples flow.
+    * (Reference analogue: io/parquet.py:47 streams vector batches
+    * from real files; this is the archive-grain sibling.)
+    *
+    * THE CONTRACT: one file = one JVM byte array, so a shard beyond
+    * the array ceiling (2 GiB) cannot load — shard archives upstream
+    * (Common Crawl WARCs ship ~1 GiB for exactly this class of
+    * reason). The face refuses loudly and eagerly: a driver-side
+    * length probe (content column PRUNED — binaryFile reads only file
+    * status for a path/length projection) rejects any over-limit file
+    * with its path, instead of a mid-scan executor OOM/SparkException
+    * hours into a 100 TB run. Parallelism is file-grain: files ≤
+    * `spark.sql.files.maxPartitionBytes` coalesce into shared tasks,
+    * large files get their own.
+    */
+  def binaryShards(spark: SparkSession, path: String,
+      glob: String = "*"): DataFrame = {
+    val files = spark.read.format("binaryFile")
+      .option("pathGlobFilter", glob).load(path)
+    val maxBytes = Int.MaxValue.toLong - 16 // JVM array header headroom
+    val tooBig = files.select(col("path"), col("length"))
+      .where(col("length") > maxBytes).limit(1).collect()
+    require(tooBig.isEmpty, {
+      val r = tooBig.head
+      s"binaryShards: ${r.getString(0)} is ${r.getLong(1)} bytes — a " +
+        "shard must fit one JVM byte array (< 2 GiB); split the " +
+        "archive upstream (the splitters walk members/records inside " +
+        "a blob, they cannot page a file)"
+    })
+    files.select(
+      xxhash64(col("path")).as("shard_id"),
+      col("path").as("shard_path"),
+      col("length"),
+      col("content").as("payload"))
   }
 
   /** CSV with a delimited vector column (e.g. "0.1|0.2|...") — the

@@ -20,9 +20,14 @@ import org.apache.spark.sql.functions._
   *   2. HTML comments `<!-- … -->` drop entirely;
   *   3. every remaining tag `<[^>]*>` becomes one space (block/inline
   *      distinction is deliberately not modeled);
-  *   4. the [[Html.Entities]] list decodes by LITERAL replace in list
-  *      order — `&amp;` LAST so `&amp;lt;` yields the literal text
-  *      `&lt;` (correct HTML semantics), never a double decode;
+  *   4. character references decode in ONE left-to-right codegen pass
+  *      ([[graft.expressions.HtmlEntityKernel]]): the [[Html.Entities]]
+  *      named table PLUS numeric references `&#NNN;`/`&#xHH;` (r13 —
+  *      previously numeric refs survived as literal junk tokens,
+  *      feeding dedup/search/quality on any real crawl); single-pass
+  *      gives correct HTML semantics — `&amp;lt;` yields the literal
+  *      text `&lt;`, never a double decode; invalid numeric refs stay
+  *      literal;
   *   5. whitespace collapses to single spaces, trimmed.
   *
   * Alongside the text, the signals a curation pipeline filters on:
@@ -32,13 +37,31 @@ import org.apache.spark.sql.functions._
   */
 object Html {
 
-  /** Entity decode table, ORDERED — `&amp;` must be last. Both
-    * engines apply these as literal (non-regex) replaces.
+  /** Entity decode table, ORDERED — `&amp;` must be last. The ORACLE
+    * applies these as literal (non-regex) replaces in list order; the
+    * Spark side decodes the same table in the single-pass kernel
+    * (order-free there — `HtmlEntitySyncSpec` pins the two lists
+    * equal and the two decode disciplines agreeing on the planted
+    * scaffold).
     */
   val Entities: Seq[(String, String)] = Seq(
     "&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
     "&#39;" -> "'", "&apos;" -> "'", "&nbsp;" -> " ",
     "&amp;" -> "&")
+
+  /** VALID numeric-reference plants (decimal, hex-BMP, hex
+    * supplementary — the last proves surrogate-pair emission) and
+    * their decoded forms — shared by the scaffold, the oracle's
+    * literal replaces, and the specs. The INVALID plants in
+    * [[ScaffoldSuffix]] (surrogate `&#xD800;`, out-of-range
+    * `&#1114112;`, digitless `&#;`) appear in NO replace list: both
+    * engines must keep them literal, which the shared constants make
+    * observable at the gate.
+    */
+  val NumericPlants: Seq[(String, String)] = Seq(
+    "&#233;" -> "é",
+    "&#x2019;" -> "’",
+    "&#x1F600;" -> new String(Character.toChars(0x1F600)))
 
   /** The strip patterns, shared verbatim with the oracle (Java regex
     * and RE2 agree on every construct used: inline flags, non-greedy,
@@ -49,15 +72,19 @@ object Html {
   val CommentBlock: String = "(?s)<!--.*?-->"
   val AnyTag: String = "(?s)<[^>]*>"
 
+  /** Named + numeric character references in one codegen pass. */
+  def decodeEntities(c: Column): Column =
+    org.apache.spark.sql.GraftColumnBridge.column(
+      graft.expressions.HtmlEntityDecode(
+        org.apache.spark.sql.GraftColumnBridge.expression(c)))
+
   /** Tag-strip + entity-decode of an html column (steps 1–5). */
   def extractText(html: Column): Column = {
     val noScript = regexp_replace(html, ScriptBlock, " ")
     val noStyle = regexp_replace(noScript, StyleBlock, " ")
     val noComment = regexp_replace(noStyle, CommentBlock, " ")
     val noTags = regexp_replace(noComment, AnyTag, " ")
-    val decoded = Entities.foldLeft(noTags) { case (c, (ent, ch)) =>
-      replace(c, lit(ent), lit(ch))
-    }
+    val decoded = decodeEntities(noTags)
     // explicit class, not \s: Java's \s includes \x0B, RE2's does not
     trim(regexp_replace(decoded, WhitespaceClass, " "))
   }
@@ -106,7 +133,12 @@ object Html {
   val ScaffoldSuffix: String =
     "</p>\n<ul><li>alpha</li><li>beta &lt;tag&gt;</li></ul>\n" +
       "<a href=\"https://example.com/a?b=1&amp;c=2\">a &quot;link&quot;</a>" +
-      "&nbsp;&#39;quoted&#39; &amp;lt;escaped&amp;gt;\n</body></html>"
+      "&nbsp;&#39;quoted&#39; &amp;lt;escaped&amp;gt;\n" +
+      // numeric-reference plants: the three VALID forms from
+      // NumericPlants, then three INVALID ones that must stay literal
+      // (surrogate, out-of-range, digitless) in BOTH engines
+      "<p>caf&#233; it&#x2019;s A&#x1F600;B " +
+      "bad&#xD800;bad over&#1114112;over none&#;none</p>\n</body></html>"
 
   /** [[extract]] over scaffold-wrapped text — the driver row. */
   def extractPlanted(docs: DataFrame): DataFrame =
@@ -149,9 +181,7 @@ object Html {
     val hrefs = concat(
       regexp_extract_all(html, lit(HrefDq), lit(1)),
       regexp_extract_all(html, lit(HrefSq), lit(1)))
-    val decoded = Entities.foldLeft(col("__href0")) {
-      case (c, (ent, ch)) => replace(c, lit(ent), lit(ch))
-    }
+    val decoded = decodeEntities(col("__href0"))
     docs.select(col("doc_id"), lower(pageHost).as("src_host"),
         explode(hrefs).as("__href0"))
       .select(col("doc_id"), col("src_host"), decoded.as("href"))
@@ -227,13 +257,9 @@ object Html {
     def pairs(pat: String) = arrays_zip(
       regexp_extract_all(html, lit(pat), lit(1)).as("href"),
       regexp_extract_all(html, lit(pat), lit(2)).as("anchor"))
-    val decodedHref = Entities.foldLeft(col("__p")("href")) {
-      case (c, (ent, ch)) => replace(c, lit(ent), lit(ch))
-    }
-    val decodedAnchor = Entities.foldLeft(
-      regexp_replace(col("__p")("anchor"), AnyTag, " ")) {
-      case (c, (ent, ch)) => replace(c, lit(ent), lit(ch))
-    }
+    val decodedHref = decodeEntities(col("__p")("href"))
+    val decodedAnchor = decodeEntities(
+      regexp_replace(col("__p")("anchor"), AnyTag, " "))
     val anchorTxt = trim(regexp_replace(decodedAnchor, WhitespaceClass, " "))
     docs.select(lower(pageHost).as("src_host"),
         explode(concat(pairs(AnchorDq), pairs(AnchorSq))).as("__p"))

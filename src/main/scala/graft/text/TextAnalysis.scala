@@ -1526,10 +1526,14 @@ object TextAnalysis {
   /** Per-document keyword extraction — the metadata op a corpus
     * curator tags documents with: each document's top-`k` tokens by
     * tf × rational idf, where the idf factor is BM25's
-    * `(N − df + ½)/(df + ½)` WITHOUT the log — the log is monotone,
-    * so which tokens score high is the familiar ranking, and dropping
-    * it keeps every score a product of exact integer counts and two
-    * IEEE divisions (cross-engine hash-exact with no ln machinery).
+    * `(N − df + ½)/(df + ½)` WITHOUT the log. Dropping the log keeps
+    * every score a product of exact integer counts and two IEEE
+    * divisions (cross-engine hash-exact with no ln machinery); note
+    * the trade honestly: log is monotone PER FACTOR, not jointly, so
+    * tf·idf and tf·log(idf) agree on token order only at fixed tf —
+    * across tokens with different tf the rational form up-weights
+    * rare tokens relative to log-idf BM25. That rational ranking IS
+    * this operator's pinned semantics (oracle-mirrored both engines).
     * Corpus-frequent tokens (df > `maxDf`) are excluded exactly like
     * the inverted index's stopword cap.
     *
@@ -1538,7 +1542,11 @@ object TextAnalysis {
     * [[graft.expressions.TopKByScore]] aggregate on (score,
     * hex64(token)) — map-side partials, ≤ k rows per doc per
     * partition into the shuffle, NEVER a rank window — and the token
-    * string joins back on the hash.
+    * string joins back on the hash. The scored frame is PERSISTED
+    * across the top-k aggregate and the join-back (r13 — previously
+    * the tokenize → explode → tf/df chain ran twice as two physical
+    * subtrees), with the engine's scoped-release contract
+    * (CacheLifecycleSpec).
     */
   def keywords(docs: DataFrame, k: Int = 5,
       maxDf: Long = DefaultMaxTokenDf): DataFrame = {
@@ -1556,17 +1564,19 @@ object TextAnalysis {
         col("tf").cast("double") *
           ((col("__n").cast("double") - col("df") + 0.5) / (col("df") + 0.5)))
       .withColumn("__tid", GraftFunctions.hex64(col("tok")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val top = scored.groupBy(col("doc_id"))
       .agg(GraftFunctions.top_k_by_score(col("kw_score"), col("__tid"), k)
         .as("__top"))
       .select(col("doc_id"), posexplode(col("__top")).as(Seq("__r", "__e")))
       .select(col("doc_id"), (col("__r") + 1).cast("long").as("rank"),
         col("__e.id").as("__tid"))
-    top.join(scored.select(col("doc_id"), col("__tid"), col("tok"),
+    val out = top.join(scored.select(col("doc_id"), col("__tid"), col("tok"),
         col("tf"), col("df"), col("kw_score")),
         Seq("doc_id", "__tid"))
       .select(col("doc_id"), col("rank"), col("tok").as("keyword"),
         col("tf"), col("df"), col("kw_score"))
+    graft.ops.Caching.materialized(out) { scored.unpersist(false) }
   }
 
   /** Sentence segmentation with provenance — the boundary-aware

@@ -142,4 +142,51 @@ class CacheLifecycleSpec extends SparkSpec {
     direct.unpersist(blocking = true)
     assert((persisted -- before).isEmpty)
   }
+
+  // --- r13: the perceptual-dedup ledgers persist their decoded-hash
+  // frame (ONE decode per payload across the ledger aggregate and the
+  // join-back — the r12 verdict's double-decode fix) with the same
+  // scoped-release contract as every operator above
+
+  private def plantedJpeg(key: org.apache.spark.sql.Column) = {
+    val tiles = transform(sequence(lit(0), lit(71)),
+      tt => conv(substring(md5(concat(lit("img|"), key.cast("string"),
+        lit("|"), tt.cast("string"))), 1, 2), 16, 10).cast("int"))
+    org.apache.spark.sql.GraftColumnBridge.column(
+      graft.expressions.JpegSynthEncode(
+        org.apache.spark.sql.GraftColumnBridge.expression(tiles),
+        org.apache.spark.sql.GraftColumnBridge.expression(
+          array(lit(9), lit(8), lit(0), lit(0)))))
+  }
+
+  test("keywords persists the scored frame once; result is the scope") {
+    assertScoped(graft.text.TextAnalysis.keywords(docs))
+  }
+
+  test("imageDedup persists the decoded frame once; result is the scope") {
+    val ds = docs.limit(24)
+    assertScoped(graft.multimodal.Binary.imageDedup(
+      ds.select(col("doc_id"), plantedJpeg(expr("(doc_id div 2) * 2")).as("payload"))))
+  }
+
+  test("audioDedup persists the decoded frame once; result is the scope") {
+    val ds = docs.limit(24)
+    assertScoped(graft.multimodal.Binary.audioDedup(
+      graft.multimodal.Binary.Wav.synthWindowedFromDocs(
+        ds, expr("(doc_id div 2) * 2"))))
+  }
+
+  test("wdsCurate persists the decoded-sample frame once; result is the scope") {
+    val ds = docs.limit(24)
+    val d = col("doc_id")
+    val jpg = plantedJpeg(expr("(doc_id div 2) * 2"))
+    def stemOf(i: Int) = concat(lit("s"), (d * 2 + i).cast("string"))
+    def sample(i: Int) = concat(
+      graft.sources.Wds.tarMember(concat(stemOf(i), lit(".jpg")), jpg),
+      graft.sources.Wds.tarMember(concat(stemOf(i), lit(".txt")),
+        col("text").substr(lit(1 + 10 * i), (lit(5L) + d % 9).cast("int"))))
+    val shards = ds.select(d,
+      concat(sample(0), sample(1), graft.sources.Wds.tarTerminator).as("shard"))
+    assertScoped(graft.ops.Pipeline.wdsCurate(shards, col("shard")))
+  }
 }

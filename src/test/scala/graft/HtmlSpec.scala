@@ -156,5 +156,65 @@ class HtmlSpec extends SparkSpec {
       "script/style content must be gone")
     assert(!txt.contains("boilerplate comment"))
     assert(r.getAs[Long]("n_links") === 1L)
+    // r13 numeric-reference plants ride the scaffold: valid forms
+    // decode, invalid forms stay literal
+    assert(txt.contains("café it’s A" + new String(Character.toChars(0x1F600)) + "B"))
+    assert(txt.contains("bad&#xD800;bad"), "surrogate ref stays literal")
+    assert(txt.contains("over&#1114112;over"), "out-of-range ref stays literal")
+    assert(txt.contains("none&#;none"), "digitless ref stays literal")
+  }
+
+  test("numeric character references: decimal, hex, case, bounds, single-decode") {
+    assert(ext("caf&#233;") === "café")
+    assert(ext("it&#x2019;s &#X2019;") === "it’s ’")
+    assert(ext("A&#x1F600;B") === "A" + new String(Character.toChars(0x1F600)) + "B",
+      "supplementary plane emits a surrogate pair")
+    assert(ext("&#65;&#x41;") === "AA")
+    // invalid: zero digits, overlong, 0, surrogate range, > 0x10FFFF,
+    // missing semicolon — all stay byte-literal
+    assert(ext("&#;x") === "&#;x")
+    assert(ext("&#123456789;") === "&#123456789;", "8+ digits is overlong")
+    assert(ext("&#0;") === "&#0;")
+    assert(ext("&#xD800; &#xDFFF;") === "&#xD800; &#xDFFF;")
+    assert(ext("&#x110000;") === "&#x110000;")
+    assert(ext("&#233") === "&#233", "unterminated ref stays literal")
+    // single-pass semantics: &amp;#233; is the TEXT &#233;
+    assert(ext("&amp;#233;") === "&#233;")
+  }
+
+  test("kernel named table ≡ Html.Entities (the oracle list) and NumericPlants decode") {
+    assert(graft.expressions.HtmlEntityKernel.Named.toSeq
+      .map { case (e, c) => e -> c.toString } ===
+      graft.text.Html.Entities,
+      "the kernel's named table and the oracle's ordered list must be the same set")
+    for ((ent, dec) <- graft.text.Html.NumericPlants)
+      assert(ext(s"x${ent}y") === s"x${dec}y", s"plant $ent")
+  }
+
+  test("decoded numeric refs feed dedup/search: café via &#233; ≡ café via bytes") {
+    import org.apache.spark.sql.functions._
+    // two HTML pages whose EXTRACTED text is identical prose — one
+    // spells é as a numeric ref, one as raw bytes; exact dedup over
+    // the extracted corpus must collide them (the blind spot the
+    // kernel closes: pre-r13 the ref survived as junk and the pair
+    // never deduped)
+    val pages = Seq(
+      (1L, "<p>visit the caf&#233; tomorrow</p>"),
+      (2L, "<p>visit the café tomorrow</p>"),
+      (3L, "<p>a different page</p>")).toDF("doc_id", "html")
+    val docs = graft.text.Html.extract(pages, col("html"))
+      .select(col("doc_id"), col("text"))
+    val flagged = graft.dedup.Dedup.exact(docs)
+      .select("doc_id", "keep").collect()
+      .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(flagged(1L) === true, "doc 1 is the keeper")
+    assert(flagged(2L) === false, "numeric-ref spelling deduped against byte spelling")
+    assert(flagged(3L) === true)
+    // and search tokenizes the decoded form: a café query hits both
+    val toks = docs.select(col("doc_id"),
+        graft.GraftFunctions.tokens(col("text")).as("t"))
+      .where(array_contains(col("t"), "café"))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(toks === Set(1L, 2L))
   }
 }

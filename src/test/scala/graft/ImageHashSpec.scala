@@ -56,6 +56,13 @@ class ImageHashSpec extends SparkSpec {
     assert(ImageHashKernel.dhash("not an image".getBytes) == null)
     assert(ImageHashKernel.dhash(Array[Byte](0xFF.toByte, 0xD8.toByte,
       0xFF.toByte, 0x55)) == null)
+    // r13: a PROGRESSIVE (SOF2) re-encode of the same raster collides
+    // — the layout a real corpus ships 10-20% of the time; pre-r13
+    // the hash nulled and perceptual dedup was blind to these
+    val hP = ImageHashKernel.dhash(
+      JpegEncoder.encodeFlatTiles(tiles, 9, 8, 0, 0, progressive = true))
+    assert(hP != null, "progressive stream must hash")
+    assert(hJ === hP, "baseline/progressive re-encode pair must collide")
   }
 
   test("audio fingerprint: sample-content identity, width routing, locality, short-stream null") {

@@ -142,7 +142,8 @@ class JpegPixelsSpec extends SparkSpec {
     bad(good.length - 4) = 0x55
     // a flipped bit may still decode to SOME stats, but must not throw
     JpegDecodeKernel.stats(bad)
-    // progressive: ImageIO writes SOF2 → decoder must null (meta-only)
+    // progressive streams DECODE as of r13 (SOF2 routes to the
+    // progressive decoder) — a truncated one still nulls
     val img = new BufferedImage(16, 16, BufferedImage.TYPE_BYTE_GRAY)
     val writer = ImageIO.getImageWritersByFormatName("jpeg").next()
     val param = writer.getDefaultWriteParam
@@ -152,11 +153,82 @@ class JpegPixelsSpec extends SparkSpec {
     writer.setOutput(ios)
     writer.write(null, new IIOImage(img, null, null), param)
     ios.close(); writer.dispose()
-    assert(JpegDecodeKernel.stats(out.toByteArray) == null,
-      "progressive must be a null (metadata-only) lane")
+    val progBytes = out.toByteArray
+    assert(JpegDecodeKernel.stats(progBytes) != null,
+      "a well-formed progressive stream must decode (r13)")
+    assert(JpegDecodeKernel.stats(progBytes.take(progBytes.length - 8)) == null,
+      "a truncated progressive stream must null, never throw")
     // non-JPEG
     assert(JpegDecodeKernel.stats("plain text".getBytes) == null)
     assert(JpegDecodeKernel.stats(Array[Byte]()) == null)
+  }
+
+  test("progressive conformance: SOF2 decode matches ImageIO sample-for-sample (r13)") {
+    // the JDK writer's progressive scan script is the jcparam-style
+    // one: spectral selection AND successive approximation — this
+    // exercises DC first/refine and AC first/refine with EOB runs.
+    // Grayscale sidesteps subsampling/color-convert variation, so the
+    // reconstructed coefficients (lossless entropy) plus the already-
+    // conformant islow IDCT must agree with the JDK decoder EXACTLY.
+    val (w, h) = (37, 23) // edge MCUs: not a multiple of 8
+    val src = new BufferedImage(w, h, BufferedImage.TYPE_BYTE_GRAY)
+    for (y <- 0 until h; x <- 0 until w)
+      src.getRaster.setSample(x, y, 0, (x * 7 + y * 13) % 256)
+    val writer = ImageIO.getImageWritersByFormatName("jpeg").next()
+    val param = writer.getDefaultWriteParam
+    param.setCompressionMode(ImageWriteParam.MODE_EXPLICIT)
+    param.setCompressionQuality(0.8f)
+    param.setProgressiveMode(ImageWriteParam.MODE_DEFAULT)
+    val out = new ByteArrayOutputStream()
+    val ios = ImageIO.createImageOutputStream(out)
+    writer.setOutput(ios)
+    writer.write(null, new IIOImage(src, null, null), param)
+    ios.close(); writer.dispose()
+    val bytes = out.toByteArray
+    assert(JpegDecodeKernel.sofMarker(bytes) === 0xC2, "writer must emit SOF2")
+    val ref = ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    val dec = JpegDecodeKernel.decodePixels(bytes)
+    assert(dec != null, "decoder rejected ImageIO's progressive stream")
+    val (dw, dh, ours) = dec
+    assert(dw === w && dh === h)
+    var maxDiff = 0
+    for (y <- 0 until h; x <- 0 until w) {
+      val theirs = ref.getRaster.getSample(x, y, 0)
+      val mine = ours(y * w + x) & 0xFF
+      maxDiff = math.max(maxDiff, math.abs(mine - theirs))
+    }
+    assert(maxDiff === 0,
+      s"progressive decode must be sample-exact vs the JDK decoder; max |diff| = $maxDiff")
+  }
+
+  test("progressive ≡ baseline on flat tiles: the synth's SOF2 lane round-trips exactly") {
+    // the flat-tile synth now has a progressive lane (spectral
+    // selection + DC successive approximation); the coefficients are
+    // identical to the baseline encode, so the decoded stats must be
+    // BIT-identical — which is what keeps the mm_jpeg_pixels oracle
+    // closed-form with zero changes
+    for (mode <- 0 to 2) {
+      val vals = if (mode == 0) 1 else 3
+      val tiles = Array.tabulate(6 * vals)(i => (37 + i * 41) % 256)
+      val base = JpegEncoder.encodeFlatTiles(tiles, 3, 2, mode, 0)
+      val prog = JpegEncoder.encodeFlatTiles(tiles, 3, 2, mode, 0,
+        progressive = true)
+      assert(JpegDecodeKernel.sofMarker(base) === 0xC0)
+      assert(JpegDecodeKernel.sofMarker(prog) === 0xC2)
+      val sb = JpegDecodeKernel.stats(base)
+      val sp = JpegDecodeKernel.stats(prog)
+      assert(sb != null && sp != null, s"mode $mode lane rejected")
+      assert((0 until 5).forall(i => sb.getLong(i) === sp.getLong(i)),
+        s"mode $mode: progressive stats must equal baseline: " +
+          s"${(0 until 5).map(sb.getLong)} vs ${(0 until 5).map(sp.getLong)}")
+      // and ImageIO agrees with both (the independent referee)
+      val ib = ImageIO.read(new java.io.ByteArrayInputStream(base))
+      val ip = ImageIO.read(new java.io.ByteArrayInputStream(prog))
+      assert(ib != null && ip != null, s"mode $mode: ImageIO rejected a lane")
+      for (y <- 0 until ib.getHeight; x <- 0 until ib.getWidth)
+        assert(ib.getRGB(x, y) === ip.getRGB(x, y),
+          s"mode $mode: ImageIO sees different pixels at ($x,$y)")
+    }
   }
 
   test("driver-row shape: synthPixelsFromDocs → pixelStats matches spec-side recompute") {

@@ -962,6 +962,36 @@ class RelationalSpec extends SparkSpec {
     assert(gz.collect().length === 3)
   }
 
+  test("warcGzCurate doc_id packing: ≥1024 members cannot collide (r13 regression)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // the Common Crawl layout: one gzip member per record, thousands
+    // of members per archive — the old 2²⁰/2¹⁰ packing collided at
+    // member 1024; the 2³²/2¹⁶ packing matches the kernel caps
+    val nMembers = 1100
+    val bos = new java.io.ByteArrayOutputStream()
+    for (m <- 0 until nMembers) {
+      val body = s"member $m body"
+      val rec = s"WARC/1.0\r\nWARC-Type: response\r\n" +
+        s"WARC-Target-URI: https://ex.com/p$m\r\n" +
+        s"Content-Length: ${body.length}\r\n\r\n$body\r\n\r\n"
+      val g = new java.util.zip.GZIPOutputStream(bos)
+      g.write(rec.getBytes("UTF-8"))
+      g.finish()
+    }
+    val archives = Seq((7L, bos.toByteArray)).toDF("doc_id", "archive")
+    val rules = Seq.empty[(String, String, Boolean)]
+      .toDF("host", "path_prefix", "allow")
+    val ids = graft.ops.Pipeline.warcGzCurate(archives, col("archive"),
+        rules, Nil, quota = nMembers + 1)
+      .select("doc_id").as[Long].collect().sorted
+    assert(ids.length === nMembers, "every member's record must survive")
+    assert(ids.distinct.length === nMembers, "doc_ids must be collision-free")
+    assert(ids.head === 7L * (1L << 32), "member 0, record 0")
+    assert(ids.last === 7L * (1L << 32) + (nMembers - 1).toLong * (1L << 16),
+      "member N packs at member_idx · 2¹⁶")
+  }
+
   test("warcRecordsStream: stateless streaming ingest equals the batch walk (plain and gz)") {
     import spark.implicits._
     import org.apache.spark.sql.functions._

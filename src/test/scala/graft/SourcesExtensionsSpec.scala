@@ -309,6 +309,14 @@ class SourcesExtensionsSpec extends SparkSpec {
     assert(ZipKernel.entries("not a zip at all......".getBytes, 1 << 20) == null)
     assert(ZipKernel.entries(bos.toByteArray, 100) == null,
       "per-entry budget must bound the inflate")
+    // a structurally valid EMPTY archive (EOCD only: n=0, cdOff ==
+    // eocd offset, cdSize 0 — what `zipfile.ZipFile(w)` closes with
+    // no entries) is an empty ARRAY, not null (r13 — the 46-byte
+    // central-record minimum only applies when entries exist)
+    val emptyZip = Array[Byte]('P', 'K', 5, 6) ++ new Array[Byte](18)
+    val emptyGot = ZipKernel.entries(emptyZip, 1 << 20)
+    assert(emptyGot != null && emptyGot.numElements() === 0,
+      "empty archive must yield zero entries, not null")
   }
 
   test("Mbox: envelope split, mboxrd unescape, header case, no-envelope blobs vanish") {

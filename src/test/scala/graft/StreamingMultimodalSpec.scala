@@ -1229,12 +1229,17 @@ class StreamingMultimodalSpec extends SparkSpec {
       if (d % 10 == 0) assert(!r.getAs[Boolean]("pdf_valid"))
       else {
         val p = 1 + d % 4
+        val xs = d % 3 == 1 // the PDF 1.5+ xref-STREAM layout docs
         assert(r.getAs[Boolean]("pdf_valid") && r.getAs[Boolean]("startxref_ok"),
           s"doc $d: $r")
         assert(r.getAs[String]("version") === s"1.${5 + d % 3}")
-        assert(r.getAs[Long]("n_objects") === p + 3)
+        assert(r.getAs[Long]("n_objects") === (if (xs) p + 4 else p + 3))
         assert(r.getAs[Long]("n_pages") === p)
         assert(r.getAs[Boolean]("encrypted") === (d % 7 == 0))
+        assert(r.getAs[String]("xref_layout") === (if (xs) "stream" else "table"),
+          s"doc $d: the back-pointer must land on the right layout")
+        assert(r.getAs[Long]("declared_size") === (if (xs) p + 5 else p + 4),
+          s"doc $d: /Size from the trailer or XRef dict")
       }
     }
     // a LYING startxref (right shape, wrong offset) must flip the
@@ -1246,6 +1251,24 @@ class StreamingMultimodalSpec extends SparkSpec {
     val lr = Binary.Pdf.parse(lying).head()
     assert(lr.getAs[Boolean]("pdf_valid") && !lr.getAs[Boolean]("startxref_ok"))
     assert(!lr.getAs[Boolean]("header_consistent"))
+    assert(lr.getAs[String]("xref_layout") === "none",
+      "a broken pointer resolves to neither layout")
+    // xref-stream trap: a hand-built PDF 1.5 file whose startxref
+    // points at a /Type /XRef stream object — the layout a large
+    // share of real PDFs ship; pre-r13 this reported a FALSE
+    // startxref_ok
+    val body = "%PDF-1.5\n1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n"
+    val xrefStreamPdf = body +
+      "2 0 obj\n<< /Type /XRef /Size 3 /W [1 2 1] >>\n" +
+      "stream\nxx\nendstream\nendobj\n" +
+      s"startxref\n${body.length}\n%%EOF"
+    val xr = Binary.Pdf.parse(
+      Seq((1L, xrefStreamPdf.getBytes)).toDF("doc_id", "payload")).head()
+    assert(xr.getAs[Boolean]("pdf_valid") && xr.getAs[Boolean]("startxref_ok"),
+      "the modern layout must RESOLVE, not report a broken pointer")
+    assert(xr.getAs[String]("xref_layout") === "stream")
+    assert(xr.getAs[Long]("declared_size") === 3L,
+      "object count read from the XRef stream dictionary")
     // triage detects and routes pdf: content_units = page count
     val mixed = Binary.Pdf.synthFromDocs(docs).select(col("doc_id"), col("payload"))
     val tri = Binary.triage(mixed).collect()
@@ -1295,6 +1318,48 @@ class StreamingMultimodalSpec extends SparkSpec {
     val cr = PdfStreamsKernel.streams(crlf)
     assert(cr != null && cr.numElements() === 1 &&
       new String(cr.getBinary(0)) === "abcd")
+  }
+
+  test("PdfStreams: indirect /Length references resolve; unresolvable skips, not nulls") {
+    import graft.expressions.PdfStreamsKernel
+    // `/Length 5 0 R` (ISO 32000 §7.3.10) — the write-once layout
+    // most real producers emit: the integer lives in object 5's own
+    // body; pre-r13 the object NUMBER parsed as the byte length and
+    // every such PDF extracted zero streams
+    val data = "indirect body bytes".getBytes("US-ASCII")
+    val ipdf = ("%PDF-1.6\n5 0 obj\n" + data.length + "\nendobj\n" +
+      "1 0 obj\n<< /Length 5 0 R >>\nstream\n").getBytes("US-ASCII") ++
+      data ++ "\nendstream\nendobj\n%%EOF".getBytes("US-ASCII")
+    val ind = PdfStreamsKernel.streams(ipdf)
+    assert(ind != null && ind.numElements() === 1,
+      "indirect length must resolve against the file's own object")
+    assert(new String(ind.getBinary(0), "US-ASCII") === "indirect body bytes")
+    // the referenced object may come AFTER the stream (full-file scan)
+    val after = ("%PDF-1.6\n1 0 obj\n<< /Length 7 0 R >>\nstream\n" +
+      "abcdefg" + "\nendstream\nendobj\n7 0 obj\n7\nendobj\n%%EOF")
+      .getBytes("US-ASCII")
+    val aft = PdfStreamsKernel.streams(after)
+    assert(aft != null && aft.numElements() === 1 &&
+      new String(aft.getBinary(0)) === "abcdefg")
+    // digit boundary: `15 0 obj` must NOT resolve a lookup for 5 —
+    // with no true `5 0 obj`, the reference is unresolvable and that
+    // stream object is SKIPPED (not a whole-blob null); the direct
+    // stream after it still extracts
+    val mixed = ("%PDF-1.6\n15 0 obj\n999\nendobj\n" +
+      "1 0 obj\n<< /Length 5 0 R >>\nstream\njunkjunk\nendstream\nendobj\n" +
+      "2 0 obj\n<< /Length 4 >>\nstream\ngood\nendstream\nendobj\n%%EOF")
+      .getBytes("US-ASCII")
+    val mx = PdfStreamsKernel.streams(mixed)
+    assert(mx != null && mx.numElements() === 1,
+      "unresolvable reference drops its object only")
+    assert(new String(mx.getBinary(0), "US-ASCII") === "good")
+    // generation numbers participate in resolution: `5 1 R` ≠ `5 0 obj`
+    val wrongGen = ("%PDF-1.6\n5 0 obj\n4\nendobj\n" +
+      "1 0 obj\n<< /Length 5 1 R >>\nstream\nxxxx\nendstream\nendobj\n%%EOF")
+      .getBytes("US-ASCII")
+    val wg = PdfStreamsKernel.streams(wrongGen)
+    assert(wg != null && wg.numElements() === 0,
+      "generation mismatch must not resolve")
   }
 
   test("Mp4 box walk: largesize header, to-EOF size, nested locate, traps") {

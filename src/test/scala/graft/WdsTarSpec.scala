@@ -192,4 +192,47 @@ class WdsTarSpec extends SparkSpec {
     // gate's output sort) — the walks and the decode are map-side
     assert(!plan.contains("CartesianProduct"))
   }
+
+  test("binaryShards: real files from DISK feed the member walk (last-mile ingest)") {
+    import graft.sources.Sources
+    // the file face: a directory of archives → (shard_id, payload)
+    // rows → the SAME blob-column operators; the fixture read here is
+    // the checked-in GNU-tar archive, straight from the filesystem
+    val dir = new java.io.File(
+      getClass.getResource("/fixture_ustar.tar").toURI).getParent
+    val shards = Sources.binaryShards(spark, dir, "*.tar")
+    val rows = shards.collect()
+    assert(rows.length === 1, "glob must select exactly the tar fixture")
+    val r = rows.head
+    assert(r.getAs[String]("shard_path").endsWith("fixture_ustar.tar"))
+    assert(r.getAs[Long]("length") === fixture.length.toLong)
+    assert(r.getAs[Array[Byte]]("payload").toSeq === fixture.toSeq,
+      "payload must be the file's exact bytes")
+    // the two-line file→samples flow the scaladoc advertises
+    val stems = Wds.samples(shards, col("payload"), keys = Seq("shard_id"))
+      .collect().map(_.getAs[String]("stem")).sorted.toSeq
+    assert(stems === Seq("a", "dirA/n", "empty", "pad"),
+      "disk-read shards must regroup exactly like the blob-column path")
+  }
+
+  test("binaryShards refuses a >2 GiB shard up front (one file = one JVM byte array)") {
+    import graft.sources.Sources
+    val tmp = java.nio.file.Files.createTempDirectory("graft_shards").toFile
+    val big = new java.io.File(tmp, "big.tar")
+    try {
+      // sparse file: 3 GiB of metadata, zero blocks — the refusal
+      // must come from the LENGTH probe, before any content read
+      val raf = new java.io.RandomAccessFile(big, "rw")
+      try raf.setLength(3L << 30) finally raf.close()
+      val e = intercept[IllegalArgumentException] {
+        Sources.binaryShards(spark, tmp.getAbsolutePath, "*.tar")
+      }
+      assert(e.getMessage.contains("2 GiB") &&
+        e.getMessage.contains("big.tar"),
+        s"refusal must name the limit and the file: ${e.getMessage}")
+    } finally {
+      big.delete()
+      tmp.delete()
+    }
+  }
 }
