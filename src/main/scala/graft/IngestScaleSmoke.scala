@@ -262,6 +262,70 @@ object IngestScaleSmoke {
     println(f"MBOX boxes=$nBoxes messages=${nBoxes * 10} " +
       f"split+parse=${tMbox}%.1fs (${nBoxes * 10 / tMbox / 1000}%.0fk msg/s)")
 
+    // ---- rung 8 (r13): JSONL parse throughput — the LLM-corpus wire
+    // format; nRecords lines with nested metadata, 1-in-13 malformed
+    val jid = col("id")
+    val jlines = spark.range(nRecords).toDF("id")
+      .select(jid.as("doc_id"),
+        when(jid % 13 === 0, concat(lit("{\"id\": "), jid.cast("string"),
+          lit(", \"text\": \"broken")))
+        .otherwise(concat(
+          lit("{\"id\": "), jid.cast("string"),
+          lit(", \"text\": \"doc body "), rpad(jid.cast("string"), 80, "t"),
+          lit("\", \"meta\": {\"lang\": \"en\", \"source\": \"s"),
+          pmod(jid, lit(40L)).cast("string"),
+          lit("\", \"score\": "), pmod(jid, lit(97L)).cast("string"),
+          lit("}, \"tags\": [\"a\", \"b\"]}"))).as("line"))
+      .repartition(64).cache()
+    jlines.count()
+    val (jAgg, tJsonl) = time {
+      graft.sources.Jsonl.parse(jlines, col("line"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("json_ok"), 1L).otherwise(0L)).as("ok"),
+          sum(col("score")).as("scores"))
+        .head()
+    }
+    val expBad = (0L until nRecords.toLong).count(_ % 13 == 0)
+    assert(jAgg.getLong(0) == nRecords.toLong, s"rows: ${jAgg.getLong(0)}")
+    assert(jAgg.getLong(1) == nRecords.toLong - expBad,
+      s"ok rows: ${jAgg.getLong(1)} (malformed must drop, not kill)")
+    val expScores = (0L until nRecords.toLong).filter(_ % 13 != 0)
+      .map(_ % 97).sum
+    assert(jAgg.getLong(2) == expScores, "parsed scores must sum exactly")
+    println(f"JSONL lines=$nRecords parse=${tJsonl}%.1fs " +
+      f"(${nRecords / tJsonl / 1000}%.0fk lines/s)")
+
+    // ---- rung 9 (r13): robots.txt parse — one robots file per host
+    // (the natural grain: a crawl fetches ONE robots per host), the
+    // full group/agent fold per file ----
+    val nHosts = nImages / 10
+    val rid = col("id")
+    val robotsTxt = concat(
+      lit("# host robots\nUser-agent: *\nDisallow: /private"),
+      pmod(rid, lit(7L)).cast("string"),
+      lit("\nAllow: /private"), pmod(rid, lit(7L)).cast("string"),
+      lit("/pub\nUser-agent: botA\nDisallow: /a"),
+      pmod(rid, lit(5L)).cast("string"),
+      lit("\nUser-agent: botB\nDisallow: /b\n"))
+    val robotsDf = spark.range(nHosts).toDF("id")
+      .select(rid.as("doc_id"),
+        concat(lit("h"), rid.cast("string"), lit(".example")).as("host"),
+        robotsTxt.as("robots_txt"))
+      .repartition(64).cache()
+    robotsDf.count()
+    val (rAgg, tRobots) = time {
+      graft.ops.Curation.parseRobotsTxt(robotsDf, col("host"),
+          col("robots_txt"), agent = "botA")
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("allow"), 1L).otherwise(0L)).as("allows"))
+        .head()
+    }
+    // per host: * group (2 rules) + botA group (1) = 3; botB excluded
+    assert(rAgg.getLong(0) == nHosts.toLong * 3, s"rules: ${rAgg.getLong(0)}")
+    assert(rAgg.getLong(1) == nHosts.toLong, "exactly the one Allow per host")
+    println(f"ROBOTS hosts=$nHosts rules=${nHosts * 3} " +
+      f"parse=${tRobots}%.1fs (${nHosts / tRobots / 1000}%.0fk hosts/s)")
+
     println("INGEST_SCALE_SMOKE_OK")
     spark.stop()
   }

@@ -4347,4 +4347,205 @@ object OracleSql {
        |  CAST(CASE WHEN rk <= 32 THEN rk END AS BIGINT) AS prune_rank,
        |  rk <= 32 AS pruned
        |FROM r ORDER BY vec_id""".stripMargin
+
+  /** The tag-strip + single-pass-equivalent entity decode + collapse
+    * used by the page-metadata fields — the [[htmlTxtExpr]] decode
+    * stage over an arbitrary expression (numeric plants first, named
+    * fold after; identical reasoning).
+    */
+  private def htmlCleanExpr(e: String): String = {
+    import graft.text.Html
+    val stripped = s"regexp_replace($e, '${Html.AnyTag}', ' ', 'g')"
+    val numeric = Html.NumericPlants.foldLeft(stripped) {
+      case (acc, (ent, ch)) => s"replace($acc, ${slit(ent)}, ${slit(ch)})" }
+    val decoded = Html.Entities.foldLeft(numeric) {
+      case (acc, (ent, ch)) => s"replace($acc, ${slit(ent)}, ${slit(ch)})" }
+    s"trim(regexp_replace($decoded, '${Html.WhitespaceClass}', ' ', 'g'))"
+  }
+
+  /** Page metadata (mirror of Html.pageMeta ∘ metaPlanted): the SAME
+    * scaffold constants and patterns; title/h1/description re-derived
+    * by the ordered-replace decode — hash-exact against the kernel.
+    */
+  lazy val textHtmlMeta: String = {
+    import graft.text.Html
+    s"""WITH m AS (SELECT doc_id,
+       |  CASE WHEN doc_id % 6 = 0 THEN
+       |    '<html><body><p>' || text || '</p><h3>only</h3></body></html>'
+       |  ELSE ${slit(Html.MetaScaffoldA)} || doc_id::VARCHAR ||
+       |    ${slit(Html.MetaScaffoldB)} || substring(text, 1, 40) ||
+       |    ${slit(Html.MetaScaffoldC)} || doc_id::VARCHAR ||
+       |    ${slit(Html.MetaScaffoldD)} || text || ${slit(Html.MetaScaffoldE)}
+       |  END AS h FROM documents),
+       |x AS (SELECT doc_id, h,
+       |  regexp_extract_all(h, '${Html.H1Pat}', 1) AS h1s FROM m)
+       |SELECT doc_id,
+       |  CASE WHEN len(regexp_extract_all(h, '${Html.TitlePat}')) > 0
+       |    THEN ${htmlCleanExpr(s"regexp_extract(h, '${Html.TitlePat}', 1)")}
+       |  END AS title,
+       |  len(h1s)::BIGINT AS n_h1,
+       |  CASE WHEN len(h1s) > 0 THEN ${htmlCleanExpr("h1s[1]")} END AS first_h1,
+       |  len(regexp_extract_all(h, '${Html.HeadingPat}'))::BIGINT AS n_headings,
+       |  CASE WHEN len(regexp_extract_all(h, '${Html.MetaDescPat}')) > 0
+       |    THEN ${htmlCleanExpr(s"regexp_extract(h, '${Html.MetaDescPat}', 1)")}
+       |  END AS meta_description
+       |FROM x ORDER BY doc_id""".stripMargin
+  }
+
+  /** Sitemap parse (mirror of Sitemap.parse ∘ synthFromDocs): the
+    * same block/loc/lastmod/priority patterns over the same
+    * synthesized XML; loc entity-decoded by the ordered replaces.
+    */
+  lazy val webSitemap: String = {
+    import graft.sources.Sitemap
+    import graft.text.Html
+    val locDecoded = {
+      val raw = s"nullif(regexp_extract(u.b, '${Sitemap.LocPat}', 1), '')"
+      val numeric = Html.NumericPlants.foldLeft(raw) {
+        case (acc, (ent, ch)) => s"replace($acc, ${slit(ent)}, ${slit(ch)})" }
+      Html.Entities.foldLeft(numeric) {
+        case (acc, (ent, ch)) => s"replace($acc, ${slit(ent)}, ${slit(ch)})" }
+    }
+    s"""WITH m AS (SELECT doc_id, text,
+       |  'https://www.site' || ((doc_id * 7 + 3) % 20)::VARCHAR || '.com' AS host,
+       |  1 + doc_id % 3 AS nu, 1 + doc_id % 2 AS ni,
+       |  doc_id % 9 = 0 AS invalid, doc_id % 4 = 0 AS isidx FROM documents),
+       |x AS (SELECT doc_id,
+       |  CASE WHEN invalid THEN text
+       |  WHEN isidx THEN
+       |    e'<?xml version="1.0" encoding="UTF-8"?>\\n<sitemapindex xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">\\n'
+       |    || list_aggregate([
+       |      '<sitemap><loc>' || host || '/sitemap' || (i - 1)::VARCHAR ||
+       |        e'.xml</loc></sitemap>\\n'
+       |      for i in generate_series(1, ni)], 'string_agg', '')
+       |    || e'</sitemapindex>\\n'
+       |  ELSE
+       |    e'<?xml version="1.0" encoding="UTF-8"?>\\n<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">\\n'
+       |    || list_aggregate([
+       |      e'<url>\\n  <loc> ' || host || '/p/' || doc_id::VARCHAR || '/' ||
+       |        (i - 1)::VARCHAR || '?a=1&amp;b=' || (i - 1)::VARCHAR || e' </loc>\\n'
+       |      || (CASE WHEN (i - 1) % 2 = 0 THEN '  <lastmod>2025-' ||
+       |            lpad((1 + (doc_id + i - 1) % 12)::VARCHAR, 2, '0') || '-' ||
+       |            lpad((1 + (doc_id * 3 + i - 1) % 28)::VARCHAR, 2, '0') ||
+       |            e'</lastmod>\\n' ELSE '' END)
+       |      || (CASE WHEN (i - 1) % 3 = 0 THEN '  <priority>0.' ||
+       |            ((doc_id + i - 1) % 10)::VARCHAR || e'</priority>\\n' ELSE '' END)
+       |      || e'</url>\\n'
+       |      for i in generate_series(1, nu)], 'string_agg', '')
+       |    || e'</urlset>\\n'
+       |  END AS xml FROM m),
+       |k AS (SELECT doc_id, xml,
+       |  CASE WHEN regexp_matches(xml, '(?is)<sitemapindex[ \\t\\r\\n>]') THEN 'index'
+       |       WHEN regexp_matches(xml, '(?is)<urlset[ \\t\\r\\n>]') THEN 'urlset'
+       |  END AS kind FROM x),
+       |bl AS (SELECT doc_id, kind,
+       |  CASE WHEN kind = 'index'
+       |    THEN regexp_extract_all(xml, '${Sitemap.SitemapBlock}', 1)
+       |    WHEN kind = 'urlset'
+       |    THEN regexp_extract_all(xml, '${Sitemap.UrlBlock}', 1)
+       |    ELSE [] END AS bs FROM k),
+       |e AS (SELECT doc_id, kind,
+       |  unnest([{'i': i - 1, 'b': bs[i]}
+       |    for i in generate_series(1, len(bs))]) AS u FROM bl)
+       |SELECT doc_id, kind, CAST(u.i AS BIGINT) AS entry_idx,
+       |  $locDecoded AS loc,
+       |  nullif(regexp_extract(u.b, '${Sitemap.LastmodPat}', 1), '') AS lastmod,
+       |  CAST(nullif(regexp_extract(u.b, '${Sitemap.PriorityPat}', 1), '')
+       |    AS DOUBLE) AS priority
+       |FROM e ORDER BY doc_id, entry_idx""".stripMargin
+  }
+
+  /** robots.txt parse (mirror of Curation.parseRobotsTxt ∘
+    * synthRobotsTxt, agent = botA): the oracle replays the grouping
+    * as a relational window chain (field lines only → lag-detected
+    * group starts → running-sum gid) — a deliberately DIFFERENT
+    * mechanism from Spark's per-row array fold, so a hash match pins
+    * the group semantics themselves, not an implementation echo.
+    */
+  val robotsParse: String =
+    """WITH m AS (SELECT doc_id, text,
+      |  'www.h' || (doc_id % 50)::VARCHAR || '.example' AS host,
+      |  CASE WHEN doc_id % 9 = 0 THEN text ELSE
+      |    '# robots for doc ' || doc_id::VARCHAR || chr(10) ||
+      |    'User-Agent: *' || chr(10) ||
+      |    'Disallow: /private' || (doc_id % 7)::VARCHAR || chr(10) ||
+      |    'Allow: /private' || (doc_id % 7)::VARCHAR ||
+      |      '/pub # inline comment' || chr(10) ||
+      |    chr(10) ||
+      |    (CASE WHEN doc_id % 2 = 0 THEN
+      |      'User-agent: botA' || chr(10) || 'User-agent: botC' || chr(10) ||
+      |      'disallow: /only-a/' || (doc_id % 5)::VARCHAR || chr(10)
+      |     ELSE '' END) ||
+      |    'Sitemap: https://www.h' || (doc_id % 50)::VARCHAR ||
+      |      '.example/sitemap.xml' || chr(10) ||
+      |    'user-AGENT: botB' || chr(10) ||
+      |    'Disallow:' || chr(10) ||
+      |    'Disallow: /b-only' || chr(10)
+      |  END AS txt FROM documents),
+      |l AS (SELECT doc_id, host,
+      |  unnest([{'i': i, 'l': regexp_replace(regexp_replace(
+      |      ls[i], '#.*$', '', 'g'), '^[ \t\r]+|[ \t\r]+$', '', 'g')}
+      |    for i in range(1, len(ls) + 1)]) AS u
+      |  FROM (SELECT doc_id, host, string_split(txt, chr(10)) AS ls FROM m)),
+      |c AS (SELECT doc_id, host, u.i AS idx,
+      |  lower(regexp_extract(u.l,
+      |    '(?i)^(user-agent|allow|disallow)[ \t]*:', 1)) AS field,
+      |  regexp_extract(u.l,
+      |    '(?i)^(?:user-agent|allow|disallow)[ \t]*:[ \t]*(.*)$', 1) AS value
+      |  FROM l),
+      |f AS (SELECT * FROM c WHERE field <> ''),
+      |g0 AS (SELECT *, coalesce(lag(field = 'user-agent')
+      |  OVER (PARTITION BY doc_id ORDER BY idx), false) AS prev_ua FROM f),
+      |g AS (SELECT *, sum(CASE WHEN field = 'user-agent' AND NOT prev_ua
+      |  THEN 1 ELSE 0 END)
+      |  OVER (PARTITION BY doc_id ORDER BY idx) AS gid FROM g0),
+      |ag AS (SELECT DISTINCT doc_id, gid FROM g
+      |  WHERE field = 'user-agent' AND (value = '*' OR lower(value) = 'bota')),
+      |r AS (SELECT g.doc_id, g.host, g.idx, g.value, g.field FROM g
+      |  JOIN ag ON g.doc_id = ag.doc_id AND g.gid = ag.gid
+      |  WHERE g.field <> 'user-agent' AND g.value <> '')
+      |SELECT doc_id, host,
+      |  (row_number() OVER (PARTITION BY doc_id ORDER BY idx) - 1)::BIGINT
+      |    AS rule_idx,
+      |  value AS path_prefix, field = 'allow' AS allow
+      |FROM r ORDER BY doc_id, rule_idx""".stripMargin
+
+  /** JSONL parse (mirror of Jsonl.parse ∘ synthLines): both engines
+    * build the SAME line bytes from the same arithmetic, then parse
+    * with their OWN json stack (Jackson vs yyjson) — the hash match
+    * proves two independent JSON parsers agree on every decoded
+    * field, escape semantics included.
+    */
+  lazy val textJsonlParse: String = {
+    val plant = slit(graft.sources.Jsonl.EscapePlant)
+    s"""WITH m AS (SELECT doc_id,
+       |  CASE WHEN doc_id % 13 = 0 THEN
+       |    '{"id": ' || doc_id::VARCHAR || ', "text": "truncated'
+       |  ELSE '{"id": ' || doc_id::VARCHAR || ', "text": "' || text || $plant
+       |    || '", "meta": {"lang": ' ||
+       |    (CASE WHEN doc_id % 7 = 0 THEN 'null' ELSE '"' || lang || '"' END)
+       |    || ', "source": "' || source || '", "score": ' ||
+       |    (doc_id % 97)::VARCHAR || '}' ||
+       |    (CASE WHEN doc_id % 11 = 0 THEN '' ELSE
+       |      ', "tags": ["s' || (doc_id % 5)::VARCHAR || '", "all"]' END)
+       |    || '}'
+       |  END AS line FROM documents)
+       |SELECT doc_id,
+       |  json_valid(line) AS json_ok,
+       |  CASE WHEN json_valid(line)
+       |    THEN json_extract(line, '$$.id')::BIGINT END AS id,
+       |  CASE WHEN json_valid(line)
+       |    THEN json_extract_string(line, '$$.text') END AS text,
+       |  CASE WHEN json_valid(line)
+       |    THEN json_extract_string(line, '$$.meta.lang') END AS lang,
+       |  CASE WHEN json_valid(line)
+       |    THEN json_extract_string(line, '$$.meta.source') END AS source,
+       |  CASE WHEN json_valid(line)
+       |    THEN json_extract(line, '$$.meta.score')::BIGINT END AS score,
+       |  CASE WHEN json_valid(line)
+       |    THEN json_array_length(line, '$$.tags')::BIGINT END AS n_tags,
+       |  CASE WHEN json_valid(line)
+       |    THEN json_extract_string(line, '$$.tags[0]') END AS tag0
+       |FROM m ORDER BY doc_id""".stripMargin
+  }
 }

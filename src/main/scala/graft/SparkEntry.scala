@@ -241,6 +241,53 @@ object SparkEntry {
     "text_html_extract" -> ((s, dir) =>
       graft.text.Html.extractPlanted(t(s, dir, "documents"))
         .orderBy(col("doc_id"))),
+    // page metadata: title / h1s / heading density / meta
+    // description — the per-page fields search+dedup+quality key on
+    // before body extraction; entities (incl. numeric refs) decode
+    // through the same single-pass kernel; every 6th doc drops the
+    // head (null-lane) — hash-exact via the shared scaffold constants
+    "text_html_meta" -> ((s, dir) => {
+      val pages = graft.text.Html.metaPlanted(t(s, dir, "documents"))
+      graft.text.Html.pageMeta(pages, col("html"))
+        .orderBy(col("doc_id"))
+    }),
+    // sitemap ingest: the crawl stack's SEED source — urlset AND
+    // sitemapindex kinds, loc/lastmod/priority per entry, loc
+    // entity-decoded (the required &amp; escaping in query strings);
+    // invalid blobs yield zero rows like the archive walks
+    "web_sitemap" -> ((s, dir) => {
+      val xmls = graft.sources.Sitemap.synthFromDocs(t(s, dir, "documents"))
+      graft.sources.Sitemap.parse(xmls, col("xml"))
+        .select(col("doc_id"), col("kind"), col("entry_idx"), col("loc"),
+          col("lastmod"), col("priority"))
+        .orderBy(col("doc_id"), col("entry_idx"))
+    }),
+    // robots.txt PARSING: raw fetched robots bytes → the
+    // (host, path_prefix, allow) rules table applyRobots consumes —
+    // the last mile of the robots chain (fetch → parse → gate);
+    // grouping per RFC 9309 essentials (consecutive UA lines one
+    // group, comments/blank/Sitemap lines inert, case-insensitive
+    // fields, empty-path no-ops dropped); the oracle replays the
+    // grouping relationally (window chain) vs Spark's array fold —
+    // a hash match pins the semantics, not the mechanism
+    "robots_parse" -> ((s, dir) => {
+      val r = graft.ops.Curation.synthRobotsTxt(t(s, dir, "documents"))
+      graft.ops.Curation.parseRobotsTxt(r, col("host"), col("robots_txt"),
+          agent = "botA")
+        .select(col("doc_id"), col("host"), col("rule_idx"),
+          col("path_prefix"), col("allow"))
+        .orderBy(col("doc_id"), col("rule_idx"))
+    }),
+    // JSONL ingest: the LLM-corpus wire format (one JSON object per
+    // line, nested metadata, optional fields, malformed lines) — both
+    // engines build the same bytes and parse with their OWN json
+    // stack, so the hash match proves two independent JSON parsers
+    // agree on every decoded field incl. escape semantics
+    "text_jsonl_parse" -> ((s, dir) => {
+      val lines = graft.sources.Jsonl.synthLines(t(s, dir, "documents"))
+      graft.sources.Jsonl.parse(lines, col("line"))
+        .orderBy(col("doc_id"))
+    }),
     // rows-only (float fit, like quality_classifier): plants a
     // deterministic multilingual corpus, trains multinomial LR on the
     // marker heuristic's own labels, scores the MARKER-STRIPPED
@@ -1909,6 +1956,10 @@ object SparkEntry {
     "text_langid" -> OracleSql.textLangid,
     "text_scripts" -> OracleSql.textScripts,
     "text_html_extract" -> OracleSql.textHtmlExtract,
+    "text_html_meta" -> OracleSql.textHtmlMeta,
+    "robots_parse" -> OracleSql.robotsParse,
+    "web_sitemap" -> OracleSql.webSitemap,
+    "text_jsonl_parse" -> OracleSql.textJsonlParse,
     "corpus_language_mix" -> OracleSql.corpusLanguageMix,
     "text_fingerprint" -> OracleSql.textFingerprint,
     "text_chunks" -> OracleSql.textChunks,

@@ -67,33 +67,27 @@ object PixelKernel {
   * bytes in the same pass.
   */
 object PngFilterKernel {
-  /** (n_pixels, sum_r, sum_g, sum_b, peak_byte) over the unfiltered
-    * raster, or null when the geometry is wrong or a scanline carries
-    * an unknown filter type.
+  // Adam7 pass origins and steps (PNG spec §8.2): (x0, y0, dx, dy)
+  private val Adam7: Array[(Int, Int, Int, Int)] = Array(
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2))
+
+  /** Unfilter one sub-image of `ph` scanlines × `rowb` pixel bytes
+    * starting at `off`, accumulating into `acc` = [s0, s1, s2, peak].
+    * Returns the offset past the sub-image, or -1 on an unknown
+    * filter type / overrun.
     */
-  def stats(raster: Array[Byte], geom: ArrayData): ArrayData = {
-    var i = 0
-    while (i < 2) { if (geom.isNullAt(i)) return null; i += 1 }
-    // header dimensions are ATTACKER-CONTROLLED: bound them before any
-    // narrowing or multiplication so a 2³²+5 width cannot truncate to
-    // a "valid" 5 or wrap the length check (2²⁰ px/side is far beyond
-    // any raster the inflate budget admits anyway)
-    val wL = geom.getLong(0)
-    val hL = geom.getLong(1)
-    if (wL <= 0 || hL <= 0 || wL > (1L << 20) || hL > (1L << 20)) return null
-    val w = wL.toInt
-    val h = hL.toInt
-    val rowb = 3 * w
-    if (raster.length.toLong != (rowb + 1L) * h) return null
+  private def unfilterInto(raster: Array[Byte], off: Int, rowb: Int,
+      ph: Int, acc: Array[Long]): Int = {
+    if (off + ph.toLong * (rowb + 1) > raster.length) return -1
     val prev = new Array[Int](rowb)
     val cur = new Array[Int](rowb)
-    var s0 = 0L; var s1 = 0L; var s2 = 0L
-    var peak = 0L
+    java.util.Arrays.fill(prev, 0)
     var y = 0
-    while (y < h) {
-      val base = y * (rowb + 1)
+    while (y < ph) {
+      val base = off + y * (rowb + 1)
       val ft = raster(base) & 0xFF
-      if (ft > 4) return null
+      if (ft > 4) return -1
       var j = 0
       while (j < rowb) {
         val x = raster(base + 1 + j) & 0xFF
@@ -115,17 +109,65 @@ object PngFilterKernel {
         val v = (x + pred) & 0xFF
         cur(j) = v
         j % 3 match {
-          case 0 => s0 += v
-          case 1 => s1 += v
-          case 2 => s2 += v
+          case 0 => acc(0) += v
+          case 1 => acc(1) += v
+          case 2 => acc(2) += v
         }
-        if (v > peak) peak = v
+        if (v > acc(3)) acc(3) = v
         j += 1
       }
       System.arraycopy(cur, 0, prev, 0, rowb)
       y += 1
     }
-    new GenericArrayData(Array(w.toLong * h, s0, s1, s2, peak))
+    off + ph * (rowb + 1)
+  }
+
+  /** (n_pixels, sum_r, sum_g, sum_b, peak_byte) over the unfiltered
+    * raster, or null when the geometry is wrong or a scanline carries
+    * an unknown filter type. `geom` = [w, h, interlace] (a 2-element
+    * geom means non-interlaced — the pre-r13 call shape).
+    *
+    * Interlace 1 = Adam7 (r13): seven sub-images, each filtered
+    * INDEPENDENTLY (a pass's scanlines predict only from that pass's
+    * previous scanline — PNG spec §8.2); channel statistics are
+    * placement-independent, so the walk unfilters pass-by-pass and
+    * accumulates without materializing the de-interlaced raster.
+    */
+  def stats(raster: Array[Byte], geom: ArrayData): ArrayData = {
+    var i = 0
+    while (i < 2) { if (geom.isNullAt(i)) return null; i += 1 }
+    // header dimensions are ATTACKER-CONTROLLED: bound them before any
+    // narrowing or multiplication so a 2³²+5 width cannot truncate to
+    // a "valid" 5 or wrap the length check (2²⁰ px/side is far beyond
+    // any raster the inflate budget admits anyway)
+    val wL = geom.getLong(0)
+    val hL = geom.getLong(1)
+    if (wL <= 0 || hL <= 0 || wL > (1L << 20) || hL > (1L << 20)) return null
+    val interlace =
+      if (geom.numElements() > 2 && !geom.isNullAt(2)) geom.getLong(2) else 0L
+    val w = wL.toInt
+    val h = hL.toInt
+    val acc = Array(0L, 0L, 0L, 0L)
+    if (interlace == 0L) {
+      val rowb = 3 * w
+      if (raster.length.toLong != (rowb + 1L) * h) return null
+      if (unfilterInto(raster, 0, rowb, h, acc) < 0) return null
+    } else if (interlace == 1L) {
+      var off = 0
+      var p = 0
+      while (p < 7) {
+        val (x0, y0, dx, dy) = Adam7(p)
+        val pw = if (w > x0) (w - x0 + dx - 1) / dx else 0
+        val ph = if (h > y0) (h - y0 + dy - 1) / dy else 0
+        if (pw > 0 && ph > 0) {
+          off = unfilterInto(raster, off, 3 * pw, ph, acc)
+          if (off < 0) return null
+        }
+        p += 1
+      }
+      if (off != raster.length) return null // trailing garbage
+    } else return null
+    new GenericArrayData(Array(w.toLong * h, acc(0), acc(1), acc(2), acc(3)))
   }
 }
 

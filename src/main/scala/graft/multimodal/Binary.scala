@@ -341,11 +341,12 @@ object Binary {
     * per-row filter bytes, pixels are 8-bit RGB, and ALL FIVE PNG
     * filter types (None/Sub/Up/Average/Paeth) reconstruct through the
     * sequential unfilter recurrence in
-    * [[graft.expressions.PngFilterKernel]] — a real-world RGB8
-    * non-interlaced PNG decodes here, not a synthetic subset. Scope:
-    * color type 2, depth 8, non-interlaced; other color types/depths
-    * return null rather than guesses (the [[Bmp.pixelStats]]
-    * convention).
+    * [[graft.expressions.PngFilterKernel]] — a real-world RGB8 PNG
+    * decodes here, not a synthetic subset; Adam7 INTERLACED files
+    * decode too (r13 — the seven independently-filtered sub-images,
+    * pass-by-pass). Scope: color type 2, depth 8, interlace ≤ 1;
+    * other color types/depths return null rather than guesses (the
+    * [[Bmp.pixelStats]] convention).
     */
   object PngPixels {
     import graft.expressions.{ZlibDeflate, ZlibInflate}
@@ -355,7 +356,11 @@ object Binary {
       * dimensions from doc_id arithmetic, pixel bytes = text bytes
       * zero-padded to 3·w·h, each scanline FILTERED with type
       * `(doc_id + y) % 5` — all five PNG filters (None/Sub/Up/
-      * Average/Paeth) exercised corpus-wide. The forward filter is a
+      * Average/Paeth) exercised corpus-wide; every `doc_id % 4 == 1`
+      * doc ships the SAME pixels in the Adam7 INTERLACED layout (r13
+      * — seven passes, each forward-filtered independently; channel
+      * sums are placement-invariant, so the closed-form oracle needs
+      * zero layout awareness). The forward filter is a
       * per-byte pure function of the RAW pixel array (filters predict
       * from decoded neighbors), so synthesis stays a declarative HOF;
       * DECODING is the sequential recurrence in
@@ -378,36 +383,79 @@ object Binary {
         conv(col("__pixhex").substr((g * 2 + 1).cast("int"), lit(2)), 16, 10)
           .cast("long")
       val rowb = col("__rowb")
+      // shared forward-filter arithmetic: raw byte + its three
+      // neighbors (as RAW values at arbitrary positions) → filtered
+      // hex byte under filter type t
+      def filteredByte(t: Column, raw: Column, a: Column, b: Column,
+          cc: Column): Column = {
+        val p = a + b - cc
+        val pa = abs(p - a)
+        val pb = abs(p - b)
+        val pc = abs(p - cc)
+        val paeth = when(pa <= pb && pa <= pc, a)
+          .when(pb <= pc, b).otherwise(cc)
+        val pred = when(t === 0, lit(0L)).when(t === 1, a).when(t === 2, b)
+          .when(t === 3, (((a + b) - pmod(a + b, lit(2L))) / 2).cast("long"))
+          .otherwise(paeth)
+        lpad(hex(pmod(raw - pred, lit(256L))), 2, "0")
+      }
       val filteredRows = transform(sequence(lit(0L), col("__h") - 1), y => {
         val t = pmod(d + y, lit(5L))
         val rowBytes = transform(sequence(lit(0L), rowb - 1), j => {
           val g = y * rowb + j
-          val raw = rawAt(g)
           val a = when(j >= 3, rawAt(g - 3)).otherwise(lit(0L))
           val b = when(y >= 1, rawAt(g - rowb)).otherwise(lit(0L))
           val cc = when(y >= 1 && j >= 3, rawAt(g - rowb - 3)).otherwise(lit(0L))
-          val p = a + b - cc
-          val pa = abs(p - a)
-          val pb = abs(p - b)
-          val pc = abs(p - cc)
-          val paeth = when(pa <= pb && pa <= pc, a)
-            .when(pb <= pc, b).otherwise(cc)
-          val pred = when(t === 0, lit(0L)).when(t === 1, a).when(t === 2, b)
-            .when(t === 3, (((a + b) - pmod(a + b, lit(2L))) / 2).cast("long"))
-            .otherwise(paeth)
-          lpad(hex(pmod(raw - pred, lit(256L))), 2, "0")
+          filteredByte(t, rawAt(g), a, b, cc)
         })
         concat(lpad(hex(t), 2, "0"), array_join(rowBytes, ""))
       })
+      // Adam7 layout (r13 lane): the SAME pixels partitioned into the
+      // seven passes, each pass forward-filtered INDEPENDENTLY against
+      // its own previous scanline — so the decoded channel sums (and
+      // therefore the oracle) are identical to the sequential lane
+      val w0 = col("__w")
+      val h0 = col("__h")
+      val adam7Hex = {
+        val passes = Seq((0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8),
+          (2, 0, 4, 4), (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2))
+        val passHexes = passes.zipWithIndex.map { case ((x0, y0, dx, dy), pi) =>
+          val pwE = expr(
+            s"CASE WHEN __w > $x0 THEN (__w - $x0 + ${dx - 1}) DIV $dx " +
+              s"ELSE 0 END")
+          val phE = expr(
+            s"CASE WHEN __h > $y0 THEN (__h - $y0 + ${dy - 1}) DIV $dy " +
+              s"ELSE 0 END")
+          def gAt(yy: Column, xx: Column, ch: Column): Column =
+            ((lit(y0.toLong) + yy * dy) * w0 + (lit(x0.toLong) + xx * dx)) * 3 + ch
+          val rows = transform(sequence(lit(0L), phE - 1), yp => {
+            val t = pmod(d + yp + pi, lit(5L))
+            val rowBytes = transform(sequence(lit(0L), pwE * 3 - 1), j => {
+              val xp = ((j - pmod(j, lit(3L))) / 3).cast("long")
+              val ch = pmod(j, lit(3L))
+              val a = when(j >= 3, rawAt(gAt(yp, xp - 1, ch))).otherwise(lit(0L))
+              val b = when(yp >= 1, rawAt(gAt(yp - 1, xp, ch))).otherwise(lit(0L))
+              val cc = when(yp >= 1 && j >= 3, rawAt(gAt(yp - 1, xp - 1, ch)))
+                .otherwise(lit(0L))
+              filteredByte(t, rawAt(gAt(yp, xp, ch)), a, b, cc)
+            })
+            concat(lpad(hex(t), 2, "0"), array_join(rowBytes, ""))
+          })
+          when(pwE > 0 && phE > 0, array_join(rows, "")).otherwise(lit(""))
+        }
+        concat(passHexes: _*)
+      }
+      val interlaced = d % 4 === 1
       val staged = preStaged
-        .withColumn("__rawhex", array_join(filteredRows, ""))
+        .withColumn("__rawhex",
+          when(interlaced, adam7Hex).otherwise(array_join(filteredRows, "")))
         .withColumn("__idat",
           gcol(ZlibDeflate(gexpr(unhex(col("__rawhex"))))))
       val ihdrTypeData = concat(Png.asciiHexPub("IHDR"),
         Png.beHexPub(col("__w"), 4), Png.beHexPub(col("__h"), 4),
         Png.beHexPub(lit(8L), 1), Png.beHexPub(lit(2L), 1),
         Png.beHexPub(lit(0L), 1), Png.beHexPub(lit(0L), 1),
-        Png.beHexPub(lit(0L), 1))
+        Png.beHexPub(when(interlaced, lit(1L)).otherwise(lit(0L)), 1))
       val idatHex = hex(col("__idat"))
       val idatTypeData = concat(Png.asciiHexPub("IDAT"), idatHex)
       val pngHex = concat(
@@ -439,26 +487,28 @@ object Binary {
       val parsed = Png.parse(media, payloadCol)
       val w = col("width")
       val ht = col("height")
-      val rowb = w * 3 + 1
-      val rasterLen = rowb * ht
       val idat = p.substr(lit(42), col("idat_bytes").cast("int"))
+      // interlace ≤ 1: Adam7 decodes too (r13) — the kernel owns the
+      // per-layout raster-length check (the 7 sub-images of an
+      // interlaced raster have a different total than h·(3w+1))
       val decodable = col("png_valid") && col("color_type") === 2L &&
-        col("bit_depth") === 8L && col("interlace") === 0L &&
+        col("bit_depth") === 8L && col("interlace") <= 1L &&
         col("idat_bytes").isNotNull
       val withRaw = parsed.withColumn("__raw",
         when(decodable, gcol(ZlibInflate(gexpr(idat), maxRasterBytes))))
       // inflate → UNFILTER (all five PNG filter types, the sequential
-      // reconstruction recurrence) → channel stats, the latter two as
-      // ONE codegen kernel pass over the inflated raster bytes
+      // reconstruction recurrence; pass-by-pass for Adam7) → channel
+      // stats, the latter two as ONE codegen kernel pass over the
+      // inflated raster bytes
       val st = org.apache.spark.sql.GraftColumnBridge.column(
         graft.expressions.PngFilteredStats(
           org.apache.spark.sql.GraftColumnBridge.expression(col("__raw")),
           org.apache.spark.sql.GraftColumnBridge.expression(
-            array(w.cast("long"), ht.cast("long")))))
+            array(w.cast("long"), ht.cast("long"),
+              col("interlace").cast("long")))))
       withRaw
         .withColumn("__st",
-          when(col("__raw").isNotNull && length(col("__raw")) === rasterLen &&
-            w * ht > 0, st))
+          when(col("__raw").isNotNull && w * ht > 0, st))
         .withColumn("pixels_decoded",
           when(col("__st").isNotNull, element_at(col("__st"), 1)))
         .withColumn("mean_r",

@@ -475,6 +475,103 @@ object Curation {
       .select(col("host"), col("r.path_prefix"), col("r.allow"))
   }
 
+  /** Parse RAW `robots.txt` content into the `(host, path_prefix,
+    * allow)` rules table [[applyRobots]] consumes — closing the last
+    * mile of the robots chain: fetch robots.txt → THIS → gate the
+    * frontier. Semantics (RFC 9309 subset, documented scope):
+    * comments strip from `#`; field names are case-insensitive;
+    * consecutive `User-agent` lines form one group and a group's
+    * rules run until the next group starts (a User-agent line
+    * following a rule line); blank/unknown lines (Sitemap,
+    * Crawl-delay, …) affect nothing; a group applies when any of its
+    * agents is `*` or equals `agent` (case-insensitive exact token —
+    * no product-token prefix matching); empty-path rules are no-ops
+    * and drop. Longest-match/Allow-wins precedence is NOT resolved
+    * here — that is [[applyRobots]]'s job at gate time, exactly as
+    * with hand-written rules.
+    *
+    * Shape: one per-row ARRAY fold over the file's lines (a
+    * robots.txt is KB-grain by nature) + an explode — map-only, no
+    * shuffle, no window; the interpreted fold lambda runs once per
+    * robots file, not per crawled URL.
+    */
+  def parseRobotsTxt(robots: DataFrame, host: Column, txt: Column,
+      agent: String = "*"): DataFrame = {
+    val aLit = agent.toLowerCase
+    val cleaned = transform(split(coalesce(txt, lit("")), "\n"), l =>
+      regexp_replace(regexp_replace(l, "#.*$", ""),
+        "^[ \\t\\r]+|[ \\t\\r]+$", ""))
+    val entryType = "array<struct<gid:int,kind:string,value:string>>"
+    val folded = aggregate(cleaned,
+      struct(lit(0).as("gid"), lit(false).as("lastUa"),
+        array().cast(entryType).as("out")),
+      (acc, l) => {
+        val field = lower(regexp_extract(l,
+          "(?i)^(user-agent|allow|disallow)[ \\t]*:", 1))
+        val value = regexp_extract(l,
+          "(?i)^(?:user-agent|allow|disallow)[ \\t]*:[ \\t]*(.*)$", 1)
+        val isUa = field === "user-agent"
+        val isRule = field === "allow" || field === "disallow"
+        val gid2 = when(isUa && !acc("lastUa"), acc("gid") + 1)
+          .otherwise(acc("gid"))
+        val entry = struct(gid2.as("gid"), field.as("kind"),
+          value.as("value"))
+        struct(
+          gid2.as("gid"),
+          when(isUa, lit(true)).when(isRule, lit(false))
+            .otherwise(acc("lastUa")).as("lastUa"),
+          when(isUa || isRule, concat(acc("out"), array(entry)))
+            .otherwise(acc("out")).as("out"))
+      })("out")
+    val gids = transform(
+      filter(folded, e => e("kind") === "user-agent" &&
+        (e("value") === "*" || lower(e("value")) === lit(aLit))),
+      e => e("gid"))
+    val matched = filter(folded, e =>
+      e("kind") =!= "user-agent" && e("value") =!= "" &&
+        array_contains(gids, e("gid")))
+    robots
+      .withColumn("host", lower(host))
+      .select(col("*"), posexplode(matched).as(Seq("rule_idx", "__r")))
+      .withColumn("rule_idx", col("rule_idx").cast("long"))
+      .withColumn("path_prefix", col("__r.value"))
+      .withColumn("allow", col("__r.kind") === "allow")
+      .drop("__r")
+  }
+
+  /** Deterministic robots.txt corpus from the documents table — every
+    * lane the parser claims: comments, case-variant field names, a
+    * `*` group (two rules incl. a re-allow), a consecutive-UA group
+    * (botA+botC, on even docs), an ignored Sitemap field, a botB-only
+    * group whose first Disallow has an EMPTY path (no-op lane), and a
+    * raw-text invalid lane every 9th doc (zero rules). Shared
+    * arithmetic with the oracle.
+    */
+  def synthRobotsTxt(docs: DataFrame, invalidEvery: Int = 9): DataFrame = {
+    val d = col("doc_id")
+    val txt = concat(
+      lit("# robots for doc "), d.cast("string"), lit("\n"),
+      lit("User-Agent: *\n"),
+      lit("Disallow: /private"), pmod(d, lit(7L)).cast("string"), lit("\n"),
+      lit("Allow: /private"), pmod(d, lit(7L)).cast("string"),
+      lit("/pub # inline comment\n"),
+      lit("\n"),
+      when(d % 2 === 0, concat(
+        lit("User-agent: botA\n"),
+        lit("User-agent: botC\n"),
+        lit("disallow: /only-a/"), pmod(d, lit(5L)).cast("string"),
+        lit("\n"))).otherwise(lit("")),
+      lit("Sitemap: https://www.h"), pmod(d, lit(50L)).cast("string"),
+      lit(".example/sitemap.xml\n"),
+      lit("user-AGENT: botB\n"),
+      lit("Disallow:\n"),
+      lit("Disallow: /b-only\n"))
+    docs.select(d,
+      concat(lit("www.h"), pmod(d, lit(50L)).cast("string"),
+        lit(".example")).as("host"),
+      when(d % invalidEvery === 0, col("text")).otherwise(txt).as("robots_txt"))
+  }
+
   /** Politeness-scheduled crawl waves over a frontier: each
     * politeness key (host, or registered domain for a coarser
     * budget) may fetch at most `perWave` URLs per wave, so

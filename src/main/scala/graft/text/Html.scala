@@ -61,6 +61,7 @@ object Html {
   val NumericPlants: Seq[(String, String)] = Seq(
     "&#233;" -> "é",
     "&#x2019;" -> "’",
+    "&#8230;" -> "…",
     "&#x1F600;" -> new String(Character.toChars(0x1F600)))
 
   /** The strip patterns, shared verbatim with the oracle (Java regex
@@ -144,6 +145,76 @@ object Html {
   def extractPlanted(docs: DataFrame): DataFrame =
     extract(docs,
       concat(lit(ScaffoldPrefix), col("text"), lit(ScaffoldSuffix)))
+
+  // ---- page metadata (title / headings / meta description) ----
+
+  /** Extraction patterns, shared verbatim with the oracle. The meta
+    * description matcher requires `name` BEFORE `content` (the
+    * overwhelmingly common serialization; RE2 has no lookaround to
+    * match both orders in one pattern — documented scope).
+    */
+  val TitlePat: String = "(?is)<title[^>]*>(.*?)</title>"
+  val H1Pat: String = "(?is)<h1[^>]*>(.*?)</h1>"
+  val HeadingPat: String = "(?is)<h[1-3][ \\t\\r\\n>]"
+  val MetaDescPat: String =
+    "(?is)<meta[ \\t\\r\\n][^>]*?name[ \\t\\r\\n]*=[ \\t\\r\\n]*\"description\"" +
+      "[^>]*?content[ \\t\\r\\n]*=[ \\t\\r\\n]*\"([^\"]*)\""
+
+  /** Page metadata — the per-page fields a search/dedup/quality stack
+    * keys on before any body extraction (title is the classic
+    * near-dup and result-snippet signal; heading density separates
+    * article pages from link farms): `title` (first `<title>`,
+    * tag-stripped + entity-decoded + whitespace-collapsed — null when
+    * absent), `n_h1` / `first_h1` (same decode), `n_headings`
+    * (h1–h3 opens), `meta_description` (decoded `content` of
+    * `<meta name="description" …>`). One narrow projection — zero
+    * exchanges, the [[extract]] discipline.
+    */
+  def pageMeta(docs: DataFrame, html: Column,
+      carry: Seq[String] = Nil): DataFrame = {
+    def clean(c: Column): Column =
+      trim(regexp_replace(
+        decodeEntities(regexp_replace(c, AnyTag, " ")), WhitespaceClass, " "))
+    val h1s = regexp_extract_all(html, lit(H1Pat), lit(1))
+    docs.select(col("doc_id") +: carry.map(col) ++: Seq(
+      when(regexp_count(html, lit(TitlePat)) > 0,
+        clean(regexp_extract(html, TitlePat, 1))).as("title"),
+      size(h1s).cast("long").as("n_h1"),
+      when(size(h1s) > 0, clean(element_at(h1s, 1))).as("first_h1"),
+      regexp_count(html, lit(HeadingPat)).cast("long").as("n_headings"),
+      when(regexp_count(html, lit(MetaDescPat)) > 0,
+        clean(regexp_extract(html, MetaDescPat, 1))).as("meta_description")): _*)
+  }
+
+  /** Scaffold pieces for the page-metadata driver row (doc-varying
+    * title/description/headings ride in from these constants — the
+    * oracle concatenates the same bytes).
+    */
+  val MetaScaffoldA: String = "<html><head>\n<title> Doc "
+  val MetaScaffoldB: String = " &amp; notes </title>\n" +
+    "<meta name=\"keywords\" content=\"decoy, not description\">\n" +
+    "<meta name=\"description\" content=\""
+  val MetaScaffoldC: String = " &#8230;\">\n</head><body>\n<h1>Intro "
+  val MetaScaffoldD: String = " &lt;draft&gt;</h1>\n<p>"
+  val MetaScaffoldE: String = "</p>\n<h2>middle</h2>\n<H1>second heading</H1>\n" +
+    "<h3>tail</h3>\n</body></html>"
+
+  /** Scaffold-wrapped corpus for the page-metadata driver row: title
+    * carries a doc id + an entity, the description is a text prefix
+    * plus a numeric-reference ellipsis, h1s carry entities and a
+    * case-variant duplicate; every 6th doc drops the whole head (null
+    * title/description lane).
+    */
+  def metaPlanted(docs: DataFrame): DataFrame = {
+    val d = col("doc_id")
+    val wrapped = concat(
+      lit(MetaScaffoldA), d.cast("string"), lit(MetaScaffoldB),
+      substring(col("text"), 1, 40), lit(MetaScaffoldC),
+      d.cast("string"), lit(MetaScaffoldD), col("text"), lit(MetaScaffoldE))
+    val headless = concat(lit("<html><body><p>"), col("text"),
+      lit("</p><h3>only</h3></body></html>"))
+    docs.select(d, when(d % 6 === 0, headless).otherwise(wrapped).as("html"))
+  }
 
   // ---- link graph extraction ----
 

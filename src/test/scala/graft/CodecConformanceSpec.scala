@@ -72,6 +72,36 @@ class CodecConformanceSpec extends SparkSpec {
     }
   }
 
+  test("Adam7 interlaced PNG from ImageIO: channel stats field-exact (r13)") {
+    // the JDK writer's progressive mode IS Adam7; (3,2) leaves four
+    // of the seven passes empty — the degenerate-pass lane
+    for ((w, h) <- Seq((16, 9), (13, 7), (3, 2))) {
+      val img = plantRgb(w, h, BufferedImage.TYPE_INT_RGB)
+      val writer = ImageIO.getImageWritersByFormatName("png").next()
+      val param = writer.getDefaultWriteParam
+      param.setProgressiveMode(ImageWriteParam.MODE_DEFAULT)
+      val out = new ByteArrayOutputStream()
+      val ios = ImageIO.createImageOutputStream(out)
+      writer.setOutput(ios)
+      writer.write(null, new IIOImage(img, null, null), param)
+      ios.close(); writer.dispose()
+      val df = Seq((1L, out.toByteArray)).toDF("doc_id", "payload")
+      val row = Binary.PngPixels.pixelStats(df).head()
+      def f[T](n: String): T = row.getAs[T](n)
+      assert(f[Boolean]("png_valid"), s"interlaced PNG ${w}x$h rejected: $row")
+      assert(f[Long]("interlace") === 1L, "writer must have emitted Adam7")
+      val n = (w * h).toLong
+      val (sr, sg, sb, peak) = channelSums(img)
+      assert(f[Long]("pixels_decoded") === n,
+        s"interlaced ${w}x$h: all seven passes must unfilter " +
+          s"(pre-r13 this lane nulled): $row")
+      assert(f[Double]("mean_r") === sr.toDouble / n)
+      assert(f[Double]("mean_g") === sg.toDouble / n)
+      assert(f[Double]("mean_b") === sb.toDouble / n)
+      assert(f[Long]("peak_byte") === peak)
+    }
+  }
+
   test("GIF from ImageIO (independent encoder): screen descriptor field-exact") {
     for ((w, h) <- Seq((13, 7), (40, 25))) {
       val img = plantRgb(w, h, BufferedImage.TYPE_INT_RGB)

@@ -455,4 +455,19 @@ class PlanContractSpec extends SparkSpec {
         s"$name: keyed stage not hash-aggregated:\n$phys")
     }
   }
+
+  test("r13 ingest faces: sitemap/jsonl/page-meta/robots parses are map-only projections") {
+    // each is a projection (+ explode) over the synthesized column:
+    // no keyed shuffle, no window, no cartesian — the only exchange
+    // is the gate's deterministic output sort
+    for (name <- Seq("web_sitemap", "text_jsonl_parse", "text_html_meta",
+        "robots_parse")) {
+      val phys = physical(q(name))
+      assert(!phys.contains("Exchange hashpartitioning"),
+        s"$name: unexpected keyed shuffle:\n$phys")
+      assert(!phys.contains("Window"), s"$name: unexpected window:\n$phys")
+      assert(!phys.contains("CartesianProduct"), s"$name: cartesian:\n$phys")
+      assert(!phys.toLowerCase.contains("batchevalpython"), s"$name: python udf")
+    }
+  }
 }
