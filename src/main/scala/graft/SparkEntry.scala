@@ -700,21 +700,24 @@ object SparkEntry {
     // decode + perceptual-dedup ledger + caption token battery, all
     // composed from the engine's own operators; each doc's two
     // samples share a planted image (a within-doc duplicate pair), so
-    // dedup genuinely fires and the whole flag row is closed-form
+    // dedup genuinely fires and the whole flag row is closed-form.
+    // r13: the pair's SECOND sample re-encodes the same tiles as a
+    // PROGRESSIVE (SOF2) stream — the capstone's dedup collision now
+    // crosses the baseline/progressive layout divide, oracle unchanged
     "pipeline_multimodal" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
       val d = col("doc_id")
       val tiles = transform(sequence(lit(0), lit(71)),
         tt => conv(substring(md5(concat(lit("img|"), d.cast("string"),
           lit("|"), tt.cast("string"))), 1, 2), 16, 10).cast("int"))
-      val jpg = org.apache.spark.sql.GraftColumnBridge.column(
+      def jpgOf(progressive: Int) = org.apache.spark.sql.GraftColumnBridge.column(
         graft.expressions.JpegSynthEncode(
           org.apache.spark.sql.GraftColumnBridge.expression(tiles),
           org.apache.spark.sql.GraftColumnBridge.expression(
-            array(lit(9), lit(8), lit(0), lit(0)))))
+            array(lit(9), lit(8), lit(0), lit(0), lit(progressive)))))
       def stemOf(i: Int) = concat(lit("s"), (d * 2 + i).cast("string"))
       def sample(i: Int) = concat(
-        graft.sources.Wds.tarMember(concat(stemOf(i), lit(".jpg")), jpg),
+        graft.sources.Wds.tarMember(concat(stemOf(i), lit(".jpg")), jpgOf(i)),
         graft.sources.Wds.tarMember(concat(stemOf(i), lit(".txt")),
           col("text").substr(lit(1 + 10 * i), (lit(5L) + d % 9).cast("int"))))
       val shard = when(d % 10 === 0, col("text").cast("binary"))

@@ -379,9 +379,16 @@ object Binary {
         .withColumn("__pixhex", expr(
           "rpad(substring(hex(cast(text as binary)), 1, " +
             "cast(__w * __h * 6 as int)), cast(__w * __h * 6 as int), '0')"))
+        // decode the raw pixel array ONCE per row: every filter
+        // reference (raw/a/b/c, both layout lanes) reads ~4× per
+        // byte — indexing a precomputed array beats re-running the
+        // hex-substring decode per reference
+        .withColumn("__pix", expr(
+          "transform(sequence(0, cast(__w * __h * 3 as int) - 1), " +
+            "g -> cast(conv(substring(__pixhex, g * 2 + 1, 2), 16, 10) " +
+            "as bigint))"))
       def rawAt(g: Column): Column =
-        conv(col("__pixhex").substr((g * 2 + 1).cast("int"), lit(2)), 16, 10)
-          .cast("long")
+        element_at(col("__pix"), (g + 1).cast("int"))
       val rowb = col("__rowb")
       // shared forward-filter arithmetic: raw byte + its three
       // neighbors (as RAW values at arbitrary positions) → filtered

@@ -539,6 +539,25 @@ object Curation {
       .drop("__r")
   }
 
+  /** Sitemap discovery from robots.txt — the `Sitemap:` lines
+    * (host-global per RFC 9309 §2.3: they bind to no group, so this
+    * is a pure line extraction, not a grouping problem): one row per
+    * discovered sitemap URL, feeding [[graft.sources.Sitemap.parse]]
+    * directly — the full discovery chain a crawler runs is
+    * robots.txt → THIS → sitemap fetch → [[crawlWaves]] seeds.
+    * Case-insensitive field, trailing comments/whitespace stripped,
+    * empty values dropped. Map-only.
+    */
+  def robotsSitemaps(robots: DataFrame, host: Column, txt: Column): DataFrame = {
+    val urls = regexp_extract_all(coalesce(txt, lit("")),
+      lit("(?im)^[ \\t]*sitemap[ \\t]*:[ \\t]*" +
+        "([^#\\r\\n]*?)[ \\t]*(?:#[^\\r\\n]*)?$"), lit(1))
+    robots.withColumn("host", lower(host))
+      .select(col("*"), posexplode(filter(urls, u => length(u) > 0))
+        .as(Seq("sitemap_idx", "sitemap_url")))
+      .withColumn("sitemap_idx", col("sitemap_idx").cast("long"))
+  }
+
   /** Deterministic robots.txt corpus from the documents table — every
     * lane the parser claims: comments, case-variant field names, a
     * `*` group (two rules incl. a re-allow), a consecutive-UA group

@@ -67,6 +67,30 @@ class IngestFacesSpec extends SparkSpec {
       "longest-match + Allow-wins must bind through the parsed rules")
   }
 
+  test("robotsSitemaps: discovery lines — case, tabs, comments, empties") {
+    val txt = "User-agent: *\nDisallow: /x\n" +
+      "Sitemap: https://a.example/s1.xml\n" +
+      "SITEMAP:\thttps://a.example/s2.xml # mirror\n" +
+      "sitemap: \n" + // empty value drops
+      "  Sitemap: https://a.example/s3.xml  \n"
+    val got = graft.ops.Curation.robotsSitemaps(
+        Seq((1L, "A.Example", txt)).toDF("doc_id", "host", "robots_txt"),
+        col("host"), col("robots_txt"))
+      .orderBy("sitemap_idx")
+      .collect().map(r => r.getAs[Long]("sitemap_idx") ->
+        r.getAs[String]("sitemap_url"))
+    assert(got.toSeq === Seq(
+      0L -> "https://a.example/s1.xml",
+      1L -> "https://a.example/s2.xml",
+      2L -> "https://a.example/s3.xml"))
+    // chains into Sitemap.parse: the discovered URLs are what a
+    // crawler fetches next — no rows from a robots file without any
+    assert(graft.ops.Curation.robotsSitemaps(
+      Seq((2L, "b.example", "User-agent: *\nDisallow: /\n"))
+        .toDF("doc_id", "host", "robots_txt"),
+      col("host"), col("robots_txt")).count() === 0L)
+  }
+
   test("Sitemap.parse: urlset fields, index kind, entity decode, invalid lane") {
     val urlset =
       """<?xml version="1.0"?>
