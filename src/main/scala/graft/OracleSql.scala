@@ -4455,6 +4455,29 @@ object OracleSql {
        |FROM e ORDER BY doc_id, entry_idx""".stripMargin
   }
 
+  /** EXIF triage (mirror of Jpeg.exif ∘ synthExifFromDocs): every
+    * field re-derived from doc_id arithmetic — a hash match proves
+    * the TIFF walk read real offsets in BOTH byte orders, not flags.
+    */
+  val mmJpegExif: String =
+    """WITH m AS (SELECT doc_id, doc_id % 10 = 0 AS inv,
+      |  doc_id % 5 = 0 AS nox FROM documents)
+      |SELECT doc_id,
+      |  CASE WHEN inv THEN NULL WHEN nox THEN FALSE ELSE TRUE END
+      |    AS exif_present,
+      |  CASE WHEN inv OR nox THEN NULL
+      |    WHEN doc_id % 2 = 1 THEN 'II' ELSE 'MM' END AS byte_order,
+      |  (CASE WHEN inv OR nox THEN NULL
+      |    WHEN doc_id % 3 = 0 THEN 4 ELSE 3 END)::BIGINT AS n_ifd0_entries,
+      |  (CASE WHEN inv OR nox THEN NULL
+      |    ELSE 1 + doc_id % 8 END)::BIGINT AS orientation,
+      |  CASE WHEN inv OR nox THEN NULL
+      |    ELSE 'Cam' || (doc_id % 5)::VARCHAR END AS make,
+      |  CASE WHEN inv OR nox THEN NULL
+      |    ELSE 'M' || (doc_id % 7)::VARCHAR END AS model,
+      |  CASE WHEN inv OR nox THEN NULL ELSE doc_id % 3 = 0 END AS has_gps
+      |FROM m ORDER BY doc_id""".stripMargin
+
   /** robots.txt parse (mirror of Curation.parseRobotsTxt ∘
     * synthRobotsTxt, agent = botA): the oracle replays the grouping
     * as a relational window chain (field lines only → lag-detected

@@ -1626,6 +1626,21 @@ object SparkEntry {
           col("mean_r"), col("mean_g"), col("mean_b"), col("peak_byte"))
         .orderBy(col("doc_id"))
     }),
+    // EXIF triage — the image-PRIVACY pass: camera identity,
+    // orientation, and the GPS-IFD PRESENCE flag (embedded capture
+    // coordinates are the classic silent PII in published image
+    // corpora); both TIFF byte orders, offset-addressed AND inline
+    // ASCII values, a no-metadata lane distinct from the non-image
+    // lane — oracle re-derives every field from doc_id arithmetic
+    "mm_jpeg_exif" -> ((s, dir) => {
+      val media = graft.multimodal.Binary.Jpeg.synthExifFromDocs(
+        t(s, dir, "documents"))
+      graft.multimodal.Binary.Jpeg.exif(media)
+        .select(col("doc_id"), col("exif_present"), col("byte_order"),
+          col("n_ifd0_entries"), col("orientation"), col("make"),
+          col("model"), col("has_gps"))
+        .orderBy(col("doc_id"))
+    }),
     // PDF container triage (the sixth family, and the one whose
     // structure is ASCII — the parse stays declarative): version,
     // object/stream/page counts, encryption flag, and the startxref
@@ -2118,6 +2133,7 @@ object SparkEntry {
     "mm_gif_pixels" -> OracleSql.mmGifPixels,
     "mm_jpeg_pixels" -> OracleSql.mmJpegPixels,
     "mm_pdf_meta" -> OracleSql.mmPdfMeta,
+    "mm_jpeg_exif" -> OracleSql.mmJpegExif,
     "mm_pdf_text" -> OracleSql.mmPdfText,
     "mm_image_dedup" -> OracleSql.mmImageDedup,
     "mm_audio_dedup" -> OracleSql.mmAudioDedup,

@@ -726,6 +726,88 @@ object Binary {
         when(d % invalidEvery === 0, lit("text/plain"))
           .otherwise(lit("image/jpeg")).as("media_type"))
     }
+
+    /** EXIF triage — the image-PRIVACY pass (r13): camera identity,
+      * orientation, and the GPS sub-IFD PRESENCE flag (embedded
+      * capture coordinates are the classic silent-PII in published
+      * image corpora; this is the field a curation run gates on).
+      * One codegen struct projection over the payload
+      * ([[graft.expressions.JpegExifKernel]] — marker walk to the
+      * Exif APP1, TIFF header both byte orders, bounds-checked IFD0
+      * scan). `exif_present = false` ≠ null: a JPEG without metadata
+      * and a non-JPEG blob are different facts.
+      */
+    def exif(media: DataFrame, payloadCol: String = "payload"): DataFrame = {
+      val x = org.apache.spark.sql.GraftColumnBridge.column(
+        graft.expressions.JpegExif(
+          org.apache.spark.sql.GraftColumnBridge.expression(col(payloadCol))))
+      media.withColumn("__x", x)
+        .withColumn("exif_present", col("__x.exif_present"))
+        .withColumn("byte_order", col("__x.byte_order"))
+        .withColumn("n_ifd0_entries", col("__x.n_ifd0_entries"))
+        .withColumn("orientation", col("__x.orientation"))
+        .withColumn("make", col("__x.make"))
+        .withColumn("model", col("__x.model"))
+        .withColumn("has_gps", col("__x.has_gps"))
+        .drop("__x")
+    }
+
+    /** Deterministic Exif corpus: a real TIFF structure per doc —
+      * byte order alternates `II`/`MM` (odd docs little-endian, so
+      * BOTH decode paths run corpus-wide), Make is OFFSET-addressed
+      * ASCII (count 5 > 4) while Model is INLINE (count 3 ≤ 4) — both
+      * value layouts exercised — orientation `1 + doc_id % 8`, and
+      * the GPS IFD pointer rides every 3rd doc (the privacy lane). A
+      * COM segment precedes APP1 on every 4th doc (the walk, not a
+      * constant offset, finds the segment). Lanes: every 10th doc raw
+      * text (non-JPEG → null row), every 5th a JPEG with NO Exif
+      * (`exif_present = false`). Closed-form for the oracle.
+      */
+    def synthExifFromDocs(docs: DataFrame, invalidEvery: Int = 10): DataFrame = {
+      val d = col("doc_id")
+      val le = d % 2 === 1
+      def beH(v: Column, n: Int): Column = lpad(hex(v), n * 2, "0")
+      def leH(v: Column, n: Int): Column = {
+        val be = beH(v, n)
+        concat((n - 1 to 0 by -1).map(i => substring(be, i * 2 + 1, 2)): _*)
+      }
+      def x16(v: Column): Column = when(le, leH(v, 2)).otherwise(beH(v, 2))
+      def x32(v: Column): Column = when(le, leH(v, 4)).otherwise(beH(v, 4))
+      def aH(s: String): Column =
+        lit(s.getBytes("US-ASCII").map("%02X".format(_)).mkString)
+      val hasGps = d % 3 === 0
+      val nEntries = when(hasGps, lit(4L)).otherwise(lit(3L))
+      val da = lit(14L) + nEntries * 12 // make-string data offset
+      val tiffLen = da + 5
+      val makeDigit = beH(lit(48L) + d % 5, 1) // ascii '0'+d%5
+      val modelDigit = beH(lit(48L) + d % 7, 1)
+      def entry(tag: Long, typ: Long, cnt: Long, valueHex: Column): Column =
+        concat(x16(lit(tag)), x16(lit(typ)), x32(lit(cnt)), valueHex)
+      val entries = concat(
+        entry(0x010F, 2, 5, x32(da)), // Make: offset-addressed
+        entry(0x0110, 2, 3, concat(aH("M"), modelDigit, lit("0000"))), // inline
+        entry(0x0112, 3, 1, concat(x16(lit(1L) + d % 8), lit("0000"))),
+        when(hasGps, entry(0x8825, 4, 1, x32(tiffLen))).otherwise(lit("")))
+      val tiff = concat(
+        when(le, aH("II")).otherwise(aH("MM")), x16(lit(42L)), x32(lit(8L)),
+        x16(nEntries), entries, lit("00000000"),
+        aH("Cam"), makeDigit, lit("00"))
+      val app1 = concat(lit("FFE1"), beH(tiffLen + 8, 2),
+        aH("Exif"), lit("0000"), tiff)
+      val app0 = lit("FFE0" + "0010" + "4A46494600" + "0101" + "00" +
+        "0001" + "0001" + "00" + "00")
+      // COM data: 4 text bytes + 1 varying byte + NUL = 6, len = 8
+      val com = when(d % 4 === 0, concat(lit("FFFE"), beH(lit(8L), 2),
+        hex(substring(col("text"), 1, 4).cast("binary")),
+        beH(d % 9, 1), lit("00"))).otherwise(lit(""))
+      val withExif = concat(lit("FFD8"), app0, com, app1, lit("FFD9"))
+      val noExif = concat(lit("FFD8"), app0, lit("FFD9"))
+      docs.select(
+        d,
+        when(d % invalidEvery === 0, col("text").cast("binary"))
+          .when(d % 5 === 0, unhex(noExif))
+          .otherwise(unhex(withExif)).as("payload"))
+    }
   }
 
   /** Deterministic frame sampling BEFORE decode: every media pipeline

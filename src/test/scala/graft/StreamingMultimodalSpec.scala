@@ -1320,6 +1320,49 @@ class StreamingMultimodalSpec extends SparkSpec {
       new String(cr.getBinary(0)) === "abcd")
   }
 
+  test("Jpeg.exif: byte orders, inline/offset values, GPS flag, lanes and traps") {
+    import spark.implicits._
+    val docs = Tables.load(spark, sfDir, "documents").limit(60)
+    val rows = Binary.Jpeg.exif(Binary.Jpeg.synthExifFromDocs(docs))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    for ((d, r) <- rows) {
+      if (d % 10 == 0) {
+        assert(r.isNullAt(r.fieldIndex("exif_present")),
+          s"doc $d: non-JPEG must be the null row")
+      } else if (d % 5 == 0) {
+        assert(!r.getAs[Boolean]("exif_present"),
+          s"doc $d: JPEG without APP1 is exif_present=false, not null")
+        assert(r.isNullAt(r.fieldIndex("has_gps")))
+      } else {
+        assert(r.getAs[Boolean]("exif_present"))
+        assert(r.getAs[String]("byte_order") === (if (d % 2 == 1) "II" else "MM"))
+        assert(r.getAs[Long]("orientation") === 1 + d % 8)
+        assert(r.getAs[String]("make") === s"Cam${d % 5}",
+          s"doc $d: offset-addressed ASCII must read through the data area")
+        assert(r.getAs[String]("model") === s"M${d % 7}",
+          s"doc $d: inline ASCII must read from the value field")
+        assert(r.getAs[Boolean]("has_gps") === (d % 3 == 0),
+          s"doc $d: the GPS-IFD privacy flag")
+      }
+    }
+    // an ImageIO-encoded JPEG carries no Exif APP1 → false, not null
+    val img = new java.awt.image.BufferedImage(8, 8,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpeg", bos)
+    val io = Binary.Jpeg.exif(
+      Seq((1L, bos.toByteArray)).toDF("doc_id", "payload")).head()
+    assert(!io.getAs[Boolean]("exif_present"))
+    // traps: truncated APP1 / bad TIFF magic degrade to exif_present
+    // = false (the walk cannot read a structure), never a throw
+    val badTiff = Array[Byte](0xFF.toByte, 0xD8.toByte, 0xFF.toByte,
+      0xE1.toByte, 0, 16) ++ "Exif".getBytes ++ Array[Byte](0, 0) ++
+      "XXYYZZ77".getBytes
+    val bt = Binary.Jpeg.exif(
+      Seq((1L, badTiff)).toDF("doc_id", "payload")).head()
+    assert(!bt.getAs[Boolean]("exif_present"))
+  }
+
   test("PdfStreams: indirect /Length references resolve; unresolvable skips, not nulls") {
     import graft.expressions.PdfStreamsKernel
     // `/Length 5 0 R` (ISO 32000 §7.3.10) — the write-once layout
