@@ -4475,7 +4475,19 @@ object OracleSql {
       |    ELSE 'Cam' || (doc_id % 5)::VARCHAR END AS make,
       |  CASE WHEN inv OR nox THEN NULL
       |    ELSE 'M' || (doc_id % 7)::VARCHAR END AS model,
-      |  CASE WHEN inv OR nox THEN NULL ELSE doc_id % 3 = 0 END AS has_gps
+      |  CASE WHEN inv OR nox THEN NULL ELSE doc_id % 3 = 0 END AS has_gps,
+      |  CASE WHEN inv OR nox OR doc_id % 3 <> 0 THEN NULL ELSE
+      |    (CASE WHEN doc_id % 6 = 0 THEN -1 ELSE 1 END) *
+      |    ((doc_id % 90)::DOUBLE / 1 / 1
+      |      + ((doc_id * 7) % 60)::DOUBLE / 1 / 60
+      |      + ((doc_id * 13) % 600)::DOUBLE / 10 / 3600)
+      |  END AS gps_lat,
+      |  CASE WHEN inv OR nox OR doc_id % 3 <> 0 THEN NULL ELSE
+      |    (CASE WHEN (doc_id // 3) % 2 = 1 THEN -1 ELSE 1 END) *
+      |    ((doc_id % 180)::DOUBLE / 1 / 1
+      |      + ((doc_id * 11) % 60)::DOUBLE / 1 / 60
+      |      + ((doc_id * 17) % 600)::DOUBLE / 10 / 3600)
+      |  END AS gps_lon
       |FROM m ORDER BY doc_id""".stripMargin
 
   /** robots.txt parse (mirror of Curation.parseRobotsTxt ∘

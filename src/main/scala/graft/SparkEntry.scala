@@ -1638,7 +1638,7 @@ object SparkEntry {
       graft.multimodal.Binary.Jpeg.exif(media)
         .select(col("doc_id"), col("exif_present"), col("byte_order"),
           col("n_ifd0_entries"), col("orientation"), col("make"),
-          col("model"), col("has_gps"))
+          col("model"), col("has_gps"), col("gps_lat"), col("gps_lon"))
         .orderBy(col("doc_id"))
     }),
     // PDF container triage (the sixth family, and the one whose

@@ -17,8 +17,10 @@ import org.apache.spark.unsafe.types.UTF8String
   * TIFF header (both byte orders), and scans IFD0 for the triage
   * tags: Orientation (0x0112 — the display-correctness field),
   * Make/Model (0x010F/0x0110 — ASCII, inline or offset-addressed),
-  * and the GPS IFD pointer (0x8825 — PRESENCE is the privacy flag;
-  * the kernel deliberately does not decode coordinates).
+  * and the GPS IFD pointer (0x8825 — presence is the privacy FLAG,
+  * and the sub-IFD's refs + deg/min/sec rationals decode to signed
+  * decimal degrees, so a curation pass can drop/quantize/strip
+  * rather than only flag).
   *
   * Null (never a throw) on non-JPEG bytes; a valid JPEG with no Exif
   * APP1 yields `exif_present = false` with null fields — "no
@@ -61,14 +63,44 @@ object JpegExifKernel {
     UTF8String.fromBytes(java.util.Arrays.copyOfRange(p, start, end))
   }
 
+  /** `count`-3 RATIONAL coordinate (deg, min, sec as num/den pairs at
+    * the entry's offset) folded to decimal degrees, or null on any
+    * bound violation / zero denominator. The fold order
+    * `d + m/60 + s/3600` (each division exactly rounded) is mirrored
+    * verbatim by the oracle, so the doubles are cross-engine exact.
+    */
+  private def rational3(p: Array[Byte], tiffBase: Int, entryValOff: Int,
+      count: Long, le: Boolean, end: Int): Any = {
+    if (count != 3L) return null
+    val off = u32(p, entryValOff, le)
+    if (off < 0 || tiffBase + off + 24 > end ||
+      tiffBase + off + 24 > p.length) return null
+    val at = (tiffBase + off).toInt
+    var v = 0.0d
+    var i = 0
+    val scale = Array(1.0d, 60.0d, 3600.0d)
+    while (i < 3) {
+      val num = u32(p, at + 8 * i, le)
+      val den = u32(p, at + 8 * i + 4, le)
+      if (den == 0L) return null
+      v += num.toDouble / den.toDouble / scale(i)
+      i += 1
+    }
+    java.lang.Double.valueOf(v)
+  }
+
   /** (exif_present, byte_order, n_ifd0_entries, orientation, make,
-    * model, has_gps) as an InternalRow, or null for non-JPEG bytes.
+    * model, has_gps, gps_lat, gps_lon) as an InternalRow, or null for
+    * non-JPEG bytes. `gps_lat`/`gps_lon` are signed decimal degrees
+    * read from the GPS sub-IFD (tags 1-4: refs + deg/min/sec
+    * rationals) — the coordinates themselves, so a curation pass can
+    * decide to drop, quantize, or strip rather than only flag.
     */
   def parse(p: Array[Byte]): InternalRow = {
     if (p.length < 4) return null
     if ((p(0) & 0xFF) != 0xFF || (p(1) & 0xFF) != 0xD8) return null
     val noExif = new GenericInternalRow(
-      Array[Any](false, null, null, null, null, null, null))
+      Array[Any](false, null, null, null, null, null, null, null, null))
     // marker walk to the first Exif APP1; SOS/EOI/garbage ends it
     var pos = 2
     var app1 = -1
@@ -117,6 +149,7 @@ object JpegExifKernel {
     var make: Any = null
     var model: Any = null
     var hasGps = false
+    var gpsPtr = -1L
     var i = 0
     while (i < n) {
       // 12-byte entry: tag(2) type(2) count(4) value-or-offset(4)
@@ -132,20 +165,67 @@ object JpegExifKernel {
           // SHORT, count 1: the value occupies the first two bytes
           // of the value field in the stream's byte order
           if (typ == 3 && cnt == 1L) orientation = u16(p, vOff, le).toLong
-        case 0x8825 => hasGps = true
+        case 0x8825 =>
+          hasGps = true
+          if (typ == 4 && cnt == 1L) gpsPtr = u32(p, vOff, le)
         case _ =>
       }
       i += 1
     }
+    // GPS sub-IFD: refs (N/S, E/W) + deg/min/sec rationals → signed
+    // decimal degrees; any structural violation leaves the fields
+    // null with has_gps still true (the pointer existed)
+    var gpsLat: Any = null
+    var gpsLon: Any = null
+    if (gpsPtr >= 0 && base + gpsPtr + 2 <= end) {
+      val g = (base + gpsPtr).toInt
+      val gn = u16(p, g, le)
+      if (gn <= MaxEntries && g + 2 + 12L * gn <= end) {
+        var latRef: String = null
+        var lonRef: String = null
+        var lat: Any = null
+        var lon: Any = null
+        var j = 0
+        while (j < gn) {
+          val e = g + 2 + 12 * j
+          val tag = u16(p, e, le)
+          val typ = u16(p, e + 2, le)
+          val cnt = u32(p, e + 4, le)
+          val vOff = e + 8
+          tag match {
+            case 1 => if (typ == 2) {
+              val r = ascii(p, base, vOff, cnt, le)
+              if (r != null) latRef = r.toString
+            }
+            case 2 => if (typ == 5) lat = rational3(p, base, vOff, cnt, le, end)
+            case 3 => if (typ == 2) {
+              val r = ascii(p, base, vOff, cnt, le)
+              if (r != null) lonRef = r.toString
+            }
+            case 4 => if (typ == 5) lon = rational3(p, base, vOff, cnt, le, end)
+            case _ =>
+          }
+          j += 1
+        }
+        if (lat != null && latRef != null)
+          gpsLat = java.lang.Double.valueOf(
+            if (latRef == "S") -lat.asInstanceOf[java.lang.Double].doubleValue
+            else lat.asInstanceOf[java.lang.Double].doubleValue)
+        if (lon != null && lonRef != null)
+          gpsLon = java.lang.Double.valueOf(
+            if (lonRef == "W") -lon.asInstanceOf[java.lang.Double].doubleValue
+            else lon.asInstanceOf[java.lang.Double].doubleValue)
+      }
+    }
     new GenericInternalRow(Array[Any](
       true, UTF8String.fromString(if (le) "II" else "MM"),
-      n.toLong, orientation, make, model, hasGps))
+      n.toLong, orientation, make, model, hasGps, gpsLat, gpsLon))
   }
 }
 
 /** `jpeg_exif(payload) → struct<exif_present, byte_order,
-  * n_ifd0_entries, orientation, make, model, has_gps>`; see
-  * [[JpegExifKernel.parse]].
+  * n_ifd0_entries, orientation, make, model, has_gps, gps_lat,
+  * gps_lon>`; see [[JpegExifKernel.parse]].
   */
 case class JpegExif(child: Expression) extends UnaryExpression {
   override def dataType: DataType = StructType(Seq(
@@ -155,7 +235,9 @@ case class JpegExif(child: Expression) extends UnaryExpression {
     StructField("orientation", LongType),
     StructField("make", StringType),
     StructField("model", StringType),
-    StructField("has_gps", BooleanType)))
+    StructField("has_gps", BooleanType),
+    StructField("gps_lat", DoubleType),
+    StructField("gps_lon", DoubleType)))
   override def nullable: Boolean = true
   override def prettyName: String = "jpeg_exif"
 

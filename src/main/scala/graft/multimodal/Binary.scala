@@ -749,6 +749,8 @@ object Binary {
         .withColumn("make", col("__x.make"))
         .withColumn("model", col("__x.model"))
         .withColumn("has_gps", col("__x.has_gps"))
+        .withColumn("gps_lat", col("__x.gps_lat"))
+        .withColumn("gps_lon", col("__x.gps_lon"))
         .drop("__x")
     }
 
@@ -778,7 +780,9 @@ object Binary {
       val hasGps = d % 3 === 0
       val nEntries = when(hasGps, lit(4L)).otherwise(lit(3L))
       val da = lit(14L) + nEntries * 12 // make-string data offset
-      val tiffLen = da + 5
+      val gOff = da + 5 // GPS sub-IFD right after the make string
+      val latOff = gOff + 2 + 4 * 12 + 4 // 4 GPS entries + next-IFD 0
+      val lonOff = latOff + 24
       val makeDigit = beH(lit(48L) + d % 5, 1) // ascii '0'+d%5
       val modelDigit = beH(lit(48L) + d % 7, 1)
       def entry(tag: Long, typ: Long, cnt: Long, valueHex: Column): Column =
@@ -787,11 +791,31 @@ object Binary {
         entry(0x010F, 2, 5, x32(da)), // Make: offset-addressed
         entry(0x0110, 2, 3, concat(aH("M"), modelDigit, lit("0000"))), // inline
         entry(0x0112, 3, 1, concat(x16(lit(1L) + d % 8), lit("0000"))),
-        when(hasGps, entry(0x8825, 4, 1, x32(tiffLen))).otherwise(lit("")))
+        when(hasGps, entry(0x8825, 4, 1, x32(gOff))).otherwise(lit("")))
+      // GPS sub-IFD (planted only on the gps lane): refs vary WITHIN
+      // the lane (S every 6th doc, W on odd doc_id/3) so the sign
+      // arithmetic is observable; rationals plant deg/1, min/1,
+      // (10·sec-tenths)/10 — the den≠1 path runs on every coordinate
+      def rat(num: Column, den: Long): Column = concat(x32(num), x32(lit(den)))
+      val latRefS = d % 6 === 0
+      val lonRefW = expr("(doc_id div 3) % 2 = 1")
+      val gpsIfd = concat(
+        x16(lit(4L)),
+        entry(1, 2, 2, concat(when(latRefS, aH("S")).otherwise(aH("N")),
+          lit("000000"))),
+        entry(2, 5, 3, x32(latOff)),
+        entry(3, 2, 2, concat(when(lonRefW, aH("W")).otherwise(aH("E")),
+          lit("000000"))),
+        entry(4, 5, 3, x32(lonOff)),
+        lit("00000000"),
+        rat(d % 90, 1), rat((d * 7) % 60, 1), rat((d * 13) % 600, 10),
+        rat(d % 180, 1), rat((d * 11) % 60, 1), rat((d * 17) % 600, 10))
       val tiff = concat(
         when(le, aH("II")).otherwise(aH("MM")), x16(lit(42L)), x32(lit(8L)),
         x16(nEntries), entries, lit("00000000"),
-        aH("Cam"), makeDigit, lit("00"))
+        aH("Cam"), makeDigit, lit("00"),
+        when(hasGps, gpsIfd).otherwise(lit("")))
+      val tiffLen = when(hasGps, lonOff + 24).otherwise(da + 5)
       val app1 = concat(lit("FFE1"), beH(tiffLen + 8, 2),
         aH("Exif"), lit("0000"), tiff)
       val app0 = lit("FFE0" + "0010" + "4A46494600" + "0101" + "00" +

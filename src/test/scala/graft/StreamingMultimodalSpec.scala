@@ -1343,6 +1343,22 @@ class StreamingMultimodalSpec extends SparkSpec {
           s"doc $d: inline ASCII must read from the value field")
         assert(r.getAs[Boolean]("has_gps") === (d % 3 == 0),
           s"doc $d: the GPS-IFD privacy flag")
+        if (d % 3 == 0) {
+          // the coordinates themselves: deg/min/sec rationals folded
+          // to signed decimal degrees (S/W negate)
+          val latMag = (d % 90).toDouble / 1 / 1 +
+            ((d * 7) % 60).toDouble / 1 / 60 +
+            ((d * 13) % 600).toDouble / 10 / 3600
+          val lonMag = (d % 180).toDouble / 1 / 1 +
+            ((d * 11) % 60).toDouble / 1 / 60 +
+            ((d * 17) % 600).toDouble / 10 / 3600
+          val expLat = if (d % 6 == 0) -latMag else latMag
+          val expLon = if ((d / 3) % 2 == 1) -lonMag else lonMag
+          assert(r.getAs[Double]("gps_lat") === expLat, s"doc $d lat")
+          assert(r.getAs[Double]("gps_lon") === expLon, s"doc $d lon")
+        } else {
+          assert(r.isNullAt(r.fieldIndex("gps_lat")))
+        }
       }
     }
     // an ImageIO-encoded JPEG carries no Exif APP1 → false, not null
