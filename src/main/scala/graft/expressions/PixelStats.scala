@@ -171,6 +171,146 @@ object PngFilterKernel {
   }
 }
 
+/** PNG FORWARD adaptive filtering — the synthesis inverse of
+  * [[PngFilterKernel]], and the codegen upgrade of the 7-pass HOF
+  * expression tree that used to build the gate corpus's filtered
+  * rasters in `PngPixels.synthFromDocs` (interpreted, and past the
+  * codegen size limit on the Adam7 lane). Filtering predicts each
+  * byte from its RAW neighbors (PNG spec §9 — encoders filter against
+  * decoded values), so the whole raster is one linear pass over the
+  * pixel array; the per-row filter type is `(t0 + y) % 5` (sequential
+  * layout) or `(t0 + pass + y) % 5` (Adam7), the synthesis corpus's
+  * deterministic all-five-filters schedule.
+  */
+object PngForwardKernel {
+  private val Adam7: Array[(Int, Int, Int, Int)] = Array(
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2))
+
+  /** Forward-filter one sub-image (`pw`×`ph` pixels sampled from the
+    * full `w`-wide raster at origin (`x0`,`y0`) step (`dx`,`dy`)) into
+    * `out` at `outOff`; row `y`'s filter type is `(tBase + y) mod 5`.
+    * Returns the offset past the written bytes.
+    */
+  private def filterInto(pix: Array[Byte], out: Array[Byte], outOff: Int,
+      tBase: Long, w: Int, x0: Int, y0: Int, dx: Int, dy: Int,
+      pw: Int, ph: Int): Int = {
+    val rowb = 3 * pw
+    var off = outOff
+    var yp = 0
+    while (yp < ph) {
+      val ft = java.lang.Math.floorMod(tBase + yp, 5L).toInt
+      out(off) = ft.toByte
+      val rowBase = (y0 + yp * dy) * w
+      val prevBase = (y0 + (yp - 1) * dy) * w
+      var j = 0
+      while (j < rowb) {
+        val xp = j / 3
+        val ch = j % 3
+        val xFull = x0 + xp * dx
+        val raw = pix((rowBase + xFull) * 3 + ch) & 0xFF
+        val a = if (j >= 3) pix((rowBase + xFull - dx) * 3 + ch) & 0xFF else 0
+        val b = if (yp >= 1) pix((prevBase + xFull) * 3 + ch) & 0xFF else 0
+        val c = if (yp >= 1 && j >= 3)
+          pix((prevBase + xFull - dx) * 3 + ch) & 0xFF else 0
+        val pred = ft match {
+          case 0 => 0
+          case 1 => a
+          case 2 => b
+          case 3 => (a + b) / 2
+          case _ =>
+            val p = a + b - c
+            val pa = math.abs(p - a)
+            val pb = math.abs(p - b)
+            val pc = math.abs(p - c)
+            if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
+        }
+        out(off + 1 + j) = ((raw - pred) & 0xFF).toByte
+        j += 1
+      }
+      off += 1 + rowb
+      yp += 1
+    }
+    off
+  }
+
+  /** Filtered raster bytes for a 3·w·h RGB8 pixel array under
+    * `geom` = [w, h, t0, interlace] (interlace 0 = sequential
+    * scanlines, 1 = Adam7's seven independently-filtered passes), or
+    * null on any geometry violation — same never-throw contract as
+    * every other byte-walk kernel here.
+    */
+  def forward(pix: Array[Byte], geom: ArrayData): Array[Byte] = {
+    var i = 0
+    while (i < 4) { if (geom.isNullAt(i)) return null; i += 1 }
+    val wL = geom.getLong(0)
+    val hL = geom.getLong(1)
+    val t0 = geom.getLong(2)
+    val interlace = geom.getLong(3)
+    if (wL <= 0 || hL <= 0 || wL > (1L << 20) || hL > (1L << 20)) return null
+    if (3L * wL * hL != pix.length) return null
+    val w = wL.toInt
+    val h = hL.toInt
+    if (interlace == 0L) {
+      val out = new Array[Byte]((3 * w + 1) * h)
+      filterInto(pix, out, 0, t0, w, 0, 0, 1, 1, w, h)
+      out
+    } else if (interlace == 1L) {
+      var outLen = 0
+      var p = 0
+      while (p < 7) {
+        val (x0, y0, dx, dy) = Adam7(p)
+        val pw = if (w > x0) (w - x0 + dx - 1) / dx else 0
+        val ph = if (h > y0) (h - y0 + dy - 1) / dy else 0
+        if (pw > 0 && ph > 0) outLen += (3 * pw + 1) * ph
+        p += 1
+      }
+      val out = new Array[Byte](outLen)
+      var off = 0
+      p = 0
+      while (p < 7) {
+        val (x0, y0, dx, dy) = Adam7(p)
+        val pw = if (w > x0) (w - x0 + dx - 1) / dx else 0
+        val ph = if (h > y0) (h - y0 + dy - 1) / dy else 0
+        if (pw > 0 && ph > 0)
+          off = filterInto(pix, out, off, t0 + p, w, x0, y0, dx, dy, pw, ph)
+        p += 1
+      }
+      out
+    } else null
+  }
+}
+
+/** `png_forward_filter(pixels, [w, h, t0, interlace]) → binary`
+  * filtered raster — see [[PngForwardKernel.forward]].
+  */
+case class PngForwardFilter(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = true
+  override def prettyName: String = "png_forward_filter"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (BinaryType, ArrayType(LongType, _)) => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires (binary, array<long> geometry), got $other")
+    }
+
+  override def nullSafeEval(d: Any, g: Any): Any =
+    PngForwardKernel.forward(d.asInstanceOf[Array[Byte]],
+      g.asInstanceOf[ArrayData])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (d, g) => s"""
+      |${ev.value} = graft.expressions.PngForwardKernel.forward($d, $g);
+      |if (${ev.value} == null) { ${ev.isNull} = true; }
+      |""".stripMargin)
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression)
+      : Expression = copy(left = l, right = r)
+}
+
 /** `png_filtered_stats(raster, [w, h]) → array<long>` of (n_pixels,
   * sum_r, sum_g, sum_b, peak_byte) with full adaptive-filter
   * reconstruction — see [[PngFilterKernel.stats]].

@@ -371,93 +371,30 @@ object Binary {
       */
     def synthFromDocs(docs: DataFrame, invalidEvery: Int = 10): DataFrame = {
       val d = col("doc_id")
+      val interlaced = d % 4 === 1
       val preStaged = docs
         .withColumn("__w", lit(4L) + d % 5)
         .withColumn("__h", lit(3L) + d % 4)
-        .withColumn("__rowb", col("__w") * 3)
         // pixel bytes: first 3wh text bytes, zero-padded (hex-aligned)
         .withColumn("__pixhex", expr(
           "rpad(substring(hex(cast(text as binary)), 1, " +
             "cast(__w * __h * 6 as int)), cast(__w * __h * 6 as int), '0')"))
-        // decode the raw pixel array ONCE per row: every filter
-        // reference (raw/a/b/c, both layout lanes) reads ~4× per
-        // byte — indexing a precomputed array beats re-running the
-        // hex-substring decode per reference
-        .withColumn("__pix", expr(
-          "transform(sequence(0, cast(__w * __h * 3 as int) - 1), " +
-            "g -> cast(conv(substring(__pixhex, g * 2 + 1, 2), 16, 10) " +
-            "as bigint))"))
-      def rawAt(g: Column): Column =
-        element_at(col("__pix"), (g + 1).cast("int"))
-      val rowb = col("__rowb")
-      // shared forward-filter arithmetic: raw byte + its three
-      // neighbors (as RAW values at arbitrary positions) → filtered
-      // hex byte under filter type t
-      def filteredByte(t: Column, raw: Column, a: Column, b: Column,
-          cc: Column): Column = {
-        val p = a + b - cc
-        val pa = abs(p - a)
-        val pb = abs(p - b)
-        val pc = abs(p - cc)
-        val paeth = when(pa <= pb && pa <= pc, a)
-          .when(pb <= pc, b).otherwise(cc)
-        val pred = when(t === 0, lit(0L)).when(t === 1, a).when(t === 2, b)
-          .when(t === 3, (((a + b) - pmod(a + b, lit(2L))) / 2).cast("long"))
-          .otherwise(paeth)
-        lpad(hex(pmod(raw - pred, lit(256L))), 2, "0")
-      }
-      val filteredRows = transform(sequence(lit(0L), col("__h") - 1), y => {
-        val t = pmod(d + y, lit(5L))
-        val rowBytes = transform(sequence(lit(0L), rowb - 1), j => {
-          val g = y * rowb + j
-          val a = when(j >= 3, rawAt(g - 3)).otherwise(lit(0L))
-          val b = when(y >= 1, rawAt(g - rowb)).otherwise(lit(0L))
-          val cc = when(y >= 1 && j >= 3, rawAt(g - rowb - 3)).otherwise(lit(0L))
-          filteredByte(t, rawAt(g), a, b, cc)
-        })
-        concat(lpad(hex(t), 2, "0"), array_join(rowBytes, ""))
-      })
-      // Adam7 layout (r13 lane): the SAME pixels partitioned into the
-      // seven passes, each pass forward-filtered INDEPENDENTLY against
-      // its own previous scanline — so the decoded channel sums (and
-      // therefore the oracle) are identical to the sequential lane
-      val w0 = col("__w")
-      val h0 = col("__h")
-      val adam7Hex = {
-        val passes = Seq((0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8),
-          (2, 0, 4, 4), (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2))
-        val passHexes = passes.zipWithIndex.map { case ((x0, y0, dx, dy), pi) =>
-          val pwE = expr(
-            s"CASE WHEN __w > $x0 THEN (__w - $x0 + ${dx - 1}) DIV $dx " +
-              s"ELSE 0 END")
-          val phE = expr(
-            s"CASE WHEN __h > $y0 THEN (__h - $y0 + ${dy - 1}) DIV $dy " +
-              s"ELSE 0 END")
-          def gAt(yy: Column, xx: Column, ch: Column): Column =
-            ((lit(y0.toLong) + yy * dy) * w0 + (lit(x0.toLong) + xx * dx)) * 3 + ch
-          val rows = transform(sequence(lit(0L), phE - 1), yp => {
-            val t = pmod(d + yp + pi, lit(5L))
-            val rowBytes = transform(sequence(lit(0L), pwE * 3 - 1), j => {
-              val xp = ((j - pmod(j, lit(3L))) / 3).cast("long")
-              val ch = pmod(j, lit(3L))
-              val a = when(j >= 3, rawAt(gAt(yp, xp - 1, ch))).otherwise(lit(0L))
-              val b = when(yp >= 1, rawAt(gAt(yp - 1, xp, ch))).otherwise(lit(0L))
-              val cc = when(yp >= 1 && j >= 3, rawAt(gAt(yp - 1, xp - 1, ch)))
-                .otherwise(lit(0L))
-              filteredByte(t, rawAt(gAt(yp, xp, ch)), a, b, cc)
-            })
-            concat(lpad(hex(t), 2, "0"), array_join(rowBytes, ""))
-          })
-          when(pwE > 0 && phE > 0, array_join(rows, "")).otherwise(lit(""))
-        }
-        concat(passHexes: _*)
-      }
-      val interlaced = d % 4 === 1
+      // forward filtering (both layouts — sequential scanlines and the
+      // seven independently-filtered Adam7 passes) is ONE linear
+      // codegen kernel pass over the pixel bytes
+      // ([[graft.expressions.PngForwardKernel]], r14): the former
+      // per-byte HOF expression tree was interpreted and, on the
+      // Adam7 lane, past the whole-stage-codegen size limit — the one
+      // exec-heavy bench row in r13. Byte-for-byte the same rasters:
+      // row y of pass p filters as type (doc_id + p + y) % 5 against
+      // RAW neighbors, exactly the old schedule.
       val staged = preStaged
-        .withColumn("__rawhex",
-          when(interlaced, adam7Hex).otherwise(array_join(filteredRows, "")))
-        .withColumn("__idat",
-          gcol(ZlibDeflate(gexpr(unhex(col("__rawhex"))))))
+        .withColumn("__rawbin", gcol(graft.expressions.PngForwardFilter(
+          gexpr(unhex(col("__pixhex"))),
+          gexpr(array(col("__w").cast("long"), col("__h").cast("long"),
+            d.cast("long"),
+            when(interlaced, lit(1L)).otherwise(lit(0L)))))))
+        .withColumn("__idat", gcol(ZlibDeflate(gexpr(col("__rawbin")))))
       val ihdrTypeData = concat(Png.asciiHexPub("IHDR"),
         Png.beHexPub(col("__w"), 4), Png.beHexPub(col("__h"), 4),
         Png.beHexPub(lit(8L), 1), Png.beHexPub(lit(2L), 1),
