@@ -490,52 +490,23 @@ object Curation {
     * here — that is [[applyRobots]]'s job at gate time, exactly as
     * with hand-written rules.
     *
-    * Shape: one per-row ARRAY fold over the file's lines (a
-    * robots.txt is KB-grain by nature) + an explode — map-only, no
-    * shuffle, no window; the interpreted fold lambda runs once per
-    * robots file, not per crawled URL.
+    * Shape: one per-row linear codegen pass over the file's bytes
+    * ([[graft.expressions.RobotsParseKernel]], r14 — it replaced an
+    * interpreted array fold with identical frozen semantics) + an
+    * explode — map-only, no shuffle, no window; the kernel runs once
+    * per robots file, not per crawled URL.
     */
   def parseRobotsTxt(robots: DataFrame, host: Column, txt: Column,
       agent: String = "*"): DataFrame = {
-    val aLit = agent.toLowerCase
-    val cleaned = transform(split(coalesce(txt, lit("")), "\n"), l =>
-      regexp_replace(regexp_replace(l, "#.*$", ""),
-        "^[ \\t\\r]+|[ \\t\\r]+$", ""))
-    val entryType = "array<struct<gid:int,kind:string,value:string>>"
-    val folded = aggregate(cleaned,
-      struct(lit(0).as("gid"), lit(false).as("lastUa"),
-        array().cast(entryType).as("out")),
-      (acc, l) => {
-        val field = lower(regexp_extract(l,
-          "(?i)^(user-agent|allow|disallow)[ \\t]*:", 1))
-        val value = regexp_extract(l,
-          "(?i)^(?:user-agent|allow|disallow)[ \\t]*:[ \\t]*(.*)$", 1)
-        val isUa = field === "user-agent"
-        val isRule = field === "allow" || field === "disallow"
-        val gid2 = when(isUa && !acc("lastUa"), acc("gid") + 1)
-          .otherwise(acc("gid"))
-        val entry = struct(gid2.as("gid"), field.as("kind"),
-          value.as("value"))
-        struct(
-          gid2.as("gid"),
-          when(isUa, lit(true)).when(isRule, lit(false))
-            .otherwise(acc("lastUa")).as("lastUa"),
-          when(isUa || isRule, concat(acc("out"), array(entry)))
-            .otherwise(acc("out")).as("out"))
-      })("out")
-    val gids = transform(
-      filter(folded, e => e("kind") === "user-agent" &&
-        (e("value") === "*" || lower(e("value")) === lit(aLit))),
-      e => e("gid"))
-    val matched = filter(folded, e =>
-      e("kind") =!= "user-agent" && e("value") =!= "" &&
-        array_contains(gids, e("gid")))
+    import org.apache.spark.sql.GraftColumnBridge.{column => gcol, expression => gexpr}
+    val matched = gcol(graft.expressions.RobotsRules(
+      gexpr(coalesce(txt, lit(""))), agent.toLowerCase))
     robots
       .withColumn("host", lower(host))
       .select(col("*"), posexplode(matched).as(Seq("rule_idx", "__r")))
       .withColumn("rule_idx", col("rule_idx").cast("long"))
-      .withColumn("path_prefix", col("__r.value"))
-      .withColumn("allow", col("__r.kind") === "allow")
+      .withColumn("path_prefix", col("__r.path_prefix"))
+      .withColumn("allow", col("__r.allow"))
       .drop("__r")
   }
 

@@ -470,4 +470,23 @@ class PlanContractSpec extends SparkSpec {
       assert(!phys.toLowerCase.contains("batchevalpython"), s"$name: python udf")
     }
   }
+
+  test("r14 kernel upgrades: robots parse and PNG synthesis run as codegen kernels, not interpreted HOFs") {
+    // the r13 verdict's two weak rows — both were interpreted
+    // higher-order-function expression trees; both now route through
+    // linear codegen kernels. Assert the kernel is IN the plan and no
+    // lambda-bearing HOF remains anywhere in either query.
+    val robots = physical(q("robots_parse"))
+    assert(robots.contains("robots_rules"),
+      s"robots_parse: RobotsRules kernel missing from plan:\n$robots")
+    val png = physical(q("mm_png_pixels"))
+    assert(png.contains("png_forward_filter"),
+      s"mm_png_pixels: PngForwardFilter kernel missing from plan:\n$png")
+    for ((name, phys) <- Seq("robots_parse" -> robots, "mm_png_pixels" -> png)) {
+      assert(!phys.contains("lambdafunction"),
+        s"$name: interpreted HOF lambda survives in the plan:\n$phys")
+      assert(!phys.contains("aggregate("),
+        s"$name: interpreted array fold survives in the plan:\n$phys")
+    }
+  }
 }
