@@ -3153,8 +3153,9 @@ object OracleSql {
     * mirror.
     */
   /** Mixed-container triage (mirror of the mm_media_triage wiring:
-    * doc_id%5 picks raw/WAV/PNG/JPEG/BMP, each synth keeps its own %10
-    * corrupt members): detection, sizes, and content units all
+    * doc_id%6 picks raw/WAV/PNG/JPEG/BMP/WebP, each synth keeps its
+    * own %10 corrupt members — the WebP lane lands on odd doc_ids
+    * only, so it is never corrupt): detection, sizes, and content units all
     * re-derived from doc_id arithmetic + text length — a hash match
     * proves the Spark triage detected containers from the actual
     * bytes and routed each to the right parser's field formulas. The
@@ -3172,7 +3173,7 @@ object OracleSql {
       |    THEN LEAST(GREATEST(octet_length(text::BLOB) - 5, 0), 3 + doc_id % 11)
       |    ELSE NULL END AS c2,
       |  CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 3 END AS nc,
-      |  doc_id % 5 AS cls, doc_id % 10 = 0 AS corrupt
+      |  doc_id % 6 AS cls, doc_id % 10 = 0 AS corrupt
       |  FROM documents),
       |w AS (SELECT *,
       |  (8000 + (doc_id % 5) * 4000) *
@@ -3180,14 +3181,21 @@ object OracleSql {
       |  16 + (doc_id % 7) * 9 AS pw, 9 + (doc_id % 5) * 7 AS ph,
       |  120 + doc_id % 33 AS jh, 160 + doc_id % 21 AS jw,
       |  10 + doc_id % 13 AS bw, 5 + doc_id % 9 AS bh,
-      |  ([16, 24, 32])[(doc_id % 3) + 1] AS bbpp
+      |  ([16, 24, 32])[(doc_id % 3) + 1] AS bbpp,
+      |  doc_id % 3 AS xfmt,
+      |  CASE doc_id % 3 WHEN 0 THEN 3 + doc_id % 9
+      |    WHEN 1 THEN 2 + doc_id % 300 ELSE 7 + doc_id % 70000 END AS xw,
+      |  CASE doc_id % 3 WHEN 0 THEN 2 + doc_id % 7
+      |    WHEN 1 THEN 1 + doc_id % 200 ELSE 5 + doc_id % 33000 END AS xh
       |  FROM m),
       |w2 AS (SELECT *, (((bw * bbpp + 31) // 32) * 4) * bh AS bimg FROM w),
       |d AS (SELECT doc_id, dlen, rawlen, c1, c2, nc, br, pw, ph, jh, jw, bw, bh, bimg,
+      |  xfmt, xw, xh,
       |  CASE WHEN cls = 1 AND NOT corrupt THEN 'wav'
       |       WHEN cls = 2 AND NOT corrupt THEN 'png'
       |       WHEN cls = 3 AND NOT corrupt THEN 'jpeg'
       |       WHEN cls = 4 AND NOT corrupt THEN 'bmp'
+      |       WHEN cls = 5 AND NOT corrupt THEN 'webp'
       |       ELSE 'unknown' END AS detected
       |  FROM w2)
       |SELECT doc_id, detected,
@@ -3195,12 +3203,14 @@ object OracleSql {
       |        WHEN detected = 'png' THEN dlen + 57
       |        WHEN detected = 'jpeg' THEN 52 + c1 + 5 * nc + COALESCE(4 + c2, 0)
       |        WHEN detected = 'bmp' THEN 54 + bimg
+      |        WHEN detected = 'webp' THEN CASE WHEN xfmt = 1 THEN 26 ELSE 30 END
       |        ELSE rawlen END)::BIGINT AS payload_bytes,
       |  detected <> 'unknown' AS valid,
       |  (CASE WHEN detected = 'wav' THEN (dlen * 1000) // br
       |        WHEN detected = 'png' THEN pw * ph
       |        WHEN detected = 'jpeg' THEN jw * jh
-      |        WHEN detected = 'bmp' THEN bw * bh END)::BIGINT AS content_units
+      |        WHEN detected = 'bmp' THEN bw * bh
+      |        WHEN detected = 'webp' THEN xw * xh END)::BIGINT AS content_units
       |FROM d ORDER BY doc_id""".stripMargin
 
   /** Mirror of Binary.Bmp.synthFromDocs ∘ parse: every field —
@@ -3227,6 +3237,48 @@ object OracleSql {
       |  (CASE WHEN invalid THEN NULL ELSE stride * h END)::BIGINT AS image_bytes,
       |  (CASE WHEN invalid THEN NULL ELSE stride END)::BIGINT AS row_stride,
       |  (CASE WHEN invalid THEN NULL ELSE w * h END)::BIGINT AS n_pixels,
+      |  CASE WHEN invalid THEN NULL ELSE TRUE END AS header_consistent
+      |FROM p ORDER BY doc_id""".stripMargin
+
+  /** WebP triage (mirror of Binary.Webp.parse ∘ synthFromDocs): every
+    * field — the three codec lanes' dimension encodings, VP8 scale
+    * bits, VP8L alpha bit and VP8X flags, the declared RIFF/chunk
+    * sizes including the odd-chunk pad — re-derived closed-form from
+    * doc_id arithmetic, so a hash match proves the parser read the
+    * little-endian bitfields from the actual bytes.
+    */
+  val mmWebpMeta: String =
+    """WITH m AS (SELECT doc_id, doc_id % 3 AS fmt,
+      |  doc_id % 10 = 0 AS invalid FROM documents),
+      |p AS (SELECT doc_id, fmt, invalid,
+      |  CASE fmt WHEN 0 THEN 3 + doc_id % 9
+      |           WHEN 1 THEN 2 + doc_id % 300
+      |           ELSE 7 + doc_id % 70000 END AS w,
+      |  CASE fmt WHEN 0 THEN 2 + doc_id % 7
+      |           WHEN 1 THEN 1 + doc_id % 200
+      |           ELSE 5 + doc_id % 33000 END AS h
+      |  FROM m)
+      |SELECT doc_id,
+      |  CASE WHEN invalid THEN 'text/plain' ELSE 'image/webp' END AS media_type,
+      |  NOT invalid AS webp_valid,
+      |  CASE WHEN invalid THEN NULL
+      |    WHEN fmt = 0 THEN 'VP8' WHEN fmt = 1 THEN 'VP8L'
+      |    ELSE 'VP8X' END AS format,
+      |  (CASE WHEN invalid THEN NULL ELSE w END)::BIGINT AS width,
+      |  (CASE WHEN invalid THEN NULL ELSE h END)::BIGINT AS height,
+      |  CASE WHEN invalid THEN NULL
+      |    WHEN fmt = 0 THEN FALSE ELSE doc_id % 2 = 1 END AS has_alpha,
+      |  CASE WHEN invalid THEN NULL
+      |    ELSE fmt = 2 AND doc_id % 5 < 2 END AS has_animation,
+      |  (CASE WHEN invalid OR fmt <> 0 THEN NULL
+      |    ELSE doc_id % 4 END)::BIGINT AS x_scale,
+      |  (CASE WHEN invalid OR fmt <> 0 THEN NULL
+      |    ELSE (doc_id % 16) // 4 END)::BIGINT AS y_scale,
+      |  (CASE WHEN invalid THEN NULL ELSE w * h END)::BIGINT AS n_pixels,
+      |  (CASE WHEN invalid THEN NULL
+      |    WHEN fmt = 1 THEN 18 ELSE 22 END)::BIGINT AS riff_size,
+      |  (CASE WHEN invalid THEN NULL
+      |    WHEN fmt = 1 THEN 5 ELSE 10 END)::BIGINT AS chunk_bytes,
       |  CASE WHEN invalid THEN NULL ELSE TRUE END AS header_consistent
       |FROM p ORDER BY doc_id""".stripMargin
 

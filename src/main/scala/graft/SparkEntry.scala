@@ -1591,6 +1591,21 @@ object SparkEntry {
     // GIF87a/89a logical-screen-descriptor codec: version, dims,
     // global color table geometry, trailer consistency — oracle
     // recomputes closed-form while Spark parses the actual bytes
+    // WebP triage (r14, the ninth container family): RIFF walk + the
+    // three first-chunk codecs' dimension encodings (VP8 14-bit+scale,
+    // VP8L packed u32, VP8X u24 canvas), alpha/animation flags, and
+    // the RIFF odd-chunk pad-byte lane — every field re-derived
+    // closed-form by the oracle while Spark reads the bytes
+    "mm_webp_meta" -> ((s, dir) => {
+      val media = graft.multimodal.Binary.Webp.synthFromDocs(t(s, dir, "documents"))
+      graft.multimodal.Binary.Webp.parse(media)
+        .select(col("doc_id"), col("media_type"), col("webp_valid"),
+          col("format"), col("width"), col("height"), col("has_alpha"),
+          col("has_animation"), col("x_scale"), col("y_scale"),
+          col("n_pixels"), col("riff_size"), col("chunk_bytes"),
+          col("header_consistent"))
+        .orderBy(col("doc_id"))
+    }),
     "mm_gif_meta" -> ((s, dir) => {
       val media = graft.multimodal.Binary.Gif.synthFromDocs(t(s, dir, "documents"))
       graft.multimodal.Binary.Gif.parse(media)
@@ -1745,14 +1760,17 @@ object SparkEntry {
         .select(d, col("payload").as("jp"))
       val b = graft.multimodal.Binary.Bmp.synthFromDocs(docs)
         .select(d, col("payload").as("bp"))
+      val wb = graft.multimodal.Binary.Webp.synthFromDocs(docs)
+        .select(d, col("payload").as("xp"))
       val mixed = docs.select(d, col("text"))
         .join(w, Seq("doc_id")).join(g, Seq("doc_id")).join(j, Seq("doc_id"))
-        .join(b, Seq("doc_id"))
+        .join(b, Seq("doc_id")).join(wb, Seq("doc_id"))
         .select(d,
-          when(d % 5 === 1, col("wp"))
-            .when(d % 5 === 2, col("gp"))
-            .when(d % 5 === 3, col("jp"))
-            .when(d % 5 === 4, col("bp"))
+          when(d % 6 === 1, col("wp"))
+            .when(d % 6 === 2, col("gp"))
+            .when(d % 6 === 3, col("jp"))
+            .when(d % 6 === 4, col("bp"))
+            .when(d % 6 === 5, col("xp"))
             .otherwise(col("text").cast("binary")).as("payload"))
       graft.multimodal.Binary.triage(mixed).orderBy(d)
     }),
@@ -2130,6 +2148,7 @@ object SparkEntry {
     "mm_jpeg_meta" -> OracleSql.mmJpegMeta,
     "mm_bmp_meta" -> OracleSql.mmBmpMeta,
     "mm_gif_meta" -> OracleSql.mmGifMeta,
+    "mm_webp_meta" -> OracleSql.mmWebpMeta,
     "mm_gif_pixels" -> OracleSql.mmGifPixels,
     "mm_jpeg_pixels" -> OracleSql.mmJpegPixels,
     "mm_pdf_meta" -> OracleSql.mmPdfMeta,

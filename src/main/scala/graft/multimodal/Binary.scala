@@ -1153,6 +1153,154 @@ object Binary {
     }
   }
 
+  /** WebP container triage — the ninth family (r14), a top-3 image
+    * format on the modern web that a crawl-curation pass cannot lump
+    * into the null lane. WebP is RIFF framing (the WAV container)
+    * with form type `WEBP` and ONE of three first-chunk codecs, each
+    * with its own dimension encoding: `VP8 ` (lossy — 3-byte frame
+    * tag, 9D 01 2A start code, 14-bit u16le dims with 2-bit scale
+    * fields), `VP8L` (lossless — 0x2F signature then a packed u32le:
+    * 14-bit w-1 / 14-bit h-1 / alpha bit / 3 version bits), `VP8X`
+    * (extended — feature flags byte + u24le canvas w-1/h-1). All
+    * fixed-offset reads off the RIFF walk, so the parse is a pure
+    * declarative projection in the [[Wav]] idiom — no kernel, no
+    * shuffle, codegen end to end.
+    */
+  object Webp {
+    import Wav.leUint
+
+    private[multimodal] def isWebp(p: Column): Column =
+      length(p) >= 12 &&
+        substring(p, 1, 4) === lit("RIFF".getBytes("US-ASCII")) &&
+        substring(p, 9, 4) === lit("WEBP".getBytes("US-ASCII"))
+
+    /** Parse triage fields. Adds `webp_valid`, `format`
+      * ('VP8'/'VP8L'/'VP8X'), `width`/`height` (VP8X: canvas),
+      * `has_alpha`, `has_animation`, `x_scale`/`y_scale` (VP8's
+      * 2-bit upscale fields, null for other codecs), `n_pixels`,
+      * `riff_size`/`chunk_bytes` (declared sizes), and
+      * `header_consistent` (single-chunk layout: the RIFF size spans
+      * exactly WEBP + chunk header + padded chunk, and matches the
+      * physical length — the minimal-stream layout the synth writes;
+      * real multi-chunk files stay valid but inconsistent, same as
+      * the other families' strict lanes). Pure projection.
+      */
+    def parse(media: DataFrame, payloadCol: String = "payload"): DataFrame = {
+      val p = col(payloadCol)
+      val fourcc = substring(p, 13, 4)
+      val riffSize = leUint(p, 5, 4)
+      val chunk = leUint(p, 17, 4)
+      val isVp8 = fourcc === lit("VP8 ".getBytes("US-ASCII"))
+      val isVp8l = fourcc === lit("VP8L".getBytes("US-ASCII"))
+      val isVp8x = fourcc === lit("VP8X".getBytes("US-ASCII"))
+      // VP8 (RFC 6386 §9.1): start code after the 3-byte frame tag,
+      // then 14-bit dims with 2-bit horizontal/vertical scale
+      val vp8Start = substring(p, 24, 3) ===
+        lit(Array[Byte](0x9D.toByte, 0x01.toByte, 0x2A.toByte))
+      val wCode = leUint(p, 27, 2)
+      val hCode = leUint(p, 29, 2)
+      val vp8W = pmod(wCode, lit(16384L))
+      val vp8H = pmod(hCode, lit(16384L))
+      val vp8Ok = length(p) >= 30 && chunk >= 10 && vp8Start &&
+        vp8W > 0 && vp8H > 0
+      // VP8L: signature byte then the packed u32le dimension word
+      val lBits = leUint(p, 22, 4)
+      val vp8lW = pmod(lBits, lit(16384L)) + 1
+      val vp8lH = pmod(expr("__webp_lbits div 16384"), lit(16384L)) + 1
+      val vp8lAlpha = expr("(__webp_lbits div 268435456) % 2") === 1
+      val vp8lVersion = expr("__webp_lbits div 536870912")
+      val vp8lOk = length(p) >= 26 && chunk >= 5 &&
+        substring(p, 21, 1) === lit(Array[Byte](0x2F.toByte)) &&
+        vp8lVersion === 0
+      // VP8X: feature flags byte + 3 reserved + u24le canvas dims
+      val xFlags = leUint(p, 21, 1)
+      val xAlpha = expr("(__webp_xflags div 16) % 2") === 1
+      val xAnim = expr("(__webp_xflags div 2) % 2") === 1
+      val xW = leUint(p, 25, 3) + 1
+      val xH = leUint(p, 28, 3) + 1
+      val vp8xOk = length(p) >= 30 && chunk === 10
+      val staged = media
+        .withColumn("__webp_lbits", lBits)
+        .withColumn("__webp_xflags", xFlags)
+      val valid = isWebp(p) && length(p) >= 20 &&
+        ((isVp8 && vp8Ok) || (isVp8l && vp8lOk) || (isVp8x && vp8xOk))
+      val width = when(isVp8, vp8W).when(isVp8l, vp8lW).otherwise(xW)
+      val height = when(isVp8, vp8H).when(isVp8l, vp8lH).otherwise(xH)
+      val consistent =
+        riffSize === length(p).cast("long") - 8 &&
+          riffSize === lit(12L) + chunk + pmod(chunk, lit(2L))
+      staged
+        .withColumn("webp_valid", valid)
+        .withColumn("format",
+          when(valid && isVp8, "VP8").when(valid && isVp8l, "VP8L")
+            .when(valid && isVp8x, "VP8X"))
+        .withColumn("width", when(valid, width))
+        .withColumn("height", when(valid, height))
+        .withColumn("has_alpha",
+          when(valid, when(isVp8l, vp8lAlpha).when(isVp8x, xAlpha)
+            .otherwise(lit(false))))
+        .withColumn("has_animation",
+          when(valid, isVp8x && xAnim))
+        .withColumn("x_scale",
+          when(valid && isVp8, ((wCode - vp8W) / 16384).cast("long")))
+        .withColumn("y_scale",
+          when(valid && isVp8, ((hCode - vp8H) / 16384).cast("long")))
+        .withColumn("n_pixels", when(valid, width * height))
+        .withColumn("riff_size", when(valid, riffSize))
+        .withColumn("chunk_bytes", when(valid, chunk))
+        .withColumn("header_consistent", when(valid, consistent))
+        .drop("__webp_lbits", "__webp_xflags")
+    }
+
+    /** Deterministic WebP streams over the docs table, one of the
+      * three codec lanes per doc (`doc_id % 3`): VP8 with nonzero
+      * scale bits, VP8L with dims crossing the 14-bit field's byte
+      * boundary plus the alpha bit, VP8X with u24le canvas dims and
+      * alpha/animation flags; the VP8L chunk is 5 bytes — ODD — so
+      * the RIFF pad-byte lane is exercised too. Every
+      * `invalidEvery`-th doc raw text.
+      */
+    def synthFromDocs(docs: DataFrame, invalidEvery: Int = 10): DataFrame = {
+      import Bmp.leHex
+      val d = col("doc_id")
+      def ascii(s: String): Column =
+        lit(s.getBytes("US-ASCII").map("%02X".format(_)).mkString)
+      // VP8 lane
+      val w8 = lit(3L) + d % 9
+      val h8 = lit(2L) + d % 7
+      val xs = d % 4
+      val ys = expr("(doc_id % 16) div 4")
+      val vp8Payload = concat(
+        leHex(pmod(d, lit(128L)) * 2, 1), lit("0000"), lit("9D012A"),
+        leHex(w8 + xs * 16384L, 2), leHex(h8 + ys * 16384L, 2))
+      val vp8Hex = concat(ascii("RIFF"), leHex(lit(22L), 4), ascii("WEBP"),
+        ascii("VP8 "), leHex(lit(10L), 4), vp8Payload)
+      // VP8L lane (5-byte chunk → one pad byte)
+      val wl = lit(2L) + d % 300
+      val hl = lit(1L) + d % 200
+      val alphaL = d % 2
+      val lBits = (wl - 1) + (hl - 1) * 16384L + alphaL * 268435456L
+      val vp8lHex = concat(ascii("RIFF"), leHex(lit(18L), 4), ascii("WEBP"),
+        ascii("VP8L"), leHex(lit(5L), 4), lit("2F"), leHex(lBits, 4),
+        lit("00"))
+      // VP8X lane
+      val cw = lit(7L) + d % 70000
+      val ch = lit(5L) + d % 33000
+      val flags = when(d % 2 === 1, lit(16L)).otherwise(lit(0L)) +
+        when(d % 5 < 2, lit(2L)).otherwise(lit(0L))
+      val vp8xHex = concat(ascii("RIFF"), leHex(lit(22L), 4), ascii("WEBP"),
+        ascii("VP8X"), leHex(lit(10L), 4), leHex(flags, 1), lit("000000"),
+        leHex(cw - 1, 3), leHex(ch - 1, 3))
+      val webpHex = when(d % 3 === 0, vp8Hex)
+        .when(d % 3 === 1, vp8lHex).otherwise(vp8xHex)
+      docs.select(d,
+        when(d % invalidEvery === 0, col("text").cast("binary"))
+          .otherwise(unhex(webpHex)).as("payload"),
+        when(d % invalidEvery === 0, lit("text/plain"))
+          .otherwise(lit("image/webp")).as("media_type"))
+    }
+  }
+
   /** MP4 / ISO BMFF (MOV, M4A, HEIF share the framing) container
     * triage — the VIDEO container family: boxes are BE-sized 4cc
     * headers, nested, so triage needs a path walk
@@ -1545,7 +1693,11 @@ object Binary {
   def triage(media: DataFrame, payloadCol: String = "payload"): DataFrame = {
     val p = col(payloadCol)
     val detected =
-      when(length(p) >= 4 &&
+      // RIFF is a shared framing: form type WEBP splits off before the
+      // default-audio lane (WAVE and anything else RIFF routes to the
+      // WAV parser, whose own form-type check decides validity)
+      when(Webp.isWebp(p), "webp")
+        .when(length(p) >= 4 &&
           substring(p, 1, 4) === lit("RIFF".getBytes("US-ASCII")), "wav")
         .when(length(p) >= 8 && substring(p, 1, 8) === lit(Png.Signature), "png")
         // SOI plus the 0xFF of the first marker — every JFIF/EXIF
@@ -1598,10 +1750,19 @@ object Binary {
         col("gif_valid") :+ col("gif_pixels") :+
         col("pdf_valid") :+ col("n_pages") :+
         col("mp4_valid") :+ col("duration_ms").as("mp4_ms"): _*)
+    val afterWebp = Webp.parse(afterMp4, payloadCol)
+      .select(keep :+ col("wav_valid") :+ col("wav_ms") :+
+        col("png_valid") :+ col("png_pixels") :+
+        col("jpeg_valid") :+ col("jpeg_pixels") :+
+        col("bmp_valid") :+ col("bmp_pixels") :+
+        col("gif_valid") :+ col("gif_pixels") :+
+        col("pdf_valid") :+ col("n_pages") :+
+        col("mp4_valid") :+ col("mp4_ms") :+
+        col("webp_valid") :+ col("n_pixels").as("webp_pixels"): _*)
     val zipEntries = org.apache.spark.sql.GraftColumnBridge.column(
       graft.expressions.ZipEntries(
         org.apache.spark.sql.GraftColumnBridge.expression(p), 1 << 22))
-    afterMp4
+    afterWebp
       .withColumn("__zip", when(detected === "zip", zipEntries))
       .select(col("doc_id"), detected.as("detected"),
         length(p).cast("long").as("payload_bytes"),
@@ -1612,6 +1773,7 @@ object Binary {
           .when(detected === "gif", col("gif_valid"))
           .when(detected === "pdf", col("pdf_valid"))
           .when(detected === "mp4", col("mp4_valid"))
+          .when(detected === "webp", col("webp_valid"))
           .when(detected === "zip", col("__zip").isNotNull)
           .otherwise(lit(false)).as("valid"),
         when(detected === "wav", col("wav_ms"))
@@ -1621,6 +1783,7 @@ object Binary {
           .when(detected === "gif", col("gif_pixels"))
           .when(detected === "pdf", col("n_pages"))
           .when(detected === "mp4", col("mp4_ms"))
+          .when(detected === "webp", col("webp_pixels"))
           .when(detected === "zip", size(col("__zip")).cast("long"))
           .as("content_units"))
   }
