@@ -4542,6 +4542,37 @@ object OracleSql {
       |  END AS gps_lon
       |FROM m ORDER BY doc_id""".stripMargin
 
+  /** GPS-strip rewrite (mirror of Jpeg.exif ∘ Jpeg.stripGps ∘
+    * synthExifFromDocs): the stripped bytes RE-PARSE with EXIF intact
+    * — byte order, orientation, make (still offset-addressed past the
+    * compacted entry table), model — but the entry count decremented
+    * to 3 on the former GPS lane, gps_present false, coordinates
+    * null; payload length always preserved, and only the GPS lane's
+    * payloads differ from the originals. Every field closed-form.
+    */
+  val mmJpegGpsStrip: String =
+    """WITH m AS (SELECT doc_id, doc_id % 10 = 0 AS inv,
+      |  doc_id % 5 = 0 AS nox, doc_id % 3 = 0 AS gps FROM documents)
+      |SELECT doc_id,
+      |  CASE WHEN inv THEN NULL WHEN nox THEN FALSE ELSE TRUE END
+      |    AS exif_present,
+      |  CASE WHEN inv OR nox THEN NULL
+      |    WHEN doc_id % 2 = 1 THEN 'II' ELSE 'MM' END AS byte_order,
+      |  (CASE WHEN inv OR nox THEN NULL ELSE 3 END)::BIGINT
+      |    AS n_ifd0_entries,
+      |  (CASE WHEN inv OR nox THEN NULL
+      |    ELSE 1 + doc_id % 8 END)::BIGINT AS orientation,
+      |  CASE WHEN inv OR nox THEN NULL
+      |    ELSE 'Cam' || (doc_id % 5)::VARCHAR END AS make,
+      |  CASE WHEN inv OR nox THEN NULL
+      |    ELSE 'M' || (doc_id % 7)::VARCHAR END AS model,
+      |  CASE WHEN inv OR nox THEN NULL ELSE FALSE END AS gps_present,
+      |  NULL::DOUBLE AS gps_lat,
+      |  NULL::DOUBLE AS gps_lon,
+      |  TRUE AS len_preserved,
+      |  NOT (NOT inv AND NOT nox AND gps) AS payload_unchanged
+      |FROM m ORDER BY doc_id""".stripMargin
+
   /** robots.txt parse (mirror of Curation.parseRobotsTxt ∘
     * synthRobotsTxt, agent = botA): the oracle replays the grouping
     * as a relational window chain (field lines only → lag-detected

@@ -1656,6 +1656,27 @@ object SparkEntry {
           col("model"), col("has_gps"), col("gps_lat"), col("gps_lon"))
         .orderBy(col("doc_id"))
     }),
+    // GPS-strip rewrite (r14): the privacy ACTION over the same Exif
+    // corpus — strip, then RE-PARSE the stripped bytes; the oracle
+    // pins exif-intact-but-gps-gone closed-form (entry count
+    // decremented, make/model/orientation preserved, coordinates
+    // null, payload length preserved, only the gps lane's bytes
+    // changed)
+    "mm_jpeg_gps_strip" -> ((s, dir) => {
+      val media = graft.multimodal.Binary.Jpeg.synthExifFromDocs(
+        t(s, dir, "documents"))
+      val staged = media.withColumn("__pre", col("payload"))
+      val stripped = graft.multimodal.Binary.Jpeg.stripGps(staged)
+      graft.multimodal.Binary.Jpeg.exif(stripped)
+        .select(col("doc_id"), col("exif_present"), col("byte_order"),
+          col("n_ifd0_entries"), col("orientation"), col("make"),
+          col("model"), col("has_gps").as("gps_present"),
+          col("gps_lat"), col("gps_lon"),
+          (length(col("payload")) === length(col("__pre")))
+            .as("len_preserved"),
+          (col("payload") === col("__pre")).as("payload_unchanged"))
+        .orderBy(col("doc_id"))
+    }),
     // PDF container triage (the sixth family, and the one whose
     // structure is ASCII — the parse stays declarative): version,
     // object/stream/page counts, encryption flag, and the startxref
@@ -2153,6 +2174,7 @@ object SparkEntry {
     "mm_jpeg_pixels" -> OracleSql.mmJpegPixels,
     "mm_pdf_meta" -> OracleSql.mmPdfMeta,
     "mm_jpeg_exif" -> OracleSql.mmJpegExif,
+    "mm_jpeg_gps_strip" -> OracleSql.mmJpegGpsStrip,
     "mm_pdf_text" -> OracleSql.mmPdfText,
     "mm_image_dedup" -> OracleSql.mmImageDedup,
     "mm_audio_dedup" -> OracleSql.mmAudioDedup,

@@ -96,44 +96,53 @@ object JpegExifKernel {
     * rationals) — the coordinates themselves, so a curation pass can
     * decide to drop, quantize, or strip rather than only flag.
     */
-  def parse(p: Array[Byte]): InternalRow = {
-    if (p.length < 4) return null
-    if ((p(0) & 0xFF) != 0xFF || (p(1) & 0xFF) != 0xD8) return null
-    val noExif = new GenericInternalRow(
-      Array[Any](false, null, null, null, null, null, null, null, null))
-    // marker walk to the first Exif APP1; SOS/EOI/garbage ends it
+  private def isJpeg(p: Array[Byte]): Boolean =
+    p.length >= 4 && (p(0) & 0xFF) == 0xFF && (p(1) & 0xFF) == 0xD8
+
+  /** Marker walk to the first Exif APP1: `(payload offset past
+    * Exif\0\0, byte length after it)`, or null when no Exif segment
+    * exists before SOS/EOI/garbage — shared by [[parse]] and
+    * [[JpegStripGpsKernel.strip]] so the two faces cannot disagree on
+    * which segment "the" EXIF is.
+    */
+  private[expressions] def findExif(p: Array[Byte]): Array[Int] = {
     var pos = 2
-    var app1 = -1
-    var app1Len = 0
-    while (app1 < 0) {
-      if (pos + 1 >= p.length) return noExif
-      if ((p(pos) & 0xFF) != 0xFF) return noExif
+    while (true) {
+      if (pos + 1 >= p.length) return null
+      if ((p(pos) & 0xFF) != 0xFF) return null
       var m = p(pos + 1) & 0xFF
       pos += 2
       while (m == 0xFF) {
-        if (pos >= p.length) return noExif
+        if (pos >= p.length) return null
         m = p(pos) & 0xFF
         pos += 1
       }
       m match {
         case 0xD8 => // stray SOI
-        case 0xD9 | 0xDA => return noExif
+        case 0xD9 | 0xDA => return null
         case x if x >= 0xD0 && x <= 0xD7 => // RST: no length
         case _ =>
-          if (pos + 1 >= p.length) return noExif
+          if (pos + 1 >= p.length) return null
           val len = u16(p, pos, le = false)
-          if (len < 2 || pos + len > p.length) return noExif
+          if (len < 2 || pos + len > p.length) return null
           if (m == 0xE1 && len >= 2 + 6 + 8 &&
               p(pos + 2) == 'E' && p(pos + 3) == 'x' && p(pos + 4) == 'i' &&
-              p(pos + 5) == 'f' && p(pos + 6) == 0 && p(pos + 7) == 0) {
-            app1 = pos + 8
-            app1Len = len - 8
-          }
+              p(pos + 5) == 'f' && p(pos + 6) == 0 && p(pos + 7) == 0)
+            return Array(pos + 8, len - 8)
           pos += len
       }
     }
-    val base = app1
-    val end = base + app1Len
+    null // unreachable
+  }
+
+  def parse(p: Array[Byte]): InternalRow = {
+    if (!isJpeg(p)) return null
+    val noExif = new GenericInternalRow(
+      Array[Any](false, null, null, null, null, null, null, null, null))
+    val found = findExif(p)
+    if (found == null) return noExif
+    val base = found(0)
+    val end = base + found(1)
     if (base + 8 > end || end > p.length) return noExif
     val le =
       if (p(base) == 'I' && p(base + 1) == 'I') true
@@ -255,6 +264,165 @@ case class JpegExif(child: Expression) extends UnaryExpression {
     nullSafeCodeGen(ctx, ev, d => s"""
       |${ev.value} = graft.expressions.JpegExifKernel.parse($d);
       |if (${ev.value} == null) { ${ev.isNull} = true; }
+      |""".stripMargin)
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+/** GPS-strip REWRITE — the curation ACTION the triage above only
+  * flags: produce a payload with the location data gone and
+  * everything else intact. The rewrite is deliberately
+  * length-preserving so no TIFF offset anywhere else needs
+  * recomputation (EXIF interop is a graveyard of shifted-offset
+  * corruptions): the GPS sub-IFD pointer entries are REMOVED from
+  * IFD0 (entries compacted, count decremented, next-IFD offset moved
+  * up, stale tail zeroed), and the GPS sub-IFD itself — entry table
+  * AND every out-of-line value it references (the lat/lon rationals)
+  * — is ZEROED in place, so the coordinates are destroyed, not just
+  * unlinked. Bytes outside the Exif APP1 segment are untouched:
+  * entropy-coded image data is bit-identical by construction.
+  * Non-JPEG, Exif-less, or GPS-less payloads return unchanged
+  * (idempotent, total — safe to run over a whole mixed corpus).
+  */
+object JpegStripGpsKernel {
+  private def u16(p: Array[Byte], off: Int, le: Boolean): Int =
+    if (le) (p(off) & 0xFF) | ((p(off + 1) & 0xFF) << 8)
+    else ((p(off) & 0xFF) << 8) | (p(off + 1) & 0xFF)
+
+  private def u32(p: Array[Byte], off: Int, le: Boolean): Long =
+    if (le) (p(off) & 0xFFL) | ((p(off + 1) & 0xFFL) << 8) |
+      ((p(off + 2) & 0xFFL) << 16) | ((p(off + 3) & 0xFFL) << 24)
+    else ((p(off) & 0xFFL) << 24) | ((p(off + 1) & 0xFFL) << 16) |
+      ((p(off + 2) & 0xFFL) << 8) | (p(off + 3) & 0xFFL)
+
+  private def putU16(p: Array[Byte], off: Int, v: Int, le: Boolean): Unit =
+    if (le) { p(off) = v.toByte; p(off + 1) = (v >> 8).toByte }
+    else { p(off) = (v >> 8).toByte; p(off + 1) = v.toByte }
+
+  /** TIFF type byte widths (type 1..12); 0 for unknown types — an
+    * unknown type is never treated as out-of-line.
+    */
+  private val TypeSize =
+    Array(0, 1, 1, 2, 4, 8, 1, 1, 2, 4, 8, 4, 8)
+
+  /** The payload with GPS data destroyed — see object doc. Always
+    * returns an array (the input reference when nothing applies);
+    * never throws on adversarial offsets (every write bounds-clipped
+    * to the APP1 segment).
+    */
+  def strip(p: Array[Byte]): Array[Byte] = {
+    val found = if (p.length >= 4 && (p(0) & 0xFF) == 0xFF &&
+      (p(1) & 0xFF) == 0xD8) JpegExifKernel.findExif(p) else null
+    if (found == null) return p
+    val base = found(0)
+    val end = base + found(1)
+    if (base + 8 > end || end > p.length) return p
+    val le =
+      if (p(base) == 'I' && p(base + 1) == 'I') true
+      else if (p(base) == 'M' && p(base + 1) == 'M') false
+      else return p
+    if (u16(p, base + 2, le) != 42) return p
+    val ifd0Off = u32(p, base + 4, le)
+    if (ifd0Off < 0 || base + ifd0Off + 2 > end) return p
+    val ifd0 = (base + ifd0Off).toInt
+    val n = u16(p, ifd0, le)
+    if (n > JpegExifKernel.MaxEntries || ifd0 + 2 + 12L * n > end) return p
+    var hasGps = false
+    var i = 0
+    while (i < n) {
+      if (u16(p, ifd0 + 2 + 12 * i, le) == 0x8825) hasGps = true
+      i += 1
+    }
+    if (!hasGps) return p
+    val out = p.clone()
+    // 1) destroy the GPS sub-IFD(s): out-of-line values first (the
+    //    deg/min/sec rationals live there), then the entry table +
+    //    count + next-IFD pointer
+    i = 0
+    while (i < n) {
+      val e = ifd0 + 2 + 12 * i
+      if (u16(p, e, le) == 0x8825 && u16(p, e + 2, le) == 4 &&
+          u32(p, e + 4, le) == 1L) {
+        val gp = u32(p, e + 8, le)
+        if (gp >= 0 && base + gp + 2 <= end) {
+          val g = (base + gp).toInt
+          val gn = u16(p, g, le)
+          if (gn <= JpegExifKernel.MaxEntries && g + 2 + 12L * gn <= end) {
+            var j = 0
+            while (j < gn) {
+              val ge = g + 2 + 12 * j
+              val typ = u16(p, ge + 2, le)
+              val cnt = u32(p, ge + 4, le)
+              val sz =
+                if (typ >= 1 && typ <= 12) TypeSize(typ) * cnt else 0L
+              if (sz > 4 && cnt <= (1L << 20)) {
+                val voff = u32(p, ge + 8, le)
+                if (voff >= 0 && base + voff < end) {
+                  val s = (base + voff).toInt
+                  val zEnd = math.min(end.toLong, base + voff + sz).toInt
+                  if (zEnd > s) java.util.Arrays.fill(out, s, zEnd, 0.toByte)
+                }
+              }
+              j += 1
+            }
+            val zTo = math.min(end.toLong, g + 2 + 12L * gn + 4).toInt
+            java.util.Arrays.fill(out, g, zTo, 0.toByte)
+          }
+        }
+      }
+      i += 1
+    }
+    // 2) remove the pointer entries from IFD0: compact, recount, move
+    //    the next-IFD offset up, zero the stale tail
+    var w = 0
+    i = 0
+    while (i < n) {
+      val e = ifd0 + 2 + 12 * i
+      if (u16(p, e, le) != 0x8825) {
+        if (w != i) System.arraycopy(out, e, out, ifd0 + 2 + 12 * w, 12)
+        w += 1
+      }
+      i += 1
+    }
+    if (w < n) {
+      putU16(out, ifd0, w, le)
+      val oldNext = ifd0 + 2 + 12 * n
+      val newNext = ifd0 + 2 + 12 * w
+      if (oldNext + 4 <= end) {
+        System.arraycopy(out, oldNext, out, newNext, 4)
+        java.util.Arrays.fill(out, newNext + 4, oldNext + 4, 0.toByte)
+      } else {
+        java.util.Arrays.fill(out, newNext, math.min(oldNext, end), 0.toByte)
+      }
+    }
+    out
+  }
+}
+
+/** `jpeg_strip_gps(payload) → binary` — the payload with GPS data
+  * destroyed (IFD0 pointer removed, sub-IFD + referenced values
+  * zeroed), unchanged when nothing applies; see
+  * [[JpegStripGpsKernel.strip]].
+  */
+case class JpegStripGps(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = true
+  override def prettyName: String = "jpeg_strip_gps"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case BinaryType => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires binary input, got $other")
+    }
+
+  override def nullSafeEval(d: Any): Any =
+    JpegStripGpsKernel.strip(d.asInstanceOf[Array[Byte]])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, d => s"""
+      |${ev.value} = graft.expressions.JpegStripGpsKernel.strip($d);
       |""".stripMargin)
 
   override protected def withNewChildInternal(c: Expression): Expression =

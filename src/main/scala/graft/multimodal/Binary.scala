@@ -691,6 +691,24 @@ object Binary {
         .drop("__x")
     }
 
+    /** GPS-strip REWRITE (r14) — the curation ACTION [[exif]] only
+      * flags: returns the frame with `payloadCol` replaced by a copy
+      * whose GPS data is destroyed — the IFD0 GPS-pointer entries
+      * removed (entry table compacted, count decremented) and the GPS
+      * sub-IFD plus every out-of-line value it references zeroed in
+      * place ([[graft.expressions.JpegStripGpsKernel]]). The rewrite
+      * is length-preserving, so every other TIFF offset — and every
+      * byte outside the Exif APP1, entropy-coded pixels included —
+      * is bit-identical. Non-JPEG / Exif-less / GPS-less payloads
+      * pass through unchanged: total and idempotent, safe over a
+      * mixed corpus. Pure projection — zero shuffles.
+      */
+    def stripGps(media: DataFrame, payloadCol: String = "payload"): DataFrame =
+      media.withColumn(payloadCol,
+        org.apache.spark.sql.GraftColumnBridge.column(
+          graft.expressions.JpegStripGps(
+            org.apache.spark.sql.GraftColumnBridge.expression(col(payloadCol)))))
+
     /** Deterministic Exif corpus: a real TIFF structure per doc —
       * byte order alternates `II`/`MM` (odd docs little-endian, so
       * BOTH decode paths run corpus-wide), Make is OFFSET-addressed

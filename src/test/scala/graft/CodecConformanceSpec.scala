@@ -255,4 +255,92 @@ class CodecConformanceSpec extends SparkSpec {
     // SOF at different offsets past different segment trains
     assert(rows(1L).getAs[Long]("sof_offset") > 2L)
   }
+
+  test("GPS strip on a REAL ImageIO JPEG: exif intact, gps destroyed, pixels bit-identical (r14)") {
+    // a real entropy-coded stream from the independent encoder, with
+    // a hand-planted Exif APP1 (big-endian TIFF: Make offset-addressed,
+    // Orientation, GPS pointer -> sub-IFD with refs + out-of-line
+    // deg/min/sec rationals) spliced in after SOI — the layout real
+    // cameras write
+    val img = plantRgb(20, 14, BufferedImage.TYPE_INT_RGB)
+    val base = {
+      val out = new ByteArrayOutputStream()
+      ImageIO.write(img, "jpeg", out)
+      out.toByteArray
+    }
+    val tiff = {
+      val bb = java.nio.ByteBuffer.allocate(200)
+      bb.put("MM".getBytes("US-ASCII")).putShort(42).putInt(8)
+      bb.putShort(3) // IFD0: Make, Orientation, GPS pointer
+      val makeOff = 8 + 2 + 3 * 12 + 4 // past entries + next-IFD
+      bb.putShort(0x010F.toShort).putShort(2).putInt(6).putInt(makeOff)
+      bb.putShort(0x0112.toShort).putShort(3).putInt(1).putInt(3 << 16)
+      val gpsOff = makeOff + 6
+      bb.putShort(0x8825.toShort).putShort(4).putInt(1).putInt(gpsOff)
+      bb.putInt(0) // next IFD
+      bb.put("Acme".getBytes("US-ASCII")).putShort(0)
+      // GPS sub-IFD: latref, lat, lonref, lon
+      val latOff = gpsOff + 2 + 4 * 12 + 4
+      bb.putShort(4)
+      bb.putShort(1).putShort(2).putInt(2).put('S'.toByte).put(0.toByte).putShort(0)
+      bb.putShort(2).putShort(5).putInt(3).putInt(latOff)
+      bb.putShort(3).putShort(2).putInt(2).put('W'.toByte).put(0.toByte).putShort(0)
+      bb.putShort(4).putShort(5).putInt(3).putInt(latOff + 24)
+      bb.putInt(0)
+      for (v <- Seq(37, 1, 46, 1, 302, 10, 122, 1, 25, 1, 117, 10))
+        bb.putInt(v)
+      java.util.Arrays.copyOf(bb.array(), bb.position())
+    }
+    val app1 = {
+      val body = "Exif".getBytes("US-ASCII") ++ Array[Byte](0, 0) ++ tiff
+      val len = body.length + 2
+      Array[Byte](0xFF.toByte, 0xE1.toByte,
+        (len >> 8).toByte, (len & 0xFF).toByte) ++ body
+    }
+    val withExif = base.take(2) ++ app1 ++ base.drop(2)
+    val df = Seq((1L, withExif)).toDF("doc_id", "payload")
+    val pre = Binary.Jpeg.exif(df).collect()(0)
+    assert(pre.getAs[Boolean]("exif_present") && pre.getAs[Boolean]("has_gps"))
+    assert(math.abs(pre.getAs[Double]("gps_lat") -
+      -(37.0 + 46.0 / 60 + 30.2 / 3600)) < 1e-9)
+    assert(math.abs(pre.getAs[Double]("gps_lon") -
+      -(122.0 + 25.0 / 60 + 11.7 / 3600)) < 1e-9)
+    val stripped = Binary.Jpeg.stripGps(df).select(col("payload"))
+      .collect()(0).getAs[Array[Byte]](0)
+    // exif intact, gps gone — on the REAL re-parse
+    val post = Binary.Jpeg.exif(Seq((1L, stripped)).toDF("doc_id", "payload"))
+      .collect()(0)
+    assert(post.getAs[Boolean]("exif_present"), "strip killed the EXIF")
+    assert(!post.getAs[Boolean]("has_gps"), "gps pointer survived the strip")
+    assert(post.getAs[String]("make") === "Acme")
+    assert(post.getAs[Long]("orientation") === 3L)
+    assert(post.getAs[Long]("n_ifd0_entries") === 2L)
+    assert(post.isNullAt(post.fieldIndex("gps_lat")))
+    // pixels bit-identical: every byte outside the APP1 segment is
+    // untouched (which IS the entropy-coded stream), and ImageIO
+    // decodes both to the same raster
+    assert(stripped.length === withExif.length)
+    assert(java.util.Arrays.equals(stripped.take(2), withExif.take(2)))
+    assert(java.util.Arrays.equals(stripped.drop(2 + app1.length),
+      withExif.drop(2 + app1.length)), "bytes outside APP1 changed")
+    val d1 = ImageIO.read(new ByteArrayInputStream(withExif))
+    val d2 = ImageIO.read(new ByteArrayInputStream(stripped))
+    for (y <- 0 until d1.getHeight; x <- 0 until d1.getWidth)
+      assert(d1.getRGB(x, y) === d2.getRGB(x, y), s"pixel ($x,$y) differs")
+    // the coordinate BYTES are destroyed, not just unlinked: the
+    // rational area inside the stripped APP1 is all zeros now
+    val tiffBase = 2 + 4 + 6
+    val latAt = tiffBase + (8 + 2 + 3 * 12 + 4 + 6 + 2 + 4 * 12 + 4)
+    assert(stripped.slice(latAt, latAt + 48).forall(_ == 0),
+      "gps rationals survive in the stripped bytes")
+    assert(withExif.slice(latAt, latAt + 48).exists(_ != 0))
+    // idempotent, and a gps-less payload passes through byte-equal
+    val again = Binary.Jpeg.stripGps(
+      Seq((1L, stripped)).toDF("doc_id", "payload"))
+      .select(col("payload")).collect()(0).getAs[Array[Byte]](0)
+    assert(java.util.Arrays.equals(again, stripped))
+    val plain = Binary.Jpeg.stripGps(Seq((1L, base)).toDF("doc_id", "payload"))
+      .select(col("payload")).collect()(0).getAs[Array[Byte]](0)
+    assert(java.util.Arrays.equals(plain, base))
+  }
 }
