@@ -96,10 +96,14 @@ object Jsonl {
   }
 
   /** Real-file face: partitioned json scan with the explicit schema,
-    * normalized to the [[parse]] output shape. `.jsonl.gz` works out
-    * of the box (Hadoop codec inference); a gzip FILE is one split,
-    * so shard compressed corpora into many files upstream — the
-    * standard layout — for parallelism.
+    * normalized to the [[parse]] output shape. `.jsonl.gz` AND
+    * `.jsonl.zst` — the dominant released-LLM-corpus wire format
+    * (RedPajama/FineWeb ship zstd shards) — work out of the box
+    * (Hadoop codec inference by extension; zstd verified against a
+    * real zstd-jni-compressed fixture in IngestFacesSpec, r14, mixed
+    * in one scan with gz and plain shards). A compressed FILE is one
+    * split either way, so shard compressed corpora into many files
+    * upstream — the standard layout — for parallelism.
     */
   def docs(spark: SparkSession, path: String): DataFrame = {
     val raw = spark.read.schema(SchemaDdl).json(path)

@@ -178,6 +178,49 @@ class IngestFacesSpec extends SparkSpec {
     }
   }
 
+  test("Jsonl.docs: .jsonl.zst shards — the dominant LLM-corpus wire format — read byte-exact (r14)") {
+    // fixture written through zstd-jni's REAL compressor (the library
+    // Spark itself ships), mixed-extension directory: one .zst shard,
+    // one .gz shard, one plain — all three codecs in ONE scan, which
+    // is exactly how released corpora arrive (RedPajama/FineWeb ship
+    // .jsonl.zst; local reprocessing mixes in plain shards)
+    val dir = java.nio.file.Files.createTempDirectory("graft_zst").toFile
+    val fz = new java.io.File(dir, "part-0.jsonl.zst")
+    val fg = new java.io.File(dir, "part-1.jsonl.gz")
+    val fp = new java.io.File(dir, "part-2.jsonl")
+    try {
+      val zs = new com.github.luben.zstd.ZstdOutputStream(
+        new java.io.FileOutputStream(fz))
+      zs.write(
+        ("""{"id": 1, "text": "zstd line one", "meta": {"lang": "en", "source": "z", "score": 3}, "tags": ["z1"]}""" +
+          "\n" +
+          """{"id": 2, "text": "zstd line two", "meta": {"lang": "de", "source": "z", "score": 4}}""" +
+          "\n").getBytes("UTF-8"))
+      zs.close()
+      val gs = new java.util.zip.GZIPOutputStream(
+        new java.io.FileOutputStream(fg))
+      gs.write(
+        ("""{"id": 3, "text": "gz line", "meta": {"lang": "fr", "source": "g", "score": 5}}""" +
+          "\n").getBytes("UTF-8"))
+      gs.close()
+      java.nio.file.Files.write(fp.toPath,
+        """{"id": 4, "text": "plain line", "meta": {"lang": "en", "source": "p", "score": 6}}"""
+          .getBytes("UTF-8"))
+      val got = graft.sources.Jsonl.docs(spark, dir.getAbsolutePath)
+        .collect().map(r => r.getAs[Long]("id") -> r).toMap
+      assert(got.keySet === Set(1L, 2L, 3L, 4L))
+      assert(got(1L).getAs[String]("text") === "zstd line one")
+      assert(got(1L).getAs[String]("lang") === "en")
+      assert(got(1L).getAs[Long]("n_tags") === 1L)
+      assert(got(2L).getAs[String]("text") === "zstd line two")
+      assert(got(3L).getAs[String]("source") === "g")
+      assert(got(4L).getAs[Long]("score") === 6L)
+      assert(got.values.forall(_.getAs[Boolean]("json_ok")))
+    } finally {
+      fz.delete(); fg.delete(); fp.delete(); dir.delete()
+    }
+  }
+
   test("pageMeta: title/h1/meta description decode; headless lane nulls") {
     val html =
       """<html><head><title> The &amp; Title </title>
