@@ -20,12 +20,15 @@ import org.apache.spark.sql.types._
   * bit for bit — the Loeffler "islow" integer IDCT (CONST_BITS 13 /
   * PASS1_BITS 2 descaling) and the SCALEBITS-16 fixed-point YCbCr→RGB
   * tables — so decoded samples are byte-identical to what libjpeg
-  * (and therefore `javax.imageio`) produces for 1×1-sampled scans;
-  * CodecConformanceSpec pins that equivalence against real ImageIO
-  * encodes. Subsampled chroma is reconstructed by sample replication
-  * (exact whenever chroma is locally flat; libjpeg's "fancy"
-  * triangular filter differs on gradients, which conformance tests
-  * bound instead of matching).
+  * (and therefore `javax.imageio`) produces — for 1×1-sampled scans
+  * AND, since r14, for subsampled ones: chroma reconstruction is
+  * libjpeg's "fancy" triangular filter (jdsample.c h2v1/h2v2
+  * arithmetic bit for bit, edge replication included), so 4:2:0 and
+  * 4:2:2 decodes are sample-exact on gradients, not just flat tiles;
+  * CodecConformanceSpec pins the equivalence against real ImageIO
+  * encodes per-pixel. Subsampled scans collect downsampled component
+  * planes for the upsample pass (≤ 2·w·h bytes, bomb-guard-bounded);
+  * 1×1 scans keep the per-MCU streaming emit.
   *
   * Supported: 8-bit precision, SOF0/SOF1 single-scan sequential,
   * grayscale or 3-component YCbCr, component sampling factors in
@@ -69,6 +72,141 @@ object JpegDecodeKernel {
   private def descale(x: Long, n: Int): Int = ((x + (1L << (n - 1))) >> n).toInt
 
   private def clamp255(v: Int): Int = if (v < 0) 0 else if (v > 255) 255 else v
+
+  /** Fancy (triangular) upsample + YCbCr→RGB emit over full
+    * DOWNSAMPLED component sample planes — the r14 replacement for
+    * sample replication on subsampled scans, following the public
+    * libjpeg jdsample.c arithmetic bit for bit so 4:2:0/4:2:2 decodes
+    * are libjpeg-exact on gradients, not just flat tiles:
+    *
+    *  - 2h×1v (4:2:2): `h2v1_fancy_upsample` — 3/4·nearer + 1/4
+    *    ·further per output column, edge columns copied, the +1/+2
+    *    alternating rounding exactly as jdsample.c writes it;
+    *  - 2h×2v (4:2:0): `h2v2_fancy_upsample` — vertical 3:1 column
+    *    sums against the nearer neighbor row (above for even output
+    *    rows, below for odd; edge rows duplicated), then the same
+    *    3:1 horizontal pass over the sums with +8/+7 rounding;
+    *  - 1h×2v: `int_upsample` replication (libjpeg applies no fancy
+    *    filter to this shape either);
+    *  - 1h×1v: direct.
+    *
+    * `samp(c)` holds component `c`'s downsampled samples row-major at
+    * `cW(c)`×`cH(c)` (REAL dims — block padding already clipped, so
+    * edge replication sees the true boundary sample, as libjpeg's
+    * downsampled_width does). Accumulates channel sums + peak into
+    * `acc` = [sr, sg, sb, peak] and fills `fill` when its length is
+    * exactly w·h.
+    */
+  private def emitUpsampled(samp: Array[Array[Byte]], cW: Array[Int],
+      cH: Array[Int], he: Array[Int], ve: Array[Int], w: Int, h: Int,
+      fill: Array[Int], acc: Array[Long]): Unit = {
+    val rowBuf = Array.tabulate(3)(c => new Array[Int](2 * cW(c) + 2))
+    val colsum = new Array[Int](
+      math.max(cW(0), math.max(cW(1), cW(2))) + 1)
+    val doFill = fill != null && fill.length == w * h
+    var sr = 0L; var sg = 0L; var sb = 0L
+    var peak = acc(3)
+    var y = 0
+    while (y < h) {
+      var c = 0
+      while (c < 3) {
+        val cw = cW(c); val chh = cH(c)
+        val plane = samp(c)
+        val buf = rowBuf(c)
+        if (he(c) == 1) {
+          // full horizontal resolution: direct row (vertical 2× is
+          // libjpeg int_upsample = replication)
+          val iy = if (ve(c) == 1) y else y >> 1
+          val base = math.min(iy, chh - 1) * cw
+          var k = 0
+          while (k < cw) { buf(k) = plane(base + k) & 0xFF; k += 1 }
+        } else if (ve(c) == 1) {
+          // h2v1 fancy
+          val base = math.min(y, chh - 1) * cw
+          if (cw == 1) {
+            val s = plane(base) & 0xFF; buf(0) = s; buf(1) = s
+          } else {
+            var k = 0
+            while (k < cw) {
+              val s = plane(base + k) & 0xFF
+              buf(2 * k) =
+                if (k == 0) s
+                else (3 * s + (plane(base + k - 1) & 0xFF) + 1) >> 2
+              buf(2 * k + 1) =
+                if (k == cw - 1) s
+                else (3 * s + (plane(base + k + 1) & 0xFF) + 2) >> 2
+              k += 1
+            }
+          }
+        } else {
+          // h2v2 fancy
+          val cyN = math.min(y >> 1, chh - 1)
+          var cyF = if ((y & 1) == 0) cyN - 1 else cyN + 1
+          if (cyF < 0) cyF = 0
+          if (cyF > chh - 1) cyF = chh - 1
+          val bN = cyN * cw; val bF = cyF * cw
+          var k = 0
+          while (k < cw) {
+            colsum(k) = 3 * (plane(bN + k) & 0xFF) + (plane(bF + k) & 0xFF)
+            k += 1
+          }
+          if (cw == 1) {
+            buf(0) = (colsum(0) * 4 + 8) >> 4
+            buf(1) = (colsum(0) * 4 + 7) >> 4
+          } else {
+            buf(0) = (colsum(0) * 4 + 8) >> 4
+            buf(1) = (colsum(0) * 3 + colsum(1) + 7) >> 4
+            k = 1
+            while (k < cw - 1) {
+              buf(2 * k) = (colsum(k) * 3 + colsum(k - 1) + 8) >> 4
+              buf(2 * k + 1) = (colsum(k) * 3 + colsum(k + 1) + 7) >> 4
+              k += 1
+            }
+            buf(2 * (cw - 1)) = (colsum(cw - 1) * 3 + colsum(cw - 2) + 8) >> 4
+            buf(2 * (cw - 1) + 1) = (colsum(cw - 1) * 4 + 7) >> 4
+          }
+        }
+        c += 1
+      }
+      val ry = rowBuf(0); val rcb = rowBuf(1); val rcr = rowBuf(2)
+      var x = 0
+      while (x < w) {
+        val ys = ry(x)
+        val cb = rcb(x) - 128
+        val cr = rcr(x) - 128
+        val r = clamp255(ys + ((FIX_1_40200 * cr + 32768) >> 16))
+        val g = clamp255(ys + ((-FIX_0_34414 * cb - FIX_0_71414 * cr + 32768) >> 16))
+        val bl = clamp255(ys + ((FIX_1_77200 * cb + 32768) >> 16))
+        sr += r; sg += g; sb += bl
+        if (r > peak) peak = r
+        if (g > peak) peak = g
+        if (bl > peak) peak = bl
+        if (doFill) fill(y * w + x) = (r << 16) | (g << 8) | bl
+        x += 1
+      }
+      y += 1
+    }
+    acc(0) += sr; acc(1) += sg; acc(2) += sb; acc(3) = peak
+  }
+
+  /** Copy one IDCT'd block's in-bounds samples into a downsampled
+    * component plane (block grid may be MCU-padded past the real
+    * component dims — padding is clipped, never stored).
+    */
+  private def storeBlock(block: Array[Int], plane: Array[Byte],
+      bx: Int, by: Int, cw: Int, chh: Int): Unit = {
+    val x0 = bx * 8; val y0 = by * 8
+    var r = 0
+    while (r < 8 && y0 + r < chh) {
+      val rowBase = (y0 + r) * cw
+      var cc = 0
+      while (cc < 8 && x0 + cc < cw) {
+        plane(rowBase + x0 + cc) = block(r * 8 + cc).toByte
+        cc += 1
+      }
+      r += 1
+    }
+  }
 
   /** Full 2-D islow inverse DCT of one block. `coef` natural order,
     * already dequantized; `out` receives 64 samples in [0,255]
@@ -399,6 +537,29 @@ object JpegDecodeKernel {
     val mcuW = 8 * hmax; val mcuH = 8 * vmax
     val mcusX = (w + mcuW - 1) / mcuW
     val mcusY = (h + mcuH - 1) / mcuH
+    // subsampled scans collect DOWNSAMPLED planes for the fancy
+    // upsample pass (≤ 2·w·h bytes at 4:2:2, bomb-guard-bounded —
+    // the price of libjpeg-exact gradients, r14); 1×1 scans keep the
+    // per-MCU streaming emit
+    val he = new Array[Int](3); val ve = new Array[Int](3)
+    var needUp = false
+    i = 0
+    while (i < ncomp) {
+      he(i) = hmax / ch(i); ve(i) = vmax / cv(i)
+      if (he(i) != 1 || ve(i) != 1) needUp = true
+      i += 1
+    }
+    val cWd = new Array[Int](3); val cHd = new Array[Int](3)
+    val samp = new Array[Array[Byte]](3)
+    if (needUp) {
+      i = 0
+      while (i < ncomp) {
+        cWd(i) = (w * ch(i) + hmax - 1) / hmax
+        cHd(i) = (h * cv(i) + vmax - 1) / vmax
+        samp(i) = new Array[Byte](cWd(i) * cHd(i))
+        i += 1
+      }
+    }
 
     val bits = new Bits(p, sosAt)
     val pred = new Array[Int](4)
@@ -450,46 +611,55 @@ object JpegDecodeKernel {
               }
             }
             idct(coef, planes(c)(b))
+            if (needUp)
+              storeBlock(planes(c)(b), samp(c),
+                mx * ch(c) + b % ch(c), my * cv(c) + b / ch(c),
+                cWd(c), cHd(c))
             b += 1
           }
           c += 1
         }
         rstCount += 1
-        // emit the MCU's in-bounds pixels
-        val x0 = mx * mcuW; val y0 = my * mcuH
-        val xMax = math.min(mcuW, w - x0)
-        val yMax = math.min(mcuH, h - y0)
-        var py = 0
-        while (py < yMax) {
-          var px = 0
-          while (px < xMax) {
-            var r = 0; var g = 0; var bl = 0
-            if (ncomp == 1) {
-              val v = planes(0)(0)((py & 7) * 8 + (px & 7)) // hmax=vmax=1
-              r = v; g = v; bl = v
-            } else {
-              val sx1 = px * ch(1) / hmax; val sy1 = py * cv(1) / vmax
-              val sx2 = px * ch(2) / hmax; val sy2 = py * cv(2) / vmax
-              val sx0 = px * ch(0) / hmax; val sy0 = py * cv(0) / vmax
-              val y = planes(0)((sy0 >> 3) * ch(0) + (sx0 >> 3))((sy0 & 7) * 8 + (sx0 & 7))
-              val cb = planes(1)((sy1 >> 3) * ch(1) + (sx1 >> 3))((sy1 & 7) * 8 + (sx1 & 7)) - 128
-              val cr = planes(2)((sy2 >> 3) * ch(2) + (sx2 >> 3))((sy2 & 7) * 8 + (sx2 & 7)) - 128
-              r = clamp255(y + ((FIX_1_40200 * cr + 32768) >> 16))
-              g = clamp255(y + ((-FIX_0_34414 * cb - FIX_0_71414 * cr + 32768) >> 16))
-              bl = clamp255(y + ((FIX_1_77200 * cb + 32768) >> 16))
+        if (!needUp) {
+          // emit the MCU's in-bounds pixels
+          val x0 = mx * mcuW; val y0 = my * mcuH
+          val xMax = math.min(mcuW, w - x0)
+          val yMax = math.min(mcuH, h - y0)
+          var py = 0
+          while (py < yMax) {
+            var px = 0
+            while (px < xMax) {
+              var r = 0; var g = 0; var bl = 0
+              if (ncomp == 1) {
+                val v = planes(0)(0)((py & 7) * 8 + (px & 7)) // hmax=vmax=1
+                r = v; g = v; bl = v
+              } else {
+                // all factors equal here (needUp covers every he/ve≠1)
+                val y = planes(0)((py >> 3) * ch(0) + (px >> 3))((py & 7) * 8 + (px & 7))
+                val cb = planes(1)((py >> 3) * ch(1) + (px >> 3))((py & 7) * 8 + (px & 7)) - 128
+                val cr = planes(2)((py >> 3) * ch(2) + (px >> 3))((py & 7) * 8 + (px & 7)) - 128
+                r = clamp255(y + ((FIX_1_40200 * cr + 32768) >> 16))
+                g = clamp255(y + ((-FIX_0_34414 * cb - FIX_0_71414 * cr + 32768) >> 16))
+                bl = clamp255(y + ((FIX_1_77200 * cb + 32768) >> 16))
+              }
+              sr += r; sg += g; sb += bl
+              if (r > peak) peak = r
+              if (g > peak) peak = g
+              if (bl > peak) peak = bl
+              if (doFill) fill((y0 + py) * w + (x0 + px)) = (r << 16) | (g << 8) | bl
+              px += 1
             }
-            sr += r; sg += g; sb += bl
-            if (r > peak) peak = r
-            if (g > peak) peak = g
-            if (bl > peak) peak = bl
-            if (doFill) fill((y0 + py) * w + (x0 + px)) = (r << 16) | (g << 8) | bl
-            px += 1
+            py += 1
           }
-          py += 1
         }
         mx += 1
       }
       my += 1
+    }
+    if (needUp) {
+      val acc = Array(0L, 0L, 0L, 0L)
+      emitUpsampled(samp, cWd, cHd, he, ve, w, h, fill, acc)
+      sr = acc(0); sg = acc(1); sb = acc(2); peak = acc(3)
     }
     Array(w.toLong, h.toLong, sr, sg, sb, peak)
   }
@@ -733,13 +903,34 @@ object JpegDecodeKernel {
     }
 
     // output pass: dequantize + IDCT per MCU, then the SAME emit
-    // arithmetic as the baseline path
+    // arithmetic as the baseline path (incl. the r14 fancy-upsample
+    // plane pass for subsampled scans — a progressive 4:2:0 re-encode
+    // still decodes byte-identical to its baseline twin)
     val coefBuf = new Array[Int](64)
     val planes = Array.tabulate(ncomp)(c =>
       Array.fill(ch(c) * cv(c))(new Array[Int](64)))
     var sr = 0L; var sg = 0L; var sb = 0L; var peak = 0L
     val doFill = fill != null && fill.length == w * h
     val mcuW = 8 * hmax; val mcuH = 8 * vmax
+    val he = new Array[Int](3); val ve = new Array[Int](3)
+    var needUp = false
+    i = 0
+    while (i < ncomp) {
+      he(i) = hmax / ch(i); ve(i) = vmax / cv(i)
+      if (he(i) != 1 || ve(i) != 1) needUp = true
+      i += 1
+    }
+    val cWd = new Array[Int](3); val cHd = new Array[Int](3)
+    val samp = new Array[Array[Byte]](3)
+    if (needUp) {
+      i = 0
+      while (i < ncomp) {
+        cWd(i) = (w * ch(i) + hmax - 1) / hmax
+        cHd(i) = (h * cv(i) + vmax - 1) / vmax
+        samp(i) = new Array[Byte](cWd(i) * cHd(i))
+        i += 1
+      }
+    }
     var my = 0
     while (my < mcusY) {
       var mx = 0
@@ -755,46 +946,54 @@ object JpegDecodeKernel {
               var k = 0
               while (k < 64) { coefBuf(k) = coefs(c)(bi + k) * q(k); k += 1 }
               idct(coefBuf, planes(c)(v * ch(c) + u))
+              if (needUp)
+                storeBlock(planes(c)(v * ch(c) + u), samp(c),
+                  mx * ch(c) + u, my * cv(c) + v, cWd(c), cHd(c))
               u += 1
             }
             v += 1
           }
           c += 1
         }
-        val x0 = mx * mcuW; val y0 = my * mcuH
-        val xMax = math.min(mcuW, w - x0)
-        val yMax = math.min(mcuH, h - y0)
-        var py = 0
-        while (py < yMax) {
-          var px = 0
-          while (px < xMax) {
-            var r = 0; var g = 0; var bl = 0
-            if (ncomp == 1) {
-              val v = planes(0)(0)((py & 7) * 8 + (px & 7))
-              r = v; g = v; bl = v
-            } else {
-              val sx1 = px * ch(1) / hmax; val sy1 = py * cv(1) / vmax
-              val sx2 = px * ch(2) / hmax; val sy2 = py * cv(2) / vmax
-              val sx0 = px * ch(0) / hmax; val sy0 = py * cv(0) / vmax
-              val y = planes(0)((sy0 >> 3) * ch(0) + (sx0 >> 3))((sy0 & 7) * 8 + (sx0 & 7))
-              val cb = planes(1)((sy1 >> 3) * ch(1) + (sx1 >> 3))((sy1 & 7) * 8 + (sx1 & 7)) - 128
-              val cr = planes(2)((sy2 >> 3) * ch(2) + (sx2 >> 3))((sy2 & 7) * 8 + (sx2 & 7)) - 128
-              r = clamp255(y + ((FIX_1_40200 * cr + 32768) >> 16))
-              g = clamp255(y + ((-FIX_0_34414 * cb - FIX_0_71414 * cr + 32768) >> 16))
-              bl = clamp255(y + ((FIX_1_77200 * cb + 32768) >> 16))
+        if (!needUp) {
+          val x0 = mx * mcuW; val y0 = my * mcuH
+          val xMax = math.min(mcuW, w - x0)
+          val yMax = math.min(mcuH, h - y0)
+          var py = 0
+          while (py < yMax) {
+            var px = 0
+            while (px < xMax) {
+              var r = 0; var g = 0; var bl = 0
+              if (ncomp == 1) {
+                val v = planes(0)(0)((py & 7) * 8 + (px & 7))
+                r = v; g = v; bl = v
+              } else {
+                // all factors equal here (needUp covers every he/ve≠1)
+                val y = planes(0)((py >> 3) * ch(0) + (px >> 3))((py & 7) * 8 + (px & 7))
+                val cb = planes(1)((py >> 3) * ch(1) + (px >> 3))((py & 7) * 8 + (px & 7)) - 128
+                val cr = planes(2)((py >> 3) * ch(2) + (px >> 3))((py & 7) * 8 + (px & 7)) - 128
+                r = clamp255(y + ((FIX_1_40200 * cr + 32768) >> 16))
+                g = clamp255(y + ((-FIX_0_34414 * cb - FIX_0_71414 * cr + 32768) >> 16))
+                bl = clamp255(y + ((FIX_1_77200 * cb + 32768) >> 16))
+              }
+              sr += r; sg += g; sb += bl
+              if (r > peak) peak = r
+              if (g > peak) peak = g
+              if (bl > peak) peak = bl
+              if (doFill) fill((y0 + py) * w + (x0 + px)) = (r << 16) | (g << 8) | bl
+              px += 1
             }
-            sr += r; sg += g; sb += bl
-            if (r > peak) peak = r
-            if (g > peak) peak = g
-            if (bl > peak) peak = bl
-            if (doFill) fill((y0 + py) * w + (x0 + px)) = (r << 16) | (g << 8) | bl
-            px += 1
+            py += 1
           }
-          py += 1
         }
         mx += 1
       }
       my += 1
+    }
+    if (needUp) {
+      val acc = Array(0L, 0L, 0L, 0L)
+      emitUpsampled(samp, cWd, cHd, he, ve, w, h, fill, acc)
+      sr = acc(0); sg = acc(1); sb = acc(2); peak = acc(3)
     }
     Array(w.toLong, h.toLong, sr, sg, sb, peak)
   }

@@ -51,6 +51,33 @@ class JpegPixelsSpec extends SparkSpec {
       assert(st != null, s"mode=$mode ri=$ri ${tw}x$th: decode failed")
       val side = if (mode == 2) 16 else 8
       val area = side * side
+      if (mode == 2 && n > 1) {
+        // multi-tile 4:2:0: fancy upsampling (r14) blends chroma
+        // across tile boundaries, so flat-tile arithmetic no longer
+        // predicts the edges — the ground truth is the INDEPENDENT
+        // decoder: our samples must equal ImageIO's (the JDK's
+        // libjpeg) pixel for pixel
+        val ref = ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+        assert(ref != null)
+        val dec = JpegDecodeKernel.decodePixels(bytes)
+        assert(dec != null)
+        val (dw, dh, ours) = dec
+        assert(dw === ref.getWidth && dh === ref.getHeight)
+        var (xr, xg, xb, xp) = (0L, 0L, 0L, 0L)
+        for (y <- 0 until dh; x <- 0 until dw) {
+          val theirs = ref.getRGB(x, y) & 0xFFFFFF
+          assert(ours(y * dw + x) === theirs,
+            s"mode=2 ri=$ri ${tw}x$th ($x,$y): " +
+              s"0x${ours(y * dw + x).toHexString} != 0x${theirs.toHexString}")
+          xr += (theirs >> 16) & 0xFF; xg += (theirs >> 8) & 0xFF
+          xb += theirs & 0xFF
+          xp = math.max(xp, math.max((theirs >> 16) & 0xFF,
+            math.max((theirs >> 8) & 0xFF, theirs & 0xFF)).toLong)
+        }
+        val got = st.toLongArray()
+        assert(got(1) === xr && got(2) === xg && got(3) === xb && got(4) === xp,
+          s"mode=2 ri=$ri ${tw}x$th: stats disagree with the per-pixel decode")
+      } else locally {
       var (sr, sg, sb, peak) = (0L, 0L, 0L, 0L)
       for (t <- 0 until n) {
         val (r, g, b) =
@@ -64,6 +91,7 @@ class JpegPixelsSpec extends SparkSpec {
       assert(got(1) === sr && got(2) === sg && got(3) === sb,
         s"mode=$mode ri=$ri ${tw}x$th: sums ${got.mkString(",")} != $sr,$sg,$sb")
       assert(got(4) === peak, s"mode=$mode ri=$ri: peak")
+      }
     }
   }
 
@@ -231,6 +259,26 @@ class JpegPixelsSpec extends SparkSpec {
     }
   }
 
+  /** Spec-side mirror of libjpeg h2v2 fancy upsampling for a chroma
+    * plane given as a sample accessor — the same closed form the
+    * DuckDB oracle encodes, validated here against the kernel.
+    */
+  private def fancy420(x: Int, y: Int, cW: Int, cH: Int,
+      c: (Int, Int) => Int): Int = {
+    val cyN = math.min(y >> 1, cH - 1)
+    var cyF = if ((y & 1) == 0) cyN - 1 else cyN + 1
+    if (cyF < 0) cyF = 0
+    if (cyF > cH - 1) cyF = cH - 1
+    def colsum(k: Int) = 3 * c(k, cyN) + c(k, cyF)
+    val k = x >> 1
+    if (cW == 1) {
+      if ((x & 1) == 0) (colsum(0) * 4 + 8) >> 4 else (colsum(0) * 4 + 7) >> 4
+    } else if (x == 0) (colsum(0) * 4 + 8) >> 4
+    else if ((x & 1) == 0) (colsum(k) * 3 + colsum(k - 1) + 8) >> 4
+    else if (k == cW - 1) (colsum(k) * 4 + 7) >> 4
+    else (colsum(k) * 3 + colsum(k + 1) + 7) >> 4
+  }
+
   test("driver-row shape: synthPixelsFromDocs → pixelStats matches spec-side recompute") {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
       .select("doc_id", "text").limit(60)
@@ -256,14 +304,31 @@ class JpegPixelsSpec extends SparkSpec {
         val n = tw * th
         val area = side * side
         var (sr, sg, sb, peak) = (0L, 0L, 0L, 0L)
-        for (t <- 0 until n) {
-          val yv = ((7 * d + 13 * t) % 256).toInt
-          val cb = ((5 * d + 11 * t) % 256).toInt
-          val cr = ((3 * d + 17 * t) % 256).toInt
-          val (rr, gg, bb) =
-            if (mode == 0) (yv, yv, yv) else yccToRgb(yv, cb, cr)
-          sr += rr.toLong * area; sg += gg.toLong * area; sb += bb.toLong * area
-          peak = math.max(peak, math.max(rr, math.max(gg, bb)).toLong)
+        if (mode == 2) {
+          // fancy upsampling (r14): chroma blends across tile
+          // boundaries — recompute per PIXEL with the h2v2 mirror
+          val cW = 8 * tw; val cH = 8 * th
+          def cbAt(cx: Int, cy: Int) =
+            ((5 * d + 11 * ((cy / 8) * tw + cx / 8)) % 256).toInt
+          def crAt(cx: Int, cy: Int) =
+            ((3 * d + 17 * ((cy / 8) * tw + cx / 8)) % 256).toInt
+          for (y <- 0 until 16 * th; x <- 0 until 16 * tw) {
+            val yv = ((7 * d + 13 * ((y / 16) * tw + x / 16)) % 256).toInt
+            val (rr, gg, bb) = yccToRgb(yv,
+              fancy420(x, y, cW, cH, cbAt), fancy420(x, y, cW, cH, crAt))
+            sr += rr; sg += gg; sb += bb
+            peak = math.max(peak, math.max(rr, math.max(gg, bb)).toLong)
+          }
+        } else {
+          for (t <- 0 until n) {
+            val yv = ((7 * d + 13 * t) % 256).toInt
+            val cb = ((5 * d + 11 * t) % 256).toInt
+            val cr = ((3 * d + 17 * t) % 256).toInt
+            val (rr, gg, bb) =
+              if (mode == 0) (yv, yv, yv) else yccToRgb(yv, cb, cr)
+            sr += rr.toLong * area; sg += gg.toLong * area; sb += bb.toLong * area
+            peak = math.max(peak, math.max(rr, math.max(gg, bb)).toLong)
+          }
         }
         val np = (n * area).toLong
         assert(r.getAs[Long]("pixels_decoded") === np, s"doc $d n_pixels")
