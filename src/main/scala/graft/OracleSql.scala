@@ -3355,20 +3355,41 @@ object OracleSql {
     * `>> 16` mirrored as floor division by 2¹⁶, exact in doubles
     * because 65536 is a power of two) — while Spark must reach the
     * same numbers by actually Huffman-decoding the entropy stream and
-    * running the inverse DCT. A hash match proves the bit-level decode.
+    * running the inverse DCT. Since r14 the decoder applies libjpeg
+    * FANCY (triangular) chroma upsampling, so the mode-2 (4:2:0
+    * multi-tile) lane is recomputed per PIXEL with the h2v2 closed
+    * form (3:1 vertical column sums, then 3:1 horizontal with +8/+7
+    * rounding, edge replication — the same arithmetic as the spec's
+    * `fancy420` mirror, JpegPixelsSpec.scala). A hash match proves
+    * the bit-level decode including cross-tile chroma blending.
     */
   val mmJpegPixels: String = {
-    // per-tile channel lists; mode 0 (grayscale) short-circuits to y
     def fx(e: String): String = s"CAST(floor(($e) / 65536.0) AS BIGINT)"
+    def cl(e: String): String = s"LEAST(255, GREATEST(0, $e))"
+    // modes 0/1: per-tile channel lists; mode 0 (grayscale) is y
     val y = "(7 * doc_id + 13 * t) % 256"
     val cb = "((5 * doc_id + 11 * t) % 256 - 128)"
     val cr = "((3 * doc_id + 17 * t) % 256 - 128)"
-    def cl(e: String): String = s"LEAST(255, GREATEST(0, $e))"
     val rE = cl(s"$y + ${fx(s"91881 * $cr + 32768")}")
     val gE = cl(s"$y + ${fx(s"-22554 * $cb - 46802 * $cr + 32768")}")
     val bE = cl(s"$y + ${fx(s"116130 * $cb + 32768")}")
     def chan(e: String): String =
       s"[CASE WHEN mode = 0 THEN $y ELSE $e END for t in range(0, nt)]"
+    // mode 2: the chroma plane is 8×8 per 16×16 tile; the sample at
+    // chroma coords (kk, cyN/cyF) is the tile constant, and colsum is
+    // libjpeg's 3:1 vertical blend of near/far chroma rows
+    def csamp(mul: Int, step: Int, v: String, kk: String): String =
+      s"(($mul * doc_id + $step * ((cy$v // 8) * tw + ($kk) // 8)) % 256)"
+    def colsum(mul: Int, step: Int, kk: String): String =
+      s"(3 * ${csamp(mul, step, "n", kk)} + ${csamp(mul, step, "f", kk)})"
+    def up(mul: Int, step: Int): String = {
+      def cs(kk: String) = colsum(mul, step, kk)
+      // cW = 8*tw >= 16 on this lane, so libjpeg's cW==1 branch is dead
+      s"(CASE WHEN x = 0 THEN (${cs("0")} * 4 + 8) // 16 " +
+        s"WHEN x % 2 = 0 THEN (${cs("k")} * 3 + ${cs("k - 1")} + 8) // 16 " +
+        s"WHEN k = 8 * tw - 1 THEN (${cs("k")} * 4 + 7) // 16 " +
+        s"ELSE (${cs("k")} * 3 + ${cs("k + 1")} + 7) // 16 END)"
+    }
     s"""WITH m AS (SELECT doc_id,
        |  doc_id % 3 AS mode,
        |  (2 + doc_id % 3) AS tw,
@@ -3376,25 +3397,50 @@ object OracleSql {
        |  CASE WHEN doc_id % 3 = 2 THEN 16 ELSE 8 END AS side,
        |  doc_id % 10 = 0 AS invalid
        |  FROM documents),
-       |p AS (SELECT doc_id, invalid, mode, tw * th AS nt,
+       |p AS (SELECT doc_id, invalid, mode, tw, th, tw * th AS nt,
        |  side * side AS ta, tw * th * side * side AS np FROM m),
-       |s AS (SELECT doc_id, invalid, np, ta,
+       |s AS (SELECT doc_id, np, ta,
        |  ${chan(rE)} AS rs,
        |  ${chan(gE)} AS gs,
        |  ${chan(bE)} AS bs
-       |  FROM p)
-       |SELECT doc_id, NOT invalid AS jpeg_valid,
+       |  FROM p WHERE mode <> 2 AND NOT invalid),
+       |a01 AS (SELECT doc_id,
+       |  list_aggregate(rs, 'sum') * ta AS sr,
+       |  list_aggregate(gs, 'sum') * ta AS sg,
+       |  list_aggregate(bs, 'sum') * ta AS sb,
+       |  greatest(list_max(rs), list_max(gs), list_max(bs)) AS peak
+       |  FROM s),
+       |g AS (SELECT doc_id, tw, th,
+       |  unnest(range(0, np)) % (16 * tw) AS x,
+       |  unnest(range(0, np)) // (16 * tw) AS y
+       |  FROM p WHERE mode = 2 AND NOT invalid),
+       |h AS (SELECT doc_id, tw, x,
+       |  (7 * doc_id + 13 * ((y // 16) * tw + x // 16)) % 256 AS yv,
+       |  x // 2 AS k, y // 2 AS cyn,
+       |  LEAST(8 * th - 1, GREATEST(0,
+       |    CASE WHEN y % 2 = 0 THEN y // 2 - 1 ELSE y // 2 + 1 END)) AS cyf
+       |  FROM g),
+       |u AS (SELECT doc_id, yv,
+       |  ${up(5, 11)} - 128 AS cb,
+       |  ${up(3, 17)} - 128 AS cr
+       |  FROM h),
+       |rgb AS (SELECT doc_id,
+       |  ${cl("yv + " + fx("91881 * cr + 32768"))} AS r,
+       |  ${cl("yv + " + fx("-22554 * cb - 46802 * cr + 32768"))} AS g,
+       |  ${cl("yv + " + fx("116130 * cb + 32768"))} AS b
+       |  FROM u),
+       |a2 AS (SELECT doc_id, sum(r) AS sr, sum(g) AS sg, sum(b) AS sb,
+       |  max(greatest(r, g, b)) AS peak
+       |  FROM rgb GROUP BY doc_id),
+       |a AS (SELECT doc_id, sr, sg, sb, peak FROM a01
+       |  UNION ALL SELECT doc_id, sr, sg, sb, peak FROM a2)
+       |SELECT p.doc_id, NOT invalid AS jpeg_valid,
        |  (CASE WHEN invalid THEN NULL ELSE np END)::BIGINT AS pixels_decoded,
-       |  CASE WHEN invalid THEN NULL
-       |    ELSE (list_aggregate(rs, 'sum') * ta)::DOUBLE / np END AS mean_r,
-       |  CASE WHEN invalid THEN NULL
-       |    ELSE (list_aggregate(gs, 'sum') * ta)::DOUBLE / np END AS mean_g,
-       |  CASE WHEN invalid THEN NULL
-       |    ELSE (list_aggregate(bs, 'sum') * ta)::DOUBLE / np END AS mean_b,
-       |  (CASE WHEN invalid THEN NULL
-       |    ELSE greatest(list_max(rs), list_max(gs), list_max(bs)) END)::BIGINT
-       |    AS peak_byte
-       |FROM s ORDER BY doc_id""".stripMargin
+       |  CASE WHEN invalid THEN NULL ELSE sr::DOUBLE / np END AS mean_r,
+       |  CASE WHEN invalid THEN NULL ELSE sg::DOUBLE / np END AS mean_g,
+       |  CASE WHEN invalid THEN NULL ELSE sb::DOUBLE / np END AS mean_b,
+       |  (CASE WHEN invalid THEN NULL ELSE peak END)::BIGINT AS peak_byte
+       |FROM p LEFT JOIN a ON p.doc_id = a.doc_id ORDER BY p.doc_id""".stripMargin
   }
 
   /** PDF triage (mirror of Binary.Pdf.parse ∘ synthFromDocs): every

@@ -97,7 +97,7 @@ object RobotsParseKernel {
           if (!lastUa) gid += 1
           lastUa = true
           val v = trimmedValue(line, uaAt)
-          if (v == "*" || v.toLowerCase == agentLower)
+          if (v == "*" || v.toLowerCase(java.util.Locale.ROOT) == agentLower)
             matchedGids.add(gid)
         } else {
           val alAt = fieldColon(line, Al)

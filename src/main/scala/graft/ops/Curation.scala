@@ -500,7 +500,7 @@ object Curation {
       agent: String = "*"): DataFrame = {
     import org.apache.spark.sql.GraftColumnBridge.{column => gcol, expression => gexpr}
     val matched = gcol(graft.expressions.RobotsRules(
-      gexpr(coalesce(txt, lit(""))), agent.toLowerCase))
+      gexpr(coalesce(txt, lit(""))), agent.toLowerCase(java.util.Locale.ROOT)))
     robots
       .withColumn("host", lower(host))
       .select(col("*"), posexplode(matched).as(Seq("rule_idx", "__r")))
