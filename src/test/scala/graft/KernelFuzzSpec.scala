@@ -210,10 +210,10 @@ class KernelFuzzSpec extends SparkSpec {
     val magics = Seq[Array[Byte]](
       Array.empty,
       "RIFF".getBytes("US-ASCII"),
-      "RIFF   WEBP".getBytes("US-ASCII"),
-      "RIFF   WEBPVP8 ".getBytes("US-ASCII"),
-      "RIFF   WEBPVP8L".getBytes("US-ASCII"),
-      "RIFF   WEBPVP8X".getBytes("US-ASCII"))
+      "RIFF\u0016\u0000\u0000\u0000WEBP".getBytes("US-ASCII"),
+      "RIFF\u0016\u0000\u0000\u0000WEBPVP8 ".getBytes("US-ASCII"),
+      "RIFF\u0012\u0000\u0000\u0000WEBPVP8L".getBytes("US-ASCII"),
+      "RIFF\u0016\u0000\u0000\u0000WEBPVP8X".getBytes("US-ASCII"))
     val rows = (0 until 240).map { i =>
       val tail = new Array[Byte](rnd.nextInt(48))
       rnd.nextBytes(tail)
