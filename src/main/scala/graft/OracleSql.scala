@@ -3152,20 +3152,33 @@ object OracleSql {
     * literals are 1-indexed like the Spark `element_at` calls they
     * mirror.
     */
+  /** Shared closed-form TIFF geometry (mirror of TiffSynthKernel) —
+    * used by both the mm_tiff_meta and mm_media_triage oracles.
+    */
+  private val tiffGeom: String =
+    """16 + doc_id % 240 AS tw_, 8 + doc_id % 120 AS th_,
+      |  CASE WHEN doc_id % 3 = 0 THEN 3 ELSE 1 END AS tspp,
+      |  ([1, 5, 32773])[((doc_id // 2) % 3) + 1] AS tcomp,
+      |  doc_id % 5 = 2 AS ttiles,
+      |  1 + doc_id % 3 AS tns,
+      |  doc_id % 4 = 0 AS ttwo""".stripMargin
+
   /** Mixed-container triage (mirror of the mm_media_triage wiring:
-    * doc_id%6 picks raw/WAV/PNG/JPEG/BMP/WebP, each synth keeps its
-    * own %10 corrupt members — the WebP lane lands on odd doc_ids
-    * only, so it is never corrupt): detection, sizes, and content units all
+    * doc_id%7 picks raw/WAV/PNG/JPEG/BMP/WebP/TIFF — the r15 modulus
+    * is COPRIME with the synths' %10 corrupt lane, so every family
+    * contributes corrupt/text-fallback members, closing the r14
+    * ADVICE coverage gap): detection, sizes, and content units all
     * re-derived from doc_id arithmetic + text length — a hash match
     * proves the Spark triage detected containers from the actual
     * bytes and routed each to the right parser's field formulas. The
     * JPEG byte total mirrors Binary.Jpeg.synthFromDocs segment by
     * segment: SOI(2) + APP0(18) + COM1(4+c1) [+ COM2(4+c2) every
     * third doc] + SOF(10+3·nc) + SOS(8+2·nc) + data(8) + EOI(2); the
-    * BMP total is 54 + aligned stride × height.
+    * BMP total is 54 + aligned stride × height; the TIFF total
+    * mirrors TiffSynthKernel's layout arithmetic entry for entry.
     */
   val mmMediaTriage: String =
-    """WITH m AS (SELECT doc_id,
+    s"""WITH m AS (SELECT doc_id,
       |  LEAST(octet_length(text::BLOB), 400) AS dlen,
       |  octet_length(text::BLOB) AS rawlen,
       |  LEAST(octet_length(text::BLOB), 5 + doc_id % 37) AS c1,
@@ -3173,7 +3186,7 @@ object OracleSql {
       |    THEN LEAST(GREATEST(octet_length(text::BLOB) - 5, 0), 3 + doc_id % 11)
       |    ELSE NULL END AS c2,
       |  CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 3 END AS nc,
-      |  doc_id % 6 AS cls, doc_id % 10 = 0 AS corrupt
+      |  doc_id % 7 AS cls, doc_id % 10 = 0 AS corrupt
       |  FROM documents),
       |w AS (SELECT *,
       |  (8000 + (doc_id % 5) * 4000) *
@@ -3186,32 +3199,86 @@ object OracleSql {
       |  CASE doc_id % 3 WHEN 0 THEN 3 + doc_id % 9
       |    WHEN 1 THEN 2 + doc_id % 300 ELSE 7 + doc_id % 70000 END AS xw,
       |  CASE doc_id % 3 WHEN 0 THEN 2 + doc_id % 7
-      |    WHEN 1 THEN 1 + doc_id % 200 ELSE 5 + doc_id % 33000 END AS xh
+      |    WHEN 1 THEN 1 + doc_id % 200 ELSE 5 + doc_id % 33000 END AS xh,
+      |  $tiffGeom
       |  FROM m),
-      |w2 AS (SELECT *, (((bw * bbpp + 31) // 32) * 4) * bh AS bimg FROM w),
+      |w2 AS (SELECT *, (((bw * bbpp + 31) // 32) * 4) * bh AS bimg,
+      |  CASE WHEN ttiles
+      |    THEN ((tw_ + 15) // 16) * ((th_ + 15) // 16) ELSE tns END AS tnu
+      |  FROM w),
+      |w3 AS (SELECT *,
+      |  14 + 12 * (CASE WHEN ttiles THEN 10 ELSE 9 END) +
+      |    (CASE WHEN tspp = 3 THEN 6 ELSE 0 END) +
+      |    (CASE WHEN tnu > 1 THEN 8 * tnu ELSE 0 END) +
+      |    (CASE WHEN ttwo THEN 30 ELSE 0 END) + 8 AS tlen
+      |  FROM w2),
       |d AS (SELECT doc_id, dlen, rawlen, c1, c2, nc, br, pw, ph, jh, jw, bw, bh, bimg,
-      |  xfmt, xw, xh,
+      |  xfmt, xw, xh, tw_, th_, tlen,
       |  CASE WHEN cls = 1 AND NOT corrupt THEN 'wav'
       |       WHEN cls = 2 AND NOT corrupt THEN 'png'
       |       WHEN cls = 3 AND NOT corrupt THEN 'jpeg'
       |       WHEN cls = 4 AND NOT corrupt THEN 'bmp'
       |       WHEN cls = 5 AND NOT corrupt THEN 'webp'
+      |       WHEN cls = 6 AND NOT corrupt THEN 'tiff'
       |       ELSE 'unknown' END AS detected
-      |  FROM w2)
+      |  FROM w3)
       |SELECT doc_id, detected,
       |  (CASE WHEN detected = 'wav' THEN dlen + 44
       |        WHEN detected = 'png' THEN dlen + 57
       |        WHEN detected = 'jpeg' THEN 52 + c1 + 5 * nc + COALESCE(4 + c2, 0)
       |        WHEN detected = 'bmp' THEN 54 + bimg
       |        WHEN detected = 'webp' THEN CASE WHEN xfmt = 1 THEN 26 ELSE 30 END
+      |        WHEN detected = 'tiff' THEN tlen
       |        ELSE rawlen END)::BIGINT AS payload_bytes,
       |  detected <> 'unknown' AS valid,
       |  (CASE WHEN detected = 'wav' THEN (dlen * 1000) // br
       |        WHEN detected = 'png' THEN pw * ph
       |        WHEN detected = 'jpeg' THEN jw * jh
       |        WHEN detected = 'bmp' THEN bw * bh
-      |        WHEN detected = 'webp' THEN xw * xh END)::BIGINT AS content_units
+      |        WHEN detected = 'webp' THEN xw * xh
+      |        WHEN detected = 'tiff' THEN tw_ * th_ END)::BIGINT AS content_units
       |FROM d ORDER BY doc_id""".stripMargin
+
+  /** TIFF triage (mirror of Binary.Tiff.parse ∘ synthFromDocs): every
+    * field — byte order, page count, entry count, dims, strip/tile
+    * geometry, unit counts — re-derived closed-form from doc_id
+    * arithmetic, so a hash match proves the parser walked the actual
+    * IFD chains in both byte orders, through inline AND out-of-line
+    * value arrays.
+    */
+  val mmTiffMeta: String =
+    s"""WITH m AS (SELECT doc_id, $tiffGeom,
+      |  doc_id % 10 = 0 AS invalid FROM documents),
+      |p AS (SELECT *,
+      |  CASE WHEN ttiles
+      |    THEN ((tw_ + 15) // 16) * ((th_ + 15) // 16) ELSE tns END AS tnu,
+      |  (th_ + tns - 1) // tns AS trps FROM m)
+      |SELECT doc_id,
+      |  CASE WHEN invalid THEN 'text/plain' ELSE 'image/tiff' END AS media_type,
+      |  NOT invalid AS tiff_valid,
+      |  CASE WHEN invalid THEN NULL
+      |    WHEN doc_id % 2 = 0 THEN 'II' ELSE 'MM' END AS byte_order,
+      |  (CASE WHEN invalid THEN NULL
+      |    WHEN ttwo THEN 2 ELSE 1 END)::BIGINT AS n_ifds,
+      |  (CASE WHEN invalid THEN NULL
+      |    WHEN ttiles THEN 10 ELSE 9 END)::BIGINT AS n_ifd0_entries,
+      |  (CASE WHEN invalid THEN NULL ELSE tw_ END)::BIGINT AS width,
+      |  (CASE WHEN invalid THEN NULL ELSE th_ END)::BIGINT AS height,
+      |  (CASE WHEN invalid THEN NULL ELSE 8 END)::BIGINT AS bits_per_sample,
+      |  (CASE WHEN invalid THEN NULL ELSE tspp END)::BIGINT AS samples_per_pixel,
+      |  (CASE WHEN invalid THEN NULL ELSE tcomp END)::BIGINT AS compression,
+      |  (CASE WHEN invalid THEN NULL
+      |    WHEN tspp = 3 THEN 2 ELSE doc_id % 2 END)::BIGINT AS photometric,
+      |  CASE WHEN invalid THEN NULL
+      |    WHEN ttiles THEN 'tile' ELSE 'strip' END AS layout,
+      |  (CASE WHEN invalid THEN NULL ELSE tnu END)::BIGINT AS n_units,
+      |  (CASE WHEN invalid OR ttiles THEN NULL ELSE trps END)::BIGINT
+      |    AS rows_per_strip,
+      |  (CASE WHEN invalid OR NOT ttiles THEN NULL ELSE 16 END)::BIGINT AS tile_w,
+      |  (CASE WHEN invalid OR NOT ttiles THEN NULL ELSE 16 END)::BIGINT AS tile_h,
+      |  (CASE WHEN invalid THEN NULL ELSE tw_ * th_ END)::BIGINT AS n_pixels,
+      |  CASE WHEN invalid THEN NULL ELSE TRUE END AS header_consistent
+      |FROM p ORDER BY doc_id""".stripMargin
 
   /** Mirror of Binary.Bmp.synthFromDocs ∘ parse: every field —
     * including the 4-byte-aligned row stride and the image/file size
@@ -3281,6 +3348,44 @@ object OracleSql {
       |    WHEN fmt = 1 THEN 5 ELSE 10 END)::BIGINT AS chunk_bytes,
       |  CASE WHEN invalid THEN NULL ELSE TRUE END AS header_consistent
       |FROM p ORDER BY doc_id""".stripMargin
+
+  /** WebP pixel stats (mirror of Webp.pixelStats ∘
+    * synthPixelsFromDocs): the oracle recomputes channel sums/peak
+    * from the closed-form pixel formulas — Spark must reach the same
+    * numbers by actually decoding the VP8L bitstreams (canonical
+    * prefix codes, LZ77, color cache, subtract-green), so the hash
+    * match proves the bit-level decode on every encoder lane.
+    */
+  val mmWebpPixels: String = {
+    def chan(mul: Int, add0: Int, div: Int, addJ: Int): String = {
+      val sel = if (div == 1) "(i % 2)" else s"((i // $div) % 2)"
+      s"""[CASE WHEN lane = 0 THEN ($mul * doc_id + $add0 * $sel) % 256
+         |    ELSE ($mul * doc_id + $addJ * (i % per)) % 256 END
+         |    for i in range(0, n)]""".stripMargin
+    }
+    s"""WITH m AS (SELECT doc_id,
+       |  4 + doc_id % 21 AS w, 3 + doc_id % 13 AS h,
+       |  1 + doc_id % 11 AS per, doc_id % 4 AS lane,
+       |  doc_id % 10 = 0 AS invalid FROM documents),
+       |p AS (SELECT doc_id, invalid, lane, per, w * h AS n FROM m),
+       |s AS (SELECT doc_id, invalid, n,
+       |  ${chan(11, 71, 1, 17)} AS rs,
+       |  ${chan(7, 53, 2, 13)} AS gs,
+       |  ${chan(13, 31, 4, 19)} AS bs
+       |  FROM p)
+       |SELECT doc_id, NOT invalid AS webp_valid,
+       |  (CASE WHEN invalid THEN NULL ELSE n END)::BIGINT AS pixels_decoded,
+       |  CASE WHEN invalid THEN NULL
+       |    ELSE list_aggregate(rs, 'sum')::DOUBLE / n END AS mean_r,
+       |  CASE WHEN invalid THEN NULL
+       |    ELSE list_aggregate(gs, 'sum')::DOUBLE / n END AS mean_g,
+       |  CASE WHEN invalid THEN NULL
+       |    ELSE list_aggregate(bs, 'sum')::DOUBLE / n END AS mean_b,
+       |  (CASE WHEN invalid THEN NULL
+       |    ELSE greatest(list_max(rs), list_max(gs), list_max(bs)) END)::BIGINT
+       |    AS peak_byte
+       |FROM s ORDER BY doc_id""".stripMargin
+  }
 
   /** GIF screen descriptor (mirror of Binary.Gif.parse ∘ synthFromDocs:
     * the oracle recomputes every field closed-form from doc_id while

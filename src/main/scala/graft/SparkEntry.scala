@@ -1606,6 +1606,19 @@ object SparkEntry {
           col("header_consistent"))
         .orderBy(col("doc_id"))
     }),
+    // WebP pixel stats through a REAL VP8L decode (r15): canonical
+    // prefix codes (simple + code-length-coded), LZ77 through the 2D
+    // distance map, color cache, subtract-green — the encoder lane
+    // rotates per doc so every coding path hits the gate; the oracle
+    // recomputes channel sums closed-form while Spark decodes the bits
+    "mm_webp_pixels" -> ((s, dir) => {
+      val media = graft.multimodal.Binary.Webp.synthPixelsFromDocs(
+        t(s, dir, "documents"))
+      graft.multimodal.Binary.Webp.pixelStats(media)
+        .select(col("doc_id"), col("webp_valid"), col("pixels_decoded"),
+          col("mean_r"), col("mean_g"), col("mean_b"), col("peak_byte"))
+        .orderBy(col("doc_id"))
+    }),
     "mm_gif_meta" -> ((s, dir) => {
       val media = graft.multimodal.Binary.Gif.synthFromDocs(t(s, dir, "documents"))
       graft.multimodal.Binary.Gif.parse(media)
@@ -1783,17 +1796,39 @@ object SparkEntry {
         .select(d, col("payload").as("bp"))
       val wb = graft.multimodal.Binary.Webp.synthFromDocs(docs)
         .select(d, col("payload").as("xp"))
+      val tf = graft.multimodal.Binary.Tiff.synthFromDocs(docs)
+        .select(d, col("payload").as("tp"))
+      // lane modulus 7 is COPRIME with the synths' %10 corrupt lane,
+      // so every family contributes corrupt/text-fallback members
+      // (r15 — the r14 %6 lanes left wav/jpeg/webp corrupt-free)
       val mixed = docs.select(d, col("text"))
         .join(w, Seq("doc_id")).join(g, Seq("doc_id")).join(j, Seq("doc_id"))
-        .join(b, Seq("doc_id")).join(wb, Seq("doc_id"))
+        .join(b, Seq("doc_id")).join(wb, Seq("doc_id")).join(tf, Seq("doc_id"))
         .select(d,
-          when(d % 6 === 1, col("wp"))
-            .when(d % 6 === 2, col("gp"))
-            .when(d % 6 === 3, col("jp"))
-            .when(d % 6 === 4, col("bp"))
-            .when(d % 6 === 5, col("xp"))
+          when(d % 7 === 1, col("wp"))
+            .when(d % 7 === 2, col("gp"))
+            .when(d % 7 === 3, col("jp"))
+            .when(d % 7 === 4, col("bp"))
+            .when(d % 7 === 5, col("xp"))
+            .when(d % 7 === 6, col("tp"))
             .otherwise(col("text").cast("binary")).as("payload"))
       graft.multimodal.Binary.triage(mixed).orderBy(d)
+    }),
+    // TIFF container triage — the TENTH family (r15): both byte
+    // orders, multi-page IFD chains, strip vs tile layouts, inline
+    // and out-of-line value arrays — every field re-derived
+    // closed-form by the oracle while Spark walks the actual IFDs
+    "mm_tiff_meta" -> ((s, dir) => {
+      val media = graft.multimodal.Binary.Tiff.synthFromDocs(t(s, dir, "documents"))
+      graft.multimodal.Binary.Tiff.parse(media)
+        .select(col("doc_id"), col("media_type"), col("tiff_valid"),
+          col("byte_order"), col("n_ifds"), col("n_ifd0_entries"),
+          col("width"), col("height"), col("bits_per_sample"),
+          col("samples_per_pixel"), col("compression"), col("photometric"),
+          col("layout"), col("n_units"), col("rows_per_strip"),
+          col("tile_w"), col("tile_h"), col("n_pixels"),
+          col("header_consistent"))
+        .orderBy(col("doc_id"))
     }),
     "lsh_config" -> ((s, dir) => {
       import s.implicits._
@@ -2170,6 +2205,7 @@ object SparkEntry {
     "mm_bmp_meta" -> OracleSql.mmBmpMeta,
     "mm_gif_meta" -> OracleSql.mmGifMeta,
     "mm_webp_meta" -> OracleSql.mmWebpMeta,
+    "mm_webp_pixels" -> OracleSql.mmWebpPixels,
     "mm_gif_pixels" -> OracleSql.mmGifPixels,
     "mm_jpeg_pixels" -> OracleSql.mmJpegPixels,
     "mm_pdf_meta" -> OracleSql.mmPdfMeta,
@@ -2185,5 +2221,6 @@ object SparkEntry {
     "mm_bmp_pixels" -> OracleSql.mmBmpPixels,
     "mm_png_pixels" -> OracleSql.mmPngPixels,
     "mm_media_triage" -> OracleSql.mmMediaTriage,
+    "mm_tiff_meta" -> OracleSql.mmTiffMeta,
   )
 }

@@ -15,10 +15,13 @@ import org.apache.spark.sql.types._
   * whole existing dedup/Hamming toolchain applies unchanged
   * downstream.
   *
-  * Routes by magic bytes: baseline JPEG (through the full
-  * [[JpegDecodeKernel]] entropy decode) and uncompressed 24-bit BMP
-  * (stride walk, bottom-up or top-down). Null (never a throw) for
-  * anything else — the triage signal for "fingerprint elsewhere".
+  * Routes by magic bytes: baseline/progressive JPEG (through the full
+  * [[JpegDecodeKernel]] entropy decode), uncompressed 24-bit BMP
+  * (stride walk, bottom-up or top-down), and — r15 — lossless WebP
+  * (through the full [[Vp8lKernel]] VP8L decode), so a photo
+  * re-encoded across the codec divide still collides. Null (never a
+  * throw) for anything else — the triage signal for "fingerprint
+  * elsewhere".
   *
   * Determinism: integer luma (ITU-R 601 weights, /1000 floor),
   * integer cell means (floor), strict `>` gradient — a pure function
@@ -99,20 +102,31 @@ object ImageHashKernel {
     (gray, w, h)
   }
 
-  /** dHash of a JPEG or 24-bit BMP payload, or null. */
+  private def grayOf(w: Int, h: Int, px: Array[Int]): Array[Int] = {
+    val gray = new Array[Int](w * h)
+    var i = 0
+    while (i < px.length) {
+      gray(i) = luma((px(i) >> 16) & 0xFF, (px(i) >> 8) & 0xFF, px(i) & 0xFF)
+      i += 1
+    }
+    gray
+  }
+
+  /** dHash of a JPEG, 24-bit BMP, or lossless-WebP payload, or null. */
   def dhash(p: Array[Byte]): java.lang.Long = {
     if (p.length >= 3 && (p(0) & 0xFF) == 0xFF && (p(1) & 0xFF) == 0xD8 &&
         (p(2) & 0xFF) == 0xFF) {
       val d = JpegDecodeKernel.decodePixels(p)
       if (d == null) return null
       val (w, h, px) = d
-      val gray = new Array[Int](w * h)
-      var i = 0
-      while (i < px.length) {
-        gray(i) = luma((px(i) >> 16) & 0xFF, (px(i) >> 8) & 0xFF, px(i) & 0xFF)
-        i += 1
-      }
-      java.lang.Long.valueOf(dhashOfGray(gray, w, h))
+      java.lang.Long.valueOf(dhashOfGray(grayOf(w, h, px), w, h))
+    } else if (p.length >= 12 && p(0) == 'R' && p(1) == 'I' && p(2) == 'F' &&
+        p(3) == 'F' && p(8) == 'W' && p(9) == 'E' && p(10) == 'B' &&
+        p(11) == 'P') {
+      val d = Vp8lKernel.decodePixels(p)
+      if (d == null) return null
+      val (w, h, px) = d
+      java.lang.Long.valueOf(dhashOfGray(grayOf(w, h, px), w, h))
     } else {
       val bg = bmpGray(p)
       if (bg == null) null

@@ -1317,6 +1317,151 @@ object Binary {
         when(d % invalidEvery === 0, lit("text/plain"))
           .otherwise(lit("image/webp")).as("media_type"))
     }
+
+    /** Channel statistics via a REAL VP8L decode (r15) — the WebP
+      * sibling of `Gif.pixelStats` (LZW there, canonical prefix codes
+      * + LZ77 + color cache + the four transforms here): one codegen
+      * kernel pass ([[graft.expressions.Vp8lKernel]]) walks the RIFF
+      * chunks to the VP8L payload and fully decodes it. Adds
+      * `pixels_decoded`, `mean_r/g/b`, `peak_byte` (null when the
+      * payload is not a decodable lossless WebP — VP8 lossy stays
+      * triage-only by design). Pure projection — zero shuffles.
+      */
+    def pixelStats(media: DataFrame, payloadCol: String = "payload"): DataFrame = {
+      val st = org.apache.spark.sql.GraftColumnBridge.column(
+        graft.expressions.WebpPixelStats(
+          org.apache.spark.sql.GraftColumnBridge.expression(col(payloadCol))))
+      parse(media, payloadCol)
+        .withColumn("__st", when(col("webp_valid"), st))
+        .withColumn("pixels_decoded",
+          when(col("__st").isNotNull && element_at(col("__st"), 1) > 0,
+            element_at(col("__st"), 1)))
+        .withColumn("mean_r",
+          element_at(col("__st"), 2).cast("double") / col("pixels_decoded"))
+        .withColumn("mean_g",
+          element_at(col("__st"), 3).cast("double") / col("pixels_decoded"))
+        .withColumn("mean_b",
+          element_at(col("__st"), 4).cast("double") / col("pixels_decoded"))
+        .withColumn("peak_byte",
+          when(col("pixels_decoded").isNotNull, element_at(col("__st"), 5)))
+        .drop("__st")
+    }
+
+    /** Deterministic FULL VP8L streams over the docs table: pixels
+      * are the closed form below (so the oracle recomputes channel
+      * sums from doc_id arithmetic while Spark decodes real
+      * bitstreams), and the encoder lane rotates with `doc_id % 4` so
+      * the gate exercises every coding path — lane 0: simple
+      * (2-symbol) prefix codes; lane 1: code-length-coded canonical
+      * codes (16/17/18 runs, max-symbol stop); lane 2: + LZ77
+      * backward references (periodic pixels make them fire, incl. the
+      * 2D distance-map codes for dist 1 and dist w); lane 3: + a
+      * color cache and a varying alpha channel. Odd docs additionally
+      * announce the subtract-green transform. Every `invalidEvery`-th
+      * doc is raw text (the invalid lane).
+      */
+    def synthPixelsFromDocs(docs: DataFrame, invalidEvery: Int = 10): DataFrame = {
+      import org.apache.spark.sql.GraftColumnBridge.{column => gcol, expression => gexpr}
+      val d = col("doc_id")
+      val w = lit(4L) + d % 21
+      val h = lit(3L) + d % 13
+      val n = w * h
+      val per = lit(1L) + d % 11
+      val lane = d % 4
+      val px = transform(sequence(lit(0L), n - 1), i => {
+        val j = pmod(i, per)
+        def two(mul: Long, add: Long, div: Long): Column = {
+          val sel = if (div == 1) pmod(i, lit(2L))
+            else pmod(floor(i / div).cast("long"), lit(2L))
+          pmod(lit(mul) * d + lit(add) * sel, lit(256L))
+        }
+        val r = when(lane === 0, two(11, 71, 1))
+          .otherwise(pmod(lit(11L) * d + lit(17L) * j, lit(256L)))
+        val g = when(lane === 0, two(7, 53, 2))
+          .otherwise(pmod(lit(7L) * d + lit(13L) * j, lit(256L)))
+        val b = when(lane === 0, two(13, 31, 4))
+          .otherwise(pmod(lit(13L) * d + lit(19L) * j, lit(256L)))
+        val a = when(lane === 3, pmod(lit(5L) * d + lit(3L) * j, lit(256L)))
+          .otherwise(lit(255L))
+        shiftleft(a.cast("int"), 24)
+          .bitwiseOR(shiftleft(r.cast("int"), 16))
+          .bitwiseOR(shiftleft(g.cast("int"), 8))
+          .bitwiseOR(b.cast("int"))
+      })
+      val cacheBits = when(lane === 3, lit(1L) + d % 10).otherwise(lit(0L))
+      val config = (lane + cacheBits * 16L + pmod(d, lit(2L)) * 256L).cast("int")
+      val payload = gcol(graft.expressions.Vp8lEncode(
+        gexpr(px), gexpr(w.cast("int")), gexpr(config)))
+      docs.select(d,
+        when(d % invalidEvery === 0, col("text").cast("binary"))
+          .otherwise(payload).as("payload"),
+        when(d % invalidEvery === 0, lit("text/plain"))
+          .otherwise(lit("image/webp")).as("media_type"))
+    }
+  }
+
+  /** TIFF container triage — the TENTH family (r15): scanned-document
+    * corpora are TIFF-heavy and previously routed to the null lane.
+    * The IFD machinery is the one the EXIF walker already speaks
+    * (EXIF is an embedded TIFF), re-plumbed over bare payloads via
+    * [[graft.expressions.TiffMetaKernel]] — both byte orders,
+    * multi-page IFD chains, strip/tile layouts, inline and
+    * out-of-line values. One codegen kernel pass, pure projection.
+    */
+  object Tiff {
+    import org.apache.spark.sql.GraftColumnBridge.{column => gcol, expression => gexpr}
+
+    private[multimodal] def isTiff(p: Column): Column =
+      length(p) >= 8 &&
+        (substring(p, 1, 4) === lit(Array[Byte]('I', 'I', 42, 0)) ||
+          substring(p, 1, 4) === lit(Array[Byte]('M', 'M', 0, 42)))
+
+    /** Parse triage fields: validity, byte order, page count
+      * (chained IFDs), IFD0 entry count, dimensions, bits/sample,
+      * samples/pixel, compression tag, photometric, data layout
+      * (strip | tile | none) with unit count and geometry, `n_pixels`,
+      * and a bounds-consistency verdict over every referenced offset.
+      */
+    def parse(media: DataFrame, payloadCol: String = "payload"): DataFrame = {
+      val m = gcol(graft.expressions.TiffMeta(gexpr(col(payloadCol))))
+      val valid = coalesce(col("__t.tiff_valid"), lit(false))
+      media
+        .withColumn("__t", m)
+        .withColumn("tiff_valid", valid)
+        .withColumn("byte_order", col("__t.byte_order"))
+        .withColumn("n_ifds", col("__t.n_ifds"))
+        .withColumn("n_ifd0_entries", col("__t.n_ifd0_entries"))
+        .withColumn("width", col("__t.width"))
+        .withColumn("height", col("__t.height"))
+        .withColumn("bits_per_sample", col("__t.bits_per_sample"))
+        .withColumn("samples_per_pixel", col("__t.samples_per_pixel"))
+        .withColumn("compression", col("__t.compression"))
+        .withColumn("photometric", col("__t.photometric"))
+        .withColumn("layout", col("__t.layout"))
+        .withColumn("n_units", col("__t.n_units"))
+        .withColumn("rows_per_strip", col("__t.rows_per_strip"))
+        .withColumn("tile_w", col("__t.tile_w"))
+        .withColumn("tile_h", col("__t.tile_h"))
+        .withColumn("n_pixels",
+          when(col("tiff_valid"), col("__t.width") * col("__t.height")))
+        .withColumn("header_consistent", col("__t.header_consistent"))
+        .drop("__t")
+    }
+
+    /** Deterministic TIFF payloads over the docs table (see
+      * [[graft.expressions.TiffSynthKernel]]: byte order, strip/tile
+      * layout, out-of-line arrays, and a second chained IFD all
+      * rotate with doc_id); every `invalidEvery`-th doc raw text.
+      */
+    def synthFromDocs(docs: DataFrame, invalidEvery: Int = 10): DataFrame = {
+      val d = col("doc_id")
+      val payload = gcol(graft.expressions.TiffSynth(gexpr(d)))
+      docs.select(d,
+        when(d % invalidEvery === 0, col("text").cast("binary"))
+          .otherwise(payload).as("payload"),
+        when(d % invalidEvery === 0, lit("text/plain"))
+          .otherwise(lit("image/tiff")).as("media_type"))
+    }
   }
 
   /** MP4 / ISO BMFF (MOV, M4A, HEIF share the framing) container
@@ -1730,6 +1875,7 @@ object Binary {
           substring(p, 5, 4) === lit("ftyp".getBytes("US-ASCII")), "mp4")
         .when(length(p) >= 4 && substring(p, 1, 4) ===
           lit(Array[Byte]('P', 'K', 3, 4)), "zip")
+        .when(Tiff.isTiff(p), "tiff")
         .otherwise("unknown")
     val keep = media.columns.map(col)
     val afterWav = Wav.parse(media, payloadCol)
@@ -1777,10 +1923,20 @@ object Binary {
         col("pdf_valid") :+ col("n_pages") :+
         col("mp4_valid") :+ col("mp4_ms") :+
         col("webp_valid") :+ col("n_pixels").as("webp_pixels"): _*)
+    val afterTiff = Tiff.parse(afterWebp, payloadCol)
+      .select(keep :+ col("wav_valid") :+ col("wav_ms") :+
+        col("png_valid") :+ col("png_pixels") :+
+        col("jpeg_valid") :+ col("jpeg_pixels") :+
+        col("bmp_valid") :+ col("bmp_pixels") :+
+        col("gif_valid") :+ col("gif_pixels") :+
+        col("pdf_valid") :+ col("n_pages") :+
+        col("mp4_valid") :+ col("mp4_ms") :+
+        col("webp_valid") :+ col("webp_pixels") :+
+        col("tiff_valid") :+ col("n_pixels").as("tiff_pixels"): _*)
     val zipEntries = org.apache.spark.sql.GraftColumnBridge.column(
       graft.expressions.ZipEntries(
         org.apache.spark.sql.GraftColumnBridge.expression(p), 1 << 22))
-    afterWebp
+    afterTiff
       .withColumn("__zip", when(detected === "zip", zipEntries))
       .select(col("doc_id"), detected.as("detected"),
         length(p).cast("long").as("payload_bytes"),
@@ -1792,6 +1948,7 @@ object Binary {
           .when(detected === "pdf", col("pdf_valid"))
           .when(detected === "mp4", col("mp4_valid"))
           .when(detected === "webp", col("webp_valid"))
+          .when(detected === "tiff", col("tiff_valid"))
           .when(detected === "zip", col("__zip").isNotNull)
           .otherwise(lit(false)).as("valid"),
         when(detected === "wav", col("wav_ms"))
@@ -1802,6 +1959,7 @@ object Binary {
           .when(detected === "pdf", col("n_pages"))
           .when(detected === "mp4", col("mp4_ms"))
           .when(detected === "webp", col("webp_pixels"))
+          .when(detected === "tiff", col("tiff_pixels"))
           .when(detected === "zip", size(col("__zip")).cast("long"))
           .as("content_units"))
   }

@@ -65,6 +65,28 @@ class ImageHashSpec extends SparkSpec {
     assert(hJ === hP, "baseline/progressive re-encode pair must collide")
   }
 
+  test("same raster through WebP (VP8L) and BMP collides — the codec-divide route (r15)") {
+    val tiles = Array.tabulate(72)(t => (t * 53 + 7) % 256)
+    val gray = flatTileGray(tiles, 9, 8)
+    val argb = gray.map(v => (255 << 24) | (v << 16) | (v << 8) | v)
+    val bmp = bmpOf(gray, 72, 64)
+    for (lane <- 0 to 3; sg <- Seq(false, true)) {
+      // lane 0 needs ≤2 symbols per channel only for the SIMPLE-code
+      // path; the encoder falls back to normal codes per tree, so all
+      // lanes are legal on this raster
+      val webp = graft.expressions.Vp8lEncoder.encode(argb, 72, lane, sg,
+        if (lane == 3) 6 else 0)
+      val hW = ImageHashKernel.dhash(webp)
+      val hB = ImageHashKernel.dhash(bmp)
+      assert(hW != null && hB != null)
+      assert(hW === hB,
+        s"lane $lane sg $sg: the same raster through WebP and BMP must collide")
+    }
+    // a VP8 (lossy) or garbage RIFF payload routes to null, not a throw
+    val junk = "RIFFxxxxWEBPVP8 ".getBytes("US-ASCII") ++ Array.fill(16)(0.toByte)
+    assert(ImageHashKernel.dhash(junk) == null)
+  }
+
   test("audio fingerprint: sample-content identity, width routing, locality, short-stream null") {
     import graft.expressions.AudioHashKernel
     val n = AudioHashKernel.Windows * 4
