@@ -1730,15 +1730,26 @@ object SparkEntry {
       val docs = t(s, dir, "documents")
       val d = col("doc_id")
       val k = expr("(doc_id div 2) * 2")
-      val tiles = transform(sequence(lit(0), lit(71)),
-        tt => conv(substring(md5(concat(lit("img|"), k.cast("string"),
-          lit("|"), tt.cast("string"))), 1, 2), 16, 10).cast("int"))
+      def tileAt(idx: org.apache.spark.sql.Column) =
+        conv(substring(md5(concat(lit("img|"), k.cast("string"),
+          lit("|"), idx.cast("string"))), 1, 2), 16, 10).cast("int")
+      val tiles = transform(sequence(lit(0), lit(71)), tt => tileAt(tt))
+      // d%4==3 members are STORED rotated 90° CCW with an EXIF
+      // orientation-6 tag (rotate 90 CW to display) — the upright
+      // raster is identical, so the dHash, the groups, and the
+      // closed-form oracle are unchanged; the collision now crosses
+      // the ORIENTATION divide as well as the progressive one (r15)
+      val rotTiles = transform(sequence(lit(0), lit(71)), i =>
+        tileAt(pmod(i, lit(8)) * 9 + lit(8) - floor(i / 8)))
+      val params = when(d % 4 === 3,
+          array(lit(8), lit(9), lit(0), lit(0), lit(0), lit(6)))
+        .otherwise(array(lit(9), lit(8), lit(0), lit(0),
+          when(d % 4 === 1, lit(1)).otherwise(lit(0)).cast("int"), lit(0)))
       val jpg = org.apache.spark.sql.GraftColumnBridge.column(
         graft.expressions.JpegSynthEncode(
-          org.apache.spark.sql.GraftColumnBridge.expression(tiles),
           org.apache.spark.sql.GraftColumnBridge.expression(
-            array(lit(9), lit(8), lit(0), lit(0),
-              when(d % 2 === 1, lit(1)).otherwise(lit(0)).cast("int")))))
+            when(d % 4 === 3, rotTiles).otherwise(tiles)),
+          org.apache.spark.sql.GraftColumnBridge.expression(params)))
       val media = docs.select(d,
         when(d % 10 === 0, col("text").cast("binary")).otherwise(jpg)
           .as("payload"))

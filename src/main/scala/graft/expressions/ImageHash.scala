@@ -112,14 +112,53 @@ object ImageHashKernel {
     gray
   }
 
-  /** dHash of a JPEG, 24-bit BMP, or lossless-WebP payload, or null. */
+  /** Apply an EXIF orientation (1-8) to a decoded raster: returns the
+    * UPRIGHT gray array and its dims, so mirrored/rotated re-posts of
+    * the same photo hash identically (r15). The eight dihedral
+    * inverse maps follow the public EXIF definitions (value = the
+    * transform that makes the stored image upright); 5-8 swap dims.
+    */
+  private def orientedGray(w: Int, h: Int, px: Array[Int],
+      o: Int): (Array[Int], Int, Int) = {
+    if (o <= 1 || o > 8) return (grayOf(w, h, px), w, h)
+    val swap = o >= 5
+    val ow = if (swap) h else w
+    val oh = if (swap) w else h
+    val gray = new Array[Int](ow * oh)
+    var y = 0
+    while (y < oh) {
+      var x = 0
+      while (x < ow) {
+        val src = o match {
+          case 2 => y * w + (w - 1 - x)
+          case 3 => (h - 1 - y) * w + (w - 1 - x)
+          case 4 => (h - 1 - y) * w + x
+          case 5 => x * w + y
+          case 6 => (h - 1 - x) * w + y
+          case 7 => (h - 1 - x) * w + (w - 1 - y)
+          case _ => x * w + (w - 1 - y) // 8
+        }
+        val v = px(src)
+        gray(y * ow + x) = luma((v >> 16) & 0xFF, (v >> 8) & 0xFF, v & 0xFF)
+        x += 1
+      }
+      y += 1
+    }
+    (gray, ow, oh)
+  }
+
+  /** dHash of a JPEG, 24-bit BMP, or lossless-WebP payload, or null.
+    * JPEGs are hashed in their UPRIGHT (EXIF-oriented) frame.
+    */
   def dhash(p: Array[Byte]): java.lang.Long = {
     if (p.length >= 3 && (p(0) & 0xFF) == 0xFF && (p(1) & 0xFF) == 0xD8 &&
         (p(2) & 0xFF) == 0xFF) {
       val d = JpegDecodeKernel.decodePixels(p)
       if (d == null) return null
       val (w, h, px) = d
-      java.lang.Long.valueOf(dhashOfGray(grayOf(w, h, px), w, h))
+      val (gray, ow, oh) = orientedGray(w, h, px,
+        JpegExifKernel.orientationOf(p))
+      java.lang.Long.valueOf(dhashOfGray(gray, ow, oh))
     } else if (p.length >= 12 && p(0) == 'R' && p(1) == 'I' && p(2) == 'F' &&
         p(3) == 'F' && p(8) == 'W' && p(9) == 'E' && p(10) == 'B' &&
         p(11) == 'P') {

@@ -121,10 +121,19 @@ object JpegDecodeKernel {
           var k = 0
           while (k < cw) { buf(k) = plane(base + k) & 0xFF; k += 1 }
         } else if (ve(c) == 1) {
-          // h2v1 fancy
+          // h2v1: libjpeg selects the fancy upsampler only when
+          // downsampled_width > 2 (jdsample start_pass) and falls
+          // back to plain replication for narrower planes — pinned
+          // sample-exact against the JDK's own libjpeg on tiny
+          // widths in CodecConformanceSpec (r15)
           val base = math.min(y, chh - 1) * cw
-          if (cw == 1) {
-            val s = plane(base) & 0xFF; buf(0) = s; buf(1) = s
+          if (cw <= 2) {
+            var k = 0
+            while (k < cw) {
+              val s = plane(base + k) & 0xFF
+              buf(2 * k) = s; buf(2 * k + 1) = s
+              k += 1
+            }
           } else {
             var k = 0
             while (k < cw) {
@@ -138,6 +147,17 @@ object JpegDecodeKernel {
               k += 1
             }
           }
+        } else if (cw <= 2) {
+          // h2v2 on a ≤2-wide chroma plane: libjpeg's same
+          // downsampled_width > 2 guard selects h2v2_upsample —
+          // replication in BOTH directions (no vertical blend)
+          val base = math.min(y >> 1, chh - 1) * cw
+          var k = 0
+          while (k < cw) {
+            val s = plane(base + k) & 0xFF
+            buf(2 * k) = s; buf(2 * k + 1) = s
+            k += 1
+          }
         } else {
           // h2v2 fancy
           val cyN = math.min(y >> 1, chh - 1)
@@ -150,21 +170,16 @@ object JpegDecodeKernel {
             colsum(k) = 3 * (plane(bN + k) & 0xFF) + (plane(bF + k) & 0xFF)
             k += 1
           }
-          if (cw == 1) {
-            buf(0) = (colsum(0) * 4 + 8) >> 4
-            buf(1) = (colsum(0) * 4 + 7) >> 4
-          } else {
-            buf(0) = (colsum(0) * 4 + 8) >> 4
-            buf(1) = (colsum(0) * 3 + colsum(1) + 7) >> 4
-            k = 1
-            while (k < cw - 1) {
-              buf(2 * k) = (colsum(k) * 3 + colsum(k - 1) + 8) >> 4
-              buf(2 * k + 1) = (colsum(k) * 3 + colsum(k + 1) + 7) >> 4
-              k += 1
-            }
-            buf(2 * (cw - 1)) = (colsum(cw - 1) * 3 + colsum(cw - 2) + 8) >> 4
-            buf(2 * (cw - 1) + 1) = (colsum(cw - 1) * 4 + 7) >> 4
+          buf(0) = (colsum(0) * 4 + 8) >> 4
+          buf(1) = (colsum(0) * 3 + colsum(1) + 7) >> 4
+          k = 1
+          while (k < cw - 1) {
+            buf(2 * k) = (colsum(k) * 3 + colsum(k - 1) + 8) >> 4
+            buf(2 * k + 1) = (colsum(k) * 3 + colsum(k + 1) + 7) >> 4
+            k += 1
           }
+          buf(2 * (cw - 1)) = (colsum(cw - 1) * 3 + colsum(cw - 2) + 8) >> 4
+          buf(2 * (cw - 1) + 1) = (colsum(cw - 1) * 4 + 7) >> 4
         }
         c += 1
       }
@@ -1346,10 +1361,11 @@ object JpegEncoder {
     * are a baseline-lane feature (`ri` must be 0 when progressive).
     */
   def encodeFlatTiles(tiles: Array[Int], tw: Int, th: Int, mode: Int,
-      ri: Int, progressive: Boolean = false): Array[Byte] = {
+      ri: Int, progressive: Boolean = false, orientation: Int = 0): Array[Byte] = {
     require(mode >= 0 && mode <= 2, s"mode $mode")
     require(!progressive || ri == 0,
       "the progressive synth lane does not emit restart markers")
+    require(orientation >= 0 && orientation <= 8, s"orientation $orientation")
     val vals = if (mode == 0) 1 else 3
     require(tiles.length == tw * th * vals,
       s"tiles ${tiles.length} != $tw*$th*$vals")
@@ -1363,6 +1379,18 @@ object JpegEncoder {
     b(0xFF); b(0xD8)
     b(0xFF); b(0xE0); b16(16)
     out.write(Array[Byte]('J', 'F', 'I', 'F', 0, 1, 1, 0, 0, 1, 0, 1, 0, 0))
+    if (orientation > 0) {
+      // APP1 Exif: minimal little-endian TIFF, one IFD0 entry
+      // (0x0112 SHORT orientation) — the rotated-re-post lane (r15)
+      b(0xFF); b(0xE1); b16(2 + 6 + 26)
+      out.write(Array[Byte]('E', 'x', 'i', 'f', 0, 0))
+      out.write(Array[Byte]('I', 'I', 42, 0))
+      out.write(Array[Byte](8, 0, 0, 0)) // IFD0 at 8
+      out.write(Array[Byte](1, 0)) // one entry
+      out.write(Array[Byte](0x12, 0x01, 3, 0, 1, 0, 0, 0,
+        orientation.toByte, 0, 0, 0))
+      out.write(Array[Byte](0, 0, 0, 0)) // next IFD
+    }
     // DQT: two all-ones tables in ONE segment (multi-table parse path)
     b(0xFF); b(0xDB); b16(2 + 65 * 2)
     b(0x00); (0 until 64).foreach(_ => b(1))
@@ -1516,7 +1544,8 @@ object JpegEncoder {
 
 /** `jpeg_synth_encode(array<int> tiles, array<int> params) → binary`
   * where params = [twTiles, thTiles, mode, restartInterval] with an
-  * optional 5th element (1 → the SOF2 progressive lane); see
+  * optional 5th element (1 → the SOF2 progressive lane) and an
+  * optional 6th (1-8 → an APP1 Exif orientation tag); see
   * [[JpegEncoder.encodeFlatTiles]].
   */
 case class JpegSynthEncode(left: Expression, right: Expression)
@@ -1537,7 +1566,7 @@ case class JpegSynthEncode(left: Expression, right: Expression)
     val t = tiles.asInstanceOf[ArrayData].toIntArray()
     val pr = params.asInstanceOf[ArrayData].toIntArray()
     JpegEncoder.encodeFlatTiles(t, pr(0), pr(1), pr(2), pr(3),
-      pr.length > 4 && pr(4) == 1)
+      pr.length > 4 && pr(4) == 1, if (pr.length > 5) pr(5) else 0)
   }
 
   override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
@@ -1545,7 +1574,7 @@ case class JpegSynthEncode(left: Expression, right: Expression)
       |int[] gp = $pr.toIntArray();
       |${ev.value} = graft.expressions.JpegEncoder.encodeFlatTiles(
       |  $t.toIntArray(), gp[0], gp[1], gp[2], gp[3],
-      |  gp.length > 4 && gp[4] == 1);
+      |  gp.length > 4 && gp[4] == 1, gp.length > 5 ? gp[5] : 0);
       |""".stripMargin)
 
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =

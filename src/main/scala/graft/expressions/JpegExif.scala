@@ -230,6 +230,41 @@ object JpegExifKernel {
       true, UTF8String.fromString(if (le) "II" else "MM"),
       n.toLong, orientation, make, model, hasGps, gpsLat, gpsLon))
   }
+
+  /** EXIF orientation (1-8) of a JPEG payload, defaulting to 1 (no
+    * rotation) when the payload has no EXIF, a malformed IFD, or an
+    * out-of-range tag value — the lightweight probe the dHash path
+    * uses (r15) so rotated re-posts collide with their originals.
+    */
+  def orientationOf(p: Array[Byte]): Int = {
+    if (!isJpeg(p)) return 1
+    val found = findExif(p)
+    if (found == null) return 1
+    val base = found(0)
+    val end = base + found(1)
+    if (base + 8 > end || end > p.length) return 1
+    val le =
+      if (p(base) == 'I' && p(base + 1) == 'I') true
+      else if (p(base) == 'M' && p(base + 1) == 'M') false
+      else return 1
+    if (u16(p, base + 2, le) != 42) return 1
+    val ifd0Off = u32(p, base + 4, le)
+    if (ifd0Off < 0 || base + ifd0Off + 2 > end) return 1
+    val ifd0 = (base + ifd0Off).toInt
+    val n = u16(p, ifd0, le)
+    if (n > MaxEntries || ifd0 + 2 + 12L * n > end) return 1
+    var i = 0
+    while (i < n) {
+      val e = ifd0 + 2 + 12 * i
+      if (u16(p, e, le) == 0x0112 && u16(p, e + 2, le) == 3 &&
+          u32(p, e + 4, le) == 1L) {
+        val v = u16(p, e + 8, le)
+        return if (v >= 1 && v <= 8) v else 1
+      }
+      i += 1
+    }
+    1
+  }
 }
 
 /** `jpeg_exif(payload) → struct<exif_present, byte_order,

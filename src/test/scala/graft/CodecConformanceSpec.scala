@@ -224,6 +224,24 @@ class CodecConformanceSpec extends SparkSpec {
     assert(f[Double]("dc_mean") === sum.toDouble / n)
   }
 
+  test("JPEG tiny-width 4:2:0 from ImageIO: fancy-upsample edge columns sample-exact (r15)") {
+    // ImageIO's encoder writes 4:2:0 at default quality, so chroma
+    // width cw = ceil(w/2) hits 1, 2, 3 here — pinning the decoder's
+    // narrow-image upsample behavior against the JDK's own libjpeg
+    for (w <- Seq(1, 2, 3, 4, 5, 8); h <- Seq(2, 4, 5)) {
+      val img = plantRgb(w, h, BufferedImage.TYPE_INT_RGB)
+      val bos = new ByteArrayOutputStream()
+      ImageIO.write(img, "jpeg", bos)
+      val bytes = bos.toByteArray
+      val ours = graft.expressions.JpegDecodeKernel.decodePixels(bytes)
+      assert(ours != null, s"w=$w h=$h: decode rejected")
+      val ref = ImageIO.read(new ByteArrayInputStream(bytes))
+      for (y <- 0 until h; x <- 0 until w)
+        assert((ref.getRGB(x, y) & 0xFFFFFF) === (ours._3(y * w + x) & 0xFFFFFF),
+          s"w=$w h=$h: pixel ($x,$y) differs")
+    }
+  }
+
   test("JPEG from ImageIO (independent encoder): baseline AND progressive SOF walk") {
     val img = plantRgb(24, 17, BufferedImage.TYPE_INT_RGB)
     def encode(progressive: Boolean): Array[Byte] = {

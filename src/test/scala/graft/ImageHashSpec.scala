@@ -65,6 +65,38 @@ class ImageHashSpec extends SparkSpec {
     assert(hJ === hP, "baseline/progressive re-encode pair must collide")
   }
 
+  test("EXIF orientation applied: all 8 dihedral re-posts collide with the upright original (r15)") {
+    val up = Array.tabulate(72)(t => (t * 37 + 11) % 256) // 9×8 upright tile grid
+    val base = ImageHashKernel.dhash(JpegEncoder.encodeFlatTiles(up, 9, 8, 0, 0))
+    assert(base != null)
+    for (o <- 1 to 8) {
+      val (sw, sh) = if (o >= 5) (8, 9) else (9, 8) // stored grid dims
+      val stored = new Array[Int](72)
+      for (yy <- 0 until 8; xx <- 0 until 9) {
+        // the same inverse maps the kernel applies, at tile grain
+        // (flat 8×8 tiles make block- and pixel-level rotation equal)
+        val src = o match {
+          case 1 => yy * sw + xx
+          case 2 => yy * sw + (sw - 1 - xx)
+          case 3 => (sh - 1 - yy) * sw + (sw - 1 - xx)
+          case 4 => (sh - 1 - yy) * sw + xx
+          case 5 => xx * sw + yy
+          case 6 => (sh - 1 - xx) * sw + yy
+          case 7 => (sh - 1 - xx) * sw + (sw - 1 - yy)
+          case _ => xx * sw + (sw - 1 - yy)
+        }
+        stored(src) = up(yy * 9 + xx)
+      }
+      val tagged = JpegEncoder.encodeFlatTiles(stored, sw, sh, 0, 0, false, o)
+      val h = ImageHashKernel.dhash(tagged)
+      assert(h != null, s"orientation $o: decode rejected")
+      assert(h === base, s"orientation $o: rotated re-post must collide")
+    }
+    // an orientation-less JPEG and an orientation-1 tag are identical
+    val o1 = ImageHashKernel.dhash(JpegEncoder.encodeFlatTiles(up, 9, 8, 0, 0, false, 1))
+    assert(o1 === base)
+  }
+
   test("same raster through WebP (VP8L) and BMP collides — the codec-divide route (r15)") {
     val tiles = Array.tabulate(72)(t => (t * 53 + 7) % 256)
     val gray = flatTileGray(tiles, 9, 8)

@@ -471,6 +471,21 @@ class PlanContractSpec extends SparkSpec {
     }
   }
 
+  test("r15 mm rows: WebP pixel decode and TIFF triage are shuffle-free codegen projections") {
+    for (name <- Seq("mm_webp_pixels", "mm_tiff_meta")) {
+      val phys = physical(q(name))
+      assert(!phys.contains("Exchange hashpartitioning"),
+        s"$name: unexpected keyed shuffle:\n$phys")
+      assert(!phys.contains("Window"), s"$name: unexpected window:\n$phys")
+      assert(!phys.contains("CartesianProduct"), s"$name: cartesian:\n$phys")
+      assert(!phys.toLowerCase.contains("batchevalpython"), s"$name: python udf")
+    }
+    assert(physical(q("mm_webp_pixels")).contains("webp_pixel_stats"),
+      "mm_webp_pixels: Vp8l kernel missing from plan")
+    assert(physical(q("mm_tiff_meta")).contains("tiff_meta"),
+      "mm_tiff_meta: TiffMeta kernel missing from plan")
+  }
+
   test("r14 kernel upgrades: robots parse and PNG synthesis run as codegen kernels, not interpreted HOFs") {
     // the r13 verdict's two weak rows — both were interpreted
     // higher-order-function expression trees; both now route through
