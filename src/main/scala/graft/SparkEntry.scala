@@ -1750,8 +1750,26 @@ object SparkEntry {
           org.apache.spark.sql.GraftColumnBridge.expression(
             when(d % 4 === 3, rotTiles).otherwise(tiles)),
           org.apache.spark.sql.GraftColumnBridge.expression(params)))
-      val media = docs.select(d,
-        when(d % 10 === 0, col("text").cast("binary")).otherwise(jpg)
+      // d%4==2 members carry the SAME raster as a VP8L WebP (gray
+      // pixels expanded from the tile grid), so the (2,3) pairs'
+      // collision crosses the CODEC divide — lossless WebP decode →
+      // identical raster → identical dHash; oracle unchanged (r15)
+      val webpPx = transform(sequence(lit(0), lit(72 * 64 - 1)), i => {
+        val v = element_at(col("__tiles"),
+          (floor(i / lit(72 * 8)) * 9 + pmod(floor(i / lit(8)), lit(9)) + 1)
+            .cast("int"))
+        shiftleft(lit(255), 24).bitwiseOR(shiftleft(v, 16))
+          .bitwiseOR(shiftleft(v, 8)).bitwiseOR(v)
+      })
+      val webp = org.apache.spark.sql.GraftColumnBridge.column(
+        graft.expressions.Vp8lEncode(
+          org.apache.spark.sql.GraftColumnBridge.expression(webpPx),
+          org.apache.spark.sql.GraftColumnBridge.expression(lit(72)),
+          org.apache.spark.sql.GraftColumnBridge.expression(lit(1))))
+      val media = docs.withColumn("__tiles", tiles).select(d,
+        when(d % 10 === 0, col("text").cast("binary"))
+          .when(d % 4 === 2, webp)
+          .otherwise(jpg)
           .as("payload"))
       graft.multimodal.Binary.imageDedup(media)
         .select(d, col("image_valid"), col("dhash_hi"), col("dhash_lo"),
