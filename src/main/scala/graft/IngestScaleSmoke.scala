@@ -326,6 +326,100 @@ object IngestScaleSmoke {
     println(f"ROBOTS hosts=$nHosts rules=${nHosts * 3} " +
       f"parse=${tRobots}%.1fs (${nHosts / tRobots / 1000}%.0fk hosts/s)")
 
+    // ---- rung 10 (r15): VP8L (lossless WebP) decode throughput —
+    // the engine's own encoder rotates coding lanes (simple codes /
+    // full canonical / +LZ77 / +color cache), and the decoded pixel
+    // total plus a planted red-channel sum are closed-form ----
+    locally {
+      val nWebp = nImages
+      val w10 = (lit(4L) + id % 21).cast("int")
+      val n10 = (lit(4L) + id % 21) * (lit(3L) + id % 13)
+      val per = lit(1L) + id % 11
+      val px10 = transform(sequence(lit(0L), n10 - 1), i => {
+        val j = pmod(i, per)
+        val r = pmod(lit(11L) * id + lit(17L) * j, lit(256L))
+        val g = pmod(lit(7L) * id + lit(13L) * j, lit(256L))
+        val b = pmod(lit(13L) * id + lit(19L) * j, lit(256L))
+        shiftleft(lit(255), 24).bitwiseOR(shiftleft(r.cast("int"), 16))
+          .bitwiseOR(shiftleft(g.cast("int"), 8)).bitwiseOR(b.cast("int"))
+      })
+      val cfg = (id % 4 + when(id % 4 === 3, (lit(1L) + id % 10) * 16)
+        .otherwise(lit(0L)) + pmod(id, lit(2L)) * 256).cast("int")
+      val webps = spark.range(nWebp).toDF("id")
+        .select(id,
+          org.apache.spark.sql.GraftColumnBridge.column(
+            graft.expressions.Vp8lEncode(
+              org.apache.spark.sql.GraftColumnBridge.expression(
+                // lane 0 needs ≤2 symbols/channel only for the SIMPLE
+                // path; writeCode falls back per tree, so one formula
+                // serves all four lanes here
+                px10),
+              org.apache.spark.sql.GraftColumnBridge.expression(w10),
+              org.apache.spark.sql.GraftColumnBridge.expression(cfg)))
+            .as("payload"),
+          n10.as("expect_px"),
+          aggregate(transform(sequence(lit(0L), n10 - 1),
+            i => pmod(lit(11L) * id + lit(17L) * pmod(i, per), lit(256L))),
+            lit(0L), (acc, v) => acc + v).as("expect_r"))
+        .repartition(64).cache()
+      webps.count()
+      val wBytes = webps.agg(sum(length(col("payload")))).head().getLong(0)
+      val expPx = webps.agg(sum(col("expect_px"))).head().getLong(0)
+      val expR = webps.agg(sum(col("expect_r"))).head().getLong(0)
+      val (agg10, tWebp) = time {
+        webps.select(org.apache.spark.sql.GraftColumnBridge.column(
+            graft.expressions.WebpPixelStats(
+              org.apache.spark.sql.GraftColumnBridge.expression(col("payload"))))
+            .as("st"))
+          .agg(sum(element_at(col("st"), 1)).as("px"),
+            sum(element_at(col("st"), 2)).as("r"),
+            sum(when(col("st").isNull, 1L).otherwise(0L)).as("bad"))
+          .head()
+      }
+      assert(agg10.getLong(2) == 0L, s"VP8L decode failures: ${agg10.getLong(2)}")
+      assert(agg10.getLong(0) == expPx,
+        s"VP8L pixels: ${agg10.getLong(0)} != $expPx")
+      assert(agg10.getLong(1) == expR,
+        s"VP8L red sum: ${agg10.getLong(1)} != $expR")
+      println(f"VP8L n=$nWebp bytes=${wBytes / 1e6}%.1fMB decode=${tWebp}%.1fs " +
+        f"(${nWebp / tWebp / 1000}%.0fk img/s, ${expPx / tWebp / 1e6}%.1fM px/s)")
+    }
+
+    // ---- rung 11 (r15): TIFF IFD-walk throughput — the tenth triage
+    // family; width/page/unit sums are doc_id arithmetic ----
+    locally {
+      val nTiff = nImages
+      val tiffs = spark.range(nTiff).toDF("id")
+        .select(id,
+          org.apache.spark.sql.GraftColumnBridge.column(
+            graft.expressions.TiffSynth(
+              org.apache.spark.sql.GraftColumnBridge.expression(id)))
+            .as("payload"),
+          (lit(16L) + id % 240).as("expect_w"),
+          when(id % 4 === 0, 2L).otherwise(1L).as("expect_ifds"))
+        .repartition(64).cache()
+      tiffs.count()
+      val tBytes = tiffs.agg(sum(length(col("payload")))).head().getLong(0)
+      val expW = tiffs.agg(sum(col("expect_w"))).head().getLong(0)
+      val expIfds = tiffs.agg(sum(col("expect_ifds"))).head().getLong(0)
+      val (agg11, tTiff) = time {
+        tiffs.select(org.apache.spark.sql.GraftColumnBridge.column(
+            graft.expressions.TiffMeta(
+              org.apache.spark.sql.GraftColumnBridge.expression(col("payload"))))
+            .as("m"))
+          .agg(sum(col("m.width")).as("w"),
+            sum(col("m.n_ifds")).as("ifds"),
+            sum(when(col("m.header_consistent"), 0L).otherwise(1L)).as("bad"))
+          .head()
+      }
+      assert(agg11.getLong(2) == 0L, s"TIFF inconsistencies: ${agg11.getLong(2)}")
+      assert(agg11.getLong(0) == expW, s"TIFF widths: ${agg11.getLong(0)} != $expW")
+      assert(agg11.getLong(1) == expIfds,
+        s"TIFF pages: ${agg11.getLong(1)} != $expIfds")
+      println(f"TIFF n=$nTiff bytes=${tBytes / 1e6}%.1fMB walk=${tTiff}%.1fs " +
+        f"(${nTiff / tTiff / 1000}%.0fk files/s)")
+    }
+
     println("INGEST_SCALE_SMOKE_OK")
     spark.stop()
   }
