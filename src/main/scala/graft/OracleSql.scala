@@ -3246,6 +3246,43 @@ object OracleSql {
     * IFD chains in both byte orders, through inline AND out-of-line
     * value arrays.
     */
+  /** TIFF pixel stats (mirror of Tiff.pixelStats ∘
+    * synthPixelsFromDocs): the oracle recomputes channel sums/peak
+    * from the closed-form raster byte `(7·doc_id + 13·j) mod 256` —
+    * Spark must reach the same numbers by actually decompressing the
+    * LZW (MSB-first, early change) / PackBits / Deflate strip and
+    * tile streams and undoing the horizontal predictor, so the hash
+    * match proves the decode across every lane.
+    */
+  val mmTiffPixels: String = {
+    def chan(c: Int): String =
+      s"""[(7 * doc_id + 13 * (spp * i + LEAST(spp - 1, $c))) % 256
+         |    for i in range(0, n)]""".stripMargin
+    s"""WITH m AS (SELECT doc_id,
+       |  5 + doc_id % 12 + CASE WHEN doc_id % 5 = 2 THEN 16 ELSE 0 END AS w,
+       |  4 + doc_id % 9 + CASE WHEN doc_id % 5 = 2 THEN 16 ELSE 0 END AS h,
+       |  CASE WHEN doc_id % 3 = 0 THEN 3 ELSE 1 END AS spp,
+       |  doc_id % 10 = 0 AS invalid FROM documents),
+       |p AS (SELECT doc_id, invalid, spp, w * h AS n FROM m),
+       |s AS (SELECT doc_id, invalid, n,
+       |  ${chan(0)} AS rs,
+       |  ${chan(1)} AS gs,
+       |  ${chan(2)} AS bs
+       |  FROM p)
+       |SELECT doc_id, NOT invalid AS tiff_valid,
+       |  (CASE WHEN invalid THEN NULL ELSE n END)::BIGINT AS pixels_decoded,
+       |  CASE WHEN invalid THEN NULL
+       |    ELSE list_aggregate(rs, 'sum')::DOUBLE / n END AS mean_r,
+       |  CASE WHEN invalid THEN NULL
+       |    ELSE list_aggregate(gs, 'sum')::DOUBLE / n END AS mean_g,
+       |  CASE WHEN invalid THEN NULL
+       |    ELSE list_aggregate(bs, 'sum')::DOUBLE / n END AS mean_b,
+       |  (CASE WHEN invalid THEN NULL
+       |    ELSE greatest(list_max(rs), list_max(gs), list_max(bs)) END)::BIGINT
+       |    AS peak_byte
+       |FROM s ORDER BY doc_id""".stripMargin
+  }
+
   val mmTiffMeta: String =
     s"""WITH m AS (SELECT doc_id, $tiffGeom,
       |  doc_id % 10 = 0 AS invalid FROM documents),

@@ -1859,6 +1859,20 @@ object SparkEntry {
           col("header_consistent"))
         .orderBy(col("doc_id"))
     }),
+    // TIFF pixel stats through a REAL strip/tile decode (r15): the
+    // lanes rotate compression none/LZW/PackBits/Deflate, gray vs
+    // RGB, strip count, 16×16 tiling with clipped padding, and the
+    // horizontal-differencing predictor; the oracle recomputes
+    // channel sums from the closed-form raster bytes while Spark
+    // decompresses the actual streams
+    "mm_tiff_pixels" -> ((s, dir) => {
+      val media = graft.multimodal.Binary.Tiff.synthPixelsFromDocs(
+        t(s, dir, "documents"))
+      graft.multimodal.Binary.Tiff.pixelStats(media)
+        .select(col("doc_id"), col("tiff_valid"), col("pixels_decoded"),
+          col("mean_r"), col("mean_g"), col("mean_b"), col("peak_byte"))
+        .orderBy(col("doc_id"))
+    }),
     "lsh_config" -> ((s, dir) => {
       import s.implicits._
       val grid = for {
@@ -2251,5 +2265,6 @@ object SparkEntry {
     "mm_png_pixels" -> OracleSql.mmPngPixels,
     "mm_media_triage" -> OracleSql.mmMediaTriage,
     "mm_tiff_meta" -> OracleSql.mmTiffMeta,
+    "mm_tiff_pixels" -> OracleSql.mmTiffPixels,
   )
 }

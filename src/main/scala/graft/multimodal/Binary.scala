@@ -1462,6 +1462,54 @@ object Binary {
         when(d % invalidEvery === 0, lit("text/plain"))
           .otherwise(lit("image/tiff")).as("media_type"))
     }
+
+    /** Channel statistics via a REAL strip/tile decode — the TIFF
+      * sibling of `Gif.pixelStats`/`Webp.pixelStats` (LZW with
+      * MSB-first early-change codes, PackBits, Deflate, and the
+      * horizontal-differencing predictor here): one codegen kernel
+      * pass ([[graft.expressions.TiffPixelKernel]]). Adds
+      * `tiff_decodable` plus `pixels_decoded`, `mean_r/g/b`,
+      * `peak_byte` (null outside the baseline 8-bit gray/RGB chunky
+      * profile — the meta row still triages those payloads). Pure
+      * projection — zero shuffles.
+      */
+    def pixelStats(media: DataFrame, payloadCol: String = "payload"): DataFrame = {
+      val st = gcol(graft.expressions.TiffPixelStats(
+        gexpr(col(payloadCol))))
+      media
+        .withColumn("tiff_valid", isTiff(col(payloadCol)))
+        .withColumn("__st", when(col("tiff_valid"), st))
+        .withColumn("pixels_decoded",
+          when(col("__st").isNotNull && element_at(col("__st"), 1) > 0,
+            element_at(col("__st"), 1)))
+        .withColumn("mean_r",
+          element_at(col("__st"), 2).cast("double") / col("pixels_decoded"))
+        .withColumn("mean_g",
+          element_at(col("__st"), 3).cast("double") / col("pixels_decoded"))
+        .withColumn("mean_b",
+          element_at(col("__st"), 4).cast("double") / col("pixels_decoded"))
+        .withColumn("peak_byte",
+          when(col("pixels_decoded").isNotNull, element_at(col("__st"), 5)))
+        .drop("__st")
+    }
+
+    /** Deterministic baseline-TIFF payloads with REAL pixel data (see
+      * [[graft.expressions.TiffPixelSynthKernel]]: raster byte j is
+      * `(7·doc_id + 13·j) mod 256`, lanes rotate byte order,
+      * compression none/LZW/PackBits/Deflate, gray vs RGB, strip
+      * count, multi-tile 16×16 tiling, and the horizontal
+      * predictor); every
+      * `invalidEvery`-th doc raw text.
+      */
+    def synthPixelsFromDocs(docs: DataFrame, invalidEvery: Int = 10): DataFrame = {
+      val d = col("doc_id")
+      val payload = gcol(graft.expressions.TiffPixelSynth(gexpr(d)))
+      docs.select(d,
+        when(d % invalidEvery === 0, col("text").cast("binary"))
+          .otherwise(payload).as("payload"),
+        when(d % invalidEvery === 0, lit("text/plain"))
+          .otherwise(lit("image/tiff")).as("media_type"))
+    }
   }
 
   /** MP4 / ISO BMFF (MOV, M4A, HEIF share the framing) container

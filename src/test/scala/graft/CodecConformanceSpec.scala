@@ -361,4 +361,86 @@ class CodecConformanceSpec extends SparkSpec {
       .select(col("payload")).collect()(0).getAs[Array[Byte]](0)
     assert(java.util.Arrays.equals(plain, base))
   }
+
+  test("TIFF from ImageIO (independent encoder): every compression type decodes sample-exact (r15)") {
+    // the JDK bundles a full TIFF plugin (since 9): its writer is an
+    // independent codebase whose LZW grows the dictionary, whose
+    // PackBits restarts per row, and whose ZLib/Deflate lanes cover
+    // both deflate tags — the kernel must recover the planted sums
+    // from all of them, RGB and grayscale
+    for (compType <- Seq(null, "LZW", "PackBits", "ZLib", "Deflate");
+         gray <- Seq(false, true)) {
+      val (w, h) = (21, 13)
+      val img =
+        if (gray) {
+          val g = new BufferedImage(w, h, BufferedImage.TYPE_BYTE_GRAY)
+          for (y <- 0 until h; x <- 0 until w)
+            g.getRaster.setSample(x, y, 0, (x * 19 + y * 7) % 256)
+          g
+        } else plantRgb(w, h, BufferedImage.TYPE_3BYTE_BGR)
+      val writers = ImageIO.getImageWritersByFormatName("tiff")
+      assert(writers.hasNext, "JDK TIFF writer unavailable")
+      val writer = writers.next()
+      val param = writer.getDefaultWriteParam
+      if (compType != null) {
+        param.setCompressionMode(ImageWriteParam.MODE_EXPLICIT)
+        param.setCompressionType(compType)
+      }
+      val out = new ByteArrayOutputStream()
+      val ios = ImageIO.createImageOutputStream(out)
+      writer.setOutput(ios)
+      writer.write(null, new IIOImage(img, null, null), param)
+      ios.close()
+      writer.dispose()
+      // raw raster sums (not getRGB: gray→sRGB conversion would
+      // gamma-shift the bytes; the kernel reads raw samples)
+      var (sr, sg, sb, peak) = (0L, 0L, 0L, 0L)
+      val bands = img.getRaster.getNumBands
+      for (y <- 0 until h; x <- 0 until w) {
+        val r = img.getRaster.getSample(x, y, 0)
+        val g = if (bands > 1) img.getRaster.getSample(x, y, 1) else r
+        val b = if (bands > 2) img.getRaster.getSample(x, y, 2) else r
+        sr += r; sg += g; sb += b
+        peak = math.max(peak, math.max(r, math.max(g, b)).toLong)
+      }
+      val df = Seq((1L, out.toByteArray)).toDF("doc_id", "payload")
+      val row = Binary.Tiff.pixelStats(df).head()
+      def f[T](n: String): T = row.getAs[T](n)
+      val label = s"TIFF ${if (gray) "gray" else "rgb"}/$compType"
+      assert(f[Boolean]("tiff_valid"), s"$label rejected: $row")
+      val n = (w * h).toLong
+      assert(f[Long]("pixels_decoded") === n, s"$label must fully decode: $row")
+      assert(f[Double]("mean_r") === sr.toDouble / n, label)
+      assert(f[Double]("mean_g") === sg.toDouble / n, label)
+      assert(f[Double]("mean_b") === sb.toDouble / n, label)
+      assert(f[Long]("peak_byte") === peak, label)
+    }
+  }
+
+  test("TIFF synth lanes read back by ImageIO: encoder conformance both directions (r15)") {
+    // the reverse direction: the synth's own LZW / PackBits / Deflate
+    // streams (incl. the predictor and multi-tile lanes) must be
+    // legal to the JDK's independent TIFF READER, and decode to the
+    // same closed-form raster the kernel reports. RGB lanes only —
+    // gray readback goes through a gamma-mapped gray ColorModel.
+    // d values: 0 none, 18 LZW, 12 PackBits+tiles, 6 Deflate,
+    // 66 LZW+predictor, 87 Deflate+tiles(+predictor? d%7=3 yes)
+    for (d <- Seq(0L, 6L, 12L, 18L, 66L, 87L)) {
+      val bytes = graft.expressions.TiffPixelSynthKernel.synth(d)
+      val img = ImageIO.read(new ByteArrayInputStream(bytes))
+      assert(img != null, s"doc $d unreadable by ImageIO")
+      val spp = if (d % 3 == 0) 3 else 1
+      val tiles = d % 5 == 2
+      val w = (5 + d % 12 + (if (tiles) 16 else 0)).toInt
+      val h = (4 + d % 9 + (if (tiles) 16 else 0)).toInt
+      assert(img.getWidth === w && img.getHeight === h, s"doc $d dims")
+      for (y <- 0 until h; x <- 0 until w; c <- 0 until spp) {
+        val j = (y * w + x) * spp + c
+        val want = ((7 * d + 13 * j) % 256).toInt
+        val band = if (spp == 3) c else 0
+        assert(img.getRaster.getSample(x, y, band) === want,
+          s"doc $d pixel ($x,$y) band $band")
+      }
+    }
+  }
 }

@@ -200,6 +200,37 @@ class KernelFuzzSpec extends SparkSpec {
     })
   }
 
+  test("TiffPixelKernel.stats never throws on corrupted compressed streams (r15)") {
+    // real synth payloads (one per compression lane, incl. tiles and
+    // the predictor) with random byte corruption: the LZW / PackBits
+    // / Deflate decoders and the IFD walk see near-valid streams
+    val seeds = Seq(1L, 2L, 5L, 7L, 12L, 66L).map(
+      graft.expressions.TiffPixelSynthKernel.synth)
+    val genCase = for {
+      src <- Gen.oneOf(seeds)
+      nFlips <- Gen.choose(1, 6)
+      flips <- Gen.listOfN(nFlips, for {
+        pos <- Gen.choose(0, src.length - 1)
+        v <- Gen.choose(Byte.MinValue, Byte.MaxValue)
+      } yield (pos, v))
+    } yield {
+      val c = src.clone()
+      flips.foreach { case (pos, v) => c(pos) = v }
+      c
+    }
+    checkProp(Prop.forAllNoShrink(genCase) { p =>
+      graft.expressions.TiffPixelKernel.stats(p)
+      true // value or null, never a throw
+    })
+    // and pure garbage behind both byte-order magics
+    checkProp(Prop.forAllNoShrink(Gen.oneOf(
+      withPrefix(Array[Byte]('I', 'I', 42, 0)),
+      withPrefix(Array[Byte]('M', 'M', 0, 42)))) { p =>
+      graft.expressions.TiffPixelKernel.stats(p)
+      true
+    })
+  }
+
   test("Webp.parse (RIFF walk) never throws and flags garbage invalid (r14)") {
     // no kernel here — the parse is a declarative projection — so the
     // fuzz drives the EXPRESSION through a real Spark job: random

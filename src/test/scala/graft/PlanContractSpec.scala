@@ -471,8 +471,8 @@ class PlanContractSpec extends SparkSpec {
     }
   }
 
-  test("r15 mm rows: WebP pixel decode and TIFF triage are shuffle-free codegen projections") {
-    for (name <- Seq("mm_webp_pixels", "mm_tiff_meta")) {
+  test("r15 mm rows: WebP/TIFF pixel decodes and TIFF triage are shuffle-free codegen projections") {
+    for (name <- Seq("mm_webp_pixels", "mm_tiff_meta", "mm_tiff_pixels")) {
       val phys = physical(q(name))
       assert(!phys.contains("Exchange hashpartitioning"),
         s"$name: unexpected keyed shuffle:\n$phys")
@@ -484,6 +484,8 @@ class PlanContractSpec extends SparkSpec {
       "mm_webp_pixels: Vp8l kernel missing from plan")
     assert(physical(q("mm_tiff_meta")).contains("tiff_meta"),
       "mm_tiff_meta: TiffMeta kernel missing from plan")
+    assert(physical(q("mm_tiff_pixels")).contains("tiff_pixel_stats"),
+      "mm_tiff_pixels: TiffPixel kernel missing from plan")
   }
 
   test("r14 kernel upgrades: robots parse and PNG synthesis run as codegen kernels, not interpreted HOFs") {
