@@ -1766,9 +1766,22 @@ object SparkEntry {
           org.apache.spark.sql.GraftColumnBridge.expression(webpPx),
           org.apache.spark.sql.GraftColumnBridge.expression(lit(72)),
           org.apache.spark.sql.GraftColumnBridge.expression(lit(1))))
+      // d%4==0 members carry the SAME raster as a gray LZW TIFF, so
+      // the (0,1) pairs' collision crosses the TIFF↔progressive-JPEG
+      // codec divide through a real dictionary-growing LZW decode;
+      // the upright raster is identical, oracle unchanged (r15)
+      val tiffPx = transform(sequence(lit(0), lit(72 * 64 - 1)), i =>
+        element_at(col("__tiles"),
+          (floor(i / lit(72 * 8)) * 9 + pmod(floor(i / lit(8)), lit(9)) + 1)
+            .cast("int")))
+      val tiff = org.apache.spark.sql.GraftColumnBridge.column(
+        graft.expressions.TiffGrayEncode(
+          org.apache.spark.sql.GraftColumnBridge.expression(tiffPx),
+          org.apache.spark.sql.GraftColumnBridge.expression(lit(72))))
       val media = docs.withColumn("__tiles", tiles).select(d,
         when(d % 10 === 0, col("text").cast("binary"))
           .when(d % 4 === 2, webp)
+          .when(d % 4 === 0, tiff)
           .otherwise(jpg)
           .as("payload"))
       graft.multimodal.Binary.imageDedup(media)

@@ -18,10 +18,11 @@ import org.apache.spark.sql.types._
   * Routes by magic bytes: baseline/progressive JPEG (through the full
   * [[JpegDecodeKernel]] entropy decode), uncompressed 24-bit BMP
   * (stride walk, bottom-up or top-down), and — r15 — lossless WebP
-  * (through the full [[Vp8lKernel]] VP8L decode), so a photo
-  * re-encoded across the codec divide still collides. Null (never a
-  * throw) for anything else — the triage signal for "fingerprint
-  * elsewhere".
+  * (through the full [[Vp8lKernel]] VP8L decode) and baseline-profile
+  * TIFF (through the full [[TiffPixelKernel]] strip/tile decode, in
+  * the upright tag-274 frame), so a photo re-encoded across the codec
+  * divide still collides. Null (never a throw) for anything else —
+  * the triage signal for "fingerprint elsewhere".
   *
   * Determinism: integer luma (ITU-R 601 weights, /1000 floor),
   * integer cell means (floor), strict `>` gradient — a pure function
@@ -166,6 +167,16 @@ object ImageHashKernel {
       if (d == null) return null
       val (w, h, px) = d
       java.lang.Long.valueOf(dhashOfGray(grayOf(w, h, px), w, h))
+    } else if (TiffMetaKernel.isTiff(p)) {
+      // r15: baseline-profile TIFF through the full strip/tile decode
+      // (LZW/PackBits/Deflate/predictor), hashed in the UPRIGHT frame
+      // (tag 274 — TIFF carries the same orientation field EXIF does)
+      val d = TiffPixelKernel.decodePixels(p)
+      if (d == null) return null
+      val (w, h, px) = d
+      val (gray, ow, oh) = orientedGray(w, h, px,
+        TiffPixelKernel.orientationOf(p))
+      java.lang.Long.valueOf(dhashOfGray(gray, ow, oh))
     } else {
       val bg = bmpGray(p)
       if (bg == null) null

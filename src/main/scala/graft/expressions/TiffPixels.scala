@@ -346,12 +346,17 @@ object TiffPixelKernel {
     }
   }
 
-  /** (n_pixels, sum_r, sum_g, sum_b, peak_byte) over the first IFD's
-    * raster, or null when the payload is not a decodable baseline
-    * TIFF. Grayscale accumulates the sample into all three channel
-    * sums (the BMP/GIF gray convention).
+  /** The decoded-profile view of a payload's IFD0: everything the
+    * unit walk needs, already profile-gated. Null when the payload is
+    * not a decodable baseline TIFF.
     */
-  def stats(p: Array[Byte]): ArrayData = {
+  private[expressions] final case class Layout(
+      w: Int, h: Int, spp: Int, comp: Long, predictor: Long,
+      orientation: Int, tileW: Int, tileH: Int,
+      stripOffs: Array[Long], stripCnts: Array[Long],
+      tileOffs: Array[Long], tileCnts: Array[Long], rps: Long)
+
+  private def layout(p: Array[Byte]): Layout = {
     if (!TiffMetaKernel.isTiff(p)) return null
     val le = p(0) == 'I'
     val ifd0Off = u32(p, 4, le)
@@ -369,6 +374,7 @@ object TiffPixelKernel {
     var predictor = 1L
     var planar = 1L
     var fillOrder = 1L
+    var orientation = 1L
     var sampleFmtOk = true
     var rps = -1L
     var tileW = -1L
@@ -395,6 +401,7 @@ object TiffPixelKernel {
         case 0x0106 => photometric = scalar(p, typ, cnt, vOff, le)
         case 0x010A => fillOrder = scalar(p, typ, cnt, vOff, le)
         case 0x0111 => stripOffs = longArray(p, typ, cnt, vOff, le)
+        case 0x0112 => orientation = scalar(p, typ, cnt, vOff, le)
         case 0x0115 => spp = scalar(p, typ, cnt, vOff, le)
         case 0x0116 => rps = scalar(p, typ, cnt, vOff, le)
         case 0x0117 => stripCnts = longArray(p, typ, cnt, vOff, le)
@@ -422,17 +429,54 @@ object TiffPixelKernel {
     if (predictor != 1L && predictor != 2L) return null
     if (comp != 1L && comp != 5L && comp != 8L && comp != 32946L &&
       comp != 32773L) return null
-
     val w = width.toInt
     val h = height.toInt
-    val nspp = spp.toInt
+    if (tileOffs != null) {
+      if (tileW <= 0 || tileH <= 0 || tileCnts == null) return null
+      if (tileW * tileH > MaxPixels) return null
+      val across = (w + tileW.toInt - 1) / tileW.toInt
+      val down = (h + tileH.toInt - 1) / tileH.toInt
+      if (tileOffs.length != across * down ||
+        tileCnts.length != across * down) return null
+    } else {
+      if (stripOffs == null || stripCnts == null) return null
+      val rows0 = if (rps <= 0 || rps > h) h.toLong else rps
+      val nStrips = ((h + rows0 - 1) / rows0).toInt
+      if (stripOffs.length != nStrips || stripCnts.length != nStrips)
+        return null
+    }
+    Layout(w, h, spp.toInt, comp, predictor,
+      if (orientation >= 1 && orientation <= 8) orientation.toInt else 1,
+      tileW.toInt, tileH.toInt, stripOffs, stripCnts, tileOffs, tileCnts,
+      rps)
+  }
+
+  /** EXIF/TIFF orientation of IFD0 (tag 274), default 1; reads only
+    * decodable payloads (anything else reports 1 — upright).
+    */
+  def orientationOf(p: Array[Byte]): Int = {
+    val L = layout(p)
+    if (L == null) 1 else L.orientation
+  }
+
+  /** (n_pixels, sum_r, sum_g, sum_b, peak_byte) over the first IFD's
+    * raster, or null when the payload is not a decodable baseline
+    * TIFF. Grayscale accumulates the sample into all three channel
+    * sums (the BMP/GIF gray convention). Strip/tile buffers are
+    * geometry-bounded — the whole raster is never materialized.
+    */
+  def stats(p: Array[Byte]): ArrayData = {
+    val L = layout(p)
+    if (L == null) return null
+    val w = L.w
+    val h = L.h
+    val nspp = L.spp
     var sR = 0L
     var sG = 0L
     var sB = 0L
     var peak = 0L
 
-    def accumulate(buf: Array[Byte], rows: Int, rowW: Int,
-        clipW: Int): Boolean = {
+    def accumulate(buf: Array[Byte], rows: Int, rowW: Int, clipW: Int): Unit = {
       var r = 0
       while (r < rows) {
         var x = 0
@@ -455,24 +499,18 @@ object TiffPixelKernel {
         }
         r += 1
       }
-      true
     }
 
-    if (tileOffs != null) { // tile layout
-      if (tileW <= 0 || tileH <= 0 || tileCnts == null) return null
-      val tw = tileW.toInt
-      val th = tileH.toInt
-      if (tw.toLong * th > MaxPixels) return null
+    if (L.tileOffs != null) { // tile layout
+      val tw = L.tileW
+      val th = L.tileH
       val across = (w + tw - 1) / tw
-      val down = (h + th - 1) / th
-      if (tileOffs.length != across * down ||
-        tileCnts.length != across * down) return null
       val expected = tw * th * nspp
       var t = 0
-      while (t < tileOffs.length) {
-        val buf = unit(p, tileOffs(t), tileCnts(t), comp, expected)
+      while (t < L.tileOffs.length) {
+        val buf = unit(p, L.tileOffs(t), L.tileCnts(t), L.comp, expected)
         if (buf == null) return null
-        if (predictor == 2L) unpredict(buf, th, tw, nspp)
+        if (L.predictor == 2L) unpredict(buf, th, tw, nspp)
         val tx = t % across
         val ty = t / across
         val clipW = math.min(tw, w - tx * tw)
@@ -480,46 +518,94 @@ object TiffPixelKernel {
         // accumulate the clipped window only (pad bytes never count)
         var r = 0
         while (r < clipH) {
-          var x = 0
-          while (x < clipW) {
-            val base = (r * tw + x) * nspp
-            if (nspp == 3) {
-              val cr = (buf(base) & 0xFF).toLong
-              val cg = (buf(base + 1) & 0xFF).toLong
-              val cb = (buf(base + 2) & 0xFF).toLong
-              sR += cr; sG += cg; sB += cb
-              if (cr > peak) peak = cr
-              if (cg > peak) peak = cg
-              if (cb > peak) peak = cb
-            } else {
-              val v = (buf(base) & 0xFF).toLong
-              sR += v; sG += v; sB += v
-              if (v > peak) peak = v
-            }
-            x += 1
-          }
+          accumulate(java.util.Arrays.copyOfRange(
+            buf, r * tw * nspp, (r * tw + clipW) * nspp), 1, clipW, clipW)
           r += 1
         }
         t += 1
       }
     } else { // strip layout
-      if (stripOffs == null || stripCnts == null) return null
-      val rows0 = if (rps <= 0 || rps > h) h.toLong else rps
-      val nStrips = ((h + rows0 - 1) / rows0).toInt
-      if (stripOffs.length != nStrips || stripCnts.length != nStrips)
-        return null
+      val rows0 = if (L.rps <= 0 || L.rps > h) h.toLong else L.rps
+      val nStrips = L.stripOffs.length
       var s = 0
       while (s < nStrips) {
         val rows = math.min(rows0, h - s * rows0).toInt
         val expected = rows * w * nspp
-        val buf = unit(p, stripOffs(s), stripCnts(s), comp, expected)
+        val buf = unit(p, L.stripOffs(s), L.stripCnts(s), L.comp, expected)
         if (buf == null) return null
-        if (predictor == 2L) unpredict(buf, rows, w, nspp)
+        if (L.predictor == 2L) unpredict(buf, rows, w, nspp)
         accumulate(buf, rows, w, w)
         s += 1
       }
     }
     new GenericArrayData(Array(w.toLong * h, sR, sG, sB, peak))
+  }
+
+  /** Full-raster decode to packed 0xRRGGBB ints (gray replicated to
+    * all three channels), or null — the perceptual-hash route, where
+    * the raster genuinely must exist (the JPEG/VP8L routes have the
+    * same budget); bounded by [[MaxPixels]].
+    */
+  def decodePixels(p: Array[Byte]): (Int, Int, Array[Int]) = {
+    val L = layout(p)
+    if (L == null) return null
+    val w = L.w
+    val h = L.h
+    val nspp = L.spp
+    val px = new Array[Int](w * h)
+
+    def place(buf: Array[Byte], rows: Int, rowW: Int,
+        gx0: Int, gy0: Int, clipW: Int, clipH: Int): Unit = {
+      var r = 0
+      while (r < clipH) {
+        var x = 0
+        while (x < clipW) {
+          val base = (r * rowW + x) * nspp
+          val v =
+            if (nspp == 3)
+              ((buf(base) & 0xFF) << 16) | ((buf(base + 1) & 0xFF) << 8) |
+                (buf(base + 2) & 0xFF)
+            else {
+              val g = buf(base) & 0xFF
+              (g << 16) | (g << 8) | g
+            }
+          px((gy0 + r) * w + (gx0 + x)) = v
+          x += 1
+        }
+        r += 1
+      }
+    }
+
+    if (L.tileOffs != null) {
+      val tw = L.tileW
+      val th = L.tileH
+      val across = (w + tw - 1) / tw
+      val expected = tw * th * nspp
+      var t = 0
+      while (t < L.tileOffs.length) {
+        val buf = unit(p, L.tileOffs(t), L.tileCnts(t), L.comp, expected)
+        if (buf == null) return null
+        if (L.predictor == 2L) unpredict(buf, th, tw, nspp)
+        val tx = t % across
+        val ty = t / across
+        place(buf, th, tw, tx * tw, ty * th,
+          math.min(tw, w - tx * tw), math.min(th, h - ty * th))
+        t += 1
+      }
+    } else {
+      val rows0 = if (L.rps <= 0 || L.rps > h) h.toLong else L.rps
+      var s = 0
+      while (s < L.stripOffs.length) {
+        val rows = math.min(rows0, h - s * rows0).toInt
+        val expected = rows * w * nspp
+        val buf = unit(p, L.stripOffs(s), L.stripCnts(s), L.comp, expected)
+        if (buf == null) return null
+        if (L.predictor == 2L) unpredict(buf, rows, w, nspp)
+        place(buf, rows, w, 0, (s * rows0).toInt, w, rows)
+        s += 1
+      }
+    }
+    (w, h, px)
   }
 }
 
@@ -781,4 +867,84 @@ case class TiffPixelSynth(child: Expression) extends UnaryExpression {
 
   override protected def withNewChildInternal(c: Expression): Expression =
     copy(child = c)
+}
+
+/** Minimal arbitrary-raster TIFF encode — the gate-corpus face for
+  * rasters that are NOT the doc_id closed form (the image-dedup
+  * corpus shares one tile raster across codecs): little-endian,
+  * grayscale 8-bit, photometric 1, ONE real dictionary-growing LZW
+  * strip. The flat-tile rasters it carries are exactly where LZW runs
+  * and KwKwK shapes live, so the dedup gate decodes genuine
+  * compressed streams.
+  */
+object TiffGrayEncodeKernel {
+  def encode(px: Array[Int], w: Int): Array[Byte] = {
+    if (w <= 0 || px.length == 0 || px.length % w != 0) return null
+    val h = px.length / w
+    val raster = new Array[Byte](px.length)
+    var i = 0
+    while (i < px.length) { raster(i) = (px(i) & 0xFF).toByte; i += 1 }
+    val strip = TiffLzw.encode(raster)
+    val nE = 9
+    val dataOff = 8 + 2 + nE * 12 + 4
+    val out = new java.io.ByteArrayOutputStream(dataOff + strip.length)
+    def w16(v: Int): Unit = { out.write(v & 0xFF); out.write((v >> 8) & 0xFF) }
+    def w32(v: Int): Unit = {
+      out.write(v & 0xFF); out.write((v >> 8) & 0xFF)
+      out.write((v >> 16) & 0xFF); out.write((v >> 24) & 0xFF)
+    }
+    out.write('I'); out.write('I'); out.write(42); out.write(0)
+    w32(8)
+    def shortEntry(tag: Int, v: Int): Unit = {
+      w16(tag); w16(3); w32(1); w16(v); w16(0)
+    }
+    def longEntry(tag: Int, v: Int): Unit = { w16(tag); w16(4); w32(1); w32(v) }
+    w16(nE)
+    shortEntry(0x0100, w)
+    shortEntry(0x0101, h)
+    shortEntry(0x0102, 8)
+    shortEntry(0x0103, 5) // LZW
+    shortEntry(0x0106, 1) // BlackIsZero
+    longEntry(0x0111, dataOff)
+    shortEntry(0x0115, 1)
+    longEntry(0x0116, h)
+    longEntry(0x0117, strip.length)
+    w32(0)
+    out.write(strip)
+    out.toByteArray
+  }
+}
+
+/** `tiff_gray_encode(array<int> gray, int width) → binary`; see
+  * [[TiffGrayEncodeKernel.encode]].
+  */
+case class TiffGrayEncode(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = true
+  override def prettyName: String = "tiff_gray_encode"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(IntegerType, _), IntegerType) =>
+        TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires (array<int>, int), got $other")
+    }
+
+  override def nullSafeEval(px: Any, w: Any): Any =
+    TiffGrayEncodeKernel.encode(
+      px.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+        .toIntArray(),
+      w.asInstanceOf[Int])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (px, w) => s"""
+      |${ev.value} = graft.expressions.TiffGrayEncodeKernel.encode(
+      |  $px.toIntArray(), $w);
+      |if (${ev.value} == null) { ${ev.isNull} = true; }
+      |""".stripMargin)
+
+  override protected def withNewChildrenInternal(l: Expression,
+      r: Expression): Expression = copy(l, r)
 }

@@ -119,6 +119,61 @@ class ImageHashSpec extends SparkSpec {
     assert(ImageHashKernel.dhash(junk) == null)
   }
 
+  test("same raster through TIFF (LZW strips) and BMP/JPEG collides; upright tag-274 frame (r15)") {
+    val tiles = Array.tabulate(72)(t => (t * 41 + 3) % 256)
+    val gray = flatTileGray(tiles, 9, 8)
+    val tiff = graft.expressions.TiffGrayEncodeKernel.encode(gray, 72)
+    val hT = ImageHashKernel.dhash(tiff)
+    val hB = ImageHashKernel.dhash(bmpOf(gray, 72, 64))
+    val hJ = ImageHashKernel.dhash(JpegEncoder.encodeFlatTiles(tiles, 9, 8, 0, 0))
+    assert(hT != null && hB != null && hJ != null)
+    assert(hT === hB, "the same raster through TIFF and BMP must collide")
+    assert(hT === hJ, "the same raster through TIFF and JPEG must collide")
+    // a multi-strip PackBits synth doc and its own stats agree with
+    // the hash route's decode (both go through the same Layout walk)
+    assert(ImageHashKernel.dhash(
+      graft.expressions.TiffPixelSynthKernel.synth(5L)) != null)
+    // orientation tag 274: a stored-rotated TIFF hashes upright. Build
+    // the orientation-6 stored frame (8×9 tile grid rotated 90° CCW),
+    // encode as gray LZW TIFF, then patch an Orientation entry in by
+    // rewriting the payload with one extra IFD entry.
+    val stored = new Array[Int](72) // 8×9 tile grid (sw=8, sh=9)
+    for (yy <- 0 until 8; xx <- 0 until 9)
+      stored((9 - 1 - xx) * 8 + yy) = tiles(yy * 9 + xx)
+    val storedGray = flatTileGray(stored, 8, 9)
+    val base = graft.expressions.TiffGrayEncodeKernel.encode(storedGray, 64)
+    // splice entry (0x0112, SHORT, 1, 6) into the 9-entry IFD after
+    // tag 0x0111 and shift every offset-valued field by 12
+    val nE = 9
+    val patched = new java.io.ByteArrayOutputStream()
+    patched.write(base, 0, 8) // header (IFD0 offset 8 unchanged)
+    patched.write(nE + 1); patched.write(0)
+    val entries = (0 until nE).map(i => base.slice(10 + 12 * i, 22 + 12 * i))
+    def le32(v: Int) = Array[Byte](v.toByte, (v >> 8).toByte,
+      (v >> 16).toByte, (v >> 24).toByte)
+    for (e <- entries) {
+      val tag = (e(0) & 0xFF) | ((e(1) & 0xFF) << 8)
+      if (tag == 0x0111) {
+        // strip offset moves by the 12 bytes the new entry adds
+        val old = (e(8) & 0xFF) | ((e(9) & 0xFF) << 8) |
+          ((e(10) & 0xFF) << 16) | ((e(11) & 0xFF) << 24)
+        patched.write(e, 0, 8)
+        patched.write(le32(old + 12), 0, 4)
+      } else patched.write(e, 0, 12)
+      if (tag == 0x0111) { // ascending order: 0x0112 right after
+        patched.write(Array[Byte](0x12, 0x01, 3, 0), 0, 4)
+        patched.write(le32(1), 0, 4)
+        patched.write(Array[Byte](6, 0, 0, 0), 0, 4)
+      }
+    }
+    patched.write(le32(0), 0, 4) // next-IFD
+    patched.write(base, 10 + 12 * nE + 4,
+      base.length - (10 + 12 * nE + 4)) // strip bytes
+    val hRot = ImageHashKernel.dhash(patched.toByteArray)
+    assert(hRot != null, "orientation-tagged TIFF must decode")
+    assert(hRot === hT, "a stored-rotated TIFF must hash in the upright frame")
+  }
+
   test("audio fingerprint: sample-content identity, width routing, locality, short-stream null") {
     import graft.expressions.AudioHashKernel
     val n = AudioHashKernel.Windows * 4
