@@ -3186,7 +3186,7 @@ object OracleSql {
       |    THEN LEAST(GREATEST(octet_length(text::BLOB) - 5, 0), 3 + doc_id % 11)
       |    ELSE NULL END AS c2,
       |  CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 3 END AS nc,
-      |  doc_id % 7 AS cls, doc_id % 10 = 0 AS corrupt
+      |  doc_id % 9 AS cls, doc_id % 10 = 0 AS corrupt
       |  FROM documents),
       |w AS (SELECT *,
       |  (8000 + (doc_id % 5) * 4000) *
@@ -3212,16 +3212,35 @@ object OracleSql {
       |    (CASE WHEN tnu > 1 THEN 8 * tnu ELSE 0 END) +
       |    (CASE WHEN ttwo THEN 30 ELSE 0 END) + 8 AS tlen
       |  FROM w2),
+      |w4 AS (SELECT *,
+      |  CASE WHEN doc_id % 2 = 0
+      |    THEN ([44100, 48000, 32000])[(doc_id % 3) + 1]
+      |    ELSE ([22050, 24000, 16000])[(doc_id % 3) + 1] END AS msr,
+      |  CASE WHEN doc_id % 2 = 0
+      |    THEN ([64, 80, 96])[(doc_id % 3) + 1]
+      |    ELSE ([40, 48, 56])[(doc_id % 3) + 1] END AS mbr,
+      |  CASE WHEN doc_id % 5 = 1 THEN 1 ELSE 0 END AS mpad,
+      |  1 + doc_id % 6 AS mnf,
+      |  CASE WHEN doc_id % 4 = 1 THEN 30 + doc_id % 30 ELSE 0 END AS mid3v2,
+      |  CASE WHEN doc_id % 8 = 5 THEN 128 ELSE 0 END AS mid3v1,
+      |  8000 + (doc_id % 5) * 4000 AS fsr,
+      |  1000 + doc_id % 5000 AS ftot,
+      |  CASE WHEN doc_id % 3 = 1 THEN 12 + doc_id % 16 ELSE 0 END AS fvb,
+      |  CASE WHEN doc_id % 4 = 2 THEN 8 + doc_id % 8 ELSE 0 END AS fpd
+      |  FROM w3),
       |d AS (SELECT doc_id, dlen, rawlen, c1, c2, nc, br, pw, ph, jh, jw, bw, bh, bimg,
-      |  xfmt, xw, xh, tw_, th_, tlen,
+      |  xfmt, xw, xh, tw_, th_, tlen, msr, mbr, mpad, mnf, mid3v2, mid3v1,
+      |  fsr, ftot, fvb, fpd,
       |  CASE WHEN cls = 1 AND NOT corrupt THEN 'wav'
       |       WHEN cls = 2 AND NOT corrupt THEN 'png'
       |       WHEN cls = 3 AND NOT corrupt THEN 'jpeg'
       |       WHEN cls = 4 AND NOT corrupt THEN 'bmp'
       |       WHEN cls = 5 AND NOT corrupt THEN 'webp'
       |       WHEN cls = 6 AND NOT corrupt THEN 'tiff'
+      |       WHEN cls = 7 AND NOT corrupt THEN 'mp3'
+      |       WHEN cls = 8 AND NOT corrupt THEN 'flac'
       |       ELSE 'unknown' END AS detected
-      |  FROM w3)
+      |  FROM w4)
       |SELECT doc_id, detected,
       |  (CASE WHEN detected = 'wav' THEN dlen + 44
       |        WHEN detected = 'png' THEN dlen + 57
@@ -3229,6 +3248,10 @@ object OracleSql {
       |        WHEN detected = 'bmp' THEN 54 + bimg
       |        WHEN detected = 'webp' THEN CASE WHEN xfmt = 1 THEN 26 ELSE 30 END
       |        WHEN detected = 'tiff' THEN tlen
+      |        WHEN detected = 'mp3' THEN mnf *
+      |          ((CASE WHEN doc_id % 2 = 0 THEN 144 ELSE 72 END)
+      |            * mbr * 1000 // msr + mpad) + mid3v2 + mid3v1
+      |        WHEN detected = 'flac' THEN 46 + fvb + fpd
       |        ELSE rawlen END)::BIGINT AS payload_bytes,
       |  detected <> 'unknown' AS valid,
       |  (CASE WHEN detected = 'wav' THEN (dlen * 1000) // br
@@ -3236,8 +3259,87 @@ object OracleSql {
       |        WHEN detected = 'jpeg' THEN jw * jh
       |        WHEN detected = 'bmp' THEN bw * bh
       |        WHEN detected = 'webp' THEN xw * xh
-      |        WHEN detected = 'tiff' THEN tw_ * th_ END)::BIGINT AS content_units
+      |        WHEN detected = 'tiff' THEN tw_ * th_
+      |        WHEN detected = 'mp3' THEN mnf *
+      |          (CASE WHEN doc_id % 2 = 0 THEN 1152 ELSE 576 END) * 1000 // msr
+      |        WHEN detected = 'flac' THEN ftot * 1000 // fsr
+      |        END)::BIGINT AS content_units
       |FROM d ORDER BY doc_id""".stripMargin
+
+  /** MP3 triage (mirror of Binary.Mp3.parse ∘ synthFromDocs): every
+    * field — version, layer, bitrate/rate tables, channel mode, frame
+    * count, the exact integer duration, ID3v2/v1 lanes — re-derived
+    * closed-form from doc_id while Spark walks the actual frame
+    * stream; the hash match proves the length arithmetic.
+    */
+  val mmMp3Meta: String =
+    """WITH m AS (SELECT doc_id,
+      |  doc_id % 2 = 0 AS mpeg1,
+      |  doc_id % 10 = 0 AS invalid,
+      |  doc_id % 4 = 1 AS id3v2,
+      |  doc_id % 8 = 5 AS id3v1,
+      |  1 + doc_id % 6 AS nf
+      |  FROM documents),
+      |w AS (SELECT *,
+      |  CASE WHEN mpeg1 THEN ([44100, 48000, 32000])[(doc_id % 3) + 1]
+      |    ELSE ([22050, 24000, 16000])[(doc_id % 3) + 1] END AS sr,
+      |  CASE WHEN mpeg1 THEN ([64, 80, 96])[(doc_id % 3) + 1]
+      |    ELSE ([40, 48, 56])[(doc_id % 3) + 1] END AS br,
+      |  CASE WHEN mpeg1 THEN 1152 ELSE 576 END AS spf
+      |  FROM m)
+      |SELECT doc_id,
+      |  CASE WHEN invalid THEN 'text/plain' ELSE 'audio/mpeg' END AS media_type,
+      |  NOT invalid AS mp3_valid,
+      |  CASE WHEN invalid THEN NULL ELSE id3v2 END AS has_id3v2,
+      |  (CASE WHEN invalid OR NOT id3v2 THEN NULL
+      |    ELSE 30 + doc_id % 30 END)::BIGINT AS id3v2_bytes,
+      |  CASE WHEN invalid THEN NULL
+      |    WHEN mpeg1 THEN '1' ELSE '2' END AS mpeg_version,
+      |  (CASE WHEN invalid THEN NULL ELSE 3 END)::BIGINT AS layer,
+      |  (CASE WHEN invalid THEN NULL ELSE br END)::BIGINT AS bitrate_kbps,
+      |  (CASE WHEN invalid THEN NULL ELSE sr END)::BIGINT AS sample_rate,
+      |  CASE WHEN invalid THEN NULL
+      |    ELSE (['stereo', 'joint_stereo', 'dual_channel', 'mono'])
+      |      [(doc_id % 4) + 1] END AS channel_mode,
+      |  (CASE WHEN invalid THEN NULL ELSE nf END)::BIGINT AS n_frames,
+      |  (CASE WHEN invalid THEN NULL
+      |    ELSE nf * spf * 1000 // sr END)::BIGINT AS duration_ms,
+      |  CASE WHEN invalid THEN NULL ELSE id3v1 END AS has_id3v1,
+      |  CASE WHEN invalid THEN NULL ELSE FALSE END AS is_vbr,
+      |  CASE WHEN invalid THEN NULL ELSE TRUE END AS header_consistent
+      |FROM w ORDER BY doc_id""".stripMargin
+
+  /** FLAC triage (mirror of Binary.Flac.parse ∘ synthFromDocs): the
+    * STREAMINFO packed-bit fields, block chain, and exact integer
+    * duration re-derived closed-form from doc_id.
+    */
+  val mmFlacMeta: String =
+    """WITH m AS (SELECT doc_id,
+      |  doc_id % 10 = 0 AS invalid,
+      |  8000 + (doc_id % 5) * 4000 AS sr,
+      |  1 + doc_id % 2 AS ch,
+      |  8 * (1 + doc_id % 3) AS bps,
+      |  1000 + doc_id % 5000 AS total,
+      |  doc_id % 3 = 1 AS vorbis,
+      |  doc_id % 4 = 2 AS padding
+      |  FROM documents)
+      |SELECT doc_id,
+      |  CASE WHEN invalid THEN 'text/plain' ELSE 'audio/flac' END AS media_type,
+      |  NOT invalid AS flac_valid,
+      |  (CASE WHEN invalid THEN NULL ELSE sr END)::BIGINT AS sample_rate,
+      |  (CASE WHEN invalid THEN NULL ELSE ch END)::BIGINT AS channels,
+      |  (CASE WHEN invalid THEN NULL ELSE bps END)::BIGINT AS bits_per_sample,
+      |  (CASE WHEN invalid THEN NULL ELSE total END)::BIGINT AS total_samples,
+      |  (CASE WHEN invalid THEN NULL
+      |    ELSE total * 1000 // sr END)::BIGINT AS duration_ms,
+      |  (CASE WHEN invalid THEN NULL
+      |    ELSE 1 + (CASE WHEN vorbis THEN 1 ELSE 0 END)
+      |      + (CASE WHEN padding THEN 1 ELSE 0 END) END)::BIGINT AS n_blocks,
+      |  CASE WHEN invalid THEN NULL ELSE vorbis END AS has_vorbis_comment,
+      |  (CASE WHEN invalid THEN NULL ELSE 4096 END)::BIGINT AS min_block_size,
+      |  (CASE WHEN invalid THEN NULL ELSE 4096 END)::BIGINT AS max_block_size,
+      |  CASE WHEN invalid THEN NULL ELSE TRUE END AS header_consistent
+      |FROM m ORDER BY doc_id""".stripMargin
 
   /** TIFF triage (mirror of Binary.Tiff.parse ∘ synthFromDocs): every
     * field — byte order, page count, entry count, dims, strip/tile

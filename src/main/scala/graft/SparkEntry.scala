@@ -1840,21 +1840,55 @@ object SparkEntry {
         .select(d, col("payload").as("xp"))
       val tf = graft.multimodal.Binary.Tiff.synthFromDocs(docs)
         .select(d, col("payload").as("tp"))
-      // lane modulus 7 is COPRIME with the synths' %10 corrupt lane,
-      // so every family contributes corrupt/text-fallback members
-      // (r15 — the r14 %6 lanes left wav/jpeg/webp corrupt-free)
+      val m3 = graft.multimodal.Binary.Mp3.synthFromDocs(docs)
+        .select(d, col("payload").as("m3p"))
+      val fl = graft.multimodal.Binary.Flac.synthFromDocs(docs)
+        .select(d, col("payload").as("flp"))
+      // lane modulus 9 (8 families + text) is COPRIME with the
+      // synths' %10 corrupt lane, so every family contributes
+      // corrupt/text-fallback members (r15)
       val mixed = docs.select(d, col("text"))
         .join(w, Seq("doc_id")).join(g, Seq("doc_id")).join(j, Seq("doc_id"))
         .join(b, Seq("doc_id")).join(wb, Seq("doc_id")).join(tf, Seq("doc_id"))
+        .join(m3, Seq("doc_id")).join(fl, Seq("doc_id"))
         .select(d,
-          when(d % 7 === 1, col("wp"))
-            .when(d % 7 === 2, col("gp"))
-            .when(d % 7 === 3, col("jp"))
-            .when(d % 7 === 4, col("bp"))
-            .when(d % 7 === 5, col("xp"))
-            .when(d % 7 === 6, col("tp"))
+          when(d % 9 === 1, col("wp"))
+            .when(d % 9 === 2, col("gp"))
+            .when(d % 9 === 3, col("jp"))
+            .when(d % 9 === 4, col("bp"))
+            .when(d % 9 === 5, col("xp"))
+            .when(d % 9 === 6, col("tp"))
+            .when(d % 9 === 7, col("m3p"))
+            .when(d % 9 === 8, col("flp"))
             .otherwise(col("text").cast("binary")).as("payload"))
       graft.multimodal.Binary.triage(mixed).orderBy(d)
+    }),
+    // MP3 container triage — the ELEVENTH family (r15): ID3v2 prefix,
+    // Layer III frame walk with the version×bitrate×rate length
+    // arithmetic, exact integer duration, ID3v1 trailer — every field
+    // re-derived closed-form by the oracle while Spark walks frames
+    "mm_mp3_meta" -> ((s, dir) => {
+      val media = graft.multimodal.Binary.Mp3.synthFromDocs(t(s, dir, "documents"))
+      graft.multimodal.Binary.Mp3.parse(media)
+        .select(col("doc_id"), col("media_type"), col("mp3_valid"),
+          col("has_id3v2"), col("id3v2_bytes"), col("mpeg_version"),
+          col("layer"), col("bitrate_kbps"), col("sample_rate"),
+          col("channel_mode"), col("n_frames"), col("duration_ms"),
+          col("has_id3v1"), col("is_vbr"), col("header_consistent"))
+        .orderBy(col("doc_id"))
+    }),
+    // FLAC container triage — the TWELFTH family (r15): metadata-block
+    // chain, STREAMINFO packed-bit fields, exact integer duration,
+    // VORBIS_COMMENT/PADDING lanes — oracle re-derives every field
+    "mm_flac_meta" -> ((s, dir) => {
+      val media = graft.multimodal.Binary.Flac.synthFromDocs(t(s, dir, "documents"))
+      graft.multimodal.Binary.Flac.parse(media)
+        .select(col("doc_id"), col("media_type"), col("flac_valid"),
+          col("sample_rate"), col("channels"), col("bits_per_sample"),
+          col("total_samples"), col("duration_ms"), col("n_blocks"),
+          col("has_vorbis_comment"), col("min_block_size"),
+          col("max_block_size"), col("header_consistent"))
+        .orderBy(col("doc_id"))
     }),
     // TIFF container triage — the TENTH family (r15): both byte
     // orders, multi-page IFD chains, strip vs tile layouts, inline
@@ -2279,5 +2313,7 @@ object SparkEntry {
     "mm_media_triage" -> OracleSql.mmMediaTriage,
     "mm_tiff_meta" -> OracleSql.mmTiffMeta,
     "mm_tiff_pixels" -> OracleSql.mmTiffPixels,
+    "mm_mp3_meta" -> OracleSql.mmMp3Meta,
+    "mm_flac_meta" -> OracleSql.mmFlacMeta,
   )
 }

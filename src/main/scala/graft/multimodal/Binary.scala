@@ -1512,6 +1512,133 @@ object Binary {
     }
   }
 
+  /** MP3 (MPEG audio) container triage — the ELEVENTH family (r15):
+    * crawled audio corpora are MP3-first. The format is a bare frame
+    * stream, so triage IS a frame walk
+    * ([[graft.expressions.Mp3MetaKernel]]): ID3v2 prefix, per-frame
+    * headers with the version×layer length arithmetic, exact integer
+    * duration, Xing/Info VBR tag, ID3v1 trailer. One codegen kernel
+    * pass, pure projection.
+    */
+  object Mp3 {
+    import org.apache.spark.sql.GraftColumnBridge.{column => gcol, expression => gexpr}
+
+    /** Column-level detection mirror of `Mp3MetaKernel.isMp3`: ID3v2
+      * with a sane (non-printable) version byte, or a bare frame
+      * sync with non-reserved version/layer bits.
+      */
+    private[multimodal] def isMp3(p: Column): Column = {
+      val b1 = Wav.leUint(p, 2, 1)
+      val id3 = length(p) >= 10 &&
+        substring(p, 1, 3) === lit("ID3".getBytes("US-ASCII")) &&
+        Wav.leUint(p, 4, 1).between(2, 4)
+      val sync = length(p) >= 4 && Wav.leUint(p, 1, 1) === 255 &&
+        pmod(floor(b1 / 32), lit(8)) === 7 &&
+        pmod(floor(b1 / 8), lit(4)) =!= 1 &&
+        pmod(floor(b1 / 2), lit(4)) =!= 0
+      id3 || sync
+    }
+
+    /** Parse triage fields: validity, ID3v2 presence/size, MPEG
+      * version and layer, first-frame bitrate/sample-rate/channel
+      * mode, frame count, exact duration_ms, ID3v1 trailer, Xing/Info
+      * VBR flag, and the wall-to-wall `consistent` verdict. Pure
+      * projection.
+      */
+    def parse(media: DataFrame, payloadCol: String = "payload"): DataFrame = {
+      val m = gcol(graft.expressions.Mp3Meta(gexpr(col(payloadCol))))
+      media
+        .withColumn("__m", m)
+        .withColumn("mp3_valid", coalesce(col("__m.mp3_valid"), lit(false)))
+        .withColumn("has_id3v2", col("__m.has_id3v2"))
+        .withColumn("id3v2_bytes", col("__m.id3v2_bytes"))
+        .withColumn("mpeg_version", col("__m.mpeg_version"))
+        .withColumn("layer", col("__m.layer"))
+        .withColumn("bitrate_kbps", col("__m.bitrate_kbps"))
+        .withColumn("sample_rate", col("__m.sample_rate"))
+        .withColumn("channel_mode", col("__m.channel_mode"))
+        .withColumn("n_frames", col("__m.n_frames"))
+        .withColumn("duration_ms", col("__m.duration_ms"))
+        .withColumn("has_id3v1", col("__m.has_id3v1"))
+        .withColumn("is_vbr", col("__m.is_vbr"))
+        .withColumn("header_consistent", col("__m.consistent"))
+        .drop("__m")
+    }
+
+    /** Deterministic MP3 payloads over the docs table (see
+      * [[graft.expressions.Mp3SynthKernel]]: MPEG1/MPEG2 Layer III
+      * CBR frames with rotating bitrate/sample-rate/padding/mode and
+      * ID3v2/ID3v1 lanes); every `invalidEvery`-th doc raw text.
+      */
+    def synthFromDocs(docs: DataFrame, invalidEvery: Int = 10): DataFrame = {
+      val d = col("doc_id")
+      val payload = gcol(graft.expressions.Mp3Synth(gexpr(d)))
+      docs.select(d,
+        when(d % invalidEvery === 0, col("text").cast("binary"))
+          .otherwise(payload).as("payload"),
+        when(d % invalidEvery === 0, lit("text/plain"))
+          .otherwise(lit("audio/mpeg")).as("media_type"))
+    }
+  }
+
+  /** FLAC container triage — the TWELFTH family (r15): the lossless
+    * sibling of MP3 in any audio corpus. Metadata-block chain with
+    * STREAMINFO's packed-bit fields
+    * ([[graft.expressions.FlacMetaKernel]]). One codegen kernel pass,
+    * pure projection.
+    */
+  object Flac {
+    import org.apache.spark.sql.GraftColumnBridge.{column => gcol, expression => gexpr}
+
+    /** Column-level detection mirror of `FlacMetaKernel.isFlac`: the
+      * magic plus a STREAMINFO first block (its header byte is 0x00
+      * or 0x80 — never printable, so text cannot route here).
+      */
+    private[multimodal] def isFlac(p: Column): Column =
+      length(p) >= 8 &&
+        substring(p, 1, 4) === lit("fLaC".getBytes("US-ASCII")) &&
+        pmod(Wav.leUint(p, 5, 1), lit(128)) === 0
+
+    /** Parse triage fields: validity, STREAMINFO's sample rate /
+      * channels / bits-per-sample / total samples (exact integer
+      * duration_ms), block count, VORBIS_COMMENT presence, block-size
+      * bounds, and the chain-in-bounds `consistent` verdict. Pure
+      * projection.
+      */
+    def parse(media: DataFrame, payloadCol: String = "payload"): DataFrame = {
+      val m = gcol(graft.expressions.FlacMeta(gexpr(col(payloadCol))))
+      media
+        .withColumn("__f", m)
+        .withColumn("flac_valid", coalesce(col("__f.flac_valid"), lit(false)))
+        .withColumn("sample_rate", col("__f.sample_rate"))
+        .withColumn("channels", col("__f.channels"))
+        .withColumn("bits_per_sample", col("__f.bits_per_sample"))
+        .withColumn("total_samples", col("__f.total_samples"))
+        .withColumn("duration_ms", col("__f.duration_ms"))
+        .withColumn("n_blocks", col("__f.n_blocks"))
+        .withColumn("has_vorbis_comment", col("__f.has_vorbis_comment"))
+        .withColumn("min_block_size", col("__f.min_block_size"))
+        .withColumn("max_block_size", col("__f.max_block_size"))
+        .withColumn("header_consistent", col("__f.consistent"))
+        .drop("__f")
+    }
+
+    /** Deterministic FLAC payloads over the docs table (see
+      * [[graft.expressions.FlacSynthKernel]]: STREAMINFO packed bits
+      * with rotating rate/channels/bps/total, VORBIS_COMMENT and
+      * PADDING block lanes); every `invalidEvery`-th doc raw text.
+      */
+    def synthFromDocs(docs: DataFrame, invalidEvery: Int = 10): DataFrame = {
+      val d = col("doc_id")
+      val payload = gcol(graft.expressions.FlacSynth(gexpr(d)))
+      docs.select(d,
+        when(d % invalidEvery === 0, col("text").cast("binary"))
+          .otherwise(payload).as("payload"),
+        when(d % invalidEvery === 0, lit("text/plain"))
+          .otherwise(lit("audio/flac")).as("media_type"))
+    }
+  }
+
   /** MP4 / ISO BMFF (MOV, M4A, HEIF share the framing) container
     * triage — the VIDEO container family: boxes are BE-sized 4cc
     * headers, nested, so triage needs a path walk
@@ -1924,6 +2051,8 @@ object Binary {
         .when(length(p) >= 4 && substring(p, 1, 4) ===
           lit(Array[Byte]('P', 'K', 3, 4)), "zip")
         .when(Tiff.isTiff(p), "tiff")
+        .when(Mp3.isMp3(p), "mp3")
+        .when(Flac.isFlac(p), "flac")
         .otherwise("unknown")
     val keep = media.columns.map(col)
     val afterWav = Wav.parse(media, payloadCol)
@@ -1981,10 +2110,33 @@ object Binary {
         col("mp4_valid") :+ col("mp4_ms") :+
         col("webp_valid") :+ col("webp_pixels") :+
         col("tiff_valid") :+ col("n_pixels").as("tiff_pixels"): _*)
+    val afterMp3 = Mp3.parse(afterTiff, payloadCol)
+      .select(keep :+ col("wav_valid") :+ col("wav_ms") :+
+        col("png_valid") :+ col("png_pixels") :+
+        col("jpeg_valid") :+ col("jpeg_pixels") :+
+        col("bmp_valid") :+ col("bmp_pixels") :+
+        col("gif_valid") :+ col("gif_pixels") :+
+        col("pdf_valid") :+ col("n_pages") :+
+        col("mp4_valid") :+ col("mp4_ms") :+
+        col("webp_valid") :+ col("webp_pixels") :+
+        col("tiff_valid") :+ col("tiff_pixels") :+
+        col("mp3_valid") :+ col("duration_ms").as("mp3_ms"): _*)
+    val afterFlac = Flac.parse(afterMp3, payloadCol)
+      .select(keep :+ col("wav_valid") :+ col("wav_ms") :+
+        col("png_valid") :+ col("png_pixels") :+
+        col("jpeg_valid") :+ col("jpeg_pixels") :+
+        col("bmp_valid") :+ col("bmp_pixels") :+
+        col("gif_valid") :+ col("gif_pixels") :+
+        col("pdf_valid") :+ col("n_pages") :+
+        col("mp4_valid") :+ col("mp4_ms") :+
+        col("webp_valid") :+ col("webp_pixels") :+
+        col("tiff_valid") :+ col("tiff_pixels") :+
+        col("mp3_valid") :+ col("mp3_ms") :+
+        col("flac_valid") :+ col("duration_ms").as("flac_ms"): _*)
     val zipEntries = org.apache.spark.sql.GraftColumnBridge.column(
       graft.expressions.ZipEntries(
         org.apache.spark.sql.GraftColumnBridge.expression(p), 1 << 22))
-    afterTiff
+    afterFlac
       .withColumn("__zip", when(detected === "zip", zipEntries))
       .select(col("doc_id"), detected.as("detected"),
         length(p).cast("long").as("payload_bytes"),
@@ -1997,6 +2149,8 @@ object Binary {
           .when(detected === "mp4", col("mp4_valid"))
           .when(detected === "webp", col("webp_valid"))
           .when(detected === "tiff", col("tiff_valid"))
+          .when(detected === "mp3", col("mp3_valid"))
+          .when(detected === "flac", col("flac_valid"))
           .when(detected === "zip", col("__zip").isNotNull)
           .otherwise(lit(false)).as("valid"),
         when(detected === "wav", col("wav_ms"))
@@ -2008,6 +2162,8 @@ object Binary {
           .when(detected === "mp4", col("mp4_ms"))
           .when(detected === "webp", col("webp_pixels"))
           .when(detected === "tiff", col("tiff_pixels"))
+          .when(detected === "mp3", col("mp3_ms"))
+          .when(detected === "flac", col("flac_ms"))
           .when(detected === "zip", size(col("__zip")).cast("long"))
           .as("content_units"))
   }

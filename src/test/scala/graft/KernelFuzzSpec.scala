@@ -231,6 +231,37 @@ class KernelFuzzSpec extends SparkSpec {
     })
   }
 
+  test("Mp3/Flac walks never throw on corrupted streams or garbage behind their magics (r15)") {
+    val seeds = Seq(1L, 2L, 5L, 13L, 21L).flatMap(d => Seq(
+      graft.expressions.Mp3SynthKernel.synth(d),
+      graft.expressions.FlacSynthKernel.synth(d)))
+    val genCase = for {
+      src <- Gen.oneOf(seeds)
+      nFlips <- Gen.choose(1, 6)
+      flips <- Gen.listOfN(nFlips, for {
+        pos <- Gen.choose(0, src.length - 1)
+        v <- Gen.choose(Byte.MinValue, Byte.MaxValue)
+      } yield (pos, v))
+    } yield {
+      val c = src.clone()
+      flips.foreach { case (pos, v) => c(pos) = v }
+      c
+    }
+    checkProp(Prop.forAllNoShrink(genCase) { p =>
+      graft.expressions.Mp3MetaKernel.parse(p)
+      graft.expressions.FlacMetaKernel.parse(p)
+      true // value or null, never a throw
+    })
+    checkProp(Prop.forAllNoShrink(Gen.oneOf(
+      withPrefix(Array[Byte]('I', 'D', '3', 3, 0)),
+      withPrefix(Array[Byte](0xFF.toByte, 0xFB.toByte)),
+      withPrefix("fLaC".getBytes("US-ASCII") ++ Array[Byte](0)))) { p =>
+      graft.expressions.Mp3MetaKernel.parse(p)
+      graft.expressions.FlacMetaKernel.parse(p)
+      true
+    })
+  }
+
   test("Webp.parse (RIFF walk) never throws and flags garbage invalid (r14)") {
     // no kernel here — the parse is a declarative projection — so the
     // fuzz drives the EXPRESSION through a real Spark job: random

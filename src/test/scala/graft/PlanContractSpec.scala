@@ -471,8 +471,9 @@ class PlanContractSpec extends SparkSpec {
     }
   }
 
-  test("r15 mm rows: WebP/TIFF pixel decodes and TIFF triage are shuffle-free codegen projections") {
-    for (name <- Seq("mm_webp_pixels", "mm_tiff_meta", "mm_tiff_pixels")) {
+  test("r15 mm rows: WebP/TIFF pixel decodes and TIFF/MP3/FLAC triage are shuffle-free codegen projections") {
+    for (name <- Seq("mm_webp_pixels", "mm_tiff_meta", "mm_tiff_pixels",
+        "mm_mp3_meta", "mm_flac_meta")) {
       val phys = physical(q(name))
       assert(!phys.contains("Exchange hashpartitioning"),
         s"$name: unexpected keyed shuffle:\n$phys")
@@ -486,6 +487,10 @@ class PlanContractSpec extends SparkSpec {
       "mm_tiff_meta: TiffMeta kernel missing from plan")
     assert(physical(q("mm_tiff_pixels")).contains("tiff_pixel_stats"),
       "mm_tiff_pixels: TiffPixel kernel missing from plan")
+    assert(physical(q("mm_mp3_meta")).contains("mp3_meta"),
+      "mm_mp3_meta: Mp3Meta kernel missing from plan")
+    assert(physical(q("mm_flac_meta")).contains("flac_meta"),
+      "mm_flac_meta: FlacMeta kernel missing from plan")
   }
 
   test("r14 kernel upgrades: robots parse and PNG synthesis run as codegen kernels, not interpreted HOFs") {
