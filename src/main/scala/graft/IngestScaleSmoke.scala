@@ -420,6 +420,59 @@ object IngestScaleSmoke {
         f"(${nTiff / tTiff / 1000}%.0fk files/s)")
     }
 
+    // ---- rung 12 (r15): FLAC frame-decode throughput — the twelfth
+    // family's sample tier; rice/LPC subframes across every coding
+    // lane, per-row stats asserted against the closed-form sums ----
+    locally {
+      val nFlac = nImages
+      val flacs = spark.range(nFlac).toDF("id")
+        .select(id,
+          org.apache.spark.sql.GraftColumnBridge.column(
+            graft.expressions.FlacAudioSynth(
+              org.apache.spark.sql.GraftColumnBridge.expression(id)))
+            .as("payload"),
+          (lit(96L) + (id % 5) * 32).as("expect_n"))
+        .repartition(64).cache()
+      flacs.count()
+      val fBytes = flacs.agg(sum(length(col("payload")))).head().getLong(0)
+      val expN = flacs.agg(sum(col("expect_n"))).head().getLong(0)
+      // closed-form total sample_sum (the synth formulas, re-derived
+      // column-side): frame 0 constant + varying tail, per channel
+      val mM = when(id % 3 === 0, 160L).otherwise(2000L)
+      val chC = lit(1L) + id % 2
+      val nN = lit(96L) + (id % 5) * 32
+      val expSumCol = aggregate(
+        sequence(lit(0L), chC * nN - 1), lit(0L).cast("long"), (acc, i) => {
+          val j = pmod(i, nN)
+          val c = ((i - j) / nN).cast("long")
+          acc + when(j < 64, pmod(id * 13 + c * 29, mM) - (mM / 2).cast("long"))
+            .otherwise(pmod((id + 1) * 31 + c * 17 + j * 7, mM) -
+              (mM / 2).cast("long"))
+        })
+      val expSum = spark.range(nFlac).toDF("id")
+        .agg(sum(expSumCol)).head().getLong(0)
+      val (agg12, tFlac) = time {
+        flacs.select(org.apache.spark.sql.GraftColumnBridge.column(
+            graft.expressions.FlacAudioStats(
+              org.apache.spark.sql.GraftColumnBridge.expression(col("payload"))))
+            .as("st"))
+          .agg(sum(col("st.n_samples")).as("ns"),
+            sum(col("st.sample_sum")).as("ssum"),
+            sum(when(col("st.decode_ok") && col("st.matches_streaminfo"), 0L)
+              .otherwise(1L)).as("bad"),
+            sum(when(col("st.crc_ok"), 0L).otherwise(1L)).as("crcbad"))
+          .head()
+      }
+      assert(agg12.getLong(2) == 0L, s"FLAC decode failures: ${agg12.getLong(2)}")
+      assert(agg12.getLong(0) == expN, s"FLAC samples: ${agg12.getLong(0)} != $expN")
+      assert(agg12.getLong(1) == expSum,
+        s"FLAC sample sum: ${agg12.getLong(1)} != $expSum")
+      assert(agg12.getLong(3) == (0L until nFlac).count(_ % 20 == 5).toLong,
+        s"FLAC crc lane count: ${agg12.getLong(3)}")
+      println(f"FLAC n=$nFlac bytes=${fBytes / 1e6}%.1fMB decode=${tFlac}%.1fs " +
+        f"(${nFlac / tFlac / 1000}%.0fk files/s, ${expN / tFlac / 1e6}%.1fM smp/s)")
+    }
+
     println("INGEST_SCALE_SMOKE_OK")
     spark.stop()
   }

@@ -3341,6 +3341,47 @@ object OracleSql {
       |  CASE WHEN invalid THEN NULL ELSE TRUE END AS header_consistent
       |FROM m ORDER BY doc_id""".stripMargin
 
+  /** FLAC sample decode (mirror of `Flac.sampleStats` ∘
+    * `synthAudioFromDocs`): the oracle recomputes the integer sample
+    * stats from the closed-form sample formulas — frame 0 constant
+    * `(13d + 29c) mod M − M/2`, later frames
+    * `(31(d+1) + 17c + 7j) mod M − M/2` — while Spark must reach the
+    * same numbers by decoding actual rice-coded fixed/LPC subframes
+    * through stereo decorrelation, so the hash match proves the
+    * bit-level frame decode across every coding lane. The d%20==5
+    * lane ships a flipped final CRC-16: samples identical, `crc_ok`
+    * false.
+    */
+  val mmFlacSamples: String =
+    """WITH m AS (SELECT doc_id AS d, doc_id % 10 = 0 AS invalid,
+      |  1 + doc_id % 2 AS ch,
+      |  CASE WHEN doc_id % 3 = 0 THEN 8 ELSE 16 END AS bps,
+      |  CASE WHEN doc_id % 3 = 0 THEN 160 ELSE 2000 END AS mv,
+      |  96 + (doc_id % 5) * 32 AS n
+      |  FROM documents),
+      |v AS (SELECT d, invalid, ch, bps, n,
+      |  CASE WHEN invalid THEN NULL ELSE
+      |    list_transform(range(ch * n), i ->
+      |      CASE WHEN (i % n) < 64
+      |        THEN (d * 13 + (i // n) * 29) % mv - mv // 2
+      |        ELSE ((d + 1) * 31 + (i // n) * 17 + (i % n) * 7) % mv - mv // 2
+      |      END)
+      |  END AS s FROM m)
+      |SELECT d AS doc_id, NOT invalid AS flac_valid,
+      |  NOT invalid AS decode_ok,
+      |  (CASE WHEN invalid THEN NULL ELSE ch END)::BIGINT AS channels,
+      |  (CASE WHEN invalid THEN NULL ELSE bps END)::BIGINT AS bits_per_sample,
+      |  (CASE WHEN invalid THEN NULL ELSE (n + 63) // 64 END)::BIGINT AS n_frames,
+      |  (CASE WHEN invalid THEN NULL ELSE n END)::BIGINT AS n_samples,
+      |  (CASE WHEN invalid THEN NULL ELSE list_sum(s) END)::BIGINT AS sample_sum,
+      |  (CASE WHEN invalid THEN NULL
+      |    ELSE list_sum(list_transform(s, x -> x * x)) END)::BIGINT AS sample_sum_sq,
+      |  (CASE WHEN invalid THEN NULL
+      |    ELSE list_max(list_transform(s, x -> abs(x))) END)::BIGINT AS peak_abs,
+      |  CASE WHEN invalid THEN NULL ELSE d % 20 <> 5 END AS crc_ok,
+      |  CASE WHEN invalid THEN NULL ELSE TRUE END AS matches_streaminfo
+      |FROM v ORDER BY doc_id""".stripMargin
+
   /** TIFF triage (mirror of Binary.Tiff.parse ∘ synthFromDocs): every
     * field — byte order, page count, entry count, dims, strip/tile
     * geometry, unit counts — re-derived closed-form from doc_id

@@ -1800,7 +1800,19 @@ object SparkEntry {
       val docs = t(s, dir, "documents")
       val d = col("doc_id")
       val k = expr("(doc_id div 2) * 2")
-      val media = graft.multimodal.Binary.Wav.synthWindowedFromDocs(docs, k)
+      // cross-codec pairs (r15): the EVEN member ships the planted
+      // 65-window stream as WAV PCM, the ODD member as a REAL FLAC
+      // encode of the SAME samples — identical decoded audio,
+      // entirely different bytes, so the collision proves the rice
+      // frame decode; the closed-form oracle is unchanged
+      val wavM = graft.multimodal.Binary.Wav.synthWindowedFromDocs(docs, k)
+        .select(d, col("payload").as("wp"), col("media_type").as("wt"))
+      val flacM = graft.multimodal.Binary.Flac.synthWindowedFromDocs(docs, k)
+        .select(d, col("payload").as("fp"), col("media_type").as("ft"))
+      val media = wavM.join(flacM, Seq("doc_id"))
+        .select(d,
+          when(d % 2 === 0, col("wp")).otherwise(col("fp")).as("payload"),
+          when(d % 2 === 0, col("wt")).otherwise(col("ft")).as("media_type"))
       graft.multimodal.Binary.audioDedup(media)
         .select(d, col("audio_valid"), col("ahash_hi"), col("ahash_lo"),
           when(col("audio_valid"), col("n_copies")).as("n_copies"),
@@ -1888,6 +1900,22 @@ object SparkEntry {
           col("total_samples"), col("duration_ms"), col("n_blocks"),
           col("has_vorbis_comment"), col("min_block_size"),
           col("max_block_size"), col("header_consistent"))
+        .orderBy(col("doc_id"))
+    }),
+    // sample-level FLAC decode (r15): REAL rice-coded fixed/LPC
+    // frame decode behind the triage row — constant/verbatim/fixed/
+    // LPC subframe lanes, rice + rice2 partitions, left-side and
+    // mid-side stereo decorrelation, both frame CRCs, integer sample
+    // stats; the oracle recomputes every stat closed-form from
+    // doc_id while Spark decodes actual bits — a hash match proves
+    // the bit-level decode across every coding lane
+    "mm_flac_samples" -> ((s, dir) => {
+      val media = graft.multimodal.Binary.Flac.synthAudioFromDocs(t(s, dir, "documents"))
+      graft.multimodal.Binary.Flac.sampleStats(media)
+        .select(col("doc_id"), col("flac_valid"), col("decode_ok"),
+          col("channels"), col("bits_per_sample"), col("n_frames"),
+          col("n_samples"), col("sample_sum"), col("sample_sum_sq"),
+          col("peak_abs"), col("crc_ok"), col("matches_streaminfo"))
         .orderBy(col("doc_id"))
     }),
     // TIFF container triage — the TENTH family (r15): both byte
@@ -2315,5 +2343,6 @@ object SparkEntry {
     "mm_tiff_pixels" -> OracleSql.mmTiffPixels,
     "mm_mp3_meta" -> OracleSql.mmMp3Meta,
     "mm_flac_meta" -> OracleSql.mmFlacMeta,
+    "mm_flac_samples" -> OracleSql.mmFlacSamples,
   )
 }

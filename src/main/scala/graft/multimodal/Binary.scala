@@ -1637,6 +1637,64 @@ object Binary {
         when(d % invalidEvery === 0, lit("text/plain"))
           .otherwise(lit("audio/flac")).as("media_type"))
     }
+
+    /** Sample-level FLAC decode — the decode tier behind the triage
+      * row ([[graft.expressions.FlacAudioKernel]]): rice-coded
+      * fixed/LPC prediction, stereo decorrelation, wasted bits, both
+      * frame CRCs verified, integer sample stats (sum / sum-of-
+      * squares / peak) and the decoded-vs-STREAMINFO verdict. Pure
+      * projection — ONE codegen kernel pass, no shuffle.
+      */
+    def sampleStats(media: DataFrame, payloadCol: String = "payload"): DataFrame = {
+      val m = gcol(graft.expressions.FlacAudioStats(gexpr(col(payloadCol))))
+      media
+        .withColumn("__f", m)
+        .withColumn("flac_valid", coalesce(col("__f.flac_valid"), lit(false)))
+        .withColumn("decode_ok", coalesce(col("__f.decode_ok"), lit(false)))
+        .withColumn("channels", col("__f.channels"))
+        .withColumn("bits_per_sample", col("__f.bits_per_sample"))
+        .withColumn("n_frames", col("__f.n_frames"))
+        .withColumn("n_samples", col("__f.n_samples"))
+        .withColumn("sample_sum", col("__f.sample_sum"))
+        .withColumn("sample_sum_sq", col("__f.sample_sum_sq"))
+        .withColumn("peak_abs", col("__f.peak_abs"))
+        .withColumn("crc_ok", col("__f.crc_ok"))
+        .withColumn("matches_streaminfo", col("__f.matches_streaminfo"))
+        .drop("__f")
+    }
+
+    /** Deterministic FLAC AUDIO payloads — real encoded frames whose
+      * decoded samples are closed-form (see
+      * [[graft.expressions.FlacAudioSynthKernel]]: constant + rotating
+      * verbatim / fixed-rice / fixed-rice2-partitioned / LPC lanes,
+      * rotating stereo decorrelation, a flipped-CRC lane); every
+      * `invalidEvery`-th doc raw text.
+      */
+    def synthAudioFromDocs(docs: DataFrame, invalidEvery: Int = 10): DataFrame = {
+      val d = col("doc_id")
+      val payload = gcol(graft.expressions.FlacAudioSynth(gexpr(d)))
+      docs.select(d,
+        when(d % invalidEvery === 0, col("text").cast("binary"))
+          .otherwise(payload).as("payload"),
+        when(d % invalidEvery === 0, lit("text/plain"))
+          .otherwise(lit("audio/flac")).as("media_type"))
+    }
+
+    /** FLAC re-encode of the SAME planted 65-window sample stream
+      * [[Wav.synthWindowedFromDocs]] carries — the cross-codec member
+      * for the perceptual audio-dedup gate (identical decoded
+      * samples, entirely different bytes).
+      */
+    def synthWindowedFromDocs(docs: DataFrame, key: Column,
+        invalidEvery: Int = 10): DataFrame = {
+      val d = col("doc_id")
+      val payload = gcol(graft.expressions.FlacWindowedSynth(gexpr(key)))
+      docs.select(d,
+        when(d % invalidEvery === 0, col("text").cast("binary"))
+          .otherwise(payload).as("payload"),
+        when(d % invalidEvery === 0, lit("text/plain"))
+          .otherwise(lit("audio/flac")).as("media_type"))
+    }
   }
 
   /** MP4 / ISO BMFF (MOV, M4A, HEIF share the framing) container
@@ -1952,11 +2010,18 @@ object Binary {
       graft.expressions.AudioDhash(
         org.apache.spark.sql.GraftColumnBridge.expression(dataBin),
         org.apache.spark.sql.GraftColumnBridge.expression(col("bits_per_sample"))))
+    // FLAC routes through the full rice/LPC frame decode — the same
+    // 65-window energy-gradient arithmetic over the DECODED stream,
+    // so a FLAC re-encode collides with its WAV original (r15)
+    val flacH = org.apache.spark.sql.GraftColumnBridge.column(
+      graft.expressions.FlacAudioDhash(
+        org.apache.spark.sql.GraftColumnBridge.expression(p)))
     // persist the hashed frame — one sample decode per payload across
     // the ledger aggregate and the join-back (imageDedup's idiom)
     val withH = Wav.parse(media, payloadCol)
       .withColumn("__ahash",
-        when(col("wav_valid") && col("data_bytes") > 0, h))
+        when(Flac.isFlac(p), flacH)
+          .when(col("wav_valid") && col("data_bytes") > 0, h))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val groups = withH.where(col("__ahash").isNotNull)
       .groupBy(col("__ahash"))

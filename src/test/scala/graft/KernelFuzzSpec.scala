@@ -262,6 +262,37 @@ class KernelFuzzSpec extends SparkSpec {
     })
   }
 
+  test("FlacAudioKernel never throws on bit-flipped or garbage frame streams (r15)") {
+    // real encoded streams from every coding lane with random byte
+    // flips — the flips land in rice parameters, LPC coefficients,
+    // partition orders, CRCs, and the subframe type fields
+    val seeds = Seq(1L, 2L, 3L, 5L, 7L, 13L, 15L, 21L, 25L).map(
+      graft.expressions.FlacAudioSynthKernel.synth)
+    val genCase = for {
+      src <- Gen.oneOf(seeds)
+      nFlips <- Gen.choose(1, 8)
+      flips <- Gen.listOfN(nFlips, for {
+        pos <- Gen.choose(0, src.length - 1)
+        v <- Gen.choose(Byte.MinValue, Byte.MaxValue)
+      } yield (pos, v))
+    } yield {
+      val c = src.clone()
+      flips.foreach { case (pos, v) => c(pos) = v }
+      c
+    }
+    checkProp(Prop.forAllNoShrink(genCase) { p =>
+      graft.expressions.FlacAudioKernel.stats(p)
+      graft.expressions.FlacAudioKernel.ahash(p)
+      true // value or null, never a throw
+    })
+    checkProp(Prop.forAllNoShrink(
+      withPrefix("fLaC".getBytes("US-ASCII") ++ Array[Byte](0))) { p =>
+      graft.expressions.FlacAudioKernel.stats(p)
+      graft.expressions.FlacAudioKernel.ahash(p)
+      true
+    })
+  }
+
   test("Webp.parse (RIFF walk) never throws and flags garbage invalid (r14)") {
     // no kernel here — the parse is a declarative projection — so the
     // fuzz drives the EXPRESSION through a real Spark job: random

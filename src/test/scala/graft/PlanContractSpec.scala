@@ -473,7 +473,7 @@ class PlanContractSpec extends SparkSpec {
 
   test("r15 mm rows: WebP/TIFF pixel decodes and TIFF/MP3/FLAC triage are shuffle-free codegen projections") {
     for (name <- Seq("mm_webp_pixels", "mm_tiff_meta", "mm_tiff_pixels",
-        "mm_mp3_meta", "mm_flac_meta")) {
+        "mm_mp3_meta", "mm_flac_meta", "mm_flac_samples")) {
       val phys = physical(q(name))
       assert(!phys.contains("Exchange hashpartitioning"),
         s"$name: unexpected keyed shuffle:\n$phys")
@@ -491,6 +491,8 @@ class PlanContractSpec extends SparkSpec {
       "mm_mp3_meta: Mp3Meta kernel missing from plan")
     assert(physical(q("mm_flac_meta")).contains("flac_meta"),
       "mm_flac_meta: FlacMeta kernel missing from plan")
+    assert(physical(q("mm_flac_samples")).contains("flac_audio_stats"),
+      "mm_flac_samples: FlacAudio kernel missing from plan")
   }
 
   test("r14 kernel upgrades: robots parse and PNG synthesis run as codegen kernels, not interpreted HOFs") {
