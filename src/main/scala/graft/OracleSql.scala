@@ -3164,18 +3164,22 @@ object OracleSql {
       |  doc_id % 4 = 0 AS ttwo""".stripMargin
 
   /** Mixed-container triage (mirror of the mm_media_triage wiring:
-    * doc_id%7 picks raw/WAV/PNG/JPEG/BMP/WebP/TIFF — the r15 modulus
-    * is COPRIME with the synths' %10 corrupt lane, so every family
-    * contributes corrupt/text-fallback members, closing the r14
-    * ADVICE coverage gap): detection, sizes, and content units all
-    * re-derived from doc_id arithmetic + text length — a hash match
-    * proves the Spark triage detected containers from the actual
-    * bytes and routed each to the right parser's field formulas. The
-    * JPEG byte total mirrors Binary.Jpeg.synthFromDocs segment by
-    * segment: SOI(2) + APP0(18) + COM1(4+c1) [+ COM2(4+c2) every
-    * third doc] + SOF(10+3·nc) + SOS(8+2·nc) + data(8) + EOI(2); the
-    * BMP total is 54 + aligned stride × height; the TIFF total
-    * mirrors TiffSynthKernel's layout arithmetic entry for entry.
+    * doc_id%11 picks raw/WAV/PNG/JPEG/BMP/WebP/TIFF/MP3/FLAC/OGG/MKV
+    * — the modulus is COPRIME with the synths' %10 corrupt lane, so
+    * every family contributes corrupt/text-fallback members):
+    * detection, sizes, and content units all re-derived from doc_id
+    * arithmetic + text length — a hash match proves the Spark triage
+    * detected containers from the actual bytes and routed each to
+    * the right parser's field formulas. The JPEG byte total mirrors
+    * Binary.Jpeg.synthFromDocs segment by segment: SOI(2) + APP0(18)
+    * + COM1(4+c1) [+ COM2(4+c2) every third doc] + SOF(10+3·nc) +
+    * SOS(8+2·nc) + data(8) + EOI(2); the BMP total is 54 + aligned
+    * stride × height; the TIFF total mirrors TiffSynthKernel's
+    * layout arithmetic entry for entry; the OGG total is page
+    * arithmetic (27-byte headers + lacing counts + the codec-rotated
+    * ID packet); the MKV total is EBML element arithmetic incl. the
+    * 1-vs-2-byte size-varint break at 127 (both totals pinned
+    * byte-exact by OggSpec/MkvSpec against the same closed forms).
     */
   val mmMediaTriage: String =
     s"""WITH m AS (SELECT doc_id,
@@ -3186,7 +3190,7 @@ object OracleSql {
       |    THEN LEAST(GREATEST(octet_length(text::BLOB) - 5, 0), 3 + doc_id % 11)
       |    ELSE NULL END AS c2,
       |  CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 3 END AS nc,
-      |  doc_id % 9 AS cls, doc_id % 10 = 0 AS corrupt
+      |  doc_id % 11 AS cls, doc_id % 10 = 0 AS corrupt
       |  FROM documents),
       |w AS (SELECT *,
       |  (8000 + (doc_id % 5) * 4000) *
@@ -3226,11 +3230,30 @@ object OracleSql {
       |  8000 + (doc_id % 5) * 4000 AS fsr,
       |  1000 + doc_id % 5000 AS ftot,
       |  CASE WHEN doc_id % 3 = 1 THEN 12 + doc_id % 16 ELSE 0 END AS fvb,
-      |  CASE WHEN doc_id % 4 = 2 THEN 8 + doc_id % 8 ELSE 0 END AS fpd
+      |  CASE WHEN doc_id % 4 = 2 THEN 8 + doc_id % 8 ELSE 0 END AS fpd,
+      |  ([30, 19, 51])[(doc_id % 3) + 1] AS oid,
+      |  CASE WHEN doc_id % 5 = 2 THEN 255 WHEN doc_id % 5 = 3 THEN 300
+      |    ELSE 20 + doc_id % 40 END AS oclen,
+      |  CASE WHEN doc_id % 5 IN (2, 3) THEN 2 ELSE 1 END AS onlac,
+      |  1 + doc_id % 4 AS onaudio,
+      |  960 + (doc_id % 7) * 320 AS og,
+      |  8000 + (doc_id % 5) * 4000 AS osr,
+      |  CASE WHEN doc_id % 2 = 0 THEN 20 ELSE 24 END AS khdr,
+      |  CASE WHEN doc_id % 4 = 1 THEN 19 ELSE 23 END AS kinfo,
+      |  CASE WHEN doc_id % 15 = 0 THEN 1 ELSE 2 END AS khb,
+      |  CASE WHEN doc_id % 2 = 0 THEN 0
+      |    WHEN doc_id % 4 = 1 THEN 33 ELSE 31 END AS kaud,
+      |  CASE doc_id % 3 WHEN 0 THEN 0 WHEN 1 THEN 18 + doc_id % 9
+      |    ELSE 37 + 2 * (doc_id % 9) END AS kcl,
+      |  10000 + doc_id % 5000 AS kdur
       |  FROM w3),
+      |w5 AS (SELECT *,
+      |  kinfo + 28 + khb + kaud + kcl AS kseg
+      |  FROM w4),
       |d AS (SELECT doc_id, dlen, rawlen, c1, c2, nc, br, pw, ph, jh, jw, bw, bh, bimg,
       |  xfmt, xw, xh, tw_, th_, tlen, msr, mbr, mpad, mnf, mid3v2, mid3v1,
-      |  fsr, ftot, fvb, fpd,
+      |  fsr, ftot, fvb, fpd, oid, oclen, onlac, onaudio, og, osr,
+      |  khdr, kseg, kdur,
       |  CASE WHEN cls = 1 AND NOT corrupt THEN 'wav'
       |       WHEN cls = 2 AND NOT corrupt THEN 'png'
       |       WHEN cls = 3 AND NOT corrupt THEN 'jpeg'
@@ -3239,8 +3262,10 @@ object OracleSql {
       |       WHEN cls = 6 AND NOT corrupt THEN 'tiff'
       |       WHEN cls = 7 AND NOT corrupt THEN 'mp3'
       |       WHEN cls = 8 AND NOT corrupt THEN 'flac'
+      |       WHEN cls = 9 AND NOT corrupt THEN 'ogg'
+      |       WHEN cls = 10 AND NOT corrupt THEN 'mkv'
       |       ELSE 'unknown' END AS detected
-      |  FROM w4)
+      |  FROM w5)
       |SELECT doc_id, detected,
       |  (CASE WHEN detected = 'wav' THEN dlen + 44
       |        WHEN detected = 'png' THEN dlen + 57
@@ -3252,6 +3277,10 @@ object OracleSql {
       |          ((CASE WHEN doc_id % 2 = 0 THEN 144 ELSE 72 END)
       |            * mbr * 1000 // msr + mpad) + mid3v2 + mid3v1
       |        WHEN detected = 'flac' THEN 46 + fvb + fpd
+      |        WHEN detected = 'ogg' THEN (28 + oid) + (27 + onlac + oclen)
+      |          + onaudio * (68 + doc_id % 30)
+      |        WHEN detected = 'mkv' THEN khdr + 4
+      |          + (CASE WHEN kseg < 127 THEN 1 ELSE 2 END) + kseg
       |        ELSE rawlen END)::BIGINT AS payload_bytes,
       |  detected <> 'unknown' AS valid,
       |  (CASE WHEN detected = 'wav' THEN (dlen * 1000) // br
@@ -3263,6 +3292,10 @@ object OracleSql {
       |        WHEN detected = 'mp3' THEN mnf *
       |          (CASE WHEN doc_id % 2 = 0 THEN 1152 ELSE 576 END) * 1000 // msr
       |        WHEN detected = 'flac' THEN ftot * 1000 // fsr
+      |        WHEN detected = 'ogg' THEN CASE WHEN doc_id % 3 = 1
+      |          THEN onaudio * og * 1000 // 48000
+      |          ELSE onaudio * og * 1000 // osr END
+      |        WHEN detected = 'mkv' THEN kdur
       |        END)::BIGINT AS content_units
       |FROM d ORDER BY doc_id""".stripMargin
 
@@ -3338,6 +3371,94 @@ object OracleSql {
       |  CASE WHEN invalid THEN NULL ELSE vorbis END AS has_vorbis_comment,
       |  (CASE WHEN invalid THEN NULL ELSE 4096 END)::BIGINT AS min_block_size,
       |  (CASE WHEN invalid THEN NULL ELSE 4096 END)::BIGINT AS max_block_size,
+      |  CASE WHEN invalid THEN NULL ELSE TRUE END AS header_consistent
+      |FROM m ORDER BY doc_id""".stripMargin
+
+  /** OGG triage (mirror of `Binary.Ogg.parse` ∘ `synthFromDocs`):
+    * every field — codec rotation, rate/channels/pre-skip, page and
+    * packet counts, the final granule position, the exact integer
+    * duration (48 kHz-tick arithmetic minus pre-skip on the Opus
+    * lane), the flipped-CRC verdict — re-derived closed-form from
+    * doc_id, so a hash match proves the kernel walked and CHECKSUMMED
+    * the actual pages (the CRC lane fails integrity only if the
+    * kernel really recomputes OGG's unreflected CRC-32).
+    */
+  val mmOggMeta: String =
+    """WITH m AS (SELECT doc_id,
+      |  doc_id % 10 = 0 AS invalid,
+      |  doc_id % 3 AS codec_lane,
+      |  8000 + (doc_id % 5) * 4000 AS sr,
+      |  1 + doc_id % 2 AS ch,
+      |  120 + (doc_id % 4) * 60 AS pre_skip,
+      |  1 + doc_id % 4 AS n_audio,
+      |  960 + (doc_id % 7) * 320 AS g
+      |  FROM documents)
+      |SELECT doc_id,
+      |  CASE WHEN invalid THEN 'text/plain' ELSE 'audio/ogg' END AS media_type,
+      |  NOT invalid AS ogg_valid,
+      |  CASE WHEN invalid THEN NULL
+      |    WHEN codec_lane = 0 THEN 'vorbis'
+      |    WHEN codec_lane = 1 THEN 'opus'
+      |    ELSE 'flac' END AS codec,
+      |  (CASE WHEN invalid THEN NULL ELSE sr END)::BIGINT AS sample_rate,
+      |  (CASE WHEN invalid THEN NULL ELSE ch END)::BIGINT AS channels,
+      |  (CASE WHEN invalid OR codec_lane <> 1 THEN NULL
+      |    ELSE pre_skip END)::BIGINT AS pre_skip,
+      |  (CASE WHEN invalid THEN NULL ELSE 2 + n_audio END)::BIGINT AS n_pages,
+      |  (CASE WHEN invalid THEN NULL ELSE 2 + n_audio END)::BIGINT AS n_packets,
+      |  (CASE WHEN invalid THEN NULL
+      |    ELSE (CASE WHEN codec_lane = 1 THEN pre_skip ELSE 0 END)
+      |      + n_audio * g END)::BIGINT AS last_granule,
+      |  (CASE WHEN invalid THEN NULL
+      |    WHEN codec_lane = 1 THEN n_audio * g * 1000 // 48000
+      |    ELSE ((CASE WHEN codec_lane = 1 THEN pre_skip ELSE 0 END)
+      |      + n_audio * g) * 1000 // sr END)::BIGINT AS duration_ms,
+      |  CASE WHEN invalid THEN NULL ELSE doc_id % 20 <> 7 END AS crc_ok,
+      |  CASE WHEN invalid THEN NULL ELSE TRUE END AS header_consistent
+      |FROM m ORDER BY doc_id""".stripMargin
+
+  /** Matroska/WebM triage (mirror of `Binary.Mkv.parse` ∘
+    * `synthFromDocs`): every field — doctype rotation, the float
+    * Duration × TimecodeScale product (exact at these integer-valued
+    * floats in BOTH the float32 and float64 width lanes), VP8/VP9/AV1
+    * dims, the audio-track lane's codec/channels/rate, cluster
+    * counts — re-derived closed-form from doc_id, so a hash match
+    * proves the kernel walked the actual EBML varints.
+    */
+  val mmMkvMeta: String =
+    """WITH m AS (SELECT doc_id,
+      |  doc_id % 10 = 0 AS invalid,
+      |  doc_id % 2 = 0 AS webm,
+      |  2 + doc_id % 3 AS dt_ver,
+      |  10000 + doc_id % 5000 AS dur_ms,
+      |  doc_id % 2 = 1 AS has_audio,
+      |  doc_id % 4 = 1 AS vorbis_lane
+      |  FROM documents)
+      |SELECT doc_id,
+      |  CASE WHEN invalid THEN 'text/plain' ELSE 'video/webm' END AS media_type,
+      |  NOT invalid AS mkv_valid,
+      |  CASE WHEN invalid THEN NULL
+      |    WHEN webm THEN 'webm' ELSE 'matroska' END AS doctype,
+      |  (CASE WHEN invalid THEN NULL ELSE dt_ver END)::BIGINT AS doctype_version,
+      |  (CASE WHEN invalid THEN NULL ELSE 1000000 END)::BIGINT AS timecode_scale,
+      |  (CASE WHEN invalid THEN NULL ELSE dur_ms END)::BIGINT AS duration_ms,
+      |  (CASE WHEN invalid THEN NULL
+      |    ELSE 1 + (CASE WHEN has_audio THEN 1 ELSE 0 END) END)::BIGINT AS n_tracks,
+      |  CASE WHEN invalid THEN NULL
+      |    WHEN doc_id % 3 = 0 THEN 'V_VP8'
+      |    WHEN doc_id % 3 = 1 THEN 'V_VP9'
+      |    ELSE 'V_AV1' END AS video_codec,
+      |  (CASE WHEN invalid THEN NULL
+      |    ELSE 320 + 16 * (doc_id % 20) END)::BIGINT AS pixel_width,
+      |  (CASE WHEN invalid THEN NULL
+      |    ELSE 240 + 16 * (doc_id % 15) END)::BIGINT AS pixel_height,
+      |  CASE WHEN invalid OR NOT has_audio THEN NULL
+      |    WHEN vorbis_lane THEN 'A_VORBIS' ELSE 'A_OPUS' END AS audio_codec,
+      |  (CASE WHEN invalid OR NOT has_audio THEN NULL
+      |    ELSE 1 + (doc_id % 5) % 2 END)::BIGINT AS audio_channels,
+      |  (CASE WHEN invalid OR NOT has_audio THEN NULL
+      |    WHEN vorbis_lane THEN 44100 ELSE 48000 END)::BIGINT AS audio_sample_rate,
+      |  (CASE WHEN invalid THEN NULL ELSE doc_id % 3 END)::BIGINT AS n_clusters,
       |  CASE WHEN invalid THEN NULL ELSE TRUE END AS header_consistent
       |FROM m ORDER BY doc_id""".stripMargin
 

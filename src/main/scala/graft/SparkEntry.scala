@@ -1856,22 +1856,29 @@ object SparkEntry {
         .select(d, col("payload").as("m3p"))
       val fl = graft.multimodal.Binary.Flac.synthFromDocs(docs)
         .select(d, col("payload").as("flp"))
-      // lane modulus 9 (8 families + text) is COPRIME with the
+      val og = graft.multimodal.Binary.Ogg.synthFromDocs(docs)
+        .select(d, col("payload").as("ogp"))
+      val mk = graft.multimodal.Binary.Mkv.synthFromDocs(docs)
+        .select(d, col("payload").as("mkp"))
+      // lane modulus 11 (10 families + text) is COPRIME with the
       // synths' %10 corrupt lane, so every family contributes
       // corrupt/text-fallback members (r15)
       val mixed = docs.select(d, col("text"))
         .join(w, Seq("doc_id")).join(g, Seq("doc_id")).join(j, Seq("doc_id"))
         .join(b, Seq("doc_id")).join(wb, Seq("doc_id")).join(tf, Seq("doc_id"))
         .join(m3, Seq("doc_id")).join(fl, Seq("doc_id"))
+        .join(og, Seq("doc_id")).join(mk, Seq("doc_id"))
         .select(d,
-          when(d % 9 === 1, col("wp"))
-            .when(d % 9 === 2, col("gp"))
-            .when(d % 9 === 3, col("jp"))
-            .when(d % 9 === 4, col("bp"))
-            .when(d % 9 === 5, col("xp"))
-            .when(d % 9 === 6, col("tp"))
-            .when(d % 9 === 7, col("m3p"))
-            .when(d % 9 === 8, col("flp"))
+          when(d % 11 === 1, col("wp"))
+            .when(d % 11 === 2, col("gp"))
+            .when(d % 11 === 3, col("jp"))
+            .when(d % 11 === 4, col("bp"))
+            .when(d % 11 === 5, col("xp"))
+            .when(d % 11 === 6, col("tp"))
+            .when(d % 11 === 7, col("m3p"))
+            .when(d % 11 === 8, col("flp"))
+            .when(d % 11 === 9, col("ogp"))
+            .when(d % 11 === 10, col("mkp"))
             .otherwise(col("text").cast("binary")).as("payload"))
       graft.multimodal.Binary.triage(mixed).orderBy(d)
     }),
@@ -1916,6 +1923,36 @@ object SparkEntry {
           col("channels"), col("bits_per_sample"), col("n_frames"),
           col("n_samples"), col("sample_sum"), col("sample_sum_sq"),
           col("peak_abs"), col("crc_ok"), col("matches_streaminfo"))
+        .orderBy(col("doc_id"))
+    }),
+    // OGG container triage — the THIRTEENTH family (r15): page walk
+    // with real per-page CRC-32 verification, lacing-table packet
+    // accounting, Vorbis/Opus/Ogg-FLAC ID-header parse, exact
+    // granule-position duration — every field re-derived closed-form
+    // by the oracle while Spark walks and checksums actual pages
+    "mm_ogg_meta" -> ((s, dir) => {
+      val media = graft.multimodal.Binary.Ogg.synthFromDocs(t(s, dir, "documents"))
+      graft.multimodal.Binary.Ogg.parse(media)
+        .select(col("doc_id"), col("media_type"), col("ogg_valid"),
+          col("codec"), col("sample_rate"), col("channels"),
+          col("pre_skip"), col("n_pages"), col("n_packets"),
+          col("last_granule"), col("duration_ms"), col("crc_ok"),
+          col("header_consistent"))
+        .orderBy(col("doc_id"))
+    }),
+    // Matroska/WebM container triage — the FOURTEENTH family (r15):
+    // EBML varint walk, doctype, float duration × timecode scale,
+    // per-track codec/dims/audio params, cluster count — every field
+    // re-derived closed-form by the oracle while Spark walks varints
+    "mm_mkv_meta" -> ((s, dir) => {
+      val media = graft.multimodal.Binary.Mkv.synthFromDocs(t(s, dir, "documents"))
+      graft.multimodal.Binary.Mkv.parse(media)
+        .select(col("doc_id"), col("media_type"), col("mkv_valid"),
+          col("doctype"), col("doctype_version"), col("timecode_scale"),
+          col("duration_ms"), col("n_tracks"), col("video_codec"),
+          col("pixel_width"), col("pixel_height"), col("audio_codec"),
+          col("audio_channels"), col("audio_sample_rate"),
+          col("n_clusters"), col("header_consistent"))
         .orderBy(col("doc_id"))
     }),
     // TIFF container triage — the TENTH family (r15): both byte
@@ -2343,6 +2380,8 @@ object SparkEntry {
     "mm_tiff_pixels" -> OracleSql.mmTiffPixels,
     "mm_mp3_meta" -> OracleSql.mmMp3Meta,
     "mm_flac_meta" -> OracleSql.mmFlacMeta,
+    "mm_ogg_meta" -> OracleSql.mmOggMeta,
+    "mm_mkv_meta" -> OracleSql.mmMkvMeta,
     "mm_flac_samples" -> OracleSql.mmFlacSamples,
   )
 }

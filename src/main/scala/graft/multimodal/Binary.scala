@@ -1697,6 +1697,128 @@ object Binary {
     }
   }
 
+  /** OGG container triage — the THIRTEENTH family (r15): the
+    * free-codec audio container (Vorbis / Opus / FLAC-in-Ogg /
+    * Theora). Page walk with REAL per-page CRC-32 verification and
+    * codec-ID-header parse ([[graft.expressions.OggMetaKernel]]).
+    * One codegen kernel pass, pure projection.
+    */
+  object Ogg {
+    import org.apache.spark.sql.GraftColumnBridge.{column => gcol, expression => gexpr}
+
+    /** Column-level detection mirror of `OggMetaKernel.isOgg`: the
+      * capture pattern plus stream-structure version 0 (a NUL —
+      * never printable, so text cannot route here).
+      */
+    private[multimodal] def isOgg(p: Column): Column =
+      length(p) >= 5 &&
+        substring(p, 1, 5) === lit(Array[Byte]('O', 'g', 'g', 'S', 0))
+
+    /** Parse triage fields: validity, the first packet's codec
+      * (vorbis / opus / flac / theora / unknown), rate / channels /
+      * Opus pre-skip, page and completed-packet counts from the
+      * lacing tables, the final granule position and its exact
+      * integer duration, the page-CRC integrity verdict, and the
+      * single-stream structural `consistent` verdict. Pure
+      * projection.
+      */
+    def parse(media: DataFrame, payloadCol: String = "payload"): DataFrame = {
+      val m = gcol(graft.expressions.OggMeta(gexpr(col(payloadCol))))
+      media
+        .withColumn("__o", m)
+        .withColumn("ogg_valid", coalesce(col("__o.ogg_valid"), lit(false)))
+        .withColumn("codec", col("__o.codec"))
+        .withColumn("sample_rate", col("__o.sample_rate"))
+        .withColumn("channels", col("__o.channels"))
+        .withColumn("pre_skip", col("__o.pre_skip"))
+        .withColumn("n_pages", col("__o.n_pages"))
+        .withColumn("n_packets", col("__o.n_packets"))
+        .withColumn("last_granule", col("__o.last_granule"))
+        .withColumn("duration_ms", col("__o.duration_ms"))
+        .withColumn("crc_ok", col("__o.crc_ok"))
+        .withColumn("header_consistent", col("__o.consistent"))
+        .drop("__o")
+    }
+
+    /** Deterministic OGG payloads over the docs table (see
+      * [[graft.expressions.OggSynthKernel]]: real CRC'd pages,
+      * rotating Vorbis/Opus/Ogg-FLAC ID headers, page counts,
+      * granule steps, 255-lacing and multi-lacing packet lanes, a
+      * flipped-CRC lane); every `invalidEvery`-th doc raw text.
+      */
+    def synthFromDocs(docs: DataFrame, invalidEvery: Int = 10): DataFrame = {
+      val d = col("doc_id")
+      val payload = gcol(graft.expressions.OggSynth(gexpr(d)))
+      docs.select(d,
+        when(d % invalidEvery === 0, col("text").cast("binary"))
+          .otherwise(payload).as("payload"),
+        when(d % invalidEvery === 0, lit("text/plain"))
+          .otherwise(lit("audio/ogg")).as("media_type"))
+    }
+  }
+
+  /** Matroska / WebM container triage — the FOURTEENTH family (r15):
+    * the dominant open web-video container. EBML varint walk —
+    * DocType, Segment Info (timecode scale, float duration), Tracks
+    * (codec IDs, video dims, audio rate/channels), cluster counting
+    * ([[graft.expressions.MkvMetaKernel]]). One codegen kernel pass,
+    * pure projection.
+    */
+  object Mkv {
+    import org.apache.spark.sql.GraftColumnBridge.{column => gcol, expression => gexpr}
+
+    /** Column-level detection mirror of `MkvMetaKernel.isMkv`: the
+      * 4-byte EBML magic (0x1A is a control byte — never printable,
+      * so text cannot route here).
+      */
+    private[multimodal] def isMkv(p: Column): Column =
+      length(p) >= 4 && substring(p, 1, 4) ===
+        lit(Array[Byte](0x1A, 0x45, 0xDF.toByte, 0xA3.toByte))
+
+    /** Parse triage fields: validity, doctype (webm vs matroska),
+      * doctype version, timecode scale, exact rounded duration_ms,
+      * track count, first video track's codec/dims, first audio
+      * track's codec/channels/rate, cluster count, and the
+      * every-element-in-bounds `consistent` verdict. Pure projection.
+      */
+    def parse(media: DataFrame, payloadCol: String = "payload"): DataFrame = {
+      val m = gcol(graft.expressions.MkvMeta(gexpr(col(payloadCol))))
+      media
+        .withColumn("__m", m)
+        .withColumn("mkv_valid", coalesce(col("__m.mkv_valid"), lit(false)))
+        .withColumn("doctype", col("__m.doctype"))
+        .withColumn("doctype_version", col("__m.doctype_version"))
+        .withColumn("timecode_scale", col("__m.timecode_scale"))
+        .withColumn("duration_ms", col("__m.duration_ms"))
+        .withColumn("n_tracks", col("__m.n_tracks"))
+        .withColumn("video_codec", col("__m.video_codec"))
+        .withColumn("pixel_width", col("__m.pixel_width"))
+        .withColumn("pixel_height", col("__m.pixel_height"))
+        .withColumn("audio_codec", col("__m.audio_codec"))
+        .withColumn("audio_channels", col("__m.audio_channels"))
+        .withColumn("audio_sample_rate", col("__m.audio_sample_rate"))
+        .withColumn("n_clusters", col("__m.n_clusters"))
+        .withColumn("header_consistent", col("__m.consistent"))
+        .drop("__m")
+    }
+
+    /** Deterministic Matroska/WebM payloads over the docs table (see
+      * [[graft.expressions.MkvSynthKernel]]: rotating doctype,
+      * VP8/VP9/AV1 dims, an Opus/Vorbis audio-track lane, float32 vs
+      * float64 duration widths, cluster counts, skip-path elements);
+      * every `invalidEvery`-th doc raw text.
+      */
+    def synthFromDocs(docs: DataFrame, invalidEvery: Int = 10): DataFrame = {
+      val d = col("doc_id")
+      val payload = gcol(graft.expressions.MkvSynth(gexpr(d)))
+      docs.select(d,
+        when(d % invalidEvery === 0, col("text").cast("binary"))
+          .otherwise(payload).as("payload"),
+        when(d % invalidEvery === 0, lit("text/plain"))
+          .otherwise(lit("video/webm")).as("media_type"))
+    }
+  }
+
   /** MP4 / ISO BMFF (MOV, M4A, HEIF share the framing) container
     * triage — the VIDEO container family: boxes are BE-sized 4cc
     * headers, nested, so triage needs a path walk
@@ -2118,6 +2240,8 @@ object Binary {
         .when(Tiff.isTiff(p), "tiff")
         .when(Mp3.isMp3(p), "mp3")
         .when(Flac.isFlac(p), "flac")
+        .when(Ogg.isOgg(p), "ogg")
+        .when(Mkv.isMkv(p), "mkv")
         .otherwise("unknown")
     val keep = media.columns.map(col)
     val afterWav = Wav.parse(media, payloadCol)
@@ -2192,16 +2316,44 @@ object Binary {
         col("jpeg_valid") :+ col("jpeg_pixels") :+
         col("bmp_valid") :+ col("bmp_pixels") :+
         col("gif_valid") :+ col("gif_pixels") :+
-        col("pdf_valid") :+ col("n_pages") :+
+        // park the PDF page count: Ogg.parse emits its own `n_pages`
+        col("pdf_valid") :+ col("n_pages").as("pdf_pages") :+
         col("mp4_valid") :+ col("mp4_ms") :+
         col("webp_valid") :+ col("webp_pixels") :+
         col("tiff_valid") :+ col("tiff_pixels") :+
         col("mp3_valid") :+ col("mp3_ms") :+
         col("flac_valid") :+ col("duration_ms").as("flac_ms"): _*)
+    val afterOgg = Ogg.parse(afterFlac, payloadCol)
+      .select(keep :+ col("wav_valid") :+ col("wav_ms") :+
+        col("png_valid") :+ col("png_pixels") :+
+        col("jpeg_valid") :+ col("jpeg_pixels") :+
+        col("bmp_valid") :+ col("bmp_pixels") :+
+        col("gif_valid") :+ col("gif_pixels") :+
+        col("pdf_valid") :+ col("pdf_pages") :+
+        col("mp4_valid") :+ col("mp4_ms") :+
+        col("webp_valid") :+ col("webp_pixels") :+
+        col("tiff_valid") :+ col("tiff_pixels") :+
+        col("mp3_valid") :+ col("mp3_ms") :+
+        col("flac_valid") :+ col("flac_ms") :+
+        col("ogg_valid") :+ col("duration_ms").as("ogg_ms"): _*)
+    val afterMkv = Mkv.parse(afterOgg, payloadCol)
+      .select(keep :+ col("wav_valid") :+ col("wav_ms") :+
+        col("png_valid") :+ col("png_pixels") :+
+        col("jpeg_valid") :+ col("jpeg_pixels") :+
+        col("bmp_valid") :+ col("bmp_pixels") :+
+        col("gif_valid") :+ col("gif_pixels") :+
+        col("pdf_valid") :+ col("pdf_pages") :+
+        col("mp4_valid") :+ col("mp4_ms") :+
+        col("webp_valid") :+ col("webp_pixels") :+
+        col("tiff_valid") :+ col("tiff_pixels") :+
+        col("mp3_valid") :+ col("mp3_ms") :+
+        col("flac_valid") :+ col("flac_ms") :+
+        col("ogg_valid") :+ col("ogg_ms") :+
+        col("mkv_valid") :+ col("duration_ms").as("mkv_ms"): _*)
     val zipEntries = org.apache.spark.sql.GraftColumnBridge.column(
       graft.expressions.ZipEntries(
         org.apache.spark.sql.GraftColumnBridge.expression(p), 1 << 22))
-    afterFlac
+    afterMkv
       .withColumn("__zip", when(detected === "zip", zipEntries))
       .select(col("doc_id"), detected.as("detected"),
         length(p).cast("long").as("payload_bytes"),
@@ -2216,6 +2368,8 @@ object Binary {
           .when(detected === "tiff", col("tiff_valid"))
           .when(detected === "mp3", col("mp3_valid"))
           .when(detected === "flac", col("flac_valid"))
+          .when(detected === "ogg", col("ogg_valid"))
+          .when(detected === "mkv", col("mkv_valid"))
           .when(detected === "zip", col("__zip").isNotNull)
           .otherwise(lit(false)).as("valid"),
         when(detected === "wav", col("wav_ms"))
@@ -2223,12 +2377,14 @@ object Binary {
           .when(detected === "jpeg", col("jpeg_pixels"))
           .when(detected === "bmp", col("bmp_pixels"))
           .when(detected === "gif", col("gif_pixels"))
-          .when(detected === "pdf", col("n_pages"))
+          .when(detected === "pdf", col("pdf_pages"))
           .when(detected === "mp4", col("mp4_ms"))
           .when(detected === "webp", col("webp_pixels"))
           .when(detected === "tiff", col("tiff_pixels"))
           .when(detected === "mp3", col("mp3_ms"))
           .when(detected === "flac", col("flac_ms"))
+          .when(detected === "ogg", col("ogg_ms"))
+          .when(detected === "mkv", col("mkv_ms"))
           .when(detected === "zip", size(col("__zip")).cast("long"))
           .as("content_units"))
   }

@@ -262,6 +262,39 @@ class KernelFuzzSpec extends SparkSpec {
     })
   }
 
+  test("Ogg/Mkv walks never throw on corrupted streams or garbage behind their magics (r15)") {
+    // real synth payloads with random byte flips — the flips land in
+    // lacing tables, granule positions, CRCs, EBML varint widths,
+    // element sizes, and float fields
+    val seeds = Seq(1L, 2L, 5L, 13L, 21L).flatMap(d => Seq(
+      graft.expressions.OggSynthKernel.synth(d),
+      graft.expressions.MkvSynthKernel.synth(d)))
+    val genCase = for {
+      src <- Gen.oneOf(seeds)
+      nFlips <- Gen.choose(1, 6)
+      flips <- Gen.listOfN(nFlips, for {
+        pos <- Gen.choose(0, src.length - 1)
+        v <- Gen.choose(Byte.MinValue, Byte.MaxValue)
+      } yield (pos, v))
+    } yield {
+      val c = src.clone()
+      flips.foreach { case (pos, v) => c(pos) = v }
+      c
+    }
+    checkProp(Prop.forAllNoShrink(genCase) { p =>
+      graft.expressions.OggMetaKernel.parse(p)
+      graft.expressions.MkvMetaKernel.parse(p)
+      true // value or null, never a throw
+    })
+    checkProp(Prop.forAllNoShrink(Gen.oneOf(
+      withPrefix(Array[Byte]('O', 'g', 'g', 'S', 0)),
+      withPrefix(Array[Byte](0x1A, 0x45, 0xDF.toByte, 0xA3.toByte)))) { p =>
+      graft.expressions.OggMetaKernel.parse(p)
+      graft.expressions.MkvMetaKernel.parse(p)
+      true
+    })
+  }
+
   test("FlacAudioKernel never throws on bit-flipped or garbage frame streams (r15)") {
     // real encoded streams from every coding lane with random byte
     // flips — the flips land in rice parameters, LPC coefficients,

@@ -495,6 +495,21 @@ class PlanContractSpec extends SparkSpec {
       "mm_flac_samples: FlacAudio kernel missing from plan")
   }
 
+  test("r15 mm rows: OGG and Matroska triage are shuffle-free codegen projections") {
+    for (name <- Seq("mm_ogg_meta", "mm_mkv_meta")) {
+      val phys = physical(q(name))
+      assert(!phys.contains("Exchange hashpartitioning"),
+        s"$name: unexpected keyed shuffle:\n$phys")
+      assert(!phys.contains("Window"), s"$name: unexpected window:\n$phys")
+      assert(!phys.contains("CartesianProduct"), s"$name: cartesian:\n$phys")
+      assert(!phys.toLowerCase.contains("batchevalpython"), s"$name: python udf")
+    }
+    assert(physical(q("mm_ogg_meta")).contains("ogg_meta"),
+      "mm_ogg_meta: OggMeta kernel missing from plan")
+    assert(physical(q("mm_mkv_meta")).contains("mkv_meta"),
+      "mm_mkv_meta: MkvMeta kernel missing from plan")
+  }
+
   test("r14 kernel upgrades: robots parse and PNG synthesis run as codegen kernels, not interpreted HOFs") {
     // the r13 verdict's two weak rows — both were interpreted
     // higher-order-function expression trees; both now route through
