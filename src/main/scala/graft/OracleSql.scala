@@ -3503,6 +3503,55 @@ object OracleSql {
       |  CASE WHEN invalid THEN NULL ELSE TRUE END AS matches_streaminfo
       |FROM v ORDER BY doc_id""".stripMargin
 
+  /** Ogg-FLAC sample decode (mirror of `Ogg.sampleStats` ∘
+    * `synthAudioFromDocs`): the decoded samples keep the bare-FLAC
+    * synth's closed forms (the frames are
+    * `FlacAudioSynthKernel.synthParts`, re-paged), so the sample
+    * stats re-use `mmFlacSamples`' arithmetic; the page layer adds
+    * its own closed forms — n_pages = BOS + comment pages (2 when
+    * the d%5==4 lane splits the packet across a continuation page)
+    * + ceil(frames / framesPerPage) with framesPerPage = 1 + d%2 —
+    * plus the two independent CRC lanes (d%20==7 flips the last
+    * PAGE CRC, d%20==5 the last FLAC frame CRC). A hash match
+    * proves the page walk, the cross-page packet reassembly, AND
+    * the bit-level frame decode.
+    */
+  val mmOggSamples: String =
+    """WITH m AS (SELECT doc_id AS d, doc_id % 10 = 0 AS invalid,
+      |  1 + doc_id % 2 AS ch,
+      |  CASE WHEN doc_id % 3 = 0 THEN 8 ELSE 16 END AS bps,
+      |  CASE WHEN doc_id % 3 = 0 THEN 160 ELSE 2000 END AS mv,
+      |  96 + (doc_id % 5) * 32 AS n,
+      |  1 + doc_id % 2 AS fpp,
+      |  CASE WHEN doc_id % 5 = 4 THEN 2 ELSE 1 END AS comment_pages
+      |  FROM documents),
+      |v AS (SELECT d, invalid, ch, bps, n,
+      |  1 + comment_pages
+      |    + ((n + 63) // 64 + fpp - 1) // fpp AS pages,
+      |  CASE WHEN invalid THEN NULL ELSE
+      |    list_transform(range(ch * n), i ->
+      |      CASE WHEN (i % n) < 64
+      |        THEN (d * 13 + (i // n) * 29) % mv - mv // 2
+      |        ELSE ((d + 1) * 31 + (i // n) * 17 + (i % n) * 7) % mv - mv // 2
+      |      END)
+      |  END AS s FROM m)
+      |SELECT d AS doc_id, NOT invalid AS oggflac_valid,
+      |  (CASE WHEN invalid THEN NULL ELSE pages END)::BIGINT AS n_pages,
+      |  CASE WHEN invalid THEN NULL ELSE d % 20 <> 7 END AS pages_crc_ok,
+      |  NOT invalid AS decode_ok,
+      |  (CASE WHEN invalid THEN NULL ELSE ch END)::BIGINT AS channels,
+      |  (CASE WHEN invalid THEN NULL ELSE bps END)::BIGINT AS bits_per_sample,
+      |  (CASE WHEN invalid THEN NULL ELSE (n + 63) // 64 END)::BIGINT AS n_frames,
+      |  (CASE WHEN invalid THEN NULL ELSE n END)::BIGINT AS n_samples,
+      |  (CASE WHEN invalid THEN NULL ELSE list_sum(s) END)::BIGINT AS sample_sum,
+      |  (CASE WHEN invalid THEN NULL
+      |    ELSE list_sum(list_transform(s, x -> x * x)) END)::BIGINT AS sample_sum_sq,
+      |  (CASE WHEN invalid THEN NULL
+      |    ELSE list_max(list_transform(s, x -> abs(x))) END)::BIGINT AS peak_abs,
+      |  CASE WHEN invalid THEN NULL ELSE d % 20 <> 5 END AS frame_crc_ok,
+      |  CASE WHEN invalid THEN NULL ELSE TRUE END AS matches_streaminfo
+      |FROM v ORDER BY doc_id""".stripMargin
+
   /** TIFF triage (mirror of Binary.Tiff.parse ∘ synthFromDocs): every
     * field — byte order, page count, entry count, dims, strip/tile
     * geometry, unit counts — re-derived closed-form from doc_id

@@ -1802,17 +1802,23 @@ object SparkEntry {
       val k = expr("(doc_id div 2) * 2")
       // cross-codec pairs (r15): the EVEN member ships the planted
       // 65-window stream as WAV PCM, the ODD member as a REAL FLAC
-      // encode of the SAME samples — identical decoded audio,
-      // entirely different bytes, so the collision proves the rice
-      // frame decode; the closed-form oracle is unchanged
+      // encode (d%4==1) or an Ogg-FLAC re-mux of that encode
+      // (d%4==3) of the SAME samples — identical decoded audio,
+      // entirely different bytes AND containers, so the collision
+      // proves the rice frame decode and the page reassembly; the
+      // closed-form oracle is unchanged
       val wavM = graft.multimodal.Binary.Wav.synthWindowedFromDocs(docs, k)
         .select(d, col("payload").as("wp"), col("media_type").as("wt"))
       val flacM = graft.multimodal.Binary.Flac.synthWindowedFromDocs(docs, k)
         .select(d, col("payload").as("fp"), col("media_type").as("ft"))
-      val media = wavM.join(flacM, Seq("doc_id"))
+      val oggM = graft.multimodal.Binary.Ogg.synthWindowedFromDocs(docs, k)
+        .select(d, col("payload").as("op"), col("media_type").as("ot"))
+      val media = wavM.join(flacM, Seq("doc_id")).join(oggM, Seq("doc_id"))
         .select(d,
-          when(d % 2 === 0, col("wp")).otherwise(col("fp")).as("payload"),
-          when(d % 2 === 0, col("wt")).otherwise(col("ft")).as("media_type"))
+          when(d % 2 === 0, col("wp"))
+            .when(d % 4 === 1, col("fp")).otherwise(col("op")).as("payload"),
+          when(d % 2 === 0, col("wt"))
+            .when(d % 4 === 1, col("ft")).otherwise(col("ot")).as("media_type"))
       graft.multimodal.Binary.audioDedup(media)
         .select(d, col("audio_valid"), col("ahash_hi"), col("ahash_lo"),
           when(col("audio_valid"), col("n_copies")).as("n_copies"),
@@ -1923,6 +1929,25 @@ object SparkEntry {
           col("channels"), col("bits_per_sample"), col("n_frames"),
           col("n_samples"), col("sample_sum"), col("sample_sum_sq"),
           col("peak_abs"), col("crc_ok"), col("matches_streaminfo"))
+        .orderBy(col("doc_id"))
+    }),
+    // sample-level Ogg-FLAC decode (r15 continuation): container
+    // unwrapping COMPOSED with the FLAC frame decode — page walk with
+    // per-page CRC verification, cross-page packet reassembly
+    // (lacing-255 spills + continuation flags), mapping-header strip,
+    // then the same rice/LPC decode as mm_flac_samples; the oracle
+    // recomputes every stat closed-form from doc_id while Spark
+    // reassembles and decodes actual bits, so a hash match proves
+    // BOTH layers (Vorbis/Opus stay triage-only: float MDCT codecs
+    // admit no bit-exact closed-form oracle — the MP3 posture)
+    "mm_ogg_samples" -> ((s, dir) => {
+      val media = graft.multimodal.Binary.Ogg.synthAudioFromDocs(t(s, dir, "documents"))
+      graft.multimodal.Binary.Ogg.sampleStats(media)
+        .select(col("doc_id"), col("oggflac_valid"), col("n_pages"),
+          col("pages_crc_ok"), col("decode_ok"), col("channels"),
+          col("bits_per_sample"), col("n_frames"), col("n_samples"),
+          col("sample_sum"), col("sample_sum_sq"), col("peak_abs"),
+          col("frame_crc_ok"), col("matches_streaminfo"))
         .orderBy(col("doc_id"))
     }),
     // OGG container triage — the THIRTEENTH family (r15): page walk
@@ -2383,5 +2408,6 @@ object SparkEntry {
     "mm_ogg_meta" -> OracleSql.mmOggMeta,
     "mm_mkv_meta" -> OracleSql.mmMkvMeta,
     "mm_flac_samples" -> OracleSql.mmFlacSamples,
+    "mm_ogg_samples" -> OracleSql.mmOggSamples,
   )
 }

@@ -559,6 +559,34 @@ object FlacAudioSynthKernel {
     encode(ch, bps, n, sr, lane, decorr, breakCrc, constFirst = true, sample)
   }
 
+  /** [[synth]] split at its natural seams — (fLaC+STREAMINFO header,
+    * one byte array per encoded frame) — for container wrappers that
+    * need packet boundaries (the Ogg-FLAC mapping ships one frame per
+    * packet). Concatenating the parts is bit-identical to [[synth]].
+    */
+  def synthParts(d: Long): (Array[Byte], Array[Array[Byte]]) = {
+    val ch = (1 + d % 2).toInt
+    val bps = if (d % 3 == 0) 8 else 16
+    val m = if (bps == 8) 160L else 2000L
+    val n = (96 + (d % 5) * 32).toInt
+    val sr = 8000L + (d % 5) * 4000L
+    val lane = (d % 4).toInt
+    val decorr = if (ch == 2) ((d / 4) % 3).toInt else 0
+    val breakCrc = d % 20 == 5
+    def sample(c: Int, j: Int): Long =
+      if (j < 64) (d * 13 + c * 29) % m - m / 2
+      else ((d + 1) * 31 + c * 17 + j * 7) % m - m / 2
+    encodeParts(ch, bps, n, sr, lane, decorr, breakCrc, constFirst = true, sample)
+  }
+
+  /** [[synthWindowed]] split the same way. */
+  def synthWindowedParts(key: Long, m: Int): (Array[Byte], Array[Array[Byte]]) = {
+    val nWin = FlacAudioKernel.Windows
+    val n = nWin * m
+    def sample(c: Int, j: Int): Long = (key * 13 + (j / m) * 29) % 1024 - 512
+    encodeParts(1, 16, n, 8000L, 0, 0, breakCrc = false, constFirst = false, sample)
+  }
+
   /** 16-bit mono verbatim encode of the planted 65-window stream the
     * WAV twin [[graft.multimodal.Binary.Wav.synthWindowedFromDocs]]
     * carries — `((key·13 + w·29) mod 1024) − 512`, each amplitude
@@ -575,6 +603,18 @@ object FlacAudioSynthKernel {
   private def encode(ch: Int, bps: Int, n: Int, sr: Long, lane: Int,
       decorr: Int, breakCrc: Boolean, constFirst: Boolean,
       sample: (Int, Int) => Long): Array[Byte] = {
+    val (hdr, frames) = encodeParts(ch, bps, n, sr, lane, decorr, breakCrc,
+      constFirst, sample)
+    val out = new java.io.ByteArrayOutputStream(1024)
+    out.write(hdr, 0, hdr.length)
+    var i = 0
+    while (i < frames.length) { out.write(frames(i), 0, frames(i).length); i += 1 }
+    out.toByteArray
+  }
+
+  private def encodeParts(ch: Int, bps: Int, n: Int, sr: Long, lane: Int,
+      decorr: Int, breakCrc: Boolean, constFirst: Boolean,
+      sample: (Int, Int) => Long): (Array[Byte], Array[Array[Byte]]) = {
     val out = new java.io.ByteArrayOutputStream(1024)
     out.write('f'); out.write('L'); out.write('a'); out.write('C')
     // STREAMINFO, last block
@@ -586,7 +626,9 @@ object FlacAudioSynthKernel {
     while (i < 8) { si(10 + i) = ((packed >>> (56 - 8 * i)) & 0xFF).toByte; i += 1 }
     out.write(0x80); out.write(0); out.write(0); out.write(34)
     out.write(si, 0, 34)
+    val header = out.toByteArray
     val nFrames = (n + 63) / 64
+    val frameParts = new Array[Array[Byte]](nFrames)
     var f = 0
     while (f < nFrames) {
       val j0 = f * 64
@@ -684,11 +726,10 @@ object FlacAudioSynthKernel {
       var crc = FlacCrc.crc16(fb, 0, fb.length)
       if (breakCrc && f == nFrames - 1) crc ^= 0xFF
       frame.write((crc >> 8) & 0xFF); frame.write(crc & 0xFF)
-      val whole = frame.toByteArray
-      out.write(whole, 0, whole.length)
+      frameParts(f) = frame.toByteArray
       f += 1
     }
-    out.toByteArray
+    (header, frameParts)
   }
 }
 

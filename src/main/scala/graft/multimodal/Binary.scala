@@ -1755,6 +1755,66 @@ object Binary {
         when(d % invalidEvery === 0, lit("text/plain"))
           .otherwise(lit("audio/ogg")).as("media_type"))
     }
+
+    /** Sample-level Ogg-FLAC decode — the decode tier behind the
+      * triage row for the one Ogg codec the engine can decode
+      * bit-exactly ([[graft.expressions.OggFlacKernel]]): page walk
+      * with per-page CRC verification, cross-page packet reassembly,
+      * mapping-header strip, then the full rice/LPC FLAC frame
+      * decode. Pure projection — ONE codegen kernel pass, no shuffle.
+      */
+    def sampleStats(media: DataFrame, payloadCol: String = "payload"): DataFrame = {
+      val m = gcol(graft.expressions.OggFlacStats(gexpr(col(payloadCol))))
+      media
+        .withColumn("__o", m)
+        .withColumn("oggflac_valid", coalesce(col("__o.oggflac_valid"), lit(false)))
+        .withColumn("n_pages", col("__o.n_pages"))
+        .withColumn("pages_crc_ok", col("__o.pages_crc_ok"))
+        .withColumn("decode_ok", coalesce(col("__o.decode_ok"), lit(false)))
+        .withColumn("channels", col("__o.channels"))
+        .withColumn("bits_per_sample", col("__o.bits_per_sample"))
+        .withColumn("n_frames", col("__o.n_frames"))
+        .withColumn("n_samples", col("__o.n_samples"))
+        .withColumn("sample_sum", col("__o.sample_sum"))
+        .withColumn("sample_sum_sq", col("__o.sample_sum_sq"))
+        .withColumn("peak_abs", col("__o.peak_abs"))
+        .withColumn("frame_crc_ok", col("__o.frame_crc_ok"))
+        .withColumn("matches_streaminfo", col("__o.matches_streaminfo"))
+        .drop("__o")
+    }
+
+    /** Deterministic Ogg-FLAC AUDIO payloads — real CRC'd pages
+      * wrapping real FLAC frames whose decoded samples stay
+      * closed-form (see [[graft.expressions.OggFlacSynthKernel]]:
+      * the FLAC audio synth's coding lanes plus frames-per-page
+      * rotation, a split-comment cross-page lane, and a flipped
+      * page-CRC lane); every `invalidEvery`-th doc raw text.
+      */
+    def synthAudioFromDocs(docs: DataFrame, invalidEvery: Int = 10): DataFrame = {
+      val d = col("doc_id")
+      val payload = gcol(graft.expressions.OggFlacSynth(gexpr(d)))
+      docs.select(d,
+        when(d % invalidEvery === 0, col("text").cast("binary"))
+          .otherwise(payload).as("payload"),
+        when(d % invalidEvery === 0, lit("text/plain"))
+          .otherwise(lit("audio/ogg")).as("media_type"))
+    }
+
+    /** Ogg-FLAC re-mux of the SAME planted 65-window sample stream
+      * [[Wav.synthWindowedFromDocs]] carries — the third-codec member
+      * for the perceptual audio-dedup gate (identical decoded
+      * samples, a container AND a codec away from the WAV original).
+      */
+    def synthWindowedFromDocs(docs: DataFrame, key: Column,
+        invalidEvery: Int = 10): DataFrame = {
+      val d = col("doc_id")
+      val payload = gcol(graft.expressions.OggFlacWindowedSynth(gexpr(key)))
+      docs.select(d,
+        when(d % invalidEvery === 0, col("text").cast("binary"))
+          .otherwise(payload).as("payload"),
+        when(d % invalidEvery === 0, lit("text/plain"))
+          .otherwise(lit("audio/ogg")).as("media_type"))
+    }
   }
 
   /** Matroska / WebM container triage — the FOURTEENTH family (r15):
@@ -2138,11 +2198,18 @@ object Binary {
     val flacH = org.apache.spark.sql.GraftColumnBridge.column(
       graft.expressions.FlacAudioDhash(
         org.apache.spark.sql.GraftColumnBridge.expression(p)))
+    // Ogg-FLAC routes through page unwrap + the SAME frame decode —
+    // a re-MUX (container change, no re-encode) and a re-encode both
+    // collide with the WAV original (r15 continuation)
+    val oggH = org.apache.spark.sql.GraftColumnBridge.column(
+      graft.expressions.OggFlacDhash(
+        org.apache.spark.sql.GraftColumnBridge.expression(p)))
     // persist the hashed frame — one sample decode per payload across
     // the ledger aggregate and the join-back (imageDedup's idiom)
     val withH = Wav.parse(media, payloadCol)
       .withColumn("__ahash",
         when(Flac.isFlac(p), flacH)
+          .when(Ogg.isOgg(p), oggH)
           .when(col("wav_valid") && col("data_bytes") > 0, h))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val groups = withH.where(col("__ahash").isNotNull)

@@ -326,6 +326,37 @@ class KernelFuzzSpec extends SparkSpec {
     })
   }
 
+  test("OggFlacKernel never throws on bit-flipped or garbage page streams (r15)") {
+    // real muxed streams with random byte flips — the flips land in
+    // page headers, lacing tables, the mapping header, STREAMINFO,
+    // and the wrapped FLAC frames
+    val seeds = Seq(1L, 2L, 3L, 4L, 5L, 7L, 9L, 14L, 24L).map(
+      graft.expressions.OggFlacSynthKernel.synth)
+    val genCase = for {
+      src <- Gen.oneOf(seeds)
+      nFlips <- Gen.choose(1, 8)
+      flips <- Gen.listOfN(nFlips, for {
+        pos <- Gen.choose(0, src.length - 1)
+        v <- Gen.choose(Byte.MinValue, Byte.MaxValue)
+      } yield (pos, v))
+    } yield {
+      val c = src.clone()
+      flips.foreach { case (pos, v) => c(pos) = v }
+      c
+    }
+    checkProp(Prop.forAllNoShrink(genCase) { p =>
+      graft.expressions.OggFlacKernel.stats(p)
+      graft.expressions.OggFlacKernel.ahash(p)
+      true // value or null, never a throw
+    })
+    checkProp(Prop.forAllNoShrink(
+      withPrefix(Array[Byte]('O', 'g', 'g', 'S', 0))) { p =>
+      graft.expressions.OggFlacKernel.stats(p)
+      graft.expressions.OggFlacKernel.ahash(p)
+      true
+    })
+  }
+
   test("Webp.parse (RIFF walk) never throws and flags garbage invalid (r14)") {
     // no kernel here — the parse is a declarative projection — so the
     // fuzz drives the EXPRESSION through a real Spark job: random

@@ -496,7 +496,7 @@ class PlanContractSpec extends SparkSpec {
   }
 
   test("r15 mm rows: OGG and Matroska triage are shuffle-free codegen projections") {
-    for (name <- Seq("mm_ogg_meta", "mm_mkv_meta")) {
+    for (name <- Seq("mm_ogg_meta", "mm_mkv_meta", "mm_ogg_samples")) {
       val phys = physical(q(name))
       assert(!phys.contains("Exchange hashpartitioning"),
         s"$name: unexpected keyed shuffle:\n$phys")
@@ -508,6 +508,8 @@ class PlanContractSpec extends SparkSpec {
       "mm_ogg_meta: OggMeta kernel missing from plan")
     assert(physical(q("mm_mkv_meta")).contains("mkv_meta"),
       "mm_mkv_meta: MkvMeta kernel missing from plan")
+    assert(physical(q("mm_ogg_samples")).contains("ogg_flac_stats"),
+      "mm_ogg_samples: OggFlac kernel missing from plan")
   }
 
   test("r14 kernel upgrades: robots parse and PNG synthesis run as codegen kernels, not interpreted HOFs") {
