@@ -3803,6 +3803,77 @@ object OracleSql {
        |FROM s ORDER BY doc_id""".stripMargin
   }
 
+  /** Animated GIF frame walk (mirror of `Gif.frames` ∘
+    * `synthAnimFromDocs`): per-frame rows re-derived closed-form —
+    * frame count / loop / GCE delay / disposal / transparency lanes
+    * from doc_id+frame arithmetic, and per-frame channel sums from
+    * the palette closed forms (GCT byte k = (5d+3k) mod 256 → the
+    * value of color j channel c is (5d+9j+3c) mod 256; the LCT lane
+    * (7d+11k+f) mod 256 → (7d+33j+11c+f) mod 256) over pixel
+    * indices (d+f+i) mod activeEntries — while Spark must reach the
+    * same numbers by walking actual extension blocks and LZW-decoding
+    * every frame's real code stream. Invalid (text) docs keep one
+    * all-null row (`explode_outer`'s shape).
+    */
+  val mmGifFrames: String = {
+    def chan(c: Int): String =
+      s"""list_sum([CASE WHEN lct
+         |    THEN (7 * doc_id + 33 * ((doc_id + fi + i) % ae) + 11 * $c + fi) % 256
+         |    ELSE (5 * doc_id + 9 * ((doc_id + fi + i) % ae) + 3 * $c) % 256 END
+         |  for i in range(0, n)])""".stripMargin
+    def peakChan(c: Int): String =
+      s"""list_max([CASE WHEN lct
+         |    THEN (7 * doc_id + 33 * ((doc_id + fi + i) % ae) + 11 * $c + fi) % 256
+         |    ELSE (5 * doc_id + 9 * ((doc_id + fi + i) % ae) + 3 * $c) % 256 END
+         |  for i in range(0, n)])""".stripMargin
+    s"""WITH m AS (SELECT doc_id, doc_id % 10 = 0 AS invalid,
+       |  10 + doc_id % 6 AS cw, 8 + doc_id % 5 AS ch,
+       |  (1::BIGINT << ((doc_id % 3 + 2)::INT)) AS e,
+       |  1 + doc_id % 4 AS nf FROM documents),
+       |fr AS (SELECT doc_id, cw, ch, e, nf, unnest(range(nf)) AS fi
+       |  FROM m WHERE NOT invalid),
+       |x AS (SELECT doc_id, cw, ch, nf, fi,
+       |  (doc_id + fi) % 5 = 2 AS lct,
+       |  CASE WHEN (doc_id + fi) % 5 = 2 THEN 4 ELSE e END AS ae,
+       |  10 * (2 + (doc_id + fi) % 6) AS delay_ms,
+       |  (doc_id + fi) % 4 AS disp,
+       |  (doc_id + fi) % 3 = 0 AS tflag,
+       |  3 + (doc_id + fi) % 3 AS fw,
+       |  2 + (doc_id + fi) % 2 AS fh
+       |  FROM fr),
+       |s AS (SELECT *, fw * fh AS n FROM x),
+       |valid AS (SELECT doc_id, TRUE AS gif_valid,
+       |  cw::BIGINT AS canvas_w, ch::BIGINT AS canvas_h,
+       |  nf::BIGINT AS n_frames,
+       |  (CASE WHEN doc_id % 4 <> 1 THEN doc_id % 7 END)::BIGINT AS loop_count,
+       |  (SUM(delay_ms) OVER (PARTITION BY doc_id))::BIGINT AS total_delay_ms,
+       |  fi::BIGINT AS frame_idx, delay_ms::BIGINT AS delay_ms,
+       |  disp::BIGINT AS disposal,
+       |  (CASE WHEN tflag THEN (doc_id + fi) % 4 END)::BIGINT AS transparent_idx,
+       |  fi::BIGINT AS frame_left, fi::BIGINT AS frame_top,
+       |  fw::BIGINT AS frame_w, fh::BIGINT AS frame_h, lct AS has_lct,
+       |  n::BIGINT AS frame_pixels,
+       |  (${chan(0)})::BIGINT AS sum_r,
+       |  (${chan(1)})::BIGINT AS sum_g,
+       |  (${chan(2)})::BIGINT AS sum_b,
+       |  (greatest(${peakChan(0)}, ${peakChan(1)}, ${peakChan(2)}))::BIGINT
+       |    AS peak_byte
+       |  FROM s),
+       |inv AS (SELECT doc_id, FALSE AS gif_valid,
+       |  NULL::BIGINT AS canvas_w, NULL::BIGINT AS canvas_h,
+       |  NULL::BIGINT AS n_frames, NULL::BIGINT AS loop_count,
+       |  NULL::BIGINT AS total_delay_ms, NULL::BIGINT AS frame_idx,
+       |  NULL::BIGINT AS delay_ms, NULL::BIGINT AS disposal,
+       |  NULL::BIGINT AS transparent_idx, NULL::BIGINT AS frame_left,
+       |  NULL::BIGINT AS frame_top, NULL::BIGINT AS frame_w,
+       |  NULL::BIGINT AS frame_h, NULL::BOOLEAN AS has_lct,
+       |  NULL::BIGINT AS frame_pixels, NULL::BIGINT AS sum_r,
+       |  NULL::BIGINT AS sum_g, NULL::BIGINT AS sum_b,
+       |  NULL::BIGINT AS peak_byte FROM m WHERE invalid)
+       |SELECT * FROM valid UNION ALL SELECT * FROM inv
+       |ORDER BY doc_id, frame_idx""".stripMargin
+  }
+
   /** JPEG pixel stats (mirror of Jpeg.pixelStats ∘ synthPixelsFromDocs):
     * the oracle recomputes the decoded channel sums closed-form from
     * the flat-tile YCbCr values — including the decoder's EXACT

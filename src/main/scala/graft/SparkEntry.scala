@@ -1950,6 +1950,24 @@ object SparkEntry {
           col("frame_crc_ok"), col("matches_streaminfo"))
         .orderBy(col("doc_id"))
     }),
+    // ANIMATED GIF frame walk (r15 continuation): one row per frame —
+    // GCE delay/disposal/transparency, sub-rectangle placement, local
+    // color tables, the NETSCAPE loop extension, and a REAL LZW
+    // decode of EVERY frame; the oracle re-derives every field and
+    // per-frame channel sum closed-form from doc_id while Spark
+    // walks blocks and decodes actual code streams
+    "mm_gif_frames" -> ((s, dir) => {
+      val media = graft.multimodal.Binary.Gif.synthAnimFromDocs(t(s, dir, "documents"))
+      graft.multimodal.Binary.Gif.frames(media)
+        .select(col("doc_id"), col("gif_valid"), col("canvas_w"),
+          col("canvas_h"), col("n_frames"), col("loop_count"),
+          col("total_delay_ms"), col("frame_idx"), col("delay_ms"),
+          col("disposal"), col("transparent_idx"), col("frame_left"),
+          col("frame_top"), col("frame_w"), col("frame_h"),
+          col("has_lct"), col("frame_pixels"), col("sum_r"),
+          col("sum_g"), col("sum_b"), col("peak_byte"))
+        .orderBy(col("doc_id"), col("frame_idx"))
+    }),
     // OGG container triage — the THIRTEENTH family (r15): page walk
     // with real per-page CRC-32 verification, lacing-table packet
     // accounting, Vorbis/Opus/Ogg-FLAC ID-header parse, exact
@@ -2409,5 +2427,6 @@ object SparkEntry {
     "mm_mkv_meta" -> OracleSql.mmMkvMeta,
     "mm_flac_samples" -> OracleSql.mmFlacSamples,
     "mm_ogg_samples" -> OracleSql.mmOggSamples,
+    "mm_gif_frames" -> OracleSql.mmGifFrames,
   )
 }

@@ -81,6 +81,21 @@ object GifLzwKernel {
     if (tabOff < 0 || tabOff + 3 * tabEntries > p.length) return null
     val area = iw.toLong * ih
     if (area <= 0 || area > MaxPixels) return null
+    val st = decodeImage(p, pos, tabOff, tabEntries, area)
+    if (st == null) return null
+    new GenericArrayData(Array(area, st(1), st(2), st(3), st(4)))
+  }
+
+  /** Decode ONE image's LZW code stream starting at `pos0` (the LZW
+    * minimum-code-size byte), accumulating channel sums against the
+    * active color table. Returns [endPos, sum_r, sum_g, sum_b, peak]
+    * — endPos is the offset just past the image's block terminator —
+    * or null on any structural violation. Shared by the
+    * first-image stats path and the [[GifFramesKernel]] walk.
+    */
+  private[expressions] def decodeImage(p: Array[Byte], pos0: Int,
+      tabOff: Int, tabEntries: Int, area: Long): Array[Long] = {
+    var pos = pos0
     if (pos >= p.length) return null
     val minCode = p(pos) & 0xFF
     pos += 1
@@ -130,6 +145,7 @@ object GifLzwKernel {
     var bitCnt = 0
     var blockLeft = 0
     var done = false
+    var sawTerm = false
     while (!done) {
       // refill
       while (bitCnt < codeSize) {
@@ -141,6 +157,7 @@ object GifLzwKernel {
             // block terminator before EOI: tolerate only if the image
             // is already complete (some encoders omit the EOI code)
             done = true
+            sawTerm = true
             bitCnt = codeSize // break refill
           }
         }
@@ -207,7 +224,18 @@ object GifLzwKernel {
       }
     }
     if (emitted != area) return null
-    new GenericArrayData(Array(area, s0, s1, s2, peak))
+    if (!sawTerm) {
+      // consume to (and through) the block terminator so callers can
+      // keep walking the stream — post-EOI padding bytes are skipped
+      pos += blockLeft
+      var n = -1
+      while (n != 0) {
+        if (pos >= p.length) return null
+        n = p(pos) & 0xFF
+        pos += 1 + n
+      }
+    }
+    Array(pos.toLong, s0, s1, s2, peak)
   }
 }
 

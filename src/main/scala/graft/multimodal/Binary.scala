@@ -1136,6 +1136,63 @@ object Binary {
           .otherwise(lit("image/gif")).as("media_type"))
     }
 
+    /** ANIMATED frame walk — one row per frame of a multi-image GIF
+      * ([[graft.expressions.GifFramesKernel]]): every Graphic Control
+      * Extension (delay / disposal / transparency), every image
+      * descriptor (sub-rectangle placement, local color tables), the
+      * NETSCAPE2.0 loop extension, and a REAL LZW decode of every
+      * frame for per-frame channel statistics. ONE codegen kernel
+      * pass + a generator (explode) — no shuffle; invalid payloads
+      * keep one all-null row (`explode_outer`).
+      */
+    def frames(media: DataFrame, payloadCol: String = "payload"): DataFrame = {
+      val g = org.apache.spark.sql.GraftColumnBridge.column(
+        graft.expressions.GifFrames(
+          org.apache.spark.sql.GraftColumnBridge.expression(col(payloadCol))))
+      media
+        .withColumn("__g", g)
+        .withColumn("gif_valid", coalesce(col("__g.gif_valid"), lit(false)))
+        .withColumn("canvas_w", col("__g.canvas_w"))
+        .withColumn("canvas_h", col("__g.canvas_h"))
+        .withColumn("n_frames", col("__g.n_frames"))
+        .withColumn("loop_count", col("__g.loop_count"))
+        .withColumn("total_delay_ms", col("__g.total_delay_ms"))
+        .withColumn("__fr", explode_outer(col("__g.frames")))
+        .withColumn("frame_idx", col("__fr.frame_idx"))
+        .withColumn("delay_ms", col("__fr.delay_ms"))
+        .withColumn("disposal", col("__fr.disposal"))
+        .withColumn("transparent_idx", col("__fr.transparent_idx"))
+        .withColumn("frame_left", col("__fr.frame_left"))
+        .withColumn("frame_top", col("__fr.frame_top"))
+        .withColumn("frame_w", col("__fr.frame_w"))
+        .withColumn("frame_h", col("__fr.frame_h"))
+        .withColumn("has_lct", col("__fr.has_lct"))
+        .withColumn("frame_pixels", col("__fr.n_pixels"))
+        .withColumn("sum_r", col("__fr.sum_r"))
+        .withColumn("sum_g", col("__fr.sum_g"))
+        .withColumn("sum_b", col("__fr.sum_b"))
+        .withColumn("peak_byte", col("__fr.peak_byte"))
+        .drop("__g", "__fr")
+    }
+
+    /** Deterministic ANIMATED GIF payloads (see
+      * [[graft.expressions.GifAnimSynthKernel]]: 1-4 frames, loop
+      * extension, per-frame GCE delay/disposal/transparency lanes,
+      * local-color-table frames, real per-frame LZW streams); every
+      * `invalidEvery`-th doc raw text.
+      */
+    def synthAnimFromDocs(docs: DataFrame, invalidEvery: Int = 10): DataFrame = {
+      val d = col("doc_id")
+      val payload = org.apache.spark.sql.GraftColumnBridge.column(
+        graft.expressions.GifAnimSynth(
+          org.apache.spark.sql.GraftColumnBridge.expression(d)))
+      docs.select(d,
+        when(d % invalidEvery === 0, col("text").cast("binary"))
+          .otherwise(payload).as("payload"),
+        when(d % invalidEvery === 0, lit("text/plain"))
+          .otherwise(lit("image/gif")).as("media_type"))
+    }
+
     /** Deterministic minimal GIF streams over the docs table (header +
       * optional GCT from the text bytes + trailer); every 10th doc is
       * raw text (the invalid lane).
@@ -1876,6 +1933,88 @@ object Binary {
           .otherwise(payload).as("payload"),
         when(d % invalidEvery === 0, lit("text/plain"))
           .otherwise(lit("video/webm")).as("media_type"))
+    }
+  }
+
+  /** Avro Object Container File triage — the FIFTEENTH family (r15):
+    * the data-lake/event-log container. Varint walk of the metadata
+    * map + sync-framed data blocks
+    * ([[graft.expressions.AvroMetaKernel]]); the flat-record decode
+    * tier ([[graft.expressions.AvroRecordsKernel]]) decodes every
+    * record of a primitives-only schema. One codegen kernel pass
+    * each, pure projections.
+    */
+  object Avro {
+    import org.apache.spark.sql.GraftColumnBridge.{column => gcol, expression => gexpr}
+
+    /** Column-level detection mirror of `AvroMetaKernel.isAvro`: the
+      * magic ends in 0x01 — a control byte, never printable, so text
+      * cannot route here.
+      */
+    private[multimodal] def isAvro(p: Column): Column =
+      length(p) >= 4 &&
+        substring(p, 1, 4) === lit(Array[Byte]('O', 'b', 'j', 1))
+
+    /** Parse triage fields: validity, codec, the schema JSON's
+      * top-level type/name/byte-length, metadata entry count, block
+      * and record counts, payload byte total, the sync-marker
+      * integrity verdict, and the wall-to-wall `consistent` verdict.
+      * Pure projection.
+      */
+    def parse(media: DataFrame, payloadCol: String = "payload"): DataFrame = {
+      val m = gcol(graft.expressions.AvroMeta(gexpr(col(payloadCol))))
+      media
+        .withColumn("__a", m)
+        .withColumn("avro_valid", coalesce(col("__a.avro_valid"), lit(false)))
+        .withColumn("codec", col("__a.codec"))
+        .withColumn("schema_type", col("__a.schema_type"))
+        .withColumn("schema_name", col("__a.schema_name"))
+        .withColumn("schema_bytes", col("__a.schema_bytes"))
+        .withColumn("n_meta_entries", col("__a.n_meta_entries"))
+        .withColumn("n_blocks", col("__a.n_blocks"))
+        .withColumn("n_records", col("__a.n_records"))
+        .withColumn("data_bytes", col("__a.data_bytes"))
+        .withColumn("sync_ok", col("__a.sync_ok"))
+        .withColumn("header_consistent", col("__a.consistent"))
+        .drop("__a")
+    }
+
+    /** Flat-record decode tier: every record of a primitives-only
+      * schema decoded (zigzag longs/ints, length-prefixed
+      * strings/bytes, LE doubles/floats, booleans) into record-grain
+      * aggregates. Non-flat schemas and non-null codecs refuse
+      * (`decode_ok` false) — Spark's own Avro reader is the general
+      * path; this is the payload-bytes audit tier. Pure projection.
+      */
+    def recordStats(media: DataFrame, payloadCol: String = "payload"): DataFrame = {
+      val m = gcol(graft.expressions.AvroRecordStats(gexpr(col(payloadCol))))
+      media
+        .withColumn("__a", m)
+        .withColumn("avro_valid", coalesce(col("__a.avro_valid"), lit(false)))
+        .withColumn("decode_ok", coalesce(col("__a.decode_ok"), lit(false)))
+        .withColumn("n_fields", col("__a.n_fields"))
+        .withColumn("n_records", col("__a.n_records"))
+        .withColumn("int_sum", col("__a.int_sum"))
+        .withColumn("string_bytes", col("__a.string_bytes"))
+        .withColumn("bool_trues", col("__a.bool_trues"))
+        .withColumn("double_sum", col("__a.double_sum"))
+        .drop("__a")
+    }
+
+    /** Deterministic Avro payloads over the docs table (see
+      * [[graft.expressions.AvroSynthKernel]]: real container files —
+      * flat-record schema, absent/null/deflate codec lanes with
+      * STORED-deflate closed-form lengths, real encoded records, a
+      * flipped-sync lane); every `invalidEvery`-th doc raw text.
+      */
+    def synthFromDocs(docs: DataFrame, invalidEvery: Int = 10): DataFrame = {
+      val d = col("doc_id")
+      val payload = gcol(graft.expressions.AvroSynth(gexpr(d)))
+      docs.select(d,
+        when(d % invalidEvery === 0, col("text").cast("binary"))
+          .otherwise(payload).as("payload"),
+        when(d % invalidEvery === 0, lit("text/plain"))
+          .otherwise(lit("application/avro")).as("media_type"))
     }
   }
 

@@ -357,6 +357,35 @@ class KernelFuzzSpec extends SparkSpec {
     })
   }
 
+  test("GifFramesKernel never throws on bit-flipped or garbage animations (r15)") {
+    // real multi-frame streams with random byte flips — the flips
+    // land in extension labels, GCE fields, descriptors, local color
+    // tables, and the per-frame LZW code streams
+    val seeds = Seq(1L, 2L, 3L, 5L, 7L, 9L, 13L, 21L).map(
+      graft.expressions.GifAnimSynthKernel.synth)
+    val genCase = for {
+      src <- Gen.oneOf(seeds)
+      nFlips <- Gen.choose(1, 8)
+      flips <- Gen.listOfN(nFlips, for {
+        pos <- Gen.choose(0, src.length - 1)
+        v <- Gen.choose(Byte.MinValue, Byte.MaxValue)
+      } yield (pos, v))
+    } yield {
+      val c = src.clone()
+      flips.foreach { case (pos, v) => c(pos) = v }
+      c
+    }
+    checkProp(Prop.forAllNoShrink(genCase) { p =>
+      graft.expressions.GifFramesKernel.parse(p)
+      true // value or null, never a throw
+    })
+    checkProp(Prop.forAllNoShrink(
+      withPrefix("GIF89a".getBytes("US-ASCII"))) { p =>
+      graft.expressions.GifFramesKernel.parse(p)
+      true
+    })
+  }
+
   test("Webp.parse (RIFF walk) never throws and flags garbage invalid (r14)") {
     // no kernel here — the parse is a declarative projection — so the
     // fuzz drives the EXPRESSION through a real Spark job: random

@@ -1,0 +1,272 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.expressions.{AvroMetaKernel, AvroRecordsKernel, AvroSynthKernel, ParquetMetaKernel, ParquetSynthKernel}
+
+/** Avro OCF + Parquet footer triage: synth round trips over the lane
+  * grids, conformance against REAL independent encoders — the Avro
+  * reference library's own `DataFileWriter` (on the Spark classpath)
+  * and Spark's own parquet writer output — structural traps, and
+  * never-throw sweeps.
+  */
+class LakeFormatsSpec extends SparkSpec {
+
+  // ---- Avro ----
+
+  test("Avro synth round trips: every lane parses to its closed form") {
+    for (d <- 1L to 140L if d % 10 != 0) {
+      val row = AvroMetaKernel.parse(AvroSynthKernel.synth(d))
+      assert(row != null, s"d=$d: null")
+      assert(row.getBoolean(0), s"d=$d: avro_valid")
+      val codec = Array("null", "null", "deflate").apply((d % 3).toInt)
+      assert(row.getUTF8String(1).toString === codec, s"d=$d: codec")
+      assert(row.getUTF8String(2).toString === "record", s"d=$d: schema_type")
+      assert(row.getUTF8String(3).toString === s"Rec${d % 7}", s"d=$d: name")
+      assert(row.getLong(4) === AvroSynthKernel.SchemaLen.toLong, s"d=$d: schema_bytes")
+      assert(row.getLong(5) === (if (d % 3 == 0) 1L else 2L), s"d=$d: n_meta")
+      val nB = 1 + d % 3
+      assert(row.getLong(6) === nB, s"d=$d: n_blocks")
+      var recs = 0L
+      for (b <- 0L until nB) recs += 2 + (d + b) % 4
+      assert(row.getLong(7) === recs, s"d=$d: n_records")
+      val expectData =
+        if (d % 3 == 2) 6 * recs + 5 * nB // stored-deflate 5-byte headers
+        else 6 * recs
+      assert(row.getLong(8) === expectData, s"d=$d: data_bytes")
+      assert(row.getBoolean(9) === (d % 20 != 11), s"d=$d: sync_ok")
+      assert(row.getBoolean(10), s"d=$d: consistent")
+    }
+  }
+
+  test("Avro record decode: closed-form sums across null-codec lanes") {
+    for (d <- 1L to 90L if d % 10 != 0 && d % 3 != 2) {
+      val row = AvroRecordsKernel.stats(AvroSynthKernel.synth(d))
+      assert(row != null && row.getBoolean(0) && row.getBoolean(1), s"d=$d")
+      assert(row.getLong(2) === 3L, s"d=$d: n_fields")
+      val nB = 1 + d % 3
+      var recs = 0L
+      for (b <- 0L until nB) recs += 2 + (d + b) % 4
+      var intSum = 0L; var trues = 0L
+      for (i <- 0L until recs) { intSum += (d + i) % 30; trues += (d + i) % 2 }
+      assert(row.getLong(3) === recs, s"d=$d: n_records")
+      assert(row.getLong(4) === intSum, s"d=$d: int_sum")
+      assert(row.getLong(5) === 3 * recs, s"d=$d: string_bytes")
+      assert(row.getLong(6) === trues, s"d=$d: bool_trues")
+    }
+    // deflate lane: triage fine, record tier refuses
+    val defl = AvroRecordsKernel.stats(AvroSynthKernel.synth(2L))
+    assert(defl != null && defl.getBoolean(0) && !defl.getBoolean(1))
+  }
+
+  test("Avro synth byte length matches the closed form (the triage-oracle anchor)") {
+    for (d <- 1L to 140L if d % 10 != 0) {
+      val nB = 1 + d % 3
+      var recs = 0L
+      for (b <- 0L until nB) recs += 2 + (d + b) % 4
+      val schemaEntry = 1 + 11 + 2 + AvroSynthKernel.SchemaLen
+      val codecEntry = if (d % 3 == 0) 0 else if (d % 3 == 1) 16 else 19
+      val metaLen = 1 + schemaEntry + codecEntry + 1
+      val blockHdrs = 2L * nB // 1-byte count + 1-byte size varints
+      val dataBytes = if (d % 3 == 2) 6 * recs + 5 * nB else 6 * recs
+      val expect = 4 + metaLen + 16 + blockHdrs + dataBytes + 16L * nB
+      assert(AvroSynthKernel.synth(d).length.toLong === expect, s"d=$d length")
+    }
+  }
+
+  test("Avro conformance: the reference library's own DataFileWriter parses exact") {
+    import org.apache.avro.{Schema, SchemaBuilder}
+    import org.apache.avro.file.{CodecFactory, DataFileWriter}
+    import org.apache.avro.generic.{GenericData, GenericDatumWriter, GenericRecord}
+    val schema: Schema = SchemaBuilder.record("Event").fields()
+      .requiredLong("ts").requiredString("msg").requiredBoolean("ok")
+      .requiredDouble("score").endRecord()
+    def build(codec: CodecFactory): (Array[Byte], Long, Long, Long, Long, Double) = {
+      val out = new java.io.ByteArrayOutputStream()
+      val w = new DataFileWriter(new GenericDatumWriter[GenericRecord](schema))
+      if (codec != null) w.setCodec(codec)
+      w.create(schema, out)
+      var (intSum, strBytes, trues) = (0L, 0L, 0L)
+      var dbl = 0.0
+      for (i <- 0 until 300) {
+        val r = new GenericData.Record(schema)
+        r.put("ts", i.toLong * 7)
+        r.put("msg", "m" * (i % 5))
+        r.put("ok", i % 3 == 0)
+        r.put("score", i * 0.5)
+        intSum += i.toLong * 7
+        strBytes += i % 5
+        if (i % 3 == 0) trues += 1
+        dbl += i * 0.5
+        w.append(r)
+      }
+      w.close()
+      (out.toByteArray, 300L, intSum, strBytes, trues, dbl)
+    }
+    // null codec: triage + full record decode
+    val (bytes, n, intSum, strBytes, trues, dbl) = build(null)
+    val meta = AvroMetaKernel.parse(bytes)
+    assert(meta != null && meta.getBoolean(0), "real avro rejected")
+    assert(meta.getUTF8String(1).toString === "null")
+    assert(meta.getUTF8String(2).toString === "record")
+    assert(meta.getUTF8String(3).toString === "Event")
+    assert(meta.getLong(7) === n, "record count from block headers")
+    assert(meta.getBoolean(9) && meta.getBoolean(10), "sync + consistent")
+    val st = AvroRecordsKernel.stats(bytes)
+    assert(st != null && st.getBoolean(1), "record decode refused")
+    assert(st.getLong(2) === 4L)
+    assert(st.getLong(3) === n)
+    assert(st.getLong(4) === intSum, "zigzag long field sum")
+    assert(st.getLong(5) === strBytes, "string byte total")
+    assert(st.getLong(6) === trues, "boolean trues")
+    assert(st.getDouble(7) === dbl, "LE double field sum")
+    // deflate codec: triage exact, record tier refuses
+    val (dBytes, dn, _, _, _, _) = build(CodecFactory.deflateCodec(6))
+    val dMeta = AvroMetaKernel.parse(dBytes)
+    assert(dMeta != null && dMeta.getBoolean(0))
+    assert(dMeta.getUTF8String(1).toString === "deflate")
+    assert(dMeta.getLong(7) === dn)
+    assert(dMeta.getBoolean(10))
+    val dSt = AvroRecordsKernel.stats(dBytes)
+    assert(dSt != null && !dSt.getBoolean(1), "deflate must refuse the record tier")
+  }
+
+  test("Avro never-throw: truncation sweep and garbage behind the magic") {
+    // Avro blocks are self-delimiting with no trailer, so a cut at a
+    // block/header boundary IS a shorter valid file — the sweep pins
+    // never-throw, and that a consistent cut always lands exactly on
+    // one of those boundaries
+    val full = AvroSynthKernel.synth(7L)
+    val boundaries = {
+      val r = AvroMetaKernel.parse(full)
+      // d=7: header then blocks of (2 + count + size + 16) bytes
+      var b = Set(full.length)
+      var at = full.length
+      val nB = (1 + 7 % 3).toInt
+      for (g <- (0 until nB).reverse) {
+        val cnt = (2 + (7 + g) % 4).toInt
+        at -= 2 + 6 * cnt + 16
+        b += at
+      }
+      assert(r.getBoolean(10))
+      b
+    }
+    for (cut <- 0 until full.length) {
+      val p = java.util.Arrays.copyOf(full, cut)
+      val r = AvroMetaKernel.parse(p)
+      if (r != null && r.getBoolean(10))
+        assert(boundaries.contains(cut),
+          s"cut $cut consistent off a block boundary")
+      AvroRecordsKernel.stats(p)
+    }
+    val rnd = new scala.util.Random(77)
+    for (_ <- 0 until 300) {
+      val g = new Array[Byte](4 + rnd.nextInt(300))
+      rnd.nextBytes(g)
+      g(0) = 'O'; g(1) = 'b'; g(2) = 'j'; g(3) = 1
+      AvroMetaKernel.parse(g)
+      AvroRecordsKernel.stats(g)
+    }
+  }
+
+  // ---- Parquet ----
+
+  test("Parquet synth round trips: every lane parses to its closed form") {
+    for (d <- 1L to 140L if d % 10 != 0) {
+      val row = ParquetMetaKernel.parse(ParquetSynthKernel.synth(d))
+      assert(row != null, s"d=$d: null")
+      assert(row.getBoolean(0), s"d=$d: parquet_valid")
+      assert(row.getLong(1) === 1 + d % 2, s"d=$d: version")
+      assert(row.getLong(2) === 10 + d % 50, s"d=$d: num_rows")
+      val nRG = 1 + d % 2
+      assert(row.getLong(3) === nRG, s"d=$d: n_row_groups")
+      val nCols = 1 + d % 6
+      assert(row.getLong(4) === nCols, s"d=$d: n_columns")
+      assert(row.getLong(5) === 1 + nCols, s"d=$d: n_schema_elements")
+      var tbs = 0L
+      for (g <- 0L until nRG) tbs += 40 + (d + g) % 20
+      assert(row.getLong(6) === tbs, s"d=$d: total_byte_size")
+      if (d % 2 == 0)
+        assert(row.getUTF8String(7).toString === ParquetSynthKernel.CreatedBy,
+          s"d=$d: created_by")
+      else assert(row.isNullAt(7), s"d=$d: created_by null")
+      assert(row.getBoolean(8) === (d % 20 != 13), s"d=$d: rows_match")
+    }
+  }
+
+  test("Parquet synth byte length matches the closed form (the triage-oracle anchor)") {
+    for (d <- 1L to 140L if d % 10 != 0) {
+      val nCols = (1 + d % 6).toInt
+      val nRG = (1 + d % 2).toInt
+      val fLen = 18 + 9 * nCols + 10 * nRG +
+        (if (d % 5 == 3) 12 else 0) + (if (d % 2 == 0) 17 else 0)
+      assert(ParquetSynthKernel.synth(d).length === 16 + fLen, s"d=$d length")
+    }
+  }
+
+  test("Parquet conformance: Spark's own parquet output parses exact") {
+    // write a real parquet file with Spark, triage its BYTES
+    val dir = java.nio.file.Files.createTempDirectory("graft_pq").toFile
+    try {
+      val df = spark.read.parquet(s"$sfDir/documents.parquet")
+        .select(col("doc_id"), col("text"), col("source"))
+        .limit(137)
+      df.coalesce(1).write.mode("overwrite")
+        .parquet(dir.getAbsolutePath + "/t")
+      val part = new java.io.File(dir, "t").listFiles()
+        .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+        .head
+      val bytes = java.nio.file.Files.readAllBytes(part.toPath)
+      val row = ParquetMetaKernel.parse(bytes)
+      assert(row != null && row.getBoolean(0), "real Spark parquet rejected")
+      assert(row.getLong(2) === 137L, "num_rows from the thrift footer")
+      assert(row.getLong(4) === 3L, "leaf column count")
+      assert(row.getLong(3) >= 1L, "row groups")
+      assert(row.getBoolean(8), "row-group rows sum to num_rows")
+      val cb = row.getUTF8String(7)
+      assert(cb != null && cb.toString.contains("parquet-mr"),
+        s"created_by should carry the writer id: $cb")
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete()
+      }
+      rm(dir)
+    }
+  }
+
+  test("Parquet never-throw: truncation, garbage, magic-only") {
+    val full = ParquetSynthKernel.synth(9L)
+    for (cut <- 0 until full.length)
+      ParquetMetaKernel.parse(java.util.Arrays.copyOf(full, cut))
+    val rnd = new scala.util.Random(99)
+    for (_ <- 0 until 300) {
+      val g = new Array[Byte](12 + rnd.nextInt(300))
+      rnd.nextBytes(g)
+      "PAR1".getBytes.copyToArray(g, 0)
+      "PAR1".getBytes.copyToArray(g, g.length - 4)
+      ParquetMetaKernel.parse(g)
+    }
+    assert(ParquetMetaKernel.parse("PAR1PAR1PAR1".getBytes) == null ||
+      true) // walkable or null — just never a throw
+    assert(ParquetMetaKernel.parse("plain text".getBytes) == null)
+  }
+
+  test("driver-row shape: Binary.Avro and the record tier over the docs synth") {
+    import graft.multimodal.Binary
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .where(col("doc_id") < 40)
+    val media = Binary.Avro.synthFromDocs(docs)
+    val parsed = Binary.Avro.parse(media)
+      .select("doc_id", "avro_valid", "n_records").collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(!parsed(10L).getBoolean(1), "text lane invalid")
+    assert(parsed(1L).getBoolean(1))
+    val recs = Binary.Avro.recordStats(media)
+      .select("doc_id", "decode_ok").collect()
+      .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(recs(1L) && !recs(10L))
+    assert(!recs(2L), "deflate lane refuses the record tier")
+  }
+}

@@ -512,6 +512,18 @@ class PlanContractSpec extends SparkSpec {
       "mm_ogg_samples: OggFlac kernel missing from plan")
   }
 
+  test("r15 mm rows: animated GIF frame walk is a shuffle-free kernel + generate") {
+    val phys = physical(q("mm_gif_frames"))
+    assert(!phys.contains("Exchange hashpartitioning"),
+      s"mm_gif_frames: unexpected keyed shuffle:\n$phys")
+    assert(!phys.contains("Window"), s"mm_gif_frames: unexpected window:\n$phys")
+    assert(!phys.contains("CartesianProduct"), s"mm_gif_frames: cartesian:\n$phys")
+    assert(phys.contains("gif_frames"),
+      "mm_gif_frames: GifFrames kernel missing from plan")
+    assert(phys.contains("Generate"),
+      "mm_gif_frames: per-frame explode missing from plan")
+  }
+
   test("r14 kernel upgrades: robots parse and PNG synthesis run as codegen kernels, not interpreted HOFs") {
     // the r13 verdict's two weak rows — both were interpreted
     // higher-order-function expression trees; both now route through
