@@ -3164,9 +3164,10 @@ object OracleSql {
       |  doc_id % 4 = 0 AS ttwo""".stripMargin
 
   /** Mixed-container triage (mirror of the mm_media_triage wiring:
-    * doc_id%11 picks raw/WAV/PNG/JPEG/BMP/WebP/TIFF/MP3/FLAC/OGG/MKV
-    * — the modulus is COPRIME with the synths' %10 corrupt lane, so
-    * every family contributes corrupt/text-fallback members):
+    * doc_id%13 picks raw/WAV/PNG/JPEG/BMP/WebP/TIFF/MP3/FLAC/OGG/
+    * MKV/Avro/Parquet — the modulus is COPRIME with the synths' %10
+    * corrupt lane, so every family contributes corrupt/text-fallback
+    * members):
     * detection, sizes, and content units all re-derived from doc_id
     * arithmetic + text length — a hash match proves the Spark triage
     * detected containers from the actual bytes and routed each to
@@ -3190,7 +3191,7 @@ object OracleSql {
       |    THEN LEAST(GREATEST(octet_length(text::BLOB) - 5, 0), 3 + doc_id % 11)
       |    ELSE NULL END AS c2,
       |  CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 3 END AS nc,
-      |  doc_id % 11 AS cls, doc_id % 10 = 0 AS corrupt
+      |  doc_id % 13 AS cls, doc_id % 10 = 0 AS corrupt
       |  FROM documents),
       |w AS (SELECT *,
       |  (8000 + (doc_id % 5) * 4000) *
@@ -3245,15 +3246,22 @@ object OracleSql {
       |    WHEN doc_id % 4 = 1 THEN 33 ELSE 31 END AS kaud,
       |  CASE doc_id % 3 WHEN 0 THEN 0 WHEN 1 THEN 18 + doc_id % 9
       |    ELSE 37 + 2 * (doc_id % 9) END AS kcl,
-      |  10000 + doc_id % 5000 AS kdur
+      |  10000 + doc_id % 5000 AS kdur,
+      |  1 + doc_id % 3 AS anb,
+      |  1 + doc_id % 6 AS qncols,
+      |  1 + doc_id % 2 AS qnrg
       |  FROM w3),
       |w5 AS (SELECT *,
-      |  kinfo + 28 + khb + kaud + kcl AS kseg
+      |  kinfo + 28 + khb + kaud + kcl AS kseg,
+      |  list_sum([2 + (doc_id + b) % 4 for b in range(anb)]) AS arecs,
+      |  18 + 9 * qncols + 10 * qnrg
+      |    + CASE WHEN doc_id % 5 = 3 THEN 12 ELSE 0 END
+      |    + CASE WHEN doc_id % 2 = 0 THEN 17 ELSE 0 END AS qflen
       |  FROM w4),
       |d AS (SELECT doc_id, dlen, rawlen, c1, c2, nc, br, pw, ph, jh, jw, bw, bh, bimg,
       |  xfmt, xw, xh, tw_, th_, tlen, msr, mbr, mpad, mnf, mid3v2, mid3v1,
       |  fsr, ftot, fvb, fpd, oid, oclen, onlac, onaudio, og, osr,
-      |  khdr, kseg, kdur,
+      |  khdr, kseg, kdur, anb, arecs, qflen,
       |  CASE WHEN cls = 1 AND NOT corrupt THEN 'wav'
       |       WHEN cls = 2 AND NOT corrupt THEN 'png'
       |       WHEN cls = 3 AND NOT corrupt THEN 'jpeg'
@@ -3264,6 +3272,8 @@ object OracleSql {
       |       WHEN cls = 8 AND NOT corrupt THEN 'flac'
       |       WHEN cls = 9 AND NOT corrupt THEN 'ogg'
       |       WHEN cls = 10 AND NOT corrupt THEN 'mkv'
+      |       WHEN cls = 11 AND NOT corrupt THEN 'avro'
+      |       WHEN cls = 12 AND NOT corrupt THEN 'parquet'
       |       ELSE 'unknown' END AS detected
       |  FROM w5)
       |SELECT doc_id, detected,
@@ -3281,6 +3291,13 @@ object OracleSql {
       |          + onaudio * (68 + doc_id % 30)
       |        WHEN detected = 'mkv' THEN khdr + 4
       |          + (CASE WHEN kseg < 127 THEN 1 ELSE 2 END) + kseg
+      |        WHEN detected = 'avro' THEN 4
+      |          + (1 + 14 + ${graft.expressions.AvroSynthKernel.SchemaLen}
+      |             + CASE doc_id % 3 WHEN 0 THEN 0 WHEN 1 THEN 16 ELSE 19 END + 1)
+      |          + 16 + 2 * anb
+      |          + 6 * arecs + (CASE WHEN doc_id % 3 = 2 THEN 5 * anb ELSE 0 END)
+      |          + 16 * anb
+      |        WHEN detected = 'parquet' THEN 16 + qflen
       |        ELSE rawlen END)::BIGINT AS payload_bytes,
       |  detected <> 'unknown' AS valid,
       |  (CASE WHEN detected = 'wav' THEN (dlen * 1000) // br
@@ -3296,6 +3313,8 @@ object OracleSql {
       |          THEN onaudio * og * 1000 // 48000
       |          ELSE onaudio * og * 1000 // osr END
       |        WHEN detected = 'mkv' THEN kdur
+      |        WHEN detected = 'avro' THEN arecs
+      |        WHEN detected = 'parquet' THEN 10 + doc_id % 50
       |        END)::BIGINT AS content_units
       |FROM d ORDER BY doc_id""".stripMargin
 
@@ -3802,6 +3821,106 @@ object OracleSql {
        |    AS peak_byte
        |FROM s ORDER BY doc_id""".stripMargin
   }
+
+  /** Avro OCF triage (mirror of `Binary.Avro.parse` ∘
+    * `synthFromDocs`): codec lane, schema signature (the template's
+    * byte length is interpolated from the SAME Scala constant the
+    * synth uses), block/record accounting incl. the STORED-deflate
+    * 5-byte-per-block overhead, and the two verdict lanes — all
+    * re-derived closed-form from doc_id, so a hash match proves the
+    * kernel walked the actual zigzag varints.
+    */
+  val mmAvroMeta: String =
+    s"""WITH m AS (SELECT doc_id, doc_id % 10 = 0 AS invalid,
+      |  doc_id % 3 AS cl,
+      |  1 + doc_id % 3 AS nb FROM documents),
+      |v AS (SELECT *,
+      |  list_sum([2 + (doc_id + b) % 4 for b in range(nb)]) AS recs
+      |  FROM m)
+      |SELECT doc_id,
+      |  CASE WHEN invalid THEN 'text/plain' ELSE 'application/avro' END AS media_type,
+      |  NOT invalid AS avro_valid,
+      |  CASE WHEN invalid THEN NULL
+      |    WHEN cl = 2 THEN 'deflate' ELSE 'null' END AS codec,
+      |  CASE WHEN invalid THEN NULL ELSE 'record' END AS schema_type,
+      |  CASE WHEN invalid THEN NULL
+      |    ELSE 'Rec' || (doc_id % 7) END AS schema_name,
+      |  (CASE WHEN invalid THEN NULL
+      |    ELSE ${graft.expressions.AvroSynthKernel.SchemaLen} END)::BIGINT
+      |    AS schema_bytes,
+      |  (CASE WHEN invalid THEN NULL
+      |    WHEN cl = 0 THEN 1 ELSE 2 END)::BIGINT AS n_meta_entries,
+      |  (CASE WHEN invalid THEN NULL ELSE nb END)::BIGINT AS n_blocks,
+      |  (CASE WHEN invalid THEN NULL ELSE recs END)::BIGINT AS n_records,
+      |  (CASE WHEN invalid THEN NULL
+      |    ELSE 6 * recs + CASE WHEN cl = 2 THEN 5 * nb ELSE 0 END END)::BIGINT
+      |    AS data_bytes,
+      |  CASE WHEN invalid THEN NULL ELSE doc_id % 20 <> 11 END AS sync_ok,
+      |  CASE WHEN invalid THEN NULL ELSE TRUE END AS header_consistent
+      |FROM v ORDER BY doc_id""".stripMargin
+
+  /** Avro flat-record decode (mirror of `Binary.Avro.recordStats` ∘
+    * `synthFromDocs`): record-grain aggregates recomputed from the
+    * record closed forms (f1 = (d+i)%30, f2 = 3 chars, f3 = (d+i)%2)
+    * while Spark decodes actual zigzag/length-prefixed bytes; the
+    * deflate lane refuses (decode_ok false, the tier's contract).
+    */
+  val mmAvroRecords: String =
+    """WITH m AS (SELECT doc_id, doc_id % 10 = 0 AS invalid,
+      |  doc_id % 3 = 2 AS deflate,
+      |  1 + doc_id % 3 AS nb FROM documents),
+      |v AS (SELECT *,
+      |  list_sum([2 + (doc_id + b) % 4 for b in range(nb)])::BIGINT AS recs
+      |  FROM m),
+      |x AS (SELECT *,
+      |  list_sum([(doc_id + i) % 30 for i in range(recs)]) AS isum,
+      |  list_sum([(doc_id + i) % 2 for i in range(recs)]) AS trues
+      |  FROM v)
+      |SELECT doc_id, NOT invalid AS avro_valid,
+      |  NOT invalid AND NOT deflate AS decode_ok,
+      |  (CASE WHEN invalid OR deflate THEN NULL ELSE 3 END)::BIGINT AS n_fields,
+      |  (CASE WHEN invalid OR deflate THEN NULL ELSE recs END)::BIGINT AS n_records,
+      |  (CASE WHEN invalid OR deflate THEN NULL ELSE isum END)::BIGINT AS int_sum,
+      |  (CASE WHEN invalid OR deflate THEN NULL ELSE 3 * recs END)::BIGINT
+      |    AS string_bytes,
+      |  (CASE WHEN invalid OR deflate THEN NULL ELSE trues END)::BIGINT
+      |    AS bool_trues
+      |FROM x ORDER BY doc_id""".stripMargin
+
+  /** Parquet footer triage (mirror of `Binary.Parquet.parse` ∘
+    * `synthFromDocs`): version/rows/groups/columns and the writer id
+    * re-derived closed-form from doc_id — the d%20==13 lane
+    * mis-splits row-group rows by one, so `rows_match` is a real
+    * integrity verdict — while Spark walks actual thrift-compact
+    * field headers. `footer_bytes` doubles as the byte-length
+    * closed-form proof (the mixed-triage oracle reuses it).
+    */
+  val mmParquetMeta: String =
+    s"""WITH m AS (SELECT doc_id, doc_id % 10 = 0 AS invalid,
+      |  1 + doc_id % 6 AS ncols,
+      |  1 + doc_id % 2 AS nrg FROM documents),
+      |v AS (SELECT *,
+      |  18 + 9 * ncols + 10 * nrg
+      |    + CASE WHEN doc_id % 5 = 3 THEN 12 ELSE 0 END
+      |    + CASE WHEN doc_id % 2 = 0 THEN 17 ELSE 0 END AS flen,
+      |  list_sum([40 + (doc_id + g) % 20 for g in range(nrg)]) AS tbs
+      |  FROM m)
+      |SELECT doc_id,
+      |  CASE WHEN invalid THEN 'text/plain'
+      |    ELSE 'application/parquet' END AS media_type,
+      |  NOT invalid AS parquet_valid,
+      |  (CASE WHEN invalid THEN NULL ELSE 1 + doc_id % 2 END)::BIGINT AS version,
+      |  (CASE WHEN invalid THEN NULL ELSE 10 + doc_id % 50 END)::BIGINT AS num_rows,
+      |  (CASE WHEN invalid THEN NULL ELSE nrg END)::BIGINT AS n_row_groups,
+      |  (CASE WHEN invalid THEN NULL ELSE ncols END)::BIGINT AS n_columns,
+      |  (CASE WHEN invalid THEN NULL ELSE 1 + ncols END)::BIGINT
+      |    AS n_schema_elements,
+      |  (CASE WHEN invalid THEN NULL ELSE tbs END)::BIGINT AS total_byte_size,
+      |  CASE WHEN invalid OR doc_id % 2 = 1 THEN NULL
+      |    ELSE '${graft.expressions.ParquetSynthKernel.CreatedBy}' END AS created_by,
+      |  CASE WHEN invalid THEN NULL ELSE doc_id % 20 <> 13 END AS rows_match,
+      |  (CASE WHEN invalid THEN NULL ELSE flen END)::BIGINT AS footer_bytes
+      |FROM v ORDER BY doc_id""".stripMargin
 
   /** Animated GIF frame walk (mirror of `Gif.frames` ∘
     * `synthAnimFromDocs`): per-frame rows re-derived closed-form —

@@ -1866,7 +1866,11 @@ object SparkEntry {
         .select(d, col("payload").as("ogp"))
       val mk = graft.multimodal.Binary.Mkv.synthFromDocs(docs)
         .select(d, col("payload").as("mkp"))
-      // lane modulus 11 (10 families + text) is COPRIME with the
+      val av = graft.multimodal.Binary.Avro.synthFromDocs(docs)
+        .select(d, col("payload").as("avp"))
+      val pq = graft.multimodal.Binary.Parquet.synthFromDocs(docs)
+        .select(d, col("payload").as("pqp"))
+      // lane modulus 13 (12 families + text) is COPRIME with the
       // synths' %10 corrupt lane, so every family contributes
       // corrupt/text-fallback members (r15)
       val mixed = docs.select(d, col("text"))
@@ -1874,19 +1878,65 @@ object SparkEntry {
         .join(b, Seq("doc_id")).join(wb, Seq("doc_id")).join(tf, Seq("doc_id"))
         .join(m3, Seq("doc_id")).join(fl, Seq("doc_id"))
         .join(og, Seq("doc_id")).join(mk, Seq("doc_id"))
+        .join(av, Seq("doc_id")).join(pq, Seq("doc_id"))
         .select(d,
-          when(d % 11 === 1, col("wp"))
-            .when(d % 11 === 2, col("gp"))
-            .when(d % 11 === 3, col("jp"))
-            .when(d % 11 === 4, col("bp"))
-            .when(d % 11 === 5, col("xp"))
-            .when(d % 11 === 6, col("tp"))
-            .when(d % 11 === 7, col("m3p"))
-            .when(d % 11 === 8, col("flp"))
-            .when(d % 11 === 9, col("ogp"))
-            .when(d % 11 === 10, col("mkp"))
+          when(d % 13 === 1, col("wp"))
+            .when(d % 13 === 2, col("gp"))
+            .when(d % 13 === 3, col("jp"))
+            .when(d % 13 === 4, col("bp"))
+            .when(d % 13 === 5, col("xp"))
+            .when(d % 13 === 6, col("tp"))
+            .when(d % 13 === 7, col("m3p"))
+            .when(d % 13 === 8, col("flp"))
+            .when(d % 13 === 9, col("ogp"))
+            .when(d % 13 === 10, col("mkp"))
+            .when(d % 13 === 11, col("avp"))
+            .when(d % 13 === 12, col("pqp"))
             .otherwise(col("text").cast("binary")).as("payload"))
       graft.multimodal.Binary.triage(mixed).orderBy(d)
+    }),
+    // Avro OCF container triage — the FIFTEENTH family (r15): varint
+    // metadata-map walk, schema-JSON signature, sync-framed block
+    // accounting with the sync-equality integrity verdict — every
+    // field re-derived closed-form by the oracle while Spark walks
+    // actual varints
+    "mm_avro_meta" -> ((s, dir) => {
+      val media = graft.multimodal.Binary.Avro.synthFromDocs(t(s, dir, "documents"))
+      graft.multimodal.Binary.Avro.parse(media)
+        .select(col("doc_id"), col("media_type"), col("avro_valid"),
+          col("codec"), col("schema_type"), col("schema_name"),
+          col("schema_bytes"), col("n_meta_entries"), col("n_blocks"),
+          col("n_records"), col("data_bytes"), col("sync_ok"),
+          col("header_consistent"))
+        .orderBy(col("doc_id"))
+    }),
+    // flat-record Avro decode tier (r15): every record of a
+    // primitives-only schema decoded (zigzag longs, length-prefixed
+    // strings, booleans) — the oracle recomputes the record-grain
+    // aggregates closed-form while Spark decodes actual bytes;
+    // non-null codecs and non-flat schemas refuse (decode_ok false)
+    "mm_avro_records" -> ((s, dir) => {
+      val media = graft.multimodal.Binary.Avro.synthFromDocs(t(s, dir, "documents"))
+      graft.multimodal.Binary.Avro.recordStats(media)
+        .select(col("doc_id"), col("avro_valid"), col("decode_ok"),
+          col("n_fields"), col("n_records"), col("int_sum"),
+          col("string_bytes"), col("bool_trues"))
+        .orderBy(col("doc_id"))
+    }),
+    // Parquet FOOTER triage — the SIXTEENTH family (r15): thrift-
+    // compact walk of FileMetaData (version, num_rows, schema leaves,
+    // row groups, created_by, the Σ-row-group-rows integrity verdict)
+    // — every field re-derived closed-form by the oracle while Spark
+    // walks actual field headers and zigzag varints
+    "mm_parquet_meta" -> ((s, dir) => {
+      val media = graft.multimodal.Binary.Parquet.synthFromDocs(t(s, dir, "documents"))
+      graft.multimodal.Binary.Parquet.parse(media)
+        .select(col("doc_id"), col("media_type"), col("parquet_valid"),
+          col("version"), col("num_rows"), col("n_row_groups"),
+          col("n_columns"), col("n_schema_elements"),
+          col("total_byte_size"), col("created_by"), col("rows_match"),
+          col("footer_bytes"))
+        .orderBy(col("doc_id"))
     }),
     // MP3 container triage — the ELEVENTH family (r15): ID3v2 prefix,
     // Layer III frame walk with the version×bitrate×rate length
@@ -2428,5 +2478,8 @@ object SparkEntry {
     "mm_flac_samples" -> OracleSql.mmFlacSamples,
     "mm_ogg_samples" -> OracleSql.mmOggSamples,
     "mm_gif_frames" -> OracleSql.mmGifFrames,
+    "mm_avro_meta" -> OracleSql.mmAvroMeta,
+    "mm_avro_records" -> OracleSql.mmAvroRecords,
+    "mm_parquet_meta" -> OracleSql.mmParquetMeta,
   )
 }

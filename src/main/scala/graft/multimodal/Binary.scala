@@ -2018,6 +2018,65 @@ object Binary {
     }
   }
 
+  /** Parquet FOOTER triage — the SIXTEENTH family (r15): the lake
+    * format Spark itself writes, triaged from the payload BYTES via
+    * a Thrift-compact footer walk
+    * ([[graft.expressions.ParquetMetaKernel]]). One codegen kernel
+    * pass, pure projection.
+    */
+  object Parquet {
+    import org.apache.spark.sql.GraftColumnBridge.{column => gcol, expression => gexpr}
+
+    /** Column-level detection mirror of `ParquetMetaKernel.isParquet`:
+      * the magic is printable, so detection requires it at BOTH ends
+      * — a text document carrying both is implausible, and the
+      * footer-length sanity check nulls stragglers.
+      */
+    private[multimodal] def isParquet(p: Column): Column =
+      length(p) >= 12 &&
+        substring(p, 1, 4) === lit("PAR1".getBytes("US-ASCII")) &&
+        substring(p, -4, 4) === lit("PAR1".getBytes("US-ASCII"))
+
+    /** Parse triage fields: validity, format version, declared row
+      * count, row-group count and Σ total_byte_size, schema element
+      * and LEAF column counts, the writer id, the Σ-row-group-rows
+      * integrity verdict, and the footer byte length. Pure
+      * projection.
+      */
+    def parse(media: DataFrame, payloadCol: String = "payload"): DataFrame = {
+      val m = gcol(graft.expressions.ParquetMeta(gexpr(col(payloadCol))))
+      media
+        .withColumn("__p", m)
+        .withColumn("parquet_valid", coalesce(col("__p.parquet_valid"), lit(false)))
+        .withColumn("version", col("__p.version"))
+        .withColumn("num_rows", col("__p.num_rows"))
+        .withColumn("n_row_groups", col("__p.n_row_groups"))
+        .withColumn("n_columns", col("__p.n_columns"))
+        .withColumn("n_schema_elements", col("__p.n_schema_elements"))
+        .withColumn("total_byte_size", col("__p.total_byte_size"))
+        .withColumn("created_by", col("__p.created_by"))
+        .withColumn("rows_match", col("__p.rows_match"))
+        .withColumn("footer_bytes", col("__p.footer_bytes"))
+        .drop("__p")
+    }
+
+    /** Deterministic Parquet payloads over the docs table (see
+      * [[graft.expressions.ParquetSynthKernel]]: real thrift-compact
+      * footers — version/columns/row-group rotation, a
+      * key-value-metadata generic-skip lane, a mis-split rows lane);
+      * every `invalidEvery`-th doc raw text.
+      */
+    def synthFromDocs(docs: DataFrame, invalidEvery: Int = 10): DataFrame = {
+      val d = col("doc_id")
+      val payload = gcol(graft.expressions.ParquetSynth(gexpr(d)))
+      docs.select(d,
+        when(d % invalidEvery === 0, col("text").cast("binary"))
+          .otherwise(payload).as("payload"),
+        when(d % invalidEvery === 0, lit("text/plain"))
+          .otherwise(lit("application/parquet")).as("media_type"))
+    }
+  }
+
   /** MP4 / ISO BMFF (MOV, M4A, HEIF share the framing) container
     * triage — the VIDEO container family: boxes are BE-sized 4cc
     * headers, nested, so triage needs a path walk
@@ -2448,6 +2507,8 @@ object Binary {
         .when(Flac.isFlac(p), "flac")
         .when(Ogg.isOgg(p), "ogg")
         .when(Mkv.isMkv(p), "mkv")
+        .when(Avro.isAvro(p), "avro")
+        .when(Parquet.isParquet(p), "parquet")
         .otherwise("unknown")
     val keep = media.columns.map(col)
     val afterWav = Wav.parse(media, payloadCol)
@@ -2556,10 +2617,41 @@ object Binary {
         col("flac_valid") :+ col("flac_ms") :+
         col("ogg_valid") :+ col("ogg_ms") :+
         col("mkv_valid") :+ col("duration_ms").as("mkv_ms"): _*)
+    val afterAvro = Avro.parse(afterMkv, payloadCol)
+      .select(keep :+ col("wav_valid") :+ col("wav_ms") :+
+        col("png_valid") :+ col("png_pixels") :+
+        col("jpeg_valid") :+ col("jpeg_pixels") :+
+        col("bmp_valid") :+ col("bmp_pixels") :+
+        col("gif_valid") :+ col("gif_pixels") :+
+        col("pdf_valid") :+ col("pdf_pages") :+
+        col("mp4_valid") :+ col("mp4_ms") :+
+        col("webp_valid") :+ col("webp_pixels") :+
+        col("tiff_valid") :+ col("tiff_pixels") :+
+        col("mp3_valid") :+ col("mp3_ms") :+
+        col("flac_valid") :+ col("flac_ms") :+
+        col("ogg_valid") :+ col("ogg_ms") :+
+        col("mkv_valid") :+ col("mkv_ms") :+
+        col("avro_valid") :+ col("n_records").as("avro_records"): _*)
+    val afterParquet = Parquet.parse(afterAvro, payloadCol)
+      .select(keep :+ col("wav_valid") :+ col("wav_ms") :+
+        col("png_valid") :+ col("png_pixels") :+
+        col("jpeg_valid") :+ col("jpeg_pixels") :+
+        col("bmp_valid") :+ col("bmp_pixels") :+
+        col("gif_valid") :+ col("gif_pixels") :+
+        col("pdf_valid") :+ col("pdf_pages") :+
+        col("mp4_valid") :+ col("mp4_ms") :+
+        col("webp_valid") :+ col("webp_pixels") :+
+        col("tiff_valid") :+ col("tiff_pixels") :+
+        col("mp3_valid") :+ col("mp3_ms") :+
+        col("flac_valid") :+ col("flac_ms") :+
+        col("ogg_valid") :+ col("ogg_ms") :+
+        col("mkv_valid") :+ col("mkv_ms") :+
+        col("avro_valid") :+ col("avro_records") :+
+        col("parquet_valid") :+ col("num_rows").as("parquet_rows"): _*)
     val zipEntries = org.apache.spark.sql.GraftColumnBridge.column(
       graft.expressions.ZipEntries(
         org.apache.spark.sql.GraftColumnBridge.expression(p), 1 << 22))
-    afterMkv
+    afterParquet
       .withColumn("__zip", when(detected === "zip", zipEntries))
       .select(col("doc_id"), detected.as("detected"),
         length(p).cast("long").as("payload_bytes"),
@@ -2576,6 +2668,8 @@ object Binary {
           .when(detected === "flac", col("flac_valid"))
           .when(detected === "ogg", col("ogg_valid"))
           .when(detected === "mkv", col("mkv_valid"))
+          .when(detected === "avro", col("avro_valid"))
+          .when(detected === "parquet", col("parquet_valid"))
           .when(detected === "zip", col("__zip").isNotNull)
           .otherwise(lit(false)).as("valid"),
         when(detected === "wav", col("wav_ms"))
@@ -2591,6 +2685,8 @@ object Binary {
           .when(detected === "flac", col("flac_ms"))
           .when(detected === "ogg", col("ogg_ms"))
           .when(detected === "mkv", col("mkv_ms"))
+          .when(detected === "avro", col("avro_records"))
+          .when(detected === "parquet", col("parquet_rows"))
           .when(detected === "zip", size(col("__zip")).cast("long"))
           .as("content_units"))
   }

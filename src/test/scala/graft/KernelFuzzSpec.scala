@@ -357,6 +357,36 @@ class KernelFuzzSpec extends SparkSpec {
     })
   }
 
+  test("Avro and Parquet kernels never throw on bit-flipped containers (r15)") {
+    // flips land in varint continuation bits, zigzag signs, lacing
+    // counts, thrift field headers, list sizes, and footer lengths
+    val avroSeeds = Seq(1L, 2L, 3L, 5L, 7L, 9L).map(
+      graft.expressions.AvroSynthKernel.synth)
+    val pqSeeds = Seq(1L, 2L, 3L, 5L, 7L, 9L).map(
+      graft.expressions.ParquetSynthKernel.synth)
+    def flipped(seeds: Seq[Array[Byte]]) = for {
+      src <- Gen.oneOf(seeds)
+      nFlips <- Gen.choose(1, 8)
+      flips <- Gen.listOfN(nFlips, for {
+        pos <- Gen.choose(0, src.length - 1)
+        v <- Gen.choose(Byte.MinValue, Byte.MaxValue)
+      } yield (pos, v))
+    } yield {
+      val c = src.clone()
+      flips.foreach { case (pos, v) => c(pos) = v }
+      c
+    }
+    checkProp(Prop.forAllNoShrink(flipped(avroSeeds)) { p =>
+      graft.expressions.AvroMetaKernel.parse(p)
+      graft.expressions.AvroRecordsKernel.stats(p)
+      true
+    })
+    checkProp(Prop.forAllNoShrink(flipped(pqSeeds)) { p =>
+      graft.expressions.ParquetMetaKernel.parse(p)
+      true
+    })
+  }
+
   test("GifFramesKernel never throws on bit-flipped or garbage animations (r15)") {
     // real multi-frame streams with random byte flips — the flips
     // land in extension labels, GCE fields, descriptors, local color

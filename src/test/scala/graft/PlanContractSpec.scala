@@ -512,6 +512,23 @@ class PlanContractSpec extends SparkSpec {
       "mm_ogg_samples: OggFlac kernel missing from plan")
   }
 
+  test("r15 mm rows: Avro and Parquet triage are shuffle-free codegen projections") {
+    for (name <- Seq("mm_avro_meta", "mm_avro_records", "mm_parquet_meta")) {
+      val phys = physical(q(name))
+      assert(!phys.contains("Exchange hashpartitioning"),
+        s"$name: unexpected keyed shuffle:\n$phys")
+      assert(!phys.contains("Window"), s"$name: unexpected window:\n$phys")
+      assert(!phys.contains("CartesianProduct"), s"$name: cartesian:\n$phys")
+      assert(!phys.toLowerCase.contains("batchevalpython"), s"$name: python udf")
+    }
+    assert(physical(q("mm_avro_meta")).contains("avro_meta"),
+      "mm_avro_meta: AvroMeta kernel missing from plan")
+    assert(physical(q("mm_avro_records")).contains("avro_record_stats"),
+      "mm_avro_records: AvroRecords kernel missing from plan")
+    assert(physical(q("mm_parquet_meta")).contains("parquet_meta"),
+      "mm_parquet_meta: ParquetMeta kernel missing from plan")
+  }
+
   test("r15 mm rows: animated GIF frame walk is a shuffle-free kernel + generate") {
     val phys = physical(q("mm_gif_frames"))
     assert(!phys.contains("Exchange hashpartitioning"),
