@@ -3164,10 +3164,10 @@ object OracleSql {
       |  doc_id % 4 = 0 AS ttwo""".stripMargin
 
   /** Mixed-container triage (mirror of the mm_media_triage wiring:
-    * doc_id%13 picks raw/WAV/PNG/JPEG/BMP/WebP/TIFF/MP3/FLAC/OGG/
-    * MKV/Avro/Parquet — the modulus is COPRIME with the synths' %10
-    * corrupt lane, so every family contributes corrupt/text-fallback
-    * members):
+    * doc_id%17 picks WAV/PNG/JPEG/BMP/WebP/TIFF/MP3/FLAC/OGG/
+    * MKV/Avro/Parquet/ORC on lanes 1-13 and raw text on 0 and 14-16
+    * — the modulus is COPRIME with the synths' %10 corrupt lane, so
+    * every family contributes corrupt/text-fallback members):
     * detection, sizes, and content units all re-derived from doc_id
     * arithmetic + text length — a hash match proves the Spark triage
     * detected containers from the actual bytes and routed each to
@@ -3191,7 +3191,7 @@ object OracleSql {
       |    THEN LEAST(GREATEST(octet_length(text::BLOB) - 5, 0), 3 + doc_id % 11)
       |    ELSE NULL END AS c2,
       |  CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 3 END AS nc,
-      |  doc_id % 13 AS cls, doc_id % 10 = 0 AS corrupt
+      |  doc_id % 17 AS cls, doc_id % 10 = 0 AS corrupt
       |  FROM documents),
       |w AS (SELECT *,
       |  (8000 + (doc_id % 5) * 4000) *
@@ -3249,19 +3249,24 @@ object OracleSql {
       |  10000 + doc_id % 5000 AS kdur,
       |  1 + doc_id % 3 AS anb,
       |  1 + doc_id % 6 AS qncols,
-      |  1 + doc_id % 2 AS qnrg
+      |  1 + doc_id % 2 AS qnrg,
+      |  1 + doc_id % 3 AS ons,
+      |  1 + doc_id % 5 AS oncols
       |  FROM w3),
       |w5 AS (SELECT *,
       |  kinfo + 28 + khb + kaud + kcl AS kseg,
       |  list_sum([2 + (doc_id + b) % 4 for b in range(anb)]) AS arecs,
       |  18 + 9 * qncols + 10 * qnrg
       |    + CASE WHEN doc_id % 5 = 3 THEN 12 ELSE 0 END
-      |    + CASE WHEN doc_id % 2 = 0 THEN 17 ELSE 0 END AS qflen
+      |    + CASE WHEN doc_id % 2 = 0 THEN 17 ELSE 0 END AS qflen,
+      |  16 + 12 * ons + 9 * oncols
+      |    + CASE WHEN doc_id % 2 = 1 THEN 8 ELSE 0 END AS ostored,
+      |  list_sum([10 + (doc_id + s) % 30 for s in range(ons)])::BIGINT AS osrows
       |  FROM w4),
       |d AS (SELECT doc_id, dlen, rawlen, c1, c2, nc, br, pw, ph, jh, jw, bw, bh, bimg,
       |  xfmt, xw, xh, tw_, th_, tlen, msr, mbr, mpad, mnf, mid3v2, mid3v1,
       |  fsr, ftot, fvb, fpd, oid, oclen, onlac, onaudio, og, osr,
-      |  khdr, kseg, kdur, anb, arecs, qflen,
+      |  khdr, kseg, kdur, anb, arecs, qflen, ostored, osrows,
       |  CASE WHEN cls = 1 AND NOT corrupt THEN 'wav'
       |       WHEN cls = 2 AND NOT corrupt THEN 'png'
       |       WHEN cls = 3 AND NOT corrupt THEN 'jpeg'
@@ -3274,6 +3279,7 @@ object OracleSql {
       |       WHEN cls = 10 AND NOT corrupt THEN 'mkv'
       |       WHEN cls = 11 AND NOT corrupt THEN 'avro'
       |       WHEN cls = 12 AND NOT corrupt THEN 'parquet'
+      |       WHEN cls = 13 AND NOT corrupt THEN 'orc'
       |       ELSE 'unknown' END AS detected
       |  FROM w5)
       |SELECT doc_id, detected,
@@ -3298,6 +3304,7 @@ object OracleSql {
       |          + 6 * arecs + (CASE WHEN doc_id % 3 = 2 THEN 5 * anb ELSE 0 END)
       |          + 16 * anb
       |        WHEN detected = 'parquet' THEN 16 + qflen
+      |        WHEN detected = 'orc' THEN 26 + ostored
       |        ELSE rawlen END)::BIGINT AS payload_bytes,
       |  detected <> 'unknown' AS valid,
       |  (CASE WHEN detected = 'wav' THEN (dlen * 1000) // br
@@ -3315,6 +3322,8 @@ object OracleSql {
       |        WHEN detected = 'mkv' THEN kdur
       |        WHEN detected = 'avro' THEN arecs
       |        WHEN detected = 'parquet' THEN 10 + doc_id % 50
+      |        WHEN detected = 'orc' THEN osrows
+      |          + CASE WHEN doc_id % 20 = 17 THEN 1 ELSE 0 END
       |        END)::BIGINT AS content_units
       |FROM d ORDER BY doc_id""".stripMargin
 
@@ -3920,6 +3929,47 @@ object OracleSql {
       |    ELSE '${graft.expressions.ParquetSynthKernel.CreatedBy}' END AS created_by,
       |  CASE WHEN invalid THEN NULL ELSE doc_id % 20 <> 13 END AS rows_match,
       |  (CASE WHEN invalid THEN NULL ELSE flen END)::BIGINT AS footer_bytes
+      |FROM v ORDER BY doc_id""".stripMargin
+
+  /** ORC footer triage (mirror of `Binary.Orc.parse` ∘
+    * `synthFromDocs`): stripe/type/column accounting, the
+    * compression lane (odd docs wrap the footer in a real ORC zlib
+    * chunk whose STORED-deflate framing keeps the length
+    * closed-form: raw + 8), and the d%20==17 mis-declared-rows
+    * integrity lane — all re-derived from doc_id, so a hash match
+    * proves the kernel walked actual protobuf wire format (and
+    * inflated the zlib lane's chunk).
+    */
+  val mmOrcMeta: String =
+    """WITH m AS (SELECT doc_id, doc_id % 10 = 0 AS invalid,
+      |  1 + doc_id % 3 AS ns,
+      |  1 + doc_id % 5 AS ncols,
+      |  doc_id % 2 = 1 AS zlib FROM documents),
+      |v AS (SELECT *,
+      |  16 + 12 * ns + 9 * ncols
+      |    + CASE WHEN zlib THEN 8 ELSE 0 END AS stored_len,
+      |  list_sum([10 + (doc_id + s) % 30 for s in range(ns)])::BIGINT AS srows
+      |  FROM m)
+      |SELECT doc_id,
+      |  CASE WHEN invalid THEN 'text/plain'
+      |    ELSE 'application/orc' END AS media_type,
+      |  NOT invalid AS orc_valid,
+      |  CASE WHEN invalid THEN NULL
+      |    WHEN zlib THEN 'zlib' ELSE 'none' END AS compression,
+      |  NOT invalid AS footer_decoded,
+      |  (CASE WHEN invalid THEN NULL
+      |    ELSE srows + CASE WHEN doc_id % 20 = 17 THEN 1 ELSE 0 END
+      |    END)::BIGINT AS num_rows,
+      |  (CASE WHEN invalid THEN NULL ELSE ns END)::BIGINT AS n_stripes,
+      |  (CASE WHEN invalid THEN NULL ELSE srows END)::BIGINT AS stripe_rows,
+      |  (CASE WHEN invalid THEN NULL ELSE 1 + ncols END)::BIGINT AS n_types,
+      |  (CASE WHEN invalid THEN NULL ELSE ncols END)::BIGINT AS n_cols,
+      |  (CASE WHEN invalid THEN NULL ELSE 5 END)::BIGINT AS content_length,
+      |  (CASE WHEN invalid THEN NULL ELSE 1 + doc_id % 5 END)::BIGINT
+      |    AS writer_version,
+      |  (CASE WHEN invalid THEN NULL ELSE stored_len END)::BIGINT AS footer_bytes,
+      |  (CASE WHEN invalid THEN NULL ELSE 0 END)::BIGINT AS metadata_bytes,
+      |  CASE WHEN invalid THEN NULL ELSE doc_id % 20 <> 17 END AS stripe_rows_match
       |FROM v ORDER BY doc_id""".stripMargin
 
   /** Animated GIF frame walk (mirror of `Gif.frames` ∘

@@ -1870,28 +1870,31 @@ object SparkEntry {
         .select(d, col("payload").as("avp"))
       val pq = graft.multimodal.Binary.Parquet.synthFromDocs(docs)
         .select(d, col("payload").as("pqp"))
-      // lane modulus 13 (12 families + text) is COPRIME with the
-      // synths' %10 corrupt lane, so every family contributes
-      // corrupt/text-fallback members (r15)
+      val oc = graft.multimodal.Binary.Orc.synthFromDocs(docs)
+        .select(d, col("payload").as("ocp"))
+      // lane modulus 17 (13 families on lanes 1-13, text on 0 and
+      // 14-16) is COPRIME with the synths' %10 corrupt lane, so
+      // every family contributes corrupt/text-fallback members (r15)
       val mixed = docs.select(d, col("text"))
         .join(w, Seq("doc_id")).join(g, Seq("doc_id")).join(j, Seq("doc_id"))
         .join(b, Seq("doc_id")).join(wb, Seq("doc_id")).join(tf, Seq("doc_id"))
         .join(m3, Seq("doc_id")).join(fl, Seq("doc_id"))
         .join(og, Seq("doc_id")).join(mk, Seq("doc_id"))
-        .join(av, Seq("doc_id")).join(pq, Seq("doc_id"))
+        .join(av, Seq("doc_id")).join(pq, Seq("doc_id")).join(oc, Seq("doc_id"))
         .select(d,
-          when(d % 13 === 1, col("wp"))
-            .when(d % 13 === 2, col("gp"))
-            .when(d % 13 === 3, col("jp"))
-            .when(d % 13 === 4, col("bp"))
-            .when(d % 13 === 5, col("xp"))
-            .when(d % 13 === 6, col("tp"))
-            .when(d % 13 === 7, col("m3p"))
-            .when(d % 13 === 8, col("flp"))
-            .when(d % 13 === 9, col("ogp"))
-            .when(d % 13 === 10, col("mkp"))
-            .when(d % 13 === 11, col("avp"))
-            .when(d % 13 === 12, col("pqp"))
+          when(d % 17 === 1, col("wp"))
+            .when(d % 17 === 2, col("gp"))
+            .when(d % 17 === 3, col("jp"))
+            .when(d % 17 === 4, col("bp"))
+            .when(d % 17 === 5, col("xp"))
+            .when(d % 17 === 6, col("tp"))
+            .when(d % 17 === 7, col("m3p"))
+            .when(d % 17 === 8, col("flp"))
+            .when(d % 17 === 9, col("ogp"))
+            .when(d % 17 === 10, col("mkp"))
+            .when(d % 17 === 11, col("avp"))
+            .when(d % 17 === 12, col("pqp"))
+            .when(d % 17 === 13, col("ocp"))
             .otherwise(col("text").cast("binary")).as("payload"))
       graft.multimodal.Binary.triage(mixed).orderBy(d)
     }),
@@ -1921,6 +1924,23 @@ object SparkEntry {
         .select(col("doc_id"), col("avro_valid"), col("decode_ok"),
           col("n_fields"), col("n_records"), col("int_sum"),
           col("string_bytes"), col("bool_trues"))
+        .orderBy(col("doc_id"))
+    }),
+    // ORC footer triage — the SEVENTEENTH family (r15), completing
+    // the lake trio (Avro varints, Parquet thrift-compact, ORC
+    // protobuf): PostScript/Footer wire walk, real ORC-zlib chunk
+    // decompression on odd docs, stripe accounting with the
+    // sum-of-stripe-rows integrity verdict — every field re-derived
+    // closed-form by the oracle while Spark walks actual protobuf
+    "mm_orc_meta" -> ((s, dir) => {
+      val media = graft.multimodal.Binary.Orc.synthFromDocs(t(s, dir, "documents"))
+      graft.multimodal.Binary.Orc.parse(media)
+        .select(col("doc_id"), col("media_type"), col("orc_valid"),
+          col("compression"), col("footer_decoded"), col("num_rows"),
+          col("n_stripes"), col("stripe_rows"), col("n_types"),
+          col("n_cols"), col("content_length"), col("writer_version"),
+          col("footer_bytes"), col("metadata_bytes"),
+          col("stripe_rows_match"))
         .orderBy(col("doc_id"))
     }),
     // Parquet FOOTER triage — the SIXTEENTH family (r15): thrift-
@@ -2481,5 +2501,6 @@ object SparkEntry {
     "mm_avro_meta" -> OracleSql.mmAvroMeta,
     "mm_avro_records" -> OracleSql.mmAvroRecords,
     "mm_parquet_meta" -> OracleSql.mmParquetMeta,
+    "mm_orc_meta" -> OracleSql.mmOrcMeta,
   )
 }

@@ -2077,6 +2077,67 @@ object Binary {
     }
   }
 
+  /** ORC footer triage — the SEVENTEENTH family (r15), completing
+    * the lake trio: protobuf PostScript/Footer walk with ORC-zlib
+    * chunk decompression ([[graft.expressions.OrcMetaKernel]]). One
+    * codegen kernel pass, pure projection.
+    */
+  object Orc {
+    import org.apache.spark.sql.GraftColumnBridge.{column => gcol, expression => gexpr}
+
+    /** Column-level detection mirror of `OrcMetaKernel.isOrc`: the
+      * head magic plus a minimum tail (PostScript + length byte);
+      * the magic is printable, so a text document could route here —
+      * the kernel's trailing-magic requirement then flags it invalid
+      * (the detected-but-corrupt pattern).
+      */
+    private[multimodal] def isOrc(p: Column): Column =
+      length(p) >= 16 &&
+        substring(p, 1, 3) === lit("ORC".getBytes("US-ASCII"))
+
+    /** Parse triage fields: validity, compression kind, whether the
+      * footer decoded (NONE/ZLIB do; SNAPPY/LZO/LZ4/ZSTD report
+      * PostScript-grain fields only), declared rows, stripe count +
+      * Σ per-stripe rows with the `stripe_rows_match` integrity
+      * verdict, type/column counts, content length, writer version,
+      * footer/metadata byte lengths. Pure projection.
+      */
+    def parse(media: DataFrame, payloadCol: String = "payload"): DataFrame = {
+      val m = gcol(graft.expressions.OrcMeta(gexpr(col(payloadCol))))
+      media
+        .withColumn("__o", m)
+        .withColumn("orc_valid", coalesce(col("__o.orc_valid"), lit(false)))
+        .withColumn("compression", col("__o.compression"))
+        .withColumn("footer_decoded", coalesce(col("__o.footer_decoded"), lit(false)))
+        .withColumn("num_rows", col("__o.num_rows"))
+        .withColumn("n_stripes", col("__o.n_stripes"))
+        .withColumn("stripe_rows", col("__o.stripe_rows"))
+        .withColumn("n_types", col("__o.n_types"))
+        .withColumn("n_cols", col("__o.n_cols"))
+        .withColumn("content_length", col("__o.content_length"))
+        .withColumn("writer_version", col("__o.writer_version"))
+        .withColumn("footer_bytes", col("__o.footer_bytes"))
+        .withColumn("metadata_bytes", col("__o.metadata_bytes"))
+        .withColumn("stripe_rows_match", col("__o.stripe_rows_match"))
+        .drop("__o")
+    }
+
+    /** Deterministic ORC payloads over the docs table (see
+      * [[graft.expressions.OrcSynthKernel]]: real protobuf footers,
+      * NONE vs real-ZLIB-chunk compression lanes, a mis-declared
+      * rows lane); every `invalidEvery`-th doc raw text.
+      */
+    def synthFromDocs(docs: DataFrame, invalidEvery: Int = 10): DataFrame = {
+      val d = col("doc_id")
+      val payload = gcol(graft.expressions.OrcSynth(gexpr(d)))
+      docs.select(d,
+        when(d % invalidEvery === 0, col("text").cast("binary"))
+          .otherwise(payload).as("payload"),
+        when(d % invalidEvery === 0, lit("text/plain"))
+          .otherwise(lit("application/orc")).as("media_type"))
+    }
+  }
+
   /** MP4 / ISO BMFF (MOV, M4A, HEIF share the framing) container
     * triage — the VIDEO container family: boxes are BE-sized 4cc
     * headers, nested, so triage needs a path walk
@@ -2509,6 +2570,7 @@ object Binary {
         .when(Mkv.isMkv(p), "mkv")
         .when(Avro.isAvro(p), "avro")
         .when(Parquet.isParquet(p), "parquet")
+        .when(Orc.isOrc(p), "orc")
         .otherwise("unknown")
     val keep = media.columns.map(col)
     val afterWav = Wav.parse(media, payloadCol)
@@ -2648,10 +2710,27 @@ object Binary {
         col("mkv_valid") :+ col("mkv_ms") :+
         col("avro_valid") :+ col("avro_records") :+
         col("parquet_valid") :+ col("num_rows").as("parquet_rows"): _*)
+    val afterOrc = Orc.parse(afterParquet, payloadCol)
+      .select(keep :+ col("wav_valid") :+ col("wav_ms") :+
+        col("png_valid") :+ col("png_pixels") :+
+        col("jpeg_valid") :+ col("jpeg_pixels") :+
+        col("bmp_valid") :+ col("bmp_pixels") :+
+        col("gif_valid") :+ col("gif_pixels") :+
+        col("pdf_valid") :+ col("pdf_pages") :+
+        col("mp4_valid") :+ col("mp4_ms") :+
+        col("webp_valid") :+ col("webp_pixels") :+
+        col("tiff_valid") :+ col("tiff_pixels") :+
+        col("mp3_valid") :+ col("mp3_ms") :+
+        col("flac_valid") :+ col("flac_ms") :+
+        col("ogg_valid") :+ col("ogg_ms") :+
+        col("mkv_valid") :+ col("mkv_ms") :+
+        col("avro_valid") :+ col("avro_records") :+
+        col("parquet_valid") :+ col("parquet_rows") :+
+        col("orc_valid") :+ col("num_rows").as("orc_rows"): _*)
     val zipEntries = org.apache.spark.sql.GraftColumnBridge.column(
       graft.expressions.ZipEntries(
         org.apache.spark.sql.GraftColumnBridge.expression(p), 1 << 22))
-    afterParquet
+    afterOrc
       .withColumn("__zip", when(detected === "zip", zipEntries))
       .select(col("doc_id"), detected.as("detected"),
         length(p).cast("long").as("payload_bytes"),
@@ -2670,6 +2749,7 @@ object Binary {
           .when(detected === "mkv", col("mkv_valid"))
           .when(detected === "avro", col("avro_valid"))
           .when(detected === "parquet", col("parquet_valid"))
+          .when(detected === "orc", col("orc_valid"))
           .when(detected === "zip", col("__zip").isNotNull)
           .otherwise(lit(false)).as("valid"),
         when(detected === "wav", col("wav_ms"))
@@ -2687,6 +2767,7 @@ object Binary {
           .when(detected === "mkv", col("mkv_ms"))
           .when(detected === "avro", col("avro_records"))
           .when(detected === "parquet", col("parquet_rows"))
+          .when(detected === "orc", col("orc_rows"))
           .when(detected === "zip", size(col("__zip")).cast("long"))
           .as("content_units"))
   }

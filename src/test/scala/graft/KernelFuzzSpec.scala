@@ -357,7 +357,7 @@ class KernelFuzzSpec extends SparkSpec {
     })
   }
 
-  test("Avro and Parquet kernels never throw on bit-flipped containers (r15)") {
+  test("Avro, Parquet, and ORC kernels never throw on bit-flipped containers (r15)") {
     // flips land in varint continuation bits, zigzag signs, lacing
     // counts, thrift field headers, list sizes, and footer lengths
     val avroSeeds = Seq(1L, 2L, 3L, 5L, 7L, 9L).map(
@@ -383,6 +383,12 @@ class KernelFuzzSpec extends SparkSpec {
     })
     checkProp(Prop.forAllNoShrink(flipped(pqSeeds)) { p =>
       graft.expressions.ParquetMetaKernel.parse(p)
+      true
+    })
+    val orcSeeds = Seq(1L, 2L, 3L, 5L, 7L, 9L).map(
+      graft.expressions.OrcSynthKernel.synth)
+    checkProp(Prop.forAllNoShrink(flipped(orcSeeds)) { p =>
+      graft.expressions.OrcMetaKernel.parse(p)
       true
     })
   }

