@@ -473,6 +473,127 @@ object IngestScaleSmoke {
         f"(${nFlac / tFlac / 1000}%.0fk files/s, ${expN / tFlac / 1e6}%.1fM smp/s)")
     }
 
+    // ---- rung 13 (r15): Ogg-FLAC unwrap + frame-decode throughput —
+    // page walk, CRC verification, cross-page packet reassembly, then
+    // the same rice/LPC decode; per-row stats asserted in aggregate ----
+    locally {
+      val nOgg = nImages
+      val oggs = spark.range(nOgg).toDF("id")
+        .select(id,
+          org.apache.spark.sql.GraftColumnBridge.column(
+            graft.expressions.OggFlacSynth(
+              org.apache.spark.sql.GraftColumnBridge.expression(id)))
+            .as("payload"),
+          (lit(96L) + (id % 5) * 32).as("expect_n"))
+        .repartition(64).cache()
+      oggs.count()
+      val oBytes = oggs.agg(sum(length(col("payload")))).head().getLong(0)
+      val expN = oggs.agg(sum(col("expect_n"))).head().getLong(0)
+      val (agg13, tOgg) = time {
+        oggs.select(org.apache.spark.sql.GraftColumnBridge.column(
+            graft.expressions.OggFlacStats(
+              org.apache.spark.sql.GraftColumnBridge.expression(col("payload"))))
+            .as("st"))
+          .agg(sum(col("st.n_samples")).as("ns"),
+            sum(when(col("st.decode_ok"), 0L).otherwise(1L)).as("bad"),
+            sum(when(col("st.pages_crc_ok"), 0L).otherwise(1L)).as("pagecrc"),
+            sum(col("st.n_pages")).as("pages"))
+          .head()
+      }
+      assert(agg13.getLong(1) == 0L, s"OggFLAC decode failures: ${agg13.getLong(1)}")
+      assert(agg13.getLong(0) == expN, s"OggFLAC samples: ${agg13.getLong(0)} != $expN")
+      assert(agg13.getLong(2) == (0L until nOgg).count(_ % 20 == 7).toLong,
+        s"OggFLAC page-crc lane count: ${agg13.getLong(2)}")
+      println(f"OGG_FLAC n=$nOgg bytes=${oBytes / 1e6}%.1fMB " +
+        f"pages=${agg13.getLong(3)} unwrap+decode=${tOgg}%.1fs " +
+        f"(${nOgg / tOgg / 1000}%.0fk files/s, ${expN / tOgg / 1e6}%.1fM smp/s)")
+      oggs.unpersist(false)
+    }
+
+    // ---- rung 14 (r15): animated-GIF frame-walk throughput — every
+    // frame LZW-decoded; totals asserted against the lane closed forms ----
+    locally {
+      val nGif = nImages
+      val gifs = spark.range(nGif).toDF("id")
+        .select(id,
+          org.apache.spark.sql.GraftColumnBridge.column(
+            graft.expressions.GifAnimSynth(
+              org.apache.spark.sql.GraftColumnBridge.expression(id)))
+            .as("payload"),
+          (lit(1L) + id % 4).as("expect_frames"))
+        .repartition(64).cache()
+      gifs.count()
+      val gBytes = gifs.agg(sum(length(col("payload")))).head().getLong(0)
+      val expFrames = gifs.agg(sum(col("expect_frames"))).head().getLong(0)
+      val (agg14, tGif) = time {
+        gifs.select(org.apache.spark.sql.GraftColumnBridge.column(
+            graft.expressions.GifFrames(
+              org.apache.spark.sql.GraftColumnBridge.expression(col("payload"))))
+            .as("g"))
+          .agg(sum(col("g.n_frames")).as("frames"),
+            sum(when(col("g.gif_valid"), 0L).otherwise(1L)).as("bad"),
+            sum(col("g.total_delay_ms")).as("delay"))
+          .head()
+      }
+      assert(agg14.getLong(1) == 0L, s"GIF walk failures: ${agg14.getLong(1)}")
+      assert(agg14.getLong(0) == expFrames,
+        s"GIF frames: ${agg14.getLong(0)} != $expFrames")
+      println(f"GIF_FRAMES n=$nGif bytes=${gBytes / 1e6}%.1fMB " +
+        f"frames=$expFrames walk+decode=${tGif}%.1fs " +
+        f"(${nGif / tGif / 1000}%.0fk files/s, ${expFrames / tGif / 1000}%.0fk frames/s)")
+      gifs.unpersist(false)
+    }
+
+    // ---- rung 15 (r15): lake-format triage throughput — Avro varint
+    // walk + flat-record decode, Parquet thrift-compact footer walk,
+    // ORC protobuf walk with real zlib chunk inflation ----
+    locally {
+      val nLake = nImages
+      val lake = spark.range(nLake).toDF("id")
+        .select(id,
+          org.apache.spark.sql.GraftColumnBridge.column(
+            graft.expressions.AvroSynth(
+              org.apache.spark.sql.GraftColumnBridge.expression(id))).as("ap"),
+          org.apache.spark.sql.GraftColumnBridge.column(
+            graft.expressions.ParquetSynth(
+              org.apache.spark.sql.GraftColumnBridge.expression(id))).as("pp"),
+          org.apache.spark.sql.GraftColumnBridge.column(
+            graft.expressions.OrcSynth(
+              org.apache.spark.sql.GraftColumnBridge.expression(id))).as("op"))
+        .repartition(64).cache()
+      lake.count()
+      val (agg15, tLake) = time {
+        lake.select(
+          org.apache.spark.sql.GraftColumnBridge.column(
+            graft.expressions.AvroRecordStats(
+              org.apache.spark.sql.GraftColumnBridge.expression(col("ap"))))
+            .as("a"),
+          org.apache.spark.sql.GraftColumnBridge.column(
+            graft.expressions.ParquetMeta(
+              org.apache.spark.sql.GraftColumnBridge.expression(col("pp"))))
+            .as("p"),
+          org.apache.spark.sql.GraftColumnBridge.column(
+            graft.expressions.OrcMeta(
+              org.apache.spark.sql.GraftColumnBridge.expression(col("op"))))
+            .as("o"))
+          .agg(
+            sum(when(col("a.decode_ok"), col("a.n_records"))).as("arecs"),
+            sum(col("p.num_rows")).as("prows"),
+            sum(when(col("o.footer_decoded"), col("o.num_rows"))).as("orows"),
+            sum(when(col("p.parquet_valid") && col("o.orc_valid") &&
+              col("a.avro_valid"), 0L).otherwise(1L)).as("bad"))
+          .head()
+      }
+      assert(agg15.getLong(3) == 0L, s"lake triage failures: ${agg15.getLong(3)}")
+      val expPRows = (0L until nLake).map(d => 10 + d % 50).sum
+      assert(agg15.getLong(1) == expPRows,
+        s"parquet rows: ${agg15.getLong(1)} != $expPRows")
+      println(f"LAKE n=${3L * nLake} files triage=${tLake}%.1fs " +
+        f"(${3L * nLake / tLake / 1000}%.0fk files/s; avro recs=${agg15.getLong(0)} " +
+        f"parquet rows=${agg15.getLong(1)} orc rows=${agg15.getLong(2)})")
+      lake.unpersist(false)
+    }
+
     println("INGEST_SCALE_SMOKE_OK")
     spark.stop()
   }
