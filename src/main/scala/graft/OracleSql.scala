@@ -3931,6 +3931,22 @@ object OracleSql {
       |  (CASE WHEN invalid THEN NULL ELSE flen END)::BIGINT AS footer_bytes
       |FROM v ORDER BY doc_id""".stripMargin
 
+  /** Charset decode (mirror of `Charset.decode` ∘ `synthFromDocs`):
+    * charset/BOM verdicts from the lane arithmetic, and the decoded
+    * text compared VERBATIM against the source column — Spark must
+    * reach the identical string by validating UTF-8 byte shapes or
+    * decoding UTF-16 code units from the actual encoded bytes, so
+    * the hash match proves the byte-level decode round-trips.
+    */
+  val textCharset: String =
+    """SELECT doc_id,
+      |  CASE doc_id % 4 WHEN 0 THEN 'utf-8' WHEN 1 THEN 'utf-8'
+      |    WHEN 2 THEN 'utf-16le' ELSE 'utf-16be' END AS charset,
+      |  doc_id % 4 <> 0 AS had_bom,
+      |  TRUE AS confident,
+      |  text
+      |FROM documents ORDER BY doc_id""".stripMargin
+
   /** ORC footer triage (mirror of `Binary.Orc.parse` ∘
     * `synthFromDocs`): stripe/type/column accounting, the
     * compression lane (odd docs wrap the footer in a real ORC zlib

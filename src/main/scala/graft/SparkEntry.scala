@@ -278,6 +278,20 @@ object SparkEntry {
           col("path_prefix"), col("allow"))
         .orderBy(col("doc_id"), col("rule_idx"))
     }),
+    // charset detection + decode (r15): the ingest step BEFORE any
+    // text operator — BOM sniff, strict RFC 3629 UTF-8 validation,
+    // UTF-16 decode; the gate re-encodes the corpus per lane and the
+    // decoded text must round-trip VERBATIM (the oracle compares the
+    // source column directly — a hash match proves the byte-level
+    // decode); the BOM-less heuristic and Latin-1 fallback are
+    // spec-pinned, not gate lanes
+    "text_charset" -> ((s, dir) => {
+      val media = graft.sources.Charset.synthFromDocs(t(s, dir, "documents"))
+      graft.sources.Charset.decode(media)
+        .select(col("doc_id"), col("charset"), col("had_bom"),
+          col("confident"), col("text"))
+        .orderBy(col("doc_id"))
+    }),
     // JSONL ingest: the LLM-corpus wire format (one JSON object per
     // line, nested metadata, optional fields, malformed lines) — both
     // engines build the same bytes and parse with their OWN json
@@ -1753,14 +1767,15 @@ object SparkEntry {
       // d%4==2 members carry the SAME raster as a VP8L WebP (gray
       // pixels expanded from the tile grid), so the (2,3) pairs'
       // collision crosses the CODEC divide — lossless WebP decode →
-      // identical raster → identical dHash; oracle unchanged (r15)
-      val webpPx = transform(sequence(lit(0), lit(72 * 64 - 1)), i => {
-        val v = element_at(col("__tiles"),
-          (floor(i / lit(72 * 8)) * 9 + pmod(floor(i / lit(8)), lit(9)) + 1)
-            .cast("int"))
-        shiftleft(lit(255), 24).bitwiseOR(shiftleft(v, 16))
-          .bitwiseOR(shiftleft(v, 8)).bitwiseOR(v)
-      })
+      // identical raster → identical dHash; oracle unchanged (r15).
+      // The 4608-pixel expansion runs as the codegen TileExpand
+      // kernel, NOT a per-pixel interpreted transform lambda — the
+      // r13 mm_png_pixels lesson resurfaced here as a 9× driver-row
+      // build regression in the quiet bench
+      val webpPx = org.apache.spark.sql.GraftColumnBridge.column(
+        graft.expressions.TileExpand(
+          org.apache.spark.sql.GraftColumnBridge.expression(col("__tiles")),
+          org.apache.spark.sql.GraftColumnBridge.expression(lit(1))))
       val webp = org.apache.spark.sql.GraftColumnBridge.column(
         graft.expressions.Vp8lEncode(
           org.apache.spark.sql.GraftColumnBridge.expression(webpPx),
@@ -1770,10 +1785,10 @@ object SparkEntry {
       // the (0,1) pairs' collision crosses the TIFF↔progressive-JPEG
       // codec divide through a real dictionary-growing LZW decode;
       // the upright raster is identical, oracle unchanged (r15)
-      val tiffPx = transform(sequence(lit(0), lit(72 * 64 - 1)), i =>
-        element_at(col("__tiles"),
-          (floor(i / lit(72 * 8)) * 9 + pmod(floor(i / lit(8)), lit(9)) + 1)
-            .cast("int")))
+      val tiffPx = org.apache.spark.sql.GraftColumnBridge.column(
+        graft.expressions.TileExpand(
+          org.apache.spark.sql.GraftColumnBridge.expression(col("__tiles")),
+          org.apache.spark.sql.GraftColumnBridge.expression(lit(0))))
       val tiff = org.apache.spark.sql.GraftColumnBridge.column(
         graft.expressions.TiffGrayEncode(
           org.apache.spark.sql.GraftColumnBridge.expression(tiffPx),
@@ -2502,5 +2517,6 @@ object SparkEntry {
     "mm_avro_records" -> OracleSql.mmAvroRecords,
     "mm_parquet_meta" -> OracleSql.mmParquetMeta,
     "mm_orc_meta" -> OracleSql.mmOrcMeta,
+    "text_charset" -> OracleSql.textCharset,
   )
 }
