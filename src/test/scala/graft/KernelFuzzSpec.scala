@@ -393,6 +393,21 @@ class KernelFuzzSpec extends SparkSpec {
     })
   }
 
+  test("CharsetDetectKernel is total: garbage always decodes to SOMETHING (r15)") {
+    checkProp(Prop.forAllNoShrink(genBytes) { p =>
+      val r = graft.expressions.CharsetDetectKernel.detect(p)
+      r != null // the Latin-1 fallback makes detection total
+    })
+    checkProp(Prop.forAllNoShrink(
+      withPrefix(Array[Byte](0xEF.toByte, 0xBB.toByte, 0xBF.toByte))) { p =>
+      graft.expressions.CharsetDetectKernel.detect(p) != null
+    })
+    checkProp(Prop.forAllNoShrink(
+      withPrefix(Array[Byte](0xFF.toByte, 0xFE.toByte))) { p =>
+      graft.expressions.CharsetDetectKernel.detect(p) != null
+    })
+  }
+
   test("GifFramesKernel never throws on bit-flipped or garbage animations (r15)") {
     // real multi-frame streams with random byte flips — the flips
     // land in extension labels, GCE fields, descriptors, local color
