@@ -3165,7 +3165,7 @@ object OracleSql {
 
   /** Mixed-container triage (mirror of the mm_media_triage wiring:
     * doc_id%17 picks WAV/PNG/JPEG/BMP/WebP/TIFF/MP3/FLAC/OGG/
-    * MKV/Avro/Parquet/ORC on lanes 1-13 and raw text on 0 and 14-16
+    * MKV/Avro/Parquet/ORC/gzip on lanes 1-14 and raw text on 0/15/16
     * — the modulus is COPRIME with the synths' %10 corrupt lane, so
     * every family contributes corrupt/text-fallback members):
     * detection, sizes, and content units all re-derived from doc_id
@@ -3251,7 +3251,8 @@ object OracleSql {
       |  1 + doc_id % 6 AS qncols,
       |  1 + doc_id % 2 AS qnrg,
       |  1 + doc_id % 3 AS ons,
-      |  1 + doc_id % 5 AS oncols
+      |  1 + doc_id % 5 AS oncols,
+      |  1 + doc_id % 3 AS gznm
       |  FROM w3),
       |w5 AS (SELECT *,
       |  kinfo + 28 + khb + kaud + kcl AS kseg,
@@ -3261,12 +3262,16 @@ object OracleSql {
       |    + CASE WHEN doc_id % 2 = 0 THEN 17 ELSE 0 END AS qflen,
       |  16 + 12 * ons + 9 * oncols
       |    + CASE WHEN doc_id % 2 = 1 THEN 8 ELSE 0 END AS ostored,
-      |  list_sum([10 + (doc_id + s) % 30 for s in range(ons)])::BIGINT AS osrows
+      |  list_sum([10 + (doc_id + s) % 30 for s in range(ons)])::BIGINT AS osrows,
+      |  list_sum([20 + (doc_id + i) % 30 for i in range(gznm)])::BIGINT AS gztot,
+      |  list_sum([CASE WHEN (doc_id + i) % 4 = 0 THEN 1 ELSE 0 END
+      |    for i in range(gznm)])::BIGINT AS gznamed
       |  FROM w4),
       |d AS (SELECT doc_id, dlen, rawlen, c1, c2, nc, br, pw, ph, jh, jw, bw, bh, bimg,
       |  xfmt, xw, xh, tw_, th_, tlen, msr, mbr, mpad, mnf, mid3v2, mid3v1,
       |  fsr, ftot, fvb, fpd, oid, oclen, onlac, onaudio, og, osr,
       |  khdr, kseg, kdur, anb, arecs, qflen, ostored, osrows,
+      |  gznm, gztot, gznamed,
       |  CASE WHEN cls = 1 AND NOT corrupt THEN 'wav'
       |       WHEN cls = 2 AND NOT corrupt THEN 'png'
       |       WHEN cls = 3 AND NOT corrupt THEN 'jpeg'
@@ -3280,6 +3285,7 @@ object OracleSql {
       |       WHEN cls = 11 AND NOT corrupt THEN 'avro'
       |       WHEN cls = 12 AND NOT corrupt THEN 'parquet'
       |       WHEN cls = 13 AND NOT corrupt THEN 'orc'
+      |       WHEN cls = 14 AND NOT corrupt THEN 'gzip'
       |       ELSE 'unknown' END AS detected
       |  FROM w5)
       |SELECT doc_id, detected,
@@ -3305,6 +3311,7 @@ object OracleSql {
       |          + 16 * anb
       |        WHEN detected = 'parquet' THEN 16 + qflen
       |        WHEN detected = 'orc' THEN 26 + ostored
+      |        WHEN detected = 'gzip' THEN gztot + 23 * gznm + 3 * gznamed
       |        ELSE rawlen END)::BIGINT AS payload_bytes,
       |  detected <> 'unknown' AS valid,
       |  (CASE WHEN detected = 'wav' THEN (dlen * 1000) // br
@@ -3324,6 +3331,7 @@ object OracleSql {
       |        WHEN detected = 'parquet' THEN 10 + doc_id % 50
       |        WHEN detected = 'orc' THEN osrows
       |          + CASE WHEN doc_id % 20 = 17 THEN 1 ELSE 0 END
+      |        WHEN detected = 'gzip' THEN gztot
       |        END)::BIGINT AS content_units
       |FROM d ORDER BY doc_id""".stripMargin
 
@@ -3946,6 +3954,34 @@ object OracleSql {
       |  TRUE AS confident,
       |  text
       |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** Gzip triage (mirror of `Binary.Gz.parse` ∘ `synthFromDocs`):
+    * member/byte/name accounting and the flipped-CRC integrity lane
+    * re-derived closed-form from doc_id — Spark must reach the same
+    * uncompressed totals by actually INFLATING every member's
+    * deflate body and recomputing its CRC32.
+    */
+  val mmGzipMeta: String =
+    """WITH m AS (SELECT doc_id, doc_id % 10 = 0 AS invalid,
+      |  1 + doc_id % 3 AS nm FROM documents),
+      |v AS (SELECT *,
+      |  list_sum([20 + (doc_id + i) % 30 for i in range(nm)])::BIGINT AS tot,
+      |  list_sum([CASE WHEN (doc_id + i) % 4 = 0 THEN 1 ELSE 0 END
+      |    for i in range(nm)])::BIGINT AS named
+      |  FROM m)
+      |SELECT doc_id,
+      |  CASE WHEN invalid THEN 'text/plain'
+      |    ELSE 'application/gzip' END AS media_type,
+      |  NOT invalid AS gzip_valid,
+      |  (CASE WHEN invalid THEN NULL ELSE nm END)::BIGINT AS n_members,
+      |  (CASE WHEN invalid THEN NULL ELSE tot END)::BIGINT AS uncompressed_bytes,
+      |  (CASE WHEN invalid THEN NULL ELSE named END)::BIGINT AS n_named,
+      |  (CASE WHEN invalid THEN NULL
+      |    ELSE 1600000000 + doc_id END)::BIGINT AS first_mtime,
+      |  CASE WHEN invalid THEN NULL ELSE doc_id % 20 <> 3 END AS crc_ok,
+      |  CASE WHEN invalid THEN NULL ELSE TRUE END AS isize_ok,
+      |  CASE WHEN invalid THEN NULL ELSE TRUE END AS header_consistent
+      |FROM v ORDER BY doc_id""".stripMargin
 
   /** ORC footer triage (mirror of `Binary.Orc.parse` ∘
     * `synthFromDocs`): stripe/type/column accounting, the

@@ -1887,15 +1887,18 @@ object SparkEntry {
         .select(d, col("payload").as("pqp"))
       val oc = graft.multimodal.Binary.Orc.synthFromDocs(docs)
         .select(d, col("payload").as("ocp"))
-      // lane modulus 17 (13 families on lanes 1-13, text on 0 and
-      // 14-16) is COPRIME with the synths' %10 corrupt lane, so
-      // every family contributes corrupt/text-fallback members (r15)
+      val gz = graft.multimodal.Binary.Gz.synthFromDocs(docs)
+        .select(d, col("payload").as("gzp"))
+      // lane modulus 17 (14 families on lanes 1-14, text on 0/15/16)
+      // is COPRIME with the synths' %10 corrupt lane, so every
+      // family contributes corrupt/text-fallback members (r15)
       val mixed = docs.select(d, col("text"))
         .join(w, Seq("doc_id")).join(g, Seq("doc_id")).join(j, Seq("doc_id"))
         .join(b, Seq("doc_id")).join(wb, Seq("doc_id")).join(tf, Seq("doc_id"))
         .join(m3, Seq("doc_id")).join(fl, Seq("doc_id"))
         .join(og, Seq("doc_id")).join(mk, Seq("doc_id"))
         .join(av, Seq("doc_id")).join(pq, Seq("doc_id")).join(oc, Seq("doc_id"))
+        .join(gz, Seq("doc_id"))
         .select(d,
           when(d % 17 === 1, col("wp"))
             .when(d % 17 === 2, col("gp"))
@@ -1910,6 +1913,7 @@ object SparkEntry {
             .when(d % 17 === 11, col("avp"))
             .when(d % 17 === 12, col("pqp"))
             .when(d % 17 === 13, col("ocp"))
+            .when(d % 17 === 14, col("gzp"))
             .otherwise(col("text").cast("binary")).as("payload"))
       graft.multimodal.Binary.triage(mixed).orderBy(d)
     }),
@@ -1939,6 +1943,20 @@ object SparkEntry {
         .select(col("doc_id"), col("avro_valid"), col("decode_ok"),
           col("n_fields"), col("n_records"), col("int_sum"),
           col("string_bytes"), col("bool_trues"))
+        .orderBy(col("doc_id"))
+    }),
+    // gzip container triage — the EIGHTEENTH family (r15): the wire
+    // framing of .warc.gz/.jsonl.gz corpora — RFC 1952 member walk
+    // with every body REALLY inflated, per-member CRC32/ISIZE
+    // verdicts, FNAME and flipped-CRC lanes — every field re-derived
+    // closed-form by the oracle while Spark inflates actual deflate
+    "mm_gzip_meta" -> ((s, dir) => {
+      val media = graft.multimodal.Binary.Gz.synthFromDocs(t(s, dir, "documents"))
+      graft.multimodal.Binary.Gz.parse(media)
+        .select(col("doc_id"), col("media_type"), col("gzip_valid"),
+          col("n_members"), col("uncompressed_bytes"), col("n_named"),
+          col("first_mtime"), col("crc_ok"), col("isize_ok"),
+          col("header_consistent"))
         .orderBy(col("doc_id"))
     }),
     // ORC footer triage — the SEVENTEENTH family (r15), completing
@@ -2518,5 +2536,6 @@ object SparkEntry {
     "mm_parquet_meta" -> OracleSql.mmParquetMeta,
     "mm_orc_meta" -> OracleSql.mmOrcMeta,
     "text_charset" -> OracleSql.textCharset,
+    "mm_gzip_meta" -> OracleSql.mmGzipMeta,
   )
 }

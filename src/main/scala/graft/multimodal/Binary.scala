@@ -2077,6 +2077,61 @@ object Binary {
     }
   }
 
+  /** Gzip container triage — the EIGHTEENTH family (r15): the wire
+    * framing `.warc.gz` / `.jsonl.gz` corpora ship in, triaged as a
+    * member walk with integrity verdicts
+    * ([[graft.expressions.GzipMetaKernel]]). One codegen kernel
+    * pass, pure projection.
+    */
+  object Gz {
+    import org.apache.spark.sql.GraftColumnBridge.{column => gcol, expression => gexpr}
+
+    /** Column-level detection mirror of `GzipMetaKernel.isGzip`:
+      * 0x1F 0x8B 0x08 — two control bytes + the DEFLATE method id,
+      * text cannot route here.
+      */
+    private[multimodal] def isGzip(p: Column): Column =
+      length(p) >= 18 && substring(p, 1, 3) ===
+        lit(Array[Byte](0x1F, 0x8B.toByte, 8))
+
+    /** Parse triage fields: validity, member count, uncompressed
+      * byte total (every body REALLY inflated), FNAME-carrying
+      * member count, the first member's MTIME, per-member CRC32 /
+      * ISIZE verdicts, and wall-to-wall `consistent`. Pure
+      * projection.
+      */
+    def parse(media: DataFrame, payloadCol: String = "payload"): DataFrame = {
+      val m = gcol(graft.expressions.GzipMeta(gexpr(col(payloadCol))))
+      media
+        .withColumn("__g", m)
+        .withColumn("gzip_valid", coalesce(col("__g.gzip_valid"), lit(false)))
+        .withColumn("n_members", col("__g.n_members"))
+        .withColumn("uncompressed_bytes", col("__g.uncompressed_bytes"))
+        .withColumn("n_named", col("__g.n_named"))
+        .withColumn("first_mtime", col("__g.first_mtime"))
+        .withColumn("crc_ok", col("__g.crc_ok"))
+        .withColumn("isize_ok", col("__g.isize_ok"))
+        .withColumn("header_consistent", col("__g.consistent"))
+        .drop("__g")
+    }
+
+    /** Deterministic multi-member gzip payloads over the docs table
+      * (see [[graft.expressions.GzipMetaSynthKernel]]: real RFC 1952
+      * members with STORED deflate bodies — closed-form lengths —
+      * FNAME and flipped-CRC lanes); every `invalidEvery`-th doc raw
+      * text.
+      */
+    def synthFromDocs(docs: DataFrame, invalidEvery: Int = 10): DataFrame = {
+      val d = col("doc_id")
+      val payload = gcol(graft.expressions.GzipMetaSynth(gexpr(d)))
+      docs.select(d,
+        when(d % invalidEvery === 0, col("text").cast("binary"))
+          .otherwise(payload).as("payload"),
+        when(d % invalidEvery === 0, lit("text/plain"))
+          .otherwise(lit("application/gzip")).as("media_type"))
+    }
+  }
+
   /** ORC footer triage — the SEVENTEENTH family (r15), completing
     * the lake trio: protobuf PostScript/Footer walk with ORC-zlib
     * chunk decompression ([[graft.expressions.OrcMetaKernel]]). One
@@ -2571,6 +2626,7 @@ object Binary {
         .when(Avro.isAvro(p), "avro")
         .when(Parquet.isParquet(p), "parquet")
         .when(Orc.isOrc(p), "orc")
+        .when(Gz.isGzip(p), "gzip")
         .otherwise("unknown")
     val keep = media.columns.map(col)
     val afterWav = Wav.parse(media, payloadCol)
@@ -2727,10 +2783,28 @@ object Binary {
         col("avro_valid") :+ col("avro_records") :+
         col("parquet_valid") :+ col("parquet_rows") :+
         col("orc_valid") :+ col("num_rows").as("orc_rows"): _*)
+    val afterGz = Gz.parse(afterOrc, payloadCol)
+      .select(keep :+ col("wav_valid") :+ col("wav_ms") :+
+        col("png_valid") :+ col("png_pixels") :+
+        col("jpeg_valid") :+ col("jpeg_pixels") :+
+        col("bmp_valid") :+ col("bmp_pixels") :+
+        col("gif_valid") :+ col("gif_pixels") :+
+        col("pdf_valid") :+ col("pdf_pages") :+
+        col("mp4_valid") :+ col("mp4_ms") :+
+        col("webp_valid") :+ col("webp_pixels") :+
+        col("tiff_valid") :+ col("tiff_pixels") :+
+        col("mp3_valid") :+ col("mp3_ms") :+
+        col("flac_valid") :+ col("flac_ms") :+
+        col("ogg_valid") :+ col("ogg_ms") :+
+        col("mkv_valid") :+ col("mkv_ms") :+
+        col("avro_valid") :+ col("avro_records") :+
+        col("parquet_valid") :+ col("parquet_rows") :+
+        col("orc_valid") :+ col("orc_rows") :+
+        col("gzip_valid") :+ col("uncompressed_bytes").as("gz_bytes"): _*)
     val zipEntries = org.apache.spark.sql.GraftColumnBridge.column(
       graft.expressions.ZipEntries(
         org.apache.spark.sql.GraftColumnBridge.expression(p), 1 << 22))
-    afterOrc
+    afterGz
       .withColumn("__zip", when(detected === "zip", zipEntries))
       .select(col("doc_id"), detected.as("detected"),
         length(p).cast("long").as("payload_bytes"),
@@ -2750,6 +2824,7 @@ object Binary {
           .when(detected === "avro", col("avro_valid"))
           .when(detected === "parquet", col("parquet_valid"))
           .when(detected === "orc", col("orc_valid"))
+          .when(detected === "gzip", col("gzip_valid"))
           .when(detected === "zip", col("__zip").isNotNull)
           .otherwise(lit(false)).as("valid"),
         when(detected === "wav", col("wav_ms"))
@@ -2768,6 +2843,7 @@ object Binary {
           .when(detected === "avro", col("avro_records"))
           .when(detected === "parquet", col("parquet_rows"))
           .when(detected === "orc", col("orc_rows"))
+          .when(detected === "gzip", col("gz_bytes"))
           .when(detected === "zip", size(col("__zip")).cast("long"))
           .as("content_units"))
   }

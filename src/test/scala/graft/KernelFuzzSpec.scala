@@ -391,6 +391,12 @@ class KernelFuzzSpec extends SparkSpec {
       graft.expressions.OrcMetaKernel.parse(p)
       true
     })
+    val gzSeeds = Seq(1L, 2L, 3L, 5L, 7L, 9L).map(
+      graft.expressions.GzipMetaSynthKernel.synth)
+    checkProp(Prop.forAllNoShrink(flipped(gzSeeds)) { p =>
+      graft.expressions.GzipMetaKernel.parse(p)
+      true
+    })
   }
 
   test("CharsetDetectKernel is total: garbage always decodes to SOMETHING (r15)") {

@@ -351,6 +351,77 @@ class LakeFormatsSpec extends SparkSpec {
       "text starting with ORC must fail the trailing-magic check")
   }
 
+  // ---- gzip ----
+
+  test("gzip synth round trips: every lane parses to its closed form") {
+    import graft.expressions.{GzipMetaKernel, GzipMetaSynthKernel}
+    for (d <- 1L to 140L if d % 10 != 0) {
+      val row = GzipMetaKernel.parse(GzipMetaSynthKernel.synth(d))
+      assert(row != null, s"d=$d: null")
+      assert(row.getBoolean(0), s"d=$d: gzip_valid")
+      val nm = 1 + d % 3
+      var tot = 0L; var named = 0L
+      for (i <- 0L until nm) {
+        tot += 20 + (d + i) % 30
+        if ((d + i) % 4 == 0) named += 1
+      }
+      assert(row.getLong(1) === nm, s"d=$d: n_members")
+      assert(row.getLong(2) === tot, s"d=$d: uncompressed_bytes")
+      assert(row.getLong(3) === named, s"d=$d: n_named")
+      assert(row.getLong(4) === 1600000000L + d, s"d=$d: mtime")
+      assert(row.getBoolean(5) === (d % 20 != 3), s"d=$d: crc_ok")
+      assert(row.getBoolean(6), s"d=$d: isize_ok")
+      assert(row.getBoolean(7), s"d=$d: consistent")
+      // byte-length closed form (the triage-oracle anchor)
+      assert(GzipMetaSynthKernel.synth(d).length.toLong ===
+        tot + 23 * nm + 3 * named, s"d=$d: length")
+    }
+  }
+
+  test("gzip conformance: the JDK's own GZIPOutputStream parses exact") {
+    import graft.expressions.GzipMetaKernel
+    def member(content: Array[Byte]): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream()
+      val gz = new java.util.zip.GZIPOutputStream(out)
+      gz.write(content); gz.close()
+      out.toByteArray
+    }
+    val c1 = Array.tabulate(5000)(i => ((i * 7) % 251).toByte) // compressible
+    val c2 = "the quick brown fox ".getBytes("US-ASCII")
+    val blob = member(c1) ++ member(c2) // concatenated members
+    val row = GzipMetaKernel.parse(blob)
+    assert(row != null && row.getBoolean(0), "real gzip rejected")
+    assert(row.getLong(1) === 2L, "member count")
+    assert(row.getLong(2) === (c1.length + c2.length).toLong,
+      "uncompressed total through REAL dictionary deflate")
+    assert(row.getBoolean(5) && row.getBoolean(6) && row.getBoolean(7),
+      "verdicts on clean members")
+    // an ISIZE lie: flip the last trailer's length field
+    val lied = blob.clone()
+    lied(lied.length - 1) = (lied(lied.length - 1) ^ 0x01).toByte
+    val lrow = GzipMetaKernel.parse(lied)
+    assert(lrow != null && !lrow.getBoolean(6), "isize lie must be flagged")
+    assert(lrow.getBoolean(5), "crc still fine — independent verdicts")
+  }
+
+  test("gzip never-throw: truncation and garbage behind the magic") {
+    import graft.expressions.{GzipMetaKernel, GzipMetaSynthKernel}
+    val full = GzipMetaSynthKernel.synth(7L)
+    for (cut <- 0 until full.length) {
+      val r = GzipMetaKernel.parse(java.util.Arrays.copyOf(full, cut))
+      if (r != null) assert(!r.getBoolean(7) ||
+        // member boundaries are valid shorter files (the Avro lesson)
+        r.getLong(1) < 1 + 7 % 3, s"cut $cut fully consistent")
+    }
+    val rnd = new scala.util.Random(21)
+    for (_ <- 0 until 300) {
+      val g = new Array[Byte](18 + rnd.nextInt(300))
+      rnd.nextBytes(g)
+      g(0) = 0x1F; g(1) = 0x8B.toByte; g(2) = 8
+      GzipMetaKernel.parse(g)
+    }
+  }
+
   test("driver-row shape: Binary.Avro and the record tier over the docs synth") {
     import graft.multimodal.Binary
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")

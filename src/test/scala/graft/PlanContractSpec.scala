@@ -512,9 +512,9 @@ class PlanContractSpec extends SparkSpec {
       "mm_ogg_samples: OggFlac kernel missing from plan")
   }
 
-  test("r15 mm rows: Avro, Parquet, and ORC triage are shuffle-free codegen projections") {
+  test("r15 mm rows: Avro, Parquet, ORC, and gzip triage are shuffle-free codegen projections") {
     for (name <- Seq("mm_avro_meta", "mm_avro_records", "mm_parquet_meta",
-        "mm_orc_meta")) {
+        "mm_orc_meta", "mm_gzip_meta")) {
       val phys = physical(q(name))
       assert(!phys.contains("Exchange hashpartitioning"),
         s"$name: unexpected keyed shuffle:\n$phys")
@@ -530,6 +530,8 @@ class PlanContractSpec extends SparkSpec {
       "mm_parquet_meta: ParquetMeta kernel missing from plan")
     assert(physical(q("mm_orc_meta")).contains("orc_meta"),
       "mm_orc_meta: OrcMeta kernel missing from plan")
+    assert(physical(q("mm_gzip_meta")).contains("gzip_meta"),
+      "mm_gzip_meta: GzipMeta kernel missing from plan")
   }
 
   test("r15 mm rows: animated GIF frame walk is a shuffle-free kernel + generate") {
