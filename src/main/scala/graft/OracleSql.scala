@@ -3164,10 +3164,11 @@ object OracleSql {
       |  doc_id % 4 = 0 AS ttwo""".stripMargin
 
   /** Mixed-container triage (mirror of the mm_media_triage wiring:
-    * doc_id%17 picks WAV/PNG/JPEG/BMP/WebP/TIFF/MP3/FLAC/OGG/
-    * MKV/Avro/Parquet/ORC/gzip on lanes 1-14 and raw text on 0/15/16
-    * — the modulus is COPRIME with the synths' %10 corrupt lane, so
-    * every family contributes corrupt/text-fallback members):
+    * doc_id%19 picks WAV/PNG/JPEG/BMP/WebP/TIFF/MP3/FLAC/OGG/
+    * MKV/Avro/Parquet/ORC/gzip/zstd on lanes 1-15 and raw text on
+    * 0/16-18 — the modulus is COPRIME with the synths' %10 corrupt
+    * lane, so every family contributes corrupt/text-fallback
+    * members):
     * detection, sizes, and content units all re-derived from doc_id
     * arithmetic + text length — a hash match proves the Spark triage
     * detected containers from the actual bytes and routed each to
@@ -3191,7 +3192,7 @@ object OracleSql {
       |    THEN LEAST(GREATEST(octet_length(text::BLOB) - 5, 0), 3 + doc_id % 11)
       |    ELSE NULL END AS c2,
       |  CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 3 END AS nc,
-      |  doc_id % 17 AS cls, doc_id % 10 = 0 AS corrupt
+      |  doc_id % 19 AS cls, doc_id % 10 = 0 AS corrupt
       |  FROM documents),
       |w AS (SELECT *,
       |  (8000 + (doc_id % 5) * 4000) *
@@ -3252,7 +3253,8 @@ object OracleSql {
       |  1 + doc_id % 2 AS qnrg,
       |  1 + doc_id % 3 AS ons,
       |  1 + doc_id % 5 AS oncols,
-      |  1 + doc_id % 3 AS gznm
+      |  1 + doc_id % 3 AS gznm,
+      |  1 + doc_id % 3 AS znf
       |  FROM w3),
       |w5 AS (SELECT *,
       |  kinfo + 28 + khb + kaud + kcl AS kseg,
@@ -3265,13 +3267,26 @@ object OracleSql {
       |  list_sum([10 + (doc_id + s) % 30 for s in range(ons)])::BIGINT AS osrows,
       |  list_sum([20 + (doc_id + i) % 30 for i in range(gznm)])::BIGINT AS gztot,
       |  list_sum([CASE WHEN (doc_id + i) % 4 = 0 THEN 1 ELSE 0 END
-      |    for i in range(gznm)])::BIGINT AS gznamed
+      |    for i in range(gznm)])::BIGINT AS gznamed,
+      |  (CASE WHEN doc_id % 7 = 2 THEN 12 + doc_id % 9 ELSE 0 END
+      |   + list_sum([5
+      |     + CASE WHEN (doc_id + i) % 5 = 3 THEN 0 ELSE 1 END
+      |     + CASE WHEN (doc_id + i) % 6 = 4 THEN 1 ELSE 0 END
+      |     + CASE (doc_id + i) % 5 WHEN 0 THEN 4 WHEN 1 THEN 0
+      |         WHEN 2 THEN 8 WHEN 3 THEN 1 ELSE 2 END
+      |     + CASE WHEN (doc_id + i) % 5 = 4 THEN 256 + doc_id % 50
+      |         ELSE 10 + (doc_id + i) % 40 END
+      |     + CASE WHEN (doc_id + i) % 2 = 1 THEN 2 ELSE 3 END
+      |     + CASE WHEN (doc_id + i) % 3 = 1 THEN 0 ELSE 4 END
+      |     for i in range(znf)]))::BIGINT AS zslen,
+      |  list_sum([CASE WHEN (doc_id + i) % 5 = 4 THEN 256 + doc_id % 50
+      |    ELSE 10 + (doc_id + i) % 40 END for i in range(znf)])::BIGINT AS zstot
       |  FROM w4),
       |d AS (SELECT doc_id, dlen, rawlen, c1, c2, nc, br, pw, ph, jh, jw, bw, bh, bimg,
       |  xfmt, xw, xh, tw_, th_, tlen, msr, mbr, mpad, mnf, mid3v2, mid3v1,
       |  fsr, ftot, fvb, fpd, oid, oclen, onlac, onaudio, og, osr,
       |  khdr, kseg, kdur, anb, arecs, qflen, ostored, osrows,
-      |  gznm, gztot, gznamed,
+      |  gznm, gztot, gznamed, zslen, zstot,
       |  CASE WHEN cls = 1 AND NOT corrupt THEN 'wav'
       |       WHEN cls = 2 AND NOT corrupt THEN 'png'
       |       WHEN cls = 3 AND NOT corrupt THEN 'jpeg'
@@ -3286,6 +3301,7 @@ object OracleSql {
       |       WHEN cls = 12 AND NOT corrupt THEN 'parquet'
       |       WHEN cls = 13 AND NOT corrupt THEN 'orc'
       |       WHEN cls = 14 AND NOT corrupt THEN 'gzip'
+      |       WHEN cls = 15 AND NOT corrupt THEN 'zstd'
       |       ELSE 'unknown' END AS detected
       |  FROM w5)
       |SELECT doc_id, detected,
@@ -3312,6 +3328,7 @@ object OracleSql {
       |        WHEN detected = 'parquet' THEN 16 + qflen
       |        WHEN detected = 'orc' THEN 26 + ostored
       |        WHEN detected = 'gzip' THEN gztot + 23 * gznm + 3 * gznamed
+      |        WHEN detected = 'zstd' THEN zslen
       |        ELSE rawlen END)::BIGINT AS payload_bytes,
       |  detected <> 'unknown' AS valid,
       |  (CASE WHEN detected = 'wav' THEN (dlen * 1000) // br
@@ -3332,6 +3349,7 @@ object OracleSql {
       |        WHEN detected = 'orc' THEN osrows
       |          + CASE WHEN doc_id % 20 = 17 THEN 1 ELSE 0 END
       |        WHEN detected = 'gzip' THEN gztot
+      |        WHEN detected = 'zstd' THEN zstot
       |        END)::BIGINT AS content_units
       |FROM d ORDER BY doc_id""".stripMargin
 
@@ -3980,6 +3998,64 @@ object OracleSql {
       |    ELSE 1600000000 + doc_id END)::BIGINT AS first_mtime,
       |  CASE WHEN invalid THEN NULL ELSE doc_id % 20 <> 3 END AS crc_ok,
       |  CASE WHEN invalid THEN NULL ELSE TRUE END AS isize_ok,
+      |  CASE WHEN invalid THEN NULL ELSE TRUE END AS header_consistent
+      |FROM v ORDER BY doc_id""".stripMargin
+
+  /** Zstd container triage (mirror of `Binary.Zstd.parse` ∘
+    * `synthFromDocs`): frame/skippable/block accounting, the FCS
+    * declaration lanes ((d+i)%5 — lane 1 omits the size, lane 3 is
+    * single-segment, lane 4 the 2-byte offset-256 width with a
+    * 256+d%50-byte frame), the (d+i)%6 dictionary-ID lane, the
+    * (d+i)%3 checksum lane with d%20==9 flipping the last
+    * checksummed frame's XXH64, and the d%7==2 skippable prefix —
+    * all re-derived from doc_id, so a hash match proves the kernel
+    * walked actual RFC 8878 frame headers and block chains (and
+    * verified real XXH64 checksums).
+    */
+  val mmZstdMeta: String =
+    """WITH m AS (SELECT doc_id, doc_id % 10 = 0 AS invalid,
+      |  1 + doc_id % 3 AS nf, doc_id % 7 = 2 AS sk FROM documents),
+      |v AS (SELECT *,
+      |  list_sum([CASE WHEN (doc_id + i) % 5 = 4 THEN 256 + doc_id % 50
+      |    ELSE 10 + (doc_id + i) % 40 END for i in range(nf)])::BIGINT AS tot,
+      |  list_sum([CASE WHEN (doc_id + i) % 2 = 1 THEN 2 ELSE 1 END
+      |    for i in range(nf)])::BIGINT AS nb,
+      |  list_sum([CASE WHEN (doc_id + i) % 2 = 1 THEN 1 ELSE 0 END
+      |    for i in range(nf)])::BIGINT AS nrle,
+      |  list_sum([CASE WHEN (doc_id + i) % 5 = 1 THEN 0 ELSE 1 END
+      |    for i in range(nf)])::BIGINT AS ndecl,
+      |  list_sum([CASE WHEN (doc_id + i) % 5 = 1 THEN 0
+      |    WHEN (doc_id + i) % 5 = 4 THEN 256 + doc_id % 50
+      |    ELSE 10 + (doc_id + i) % 40 END for i in range(nf)])::BIGINT AS dbytes,
+      |  list_sum([CASE WHEN (doc_id + i) % 6 = 4 THEN 1 ELSE 0 END
+      |    for i in range(nf)])::BIGINT AS ndict,
+      |  list_sum([CASE WHEN (doc_id + i) % 3 = 1 THEN 0 ELSE 1 END
+      |    for i in range(nf)])::BIGINT AS nck
+      |  FROM m)
+      |SELECT doc_id,
+      |  CASE WHEN invalid THEN 'text/plain'
+      |    ELSE 'application/zstd' END AS media_type,
+      |  NOT invalid AS zstd_valid,
+      |  (CASE WHEN invalid THEN NULL ELSE nf END)::BIGINT AS n_frames,
+      |  (CASE WHEN invalid THEN NULL
+      |    WHEN sk THEN 1 ELSE 0 END)::BIGINT AS n_skippable,
+      |  (CASE WHEN invalid THEN NULL
+      |    WHEN sk THEN 4 + doc_id % 9 ELSE 0 END)::BIGINT AS skippable_bytes,
+      |  (CASE WHEN invalid THEN NULL ELSE nb END)::BIGINT AS n_blocks,
+      |  (CASE WHEN invalid THEN NULL ELSE nrle END)::BIGINT AS n_rle_blocks,
+      |  (CASE WHEN invalid THEN NULL ELSE 0 END)::BIGINT AS n_compressed_blocks,
+      |  (CASE WHEN invalid THEN NULL ELSE tot END)::BIGINT AS uncompressed_bytes,
+      |  (CASE WHEN invalid THEN NULL ELSE ndecl END)::BIGINT AS n_declared,
+      |  (CASE WHEN invalid THEN NULL ELSE dbytes END)::BIGINT AS declared_bytes,
+      |  CASE WHEN invalid OR ndecl = 0 THEN NULL ELSE TRUE END AS size_match,
+      |  CASE WHEN invalid THEN NULL ELSE doc_id % 5 = 3 END AS single_segment,
+      |  (CASE WHEN invalid OR doc_id % 5 = 3 THEN NULL
+      |    ELSE 10 + doc_id % 8 END)::BIGINT AS window_log,
+      |  (CASE WHEN invalid OR ndict = 0 THEN NULL
+      |    ELSE 1 + doc_id % 255 END)::BIGINT AS dict_id,
+      |  (CASE WHEN invalid THEN NULL ELSE nck END)::BIGINT AS n_checksummed,
+      |  CASE WHEN invalid THEN NULL ELSE doc_id % 20 <> 9 END AS checksum_ok,
+      |  CASE WHEN invalid THEN NULL ELSE TRUE END AS decode_ok,
       |  CASE WHEN invalid THEN NULL ELSE TRUE END AS header_consistent
       |FROM v ORDER BY doc_id""".stripMargin
 

@@ -1861,61 +1861,37 @@ object SparkEntry {
     "mm_media_triage" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
       val d = col("doc_id")
-      val w = graft.multimodal.Binary.Wav.synthFromDocs(docs)
-        .select(d, col("payload").as("wp"))
-      val g = graft.multimodal.Binary.Png.synthFromDocs(docs)
-        .select(d, col("payload").as("gp"))
-      val j = graft.multimodal.Binary.Jpeg.synthFromDocs(docs)
-        .select(d, col("payload").as("jp"))
-      val b = graft.multimodal.Binary.Bmp.synthFromDocs(docs)
-        .select(d, col("payload").as("bp"))
-      val wb = graft.multimodal.Binary.Webp.synthFromDocs(docs)
-        .select(d, col("payload").as("xp"))
-      val tf = graft.multimodal.Binary.Tiff.synthFromDocs(docs)
-        .select(d, col("payload").as("tp"))
-      val m3 = graft.multimodal.Binary.Mp3.synthFromDocs(docs)
-        .select(d, col("payload").as("m3p"))
-      val fl = graft.multimodal.Binary.Flac.synthFromDocs(docs)
-        .select(d, col("payload").as("flp"))
-      val og = graft.multimodal.Binary.Ogg.synthFromDocs(docs)
-        .select(d, col("payload").as("ogp"))
-      val mk = graft.multimodal.Binary.Mkv.synthFromDocs(docs)
-        .select(d, col("payload").as("mkp"))
-      val av = graft.multimodal.Binary.Avro.synthFromDocs(docs)
-        .select(d, col("payload").as("avp"))
-      val pq = graft.multimodal.Binary.Parquet.synthFromDocs(docs)
-        .select(d, col("payload").as("pqp"))
-      val oc = graft.multimodal.Binary.Orc.synthFromDocs(docs)
-        .select(d, col("payload").as("ocp"))
-      val gz = graft.multimodal.Binary.Gz.synthFromDocs(docs)
-        .select(d, col("payload").as("gzp"))
-      // lane modulus 17 (14 families on lanes 1-14, text on 0/15/16)
+      import graft.multimodal.Binary
+      // lane modulus 19 (15 families on lanes 1-15, text on 0/16-18)
       // is COPRIME with the synths' %10 corrupt lane, so every
-      // family contributes corrupt/text-fallback members (r15)
-      val mixed = docs.select(d, col("text"))
-        .join(w, Seq("doc_id")).join(g, Seq("doc_id")).join(j, Seq("doc_id"))
-        .join(b, Seq("doc_id")).join(wb, Seq("doc_id")).join(tf, Seq("doc_id"))
-        .join(m3, Seq("doc_id")).join(fl, Seq("doc_id"))
-        .join(og, Seq("doc_id")).join(mk, Seq("doc_id"))
-        .join(av, Seq("doc_id")).join(pq, Seq("doc_id")).join(oc, Seq("doc_id"))
-        .join(gz, Seq("doc_id"))
-        .select(d,
-          when(d % 17 === 1, col("wp"))
-            .when(d % 17 === 2, col("gp"))
-            .when(d % 17 === 3, col("jp"))
-            .when(d % 17 === 4, col("bp"))
-            .when(d % 17 === 5, col("xp"))
-            .when(d % 17 === 6, col("tp"))
-            .when(d % 17 === 7, col("m3p"))
-            .when(d % 17 === 8, col("flp"))
-            .when(d % 17 === 9, col("ogp"))
-            .when(d % 17 === 10, col("mkp"))
-            .when(d % 17 === 11, col("avp"))
-            .when(d % 17 === 12, col("pqp"))
-            .when(d % 17 === 13, col("ocp"))
-            .when(d % 17 === 14, col("gzp"))
-            .otherwise(col("text").cast("binary")).as("payload"))
-      graft.multimodal.Binary.triage(mixed).orderBy(d)
+      // family contributes corrupt/text-fallback members (r15). The
+      // corpus is a UNION of per-lane synth branches, each its own
+      // small codegen stage, materialized BEFORE the triage parse:
+      // the old join+CASE wiring fused fifteen synth encoder trees
+      // and nineteen parse kernels into one whole-stage method,
+      // exceeding janino's 64 KB limit and silently running the gate
+      // interpreted (r15 finding — since family thirteen). Gate
+      // wiring only: production triage reads payloads as-is.
+      val synths: Seq[DataFrame => DataFrame] = Seq(
+        Binary.Wav.synthFromDocs(_), Binary.Png.synthFromDocs(_),
+        Binary.Jpeg.synthFromDocs(_), Binary.Bmp.synthFromDocs(_),
+        Binary.Webp.synthFromDocs(_), Binary.Tiff.synthFromDocs(_),
+        Binary.Mp3.synthFromDocs(_), Binary.Flac.synthFromDocs(_),
+        Binary.Ogg.synthFromDocs(_), Binary.Mkv.synthFromDocs(_),
+        Binary.Avro.synthFromDocs(_), Binary.Parquet.synthFromDocs(_),
+        Binary.Orc.synthFromDocs(_), Binary.Gz.synthFromDocs(_),
+        Binary.Zstd.synthFromDocs(_))
+      val familyLanes = synths.zipWithIndex.map { case (synth, k) =>
+        synth(docs.where(d % 19 === (k + 1))).select(d, col("payload"))
+      }
+      val textLane = docs.where(d % 19 === 0 || d % 19 >= 16)
+        .select(d, col("text").cast("binary").as("payload"))
+      val mixed = (familyLanes :+ textLane).reduce(_.unionAll(_))
+      val corpus = mixed.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      graft.ops.Caching.materialized(
+        Binary.triage(corpus).orderBy(d)) {
+        corpus.unpersist(false)
+      }
     }),
     // Avro OCF container triage — the FIFTEENTH family (r15): varint
     // metadata-map walk, schema-JSON signature, sync-framed block
@@ -1957,6 +1933,25 @@ object SparkEntry {
           col("n_members"), col("uncompressed_bytes"), col("n_named"),
           col("first_mtime"), col("crc_ok"), col("isize_ok"),
           col("header_consistent"))
+        .orderBy(col("doc_id"))
+    }),
+    // zstd container triage — the NINETEENTH family (r15): the other
+    // wire framing of shipped corpora (.jsonl.zst shards) — RFC 8878
+    // frame walk rotating FCS widths / single-segment / dictionary-ID
+    // / skippable-frame lanes, raw+RLE content reconstructed and
+    // XXH64-checksummed in the walk (flipped-checksum integrity
+    // lane) — every field re-derived closed-form by the oracle while
+    // Spark walks actual frame headers and block chains
+    "mm_zstd_meta" -> ((s, dir) => {
+      val media = graft.multimodal.Binary.Zstd.synthFromDocs(t(s, dir, "documents"))
+      graft.multimodal.Binary.Zstd.parse(media)
+        .select(col("doc_id"), col("media_type"), col("zstd_valid"),
+          col("n_frames"), col("n_skippable"), col("skippable_bytes"),
+          col("n_blocks"), col("n_rle_blocks"), col("n_compressed_blocks"),
+          col("uncompressed_bytes"), col("n_declared"),
+          col("declared_bytes"), col("size_match"), col("single_segment"),
+          col("window_log"), col("dict_id"), col("n_checksummed"),
+          col("checksum_ok"), col("decode_ok"), col("header_consistent"))
         .orderBy(col("doc_id"))
     }),
     // ORC footer triage — the SEVENTEENTH family (r15), completing
@@ -2537,5 +2532,6 @@ object SparkEntry {
     "mm_orc_meta" -> OracleSql.mmOrcMeta,
     "text_charset" -> OracleSql.textCharset,
     "mm_gzip_meta" -> OracleSql.mmGzipMeta,
+    "mm_zstd_meta" -> OracleSql.mmZstdMeta,
   )
 }

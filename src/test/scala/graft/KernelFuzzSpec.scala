@@ -397,6 +397,12 @@ class KernelFuzzSpec extends SparkSpec {
       graft.expressions.GzipMetaKernel.parse(p)
       true
     })
+    val zsSeeds = Seq(1L, 2L, 3L, 5L, 9L, 23L).map(
+      graft.expressions.ZstdMetaSynthKernel.synth)
+    checkProp(Prop.forAllNoShrink(flipped(zsSeeds)) { p =>
+      graft.expressions.ZstdMetaKernel.parse(p)
+      true
+    })
   }
 
   test("CharsetDetectKernel is total: garbage always decodes to SOMETHING (r15)") {

@@ -512,9 +512,9 @@ class PlanContractSpec extends SparkSpec {
       "mm_ogg_samples: OggFlac kernel missing from plan")
   }
 
-  test("r15 mm rows: Avro, Parquet, ORC, and gzip triage are shuffle-free codegen projections") {
+  test("r15 mm rows: Avro, Parquet, ORC, gzip, and zstd triage are shuffle-free codegen projections") {
     for (name <- Seq("mm_avro_meta", "mm_avro_records", "mm_parquet_meta",
-        "mm_orc_meta", "mm_gzip_meta")) {
+        "mm_orc_meta", "mm_gzip_meta", "mm_zstd_meta")) {
       val phys = physical(q(name))
       assert(!phys.contains("Exchange hashpartitioning"),
         s"$name: unexpected keyed shuffle:\n$phys")
@@ -532,6 +532,8 @@ class PlanContractSpec extends SparkSpec {
       "mm_orc_meta: OrcMeta kernel missing from plan")
     assert(physical(q("mm_gzip_meta")).contains("gzip_meta"),
       "mm_gzip_meta: GzipMeta kernel missing from plan")
+    assert(physical(q("mm_zstd_meta")).contains("zstd_meta"),
+      "mm_zstd_meta: ZstdMeta kernel missing from plan")
   }
 
   test("r15 mm rows: animated GIF frame walk is a shuffle-free kernel + generate") {
