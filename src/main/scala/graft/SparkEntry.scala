@@ -657,6 +657,62 @@ object SparkEntry {
             element_at(col("__st"), 1)).as("mean_gray"))
         .orderBy(d, col("stem"))
     }),
+    // .tgz WebDataset ingest — the gzip∘tar COMPOSITION (shards ship
+    // compressed at rest): the same tar stream gzip-compressed and
+    // SPLIT mid-archive into two members at a doc-varying byte offset
+    // (pigz/bgzf emit per-block members — reassembly across member
+    // boundaries is the wire reality), inflated through the real
+    // RFC 1952 member walk (CRC32+ISIZE verified), re-fed to the
+    // ustar walk, then the identical sample chain — same oracle as
+    // wds_samples: the compression layer must be lossless end-to-end
+    "wds_tgz_samples" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val d = col("doc_id")
+      def stemOf(i: Int) = concat(lit("s"), (d * 2 + i).cast("string"))
+      def tilesOf(i: Int) = transform(sequence(lit(0), lit(1)),
+        tt => pmod(d * 7 + (tt.cast("long") + lit(2L * i)) * 13,
+          lit(256L)).cast("int"))
+      def jpgOf(i: Int) = org.apache.spark.sql.GraftColumnBridge.column(
+        graft.expressions.JpegSynthEncode(
+          org.apache.spark.sql.GraftColumnBridge.expression(tilesOf(i)),
+          org.apache.spark.sql.GraftColumnBridge.expression(
+            array(lit(2), lit(1), lit(0), lit(0)))))
+      def sample(i: Int) = concat(
+        graft.sources.Wds.tarMember(concat(stemOf(i), lit(".jpg")), jpgOf(i)),
+        graft.sources.Wds.tarMember(concat(stemOf(i), lit(".txt")),
+          substring(col("text"), 1 + 40 * i, 40)),
+        graft.sources.Wds.tarMember(concat(stemOf(i), lit(".cls")),
+          pmod(d + i, lit(10L)).cast("string")))
+      val shard = concat(sample(0), sample(1),
+        graft.sources.Wds.tarTerminator)
+      def gz(c: org.apache.spark.sql.Column) = org.apache.spark.sql.GraftColumnBridge.column(
+        graft.expressions.GzipCompress(
+          org.apache.spark.sql.GraftColumnBridge.expression(c)))
+      val cut = (lit(512L) + d % 1024).cast("int")
+      val tgz = concat(gz(shard.substr(lit(1), cut)),
+        gz(shard.substr(cut + lit(1), lit(1 << 24))))
+      val unshard = org.apache.spark.sql.GraftColumnBridge.column(
+        graft.expressions.GzipConcat(
+          org.apache.spark.sql.GraftColumnBridge.expression(col("tgz")),
+          1 << 24))
+      val samp = graft.sources.Wds.samples(
+        docs.select(d, tgz.as("tgz")).select(d, unshard.as("shard")),
+        col("shard"))
+      val st = org.apache.spark.sql.GraftColumnBridge.column(
+        graft.expressions.JpegPixelStats(
+          org.apache.spark.sql.GraftColumnBridge.expression(
+            element_at(col("parts"), "jpg"))))
+      samp
+        .withColumn("__st", st)
+        .select(d, col("stem"), col("n_members"),
+          element_at(col("parts"), "cls").cast("string").as("cls"),
+          GraftFunctions.hex64(element_at(col("parts"), "txt").cast("string"))
+            .as("txt_hash"),
+          element_at(col("__st"), 1).as("pixels_decoded"),
+          (element_at(col("__st"), 2).cast("double") /
+            element_at(col("__st"), 1)).as("mean_gray"))
+        .orderBy(d, col("stem"))
+    }),
     // mbox mailbox ingest (the classic email-corpus framing): the
     // line-anchored envelope split (safe because mboxrd escapes
     // in-body `From ` as `>From ` — and the synth PLANTS that escape
@@ -2401,6 +2457,9 @@ object SparkEntry {
     "warc_gz_records" -> OracleSql.warcGzRecords,
     "warc_http_meta" -> OracleSql.warcHttpMeta,
     "wds_samples" -> OracleSql.wdsSamples,
+    // the .tgz composition decodes to the IDENTICAL sample table —
+    // the compression layer must be lossless, so the oracle is shared
+    "wds_tgz_samples" -> OracleSql.wdsSamples,
     "domain_stats" -> OracleSql.domainStats,
     "domain_quality" -> OracleSql.domainQuality,
     "robots_gate" -> OracleSql.robotsGate,

@@ -138,6 +138,36 @@ object GzipKernel {
     }
     new GenericArrayData(out.toArray[Any])
   }
+
+  /** Inflate ALL members and return the concatenated contents — the
+    * single-logical-stream view: a `.tgz` shard is ONE tar stream
+    * that may ship as one gzip member or split at arbitrary byte
+    * boundaries across many (pigz/bgzf emit per-block members), and
+    * the tar walk needs the reassembled bytes. Same verdicts as
+    * [[members]] (null on any structural violation); `maxLen` caps
+    * the TOTAL output.
+    */
+  def concatMembers(p: Array[Byte], maxLen: Int): Array[Byte] = {
+    val arr = members(p, maxLen)
+    if (arr == null) return null
+    var total = 0L
+    var i = 0
+    while (i < arr.numElements()) {
+      total += arr.getBinary(i).length
+      if (total > maxLen) return null
+      i += 1
+    }
+    val out = new Array[Byte](total.toInt)
+    var off = 0
+    i = 0
+    while (i < arr.numElements()) {
+      val m = arr.getBinary(i)
+      System.arraycopy(m, 0, out, off, m.length)
+      off += m.length
+      i += 1
+    }
+    out
+  }
 }
 
 /** `gzip_compress(binary|string) → binary` — one deterministic gzip
@@ -200,5 +230,33 @@ case class GzipMembers(child: Expression, maxLen: Int) extends UnaryExpression {
       |""".stripMargin)
 
   override protected def withNewChildInternal(c: Expression): GzipMembers =
+    copy(child = c)
+}
+
+/** `gzip_concat(blob) → binary` — all members inflated and
+  * concatenated; see [[GzipKernel.concatMembers]].
+  */
+case class GzipConcat(child: Expression, maxLen: Int) extends UnaryExpression {
+  require(maxLen > 0, s"maxLen=$maxLen must be positive")
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = true
+  override def prettyName: String = "gzip_concat"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires binary input, got $other")
+  }
+
+  override def nullSafeEval(v: Any): Any =
+    GzipKernel.concatMembers(v.asInstanceOf[Array[Byte]], maxLen)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      |${ev.value} = graft.expressions.GzipKernel.concatMembers($c, $maxLen);
+      |if (${ev.value} == null) { ${ev.isNull} = true; }
+      |""".stripMargin)
+
+  override protected def withNewChildInternal(c: Expression): GzipConcat =
     copy(child = c)
 }

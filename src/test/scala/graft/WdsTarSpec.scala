@@ -235,4 +235,47 @@ class WdsTarSpec extends SparkSpec {
       tmp.delete()
     }
   }
+
+  test("gzip_concat: member reassembly is byte-exact; JDK conformance; traps null") {
+    import graft.expressions.GzipKernel
+    val tar = TarKernel.member("a.txt".getBytes, "hello tar".getBytes) ++
+      TarKernel.member("b.bin".getBytes,
+        Array.tabulate(2000)(i => ((i * 13) % 251).toByte)) ++
+      TarKernel.Terminator
+    // split at arbitrary NON-boundary offsets into three members,
+    // one written by the JDK's own GZIPOutputStream (cross-encoder)
+    def jdk(b: Array[Byte]): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream()
+      val g = new java.util.zip.GZIPOutputStream(out)
+      g.write(b); g.close()
+      out.toByteArray
+    }
+    val blob = GzipKernel.compress(java.util.Arrays.copyOfRange(tar, 0, 700)) ++
+      jdk(java.util.Arrays.copyOfRange(tar, 700, 1501)) ++
+      GzipKernel.compress(java.util.Arrays.copyOfRange(tar, 1501, tar.length))
+    val got = GzipKernel.concatMembers(blob, 1 << 20)
+    assert(got != null && java.util.Arrays.equals(got, tar),
+      "reassembly across member boundaries must be byte-exact")
+    // the reassembled stream feeds the tar walk unchanged
+    val members = TarKernel.members(got)
+    assert(members != null && members.numElements() === 2)
+    // traps: corrupt member nulls the whole blob; bomb cap binds TOTAL
+    val bad = blob.clone()
+    bad(bad.length - 5) = (bad(bad.length - 5) ^ 1).toByte
+    assert(GzipKernel.concatMembers(bad, 1 << 20) == null, "CRC lie")
+    assert(GzipKernel.concatMembers(blob, 1500) == null, "total cap")
+    assert(GzipKernel.concatMembers("text".getBytes, 1 << 20) == null)
+  }
+
+  test("wds_tgz_samples ≡ wds_samples: the compression layer is lossless end-to-end") {
+    val sfDirLocal = sfDir
+    val a = SparkEntry.queries("wds_samples")(spark, sfDirLocal)
+      .where(col("doc_id") < 60).collect()
+    val b = SparkEntry.queries("wds_tgz_samples")(spark, sfDirLocal)
+      .where(col("doc_id") < 60).collect()
+    assert(a.length === b.length && a.length > 0)
+    a.zip(b).foreach { case (x, y) =>
+      assert(x.toString === y.toString, s"row mismatch: $x vs $y")
+    }
+  }
 }
