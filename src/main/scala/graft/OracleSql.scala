@@ -4442,6 +4442,60 @@ object OracleSql {
     * unescape the synth plants — so the hash match proves the
     * envelope split and the case-insensitive header parse.
     */
+  /** MIME leaf parts (mirror of `Mime.parts` ∘ the MimeSynth lanes):
+    * every field re-derived from doc_id + the text column, holding
+    * ONLY the DECODED closed forms — the QP lane's `caffè 100%
+    * =sign` forces multibyte `=C3=A8` + `=3D` escapes and a soft
+    * line break on the wire, the base64 text lane carries a slice of
+    * the doc's own text, and the binary attachment's byte sum pins a
+    * real base64 decode. Leaf counts: d%3=0 → 2, 1 → 3, 2 → 5 (the
+    * nested multipart/alternative lane flattens to two extra
+    * leaves). Invalid docs keep one all-null row.
+    */
+  lazy val mailMimeParts: String =
+    """WITH m AS (SELECT doc_id, text, doc_id % 10 = 0 AS invalid,
+      |  CASE doc_id % 3 WHEN 0 THEN 2 WHEN 1 THEN 3 ELSE 5 END AS nl
+      |  FROM documents),
+      |l AS (SELECT doc_id, unnest(range(nl)) AS li FROM m WHERE NOT invalid
+      |  UNION ALL SELECT doc_id, NULL AS li FROM m WHERE invalid),
+      |v AS (SELECT l.doc_id, l.li, m.invalid,
+      |  'part0 doc ' || l.doc_id::VARCHAR || ': caffè 100% =sign, tail y'
+      |    || (l.doc_id % 7)::VARCHAR AS p0,
+      |  'b64 doc ' || l.doc_id::VARCHAR || ' :: '
+      |    || substring(m.text, 1, (40 + l.doc_id % 40)::INT) AS p1,
+      |  'plain alt doc ' || l.doc_id::VARCHAR AS p3,
+      |  '<b>alt html doc ' || l.doc_id::VARCHAR || '</b>' AS p4,
+      |  (30 + l.doc_id % 50)::BIGINT AS blen
+      |  FROM l JOIN m USING (doc_id))
+      |SELECT doc_id,
+      |  NOT invalid AS mime_valid,
+      |  li::BIGINT AS part_idx,
+      |  CASE WHEN invalid THEN NULL
+      |    WHEN li = 2 THEN 'application/octet-stream'
+      |    WHEN li = 4 THEN 'text/html'
+      |    ELSE 'text/plain' END AS content_type,
+      |  CASE WHEN invalid THEN NULL
+      |    WHEN li = 0 THEN 'utf-8' WHEN li = 1 THEN 'us-ascii' END AS charset,
+      |  CASE WHEN invalid THEN NULL
+      |    WHEN li = 0 THEN 'quoted-printable'
+      |    WHEN li IN (1, 2) THEN 'base64' ELSE '7bit' END AS encoding,
+      |  CASE WHEN invalid THEN NULL ELSE li = 2 END AS is_attachment,
+      |  CASE WHEN invalid OR li <> 2 THEN NULL
+      |    ELSE 'f' || doc_id::VARCHAR || '.bin' END AS filename,
+      |  (CASE WHEN invalid THEN NULL
+      |    WHEN li = 0 THEN octet_length(encode(p0))
+      |    WHEN li = 1 THEN octet_length(encode(p1))
+      |    WHEN li = 2 THEN blen
+      |    WHEN li = 3 THEN octet_length(encode(p3))
+      |    ELSE octet_length(encode(p4)) END)::BIGINT AS decoded_bytes,
+      |  (CASE WHEN invalid OR li <> 2 THEN NULL
+      |    ELSE list_sum([(doc_id * 7 + jj * 3) % 256
+      |      for jj in range(blen)]) END)::BIGINT AS byte_sum,
+      |  CASE WHEN invalid OR li = 2 THEN NULL
+      |    WHEN li = 0 THEN p0 WHEN li = 1 THEN p1
+      |    WHEN li = 3 THEN p3 WHEN li = 4 THEN p4 END AS decoded_text
+      |FROM v ORDER BY doc_id, part_idx""".stripMargin
+
   lazy val mboxMessages: String =
     s"""WITH m AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 <> 0),
        |e AS (

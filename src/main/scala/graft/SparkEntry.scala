@@ -713,6 +713,27 @@ object SparkEntry {
             element_at(col("__st"), 1)).as("mean_gray"))
         .orderBy(d, col("stem"))
     }),
+    // MIME message decode — the step AFTER the mbox envelope split:
+    // multipart tree walk (nested multipart/alternative lane), folded
+    // case-insensitive headers, quoted/bare boundary params, and REAL
+    // content-transfer decodes (quoted-printable soft breaks + =XX
+    // multibyte escapes; base64 text AND binary) — the oracle holds
+    // only DECODED closed forms, so a hash match proves the decodes
+    "mail_mime_parts" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val d = col("doc_id")
+      val raw = when(d % 10 === 0, col("text").cast("binary"))
+        .otherwise(org.apache.spark.sql.GraftColumnBridge.column(
+          graft.expressions.MimeSynth(
+            org.apache.spark.sql.GraftColumnBridge.expression(d),
+            org.apache.spark.sql.GraftColumnBridge.expression(col("text")))))
+      graft.sources.Mime.parts(docs.select(d, raw.as("raw")), col("raw"))
+        .select(d, col("mime_valid"), col("part_idx"), col("content_type"),
+          col("charset"), col("encoding"), col("is_attachment"),
+          col("filename"), col("decoded_bytes"), col("byte_sum"),
+          col("decoded_text"))
+        .orderBy(d, col("part_idx"))
+    }),
     // mbox mailbox ingest (the classic email-corpus framing): the
     // line-anchored envelope split (safe because mboxrd escapes
     // in-body `From ` as `>From ` — and the synth PLANTS that escape
@@ -2573,6 +2594,7 @@ object SparkEntry {
     "pipeline_multimodal" -> OracleSql.pipelineMultimodal,
     "zip_entries" -> OracleSql.zipEntries,
     "mbox_messages" -> OracleSql.mboxMessages,
+    "mail_mime_parts" -> OracleSql.mailMimeParts,
     "mm_bmp_pixels" -> OracleSql.mmBmpPixels,
     "mm_png_pixels" -> OracleSql.mmPngPixels,
     "mm_media_triage" -> OracleSql.mmMediaTriage,

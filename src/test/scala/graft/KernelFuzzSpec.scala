@@ -403,6 +403,12 @@ class KernelFuzzSpec extends SparkSpec {
       graft.expressions.ZstdMetaKernel.parse(p)
       true
     })
+    val mimeSeeds = Seq(1L, 2L, 3L, 5L, 8L).map(d =>
+      graft.expressions.MimeSynthKernel.synth(d, "fuzz text " * 20))
+    checkProp(Prop.forAllNoShrink(flipped(mimeSeeds)) { p =>
+      graft.expressions.MimePartsKernel.parse(p)
+      true
+    })
   }
 
   test("CharsetDetectKernel is total: garbage always decodes to SOMETHING (r15)") {
