@@ -4059,6 +4059,40 @@ object OracleSql {
       |  CASE WHEN invalid THEN NULL ELSE TRUE END AS header_consistent
       |FROM v ORDER BY doc_id""".stripMargin
 
+  /** Parquet data-page decode (mirror of `Binary.Parquet.pageStats`
+    * ∘ `synthFilesFromDocs`): page/chunk accounting, the d%4 codec
+    * rotation, the d%3==1 two-page lane, the d%20==7 num_values-lie
+    * integrity lane, and the PLAIN INT64 value sum — all re-derived
+    * from doc_id, so a hash match proves the kernel walked real
+    * page-header chains and decompressed real snappy/gzip/zstd page
+    * bodies to the exact values.
+    */
+  val mmParquetPages: String =
+    """WITH m AS (SELECT doc_id, doc_id % 10 = 0 AS invalid,
+      |  5 + doc_id % 11 AS nv,
+      |  CASE WHEN doc_id % 3 = 1 THEN 2 ELSE 1 END AS np
+      |  FROM documents)
+      |SELECT doc_id,
+      |  CASE WHEN invalid THEN 'text/plain'
+      |    ELSE 'application/parquet' END AS media_type,
+      |  NOT invalid AS pages_valid,
+      |  (CASE WHEN invalid THEN NULL ELSE 1 END)::BIGINT AS n_chunks,
+      |  CASE WHEN invalid THEN NULL
+      |    ELSE (['uncompressed', 'snappy', 'gzip', 'zstd'])[(doc_id % 4) + 1]
+      |    END AS codec,
+      |  (CASE WHEN invalid THEN NULL ELSE np END)::BIGINT AS n_pages,
+      |  (CASE WHEN invalid THEN NULL ELSE np END)::BIGINT AS n_data_pages,
+      |  (CASE WHEN invalid THEN NULL ELSE 0 END)::BIGINT AS n_dict_pages,
+      |  (CASE WHEN invalid THEN NULL ELSE nv END)::BIGINT AS page_values,
+      |  CASE WHEN invalid THEN NULL ELSE doc_id % 20 <> 7 END AS values_match,
+      |  (CASE WHEN invalid THEN NULL ELSE 1 END)::BIGINT AS n_decoded_chunks,
+      |  (CASE WHEN invalid THEN NULL
+      |    ELSE list_sum([(3 * doc_id + j) % 1000 for j in range(nv)])
+      |    END)::BIGINT AS int64_sum,
+      |  (CASE WHEN invalid THEN NULL ELSE 8 * nv END)::BIGINT
+      |    AS uncompressed_bytes
+      |FROM m ORDER BY doc_id""".stripMargin
+
   /** ORC footer triage (mirror of `Binary.Orc.parse` ∘
     * `synthFromDocs`): stripe/type/column accounting, the
     * compression lane (odd docs wrap the footer in a real ORC zlib

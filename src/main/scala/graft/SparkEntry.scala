@@ -2031,6 +2031,24 @@ object SparkEntry {
           col("checksum_ok"), col("decode_ok"), col("header_consistent"))
         .orderBy(col("doc_id"))
     }),
+    // Parquet DATA-PAGE decode tier (r15): past the footer and into
+    // the bytes — page-header chains walked per column chunk, bodies
+    // REALLY decompressed through all four classpath codecs
+    // (uncompressed/snappy/gzip/zstd rotated by d%4), INT64 PLAIN
+    // values decoded to a sum the oracle recomputes closed-form; the
+    // d%20==7 lane lies about chunk num_values (values_match false,
+    // pages still decode — the size-bounded-walk discipline)
+    "mm_parquet_pages" -> ((s, dir) => {
+      val media = graft.multimodal.Binary.Parquet.synthFilesFromDocs(
+        t(s, dir, "documents"))
+      graft.multimodal.Binary.Parquet.pageStats(media)
+        .select(col("doc_id"), col("media_type"), col("pages_valid"),
+          col("n_chunks"), col("codec"), col("n_pages"),
+          col("n_data_pages"), col("n_dict_pages"), col("page_values"),
+          col("values_match"), col("n_decoded_chunks"), col("int64_sum"),
+          col("uncompressed_bytes"))
+        .orderBy(col("doc_id"))
+    }),
     // ORC footer triage — the SEVENTEENTH family (r15), completing
     // the lake trio (Avro varints, Parquet thrift-compact, ORC
     // protobuf): PostScript/Footer wire walk, real ORC-zlib chunk
@@ -2614,5 +2632,6 @@ object SparkEntry {
     "text_charset" -> OracleSql.textCharset,
     "mm_gzip_meta" -> OracleSql.mmGzipMeta,
     "mm_zstd_meta" -> OracleSql.mmZstdMeta,
+    "mm_parquet_pages" -> OracleSql.mmParquetPages,
   )
 }

@@ -41,8 +41,10 @@ object ParquetMetaKernel {
       p(p.length - 4) == 'P' && p(p.length - 3) == 'A' &&
       p(p.length - 2) == 'R' && p(p.length - 1) == '1'
 
-  /** Never-throw thrift-compact reader over [start, end). */
-  private final class Reader(p: Array[Byte], val end: Int) {
+  /** Never-throw thrift-compact reader over [start, end); shared
+    * with the page-walk tier ([[ParquetPagesKernel]]).
+    */
+  private[expressions] final class Reader(p: Array[Byte], val end: Int) {
     var pos = 0
     var failed = false
 

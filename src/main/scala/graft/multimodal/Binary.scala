@@ -2075,6 +2075,46 @@ object Binary {
         when(d % invalidEvery === 0, lit("text/plain"))
           .otherwise(lit("application/parquet")).as("media_type"))
     }
+
+    /** DATA-PAGE decode tier ([[graft.expressions.ParquetPagesKernel]]):
+      * page-header chain walk per column chunk, page bodies REALLY
+      * decompressed (uncompressed / snappy / gzip / zstd), INT64
+      * PLAIN chunks decoded to a value sum; dictionary/v2/level-
+      * bearing pages honestly refused. Pure projection.
+      */
+    def pageStats(media: DataFrame, payloadCol: String = "payload"): DataFrame = {
+      val m = gcol(graft.expressions.ParquetPages(gexpr(col(payloadCol))))
+      media
+        .withColumn("__q", m)
+        .withColumn("pages_valid", coalesce(col("__q.pages_valid"), lit(false)))
+        .withColumn("n_chunks", col("__q.n_chunks"))
+        .withColumn("codec", col("__q.codec"))
+        .withColumn("n_pages", col("__q.n_pages"))
+        .withColumn("n_data_pages", col("__q.n_data_pages"))
+        .withColumn("n_dict_pages", col("__q.n_dict_pages"))
+        .withColumn("page_values", col("__q.page_values"))
+        .withColumn("values_match", col("__q.values_match"))
+        .withColumn("n_decoded_chunks", col("__q.n_decoded_chunks"))
+        .withColumn("int64_sum", col("__q.int64_sum"))
+        .withColumn("uncompressed_bytes", col("__q.uncompressed_bytes"))
+        .withColumn("compressed_bytes", col("__q.compressed_bytes"))
+        .drop("__q")
+    }
+
+    /** Deterministic COMPLETE parquet files over the docs table (see
+      * [[graft.expressions.ParquetFileSynthKernel]]: real PLAIN
+      * INT64 pages through real codecs behind a real footer); every
+      * `invalidEvery`-th doc raw text.
+      */
+    def synthFilesFromDocs(docs: DataFrame, invalidEvery: Int = 10): DataFrame = {
+      val d = col("doc_id")
+      val payload = gcol(graft.expressions.ParquetFileSynth(gexpr(d)))
+      docs.select(d,
+        when(d % invalidEvery === 0, col("text").cast("binary"))
+          .otherwise(payload).as("payload"),
+        when(d % invalidEvery === 0, lit("text/plain"))
+          .otherwise(lit("application/parquet")).as("media_type"))
+    }
   }
 
   /** Gzip container triage — the EIGHTEENTH family (r15): the wire

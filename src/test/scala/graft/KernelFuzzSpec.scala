@@ -409,6 +409,12 @@ class KernelFuzzSpec extends SparkSpec {
       graft.expressions.MimePartsKernel.parse(p)
       true
     })
+    val ppSeeds = Seq(1L, 2L, 3L, 5L, 7L).map(
+      graft.expressions.ParquetFileSynthKernel.synth)
+    checkProp(Prop.forAllNoShrink(flipped(ppSeeds)) { p =>
+      graft.expressions.ParquetPagesKernel.parse(p)
+      true
+    })
   }
 
   test("CharsetDetectKernel is total: garbage always decodes to SOMETHING (r15)") {

@@ -351,6 +351,95 @@ class LakeFormatsSpec extends SparkSpec {
       "text starting with ORC must fail the trailing-magic check")
   }
 
+  // ---- parquet data pages ----
+
+  test("parquet pages synth round trips: every lane parses to its closed form") {
+    import graft.expressions.{ParquetPagesKernel, ParquetFileSynthKernel}
+    for (d <- 1L to 200L if d % 10 != 0) {
+      val row = ParquetPagesKernel.parse(ParquetFileSynthKernel.synth(d))
+      assert(row != null, s"d=$d: null")
+      assert(row.getBoolean(0), s"d=$d: pages_valid")
+      assert(row.getLong(1) === 1L, s"d=$d: n_chunks")
+      val codec = Array("uncompressed", "snappy", "gzip", "zstd").apply((d % 4).toInt)
+      assert(row.getUTF8String(2).toString === codec, s"d=$d: codec")
+      val np = if (d % 3 == 1) 2L else 1L
+      assert(row.getLong(3) === np && row.getLong(4) === np, s"d=$d: pages")
+      assert(row.getLong(5) === 0L, s"d=$d: no dict pages")
+      val nv = 5 + d % 11
+      assert(row.getLong(6) === nv, s"d=$d: page_values")
+      assert(row.getBoolean(7) === (d % 20 != 7), s"d=$d: values_match")
+      assert(row.getLong(8) === 1L, s"d=$d: decoded chunks")
+      var sum = 0L
+      for (j <- 0L until nv) sum += (3 * d + j) % 1000
+      assert(row.getLong(9) === sum, s"d=$d: int64_sum through REAL $codec")
+      assert(row.getLong(10) === 8 * nv, s"d=$d: uncompressed_bytes")
+    }
+  }
+
+  test("parquet pages conformance: files Spark ITSELF wrote decode value-exact in all four codecs") {
+    import graft.expressions.ParquetPagesKernel
+    val tmp = java.nio.file.Files.createTempDirectory("graft_pages").toFile
+    def bytesOf(dir: java.io.File): Array[Byte] = {
+      val part = dir.listFiles().filter(_.getName.endsWith(".parquet")).head
+      java.nio.file.Files.readAllBytes(part.toPath)
+    }
+    try {
+      for (codec <- Seq("none", "snappy", "gzip", "zstd")) {
+        val dir = new java.io.File(tmp, s"c_$codec")
+        spark.range(50).coalesce(1).toDF("v").write
+          .option("parquet.enable.dictionary", "false")
+          .option("compression", codec)
+          .parquet(dir.getAbsolutePath)
+        val row = ParquetPagesKernel.parse(bytesOf(dir))
+        assert(row != null && row.getBoolean(0), s"$codec: valid")
+        assert(row.getLong(6) === 50L, s"$codec: 50 values")
+        assert(row.getBoolean(7), s"$codec: values_match")
+        assert(row.getLong(8) === row.getLong(1),
+          s"$codec: every INT64 chunk decoded")
+        assert(row.getLong(9) === (0L until 50L).sum,
+          s"$codec: value sum through Spark's own $codec pages")
+      }
+      // dictionary-encoded file: the dict page is detected and the
+      // PLAIN decode honestly refused (Spark's reader owns that path)
+      val dictDir = new java.io.File(tmp, "dict")
+      spark.range(100).coalesce(1).select((col("id") % 3).as("v")).write
+        .option("compression", "none").parquet(dictDir.getAbsolutePath)
+      val drow = ParquetPagesKernel.parse(bytesOf(dictDir))
+      assert(drow != null && drow.getBoolean(0), "dict: valid walk")
+      assert(drow.getLong(5) >= 1L, "dict page detected")
+      assert(drow.getLong(8) === 0L && drow.isNullAt(9),
+        "dictionary indirection refused, never guessed")
+      // two INT64 columns: both chunks walked and decoded
+      val twoDir = new java.io.File(tmp, "two")
+      spark.range(20).coalesce(1).select(col("id").as("a"), (col("id") * 2).as("b"))
+        .write.option("parquet.enable.dictionary", "false")
+        .option("compression", "snappy").parquet(twoDir.getAbsolutePath)
+      val trow = ParquetPagesKernel.parse(bytesOf(twoDir))
+      assert(trow.getLong(1) === 2L && trow.getLong(8) === 2L)
+      assert(trow.getLong(9) === (0L until 20L).sum * 3, "both chunks summed")
+      assert(trow.getLong(6) === 40L && trow.getBoolean(7))
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete()
+      }
+      rm(tmp)
+    }
+  }
+
+  test("parquet pages never-throw: truncation and bit flips") {
+    import graft.expressions.{ParquetPagesKernel, ParquetFileSynthKernel}
+    val full = ParquetFileSynthKernel.synth(13L)
+    for (cut <- 0 until full.length)
+      ParquetPagesKernel.parse(java.util.Arrays.copyOf(full, cut))
+    val rnd = new scala.util.Random(7)
+    for (_ <- 0 until 400) {
+      val g = full.clone()
+      g(rnd.nextInt(g.length)) = (g(rnd.nextInt(g.length)) ^ (1 << rnd.nextInt(8))).toByte
+      ParquetPagesKernel.parse(g)
+    }
+  }
+
   // ---- gzip ----
 
   test("gzip synth round trips: every lane parses to its closed form") {
