@@ -3164,10 +3164,10 @@ object OracleSql {
       |  doc_id % 4 = 0 AS ttwo""".stripMargin
 
   /** Mixed-container triage (mirror of the mm_media_triage wiring:
-    * doc_id%19 picks WAV/PNG/JPEG/BMP/WebP/TIFF/MP3/FLAC/OGG/
-    * MKV/Avro/Parquet/ORC/gzip/zstd on lanes 1-15 and raw text on
-    * 0/16-18 — the modulus is COPRIME with the synths' %10 corrupt
-    * lane, so every family contributes corrupt/text-fallback
+    * doc_id%23 picks WAV/PNG/JPEG/BMP/WebP/TIFF/MP3/FLAC/OGG/
+    * MKV/Avro/Parquet/ORC/gzip/zstd/ICO on lanes 1-16 and raw text
+    * on 0/17-22 — the modulus is COPRIME with the synths' %10
+    * corrupt lane, so every family contributes corrupt/text-fallback
     * members):
     * detection, sizes, and content units all re-derived from doc_id
     * arithmetic + text length — a hash match proves the Spark triage
@@ -3192,7 +3192,7 @@ object OracleSql {
       |    THEN LEAST(GREATEST(octet_length(text::BLOB) - 5, 0), 3 + doc_id % 11)
       |    ELSE NULL END AS c2,
       |  CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 3 END AS nc,
-      |  doc_id % 19 AS cls, doc_id % 10 = 0 AS corrupt
+      |  doc_id % 23 AS cls, doc_id % 10 = 0 AS corrupt
       |  FROM documents),
       |w AS (SELECT *,
       |  (8000 + (doc_id % 5) * 4000) *
@@ -3280,13 +3280,22 @@ object OracleSql {
       |     + CASE WHEN (doc_id + i) % 3 = 1 THEN 0 ELSE 4 END
       |     for i in range(znf)]))::BIGINT AS zslen,
       |  list_sum([CASE WHEN (doc_id + i) % 5 = 4 THEN 256 + doc_id % 50
-      |    ELSE 10 + (doc_id + i) % 40 END for i in range(znf)])::BIGINT AS zstot
+      |    ELSE 10 + (doc_id + i) % 40 END for i in range(znf)])::BIGINT AS zstot,
+      |  (6 + 16 * (1 + doc_id % 3)
+      |   + list_sum([CASE (doc_id + i) % 3
+      |    WHEN 0 THEN 40 + (3 + (doc_id + i) % 4)
+      |      * (((3 * (4 + (doc_id + i) % 5) + 3) // 4) * 4)
+      |      + 4 * (3 + (doc_id + i) % 4)
+      |    WHEN 1 THEN 40 + 4 * (4 + (doc_id + i) % 5) * (3 + (doc_id + i) % 4)
+      |      + 4 * (3 + (doc_id + i) % 4)
+      |    ELSE 68 + (3 + (doc_id + i) % 4) * (1 + 3 * (4 + (doc_id + i) % 5))
+      |    END for i in range(1 + doc_id % 3)]))::BIGINT AS iclen
       |  FROM w4),
       |d AS (SELECT doc_id, dlen, rawlen, c1, c2, nc, br, pw, ph, jh, jw, bw, bh, bimg,
       |  xfmt, xw, xh, tw_, th_, tlen, msr, mbr, mpad, mnf, mid3v2, mid3v1,
       |  fsr, ftot, fvb, fpd, oid, oclen, onlac, onaudio, og, osr,
       |  khdr, kseg, kdur, anb, arecs, qflen, ostored, osrows,
-      |  gznm, gztot, gznamed, zslen, zstot,
+      |  gznm, gztot, gznamed, zslen, zstot, iclen,
       |  CASE WHEN cls = 1 AND NOT corrupt THEN 'wav'
       |       WHEN cls = 2 AND NOT corrupt THEN 'png'
       |       WHEN cls = 3 AND NOT corrupt THEN 'jpeg'
@@ -3302,6 +3311,7 @@ object OracleSql {
       |       WHEN cls = 13 AND NOT corrupt THEN 'orc'
       |       WHEN cls = 14 AND NOT corrupt THEN 'gzip'
       |       WHEN cls = 15 AND NOT corrupt THEN 'zstd'
+      |       WHEN cls = 16 AND NOT corrupt THEN 'ico'
       |       ELSE 'unknown' END AS detected
       |  FROM w5)
       |SELECT doc_id, detected,
@@ -3329,6 +3339,7 @@ object OracleSql {
       |        WHEN detected = 'orc' THEN 26 + ostored
       |        WHEN detected = 'gzip' THEN gztot + 23 * gznm + 3 * gznamed
       |        WHEN detected = 'zstd' THEN zslen
+      |        WHEN detected = 'ico' THEN iclen
       |        ELSE rawlen END)::BIGINT AS payload_bytes,
       |  detected <> 'unknown' AS valid,
       |  (CASE WHEN detected = 'wav' THEN (dlen * 1000) // br
@@ -3350,6 +3361,7 @@ object OracleSql {
       |          + CASE WHEN doc_id % 20 = 17 THEN 1 ELSE 0 END
       |        WHEN detected = 'gzip' THEN gztot
       |        WHEN detected = 'zstd' THEN zstot
+      |        WHEN detected = 'ico' THEN 1 + doc_id % 3
       |        END)::BIGINT AS content_units
       |FROM d ORDER BY doc_id""".stripMargin
 
@@ -4057,6 +4069,58 @@ object OracleSql {
       |  CASE WHEN invalid THEN NULL ELSE doc_id % 20 <> 9 END AS checksum_ok,
       |  CASE WHEN invalid THEN NULL ELSE TRUE END AS decode_ok,
       |  CASE WHEN invalid THEN NULL ELSE TRUE END AS header_consistent
+      |FROM v ORDER BY doc_id""".stripMargin
+
+  /** ICO triage + pixel tier (mirror of `Binary.Ico.parse` ∘
+    * `synthFromDocs`): entry-kind rotation ((d+i)%3 → DIB-24 /
+    * DIB-32 / real PNG), declared-dims max with the d%20==11
+    * width-lie lane, the RGB pixel sum over ALL entries (logical
+    * RGB byte k of entry i is (5d+17i+k) mod 256 regardless of
+    * container — BGR reorder and zlib wrapping are sum-invariant),
+    * and the closed-form entry byte totals (DIB strides 4-aligned +
+    * the 4-byte/row AND-mask; PNG = 68 + h·(1+3w) with the
+    * stored-deflate zlib wrap) — a hash match proves real zlib
+    * inflate, real scanline unfiltering, and the bottom-up stride
+    * walk.
+    */
+  val mmIcoMeta: String =
+    """WITH m AS (SELECT doc_id, doc_id % 10 = 0 AS invalid,
+      |  1 + doc_id % 3 AS ni FROM documents),
+      |v AS (SELECT *,
+      |  list_max([CASE WHEN doc_id % 20 = 11 AND i = 0
+      |    THEN 5 + (doc_id + i) % 5
+      |    ELSE 4 + (doc_id + i) % 5 END for i in range(ni)])::BIGINT AS maxw,
+      |  list_max([3 + (doc_id + i) % 4 for i in range(ni)])::BIGINT AS maxh,
+      |  list_sum([CASE WHEN (doc_id + i) % 3 = 2 THEN 1 ELSE 0 END
+      |    for i in range(ni)])::BIGINT AS npng,
+      |  list_sum([list_sum([(5 * doc_id + 17 * i + k) % 256
+      |    for k in range(3 * (4 + (doc_id + i) % 5) * (3 + (doc_id + i) % 4))])
+      |    for i in range(ni)])::BIGINT AS psum,
+      |  list_sum([CASE (doc_id + i) % 3
+      |    WHEN 0 THEN 40 + (3 + (doc_id + i) % 4)
+      |      * (((3 * (4 + (doc_id + i) % 5) + 3) // 4) * 4)
+      |      + 4 * (3 + (doc_id + i) % 4)
+      |    WHEN 1 THEN 40 + 4 * (4 + (doc_id + i) % 5) * (3 + (doc_id + i) % 4)
+      |      + 4 * (3 + (doc_id + i) % 4)
+      |    ELSE 68 + (3 + (doc_id + i) % 4) * (1 + 3 * (4 + (doc_id + i) % 5))
+      |    END for i in range(ni)])::BIGINT AS tbytes
+      |  FROM m)
+      |SELECT doc_id,
+      |  CASE WHEN invalid THEN 'text/plain' ELSE 'image/x-icon' END
+      |    AS media_type,
+      |  NOT invalid AS ico_valid,
+      |  (CASE WHEN invalid THEN NULL ELSE ni END)::BIGINT AS n_icons,
+      |  (CASE WHEN invalid THEN NULL ELSE npng END)::BIGINT AS n_png_entries,
+      |  (CASE WHEN invalid THEN NULL ELSE ni - npng END)::BIGINT
+      |    AS n_dib_entries,
+      |  (CASE WHEN invalid THEN NULL ELSE maxw END)::BIGINT AS max_width,
+      |  (CASE WHEN invalid THEN NULL ELSE maxh END)::BIGINT AS max_height,
+      |  CASE WHEN invalid THEN NULL ELSE TRUE END AS entries_ok,
+      |  (CASE WHEN invalid THEN NULL ELSE ni END)::BIGINT AS n_decoded,
+      |  (CASE WHEN invalid THEN NULL ELSE psum END)::BIGINT AS pixel_sum,
+      |  CASE WHEN invalid THEN NULL ELSE doc_id % 20 <> 11 END AS dims_match,
+      |  (CASE WHEN invalid THEN NULL ELSE tbytes END)::BIGINT
+      |    AS total_image_bytes
       |FROM v ORDER BY doc_id""".stripMargin
 
   /** Parquet data-page decode (mirror of `Binary.Parquet.pageStats`

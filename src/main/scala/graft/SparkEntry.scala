@@ -1939,7 +1939,7 @@ object SparkEntry {
       val docs = t(s, dir, "documents")
       val d = col("doc_id")
       import graft.multimodal.Binary
-      // lane modulus 19 (15 families on lanes 1-15, text on 0/16-18)
+      // lane modulus 23 (16 families on lanes 1-16, text on 0/17-22)
       // is COPRIME with the synths' %10 corrupt lane, so every
       // family contributes corrupt/text-fallback members (r15). The
       // corpus is a UNION of per-lane synth branches, each its own
@@ -1957,11 +1957,11 @@ object SparkEntry {
         Binary.Ogg.synthFromDocs(_), Binary.Mkv.synthFromDocs(_),
         Binary.Avro.synthFromDocs(_), Binary.Parquet.synthFromDocs(_),
         Binary.Orc.synthFromDocs(_), Binary.Gz.synthFromDocs(_),
-        Binary.Zstd.synthFromDocs(_))
+        Binary.Zstd.synthFromDocs(_), Binary.Ico.synthFromDocs(_))
       val familyLanes = synths.zipWithIndex.map { case (synth, k) =>
-        synth(docs.where(d % 19 === (k + 1))).select(d, col("payload"))
+        synth(docs.where(d % 23 === (k + 1))).select(d, col("payload"))
       }
-      val textLane = docs.where(d % 19 === 0 || d % 19 >= 16)
+      val textLane = docs.where(d % 23 === 0 || d % 23 >= 17)
         .select(d, col("text").cast("binary").as("payload"))
       val mixed = (familyLanes :+ textLane).reduce(_.unionAll(_))
       val corpus = mixed.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -2010,6 +2010,23 @@ object SparkEntry {
           col("n_members"), col("uncompressed_bytes"), col("n_named"),
           col("first_mtime"), col("crc_ok"), col("isize_ok"),
           col("header_consistent"))
+        .orderBy(col("doc_id"))
+    }),
+    // ICO container triage + pixel tier — the TWENTIETH family (r15):
+    // the favicon, decoded by COMPOSING existing kernels — PNG
+    // entries through the real zlib inflate + scanline unfilter, DIB
+    // entries through the doubled-height bottom-up stride walk; the
+    // oracle recomputes entry counts, declared dims, and the RGB
+    // pixel sum closed-form; the d%20==11 lane lies in an entry's
+    // width byte (dims_match false — the integrity lane)
+    "mm_ico_meta" -> ((s, dir) => {
+      val media = graft.multimodal.Binary.Ico.synthFromDocs(t(s, dir, "documents"))
+      graft.multimodal.Binary.Ico.parse(media)
+        .select(col("doc_id"), col("media_type"), col("ico_valid"),
+          col("n_icons"), col("n_png_entries"), col("n_dib_entries"),
+          col("max_width"), col("max_height"), col("entries_ok"),
+          col("n_decoded"), col("pixel_sum"), col("dims_match"),
+          col("total_image_bytes"))
         .orderBy(col("doc_id"))
     }),
     // zstd container triage — the NINETEENTH family (r15): the other
@@ -2633,5 +2650,6 @@ object SparkEntry {
     "mm_gzip_meta" -> OracleSql.mmGzipMeta,
     "mm_zstd_meta" -> OracleSql.mmZstdMeta,
     "mm_parquet_pages" -> OracleSql.mmParquetPages,
+    "mm_ico_meta" -> OracleSql.mmIcoMeta,
   )
 }

@@ -29,7 +29,7 @@ object ContainerDetectKernel {
   private val Names: Map[String, UTF8String] =
     Seq("webp", "wav", "png", "jpeg", "bmp", "gif", "pdf", "mp4", "zip",
       "tiff", "mp3", "flac", "ogg", "mkv", "avro", "parquet", "orc",
-      "gzip", "zstd").map(s => s -> UTF8String.fromString(s)).toMap
+      "gzip", "zstd", "ico").map(s => s -> UTF8String.fromString(s)).toMap
 
   private def ascii(p: Array[Byte], off: Int, s: String): Boolean = {
     var i = 0
@@ -78,6 +78,8 @@ object ContainerDetectKernel {
         (p(2) & 0xFF) == 0x2F && (p(3) & 0xFF) == 0xFD) ||
         ((p(1) & 0xFF) == 0x2A && (p(2) & 0xFF) == 0x4D &&
           (p(3) & 0xFF) == 0x18))) "zstd"
+      else if (n >= 22 && p(0) == 0 && p(1) == 0 && p(2) == 1 && p(3) == 0 &&
+        ((p(4) & 0xFF) | ((p(5) & 0xFF) << 8)) >= 1) "ico"
       else return Unknown
     Names(name)
   }

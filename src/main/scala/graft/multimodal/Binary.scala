@@ -2172,6 +2172,64 @@ object Binary {
     }
   }
 
+  /** ICO container triage + pixel tier — the TWENTIETH family: the
+    * favicon ([[graft.expressions.IcoMetaKernel]]): ICONDIR walk
+    * with the 0-means-256 rule, PNG entries through the real zlib
+    * inflate + scanline unfilter, headerless doubled-height DIB
+    * entries decoded directly. One codegen kernel pass, pure
+    * projection.
+    */
+  object Ico {
+    import org.apache.spark.sql.GraftColumnBridge.{column => gcol, expression => gexpr}
+
+    /** Column-level detection mirror of `IcoMetaKernel.isIco`:
+      * reserved 0x0000, type 0x0001 little-endian — two NUL bytes
+      * valid UTF-8 text never carries.
+      */
+    private[multimodal] def isIco(p: Column): Column =
+      length(p) >= 22 &&
+        substring(p, 1, 4) === lit(Array[Byte](0, 0, 1, 0))
+
+    /** Parse triage + pixel fields: validity, icon/PNG/DIB entry
+      * counts, max declared dims (0→256), offset-bounds verdict,
+      * decoded-entry count + RGB pixel sum, the declared-vs-decoded
+      * `dims_match` verdict, and the entry byte total. Pure
+      * projection.
+      */
+    def parse(media: DataFrame, payloadCol: String = "payload"): DataFrame = {
+      val m = gcol(graft.expressions.IcoMeta(gexpr(col(payloadCol))))
+      media
+        .withColumn("__i", m)
+        .withColumn("ico_valid", coalesce(col("__i.ico_valid"), lit(false)))
+        .withColumn("n_icons", col("__i.n_icons"))
+        .withColumn("n_png_entries", col("__i.n_png_entries"))
+        .withColumn("n_dib_entries", col("__i.n_dib_entries"))
+        .withColumn("max_width", col("__i.max_width"))
+        .withColumn("max_height", col("__i.max_height"))
+        .withColumn("entries_ok", col("__i.entries_ok"))
+        .withColumn("n_decoded", col("__i.n_decoded"))
+        .withColumn("pixel_sum", col("__i.pixel_sum"))
+        .withColumn("dims_match", col("__i.dims_match"))
+        .withColumn("total_image_bytes", col("__i.total_image_bytes"))
+        .drop("__i")
+    }
+
+    /** Deterministic ICO payloads over the docs table (see
+      * [[graft.expressions.IcoSynthKernel]]: real containers rotating
+      * DIB-24 / DIB-32 / real-PNG entries with closed-form pixel
+      * sums and byte lengths); every `invalidEvery`-th doc raw text.
+      */
+    def synthFromDocs(docs: DataFrame, invalidEvery: Int = 10): DataFrame = {
+      val d = col("doc_id")
+      val payload = gcol(graft.expressions.IcoSynth(gexpr(d)))
+      docs.select(d,
+        when(d % invalidEvery === 0, col("text").cast("binary"))
+          .otherwise(payload).as("payload"),
+        when(d % invalidEvery === 0, lit("text/plain"))
+          .otherwise(lit("image/x-icon")).as("media_type"))
+    }
+  }
+
   /** Zstandard container triage — the NINETEENTH family, the other
     * wire framing of shipped corpora (`.jsonl.zst` shards;
     * [[graft.expressions.ZstdMetaKernel]]): RFC 8878 frame walk with
@@ -2913,10 +2971,30 @@ object Binary {
         col("orc_valid") :+ col("orc_rows") :+
         col("gzip_valid") :+ col("gz_bytes") :+
         col("zstd_valid") :+ col("uncompressed_bytes").as("zstd_bytes"): _*)
+    val afterIco = Ico.parse(afterZstd, payloadCol)
+      .select(keep :+ col("wav_valid") :+ col("wav_ms") :+
+        col("png_valid") :+ col("png_pixels") :+
+        col("jpeg_valid") :+ col("jpeg_pixels") :+
+        col("bmp_valid") :+ col("bmp_pixels") :+
+        col("gif_valid") :+ col("gif_pixels") :+
+        col("pdf_valid") :+ col("pdf_pages") :+
+        col("mp4_valid") :+ col("mp4_ms") :+
+        col("webp_valid") :+ col("webp_pixels") :+
+        col("tiff_valid") :+ col("tiff_pixels") :+
+        col("mp3_valid") :+ col("mp3_ms") :+
+        col("flac_valid") :+ col("flac_ms") :+
+        col("ogg_valid") :+ col("ogg_ms") :+
+        col("mkv_valid") :+ col("mkv_ms") :+
+        col("avro_valid") :+ col("avro_records") :+
+        col("parquet_valid") :+ col("parquet_rows") :+
+        col("orc_valid") :+ col("orc_rows") :+
+        col("gzip_valid") :+ col("gz_bytes") :+
+        col("zstd_valid") :+ col("zstd_bytes") :+
+        col("ico_valid") :+ col("n_icons").as("ico_icons"): _*)
     val zipEntries = org.apache.spark.sql.GraftColumnBridge.column(
       graft.expressions.ZipEntries(
         org.apache.spark.sql.GraftColumnBridge.expression(p), 1 << 22))
-    afterZstd
+    afterIco
       .withColumn("__zip", when(detected === "zip", zipEntries))
       .select(col("doc_id"), detected.as("detected"),
         length(p).cast("long").as("payload_bytes"),
@@ -2938,6 +3016,7 @@ object Binary {
           .when(detected === "orc", col("orc_valid"))
           .when(detected === "gzip", col("gzip_valid"))
           .when(detected === "zstd", col("zstd_valid"))
+          .when(detected === "ico", col("ico_valid"))
           .when(detected === "zip", col("__zip").isNotNull)
           .otherwise(lit(false)).as("valid"),
         when(detected === "wav", col("wav_ms"))
@@ -2958,6 +3037,7 @@ object Binary {
           .when(detected === "orc", col("orc_rows"))
           .when(detected === "gzip", col("gz_bytes"))
           .when(detected === "zstd", col("zstd_bytes"))
+          .when(detected === "ico", col("ico_icons"))
           .when(detected === "zip", size(col("__zip")).cast("long"))
           .as("content_units"))
   }

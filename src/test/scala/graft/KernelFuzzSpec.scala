@@ -415,6 +415,12 @@ class KernelFuzzSpec extends SparkSpec {
       graft.expressions.ParquetPagesKernel.parse(p)
       true
     })
+    val icoSeeds = Seq(1L, 2L, 3L, 5L, 11L).map(
+      graft.expressions.IcoSynthKernel.synth)
+    checkProp(Prop.forAllNoShrink(flipped(icoSeeds)) { p =>
+      graft.expressions.IcoMetaKernel.parse(p)
+      true
+    })
   }
 
   test("CharsetDetectKernel is total: garbage always decodes to SOMETHING (r15)") {

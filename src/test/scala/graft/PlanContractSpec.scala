@@ -514,7 +514,8 @@ class PlanContractSpec extends SparkSpec {
 
   test("r15 mm rows: Avro, Parquet, ORC, gzip, and zstd triage are shuffle-free codegen projections") {
     for (name <- Seq("mm_avro_meta", "mm_avro_records", "mm_parquet_meta",
-        "mm_parquet_pages", "mm_orc_meta", "mm_gzip_meta", "mm_zstd_meta")) {
+        "mm_parquet_pages", "mm_orc_meta", "mm_gzip_meta", "mm_zstd_meta",
+        "mm_ico_meta")) {
       val phys = physical(q(name))
       assert(!phys.contains("Exchange hashpartitioning"),
         s"$name: unexpected keyed shuffle:\n$phys")
@@ -536,6 +537,8 @@ class PlanContractSpec extends SparkSpec {
       "mm_zstd_meta: ZstdMeta kernel missing from plan")
     assert(physical(q("mm_parquet_pages")).contains("parquet_pages"),
       "mm_parquet_pages: ParquetPages kernel missing from plan")
+    assert(physical(q("mm_ico_meta")).contains("ico_meta"),
+      "mm_ico_meta: IcoMeta kernel missing from plan")
   }
 
   test("r15 mm rows: animated GIF frame walk is a shuffle-free kernel + generate") {
