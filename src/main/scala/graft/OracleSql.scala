@@ -436,6 +436,73 @@ object OracleSql {
   }
 
   /** Gopher-rules quality battery (mirror of TextAnalysis.gopherQuality). */
+  /** RSS/Atom feed items (mirror of `Feed.items` ∘ the web_feed
+    * synth): item grain, every field re-derived from doc_id — the
+    * (d+i)%3 title lanes prove CDATA pass-through and entity decode
+    * (the oracle holds only the DECODED strings), the d%2 root lane
+    * proves both the RSS link-element and Atom href-attribute
+    * extraction paths. Invalid (text) docs keep one all-null row.
+    */
+  val webFeed: String =
+    """WITH m AS (SELECT doc_id, doc_id % 10 = 0 AS invalid,
+      |  1 + doc_id % 3 AS ni FROM documents),
+      |l AS (SELECT doc_id, unnest(range(ni)) AS li FROM m WHERE NOT invalid
+      |  UNION ALL SELECT doc_id, NULL AS li FROM m WHERE invalid),
+      |v AS (SELECT l.doc_id, l.li, m.invalid FROM l JOIN m USING (doc_id))
+      |SELECT doc_id,
+      |  NOT invalid AS feed_valid,
+      |  CASE WHEN invalid THEN NULL
+      |    WHEN doc_id % 2 = 0 THEN 'rss' ELSE 'atom' END AS feed_type,
+      |  CASE WHEN invalid THEN NULL
+      |    ELSE 'Feed & ' || doc_id::VARCHAR END AS feed_title,
+      |  li::BIGINT AS item_idx,
+      |  CASE WHEN invalid THEN NULL
+      |    WHEN (doc_id + li) % 3 = 1 THEN 'Item ' || doc_id::VARCHAR
+      |      || ' ' || li::VARCHAR || ' & raw'
+      |    WHEN (doc_id + li) % 3 = 2 THEN 'Item ' || doc_id::VARCHAR
+      |      || ' ' || li::VARCHAR || ' & co'
+      |    ELSE 'Item ' || doc_id::VARCHAR || ' ' || li::VARCHAR
+      |    END AS title,
+      |  CASE WHEN invalid THEN NULL ELSE 'http://ex.com/'
+      |    || doc_id::VARCHAR || '/' || li::VARCHAR END AS link,
+      |  CASE WHEN invalid THEN NULL ELSE 'g-' || doc_id::VARCHAR
+      |    || '-' || li::VARCHAR END AS guid,
+      |  CASE WHEN invalid THEN NULL ELSE '2026-01-'
+      |    || lpad((doc_id % 28 + 1)::VARCHAR, 2, '0') END AS published
+      |FROM v ORDER BY doc_id, item_idx""".stripMargin
+
+  /** Markdown structure (mirror of the text_markdown synth wiring):
+    * every structural count re-derived from doc_id; the prose word
+    * count additionally tokenizes the doc's own 40-char text snippet
+    * with DuckDB's regex splitter, so a hash match proves the
+    * kernel's line scan AND its prose tokenizer on real data. Fixed
+    * word contributions: 3/heading, 1/quote line, 2/list item
+    * (unordered + ordered), 1 'see' + 1/link + 1/image.
+    */
+  val textMarkdown: String =
+    """WITH m AS (SELECT doc_id, text,
+      |  1 + doc_id % 3 AS nh, doc_id % 5 AS nq, doc_id % 4 AS nl,
+      |  doc_id % 3 AS nor, 1 + doc_id % 4 AS ncl,
+      |  1 + doc_id % 2 AS nk, doc_id % 2 AS nimg
+      |  FROM documents),
+      |b AS (SELECT *, 'p' || doc_id::VARCHAR || ' ' ||
+      |  replace(replace(substring(text, 1, 40), chr(10), ' '),
+      |    chr(13), ' ') AS body FROM m)
+      |SELECT doc_id,
+      |  nh::BIGINT AS n_headings,
+      |  list_max([(doc_id + i) % 6 + 1 for i in range(nh)])::BIGINT
+      |    AS max_heading_level,
+      |  1::BIGINT AS n_code_blocks,
+      |  ncl::BIGINT AS n_code_lines,
+      |  (nl + nor)::BIGINT AS n_list_items,
+      |  nk::BIGINT AS n_links,
+      |  nimg::BIGINT AS n_images,
+      |  nq::BIGINT AS n_quote_lines,
+      |  (3 * nh + nq + 2 * nl + 2 * nor + 1 + nk + nimg
+      |   + length(list_filter(regexp_split_to_array(body, '[ \t]+'),
+      |       x -> x <> '')))::BIGINT AS n_prose_words
+      |FROM b ORDER BY doc_id""".stripMargin
+
   val textGopher: String = {
     val meanLen = "CASE WHEN n_words > 0 THEN sum_len / n_words END"
     val symbolRatio = "CASE WHEN n_words > 0 THEN (n_hash + n_ellipsis) / n_words END"

@@ -262,6 +262,51 @@ object SparkEntry {
           col("lastmod"), col("priority"))
         .orderBy(col("doc_id"), col("entry_idx"))
     }),
+    // RSS/Atom feed parse (r15): the crawl-discovery surface next to
+    // the sitemap walk — one row per item/entry with CDATA and
+    // entity-decode lanes, RSS link-element vs Atom href-attribute
+    // extraction; every field re-derived closed-form by the oracle
+    "web_feed" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val d = col("doc_id")
+      val nI = d % 3 + 1
+      def titleOf(i: org.apache.spark.sql.Column) =
+        when((d + i) % 3 === 1,
+          concat(lit("<![CDATA[Item "), d, lit(" "), i, lit(" & raw]]>")))
+          .when((d + i) % 3 === 2,
+            concat(lit("Item "), d, lit(" "), i, lit(" &amp; co")))
+          .otherwise(concat(lit("Item "), d, lit(" "), i))
+      val pub = concat(lit("2026-01-"),
+        lpad((d % 28 + 1).cast("string"), 2, "0"))
+      val items = array_join(transform(
+        filter(sequence(lit(0L), lit(2L)), j => j < nI), i =>
+          when(d % 2 === 0, concat(
+            lit("<item><title>"), titleOf(i),
+            lit("</title><link>http://ex.com/"), d, lit("/"), i,
+            lit("</link><guid>g-"), d, lit("-"), i,
+            lit("</guid><pubDate>"), pub, lit("</pubDate></item>")))
+          .otherwise(concat(
+            lit("<entry><title>"), titleOf(i),
+            lit("</title><link href=\"http://ex.com/"), d, lit("/"), i,
+            lit("\"/><id>g-"), d, lit("-"), i,
+            lit("</id><updated>"), pub, lit("</updated></entry>")))), "\n")
+      val xml = when(d % 10 === 0, col("text"))
+        .otherwise(when(d % 2 === 0, concat(
+          lit("<?xml version=\"1.0\"?>\n<rss version=\"2.0\"><channel>" +
+            "<title>Feed &amp; "), d,
+          lit("</title><link>http://ex.com</link>\n"), items,
+          lit("\n</channel></rss>")))
+        .otherwise(concat(
+          lit("<?xml version=\"1.0\"?>\n" +
+            "<feed xmlns=\"http://www.w3.org/2005/Atom\">" +
+            "<title>Feed &amp; "), d, lit("</title>\n"), items,
+          lit("\n</feed>"))))
+      graft.sources.Feed.items(docs.select(d, xml.as("xml")), col("xml"))
+        .select(d, col("feed_valid"), col("feed_type"), col("feed_title"),
+          col("item_idx"), col("title"), col("link"), col("guid"),
+          col("published"))
+        .orderBy(d, col("item_idx"))
+    }),
     // robots.txt PARSING: raw fetched robots bytes → the
     // (host, path_prefix, allow) rules table applyRobots consumes —
     // the last mile of the robots chain (fetch → parse → gate);
@@ -409,6 +454,48 @@ object SparkEntry {
         .orderBy(col("a"), col("b"))),
     "text_gopher" -> ((s, dir) =>
       TextAnalysis.gopherQuality(t(s, dir, "documents")).orderBy(col("doc_id"))),
+    // markdown structure extraction (r15): the gate synthesizes a
+    // deterministic markdown document around each doc's own text
+    // (headings/quotes/lists/fences/links/images/body paragraph) and
+    // the kernel's line scan must recount every structural feature —
+    // including the prose word count over the REAL text snippet,
+    // which the oracle recomputes with its own tokenizer
+    "text_markdown" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val d = col("doc_id")
+      def rng(n: org.apache.spark.sql.Column, cap: Int) =
+        filter(sequence(lit(0L), lit(cap - 1L)), j => j < n)
+      val headings = array_join(transform(sequence(lit(0L), d % 3), i =>
+        concat(lit("######").substr(lit(1), ((d + i) % 6 + 1).cast("int")),
+          lit(" head "), d, lit(" "), i)), "\n")
+      val quotes = array_join(transform(rng(d % 5, 4), j =>
+        concat(lit("> q"), j)), "\n")
+      val lists = array_join(transform(rng(d % 4, 3), j =>
+        concat(lit("- item "), j)), "\n")
+      val ordered = array_join(transform(rng(d % 3, 2), j =>
+        concat((j + 1).cast("string"), lit(". num "), j)), "\n")
+      val fence = concat(lit("```\n"),
+        array_join(transform(rng(d % 4 + 1, 4), j =>
+          concat(lit("code "), j, lit(" # not a heading"))), "\n"),
+        lit("\n```"))
+      val links = concat(lit("see "),
+        array_join(transform(rng(d % 2 + 1, 2), j =>
+          concat(lit("[t"), j, lit("](http://e.com/"), d, lit(")"))), " "),
+        when(d % 2 === 1, lit(" ![a](http://e.com/i)")).otherwise(lit("")))
+      val body = concat(lit("p"), d, lit(" "),
+        regexp_replace(substring(col("text"), 1, 40), "[\\n\\r]", " "))
+      val md = concat_ws("\n", headings, quotes, lists, ordered, fence,
+        links, body)
+      val st = org.apache.spark.sql.GraftColumnBridge.column(
+        graft.expressions.MarkdownStats(
+          org.apache.spark.sql.GraftColumnBridge.expression(md)))
+      docs.select(d, st.as("__m"))
+        .select(d, col("__m.n_headings"), col("__m.max_heading_level"),
+          col("__m.n_code_blocks"), col("__m.n_code_lines"),
+          col("__m.n_list_items"), col("__m.n_links"), col("__m.n_images"),
+          col("__m.n_quote_lines"), col("__m.n_prose_words"))
+        .orderBy(d)
+    }),
     "text_bm25" -> ((s, dir) =>
       TextAnalysis.bm25(t(s, dir, "documents")).orderBy(col("doc_id"))),
     "corpus_stats" -> ((s, dir) => TextAnalysis.corpusStats(t(s, dir, "documents"))),
@@ -2459,6 +2546,7 @@ object SparkEntry {
     "text_html_meta" -> OracleSql.textHtmlMeta,
     "robots_parse" -> OracleSql.robotsParse,
     "web_sitemap" -> OracleSql.webSitemap,
+    "web_feed" -> OracleSql.webFeed,
     "text_jsonl_parse" -> OracleSql.textJsonlParse,
     "corpus_language_mix" -> OracleSql.corpusLanguageMix,
     "text_fingerprint" -> OracleSql.textFingerprint,
@@ -2480,6 +2568,7 @@ object SparkEntry {
     "text_winnow" -> OracleSql.textWinnow,
     "text_containment" -> OracleSql.textContainment,
     "text_gopher" -> OracleSql.textGopher,
+    "text_markdown" -> OracleSql.textMarkdown,
     "text_bm25" -> OracleSql.textBm25,
     "corpus_stats" -> OracleSql.corpusStats,
     "corpus_rollup" -> OracleSql.corpusRollup,

@@ -461,7 +461,8 @@ class PlanContractSpec extends SparkSpec {
     // no keyed shuffle, no window, no cartesian — the only exchange
     // is the gate's deterministic output sort
     for (name <- Seq("web_sitemap", "text_jsonl_parse", "text_html_meta",
-        "robots_parse", "text_charset")) {
+        "robots_parse", "text_charset", "web_feed", "text_markdown",
+        "mail_mime_parts")) {
       val phys = physical(q(name))
       assert(!phys.contains("Exchange hashpartitioning"),
         s"$name: unexpected keyed shuffle:\n$phys")
