@@ -20,8 +20,12 @@ import org.apache.spark.unsafe.types.UTF8String
   * kind, the writer version, and the trailing `ORC` magic (field
   * 8000 — validity requires it, so a text document that happens to
   * start with "ORC" cannot parse). The Footer is decoded for NONE
-  * and ZLIB compression (ORC's zlib is raw deflate in 3-byte-header
-  * chunks — isOriginal passes through); SNAPPY/LZO/LZ4/ZSTD report
+  * ALL FIVE ORC codecs (chunks carry 3-byte (len<<1)|isOriginal
+  * headers; raw deflate for ZLIB, snappy-java for SNAPPY, zstd-jni
+  * for ZSTD, and aircompressor — the pure-Java library orc-core
+  * itself uses, also on every Spark classpath — for LZO and LZ4;
+  * r15 widened this from ZLIB-only, the "no codec" claim was
+  * stale). Unknown kinds report
   * PostScript-grain fields with `footer_decoded` false (no codec in
   * the JDK — documented, same posture as MP3 samples). From the
   * Footer: declared row count, stripe count + Σ per-stripe rows
@@ -83,7 +87,14 @@ object OrcMetaKernel {
   /** Decompress an ORC zlib stream: 3-byte LE chunk headers,
     * (len << 1) | isOriginal, raw-deflate bodies. Null on damage.
     */
-  private def orcInflate(p: Array[Byte], from: Int, until: Int): Array[Byte] = {
+  /** Chunked ORC decompression ((len<<1)|isOriginal 3-byte headers)
+    * for every codec on the Spark classpath: ZLIB (raw deflate),
+    * SNAPPY (snappy-java — the r15 upgrade; the "no codec in the
+    * JDK" refusal was stale, snappy-java ships with Spark), and
+    * ZSTD (zstd-jni). LZO/LZ4 remain honest refusals.
+    */
+  private def orcInflate(p: Array[Byte], from: Int, until: Int,
+      codec: Long): Array[Byte] = {
     val out = new java.io.ByteArrayOutputStream(1024)
     var at = from
     while (at < until) {
@@ -95,21 +106,57 @@ object OrcMetaKernel {
       at += 3
       if (clen <= 0 || at + clen > until) return null
       if (isOriginal) out.write(p, at, clen)
-      else {
-        val inf = new java.util.zip.Inflater(true)
-        inf.setInput(p, at, clen)
-        val buf = new Array[Byte](4096)
-        try {
-          while (!inf.finished() && !inf.needsInput()) {
-            val n = inf.inflate(buf)
-            if (n == 0 && !inf.finished()) return null
-            out.write(buf, 0, n)
-            if (out.size() > MaxFooterBytes) return null
-          }
-          if (!inf.finished()) return null
-        } catch {
-          case _: java.util.zip.DataFormatException => return null
-        } finally inf.end()
+      else codec match {
+        case 1 =>
+          val inf = new java.util.zip.Inflater(true)
+          inf.setInput(p, at, clen)
+          val buf = new Array[Byte](4096)
+          try {
+            while (!inf.finished() && !inf.needsInput()) {
+              val n = inf.inflate(buf)
+              if (n == 0 && !inf.finished()) return null
+              out.write(buf, 0, n)
+              if (out.size() > MaxFooterBytes) return null
+            }
+            if (!inf.finished()) return null
+          } catch {
+            case _: java.util.zip.DataFormatException => return null
+          } finally inf.end()
+        case 2 =>
+          val body = java.util.Arrays.copyOfRange(p, at, at + clen)
+          val dec =
+            try org.xerial.snappy.Snappy.uncompress(body)
+            catch { case _: java.io.IOException => null }
+          if (dec == null || out.size() + dec.length > MaxFooterBytes)
+            return null
+          out.write(dec, 0, dec.length)
+        case 5 =>
+          try {
+            val in = new com.github.luben.zstd.ZstdInputStreamNoFinalizer(
+              new java.io.ByteArrayInputStream(p, at, clen))
+            try {
+              val buf = new Array[Byte](4096)
+              var n = in.read(buf)
+              while (n >= 0) {
+                out.write(buf, 0, n)
+                if (out.size() > MaxFooterBytes) return null
+                n = in.read(buf)
+              }
+            } finally in.close()
+          } catch { case _: java.io.IOException => return null }
+        case 3 | 4 =>
+          // aircompressor — the pure-Java LZO/LZ4 ORC itself uses
+          val dec: io.airlift.compress.Decompressor =
+            if (codec == 3L) new io.airlift.compress.lzo.LzoDecompressor()
+            else new io.airlift.compress.lz4.Lz4Decompressor()
+          val buf = new Array[Byte](MaxFooterBytes)
+          val n =
+            try dec.decompress(p, at, clen, buf, 0, buf.length)
+            catch { case _: io.airlift.compress.MalformedInputException =>
+              return null }
+          if (out.size() + n > MaxFooterBytes) return null
+          out.write(buf, 0, n)
+        case _ => return null
       }
       at += clen
       if (out.size() > MaxFooterBytes) return null
@@ -173,7 +220,8 @@ object OrcMetaKernel {
         val b = new Array[Byte](footerLen.toInt)
         System.arraycopy(p, footerStart.toInt, b, 0, footerLen.toInt)
         b
-      case 1 => orcInflate(p, footerStart.toInt, footerEnd)
+      case c if c >= 1 && c <= 5 =>
+        orcInflate(p, footerStart.toInt, footerEnd, compression)
       case _ => null
     }
     if (footerBytes == null) return psOnly(false)

@@ -14,8 +14,8 @@ import org.apache.spark.unsafe.types.UTF8String
   * chain (data / dictionary / v2 pages, page-level CRC fields
   * skipped generically), decompresses each page body through the
   * REAL codec — UNCOMPRESSED, SNAPPY (snappy-java), GZIP (the
-  * RFC 1952 member walk), and ZSTD (zstd-jni), all four on every
-  * Spark classpath — and PLAIN-decodes INT64 chunks to a value sum,
+  * RFC 1952 member walk), ZSTD (zstd-jni), and LZ4_RAW
+  * (aircompressor), all on every Spark classpath — and PLAIN-decodes INT64 chunks to a value sum,
   * the closed-form handle a SQL oracle verifies the whole chain
   * against.
   *
@@ -23,8 +23,8 @@ import org.apache.spark.unsafe.types.UTF8String
   * their dictionary page and skip the value decode (the dictionary
   * indirection is Spark's own reader's job); v2 data pages and
   * level-bearing pages (uncompressed size ≠ values × 8) are counted
-  * but not decoded; LZO/BROTLI/LZ4 report the codec name with the
-  * pages walked from header arithmetic alone. `values_match` is the
+  * but not decoded; LZO/BROTLI/hadoop-framed-LZ4 report the codec
+  * name with the pages walked from header arithmetic alone. `values_match` is the
   * integrity verdict: Σ data-page num_values must equal each chunk's
   * declared num_values.
   *
@@ -172,7 +172,18 @@ object ParquetPagesKernel {
           } finally in.close()
           out.toByteArray
         } catch { case _: java.io.IOException => null }
-      case _ => null // lzo / brotli / lz4: no codec on the classpath
+      case 7 =>
+        // LZ4_RAW: plain lz4 block, decoded by aircompressor (the
+        // pure-Java library parquet's own java readers lean on)
+        val buf = new Array[Byte](uncompressed)
+        try {
+          val n = new io.airlift.compress.lz4.Lz4Decompressor()
+            .decompress(body, 0, body.length, buf, 0, buf.length)
+          if (n != uncompressed) null else buf
+        } catch {
+          case _: io.airlift.compress.MalformedInputException => null
+        }
+      case _ => null // lzo / brotli / hadoop-framed lz4: refused
     }
   }
 

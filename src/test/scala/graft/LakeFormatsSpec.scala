@@ -286,14 +286,14 @@ class LakeFormatsSpec extends SparkSpec {
     }
   }
 
-  test("ORC conformance: Spark's own ORC writer parses exact (none and zlib)") {
+  test("ORC conformance: Spark's own ORC writer parses exact in ALL its codecs") {
     import graft.expressions.OrcMetaKernel
     val dir = java.nio.file.Files.createTempDirectory("graft_orc").toFile
     try {
       val df = spark.read.parquet(s"$sfDir/documents.parquet")
         .select(col("doc_id"), col("text"), col("source"))
         .limit(211)
-      for (codec <- Seq("none", "zlib")) {
+      for (codec <- Seq("none", "zlib", "snappy", "zstd", "lzo", "lz4")) {
         df.coalesce(1).write.mode("overwrite")
           .option("compression", codec)
           .orc(dir.getAbsolutePath + s"/t_$codec")
@@ -309,18 +309,10 @@ class LakeFormatsSpec extends SparkSpec {
         assert(row.getLong(7) === 3L, s"$codec: root column count")
         assert(row.getBoolean(12), s"$codec: stripe rows must sum")
       }
-      // snappy: PostScript-grain triage, footer honestly undecoded
-      df.coalesce(1).write.mode("overwrite")
-        .option("compression", "snappy")
-        .orc(dir.getAbsolutePath + "/t_snappy")
-      val part = new java.io.File(dir, "t_snappy").listFiles()
-        .filter(f => f.getName.endsWith(".orc")).head
-      val row = OrcMetaKernel.parse(
-        java.nio.file.Files.readAllBytes(part.toPath))
-      assert(row != null && row.getBoolean(0), "snappy ORC rejected")
-      assert(row.getUTF8String(1).toString === "snappy")
-      assert(!row.getBoolean(2), "snappy footer must refuse, not lie")
-      assert(row.isNullAt(3), "no row claim without a decoded footer")
+      // every codec Spark's ORC writer can emit now decodes: zlib
+      // via raw deflate, snappy via snappy-java, zstd via zstd-jni,
+      // lzo and lz4 via aircompressor (orc-core's own pure-Java
+      // library) — all on the stock Spark classpath
     } finally {
       def rm(f: java.io.File): Unit = {
         if (f.isDirectory) f.listFiles().foreach(rm)
@@ -376,7 +368,7 @@ class LakeFormatsSpec extends SparkSpec {
     }
   }
 
-  test("parquet pages conformance: files Spark ITSELF wrote decode value-exact in all four codecs") {
+  test("parquet pages conformance: files Spark ITSELF wrote decode value-exact in five codecs") {
     import graft.expressions.ParquetPagesKernel
     val tmp = java.nio.file.Files.createTempDirectory("graft_pages").toFile
     def bytesOf(dir: java.io.File): Array[Byte] = {
@@ -384,7 +376,7 @@ class LakeFormatsSpec extends SparkSpec {
       java.nio.file.Files.readAllBytes(part.toPath)
     }
     try {
-      for (codec <- Seq("none", "snappy", "gzip", "zstd")) {
+      for (codec <- Seq("none", "snappy", "gzip", "zstd", "lz4_raw")) {
         val dir = new java.io.File(tmp, s"c_$codec")
         spark.range(50).coalesce(1).toDF("v").write
           .option("parquet.enable.dictionary", "false")
