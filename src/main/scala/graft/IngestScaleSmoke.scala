@@ -594,6 +594,52 @@ object IngestScaleSmoke {
       lake.unpersist(false)
     }
 
+    // ---- rung 16 (r15): wire-framing + favicon + page-decode
+    // throughput — zstd frame walk with XXH64 verification, ICO
+    // decode through zlib/unfilter + DIB strides, parquet data-page
+    // walk with real per-page decompression ----
+    locally {
+      def g(e: org.apache.spark.sql.catalyst.expressions.Expression) =
+        org.apache.spark.sql.GraftColumnBridge.column(e)
+      def x(c: org.apache.spark.sql.Column) =
+        org.apache.spark.sql.GraftColumnBridge.expression(c)
+      val nW = nImages
+      val wire = spark.range(nW).toDF("id")
+        .select(id,
+          g(graft.expressions.ZstdMetaSynth(x(id))).as("zp"),
+          g(graft.expressions.IcoSynth(x(id))).as("ip"),
+          g(graft.expressions.ParquetFileSynth(x(id))).as("qp"))
+        .repartition(64).cache()
+      wire.count()
+      val (agg16, tWire) = time {
+        wire.select(
+          g(graft.expressions.ZstdMeta(x(col("zp")))).as("z"),
+          g(graft.expressions.IcoMeta(x(col("ip")))).as("i"),
+          g(graft.expressions.ParquetPages(x(col("qp")))).as("q"))
+          .agg(
+            sum(col("z.uncompressed_bytes")).as("zbytes"),
+            sum(when(col("z.checksum_ok"), 0L).otherwise(1L)).as("zbad"),
+            sum(col("i.pixel_sum")).as("ipx"),
+            sum(col("q.int64_sum")).as("qsum"),
+            sum(when(col("z.zstd_valid") && col("i.ico_valid") &&
+              col("q.pages_valid"), 0L).otherwise(1L)).as("bad"))
+          .head()
+      }
+      assert(agg16.getLong(4) == 0L, s"wire triage failures: ${agg16.getLong(4)}")
+      val expZBad = (0L until nW).count(_ % 20 == 9).toLong
+      assert(agg16.getLong(1) == expZBad,
+        s"zstd flipped-checksum lane: ${agg16.getLong(1)} != $expZBad")
+      val expQSum = (0L until nW).map { d =>
+        (0L until (5 + d % 11)).map(j => (3 * d + j) % 1000).sum
+      }.sum
+      assert(agg16.getLong(3) == expQSum,
+        s"parquet page sums: ${agg16.getLong(3)} != $expQSum")
+      println(f"WIRE n=${3L * nW} files decode=${tWire}%.1fs " +
+        f"(${3L * nW / tWire / 1000}%.0fk files/s; zstd bytes=${agg16.getLong(0)} " +
+        f"ico px=${agg16.getLong(2)} parquet sum=${agg16.getLong(3)})")
+      wire.unpersist(false)
+    }
+
     println("INGEST_SCALE_SMOKE_OK")
     spark.stop()
   }
