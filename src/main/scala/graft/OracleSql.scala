@@ -4661,6 +4661,36 @@ object OracleSql {
       |    WHEN li = 3 THEN p3 WHEN li = 4 THEN p4 END AS decoded_text
       |FROM v ORDER BY doc_id, part_idx""".stripMargin
 
+  /** Mail header decode (mirror of `Mime.headers` ∘ the MimeSynth
+    * header lanes): only DECODED strings — the d%4 From lanes prove
+    * both RFC 2047 forms on display names (B and Q both decode to
+    * `Señor d`), the d%5 Subject lanes additionally pin the §6.2
+    * adjacent-encoded-word whitespace drop (lane 3's two words merge
+    * to `Tema d año`) and the plain-text-plus-encoded mix (lane 4's
+    * separating space SURVIVES).
+    */
+  lazy val mailHeaders: String =
+    """WITH m AS (SELECT doc_id, doc_id % 10 = 0 AS invalid FROM documents)
+      |SELECT doc_id,
+      |  NOT invalid AS mail_valid,
+      |  CASE WHEN invalid THEN NULL
+      |    ELSE 'sender' || doc_id::VARCHAR || '@example.com' END AS from_addr,
+      |  CASE WHEN invalid OR doc_id % 4 = 0 THEN NULL
+      |    WHEN doc_id % 4 = 1 THEN 'Sender ' || doc_id::VARCHAR
+      |    ELSE 'Señor ' || doc_id::VARCHAR END AS from_name,
+      |  CASE WHEN invalid THEN NULL
+      |    ELSE 'rcpt' || doc_id::VARCHAR || '@example.org' END AS to_addr,
+      |  CASE WHEN invalid THEN NULL
+      |    WHEN doc_id % 5 = 0 THEN 'doc ' || doc_id::VARCHAR || ' plain'
+      |    WHEN doc_id % 5 = 4 THEN 'plain then año'
+      |    ELSE 'Tema ' || doc_id::VARCHAR || ' año' END AS subject,
+      |  CASE WHEN invalid THEN NULL
+      |    ELSE 'Mon, ' || (doc_id % 28 + 1)::VARCHAR
+      |      || ' Jan 2026 00:00:00 +0000' END AS date_raw,
+      |  CASE WHEN invalid THEN NULL
+      |    ELSE '<m' || doc_id::VARCHAR || '@example.com>' END AS message_id
+      |FROM m ORDER BY doc_id""".stripMargin
+
   lazy val mboxMessages: String =
     s"""WITH m AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 <> 0),
        |e AS (

@@ -821,6 +821,24 @@ object SparkEntry {
           col("decoded_text"))
         .orderBy(d, col("part_idx"))
     }),
+    // mail HEADER decode (r15): RFC 2047 encoded-words — the way
+    // header values carry non-ASCII — B and Q forms, the §6.2
+    // adjacent-word whitespace-drop rule, display-name vs angle-addr
+    // mailbox split; the oracle holds only DECODED strings
+    "mail_headers" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val d = col("doc_id")
+      val raw = when(d % 10 === 0, col("text").cast("binary"))
+        .otherwise(org.apache.spark.sql.GraftColumnBridge.column(
+          graft.expressions.MimeSynth(
+            org.apache.spark.sql.GraftColumnBridge.expression(d),
+            org.apache.spark.sql.GraftColumnBridge.expression(col("text")))))
+      graft.sources.Mime.headers(docs.select(d, raw.as("raw")), col("raw"))
+        .select(d, col("mail_valid"), col("from_addr"), col("from_name"),
+          col("to_addr"), col("subject"), col("date_raw"),
+          col("message_id"))
+        .orderBy(d)
+    }),
     // mbox mailbox ingest (the classic email-corpus framing): the
     // line-anchored envelope split (safe because mboxrd escapes
     // in-body `From ` as `>From ` — and the synth PLANTS that escape
@@ -2719,6 +2737,7 @@ object SparkEntry {
     "zip_entries" -> OracleSql.zipEntries,
     "mbox_messages" -> OracleSql.mboxMessages,
     "mail_mime_parts" -> OracleSql.mailMimeParts,
+    "mail_headers" -> OracleSql.mailHeaders,
     "mm_bmp_pixels" -> OracleSql.mmBmpPixels,
     "mm_png_pixels" -> OracleSql.mmPngPixels,
     "mm_media_triage" -> OracleSql.mmMediaTriage,

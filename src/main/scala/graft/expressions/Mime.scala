@@ -48,8 +48,9 @@ object MimePartsKernel {
 
   /** Split a message (or part) into (headers, body) at the first
     * blank line; returns null if there is none. Headers are unfolded.
+    * Shared with the header-decode tier ([[MailHeadersKernel]]).
     */
-  private def splitHeaders(s: String): (Seq[String], String) = {
+  private[expressions] def splitHeaders(s: String): (Seq[String], String) = {
     var i = 0
     var hdrEnd = -1
     var bodyStart = -1
@@ -72,7 +73,7 @@ object MimePartsKernel {
     (folded.toSeq, s.substring(bodyStart))
   }
 
-  private def header(hs: Seq[String], name: String): String = {
+  private[expressions] def header(hs: Seq[String], name: String): String = {
     val p = name.toLowerCase(java.util.Locale.ROOT) + ":"
     hs.find(_.toLowerCase(java.util.Locale.ROOT).startsWith(p))
       .map(h => h.substring(h.indexOf(':') + 1).trim).orNull
@@ -266,8 +267,31 @@ object MimeSynthKernel {
     val ctName = if (d % 7 == 3) "content-type" else "Content-Type"
     val b64Name = if (d % 4 == 1) "BASE64" else "base64"
     val sb = new StringBuilder
-    sb.append(s"From: sender$d@example.com").append(CRLF)
-    sb.append(s"Subject: doc $d").append(CRLF)
+    def b64(v: String): String =
+      java.util.Base64.getEncoder.encodeToString(v.getBytes("UTF-8"))
+    // From lanes (RFC 2047 encoded-word display names on d%4 ∈ {2,3})
+    val addr = s"sender$d@example.com"
+    val from = (d % 4) match {
+      case 0 => addr
+      case 1 => s"Sender $d <$addr>"
+      case 2 => s"=?UTF-8?B?${b64(s"Señor $d")}?= <$addr>"
+      case _ => s"=?utf-8?Q?Se=C3=B1or_$d?= <$addr>"
+    }
+    // Subject lanes: plain / B / Q / two ADJACENT encoded words
+    // (their separating space drops per RFC 2047 §6.2) / mixed
+    val subject = (d % 5) match {
+      case 0 => s"doc $d plain"
+      case 1 => s"=?UTF-8?B?${b64(s"Tema $d año")}?="
+      case 2 => s"=?utf-8?Q?Tema_${d}_a=C3=B1o?="
+      case 3 => s"=?UTF-8?B?${b64(s"Tema $d ")}?= =?UTF-8?B?${b64("año")}?="
+      case _ => s"plain then =?UTF-8?Q?a=C3=B1o?="
+    }
+    sb.append(s"From: $from").append(CRLF)
+    sb.append(s"To: rcpt$d@example.org").append(CRLF)
+    sb.append(s"Subject: $subject").append(CRLF)
+    sb.append(s"Date: Mon, ${d % 28 + 1} Jan 2026 00:00:00 +0000")
+      .append(CRLF)
+    sb.append(s"Message-ID: <m$d@example.com>").append(CRLF)
     sb.append("MIME-Version: 1.0").append(CRLF)
     sb.append(s"$ctName: multipart/mixed; boundary=$boundary").append(CRLF)
     sb.append(CRLF)

@@ -35,4 +35,22 @@ object Mime {
         col("__p.byte_sum").as("byte_sum") :+
         col("__p.decoded_text").as("decoded_text"): _*)
   }
+
+  /** Header decode at message grain: `mail_valid`, the From mailbox
+    * split into `from_addr` + RFC 2047-decoded `from_name`,
+    * `to_addr`, decoded `subject`, `date_raw`, `message_id`. A
+    * kernel projection — no shuffle.
+    */
+  def headers(df: DataFrame, rawCol: Column): DataFrame = {
+    val h = gcol(graft.expressions.MailHeaders(gexpr(rawCol)))
+    df.withColumn("__h", h)
+      .select(df.columns.map(col) :+
+        col("__h").isNotNull.as("mail_valid") :+
+        col("__h.from_addr").as("from_addr") :+
+        col("__h.from_name").as("from_name") :+
+        col("__h.to_addr").as("to_addr") :+
+        col("__h.subject").as("subject") :+
+        col("__h.date_raw").as("date_raw") :+
+        col("__h.message_id").as("message_id"): _*)
+  }
 }

@@ -407,6 +407,7 @@ class KernelFuzzSpec extends SparkSpec {
       graft.expressions.MimeSynthKernel.synth(d, "fuzz text " * 20))
     checkProp(Prop.forAllNoShrink(flipped(mimeSeeds)) { p =>
       graft.expressions.MimePartsKernel.parse(p)
+      graft.expressions.MailHeadersKernel.parse(p)
       true
     })
     val ppSeeds = Seq(1L, 2L, 3L, 5L, 7L).map(

@@ -131,6 +131,54 @@ class MimeSpec extends SparkSpec {
     }
   }
 
+  test("mail headers: RFC 2047 B and Q forms, adjacent-word merge, mailbox split") {
+    import graft.expressions.MailHeadersKernel
+    for (d <- 1L to 100L if d % 10 != 0) {
+      val row = MailHeadersKernel.parse(
+        MimeSynthKernel.synth(d, "text " * 10))
+      assert(row != null, s"d=$d")
+      assert(row.getUTF8String(0).toString === s"sender$d@example.com")
+      val expName = (d % 4) match {
+        case 0 => null
+        case 1 => s"Sender $d"
+        case _ => s"Señor $d"
+      }
+      if (expName == null) assert(row.isNullAt(1), s"d=$d: no display name")
+      else assert(row.getUTF8String(1).toString === expName, s"d=$d: name")
+      assert(row.getUTF8String(2).toString === s"rcpt$d@example.org")
+      val expSubj = (d % 5) match {
+        case 0 => s"doc $d plain"
+        case 4 => "plain then año"
+        case _ => s"Tema $d año"
+      }
+      assert(row.getUTF8String(3).toString === expSubj,
+        s"d=$d: subject (lane ${d % 5})")
+      assert(row.getUTF8String(5).toString === s"<m$d@example.com>")
+    }
+    // RFC 2047 §6.2 hand vectors
+    def subj(h: String): String = {
+      val row = MailHeadersKernel.parse(
+        (s"From: a@b\r\nSubject: $h\r\n\r\nbody").getBytes("UTF-8"))
+      if (row.isNullAt(3)) null else row.getUTF8String(3).toString
+    }
+    assert(subj("=?UTF-8?B?aGk=?=   =?UTF-8?B?IHlv?=") === "hi yo",
+      "multi-space between adjacent words drops entirely")
+    assert(subj("x =?UTF-8?Q?a_b?= y") === "x a b y",
+      "Q underscores are spaces; plain-side spaces survive")
+    assert(subj("=?bogus") === "=?bogus", "malformed passes through verbatim")
+    assert(subj("=?UTF-8?X?zz?= t") === "=?UTF-8?X?zz?= t",
+      "unknown encoding letter passes through")
+    // quoted display name, folded subject
+    val folded = MailHeadersKernel.parse(
+      ("From: \"Quoted Name\" <q@ex.com>\r\nSubject: part one\r\n" +
+        " and folded\r\n\r\nbody").getBytes("UTF-8"))
+    assert(folded.getUTF8String(1).toString === "Quoted Name")
+    assert(folded.getUTF8String(3).toString === "part one and folded")
+    assert(MailHeadersKernel.parse("no headers".getBytes) == null)
+    assert(MailHeadersKernel.parse(
+      "Subject: x\r\n\r\nno from".getBytes) == null)
+  }
+
   test("driver-row shape: Mime.parts over the docs synth") {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
       .where(col("doc_id") < 40)
