@@ -4192,17 +4192,35 @@ object OracleSql {
 
   /** Parquet data-page decode (mirror of `Binary.Parquet.pageStats`
     * ∘ `synthFilesFromDocs`): page/chunk accounting, the d%4 codec
-    * rotation, the d%3==1 two-page lane, the d%20==7 num_values-lie
-    * integrity lane, and the PLAIN INT64 value sum — all re-derived
-    * from doc_id, so a hash match proves the kernel walked real
-    * page-header chains and decompressed real snappy/gzip/zstd page
-    * bodies to the exact values.
+    * rotation, the d%3==1 two-page lane, the d%5==2 DICTIONARY lane
+    * (a PLAIN dict page + RLE/bit-packed hybrid index pages — the
+    * value sum only matches if the kernel resolved real packed
+    * indices through the real dictionary), the d%20==7
+    * num_values-lie integrity lane, and the PLAIN INT64 value sum —
+    * all re-derived from doc_id, so a hash match proves the kernel
+    * walked real page-header chains and decompressed real
+    * snappy/gzip/zstd page bodies to the exact values.
     */
   val mmParquetPages: String =
     """WITH m AS (SELECT doc_id, doc_id % 10 = 0 AS invalid,
       |  5 + doc_id % 11 AS nv,
-      |  CASE WHEN doc_id % 3 = 1 THEN 2 ELSE 1 END AS np
-      |  FROM documents)
+      |  CASE WHEN doc_id % 3 = 1 THEN 2 ELSE 1 END AS np,
+      |  CASE WHEN doc_id % 5 = 2 THEN 1 ELSE 0 END AS nd
+      |  FROM documents),
+      |v AS (SELECT *,
+      |  -- dict index-page body bytes: bw byte + one bit-packed
+      |  -- group of 8 (bw bytes) when the page holds >=8 + 2-byte
+      |  -- RLE runs for the rest; two pages split at nv//2
+      |  CASE WHEN nv <= 8 THEN 3 ELSE 4 END AS bw,
+      |  nv // 2 AS c1 FROM m),
+      |w AS (SELECT *,
+      |  CASE WHEN np = 2 THEN
+      |      (1 + CASE WHEN c1 >= 8 THEN 1 + bw + 2 * (c1 - 8)
+      |        ELSE 2 * c1 END)
+      |    + (1 + CASE WHEN nv - c1 >= 8 THEN 1 + bw + 2 * (nv - c1 - 8)
+      |        ELSE 2 * (nv - c1) END)
+      |  ELSE 1 + CASE WHEN nv >= 8 THEN 1 + bw + 2 * (nv - 8)
+      |    ELSE 2 * nv END END AS idxbytes FROM v)
       |SELECT doc_id,
       |  CASE WHEN invalid THEN 'text/plain'
       |    ELSE 'application/parquet' END AS media_type,
@@ -4211,18 +4229,19 @@ object OracleSql {
       |  CASE WHEN invalid THEN NULL
       |    ELSE (['uncompressed', 'snappy', 'gzip', 'zstd'])[(doc_id % 4) + 1]
       |    END AS codec,
-      |  (CASE WHEN invalid THEN NULL ELSE np END)::BIGINT AS n_pages,
+      |  (CASE WHEN invalid THEN NULL ELSE np + nd END)::BIGINT AS n_pages,
       |  (CASE WHEN invalid THEN NULL ELSE np END)::BIGINT AS n_data_pages,
-      |  (CASE WHEN invalid THEN NULL ELSE 0 END)::BIGINT AS n_dict_pages,
+      |  (CASE WHEN invalid THEN NULL ELSE nd END)::BIGINT AS n_dict_pages,
       |  (CASE WHEN invalid THEN NULL ELSE nv END)::BIGINT AS page_values,
       |  CASE WHEN invalid THEN NULL ELSE doc_id % 20 <> 7 END AS values_match,
       |  (CASE WHEN invalid THEN NULL ELSE 1 END)::BIGINT AS n_decoded_chunks,
       |  (CASE WHEN invalid THEN NULL
       |    ELSE list_sum([(3 * doc_id + j) % 1000 for j in range(nv)])
       |    END)::BIGINT AS int64_sum,
-      |  (CASE WHEN invalid THEN NULL ELSE 8 * nv END)::BIGINT
+      |  (CASE WHEN invalid THEN NULL
+      |    ELSE 8 * nv + nd * idxbytes END)::BIGINT
       |    AS uncompressed_bytes
-      |FROM m ORDER BY doc_id""".stripMargin
+      |FROM w ORDER BY doc_id""".stripMargin
 
   /** ORC footer triage (mirror of `Binary.Orc.parse` ∘
     * `synthFromDocs`): stripe/type/column accounting, the

@@ -19,10 +19,25 @@ import org.apache.spark.unsafe.types.UTF8String
   * the closed-form handle a SQL oracle verifies the whole chain
   * against.
   *
-  * Honest refusals, never lies: dictionary-encoded chunks report
-  * their dictionary page and skip the value decode (the dictionary
-  * indirection is Spark's own reader's job); v2 data pages and
-  * level-bearing pages (uncompressed size ≠ values × 8) are counted
+  * Dictionary-encoded chunks decode for REAL (r15): the dictionary
+  * page's PLAIN INT64 values load once per chunk, then each data
+  * page's RLE/bit-packed hybrid index stream (leading bit-width
+  * byte, RLE runs + LSB-first bit-packed groups — the parquet-format
+  * spec's own encoding) resolves through the dictionary, covering
+  * both the PLAIN_DICTIONARY (2) and RLE_DICTIONARY (8) enum names
+  * and parquet-mr's dict-then-PLAIN fallback mix within one chunk.
+  * Flat OPTIONAL columns decode too (r15): the schema walk reads
+  * each leaf's repetition, and optional pages strip their
+  * definition-level prefix (4-byte LE length + bit-width-1 hybrid;
+  * the count of 1s sizes the value stream) before the PLAIN or
+  * dictionary decode — this is Spark's own DEFAULT output shape,
+  * since almost every SQL-derived column is nullable. Validation is
+  * strict — exact counts, every index < dict size, run/group
+  * arithmetic in bounds — so a mis-framed body fails the decode
+  * instead of mis-summing.
+  *
+  * Honest refusals, never lies: v2 data pages, nested/REPEATED
+  * schemas, and non-INT64 chunks are counted
   * but not decoded; LZO/BROTLI/hadoop-framed-LZ4 report the codec
   * name with the pages walked from header arithmetic alone. `values_match` is the
   * integrity verdict: Σ data-page num_values must equal each chunk's
@@ -42,12 +57,16 @@ object ParquetPagesKernel {
     4L -> "brotli", 5L -> "lz4", 6L -> "zstd", 7L -> "lz4_raw")
 
   private case class Chunk(typ: Long, codec: Long, numValues: Long,
-    dataPageOffset: Long, dictPageOffset: Long, totalCompressed: Long)
+    dataPageOffset: Long, dictPageOffset: Long, totalCompressed: Long,
+    maxDef: Int)
 
   import ParquetMetaKernel.Reader
 
   /** Footer walk collecting per-chunk metadata (offsets, codec,
-    * type, declared values); null when unwalkable.
+    * type, declared values, and — from the schema's repetition
+    * column — the max definition level the page bodies carry: 0
+    * REQUIRED, 1 flat OPTIONAL, -1 nested/REPEATED/unparseable
+    * (decode refused, pages still walked)); null when unwalkable.
     */
   private def chunks(p: Array[Byte]): Seq[Chunk] = {
     if (!ParquetMetaKernel.isParquet(p)) return null
@@ -58,6 +77,11 @@ object ParquetPagesKernel {
     val r = new Reader(p, p.length - 8)
     r.pos = fStart.toInt
     val out = new scala.collection.mutable.ArrayBuffer[Chunk]()
+    // per-leaf max def level, in schema DFS order (flat schemas
+    // only: root + N leaves; any nested/REPEATED element poisons
+    // the whole mapping to "refuse")
+    val leafDefs = new scala.collection.mutable.ArrayBuffer[Int]()
+    var schemaFlat = true
     var fid = 0L
     var stop = false
     while (!stop && !r.failed) {
@@ -67,7 +91,42 @@ object ParquetPagesKernel {
         val delta = (hdr >> 4) & 0x0F
         val t = hdr & 0x0F
         fid = if (delta == 0) r.zigzag() else fid + delta
-        if (fid == 4 && t == 9) {
+        if (fid == 2 && t == 9) {
+          // schema: list<SchemaElement> — capture repetition (3) and
+          // num_children (5); the FIRST element is the root
+          val (n, et) = r.listHeader()
+          if (et != 12) r.failed = true
+          var i = 0L
+          while (i < n && !r.failed) {
+            var sfid = 0L
+            var sstop = false
+            var rep = -1L
+            var nkids = 0L
+            while (!sstop && !r.failed) {
+              val sh = r.u8()
+              if (sh == 0) sstop = true
+              else {
+                val sd = (sh >> 4) & 0x0F
+                val st = sh & 0x0F
+                sfid = if (sd == 0) r.zigzag() else sfid + sd
+                sfid match {
+                  case 3 if st == 5 => rep = r.zigzag()
+                  case 5 if st == 5 => nkids = r.zigzag()
+                  case _ => r.skip(st, 1)
+                }
+              }
+            }
+            if (i > 0) {
+              if (nkids > 0) schemaFlat = false // nested group
+              else leafDefs += (rep match {
+                case 0 => 0 // REQUIRED
+                case 1 => 1 // OPTIONAL: one def level
+                case _ => -1 // REPEATED / absent: refuse
+              })
+            }
+            i += 1
+          }
+        } else if (fid == 4 && t == 9) {
           // row_groups: list<RowGroup>
           val (n, et) = r.listHeader()
           if (et != 12) r.failed = true
@@ -132,7 +191,7 @@ object ParquetPagesKernel {
                       }
                       if (typ >= 0 && codec >= 0 && nv >= 0 && dpo >= 0 &&
                           tcs >= 0)
-                        out += Chunk(typ, codec, nv, dpo, dico, tcs)
+                        out += Chunk(typ, codec, nv, dpo, dico, tcs, -1)
                       else r.failed = true
                     }
                     ci += 1
@@ -145,7 +204,28 @@ object ParquetPagesKernel {
         } else r.skip(t, 0)
       }
     }
-    if (r.failed || out.isEmpty) null else out.toSeq
+    if (r.failed || out.isEmpty) null
+    else {
+      // chunk i within each row group maps to leaf i (every group
+      // lists all leaves in schema order)
+      val nLeaves = leafDefs.length
+      out.toSeq.zipWithIndex.map { case (c, i) =>
+        val md =
+          if (!schemaFlat || nLeaves == 0 || out.length % nLeaves != 0) -1
+          else leafDefs(i % nLeaves)
+        c.copy(maxDef = md)
+      }
+    }
+  }
+
+  /** Dictionary-index stream: leading bit-width byte, then the
+    * RLE/bit-packed hybrid over the rest of the body.
+    */
+  private def decodeIndices(body: Array[Byte], from: Int, n: Int,
+      dictSize: Int): Array[Int] = {
+    if (body == null || from >= body.length) return null
+    val bw = body(from) & 0xFF
+    decodeHybrid(body, from + 1, body.length, bw, n, dictSize)
   }
 
   private def inflate(p: Array[Byte], off: Int, len: Int, codec: Long,
@@ -187,6 +267,78 @@ object ParquetPagesKernel {
     }
   }
 
+  /** RLE/bit-packed hybrid decode (parquet-format's Data Pages
+    * spec) over `body[from, until)`: runs — LSB 0 = RLE (varint
+    * count, ceil(bw/8)-byte LE value), LSB 1 = bit-packed groups
+    * (8 values each, bw bits LSB-first; the FINAL group may pad past
+    * n). Returns exactly `n` values, every one < bound, or null —
+    * strict enough that a mis-framed body fails here instead of
+    * mis-decoding. Used for both dictionary indices (leading
+    * bit-width byte stripped by the caller) and definition levels
+    * (bw from the schema's max level).
+    */
+  private def decodeHybrid(body: Array[Byte], from: Int, until: Int,
+      bw: Int, n: Int, bound: Int): Array[Int] = {
+    if (body == null || n <= 0 || bound <= 0 || bw < 0 || bw > 31 ||
+        from < 0 || until > body.length || from > until) return null
+    val bytesPerVal = (bw + 7) / 8
+    val out = new Array[Int](n)
+    var cnt = 0
+    var pos = from
+    while (cnt < n) {
+      var header = 0L
+      var shift = 0
+      var b = 0x80
+      while ((b & 0x80) != 0) {
+        if (pos >= until || shift > 35) return null
+        b = body(pos) & 0xFF
+        pos += 1
+        header |= (b & 0x7FL) << shift
+        shift += 7
+      }
+      if ((header & 1) == 0) {
+        val run = (header >>> 1).toInt
+        if (run <= 0 || run > n - cnt) return null
+        if (pos + bytesPerVal > until) return null
+        var v = 0
+        var k = 0
+        while (k < bytesPerVal) {
+          v |= (body(pos + k) & 0xFF) << (8 * k); k += 1
+        }
+        pos += bytesPerVal
+        if (v < 0 || v >= bound) return null
+        var i = 0
+        while (i < run) { out(cnt) = v; cnt += 1; i += 1 }
+      } else {
+        val groups = (header >>> 1).toInt
+        if (groups <= 0 || groups > (1 << 20)) return null
+        val nbytes = groups * bw
+        if (pos + nbytes > until) return null
+        val total = groups * 8
+        var bitPos = 0
+        var i = 0
+        while (i < total && cnt < n) {
+          var v = 0
+          var got = 0
+          while (got < bw) {
+            val byteI = pos + (bitPos >> 3)
+            val bitI = bitPos & 7
+            val take = math.min(8 - bitI, bw - got)
+            v |= (((body(byteI) & 0xFF) >> bitI) & ((1 << take) - 1)) << got
+            got += take
+            bitPos += take
+          }
+          if (v >= bound) return null
+          out(cnt) = v
+          cnt += 1
+          i += 1
+        }
+        pos += nbytes
+      }
+    }
+    out
+  }
+
   /** Struct of 12 fields (see [[ParquetPages.dataType]]) or null for
     * non-parquet framing / an unwalkable footer.
     */
@@ -214,8 +366,9 @@ object ParquetPagesKernel {
         var seen = 0L
         var chunkPages = 0
         var hasDict = false
-        var allPlain = true
+        var allDecoded = true
         var chunkSum = 0L
+        var dictVals: Array[Long] = null
         val chunkDecodable = c.typ == 2 // INT64
         // the walk is SIZE-bounded (total_compressed_size is the
         // authoritative extent; parquet-mr relies on it the same
@@ -232,6 +385,7 @@ object ParquetPagesKernel {
           var coSize = -1L
           var numValues = -1L
           var encoding = -1L
+          var dictNv = -1L
           var isV2 = false
           while (!stop && !r.failed) {
             val hdr = r.u8()
@@ -263,8 +417,22 @@ object ParquetPagesKernel {
                     }
                   }
                 case 7 if t == 12 =>
-                  // DictionaryPageHeader
-                  r.skipStruct(1)
+                  // DictionaryPageHeader: 1 num_values (2 encoding —
+                  // PLAIN or the v1 writer's PLAIN_DICTIONARY name,
+                  // both a PLAIN body)
+                  var sfid = 0L
+                  var sstop = false
+                  while (!sstop && !r.failed) {
+                    val sh = r.u8()
+                    if (sh == 0) sstop = true
+                    else {
+                      val sd = (sh >> 4) & 0x0F
+                      val st = sh & 0x0F
+                      sfid = if (sd == 0) r.zigzag() else sfid + sd
+                      if (sfid == 1 && st == 5) dictNv = r.zigzag()
+                      else r.skip(st, 1)
+                    }
+                  }
                   hasDict = true
                 case 8 if t == 12 =>
                   // DataPageHeaderV2: 1 num_values (decode refused)
@@ -297,30 +465,103 @@ object ParquetPagesKernel {
             if (ptype == 2) { // dictionary page
               nDict += 1
               hasDict = true
+              if (chunkDecodable && dictVals == null) {
+                val body = inflate(p, bodyOff, coSize.toInt, c.codec,
+                  unSize.toInt)
+                if (body == null || dictNv < 0 ||
+                    body.length != dictNv * 8) allDecoded = false
+                else {
+                  dictVals = new Array[Long](dictNv.toInt)
+                  var j = 0
+                  while (j < dictVals.length) {
+                    var v = 0L
+                    var k = 0
+                    while (k < 8) {
+                      v |= (body(j * 8 + k) & 0xFFL) << (8 * k); k += 1
+                    }
+                    dictVals(j) = v
+                    j += 1
+                  }
+                }
+              }
             } else if (ptype == 0 || ptype == 3) { // data page v1 / v2
               nData += 1
               if (numValues < 0) ok = false
               else {
                 seen += numValues
                 pageValues += numValues
-                if (isV2 || ptype == 3) allPlain = false
-                else if (encoding != 0) allPlain = false
-                else if (chunkDecodable && !hasDict) {
-                  val body = inflate(p, bodyOff, coSize.toInt, c.codec,
-                    unSize.toInt)
-                  if (body == null) allPlain = false
-                  else if (body.length != unSize ||
-                      numValues * 8 != body.length) allPlain = false
+                if (isV2 || ptype == 3) allDecoded = false
+                else if (chunkDecodable) {
+                  if (c.maxDef < 0) allDecoded = false
                   else {
-                    var j = 0
-                    while (j < body.length) {
-                      var v = 0L
-                      var k = 0
-                      while (k < 8) {
-                        v |= (body(j + k) & 0xFFL) << (8 * k); k += 1
+                    val body = inflate(p, bodyOff, coSize.toInt, c.codec,
+                      unSize.toInt)
+                    if (body == null || body.length != unSize)
+                      allDecoded = false
+                    else {
+                      // OPTIONAL leaves carry definition levels first:
+                      // 4-byte LE byte-length, then the RLE/bit-packed
+                      // hybrid of numValues levels at bit width 1; the
+                      // count of 1s is the page's non-null value count
+                      var dataFrom = 0
+                      var nnv = numValues.toInt
+                      var levelsOk = true
+                      if (c.maxDef == 1) {
+                        if (body.length < 4) levelsOk = false
+                        else {
+                          val ll = (body(0) & 0xFF) | ((body(1) & 0xFF) << 8) |
+                            ((body(2) & 0xFF) << 16) | ((body(3) & 0xFF) << 24)
+                          if (ll < 0 || 4 + ll > body.length) levelsOk = false
+                          else {
+                            val levels = decodeHybrid(body, 4, 4 + ll, 1,
+                              numValues.toInt, 2)
+                            if (levels == null) levelsOk = false
+                            else {
+                              dataFrom = 4 + ll
+                              var cnt1 = 0
+                              var li = 0
+                              while (li < levels.length) {
+                                if (levels(li) == 1) cnt1 += 1
+                                li += 1
+                              }
+                              nnv = cnt1
+                            }
+                          }
+                        }
                       }
-                      chunkSum += v
-                      j += 8
+                      if (!levelsOk) allDecoded = false
+                      else if (encoding == 0) {
+                        // PLAIN — also parquet-mr's in-chunk fallback
+                        // once a dictionary overflows
+                        if (body.length - dataFrom != nnv.toLong * 8)
+                          allDecoded = false
+                        else {
+                          var j = dataFrom
+                          while (j < body.length) {
+                            var v = 0L
+                            var k = 0
+                            while (k < 8) {
+                              v |= (body(j + k) & 0xFFL) << (8 * k); k += 1
+                            }
+                            chunkSum += v
+                            j += 8
+                          }
+                        }
+                      } else if ((encoding == 2 || encoding == 8) &&
+                          dictVals != null) {
+                        // PLAIN_DICTIONARY / RLE_DICTIONARY indices
+                        if (nnv > 0) {
+                          val idx = decodeIndices(body, dataFrom, nnv,
+                            dictVals.length)
+                          if (idx == null) allDecoded = false
+                          else {
+                            var j = 0
+                            while (j < idx.length) {
+                              chunkSum += dictVals(idx(j)); j += 1
+                            }
+                          }
+                        }
+                      } else allDecoded = false
                     }
                   }
                 }
@@ -331,7 +572,7 @@ object ParquetPagesKernel {
         }
         if (ok) {
           if (seen != c.numValues) valuesMatch = false
-          if (chunkDecodable && !hasDict && allPlain && seen > 0) {
+          if (chunkDecodable && allDecoded && seen > 0) {
             nDecoded += 1
             sum += chunkSum
             anyDecoded = true
@@ -362,6 +603,11 @@ object ParquetPagesKernel {
   * `(3d + j) mod 1000`, PLAIN-encoded in one data page (two on
   * `d%3==1` docs — the multi-page walk lane), compressed through the
   * REAL codec rotated by `d%4`: uncompressed / snappy / gzip / zstd.
+  * The `d%5==2` lane is DICTIONARY-encoded (r15): a PLAIN dict page
+  * holding the values, then data pages of RLE/bit-packed hybrid
+  * indices — one bit-packed group of 8 when the page holds ≥8 plus
+  * RLE runs for the rest, so both run kinds provably fire — under
+  * the PLAIN_DICTIONARY enum on even docs and RLE_DICTIONARY on odd.
   * The `d%20==7` lane declares ONE extra value in the chunk metadata
   * (`values_match` false — the integrity lane; pages still decode).
   */
@@ -402,6 +648,80 @@ object ParquetFileSynthKernel {
         try { ctx.setLevel(3); ctx.compress(body) } finally ctx.close()
     }
 
+  private def dictPageBytes(w: W, values: Array[Long], codec: Int): Unit = {
+    val body = new Array[Byte](values.length * 8)
+    var j = 0
+    while (j < values.length) {
+      var k = 0
+      while (k < 8) {
+        body(j * 8 + k) = ((values(j) >>> (8 * k)) & 0xFF).toByte; k += 1
+      }
+      j += 1
+    }
+    val comp = compress(body, codec)
+    // PageHeader: 1 type=DICTIONARY_PAGE, 2 uncompressed, 3 compressed,
+    // 7 DictionaryPageHeader{1 num_values, 2 encoding=PLAIN}
+    w.fieldHeader(1, 5); w.zigzag(2L)
+    w.fieldHeader(1, 5); w.zigzag(body.length.toLong)
+    w.fieldHeader(1, 5); w.zigzag(comp.length.toLong)
+    w.fieldHeader(4, 12)
+    w.fieldHeader(1, 5); w.zigzag(values.length.toLong)
+    w.fieldHeader(1, 5); w.zigzag(0L) // PLAIN
+    w.u8(0)
+    w.u8(0) // PageHeader STOP
+    w.raw(comp)
+  }
+
+  /** One data page of dictionary INDICES: leading bit-width byte,
+    * then a bit-packed group of the first 8 (when ≥8) + length-1 RLE
+    * runs for the remainder — both branches of the hybrid decoder
+    * exercised by most docs.
+    */
+  private def dictDataPage(w: W, indices: Array[Int], dictSize: Int,
+      codec: Int, encoding: Int): Unit = {
+    val bw = 32 - Integer.numberOfLeadingZeros(math.max(1, dictSize - 1))
+    val bytesPerVal = (bw + 7) / 8
+    val bodyOut = new java.io.ByteArrayOutputStream(32)
+    bodyOut.write(bw)
+    var i = 0
+    if (indices.length >= 8) {
+      bodyOut.write((1 << 1) | 1) // 1 bit-packed group
+      var bitBuf = 0L
+      var bits = 0
+      var k = 0
+      while (k < 8) {
+        bitBuf |= indices(k).toLong << bits
+        bits += bw
+        while (bits >= 8) {
+          bodyOut.write((bitBuf & 0xFF).toInt); bitBuf >>>= 8; bits -= 8
+        }
+        k += 1
+      }
+      i = 8
+    }
+    while (i < indices.length) {
+      bodyOut.write(1 << 1) // RLE run, length 1
+      var k = 0
+      while (k < bytesPerVal) {
+        bodyOut.write((indices(i) >> (8 * k)) & 0xFF); k += 1
+      }
+      i += 1
+    }
+    val body = bodyOut.toByteArray
+    val comp = compress(body, codec)
+    w.fieldHeader(1, 5); w.zigzag(0L) // DATA_PAGE
+    w.fieldHeader(1, 5); w.zigzag(body.length.toLong)
+    w.fieldHeader(1, 5); w.zigzag(comp.length.toLong)
+    w.fieldHeader(2, 12)
+    w.fieldHeader(1, 5); w.zigzag(indices.length.toLong)
+    w.fieldHeader(1, 5); w.zigzag(encoding.toLong)
+    w.fieldHeader(1, 5); w.zigzag(3L) // def: RLE
+    w.fieldHeader(1, 5); w.zigzag(3L) // rep: RLE
+    w.u8(0)
+    w.u8(0) // PageHeader STOP
+    w.raw(comp)
+  }
+
   private def pageBytes(w: W, values: Array[Long], codec: Int): Unit = {
     val body = new Array[Byte](values.length * 8)
     var j = 0
@@ -437,11 +757,24 @@ object ParquetFileSynthKernel {
     // parquet CompressionCodec enum: 0 UNCOMPRESSED, 1 SNAPPY,
     // 2 GZIP, 6 ZSTD (3-5 are lzo/brotli/lz4 — not on the classpath)
     val codec = Array(0, 1, 2, 6).apply(lane)
+    val isDict = d % 5 == 2
+    // parquet Encoding enum: 2 PLAIN_DICTIONARY (the v1 writer's
+    // name), 8 RLE_DICTIONARY — both stream the same hybrid indices
+    val dEnc = if (d % 2 == 0) 2 else 8
+    val chunkStart = w.out.size()
+    if (isDict) dictPageBytes(w, values, codec)
     val dataStart = w.out.size()
     if (d % 3 == 1) {
       val split = nVals / 2
-      pageBytes(w, values.take(split), codec)
-      pageBytes(w, values.drop(split), codec)
+      if (isDict) {
+        dictDataPage(w, Array.range(0, split), nVals, codec, dEnc)
+        dictDataPage(w, Array.range(split, nVals), nVals, codec, dEnc)
+      } else {
+        pageBytes(w, values.take(split), codec)
+        pageBytes(w, values.drop(split), codec)
+      }
+    } else if (isDict) {
+      dictDataPage(w, Array.range(0, nVals), nVals, codec, dEnc)
     } else pageBytes(w, values, codec)
     val dataEnd = w.out.size()
     val footStart = w.out.size()
@@ -461,23 +794,32 @@ object ParquetFileSynthKernel {
     w.listHeader(1, 12)
     w.fieldHeader(1, 9) // columns
     w.listHeader(1, 12)
-    w.fieldHeader(2, 6); w.zigzag(dataStart.toLong) // file_offset
+    w.fieldHeader(2, 6); w.zigzag(chunkStart.toLong) // file_offset
     w.fieldHeader(1, 12) // 3: meta_data
     w.fieldHeader(1, 5); w.zigzag(2L) // type INT64
-    w.fieldHeader(1, 9); w.listHeader(2, 5) // encodings
-    w.zigzag(0L); w.zigzag(3L)
+    if (isDict) {
+      w.fieldHeader(1, 9); w.listHeader(3, 5) // encodings
+      w.zigzag(dEnc.toLong); w.zigzag(3L); w.zigzag(0L)
+    } else {
+      w.fieldHeader(1, 9); w.listHeader(2, 5) // encodings
+      w.zigzag(0L); w.zigzag(3L)
+    }
     w.fieldHeader(1, 9); w.listHeader(1, 8) // path_in_schema
     w.binary("v")
     w.fieldHeader(1, 5); w.zigzag(codec.toLong) // codec
     // the d%20==7 integrity lane: chunk metadata claims ONE more value
     w.fieldHeader(1, 6)
     w.zigzag(nVals.toLong + (if (d % 20 == 7) 1 else 0)) // num_values
-    w.fieldHeader(1, 6); w.zigzag((nVals * 8).toLong) // total_uncompressed
-    w.fieldHeader(1, 6); w.zigzag((dataEnd - dataStart).toLong) // compressed
+    val totUn = (nVals * 8 * (if (isDict) 2 else 1)).toLong
+    w.fieldHeader(1, 6); w.zigzag(totUn) // total_uncompressed
+    w.fieldHeader(1, 6); w.zigzag((dataEnd - chunkStart).toLong) // compressed
     w.fieldHeader(2, 6); w.zigzag(dataStart.toLong) // 9: data_page_offset
+    if (isDict) {
+      w.fieldHeader(2, 6); w.zigzag(chunkStart.toLong) // 11: dict_page_offset
+    }
     w.u8(0) // ColumnMetaData STOP
     w.u8(0) // ColumnChunk STOP
-    w.fieldHeader(1, 6); w.zigzag((dataEnd - dataStart).toLong) // total_byte_size
+    w.fieldHeader(1, 6); w.zigzag((dataEnd - chunkStart).toLong) // total_byte_size
     w.fieldHeader(1, 6); w.zigzag(nVals.toLong) // num_rows
     w.u8(0) // RowGroup STOP
     w.fieldHeader(2, 8); w.binary(CreatedBy) // 6: created_by

@@ -2079,8 +2079,11 @@ object Binary {
     /** DATA-PAGE decode tier ([[graft.expressions.ParquetPagesKernel]]):
       * page-header chain walk per column chunk, page bodies REALLY
       * decompressed (uncompressed / snappy / gzip / zstd), INT64
-      * PLAIN chunks decoded to a value sum; dictionary/v2/level-
-      * bearing pages honestly refused. Pure projection.
+      * chunks decoded to a value sum — PLAIN directly, and
+      * dictionary-encoded chunks through the dict page + RLE/
+      * bit-packed hybrid index streams (r15; Spark's own DEFAULT
+      * write path); v2/level-bearing pages honestly refused. Pure
+      * projection.
       */
     def pageStats(media: DataFrame, payloadCol: String = "payload"): DataFrame = {
       val m = gcol(graft.expressions.ParquetPages(gexpr(col(payloadCol))))

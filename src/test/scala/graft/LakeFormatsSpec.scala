@@ -355,16 +355,26 @@ class LakeFormatsSpec extends SparkSpec {
       val codec = Array("uncompressed", "snappy", "gzip", "zstd").apply((d % 4).toInt)
       assert(row.getUTF8String(2).toString === codec, s"d=$d: codec")
       val np = if (d % 3 == 1) 2L else 1L
-      assert(row.getLong(3) === np && row.getLong(4) === np, s"d=$d: pages")
-      assert(row.getLong(5) === 0L, s"d=$d: no dict pages")
+      val nd = if (d % 5 == 2) 1L else 0L
+      assert(row.getLong(3) === np + nd && row.getLong(4) === np,
+        s"d=$d: pages")
+      assert(row.getLong(5) === nd, s"d=$d: dict pages")
       val nv = 5 + d % 11
       assert(row.getLong(6) === nv, s"d=$d: page_values")
       assert(row.getBoolean(7) === (d % 20 != 7), s"d=$d: values_match")
       assert(row.getLong(8) === 1L, s"d=$d: decoded chunks")
       var sum = 0L
       for (j <- 0L until nv) sum += (3 * d + j) % 1000
-      assert(row.getLong(9) === sum, s"d=$d: int64_sum through REAL $codec")
-      assert(row.getLong(10) === 8 * nv, s"d=$d: uncompressed_bytes")
+      assert(row.getLong(9) === sum,
+        s"d=$d: int64_sum through REAL $codec" +
+          (if (nd == 1) " via the dictionary indirection" else ""))
+      // dict-lane index pages: bw byte + one bit-packed group of 8
+      // (bw bytes) when >=8 + 2-byte RLE runs for the rest
+      val bw = if (nv <= 8) 3L else 4L
+      def pb(c: Long) = 1 + (if (c >= 8) 1 + bw + 2 * (c - 8) else 2 * c)
+      val idxBytes = if (np == 2) pb(nv / 2) + pb(nv - nv / 2) else pb(nv)
+      val expUn = if (nd == 1) 8 * nv + idxBytes else 8 * nv
+      assert(row.getLong(10) === expUn, s"d=$d: uncompressed_bytes")
     }
   }
 
@@ -391,16 +401,43 @@ class LakeFormatsSpec extends SparkSpec {
         assert(row.getLong(9) === (0L until 50L).sum,
           s"$codec: value sum through Spark's own $codec pages")
       }
-      // dictionary-encoded file: the dict page is detected and the
-      // PLAIN decode honestly refused (Spark's reader owns that path)
+      // dictionary-encoded file (Spark's DEFAULT): parquet-mr writes
+      // a PLAIN_DICTIONARY dict page + RLE runs for the %3 pattern —
+      // the kernel must resolve real packed indices through the real
+      // dictionary to land the exact sum
       val dictDir = new java.io.File(tmp, "dict")
       spark.range(100).coalesce(1).select((col("id") % 3).as("v")).write
         .option("compression", "none").parquet(dictDir.getAbsolutePath)
       val drow = ParquetPagesKernel.parse(bytesOf(dictDir))
       assert(drow != null && drow.getBoolean(0), "dict: valid walk")
       assert(drow.getLong(5) >= 1L, "dict page detected")
-      assert(drow.getLong(8) === 0L && drow.isNullAt(9),
-        "dictionary indirection refused, never guessed")
+      assert(drow.getLong(8) === drow.getLong(1),
+        "dictionary chunk decoded")
+      assert(drow.getLong(9) === (0L until 100L).map(_ % 3).sum,
+        "sum through Spark's own dictionary-encoded pages")
+      // dict under snappy: dict page AND index pages decompress first
+      val dictSnapDir = new java.io.File(tmp, "dict_snappy")
+      spark.range(100).coalesce(1).select((col("id") % 7).as("v")).write
+        .option("compression", "snappy").parquet(dictSnapDir.getAbsolutePath)
+      val srow = ParquetPagesKernel.parse(bytesOf(dictSnapDir))
+      assert(srow != null && srow.getBoolean(0) && srow.getLong(5) >= 1L)
+      assert(srow.getLong(9) === (0L until 100L).map(_ % 7).sum,
+        "dictionary decode through real snappy pages")
+      // OPTIONAL column WITH nulls: the definition-level prefix must
+      // size the value stream (every 5th row null; num_values still
+      // counts the null slots)
+      val nullDir = new java.io.File(tmp, "nulls")
+      spark.range(100).coalesce(1)
+        .select(when(col("id") % 5 === 0, null).otherwise(col("id")).as("v"))
+        .write.option("parquet.enable.dictionary", "false")
+        .option("compression", "none").parquet(nullDir.getAbsolutePath)
+      val nrow = ParquetPagesKernel.parse(bytesOf(nullDir))
+      assert(nrow != null && nrow.getBoolean(0), "nulls: valid walk")
+      assert(nrow.getLong(6) === 100L, "nulls: num_values counts null slots")
+      assert(nrow.getBoolean(7), "nulls: values_match")
+      assert(nrow.getLong(8) === nrow.getLong(1), "nulls: chunk decoded")
+      assert(nrow.getLong(9) === (0L until 100L).filter(_ % 5 != 0).sum,
+        "sum over the non-null slots only, sized by real def levels")
       // two INT64 columns: both chunks walked and decoded
       val twoDir = new java.io.File(tmp, "two")
       spark.range(20).coalesce(1).select(col("id").as("a"), (col("id") * 2).as("b"))
@@ -421,14 +458,17 @@ class LakeFormatsSpec extends SparkSpec {
 
   test("parquet pages never-throw: truncation and bit flips") {
     import graft.expressions.{ParquetPagesKernel, ParquetFileSynthKernel}
-    val full = ParquetFileSynthKernel.synth(13L)
-    for (cut <- 0 until full.length)
-      ParquetPagesKernel.parse(java.util.Arrays.copyOf(full, cut))
-    val rnd = new scala.util.Random(7)
-    for (_ <- 0 until 400) {
-      val g = full.clone()
-      g(rnd.nextInt(g.length)) = (g(rnd.nextInt(g.length)) ^ (1 << rnd.nextInt(8))).toByte
-      ParquetPagesKernel.parse(g)
+    // 13: PLAIN lane; 12: dictionary lane; 22: two dict pages + gzip
+    for (seed <- Seq(13L, 12L, 22L)) {
+      val full = ParquetFileSynthKernel.synth(seed)
+      for (cut <- 0 until full.length)
+        ParquetPagesKernel.parse(java.util.Arrays.copyOf(full, cut))
+      val rnd = new scala.util.Random(7 + seed)
+      for (_ <- 0 until 400) {
+        val g = full.clone()
+        g(rnd.nextInt(g.length)) = (g(rnd.nextInt(g.length)) ^ (1 << rnd.nextInt(8))).toByte
+        ParquetPagesKernel.parse(g)
+      }
     }
   }
 
