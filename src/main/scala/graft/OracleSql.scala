@@ -4710,6 +4710,47 @@ object OracleSql {
       |    ELSE '<m' || doc_id::VARCHAR || '@example.com>' END AS message_id
       |FROM m ORDER BY doc_id""".stripMargin
 
+  /** SRT/WebVTT cue parse (mirror of `Subtitles.cues` ∘ the
+    * `SubtitleSynthKernel` lanes): only DECODED closed forms — the
+    * markup-strip + entity chain mirrored EXACTLY
+    * (regexp_replace then the &lt;/&gt;/&amp; replaces, in kernel
+    * order), the LAST cue re-derived from each doc's REAL text
+    * (first 60 chars, newlines → spaces), timings re-derived from
+    * doc_id so a hash match proves both stamp grammars parsed.
+    */
+  lazy val textSubtitles: String =
+    """WITH m AS (SELECT doc_id, text, doc_id % 10 = 0 AS invalid,
+      |  2 + doc_id % 3 AS n FROM documents),
+      |l AS (SELECT doc_id, unnest(range(n)) AS j FROM m WHERE NOT invalid
+      |  UNION ALL SELECT doc_id, NULL AS j FROM m WHERE invalid),
+      |v AS (SELECT l.doc_id, l.j, m.invalid, m.n,
+      |  replace(replace(replace(regexp_replace(
+      |    replace(replace(substring(m.text, 1, 60), chr(13), ' '),
+      |      chr(10), ' '),
+      |    '<[^>]*>', '', 'g'), '&lt;', '<'), '&gt;', '>'), '&amp;', '&')
+      |    AS splice
+      |  FROM l JOIN m USING (doc_id))
+      |SELECT doc_id,
+      |  NOT invalid AS sub_valid,
+      |  CASE WHEN invalid THEN NULL
+      |    WHEN doc_id % 2 = 0 THEN 'srt' ELSE 'vtt' END AS kind,
+      |  j::BIGINT AS cue_idx,
+      |  (CASE WHEN invalid THEN NULL
+      |    ELSE j * 2000 + (doc_id % 7) * 100 END)::BIGINT AS start_ms,
+      |  (CASE WHEN invalid THEN NULL
+      |    ELSE j * 2000 + (doc_id % 7) * 100 + 1500 + (doc_id % 5) * 20
+      |    END)::BIGINT AS end_ms,
+      |  (CASE WHEN invalid THEN NULL
+      |    ELSE 1500 + (doc_id % 5) * 20 END)::BIGINT AS dur_ms,
+      |  CASE WHEN invalid THEN NULL
+      |    WHEN j = n - 1 THEN splice
+      |    WHEN j = 0 THEN 'Cue 0 of doc ' || doc_id::VARCHAR
+      |    WHEN j = 1 THEN 'line one of ' || doc_id::VARCHAR || chr(10)
+      |      || 'a & b <c>'
+      |    ELSE 'cue ' || j::VARCHAR || ' of doc ' || doc_id::VARCHAR
+      |    END AS cue_text
+      |FROM v ORDER BY doc_id, cue_idx""".stripMargin
+
   lazy val mboxMessages: String =
     s"""WITH m AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 <> 0),
        |e AS (

@@ -307,6 +307,26 @@ object SparkEntry {
           col("published"))
         .orderBy(d, col("item_idx"))
     }),
+    // SRT/WebVTT subtitle parse (r15): the transcript grain of a
+    // speech/video corpus — cue timings (comma vs dot millis, the
+    // VTT hour-less form, cue settings), NOTE/identifier lines,
+    // inline-markup strip + VTT entity decode; the LAST cue carries
+    // the doc's REAL text so the oracle match proves live data rode
+    // the wire
+    "text_subtitles" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val d = col("doc_id")
+      val raw = when(d % 10 === 0, col("text").cast("binary"))
+        .otherwise(org.apache.spark.sql.GraftColumnBridge.column(
+          graft.expressions.SubtitleSynth(
+            org.apache.spark.sql.GraftColumnBridge.expression(d),
+            org.apache.spark.sql.GraftColumnBridge.expression(col("text")))))
+      graft.sources.Subtitles.cues(docs.select(d, raw.as("raw")), col("raw"))
+        .select(d, col("sub_valid"), col("kind"), col("cue_idx"),
+          col("start_ms"), col("end_ms"), col("dur_ms"),
+          col("text").as("cue_text"))
+        .orderBy(d, col("cue_idx"))
+    }),
     // robots.txt PARSING: raw fetched robots bytes → the
     // (host, path_prefix, allow) rules table applyRobots consumes —
     // the last mile of the robots chain (fetch → parse → gate);
@@ -2738,6 +2758,7 @@ object SparkEntry {
     "mbox_messages" -> OracleSql.mboxMessages,
     "mail_mime_parts" -> OracleSql.mailMimeParts,
     "mail_headers" -> OracleSql.mailHeaders,
+    "text_subtitles" -> OracleSql.textSubtitles,
     "mm_bmp_pixels" -> OracleSql.mmBmpPixels,
     "mm_png_pixels" -> OracleSql.mmPngPixels,
     "mm_media_triage" -> OracleSql.mmMediaTriage,
