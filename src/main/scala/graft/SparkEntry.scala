@@ -820,6 +820,63 @@ object SparkEntry {
             element_at(col("__st"), 1)).as("mean_gray"))
         .orderBy(d, col("stem"))
     }),
+    // .tar.zst WebDataset ingest — the zstd∘tar COMPOSITION next to
+    // the gzip one: modern shard tooling ships zstd at rest, and
+    // RFC 8878 makes a stream a SEQUENCE of frames whose contents
+    // concatenate (chunked writers emit per-block frames) — so the
+    // same tar stream is split mid-archive at a doc-varying offset
+    // into two REAL zstd frames, decoded back through zstd-jni,
+    // re-fed to the ustar walk and the identical sample chain; same
+    // oracle as wds_samples: the compression layer must be lossless
+    "wds_tzst_samples" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val d = col("doc_id")
+      def stemOf(i: Int) = concat(lit("s"), (d * 2 + i).cast("string"))
+      def tilesOf(i: Int) = transform(sequence(lit(0), lit(1)),
+        tt => pmod(d * 7 + (tt.cast("long") + lit(2L * i)) * 13,
+          lit(256L)).cast("int"))
+      def jpgOf(i: Int) = org.apache.spark.sql.GraftColumnBridge.column(
+        graft.expressions.JpegSynthEncode(
+          org.apache.spark.sql.GraftColumnBridge.expression(tilesOf(i)),
+          org.apache.spark.sql.GraftColumnBridge.expression(
+            array(lit(2), lit(1), lit(0), lit(0)))))
+      def sample(i: Int) = concat(
+        graft.sources.Wds.tarMember(concat(stemOf(i), lit(".jpg")), jpgOf(i)),
+        graft.sources.Wds.tarMember(concat(stemOf(i), lit(".txt")),
+          substring(col("text"), 1 + 40 * i, 40)),
+        graft.sources.Wds.tarMember(concat(stemOf(i), lit(".cls")),
+          pmod(d + i, lit(10L)).cast("string")))
+      val shard = concat(sample(0), sample(1),
+        graft.sources.Wds.tarTerminator)
+      def zst(c: org.apache.spark.sql.Column) =
+        org.apache.spark.sql.GraftColumnBridge.column(
+          graft.expressions.ZstdCompress(
+            org.apache.spark.sql.GraftColumnBridge.expression(c)))
+      val cut = (lit(512L) + d % 1024).cast("int")
+      val tzst = concat(zst(shard.substr(lit(1), cut)),
+        zst(shard.substr(cut + lit(1), lit(1 << 24))))
+      val unshard = org.apache.spark.sql.GraftColumnBridge.column(
+        graft.expressions.ZstdConcat(
+          org.apache.spark.sql.GraftColumnBridge.expression(col("tzst")),
+          1 << 24))
+      val samp = graft.sources.Wds.samples(
+        docs.select(d, tzst.as("tzst")).select(d, unshard.as("shard")),
+        col("shard"))
+      val st = org.apache.spark.sql.GraftColumnBridge.column(
+        graft.expressions.JpegPixelStats(
+          org.apache.spark.sql.GraftColumnBridge.expression(
+            element_at(col("parts"), "jpg"))))
+      samp
+        .withColumn("__st", st)
+        .select(d, col("stem"), col("n_members"),
+          element_at(col("parts"), "cls").cast("string").as("cls"),
+          GraftFunctions.hex64(element_at(col("parts"), "txt").cast("string"))
+            .as("txt_hash"),
+          element_at(col("__st"), 1).as("pixels_decoded"),
+          (element_at(col("__st"), 2).cast("double") /
+            element_at(col("__st"), 1)).as("mean_gray"))
+        .orderBy(d, col("stem"))
+    }),
     // MIME message decode — the step AFTER the mbox envelope split:
     // multipart tree walk (nested multipart/alternative lane), folded
     // case-insensitive headers, quoted/bare boundary params, and REAL
@@ -2643,6 +2700,7 @@ object SparkEntry {
     // the .tgz composition decodes to the IDENTICAL sample table —
     // the compression layer must be lossless, so the oracle is shared
     "wds_tgz_samples" -> OracleSql.wdsSamples,
+    "wds_tzst_samples" -> OracleSql.wdsSamples,
     "domain_stats" -> OracleSql.domainStats,
     "domain_quality" -> OracleSql.domainQuality,
     "robots_gate" -> OracleSql.robotsGate,

@@ -385,6 +385,119 @@ object ZstdMetaSynthKernel {
   }
 }
 
+/** Zstd content codec faces for the `.tar.zst` composition: shards
+  * ship zstd-compressed at rest, legally as MANY concatenated frames
+  * (`zstd` itself, and any chunked writer, emits per-block frames —
+  * RFC 8878 §3: a stream is a sequence of frames whose contents
+  * concatenate), with skippable frames allowed in between. The
+  * decode side streams ALL frames through zstd-jni (libzstd skips
+  * skippable frames natively) under a total-output cap.
+  */
+object ZstdCodecKernel {
+  def compress(b: Array[Byte]): Array[Byte] = {
+    val ctx = new com.github.luben.zstd.ZstdCompressCtx()
+    try { ctx.setLevel(3); ctx.compress(b) } finally ctx.close()
+  }
+
+  /** All frames decoded and concatenated, or null on corruption /
+    * truncation / trailing garbage / budget breach. The walk is
+    * frame-by-frame through libzstd's own
+    * `ZSTD_findFrameCompressedSize` — a bare stream read would EOF
+    * SILENTLY on a truncated final frame, and a lossy reassembly
+    * must never look like a clean one.
+    */
+  def concatFrames(p: Array[Byte], maxLen: Int): Array[Byte] = {
+    if (p == null || p.length == 0) return null
+    try {
+      val out = new java.io.ByteArrayOutputStream(
+        math.min(math.max(64, p.length * 3), maxLen))
+      var pos = 0
+      while (pos < p.length) {
+        val fs = com.github.luben.zstd.Zstd.findFrameCompressedSize(p, pos)
+        if (com.github.luben.zstd.Zstd.isError(fs) || fs <= 0 ||
+            pos + fs > p.length) return null
+        val in = new com.github.luben.zstd.ZstdInputStreamNoFinalizer(
+          new java.io.ByteArrayInputStream(p, pos, fs.toInt))
+        try {
+          val buf = new Array[Byte](8192)
+          var n = in.read(buf)
+          while (n >= 0 && out.size() <= maxLen) {
+            out.write(buf, 0, n); n = in.read(buf)
+          }
+        } finally in.close()
+        if (out.size() > maxLen) return null
+        pos += fs.toInt
+      }
+      out.toByteArray
+    } catch {
+      case _: java.io.IOException => null
+      case _: com.github.luben.zstd.ZstdException => null
+    }
+  }
+}
+
+/** `zstd_compress(binary|string) → binary` — one deterministic zstd
+  * frame (level 3); the synthesis-side inverse of [[ZstdConcat]].
+  */
+case class ZstdCompress(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "zstd_compress"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType | BinaryType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires string or binary input, got $other")
+  }
+
+  override def nullSafeEval(v: Any): Any = v match {
+    case s: org.apache.spark.unsafe.types.UTF8String =>
+      ZstdCodecKernel.compress(s.getBytes)
+    case b: Array[Byte] => ZstdCodecKernel.compress(b)
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val conv = child.dataType match {
+      case StringType => (c: String) => s"$c.getBytes()"
+      case _ => (c: String) => c
+    }
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.expressions.ZstdCodecKernel.compress(${conv(c)});")
+  }
+
+  override protected def withNewChildInternal(c: Expression): ZstdCompress =
+    copy(child = c)
+}
+
+/** `zstd_concat(blob) → binary` — every frame decoded and
+  * concatenated; see [[ZstdCodecKernel.concatFrames]]. `maxLen` is a
+  * plan literal: the decode budget is part of the operator, visible
+  * in the plan, never runtime-data-controlled.
+  */
+case class ZstdConcat(child: Expression, maxLen: Int) extends UnaryExpression {
+  require(maxLen > 0, s"maxLen=$maxLen must be positive")
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = true
+  override def prettyName: String = "zstd_concat"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires binary input, got $other")
+  }
+
+  override def nullSafeEval(v: Any): Any =
+    ZstdCodecKernel.concatFrames(v.asInstanceOf[Array[Byte]], maxLen)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      |${ev.value} = graft.expressions.ZstdCodecKernel.concatFrames($c, $maxLen);
+      |if (${ev.value} == null) { ${ev.isNull} = true; }
+      |""".stripMargin)
+
+  override protected def withNewChildInternal(c: Expression): ZstdConcat =
+    copy(child = c)
+}
+
 /** `zstd_meta(payload) → struct<...18 fields>`; see
   * [[ZstdMetaKernel.parse]].
   */

@@ -278,4 +278,53 @@ class WdsTarSpec extends SparkSpec {
       assert(x.toString === y.toString, s"row mismatch: $x vs $y")
     }
   }
+
+  test("zstd_concat: frame reassembly is byte-exact; skippable frames skip; traps null") {
+    import graft.expressions.ZstdCodecKernel
+    val tar = TarKernel.member("a.txt".getBytes, "hello tar".getBytes) ++
+      TarKernel.member("b.bin".getBytes,
+        Array.tabulate(2000)(i => ((i * 13) % 251).toByte)) ++
+      TarKernel.Terminator
+    // split at arbitrary NON-boundary offsets into three frames with
+    // a hand-built SKIPPABLE frame between (RFC 8878 §3.1.2: magic
+    // 0x184D2A5x + u32le size + opaque bytes — libzstd must skip it)
+    val skippable = Array[Byte](0x52, 0x2A, 0x4D.toByte, 0x18,
+      4, 0, 0, 0, 1, 2, 3, 4)
+    val blob =
+      ZstdCodecKernel.compress(java.util.Arrays.copyOfRange(tar, 0, 700)) ++
+      skippable ++
+      ZstdCodecKernel.compress(java.util.Arrays.copyOfRange(tar, 700, 1501)) ++
+      ZstdCodecKernel.compress(
+        java.util.Arrays.copyOfRange(tar, 1501, tar.length))
+    val got = ZstdCodecKernel.concatFrames(blob, 1 << 20)
+    assert(got != null && java.util.Arrays.equals(got, tar),
+      "reassembly across frame boundaries must be byte-exact")
+    val members = TarKernel.members(got)
+    assert(members != null && members.numElements() === 2)
+    // traps: corruption nulls the whole blob; the cap binds TOTAL;
+    // truncation mid-frame nulls
+    val bad = blob.clone()
+    bad(20) = (bad(20) ^ 0x40).toByte
+    assert(ZstdCodecKernel.concatFrames(bad, 1 << 20) == null ||
+      !java.util.Arrays.equals(
+        ZstdCodecKernel.concatFrames(bad, 1 << 20), tar),
+      "corruption must not reassemble silently to the original")
+    assert(ZstdCodecKernel.concatFrames(blob, 1500) == null, "total cap")
+    assert(ZstdCodecKernel.concatFrames("text bytes".getBytes, 1 << 20) == null)
+    assert(ZstdCodecKernel.concatFrames(
+      java.util.Arrays.copyOf(blob, blob.length - 6), 1 << 20) == null,
+      "mid-frame truncation")
+  }
+
+  test("wds_tzst_samples ≡ wds_samples: the zstd layer is lossless end-to-end") {
+    val sfDirLocal = sfDir
+    val a = SparkEntry.queries("wds_samples")(spark, sfDirLocal)
+      .where(col("doc_id") < 60).collect()
+    val b = SparkEntry.queries("wds_tzst_samples")(spark, sfDirLocal)
+      .where(col("doc_id") < 60).collect()
+    assert(a.length === b.length && a.length > 0)
+    a.zip(b).foreach { case (x, y) =>
+      assert(x.toString === y.toString, s"row mismatch: $x vs $y")
+    }
+  }
 }
