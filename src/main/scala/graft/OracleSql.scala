@@ -4751,6 +4751,32 @@ object OracleSql {
       |    END AS cue_text
       |FROM v ORDER BY doc_id, cue_idx""".stripMargin
 
+  /** Mojibake repair (mirror of `MojibakeRepair` ∘ `MojibakeSynth`):
+    * the oracle holds only the REPAIRED closed forms — the single,
+    * DOUBLE, and cp1252-special (`€ ’ ™`, bytes Latin-1 can't
+    * explain) lanes must all come back to the clean string, and the
+    * clean-accented lane must come back UNTOUCHED, spliced onto each
+    * doc's real 40-char prefix.
+    */
+  lazy val textMojibake: String =
+    """WITH m AS (SELECT doc_id, doc_id % 5 AS lane,
+      |  replace(replace(substring(text, 1, 40), chr(13), ' '),
+      |    chr(10), ' ') AS prefix
+      |  FROM documents)
+      |SELECT doc_id,
+      |  lane IN (2, 3, 4) AS had_mojibake,
+      |  (CASE lane WHEN 3 THEN 2 WHEN 0 THEN 0 WHEN 1 THEN 0
+      |    ELSE 1 END)::BIGINT AS depth,
+      |  prefix || ' | ' ||
+      |    CASE lane
+      |      WHEN 0 THEN 'plain ' || doc_id::VARCHAR
+      |      WHEN 1 THEN 'café é ' || doc_id::VARCHAR
+      |      WHEN 2 THEN 'café ' || doc_id::VARCHAR
+      |      WHEN 3 THEN 'é ' || doc_id::VARCHAR
+      |      ELSE '€ ’ ™ ' || doc_id::VARCHAR
+      |    END AS fixed_text
+      |FROM m ORDER BY doc_id""".stripMargin
+
   lazy val mboxMessages: String =
     s"""WITH m AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 <> 0),
        |e AS (

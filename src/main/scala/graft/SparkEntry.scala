@@ -877,6 +877,29 @@ object SparkEntry {
             element_at(col("__st"), 1)).as("mean_gray"))
         .orderBy(d, col("stem"))
     }),
+    // mojibake repair (r15): ftfy's core heuristic — invert the
+    // UTF-8-decoded-as-cp1252 damage (strict cp1252 encode → strict
+    // UTF-8 decode, accept only a valid CHANGED result), iterated
+    // for double mojibake; the clean-accented lane pins the
+    // no-false-positive property and the oracle holds REPAIRED
+    // closed forms spliced onto each doc's real text
+    "text_mojibake" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val d = col("doc_id")
+      val planted = org.apache.spark.sql.GraftColumnBridge.column(
+        graft.expressions.MojibakeSynth(
+          org.apache.spark.sql.GraftColumnBridge.expression(d),
+          org.apache.spark.sql.GraftColumnBridge.expression(col("text"))))
+      val r = org.apache.spark.sql.GraftColumnBridge.column(
+        graft.expressions.MojibakeRepair(
+          org.apache.spark.sql.GraftColumnBridge.expression(col("planted"))))
+      docs.select(d, planted.as("planted"))
+        .withColumn("__r", r)
+        .select(d, col("__r.had_mojibake").as("had_mojibake"),
+          col("__r.depth").as("depth"),
+          col("__r.fixed_text").as("fixed_text"))
+        .orderBy(d)
+    }),
     // MIME message decode — the step AFTER the mbox envelope split:
     // multipart tree walk (nested multipart/alternative lane), folded
     // case-insensitive headers, quoted/bare boundary params, and REAL
@@ -2817,6 +2840,7 @@ object SparkEntry {
     "mail_mime_parts" -> OracleSql.mailMimeParts,
     "mail_headers" -> OracleSql.mailHeaders,
     "text_subtitles" -> OracleSql.textSubtitles,
+    "text_mojibake" -> OracleSql.textMojibake,
     "mm_bmp_pixels" -> OracleSql.mmBmpPixels,
     "mm_png_pixels" -> OracleSql.mmPngPixels,
     "mm_media_triage" -> OracleSql.mmMediaTriage,

@@ -462,7 +462,8 @@ class PlanContractSpec extends SparkSpec {
     // is the gate's deterministic output sort
     for (name <- Seq("web_sitemap", "text_jsonl_parse", "text_html_meta",
         "robots_parse", "text_charset", "web_feed", "text_markdown",
-        "mail_mime_parts", "mail_headers", "text_subtitles")) {
+        "mail_mime_parts", "mail_headers", "text_subtitles",
+        "text_mojibake")) {
       val phys = physical(q(name))
       assert(!phys.contains("Exchange hashpartitioning"),
         s"$name: unexpected keyed shuffle:\n$phys")
