@@ -4751,6 +4751,39 @@ object OracleSql {
       |    END AS cue_text
       |FROM v ORDER BY doc_id, cue_idx""".stripMargin
 
+  /** SVG triage (mirror of `SvgMeta` ∘ `SvgSynth`): every field
+    * re-derived closed-form from doc_id; the title splices each
+    * doc's real first-20 chars through the escape→entity-decode
+    * round trip (decode(escape(x)) = x, so the oracle holds the
+    * RAW snippet).
+    */
+  lazy val mmSvgMeta: String =
+    """WITH m AS (SELECT doc_id, doc_id % 10 = 0 AS invalid,
+      |  100 + doc_id % 400 AS w0, 50 + doc_id % 300 AS h,
+      |  replace(replace(substring(text, 1, 20), chr(13), ' '),
+      |    chr(10), ' ') AS snip
+      |  FROM documents)
+      |SELECT doc_id,
+      |  NOT invalid AS svg_valid,
+      |  (CASE WHEN invalid OR doc_id % 3 = 2 THEN NULL
+      |    ELSE w0 + CASE WHEN doc_id % 8 = 5 THEN 0.5 ELSE 0 END
+      |    END)::DOUBLE AS width,
+      |  (CASE WHEN invalid OR doc_id % 3 = 2 THEN NULL
+      |    ELSE h END)::DOUBLE AS height,
+      |  (CASE WHEN invalid THEN NULL ELSE w0 END)::DOUBLE AS vb_width,
+      |  (CASE WHEN invalid THEN NULL ELSE h END)::DOUBLE AS vb_height,
+      |  (CASE WHEN invalid THEN NULL
+      |    ELSE doc_id % 4 + (doc_id + 1) % 3
+      |      + CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END
+      |    END)::BIGINT AS n_shapes,
+      |  (CASE WHEN invalid THEN NULL ELSE 1 END)::BIGINT AS n_groups,
+      |  (CASE WHEN invalid THEN NULL ELSE doc_id % 3 END)::BIGINT AS n_text,
+      |  CASE WHEN invalid THEN NULL ELSE doc_id % 7 = 3 END AS has_script,
+      |  CASE WHEN invalid OR doc_id % 4 = 0 THEN NULL
+      |    ELSE 'Icon & art ' || doc_id::VARCHAR || ' ' || snip
+      |    END AS title
+      |FROM m ORDER BY doc_id""".stripMargin
+
   /** Mojibake repair (mirror of `MojibakeRepair` ∘ `MojibakeSynth`):
     * the oracle holds only the REPAIRED closed forms — the single,
     * DOUBLE, and cp1252-special (`€ ’ ™`, bytes Latin-1 can't

@@ -877,6 +877,36 @@ object SparkEntry {
             element_at(col("__st"), 1)).as("mean_gray"))
         .orderBy(d, col("stem"))
     }),
+    // SVG metadata triage (r15): the TEXT image format — root-tag
+    // attribute parse (width/height with unit suffixes, the viewBox
+    // quad), boundary-checked element counts (a <pathological-elem>
+    // decoy must not count as <path>), the embedded-<script> XSS
+    // flag, and the entity-decoded <title> carrying each doc's real
+    // text; the sitemap posture: one linear scan, no XML library
+    "mm_svg_meta" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val d = col("doc_id")
+      val svg = when(d % 10 === 0, col("text"))
+        .otherwise(org.apache.spark.sql.GraftColumnBridge.column(
+          graft.expressions.SvgSynth(
+            org.apache.spark.sql.GraftColumnBridge.expression(d),
+            org.apache.spark.sql.GraftColumnBridge.expression(col("text")))))
+      val m = org.apache.spark.sql.GraftColumnBridge.column(
+        graft.expressions.SvgMeta(
+          org.apache.spark.sql.GraftColumnBridge.expression(col("svg"))))
+      docs.select(d, svg.as("svg"))
+        .withColumn("__m", m)
+        .select(d, col("__m").isNotNull.as("svg_valid"),
+          col("__m.width").as("width"), col("__m.height").as("height"),
+          col("__m.vb_width").as("vb_width"),
+          col("__m.vb_height").as("vb_height"),
+          col("__m.n_shapes").as("n_shapes"),
+          col("__m.n_groups").as("n_groups"),
+          col("__m.n_text").as("n_text"),
+          col("__m.has_script").as("has_script"),
+          col("__m.title").as("title"))
+        .orderBy(d)
+    }),
     // mojibake repair (r15): ftfy's core heuristic — invert the
     // UTF-8-decoded-as-cp1252 damage (strict cp1252 encode → strict
     // UTF-8 decode, accept only a valid CHANGED result), iterated
@@ -2841,6 +2871,7 @@ object SparkEntry {
     "mail_headers" -> OracleSql.mailHeaders,
     "text_subtitles" -> OracleSql.textSubtitles,
     "text_mojibake" -> OracleSql.textMojibake,
+    "mm_svg_meta" -> OracleSql.mmSvgMeta,
     "mm_bmp_pixels" -> OracleSql.mmBmpPixels,
     "mm_png_pixels" -> OracleSql.mmPngPixels,
     "mm_media_triage" -> OracleSql.mmMediaTriage,
