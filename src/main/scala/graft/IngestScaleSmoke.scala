@@ -640,6 +640,66 @@ object IngestScaleSmoke {
       wire.unpersist(false)
     }
 
+    // ---- rung 17 (r15): transcript + cleaning + markup triage
+    // throughput — SRT/WebVTT cue parse, mojibake repair (sloppy
+    // cp1252 inverse), SVG root/element scan, AVIF FullBox-meta
+    // walk, RFC 2047 mail-header decode ----
+    locally {
+      def g(e: org.apache.spark.sql.catalyst.expressions.Expression) =
+        org.apache.spark.sql.GraftColumnBridge.column(e)
+      def x(c: org.apache.spark.sql.Column) =
+        org.apache.spark.sql.GraftColumnBridge.expression(c)
+      val nT = nImages
+      val fake = concat(lit("synthetic doc body text enough for the "),
+        lit("forty-char prefixes and sixty-char splices "), id)
+      val tri = spark.range(nT).toDF("id")
+        .select(id,
+          g(graft.expressions.SubtitleSynth(x(id), x(fake))).as("sub"),
+          g(graft.expressions.MojibakeSynth(x(id), x(fake))).as("moj"),
+          g(graft.expressions.SvgSynth(x(id), x(fake))).as("svg"),
+          g(graft.expressions.AvifSynth(x(id))).as("av"),
+          g(graft.expressions.MimeSynth(x(id), x(fake))).as("eml"))
+        .repartition(64).cache()
+      tri.count()
+      val (agg17, tTri) = time {
+        tri.select(
+          g(graft.expressions.SubtitleCues(x(col("sub")))).as("s"),
+          g(graft.expressions.MojibakeRepair(x(col("moj")))).as("m"),
+          g(graft.expressions.SvgMeta(x(col("svg")))).as("v"),
+          g(graft.expressions.AvifMeta(x(col("av")))).as("a"),
+          g(graft.expressions.MailHeaders(x(col("eml")))).as("h"))
+          .agg(
+            sum(size(col("s.cues"))).as("cues"),
+            sum(col("m.depth")).as("depth"),
+            sum(col("v.n_shapes")).as("shapes"),
+            sum(col("a.width")).as("aw"),
+            sum(when(col("s").isNull || col("m").isNull ||
+              col("v").isNull || col("a").isNull ||
+              col("h.from_addr").isNull, 1L).otherwise(0L)).as("bad"))
+          .head()
+      }
+      assert(agg17.getLong(4) == 0L, s"triage failures: ${agg17.getLong(4)}")
+      val expCues = (0L until nT).map(d => 2 + d % 3).sum
+      assert(agg17.getLong(0) == expCues,
+        s"cue count: ${agg17.getLong(0)} != $expCues")
+      val expDepth = (0L until nT).map(d => (d % 5) match {
+        case 0 | 1 => 0L; case 3 => 2L; case _ => 1L
+      }).sum
+      assert(agg17.getLong(1) == expDepth,
+        s"repair depth: ${agg17.getLong(1)} != $expDepth")
+      val expShapes = (0L until nT).map(d =>
+        d % 4 + (d + 1) % 3 + (if (d % 2 == 0) 1 else 0)).sum
+      assert(agg17.getLong(2) == expShapes,
+        s"svg shapes: ${agg17.getLong(2)} != $expShapes")
+      val expAw = (0L until nT).map(d => 64 + d % 512).sum
+      assert(agg17.getLong(3) == expAw,
+        s"avif widths: ${agg17.getLong(3)} != $expAw")
+      println(f"TRI n=${5L * nT} files decode=${tTri}%.1fs " +
+        f"(${5L * nT / tTri / 1000}%.0fk files/s; cues=${agg17.getLong(0)} " +
+        f"depth=${agg17.getLong(1)} shapes=${agg17.getLong(2)})")
+      tri.unpersist(false)
+    }
+
     println("INGEST_SCALE_SMOKE_OK")
     spark.stop()
   }

@@ -4751,6 +4751,32 @@ object OracleSql {
       |    END AS cue_text
       |FROM v ORDER BY doc_id, cue_idx""".stripMargin
 
+  /** AVIF/HEIC triage (mirror of `AvifMeta` ∘ `AvifSynth`): every
+    * field re-derived closed-form from doc_id — a hash match proves
+    * the kernel walked the FullBox `meta` tree (ispe dims, iinf
+    * item types, auxC, the largesize mdat lane) for real.
+    */
+  lazy val mmAvifMeta: String =
+    """WITH m AS (SELECT doc_id, doc_id % 10 = 0 AS invalid
+      |  FROM documents)
+      |SELECT doc_id,
+      |  NOT invalid AS heif_valid,
+      |  CASE WHEN invalid THEN NULL
+      |    WHEN doc_id % 2 = 0 THEN 'avif' ELSE 'heic' END AS brand,
+      |  (CASE WHEN invalid THEN NULL
+      |    ELSE 64 + doc_id % 512 END)::BIGINT AS width,
+      |  (CASE WHEN invalid THEN NULL
+      |    ELSE 48 + doc_id % 256 END)::BIGINT AS height,
+      |  (CASE WHEN invalid THEN NULL
+      |    ELSE 1 + doc_id % 3 END)::BIGINT AS n_items,
+      |  CASE WHEN invalid THEN NULL
+      |    WHEN doc_id % 2 = 0 THEN 'av01' ELSE 'hvc1' END AS primary_type,
+      |  CASE WHEN invalid THEN NULL ELSE doc_id % 3 >= 1 END AS has_alpha,
+      |  CASE WHEN invalid THEN NULL ELSE doc_id % 3 = 2 END AS has_exif,
+      |  (CASE WHEN invalid THEN NULL
+      |    ELSE 100 + doc_id % 900 END)::BIGINT AS mdat_bytes
+      |FROM m ORDER BY doc_id""".stripMargin
+
   /** SVG triage (mirror of `SvgMeta` ∘ `SvgSynth`): every field
     * re-derived closed-form from doc_id; the title splices each
     * doc's real first-20 chars through the escape→entity-decode

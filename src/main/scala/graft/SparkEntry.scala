@@ -877,6 +877,34 @@ object SparkEntry {
             element_at(col("__st"), 1)).as("mean_gray"))
         .orderBy(d, col("stem"))
     }),
+    // AVIF/HEIC triage (r15): the modern web image pair — HEIF
+    // images in ISO BMFF, where `meta` is a FULLBOX whose children
+    // start past version/flags (the detail that breaks naive MP4
+    // walkers); brand, ispe dimensions, iinf item types (av01/hvc1/
+    // Exif), the auxC alpha flag, mdat size, and a 64-bit-largesize
+    // lane; locate-only (codec decode out of scope, documented)
+    "mm_avif_meta" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val d = col("doc_id")
+      val payload = when(d % 10 === 0, col("text").cast("binary"))
+        .otherwise(org.apache.spark.sql.GraftColumnBridge.column(
+          graft.expressions.AvifSynth(
+            org.apache.spark.sql.GraftColumnBridge.expression(d))))
+      val m = org.apache.spark.sql.GraftColumnBridge.column(
+        graft.expressions.AvifMeta(
+          org.apache.spark.sql.GraftColumnBridge.expression(col("payload"))))
+      docs.select(d, payload.as("payload"))
+        .withColumn("__m", m)
+        .select(d, col("__m").isNotNull.as("heif_valid"),
+          col("__m.brand").as("brand"),
+          col("__m.width").as("width"), col("__m.height").as("height"),
+          col("__m.n_items").as("n_items"),
+          col("__m.primary_type").as("primary_type"),
+          col("__m.has_alpha").as("has_alpha"),
+          col("__m.has_exif").as("has_exif"),
+          col("__m.mdat_bytes").as("mdat_bytes"))
+        .orderBy(d)
+    }),
     // SVG metadata triage (r15): the TEXT image format — root-tag
     // attribute parse (width/height with unit suffixes, the viewBox
     // quad), boundary-checked element counts (a <pathological-elem>
@@ -2872,6 +2900,7 @@ object SparkEntry {
     "text_subtitles" -> OracleSql.textSubtitles,
     "text_mojibake" -> OracleSql.textMojibake,
     "mm_svg_meta" -> OracleSql.mmSvgMeta,
+    "mm_avif_meta" -> OracleSql.mmAvifMeta,
     "mm_bmp_pixels" -> OracleSql.mmBmpPixels,
     "mm_png_pixels" -> OracleSql.mmPngPixels,
     "mm_media_triage" -> OracleSql.mmMediaTriage,

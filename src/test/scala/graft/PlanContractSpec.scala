@@ -463,7 +463,7 @@ class PlanContractSpec extends SparkSpec {
     for (name <- Seq("web_sitemap", "text_jsonl_parse", "text_html_meta",
         "robots_parse", "text_charset", "web_feed", "text_markdown",
         "mail_mime_parts", "mail_headers", "text_subtitles",
-        "text_mojibake", "mm_svg_meta")) {
+        "text_mojibake", "mm_svg_meta", "mm_avif_meta")) {
       val phys = physical(q(name))
       assert(!phys.contains("Exchange hashpartitioning"),
         s"$name: unexpected keyed shuffle:\n$phys")
