@@ -3232,8 +3232,8 @@ object OracleSql {
 
   /** Mixed-container triage (mirror of the mm_media_triage wiring:
     * doc_id%23 picks WAV/PNG/JPEG/BMP/WebP/TIFF/MP3/FLAC/OGG/
-    * MKV/Avro/Parquet/ORC/gzip/zstd/ICO on lanes 1-16 and raw text
-    * on 0/17-22 — the modulus is COPRIME with the synths' %10
+    * MKV/Avro/Parquet/ORC/gzip/zstd/ICO/HEIF on lanes 1-17 and raw
+    * text on 0/18-22 — the modulus is COPRIME with the synths' %10
     * corrupt lane, so every family contributes corrupt/text-fallback
     * members):
     * detection, sizes, and content units all re-derived from doc_id
@@ -3379,6 +3379,7 @@ object OracleSql {
       |       WHEN cls = 14 AND NOT corrupt THEN 'gzip'
       |       WHEN cls = 15 AND NOT corrupt THEN 'zstd'
       |       WHEN cls = 16 AND NOT corrupt THEN 'ico'
+      |       WHEN cls = 17 AND NOT corrupt THEN 'heif'
       |       ELSE 'unknown' END AS detected
       |  FROM w5)
       |SELECT doc_id, detected,
@@ -3407,6 +3408,9 @@ object OracleSql {
       |        WHEN detected = 'gzip' THEN gztot + 23 * gznm + 3 * gznamed
       |        WHEN detected = 'zstd' THEN zslen
       |        WHEN detected = 'ico' THEN iclen
+      |        WHEN detected = 'heif' THEN 233 + 21 * (1 + doc_id % 3)
+      |          + CASE WHEN doc_id % 3 >= 1 THEN 17 ELSE 0 END
+      |          + doc_id % 900 + CASE WHEN doc_id % 20 = 9 THEN 16 ELSE 8 END
       |        ELSE rawlen END)::BIGINT AS payload_bytes,
       |  detected <> 'unknown' AS valid,
       |  (CASE WHEN detected = 'wav' THEN (dlen * 1000) // br
@@ -3429,6 +3433,8 @@ object OracleSql {
       |        WHEN detected = 'gzip' THEN gztot
       |        WHEN detected = 'zstd' THEN zstot
       |        WHEN detected = 'ico' THEN 1 + doc_id % 3
+      |        WHEN detected = 'heif'
+      |          THEN (64 + doc_id % 512) * (48 + doc_id % 256)
       |        END)::BIGINT AS content_units
       |FROM d ORDER BY doc_id""".stripMargin
 

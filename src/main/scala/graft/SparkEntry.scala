@@ -2202,7 +2202,7 @@ object SparkEntry {
       val docs = t(s, dir, "documents")
       val d = col("doc_id")
       import graft.multimodal.Binary
-      // lane modulus 23 (16 families on lanes 1-16, text on 0/17-22)
+      // lane modulus 23 (17 families on lanes 1-17, text on 0/18-22)
       // is COPRIME with the synths' %10 corrupt lane, so every
       // family contributes corrupt/text-fallback members (r15). The
       // corpus is a UNION of per-lane synth branches, each its own
@@ -2220,11 +2220,12 @@ object SparkEntry {
         Binary.Ogg.synthFromDocs(_), Binary.Mkv.synthFromDocs(_),
         Binary.Avro.synthFromDocs(_), Binary.Parquet.synthFromDocs(_),
         Binary.Orc.synthFromDocs(_), Binary.Gz.synthFromDocs(_),
-        Binary.Zstd.synthFromDocs(_), Binary.Ico.synthFromDocs(_))
+        Binary.Zstd.synthFromDocs(_), Binary.Ico.synthFromDocs(_),
+        Binary.Heif.synthFromDocs(_))
       val familyLanes = synths.zipWithIndex.map { case (synth, k) =>
         synth(docs.where(d % 23 === (k + 1))).select(d, col("payload"))
       }
-      val textLane = docs.where(d % 23 === 0 || d % 23 >= 17)
+      val textLane = docs.where(d % 23 === 0 || d % 23 >= 18)
         .select(d, col("text").cast("binary").as("payload"))
       val mixed = (familyLanes :+ textLane).reduce(_.unionAll(_))
       val corpus = mixed.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

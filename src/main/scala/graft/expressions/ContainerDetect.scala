@@ -7,7 +7,7 @@ import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Container detection for `Binary.triage` as ONE codegen kernel —
-  * the magic-byte decision tree that routes nineteen families.
+  * the magic-byte decision tree that routes twenty-one families.
   *
   * This replaces a Catalyst CASE of per-byte column arithmetic
   * (`conv(hex(substring(...)))` chains for the MP3 sync word and
@@ -27,8 +27,8 @@ import org.apache.spark.unsafe.types.UTF8String
 object ContainerDetectKernel {
   private val Unknown = UTF8String.fromString("unknown")
   private val Names: Map[String, UTF8String] =
-    Seq("webp", "wav", "png", "jpeg", "bmp", "gif", "pdf", "mp4", "zip",
-      "tiff", "mp3", "flac", "ogg", "mkv", "avro", "parquet", "orc",
+    Seq("webp", "wav", "png", "jpeg", "bmp", "gif", "pdf", "heif", "mp4",
+      "zip", "tiff", "mp3", "flac", "ogg", "mkv", "avro", "parquet", "orc",
       "gzip", "zstd", "ico").map(s => s -> UTF8String.fromString(s)).toMap
 
   private def ascii(p: Array[Byte], off: Int, s: String): Boolean = {
@@ -53,6 +53,12 @@ object ContainerDetectKernel {
       else if (n >= 14 && ascii(p, 0, "GIF8") &&
         (ascii(p, 4, "7a") || ascii(p, 4, "9a"))) "gif"
       else if (n >= 10 && ascii(p, 0, "%PDF-")) "pdf"
+      // HEIF brands split off BEFORE the generic BMFF lane (an AVIF
+      // is `ftyp`-framed like video, but routes to the image walk)
+      else if (n >= 12 && ascii(p, 4, "ftyp") &&
+        (ascii(p, 8, "avif") || ascii(p, 8, "avis") ||
+          ascii(p, 8, "heic") || ascii(p, 8, "heix") ||
+          ascii(p, 8, "mif1"))) "heif"
       else if (n >= 12 && ascii(p, 4, "ftyp")) "mp4"
       else if (n >= 4 && p(0) == 'P' && p(1) == 'K' && p(2) == 3 &&
         p(3) == 4) "zip"

@@ -2182,6 +2182,52 @@ object Binary {
     * entries decoded directly. One codegen kernel pass, pure
     * projection.
     */
+  /** AVIF/HEIC triage — the TWENTY-FIRST family (r15): HEIF images
+    * in ISO BMFF, split off the generic `ftyp` lane by brand
+    * ([[graft.expressions.AvifMetaKernel]] — the FullBox `meta`
+    * walk). One codegen kernel pass, pure projection.
+    */
+  object Heif {
+    import org.apache.spark.sql.GraftColumnBridge.{column => gcol, expression => gexpr}
+
+    /** Parse triage fields: validity (brand + a walked meta tree
+      * with real dimensions), brand, dims, item/alpha/exif fields,
+      * pixel count, mdat size. Pure projection.
+      */
+    def parse(media: DataFrame, payloadCol: String = "payload"): DataFrame = {
+      val m = gcol(graft.expressions.AvifMeta(gexpr(col(payloadCol))))
+      media
+        .withColumn("__h", m)
+        .withColumn("heif_valid",
+          col("__h").isNotNull && col("__h.width").isNotNull)
+        .withColumn("brand", col("__h.brand"))
+        .withColumn("heif_width", col("__h.width"))
+        .withColumn("heif_height", col("__h.height"))
+        .withColumn("n_items", col("__h.n_items"))
+        .withColumn("primary_type", col("__h.primary_type"))
+        .withColumn("has_alpha", col("__h.has_alpha"))
+        .withColumn("has_exif", col("__h.has_exif"))
+        .withColumn("n_pixels", col("__h.width") * col("__h.height"))
+        .withColumn("mdat_bytes", col("__h.mdat_bytes"))
+        .drop("__h")
+    }
+
+    /** Deterministic HEIF payloads over the docs table (see
+      * [[graft.expressions.AvifSynthKernel]]); every
+      * `invalidEvery`-th doc raw text.
+      */
+    def synthFromDocs(docs: DataFrame, invalidEvery: Int = 10): DataFrame = {
+      val d = col("doc_id")
+      val payload = gcol(graft.expressions.AvifSynth(gexpr(d)))
+      docs.select(d,
+        when(d % invalidEvery === 0, col("text").cast("binary"))
+          .otherwise(payload).as("payload"),
+        when(d % invalidEvery === 0, lit("text/plain"))
+          .otherwise(when(d % 2 === 0, lit("image/avif"))
+            .otherwise(lit("image/heic"))).as("media_type"))
+    }
+  }
+
   object Ico {
     import org.apache.spark.sql.GraftColumnBridge.{column => gcol, expression => gexpr}
 
@@ -2997,8 +3043,14 @@ object Binary {
     val zipEntries = org.apache.spark.sql.GraftColumnBridge.column(
       graft.expressions.ZipEntries(
         org.apache.spark.sql.GraftColumnBridge.expression(p), 1 << 22))
+    // heif rides the zip pattern: ONE struct expression gated by the
+    // detection, no column threading through the chain above
+    val heifMeta = org.apache.spark.sql.GraftColumnBridge.column(
+      graft.expressions.AvifMeta(
+        org.apache.spark.sql.GraftColumnBridge.expression(p)))
     afterIco
       .withColumn("__zip", when(detected === "zip", zipEntries))
+      .withColumn("__heif", when(detected === "heif", heifMeta))
       .select(col("doc_id"), detected.as("detected"),
         length(p).cast("long").as("payload_bytes"),
         when(detected === "wav", col("wav_valid"))
@@ -3021,6 +3073,8 @@ object Binary {
           .when(detected === "zstd", col("zstd_valid"))
           .when(detected === "ico", col("ico_valid"))
           .when(detected === "zip", col("__zip").isNotNull)
+          .when(detected === "heif",
+            col("__heif").isNotNull && col("__heif.width").isNotNull)
           .otherwise(lit(false)).as("valid"),
         when(detected === "wav", col("wav_ms"))
           .when(detected === "png", col("png_pixels"))
@@ -3042,6 +3096,8 @@ object Binary {
           .when(detected === "zstd", col("zstd_bytes"))
           .when(detected === "ico", col("ico_icons"))
           .when(detected === "zip", size(col("__zip")).cast("long"))
+          .when(detected === "heif",
+            col("__heif.width") * col("__heif.height"))
           .as("content_units"))
   }
 

@@ -19,6 +19,12 @@ class AvifSpec extends SparkSpec {
       assert(r.getBoolean(6) === (d % 3 == 2), s"d=$d: exif")
       assert(r.getLong(7) === 100 + d % 900,
         s"d=$d: mdat (largesize lane at d%20==9)")
+      // byte-length closed form (the triage-oracle anchor)
+      val expLen = 233 + 21 * (1 + d % 3) +
+        (if (d % 3 >= 1) 17 else 0) + d % 900 +
+        (if (d % 20 == 9) 16 else 8)
+      assert(AvifSynthKernel.synth(d).length.toLong === expLen,
+        s"d=$d: container length")
     }
   }
 
