@@ -37,5 +37,9 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // default heap sized for a 32-core local[*] driver+executor JVM on
+  // this round's 128 GiB benchmark box (optimization guide §5: the
+  // bench's per-query medians ran 1.5-2× the mins under the old 8g —
+  // GC pressure, not compute); still env-overridable for small hosts
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
 )

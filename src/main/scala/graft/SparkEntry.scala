@@ -19,7 +19,11 @@ object SparkEntry {
 
   private def t(s: SparkSession, dir: String, name: String): DataFrame = {
     GraftFunctions.register(s)
-    Tables.load(s, dir, name)
+    // scale-gated input spread (see Tables.spread): parallelizes the
+    // per-row kernel work of every driver row when the test-SF scan
+    // arrives as a single partition; no-op at production partition
+    // counts, results partition-order independent by gate discipline
+    Tables.spread(Tables.load(s, dir, name))
   }
 
   /** Plant sentence terminators into the unpunctuated test corpus,

@@ -180,14 +180,29 @@ object Ivf {
     val cells = assign(corpus, centroids)
       .join(corpus.select((Seq("vec_id", "embedding") ++ metaCols).map(col): _*),
         Seq("vec_id"))
-    val w = cells.write.mode("overwrite")
-      .bucketBy(nBuckets, "cell").sortBy("cell").format("parquet")
-    path.foreach(loc => w.option("path", loc))
-    w.saveAsTable(table)
-    val wc = centroids.select(col("vec_id"), col("embedding"))
-      .write.mode("overwrite").format("parquet")
-    path.foreach(loc => wc.option("path", s"${loc}_centroids"))
-    wc.saveAsTable(s"${table}_centroids")
+    // the two table writes are independent — submit them concurrently
+    // (the SearchIndex.save / Pq.train submission pattern; the tiny
+    // centroid write otherwise serializes a full job latency behind
+    // the cells write)
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val fCells = Future {
+      // cluster by the bucket key first (the Compaction idiom): one
+      // file per bucket instead of tasks × nBuckets
+      val w = cells.repartition(nBuckets, col("cell"))
+        .write.mode("overwrite")
+        .bucketBy(nBuckets, "cell").sortBy("cell").format("parquet")
+      path.foreach(loc => w.option("path", loc))
+      w.saveAsTable(table)
+    }
+    val fCents = Future {
+      val wc = centroids.select(col("vec_id"), col("embedding"))
+        .write.mode("overwrite").format("parquet")
+      path.foreach(loc => wc.option("path", s"${loc}_centroids"))
+      wc.saveAsTable(s"${table}_centroids")
+    }
+    Await.result(fCells, Duration.Inf); Await.result(fCents, Duration.Inf)
   }
 
   /** Restore (cells, centroids) from a [[saveIndex]] table pair. */

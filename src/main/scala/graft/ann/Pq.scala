@@ -490,8 +490,10 @@ object Pq {
     val spark = corpus.sparkSession
     val fModel = Future(save(model, spark, table, path))
     val fCells = Future {
+      // cluster by the bucket key first (the Compaction idiom)
       val wc = encodeInCells(corpus, model, centroids,
-        residual = residual, nProbe = nProbe).write.mode("overwrite")
+        residual = residual, nProbe = nProbe)
+        .repartition(nBuckets, col("cell")).write.mode("overwrite")
         .bucketBy(nBuckets, "cell").sortBy("cell").format("parquet")
       path.foreach(loc => wc.option("path", s"${loc}_cells"))
       wc.saveAsTable(s"${table}_cells")

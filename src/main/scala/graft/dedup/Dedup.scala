@@ -593,21 +593,25 @@ object Dedup {
       path: Option[String] = None): Unit = {
     val tokC = withToks(corpus).select(col("doc_id"), col("toks"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    tokC.count()
     // the fingerprint and band tables are independent — write them as
     // CONCURRENT jobs off the shared cached tokenize pass (the Pq.train
-    // submission pattern)
+    // submission pattern); no warm-up count — the CacheManager's
+    // block-level locks already build each cache partition exactly once
+    // under concurrent first readers (the SearchIndex.save precedent)
     val fFp = Future {
       val fp = tokC
         .select(hex64(array_join(col("toks"), " ")).as("fingerprint")).distinct()
-      val wf = fp.write.mode("overwrite")
+      // cluster by the bucket key first (the Compaction idiom): one
+      // file per bucket instead of tasks × nBuckets
+      val wf = fp.repartition(nBuckets, col("fingerprint")).write.mode("overwrite")
         .bucketBy(nBuckets, "fingerprint").sortBy("fingerprint").format("parquet")
       path.foreach(loc => wf.option("path", s"${loc}_fp"))
       wf.saveAsTable(s"${table}_fp")
     }
     val fBands = Future {
       val bands = minhashBands(minhashOf(shingleSet(tokC)))
-      val wb = bands.write.mode("overwrite")
+      val wb = bands.repartition(nBuckets, col("band"), col("band_hash"))
+        .write.mode("overwrite")
         .bucketBy(nBuckets, "band", "band_hash").sortBy("band", "band_hash")
         .format("parquet")
       path.foreach(loc => wb.option("path", loc))

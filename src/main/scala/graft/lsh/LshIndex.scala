@@ -370,7 +370,10 @@ object LshIndex {
   def saveBucketed(index: DataFrame, p: LshParams, table: String,
       nBuckets: Int = 32, path: Option[String] = None): Unit = {
     val spark = index.sparkSession
-    val w = index.write.mode("overwrite")
+    // cluster by the bucket key first (the Compaction idiom): one
+    // file per bucket instead of tasks × nBuckets
+    val w = index.repartition(nBuckets, col("band"), col("sig"))
+      .write.mode("overwrite")
       .bucketBy(nBuckets, "band", "sig").sortBy("band", "sig")
       .format("parquet")
     path.foreach(loc => w.option("path", loc))

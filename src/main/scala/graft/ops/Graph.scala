@@ -83,10 +83,23 @@ object Graph {
       iterations: Int = 10, scale: Long = Scale): DataFrame =
     pageRankImpl(edges, iterations, scale, Some(seeds))
 
+  /** Lineage is cut (localCheckpoint) once per this many iterations —
+    * plan depth between cuts stays ≤ `2·PageRankCheckpointEvery`
+    * operators while per-round write+read round trips of the rank
+    * table drop by the same factor. Env-overridable for cluster runs
+    * (`SPARK_GRAFT_PR_CHECKPOINT_EVERY`), e.g. lower it on fault-prone
+    * clusters where each cut doubles as a recovery point.
+    */
+  val PageRankCheckpointEvery: Int =
+    sys.env.get("SPARK_GRAFT_PR_CHECKPOINT_EVERY").map(_.toInt).getOrElse(5)
+
   private def pageRankImpl(edges: DataFrame, iterations: Int, scale: Long,
-      seeds: Option[DataFrame]): DataFrame = {
+      seeds: Option[DataFrame],
+      checkpointEvery: Int = PageRankCheckpointEvery): DataFrame = {
     require(iterations >= 1, s"need at least one iteration, got $iterations")
     require(scale >= 1L, s"scale must be positive, got $scale")
+    require(checkpointEvery >= 1,
+      s"checkpointEvery must be ≥ 1, got $checkpointEvery")
     // partition the STATIC sides once, on their join keys: the cached
     // InMemoryRelation advertises its hashpartitioning, so every
     // iteration's edge⋈rank join exchanges ONLY the iteration-fresh
@@ -120,8 +133,19 @@ object Graph {
         "Pass a smaller `scale` — e.g. 10_000_000 covers ~10^10 nodes " +
         "at 10^-7 rank resolution.")
     val baseFp = 15L * scale / 100L
+    // Iterations are CHUNKED between lineage cuts (guide §1.2/§2.4:
+    // remove materializations, not just shuffles): a localCheckpoint
+    // per iteration writes + re-reads the full rank table every round
+    // and pays a job submission per round; composing `checkpointEvery`
+    // rounds into one lazy plan executes them as ONE job (the shuffles
+    // between rounds are the natural materialization — task failures
+    // still recover from shuffle files), then cuts lineage once per
+    // chunk so plan depth stays bounded for ANY iteration count. The
+    // arithmetic is untouched — int64 fixed-point results are
+    // bit-identical whether or not a round crosses a checkpoint.
     var ranks = degs.select(col("node"), col("outdeg"), col("is_seed"),
-      (lit(scale) * col("is_seed")).as("rank_fp")).localCheckpoint(true)
+      (lit(scale) * col("is_seed")).as("rank_fp"))
+    var lastCp: Option[DataFrame] = None
     var it = 0
     while (it < iterations) {
       val contribs = e
@@ -129,14 +153,17 @@ object Graph {
           Seq("src"))
         .select(col("dst").as("node"), expr("rank_fp div outdeg").as("c"))
         .groupBy(col("node")).agg(sum(col("c")).as("s"))
-      val next = degs.join(contribs, Seq("node"), "left")
+      var next = degs.join(contribs, Seq("node"), "left")
         .select(col("node"), col("outdeg"), col("is_seed"),
           (lit(baseFp) * col("is_seed") +
             expr(s"(85 * coalesce(s, 0L)) div 100")).as("rank_fp"))
-        .localCheckpoint(true)
-      releaseCheckpoint(ranks)
-      ranks = next
       it += 1
+      if (it % checkpointEvery == 0 || it == iterations) {
+        next = next.localCheckpoint(true)
+        lastCp.foreach(releaseCheckpoint)
+        lastCp = Some(next)
+      }
+      ranks = next
     }
     // the cached result's lineage passes through the final iteration's
     // localCheckpoint, whose blocks are released here (the

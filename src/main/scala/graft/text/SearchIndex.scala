@@ -46,24 +46,43 @@ object SearchIndex {
     import scala.concurrent.ExecutionContext.Implicits.global
     val tokD = TextAnalysis.withToks(docs)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    tokD.count()
+    // no separate warm-up count: the CacheManager's block-level locks
+    // make the concurrent first readers build each cache partition
+    // exactly once — a prior count() paid one full extra job. The
+    // stats aggregate runs as a THIRD concurrent job over the same
+    // cached pass (identical result to re-aggregating the written
+    // doclen table — same rows — one table re-read cheaper; `add`
+    // still re-derives from the table, where it is a correctness
+    // property).
+    // cluster by the bucket key before each bucketed write (the
+    // Compaction.rewriteBucketed idiom, guide §6): without it every
+    // input partition emits a file per bucket it touches — tasks ×
+    // nBuckets small files — while the aligned repartition emits ONE
+    // file per bucket and the exchange is the hash the bucket layout
+    // uses anyway
     val fIdx = Future {
-      val w = TextAnalysis.invertedIndex(tokD, maxDf).write.mode("overwrite")
+      val w = TextAnalysis.invertedIndex(tokD, maxDf)
+        .repartition(nBuckets, col("token"))
+        .write.mode("overwrite")
         .bucketBy(nBuckets, "token").sortBy("token").format("parquet")
       path.foreach(loc => w.option("path", loc))
       w.saveAsTable(table)
     }
     val fDl = Future {
       val wd = tokD.select(col("doc_id"), size(col("toks")).cast("long").as("dl"))
+        .repartition(nBuckets, col("doc_id"))
         .write.mode("overwrite")
         .bucketBy(nBuckets, "doc_id").sortBy("doc_id").format("parquet")
       path.foreach(loc => wd.option("path", s"${loc}_doclen"))
       wd.saveAsTable(s"${table}_doclen")
     }
+    val fStats = Future {
+      tokD.agg(count(lit(1)).as("n"),
+        sum(size(col("toks")).cast("long")).as("s")).head()
+    }
     Await.result(fIdx, Duration.Inf); Await.result(fDl, Duration.Inf)
+    val s = Await.result(fStats, Duration.Inf)
     tokD.unpersist(false)
-    val s = spark.table(s"${table}_doclen")
-      .agg(count(lit(1)).as("n"), sum(col("dl")).as("s")).head()
     graft.ops.TableProps.set(spark, table, "graft.search.stats",
       statsJson(s.getLong(0), s.getLong(1), maxDf))
   }

@@ -967,13 +967,17 @@ object TextAnalysis {
     val spark = docs.sparkSession
     val t = withToks(docs).select(col("doc_id"), col("toks"))
     val bg = positionalBigrams(t)
+    // cluster by the bucket key before each bucketed write (the
+    // Compaction idiom): one file per bucket instead of tasks × buckets
     val bigW = bg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
+      .repartition(nBuckets, col("w1"), col("w2"))
       .write.mode("overwrite").format("parquet")
       .bucketBy(nBuckets, "w1", "w2").sortBy("w1", "w2")
     path.foreach(loc => bigW.option("path", s"$loc/big"))
     bigW.saveAsTable(table)
     val uniW = t.select(explode(col("toks")).as("w1"))
       .groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+      .repartition(nBuckets, col("w1"))
       .write.mode("overwrite").format("parquet")
       .bucketBy(nBuckets, "w1").sortBy("w1")
     path.foreach(loc => uniW.option("path", s"$loc/uni"))
@@ -1149,7 +1153,9 @@ object TextAnalysis {
     */
   def savePositionalIndex(docs: DataFrame, table: String, nBuckets: Int = 32,
       path: Option[String] = None): Unit = {
-    val w = positionalPostings(docs).write.mode("overwrite").format("parquet")
+    // cluster by the bucket key first (the Compaction idiom)
+    val w = positionalPostings(docs).repartition(nBuckets, col("token"))
+      .write.mode("overwrite").format("parquet")
       .bucketBy(nBuckets, "token").sortBy("token")
     path.foreach(loc => w.option("path", loc))
     w.saveAsTable(table)

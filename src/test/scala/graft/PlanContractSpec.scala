@@ -103,10 +103,14 @@ class PlanContractSpec extends SparkSpec {
   test("lsh serving joins collide on (band, sig); index build shuffles nothing") {
     // index build: signature expression + explode only — no Exchange
     val build = physical(q("lsh_signatures"))
-    // (the oracle orderBy adds one range exchange; nothing else may shuffle)
+    // (the oracle orderBy adds one range exchange, and the driver-row
+    // loader's scale-gated input spread one round-robin exchange —
+    // Tables.spread, a no-op at production partition counts; nothing
+    // else may shuffle)
     val ex = "Exchange".r.findAllIn(build).size
-    val rangeEx = "Exchange rangepartitioning".r.findAllIn(build).size
-    assert(ex === rangeEx, s"index build shuffles beyond the output sort:\n$build")
+    val allowedEx = "Exchange rangepartitioning".r.findAllIn(build).size +
+      "Exchange RoundRobinPartitioning".r.findAllIn(build).size
+    assert(ex === allowedEx, s"index build shuffles beyond the output sort:\n$build")
     // serving: the collision join is a broadcast join at serving batch
     // sizes — corpus never reshuffles for a batch lookup
     val serve = physical(q("lsh_topk"))
@@ -156,15 +160,21 @@ class PlanContractSpec extends SparkSpec {
     val plan = formatted(q("sample_split"))
     val readSchema = plan.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
     assert(!readSchema.contains("text"), s"sample_split reads the text payload: $readSchema")
-    // chunking is map-only: the ONLY exchange allowed is the
-    // deterministic output sort
+    // chunking is map-only: the only exchanges allowed are the
+    // deterministic output sort and the driver-row loader's
+    // scale-gated input spread (Tables.spread — no-op at production
+    // partition counts)
     val chunks = physical(q("text_chunks"))
     val ex = "Exchange".r.findAllIn(chunks).size
-    val rangeEx = "Exchange rangepartitioning".r.findAllIn(chunks).size
-    assert(ex === rangeEx, s"text_chunks shuffles beyond the output sort:\n$chunks")
-    // PII scrubbing is a pure per-document projection — zero exchanges
+    val allowedEx = "Exchange rangepartitioning".r.findAllIn(chunks).size +
+      "Exchange RoundRobinPartitioning".r.findAllIn(chunks).size
+    assert(ex === allowedEx, s"text_chunks shuffles beyond the output sort:\n$chunks")
+    // PII scrubbing is a pure per-document projection — no exchange
+    // beyond the input spread
     val pii = physical(q("text_pii"))
-    assert(!pii.contains("Exchange"), s"text_pii is not map-only:\n$pii")
+    val piiEx = "Exchange".r.findAllIn(pii).size
+    val piiSpread = "Exchange RoundRobinPartitioning".r.findAllIn(pii).size
+    assert(piiEx === piiSpread, s"text_pii is not map-only:\n$pii")
   }
 
   test("round-11 operators: window-free plans; map-only stages map-only") {
@@ -311,8 +321,11 @@ class PlanContractSpec extends SparkSpec {
     Seq("text_entropy", "text_compression").foreach { name =>
       val phys = physical(q(name))
       val ex = "Exchange".r.findAllIn(phys).size
-      val rangeEx = "Exchange rangepartitioning".r.findAllIn(phys).size
-      assert(ex === rangeEx, s"$name shuffles beyond the output sort:\n$phys")
+      // output sort + the driver-row loader's scale-gated input
+      // spread (Tables.spread — no-op at production partition counts)
+      val allowedEx = "Exchange rangepartitioning".r.findAllIn(phys).size +
+        "Exchange RoundRobinPartitioning".r.findAllIn(phys).size
+      assert(ex === allowedEx, s"$name shuffles beyond the output sort:\n$phys")
       assert(!phys.contains("Window"), s"$name uses a window:\n$phys")
     }
   }
