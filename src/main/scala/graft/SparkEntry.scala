@@ -26,6 +26,15 @@ object SparkEntry {
     Tables.spread(Tables.load(s, dir, name))
   }
 
+  /** Unspread loader for rows that spread ONCE at a better point of
+    * their own plan (e.g. mm_media_triage: one exchange on the unioned
+    * corpus instead of one per synth lane).
+    */
+  private def tNarrow(s: SparkSession, dir: String, name: String): DataFrame = {
+    GraftFunctions.register(s)
+    Tables.load(s, dir, name)
+  }
+
   /** Plant sentence terminators into the unpunctuated test corpus,
     * closed-form (mirrored verbatim by the sentence oracles): two
     * word→terminator rewrites plus a rotating tail — a multi-sentence
@@ -2203,7 +2212,13 @@ object SparkEntry {
     // mixing joins exist only to SYNTHESIZE the test corpus —
     // production triage reads one payload column as-is
     "mm_media_triage" -> ((s, dir) => {
-      val docs = t(s, dir, "documents")
+      // unspread load: with the spread in `t`, EVERY one of the 18
+      // union lanes paid its own exchange and the cached corpus came
+      // out as lanes × parallelism tiny partitions (576 tasks per pass
+      // measured — build regressed 5.8→7.2 s). Spread ONCE on the
+      // unioned corpus below instead: one exchange, synth encoders run
+      // lane-parallel, the triage parse runs `defaultParallelism`-wide.
+      val docs = tNarrow(s, dir, "documents")
       val d = col("doc_id")
       import graft.multimodal.Binary
       // lane modulus 23 (17 families on lanes 1-17, text on 0/18-22)
@@ -2232,6 +2247,7 @@ object SparkEntry {
       val textLane = docs.where(d % 23 === 0 || d % 23 >= 18)
         .select(d, col("text").cast("binary").as("payload"))
       val mixed = (familyLanes :+ textLane).reduce(_.unionAll(_))
+        .repartition(s.sparkContext.defaultParallelism)
       val corpus = mixed.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       graft.ops.Caching.materialized(
         Binary.triage(corpus).orderBy(d)) {

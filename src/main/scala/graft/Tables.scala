@@ -34,6 +34,14 @@ object Tables {
     */
   def spread(df: DataFrame): DataFrame = {
     val target = df.sparkSession.sparkContext.defaultParallelism
+    // round-robin, NOT hash-on-row-content: keying the exchange on
+    // xxhash64(all columns) was tried (it skips round-robin's
+    // sortBeforeRepartition local sort) and REVERTED — referencing
+    // every column in the exchange key defeats column pruning at the
+    // scan (q1_agg's ReadSchema grew from 6 columns to all 16), which
+    // is far worse at scale than the local sort this exchange only
+    // pays when the gate fires (i.e. never at production partition
+    // counts).
     if (df.rdd.getNumPartitions * 2 < target) df.repartition(target) else df
   }
 }

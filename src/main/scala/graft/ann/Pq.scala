@@ -146,6 +146,19 @@ object Pq {
     val d = unit.select(size(col("nv"))).head().getInt(0)
     require(d % m == 0, s"m=$m must divide dim=$d")
     val dSub = d / m
+    // compact the (bounded, sampled) training frame so each KMeans job
+    // is a handful of tasks, not one per input partition: every Lloyd
+    // iteration of every subspace fit is a full job over this frame,
+    // so at `p` partitions the fit pays m·maxIter·p task launches on
+    // data that is tiny BY DESIGN (it is the sample). Scale-adaptive —
+    // sized from the measured sample count (~64k vectors/partition),
+    // never widened, shuffle-free (coalesce over the cached blocks);
+    // a 10M-vector production sample still trains ~160-way parallel.
+    val fitParts = math.max(1L, math.min(unit.rdd.getNumPartitions.toLong,
+      nSample / 65536L + 1L)).toInt
+    val fitFrame =
+      if (fitParts < unit.rdd.getNumPartitions) unit.coalesce(fitParts)
+      else unit
     // the m subspace fits are independent — submit them CONCURRENTLY
     // (the scheduler interleaves their jobs across cores; sequential
     // fits measured 6.9 s warm at sf0.1 vs ~2 s concurrent, pure
@@ -158,7 +171,7 @@ object Pq {
     import scala.concurrent.ExecutionContext.Implicits.global
     val fits = (0 until m).map { s =>
       Future {
-        val sub = unit.select(org.apache.spark.ml.functions.array_to_vector(
+        val sub = fitFrame.select(org.apache.spark.ml.functions.array_to_vector(
           slice(col("nv"), s * dSub + 1, dSub)).as("features"))
         new KMeans().setK(k).setSeed(seed + s).setMaxIter(maxIter)
           .setInitMode("random").setFeaturesCol("features")

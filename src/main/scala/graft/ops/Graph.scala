@@ -81,7 +81,7 @@ object Graph {
     */
   def personalizedPageRank(edges: DataFrame, seeds: DataFrame,
       iterations: Int = 10, scale: Long = Scale): DataFrame =
-    pageRankImpl(edges, iterations, scale, Some(seeds))
+    pageRankImpl(edges, iterations, scale, Some(_ => seeds))
 
   /** Lineage is cut (localCheckpoint) once per this many iterations —
     * plan depth between cuts stays ≤ `2·PageRankCheckpointEvery`
@@ -93,8 +93,15 @@ object Graph {
   val PageRankCheckpointEvery: Int =
     sys.env.get("SPARK_GRAFT_PR_CHECKPOINT_EVERY").map(_.toInt).getOrElse(5)
 
+  /** `seeds`: a function from the node table (one `node` column, the
+    * distinct src set, served from the already-cached edge list) to
+    * the seed set — lets a caller pick seeds from the graph itself
+    * without a second materialization of the edge list; the public
+    * [[personalizedPageRank]] wraps an explicit seed table as a
+    * constant function.
+    */
   private def pageRankImpl(edges: DataFrame, iterations: Int, scale: Long,
-      seeds: Option[DataFrame],
+      seeds: Option[DataFrame => DataFrame],
       checkpointEvery: Int = PageRankCheckpointEvery): DataFrame = {
     require(iterations >= 1, s"need at least one iteration, got $iterations")
     require(scale >= 1L, s"scale must be positive, got $scale")
@@ -116,7 +123,8 @@ object Graph {
     // are small by construction); is_seed ∈ {0,1} makes both the r₀
     // mass and the per-iteration teleport term one multiply — the
     // uniform variant is the constant-1 case of the same plan
-    val degs = seeds.fold(degsBase.withColumn("is_seed", lit(1L))) { s =>
+    val degs = seeds.fold(degsBase.withColumn("is_seed", lit(1L))) { pick =>
+      val s = pick(degsBase.select(col("node")))
       degsBase.join(
           broadcast(s.select(col("node"), lit(1L).as("__seed"))),
           Seq("node"), "left")
@@ -197,23 +205,16 @@ object Graph {
     */
   def personalizedPageRankQuery(lineitem: DataFrame, iterations: Int = 10,
       nSeeds: Int = 20, k: Int = 50): DataFrame = {
-    // the co-purchase self-join feeds TWO consumers (the seed pick and
-    // the iteration loop) — cache it for the operator's scope or the
-    // lineitem pair explosion runs twice (measured ~3 s of the row)
-    val edges = coPurchaseEdges(lineitem)
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    // materialize BEFORE deriving seeds: the seed pick runs as a
-    // broadcast job ahead of the main job, so a lazy cache would be
-    // cold when it reads — both consumers must find the blocks ready
-    edges.count()
-    val seeds = edges.select(col("src").as("node")).distinct()
-      .orderBy(col("node")).limit(nSeeds)
-    val ranked = personalizedPageRank(edges, seeds, iterations)
+    // seeds = the nSeeds smallest nodes of the graph. Picked INSIDE
+    // pageRankImpl from its node table (distinct src ≡ the node set,
+    // read off the impl's own cached edge list) — a query-level
+    // edges.persist + count previously materialized the lineitem pair
+    // explosion a second time just to feed the seed pick (measured
+    // ~2.5 s of the row); the impl's cache is the only pass now.
+    pageRankImpl(coPurchaseEdges(lineitem), iterations, Scale,
+        Some(_.orderBy(col("node")).limit(nSeeds)))
       .filter(col("rank_fp") > 0)
       .orderBy(col("rank_fp").desc, col("node")).limit(k)
-    // personalizedPageRank's result is already materialized (its own
-    // cache scope closed), so the edge cache can release immediately
-    Caching.materialized(ranked) { edges.unpersist(false) }
   }
 
   /** Connected components over a host-level link graph — mirror

@@ -812,36 +812,63 @@ object TextAnalysis {
     * w ≠ 0. [[hashEmbedVectors]] assembles the dense normalized
     * `array<double>` for ANN composition.
     */
-  def hashEmbed(docs: DataFrame, d: Int = 64): DataFrame = {
-    val tok = withToks(docs).select(col("doc_id"), explode(col("toks")).as("t"))
+  def hashEmbed(docs: DataFrame, d: Int = 64): DataFrame =
+    // ONE doc-grain aggregate carries both the (dim, w) set and the
+    // norm, then explodes back to the sparse grain. The previous
+    // `w ⋈ (w.groupBy(doc_id).agg(norm))` join LOOKED like a cheap
+    // second aggregate but physically re-ran the whole tokenize +
+    // explode + dim-agg chain for the norms side — DataFrame plans get
+    // no common-subtree reuse (measured via the executed-plan metrics
+    // dump: the duplicate chain was the single largest cost of every
+    // hashEmbed consumer). Values are bit-identical: the norm is an
+    // exact int64 Σw² either way, √ and ÷ are correctly rounded.
+    hashEmbedPerDoc(docs, d)
+      .select(col("doc_id"), explode(col("ws")).as("dw"), col("nrm"))
+      .select(col("doc_id"), col("dw.dim").as("dim"), col("dw.w").as("w"),
+        (col("dw.w") / col("nrm")).as("weight"))
+
+  /** Sparse signed-count rows (doc_id, dim, w ≠ 0) — the single
+    * explode + dim-grain-agg pass every hash-embed form builds on.
+    */
+  private[graft] def hashEmbedSparse(docs: DataFrame, d: Int = 64): DataFrame =
+    withToks(docs).select(col("doc_id"), explode(col("toks")).as("t"))
       .withColumn("h", GraftFunctions.hex64(concat(lit("he|"), col("t"))))
       // low bits pick the dimension, bit 20 the sign — independent
       .withColumn("dim", col("h") % d)
       .withColumn("sgn", when(shiftright(col("h"), 20).bitwiseAND(lit(1L)) === 1L, 1L)
         .otherwise(-1L))
-    val w = tok.groupBy(col("doc_id"), col("dim"))
+      .groupBy(col("doc_id"), col("dim"))
       .agg(sum(col("sgn")).as("w"))
       .filter(col("w") =!= 0)
-    val norms = w.groupBy(col("doc_id")).agg(sqrt(sum(col("w") * col("w"))).as("nrm"))
-    w.join(norms, Seq("doc_id"))
-      .select(col("doc_id"), col("dim"), col("w"), (col("w") / col("nrm")).as("weight"))
-  }
+
+  /** Doc-grain collected form: (doc_id, ws: array<struct<dim, w>>,
+    * nrm = √Σw²) — one map-side-partial aggregate over
+    * [[hashEmbedSparse]]; `ws` is bounded by d entries per doc.
+    */
+  private def hashEmbedPerDoc(docs: DataFrame, d: Int): DataFrame =
+    hashEmbedSparse(docs, d)
+      .groupBy(col("doc_id"))
+      .agg(collect_list(struct(col("dim"), col("w"))).as("ws"),
+        sqrt(sum(col("w") * col("w"))).as("nrm"))
 
   /** Dense normalized vectors from [[hashEmbed]]: (doc_id, embedding
     * array<float>) ready for [[graft.ann.Knn.cosineTopK]] / IVF /
     * SemDeDup composition (float to match the embeddings table type).
     */
   def hashEmbedVectors(docs: DataFrame, d: Int = 64): DataFrame =
-    hashEmbed(docs, d)
-      .groupBy(col("doc_id"))
-      // map_from_entries + element_at is O(d) per doc; the previous
-      // filter-per-dimension scan was O(d²) — micro at d=64, real at
-      // d=4096. (dim, weight) is unique per doc by the upstream groupBy,
-      // so the map build cannot hit duplicate keys.
-      .agg(map_from_entries(collect_list(struct(col("dim"), col("weight")))).as("mp"))
+    // built straight from the doc-grain collected form — the sparse
+    // (exploded) face would immediately re-collect per doc here.
+    // map_from_entries + element_at is O(d) per doc; the previous
+    // filter-per-dimension scan was O(d²) — micro at d=64, real at
+    // d=4096. (dim, w) is unique per doc by the upstream groupBy, so
+    // the map build cannot hit duplicate keys. weight = w/nrm is the
+    // same correctly-rounded double ÷ as [[hashEmbed]]'s.
+    hashEmbedPerDoc(docs, d)
+      .select(col("doc_id"), map_from_entries(col("ws")).as("mp"), col("nrm"))
       .select(col("doc_id"),
         expr(s"transform(sequence(0, ${d - 1}), i -> " +
-          "coalesce(cast(element_at(mp, cast(i as bigint)) as float), cast(0.0 as float)))")
+          "coalesce(cast(element_at(mp, cast(i as bigint)) / nrm as float), " +
+          "cast(0.0 as float)))")
           .as("embedding"))
 
   /** Cosine top-k neighbors over [[hashEmbed]] vectors, computed at
@@ -864,8 +891,13 @@ object TextAnalysis {
     // the sparse weight table feeds THREE consumers (norms, the query
     // side, the candidate side) — cache it for the operator's scope or
     // the tokenize + hash + signed-count chain recomputes three times
-    // (measured: the dominant cost of hybrid serving at the 500k smoke)
-    val w = hashEmbed(docs, d).select(col("doc_id"), col("dim"), col("w"))
+    // (measured: the dominant cost of hybrid serving at the 500k smoke).
+    // NOTE (r15): do NOT add a repartition between the agg and the
+    // persist — the optimizer collapses/reorders it differently per
+    // consumer subtree, the analyzed plans stop matching the cache, and
+    // the norms consumer silently recomputes the whole tokenize+hash
+    // chain (measured via the executed-plan metrics dump).
+    val w = hashEmbedSparse(docs, d)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val norms = w.groupBy(col("doc_id")).agg(sum(col("w") * col("w")).as("s2"))
     val qw = w.join(graft.ops.Broadcasting.maybeBroadcast(queryIds),

@@ -40,7 +40,7 @@ object Topics {
     */
   def topics(docs: DataFrame, nCentroids: Int = 8, topTerms: Int = 5,
       d: Int = 64): DataFrame = {
-    val w = TextAnalysis.hashEmbed(docs, d).select(col("doc_id"), col("dim"), col("w"))
+    val w = TextAnalysis.hashEmbedSparse(docs, d)
     val norms = w.groupBy(col("doc_id")).agg(sum(col("w") * col("w")).as("s2"))
     val cw = w.filter(col("doc_id") < nCentroids)
       .select(col("doc_id").as("c_id"), col("dim"), col("w").as("cw"))
@@ -87,7 +87,7 @@ object Topics {
   def saveTopics(docs: DataFrame, table: String, nCentroids: Int = 8,
       topTerms: Int = 5, d: Int = 64, path: Option[String] = None): Unit = {
     val spark = docs.sparkSession
-    val cw = TextAnalysis.hashEmbed(docs, d)
+    val cw = TextAnalysis.hashEmbedSparse(docs, d)
       .filter(col("doc_id") < nCentroids)
       .select(col("doc_id").as("c_id"), col("dim"), col("w"))
     val w0 = cw.coalesce(1).write.mode("overwrite").format("parquet")
@@ -116,7 +116,7 @@ object Topics {
     val cw = spark.table(table)
       .select(col("c_id"), col("dim"), col("w").as("cw"))
     val cNorms = cw.groupBy(col("c_id")).agg(sum(col("cw") * col("cw")).as("c_s2"))
-    val w = TextAnalysis.hashEmbed(docs, d).select(col("doc_id"), col("dim"), col("w"))
+    val w = TextAnalysis.hashEmbedSparse(docs, d)
     val norms = w.groupBy(col("doc_id")).agg(sum(col("w") * col("w")).as("s2"))
     w.join(broadcast(cw), Seq("dim"))
       .groupBy(col("doc_id"), col("c_id"))
