@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{Column, GraftColumnBridge, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.expressions.{CosineSimilarity, DetLnExpr, DotProduct, L2Norm, L2Normalize, TopKByScore}
+import graft.expressions.{CosineSimilarity, DetLnExpr, DotProduct, L2Norm, L2Normalize, SparseToDense, TopKByScore}
 
 /** Column-level function surface of the engine.
   *
@@ -60,6 +60,13 @@ object GraftFunctions {
   /** Map-side bounded top-k aggregate over (score, id); see
     * [[graft.expressions.TopKByScore]].
     */
+  /** Dense array<float> from sparse (dim, w) entries and a norm; see
+    * [[graft.expressions.SparseToDense]].
+    */
+  def sparse_to_dense(entries: Column, nrm: Column, d: Int): Column =
+    GraftColumnBridge.column(SparseToDense(
+      GraftColumnBridge.expression(entries), GraftColumnBridge.expression(nrm), d))
+
   def top_k_by_score(score: Column, id: Column, k: Int): Column =
     GraftColumnBridge.column(
       TopKByScore(GraftColumnBridge.expression(score), GraftColumnBridge.expression(id), k)

@@ -181,7 +181,14 @@ object Dedup {
     // verification branch — cache it instead of recomputing the
     // tokenize/shingle pipeline twice
     val sh = shingleSet(docs).persist(StorageLevel.MEMORY_AND_DISK)
+    // the banded signatures feed BOTH sides of the collision self-join
+    // below; without this cache the 128-way min-aggregate runs twice
+    // (r15: the executed-plan metrics dump showed two full minhashOf
+    // subtrees off the shingle cache — the dominant cost of every
+    // near-dup row). Bands are Bands rows per doc — the lightweight
+    // proxy table, cheap to hold.
     val bands = minhashBands(minhashOf(sh))
+      .persist(StorageLevel.MEMORY_AND_DISK)
     // cand is tiny but referenced three times downstream (both sides of
     // the doc filter + the intersection join) — cache it so the
     // signature/band subtree runs once
@@ -192,7 +199,7 @@ object Dedup {
       .distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
     materialized(jaccardOf(cand, sh)) {
-      cand.unpersist(false); sh.unpersist(false)
+      cand.unpersist(false); bands.unpersist(false); sh.unpersist(false)
     }
   }
 
@@ -458,20 +465,27 @@ object Dedup {
     */
   def nearDupKeepBest(docs: DataFrame, minJaccard: Double = 0.7,
       maxIters: Int = 30): DataFrame = {
-    val clusters = nearDupClusters(docs, minJaccard, maxIters)
-      .select(col("doc_id"), col("cluster_id"))
+    val cl = nearDupClusters(docs, minJaccard, maxIters)
+    val clusters = cl.select(col("doc_id"), col("cluster_id"))
     val q = graft.text.TextAnalysis.quality(docs)
       .select(col("doc_id"), col("quality_score"))
+    // labeled feeds both the argmax aggregate and the join-back —
+    // cache it or the quality pass (a full tokenize of the corpus)
+    // runs twice (r15)
     val labeled = clusters.join(q, Seq("doc_id"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val best = labeled.groupBy(col("cluster_id")).agg(
       count(lit(1)).as("cluster_size"),
       max(struct(col("quality_score"), (-col("doc_id")).as("nid"))).as("best"))
       .select(col("cluster_id"), col("cluster_size"),
         (-col("best").getField("nid")).as("keeper_id"))
-    labeled.join(best, Seq("cluster_id"))
+    val out = labeled.join(best, Seq("cluster_id"))
       .select(col("doc_id"), col("cluster_id"), col("quality_score"),
         col("cluster_size"), col("keeper_id"))
       .withColumn("keep", col("doc_id") === col("keeper_id"))
+    // labeled is cached, so the cluster-label cache can release with
+    // it — the materialized result is the one cache scope left behind
+    materialized(out) { labeled.unpersist(false); cl.unpersist() }
   }
 
   /** Exact Jaccard for candidate pairs whose sides come from two

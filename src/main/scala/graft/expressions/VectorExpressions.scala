@@ -435,3 +435,63 @@ case class L2Normalize(child: Expression) extends UnaryExpression
 
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
+
+/** Dense `array<float>` assembly from a doc's sparse hash-embed
+  * entries: `entries` is `array<struct<dim: long, w: long>>`, the
+  * output is length `d` with `(float)(w / nrm)` at each in-range dim
+  * and 0.0f elsewhere — exactly the
+  * `transform(sequence(0, d-1), i -> coalesce(cast(element_at(mp, i) /
+  * nrm as float), 0.0f))` it replaces, which ran as an INTERPRETED
+  * higher-order function (CodegenFallback) doing a per-element map
+  * lookup: d interpreted evals per document on every scoring/serving
+  * path (r15: measured as the dominant cost of classifier serving).
+  * Codegen'd single pass over the ≤d entries instead.
+  */
+case class SparseToDense(entries: Expression, nrm: Expression, d: Int)
+    extends BinaryExpression {
+  require(d > 0, s"sparse_to_dense: d must be positive, got $d")
+  override def left: Expression = entries
+  override def right: Expression = nrm
+  override def dataType: DataType = ArrayType(FloatType, containsNull = false)
+  override def prettyName: String = "sparse_to_dense"
+
+  override def nullSafeEval(e: Any, n: Any): Any = {
+    val a = e.asInstanceOf[ArrayData]
+    val norm = n.asInstanceOf[Double]
+    val out = new Array[Float](d)
+    var i = 0
+    val m = a.numElements()
+    while (i < m) {
+      val row = a.getStruct(i, 2)
+      val dim = row.getLong(0)
+      if (dim >= 0L && dim < d.toLong)
+        out(dim.toInt) = (row.getLong(1).toDouble / norm).toFloat
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, n) => {
+      val i = ctx.freshName("i")
+      val m = ctx.freshName("m")
+      val out = ctx.freshName("out")
+      val row = ctx.freshName("row")
+      val dim = ctx.freshName("dim")
+      s"""
+         |float[] $out = new float[$d];
+         |int $m = $a.numElements();
+         |for (int $i = 0; $i < $m; $i++) {
+         |  org.apache.spark.sql.catalyst.InternalRow $row = $a.getStruct($i, 2);
+         |  long $dim = $row.getLong(0);
+         |  if ($dim >= 0L && $dim < ${d}L) {
+         |    $out[(int) $dim] = (float) (((double) $row.getLong(1)) / $n);
+         |  }
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(entries = l, nrm = r)
+}

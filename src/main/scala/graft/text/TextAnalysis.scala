@@ -857,19 +857,16 @@ object TextAnalysis {
     */
   def hashEmbedVectors(docs: DataFrame, d: Int = 64): DataFrame =
     // built straight from the doc-grain collected form — the sparse
-    // (exploded) face would immediately re-collect per doc here.
-    // map_from_entries + element_at is O(d) per doc; the previous
-    // filter-per-dimension scan was O(d²) — micro at d=64, real at
-    // d=4096. (dim, w) is unique per doc by the upstream groupBy, so
-    // the map build cannot hit duplicate keys. weight = w/nrm is the
-    // same correctly-rounded double ÷ as [[hashEmbed]]'s.
+    // (exploded) face would immediately re-collect per doc here. The
+    // dense assembly is the codegen [[graft.expressions.SparseToDense]]
+    // kernel: the former map_from_entries + transform(sequence…) ran as
+    // an interpreted higher-order function (CodegenFallback), d
+    // interpreted map lookups per document on every serving path.
+    // weight = w/nrm is the same correctly-rounded double ÷ as
+    // [[hashEmbed]]'s.
     hashEmbedPerDoc(docs, d)
-      .select(col("doc_id"), map_from_entries(col("ws")).as("mp"), col("nrm"))
       .select(col("doc_id"),
-        expr(s"transform(sequence(0, ${d - 1}), i -> " +
-          "coalesce(cast(element_at(mp, cast(i as bigint)) / nrm as float), " +
-          "cast(0.0 as float)))")
-          .as("embedding"))
+        GraftFunctions.sparse_to_dense(col("ws"), col("nrm"), d).as("embedding"))
 
   /** Cosine top-k neighbors over [[hashEmbed]] vectors, computed at
     * the SPARSE (doc_id, dim, w) grain with INTEGER arithmetic until
