@@ -1,0 +1,100 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Scale-rung evidence that the headline operator families PARALLELIZE
+  * (r15 verdict item 3: at the bench SF every input is a single-row-
+  * group parquet file and 8 cores beat 32 on scheduling overhead, so
+  * the bench cannot demonstrate a core-ratio — this rung can).
+  *
+  * Synthesizes a ~50× sf0.1 corpus (250k docs, deterministic hash
+  * expressions — no dependence on /root/testdata) and times the three
+  * families the r15/r16 optimization rounds touched most:
+  *
+  *   - hash_embed: [[graft.text.TextAnalysis.hashEmbedVectors]] to the
+  *     noop sink (guide §1.4 — computes every column, discards output);
+  *   - minhash_lsh: [[graft.dedup.Dedup.nearDupClusters]] (the operator
+  *     materializes its own result; its internal signature/band caches
+  *     are part of the timed work);
+  *   - triage: [[graft.multimodal.Binary.triage]] over a 4-family mixed
+  *     blob column (WAV/PNG/JPEG/gzip lanes + text fallback) to noop.
+  *
+  * Honors `SPARK_GRAFT_CPUS` exactly like the bench, so an 8-core and
+  * a 32-core invocation differ only in `local[n]`/shuffle width. Run:
+  *   SPARK_GRAFT_CPUS=32 sbt "runMain graft.ScaleRatioSmoke [nDocs]"
+  * and divide the 8-core seconds by the 32-core seconds per family.
+  * Prints one JSON line (last stdout line) with the timings.
+  */
+object ScaleRatioSmoke {
+  def main(args: Array[String]): Unit = {
+    val n = args.headOption.map(_.toInt).getOrElse(250000)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = GraftSession.builder(s"local[$cpus]", cpus.toInt).getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    GraftFunctions.register(spark)
+
+    def time[T](label: String)(f: => T): Double = {
+      spark.sparkContext.setJobDescription(label)
+      val t0 = System.nanoTime(); f
+      val s = (System.nanoTime() - t0) / 1e9
+      spark.sparkContext.setJobDescription(null)
+      System.err.println(f"[scale-ratio] $label%-12s $s%8.2f s")
+      s
+    }
+    def noop(df: org.apache.spark.sql.DataFrame): Unit =
+      df.write.format("noop").mode("overwrite").save()
+
+    // ~40 hash words per doc, 1% planted near-dup pairs (doc 100k+i
+    // repeats doc i's words with one word changed) so the LSH rung has
+    // real collision work, not just signature compute
+    val words = transform(sequence(lit(0), lit(39)),
+      p => concat(lit("w"), hex(xxhash64(col("base"), p))))
+    val docs = spark.range(n).toDF("doc_id")
+      .select(col("doc_id"),
+        when(col("doc_id") >= n - n / 100, col("doc_id") - (n / 100))
+          .otherwise(col("doc_id")).as("base"))
+      .select(col("doc_id"),
+        concat(array_join(words, " "),
+          when(col("doc_id") >= n - n / 100, lit(" tail")).otherwise(lit("")))
+          .as("text"))
+      .repartition(spark.sparkContext.defaultParallelism)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    docs.count() // materialize generation outside all timings
+
+    val tEmbed = time("hash_embed") {
+      noop(graft.text.TextAnalysis.hashEmbedVectors(docs))
+    }
+    val tLsh = time("minhash_lsh") {
+      val cl = graft.dedup.Dedup.nearDupClusters(docs)
+      noop(cl)
+      cl.unpersist(blocking = true)
+    }
+    // 4-lane mixed-blob corpus (the triage PARSE kernel is the timed
+    // subject; four synth families keep the generation affordable at
+    // 250k while the parse still dispatches across codec kernels)
+    val tTriage = time("triage") {
+      import graft.multimodal.Binary
+      val d = col("doc_id")
+      val lanes = Seq[org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame](
+        Binary.Wav.synthFromDocs(_), Binary.Png.synthFromDocs(_),
+        Binary.Jpeg.synthFromDocs(_), Binary.Gz.synthFromDocs(_))
+        .zipWithIndex.map { case (synth, k) =>
+          synth(docs.where(d % 5 === k)).select(d, col("payload"))
+        }
+      val textLane = docs.where(d % 5 === 4)
+        .select(d, col("text").cast("binary").as("payload"))
+      val mixed = (lanes :+ textLane).reduce(_.unionAll(_))
+        .repartition(spark.sparkContext.defaultParallelism)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      noop(Binary.triage(mixed))
+      mixed.unpersist(blocking = true)
+    }
+
+    def fmt(v: Double) = f"$v%.3f"
+    val json = s"""{"metric":"scale_ratio_smoke","n_docs":$n,"cpus":$cpus,""" +
+      s""""hash_embed":${fmt(tEmbed)},"minhash_lsh":${fmt(tLsh)},""" +
+      s""""triage":${fmt(tTriage)},"unit":"sec"}"""
+    spark.stop()
+    println(json)
+  }
+}

@@ -28,6 +28,19 @@ object Caching {
     out
   }
 
+  /** Release the materialized blocks behind a `localCheckpoint`ed
+    * DataFrame. After this the DataFrame is NOT recomputable (the
+    * checkpoint truncated its lineage) — only call once nothing will
+    * read it again, or once every reader is itself materialized.
+    * (Shared form of the helper Graph/Dedup carry privately.)
+    */
+  def releaseCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.analyzed.collectLeaves().foreach {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        lr.rdd.unpersist(blocking = false)
+      case _ => ()
+    }
+
   /** Drop rows whose `key` value occurs in more than `cap` rows — the
     * quadratic-blow-up guard shared by the shingle/fingerprint
     * self-joins.

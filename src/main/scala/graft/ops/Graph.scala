@@ -86,12 +86,23 @@ object Graph {
   /** Lineage is cut (localCheckpoint) once per this many iterations —
     * plan depth between cuts stays ≤ `2·PageRankCheckpointEvery`
     * operators while per-round write+read round trips of the rank
-    * table drop by the same factor. Env-overridable for cluster runs
-    * (`SPARK_GRAFT_PR_CHECKPOINT_EVERY`), e.g. lower it on fault-prone
-    * clusters where each cut doubles as a recovery point.
+    * table drop by the same factor. Env-overridable
+    * (`SPARK_GRAFT_PR_CHECKPOINT_EVERY`).
+    *
+    * Default 1 (r16): the r15 chunking default of 5 was A/B'd against
+    * 1 and 2 on otherwise identical code (min-of-5, local[32], sf0.1):
+    * q_pagerank 9.12 s (k=1) vs 11.02 (k=2) vs 10.97 (k=5),
+    * q_pagerank_personalized 9.19 vs 9.39 vs 12.33 — composing rounds
+    * into one deep AQE job pays more in adaptive re-planning and
+    * stage-barrier latency than the skipped per-round materializations
+    * of a tiny rank table save. The trade reverses when the rank table
+    * is big enough that writing it per round dominates (each cut is a
+    * full write+read of |nodes| rows) — raise the env knob on cluster
+    * runs after measuring, exactly like the r15 note said, but the
+    * LOCAL default must be the locally measured winner.
     */
   val PageRankCheckpointEvery: Int =
-    sys.env.get("SPARK_GRAFT_PR_CHECKPOINT_EVERY").map(_.toInt).getOrElse(5)
+    sys.env.get("SPARK_GRAFT_PR_CHECKPOINT_EVERY").map(_.toInt).getOrElse(1)
 
   /** `seeds`: a function from the node table (one `node` column, the
     * distinct src set, served from the already-cached edge list) to
@@ -114,6 +125,14 @@ object Graph {
     // (contribs arrive hash-partitioned by node from their own agg) —
     // at scale this halves the per-iteration shuffle volume, and the
     // edge list (the big side) never re-shuffles after iteration 0
+    // (r16, tried and REVERTED: sortWithinPartitions on both static
+    // caches so the per-iteration sort-merge joins skip re-sorting the
+    // static side. Measured LOSS at the bench SF — every bench run
+    // rebuilds the caches, so the one-time edge sort is paid per run
+    // while the skipped sorts are over the tiny degree table, and the
+    // executed plans showed the edge⋈rank join served as a broadcast
+    // of the rank table with NO edge exchange or sort anyway:
+    // q_pagerank 10.8→11.4 s, ppr 9.1→10.7 s back-to-back.)
     val e = edges.select(col("src"), col("dst"))
       .repartition(col("src"))
       .persist(StorageLevel.MEMORY_AND_DISK)

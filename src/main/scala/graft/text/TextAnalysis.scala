@@ -1055,11 +1055,28 @@ object TextAnalysis {
     * rows, and no oversized `collect_list` row is ever built. The final
     * df/postings join is token-co-partitioned (no extra exchange).
     */
-  def invertedIndex(docs: DataFrame, maxDf: Long = DefaultMaxTokenDf): DataFrame = {
-    val docTf = withToks(docs)
+  def invertedIndex(docs: DataFrame, maxDf: Long = DefaultMaxTokenDf): DataFrame =
+    invertedIndexFromDocTf(docTermFreq(docs), maxDf)
+
+  /** Per-(token, doc) term frequencies — the shared grain every index
+    * branch (df relation, hot-token cap, posting lists) derives from.
+    * Callers that reference the index more than once per plan cache
+    * THIS frame (r16, the hashEmbed single-pass lesson applied to the
+    * lexical side: DataFrame plans get no common-subtree reuse, so an
+    * uncached docTf re-runs the tokenize → explode → count chain once
+    * per branch — measured 4 full chains in one text_search_hybrid
+    * serve).
+    */
+  private[text] def docTermFreq(docs: DataFrame): DataFrame =
+    withToks(docs)
       .select(col("doc_id"), explode(col("toks")).as("token"))
       .groupBy(col("token"), col("doc_id"))
       .agg(count(lit(1)).as("tf"))
+
+  /** [[invertedIndex]] body over a precomputed (and usually cached)
+    * [[docTermFreq]] frame.
+    */
+  private[text] def invertedIndexFromDocTf(docTf: DataFrame, maxDf: Long): DataFrame = {
     val dfs = docTf.groupBy(col("token"))
       .agg(count(lit(1)).as("df"), sum(col("tf")).as("cf"))
     val hot = dfs.filter(col("df") > maxDf).select(col("token"))
@@ -1398,7 +1415,9 @@ object TextAnalysis {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val lexScored = searchTopK(tokD, terms, kEach)
     val (out, releaseVec) = hybridFuse(lexScored, tokD, terms, k, kEach, d, rrfK)
-    graft.ops.Caching.materialized(out) { tokD.unpersist(false); releaseVec() }
+    graft.ops.Caching.materialized(out) {
+      tokD.unpersist(false); lexScored.unpersist(false); releaseVec()
+    }
   }
 
   /** [[hybridSearchTopK]] with the LEXICAL side served from a
@@ -1432,8 +1451,8 @@ object TextAnalysis {
     val vecScoped = hashEmbedTopK(withToks(corpus).unionByName(qRow),
       qRow.select(col("doc_id")), d, kEach)
     val vec = vecScoped.select(col("cand_id").as("doc_id"), col("rn").as("vec_rank"))
-    val out = fuseRankLists(lexScored, vec, k, kEach, rrfK)
-    (out, () => { vecScoped.unpersist(false); () })
+    val (out, releaseFused) = fuseRankLists(lexScored, vec, k, kEach, rrfK)
+    (out, () => { vecScoped.unpersist(false); releaseFused() })
   }
 
   /** The RRF fusion tail shared by EVERY hybrid form (exact embed
@@ -1443,15 +1462,15 @@ object TextAnalysis {
     * core is what stops the exact and ANN forms from drifting.
     */
   private def fuseRankLists(lexScored: DataFrame, vec: DataFrame,
-      k: Int, kEach: Int, rrfK: Int): DataFrame = {
+      k: Int, kEach: Int, rrfK: Int): (DataFrame, () => Unit) = {
     val lex = graft.ops.TopK.rankByScore(
       lexScored
         .select(lit(0L).as("q_id"), col("doc_id").as("cand_id"), col("score").as("sim")),
       kEach)
       .select(lit(0L).as("query_id"), col("cand_id").as("doc_id"),
         col("rn").as("lex_rank"))
-    fuseRankListsBatch(lex, vec.withColumn("query_id", lit(0L)), k, rrfK)
-      .drop("query_id")
+    val (out, release) = fuseRankListsBatch(lex, vec.withColumn("query_id", lit(0L)), k, rrfK)
+    (out.drop("query_id"), release)
   }
 
   /** The multi-query RRF fusion tail — ONE fusion implementation for
@@ -1462,14 +1481,27 @@ object TextAnalysis {
     * fusing one).
     */
   private def fuseRankListsBatch(lex: DataFrame, vec: DataFrame,
-      k: Int, rrfK: Int): DataFrame = {
+      k: Int, rrfK: Int): (DataFrame, () => Unit) = {
     val rrfScore =
       coalesce(lit(1.0) / (lit(rrfK.toDouble) + col("lex_rank")), lit(0.0)) +
         coalesce(lit(1.0) / (lit(rrfK.toDouble) + col("vec_rank")), lit(0.0))
+    // `fused` feeds BOTH the top-k aggregate and the rank join-back, and
+    // DataFrame plans get no common-subtree reuse — without a lineage cut
+    // the entire upstream (BOTH retriever legs) plans and executes twice,
+    // and the served plan carries ~2× the codegen segments Catalyst/AQE
+    // must orchestrate (the r15 "plan breadth" cost of text_search_hybrid).
+    // The fused rank lists are ≤ 2·kEach rows per query — the cheapest
+    // possible thing to materialize (guide §3.3: materialize an
+    // intermediate to truncate a very wide plan). The returned release
+    // frees the checkpoint blocks; callers run it once their own result
+    // is materialized (after which, like clustersFromPairs, the result
+    // cannot recompute if its blocks are lost — write it out / use
+    // reliable checkpointing on a fault-prone cluster).
     val fused = lex.join(vec, Seq("query_id", "doc_id"), "full_outer")
       .select(col("query_id"), col("doc_id"), col("lex_rank"), col("vec_rank"),
         rrfScore.as("rrf_score"))
-    graft.ops.TopK.rankByScore(
+      .localCheckpoint(true)
+    val out = graft.ops.TopK.rankByScore(
       fused.select(col("query_id").as("q_id"), col("doc_id").as("cand_id"),
         col("rrf_score").as("sim")), k)
       .select(col("q_id").as("query_id"), col("rn"),
@@ -1479,6 +1511,7 @@ object TextAnalysis {
       .select(col("query_id"), col("rn"), col("doc_id"), col("lex_rank"),
         col("vec_rank"), col("rrf_score"))
       .orderBy(col("query_id"), col("rn"))
+    (out, () => graft.ops.Caching.releaseCheckpoint(fused))
   }
 
   /** Hybrid retrieval with BOTH sides served from indexes at rest —
@@ -1524,7 +1557,8 @@ object TextAnalysis {
         nProbe, kEach)
       .select((-col("q_id") - 1).as("query_id"),
         col("cand_id").as("doc_id"), col("rn").as("vec_rank"))
-    fuseRankListsBatch(lex, vec, k, rrfK)
+    val (out, releaseFused) = fuseRankListsBatch(lex, vec, k, rrfK)
+    graft.ops.Caching.materialized(out)(releaseFused())
   }
 
   def hybridSearchTopKOnIndexes(lexIdx: SearchIndex.TextIndex,
@@ -1539,14 +1573,35 @@ object TextAnalysis {
     val vec = graft.ann.Ivf.probeTopKOnIndex(annCells, annCentroids, qVec,
         nProbe, kEach)
       .select(col("cand_id").as("doc_id"), col("rn").as("vec_rank"))
-    fuseRankLists(SearchIndex.searchTopK(lexIdx, terms, kEach), vec, k, kEach, rrfK)
+    val (out, releaseFused) =
+      fuseRankLists(SearchIndex.searchTopK(lexIdx, terms, kEach), vec, k, kEach, rrfK)
+    graft.ops.Caching.materialized(out)(releaseFused())
   }
 
-  /** [[searchTopKOnIndex]] over a freshly built [[invertedIndex]]. */
+  /** [[searchTopKOnIndex]] over a freshly built [[invertedIndex]].
+    *
+    * The (token, doc, tf) grain is computed ONCE and cached for the
+    * operator's scope (r16): the index's df/cap/postings branches plus
+    * the candidate pivot all derive from it, and without the cache the
+    * tokenize → explode → count chain physically re-ran once per
+    * branch (4 chains measured per serve — the lexical twin of the r15
+    * hashEmbed finding). Doc lengths and corpus stats still come from
+    * the un-exploded tokenize pass (a doc with zero tokens must count
+    * toward n_docs, which the docTf grain cannot see). The (small,
+    * top-k) result is materialized so the cache can be released — the
+    * returned frame is the one cache scope left behind.
+    */
   def searchTopK(docs: DataFrame, terms: Seq[String] = Bm25Terms,
       k: Int = 20, k1: Double = 1.2, b: Double = 0.75,
-      maxDf: Long = DefaultMaxTokenDf): DataFrame =
-    searchTopKOnIndex(docs, invertedIndex(docs, maxDf), terms, k, k1, b)
+      maxDf: Long = DefaultMaxTokenDf): DataFrame = {
+    val t = withToks(docs).withColumn("dl", size(col("toks")).cast("long"))
+    val stats = t.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+    val docTf = docTermFreq(t)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val out = searchFromPostings(t.select(col("doc_id"), col("dl")), stats,
+      invertedIndexFromDocTf(docTf, maxDf), terms, k, k1, b)
+    graft.ops.Caching.materialized(out) { docTf.unpersist(false) }
+  }
 
   /** Overlapping fixed-width document chunking — the context-window
     * shaping step of an LLM training/RAG pipeline: each document is
