@@ -198,8 +198,10 @@ object Dedup {
       .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
       .distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
-    materialized(jaccardOf(cand, sh)) {
-      cand.unpersist(false); bands.unpersist(false); sh.unpersist(false)
+    val (jac, shc) = jaccardOf(cand, sh)
+    materialized(jac) {
+      cand.unpersist(false); bands.unpersist(false)
+      shc.unpersist(false); sh.unpersist(false)
     }
   }
 
@@ -250,23 +252,33 @@ object Dedup {
     * semi-join — at scale the candidate set is a vanishing fraction of
     * the corpus, so verification never re-shuffles the full data.
     */
-  private def jaccardOf(cand: DataFrame, sh: DataFrame): DataFrame = {
+  private def jaccardOf(cand: DataFrame, sh: DataFrame): (DataFrame, DataFrame) = {
     val candDocs = cand
       .select(explode(array(col("a"), col("b"))).as("doc_id")).distinct()
+    // the pruned shingle set feeds FOUR plan branches (both sides of
+    // the intersection join, and the sizes aggregate under each
+    // join-back) — cache it or the semi-join over the full shingle set
+    // physically runs once per branch (r16; same no-common-subtree-
+    // reuse disease as hashEmbed/docTf). Candidates are a vanishing
+    // fraction of the corpus at scale, so the cache is small by the
+    // same argument that justifies the prune itself. Returned to the
+    // caller for release once its own result is materialized.
     val shc = sh.join(graft.ops.Broadcasting.maybeBroadcast(candDocs),
       Seq("doc_id"), "left_semi")
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val sizes = shc.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val inter = cand
       .join(shc.as("sa"), col("a") === col("sa.doc_id"))
       .join(shc.as("sb"), col("b") === col("sb.doc_id") && col("sa.s") === col("sb.s"))
       .groupBy(col("a"), col("b")).agg(count(lit(1)).as("n_int"))
-    inter
+    val out = inter
       .join(sizes.as("za"), col("a") === col("za.doc_id"))
       .join(sizes.as("zb"), col("b") === col("zb.doc_id"))
       .select(
         col("a"), col("b"), col("n_int"),
         col("za.n").as("n_a"), col("zb.n").as("n_b"),
         (col("n_int") / (col("za.n") + col("zb.n") - col("n_int"))).as("jaccard"))
+    (out, shc)
   }
 
   /** Release the materialized blocks behind a `localCheckpoint`ed
@@ -465,9 +477,19 @@ object Dedup {
     */
   def nearDupKeepBest(docs: DataFrame, minJaccard: Double = 0.7,
       maxIters: Int = 30): DataFrame = {
-    val cl = nearDupClusters(docs, minJaccard, maxIters)
+    // tokenize ONCE (r16): the shingle chain under [[nearDupClusters]]
+    // and the quality pass each derive `toks` from `text` when absent,
+    // so the raw-docs call paid TWO full corpus tokenizes. Cache the
+    // tokenized frame only when this call created the column — a
+    // caller passing a pre-tokenized frame owns its own cache scope
+    // (pipeline_clean's toked cache must not be unpersisted from here).
+    val ownsToked = !docs.columns.contains("toks")
+    val toked =
+      if (ownsToked) withToks(docs).persist(StorageLevel.MEMORY_AND_DISK)
+      else docs
+    val cl = nearDupClusters(toked, minJaccard, maxIters)
     val clusters = cl.select(col("doc_id"), col("cluster_id"))
-    val q = graft.text.TextAnalysis.quality(docs)
+    val q = graft.text.TextAnalysis.quality(toked)
       .select(col("doc_id"), col("quality_score"))
     // labeled feeds both the argmax aggregate and the join-back —
     // cache it or the quality pass (a full tokenize of the corpus)
@@ -485,7 +507,10 @@ object Dedup {
       .withColumn("keep", col("doc_id") === col("keeper_id"))
     // labeled is cached, so the cluster-label cache can release with
     // it — the materialized result is the one cache scope left behind
-    materialized(out) { labeled.unpersist(false); cl.unpersist() }
+    materialized(out) {
+      labeled.unpersist(false); cl.unpersist()
+      if (ownsToked) toked.unpersist(false)
+    }
   }
 
   /** Exact Jaccard for candidate pairs whose sides come from two
