@@ -33,12 +33,22 @@ object ScaleRatioSmoke {
     spark.sparkContext.setLogLevel("ERROR")
     GraftFunctions.register(spark)
 
+    // min-of-2 per family with an untimed warmup action first: a
+    // single cold pass on a fresh JVM mixes whole-stage-codegen
+    // compile + JIT warmup + OS cache state into the number (measured
+    // 28 s vs 7.9 s for the same 32-core hash_embed pass across two
+    // invocations) — the min of two warmed passes is the comparable
+    // quantity, same reasoning as the bench's min-of-5
     def time[T](label: String)(f: => T): Double = {
-      spark.sparkContext.setJobDescription(label)
-      val t0 = System.nanoTime(); f
-      val s = (System.nanoTime() - t0) / 1e9
-      spark.sparkContext.setJobDescription(null)
-      System.err.println(f"[scale-ratio] $label%-12s $s%8.2f s")
+      val s = (1 to 2).map { i =>
+        spark.sparkContext.setJobDescription(s"$label pass $i")
+        val t0 = System.nanoTime(); f
+        val sec = (System.nanoTime() - t0) / 1e9
+        spark.sparkContext.setJobDescription(null)
+        System.err.println(f"[scale-ratio] $label%-12s pass $i $sec%8.2f s")
+        sec
+      }.min
+      System.err.println(f"[scale-ratio] $label%-12s min    $s%8.2f s")
       s
     }
     def noop(df: org.apache.spark.sql.DataFrame): Unit =
@@ -59,7 +69,10 @@ object ScaleRatioSmoke {
           .as("text"))
       .repartition(spark.sparkContext.defaultParallelism)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    docs.count() // materialize generation outside all timings
+    docs.count() // materialize data generation outside all timings
+    // untimed JIT/codegen warmup over a small slice of the same shapes
+    try noop(graft.text.TextAnalysis.hashEmbedVectors(docs.limit(2000)))
+    catch { case e: Throwable => System.err.println(s"[scale-ratio] warmup: $e") }
 
     val tEmbed = time("hash_embed") {
       noop(graft.text.TextAnalysis.hashEmbedVectors(docs))
